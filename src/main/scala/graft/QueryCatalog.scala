@@ -1,0 +1,755 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Transforms
+import graft.incr.Incremental
+import graft.meta.ColumnSpec
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.StageTransform
+import graft.write.MergeWriter
+
+/**
+ * The driver-facing query catalog: one entry per implemented operator from
+ * SURVEY.md §2 plus the training-data-pipeline operator families (dedup,
+ * similarity, text analysis, multimodal). Every SQL-expressible query has a
+ * DuckDB oracle built to be BIT-IDENTICAL to the Spark result:
+ *
+ *  - aggregates go through DECIMAL casts (exact, order-independent) — never
+ *    raw double sums, whose partial-aggregation order differs per engine;
+ *  - similarity math runs on integer-quantized vectors (round(x*1000)), so
+ *    dot products / norms are exact integers and derived doubles are
+ *    bit-equal IEEE operations;
+ *  - ratios are int/int divisions; scores are floor-quantized, not rounded
+ *    (round has tie-mode differences across engines; floor has none);
+ *  - timestamps are emitted as formatted strings (parquet tz-annotation
+ *    differences otherwise leak into the compare);
+ *  - md5 is the only string hash used — identical everywhere.
+ */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
+    * (legacy long mode) and convert losslessly to a micros timestamp — the
+    * same value DuckDB sees. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  // ================================================================ DSL
+
+  private val dslQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_dsl_concat",
+      (s: SparkSession, d: String) => t(s, d, "customer").select(
+        col("c_custkey"),
+        Transforms.column("fn_transform_Concatenate(c_name,c_mktsegment)",
+          "string").as("ck")),
+      Some("SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS ck " +
+        "FROM customer")),
+
+    ("q_dsl_concat_ws",
+      (s: SparkSession, d: String) => t(s, d, "customer").select(
+        col("c_custkey"),
+        Transforms.column("fn_transform_Concatenate_ws(c_name,c_mktsegment,-)",
+          "string").as("ckw")),
+      Some("SELECT c_custkey, concat_ws('-', c_name, c_mktsegment) AS ckw " +
+        "FROM customer")),
+
+    ("q_dsl_bytemagic",
+      (s: SparkSession, d: String) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Transforms.column("fn_transform_ByteMagic(l_linestatus,$N)", "string")
+          .as("flag_lit"),
+        Transforms.column("fn_transform_ByteMagic(l_linestatus,l_returnflag)",
+          "string").as("flag_col")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_linestatus='T' THEN 'T' WHEN l_linestatus='F' THEN 'F'
+             ELSE 'N' END AS flag_lit,
+        CASE WHEN l_linestatus='T' THEN 'T' WHEN l_linestatus='F' THEN 'F'
+             ELSE l_returnflag END AS flag_col
+        FROM lineitem""")),
+
+    // QUIRK reproduction: only the LAST rule survives (SURVEY §2.5)
+    ("q_dsl_case",
+      (s: SparkSession, d: String) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        Transforms.column(
+          "fn_transform_Case(o_orderpriority,1-URGENT|2-HIGH->hot,3-MEDIUM->warm)",
+          "string").as("prio")),
+      Some("SELECT o_orderkey, CASE WHEN o_orderpriority = '3-MEDIUM' " +
+        "THEN 'warm' ELSE NULL END AS prio FROM orders")),
+
+    ("q_dsl_case_default",
+      (s: SparkSession, d: String) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        Transforms.column("fn_transform_Case_with_default(o_orderpriority," +
+          "1-URGENT|2-HIGH->hot,3-MEDIUM->warm,$cold)", "string").as("prio")),
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+             WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+             ELSE 'cold' END AS prio FROM orders""")),
+
+    // QUIRK reproduction: compound mode accumulates conditions across rules,
+    // so any row matching rule 1 OR rule 2 gets the LAST label
+    ("q_dsl_case_compound",
+      (s: SparkSession, d: String) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        Transforms.column("fn_transform_Case_with_default(" +
+          "o_orderstatus&o_orderpriority,O&1-URGENT->hot1,F&5-LOW->cold5,$mid)",
+          "string").as("cls"),
+        Transforms.column("fn_transform_Case_with_default(" +
+          "o_orderstatus&o_orderpriority,O&1-URGENT|F&5-LOW->either,$rest)",
+          "string").as("alt")),
+      Some("""SELECT o_orderkey,
+        CASE WHEN (o_orderstatus='O' AND o_orderpriority='1-URGENT')
+                OR (o_orderstatus='F' AND o_orderpriority='5-LOW')
+             THEN 'cold5' ELSE 'mid' END AS cls,
+        CASE WHEN (o_orderstatus='O' AND o_orderpriority='1-URGENT')
+                OR (o_orderstatus='F' AND o_orderpriority='5-LOW')
+             THEN 'either' ELSE 'rest' END AS alt
+        FROM orders""")),
+
+    ("q_dsl_clearstring",
+      (s: SparkSession, d: String) => t(s, d, "customer").select(
+        col("c_custkey"),
+        Transforms.column("fn_transform_ClearString(c_name,$none)", "string")
+          .as("name_clean"),
+        Transforms.column("fn_transform_ClearString(c_name)", "string")
+          .as("name_trim")),
+      Some("""SELECT c_custkey,
+        CASE WHEN c_name IS NOT NULL THEN trim(c_name) ELSE 'none' END
+          AS name_clean,
+        trim(c_name) AS name_trim FROM customer""")),
+
+    ("q_dsl_date_to_string",
+      (s: SparkSession, d: String) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Transforms.column("fn_transform_Date_to_String(l_shipdate,yyyy-MM)",
+          "string").as("ship_ym")),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "strftime(l_shipdate, '%Y-%m') AS ship_ym FROM lineitem")),
+
+    ("q_dsl_datemagic",
+      (s: SparkSession, d: String) => {
+        val withOrd = t(s, d, "lineitem").withColumn("ord_col",
+          (datediff(to_date(col("l_shipdate")), to_date(lit("1900-01-01"))) +
+            Transforms.OrdinalAnchor).cast("int"))
+        withOrd.select(
+          col("l_orderkey"), col("l_linenumber"),
+          Transforms.column(
+            "fn_transform_DateMagic(ord_col,yyyy-MM-dd,1970-01-01)", "date")
+            .as("ship_decoded"),
+          Transforms.column(
+            "fn_transform_DateMagic(l_linenumber,yyyy-MM-dd,1970-01-01)", "date")
+            .as("bad_decoded"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        CAST(l_shipdate AS DATE) AS ship_decoded,
+        DATE '1970-01-01' AS bad_decoded FROM lineitem""")),
+
+    ("q_dsl_datetimemagic",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+          .withColumn("ord_col",
+            (datediff(to_date(col("ts")), to_date(lit("1900-01-01"))) +
+              Transforms.OrdinalAnchor).cast("int"))
+          .withColumn("hms_pad", lpad(
+            (hour(col("ts")) * 10000 + minute(col("ts")) * 100 +
+              second(col("ts"))).cast("string"), 6, "0"))
+          .withColumn("hms_raw",
+            (hour(col("ts")) * 10000 + minute(col("ts")) * 100 +
+              second(col("ts"))).cast("string"))
+        e.select(col("event_id"),
+          date_format(Transforms.column(
+            "fn_transform_DatetimeMagic(ord_col,hms_pad,yyyy-MM-dd HH:mm:ss,1900-01-01)",
+            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_full"),
+          date_format(Transforms.column(
+            "fn_transform_DatetimeMagic(ord_col,hms_raw,yyyy-MM-dd HH:mm:ss,1900-01-01)",
+            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_fallback"))
+      },
+      Some("""SELECT event_id,
+        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_full,
+        CASE WHEN (hour(ts)*10000 + minute(ts)*100 + second(ts)) >= 100000
+             THEN strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+             ELSE strftime(CAST(ts AS DATE), '%Y-%m-%d %H:%M:%S')
+        END AS ts_fallback FROM events""")),
+
+    ("q_dsl_periodmagic",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .withColumn("per_col", when(col("o_orderstatus") === "F", lit(null))
+            .otherwise(year(col("o_orderdate")).cast("string")))
+          .withColumn("ex_col", month(col("o_orderdate")).cast("string"))
+        o.select(col("o_orderkey"),
+          Transforms.column("fn_transform_PeriodMagic(per_col,ex_col)",
+            "string").as("period"))
+      },
+      Some("""SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'F' THEN '190001'
+             ELSE CAST(year(o_orderdate) AS VARCHAR) ||
+                  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+        END AS period FROM orders""")),
+
+    // fallthrough: bare Spark-SQL expression (transform_light.py:348-349)
+    ("q_dsl_expr",
+      (s: SparkSession, d: String) => t(s, d, "customer").select(
+        col("c_custkey"),
+        Transforms.column("upper(c_mktsegment)", "string").as("seg_up")),
+      Some("SELECT c_custkey, upper(c_mktsegment) AS seg_up FROM customer")),
+
+    // nested calls compile inner-first (reference $sub_column chaining)
+    ("q_dsl_nested",
+      (s: SparkSession, d: String) => t(s, d, "customer").select(
+        col("c_custkey"),
+        Transforms.column(
+          "fn_transform_ClearString(fn_transform_Concatenate(c_name,c_mktsegment))",
+          "string").as("nested")),
+      Some("SELECT c_custkey, trim(concat_ws('|', c_name, c_mktsegment)) " +
+        "AS nested FROM customer")),
+
+    // fn_transform_Datetime() is now()-based — rows-only check (no oracle)
+    ("q_dsl_datetime_now",
+      (s: SparkSession, d: String) => t(s, d, "customer").limit(10).select(
+        col("c_custkey"),
+        Transforms.column("fn_transform_Datetime()", "timestamp").as("now_lima"),
+        Transforms.column("fn_transform_Datetime(c_name)", "timestamp")
+          .as("null_ts")),
+      None))
+
+  // =========================================================== pipeline
+
+  private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // W1 — windowed latest-row dedup (deterministic tie-break on event_id)
+    ("q_dedup_latest",
+      (s: SparkSession, d: String) => StageTransform.dedupLatest(
+          t(s, d, "events"), Seq("user_id"), Seq("ts"), Seq("event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col("event_type")),
+      Some("""SELECT user_id, event_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+              FROM events) WHERE rn = 1""")),
+
+    // full config-driven stage pipeline over a fixture spec set
+    ("q_pipeline_stage",
+      (s: SparkSession, d: String) => {
+        val specs = Seq(
+          ColumnSpec("T", "cust_id", 1, "bigint", "c_custkey", isId = true,
+            isOrderBy = true),
+          ColumnSpec("T", "seg", 2, "string",
+            "fn_transform_Case_with_default(c_mktsegment,BUILDING|AUTOMOBILE->ba,$oo)"),
+          ColumnSpec("T", "name_c", 3, "string",
+            "fn_transform_ClearString(c_name,$x)"),
+          ColumnSpec("T", "bal", 4, "decimal(12,2)", "c_acctbal"),
+          ColumnSpec("T", "broken", 5, "string", "no_such_column")) // quarantined
+        StageTransform.run(t(s, d, "customer"), specs).df
+      },
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+        CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'ba'
+             ELSE 'oo' END AS seg,
+        trim(c_name) AS name_c,
+        CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer""")),
+
+    // K4 — native merge upsert with schema evolution (autoMerge equivalent)
+    ("q_merge_upsert",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val target = o.filter(col("o_orderkey") % 7 < 5).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(15,2)").as("price"))
+        val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
+          col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice").cast("decimal(15,2)") + 1000)
+            .cast("decimal(15,2)").as("price"),
+          lit(1).as("batch_flag"))
+        MergeWriter.upsert(target, batch, Seq("o_orderkey"))
+      },
+      Some("""WITH target AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(15,2)) AS price
+          FROM orders WHERE o_orderkey % 7 < 5),
+        batch AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000
+                      AS DECIMAL(15,2)) AS price,
+                 1 AS batch_flag
+          FROM orders WHERE o_orderkey % 7 >= 3)
+        SELECT t.*, CAST(NULL AS INTEGER) AS batch_flag FROM target t
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL SELECT * FROM batch""")),
+
+    // K5 — transactional-window delete + merge
+    ("q_merge_txnwindow",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").withColumn("processperiod",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("int"))
+        val target = o.filter(col("o_orderkey") % 3 === 0).select(
+          col("o_orderkey"), col("processperiod"), col("o_orderstatus"))
+        val batch = o.filter(col("o_orderkey") % 3 <= 1 &&
+            col("processperiod") >= 199801)
+          .select(col("o_orderkey"), col("processperiod"),
+            lit("M").as("o_orderstatus"))
+        MergeWriter.transactionalWindowMerge(target, batch,
+          Seq("o_orderkey"), 199801)
+      },
+      Some("""WITH o AS (
+          SELECT *, CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER)
+                 AS processperiod FROM orders),
+        target AS (
+          SELECT o_orderkey, processperiod, o_orderstatus FROM o
+          WHERE o_orderkey % 3 = 0),
+        kept AS (SELECT * FROM target WHERE processperiod < 199801),
+        batch AS (
+          SELECT o_orderkey, processperiod, 'M' AS o_orderstatus FROM o
+          WHERE o_orderkey % 3 <= 1 AND processperiod >= 199801)
+        SELECT * FROM kept
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL SELECT * FROM batch""")),
+
+    // P3 — incremental window predicate (single + two-column OR variant)
+    ("q_incr_window",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .filter(Incremental.windowPredicate("l_shipdate",
+          lit("1995-06-01 00:00:00"), lit("1995-12-31 23:59:59")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship")),
+      Some("""SELECT l_orderkey, l_linenumber,
+          strftime(l_shipdate, '%Y-%m-%d') AS ship
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_shipdate BETWEEN
+          TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'""")),
+
+    ("q_incr_window_2col",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .withColumn("ts2", col("ts") + expr("INTERVAL 12 HOURS"))
+        .filter(Incremental.windowPredicate("ts,ts2",
+          lit("2024-01-02 00:00:00"), lit("2024-01-02 06:00:00")))
+        .select(col("event_id"), col("event_type")),
+      Some("""SELECT event_id, event_type FROM
+        (SELECT *, ts + INTERVAL 12 HOUR AS ts2 FROM events)
+        WHERE (ts IS NOT NULL AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                 AND TIMESTAMP '2024-01-02 06:00:00')
+           OR (ts2 IS NOT NULL AND ts2 BETWEEN TIMESTAMP '2024-01-02 00:00:00'
+                 AND TIMESTAMP '2024-01-02 06:00:00')""")),
+
+    // I2 — period-window limits drive a filter (fixed "now" for determinism)
+    ("q_incr_period_limits",
+      (s: SparkSession, d: String) => {
+        val now = java.time.LocalDateTime.of(1997, 6, 15, 0, 0)
+        val (plo, phi) = Incremental.limitsForFilter(-2, "aje_period", now)
+        val (olo, ohi) = Incremental.limitsForFilter(-2, "aje_date", now)
+        t(s, d, "orders")
+          .withColumn("period", date_format(col("o_orderdate"), "yyyyMM"))
+          .withColumn("ord",
+            (datediff(to_date(col("o_orderdate")), to_date(lit("1900-01-01"))) +
+              Transforms.OrdinalAnchor).cast("long"))
+          .filter(col("period").between(plo, phi) ||
+            col("ord").between(olo.toLong, ohi.toLong))
+          .select(col("o_orderkey"), col("period"), col("ord"))
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period,
+          CAST(CAST(o_orderdate AS DATE) - DATE '1900-01-01' + 693596 AS BIGINT)
+            AS ord
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y%m') BETWEEN '199704' AND '199706'
+           OR (CAST(o_orderdate AS DATE) - DATE '1900-01-01' + 693596)
+              BETWEEN (DATE '1997-04-01' - DATE '1900-01-01' + 693596)
+                  AND (DATE '1997-06-30' - DATE '1900-01-01' + 693596)""")),
+
+    // A2/A3 — watermark MAX with GREATEST + null default
+    ("q_agg_watermark",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .select(when(col("event_type") === "click", col("ts")).as("f1"),
+          when(col("event_type") === "error", col("ts")).as("f2"))
+        .agg(date_format(Incremental.maxWatermark(Seq("f1", "f2"),
+          "2000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("wm"),
+          count(lit(1)).cast("bigint").as("n_rows")),
+      Some("""SELECT strftime(greatest(
+          coalesce(max(CASE WHEN event_type='click' THEN ts END),
+                   TIMESTAMP '2000-01-01 00:00:00'),
+          coalesce(max(CASE WHEN event_type='error' THEN ts END),
+                   TIMESTAMP '2000-01-01 00:00:00')),
+          '%Y-%m-%d %H:%M:%S.%f') AS wm,
+        count(*) AS n_rows FROM events""")))
+
+  // ========================================================== relational
+
+  private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
+    ("q_agg_pricing",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_base"),
+          // decimal arithmetic on decimal-cast RAW columns, and never a
+          // scale-reducing cast afterwards — casting computed doubles to
+          // decimal (Java shortest-repr ties) and scale-reduction (DuckDB
+          // truncates, Spark rounds) are both cross-engine unstable
+          sum(col("l_extendedprice").cast("decimal(15,2)") *
+            (lit(1) - col("l_discount").cast("decimal(5,2)")))
+            .cast("decimal(25,4)").as("sum_disc"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          AS sum_base,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+          AS sum_disc,
+        count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // 3-way join, small dims broadcast; revenue per market segment
+    ("q_join_revenue",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(15,2)") *
+              (lit(1) - col("l_discount").cast("decimal(5,2)")))
+              .cast("decimal(25,4)").as("revenue"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_mktsegment,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+          AS revenue,
+        count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")))
+
+  // ================================================================ text
+
+  private def tokensSql(src: String = "text"): String =
+    s"list_filter(regexp_split_to_array(lower($src), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  private def stopListSql: String =
+    TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val textQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_text_tokens",
+      (s: SparkSession, d: String) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).cast("bigint").as("n_bpe"),
+        TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords)
+          .cast("bigint").as("n_stop")),
+      Some(s"""SELECT doc_id,
+        CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+          AS BIGINT) AS n_bpe,
+        CAST(len(list_filter(${tokensSql()},
+          t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stop
+        FROM documents""")),
+
+    ("q_text_quality",
+      (s: SparkSession, d: String) =>
+        TextOps.withQuality(t(s, d, "documents"), "text")
+          .select("doc_id", "n_chars", "n_tokens", "n_stopwords",
+            "punct_ratio", "stop_ratio", "quality_score"),
+      Some(s"""WITH m AS (SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(${tokensSql()},
+            t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stopwords,
+          CAST(length(text) -
+            length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+            AS n_punct
+        FROM documents)
+        SELECT doc_id, n_chars, n_tokens, n_stopwords,
+          floor((CAST(n_punct AS DOUBLE) /
+                 CAST(greatest(n_chars, 1) AS DOUBLE)) * 1e6) / 1e6
+            AS punct_ratio,
+          floor((CAST(n_stopwords AS DOUBLE) /
+                 CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6) / 1e6
+            AS stop_ratio,
+          floor((0.4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) /
+                              CAST(greatest(n_chars, 1) AS DOUBLE))
+               + 0.3 * least((CAST(n_stopwords AS DOUBLE) /
+                              CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5, 1.0))
+               * 1e6) / 1e6 AS quality_score
+        FROM m""")),
+
+    ("q_text_langid",
+      (s: SparkSession, d: String) => t(s, d, "documents").select(
+        col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      Some(langIdOracleSql)),
+
+    ("q_text_fingerprint",
+      (s: SparkSession, d: String) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.fingerprintRolling(col("text")).as("fp_roll")),
+      Some("""WITH n AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents)
+        SELECT doc_id, md5(norm) AS fp_md5,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(norm) + 1),
+                i -> CAST(unicode(norm[i]) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000000000000) AS fp_roll
+        FROM n""")))
+
+  private def langIdOracleSql: String = {
+    val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
+      case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(${tokensSql()}, t -> list_contains($list, t))) AS c_$lang"
+    }
+    val langs = TextOps.LangMarkers.filter(_._2.nonEmpty).map(_._1)
+    val cases = langs.zipWithIndex.map { case (lang, i) =>
+      val earlier = langs.take(i).map(l => s"c_$lang > c_$l")
+      val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l")
+      val conds = (earlier ++ later :+ s"c_$lang > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }
+    s"""WITH m AS (SELECT doc_id, text, ${counts.mkString(",\n  ")} FROM documents)
+       SELECT doc_id,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              ${cases.mkString("\n              ")}
+              ELSE 'und' END AS lang_pred
+       FROM m"""
+  }
+
+  // =============================================================== dedup
+
+  /** Shared SQL: distinct (doc_id, shingle) posting list, n-word shingles. */
+  private def shingleSql(n: Int): String = {
+    val joinExpr = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""docs AS (SELECT doc_id, ${tokensSql()} AS toks FROM documents),
+      sh AS (SELECT DISTINCT doc_id, sg FROM docs, UNNEST(
+        CASE WHEN len(toks) >= $n
+             THEN list_transform(range(1, len(toks) - ${n - 2}),
+                    i -> $joinExpr)
+             ELSE [array_to_string(toks, ' ')] END) AS u(sg))"""
+  }
+
+  private val dedupQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+          'g'))) AS fingerprint,
+        min(doc_id) AS canonical_id, count(*) AS n_docs
+        FROM documents GROUP BY 1""")),
+
+    ("q_dedup_jaccard",
+      (s: SparkSession, d: String) => Dedup.jaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", n = 5,
+        threshold = 0.7, maxDf = 10),
+      Some(s"""WITH ${shingleSql(5)},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        rare AS (SELECT sg FROM sh GROUP BY sg
+                 HAVING count(*) BETWEEN 2 AND 10),
+        rs AS (SELECT sh.doc_id, sh.sg FROM sh JOIN rare USING (sg)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM rs a JOIN rs b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+        inter AS (SELECT doc1, doc2, count(*) AS intersection
+                  FROM cand JOIN sh sa ON sa.doc_id = doc1
+                            JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
+                  GROUP BY 1, 2)
+        SELECT doc1, doc2, intersection,
+          z1.n_sh AS n1, z2.n_sh AS n2,
+          CAST(intersection AS DOUBLE) /
+            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
+                   JOIN sizes z2 ON doc2 = z2.doc_id
+        WHERE CAST(intersection AS DOUBLE) /
+              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7""")),
+
+    ("q_dedup_minhash",
+      (s: SparkSession, d: String) => Dedup.minhashNearDups(
+        t(s, d, "documents"), "doc_id", "text",
+        n = 5, k = 12, bands = 4, threshold = 0.7),
+      Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
+
+    ("q_dedup_simhash",
+      (s: SparkSession, d: String) =>
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+      Some(simhashOracleSql)),
+
+    ("q_dedup_simhash_pairs",
+      (s: SparkSession, d: String) =>
+        Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 8),
+      None), // banding logic covered by ScalaTest; signature oracle above
+
+    ("q_emb_neardup",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.nearDupPairs(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 200), 0.40)
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v
+          FROM embeddings WHERE vec_id < 200),
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        scored AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
+            ${cosineSql("q.v", "c.v")} AS cosine
+          FROM q JOIN c ON q.vec_id < c.vec_id)
+        SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")))
+
+  private def minhashOracleSql(n: Int, k: Int, bands: Int,
+      threshold: Double): String = {
+    val r = k / bands
+    val sigExprs = (0 until k).map(i =>
+      s"min((a + $i * b) % ${Dedup.MinhashPrime}) AS sig_$i").mkString(",\n  ")
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until r).map(i => s"CAST(sig_${b * r + i} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${shingleSql(n)},
+      seeds AS (SELECT doc_id, sg,
+          CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
+          CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
+        FROM sh),
+      sigs AS (SELECT doc_id, $sigExprs FROM seeds GROUP BY doc_id),
+      bandkeys AS ($bandRows),
+      cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+               FROM bandkeys x JOIN bandkeys y
+                 ON x.band = y.band AND x.band_key = y.band_key
+                AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS (SELECT doc1, doc2, count(*) AS intersection
+                FROM cand JOIN sh sa ON sa.doc_id = doc1
+                          JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
+                GROUP BY 1, 2)
+      SELECT doc1, doc2,
+        CAST(intersection AS DOUBLE) /
+          CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
+                 JOIN sizes z2 ON doc2 = z2.doc_id
+      WHERE CAST(intersection AS DOUBLE) /
+            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= $threshold"""
+  }
+
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+      .mkString(",\n  ")
+    val value = (0 until Dedup.SimhashBits).map(j =>
+      s"CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(${tokensSql()}) AS tok FROM documents)),
+      hashed AS (SELECT doc_id,
+          CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks),
+      sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+      SELECT doc_id, $value AS simhash FROM sums"""
+  }
+
+  // ========================================================== similarity
+
+  // NB: referenced from earlier-initializing vals — must be a def
+  private def quantSql: String =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)), " +
+      s"list_transform($b, x -> CAST(x AS DOUBLE)))"
+
+  private def cosineSql(a: String, b: String): String =
+    s"floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) " +
+      "* 1e6) / 1e6"
+
+  private val simQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_sim_topk",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.cosineTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v
+          FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ${cosineSql("q.v", "c.v")} AS cosine
+          FROM q JOIN c ON c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cosine, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
+    // ANN via random-hyperplane LSH — approximate; rows-only check
+    ("q_sim_ann_lsh",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.annLsh(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 5, tables = 4, planes = 10, dims = 64)
+      },
+      None))
+
+  // ========================================================== multimodal
+
+  private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_mm_meta",
+      (s: SparkSession, d: String) => Multimodal.metadataSummary(
+          Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
+        .select(col("kind"), col("format"), col("n"),
+          col("total_ms").cast("bigint").as("total_ms")),
+      Some("""SELECT
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+               WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+          count(*) AS n,
+          CAST(sum(CAST(n_chars * 10 AS INTEGER)) AS BIGINT) AS total_ms
+        FROM documents GROUP BY 1, 2""")),
+
+    ("q_mm_features",
+      (s: SparkSession, d: String) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
+        feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("feature")).as("feature_dim"))
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          16 AS feature_dim
+        FROM documents""")))
+
+  // ============================================================ assembly
+
+  val all: Seq[(String, Q, Option[String])] =
+    dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
+      dedupQueries ++ simQueries ++ mmQueries
+
+  def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, n-gram
+ * Jaccard, MinHash+LSH, and SimHash.
+ *
+ * Scale design (the point of each variant):
+ *  - exact:   one hash-shuffle on a 16-byte fingerprint — the cheap first pass.
+ *  - jaccard: candidate generation ONLY through rare shingles (document
+ *    frequency <= maxDf) — prefix-filtering; the all-pairs shingle join is
+ *    quadratic in hot shingles and would melt at 100 TB, while near-dup pairs
+ *    by construction share *rare* shingles. True Jaccard is then verified on
+ *    the full shingle sets of surviving candidates only.
+ *  - minhash: fixed-size signatures (k mins) via ONE md5 per (doc,shingle)
+ *    and k linear derivations (a + i*b mod p) — banding turns near-dup search
+ *    into an equi-join on band keys, each band a plain shuffle. No pairwise
+ *    scan anywhere.
+ *  - simhash: 60-bit signature by bitwise majority; near-dup = small hamming
+ *    distance, found by banding the bits (pigeonhole: hamming <= 3 over 4
+ *    bands => at least one band equal) — again an equi-join, no O(n^2).
+ *
+ * Hashes are md5-derived so every signature is engine-reproducible (the
+ * DuckDB oracles replay them bit-for-bit).
+ */
+object Dedup {
+
+  /** Word n-gram shingles of the normalized text, as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+  }
+
+  /** (id, shingle) exploded + distinct — the posting list. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup groups: md5-of-normalized-text fingerprint -> canonical
+    * (min) id + group size. One shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextOps.fingerprintMd5(col(textCol)).as("fingerprint"),
+        col(idCol).as("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"))
+
+  /** Keep one row per distinct content (the min-id row). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------ n-gram Jaccard
+
+  /**
+   * Near-duplicate pairs by true n-gram Jaccard >= `threshold`.
+   * Candidates come only from shingles with document frequency <= `maxDf`
+   * (rare-shingle prefix filter); the true intersection is then counted over
+   * full shingle sets for candidates only. Output:
+   * (doc1, doc2, intersection, n1, n2, jaccard).
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDf: Int = 20): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n) // (doc_id, shingle)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+
+    val rare = sh.groupBy("shingle").agg(count("*").as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("shingle")
+    val rareSh = sh.join(rare, Seq("shingle")) // prune hot shingles pre-join
+
+    val candidates = rareSh.as("a").join(rareSh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+
+    val inter = candidates.join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc2") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc1", "doc2").agg(count("*").as("intersection"))
+
+    inter
+      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"), col("intersection"),
+        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"),
+        (col("intersection").cast("double") /
+          (col("z1.n_sh") + col("z2.n_sh") - col("intersection")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** First/second 8 hex chars of md5 as non-negative longs — the (a, b) seeds
+    * for the k derived hash functions h_i = (a + i*b) mod p. */
+  private def md5Seeds(c: Column): (Column, Column) = {
+    val h = md5(c.cast("binary"))
+    (conv(substring(h, 1, 8), 16, 10).cast("long"),
+      conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
+  val MinhashPrime = 2147483647L // 2^31 - 1; a + i*b < 2^37 — overflow-free
+
+  /** MinHash signature: one row per doc with `sig_0..sig_{k-1}` columns.
+    * Map-side partial min aggregation; a single shuffle on doc_id. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val (a, b) = md5Seeds(col("shingle"))
+    val aggs = (0 until k).map(i =>
+      min((a + lit(i.toLong) * b) % MinhashPrime).as(s"sig_$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: md5 over each band's `r` signature values. Output
+    * (doc_id, band, band_key). */
+  def minhashBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    val bandKey = (b: Int) => md5(concat_ws(",",
+      (0 until r).map(i => col(s"sig_${b * r + i}").cast("string")): _*)
+      .cast("binary"))
+    val rows = (0 until bands).map(b =>
+      sigs.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("band_key")))
+    rows.reduce(_.unionAll(_))
+  }
+
+  /** Candidate near-dup pairs: same band key in any band (equi-join per
+    * band — no pairwise scan). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
+    val bk = minhashBands(minhashSignatures(df, idCol, textCol, n, k), k, bands)
+    bk.as("x").join(bk.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** MinHash LSH end-to-end: candidates verified by true Jaccard. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
+    val inter = cand.join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc2") === col("sb.doc_id") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc1", "doc2").agg(count("*").as("intersection"))
+    inter
+      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        (col("intersection").cast("double") /
+          (col("z1.n_sh") + col("z2.n_sh") - col("intersection")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  val SimhashBits = 60 // 15 md5 hex chars — sign-safe in a BIGINT everywhere
+
+  /** Per-token 60-bit hash (15 hex chars of md5). */
+  private def tokenHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per document: bit j set iff the majority of the doc's
+    * distinct tokens have bit j set (strictly more 1s than 0s). One explode +
+    * one aggregation with 60 conditional sums — map-side combinable. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val h = tokenHash60(col("tok"))
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b_$j"))
+    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until SimhashBits).map(j =>
+      when(col(s"b_$j") > 0, lit(1L) * lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), value.as("simhash"))
+  }
+
+  /** Near-dup pairs by hamming distance <= maxHamming, banded: 4 bands of 15
+    * bits; pigeonhole guarantees recall for maxHamming <= 3. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val bandsN = 4
+    val width = SimhashBits / bandsN // 15
+    val banded = (0 until bandsN).map { b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND((1L << width) - 1).as("band_val"))
+    }.reduce(_.unionAll(_))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, as a real 100 TB pipeline needs both:
+ *  - `cosineTopK`: brute-force baseline — broadcast the (small) probe set,
+ *    one codegen'd pass over the corpus, per-probe top-k via window. Exact;
+ *    cost is |probes| * |corpus| dot products, so probes must be small.
+ *  - `annLsh`: random-hyperplane LSH — each vector gets a small bucket
+ *    signature; probe lookups only touch one bucket (an equi-join), so the
+ *    corpus side scales out with partitioning instead of pairwise scans.
+ *    Approximate by design; recall grows with `tables`.
+ *
+ * Determinism: vectors are quantized to integer grids (round(x*1000)), so
+ * dot products and norms are exact integer arithmetic — identical in any
+ * engine (the DuckDB oracle replays them) — and cosine is a pure function of
+ * those integers. Hyperplanes are md5-derived, not RNG-dependent.
+ */
+object Similarity {
+
+  /** Integer-quantized copy of a float vector: round(x * 1000) as longs. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (sequential fold —
+    * no float-order nondeterminism). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over the quantized grid, floor-quantized to 6 dp. */
+  def qcosine(a: Column, b: Column): Column =
+    floor(qdot(a, b).cast("double") /
+      (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double"))) * 1e6) / 1e6
+
+  /**
+   * Brute-force exact top-k neighbors for each probe vector.
+   * `probes` must be broadcast-small (it is hinted). Ties break on neighbor
+   * id — fully deterministic output: (query_id, neighbor_id, cosine, rank).
+   */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cvec"))
+    val p = probes.select(col(probeIdCol).as("query_id"),
+      quantize(col(probeVecCol)).as("qvec"))
+    val scored = c.join(broadcast(p), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        qcosine(col("qvec"), col("cvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplane weight for (table, plane, dim): md5-derived
+    * uniform in [-1, 1). */
+  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"graft:$table:$plane:$dim".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    v.toDouble / math.pow(2, 31) - 1.0
+  }
+
+  /** Sign-bit bucket signature for one LSH table: `planes` bits packed into a
+    * long. Hyperplane weights are literal arrays — evaluated inside codegen,
+    * nothing shipped but the expression tree. */
+  def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val w = array((0 until dims).map(d => lit(planeWeight(table, p, d))): _*)
+      val dot = aggregate(zip_with(vec, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /**
+   * ANN: probes only join corpus vectors sharing a bucket in at least one of
+   * `tables` LSH tables, then exact (quantized) cosine reranks to top-k.
+   * Output matches cosineTopK's shape (+ approximate recall semantics).
+   */
+  def annLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, tables: Int = 4, planes: Int = 12, dims: Int = 64): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String, out: String) = {
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vec), t, planes, dims).as("b")))
+      df.select(col(id).as(out), quantize(col(vec)).as(s"${out}_vec"),
+        explode(array(buckets: _*)).as("bucket"))
+    }
+    val c = withBuckets(corpus, idCol, vecCol, "neighbor_id").as("c")
+    val p = withBuckets(probes, probeIdCol, probeVecCol, "query_id").as("p")
+    val cand = c.join(broadcast(p),
+        col("c.bucket") === col("p.bucket") &&
+          col("c.neighbor_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("c.neighbor_id"),
+        col("p.query_id_vec"), col("c.neighbor_id_vec"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      qcosine(col("query_id_vec"), col("neighbor_id_vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs within a probe subset vs the corpus —
+    * quantized cosine >= threshold. (Full-corpus near-dup at scale goes
+    * through `annLsh` buckets instead of this cross product.) */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("id2"), quantize(col(vecCol)).as("v2"))
+    val p = probes.select(col(idCol).as("id1"), quantize(col(vecCol)).as("v1"))
+    c.join(broadcast(p), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), qcosine(col("v1"), col("v2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization, token
+ * counting, quality scoring, language ID, and document fingerprinting.
+ *
+ * Everything is built from codegen'd `functions._` array/string expressions —
+ * no UDFs — so a 100 TB document scan stays in one WholeStageCodegen stage
+ * with column pruning intact. All arithmetic is integer-derived (counts and
+ * ratios of counts), which makes results bit-identical across engines: the
+ * DuckDB oracles replay the same formulas.
+ */
+object TextOps {
+
+  /** Lowercased alphanumeric word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: words + standalone punctuation marks — the usual
+    * cheap proxy for subword-tokenizer load estimates. RE2-safe pattern (no
+    * lookaround) so the DuckDB oracle can replay it. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Characters surviving an alnum+space filter — for punctuation ratio. */
+  private def alnumLen(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Count of tokens contained in `words`. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text),
+      t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /**
+   * Quality metrics (length / punctuation / stopword ratios) + a combined
+   * score in [0,1]. Ratios are exact rational values (int/int); the score is
+   * floor-quantized to 6 dp so any engine computing the same rationals
+   * produces the identical double.
+   */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val nStop = stopwordCount(text, EnglishStopwords)
+    val punctRatio = (nChars - alnumLen(text)).cast("double") /
+      greatest(nChars, lit(1)).cast("double")
+    val stopRatio = nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")
+    val lenScore = least(nTokens, lit(100)).cast("double") / lit(100.0)
+    val score =
+      floor((lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) +
+        lit(0.3) * least(stopRatio * 5, lit(1.0))) * 1e6) / 1e6
+    Seq(
+      "n_chars" -> nChars.cast("long"),
+      "n_tokens" -> nTokens.cast("long"),
+      "n_stopwords" -> nStop.cast("long"),
+      "punct_ratio" -> (floor(punctRatio * 1e6) / 1e6),
+      "stop_ratio" -> (floor(stopRatio * 1e6) / 1e6),
+      "quality_score" -> score)
+  }
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame =
+    qualityColumns(col(textCol)).foldLeft(df) { case (acc, (name, c)) =>
+      acc.withColumn(name, c)
+    }
+
+  /** Language marker words — tiny per-language stopword lists for the n-gram
+    * heuristic language ID. Order = tie-break precedence. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "que"),
+    "zh" -> Nil) // CJK detected by script, not stopwords
+
+  /**
+   * Heuristic language ID: CJK script presence wins outright; otherwise the
+   * language with the highest marker-word hit count (earlier language wins
+   * ties; all-zero -> "und"). Deterministic, exactly replayable in SQL.
+   */
+  def langId(text: Column): Column = {
+    val hasCjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    val counts = LangMarkers.filter(_._2.nonEmpty).map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val best = counts.foldRight(lit("und")) { case ((lang, cnt), alt) =>
+      // strictly greater than every EARLIER language's count, >= later ones
+      val earlier = counts.takeWhile(_._1 != lang).map(_._2)
+      val later = counts.dropWhile(_._1 != lang).drop(1).map(_._2)
+      val wins = (earlier.map(cnt > _) ++ later.map(cnt >= _) :+ (cnt > 0))
+        .reduce(_ && _)
+      when(wins, lang).otherwise(alt)
+    }
+    when(hasCjk, "zh").otherwise(best)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, collapse
+    * every non-alnum run to one space, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (cross-engine stable). */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Polynomial rolling-hash fingerprint — native codegen'd expression
+    * (graft.plans.RollingHash). */
+  def fingerprintRolling(text: Column): Column =
+    graft.plans.GraftExpressions.rolling_hash(normalize(text))
+}

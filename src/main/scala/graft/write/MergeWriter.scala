@@ -1,0 +1,170 @@
+package graft.write
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta.LoadMode
+
+/**
+ * Native merge writer over Parquet — re-expresses the reference's Delta Lake
+ * `MERGE ... whenMatchedUpdateAll().whenNotMatchedInsertAll()` sink family
+ * (reference: aje-stage-dms-load.py:470-518, condition generator :359-364;
+ * Salesforce variant transform_light.py:388-417). Delta jars are not in this
+ * build, and "update all / insert all" semantics reduce exactly to:
+ *
+ *   result = target ANTI JOIN batch (on keys)  UNION  batch
+ *
+ * which is cheaper than the full-outer-join formulation: the anti join is
+ * broadcastable when the batch (a daily increment) is small relative to the
+ * stage table — the common case at 100 TB — and the batch side needs no
+ * shuffle at all. Schema evolution (Delta autoMerge,
+ * aje-stage-dms-load.py:44) is the union of both schemas with nulls filled.
+ *
+ * Scale notes: rewriting the whole target on merge is what Delta avoids with
+ * file-level pruning; for partitioned stage tables use `partitionCols` so
+ * only touched partitions rewrite would be needed (dynamic overwrite mode).
+ * The transactional-window mode already exploits this: only the recent
+ * `processperiod` window changes.
+ */
+object MergeWriter {
+
+  /** Signals the reference's NoDataToMigrateException
+    * (aje-stage-dms-load.py:79-86,512-518). */
+  final class NoDataToMigrateException
+      extends Exception("no data detected to migrate")
+
+  final case class MergeStats(mode: String, rowsWritten: Long)
+
+  def tableExists(path: String): Boolean = {
+    val dir = Paths.get(path)
+    Files.isDirectory(dir) && {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.toString.endsWith(".parquet") ||
+        p.getFileName.toString == "_SUCCESS")
+      finally s.close()
+    }
+  }
+
+  def readTarget(spark: SparkSession, path: String): Option[DataFrame] =
+    if (tableExists(path)) Some(spark.read.parquet(path)) else None
+
+  /** Align `df` to the union schema: missing columns become typed nulls
+    * (Delta schema autoMerge equivalent). */
+  private def alignTo(df: DataFrame, unionSchema: Seq[(String, String)]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(unionSchema.map { case (name, ddl) =>
+      if (present.contains(name)) col(name) else lit(null).cast(ddl).as(name)
+    }: _*)
+  }
+
+  private def unionSchemaOf(a: DataFrame, b: DataFrame): Seq[(String, String)] = {
+    val fromA = a.schema.fields.map(f => f.name -> f.dataType.sql)
+    val extraB = b.schema.fields.filterNot(f => a.columns.contains(f.name))
+      .map(f => f.name -> f.dataType.sql)
+    (fromA ++ extraB).toSeq
+  }
+
+  /** K4 — upsert: batch rows replace key-matched target rows, new keys
+    * append. Batch is key-deduplicated first to satisfy the single-match rule
+    * (aje-stage-dms-load.py:483-485); with `recency` given the latest batch
+    * row wins deterministically (the reference's bare dropDuplicates keeps an
+    * arbitrary one). */
+  def upsert(target: DataFrame, batch: DataFrame, ids: Seq[String],
+      recency: Seq[String] = Nil): DataFrame = {
+    require(ids.nonEmpty, "merge requires at least one id column")
+    val cleanBatch =
+      if (recency.nonEmpty)
+        graft.pipeline.StageTransform.dedupLatest(batch, ids, recency, ids)
+      else batch.dropDuplicates(ids)
+    val schema = unionSchemaOf(target, cleanBatch)
+    val t = alignTo(target, schema)
+    val b = alignTo(cleanBatch, schema)
+    // Keys present in the batch vanish from the target (anti join), then the
+    // batch is appended — whenMatchedUpdateAll + whenNotMatchedInsertAll.
+    t.join(b.select(ids.map(col): _*).dropDuplicates(ids), ids, "left_anti")
+      .union(b)
+  }
+
+  /** K5 — transactional window: delete `processperiod >= cutoff` from the
+    * target, then merge (aje-stage-dms-load.py:488-495). `cutoffPeriod` is
+    * yyyyMM as Int. Delete keeps null periods, matching Delta's
+    * `delete(col >= x)` null semantics. */
+  def transactionalWindowMerge(target: DataFrame, batch: DataFrame,
+      ids: Seq[String], cutoffPeriod: Int,
+      periodCol: String = "processperiod"): DataFrame = {
+    val kept = target.filter(
+      col(periodCol).cast("int") < cutoffPeriod || col(periodCol).isNull)
+    upsert(kept, batch, ids)
+  }
+
+  /** Atomic-ish local swap write: write to `<path>.__tmp`, then replace
+    * `path`. (On a real cluster this is a cloud-storage rename / Delta
+    * transaction; the shape — never read and overwrite the same files in one
+    * job — is the part that matters.) */
+  def writeSwap(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long = {
+    val tmp = path + ".__tmp"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    val rows = df.sparkSession.read.parquet(tmp).count()
+    deleteRecursive(Paths.get(path))
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    rows
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally s.close()
+    }
+
+  /** I5 — retry combinator: 3 attempts, backoff attempt*60s in the reference
+    * (aje-stage-dms-load.py:467-503); delay injectable for tests. */
+  def withRetry[T](maxTries: Int = 3, sleepMs: Int => Long = _ * 60000L)(
+      body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= maxTries) throw e
+          Thread.sleep(sleepMs(attempt))
+      }
+    }
+    out.get
+  }
+
+  /** Full load-mode-routed write (reference flow aje-stage-dms-load.py:470-518
+    * + transform_light.py:388-417). Throws NoDataToMigrateException after
+    * bootstrapping an empty table, as the reference does (K6). */
+  def write(spark: SparkSession, batch: DataFrame, path: String, mode: LoadMode,
+      ids: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+      cutoffPeriod: Int = 0, retrySleepMs: Int => Long = _ * 60000L): MergeStats = {
+    // K6 — empty bootstrap signals OUTSIDE the retry loop (the reference
+    // raises from the non-retried branch, aje-stage-dms-load.py:512-518;
+    // inside a retry it would "succeed" second time around against the
+    // just-bootstrapped empty table).
+    if (readTarget(spark, path).isEmpty && batch.isEmpty) {
+      writeSwap(batch, path, partitionCols)
+      throw new NoDataToMigrateException
+    }
+    withRetry(3, retrySleepMs) {
+      val existing = readTarget(spark, path)
+      (existing, mode) match {
+        case (Some(t), LoadMode.IncrementalMerge) =>
+          MergeStats("merge", writeSwap(upsert(t, batch, ids), path, partitionCols))
+        case (Some(t), LoadMode.TransactionalWindowMerge(_)) =>
+          MergeStats("window-merge", writeSwap(
+            transactionalWindowMerge(t, batch, ids, cutoffPeriod), path, partitionCols))
+        case (Some(t), LoadMode.Upsert(key)) =>
+          MergeStats("upsert", writeSwap(upsert(t, batch, Seq(key)), path, partitionCols))
+        case _ => // FullOverwrite, Snapshot, or first write of any mode
+          MergeStats("overwrite", writeSwap(batch, path, partitionCols))
+      }
+    }
+  }
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge between catalyst `Expression`s and the public `Column` API.
+ *
+ * Spark 4 moved Column construction behind `private[sql]`
+ * `org.apache.spark.sql.classic.ExpressionUtils` (columnNodeSupport.scala in
+ * the Spark source tree); this one-file shim in the sql package re-exports
+ * the two conversions our custom expressions need. No Spark internals are
+ * modified or shadowed.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

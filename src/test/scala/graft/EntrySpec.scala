@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.meta._
+import graft.pipeline.IngestOrchestrator
+
+class EntrySpec extends SparkSpec {
+
+  test("entry: flagship config-driven pipeline returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("order_id") && df.columns.contains("flag"))
+  }
+
+  test("every query runs at sf0.001 and returns a non-degenerate frame") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.limit(1).collect() // must at least execute
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("orchestrator: end-to-end multi-table run with status recording") {
+    val root = Files.createTempDirectory("graft_orch").toString
+    val cfgGood = TableConfig("T_CUST", "EP_PE", "s", "customer", "cust_stage",
+      loadType = "full", processId = "10")
+    val cfgWarn = cfgGood.copy(targetTableName = "T_WARN",
+      stageTableName = "warn_stage")
+    val cfgOff = cfgGood.copy(targetTableName = "T_OFF", activeFlag = "N")
+    val specsByTable: TableConfig => Seq[ColumnSpec] = {
+      case t if t.targetTableName == "T_WARN" => Seq(
+        ColumnSpec("T_WARN", "id", 1, "bigint", "c_custkey", isId = true),
+        ColumnSpec("T_WARN", "broken", 2, "string", "missing_col"))
+      case _ => Seq(
+        ColumnSpec("T_CUST", "id", 1, "bigint", "c_custkey", isId = true),
+        ColumnSpec("T_CUST", "seg", 2, "string", "c_mktsegment"))
+    }
+    val orch = new IngestOrchestrator(spark, root,
+      readRaw = _ => spark.read.parquet(s"$sf/customer.parquet"),
+      specsFor = specsByTable, parallelism = 2)
+    val active = orch.activeTables(Seq(cfgGood, cfgWarn, cfgOff), "10")
+    assert(active.map(_.targetTableName) == Seq("T_CUST", "T_WARN"))
+    val statuses = orch.runAll(active).sortBy(_.targetTableName)
+    assert(statuses.map(_.status) == Seq("SUCCEEDED", "WARNING"))
+    assert(statuses(1).failReason.contains("broken"))
+    assert(spark.read.parquet(s"$root/cust_stage").count() == 150)
+  }
+}

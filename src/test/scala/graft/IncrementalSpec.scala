@@ -1,0 +1,109 @@
+package graft
+
+import java.time.{LocalDate, LocalDateTime}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.incr.Incremental
+import graft.meta.{EndpointConfig, LoadMode, TableConfig}
+import graft.sources.JdbcSource
+
+class IncrementalSpec extends AnyFunSuite {
+
+  private val now = LocalDateTime.of(2026, 8, 12, 10, 30)
+
+  test("ordinal anchor: 1900-01-01 <-> 693596 (python toordinal)") {
+    assert(Incremental.toOrdinal(LocalDate.of(1900, 1, 1)) == 693596L)
+    assert(Incremental.fromOrdinal(693596L) == LocalDate.of(1900, 1, 1))
+    // round trip across the regex-gated range
+    Seq("1990-06-15", "2024-02-29", "0700-01-01").foreach { d =>
+      val ld = LocalDate.parse(d)
+      assert(Incremental.fromOrdinal(Incremental.toOrdinal(ld)) == ld)
+    }
+  }
+
+  test("limitsForFilter aje_period: plain yyyyMM window") {
+    assert(Incremental.limitsForFilter(-2, "aje_period", now) ==
+      (("202606", "202608")))
+  }
+
+  test("limitsForFilter aje_date: month-snapped ordinals") {
+    val (lo, hi) = Incremental.limitsForFilter(-2, "aje_date", now)
+    assert(lo == Incremental.toOrdinal(LocalDate.of(2026, 6, 1)).toString)
+    assert(hi == Incremental.toOrdinal(LocalDate.of(2026, 8, 31)).toString)
+  }
+
+  test("watermark clamp: future values clamp to yesterday 23:59:59") {
+    val future = LocalDateTime.of(2099, 1, 1, 0, 0)
+    assert(Incremental.clampWatermark(future, now) ==
+      LocalDateTime.of(2026, 8, 11, 23, 59, 59))
+    val past = LocalDateTime.of(2020, 1, 1, 0, 0)
+    assert(Incremental.clampWatermark(past, now) == past)
+  }
+
+  test("dialect literal rendering (P5)") {
+    assert(Incremental.renderBound("2023-05-01 00:00:00", "smalldatetime") ==
+      "CONVERT(smalldatetime, '2023-05-01 00:00:00', 120)")
+    assert(Incremental.renderBound("2023-05-01 00:00:00.123", "DATE") ==
+      "TO_DATE('2023-05-01 00:00:00', 'YYYY-MM-DD HH24:MI:SS')")
+    assert(Incremental.renderBound("2023-05-01 00:00:00", "BIGINT") ==
+      "1682899200") // epoch seconds, UTC
+  }
+
+  test("two-column predicate SQL is OR'd (P3)") {
+    val sql = Incremental.windowPredicateSql("f1,f2", "'a'", "'b'")
+    assert(sql ==
+      "(f1 IS NOT NULL and f1 BETWEEN 'a' AND 'b') OR " +
+        "(f2 IS NOT NULL and f2 BETWEEN 'a' AND 'b')")
+  }
+
+  test("full query generation with id alias, join, and templated filter") {
+    val q = Incremental.fullQuery("S", "T", "a,b", idColumn = "k",
+      joinExpr = "join X on T.a=X.a", filterExp = "a > 0",
+      filterColumn = "p between {0} and {1}", filterOperator = "between",
+      limits = Some(("202401", "202403")))
+    assert(q == "select k as id,a,b from S.T join X on T.a=X.a " +
+      "where a > 0 AND p between 202401 and 202403")
+    // placeholders when only filterExp given
+    val q2 = Incremental.fullQuery("S", "T", "a", filterExp = "a > 0")
+    assert(q2 == "select a from S.T where a > 0 AND 0=0")
+  }
+
+  test("range split covers [start,end] without gaps") {
+    val s = LocalDateTime.of(2024, 1, 1, 0, 0)
+    val e = LocalDateTime.of(2024, 1, 2, 0, 0)
+    val parts = Incremental.splitRange(s, e, 6)
+    assert(parts.length == 6 && parts.head._1 == s && parts.last._2 == e)
+    parts.sliding(2).foreach { case Seq(a, b) => assert(a._2 == b._1) }
+  }
+
+  test("watermark store: advance rolls START=old END") {
+    val f = java.nio.file.Files.createTempFile("wm", ".properties").toString
+    val store = new Incremental.WatermarkStore(f)
+    store.put("t1", "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    store.advance("t1", "2024-03-01 00:00:00")
+    assert(store.get("t1").contains(
+      ("2024-02-01 00:00:00", "2024-03-01 00:00:00")))
+  }
+
+  test("LoadMode routing follows the reference's branch structure") {
+    val base = TableConfig("T", "E", "s", "t", "st")
+    assert(LoadMode.of(base.copy(loadType = "full")) == LoadMode.FullOverwrite)
+    assert(LoadMode.of(base.copy(loadType = "incremental")) ==
+      LoadMode.IncrementalMerge)
+    assert(LoadMode.of(base.copy(loadType = "between-date",
+      sourceTableType = "t", delayIncrementalIni = -3)) ==
+      LoadMode.TransactionalWindowMerge(-3))
+  }
+
+  test("JDBC option maps per dialect (S1/S2)") {
+    val ora = EndpointConfig("E", "oracle", "h", 1521, "DB", "u", "sec")
+    val o = JdbcSource.options(ora, "select 1", "pw")
+    assert(o("url") == "jdbc:oracle:thin:@h:1521/DB")
+    assert(o("driver") == "oracle.jdbc.driver.OracleDriver")
+    assert(o.contains("sessionInitStatement"))
+    assert(o("numPartitions") == "100" && o("fetchsize") == "1000")
+    val my = JdbcSource.options(
+      EndpointConfig("E", "mysql", "h", 3306, "DB", "u", "s"), "q", "pw")
+    assert(my("url") == "jdbc:mysql://h:3306/DB")
+    assert(!my.contains("sessionInitStatement"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.meta.LoadMode
+import graft.write.MergeWriter
+
+class MergeWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_merge").toString + "/t"
+
+  test("upsert: batch rows replace matches, new keys append, dups dropped") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val batch = Seq((2, "B"), (2, "B2"), (4, "d")).toDF("id", "v")
+    val got = MergeWriter.upsert(target, batch, Seq("id"), recency = Seq("v"))
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    // recency desc on v => B2 wins the batch-internal dup deterministically
+    assert(got == Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d")))
+  }
+
+  test("upsert: schema evolution fills nulls on the old side") {
+    val target = Seq((1, "a")).toDF("id", "v")
+    val batch = Seq((2, "b", 9)).toDF("id", "v", "extra")
+    val got = MergeWriter.upsert(target, batch, Seq("id"))
+    assert(got.columns.toSeq == Seq("id", "v", "extra"))
+    assert(got.filter($"id" === 1).select("extra").collect().head.isNullAt(0))
+  }
+
+  test("transactional window: recent periods deleted before merge, nulls kept") {
+    val target = Seq((1, 202311, "old"), (2, 202401, "old"), (3, 202402, "old"))
+      .toDF("id", "processperiod", "v")
+      .union(Seq((9, null.asInstanceOf[Integer], "nullper"))
+        .toDF("id", "processperiod", "v"))
+    val batch = Seq((3, 202402, "new"), (5, 202402, "new"))
+      .toDF("id", "processperiod", "v")
+    val got = MergeWriter
+      .transactionalWindowMerge(target, batch, Seq("id"), 202401)
+      .select("id", "v").as[(Int, String)].collect().toSet
+    // id=2 (202401) and old id=3 deleted by the window; null period survives
+    assert(got == Set((1, "old"), (9, "nullper"), (3, "new"), (5, "new")))
+  }
+
+  test("write routes by LoadMode and round-trips through parquet swap") {
+    val path = tmp()
+    val t0 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val s1 = MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      retrySleepMs = _ => 0L)
+    assert(s1.mode == "overwrite" && s1.rowsWritten == 2)
+    val batch = Seq((2, "B"), (3, "c")).toDF("id", "v")
+    val s2 = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), retrySleepMs = _ => 0L)
+    assert(s2.mode == "merge" && s2.rowsWritten == 3)
+    val got = spark.read.parquet(path).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("merge is idempotent: merging the same batch twice == once") {
+    val path = tmp()
+    MergeWriter.write(spark, Seq((1, "a")).toDF("id", "v"), path,
+      LoadMode.FullOverwrite, retrySleepMs = _ => 0L)
+    val batch = Seq((1, "A"), (2, "b")).toDF("id", "v")
+    MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), retrySleepMs = _ => 0L)
+    MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), retrySleepMs = _ => 0L)
+    val got = spark.read.parquet(path).orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "A"), (2, "b")))
+  }
+
+  test("empty batch + no table: bootstrap then NoDataToMigrateException") {
+    val path = tmp()
+    val empty = Seq.empty[(Int, String)].toDF("id", "v")
+    assertThrows[MergeWriter.NoDataToMigrateException](
+      MergeWriter.write(spark, empty, path, LoadMode.FullOverwrite,
+        retrySleepMs = _ => 0L))
+    assert(spark.read.parquet(path).count() == 0) // empty table bootstrapped
+  }
+
+  test("retry combinator retries then succeeds") {
+    var calls = 0
+    val out = MergeWriter.withRetry(3, _ => 0L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assertThrows[RuntimeException](MergeWriter.withRetry(2, _ => 0L) {
+      throw new RuntimeException("always")
+    })
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.StageTransform
+import graft.meta.ColumnSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("tokens/quality: deterministic integer-derived metrics") {
+    val row = Seq("The quick brown fox! And the lazy dog?").toDF("text")
+      .select(TextOps.tokenCount($"text").as("n"),
+        TextOps.stopwordCount($"text", TextOps.EnglishStopwords).as("s"),
+        TextOps.bpeishTokenCount($"text").as("b"))
+      .collect().head
+    assert(row.getAs[Int]("n") == 8)
+    assert(row.getAs[Int]("s") == 3) // the, and, the
+    assert(row.getAs[Int]("b") == 10) // 8 words + ! + ?
+  }
+
+  test("langId: marker words and CJK routing") {
+    val got = Seq(
+      "the cat and the dog is here",
+      "el perro y la casa de que",
+      "der hund und die katze ist",
+      "你好世界",
+      "qqq zzz").toDF("text")
+      .select(TextOps.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "zh", "und"))
+  }
+
+  test("rolling hash expression matches a reference fold and codegens") {
+    val got = Seq("abc").toDF("t")
+      .select(graft.plans.GraftExpressions.rolling_hash($"t"))
+      .as[Long].collect().head
+    val want = "abc".foldLeft(0L)((a, c) => (a * 31 + c) % 1000000000000000L)
+    assert(got == want)
+    // registered SQL form
+    graft.plans.GraftExpressions.register(spark)
+    val viaSql = Seq("abc").toDF("t").selectExpr("graft_rolling_hash(t)")
+      .as[Long].collect().head
+    assert(viaSql == want)
+  }
+
+  test("exact dedup keeps one row per distinct content") {
+    val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // 2 normalizes identically to 1
+  }
+
+  test("jaccard pairs find the planted near-dups and respect threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.7, maxDf = 10).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("minhash LSH candidates recall the true jaccard pairs") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.8, maxDf = 10)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 5, k = 12, bands = 4, threshold = 0.8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & mh).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    assert(sh.count() == docs.count())
+    // banded near-dup search returns only verified-hamming pairs
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+    assert(pairs.collect().forall(_.getAs[Int]("hamming") <= 8))
+  }
+
+  test("brute-force topk is exact and deterministic") {
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 3), "vec_id", "embedding", k = 4)
+    val rows = top.collect()
+    assert(rows.length == 12)
+    // rank 1 must have max cosine per query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cosine")).toSeq ==
+        rs.map(_.getAs[Double]("cosine")).sorted.reverse.toSeq)
+    }
+  }
+
+  test("ann lsh rank-1 mostly agrees with brute force (recall check)") {
+    val probes = emb.filter($"vec_id" < 20)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // this corpus's nearest neighbors sit at cosine ~0.3-0.45 (driver data is
+    // near-orthogonal), where hyperplane collision odds are (1 - theta/pi)^p
+    // — so use few planes per table; more planes = smaller buckets but lower
+    // recall at low similarity. 4 planes x 8 tables => ~75% expected recall.
+    val ann = Similarity.annLsh(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", k = 1, tables = 8, planes = 4, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (q, n) => ann.get(q).contains(n) }
+    assert(hits >= brute.size / 2,
+      s"ANN top-1 recall $hits/${brute.size} too low")
+  }
+
+  test("multimodal: feature extraction preserves rows, features normalized") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media)
+    val n = docs.count()
+    assert(feats.count() == n)
+    val f = feats.head()
+    assert(f.feature.length == Multimodal.FeatureDim)
+    assert(math.abs(f.feature.sum - 1.0f) < 1e-3) // L1 normalized histogram
+    // metadata-only scan must not read content bytes
+    val plan = Multimodal.metadataSummary(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("content"))
+  }
+
+  test("stage pipeline quarantines bad columns and keeps going") {
+    val specs = Seq(
+      ColumnSpec("T", "ok", 1, "string", "c_name"),
+      ColumnSpec("T", "bad_col", 2, "string", "no_such"),
+      ColumnSpec("T", "bad_fn", 3, "string", "fn_transform_Bogus(c_name)"))
+    val res = StageTransform.run(
+      spark.read.parquet(s"$sf/customer.parquet"), specs)
+    assert(res.quarantinedColumns.toSet == Set("bad_col", "bad_fn"))
+    assert(res.df.columns.toSeq == Seq("ok"))
+    assert(res.df.count() > 0)
+  }
+
+  test("timestamp shift: -5h applied to every timestamp column (S5)") {
+    val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
+      .toDF("ts")
+    val got = StageTransform.shiftTimestamps(df).as[java.sql.Timestamp]
+      .collect().head
+    assert(got == java.sql.Timestamp.valueOf("2024-01-01 07:00:00"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.incr.Incremental
+
+/** Property-style tests via raw ScalaCheck generators (the scalatestplus
+  * bridge is not in the offline cache), sampled with a fixed seed. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def samples[T](g: Gen[T], n: Int = 300): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("ordinal encode/decode inverse over the regex-gated range") {
+    // the DateMagic regex admits ordinals 700000..2999999 and 3000000..3599999
+    samples(Gen.choose(700000L, 3599999L)).foreach { n =>
+      assert(Incremental.toOrdinal(Incremental.fromOrdinal(n)) == n)
+    }
+  }
+
+  test("date -> ordinal stays in python's toordinal convention") {
+    samples(Gen.choose(-200000L, 200000L)).foreach { epochDay =>
+      val d = LocalDate.ofEpochDay(epochDay)
+      assert(Incremental.toOrdinal(d) == epochDay + 719163L)
+    }
+  }
+
+  test("range split: contiguous, complete, monotone for any n") {
+    val s = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    samples(Gen.zip(Gen.choose(1, 50), Gen.choose(60L, 10000000L)), 150)
+      .foreach { case (n, secs) =>
+        val e = s.plusSeconds(secs)
+        val parts = Incremental.splitRange(s, e, n)
+        assert(parts.length == n)
+        assert(parts.head._1 == s && parts.last._2 == e)
+        parts.sliding(2).foreach {
+          case Seq(a, b) => assert(a._2 == b._1)
+          case _ =>
+        }
+        parts.foreach { case (a, b) => assert(!b.isBefore(a)) }
+      }
+  }
+
+  test("period limits are well-formed for any monthsBack") {
+    val gen = Gen.zip(Gen.choose(-48, 0), Gen.choose(2000, 2030),
+      Gen.choose(1, 12))
+    samples(gen, 150).foreach { case (mb, y, m) =>
+      val now = java.time.LocalDateTime.of(y, m, 15, 12, 0)
+      val (lo, hi) = Incremental.limitsForFilter(mb, "aje_period", now)
+      assert(lo <= hi && lo.length == 6 && hi.length == 6)
+      val (olo, ohi) = Incremental.limitsForFilter(mb, "aje_date", now)
+      assert(olo.toLong <= ohi.toLong)
+      // upper is the last day of now's month
+      assert(Incremental.fromOrdinal(ohi.toLong) ==
+        now.toLocalDate.withDayOfMonth(now.toLocalDate.lengthOfMonth))
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts over a streamed raw drop match the batch equivalent") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    batch.write.mode("overwrite").parquet(dir)
+
+    val streamed = StreamingIngest.incrementalStream(spark, dir,
+      batch.schema, "ts", "10 minutes")
+    val agg = StreamingIngest.windowedCounts(streamed, "ts", "1 hour", "1 hour")
+    val got = StreamingIngest.runToMemory(agg, "win_counts",
+        OutputMode.Complete())
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    val want = StreamingIngest.windowedCounts(batch, "ts", "1 hour", "1 hour")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("sessionization state machine emits on timeout") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .limit(200)
+      .write.mode("overwrite").parquet(dir)
+    val events = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(dir).as[StreamingIngest.Event]
+    val sessions = StreamingIngest.sessionize(events, gapMs = 100L)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      // NB: processAllAvailable() never settles for a timeout-driven stateful
+      // query (the timeouts keep scheduling batches) — drive it by wall clock
+      // instead: first batch consumes the input, later batches fire timeouts.
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("sessions").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+    } finally q.stop()
+    // every user whose gap elapsed emitted exactly one closed session
+    assert(spark.table("sessions").count() > 0)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.Transforms
+
+class TransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("ByteMagic: T/F pass, else literal default (all $ stripped)") {
+    val df = Seq("T", "F", "X", "Z").toDF("c")
+    val got = df.select(
+      Transforms.column("fn_transform_ByteMagic(c,$N)", "string"))
+      .as[String].collect().toSeq
+    assert(got == Seq("T", "F", "N", "N"))
+  }
+
+  test("ByteMagic: column default") {
+    val df = Seq(("X", "fallback")).toDF("c", "d")
+    assert(one[String](df.select(
+      Transforms.column("fn_transform_ByteMagic(c,d)", "string"))) == "fallback")
+  }
+
+  test("Case quirk: only the last rule survives; unmatched -> null") {
+    val df = Seq("a", "b", "x").toDF("c")
+    val got = df.select(
+      Transforms.column("fn_transform_Case(c,a->first,b->second)", "string"))
+      .as[String].collect().toSeq
+    assert(got == Seq(null, "second", null))
+  }
+
+  test("Case_with_default: disjoint rules behave like CASE WHEN") {
+    val df = Seq("a", "b", "x").toDF("c")
+    val got = df.select(Transforms.column(
+      "fn_transform_Case_with_default(c,a|a2->A,b->B,$dflt)", "string"))
+      .as[String].collect().toSeq
+    assert(got == Seq("A", "B", "dflt"))
+  }
+
+  test("Case_with_default compound quirk: accumulated condition => last label") {
+    val df = Seq(("x", "1"), ("y", "2"), ("z", "9")).toDF("c1", "c2")
+    val got = df.select(Transforms.column(
+      "fn_transform_Case_with_default(c1&c2,x&1->one,y&2->two,$other)", "string"))
+      .as[String].collect().toSeq
+    // row (x,1) matches rule 1 but the reference's |= accumulation means the
+    // later rule's when() covers it too — both matched rows get "two"
+    assert(got == Seq("two", "two", "other"))
+  }
+
+  test("ClearString: trims; 2-arg form defaults nulls") {
+    val df = Seq(Some("  hi  "), None).toDF("c")
+    assert(df.select(Transforms.column("fn_transform_ClearString(c,$na)", "string"))
+      .as[String].collect().toSeq == Seq("hi", "na"))
+    assert(df.select(Transforms.column("fn_transform_ClearString(c)", "string"))
+      .as[String].collect().toSeq == Seq("hi", null))
+  }
+
+  test("DateMagic: ordinal decode round-trip, regex gating, default") {
+    // 726468 == 1990-01-01 decodes; 42 fails the gate; and — reference
+    // QUIRK — 693596 (1900-01-01 itself) also fails the [7-9]\d{5} regex
+    // (it starts with 6), so pre-1917 ordinals fall through to the default.
+    val df = Seq(693596, 726468, 42).toDF("c")
+    val got = df.select(Transforms.column(
+      "fn_transform_DateMagic(c,yyyy-MM-dd,1970-01-01)", "date"))
+      .as[java.sql.Date].collect().toSeq.map(_.toString)
+    assert(got == Seq("1970-01-01", "1990-01-01", "1970-01-01"))
+  }
+
+  test("DatetimeMagic: packed time decode with fallbacks") {
+    val df = Seq((726468, "235959"), (726468, "9999"), (42, "120000"))
+      .toDF("cd", "ct")
+    val got = df.select(date_format(Transforms.column(
+      "fn_transform_DatetimeMagic(cd,ct,yyyy-MM-dd HH:mm:ss,1900-01-01)",
+      "timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .as[String].collect().toSeq
+    assert(got == Seq("1990-01-01 23:59:59", "1990-01-01 00:00:00",
+      "1900-01-01 00:00:00"))
+  }
+
+  test("PeriodMagic: null period -> 190001, else concat with lpad") {
+    val df = Seq((Some("2024"), "3"), (None, "7")).toDF("p", "e")
+    val got = df.select(Transforms.column(
+      "fn_transform_PeriodMagic(p,e)", "string"))
+      .as[String].collect().toSeq
+    assert(got == Seq("202403", "190001"))
+  }
+
+  test("Concatenate uses pipe; Concatenate_ws takes last-arg separator") {
+    val df = Seq(("a", "b")).toDF("x", "y")
+    assert(one[String](df.select(
+      Transforms.column("fn_transform_Concatenate(x,y)", "string"))) == "a|b")
+    assert(one[String](df.select(
+      Transforms.column("fn_transform_Concatenate_ws(x,y,-)", "string"))) == "a-b")
+  }
+
+  test("unknown function raises CompileError (quarantined upstream)") {
+    assertThrows[Transforms.CompileError](
+      Transforms.column("fn_transform_Bogus(a)", "string"))
+  }
+
+  test("Datetime: empty arg yields Lima now; bad strings yield null") {
+    val df = Seq("not a ts").toDF("c")
+    val row = df.select(
+      Transforms.column("fn_transform_Datetime()", "timestamp").as("now"),
+      Transforms.column("fn_transform_Datetime(c)", "timestamp").as("bad"))
+      .collect().head
+    assert(row.getAs[java.sql.Timestamp]("now") != null)
+    assert(row.getAs[java.sql.Timestamp]("bad") == null)
+  }
+}
