@@ -742,11 +742,121 @@ object QueryCatalog {
           16 AS feature_dim
         FROM documents""")))
 
+  // ===================================================== sources & sinks
+
+  private val sourceQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // S4 + K1/K2 — csv.gz write with header, schema-less read back, casts
+    // re-applied (the reference's raw-zone round trip)
+    ("q_src_csv_roundtrip",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_csv").toString + "/raw"
+        val src = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
+        graft.sources.RawZone.writeRawCsv(src, out, overwrite = true)
+        graft.sources.RawZone.readRawCsv(s, out).select(
+          col("l_orderkey").cast("bigint").as("l_orderkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"),
+          col("l_returnflag"), col("ship"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem""")),
+
+    // S5 — every TimestampType column shifted UTC -> Lima (-5h)
+    ("q_src_tz_shift",
+      (s: SparkSession, d: String) =>
+        graft.sources.RawZone.shiftTimestamps(t(s, d, "events"))
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_lima")),
+      Some("""SELECT event_id,
+        strftime(ts - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS ts_lima
+        FROM events""")),
+
+    // D1 — full-row distinct (load_with_query.py:169)
+    ("q_distinct_full",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).dropDuplicates(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // D2 — keyed distinct (dropDuplicates(ids) pre-merge,
+    // aje-stage-dms-load.py:483-485); keys-only output for determinism
+    ("q_distinct_keyed",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .dropDuplicates(Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // J1 + P6 — free-text JOIN_EXPR lifted to a Spark join + projection-list
+    // with key alias (SELECT {ID_COLUMN} as id, ...)
+    ("q_join_lifted",
+      (s: SparkSession, d: String) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          expr("c_nationkey = n_nationkey AND n_regionkey <= 2"))
+        .selectExpr("c_custkey as id", "c_name", "n_name"),
+      Some("""SELECT c_custkey AS id, c_name, n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey AND n_regionkey <= 2""")),
+
+    // A1 — count action gating empty-input handling
+    ("q_agg_count",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem")),
+
+    // §4 nicety — DSL registered in the FunctionRegistry: full-DSL literal
+    // form, expression-positional form, and the native rolling_hash
+    // Expression, all inside ONE spark.sql statement
+    ("q_dsl_sql_registry",
+      (s: SparkSession, d: String) => {
+        graft.functions.Registry.registerAll(s)
+        graft.plans.GraftExpressions.register(s)
+        t(s, d, "customer").createOrReplaceTempView("customer_sqlreg")
+        s.sql("""SELECT c_custkey,
+          fn_transform(
+            'fn_transform_Case_with_default(c_mktsegment,BUILDING|AUTOMOBILE->ba,$oo)',
+            'string') AS seg,
+          fn_transform_concatenate(c_name, c_mktsegment) AS ck,
+          graft_rolling_hash(lower(c_name)) AS rh
+        FROM customer_sqlreg""")
+      },
+      Some("""WITH n AS (SELECT *, lower(c_name) AS lname FROM customer)
+        SELECT c_custkey,
+          CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'ba'
+               ELSE 'oo' END AS seg,
+          concat_ws('|', c_name, c_mktsegment) AS ck,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(lname) + 1),
+                i -> CAST(unicode(lname[i]) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000000000000) AS rh
+        FROM n""")),
+
+    // multimodal frame sampling: one row per sampled frame index per video
+    ("q_mm_frames",
+      (s: SparkSession, d: String) => Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, t(s, d, "documents")), everyMs = 5000),
+      Some("""SELECT doc_id AS media_id,
+          unnest(generate_series(0, CAST(n_chars * 10 AS INTEGER), 5000))
+            AS frame_ms
+        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2""")),
+
+    // multimodal resize (metadata-only stub) through the typed Dataset path
+    ("q_mm_resize",
+      (s: SparkSession, d: String) => Multimodal.resize(
+          Multimodal.mediaFromDocuments(s, t(s, d, "documents")), 64, 48)
+        .toDF().select(col("media_id"), col("kind"), col("width"), col("height")),
+      Some("""SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          64 AS width, 48 AS height
+        FROM documents""")))
+
   // ============================================================ assembly
 
   val all: Seq[(String, Q, Option[String])] =
     dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
-      dedupQueries ++ simQueries ++ mmQueries
+      dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * SQL surface for the transformation DSL (SURVEY.md §4's optional nicety):
+ * registers the `fn_transform_*` family in the session's FunctionRegistry so
+ * the operators compose inside `expr()` strings and plain `spark.sql(...)`.
+ *
+ * Two forms:
+ *   - `fn_transform('<TRANSFORMATION>'[, '<datatype>'])` — the FULL metadata
+ *     DSL (nested calls, `$`/`|`/`->`/`&` micro-syntax) as a foldable string
+ *     literal, compiled by [[Transforms]] at analysis time; column references
+ *     inside the string resolve against the enclosing query.
+ *   - direct registrations for the expression-positional functions
+ *     (`fn_transform_Concatenate(col1, col2, ...)` etc.), which take ordinary
+ *     SQL expressions as arguments.
+ *
+ * Everything compiles to the same built-in expression trees as the Column
+ * API — registration adds names, not evaluation machinery, so WholeStageCodegen
+ * and Catalyst pushdown are unaffected.
+ */
+object Registry {
+
+  private def C(e: Expression): Column = ColumnBridge.column(e)
+  private def E(c: Column): Expression = ColumnBridge.eagerExpression(c)
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other =>
+      throw Transforms.CompileError(s"$what must be a string literal, got: $other")
+  }
+
+  /** Register every SQL-callable DSL name on the session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    def add(name: String)(f: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, f, "built-in")
+
+    // The full DSL through one door: fn_transform('<dsl>'[, '<type>'])
+    add("fn_transform") { exprs =>
+      val dsl = litString(exprs.head, "fn_transform: transformation")
+      val dt = if (exprs.length > 1) litString(exprs(1), "fn_transform: datatype")
+               else ""
+      E(Transforms.column(dsl, dt))
+    }
+
+    // Expression-positional forms (arguments are ordinary SQL expressions).
+    add("fn_transform_concatenate") { exprs =>
+      E(concat_ws("|", exprs.map(C): _*))
+    }
+    add("fn_transform_concatenate_ws") { exprs =>
+      val sep = litString(exprs.last, "fn_transform_Concatenate_ws: separator")
+      E(concat_ws(sep, exprs.dropRight(1).map(C): _*))
+    }
+    add("fn_transform_bytemagic") { exprs =>
+      val c = C(exprs.head)
+      E(when(c === "T", "T").when(c === "F", "F").otherwise(C(exprs(1))))
+    }
+    add("fn_transform_clearstring") { exprs =>
+      val c = C(exprs.head)
+      E(if (exprs.length > 1)
+          when(c.isNotNull, trim(c)).otherwise(C(exprs(1)))
+        else trim(c))
+    }
+    add("fn_transform_date_to_string") { exprs =>
+      E(date_format(C(exprs.head),
+        litString(exprs(1), "fn_transform_Date_to_String: format")))
+    }
+    add("fn_transform_periodmagic") { exprs =>
+      val p = C(exprs.head)
+      val e = C(exprs(1))
+      E(when(p.isNull, "190001")
+        .otherwise(concat(p.cast("string"), lpad(e.cast("string"), 2, "0"))))
+    }
+  }
+}

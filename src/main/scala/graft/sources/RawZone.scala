@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * Raw-zone CSV source/sink — S4/S5/S6 scans and K1/K2 sinks.
+ *
+ * The reference lands JDBC/AppFlow extracts as gzipped CSV with a header in a
+ * date-partitioned "raw" prefix and reads them back with no explicit schema
+ * (types arrive as strings; the authoritative output schema is applied later
+ * by the per-column casts of the stage specs):
+ *   - read:  aje-stage-dms-load.py:377, transform_light.py:317 (S4)
+ *   - tz-shifted Salesforce landing read: extract_salesforce_to_raw.py:105-118 (S5)
+ *   - empty-relation fallback on read failure: extract_salesforce_to_raw.py:114-118 (S6)
+ *   - write: load_with_query.py:170 (K1 append), extract_salesforce_to_raw.py:167-177
+ *     (K2 overwrite-or-create — here unconditional overwrite, same end state)
+ *
+ * Scale notes: the gzip codec is non-splittable, so ONE csv.gz object is one
+ * task — parallelism at 100 TB comes from the extract writing MANY objects
+ * per prefix (one per JDBC partition / per append batch), which is exactly
+ * what the reference's append-accumulation produces. Reads stay a plain
+ * distributed file scan; the dated-path convention gives partition pruning
+ * by ingestion date for free.
+ */
+object RawZone {
+
+  /** S4 — CSV scan with header, schema-less (all strings), codec
+    * auto-detected from the extension. */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** S6 — read with empty-relation fallback: a missing/corrupt prefix yields
+    * an empty frame instead of failing the run. */
+  def readRawCsvOrEmpty(spark: SparkSession, path: String): DataFrame =
+    try {
+      val df = readRawCsv(spark, path)
+      df.schema // force analysis so missing paths fail here
+      df
+    } catch { case _: Exception => spark.emptyDataFrame }
+
+  /** S5 — shift every TimestampType column by -`hours` (UTC -> Lima wall
+    * clock in the reference). A single fold of codegen'd column arithmetic —
+    * no extra pass over the data. */
+  def shiftTimestamps(df: DataFrame, hours: Int = 5): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampType).foldLeft(df) {
+      (acc, f) =>
+        acc.withColumn(f.name, col(f.name) - expr(s"INTERVAL $hours HOURS"))
+    }
+
+  /** K1/K2 — gzipped-CSV write with header. `overwrite=false` is the raw-zone
+    * append accumulation (K1); `overwrite=true` collapses the reference's
+    * "overwrite if .gz already present, else create" dance (K2) to its end
+    * state. */
+  def writeRawCsv(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "append")
+      .option("header", "true").option("compression", "gzip").csv(path)
+}

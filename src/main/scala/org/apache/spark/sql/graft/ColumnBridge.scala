@@ -16,4 +16,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager conversion via the session's ColumnNode converter. The lazy
+    * wrapper from `expression` analyzes fine inside DataFrame plans but is
+    * opaque to the FunctionRegistry path (it reaches codegen unconverted);
+    * registry-registered functions must hand back a real expression tree. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

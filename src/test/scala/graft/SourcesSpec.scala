@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Registry
+import graft.sources.RawZone
+
+/** RawZone (S4/S5/S6, K1/K2) + SQL FunctionRegistry surface. */
+class SourcesSpec extends SparkSpec {
+
+  test("csv.gz round trip: header kept, types stringly, append accumulates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rawzone").toString + "/t"
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    RawZone.writeRawCsv(a, dir, overwrite = true)
+    val back1 = RawZone.readRawCsv(spark, dir)
+    assert(back1.schema.fields.forall(_.dataType == StringType))
+    assert(back1.count() == 2)
+    // K1 append accumulates batches
+    RawZone.writeRawCsv(Seq((3L, "z")).toDF("k", "v"), dir)
+    assert(RawZone.readRawCsv(spark, dir).count() == 3)
+    // files really are gzip
+    val gz = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gz"))
+    assert(gz.nonEmpty)
+  }
+
+  test("empty-relation fallback on a missing prefix (S6)") {
+    val df = RawZone.readRawCsvOrEmpty(spark, "/no/such/prefix/at/all")
+    assert(df.isEmpty && df.schema.isEmpty)
+  }
+
+  test("tz shift moves only timestamp columns, by -5h (S5)") {
+    import spark.implicits._
+    val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 10:30:00")))
+      .toDF("name", "ts")
+    val shifted = RawZone.shiftTimestamps(df)
+    val row = shifted.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+      col("name")).head()
+    assert(row.getString(0) == "2024-01-02 05:30:00")
+    assert(row.getString(1) == "a")
+  }
+
+  test("registry: full-DSL literal + positional forms agree with Column API") {
+    import spark.implicits._
+    Registry.registerAll(spark)
+    graft.plans.GraftExpressions.register(spark)
+    Seq(("  Bob  ", "M", "T"), (null, "X", "q"))
+      .toDF("name", "seg", "flag").createOrReplaceTempView("reg_t")
+    val got = spark.sql("""SELECT
+        fn_transform('fn_transform_ClearString(name,$missing)', 'string') AS n1,
+        fn_transform_clearstring(name, 'missing') AS n2,
+        fn_transform_concatenate(seg, flag) AS ck,
+        fn_transform_concatenate_ws(seg, flag, '-') AS ckw,
+        fn_transform_bytemagic(flag, 'N') AS bm,
+        fn_transform_periodmagic(NULL, 3) AS pm,
+        graft_rolling_hash('ab') AS rh
+      FROM reg_t ORDER BY n1""").collect()
+    assert(got(0).getString(0) == "Bob" && got(0).getString(1) == "Bob")
+    assert(got(1).getString(0) == "missing" && got(1).getString(1) == "missing")
+    assert(got(0).getString(2) == "M|T" && got(0).getString(3) == "M-T")
+    assert(got(0).getString(4) == "T" && got(1).getString(4) == "N")
+    assert(got(0).getString(5) == "190001")
+    // rolling hash: ((0*31+'a')*31+'b') = 97*31+98 = 3105
+    assert(got(0).getLong(6) == 3105L)
+  }
+
+  test("registry: fn_transform rejects a non-literal transformation") {
+    Registry.registerAll(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT fn_transform(c_name, 'string') FROM customer_reg")
+    }
+    assert(err != null)
+  }
+}
