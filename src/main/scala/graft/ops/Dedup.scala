@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for training-data pipelines: exact, n-gram
@@ -42,6 +43,15 @@ object Dedup {
         explode(shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
+  /** Spark evaluates each PLAN REFERENCE to a subtree independently — a
+    * posting list or signature table feeding both sides of a self-join (or a
+    * band union) would be recomputed once per reference. Materialize it once;
+    * the in-session analog of writing the (corpus-fraction-sized)
+    * intermediate to parquet, which is what a 100 TB pipeline does between
+    * its tokenize and join stages. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup groups: md5-of-normalized-text fingerprint -> canonical
@@ -70,7 +80,8 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDf: Int = 20): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n) // (doc_id, shingle)
+    // referenced 4x below (sizes, rare, candidate join, intersection join)
+    val sh = materialized(shingleTable(df, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
 
     val rare = sh.groupBy("shingle").agg(count("*").as("df"))
@@ -115,8 +126,10 @@ object Dedup {
   /** MinHash signature: one row per doc with `sig_0..sig_{k-1}` columns.
     * Map-side partial min aggregation; a single shuffle on doc_id. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+      n: Int, k: Int): DataFrame =
+    signaturesFromShingles(shingleTable(df, idCol, textCol, n), k)
+
+  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val (a, b) = md5Seeds(col("shingle"))
     val aggs = (0 until k).map(i =>
       min((a + lit(i.toLong) * b) % MinhashPrime).as(s"sig_$i"))
@@ -136,11 +149,13 @@ object Dedup {
     rows.reduce(_.unionAll(_))
   }
 
-  /** Candidate near-dup pairs: same band key in any band (equi-join per
-    * band — no pairwise scan). */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame = {
-    val bk = minhashBands(minhashSignatures(df, idCol, textCol, n, k), k, bands)
+  /** Candidate pairs from a signature table: same band key in any band
+    * (equi-join per band — no pairwise scan). `sigs` is materialized first:
+    * the band union references it `bands` times and the self-join doubles
+    * that. */
+  private def candidatesFromSignatures(sigs: DataFrame, k: Int,
+      bands: Int): DataFrame = {
+    val bk = minhashBands(materialized(sigs), k, bands)
     bk.as("x").join(bk.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
@@ -149,13 +164,21 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash LSH end-to-end: candidates verified by true Jaccard. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4): DataFrame =
+    candidatesFromSignatures(minhashSignatures(df, idCol, textCol, n, k),
+      k, bands)
+
+  /** MinHash LSH end-to-end: candidates verified by true Jaccard. The
+    * posting list is computed ONCE and shared by the signature, size, and
+    * intersection stages. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+    val sh = materialized(shingleTable(df, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
-    val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
+    val cand = candidatesFromSignatures(signaturesFromShingles(sh, k),
+      k, bands)
     val inter = cand.join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc2") === col("sb.doc_id") &&
         col("sa.shingle") === col("sb.shingle"))
@@ -199,7 +222,8 @@ object Dedup {
     * bits; pigeonhole guarantees recall for maxHamming <= 3. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    // one row per doc; referenced 8x (4 band projections x 2 join sides)
+    val sh = materialized(simhash(df, idCol, textCol))
     val bandsN = 4
     val width = SimhashBits / bandsN // 15
     val banded = (0 until bandsN).map { b =>

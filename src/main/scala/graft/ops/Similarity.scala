@@ -27,15 +27,25 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (sequential fold —
-    * no float-order nondeterminism). */
+  /** Exact integer dot product of two quantized vectors — a native codegen'd
+    * Expression (graft.plans.IntDot): the composable
+    * aggregate(zip_with(...)) form evaluates its lambda interpreted per
+    * element and fences whole-stage codegen, which dominates n x m scoring
+    * joins. Integer math — no float-order nondeterminism either way. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.GraftExpressions.int_dot(a, b)
 
   /** Cosine over the quantized grid, floor-quantized to 6 dp. */
   def qcosine(a: Column, b: Column): Column =
     floor(qdot(a, b).cast("double") /
       (sqrt(qdot(a, a).cast("double")) * sqrt(qdot(b, b).cast("double"))) * 1e6) / 1e6
+
+  /** Cosine from a precomputed dot + squared norms — identical IEEE ops to
+    * [[qcosine]], but each side's norm is computed ONCE PER ROW upstream
+    * instead of once per pair (a 3x flop cut on an n*m scoring join). */
+  private def qcosineWithNorms(dot: Column, n2a: Column, n2b: Column): Column =
+    floor(dot.cast("double") /
+      (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) * 1e6) / 1e6
 
   /**
    * Brute-force exact top-k neighbors for each probe vector.
@@ -46,12 +56,15 @@ object Similarity {
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cvec"))
+        quantize(col(vecCol)).as("cvec"))
+      .withColumn("cn2", qdot(col("cvec"), col("cvec")))
     val p = probes.select(col(probeIdCol).as("query_id"),
-      quantize(col(probeVecCol)).as("qvec"))
+        quantize(col(probeVecCol)).as("qvec"))
+      .withColumn("qn2", qdot(col("qvec"), col("qvec")))
     val scored = c.join(broadcast(p), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        qcosine(col("qvec"), col("cvec")).as("cosine"))
+        qcosineWithNorms(qdot(col("qvec"), col("cvec")), col("qn2"), col("cn2"))
+          .as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -102,7 +115,9 @@ object Similarity {
         col("p.query_id_vec"), col("c.neighbor_id_vec"))
       .distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
-      qcosine(col("query_id_vec"), col("neighbor_id_vec")).as("cosine"))
+      qcosineWithNorms(qdot(col("query_id_vec"), col("neighbor_id_vec")),
+        qdot(col("query_id_vec"), col("query_id_vec")),
+        qdot(col("neighbor_id_vec"), col("neighbor_id_vec"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -114,9 +129,13 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       probes: DataFrame, threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id2"), quantize(col(vecCol)).as("v2"))
+      .withColumn("n2b", qdot(col("v2"), col("v2")))
     val p = probes.select(col(idCol).as("id1"), quantize(col(vecCol)).as("v1"))
+      .withColumn("n2a", qdot(col("v1"), col("v1")))
     c.join(broadcast(p), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), qcosine(col("v1"), col("v2")).as("cosine"))
+      .select(col("id1"), col("id2"),
+        qcosineWithNorms(qdot(col("v1"), col("v2")), col("n2a"), col("n2b"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -66,15 +67,76 @@ object RollingHash {
   val Mod: Long = 1000000000000000L
 }
 
+/**
+ * Exact integer dot product of two `array<bigint>` columns.
+ *
+ * The composable alternative — `aggregate(zip_with(a, b, _*_), 0, _+_)` — is
+ * a higher-order function: Catalyst evaluates the lambda INTERPRETED, per
+ * element, with boxing, and it fences off WholeStageCodegen. On an n x m
+ * scoring join (similarity search / embedding near-dup) that lambda is the
+ * entire inner loop, so it dominates the operator. This native expression
+ * compiles to a tight primitive long loop inside the join's generated code.
+ *
+ * Semantics: null if either array is null; elements are read as primitive
+ * longs (quantized vectors are never element-null); length = min(|a|, |b|).
+ */
+case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int_dot needs two array<bigint>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDot = copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def int_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_int_dot", exprs => IntDot(exprs.head, exprs(1)), "built-in")
   }
 }
