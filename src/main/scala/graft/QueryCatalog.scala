@@ -850,7 +850,59 @@ object QueryCatalog {
           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
           64 AS width, 48 AS height
-        FROM documents""")))
+        FROM documents""")),
+
+    // skew-mitigated shuffle join: row-identical to the plain join, hot keys
+    // spread over nSalts reducers
+    ("q_skew_salted_join",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val o = t(s, d, "orders")
+          .selectExpr("o_orderkey as l_orderkey", "o_orderstatus")
+        graft.ops.Skew.saltedJoin(li, o, Seq("l_orderkey"), nSalts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(15,2)") *
+              (lit(1) - col("l_discount").cast("decimal(5,2)")))
+              .cast("decimal(25,4)").as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+          AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus""")),
+
+    // A4 — BIGINT-epoch watermark conversion round trip
+    ("q_incr_epoch",
+      (s: SparkSession, d: String) => {
+        import graft.incr.Incremental
+        t(s, d, "events").select(col("event_id"),
+          Incremental.timestampToEpoch(col("ts")).as("epoch_s"),
+          date_format(Incremental.epochToTimestamp(
+              Incremental.timestampToEpoch(col("ts"))),
+            "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
+      },
+      Some("""SELECT event_id,
+          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+          strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_rt
+        FROM events""")),
+
+    // K7 — small-file compaction round trip: content identical after rewrite
+    ("q_maint_compact",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_compact").toString + "/t"
+        val src = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        src.repartition(16).write.mode("overwrite").parquet(out) // many files
+        MergeWriter.compact(s, out, target = 1)
+        assert(new java.io.File(out).listFiles()
+          .count(_.getName.endsWith(".parquet")) == 1)
+        s.read.parquet(out)
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders")))
 
   // ============================================================ assembly
 

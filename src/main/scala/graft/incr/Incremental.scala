@@ -74,6 +74,12 @@ object Incremental {
     cols.map(c => col(c).isNotNull && col(c).between(start, end)).reduce(_ || _)
   }
 
+  /** A4 — BIGINT-epoch watermark conversions (FILTER_TYPE='BIGINT' sources:
+    * UpdateLoadStartValue-MySQL.py:164-166, reverse direction
+    * CreateReplicationTaskForTable.py:97-101). */
+  def timestampToEpoch(c: Column): Column = unix_timestamp(c)
+  def epochToTimestamp(c: Column): Column = timestamp_seconds(c)
+
   /** P3 as pushed-down SQL text for JDBC `query` mode
     * (load_with_query.py:178-195). */
   def windowPredicateSql(filterColumn: String, start: String, end: String): String = {

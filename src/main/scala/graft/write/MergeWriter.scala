@@ -112,6 +112,14 @@ object MergeWriter {
     rows
   }
 
+  /** K7 — table maintenance. The reference's `vacuum(100)` + symlink manifest
+    * (aje-stage-dms-load.py:520-522) are Delta bookkeeping with no parquet
+    * analog; the part that matters at scale is SMALL-FILE COMPACTION: a
+    * merge-heavy table accretes one file set per batch and scan task counts
+    * balloon. Rewrites the table into `target` files. */
+  def compact(spark: SparkSession, path: String, target: Int = 1): Long =
+    writeSwap(spark.read.parquet(path).repartition(target), path)
+
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
