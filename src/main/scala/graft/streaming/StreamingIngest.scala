@@ -38,6 +38,16 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Streaming dedup: first row per key wins, duplicate arrivals within the
+    * watermark horizon are dropped, and the per-key state itself is evicted
+    * once the watermark passes — WITHOUT the horizon bound, dedup state grows
+    * with every key ever seen, the thing that kills a long-running job. The
+    * streaming face of W1/D2 (batch: latest-per-key window dedup). */
+  def streamingDedup(events: DataFrame, keys: Seq[String], tsCol: String,
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

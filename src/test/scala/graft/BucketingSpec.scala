@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.write.Bucketing
+
+/** Bucketed co-located joins: correctness + the shuffle-free plan property. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed join produces no shuffle and matches the plain join") {
+    val root = java.nio.file.Files.createTempDirectory("bucketing").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+
+    Bucketing.writeBucketed(li, "li_b", s"$root/li", Seq("l_orderkey"), 8)
+    Bucketing.writeBucketed(o, "o_b", s"$root/o", Seq("l_orderkey"), 8)
+
+    // force the sort-merge path so the assertion is about bucketing, not a
+    // broadcast that hides the shuffle
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "o_b", Seq("l_orderkey"))
+      assert(Bucketing.isShuffleFree(joined),
+        s"expected no hash-partition exchange:\n${joined.queryExecution.executedPlan}")
+
+      val plain = li.join(o, Seq("l_orderkey"))
+      assert(!Bucketing.isShuffleFree(plain)) // sanity: unbucketed DOES shuffle
+
+      assert(joined.count() == plain.count())
+      val a = joined.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0)
+      val b = plain.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head().getDecimal(0)
+      assert(a == b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}

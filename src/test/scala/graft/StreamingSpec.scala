@@ -27,6 +27,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup keeps one row per key within the watermark horizon") {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    // duplicate every user_id: base rows + clones with different event_ids
+    val base = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .limit(300)
+    base.union(base.withColumn("event_id", col("event_id") + 1000000L))
+      .write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(base.schema).parquet(dir)
+    val deduped = StreamingIngest.streamingDedup(streamed,
+      Seq("user_id"), "ts", "10 minutes")
+    val got = StreamingIngest.runToMemory(deduped, "sdedup",
+      OutputMode.Append())
+    val nUsers = base.select("user_id").distinct().count()
+    assert(got.count() == nUsers)
+    assert(got.select("user_id").distinct().count() == nUsers)
+  }
+
   test("sessionization state machine emits on timeout") {
     val dir = Files.createTempDirectory("graft_sess").toString
     spark.read.parquet(s"$sf/events.parquet")
