@@ -44,6 +44,23 @@ class PropertiesSpec extends AnyFunSuite {
       }
   }
 
+  test("salted join equals plain join for arbitrary key sets and salt counts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.choose(0L, 8L)), // left keys, heavy collisions
+      Gen.listOfN(10, Gen.choose(0L, 12L)), // right keys, partial overlap
+      Gen.choose(1, 16)) // salt count
+    samples(gen, 12).foreach { case (lk, rk, nSalts) =>
+      val left = lk.zipWithIndex.map { case (k, i) => (k, s"l$i") }.toDF("k", "v")
+      val right = rk.distinct.map(k => (k, s"r$k")).toDF("k", "w")
+      val plain = left.join(right, Seq("k"))
+      val salted = graft.ops.Skew.saltedJoin(left, right, Seq("k"), nSalts)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty,
+        s"nSalts=$nSalts")
+    }
+  }
+
   test("period limits are well-formed for any monthsBack") {
     val gen = Gen.zip(Gen.choose(-48, 0), Gen.choose(2000, 2030),
       Gen.choose(1, 12))
