@@ -53,6 +53,26 @@ final case class TableConfig(
 ) {
   def idColumns: Seq[String] =
     idColumn.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** I4 — extraction routing: a table with any projection/filter/key/join
+    * spec needs a generated query (the reference's "needs glue" flag,
+    * PrepareForTaskCreation.py:19-35, StartWorkFlow.py:156-159); bare tables
+    * go through bulk replication. Both collapse to the same JDBC read here,
+    * but the predicate still drives batching and query generation. */
+  def needsCustomQuery: Boolean =
+    Seq(columns, filterColumn, filterExp, idColumn, joinExpr)
+      .exists(_.trim.nonEmpty)
+}
+
+object TableConfig {
+  /** I4 — bulk-replication batching: bare tables are grouped `perTask` at a
+    * time (the reference's TABLES_PER_TASK, PrepareForTaskCreation.py:24-32). */
+  def batchForReplication(tables: Seq[TableConfig], perTask: Int)
+      : (Seq[Seq[TableConfig]], Seq[TableConfig]) = {
+    require(perTask > 0)
+    val (custom, bare) = tables.partition(_.needsCustomQuery)
+    (bare.grouped(perTask).toSeq, custom)
+  }
 }
 
 /** Source endpoint (reference credentials table, README.md:29-54). */

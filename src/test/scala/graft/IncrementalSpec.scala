@@ -94,6 +94,22 @@ class IncrementalSpec extends AnyFunSuite {
       LoadMode.TransactionalWindowMerge(-3))
   }
 
+  test("extraction routing + replication batching (I4)") {
+    import graft.meta.TableConfig
+    def t(name: String, cols: String = "", join: String = "") = TableConfig(
+      targetTableName = name, endpoint = "E", sourceSchema = "s",
+      sourceTable = name, stageTableName = name, columns = cols,
+      joinExpr = join)
+    val bare = (1 to 5).map(i => t(s"b$i"))
+    val custom = Seq(t("c1", cols = "a,b"), t("c2", join = "join x on 1=1"))
+    assert(custom.forall(_.needsCustomQuery) && !bare.exists(_.needsCustomQuery))
+    val (batches, needQuery) =
+      TableConfig.batchForReplication(bare ++ custom, perTask = 2)
+    assert(needQuery.map(_.targetTableName) == Seq("c1", "c2"))
+    assert(batches.map(_.size) == Seq(2, 2, 1))
+    assert(batches.flatten.map(_.targetTableName) == bare.map(_.targetTableName))
+  }
+
   test("JDBC option maps per dialect (S1/S2)") {
     val ora = EndpointConfig("E", "oracle", "h", 1521, "DB", "u", "sec")
     val o = JdbcSource.options(ora, "select 1", "pw")
