@@ -80,14 +80,17 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDf: Int = 20): DataFrame = {
-    // referenced 4x below (sizes, rare, candidate join, intersection join)
+    // referenced 3x below (sizes, rare window, intersection join)
     val sh = materialized(shingleTable(df, idCol, textCol, n))
     val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
 
-    val rare = sh.groupBy("shingle").agg(count("*").as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-      .select("shingle")
-    val rareSh = sh.join(rare, Seq("shingle")) // prune hot shingles pre-join
+    // document frequency via count-over-window: one shuffle on `shingle`,
+    // reused by the candidate self-join below (same partitioning) — vs the
+    // groupBy + semi-join formulation, which pays an extra join stage
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val rareSh = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") >= 2 && col("df") <= maxDf) // prune hot shingles
+      .drop("df")
 
     val candidates = rareSh.as("a").join(rareSh.as("b"),
         col("a.shingle") === col("b.shingle") &&
