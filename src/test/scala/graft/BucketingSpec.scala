@@ -3,8 +3,26 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.write.Bucketing
 
-/** Bucketed co-located joins: correctness + the shuffle-free plan property. */
+/** Bucketed co-located joins + partition pruning: correctness AND the plan
+  * properties that matter at scale. */
 class BucketingSpec extends SparkSpec {
+
+  test("IS_PARTITION write yields partition-pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString + "/t"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // K3 partitioned overwrite (the IS_PARTITION column flag)
+    graft.write.MergeWriter.writeSwap(orders, dir, Seq("o_orderstatus"))
+
+    val pruned = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(o_orderstatus"),
+      s"expected a partition filter in:\n$scan")
+    // and the values survive the round trip
+    assert(pruned.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
 
   test("bucketed join produces no shuffle and matches the plain join") {
     val root = java.nio.file.Files.createTempDirectory("bucketing").toString
