@@ -58,10 +58,14 @@ object Transforms {
   }
 
   /** Parse + compile + cast — one output column, as the reference applies it
-    * (every `transform_df` branch ends `.cast(data_type)`). */
+    * (every `transform_df` branch ends `.cast(data_type)`). `try_cast`, not
+    * `cast`: the reference ran non-ANSI Spark 3 where a malformed cast
+    * yields null; under Spark 4's default ANSI mode a plain cast would throw
+    * at ACTION time — after the per-column compile quarantine already
+    * passed — failing the whole job on one bad row. */
   def column(transformation: String, dataType: String): Column = {
     val c = compile(Parser.parse(transformation))
-    if (dataType == null || dataType.trim.isEmpty) c else c.cast(dataType)
+    if (dataType == null || dataType.trim.isEmpty) c else c.try_cast(dataType)
   }
 
   // scalastyle:off cyclomatic.complexity method.length

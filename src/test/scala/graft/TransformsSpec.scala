@@ -32,6 +32,26 @@ class TransformsSpec extends SparkSpec {
     assert(got == Seq(null, "second", null))
   }
 
+  test("malformed cast yields null under ANSI (reference non-ANSI fidelity)") {
+    val df = Seq(("abc", "42")).toDF("bad", "good")
+    val got = df.select(
+      Transforms.column("bad", "int").as("b"),
+      Transforms.column("good", "int").as("g")).head()
+    assert(got.isNullAt(0) && got.getInt(1) == 42)
+  }
+
+  test("DateMagic regex boundaries: 699999/3600000 out, 700000/3599999 in") {
+    val df = Seq(699999, 700000, 3599999, 3600000).toDF("c")
+    val got = df.select(Transforms.column(
+      "fn_transform_DateMagic(c,yyyy-MM-dd,1970-01-01)", "date")
+      .cast("string")).as[String].collect().toSeq
+    // 700000 = 1900-01-01 + (700000-693596) days = 1917-07-15
+    assert(got(0) == "1970-01-01" && got(3) == "1970-01-01") // defaults
+    assert(got(1) == "1917-07-15")
+    assert(got(2) == java.time.LocalDate.of(1900, 1, 1)
+      .plusDays(3599999L - 693596L).toString)
+  }
+
   test("Case_with_default: disjoint rules behave like CASE WHEN") {
     val df = Seq("a", "b", "x").toDF("c")
     val got = df.select(Transforms.column(
