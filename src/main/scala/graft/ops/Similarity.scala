@@ -71,26 +71,14 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic hyperplane weight for (table, plane, dim): md5-derived
-    * uniform in [-1, 1). */
-  private def planeWeight(table: Int, plane: Int, dim: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"graft:$table:$plane:$dim".getBytes("UTF-8"))
-    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-    v.toDouble / math.pow(2, 31) - 1.0
-  }
-
   /** Sign-bit bucket signature for one LSH table: `planes` bits packed into a
-    * long. Hyperplane weights are literal arrays — evaluated inside codegen,
-    * nothing shipped but the expression tree. */
+    * long. One native expression carrying the whole md5-derived weight matrix
+    * as a codegen reference object (graft.plans.LshBucket — see its scaladoc
+    * for why the per-plane literal-array formulation was a per-execution
+    * Janino compile disaster). Bit-identical to the composed form: same
+    * weights, same ascending-dim summation order. */
   def lshBucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
-    (0 until planes).map { p =>
-      val w = array((0 until dims).map(d => lit(planeWeight(table, p, d))): _*)
-      val dot = aggregate(zip_with(vec, w, (x, wd) => x.cast("double") * wd),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.plans.GraftExpressions.lsh_bucket(vec, table, planes, dims)
 
   /**
    * ANN: probes only join corpus vectors sharing a bucket in at least one of

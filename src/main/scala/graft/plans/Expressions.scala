@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -122,6 +122,155 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
       newRight: Expression): IntDot = copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Dot product of two `array<double>` columns — same rationale as [[IntDot]]
+ * (interpreted HOF lambdas dominate scoring loops), for the float paths:
+ * LSH hyperplane projections, where the weight side is a literal array that
+ * codegen folds into the generated class. Summation is in element order, so
+ * results are IEEE-identical to the `aggregate(zip_with(...))` fold it
+ * replaces.
+ */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"double_dot needs two array<double>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DoubleDot = copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Random-hyperplane LSH bucket signature: bit p of the result is the sign of
+ * `vec . w[p]` for `planes` md5-derived hyperplanes, packed into a long.
+ *
+ * One expression for the WHOLE signature, with the weight matrix attached as
+ * a single codegen reference object — NOT `planes * dims` literal columns:
+ * that form generated a multi-thousand-line class whose Janino compilation
+ * (~1.4 s CPU) re-ran on every broadcast build and never amortized, which
+ * made bucket assignment the dominant cost of the ANN query at every scale.
+ * Here the generated code is a tiny fixed loop, identical across executions,
+ * so the compile caches; on a cluster the same property keeps per-task
+ * codegen off the scoring path.
+ *
+ * Accepts `array<float>` or `array<double>`. Summation is in ascending dim
+ * order — IEEE-identical to the `aggregate(zip_with(...))` fold and the
+ * literal-array `double_dot` form it replaces.
+ */
+case class LshBucket(child: Expression, table: Int, planes: Int, dims: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, s"planes=$planes must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"lsh_bucket needs array<float|double>, got $t")
+    }
+
+  /** planes x dims weights, row-major; deterministic (md5-derived). */
+  @transient private lazy val weights: Array[Double] =
+    Array.tabulate(planes * dims)(i =>
+      LshBucket.planeWeight(table, i / dims, i % dims))
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      val base = p * dims
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += x * weights(base + d)
+        d += 1
+      }
+      if (acc >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val w = ctx.addReferenceObj("lshWeights", weights, "double[]")
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $acc += (double) $v.$get($d) * $w[$p * $dims + $d];
+         |  }
+         |  if ($acc >= 0) $sig |= 1L << $p;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  /** Deterministic hyperplane weight for (table, plane, dim): md5-derived
+    * uniform in [-1, 1). Not RNG-dependent, so any engine can replay it. */
+  def planeWeight(table: Int, plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"graft:$table:$plane:$dim".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    v.toDouble / math.pow(2, 31) - 1.0
+  }
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -131,6 +280,14 @@ object GraftExpressions {
     ColumnBridge.column(IntDot(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
 
+  def double_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DoubleDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  def lsh_bucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
+    ColumnBridge.column(LshBucket(ColumnBridge.expression(vec),
+      table, planes, dims))
+
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
   def register(spark: SparkSession): Unit = {
@@ -138,5 +295,7 @@ object GraftExpressions {
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_int_dot", exprs => IntDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_double_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
   }
 }

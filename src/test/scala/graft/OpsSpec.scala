@@ -46,6 +46,28 @@ class OpsSpec extends SparkSpec {
     assert(viaSql == want)
   }
 
+  test("lsh bucket expression matches a reference loop (float and double)") {
+    val vec = Array.tabulate(8)(i => (i - 4) * 0.25f)
+    var want = 0L
+    for (p <- 0 until 5) {
+      val acc = (0 until 8).map(d =>
+        vec(d).toDouble * graft.plans.LshBucket.planeWeight(2, p, d)).sum
+      if (acc >= 0) want |= 1L << p
+    }
+    val asFloat = Seq(Tuple1(vec)).toDF("v")
+      .select(graft.plans.GraftExpressions.lsh_bucket($"v", 2, 5, 8))
+      .as[Long].collect().head
+    val asDouble = Seq(Tuple1(vec.map(_.toDouble))).toDF("v")
+      .select(graft.plans.GraftExpressions.lsh_bucket($"v", 2, 5, 8))
+      .as[Long].collect().head
+    assert(asFloat == want && asDouble == want)
+    // null vector -> null bucket
+    val n = Seq(Tuple1(null: Array[Float])).toDF("v")
+      .select(graft.plans.GraftExpressions.lsh_bucket($"v", 2, 5, 8))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
       .toDF("doc_id", "text")
