@@ -29,6 +29,10 @@ object GraftSession {
     val parts = shufflePartitions.getOrElse(
       Runtime.getRuntime.availableProcessors * 2)
     b.config("spark.sql.shuffle.partitions", parts.toString)
+      // a long-lived engine session compiles well over the default 100
+      // generated classes; a thrashing codegen cache means big classes
+      // (wide aggregates, merge projections) recompile on every execution
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")

@@ -11,6 +11,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // a 50-query engine session compiles >100 generated classes; the
+      // default 100-entry codegen cache thrashes and big classes recompile
+      // per run (static conf, must be set before session creation)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
