@@ -208,19 +208,22 @@ object Dedup {
       n: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val sh = materialized(shingleTable(df, idCol, textCol, n))
-    val sizes = sh.groupBy("doc_id").agg(count("*").as("n_sh"))
+    // set + size in one shuffle; true intersection is then per-pair local
+    // `array_intersect` (see jaccardPairs for why not a posting-list re-join)
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list("shingle").as("sh_set"), count("*").as("n_sh"))
     val cand = candidatesFromSignatures(signaturesFromShingles(sh, k),
       k, bands)
-    val inter = cand.join(sh.as("sa"), col("doc1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc2") === col("sb.doc_id") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc1", "doc2").agg(count("*").as("intersection"))
-    inter
-      .join(sizes.as("z1"), col("doc1") === col("z1.doc_id"))
-      .join(sizes.as("z2"), col("doc2") === col("z2.doc_id"))
+    cand
+      .join(docSets.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(docSets.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("z1.sh_set"), col("z2.sh_set")))
+          .cast("long").as("intersection"),
+        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"))
       .select(col("doc1"), col("doc2"),
         (col("intersection").cast("double") /
-          (col("z1.n_sh") + col("z2.n_sh") - col("intersection")).cast("double"))
+          (col("n1") + col("n2") - col("intersection")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }

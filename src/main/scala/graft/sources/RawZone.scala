@@ -52,8 +52,20 @@ object RawZone {
   /** K1/K2 — gzipped-CSV write with header. `overwrite=false` is the raw-zone
     * append accumulation (K1); `overwrite=true` collapses the reference's
     * "overwrite if .gz already present, else create" dance (K2) to its end
-    * state. */
-  def writeRawCsv(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
-    df.write.mode(if (overwrite) "overwrite" else "append")
+    * state.
+    *
+    * `targetFiles` shards the write: gzip is an UNSPLITTABLE codec, so each
+    * .gz file is one task for every downstream reader — a single giant file
+    * serializes the whole stage zone behind one core (and one gzip stream on
+    * the write side). A compact parquet scan often arrives as one input
+    * partition, so default to the session's parallelism rather than
+    * inheriting it. */
+  def writeRawCsv(df: DataFrame, path: String, overwrite: Boolean = false,
+      targetFiles: Option[Int] = None): Unit = {
+    val n = targetFiles.getOrElse(
+      df.sparkSession.sparkContext.defaultParallelism)
+    val sharded = if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    sharded.write.mode(if (overwrite) "overwrite" else "append")
       .option("header", "true").option("compression", "gzip").csv(path)
+  }
 }
