@@ -590,6 +590,12 @@ object QueryCatalog {
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    ("q_dedup_clusters",
+      (s: SparkSession, d: String) => Dedup.components(
+        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          n = 5, k = 12, bands = 4, threshold = 0.7)),
+      Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
+
     ("q_dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
@@ -615,7 +621,9 @@ object QueryCatalog {
           FROM q JOIN c ON q.vec_id < c.vec_id)
         SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")))
 
-  private def minhashOracleSql(n: Int, k: Int, bands: Int,
+  /** CTE chain ending in `mh_pairs(doc1, doc2, jaccard)` — the MinHash+LSH
+    * near-dup pairs. Shared by the pairs query and the components query. */
+  private def minhashPairsCtes(n: Int, k: Int, bands: Int,
       threshold: Double): String = {
     val r = k / bands
     val sigExprs = (0 until k).map(i =>
@@ -625,7 +633,7 @@ object QueryCatalog {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($key) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH ${shingleSql(n)},
+    s"""${shingleSql(n)},
       seeds AS (SELECT doc_id, sg,
           CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
           CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
@@ -640,15 +648,34 @@ object QueryCatalog {
       inter AS (SELECT doc1, doc2, count(*) AS intersection
                 FROM cand JOIN sh sa ON sa.doc_id = doc1
                           JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
-                GROUP BY 1, 2)
-      SELECT doc1, doc2,
-        CAST(intersection AS DOUBLE) /
-          CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
-      FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
-                 JOIN sizes z2 ON doc2 = z2.doc_id
-      WHERE CAST(intersection AS DOUBLE) /
-            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= $threshold"""
+                GROUP BY 1, 2),
+      mh_pairs AS (
+        SELECT doc1, doc2,
+          CAST(intersection AS DOUBLE) /
+            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
+                   JOIN sizes z2 ON doc2 = z2.doc_id
+        WHERE CAST(intersection AS DOUBLE) /
+              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= $threshold)"""
   }
+
+  private def minhashOracleSql(n: Int, k: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH ${minhashPairsCtes(n, k, bands, threshold)}
+      SELECT doc1, doc2, jaccard FROM mh_pairs"""
+
+  /** Connected components of the near-dup graph by reachability:
+    * component_id = min doc id reachable from each doc (recursive CTE). */
+  private def clustersOracleSql(n: Int, k: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairsCtes(n, k, bands, threshold)},
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                UNION SELECT doc2, doc1 FROM mh_pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1"""
 
   private def simhashOracleSql: String = {
     val bitSums = (0 until Dedup.SimhashBits).map(j =>

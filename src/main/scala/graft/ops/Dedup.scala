@@ -278,4 +278,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc1", "doc2", "hamming")
   }
+
+  // ------------------------------------------- components / canonicalization
+
+  /**
+   * Connected components over an undirected near-dup pair table:
+   * (doc_id, component_id) where component_id = the MIN doc id reachable
+   * through any chain of pairs. This is the step between pair generation and
+   * canonical-document selection — near-duplicate is not transitive, so
+   * keep-one-per-pair double-drops documents that chain (A~B, B~C drops B
+   * and C even though A~C may not hold); the standard policy is one
+   * representative per component.
+   *
+   * Min-label propagation: each round, every vertex takes the min of its own
+   * label and its neighbors' — one equi-join (shuffle on the edge source) +
+   * one groupBy per round, no driver-side graph. Rounds = graph diameter,
+   * and near-dup components are overwhelmingly small cliques (diameter 1-2),
+   * so 2-3 rounds converge; `maxIter` bounds adversarial chains (a path of
+   * length > maxIter would need that many rounds — at that point switch to
+   * the large-star/small-star formulation, which converges in O(log d)).
+   * Labels persist per round with the previous round unpersisted — lineage
+   * would otherwise double per iteration. Only docs appearing in `pairs` are
+   * emitted (singletons are their own component trivially).
+   */
+  def components(pairs: DataFrame, aCol: String = "doc1",
+      bCol: String = "doc2", maxIter: Int = 20): DataFrame = {
+    val edges = materialized(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+        .distinct())
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = edges.join(labels, col("a") === col("id"))
+        .select(col("b").as("id"), col("comp"))
+      val next = msgs.union(labels.select(col("id"), col("comp")))
+        .groupBy("id").agg(min("comp").as("comp"))
+      next.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.comp") =!= col("l.comp")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
+  /** Component-canonical dedup over near-dup pairs: keep the min-id document
+    * of every component (plus all unpaired documents). */
+  def componentDedup(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "doc1", bCol: String = "doc2"): DataFrame = {
+    val comps = components(pairs, aCol, bCol)
+    val drop = comps.filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

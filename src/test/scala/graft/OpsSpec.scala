@@ -95,6 +95,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("components: chains collapse to min-id; canonical dedup keeps one") {
+    // chain 1-2-3 (near-dup is not transitive: 1~3 never paired directly),
+    // plus the separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val comps = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id") // 99 unpaired
+    val kept = Dedup.componentDedup(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("simhash: near-identical docs land within small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() == docs.count())
