@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Transforms
 import graft.incr.Incremental
 import graft.meta.ColumnSpec
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.StageTransform
 import graft.write.MergeWriter
 
@@ -931,11 +931,38 @@ object QueryCatalog {
       },
       Some("SELECT o_orderkey, o_orderstatus FROM orders")))
 
+  // ============================================================ sampling
+
+  /** Same uniform-in-[0,1) md5 score as `Sampling.hashScore`; division by
+    * 2^32 is exact in binary floating point, so the comparison is
+    * bit-identical across engines. */
+  private def hashScoreSql(id: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 8)) " +
+      s"AS BIGINT) AS DOUBLE) / 4294967296.0"
+
+  private val samplingQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_sample_hash",
+      (s: SparkSession, d: String) => Sampling.hashSample(
+        t(s, d, "documents"), "doc_id", fraction = 0.1)
+        .select("doc_id", "lang", "source"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        WHERE ${hashScoreSql("doc_id")} < 0.1""")),
+
+    ("q_sample_stratified",
+      (s: SparkSession, d: String) => Sampling.stratifiedSample(
+        t(s, d, "documents"), "lang", "doc_id", quota = 40)
+        .select("doc_id", "lang"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        QUALIFY row_number() OVER (PARTITION BY lang
+          ORDER BY ${hashScoreSql("doc_id")} ASC, doc_id ASC) <= 40""")))
+
   // ============================================================ assembly
 
   val all: Seq[(String, Q, Option[String])] =
     dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
-      dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries
+      dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries ++
+      samplingQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 

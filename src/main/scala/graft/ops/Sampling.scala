@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data pipelines.
+ *
+ * `df.sample()` draws from a per-partition RNG: results change with
+ * partitioning, task retries, and Spark versions — unacceptable when a
+ * sample defines a training set that must be reproducible (and auditable)
+ * months later. Both operators here decide membership from a HASH OF THE
+ * ROW'S ID, so the same row makes the same decision on any cluster, at any
+ * parallelism, in any engine (the DuckDB oracles replay them exactly).
+ *
+ * Scale: `hashSample` is a stateless per-row filter — fully pushed into the
+ * scan stage, no shuffle, no driver coordination. `stratifiedSample` is one
+ * shuffle on the stratum key; its per-stratum top-`quota` uses the same
+ * md5 order everywhere, so it is also retry-stable. A count-based quota
+ * does concentrate each stratum on one reducer — quotas are for capping
+ * dominant strata (languages, sources), which is exactly the case where a
+ * stratum fits a reducer after capping.
+ */
+object Sampling {
+
+  /** Uniform-in-[0,1) deterministic score for an id: first 8 md5 hex chars
+    * scaled by 2^-32. */
+  def hashScore(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep rows whose hash score < `fraction` — a reproducible Bernoulli
+    * sample stratified by nothing but the id space. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    df.filter(hashScore(col(idCol)) < fraction)
+  }
+
+  /** Keep at most `quota` rows per stratum, chosen in hash-score order (with
+    * the id as a total tie-break) — caps dominant strata deterministically. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashScore(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= quota)
+      .drop("__graft_rank")
+  }
+}

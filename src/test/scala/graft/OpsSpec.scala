@@ -95,6 +95,25 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("sampling: hash sample is partitioning-invariant; quotas respected") {
+    val docs = (1L to 400L).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 4 === 0, "en").otherwise("es"))
+    val a = graft.ops.Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = graft.ops.Sampling.hashSample(docs.repartition(7), "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < 400) // decision rides on the id,
+    assert(math.abs(a.size - 100) < 40)          // not on partition layout
+
+    val s = graft.ops.Sampling.stratifiedSample(docs, "lang", "doc_id", 30)
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 30L, "es" -> 30L))
+    val s2 = graft.ops.Sampling
+      .stratifiedSample(docs.repartition(5), "lang", "doc_id", 30)
+    assert(s.select("doc_id").as[Long].collect().toSet ==
+      s2.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("components: chains collapse to min-id; canonical dedup keeps one") {
     // chain 1-2-3 (near-dup is not transitive: 1~3 never paired directly),
     // plus the separate pair 10-11
