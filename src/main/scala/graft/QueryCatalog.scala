@@ -957,12 +957,76 @@ object QueryCatalog {
         QUALIFY row_number() OVER (PARTITION BY lang
           ORDER BY ${hashScoreSql("doc_id")} ASC, doc_id ASC) <= 40""")))
 
+  // ================================================== composed cleaning
+
+  /** C4-style cleaning as ONE declarative plan: language gate -> quality
+    * gates -> exact dedup -> deterministic sample. Catalyst fuses the scalar
+    * scoring into the scan stage; the only shuffles are the dedup groupBy
+    * and its semi-join back. */
+  private val cleanQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    ("q_clean_pipeline",
+      (s: SparkSession, d: String) => {
+        val scored = TextOps.withQuality(t(s, d, "documents"), "text")
+          .withColumn("lang_pred", TextOps.langId(col("text")))
+        val filtered = scored.filter(col("lang_pred") === "en" &&
+          col("n_tokens").between(10, 5000) &&
+          col("stop_ratio") >= 0.05 && col("punct_ratio") <= 0.30)
+        val deduped = Dedup.exactDedup(filtered, "doc_id", "text")
+        Sampling.hashSample(deduped, "doc_id", fraction = 0.5)
+          .select("doc_id", "lang_pred", "n_tokens")
+      },
+      Some {
+        val langCounts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
+          case (lang, words) =>
+            val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+            s"len(list_filter(${tokensSql()}, t -> list_contains($list, t)))" +
+              s" AS c_$lang"
+        }
+        val langs = TextOps.LangMarkers.filter(_._2.nonEmpty).map(_._1)
+        val langCase = langs.zipWithIndex.map { case (lang, i) =>
+          val earlier = langs.take(i).map(l => s"c_$lang > c_$l")
+          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l")
+          s"WHEN ${(earlier ++ later :+ s"c_$lang > 0").mkString(" AND ")} " +
+            s"THEN '$lang'"
+        }
+        s"""WITH m AS (SELECT doc_id, text,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
+            CAST(len(list_filter(${tokensSql()},
+              t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stop,
+            CAST(length(text) AS BIGINT) AS n_chars,
+            CAST(length(text) - length(regexp_replace(text,
+              '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+            ${langCounts.mkString(",\n            ")}
+          FROM documents),
+          scored AS (SELECT doc_id, text, n_tokens,
+            floor((CAST(n_punct AS DOUBLE) /
+                   CAST(greatest(n_chars, 1) AS DOUBLE)) * 1e6) / 1e6
+              AS punct_ratio,
+            floor((CAST(n_stop AS DOUBLE) /
+                   CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6) / 1e6
+              AS stop_ratio,
+            CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                 ${langCase.mkString("\n                 ")}
+                 ELSE 'und' END AS lang_pred
+          FROM m),
+          filtered AS (SELECT * FROM scored WHERE lang_pred = 'en'
+            AND n_tokens BETWEEN 10 AND 5000
+            AND stop_ratio >= 0.05 AND punct_ratio <= 0.30),
+          canon AS (SELECT min(doc_id) AS id FROM filtered
+            GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
+              ' ', 'g'))))
+          SELECT doc_id, lang_pred, n_tokens
+          FROM filtered JOIN canon ON doc_id = canon.id
+          WHERE ${hashScoreSql("doc_id")} < 0.5"""
+      }))
+
   // ============================================================ assembly
 
   val all: Seq[(String, Q, Option[String])] =
     dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
       dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries ++
-      samplingQueries
+      samplingQueries ++ cleanQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 
