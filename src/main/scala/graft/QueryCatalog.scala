@@ -390,6 +390,25 @@ object QueryCatalog {
   private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
+    ("q_agg_hourly",
+      // tumbling-window time-series aggregation via Spark's window():
+      // hourly event counts + distinct users + min/max value (min/max are
+      // order-independent on doubles; float SUMs are not cross-engine-safe)
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("n_users"),
+          col("min_value"), col("max_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+          AS hour, event_type,
+          count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+          min("value") AS min_value, max("value") AS max_value
+        FROM events GROUP BY 1, 2""")),
+
     ("q_agg_pricing",
       (s: SparkSession, d: String) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
