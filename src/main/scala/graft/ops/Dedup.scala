@@ -297,31 +297,35 @@ object Dedup {
    * so 2-3 rounds converge; `maxIter` bounds adversarial chains (a path of
    * length > maxIter would need that many rounds — at that point switch to
    * the large-star/small-star formulation, which converges in O(log d)).
-   * Labels persist per round with the previous round unpersisted — lineage
-   * would otherwise double per iteration. Only docs appearing in `pairs` are
-   * emitted (singletons are their own component trivially).
+   *
+   * Each round is CHECKPOINTED, not merely persisted: next_i's logical plan
+   * contains labels_i twice (once in the messages join, once in the union),
+   * so without truncation the plan DOUBLES per round — and with a full LSH
+   * pipeline at the leaves, driver-side analysis/canonicalization cost went
+   * exponential (10 s PER ROUND on 256 cached pairs) while the actual data
+   * work was milliseconds. `localCheckpoint` cuts the plan at the
+   * materialized RDD; on a cluster with a checkpoint dir configured,
+   * `checkpoint` additionally survives executor loss. Only docs appearing
+   * in `pairs` are emitted (singletons are their own component trivially).
    */
   def components(pairs: DataFrame, aCol: String = "doc1",
       bCol: String = "doc2", maxIter: Int = 20): DataFrame = {
-    val edges = materialized(
+    val edges =
       pairs.select(col(aCol).as("a"), col(bCol).as("b"))
         .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-        .distinct())
+        .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-    labels.persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val msgs = edges.join(labels, col("a") === col("id"))
         .select(col("b").as("id"), col("comp"))
       val next = msgs.union(labels.select(col("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp"))
-      next.persist(StorageLevel.MEMORY_AND_DISK)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
       changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.comp") =!= col("l.comp")).count()
-      labels.unpersist()
       labels = next
       i += 1
     }
