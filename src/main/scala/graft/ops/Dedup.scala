@@ -320,13 +320,17 @@ object Dedup {
     var i = 0
     while (changed > 0 && i < maxIter) {
       val msgs = edges.join(labels, col("a") === col("id"))
-        .select(col("b").as("id"), col("comp"))
-      val next = msgs.union(labels.select(col("id"), col("comp")))
-        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.comp") =!= col("l.comp")).count()
-      labels = next
+        .select(col("b").as("id"), col("comp"), lit(false).as("own"))
+      // fold the previous label into the SAME aggregation (min over own
+      // rows) — convergence is then a filter on the checkpointed result,
+      // not another join+shuffle per round
+      val next = msgs
+        .union(labels.select(col("id"), col("comp"), lit(true).as("own")))
+        .groupBy("id").agg(min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
