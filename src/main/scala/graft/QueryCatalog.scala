@@ -615,6 +615,25 @@ object QueryCatalog {
           n = 5, k = 12, bands = 4, threshold = 0.7)),
       Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    ("q_dedup_canonical",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.componentDedup(docs, "doc_id",
+          Dedup.minhashNearDups(docs, "doc_id", "text",
+            n = 5, k = 12, bands = 4, threshold = 0.7))
+          .select("doc_id", "lang", "source")
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1)
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> c)""")),
+
     ("q_dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
