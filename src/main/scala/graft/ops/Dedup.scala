@@ -238,19 +238,16 @@ object Dedup {
 
   /** 60-bit SimHash per document: bit j set iff the majority of the doc's
     * distinct tokens have bit j set (strictly more 1s than 0s). One explode +
-    * one aggregation with 60 conditional sums — map-side combinable. */
+    * ONE object-buffer aggregate (graft.plans.SimhashAgg: int[60] of +-1
+    * counters, map-side combined) — the composed 60 x `sum(when(...))` form
+    * carried 60 long columns through the shuffle and generated a 60-aggregate
+    * codegen class. Bit-identical output. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-    val h = tokenHash60(col("tok"))
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b_$j"))
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val value = (0 until SimhashBits).map(j =>
-      when(col(s"b_$j") > 0, lit(1L) * lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), value.as("simhash"))
+    toks.groupBy("doc_id")
+      .agg(graft.plans.GraftExpressions
+        .simhash_agg(tokenHash60(col("tok")), SimhashBits).as("simhash"))
   }
 
   /** Near-dup pairs by hamming distance <= maxHamming, banded: 4 bands of 15

@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -271,6 +272,74 @@ object LshBucket {
   }
 }
 
+/**
+ * SimHash aggregate: input rows are per-token 60-bit hashes (LongType);
+ * the result is the 60-bit majority signature (bit j set iff strictly more
+ * input hashes have bit j set than not).
+ *
+ * One object-buffer aggregate (int[bits] of +-1 counters) instead of the
+ * composed 60-column `sum(when(...))` form: the wide form generated a
+ * 60-aggregate codegen class per execution and carried 60 long columns
+ * through the shuffle; this buffer is 240 bytes, map-side combined, and the
+ * update loop is compiled Scala. Same semantics bit for bit.
+ */
+case class SimhashAgg(child: Expression, bits: Int = 60,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+  require(bits > 0 && bits <= 63, s"bits=$bits must be in [1, 63]")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](bits)
+
+  override def update(buf: Array[Int],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < bits) {
+        buf(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < bits) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (buf(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * bits)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bits)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): SimhashAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SimhashAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): SimhashAgg =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -287,6 +356,10 @@ object GraftExpressions {
   def lsh_bucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(vec),
       table, planes, dims))
+
+  def simhash_agg(tokenHash: Column, bits: Int = 60): Column =
+    ColumnBridge.column(SimhashAgg(ColumnBridge.expression(tokenHash), bits)
+      .toAggregateExpression())
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
