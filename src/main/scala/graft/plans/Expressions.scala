@@ -370,5 +370,7 @@ object GraftExpressions {
       "graft_int_dot", exprs => IntDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_double_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_agg", exprs => SimhashAgg(exprs.head), "built-in")
   }
 }

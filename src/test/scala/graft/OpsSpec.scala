@@ -95,6 +95,22 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("simhash aggregate: majority rule, ties drop the bit, SQL-callable") {
+    // hashes 5 (0b101) and 7 (0b111): bit0 2-0 set, bit1 1-1 TIE -> unset,
+    // bit2 2-0 set => 0b101
+    val df = Seq((1L, 5L), (1L, 7L)).toDF("id", "h")
+    val got = df.groupBy("id")
+      .agg(graft.plans.GraftExpressions.simhash_agg($"h").as("s"))
+      .select("s").as[Long].head()
+    assert(got == 5L)
+    graft.plans.GraftExpressions.register(spark)
+    df.createOrReplaceTempView("simhash_agg_t")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash_agg(h) FROM simhash_agg_t GROUP BY id")
+      .as[Long].head()
+    assert(viaSql == 5L)
+  }
+
   test("sampling: hash sample is partitioning-invariant; quotas respected") {
     val docs = (1L to 400L).toDF("doc_id")
       .withColumn("lang", when(col("doc_id") % 4 === 0, "en").otherwise("es"))
