@@ -47,6 +47,7 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      System.gc() // outside the timers: don't bill query N+1 for N's garbage
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
