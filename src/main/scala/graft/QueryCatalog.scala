@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Transforms
 import graft.incr.Incremental
@@ -408,6 +409,41 @@ object QueryCatalog {
           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
           min("value") AS min_value, max("value") AS max_value
         FROM events GROUP BY 1, 2""")),
+
+    ("q_agg_sessionize",
+      // batch sessionization: a session breaks after a 30-min gap. lag ->
+      // flag -> running sum is the canonical two-window composition; both
+      // windows share the same (user_id, ts) partitioning+ordering so Spark
+      // plans ONE shuffle + one sort. Gaps compare in exact integer micros.
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gap = unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)
+        val isNew = when(gap.isNull || gap > 1800L * 1000000L, 1L)
+          .otherwise(0L)
+        t(s, d, "events")
+          .withColumn("session_id", sum(isNew).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_start"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_end"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+          FROM events),
+        s AS (SELECT user_id, event_id, ts,
+          CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                        THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
+        FROM s GROUP BY 1, 2""")),
 
     ("q_agg_pricing",
       (s: SparkSession, d: String) => t(s, d, "lineitem")
