@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Integer-quantized copy of a float vector: round(x * 1000) as longs. */
+  /** Integer-quantized copy of a float vector: round(x * 1000) as longs —
+    * native expression (graft.plans.QuantizeVec); the `transform` HOF form
+    * ran its lambda interpreted per element on every corpus row. */
   def quantize(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+    graft.plans.GraftExpressions.quantize_vec(vec, 1000)
 
   /** Exact integer dot product of two quantized vectors — a native codegen'd
     * Expression (graft.plans.IntDot): the composable

@@ -273,6 +273,73 @@ object LshBucket {
 }
 
 /**
+ * Integer quantization of a float vector: `round(x * scale)` per element as
+ * `array<bigint>`. This is the scan-side preamble of every similarity
+ * operator (the quantized grid is what makes dot products exact integers),
+ * so it runs once per corpus row — the `transform(vec, ...)` higher-order
+ * form evaluates its lambda interpreted per element. Rounding matches Spark's
+ * `round` exactly (BigDecimal.valueOf HALF_UP, the same shortest-repr
+ * semantics DuckDB's `round` exhibits on these values), so quantized vectors
+ * are bit-identical to the composed form.
+ */
+case class QuantizeVec(child: Expression, scale: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"quantize_vec needs array<float|double>, got $t")
+    }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = QuantizeVec.q(x * scale)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.plans.QuantizeVec.q(
+         |    (double) $v.$get($i) * $scale);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+object QuantizeVec {
+  /** Spark's `round(double)` semantics: BigDecimal.valueOf + HALF_UP. */
+  def q(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+}
+
+/**
  * SimHash aggregate: input rows are per-token 60-bit hashes (LongType);
  * the result is the 60-bit majority signature (bit j set iff strictly more
  * input hashes have bit j set than not).
@@ -356,6 +423,9 @@ object GraftExpressions {
   def lsh_bucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(vec),
       table, planes, dims))
+
+  def quantize_vec(vec: Column, scale: Int = 1000): Column =
+    ColumnBridge.column(QuantizeVec(ColumnBridge.expression(vec), scale))
 
   def simhash_agg(tokenHash: Column, bits: Int = 60): Column =
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(tokenHash), bits)
