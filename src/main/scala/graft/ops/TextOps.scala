@@ -35,9 +35,12 @@ object TextOps {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
   /** Count of tokens contained in `words`. */
+  /** Occurrences (with multiplicity) of `words` among the text's tokens —
+    * native compiled expression; see graft.plans.StopwordCount for why the
+    * `size(filter(tokens, or-chain))` form was a per-token interpreted
+    * lambda. */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text),
-      t => words.map(w => t === lit(w)).reduce(_ || _)))
+    graft.plans.GraftExpressions.stopword_count(text, words)
 
   /**
    * Quality metrics (length / punctuation / stopword ratios) + a combined
