@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Lowercased alphanumeric word tokens. */
+  /** Lowercased `[a-z0-9]`-run tokens — native compiled expression (the
+    * `filter(split(lower(...)))` form ran its length-filter lambda
+    * interpreted per token). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    graft.plans.GraftExpressions.tokenize_alnum(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -336,6 +336,57 @@ object StopwordCount {
 }
 
 /**
+ * Lowercased `[a-z0-9]` token array in one compiled pass — semantics of
+ * `filter(split(lower(text), "[^a-z0-9]+"), length > 0)`, whose `filter`
+ * lambda runs interpreted per token. The tokenizer feeding every text
+ * operator (counts, quality, simhash explode) belongs inside codegen.
+ */
+case class TokenizeAlnum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"tokenize_alnum needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizeAlnum.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.plans.TokenizeAlnum.tokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeAlnum =
+    copy(child = newChild)
+}
+
+object TokenizeAlnum {
+  /** Shared by eval and generated code. */
+  def tokens(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toLowerCase.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < len && {
+          val d = s.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out.add(UTF8String.fromString(s.substring(i, j)))
+        i = j
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/**
  * Integer quantization of a float vector: `round(x * scale)` per element as
  * `array<bigint>`. This is the scan-side preamble of every similarity
  * operator (the quantized grid is what makes dot products exact integers),
@@ -486,6 +537,9 @@ object GraftExpressions {
   def lsh_bucket(vec: Column, table: Int, planes: Int, dims: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(vec),
       table, planes, dims))
+
+  def tokenize_alnum(text: Column): Column =
+    ColumnBridge.column(TokenizeAlnum(ColumnBridge.expression(text)))
 
   def stopword_count(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(text), words))
