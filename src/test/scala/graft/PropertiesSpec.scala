@@ -61,6 +61,23 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("native tokenizer equals the composed split/filter form") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ',', '.', '-', '\n', '\t'),
+      1 -> Gen.oneOf('好', 'É', 'ß', 'и', '€'))).map(_.mkString)
+    val texts = samples(gen, 200) :+ "" :+ "   " :+ "a" :+ "7h9-x好x"
+    val df = texts.toDF("t")
+    val got = df.select(graft.ops.TextOps.tokens($"t"))
+      .as[Seq[String]].collect().toSeq
+    val want = df.select(
+      filter(split(lower($"t"), "[^a-z0-9]+"), x => length(x) > 0))
+      .as[Seq[String]].collect().toSeq
+    assert(got == want)
+  }
+
   test("components equal a union-find reference on random graphs") {
     val spark = SparkSpec.spark
     import spark.implicits._
