@@ -169,16 +169,20 @@ object Dedup {
   }
 
   /** LSH band keys: md5 over each band's `r` signature values. Output
-    * (doc_id, band, band_key). */
+    * (doc_id, band, band_key). One explode over an array of band structs —
+    * a per-band union would scan the signature table `bands` times. */
   def minhashBands(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val r = k / bands
-    val bandKey = (b: Int) => md5(concat_ws(",",
-      (0 until r).map(i => col(s"sig_${b * r + i}").cast("string")): _*)
-      .cast("binary"))
-    val rows = (0 until bands).map(b =>
-      sigs.select(col("doc_id"), lit(b).as("band"), bandKey(b).as("band_key")))
-    rows.reduce(_.unionAll(_))
+    val bandStructs = (0 until bands).map { b =>
+      val key = md5(concat_ws(",",
+        (0 until r).map(i => col(s"sig_${b * r + i}").cast("string")): _*)
+        .cast("binary"))
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
   }
 
   /** Candidate pairs from a signature table: same band key in any band
