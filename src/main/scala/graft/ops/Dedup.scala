@@ -258,15 +258,20 @@ object Dedup {
     * bits; pigeonhole guarantees recall for maxHamming <= 3. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // one row per doc; referenced 8x (4 band projections x 2 join sides)
+    // one row per doc; referenced by both join sides
     val sh = materialized(simhash(df, idCol, textCol))
     val bandsN = 4
     val width = SimhashBits / bandsN // 15
-    val banded = (0 until bandsN).map { b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+    // all 4 band values in ONE pass over the signature table (a per-band
+    // union would scan it 4x per join side)
+    val bandStructs = (0 until bandsN).map(b =>
+      struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width)
-          .bitwiseAND((1L << width) - 1).as("band_val"))
-    }.reduce(_.unionAll(_))
+          .bitwiseAND((1L << width) - 1).as("band_val")))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_val") === col("y.band_val") &&
