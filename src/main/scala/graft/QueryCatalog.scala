@@ -31,6 +31,21 @@ object QueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Money quantization that is bit-identical across engines: `floor(x*100)`
+    * floors the SAME IEEE product in Spark and DuckDB (floor has no tie
+    * mode), yielding exact BIGINT cents whose sums are order-independent.
+    * Raw double→decimal casts are NOT cross-engine-safe: Spark rounds the
+    * shortest decimal representation (`BigDecimal.valueOf`, HALF_UP) while
+    * DuckDB rounds the binary value, so a stored `36485.49499…` renders as
+    * `.495`→`.50` in Spark but `.49` in DuckDB. Sums stay in BIGINT (exact
+    * to 2^63 ≈ 9.2e18 hundredths; promote the product to decimal(38,0)
+    * before summing if a 100 TB aggregate could exceed that); presentation
+    * divides by a double literal — one IEEE op, identical everywhere. */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100)).cast("long")
+
+  private def centsSql(x: String): String = s"CAST(floor($x*100) AS BIGINT)"
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
@@ -253,38 +268,40 @@ object QueryCatalog {
             "fn_transform_Case_with_default(c_mktsegment,BUILDING|AUTOMOBILE->ba,$oo)"),
           ColumnSpec("T", "name_c", 3, "string",
             "fn_transform_ClearString(c_name,$x)"),
-          ColumnSpec("T", "bal", 4, "decimal(12,2)", "c_acctbal"),
+          // bare-expr + bigint cast: floor-quantized cents (a decimal(12,2)
+          // newDataType on the raw double would be cross-engine-unstable)
+          ColumnSpec("T", "bal", 4, "bigint", "floor(c_acctbal * 100)"),
           ColumnSpec("T", "broken", 5, "string", "no_such_column")) // quarantined
         StageTransform.run(t(s, d, "customer"), specs).df
       },
-      Some("""SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+      Some(s"""SELECT CAST(c_custkey AS BIGINT) AS cust_id,
         CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'ba'
              ELSE 'oo' END AS seg,
         trim(c_name) AS name_c,
-        CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer""")),
+        ${centsSql("c_acctbal")} AS bal FROM customer""")),
 
     // K4 — native merge upsert with schema evolution (autoMerge equivalent)
     ("q_merge_upsert",
       (s: SparkSession, d: String) => {
         val o = t(s, d, "orders")
+        // price carried as BIGINT cents (floor-quantized; see `cents`) — the
+        // decimal(15,2) cast of a raw double is cross-engine-unstable
         val target = o.filter(col("o_orderkey") % 7 < 5).select(
           col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(15,2)").as("price"))
+          cents(col("o_totalprice")).as("price"))
         val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
           col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (col("o_totalprice").cast("decimal(15,2)") + 1000)
-            .cast("decimal(15,2)").as("price"),
+          (cents(col("o_totalprice")) + lit(100000L)).as("price"),
           lit(1).as("batch_flag"))
         MergeWriter.upsert(target, batch, Seq("o_orderkey"))
       },
-      Some("""WITH target AS (
+      Some(s"""WITH target AS (
           SELECT o_orderkey, o_orderstatus,
-                 CAST(o_totalprice AS DECIMAL(15,2)) AS price
+                 ${centsSql("o_totalprice")} AS price
           FROM orders WHERE o_orderkey % 7 < 5),
         batch AS (
           SELECT o_orderkey, 'U' AS o_orderstatus,
-                 CAST(CAST(o_totalprice AS DECIMAL(15,2)) + 1000
-                      AS DECIMAL(15,2)) AS price,
+                 ${centsSql("o_totalprice")} + 100000 AS price,
                  1 AS batch_flag
           FROM orders WHERE o_orderkey % 7 >= 3)
         SELECT t.*, CAST(NULL AS INTEGER) AS batch_flag FROM target t
@@ -446,28 +463,25 @@ object QueryCatalog {
         FROM s GROUP BY 1, 2""")),
 
     ("q_agg_pricing",
+      // all money runs as floor-quantized BIGINT cents (see `cents` scaladoc:
+      // double→decimal casts of RAW doubles are cross-engine-unstable on the
+      // half-cent digit); sums are exact integers, presentation divides by a
+      // double literal — one IEEE op, bit-identical in both engines
       (s: SparkSession, d: String) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_base"),
-          // decimal arithmetic on decimal-cast RAW columns, and never a
-          // scale-reducing cast afterwards — casting computed doubles to
-          // decimal (Java shortest-repr ties) and scale-reduction (DuckDB
-          // truncates, Spark rounds) are both cross-engine unstable
-          sum(col("l_extendedprice").cast("decimal(15,2)") *
-            (lit(1) - col("l_discount").cast("decimal(5,2)")))
-            .cast("decimal(25,4)").as("sum_disc"),
+          (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base"),
+          (sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
+            .as("sum_disc"),
           count(lit(1)).as("n")),
-      Some("""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
-          AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+        CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) / 100.0
           AS sum_base,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
-                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+        CAST(sum(${centsSql("l_extendedprice")} *
+                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
           AS sum_disc,
         count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
@@ -482,14 +496,14 @@ object QueryCatalog {
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            sum(col("l_extendedprice").cast("decimal(15,2)") *
-              (lit(1) - col("l_discount").cast("decimal(5,2)")))
-              .cast("decimal(25,4)").as("revenue"),
+            (sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
+              .as("revenue"),
             countDistinct(col("o_orderkey")).as("n_orders"))
       },
-      Some("""SELECT c_mktsegment,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
-                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+      Some(s"""SELECT c_mktsegment,
+        CAST(sum(${centsSql("l_extendedprice")} *
+                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
           AS revenue,
         count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -964,13 +978,13 @@ object QueryCatalog {
         graft.ops.Skew.saltedJoin(li, o, Seq("l_orderkey"), nSalts = 8)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_extendedprice").cast("decimal(15,2)") *
-              (lit(1) - col("l_discount").cast("decimal(5,2)")))
-              .cast("decimal(25,4)").as("revenue"))
+            (sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
+              .as("revenue"))
       },
-      Some("""SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
-                 (1 - CAST(l_discount AS DECIMAL(5,2)))) AS DECIMAL(25,4))
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(${centsSql("l_extendedprice")} *
+                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
           AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""")),
