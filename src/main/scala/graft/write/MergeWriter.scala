@@ -1,7 +1,12 @@
 package graft.write
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import graft.meta.LoadMode
 
@@ -20,11 +25,13 @@ import graft.meta.LoadMode
  * shuffle at all. Schema evolution (Delta autoMerge,
  * aje-stage-dms-load.py:44) is the union of both schemas with nulls filled.
  *
- * Scale notes: rewriting the whole target on merge is what Delta avoids with
- * file-level pruning; for partitioned stage tables use `partitionCols` so
- * only touched partitions rewrite would be needed (dynamic overwrite mode).
- * The transactional-window mode already exploits this: only the recent
- * `processperiod` window changes.
+ * Scale notes: with `partitionCols` set, merge modes route through
+ * `prunedMergeWrite` — the native analog of Delta's file pruning
+ * (aje-stage-dms-load.py:482-495): only the partitions the batch touches
+ * (plus, for the transactional-window mode, the deleted window) are read,
+ * merged and swapped; every other partition directory is never opened, so
+ * per-merge cost is O(|touched partitions|), not O(|table|). Unpartitioned
+ * targets still rewrite fully (there is nothing to prune by).
  */
 object MergeWriter {
 
@@ -106,10 +113,103 @@ object MergeWriter {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp)
-    val rows = df.sparkSession.read.parquet(tmp).count()
+    val rows = parquetRowCount(tmp)
     deleteRecursive(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     rows
+  }
+
+  /** Row count from parquet FOOTERS only — no data pass over the freshly
+    * written files (each footer carries the exact record count). Driver-side
+    * listing is fine here: this writer is explicitly the local-FS analog; a
+    * cloud deployment would sum the commit protocol's task metrics instead. */
+  private def parquetRowCount(dir: String): Long = {
+    val conf = new Configuration()
+    val s = Files.walk(Paths.get(dir))
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map { p =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    finally s.close()
+  }
+
+  /** Partition-pruned merge-and-swap (Delta file-pruning analog,
+    * aje-stage-dms-load.py:482-495). Touched set = the batch's distinct
+    * partition values plus any partitions matching `alsoTouched` (the
+    * transactional-window delete range). Only those partitions are read —
+    * the scan's PartitionFilters skip every other directory — merged via
+    * `merge`, written partitioned to a tmp dir, and swapped in per
+    * partition directory. Touched partitions that end up EMPTY after the
+    * merge (a fully deleted window period) are removed.
+    *
+    * Contract (the standard pruned-merge one): a row's partition values must
+    * be stable under update — a key may not move between partitions, or its
+    * stale copy in the old partition would survive unpruned. The reference's
+    * stage tables satisfy this (partition = processperiod derived from the
+    * row's own transaction date). Schema evolution applies to rewritten
+    * partitions only; readers needing evolved columns across old partitions
+    * should read with `mergeSchema`. */
+  def prunedMergeWrite(spark: SparkSession, batch: DataFrame, path: String,
+      partitionCols: Seq[String], alsoTouched: Option[Column],
+      merge: (DataFrame, DataFrame) => DataFrame): Long = {
+    val pc = partitionCols.map(col)
+    val target = spark.read.parquet(path)
+    val batchVals = batch.select(pc: _*).distinct().collect()
+    val extraVals = alsoTouched match {
+      case Some(p) => target.select(pc: _*).distinct().filter(p).collect()
+      case None => Array.empty[Row]
+    }
+    val touched = (batchVals ++ extraVals).map(_.toSeq).distinct.toSeq
+    if (touched.isEmpty) return 0L
+
+    // OR of per-partition equality conjunctions — the shape Spark's
+    // partition pruning folds into PartitionFilters (directory-level skip)
+    val pred = touched.map(vals =>
+      partitionCols.zip(vals).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)).reduce(_ || _)
+
+    val merged = merge(target.filter(pred), batch)
+    val tmp = path + ".__tmp"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(tmp)
+    val rows = parquetRowCount(tmp)
+
+    // Swap per partition directory: replace every partition the tmp write
+    // produced, and delete touched partitions the merge emptied.
+    val tmpRoot = Paths.get(tmp)
+    val written = leafPartitionDirs(tmpRoot, partitionCols.length)
+    val pathRoot = Paths.get(path)
+    touched.foreach(vals => deleteRecursive(pathRoot.resolve(dirName(partitionCols, vals))))
+    written.foreach { rel =>
+      val dest = pathRoot.resolve(rel)
+      deleteRecursive(dest) // same partition under a differently rendered name
+      Files.createDirectories(dest.getParent)
+      Files.move(tmpRoot.resolve(rel), dest, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursive(tmpRoot)
+    rows
+  }
+
+  /** `col=value(/col2=value2…)` exactly as Spark renders it on write. */
+  private def dirName(partitionCols: Seq[String], vals: Seq[Any]): String =
+    partitionCols.zip(vals).map { case (c, v) =>
+      // null renders as __HIVE_DEFAULT_PARTITION__ inside the helper
+      ExternalCatalogUtils.getPartitionPathString(c,
+        if (v == null) null else v.toString)
+    }.mkString("/")
+
+  /** Relative paths of the depth-`n` partition directories under `root`. */
+  private def leafPartitionDirs(root: JPath, n: Int): Seq[JPath] = {
+    val s = Files.walk(root, n)
+    try s.iterator().asScala
+      .filter(p => root.relativize(p).getNameCount == n && Files.isDirectory(p)
+        && p.getFileName.toString.contains("="))
+      .map(root.relativize).toSeq
+    finally s.close()
   }
 
   /** K7 — table maintenance. The reference's `vacuum(100)` + symlink manifest
@@ -162,12 +262,26 @@ object MergeWriter {
     }
     withRetry(3, retrySleepMs) {
       val existing = readTarget(spark, path)
+      val pruned = partitionCols.nonEmpty && existing.isDefined
       (existing, mode) match {
+        case (Some(_), LoadMode.IncrementalMerge) if pruned =>
+          MergeStats("merge-pruned", prunedMergeWrite(spark, batch, path,
+            partitionCols, None, upsert(_, _, ids)))
         case (Some(t), LoadMode.IncrementalMerge) =>
           MergeStats("merge", writeSwap(upsert(t, batch, ids), path, partitionCols))
+        case (Some(_), LoadMode.TransactionalWindowMerge(_)) if pruned
+            && partitionCols.contains("processperiod") =>
+          // deleted window = extra touched partitions (periods the batch has
+          // no replacement rows for must still be emptied)
+          MergeStats("window-merge-pruned", prunedMergeWrite(spark, batch, path,
+            partitionCols, Some(col("processperiod").cast("int") >= cutoffPeriod),
+            transactionalWindowMerge(_, _, ids, cutoffPeriod)))
         case (Some(t), LoadMode.TransactionalWindowMerge(_)) =>
           MergeStats("window-merge", writeSwap(
             transactionalWindowMerge(t, batch, ids, cutoffPeriod), path, partitionCols))
+        case (Some(_), LoadMode.Upsert(key)) if pruned =>
+          MergeStats("upsert-pruned", prunedMergeWrite(spark, batch, path,
+            partitionCols, None, upsert(_, _, Seq(key))))
         case (Some(t), LoadMode.Upsert(key)) =>
           MergeStats("upsert", writeSwap(upsert(t, batch, Seq(key)), path, partitionCols))
         case _ => // FullOverwrite, Snapshot, or first write of any mode

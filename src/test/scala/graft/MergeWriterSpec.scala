@@ -80,6 +80,57 @@ class MergeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 0) // empty table bootstrapped
   }
 
+  // Files of a partition dir as name -> content bytes (ignoring _SUCCESS etc).
+  private def partFiles(root: String, rel: String): Map[String, Seq[Byte]] = {
+    val dir = new java.io.File(s"$root/$rel")
+    dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> Files.readAllBytes(f.toPath).toSeq).toMap
+  }
+
+  test("pruned merge rewrites only touched partitions, byte-identical rest") {
+    val path = tmp()
+    val t0 = Seq((1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", 30))
+      .toDF("id", "v", "p")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    val before10 = partFiles(path, "p=10")
+    val before30 = partFiles(path, "p=30")
+    // batch touches only p=20
+    val batch = Seq((3, "C", 20), (5, "e", 20)).toDF("id", "v", "p")
+    val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    assert(s.mode == "merge-pruned" && s.rowsWritten == 2)
+    // untouched partitions: same files, same bytes (never rewritten)
+    assert(partFiles(path, "p=10") == before10)
+    assert(partFiles(path, "p=30") == before30)
+    val got = spark.read.parquet(path).select("id", "v")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b"), (3, "C"), (4, "d"), (5, "e")))
+  }
+
+  test("pruned window merge empties deleted periods with no batch rows") {
+    val path = tmp()
+    val t0 = Seq((1, "a", 202311), (2, "b", 202401), (3, "c", 202402))
+      .toDF("id", "v", "processperiod")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("processperiod"), retrySleepMs = _ => 0L)
+    val beforeOld = partFiles(path, "processperiod=202311")
+    // window >= 202401 is deleted; batch only refills 202402
+    val batch = Seq((3, "C", 202402), (5, "e", 202402))
+      .toDF("id", "v", "processperiod")
+    val s = MergeWriter.write(spark, batch, path,
+      LoadMode.TransactionalWindowMerge(0), ids = Seq("id"),
+      partitionCols = Seq("processperiod"), cutoffPeriod = 202401,
+      retrySleepMs = _ => 0L)
+    assert(s.mode == "window-merge-pruned" && s.rowsWritten == 2)
+    assert(partFiles(path, "processperiod=202311") == beforeOld)
+    // 202401 had no replacement rows: its directory must be GONE
+    assert(!new java.io.File(s"$path/processperiod=202401").exists())
+    val got = spark.read.parquet(path).select("id", "v")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (3, "C"), (5, "e")))
+  }
+
   test("retry combinator retries then succeeds") {
     var calls = 0
     val out = MergeWriter.withRetry(3, _ => 0L) {
