@@ -690,10 +690,17 @@ object QueryCatalog {
       Some(simhashOracleSql)),
 
     ("q_dedup_simhash_pairs",
+      // Manku multi-table blocked search has EXACT recall at maxHamming <
+      // blocks, so it must equal the oracle's brute-force all-pairs hamming
+      // join (feasible at fixture scale: 500 x 500)
       (s: SparkSession, d: String) =>
         Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 8),
-      None), // banding logic covered by ScalaTest; signature oracle above
+          maxHamming = 3),
+      Some(s"""WITH sig AS ($simhashOracleSql)
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     ("q_emb_neardup",
       (s: SparkSession, d: String) => {

@@ -254,35 +254,66 @@ object Dedup {
         .simhash_agg(tokenHash60(col("tok")), SimhashBits).as("simhash"))
   }
 
-  /** Near-dup pairs by hamming distance <= maxHamming, banded: 4 bands of 15
-    * bits; pigeonhole guarantees recall for maxHamming <= 3. */
+  /**
+   * Near-dup pairs by hamming distance <= `maxHamming`, via Manku-style
+   * multi-table permuted blocks (Manku/Jain/Das Sarma, WWW'07 §3): the 60
+   * bits split into `blocks` roughly-equal blocks; a pair within hamming h
+   * differs in at most h blocks, so at least `blocks - h` blocks are intact
+   * — every table keys on one (blocks - maxHamming)-subset of blocks, and
+   * C(blocks, blocks - maxHamming) tables give EXACT recall by pigeonhole.
+   *
+   * Scale rationale (why not 4 bands of 15 bits): candidate volume from
+   * random collisions is ~tables * n^2 * 2^-keyWidth. 15-bit keys melt at
+   * 10^9 docs (n^2 * 2^-13 pairs); the default here (blocks=6, maxHamming=3)
+   * keys on 30 bits across 20 tables — 2^-30 per-table collision odds, a
+   * ~10^4x smaller candidate set for a 5x table cost. All key material is
+   * shift/mask arithmetic on the signature — one explode, fully codegen'd.
+   *
+   * `maxBucket > 0` additionally caps any (table, key) bucket — the exact
+   * analog of `jaccardPairs`' maxDf hot-shingle prune. An over-full bucket
+   * is a giant cluster of (near-)identical documents, which exact dedup
+   * already collapses more cheaply; dropping it bounds the self-join's
+   * worst key at the cost of exactness (leave 0 for oracle-exact output).
+   */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, blocks: Int = 6, maxBucket: Int = 0): DataFrame = {
+    require(blocks > maxHamming && blocks <= SimhashBits,
+      s"need maxHamming < blocks <= $SimhashBits")
     // one row per doc; referenced by both join sides
     val sh = materialized(simhash(df, idCol, textCol))
-    val bandsN = 4
-    val width = SimhashBits / bandsN // 15
-    // all 4 band values in ONE pass over the signature table (a per-band
-    // union would scan it 4x per join side)
-    val bandStructs = (0 until bandsN).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND((1L << width) - 1).as("band_val")))
-    val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bk"))
+    // block i covers [off_i, off_i + w_i): widths differ by at most 1
+    val base = SimhashBits / blocks
+    val widths = (0 until blocks).map(i => base + (if (i < SimhashBits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val blockVal = (i: Int) => shiftright(col("simhash"), offsets(i))
+      .bitwiseAND((1L << widths(i)) - 1)
+    // one table per (blocks - maxHamming)-subset; key = packed block values
+    val tables = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val tableStructs = tables.zipWithIndex.map { case (sel, ti) =>
+      val key = sel.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(blockVal(i))
+      }
+      struct(lit(ti).as("tbl"), key.as("key"))
+    }
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+        explode(array(tableStructs: _*)).as("tk"))
       .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_val") === col("y.band_val") &&
+        col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+    val pruned = if (maxBucket <= 0) keyed else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "key")
+      keyed.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+    }
+    pruned.as("x").join(pruned.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      // hamming-filter BEFORE distinct: a true pair reaches distinct from up
+      // to `tables` tables, a false candidate is dropped without the shuffle
       .filter(col("hamming") <= maxHamming)
-      .select("doc1", "doc2", "hamming")
+      .distinct()
   }
 
   // ------------------------------------------- components / canonicalization

@@ -143,12 +143,31 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
-  test("simhash: near-identical docs land within small hamming distance") {
+  test("simhash blocked search equals brute-force all-pairs hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() == docs.count())
-    // banded near-dup search returns only verified-hamming pairs
-    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
-    assert(pairs.collect().forall(_.getAs[Int]("hamming") <= 8))
+    // Manku blocks guarantee exact recall for maxHamming < blocks, so the
+    // result must EQUAL the quadratic all-pairs join (fine at test scale)
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+  }
+
+  test("simhash bucket cap drops oversized clusters, keeps small pairs") {
+    val big = (1L to 5L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val small = Seq((11L, "totally different words entirely unrelated here"),
+      (12L, "totally different words entirely unrelated here"))
+    val df = (big ++ small).toDF("doc_id", "text")
+    // 5 identical docs fill every (table, key) bucket to 5 > cap=3: pruned;
+    // the pair of identical docs (bucket size 2) survives
+    val got = Dedup.simhashNearDups(df, "doc_id", "text",
+        maxHamming = 3, maxBucket = 3)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(got == Set((11L, 12L)))
   }
 
   test("brute-force topk is exact and deterministic") {
