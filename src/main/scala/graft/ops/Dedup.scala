@@ -69,6 +69,33 @@ object Dedup {
       .distinct()
   }
 
+  /** 60-bit md5-derived shingle hash (15 hex chars — sign-safe in a BIGINT,
+    * DuckDB-replayable). Shingle SETS are carried as arrays of these, not of
+    * strings: an n-gram string averages tens of bytes while the hash is 8,
+    * so a pathological 1M-shingle document costs ~8 MB, not ~50+ MB, in one
+    * row cell — and `array_intersect` compares primitives. Cross-set
+    * equality is exact up to md5 collisions (~2^-60 per pair). */
+  private def shingleHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Per-doc shingle set (hashed) + true set size, one shuffle on doc_id.
+    * `maxShingles > 0` keeps only the doc's `maxShingles` SMALLEST hashes —
+    * a bottom-k minwise sketch, so jaccard on two capped sets is the
+    * standard unbiased estimate rather than exact; docs under the cap are
+    * unaffected. The cap is applied BEFORE collection (row_number window),
+    * so the per-row array cell is bounded even for pathological documents. */
+  private def docShingleSets(sh: DataFrame, maxShingles: Int): DataFrame = {
+    val hashed = sh.select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+    val capped = if (maxShingles <= 0) hashed else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("h")
+      hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxShingles).drop("rn")
+    }
+    capped.groupBy("doc_id")
+      .agg(collect_list("h").as("sh_set"), count("*").as("n_sh"))
+  }
+
   /** Spark evaluates each PLAN REFERENCE to a subtree independently — a
     * posting list or signature table feeding both sides of a self-join (or a
     * band union) would be recomputed once per reference. Materialize it once;
@@ -105,17 +132,17 @@ object Dedup {
    * (doc1, doc2, intersection, n1, n2, jaccard).
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDf: Int = 20): DataFrame = {
+      threshold: Double, maxDf: Int = 20, maxShingles: Int = 0): DataFrame = {
     // referenced twice below (candidate gen, per-doc set collection)
     val sh = materialized(shingleTable(df, idCol, textCol, n))
 
-    // One shuffle on doc_id: the full shingle set AND its size per doc.
-    // Carrying the set as an array keeps the true-intersection step per-pair
-    // local work (`array_intersect` is codegen'd) instead of the
-    // posting-list x posting-list re-join, which at corpus scale shuffles
-    // |candidates| x avg_shingles rows through two more exchanges.
-    val docSets = sh.groupBy("doc_id")
-      .agg(collect_list("shingle").as("sh_set"), count("*").as("n_sh"))
+    // One shuffle on doc_id: the (hashed, optionally capped) shingle set AND
+    // its size per doc. Carrying the set as an array keeps the
+    // true-intersection step per-pair local work (`array_intersect` is
+    // codegen'd) instead of the posting-list x posting-list re-join, which
+    // at corpus scale shuffles |candidates| x avg_shingles rows through two
+    // more exchanges.
+    val docSets = docShingleSets(sh, maxShingles)
 
     // document frequency via count-over-window: one shuffle on `shingle`,
     // reused by the candidate self-join below (same partitioning) — vs the
@@ -210,12 +237,12 @@ object Dedup {
     * intersection stages. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxShingles: Int = 0): DataFrame = {
     val sh = materialized(shingleTable(df, idCol, textCol, n))
-    // set + size in one shuffle; true intersection is then per-pair local
-    // `array_intersect` (see jaccardPairs for why not a posting-list re-join)
-    val docSets = sh.groupBy("doc_id")
-      .agg(collect_list("shingle").as("sh_set"), count("*").as("n_sh"))
+    // hashed set + size in one shuffle; true intersection is then per-pair
+    // local `array_intersect` (see jaccardPairs for why not a posting-list
+    // re-join)
+    val docSets = docShingleSets(sh, maxShingles)
     val cand = candidatesFromSignatures(signaturesFromShingles(sh, k),
       k, bands)
     cand

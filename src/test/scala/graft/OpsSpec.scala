@@ -83,6 +83,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("shingle cap: no-op above set sizes; bottom-k finds exact dups") {
+    val base = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.7, maxDf = 10).as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // a cap above every doc's set size must change nothing, bit-for-bit
+    val nocap = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.7, maxDf = 10, maxShingles = 1 << 20).as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(base.nonEmpty && nocap == base)
+    // bottom-k sketches of IDENTICAL docs are identical -> jaccard exactly 1
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, text),
+      (3L, "something else entirely differing " + (1 to 40).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", n = 5,
+      threshold = 0.9, maxDf = 10, maxShingles = 4).as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(capped.map(p => (p._1, p._2, p._6)) == Set((1L, 2L, 1.0)))
+  }
+
   test("minhash LSH candidates recall the true jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
         threshold = 0.8, maxDf = 10)
