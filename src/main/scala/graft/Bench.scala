@@ -24,12 +24,20 @@ object Bench {
     // different plan shapes (broadcast vs sort-merge, coalesced partitions)
     // at different sizes, so the compiled code differs and the timed run
     // still paid 5-10s of Janino/JIT per heavy query.
+    // Drive with the noop SINK, not count(): Catalyst prunes unused
+    // deterministic projections under a count, so projection-only queries
+    // (the q_dsl_* family) would time a column-pruned scan instead of their
+    // transforms. The noop sink consumes every row with all columns
+    // materialized and writes nothing.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries
         .filter { case (k, _) => args.isEmpty || args.contains(k) }
         .foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try run(fn, warmDir) catch { case _: Throwable => () }
         }
     // Each query persists its own intermediates (posting lists, signatures);
     // 50 queries x 2 passes of leaked cache blocks = GC pressure that bleeds
@@ -44,7 +52,7 @@ object Bench {
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc() // outside the timers: don't bill query N+1 for N's garbage
