@@ -822,15 +822,55 @@ object QueryCatalog {
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
         WHERE rnk <= 5""")),
 
-    // ANN via random-hyperplane LSH — approximate; rows-only check
+    // ANN via random-hyperplane LSH. Approximate vs brute force, but fully
+    // DETERMINISTIC: hyperplane weights are md5-derived
+    // (plans/Expressions.scala LshBucket.planeWeight — first 4 md5 bytes as
+    // uint32, /2^31 - 1), bucket accumulation is an ascending-dim left fold,
+    // and the rerank is the quantized cosine — so DuckDB replays the whole
+    // pipeline exactly: weights from md5, ordered fold via
+    // list(x ORDER BY d) + list_reduce, same bucket equi-join, same rerank.
     ("q_sim_ann_lsh",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
         Similarity.annLsh(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 8), "vec_id", "embedding",
-          k = 5, tables = 4, planes = 10, dims = 64)
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, tables = 4, planes = 10, dims = 64)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
       },
-      None))
+      Some(s"""WITH w AS (
+          SELECT t.t, p.p, d.d,
+            CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
+                ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+              1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
+          FROM range(0, 4) t(t), range(0, 10) p(p), range(0, 64) d(d)),
+        prods AS (
+          SELECT v.vec_id, w.t, w.p, w.d,
+            CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
+          FROM embeddings v CROSS JOIN w),
+        sigacc AS (
+          SELECT vec_id, t, p,
+            list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
+          FROM prods GROUP BY vec_id, t, p),
+        buckets AS (
+          SELECT vec_id, t,
+            CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
+                     ELSE 0 END) AS BIGINT) AS b
+          FROM sigacc GROUP BY vec_id, t),
+        q AS (SELECT vec_id, $quantSql AS v FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
+          WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            ${cosineSql("q.v", "c.v")} AS cosine
+          FROM cand JOIN q ON q.vec_id = cand.query_id
+                    JOIN c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")))
 
   // ========================================================== multimodal
 

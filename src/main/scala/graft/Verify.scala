@@ -21,15 +21,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    var ran = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name)) {
+        ran += 1
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
+    // Loud summary on BOTH streams: a thrown query produces no parquet, and
+    // without this line a regression reads as a silently shorter run.
+    val summary =
+      if (failed.isEmpty) s"[verify] OK: $ran/$ran queries dumped"
+      else s"[verify] FAILED ${failed.size}/$ran: ${failed.mkString(", ")}"
+    println(summary)
+    if (failed.nonEmpty) System.err.println(summary)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
