@@ -125,6 +125,25 @@ object Incremental {
     q.trim
   }
 
+  /** S8 — DMS table-mapping source-filter analog
+    * (CreateReplicationTaskForTable.py:96-112): FILTER_OPERATOR `between`
+    * and `incremental-full` extract only the [START_VALUE, END_VALUE] window
+    * on FILTER_COLUMN — `incremental-full` is a full PROCESS_TYPE downstream
+    * but still a windowed extraction. FILTER_TYPE='BIGINT' converts both
+    * timestamp bounds to epoch seconds first (:97-101). Every other operator
+    * — notably `lte`, which the metadata uploader assigns to tables with no
+    * full-load filter expression (upload-data-to-dynamo.py:41) — replicates
+    * the FULL table (no `filters` key in the mapping). */
+  def replicationFilterSql(filterOperator: String, filterColumn: String,
+      startValue: String, endValue: String, filterType: String = ""): Option[String] =
+    if (Set("between", "incremental-full").contains(filterOperator.trim)) {
+      val (lo, hi) =
+        if (filterType.trim == "BIGINT")
+          (renderBound(startValue, "BIGINT"), renderBound(endValue, "BIGINT"))
+        else (s"'$startValue'", s"'$endValue'")
+      Some(s"${filterColumn.trim} BETWEEN $lo AND $hi")
+    } else None
+
   /** S3 — split [start, end] into n equal sub-ranges. The reference runs one
     * driver thread per range (load_with_query.py:281-329); Spark-natively the
     * same split becomes a partitioned JDBC read (numPartitions + bounds) and

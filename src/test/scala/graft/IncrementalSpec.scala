@@ -67,6 +67,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(q2 == "select a from S.T where a > 0 AND 0=0")
   }
 
+  test("fullQuery: non-between operators take the 0=0 route (get_query)") {
+    // load_with_query.py:315-317 templates FILTER_COLUMN ONLY for operator
+    // 'between'; 'lte' and 'incremental-full' configs fall through to '0=0'
+    // even when a filter column is present
+    for (op <- Seq("lte", "incremental-full")) {
+      val q = Incremental.fullQuery("S", "T", "a,b",
+        filterExp = "a > 0", filterColumn = "p between {0} and {1}",
+        filterOperator = op, limits = Some(("202401", "202403")))
+      assert(q == "select a,b from S.T where a > 0 AND 0=0", op)
+    }
+    // ... and with no filterExp either, both placeholders degrade to 0=0,
+    // matching the reference's generated "where 0=0 AND 0=0" shape
+    val bare = Incremental.fullQuery("S", "T", "a",
+      filterColumn = "p between {0} and {1}", filterOperator = "lte",
+      limits = Some(("202401", "202403")))
+    assert(bare == "select a from S.T where 0=0 AND 0=0")
+  }
+
+  test("replication filter: between/incremental-full window, lte full copy") {
+    // CreateReplicationTaskForTable.py:96-112
+    assert(Incremental.replicationFilterSql("between", "upd_ts",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00") ==
+      Some("upd_ts BETWEEN '2024-01-01 00:00:00' AND '2024-02-01 00:00:00'"))
+    assert(Incremental.replicationFilterSql("incremental-full", "upd_ts",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00") ==
+      Some("upd_ts BETWEEN '2024-01-01 00:00:00' AND '2024-02-01 00:00:00'"))
+    // BIGINT FILTER_TYPE converts the bounds to epoch seconds (:97-101)
+    assert(Incremental.replicationFilterSql("incremental-full", "upd_epoch",
+      "2023-05-01 00:00:00", "2023-05-02 00:00:00", filterType = "BIGINT") ==
+      Some("upd_epoch BETWEEN 1682899200 AND 1682985600"))
+    // lte (and anything else) => full-table replication, no filter
+    assert(Incremental.replicationFilterSql("lte", "upd_ts",
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00").isEmpty)
+    assert(Incremental.replicationFilterSql("", "upd_ts", "a", "b").isEmpty)
+  }
+
   test("range split covers [start,end] without gaps") {
     val s = LocalDateTime.of(2024, 1, 1, 0, 0)
     val e = LocalDateTime.of(2024, 1, 2, 0, 0)
