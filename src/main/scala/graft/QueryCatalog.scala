@@ -1036,6 +1036,25 @@ object QueryCatalog {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus""")),
 
+    // catalog registration (crawlers_job analog): write a partitioned stage
+    // table, register it, and read it back BY NAME through the catalog —
+    // content must equal a plain scan of the same source rows
+    ("q_catalog_register",
+      (s: SparkSession, d: String) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_catreg").toString + "/t"
+        val src = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        MergeWriter.writeSwap(src, path, partitionCols = Seq("o_orderstatus"))
+        val db = graft.write.CatalogRegistry
+          .stageDatabaseName("graft", "mssql", "ep_bench")
+        graft.write.CatalogRegistry.registerStage(s, db, "orders_stage", path,
+          Seq("o_orderstatus"))
+        s.table(s"$db.orders_stage")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("SELECT o_orderkey, o_orderstatus FROM orders")),
+
     // A4 — BIGINT-epoch watermark conversion round trip
     ("q_incr_epoch",
       (s: SparkSession, d: String) => {

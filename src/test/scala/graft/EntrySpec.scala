@@ -25,6 +25,28 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("catalog registration: stage tables readable by name, repartitions seen") {
+    import graft.write.{CatalogRegistry, MergeWriter}
+    import spark.implicits._
+    val db = CatalogRegistry.stageDatabaseName("graft", "mssql", "ep_pe")
+    assert(db == "graft_sqlserver_ep_pe_stage") // mssql -> sqlserver rename
+    val path = Files.createTempDirectory("graft_cat").toString + "/t"
+    MergeWriter.write(spark, Seq((1, "a", 10), (2, "b", 20)).toDF("id", "v", "p"),
+      path, LoadMode.FullOverwrite, partitionCols = Seq("p"),
+      retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "cust_stage", path, Seq("p"))
+    assert(spark.table(s"$db.cust_stage").count() == 2)
+    // a pruned merge adds partition p=30; re-registration (the crawler
+    // re-run analog) makes it visible to name-based readers
+    MergeWriter.write(spark, Seq((3, "c", 30)).toDF("id", "v", "p"), path,
+      LoadMode.IncrementalMerge, ids = Seq("id"), partitionCols = Seq("p"),
+      retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "cust_stage", path, Seq("p"))
+    assert(spark.table(s"$db.cust_stage").count() == 3)
+    assert(spark.sql(s"SELECT v FROM $db.cust_stage WHERE p = 30")
+      .as[String].collect().toSeq == Seq("c"))
+  }
+
   test("orchestrator: end-to-end multi-table run with status recording") {
     val root = Files.createTempDirectory("graft_orch").toString
     val cfgGood = TableConfig("T_CUST", "EP_PE", "s", "customer", "cust_stage",
