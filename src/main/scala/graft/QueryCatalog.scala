@@ -702,6 +702,25 @@ object QueryCatalog {
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
+    // corpus-wide embedding near-dup through LSH buckets — the scale path
+    // (bucket self-join, quadratic only within a bucket). Approximate recall
+    // but fully deterministic, so the oracle replays buckets + rerank exactly.
+    ("q_emb_ann_pairs",
+      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.40, tables = 8, planes = 6, dims = 64),
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        scored AS (
+          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2)
+        SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")),
+
     ("q_emb_neardup",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
@@ -802,6 +821,34 @@ object QueryCatalog {
     s"floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) " +
       "* 1e6) / 1e6"
 
+  /** CTE chain ending in `buckets(vec_id, t, b)` — the LSH bucket signature
+    * of every embedding, replaying plans/Expressions.scala LshBucket exactly:
+    * md5-derived weights (first 4 md5 bytes as uint32, /2^31 - 1) and an
+    * ascending-dim left fold (list(ORDER BY d) + list_reduce matches the
+    * expression's accumulation order bit-for-bit). Shared by the ANN top-k
+    * and ANN near-dup oracles. */
+  private def lshBucketsCtes(tables: Int, planes: Int, dims: Int = 64): String =
+    s"""w AS (
+          SELECT t.t, p.p, d.d,
+            CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
+                ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
+              1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
+          FROM range(0, $tables) t(t), range(0, $planes) p(p),
+               range(0, $dims) d(d)),
+        prods AS (
+          SELECT v.vec_id, w.t, w.p, w.d,
+            CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
+          FROM embeddings v CROSS JOIN w),
+        sigacc AS (
+          SELECT vec_id, t, p,
+            list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
+          FROM prods GROUP BY vec_id, t, p),
+        buckets AS (
+          SELECT vec_id, t,
+            CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
+                     ELSE 0 END) AS BIGINT) AS b
+          FROM sigacc GROUP BY vec_id, t)"""
+
   private val simQueries: Seq[(String, Q, Option[String])] = Seq(
 
     ("q_sim_topk",
@@ -837,25 +884,7 @@ object QueryCatalog {
             k = 5, tables = 4, planes = 10, dims = 64)
           .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
       },
-      Some(s"""WITH w AS (
-          SELECT t.t, p.p, d.d,
-            CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
-                ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
-              1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
-          FROM range(0, 4) t(t), range(0, 10) p(p), range(0, 64) d(d)),
-        prods AS (
-          SELECT v.vec_id, w.t, w.p, w.d,
-            CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
-          FROM embeddings v CROSS JOIN w),
-        sigacc AS (
-          SELECT vec_id, t, p,
-            list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
-          FROM prods GROUP BY vec_id, t, p),
-        buckets AS (
-          SELECT vec_id, t,
-            CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
-                     ELSE 0 END) AS BIGINT) AS b
-          FROM sigacc GROUP BY vec_id, t),
+      Some(s"""WITH ${lshBucketsCtes(tables = 4, planes = 10)},
         q AS (SELECT vec_id, $quantSql AS v FROM embeddings WHERE vec_id < 8),
         c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS (

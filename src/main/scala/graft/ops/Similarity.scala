@@ -113,9 +113,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Corpus-wide embedding near-duplicate pairs through LSH buckets — the
+   * scale path [[nearDupPairs]]' scaladoc points at: vectors sharing a
+   * bucket in ANY of `tables` tables become candidates (an equi-join on
+   * (table, bucket) — quadratic only WITHIN a bucket, never across the
+   * corpus), then exact quantized cosine keeps pairs >= `threshold`.
+   * Precision is exact (the verify step is the true cosine); recall is the
+   * standard hyperplane-LSH bound, 1 - (1 - p^planes)^tables with
+   * p = 1 - theta/pi, tuned via `tables`/`planes`. Deterministic end to end
+   * (md5 hyperplanes, exact integer rerank) — the DuckDB oracle replays it.
+   * `maxBucket > 0` drops over-full buckets (degenerate clusters of
+   * identical embeddings — exact dedup handles those more cheaply), exactly
+   * as `Dedup.jaccardPairs` caps hot shingles.
+   */
+  def annNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 8, planes: Int = 6, dims: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dims).as("b")))
+    val keyed = corpus.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("v"),
+        explode(array(buckets: _*)).as("bucket"))
+      .withColumn("n2", qdot(col("v"), col("v"))) // norm once per row
+    val pruned = if (maxBucket <= 0) keyed else {
+      val w = Window.partitionBy("bucket")
+      keyed.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+    }
+    pruned.as("x").join(pruned.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        qcosineWithNorms(qdot(col("x.v"), col("y.v")),
+          col("x.n2"), col("y.n2")).as("cosine"))
+      // cosine-filter BEFORE distinct: a surviving pair reaches the distinct
+      // shuffle from at most `tables` buckets; a failing candidate never does
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs within a probe subset vs the corpus —
     * quantized cosine >= threshold. (Full-corpus near-dup at scale goes
-    * through `annLsh` buckets instead of this cross product.) */
+    * through [[annNearDupPairs]] buckets instead of this cross product.) */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       probes: DataFrame, threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id2"), quantize(col(vecCol)).as("v2"))

@@ -218,6 +218,25 @@ class OpsSpec extends SparkSpec {
       s"ANN top-1 recall $hits/${brute.size} too low")
   }
 
+  test("ann near-dup pairs: subset of brute force, exact cosines, nonempty") {
+    val truth = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        emb, 0.40)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    val ann = Similarity.annNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.40, tables = 8, planes = 6, dims = 64)
+      .as[(Long, Long, Double)].collect()
+    // precision is exact: every ANN pair is a true pair with the SAME cosine
+    assert(ann.nonEmpty)
+    ann.foreach { case (a, b, c) =>
+      assert(truth.get((a, b)).contains(c), s"($a,$b)") }
+    // deterministic: same buckets, same result, run to run
+    val again = Similarity.annNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.40, tables = 8, planes = 6, dims = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == ann.toSet)
+  }
+
   test("multimodal: feature extraction preserves rows, features normalized") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val feats = Multimodal.extractFeatures(media)
