@@ -665,6 +665,14 @@ object QueryCatalog {
           n = 5, k = 12, bands = 4, threshold = 0.7)),
       Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // same component semantics via large-star/small-star contraction (the
+    // long-chain-safe algorithm) — must match the identical recursive oracle
+    ("q_dedup_clusters_star",
+      (s: SparkSession, d: String) => Dedup.componentsStar(
+        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          n = 5, k = 12, bands = 4, threshold = 0.7)),
+      Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
+
     ("q_dedup_canonical",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

@@ -400,6 +400,75 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 
+  /**
+   * Connected components by alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — the escalation [[components]]' scaladoc names for long
+   * chains: label propagation needs diameter rounds (a 10^4-link chain is
+   * 10^4 shuffles), star contraction converges in O(log^2 n) rounds on any
+   * graph (log-ish in practice).
+   *
+   * Per round: LARGE-STAR links every neighbor ABOVE a node to the minimum
+   * of its neighborhood (incl. itself); SMALL-STAR re-points a node and its
+   * below-neighbors at that minimum. Both preserve connectivity; the fixed
+   * point is one star per component rooted at its minimum id. Each phase is
+   * one shuffle (a window min on the grouping key + an explode — no join at
+   * all, vs label propagation's join-per-round); rounds are checkpointed for
+   * the same plan-truncation reason as [[components]]. Convergence = the
+   * (count, xor-of-hashes) edge-set signature repeating.
+   *
+   * Same output contract as [[components]]: (doc_id, component_id = min
+   * reachable id) for every doc appearing in `pairs`. Prefer [[components]]
+   * for near-dup cliques (diameter 1-2: fewer, cheaper rounds); prefer this
+   * for graphs that may chain.
+   */
+  def componentsStar(pairs: DataFrame, aCol: String = "doc1",
+      bCol: String = "doc2", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var edges = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")) // canonical (hi, lo)
+      .distinct().localCheckpoint()
+    var sig: (Long, Long) = (-1L, -1L)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over both directions: m = min(N(u) ∪ {u}); (v, m) ∀ v > u
+      val bidir = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val wU = Window.partitionBy("u")
+      val large = bidir
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u >= m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR on (hi, lo) edges: m = min(N); point u and each below-
+      // neighbor at m
+      val small = large
+        .withColumn("m", min(col("v")).over(wU))
+        .select(explode(array(
+          struct(col("u").as("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // xor-fold, not sum: order-independent AND overflow-free under ANSI
+      val row = small.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      val next = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = next == sig
+      sig = next
+      edges = small
+      i += 1
+    }
+    edges.select(col("u").as("doc_id"), col("v").as("component_id"))
+      .union(edges.select(col("v"), col("v")).distinct())
+  }
+
   /** Component-canonical dedup over near-dup pairs: keep the min-id document
     * of every component (plus all unpaired documents). */
   def componentDedup(df: DataFrame, idCol: String, pairs: DataFrame,

@@ -218,6 +218,20 @@ class OpsSpec extends SparkSpec {
       s"ANN top-1 recall $hits/${brute.size} too low")
   }
 
+  test("star contraction handles a long chain in few rounds") {
+    // a 64-link path has diameter 64: label propagation at default maxIter
+    // would NOT converge, star contraction does (O(log n) rounds)
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got = Dedup.componentsStar(chain).as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+    // agreement with label propagation on the fixture's near-dup graph
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 5, k = 12, bands = 4, threshold = 0.7)
+    val a = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    val b = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("ann near-dup pairs: subset of brute force, exact cosines, nonempty") {
     val truth = Similarity.nearDupPairs(emb, "vec_id", "embedding",
         emb, 0.40)

@@ -106,6 +106,33 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction components equal union-find on random graphs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    samples(gen, 6).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map { v =>
+        val members = parent.keys.filter(u => find(u) == find(v))
+        v -> members.min
+      }.toMap
+      val got = graft.ops.Dedup
+        .componentsStar(edges.toDF("doc1", "doc2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("period limits are well-formed for any monthsBack") {
     val gen = Gen.zip(Gen.choose(-48, 0), Gen.choose(2000, 2030),
       Gen.choose(1, 12))
