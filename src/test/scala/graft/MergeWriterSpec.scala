@@ -131,6 +131,28 @@ class MergeWriterSpec extends SparkSpec {
     assert(got == Set((1, "a"), (3, "C"), (5, "e")))
   }
 
+  test("pruned merge: null partition values and multi-column partitions") {
+    val path = tmp()
+    val t0 = Seq((1, "a", Integer.valueOf(10), "x"), (2, "b", null.asInstanceOf[Integer], "x"),
+      (3, "c", Integer.valueOf(10), "y"))
+      .toDF("id", "v", "p", "q")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("p", "q"), retrySleepMs = _ => 0L)
+    val beforeUntouched = partFiles(path, "p=10/q=y")
+    // batch touches (null, x) and (10, x): the HIVE default-partition dir
+    // must swap correctly, the (10, y) leaf must not be opened
+    val batch = Seq((2, "B", null.asInstanceOf[Integer], "x"),
+      (4, "d", Integer.valueOf(10), "x"))
+      .toDF("id", "v", "p", "q")
+    val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), partitionCols = Seq("p", "q"), retrySleepMs = _ => 0L)
+    assert(s.mode == "merge-pruned" && s.rowsWritten == 3) // 1, 2, 4
+    assert(partFiles(path, "p=10/q=y") == beforeUntouched)
+    val got = spark.read.parquet(path).select("id", "v")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+  }
+
   test("retry combinator retries then succeeds") {
     var calls = 0
     val out = MergeWriter.withRetry(3, _ => 0L) {
