@@ -79,6 +79,37 @@ object StreamingIngest {
         })
   }
 
+  /**
+   * CDC-style continuous merge: every micro-batch upserts into the stage
+   * table through `MergeWriter.write` — the streaming form of the
+   * reference's scheduled increment-then-MERGE cycle
+   * (aje-stage-dms-load.py:470-518 on a cron trigger). With `partitionCols`
+   * set, each micro-batch rewrites ONLY the partitions it touches (the
+   * partition-pruned merge path), so steady-state cost tracks the increment
+   * size, not the table size. Recovery semantics: the source replays from
+   * the checkpoint at-least-once, and the upsert is idempotent per batch
+   * (same keys, same rows — MergeWriterSpec "merging the same batch twice"),
+   * so a replayed batch converges to the same table.
+   */
+  def mergeSink(stream: DataFrame, path: String, ids: Seq[String],
+      checkpoint: String, partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        try {
+          graft.write.MergeWriter.write(batch.sparkSession, batch, path,
+            graft.meta.LoadMode.IncrementalMerge, ids, partitionCols,
+            retrySleepMs = _ => 0L)
+          ()
+        } catch {
+          // empty first batch against a missing table bootstraps it; the
+          // signal exception is batch-job protocol, not a stream failure
+          case _: graft.write.MergeWriter.NoDataToMigrateException => ()
+        }
+      }
+      .start()
+
   /** Drive a streaming frame through a memory sink synchronously (test /
     * local verification harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -46,6 +46,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("user_id").distinct().count() == nUsers)
   }
 
+  test("merge sink: micro-batches upsert into a partitioned stage table") {
+    val src = Files.createTempDirectory("graft_msrc").toString
+    val stage = Files.createTempDirectory("graft_mstage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_mckpt").toString
+    import spark.implicits._
+    // batch 1: initial rows across two partitions
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "p")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("id LONG, v STRING, p INT").parquet(src)
+    val q = StreamingIngest.mergeSink(stream, stage, Seq("id"), ckpt,
+      partitionCols = Seq("p"))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(stage).count() == 2)
+      // batch 2: update id=2, insert id=3 — an upsert, not an append
+      Seq((2L, "B", 20), (3L, "c", 20)).toDF("id", "v", "p")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(stage).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("sessionization state machine emits on timeout") {
     val dir = Files.createTempDirectory("graft_sess").toString
     spark.read.parquet(s"$sf/events.parquet")
