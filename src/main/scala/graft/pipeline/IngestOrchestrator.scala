@@ -24,7 +24,8 @@ final class IngestOrchestrator(
     stageRoot: String,
     readRaw: TableConfig => DataFrame,
     specsFor: TableConfig => Seq[ColumnSpec],
-    parallelism: Int = 5) {
+    parallelism: Int = 5,
+    registerIn: Option[String] = None) {
 
   /** Active-set predicate (P8, StartWorkFlow.py:62-100). */
   def activeTables(all: Seq[TableConfig], processId: String = "",
@@ -44,6 +45,11 @@ final class IngestOrchestrator(
       val stats = MergeWriter.write(spark, result.df,
         s"$stageRoot/${t.stageTableName}", LoadMode.of(t), ids, partitions,
         cutoff)
+      // the reference re-runs its catalog crawler after stage loads
+      // (crawlers_job.py); here: registration + partition recovery per table
+      registerIn.foreach(db => graft.write.CatalogRegistry.registerStage(
+        spark, db, t.stageTableName, s"$stageRoot/${t.stageTableName}",
+        partitions))
       (result, stats)
     } match {
       case Success((result, stats)) =>

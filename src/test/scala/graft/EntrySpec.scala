@@ -64,12 +64,16 @@ class EntrySpec extends SparkSpec {
     }
     val orch = new IngestOrchestrator(spark, root,
       readRaw = _ => spark.read.parquet(s"$sf/customer.parquet"),
-      specsFor = specsByTable, parallelism = 2)
+      specsFor = specsByTable, parallelism = 2,
+      registerIn = Some("graft_orch_stage"))
     val active = orch.activeTables(Seq(cfgGood, cfgWarn, cfgOff), "10")
     assert(active.map(_.targetTableName) == Seq("T_CUST", "T_WARN"))
     val statuses = orch.runAll(active).sortBy(_.targetTableName)
     assert(statuses.map(_.status) == Seq("SUCCEEDED", "WARNING"))
     assert(statuses(1).failReason.contains("broken"))
     assert(spark.read.parquet(s"$root/cust_stage").count() == 150)
+    // stage tables also registered in the catalog (crawler re-run analog)
+    assert(spark.table("graft_orch_stage.cust_stage").count() == 150)
+    assert(spark.table("graft_orch_stage.warn_stage").count() == 150)
   }
 }
