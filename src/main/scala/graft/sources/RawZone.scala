@@ -26,6 +26,20 @@ import org.apache.spark.sql.types.TimestampType
  */
 object RawZone {
 
+  /** The raw-zone dated-path convention (K8):
+    * `{root}/{project}/{bdType}/{endpoint}/{table}/{yyyy}/{MM}/{dd}/` with
+    * zero-padded month/day and the mssql→sqlserver rename
+    * (aje-stage-dms-load.py:368-374; MigrateData.py:60-83 incl.
+    * `transform_date` padding; multi-word SOURCE_TABLE keeps its first
+    * token). Ingestion-date pruning falls out of the layout: a reader that
+    * targets one day's prefix never lists the rest of history. */
+  def datedPath(root: String, project: String, bdType: String,
+      endpoint: String, table: String, date: java.time.LocalDate): String = {
+    val bt = if (bdType.trim == "mssql") "sqlserver" else bdType.trim
+    val t = table.trim.split("\\s+").head
+    f"$root/$project/$bt/$endpoint/$t/${date.getYear}%04d/${date.getMonthValue}%02d/${date.getDayOfMonth}%02d/"
+  }
+
   /** S4 — CSV scan with header, schema-less (all strings), codec
     * auto-detected from the extension. */
   def readRawCsv(spark: SparkSession, path: String): DataFrame =

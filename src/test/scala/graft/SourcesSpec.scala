@@ -24,6 +24,16 @@ class SourcesSpec extends SparkSpec {
     assert(gz.nonEmpty)
   }
 
+  test("dated raw path: padding, sqlserver rename, first table token") {
+    val d = java.time.LocalDate.of(2024, 3, 7)
+    assert(graft.sources.RawZone.datedPath("s3://raw", "aje", "mssql",
+      "pe01", "dbo.ORDERS extra", d) ==
+      "s3://raw/aje/sqlserver/pe01/dbo.ORDERS/2024/03/07/")
+    assert(graft.sources.RawZone.datedPath("/raw", "aje", "oracle",
+      "pe02", "T", java.time.LocalDate.of(1999, 12, 31)) ==
+      "/raw/aje/oracle/pe02/T/1999/12/31/")
+  }
+
   test("empty-relation fallback on a missing prefix (S6)") {
     val df = RawZone.readRawCsvOrEmpty(spark, "/no/such/prefix/at/all")
     assert(df.isEmpty && df.schema.isEmpty)
