@@ -115,11 +115,17 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("canonical_id"), count("*").as("n_docs"))
 
-  /** Keep one row per distinct content (the min-id row). */
+  /** Keep one row per distinct content (the min-id row). ONE pass: a
+    * row_number window on the fingerprint — one scan + one shuffle, where
+    * the groupBy-then-semi-join formulation scans the corpus twice and
+    * shuffles twice. At 100 TB the input scan dominates; halving it matters
+    * more than the window's in-partition sort. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol)
-      .select(col("canonical_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextOps.fingerprintMd5(col(textCol)))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   // ------------------------------------------------------ n-gram Jaccard
