@@ -159,7 +159,31 @@ object MergeWriter {
     val target = spark.read.parquet(path)
     val batchVals = batch.select(pc: _*).distinct().collect()
     val extraVals = alsoTouched match {
-      case Some(p) => target.select(pc: _*).distinct().filter(p).collect()
+      // Existing partition VALUES come from the DIRECTORY STRUCTURE (one
+      // listing, O(partitions)), not from a `select(partCols).distinct()`
+      // data scan — that enumerates one row per TABLE row, which at 100 TB
+      // is a full-table pass just to learn ~10^3 partition values. The
+      // parsed strings are cast to the target's partition types and the
+      // predicate evaluates over that tiny local frame.
+      case Some(p) =>
+        val parsed = leafPartitionDirs(Paths.get(path), partitionCols.length)
+          .map(_.toString.split("/").map { seg =>
+            val raw = ExternalCatalogUtils
+              .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+            else raw
+          }.toSeq)
+        if (parsed.isEmpty) Array.empty[Row]
+        else {
+          val strSchema = org.apache.spark.sql.types.StructType(
+            partitionCols.map(c => org.apache.spark.sql.types
+              .StructField(c, org.apache.spark.sql.types.StringType, true)))
+          val typeOf = target.schema.fields.map(f => f.name -> f.dataType).toMap
+          spark.createDataFrame(
+              java.util.Arrays.asList(parsed.map(Row(_: _*)): _*), strSchema)
+            .select(partitionCols.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+            .filter(p).collect()
+        }
       case None => Array.empty[Row]
     }
     val touched = (batchVals ++ extraVals).map(_.toSeq).distinct.toSeq
