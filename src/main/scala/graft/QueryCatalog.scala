@@ -535,6 +535,26 @@ object QueryCatalog {
           t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stop
         FROM documents""")),
 
+    // Gopher/C4-style within-document repetition gate: duplicate trigram
+    // ratio per doc (short texts fall back to one whole-text gram, null
+    // text to one null gram — count_distinct ignores nulls in both engines)
+    ("q_text_dupngrams",
+      (s: SparkSession, d: String) => TextOps.dupNgramRatio(
+        t(s, d, "documents"), "doc_id", "text", n = 3),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, ${tokensSql()} AS tk, text FROM documents),
+        g AS (SELECT doc_id,
+          CASE WHEN text IS NULL THEN [CAST(NULL AS VARCHAR)]
+               WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                 i -> array_to_string(tk[i:i+2], ' '))
+               ELSE [array_to_string(tk, ' ')] END AS grams
+          FROM toks)
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
+          CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+          1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
+                CAST(len(grams) AS DOUBLE) AS dup_ratio
+        FROM g""")),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextOps.withQuality(t(s, d, "documents"), "text")

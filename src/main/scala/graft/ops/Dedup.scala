@@ -48,25 +48,29 @@ object Dedup {
     * is ~20x cheaper per row and stays fully distributed. Semantics are
     * identical to `shingles` (same tokenizer regex, short-text and null
     * fallbacks); the id keeps its native type via a dynamic Row encoder. */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int,
+      keepDuplicates: Boolean = false): DataFrame = {
     val idField = df.schema(df.schema.fieldIndex(idCol))
     val outSchema = StructType(Seq(
       StructField("doc_id", idField.dataType, idField.nullable),
       StructField("shingle", StringType)))
-    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    val rows = df
+      .select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
       .flatMap { r =>
         val id = r.get(0)
         if (r.isNullAt(1)) Iterator.single(Row(id, null))
         else {
           val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
             .split("[^a-z0-9]+").filter(_.nonEmpty)
-          if (toks.length >= n)
-            toks.sliding(n).map(_.mkString(" ")).toSet.iterator
+          if (toks.length >= n) {
+            val grams = toks.sliding(n).map(_.mkString(" "))
+            // per-doc local dedup (one row per doc) before any shuffle
+            (if (keepDuplicates) grams else grams.toSet.iterator)
               .map((s: String) => Row(id, s))
-          else Iterator.single(Row(id, toks.mkString(" ")))
+          } else Iterator.single(Row(id, toks.mkString(" ")))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-      .distinct()
+    if (keepDuplicates) rows else rows.distinct()
   }
 
   /** 60-bit md5-derived shingle hash (15 hex chars — sign-safe in a BIGINT,

@@ -76,6 +76,21 @@ object TextOps {
       acc.withColumn(name, c)
     }
 
+  /** Within-document repetition (the Gopher/C4-style duplicate-n-gram gate):
+    * per doc, `dup_ratio = 1 - distinct_ngrams / total_ngrams` over word
+    * n-grams — boilerplate and looped generations score high, natural prose
+    * near 0. Distributed shape: the compiled shingle flatMap WITH duplicates
+    * kept, then one count/count-distinct shuffle on doc_id; the ratio is one
+    * bigint→double division + subtraction (cross-engine exact). */
+  def dupNgramRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    graft.ops.Dedup.shingleTable(df, idCol, textCol, n, keepDuplicates = true)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        count_distinct(col("shingle")).as("n_distinct"))
+      .withColumn("dup_ratio", lit(1.0) -
+        col("n_distinct").cast("double") / col("n_ngrams").cast("double"))
+
   /** Language marker words — tiny per-language stopword lists for the n-gram
     * heuristic language ID. Order = tie-break precedence. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

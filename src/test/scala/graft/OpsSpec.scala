@@ -22,6 +22,18 @@ class OpsSpec extends SparkSpec {
     assert(row.getAs[Int]("b") == 10) // 8 words + ! + ?
   }
 
+  test("dup n-gram ratio: repetition scores high, unique prose zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),      // 7 trigrams, 3 distinct
+      (2L, "one two three four five") // all unique
+    ).toDF("doc_id", "text")
+    val got = TextOps.dupNgramRatio(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((7L, 3L, 1.0 - 3.0 / 7.0)))
+    assert(got(2L) == ((3L, 3L, 0.0)))
+  }
+
   test("langId: marker words and CJK routing") {
     val got = Seq(
       "the cat and the dog is here",
