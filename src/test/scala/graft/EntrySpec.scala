@@ -47,6 +47,29 @@ class EntrySpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("c"))
   }
 
+  test("orchestrator: incremental run merges through the pruned path") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_orch_incr").toString
+    val cfg = TableConfig("T_EV", "EP", "s", "events", "ev_stage",
+      loadType = "incremental", sourceTableType = "m", idColumn = "id")
+    val specs = Seq(
+      ColumnSpec("T_EV", "id", 1, "bigint", "id", isId = true),
+      ColumnSpec("T_EV", "v", 2, "string", "v"),
+      ColumnSpec("T_EV", "p", 3, "int", "p", isPartition = true))
+    var raw = Seq((1L, "a", 10), (2L, "b", 10), (3L, "c", 20), (4L, "d", 30))
+      .toDF("id", "v", "p")
+    val orch = new IngestOrchestrator(spark, root, readRaw = _ => raw,
+      specsFor = _ => specs, parallelism = 1)
+    assert(orch.runAll(Seq(cfg)).head.rowsWritten == 4) // bootstrap overwrite
+    // the increment touches only p=20: a pruned merge reads+writes just that
+    // partition, so rowsWritten counts its rows — not the whole table
+    raw = Seq((3L, "C", 20), (5L, "e", 20)).toDF("id", "v", "p")
+    assert(orch.runAll(Seq(cfg)).head.rowsWritten == 2)
+    val got = spark.read.parquet(s"$root/ev_stage").select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"), (5L, "e")))
+  }
+
   test("orchestrator: end-to-end multi-table run with status recording") {
     val root = Files.createTempDirectory("graft_orch").toString
     val cfgGood = TableConfig("T_CUST", "EP_PE", "s", "customer", "cust_stage",
