@@ -486,6 +486,63 @@ object QueryCatalog {
         count(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
 
+    // TPC-H Q5-shaped 6-table join: two broadcast dim chains feeding the
+    // lineitem-orders fact join, revenue in exact integer cents. Catalyst
+    // broadcasts region/nation/supplier/customer and leaves ONE shuffle
+    // (the fact-fact join) + the final group-by
+    ("q_join_region_revenue",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val c = t(s, d, "customer")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg((sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
+            .as("revenue"))
+      },
+      Some(s"""SELECT n_name,
+        CAST(sum(${centsSql("l_extendedprice")} *
+                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
+          AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name""")),
+
+    // grouping sets: ROLLUP over (returnflag, linestatus) with an explicit
+    // level marker — partial-aggregable, one shuffle for every level
+    ("q_agg_rollup",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("lvl")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+          count(*) AS n,
+          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
     // 3-way join, small dims broadcast; revenue per market segment
     ("q_join_revenue",
       (s: SparkSession, d: String) => {
