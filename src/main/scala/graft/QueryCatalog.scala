@@ -1155,13 +1155,18 @@ object QueryCatalog {
     // content must equal a plain scan of the same source rows
     ("q_catalog_register",
       (s: SparkSession, d: String) => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_catreg").toString + "/t"
+        // Deterministic path per source dir + a fresh registration each run:
+        // re-invocations (Bench warmup then timed pass, possibly different
+        // SF dirs) must re-point LOCATION at THIS run's data, not reuse a
+        // stale first-registration temp dir, and must not leak a dir per run.
+        val path = sys.props("java.io.tmpdir") + "/graft_catreg_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
         val src = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"))
         MergeWriter.writeSwap(src, path, partitionCols = Seq("o_orderstatus"))
         val db = graft.write.CatalogRegistry
           .stageDatabaseName("graft", "mssql", "ep_bench")
+        s.sql(s"DROP TABLE IF EXISTS `$db`.`orders_stage`")
         graft.write.CatalogRegistry.registerStage(s, db, "orders_stage", path,
           Seq("o_orderstatus"))
         s.table(s"$db.orders_stage")

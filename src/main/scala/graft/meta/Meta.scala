@@ -49,7 +49,13 @@ final case class TableConfig(
     delayIncrementalIni: Int = -2,        // months back for period windows
     sourceTableType: String = "m",        // "m"aster | "t"ransactional
     processId: String = "",
-    crawler: String = ""
+    crawler: String = "",
+    // Engine extension (no reference analog): asserts the pruned-merge data
+    // contract — a row's partition values never change across updates (e.g.
+    // partitions derived from immutable row data). Without it, partitioned
+    // merges whose partition columns are not part of the merge ids fall back
+    // to a full rewrite (see MergeWriter.write gating).
+    partitionStable: Boolean = false
 ) {
   def idColumns: Seq[String] =
     idColumn.split(",").map(_.trim).filter(_.nonEmpty).toSeq

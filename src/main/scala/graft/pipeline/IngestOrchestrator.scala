@@ -44,7 +44,7 @@ final class IngestOrchestrator(
       val cutoff = currentCutoff(t)
       val stats = MergeWriter.write(spark, result.df,
         s"$stageRoot/${t.stageTableName}", LoadMode.of(t), ids, partitions,
-        cutoff)
+        cutoff, partitionStable = t.partitionStable)
       // the reference re-runs its catalog crawler after stage loads
       // (crawlers_job.py); here: registration + partition recovery per table
       registerIn.foreach(db => graft.write.CatalogRegistry.registerStage(

@@ -28,9 +28,13 @@ object CatalogRegistry {
   /**
    * Register (or refresh) one stage path as an external table. Idempotent —
    * call after every merge, as the reference re-runs its crawler per load:
-   * existing registrations get `REFRESH TABLE` (rewritten files) and, when
-   * partitioned, partition recovery (directories a pruned merge added or
-   * removed). Schema comes from the parquet footers once, at registration.
+   * existing registrations get new data columns appended (`ALTER TABLE ...
+   * ADD COLUMNS`, the crawler-rerun schema-update analog for merge schema
+   * evolution) plus `REFRESH TABLE` for rewritten files, and, when
+   * partitioned, partition recovery with `SYNC PARTITIONS` — directories a
+   * pruned merge added AND removed (plain MSCK only adds; a window merge
+   * that empties a period would otherwise leave a dangling catalog partition
+   * pointing at a deleted directory).
    */
   def registerStage(spark: SparkSession, db: String, table: String,
       path: String, partitionCols: Seq[String] = Nil): Unit = {
@@ -45,9 +49,22 @@ object CatalogRegistry {
       spark.sql(s"CREATE TABLE IF NOT EXISTS $full ($ddl) USING PARQUET " +
         s"$partClause LOCATION '$path'")
     } else {
+      // Merge schema evolution adds batch-only columns to rewritten files;
+      // diff the parquet-inferred schema against the pinned catalog schema
+      // and surface new data columns to name-based readers. (One footer
+      // read — O(1), not a data pass. Partition columns are layout, not
+      // data: never ALTERed.)
+      val catalogCols = spark.table(s"$db.$table").schema
+        .fieldNames.map(_.toLowerCase).toSet
+      val added = spark.read.parquet(path).schema.fields.filterNot(f =>
+        catalogCols.contains(f.name.toLowerCase) ||
+          partitionCols.exists(_.equalsIgnoreCase(f.name)))
+      if (added.nonEmpty)
+        spark.sql(s"ALTER TABLE $full ADD COLUMNS (" +
+          added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
       spark.sql(s"REFRESH TABLE $full")
     }
     if (partitionCols.nonEmpty)
-      spark.sql(s"MSCK REPAIR TABLE $full")
+      spark.sql(s"MSCK REPAIR TABLE $full SYNC PARTITIONS")
   }
 }

@@ -25,7 +25,8 @@ import graft.meta.LoadMode
  * shuffle at all. Schema evolution (Delta autoMerge,
  * aje-stage-dms-load.py:44) is the union of both schemas with nulls filled.
  *
- * Scale notes: with `partitionCols` set, merge modes route through
+ * Scale notes: with `partitionCols` set and the layout provably key-stable
+ * (see `write`'s gating contract), merge modes route through
  * `prunedMergeWrite` — the native analog of Delta's file pruning
  * (aje-stage-dms-load.py:482-495): only the partitions the batch touches
  * (plus, for the transactional-window mode, the deleted window) are read,
@@ -88,7 +89,11 @@ object MergeWriter {
     val b = alignTo(cleanBatch, schema)
     // Keys present in the batch vanish from the target (anti join), then the
     // batch is appended — whenMatchedUpdateAll + whenNotMatchedInsertAll.
+    // The using-column join moves join columns to the FRONT of its output;
+    // re-select schema order or the positional union misaligns columns
+    // whenever an id is not already leftmost.
     t.join(b.select(ids.map(col): _*).dropDuplicates(ids), ids, "left_anti")
+      .select(schema.map { case (n, _) => col(n) }: _*)
       .union(b)
   }
 
@@ -158,33 +163,41 @@ object MergeWriter {
     val pc = partitionCols.map(col)
     val target = spark.read.parquet(path)
     val batchVals = batch.select(pc: _*).distinct().collect()
-    val extraVals = alsoTouched match {
-      // Existing partition VALUES come from the DIRECTORY STRUCTURE (one
-      // listing, O(partitions)), not from a `select(partCols).distinct()`
-      // data scan — that enumerates one row per TABLE row, which at 100 TB
-      // is a full-table pass just to learn ~10^3 partition values. The
-      // parsed strings are cast to the target's partition types and the
-      // predicate evaluates over that tiny local frame.
-      case Some(p) =>
-        val parsed = leafPartitionDirs(Paths.get(path), partitionCols.length)
-          .map(_.toString.split("/").map { seg =>
+    // Existing partition VALUES come from the DIRECTORY STRUCTURE (one
+    // listing, O(partitions)), not from a `select(partCols).distinct()`
+    // data scan — that enumerates one row per TABLE row, which at 100 TB
+    // is a full-table pass just to learn ~10^3 partition values. The
+    // parsed strings are cast to the target's partition types and every
+    // predicate below evaluates over that tiny local frame; keeping the
+    // on-disk relative path alongside the typed values is also how touched
+    // directories are later located for deletion — matching parsed leaf
+    // dirs, never re-rendering values (Timestamp.toString and friends do
+    // not round-trip Spark's write-side partition-path formatting).
+    val dirCol = "__graft_dir"
+    val diskDirs = leafPartitionDirs(Paths.get(path), partitionCols.length)
+    val diskDf: Option[DataFrame] =
+      if (diskDirs.isEmpty) None
+      else {
+        val parsed = diskDirs.map { rel =>
+          rel.toString +: rel.toString.split("/").map { seg =>
             val raw = ExternalCatalogUtils
               .unescapePathName(seg.substring(seg.indexOf('=') + 1))
             if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
             else raw
-          }.toSeq)
-        if (parsed.isEmpty) Array.empty[Row]
-        else {
-          val strSchema = org.apache.spark.sql.types.StructType(
-            partitionCols.map(c => org.apache.spark.sql.types
-              .StructField(c, org.apache.spark.sql.types.StringType, true)))
-          val typeOf = target.schema.fields.map(f => f.name -> f.dataType).toMap
-          spark.createDataFrame(
-              java.util.Arrays.asList(parsed.map(Row(_: _*)): _*), strSchema)
-            .select(partitionCols.map(c => col(c).cast(typeOf(c)).as(c)): _*)
-            .filter(p).collect()
+          }.toSeq
         }
-      case None => Array.empty[Row]
+        val strSchema = org.apache.spark.sql.types.StructType(
+          (dirCol +: partitionCols).map(c => org.apache.spark.sql.types
+            .StructField(c, org.apache.spark.sql.types.StringType, true)))
+        val typeOf = target.schema.fields.map(f => f.name -> f.dataType).toMap
+        Some(spark.createDataFrame(
+            java.util.Arrays.asList(parsed.map(Row(_: _*)): _*), strSchema)
+          .select(col(dirCol) +:
+            partitionCols.map(c => col(c).cast(typeOf(c)).as(c)): _*))
+      }
+    val extraVals = (alsoTouched, diskDf) match {
+      case (Some(p), Some(df)) => df.filter(p).select(pc: _*).collect()
+      case _ => Array.empty[Row]
     }
     val touched = (batchVals ++ extraVals).map(_.toSeq).distinct.toSeq
     if (touched.isEmpty) return 0L
@@ -203,11 +216,14 @@ object MergeWriter {
     val rows = parquetRowCount(tmp)
 
     // Swap per partition directory: replace every partition the tmp write
-    // produced, and delete touched partitions the merge emptied.
+    // produced, and delete touched partitions the merge emptied. Deletions
+    // target the actual on-disk directories whose parsed values satisfy the
+    // touched predicate — the same evaluation the scan pruned by.
     val tmpRoot = Paths.get(tmp)
     val written = leafPartitionDirs(tmpRoot, partitionCols.length)
     val pathRoot = Paths.get(path)
-    touched.foreach(vals => deleteRecursive(pathRoot.resolve(dirName(partitionCols, vals))))
+    diskDf.foreach(_.filter(pred).select(dirCol).collect()
+      .foreach(r => deleteRecursive(pathRoot.resolve(r.getString(0)))))
     written.foreach { rel =>
       val dest = pathRoot.resolve(rel)
       deleteRecursive(dest) // same partition under a differently rendered name
@@ -217,14 +233,6 @@ object MergeWriter {
     deleteRecursive(tmpRoot)
     rows
   }
-
-  /** `col=value(/col2=value2…)` exactly as Spark renders it on write. */
-  private def dirName(partitionCols: Seq[String], vals: Seq[Any]): String =
-    partitionCols.zip(vals).map { case (c, v) =>
-      // null renders as __HIVE_DEFAULT_PARTITION__ inside the helper
-      ExternalCatalogUtils.getPartitionPathString(c,
-        if (v == null) null else v.toString)
-    }.mkString("/")
 
   /** Relative paths of the depth-`n` partition directories under `root`. */
   private def leafPartitionDirs(root: JPath, n: Int): Seq[JPath] = {
@@ -272,10 +280,23 @@ object MergeWriter {
 
   /** Full load-mode-routed write (reference flow aje-stage-dms-load.py:470-518
     * + transform_light.py:388-417). Throws NoDataToMigrateException after
-    * bootstrapping an empty table, as the reference does (K6). */
+    * bootstrapping an empty table, as the reference does (K6).
+    *
+    * Pruned-route gating: the pruned merge is only taken when a key provably
+    * cannot move between partitions — otherwise a moved key's stale copy in
+    * its old (unread) partition would survive, where the reference's Delta
+    * MERGE matches on ids across the whole table. Provably safe cases,
+    * auto-detected: every partition column is part of the merge ids (a moved
+    * "key" is then by definition a different key), or the
+    * transactional-window mode partitioned exactly on `processperiod` (the
+    * reference's contract: the period is derived from the row's own immutable
+    * transaction date, aje-stage-dms-load.py:488-495). Any other layout needs
+    * the caller to assert the stability contract via `partitionStable = true`;
+    * without it the merge falls back to the full `writeSwap`. */
   def write(spark: SparkSession, batch: DataFrame, path: String, mode: LoadMode,
       ids: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
-      cutoffPeriod: Int = 0, retrySleepMs: Int => Long = _ * 60000L): MergeStats = {
+      cutoffPeriod: Int = 0, retrySleepMs: Int => Long = _ * 60000L,
+      partitionStable: Boolean = false): MergeStats = {
     // K6 — empty bootstrap signals OUTSIDE the retry loop (the reference
     // raises from the non-retried branch, aje-stage-dms-load.py:512-518;
     // inside a retry it would "succeed" second time around against the
@@ -286,15 +307,19 @@ object MergeWriter {
     }
     withRetry(3, retrySleepMs) {
       val existing = readTarget(spark, path)
-      val pruned = partitionCols.nonEmpty && existing.isDefined
+      def stableFor(mergeIds: Seq[String]): Boolean =
+        partitionStable || partitionCols.forall(mergeIds.contains)
+      def pruned(mergeIds: Seq[String]): Boolean =
+        partitionCols.nonEmpty && existing.isDefined && stableFor(mergeIds)
       (existing, mode) match {
-        case (Some(_), LoadMode.IncrementalMerge) if pruned =>
+        case (Some(_), LoadMode.IncrementalMerge) if pruned(ids) =>
           MergeStats("merge-pruned", prunedMergeWrite(spark, batch, path,
             partitionCols, None, upsert(_, _, ids)))
         case (Some(t), LoadMode.IncrementalMerge) =>
           MergeStats("merge", writeSwap(upsert(t, batch, ids), path, partitionCols))
-        case (Some(_), LoadMode.TransactionalWindowMerge(_)) if pruned
-            && partitionCols.contains("processperiod") =>
+        case (Some(_), LoadMode.TransactionalWindowMerge(_))
+            if partitionCols.contains("processperiod") && existing.isDefined
+              && (stableFor(ids) || partitionCols == Seq("processperiod")) =>
           // deleted window = extra touched partitions (periods the batch has
           // no replacement rows for must still be emptied)
           MergeStats("window-merge-pruned", prunedMergeWrite(spark, batch, path,
@@ -303,7 +328,7 @@ object MergeWriter {
         case (Some(t), LoadMode.TransactionalWindowMerge(_)) =>
           MergeStats("window-merge", writeSwap(
             transactionalWindowMerge(t, batch, ids, cutoffPeriod), path, partitionCols))
-        case (Some(_), LoadMode.Upsert(key)) if pruned =>
+        case (Some(_), LoadMode.Upsert(key)) if pruned(Seq(key)) =>
           MergeStats("upsert-pruned", prunedMergeWrite(spark, batch, path,
             partitionCols, None, upsert(_, _, Seq(key))))
         case (Some(t), LoadMode.Upsert(key)) =>

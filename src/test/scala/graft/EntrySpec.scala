@@ -40,18 +40,59 @@ class EntrySpec extends SparkSpec {
     // re-run analog) makes it visible to name-based readers
     MergeWriter.write(spark, Seq((3, "c", 30)).toDF("id", "v", "p"), path,
       LoadMode.IncrementalMerge, ids = Seq("id"), partitionCols = Seq("p"),
-      retrySleepMs = _ => 0L)
+      retrySleepMs = _ => 0L, partitionStable = true)
     CatalogRegistry.registerStage(spark, db, "cust_stage", path, Seq("p"))
     assert(spark.table(s"$db.cust_stage").count() == 3)
     assert(spark.sql(s"SELECT v FROM $db.cust_stage WHERE p = 30")
       .as[String].collect().toSeq == Seq("c"))
   }
 
+  test("catalog registration: dropped partitions and evolved columns synced") {
+    import graft.write.{CatalogRegistry, MergeWriter}
+    import spark.implicits._
+    val db = "graft_cat_sync"
+    val path = Files.createTempDirectory("graft_catsync").toString + "/t"
+    MergeWriter.write(spark,
+      Seq((1, "a", 202311), (2, "b", 202401)).toDF("id", "v", "processperiod"),
+      path, LoadMode.FullOverwrite, partitionCols = Seq("processperiod"),
+      retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "tx_stage", path,
+      Seq("processperiod"))
+    assert(spark.table(s"$db.tx_stage").count() == 2)
+    // window merge with NO replacement rows for 202401: its directory is
+    // deleted; re-registration must DROP the dangling catalog partition
+    // (plain MSCK only adds) or name-based reads hit a missing directory
+    val batch = Seq((1, "A", 202311)).toDF("id", "v", "processperiod")
+    val s = MergeWriter.write(spark, batch, path,
+      LoadMode.TransactionalWindowMerge(0), ids = Seq("id"),
+      partitionCols = Seq("processperiod"), cutoffPeriod = 202401,
+      retrySleepMs = _ => 0L)
+    assert(s.mode == "window-merge-pruned")
+    assert(!new java.io.File(s"$path/processperiod=202401").exists())
+    CatalogRegistry.registerStage(spark, db, "tx_stage", path,
+      Seq("processperiod"))
+    assert(spark.table(s"$db.tx_stage").select("id", "v")
+      .as[(Int, String)].collect().toSet == Set((1, "A")))
+    // schema evolution on an unpartitioned table: a merge adds a batch-only
+    // column; re-registration surfaces it to name-based readers
+    val path2 = Files.createTempDirectory("graft_catsync2").toString + "/t"
+    MergeWriter.write(spark, Seq((1, "a")).toDF("id", "v"), path2,
+      LoadMode.FullOverwrite, retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "ev_stage", path2)
+    assert(!spark.table(s"$db.ev_stage").columns.contains("extra"))
+    MergeWriter.write(spark, Seq((2, "b", 9)).toDF("id", "v", "extra"), path2,
+      LoadMode.IncrementalMerge, ids = Seq("id"), retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "ev_stage", path2)
+    assert(spark.table(s"$db.ev_stage").filter($"id" === 2)
+      .select("extra").as[Int].collect().toSeq == Seq(9))
+  }
+
   test("orchestrator: incremental run merges through the pruned path") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_orch_incr").toString
     val cfg = TableConfig("T_EV", "EP", "s", "events", "ev_stage",
-      loadType = "incremental", sourceTableType = "m", idColumn = "id")
+      loadType = "incremental", sourceTableType = "m", idColumn = "id",
+      partitionStable = true) // p derived from immutable row data
     val specs = Seq(
       ColumnSpec("T_EV", "id", 1, "bigint", "id", isId = true),
       ColumnSpec("T_EV", "v", 2, "string", "v"),

@@ -95,10 +95,12 @@ class MergeWriterSpec extends SparkSpec {
       partitionCols = Seq("p"), retrySleepMs = _ => 0L)
     val before10 = partFiles(path, "p=10")
     val before30 = partFiles(path, "p=30")
-    // batch touches only p=20
+    // batch touches only p=20; p is not a merge id, so the pruned route
+    // needs the caller-asserted stability contract
     val batch = Seq((3, "C", 20), (5, "e", 20)).toDF("id", "v", "p")
     val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
-      ids = Seq("id"), partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+      ids = Seq("id"), partitionCols = Seq("p"), retrySleepMs = _ => 0L,
+      partitionStable = true)
     assert(s.mode == "merge-pruned" && s.rowsWritten == 2)
     // untouched partitions: same files, same bytes (never rewritten)
     assert(partFiles(path, "p=10") == before10)
@@ -145,12 +147,68 @@ class MergeWriterSpec extends SparkSpec {
       (4, "d", Integer.valueOf(10), "x"))
       .toDF("id", "v", "p", "q")
     val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
-      ids = Seq("id"), partitionCols = Seq("p", "q"), retrySleepMs = _ => 0L)
+      ids = Seq("id"), partitionCols = Seq("p", "q"), retrySleepMs = _ => 0L,
+      partitionStable = true)
     assert(s.mode == "merge-pruned" && s.rowsWritten == 3) // 1, 2, 4
     assert(partFiles(path, "p=10/q=y") == beforeUntouched)
     val got = spark.read.parquet(path).select("id", "v")
       .as[(Int, String)].collect().toSet
     assert(got == Set((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+  }
+
+  test("unstable partitions fall back to full merge; moved keys deduplicate") {
+    val path = tmp()
+    val t0 = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "v", "p")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    // key 1 MOVES from p=10 to p=30: without the stability assertion the
+    // write must take the unpruned route (Delta MERGE matches ids across the
+    // whole table) so the stale p=10 copy cannot survive
+    val batch = Seq((1, "A", 30)).toDF("id", "v", "p")
+    val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id"), partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    assert(s.mode == "merge")
+    val got = spark.read.parquet(path).select("id", "v", "p")
+      .as[(Int, String, Int)].collect().toSet
+    assert(got == Set((1, "A", 30), (2, "b", 20)))
+  }
+
+  test("partition columns within the merge ids auto-route pruned") {
+    val path = tmp()
+    val t0 = Seq((1, "a", 10), (2, "b", 20)).toDF("id", "v", "p")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    val before10 = partFiles(path, "p=10")
+    // merge ids (id, p) contain partition col p: a "moved" key is a distinct
+    // key by definition, so pruning is provably safe without any assertion
+    val batch = Seq((2, "B", 20)).toDF("id", "v", "p")
+    val s = MergeWriter.write(spark, batch, path, LoadMode.IncrementalMerge,
+      ids = Seq("id", "p"), partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    assert(s.mode == "merge-pruned" && s.rowsWritten == 1)
+    assert(partFiles(path, "p=10") == before10)
+  }
+
+  test("emptied partition dirs located by parsed on-disk names, not toString") {
+    import java.sql.Timestamp
+    val path = tmp()
+    // Timestamp partition values: Spark renders 'ts=2024-01-01 00%3A00%3A00'
+    // on write, while Timestamp.toString gives '2024-01-01 00:00:00.0' — a
+    // re-rendering lookup would miss the directory and strand stale rows
+    val t0 = Seq((1, "a", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2, "b", Timestamp.valueOf("2024-02-01 00:00:00"))).toDF("id", "v", "ts")
+    MergeWriter.write(spark, t0, path, LoadMode.FullOverwrite,
+      partitionCols = Seq("ts"), retrySleepMs = _ => 0L)
+    val empty = Seq.empty[(Int, String, Timestamp)].toDF("id", "v", "ts")
+    // touched = the january partition (via alsoTouched); merge deletes all
+    // its rows, so the swap must REMOVE that directory
+    val rows = MergeWriter.prunedMergeWrite(spark, empty, path, Seq("ts"),
+      Some(col("ts") < lit("2024-02-01").cast("timestamp")),
+      (t, b) => t.filter(lit(false)).union(b))
+    assert(rows == 0L)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.size == 1 && dirs.head.startsWith("ts=2024-02-01"))
+    assert(spark.read.parquet(path).count() == 1)
   }
 
   test("retry combinator retries then succeeds") {
