@@ -136,11 +136,18 @@ object Similarity {
         quantize(col(vecCol)).as("v"),
         explode(array(buckets: _*)).as("bucket"))
       .withColumn("n2", qdot(col("v"), col("v"))) // norm once per row
-    val pruned = if (maxBucket <= 0) keyed else {
+    val prunedPlan = if (maxBucket <= 0) keyed else {
       val w = Window.partitionBy("bucket")
       keyed.withColumn("bsz", count(lit(1)).over(w))
         .filter(col("bsz") <= maxBucket).drop("bsz")
     }
+    // Both sides of the self-join reference this subtree; Spark evaluates
+    // each reference independently, so quantization + `tables` bucket
+    // signatures would run TWICE over the corpus. Materialize once — the
+    // in-session analog of a 100 TB pipeline writing its signature table
+    // to parquet between the embed and join stages.
+    val pruned = prunedPlan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pruned.as("x").join(pruned.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
