@@ -660,7 +660,64 @@ object QueryCatalog {
               list_transform(range(1, length(norm) + 1),
                 i -> CAST(unicode(norm[i]) AS BIGINT))),
             (acc, c) -> (acc * 31 + c) % 1000000000000000) AS fp_roll
-        FROM n""")))
+        FROM n""")),
+
+    // PII scrubbing audit: deterministic synthetic PII is appended to each
+    // document (derived from its own columns — the fixture text itself has
+    // none), then counted and redacted. Patterns are RE2-safe, so the same
+    // pattern TEXT drives Spark's Java regex and DuckDB's RE2 identically.
+    ("q_text_pii",
+      (s: SparkSession, d: String) => {
+        val aug = concat(col("text"), lit(" contact "), col("source"),
+          lit("@example.com or 555-123-4567 at 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7"))
+        t(s, d, "documents").select(
+          col("doc_id") +:
+            graft.ops.TextOps.piiColumns(aug).map { case (n, c) => c.as(n) }: _*)
+      },
+      Some {
+        val (e, p, i) = (TextOps.EmailPattern, TextOps.PhonePattern,
+          TextOps.Ipv4Pattern)
+        s"""WITH aug AS (SELECT doc_id,
+            text || ' contact ' || source ||
+              '@example.com or 555-123-4567 at 10.0.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+          FROM documents),
+        st AS (SELECT doc_id, t,
+            regexp_replace(t, '$e', '[EMAIL]', 'g') AS t1 FROM aug),
+        st2 AS (SELECT *, regexp_replace(t1, '$p', '[PHONE]', 'g') AS t2
+          FROM st)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t1, '$p')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_ips,
+          regexp_replace(t2, '$i', '[IP]', 'g') AS redacted
+        FROM st2"""
+      }),
+
+    // Benchmark decontamination: every 20th document plays the eval set;
+    // the rest are the training corpus. Long (8-gram) overlap — the
+    // GPT-3/PaLM-style contamination gate (Dedup.contaminationPairs).
+    ("q_text_decontam",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          n = 8, minShared = 2)
+      },
+      Some(s"""WITH ${shingleSqlFor(8, "WHERE doc_id % 20 <> 0", "cdocs", "csh")},
+        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
+        sizes AS (SELECT doc_id AS bench_id, count(*) AS bench_ngrams
+          FROM bsh GROUP BY 1),
+        shared AS (SELECT c.doc_id, b.doc_id AS bench_id,
+            count(*) AS shared_ngrams
+          FROM csh c JOIN bsh b ON c.sg = b.sg
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT s.doc_id, s.bench_id, s.shared_ngrams, z.bench_ngrams,
+          CAST(s.shared_ngrams AS DOUBLE) / CAST(z.bench_ngrams AS DOUBLE)
+            AS containment
+        FROM shared s JOIN sizes z USING (bench_id)""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
@@ -685,16 +742,22 @@ object QueryCatalog {
 
   // =============================================================== dedup
 
-  /** Shared SQL: distinct (doc_id, shingle) posting list, n-word shingles. */
-  private def shingleSql(n: Int): String = {
+  /** Shared SQL: distinct (doc_id, shingle) posting list, n-word shingles.
+    * `where` filters the source rows; CTE names are parameterized so two
+    * posting lists (corpus + benchmark) can coexist in one oracle. */
+  private def shingleSqlFor(n: Int, where: String, docsCte: String,
+      shCte: String): String = {
     val joinExpr = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
-    s"""docs AS (SELECT doc_id, ${tokensSql()} AS toks FROM documents),
-      sh AS (SELECT DISTINCT doc_id, sg FROM docs, UNNEST(
+    s"""$docsCte AS (SELECT doc_id, ${tokensSql()} AS toks
+        FROM documents $where),
+      $shCte AS (SELECT DISTINCT doc_id, sg FROM $docsCte, UNNEST(
         CASE WHEN len(toks) >= $n
              THEN list_transform(range(1, len(toks) - ${n - 2}),
                     i -> $joinExpr)
              ELSE [array_to_string(toks, ' ')] END) AS u(sg))"""
   }
+
+  private def shingleSql(n: Int): String = shingleSqlFor(n, "", "docs", "sh")
 
   private val dedupQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -981,6 +1044,42 @@ object QueryCatalog {
             ${cosineSql("q.v", "c.v")} AS cosine
           FROM cand JOIN q ON q.vec_id = cand.query_id
                     JOIN c ON c.vec_id = cand.neighbor_id)
+        SELECT query_id, neighbor_id, cosine, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
+    // IVF-Flat ANN: md5-picked deterministic centroids, map-side list
+    // assignment, probes search nprobe lists (Similarity.annIvf). The
+    // oracle replays centroid pick, assignment (same quantized cosine +
+    // tie-break) and the rerank exactly.
+    ("q_sim_ann_ivf",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.annIvf(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nlist = 16, nprobe = 4)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM c
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        asg AS (SELECT vec_id, v, cid FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosineSql("c.v", "cents.cv")} DESC, cents.cid ASC)
+              AS arnk
+          FROM c CROSS JOIN cents) WHERE arnk = 1),
+        pc AS (SELECT query_id, qv, cid FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, cents.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", "cents.cv")} DESC, cents.cid ASC)
+              AS prnk
+          FROM c q CROSS JOIN cents WHERE q.vec_id < 8) WHERE prnk <= 4),
+        scored AS (SELECT pc.query_id, asg.vec_id AS neighbor_id,
+            ${cosineSql("pc.qv", "asg.v")} AS cosine
+          FROM pc JOIN asg ON asg.cid = pc.cid
+            AND asg.vec_id <> pc.query_id)
         SELECT query_id, neighbor_id, cosine, rnk FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)

@@ -180,6 +180,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination — the GPT-3/PaLM-style n-gram overlap gate: a
+   * corpus document is contaminated when it shares at least `minShared`
+   * distinct word n-grams with a benchmark (eval-set) document. Output:
+   * (doc_id, bench_id, shared_ngrams, bench_ngrams, containment) with
+   * containment = shared / |benchmark doc's n-grams| — the fraction of the
+   * eval document present verbatim in the training document.
+   *
+   * Scale shape: candidates come from an equi-join on the 60-bit shingle
+   * hash with the BENCHMARK side broadcast — eval suites are ~1e4..1e6 docs
+   * against a ~1e9-doc corpus, so the corpus is scanned once, shuffles only
+   * its matching (doc, bench) pairs into one count aggregation, and never
+   * materializes a posting-list self-join. Decontamination n-grams are long
+   * (n ~ 8-13) precisely so each one is individually rare: no hot-key cap
+   * is needed because a 13-gram shared by millions of documents is itself
+   * the contamination being hunted.
+   */
+  def contaminationPairs(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, n: Int = 8, minShared: Int = 2): DataFrame = {
+    val c = shingleTable(corpus, corpusId, corpusText, n)
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+    val b = shingleTable(bench, benchId, benchText, n)
+      .select(col("doc_id").as("bench_id"), shingleHash(col("shingle")).as("h"))
+    val bSizes = b.groupBy("bench_id").agg(count(lit(1)).as("bench_ngrams"))
+    c.join(broadcast(b), Seq("h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("shared_ngrams"),
+        col("bench_ngrams"),
+        (col("shared_ngrams").cast("double") /
+          col("bench_ngrams").cast("double")).as("containment"))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** First/second 8 hex chars of md5 as non-negative longs — the (a, b) seeds

@@ -114,6 +114,77 @@ object Similarity {
   }
 
   /**
+   * IVF-style ANN (the inverted-file coarse quantizer, FAISS's IVF-Flat
+   * shape): every corpus vector is assigned to its nearest of `nlist`
+   * centroids; a probe searches only the `nprobe` lists whose centroids are
+   * nearest to it, then exact quantized cosine reranks to top-k.
+   *
+   * Training-free deterministic centroids: the `nlist` corpus vectors with
+   * the smallest md5(id) — a hash-ordered sample, stable across engines (no
+   * RNG, no k-means iterations to replay). Real deployments would swap in
+   * k-means centroids; every other part of the pipeline is unchanged.
+   *
+   * Scale shape — the reason IVF beats LSH when lists are balanced:
+   *  - centroids are collected to the driver (nlist * dims integers — tiny)
+   *    and enter the plan as ONE literal per centroid, so corpus assignment
+   *    is a pure map-side projection: `nlist` codegen'd integer dot products
+   *    per row, NO shuffle, no data amplification. (A cross-join + window
+   *    formulation would shuffle corpus × nlist rows with the vector
+   *    repeated per candidate — `nlist`× write amplification.)
+   *  - tie-break and argmax are one `least()` over (negated cosine, id)
+   *    structs — still whole-stage codegen.
+   *  - probe lookups join on the single `cent_id` key with the (small)
+   *    probe side broadcast: each probe's work is its `nprobe` lists, not
+   *    the corpus.
+   */
+  def annIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        quantize(col(vecCol)).as("cvec"))
+      .withColumn("cn2", qdot(col("cvec"), col("cvec")))
+    // hash-ordered deterministic centroid sample, materialized driver-side
+    val cents = c.orderBy(md5(col("neighbor_id").cast("string").cast("binary")),
+        col("neighbor_id"))
+      .limit(nlist)
+      .select(col("neighbor_id").as("cid"), col("cvec"), col("cn2"))
+      .collect()
+    // per-centroid (negcos, cid) struct; least() = max cosine, then min id
+    def assignStructs(vec: Column, n2: Column) = cents.map { r =>
+      val cvec = lit(r.getSeq[Long](1).toArray)
+      struct(
+        negate(qcosineWithNorms(qdot(vec, cvec), n2, lit(r.getLong(2))))
+          .as("negcos"),
+        lit(r.get(0)).as("cid"))
+    }
+    val assigned = c.withColumn("cent_id",
+      least(assignStructs(col("cvec"), col("cn2")): _*).getField("cid"))
+    val p = probes.select(col(probeIdCol).as("query_id"),
+        quantize(col(probeVecCol)).as("qvec"))
+      .withColumn("qn2", qdot(col("qvec"), col("qvec")))
+    val pw = Window.partitionBy("query_id").orderBy(col("negcos"), col("cid"))
+    val probeCands = p
+      .select(col("query_id"), col("qvec"), col("qn2"),
+        explode(array(assignStructs(col("qvec"), col("qn2")): _*)).as("cs"))
+      .select(col("query_id"), col("qvec"), col("qn2"),
+        col("cs.negcos").as("negcos"), col("cs.cid").as("cid"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qn2"),
+        col("cid").as("cent_id"))
+    val scored = assigned.as("a").join(broadcast(probeCands.as("p")),
+        col("a.cent_id") === col("p.cent_id") &&
+          col("a.neighbor_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("a.neighbor_id"),
+        qcosineWithNorms(qdot(col("p.qvec"), col("a.cvec")),
+          col("p.qn2"), col("a.cn2")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Corpus-wide embedding near-duplicate pairs through LSH buckets — the
    * scale path [[nearDupPairs]]' scaladoc points at: vectors sharing a
    * bucket in ANY of `tables` tables become candidates (an equi-join on

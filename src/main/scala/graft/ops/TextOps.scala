@@ -121,6 +121,39 @@ object TextOps {
     when(hasCjk, "zh").otherwise(best)
   }
 
+  // PII patterns: deliberately RE2-safe (no lookaround, no backreferences)
+  // so the same pattern text runs identically under Spark's Java regex and
+  // the DuckDB oracle's RE2 — and stays linear-time on adversarial inputs.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing for training text: emails, NANP-style phone numbers and
+    * IPv4 literals replaced with typed placeholder tokens. Order matters:
+    * emails first (their local parts may contain digit runs), then phones,
+    * then IPs — each later pattern sees the previous replacements. Pure
+    * codegen'd `regexp_replace` chain: one projection, no UDF, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Per-document PII hit counts + the redacted text — the audit columns a
+    * scrubbing pipeline writes next to its output. Each count is taken on
+    * the text as the corresponding `redactPii` stage sees it (post the
+    * earlier replacements), so counts always agree with what was redacted. */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val postEmail = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val postPhone = regexp_replace(postEmail, PhonePattern, "[PHONE]")
+    Seq(
+      "n_emails" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+      "n_phones" -> regexp_count(postEmail, lit(PhonePattern)).cast("long"),
+      "n_ips" -> regexp_count(postPhone, lit(Ipv4Pattern)).cast("long"),
+      "redacted" -> redactPii(text))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * every non-alnum run to one space, trim. */
   def normalize(text: Column): Column =

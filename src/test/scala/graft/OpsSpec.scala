@@ -230,6 +230,72 @@ class OpsSpec extends SparkSpec {
       s"ANN top-1 recall $hits/${brute.size} too low")
   }
 
+  test("ann ivf: exact within probed lists, decent rank-1 recall") {
+    val probes = emb.filter($"vec_id" < 20)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", probes,
+      "vec_id", "embedding", k = 4, nlist = 8, nprobe = 3)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("rank") <= 4))
+    // ranks are contiguous from 1 and cosines non-increasing per query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse)
+    }
+    // probing 3 of 8 lists: most true rank-1 neighbors are found
+    val top1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val hits = brute.count { case (q, n) => top1.get(q).contains(n) }
+    assert(hits >= brute.size / 2,
+      s"IVF top-1 recall $hits/${brute.size} too low")
+  }
+
+  test("contamination pairs: containment math, minShared gate, no self-hits") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight"), // disjoint
+      (3L, "alpha beta gamma delta epsilon zeta eta theta") // exact prefix
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")) // 8 tokens = 1 8-gram... use n=3
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // bench doc has 6 distinct trigrams; doc 1 contains all 6, doc 3 all 6
+    assert(got.keySet == Set((1L, 100L), (3L, 100L)))
+    assert(got((1L, 100L)) == ((6L, 6L, 1.0)))
+    assert(got((3L, 100L)) == ((6L, 6L, 1.0)))
+    // raising minShared above the overlap empties the result
+    assert(Dedup.contaminationPairs(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 7).count() == 0)
+  }
+
+  test("pii redaction: emails, phones, ipv4 replaced and counted") {
+    val df = Seq(
+      (1L, "mail a.b-c%d@sub.example.org or call 555-123-4567 now"),
+      (2L, "server at 192.168.0.1 and 10.0.255.7; no mail"),
+      (3L, "phone-in-email 555-123-4567@example.com stays one email"),
+      (4L, "clean text with numbers 12345 and dots a.b")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +:
+        TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == ((1L, 1L, 0L, "mail [EMAIL] or call [PHONE] now")))
+    assert(got(2L) == ((0L, 0L, 2L, "server at [IP] and [IP]; no mail")))
+    // the email wins: its local part is not separately counted as a phone
+    assert(got(3L) == ((1L, 0L, 0L, "phone-in-email [EMAIL] stays one email")))
+    assert(got(4L) == ((0L, 0L, 0L, "clean text with numbers 12345 and dots a.b")))
+  }
+
   test("star contraction handles a long chain in few rounds") {
     // a 64-link path has diameter 64: label propagation at default maxIter
     // would NOT converge, star contraction does (O(log n) rounds)
