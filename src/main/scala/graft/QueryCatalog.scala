@@ -717,7 +717,30 @@ object QueryCatalog {
         SELECT s.doc_id, s.bench_id, s.shared_ngrams, z.bench_ngrams,
           CAST(s.shared_ngrams AS DOUBLE) / CAST(z.bench_ngrams AS DOUBLE)
             AS containment
-        FROM shared s JOIN sizes z USING (bench_id)""")))
+        FROM shared s JOIN sizes z USING (bench_id)""")),
+
+    // C4/RefinedWeb-style boilerplate removal: 4-token tiles shared by >= 2
+    // document-positions are cut corpus-wide, docs reassembled in order
+    // (TextOps.removeRepeatedSpans).
+    ("q_text_spandedup",
+      (s: SparkSession, d: String) => TextOps.removeRepeatedSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 4, minDf = 2),
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql("coalesce(text,'')")}
+            AS toks FROM documents),
+        tiles AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+            array_to_string(toks[i:i+3], ' ') AS tile
+          FROM docs, UNNEST(CASE WHEN len(toks) = 0 THEN [CAST(1 AS BIGINT)]
+            ELSE range(1, len(toks) + 1, 4) END) AS u(i)),
+        hot AS (SELECT tile FROM tiles GROUP BY 1 HAVING count(*) >= 2),
+        kept AS (SELECT * FROM tiles
+          WHERE tile NOT IN (SELECT tile FROM hot)),
+        totals AS (SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY 1),
+        ka AS (SELECT doc_id, count(*) AS n_kept,
+            string_agg(tile, ' ' ORDER BY idx) AS clean_text
+          FROM kept GROUP BY 1)
+        SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+          t.n_tiles, t.n_tiles - coalesce(ka.n_kept, 0) AS n_removed
+        FROM totals t LEFT JOIN ka USING (doc_id)""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {

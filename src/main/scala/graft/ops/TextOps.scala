@@ -154,6 +154,66 @@ object TextOps {
       "redacted" -> redactPii(text))
   }
 
+  /** Non-overlapping `n`-token tiles of each document, with their ordinal:
+    * (doc_id, idx, tile). The trailing partial tile is kept; an empty or
+    * null document yields one empty tile so the doc survives reassembly.
+    * Typed `flatMap` like `Dedup.shingleTable` (compiled `grouped(n)` beats
+    * the interpreted HOF chain; same tokenizer). */
+  def tileTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("idx", IntegerType, false),
+      StructField("tile", org.apache.spark.sql.types.StringType)))
+    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+      .flatMap { r =>
+        val id = r.get(0)
+        val toks =
+          if (r.isNullAt(1)) Array.empty[String]
+          else r.getString(1).toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.isEmpty) Iterator.single(Row(id, 0, ""))
+        else toks.grouped(n).zipWithIndex
+          .map { case (g, i) => Row(id, i, g.mkString(" ")) }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * Corpus-wide repeated-span removal — the C4/RefinedWeb-style boilerplate
+   * gate at span granularity: any n-token tile occurring in >= `minDf`
+   * documents-positions across the corpus (headers, footers, license
+   * blurbs, templated spans) is cut from every document, and documents are
+   * reassembled from their remaining tiles in order. Output:
+   * (doc_id, clean_text, n_tiles, n_removed).
+   *
+   * Scale shape: one shuffle counts tile frequencies (map-side combined);
+   * the HOT tile set — boilerplate is by definition a tiny distinct set —
+   * is broadcast into a left-anti join, so the corpus-sized tile stream is
+   * never shuffled for the filter; one final shuffle on doc_id reassembles.
+   */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    val tiles = tileTable(df, idCol, textCol, n)
+    val hot = broadcast(tiles.groupBy("tile")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("tile"))
+    val kept = tiles.join(hot, Seq("tile"), "left_anti")
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tile")))),
+        x => x.getField("tile")), " ").as("clean_text"))
+    tiles.groupBy("doc_id").agg(count(lit(1)).as("n_tiles"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tiles"),
+        (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * every non-alnum run to one space, trim. */
   def normalize(text: Column): Column =

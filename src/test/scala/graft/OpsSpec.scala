@@ -278,6 +278,26 @@ class OpsSpec extends SparkSpec {
       bench, "doc_id", "text", n = 3, minShared = 7).count() == 0)
   }
 
+  test("repeated-span removal cuts shared tiles, keeps order, empty-safe") {
+    val boiler = "subscribe to our newsletter now" // 5 tokens -> tile + tail
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"one two three four $boiler epsilon"),
+      (3L, "totally unique words only here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    // n=4: doc1 tiles = [alpha beta gamma delta][subscribe to our newsletter]
+    // [now]; doc2 = [one two three four][subscribe to our newsletter][now
+    // epsilon]; the 4-token boilerplate tile is shared (df=2) and removed
+    val got = TextOps.removeRepeatedSpans(df, "doc_id", "text", 4, 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (("alpha beta gamma delta now", 3L, 1L)))
+    assert(got(2L) == (("one two three four now epsilon", 3L, 1L)))
+    assert(got(3L) == (("totally unique words only here", 2L, 0L)))
+    assert(got(4L) == (("", 1L, 0L))) // empty doc survives as empty
+  }
+
   test("pii redaction: emails, phones, ipv4 replaced and counted") {
     val df = Seq(
       (1L, "mail a.b-c%d@sub.example.org or call 555-123-4567 now"),
