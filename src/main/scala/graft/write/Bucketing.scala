@@ -37,4 +37,21 @@ object Bucketing {
     * bucketing buys. For tests and plan assertions. */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Range-clustered sorted layout — the data-skipping lever for scans the
+    * way bucketing is for joins. `repartitionByRange` gives every output
+    * file a DISJOINT range of the cluster key (sampled range boundaries, one
+    * shuffle) and `sortWithinPartitions` orders rows inside each file, so
+    * parquet's per-row-group min/max statistics turn any selective filter on
+    * that key into file- and row-group-level skips: a point or range query
+    * on a 100 TB table opens only the files whose range overlaps. Pays one
+    * shuffle at write time; every selective downstream scan rides for free
+    * (the scan-side analog of `writeBucketed`). */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String],
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -61,4 +61,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("clustered write: disjoint per-file key ranges, content preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString + "/t"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Bucketing.writeClustered(orders, dir, Seq("o_orderkey"), files = 8)
+    // every parquet file must cover a key range no other file overlaps —
+    // that disjointness is exactly what lets min/max stats skip files
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.size > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // content identical to the source
+    assert(spark.read.parquet(dir).count() == orders.count())
+    assert(spark.read.parquet(dir).agg(sum("o_orderkey")).head().getLong(0) ==
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+  }
 }

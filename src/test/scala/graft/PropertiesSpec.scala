@@ -78,6 +78,32 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("span removal with an unreachable threshold is the identity") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // with minDf no tile can reach, reassembly must reproduce the
+    // normalized text exactly (tokens rejoined in order, single spaces)
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ',', '.', '-', '\n')))
+      .map(_.mkString)
+    val texts = samples(gen, 120) :+ "" :+ "   " :+ "one two three four five"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .removeRepeatedSpans(df, "doc_id", "text", n = 3, minDf = Int.MaxValue)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = df.select($"doc_id", graft.ops.TextOps.normalize($"text"))
+      .as[(Long, String)].collect().toMap
+    texts.indices.foreach { i =>
+      val (clean, removed) = got(i.toLong)
+      assert(removed == 0L)
+      assert(clean == want(i.toLong), s"doc $i reassembly diverged")
+    }
+  }
+
   test("components equal a union-find reference on random graphs") {
     val spark = SparkSpec.spark
     import spark.implicits._
