@@ -1324,7 +1324,21 @@ object QueryCatalog {
           .count(_.getName.endsWith(".parquet")) == 1)
         s.read.parquet(out)
       },
-      Some("SELECT o_orderkey, o_orderstatus FROM orders")))
+      Some("SELECT o_orderkey, o_orderstatus FROM orders")),
+
+    // Data-skipping layout maintenance: range-clustered sorted rewrite
+    // (Bucketing.writeClustered); content must round-trip unchanged while
+    // every file covers a disjoint o_orderkey range
+    ("q_maint_cluster",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_cluster").toString + "/t"
+        val src = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        graft.write.Bucketing.writeClustered(src, out, Seq("o_orderkey"), 8)
+        s.read.parquet(out)
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders")))
 
   // ============================================================ sampling
 
