@@ -84,7 +84,9 @@ object StreamingIngest {
    * table through `MergeWriter.write` — the streaming form of the
    * reference's scheduled increment-then-MERGE cycle
    * (aje-stage-dms-load.py:470-518 on a cron trigger). With `partitionCols`
-   * set, each micro-batch rewrites ONLY the partitions it touches (the
+   * set AND the pruned-merge stability contract satisfied (partition columns
+   * within `ids`, or asserted via `partitionStable` — see MergeWriter.write),
+   * each micro-batch rewrites ONLY the partitions it touches (the
    * partition-pruned merge path), so steady-state cost tracks the increment
    * size, not the table size. Recovery semantics: the source replays from
    * the checkpoint at-least-once, and the upsert is idempotent per batch
@@ -92,7 +94,8 @@ object StreamingIngest {
    * so a replayed batch converges to the same table.
    */
   def mergeSink(stream: DataFrame, path: String, ids: Seq[String],
-      checkpoint: String, partitionCols: Seq[String] = Nil)
+      checkpoint: String, partitionCols: Seq[String] = Nil,
+      partitionStable: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -100,7 +103,7 @@ object StreamingIngest {
         try {
           graft.write.MergeWriter.write(batch.sparkSession, batch, path,
             graft.meta.LoadMode.IncrementalMerge, ids, partitionCols,
-            retrySleepMs = _ => 0L)
+            retrySleepMs = _ => 0L, partitionStable = partitionStable)
           ()
         } catch {
           // empty first batch against a missing table bootstraps it; the
@@ -109,6 +112,49 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /**
+   * Streaming ingestion gate against a STATIC benchmark — decontamination at
+   * arrival time, so contaminated documents never land in the stage zone.
+   * The benchmark's distinct n-grams are collected once at plan time and
+   * broadcast (eval sets are driver-sized; corpus-scale retro-scans use the
+   * batch `Dedup.contaminationPairs`); each arriving document is then scored
+   * by a pure per-row function — tokenize, shingle, count membership in the
+   * broadcast set. Completely STATELESS: no streaming aggregation, no state
+   * store, works in append mode with unchanged watermark semantics, and the
+   * identical function serves batch frames (spec asserts the equivalence).
+   * Output: input columns + (n_matched, contaminated).
+   */
+  def contaminationGate(docs: DataFrame, textCol: String, bench: DataFrame,
+      benchId: String, benchText: String, n: Int,
+      minShared: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType}
+    val grams = graft.ops.Dedup
+      .shingleTable(bench, benchId, benchText, n)
+      .select("shingle").na.drop()
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(grams)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val outSchema = docs.schema
+      .add("n_matched", LongType, false)
+      .add("contaminated", BooleanType, false)
+    docs.map { r =>
+      val matched =
+        if (r.isNullAt(textIdx)) 0L
+        else {
+          val toks = r.getString(textIdx)
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val set = bc.value
+          val grams =
+            if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+            else Set(toks.mkString(" "))
+          grams.count(set.contains).toLong
+        }
+      Row.fromSeq(r.toSeq ++ Seq(matched, matched >= minShared))
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
   /** Drive a streaming frame through a memory sink synchronously (test /
     * local verification harness). */

@@ -57,7 +57,7 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream
       .schema("id LONG, v STRING, p INT").parquet(src)
     val q = StreamingIngest.mergeSink(stream, stage, Seq("id"), ckpt,
-      partitionCols = Seq("p"))
+      partitionCols = Seq("p"), partitionStable = true)
     try {
       q.processAllAvailable()
       assert(spark.read.parquet(stage).count() == 2)
@@ -69,6 +69,37 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(stage).select("id", "v")
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("contamination gate flags streamed docs against a static benchmark") {
+    val dir = Files.createTempDirectory("graft_sgate").toString
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (2L, "alpha beta unrelated gamma delta elsewhere"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val gated = StreamingIngest.contaminationGate(streamed, "text",
+      bench, "doc_id", "text", n = 4, minShared = 2)
+    val got = StreamingIngest.runToMemory(gated, "sgate", OutputMode.Append())
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // bench has 3 distinct 4-grams; doc 1 contains all 3 contiguously,
+    // doc 2 shares none contiguously (gap breaks every 4-gram), doc 3 none
+    assert(got(1L) == ((3L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((0L, false)))
+    // the identical function on the batch frame agrees with the stream
+    val batchGot = StreamingIngest.contaminationGate(docs, "text",
+      bench, "doc_id", "text", n = 4, minShared = 2)
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(batchGot == got)
   }
 
   test("sessionization state machine emits on timeout") {
