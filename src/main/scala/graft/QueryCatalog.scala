@@ -892,6 +892,34 @@ object QueryCatalog {
                     JOIN c b ON b.vec_id = cand.id2)
         SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")),
 
+    // end-to-end embedding dedup: ANN bucket pairs -> connected components
+    // -> per-vector canonical component id (the embedding-space analog of
+    // q_dedup_clusters; same recursive-CTE oracle over the replayed pairs)
+    ("q_emb_clusters",
+      (s: SparkSession, d: String) => Dedup.components(
+        Similarity.annNearDupPairs(t(s, d, "embeddings"),
+          "vec_id", "embedding", threshold = 0.40,
+          tables = 8, planes = 6, dims = 64),
+        aCol = "id1", bCol = "id2"),
+      Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        pairs AS (SELECT id1, id2 FROM (
+            SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
+            FROM cand JOIN c a ON a.vec_id = cand.id1
+                      JOIN c b ON b.vec_id = cand.id2)
+          WHERE cosine >= 0.40),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""")),
+
     ("q_emb_neardup",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
