@@ -191,27 +191,30 @@ object TextOps {
    *
    * Scale shape: one shuffle counts tile frequencies (map-side combined);
    * the HOT tile set — boilerplate is by definition a tiny distinct set —
-   * is broadcast into a left-anti join, so the corpus-sized tile stream is
-   * never shuffled for the filter; one final shuffle on doc_id reassembles.
+   * is broadcast as a left-outer marker join, so the corpus-sized tile
+   * stream is never shuffled for the filter; ONE final shuffle on doc_id
+   * computes totals, removed counts and reassembly together (a
+   * kept-vs-total two-aggregate formulation would aggregate the corpus
+   * twice and then join two corpus-sized results).
    */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     val tiles = tileTable(df, idCol, textCol, n)
     val hot = broadcast(tiles.groupBy("tile")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select("tile"))
-    val kept = tiles.join(hot, Seq("tile"), "left_anti")
-    val keptAgg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("idx"), col("tile")))),
-        x => x.getField("tile")), " ").as("clean_text"))
-    tiles.groupBy("doc_id").agg(count(lit(1)).as("n_tiles"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tiles"),
-        (col("n_tiles") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .filter(col("df") >= minDf).select("tile")
+      .withColumn("__hot", lit(true)))
+    tiles.join(hot, Seq("tile"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tiles"),
+        count(col("__hot")).as("n_removed"),
+        // collect_list drops nulls: only kept tiles enter the reassembly
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__hot").isNull, struct(col("idx"), col("tile"))))),
+          x => x.getField("tile")), " ").as("clean_text"))
+      .select(col("doc_id"), col("clean_text"), col("n_tiles"),
+        col("n_removed"))
   }
 
   /** Canonical text normalization for fingerprinting: lowercase, collapse
