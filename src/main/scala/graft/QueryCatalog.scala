@@ -1359,8 +1359,9 @@ object QueryCatalog {
     // every file covers a disjoint o_orderkey range
     ("q_maint_cluster",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_cluster").toString + "/t"
+        // deterministic per source dir — re-runs overwrite, nothing leaks
+        val out = sys.props("java.io.tmpdir") + "/graft_cluster_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
         val src = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         graft.write.Bucketing.writeClustered(src, out, Seq("o_orderkey"), 8)

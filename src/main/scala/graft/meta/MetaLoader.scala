@@ -21,9 +21,13 @@ object MetaLoader {
 
   /** Workbook boolean convention (upload-data-to-dynamo.py:75-77): blank is
     * false, any mark is true — with the engine nicety that explicit negative
-    * spellings also read false. */
-  private[meta] def flag(s: String): Boolean =
-    s.trim.nonEmpty && !Set("n", "false", "0").contains(s.trim.toLowerCase)
+    * spellings also read false. The negative set matters: PARTITION_STABLE
+    * feeds the pruned-merge safety gate, so a spreadsheet "no" must not
+    * silently assert stability. */
+  private[graft] def flag(s: String): Boolean = {
+    val v = s.trim.toLowerCase
+    v.nonEmpty && !Set("n", "no", "f", "false", "off", "0").contains(v)
+  }
 
   private def csv(spark: SparkSession, path: String): Seq[Row] =
     spark.read.option("header", "true").csv(path).collect().toSeq

@@ -60,8 +60,7 @@ object Dedup {
         val id = r.get(0)
         if (r.isNullAt(1)) Iterator.single(Row(id, null))
         else {
-          val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val toks = graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
           if (toks.length >= n) {
             val grams = toks.sliding(n).map(_.mkString(" "))
             // per-doc local dedup (one row per doc) before any shuffle
@@ -106,7 +105,7 @@ object Dedup {
     * the in-session analog of writing the (corpus-fraction-sized)
     * intermediate to parquet, which is what a 100 TB pipeline does between
     * its tokenize and join stages. */
-  private def materialized(df: DataFrame): DataFrame =
+  private[ops] def materialized(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
   // ---------------------------------------------------------------- exact

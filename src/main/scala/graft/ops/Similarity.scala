@@ -215,10 +215,12 @@ object Similarity {
     // Both sides of the self-join reference this subtree; Spark evaluates
     // each reference independently, so quantization + `tables` bucket
     // signatures would run TWICE over the corpus. Materialize once — the
-    // in-session analog of a 100 TB pipeline writing its signature table
-    // to parquet between the embed and join stages.
-    val pruned = prunedPlan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // in-session analog of a 100 TB pipeline writing its signature table to
+    // parquet between the embed and join stages. Lifecycle follows Dedup's
+    // posting lists: cached for the session (the caller's clearCache /
+    // session cycling reclaims it); a long-lived driver looping this per
+    // batch should clear the cache between rounds.
+    val pruned = Dedup.materialized(prunedPlan)
     pruned.as("x").join(pruned.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),

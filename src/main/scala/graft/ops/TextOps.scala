@@ -173,8 +173,7 @@ object TextOps {
         val id = r.get(0)
         val toks =
           if (r.isNullAt(1)) Array.empty[String]
-          else r.getString(1).toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          else graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
         if (toks.isEmpty) Iterator.single(Row(id, 0, ""))
         else toks.grouped(n).zipWithIndex
           .map { case (g, i) => Row(id, i, g.mkString(" ")) }

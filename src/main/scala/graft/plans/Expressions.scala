@@ -384,6 +384,15 @@ object TokenizeAlnum {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size())))
   }
+
+  /** JVM-String face of the same tokenizer, THE shared helper for every
+    * typed-flatMap operator (shingling, tiling, the streaming gate) — one
+    * definition so the batch and streaming text paths cannot silently
+    * desynchronize. Equivalence with the expression form is pinned by
+    * PropertiesSpec ("native tokenizer equals the composed form"). */
+  def tokensOf(s: String): Array[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
 }
 
 /**

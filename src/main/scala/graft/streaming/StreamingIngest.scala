@@ -143,9 +143,7 @@ object StreamingIngest {
       val matched =
         if (r.isNullAt(textIdx)) 0L
         else {
-          val toks = r.getString(textIdx)
-            .toLowerCase(java.util.Locale.ROOT)
-            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val toks = graft.plans.TokenizeAlnum.tokensOf(r.getString(textIdx))
           val set = bc.value
           val grams =
             if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet

@@ -51,20 +51,38 @@ object CatalogRegistry {
     } else {
       // Merge schema evolution adds batch-only columns to rewritten files;
       // diff the parquet-inferred schema against the pinned catalog schema
-      // and surface new data columns to name-based readers. (One footer
-      // read — O(1), not a data pass. Partition columns are layout, not
-      // data: never ALTERed.)
-      val catalogCols = spark.table(s"$db.$table").schema
-        .fieldNames.map(_.toLowerCase).toSet
-      val added = spark.read.parquet(path).schema.fields.filterNot(f =>
-        catalogCols.contains(f.name.toLowerCase) ||
-          partitionCols.exists(_.equalsIgnoreCase(f.name)))
-      if (added.nonEmpty)
-        spark.sql(s"ALTER TABLE $full ADD COLUMNS (" +
-          added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+      // and surface new data columns to name-based readers. mergeSchema is
+      // REQUIRED: a pruned merge rewrites only touched partitions, so the
+      // evolved column exists in some files only and single-footer inference
+      // would miss it (footer reads, not a data pass — the crawler analog
+      // scans the same footers). A stage path a window merge has fully
+      // emptied has nothing to diff — refresh/repair alone then drops the
+      // stale catalog partitions.
+      if (hasParquetFiles(path)) {
+        val catalogCols = spark.table(s"$db.$table").schema
+          .fieldNames.map(_.toLowerCase).toSet
+        val added = spark.read.option("mergeSchema", "true").parquet(path)
+          .schema.fields.filterNot(f =>
+            catalogCols.contains(f.name.toLowerCase) ||
+              partitionCols.exists(_.equalsIgnoreCase(f.name)))
+        if (added.nonEmpty)
+          spark.sql(s"ALTER TABLE $full ADD COLUMNS (" +
+            added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ") + ")")
+      }
       spark.sql(s"REFRESH TABLE $full")
     }
     if (partitionCols.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE $full SYNC PARTITIONS")
+  }
+
+  /** Any data file under `path`, recursively — a partitioned table whose
+    * partitions were all emptied still has a root _SUCCESS, so the
+    * MergeWriter top-level check is not a data-presence check. */
+  private def hasParquetFiles(path: String): Boolean = {
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.isDirectory(root) && {
+      val s = java.nio.file.Files.walk(root)
+      try s.anyMatch(_.toString.endsWith(".parquet")) finally s.close()
+    }
   }
 }

@@ -318,7 +318,7 @@ object MergeWriter {
         case (Some(t), LoadMode.IncrementalMerge) =>
           MergeStats("merge", writeSwap(upsert(t, batch, ids), path, partitionCols))
         case (Some(_), LoadMode.TransactionalWindowMerge(_))
-            if partitionCols.contains("processperiod") && existing.isDefined
+            if partitionCols.contains("processperiod")
               && (stableFor(ids) || partitionCols == Seq("processperiod")) =>
           // deleted window = extra touched partitions (periods the batch has
           // no replacement rows for must still be emptied)

@@ -73,6 +73,18 @@ class EntrySpec extends SparkSpec {
       Seq("processperiod"))
     assert(spark.table(s"$db.tx_stage").select("id", "v")
       .as[(Int, String)].collect().toSet == Set((1, "A")))
+    // a second window merge that empties EVERY period must not break
+    // re-registration (nothing left to schema-diff) and must leave the
+    // catalog table readable and empty
+    val s2 = MergeWriter.write(spark,
+      Seq.empty[(Int, String, Int)].toDF("id", "v", "processperiod"), path,
+      LoadMode.TransactionalWindowMerge(0), ids = Seq("id"),
+      partitionCols = Seq("processperiod"), cutoffPeriod = 0,
+      retrySleepMs = _ => 0L)
+    assert(s2.mode == "window-merge-pruned" && s2.rowsWritten == 0)
+    CatalogRegistry.registerStage(spark, db, "tx_stage", path,
+      Seq("processperiod"))
+    assert(spark.table(s"$db.tx_stage").count() == 0)
     // schema evolution on an unpartitioned table: a merge adds a batch-only
     // column; re-registration surfaces it to name-based readers
     val path2 = Files.createTempDirectory("graft_catsync2").toString + "/t"
@@ -85,6 +97,24 @@ class EntrySpec extends SparkSpec {
     CatalogRegistry.registerStage(spark, db, "ev_stage", path2)
     assert(spark.table(s"$db.ev_stage").filter($"id" === 2)
       .select("extra").as[Int].collect().toSeq == Seq(9))
+    // schema evolution under a PRUNED merge: the new column lands only in
+    // the rewritten partition's files, so the diff needs mergeSchema to see
+    // it — single-footer inference reads an untouched partition and misses
+    val path3 = Files.createTempDirectory("graft_catsync3").toString + "/t"
+    MergeWriter.write(spark,
+      Seq((1, "a", 10), (2, "b", 30)).toDF("id", "v", "p"), path3,
+      LoadMode.FullOverwrite, partitionCols = Seq("p"), retrySleepMs = _ => 0L)
+    CatalogRegistry.registerStage(spark, db, "pr_stage", path3, Seq("p"))
+    val s3 = MergeWriter.write(spark,
+      Seq((2, "B", 30, 7)).toDF("id", "v", "p", "extra"), path3,
+      LoadMode.IncrementalMerge, ids = Seq("id"), partitionCols = Seq("p"),
+      retrySleepMs = _ => 0L, partitionStable = true)
+    assert(s3.mode == "merge-pruned")
+    CatalogRegistry.registerStage(spark, db, "pr_stage", path3, Seq("p"))
+    assert(spark.table(s"$db.pr_stage").filter($"id" === 2)
+      .select("extra").as[Int].collect().toSeq == Seq(7))
+    assert(spark.table(s"$db.pr_stage").filter($"id" === 1)
+      .select("extra").collect().head.isNullAt(0))
   }
 
   test("orchestrator: incremental run merges through the pruned path") {

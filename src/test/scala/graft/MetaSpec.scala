@@ -44,6 +44,12 @@ class MetaSpec extends SparkSpec {
     assert(specs(0).isId && !specs(0).isPartition) // any mark = true
     assert(specs(1).isPartition && !specs(1).isId) // blank = false
     assert(!specs(2).isId && !specs(2).isOrderBy && !specs(2).isPartition)
+    // explicit negative spellings must read false — PARTITION_STABLE gates
+    // the pruned merge, so "no" asserting stability would corrupt tables
+    Seq("no", "NO", "f", "off", "0", "false", "N", "").foreach(v =>
+      assert(!MetaLoader.flag(v), s"'$v' must be false"))
+    Seq("Y", "x", "true", "1 ").foreach(v =>
+      assert(MetaLoader.flag(v), s"'$v' must be true"))
     val eps = writeCsv(
       "ENDPOINT_NAME,BD_TYPE,SRC_SERVER_NAME,DB_PORT_NUMBER,SRC_DB_NAME," +
         "SRC_DB_USERNAME,SRC_DB_SECRET",

@@ -15,14 +15,30 @@ def norm(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def run_query(sf_dir, pdir, sql):
+    # Fresh connection per query: the heavy oracles (LSH bucket replays,
+    # recursive CTEs) otherwise accumulate allocator state across ~70
+    # queries and can hit transient OOM under memory pressure from the
+    # still-resident Spark JVM.
+    con = connect(sf_dir)
+    try:
+        got = norm(con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf())
+        want = norm(con.execute(sql).fetchdf())
+        return got, want
+    finally:
+        con.close()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
@@ -32,9 +48,12 @@ def main():
         if not glob.glob(f"{pdir}/*.parquet"):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = norm(con.execute(
-                f"SELECT * FROM '{pdir}/*.parquet'").fetchdf())
-            want = norm(con.execute(sql).fetchdf())
+            try:
+                got, want = run_query(sf_dir, pdir, sql)
+            except Exception as e:
+                if "Out of Memory" not in str(e):
+                    raise
+                got, want = run_query(sf_dir, pdir, sql)  # one retry
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):
