@@ -719,6 +719,26 @@ object QueryCatalog {
             AS containment
         FROM shared s JOIN sizes z USING (bench_id)""")),
 
+    // Corpus vocabulary statistics: top-50 words by occurrence with document
+    // frequency — the token-distribution audit a tokenizer-training or
+    // quality pipeline runs first. High-cardinality groupBy with map-side
+    // partial aggregation; fully deterministic order (count desc, word asc).
+    ("q_text_vocab",
+      (s: SparkSession, d: String) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("word").asc)
+        .limit(50),
+      Some(s"""WITH toks AS (SELECT doc_id, t
+          FROM documents, UNNEST(${tokensSql()}) AS u(t))
+        SELECT t AS word, count(*) AS n_occurrences,
+          count(DISTINCT doc_id) AS n_docs
+        FROM toks GROUP BY 1
+        ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
+
     // C4/RefinedWeb-style boilerplate removal: 4-token tiles shared by >= 2
     // document-positions are cut corpus-wide, docs reassembled in order
     // (TextOps.removeRepeatedSpans).

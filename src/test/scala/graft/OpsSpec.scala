@@ -256,6 +256,24 @@ class OpsSpec extends SparkSpec {
       s"IVF top-1 recall $hits/${brute.size} too low")
   }
 
+  test("ann ivf cosines are exact: every reported pair matches brute force") {
+    val probes = emb.filter($"vec_id" < 3)
+    // brute force with k covering the whole corpus = ground-truth cosine
+    // for EVERY (query, neighbor) pair
+    val truth = Similarity.cosineTopK(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", k = 100000)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.annIvf(emb, "vec_id", "embedding", probes,
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, c) =>
+      assert(truth((q, n)) == c, s"pair ($q,$n) cosine drifted") }
+  }
+
   test("contamination pairs: containment math, minShared gate, no self-hits") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

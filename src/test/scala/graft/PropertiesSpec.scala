@@ -78,6 +78,35 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("contamination pairs equal a brute-force shingle-set reference") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val docs = samples(doc, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val corpus = docs.take(32).toDF("doc_id", "text")
+    val bench = docs.drop(32).toDF("doc_id", "text")
+    val n = 3
+    def shingleSet(t: String): Set[String] = {
+      val toks = graft.plans.TokenizeAlnum.tokensOf(t)
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val want = (for {
+      (cid, ct) <- docs.take(32)
+      (bid, bt) <- docs.drop(32)
+      shared = (shingleSet(ct) intersect shingleSet(bt)).size
+      if shared >= 2
+    } yield (cid, bid) -> (shared.toLong, shingleSet(bt).size.toLong,
+      shared.toDouble / shingleSet(bt).size)).toMap
+    val got = graft.ops.Dedup.contaminationPairs(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = n, minShared = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "degenerate fixture: no overlaps generated")
+  }
+
   test("span removal with an unreachable threshold is the identity") {
     val spark = SparkSpec.spark
     import spark.implicits._
