@@ -719,6 +719,33 @@ object QueryCatalog {
             AS containment
         FROM shared s JOIN sizes z USING (bench_id)""")),
 
+    // Exact per-language length percentiles (discrete: the element at
+    // ceil(p*n), no interpolation — interpolated quantiles are IEEE
+    // op-order-sensitive across engines, the rank selection is not). Both
+    // windows and the self-join share one partitioning on lang.
+    ("q_text_lenpct",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val ranked = t(s, d, "documents").select(
+            col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        def at(p: Double, as: String) =
+          ranked.filter(col("rn") === ceil(col("cnt") * lit(p)))
+            .select(col("lang"), col("n_chars").as(as))
+        at(0.5, "p50_chars").join(at(0.9, "p90_chars"), "lang")
+      },
+      Some("""WITH ranked AS (SELECT lang, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+        SELECT a.lang, a.n_chars AS p50_chars, b.n_chars AS p90_chars
+        FROM ranked a JOIN ranked b ON a.lang = b.lang
+        WHERE a.rn = CAST(ceil(a.cnt * 0.5) AS BIGINT)
+          AND b.rn = CAST(ceil(b.cnt * 0.9) AS BIGINT)""")),
+
     // Corpus vocabulary statistics: top-50 words by occurrence with document
     // frequency — the token-distribution audit a tokenizer-training or
     // quality pipeline runs first. High-cardinality groupBy with map-side
