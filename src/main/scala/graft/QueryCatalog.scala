@@ -719,6 +719,41 @@ object QueryCatalog {
             AS containment
         FROM shared s JOIN sizes z USING (bench_id)""")),
 
+    // KMV distinct-count sketch vs exact distinct, per language — the
+    // deterministic alternative to HLL: the estimate is a pure function of
+    // the k smallest md5 hashes, so the oracle replays it bit-for-bit
+    // (plans/Expressions.scala KmvDistinct; O(k) state, map-side combined).
+    ("q_text_kmv",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(col("lang"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+        toks
+          .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 15),
+            16, 10).cast("long"))
+          .groupBy("lang").agg(
+            graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
+              .as("est_distinct"),
+            count_distinct(col("w")).as("exact_distinct"))
+      },
+      Some(s"""WITH toks AS (SELECT lang, t
+          FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+        h AS (SELECT DISTINCT lang,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM toks),
+        r AS (SELECT lang, h,
+            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+            count(*) OVER (PARTITION BY lang) AS cnt FROM h),
+        kth AS (SELECT lang, max(CASE WHEN rn <= 16 THEN h END) AS h_k,
+            any_value(cnt) AS cnt FROM r GROUP BY 1),
+        ex AS (SELECT lang, count(DISTINCT t) AS exact_distinct
+          FROM toks GROUP BY 1)
+        SELECT kth.lang,
+          CASE WHEN kth.cnt < 16 THEN CAST(kth.cnt AS DOUBLE)
+               ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+          END AS est_distinct,
+          ex.exact_distinct
+        FROM kth JOIN ex USING (lang)""")),
+
     // Exact per-language length percentiles (discrete: the element at
     // ceil(p*n), no interpolation — interpolated quantiles are IEEE
     // op-order-sensitive across engines, the rank selection is not). Both

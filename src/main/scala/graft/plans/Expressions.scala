@@ -530,6 +530,85 @@ case class SimhashAgg(child: Expression, bits: Int = 60,
     copy(child = newChild)
 }
 
+/**
+ * KMV (k-minimum-values) distinct-count sketch — the "novel sketch" slot:
+ * keeps the k smallest DISTINCT 60-bit hashes seen; with hashes uniform on
+ * [0, 2^60), the k-th smallest h_k estimates the distinct count as
+ * (k-1) * 2^60 / h_k (Bar-Yossef et al. 2002). Below k distinct values the
+ * sketch IS the exact count.
+ *
+ * Why this over HLL (`approx_count_distinct`): byte-identical determinism.
+ * The estimate is a pure function of the k smallest md5-derived hashes —
+ * no engine-specific register layout — so DuckDB replays it exactly
+ * (row_number over ordered hashes), and results are independent of
+ * partitioning: update/merge keep a bounded sorted set, making the
+ * aggregate map-side combinable with O(k) state per group at any scale.
+ * Input must be the engine's 60-bit hash (`conv(substr(md5(x),1,15),16,10)`)
+ * so the uniformity assumption and the replay hold.
+ */
+case class KmvDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(k >= 2, s"k=$k must be >= 2")
+
+  private val HashSpace = 1152921504606846976.0 // 2^60, exact in a double
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      if (buf.size < k) buf.add(h)
+      else if (h < buf.last) { buf.add(h); if (buf.size > k) buf.pollLast() }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    a.addAll(b)
+    while (a.size > k) a.pollLast()
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * HashSpace / buf.last.toDouble
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.forEach(h => bb.putLong(h))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -560,6 +639,10 @@ object GraftExpressions {
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(tokenHash), bits)
       .toAggregateExpression())
 
+  def kmv_distinct(hash60: Column, k: Int): Column =
+    ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hash60), k)
+      .toAggregateExpression())
+
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
   def register(spark: SparkSession): Unit = {
@@ -571,5 +654,8 @@ object GraftExpressions {
       "graft_double_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_agg", exprs => SimhashAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_distinct", exprs => KmvDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -296,6 +296,23 @@ class OpsSpec extends SparkSpec {
       bench, "doc_id", "text", n = 3, minShared = 7).count() == 0)
   }
 
+  test("kmv sketch: exact under k, partition-invariant, dup-proof, accurate") {
+    import graft.plans.GraftExpressions
+    val df = (1 to 500).map(i => s"val_$i").toDF("w")
+      .withColumn("h", conv(substring(md5($"w".cast("binary")), 1, 15),
+        16, 10).cast("long"))
+    def est(d: org.apache.spark.sql.DataFrame, k: Int): Double =
+      d.agg(GraftExpressions.kmv_distinct(col("h"), k)).head().getDouble(0)
+    assert(est(df.limit(10), 16) == 10.0) // below k: the sketch IS exact
+    // merge correctness: the estimate cannot depend on partitioning
+    val e1 = est(df.repartition(1), 64)
+    assert(est(df.repartition(7), 64) == e1)
+    // distinctness: duplicated input changes nothing
+    assert(est(df.union(df).repartition(5), 64) == e1)
+    // k=64 standard error ~ 1/sqrt(62) ~ 13%; allow 3 sigma
+    assert(math.abs(e1 - 500) / 500.0 < 0.4, s"estimate $e1 too far from 500")
+  }
+
   test("repeated-span removal cuts shared tiles, keeps order, empty-safe") {
     val boiler = "subscribe to our newsletter now" // 5 tokens -> tile + tail
     val df = Seq(
