@@ -150,7 +150,11 @@ object Similarity {
       .limit(nlist)
       .select(col("neighbor_id").as("cid"), col("cvec"), col("cn2"))
       .collect()
-    // per-centroid (negcos, cid) struct; least() = max cosine, then min id
+    // per-centroid (negcos, cid) struct; least() = max cosine, then min id.
+    // Used for the SMALL probe side only — the corpus-wide assignment goes
+    // through the native IvfAssign expression, whose centroid table is one
+    // codegen reference object: a per-centroid struct chain grows the
+    // generated class linearly with nlist (the LshBucket literal-tree trap).
     def assignStructs(vec: Column, n2: Column) = cents.map { r =>
       val cvec = lit(r.getSeq[Long](1).toArray)
       struct(
@@ -159,7 +163,10 @@ object Similarity {
         lit(r.get(0)).as("cid"))
     }
     val assigned = c.withColumn("cent_id",
-      least(assignStructs(col("cvec"), col("cn2")): _*).getField("cid"))
+      graft.plans.GraftExpressions.ivf_assign(col("cvec"),
+        cents.map(_.getLong(0)).toSeq,
+        cents.map(_.getSeq[Long](1)).toSeq,
+        cents.map(_.getLong(2)).toSeq))
     val p = probes.select(col(probeIdCol).as("query_id"),
         quantize(col(probeVecCol)).as("qvec"))
       .withColumn("qn2", qdot(col("qvec"), col("qvec")))

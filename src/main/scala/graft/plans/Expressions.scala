@@ -531,6 +531,82 @@ case class SimhashAgg(child: Expression, bits: Int = 60,
 }
 
 /**
+ * IVF coarse assignment: the id of the centroid with the highest quantized
+ * cosine to the row's (quantized) vector, ties to the smallest centroid id.
+ * The whole centroid table — ids, vectors, squared norms — rides as ONE
+ * codegen reference object (the LshBucket lesson: per-centroid literal
+ * arrays in a `greatest(struct...)` chain grow the generated class linearly
+ * with nlist and re-pay Janino on every execution; a reference object and a
+ * static helper keep the generated code one call long at any nlist).
+ * Cosine is bit-identical to `Similarity.qcosineWithNorms`:
+ * floor(dot / (sqrt(n2a) * sqrt(n2b)) * 1e6) / 1e6, all IEEE ops in the
+ * same order, so the DuckDB oracle's row_number replay agrees exactly.
+ */
+case class IvfAssign(child: Expression, centIds: Seq[Long],
+    centVecs: Seq[Seq[Long]], centNorms: Seq[Long]) extends UnaryExpression {
+  require(centIds.nonEmpty && centIds.length == centVecs.length &&
+    centIds.length == centNorms.length, "malformed centroid table")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"ivf_assign needs array<bigint>, got $other")
+    }
+
+  @transient private lazy val table = new IvfAssign.Cents(
+    centIds.toArray, centVecs.map(_.toArray).toArray, centNorms.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    IvfAssign.assign(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCents", table,
+      classOf[IvfAssign.Cents].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.IvfAssign.assign($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+}
+
+object IvfAssign {
+  /** Broadcast-by-codegen-reference centroid table. */
+  final class Cents(val ids: Array[Long], val vecs: Array[Array[Long]],
+      val norms: Array[Long]) extends Serializable
+
+  /** Shared by eval and generated code. */
+  def assign(vec: ArrayData, c: Cents): Long = {
+    val n = vec.numElements()
+    var n2v = 0L
+    var i = 0
+    while (i < n) { val x = vec.getLong(i); n2v += x * x; i += 1 }
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var bestId = java.lang.Long.MAX_VALUE
+    var j = 0
+    while (j < c.ids.length) {
+      val cv = c.vecs(j)
+      val m = java.lang.Math.min(n, cv.length)
+      var dot = 0L
+      var k = 0
+      while (k < m) { dot += vec.getLong(k) * cv(k); k += 1 }
+      val cos = java.lang.Math.floor(dot.toDouble /
+        (java.lang.Math.sqrt(n2v.toDouble) *
+          java.lang.Math.sqrt(c.norms(j).toDouble)) * 1e6) / 1e6
+      if (cos > bestCos || (cos == bestCos && c.ids(j) < bestId)) {
+        bestCos = cos; bestId = c.ids(j)
+      }
+      j += 1
+    }
+    bestId
+  }
+}
+
+/**
  * KMV (k-minimum-values) distinct-count sketch — the "novel sketch" slot:
  * keeps the k smallest DISTINCT 60-bit hashes seen; with hashes uniform on
  * [0, 2^60), the k-th smallest h_k estimates the distinct count as
@@ -642,6 +718,11 @@ object GraftExpressions {
   def kmv_distinct(hash60: Column, k: Int): Column =
     ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hash60), k)
       .toAggregateExpression())
+
+  def ivf_assign(vec: Column, centIds: Seq[Long], centVecs: Seq[Seq[Long]],
+      centNorms: Seq[Long]): Column =
+    ColumnBridge.column(IvfAssign(ColumnBridge.expression(vec),
+      centIds, centVecs, centNorms))
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
