@@ -63,13 +63,18 @@ object Dedup {
           val toks = graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
           if (toks.length >= n) {
             val grams = toks.sliding(n).map(_.mkString(" "))
-            // per-doc local dedup (one row per doc) before any shuffle
+            // per-doc local dedup (one row per doc): with doc ids unique —
+            // the operator contract, as for every keyed op here — the
+            // (doc_id, shingle) stream is already globally distinct, so no
+            // distinct() shuffle is spent on it. Downstream shuffles
+            // (document frequency, per-doc set collection) repartition as
+            // they need.
             (if (keepDuplicates) grams else grams.toSet.iterator)
               .map((s: String) => Row(id, s))
           } else Iterator.single(Row(id, toks.mkString(" ")))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
-    if (keepDuplicates) rows else rows.distinct()
+    rows
   }
 
   /** 60-bit md5-derived shingle hash (15 hex chars — sign-safe in a BIGINT,
