@@ -752,7 +752,7 @@ object QueryCatalog {
                ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
           END AS est_distinct,
           ex.exact_distinct
-        FROM kth JOIN ex USING (lang)""")),
+        FROM kth JOIN ex ON kth.lang IS NOT DISTINCT FROM ex.lang""")),
 
     // Exact per-language length percentiles (discrete: the element at
     // ceil(p*n), no interpolation — interpolated quantiles are IEEE
@@ -767,10 +767,13 @@ object QueryCatalog {
             col("lang"), col("n_chars"), col("doc_id"))
           .withColumn("rn", row_number().over(w))
           .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-        def at(p: Double, as: String) =
-          ranked.filter(col("rn") === ceil(col("cnt") * lit(p)))
-            .select(col("lang"), col("n_chars").as(as))
-        at(0.5, "p50_chars").join(at(0.9, "p90_chars"), "lang")
+        // one pass: a filtered-then-join formulation would reference the
+        // ranked subtree twice and Spark evaluates each reference
+        def hit(p: Double) = col("rn") === ceil(col("cnt") * lit(p))
+        ranked.filter(hit(0.5) || hit(0.9))
+          .groupBy("lang").agg(
+            min(when(hit(0.5), col("n_chars"))).as("p50_chars"),
+            min(when(hit(0.9), col("n_chars"))).as("p90_chars"))
       },
       Some("""WITH ranked AS (SELECT lang, n_chars,
           row_number() OVER (PARTITION BY lang

@@ -126,13 +126,14 @@ object Similarity {
    *
    * Scale shape — the reason IVF beats LSH when lists are balanced:
    *  - centroids are collected to the driver (nlist * dims integers — tiny)
-   *    and enter the plan as ONE literal per centroid, so corpus assignment
-   *    is a pure map-side projection: `nlist` codegen'd integer dot products
-   *    per row, NO shuffle, no data amplification. (A cross-join + window
-   *    formulation would shuffle corpus × nlist rows with the vector
-   *    repeated per candidate — `nlist`× write amplification.)
-   *  - tie-break and argmax are one `least()` over (negated cosine, id)
-   *    structs — still whole-stage codegen.
+   *    and ride into the plan as ONE codegen reference object inside the
+   *    native `IvfAssign` expression, so corpus assignment is a pure
+   *    map-side projection — NO shuffle, no data amplification, and the
+   *    generated code stays one call long at any nlist. (A cross-join +
+   *    window formulation would shuffle corpus × nlist rows with the vector
+   *    repeated per candidate; per-centroid literal structs would grow the
+   *    generated class linearly with nlist.) Non-bigint id columns take the
+   *    equivalent (small-nlist) struct formulation instead.
    *  - probe lookups join on the single `cent_id` key with the (small)
    *    probe side broadcast: each probe's work is its `nprobe` lists, not
    *    the corpus.
@@ -162,11 +163,18 @@ object Similarity {
           .as("negcos"),
         lit(r.get(0)).as("cid"))
     }
-    val assigned = c.withColumn("cent_id",
-      graft.plans.GraftExpressions.ivf_assign(col("cvec"),
-        cents.map(_.getLong(0)).toSeq,
-        cents.map(_.getSeq[Long](1)).toSeq,
-        cents.map(_.getLong(2)).toSeq))
+    val idIsLong =
+      corpus.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val assigned =
+      if (idIsLong)
+        c.withColumn("cent_id",
+          graft.plans.GraftExpressions.ivf_assign(col("cvec"),
+            cents.map(_.getLong(0)).toSeq,
+            cents.map(_.getSeq[Long](1)).toSeq,
+            cents.map(_.getLong(2)).toSeq))
+      else // generic id types: per-centroid structs (fine at small nlist)
+        c.withColumn("cent_id",
+          least(assignStructs(col("cvec"), col("cn2")): _*).getField("cid"))
     val p = probes.select(col(probeIdCol).as("query_id"),
         quantize(col(probeVecCol)).as("qvec"))
       .withColumn("qn2", qdot(col("qvec"), col("qvec")))

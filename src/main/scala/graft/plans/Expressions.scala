@@ -585,8 +585,10 @@ object IvfAssign {
     var n2v = 0L
     var i = 0
     while (i < n) { val x = vec.getLong(i); n2v += x * x; i += 1 }
+    var found = false
     var bestCos = java.lang.Double.NEGATIVE_INFINITY
-    var bestId = java.lang.Long.MAX_VALUE
+    var bestId = 0L
+    var minId = java.lang.Long.MAX_VALUE
     var j = 0
     while (j < c.ids.length) {
       val cv = c.vecs(j)
@@ -597,12 +599,18 @@ object IvfAssign {
       val cos = java.lang.Math.floor(dot.toDouble /
         (java.lang.Math.sqrt(n2v.toDouble) *
           java.lang.Math.sqrt(c.norms(j).toDouble)) * 1e6) / 1e6
-      if (cos > bestCos || (cos == bestCos && c.ids(j) < bestId)) {
-        bestCos = cos; bestId = c.ids(j)
+      // NaN (a zero-norm side) never wins; among non-NaN: max cos, min id
+      if (!java.lang.Double.isNaN(cos) &&
+          (!found || cos > bestCos ||
+            (cos == bestCos && c.ids(j) < bestId))) {
+        found = true; bestCos = cos; bestId = c.ids(j)
       }
+      if (c.ids(j) < minId) minId = c.ids(j)
       j += 1
     }
-    bestId
+    // every cosine NaN (zero-norm vector): the ordered replay — NULLS LAST,
+    // tie on centroid id — lands on the smallest centroid id; match it
+    if (found) bestId else minId
   }
 }
 

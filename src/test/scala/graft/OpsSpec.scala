@@ -274,6 +274,22 @@ class OpsSpec extends SparkSpec {
       assert(truth((q, n)) == c, s"pair ($q,$n) cosine drifted") }
   }
 
+  test("ivf assign: zero vectors take the min centroid id; generic ids work") {
+    // all cosines NaN (zero-norm vector): must match the ordered replay
+    // (NULLS LAST, tie on id) = smallest centroid id — not a sentinel
+    val cents = new graft.plans.IvfAssign.Cents(
+      Array(7L, 3L), Array(Array(1L, 0L), Array(0L, 1L)), Array(1L, 1L))
+    val zero = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(0L, 0L))
+    assert(graft.plans.IvfAssign.assign(zero, cents) == 3L)
+    // non-bigint id corpus routes through the struct path, not a crash
+    val e32 = emb.withColumn("vid32", $"vec_id".cast("int"))
+    val got = Similarity.annIvf(e32, "vid32", "embedding",
+      e32.filter($"vid32" < 3), "vid32", "embedding",
+      k = 2, nlist = 4, nprobe = 2)
+    assert(got.count() > 0)
+  }
+
   test("contamination pairs: containment math, minShared gate, no self-hits") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
