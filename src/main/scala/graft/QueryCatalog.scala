@@ -427,6 +427,33 @@ object QueryCatalog {
           min("value") AS min_value, max("value") AS max_value
         FROM events GROUP BY 1, 2""")),
 
+    // Training-sequence construction (beyond reference): each user's first
+    // 20 events, time-ordered with an exact tie-break, as one
+    // comma-joined behavioral sequence — the sequence-building step a
+    // user-model pipeline feeds a tokenizer. One shuffle: ordered window
+    // rank + the groupBy share the (user_id) partitioning; the per-row
+    // transform touches <= 20 elements.
+    ("q_seq_events",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ",").as("sequence"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+          string_agg(event_type, ',' ORDER BY rn) AS sequence
+        FROM r WHERE rn <= 20 GROUP BY 1""")),
+
     ("q_agg_sessionize",
       // batch sessionization: a session breaks after a 30-min gap. lag ->
       // flag -> running sum is the canonical two-window composition; both
