@@ -1505,7 +1505,20 @@ object QueryCatalog {
         .select("doc_id", "lang"),
       Some(s"""SELECT doc_id, lang FROM documents
         QUALIFY row_number() OVER (PARTITION BY lang
-          ORDER BY ${hashScoreSql("doc_id")} ASC, doc_id ASC) <= 40""")))
+          ORDER BY ${hashScoreSql("doc_id")} ASC, doc_id ASC) <= 40""")),
+
+    // Data mixing: per-source Bernoulli rates (upsample src0, keep src1,
+    // drop the rest to 10%) — the mixture-weights knob of corpus assembly,
+    // still a stateless scan-stage filter (Sampling.mixtureSample)
+    ("q_sample_mixture",
+      (s: SparkSession, d: String) => Sampling.mixtureSample(
+        t(s, d, "documents"), "doc_id", "source",
+        Map("src0" -> 0.9, "src1" -> 0.5), defaultRate = 0.1)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM documents
+        WHERE ${hashScoreSql("doc_id")} <
+          CASE WHEN source = 'src1' THEN 0.5
+               WHEN source = 'src0' THEN 0.9 ELSE 0.1 END""")))
 
   // ================================================== composed cleaning
 

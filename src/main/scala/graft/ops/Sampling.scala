@@ -37,6 +37,22 @@ object Sampling {
     df.filter(hashScore(col(idCol)) < fraction)
   }
 
+  /** Data mixing: a per-key Bernoulli rate (the mixture-weights knob of
+    * corpus assembly — upsample curated sources, downsample crawl). Same
+    * scale shape as [[hashSample]]: the rate lookup folds to a CASE chain
+    * over the (small) key set, so membership is still a stateless scan-stage
+    * filter — no shuffle, reproducible on any cluster. Keys absent from
+    * `rateByKey` take `defaultRate`. */
+  def mixtureSample(df: DataFrame, idCol: String, keyCol: String,
+      rateByKey: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((rateByKey.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val rate = rateByKey.foldLeft(lit(defaultRate)) { case (alt, (k, r)) =>
+      when(col(keyCol) === k, lit(r)).otherwise(alt)
+    }
+    df.filter(hashScore(col(idCol)) < rate)
+  }
+
   /** Keep at most `quota` rows per stratum, chosen in hash-score order (with
     * the id as a total tie-break) — caps dominant strata deterministically. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,

@@ -157,6 +157,17 @@ class OpsSpec extends SparkSpec {
       .stratifiedSample(docs.repartition(5), "lang", "doc_id", 30)
     assert(s.select("doc_id").as[Long].collect().toSet ==
       s2.select("doc_id").as[Long].collect().toSet)
+
+    // data mixing: per-key rates honored; mixture of the SAME ids a plain
+    // hash sample at that rate would keep (one shared score per id)
+    val m = graft.ops.Sampling.mixtureSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultRate = 0.25)
+    val mEn = m.filter($"lang" === "en").select("doc_id").as[Long].collect()
+    assert(mEn.length == 100) // rate 1.0 keeps every en row
+    val mEs = m.filter($"lang" === "es").select("doc_id").as[Long]
+      .collect().toSet
+    assert(mEs == graft.ops.Sampling.hashSample(docs, "doc_id", 0.25)
+      .filter($"lang" === "es").select("doc_id").as[Long].collect().toSet)
   }
 
   test("components: chains collapse to min-id; canonical dedup keeps one") {
