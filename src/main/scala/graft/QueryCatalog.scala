@@ -592,7 +592,143 @@ object QueryCatalog {
         count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment""")))
+        GROUP BY c_mktsegment""")),
+
+    // Full cube over the two flag dimensions — all four grouping levels in
+    // one pass (Spark expands to a single partial-aggregated plan)
+    ("q_agg_cube",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("lvl")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+          count(*) AS n,
+          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // Pivot (long -> wide): daily event counts, one column per event type.
+    // The value list is DECLARED, not discovered — an undeclared pivot runs
+    // an extra distinct job over the fact table just to learn its columns,
+    // and a 100 TB scan to find five known strings is waste. Absent
+    // (day, type) cells are 0, not null, matching the conditional-aggregate
+    // formulation the pivot rewrites to.
+    ("q_agg_pivot", {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ((s: SparkSession, d: String) => t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("d") +:
+          types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)): Q
+      },
+      Some(Seq("click", "error", "purchase", "signup", "view").map(ty =>
+        s"count(*) FILTER (WHERE event_type = '$ty') AS $ty")
+        .mkString("SELECT strftime(ts, '%Y-%m-%d') AS d, ", ", ",
+          " FROM events GROUP BY 1"))),
+
+    // Point-in-time enrichment: each click joined to the user's latest
+    // purchase at-or-before it (ops/AsofJoin — union + ONE keyed window,
+    // not a quadratic range join). DuckDB's native ASOF LEFT JOIN is the
+    // oracle, so the operator's semantics are pinned to the standard.
+    ("q_join_asof",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(cents(col("value"))).as("purchase_cents"))
+        graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("purchase_cents"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+            col("purchase_cents"))
+      },
+      Some(s"""WITH l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts,
+            max(${centsSql("\"value\"")}) AS purchase_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id,
+          strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, r.purchase_cents
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""")),
+
+    // Moving-window analytics: trailing 4-row sum/count + lag delta per
+    // user. Both frames share one (user_id) partitioning + (ts, event_id)
+    // sort, so Spark plans ONE shuffle + one sort for all three columns.
+    ("q_window_moving",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wm = w.rowsBetween(-3, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("v", cents(col("value")))
+          .select(col("event_id"), col("user_id"),
+            sum(col("v")).over(wm).as("mov_cents"),
+            count(lit(1)).over(wm).as("n_win"),
+            (col("v") - lag(col("v"), 1).over(w)).as("delta_cents"))
+      },
+      Some(s"""WITH v AS (SELECT event_id, user_id, ts,
+          ${centsSql("\"value\"")} AS v FROM events)
+        SELECT event_id, user_id,
+          CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents,
+          count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win,
+          v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS delta_cents
+        FROM v""")),
+
+    // Top-k per group: the O2 surface the reference lacks, as a rank
+    // window — the scalable shape (no global sort, no driver collect)
+    ("q_window_topk",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""SELECT source, doc_id, n_chars, rnk FROM (
+          SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id ASC) AS rnk
+          FROM documents) WHERE rnk <= 3""")),
+
+    // JSON surface: typed extraction from a JSON string column (the
+    // training-data norm for event payloads). get_json_object stays inside
+    // whole-stage codegen; path + cast both push into the scan stage.
+    ("q_json_props",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          cents(col("value")).as("v"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents")),
+      Some(s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+          count(*) AS n,
+          CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1""")),
+
+    // Set-op decontamination framing: corpus fingerprints EXCEPT a held-out
+    // set's fingerprints (U1 — absent in the reference). EXCEPT plans as a
+    // hash-partitioned distinct + anti semi-join on the 16-byte digest, the
+    // same single-shuffle shape as exact dedup.
+    ("q_set_except",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        docs.select(md5(col("text").cast("binary")).as("fp"))
+          .except(docs
+            .filter(Sampling.hashScore(col("doc_id")) < 0.05)
+            .select(md5(col("text").cast("binary")).as("fp")))
+      },
+      Some(s"""SELECT md5(text) AS fp FROM documents
+        EXCEPT SELECT md5(text) AS fp FROM documents
+        WHERE ${hashScoreSql("doc_id")} < 0.05""")))
 
   // ================================================================ text
 
@@ -1160,7 +1296,54 @@ object QueryCatalog {
                      ELSE 0 END) AS BIGINT) AS b
           FROM sigacc GROUP BY vec_id, t)"""
 
+  /** Replays Similarity.kmeans round for round: assignment is the same
+    * floor-quantized cosine argmax (ties to the smaller centroid id) as the
+    * IVF oracle; the centroid update is the element-wise exact-integer
+    * floor(sum/count). `a_i` assigns against `c_{i-1}`; `c_i` coalesces
+    * empty clusters back to their previous centroid; the final SELECT is
+    * the post-update assignment. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+        a$i AS (SELECT vec_id, v, cid FROM (
+          SELECT q.vec_id, q.v, $prev.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", s"$prev.cv")} DESC, $prev.cid ASC)
+              AS r
+          FROM q CROSS JOIN $prev) WHERE r = 1),
+        m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT cid, pos,
+            CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a$i)
+          GROUP BY cid, pos) GROUP BY cid),
+        c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
+          FROM $prev LEFT JOIN m$i ON m$i.cid = $prev.cid)"""
+    }
+    sb ++= s"""
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT q.vec_id, c$iters.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", s"c$iters.cv")} DESC,
+                c$iters.cid ASC) AS r
+          FROM q CROSS JOIN c$iters) WHERE r = 1"""
+    sb.toString
+  }
+
   private val simQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Deterministic spherical k-means over the embedding corpus — the
+    // cluster-then-curate entry point (per-cluster sampling, SemDeDup).
+    // 2 Lloyd rounds from the k smallest-id seeds; the oracle replays the
+    // exact integer math of every round.
+    ("q_emb_kmeans",
+      (s: SparkSession, d: String) => Similarity.kmeans(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
+      Some(kmeansOracleSql(k = 8, iters = 2))),
 
     ("q_sim_topk",
       (s: SparkSession, d: String) => {
@@ -1301,6 +1484,23 @@ object QueryCatalog {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
         strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem""")),
+
+    // JSONL round trip (write -> declared-schema read): lossless through
+    // JSON string escaping — verified via md5 over the full text body
+    ("q_src_jsonl",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_jsonl").toString + "/docs"
+        graft.sources.RawZone.writeJsonl(
+          t(s, d, "documents").select("doc_id", "text", "lang", "n_chars"),
+          out, overwrite = true)
+        graft.sources.RawZone.readJsonl(s, out,
+            "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+            col("lang"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
+        FROM documents""")),
 
     // S5 — every TimestampType column shifted UTC -> Lima (-5h)
     ("q_src_tz_shift",

@@ -262,4 +262,60 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /**
+   * Deterministic spherical k-means (Lloyd) over an embedding column — the
+   * cluster-then-curate step of an embedding-based data pipeline (cluster
+   * balancing, SemDeDup-style semantic dedup, per-cluster sampling all
+   * start from this assignment). Returns (id, cluster) with `cluster` the
+   * seed id of the centroid each vector landed in after `iters` rounds.
+   *
+   * Spherical variant: assignment is argmax QUANTIZED cosine (ties to the
+   * smallest centroid id) — the same exact integer math as the ANN
+   * operators, so runs are replayable bit-for-bit in the DuckDB oracle.
+   * Cosine assignment is scale-invariant, so centroid means skip the
+   * normalize step entirely: the update is an element-wise integer mean,
+   * floor(sum/count), exact in both engines. Empty clusters keep their
+   * previous centroid.
+   *
+   * Execution shape per round, sized for a 10^9-vector corpus:
+   *  - assignment is the native `IvfAssign` projection — the whole centroid
+   *    table rides as ONE codegen reference object, NO shuffle, no
+   *    per-centroid plan growth;
+   *  - the centroid update is posexplode -> partial-aggregated sum: the
+   *    map side combines to (k x dims) partial rows PER PARTITION before
+   *    the (tiny) shuffle, and only k x dims totals reach the driver. The
+   *    driver holds k x dims longs — never rows.
+   * Seeds are the k smallest ids (deterministic; callers wanting a spread
+   * pick can pre-select probes and pass them as the first k ids).
+   */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, "k-means needs k > 0 and iters >= 1")
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+      quantize(col(vecCol)).as("v"))
+    val seeds = q.orderBy("vec_id").limit(k).collect()
+    var centIds = seeds.map(_.getLong(0)).toSeq
+    var centVecs = seeds.map(_.getSeq[Long](1)).toSeq
+
+    def assigned = q.withColumn("cluster",
+      graft.plans.GraftExpressions.ivf_assign(col("v"), centIds, centVecs,
+        centVecs.map(cv => cv.map(x => x * x).sum)))
+
+    for (_ <- 1 to iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      centVecs = centIds.map(cid => means.getOrElse(cid, // empty: keep old
+        centVecs(centIds.indexOf(cid))))
+    }
+    assigned.select(col("vec_id"), col("cluster"))
+  }
 }

@@ -82,4 +82,18 @@ object RawZone {
     sharded.write.mode(if (overwrite) "overwrite" else "append")
       .option("header", "true").option("compression", "gzip").csv(path)
   }
+
+  /** JSONL (newline-delimited JSON) sink — the de-facto interchange format
+    * of training-data pipelines. Left UNCOMPRESSED by default: plain JSONL
+    * is line-splittable, so a 100 GB drop parallelizes across the cluster,
+    * where a .gz file is one task (the writeRawCsv lesson). */
+  def writeJsonl(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "append").json(path)
+
+  /** JSONL scan with a DECLARED schema. Schema-less `read.json` runs a
+    * full inference pass over the data before the real scan — twice the IO
+    * at any scale; with the schema given, unprojected fields are never even
+    * parsed (Jackson skips them token-wise). */
+  def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsofJoin, Similarity}
+
+/** As-of join and embedding k-means. */
+class RelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // right side unique per (key, ts) as the operator contract requires
+  private def fixture(seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+      .toDF("lid", "k", "lts")
+    val right = rnd.shuffle((0 until 1000).toList).take(400)
+      .map(t => (rnd.nextInt(8).toLong, t.toLong, rnd.nextInt(100).toLong))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "rts", "p")
+    (left, right)
+  }
+
+  /** Reference result via an explicit (quadratic) theta-join. */
+  private def brute(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame, cmp: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      earliest: Boolean) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lid")
+      .orderBy(if (earliest) col("rts").asc_nulls_last
+               else col("rts").desc_nulls_last)
+    left.join(right.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && cmp(col("rts"), col("lts")), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("lid", "k", "lts", "p")
+  }
+
+  test("asof backward equals the brute-force theta-join (incl. no-match rows)") {
+    val (l, r) = fixture(7)
+    val got = AsofJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("p"))
+    val want = brute(l, r, (rts, lts) => rts <= lts, earliest = false)
+    assert(got.count() === l.count()) // left-join semantics
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("asof strict excludes equal timestamps; inclusive takes them") {
+    val l = Seq((1L, 1L, 10L)).toDF("lid", "k", "lts")
+    val r = Seq((1L, 10L, 42L), (1L, 5L, 7L)).toDF("k", "rts", "p")
+    val incl = AsofJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("p"))
+    val strict = AsofJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("p"),
+      strict = true)
+    assert(incl.select("p").as[Long].head() === 42L)
+    assert(strict.select("p").as[Long].head() === 7L)
+  }
+
+  test("asof forward equals brute force (earliest at-or-after)") {
+    val (l, r) = fixture(11)
+    val got = AsofJoin.forward(l, r, Seq("k"), "lts", "rts", Seq("p"))
+    val want = brute(l, r, (rts, lts) => rts >= lts, earliest = true)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("kmeans separates two obvious clusters and is deterministic") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      (i.toLong, base.map(x => x + (i % 5) * 0.01f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // seeds are ids 0 and 1; even ids follow seed 0's direction, odd seed 1's
+    assert(a.keySet === (0 until 20).map(_.toLong).toSet)
+    assert((0 until 20 by 2).forall(i => a(i.toLong) === a(0L)))
+    assert((1 until 20 by 2).forall(i => a(i.toLong) === a(1L)))
+    assert(a(0L) !== a(1L))
+    val b = Similarity.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("kmeans on the fixture: clusters are seed ids, total assignment") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Long)].collect()
+    val seeds = e.select(col("vec_id").cast("long")).as[Long]
+      .collect().sorted.take(4).toSet
+    assert(out.length === e.count())
+    assert(out.map(_._2).toSet.subsetOf(seeds))
+  }
+}
