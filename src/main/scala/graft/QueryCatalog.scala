@@ -728,7 +728,40 @@ object QueryCatalog {
       },
       Some(s"""SELECT md5(text) AS fp FROM documents
         EXCEPT SELECT md5(text) AS fp FROM documents
-        WHERE ${hashScoreSql("doc_id")} < 0.05""")))
+        WHERE ${hashScoreSql("doc_id")} < 0.05""")),
+
+    // Keyless interval-containment join: purchases falling inside derived
+    // error-spike windows. ops/RangeJoin bucketizes the time axis (15-min
+    // buckets vs 30-min windows) so the theta-join runs as a hash join with
+    // bounded interval replication — not a BroadcastNestedLoop/cartesian
+    // scan. All axis math in exact epoch micros.
+    ("q_join_range",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val windows = ev.filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("lo"))
+          .filter(col("n") >= 6)
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("wid"),
+            col("lo"), (col("lo") + lit(1800000000L)).as("hi"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), unix_micros(col("ts")).as("t"), col("ts"))
+        graft.ops.RangeJoin.pointInInterval(purchases, "t",
+            windows, "lo", "hi", bucket = 900000000L)
+          .select(col("wid"), col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      },
+      Some("""WITH err AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+            min(epoch_us(ts)) AS lo
+          FROM events WHERE event_type = 'error' GROUP BY 1),
+        w AS (SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS wid, lo,
+            lo + 1800000000 AS hi
+          FROM err WHERE n >= 6),
+        p AS (SELECT event_id, epoch_us(ts) AS t, ts FROM events
+          WHERE event_type = 'purchase')
+        SELECT w.wid, p.event_id,
+          strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+        FROM w JOIN p ON w.lo <= p.t AND p.t <= w.hi""")))
 
   // ================================================================ text
 

@@ -292,8 +292,13 @@ object Similarity {
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, "k-means needs k > 0 and iters >= 1")
+    // materialized once: every Lloyd round (and the seed pick) re-scans the
+    // quantized corpus — iters+2 passes that would otherwise each re-read
+    // and re-quantize the source. On a cluster this is the parquet
+    // intermediate a 100 TB pipeline writes before iterating.
     val q = corpus.select(col(idCol).cast("long").as("vec_id"),
-      quantize(col(vecCol)).as("v"))
+        quantize(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = q.orderBy("vec_id").limit(k).collect()
     var centIds = seeds.map(_.getLong(0)).toSeq
     var centVecs = seeds.map(_.getSeq[Long](1)).toSeq

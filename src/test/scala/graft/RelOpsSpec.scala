@@ -76,6 +76,44 @@ class RelOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("range join equals the naive theta-join at several bucket widths") {
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "t")
+    val ivs = (1 to 60).map { i =>
+      val lo = rnd.nextInt(9500).toLong
+      (i.toLong, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("iid", "lo", "hi")
+    val naive = ivs.join(pts, col("lo") <= col("t") && col("t") <= col("hi"))
+      .select("iid", "pid")
+    for (bucket <- Seq(50L, 400L, 5000L)) {
+      val got = graft.ops.RangeJoin
+        .pointInInterval(pts, "t", ivs, "lo", "hi", bucket)
+        .select("iid", "pid")
+      assert(got.count() === naive.count(), s"bucket=$bucket")
+      assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+        s"bucket=$bucket")
+    }
+  }
+
+  test("interval overlap join equals naive, each pair exactly once") {
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(5000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(600).toLong)
+    }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    val a = mk(80, "a")
+    val b = mk(80, "b")
+    val naive = a.join(b,
+      col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid")
+    val got = graft.ops.RangeJoin
+      .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", bucket = 300L)
+      .select("aid", "bid")
+    assert(got.count() === naive.count()) // distinct() collapsed multi-bucket
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
+
   test("kmeans on the fixture: clusters are seed ids, total assignment") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
