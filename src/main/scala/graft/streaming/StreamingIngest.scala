@@ -113,6 +113,76 @@ object StreamingIngest {
       }
       .start()
 
+  final case class AsofTick(k: Long, ts: java.sql.Timestamp, side: Int,
+      id: Long, payload: Double)
+  final case class AsofState(lastTs: Long, payload: Double, has: Boolean)
+  final case class AsofOut(id: Long, k: Long, ts: java.sql.Timestamp,
+      payload: Option[Double])
+
+  /** Tag a frame as the left (probe) side of [[asofEnrich]]. */
+  def asofLeft(df: DataFrame, kCol: String, tsCol: String, idCol: String)
+      : DataFrame =
+    df.select(col(kCol).cast("long").as("k"), col(tsCol).as("ts"),
+      lit(1).as("side"), col(idCol).cast("long").as("id"),
+      lit(0.0).as("payload"))
+
+  /** Tag a frame as the right (state) side of [[asofEnrich]]. */
+  def asofRight(df: DataFrame, kCol: String, tsCol: String,
+      payloadCol: String): DataFrame =
+    df.select(col(kCol).cast("long").as("k"), col(tsCol).as("ts"),
+      lit(0).as("side"), lit(0L).as("id"),
+      col(payloadCol).cast("double").as("payload"))
+
+  /**
+   * Stream-stream as-of enrichment — the online feature join: each left
+   * (probe) event picks up the latest right (state) payload at or before
+   * its own timestamp. The streaming face of `ops/AsofJoin.backward`, fed
+   * by the UNION of [[asofLeft]] and [[asofRight]] (the same union shape
+   * the batch operator shuffles — here the union is what lets ONE state
+   * function see both sides, which Spark's built-in stream-stream interval
+   * join cannot express as "latest per key").
+   *
+   * State is ONE record per key — (last right ts, payload) — so the store
+   * is bounded by the live key universe, never by stream length; pass an
+   * idle-key TTL to evict keys that stop ticking. Ordering semantics:
+   * rows are processed in event-time order WITHIN a micro-batch (sorted
+   * here), and in arrival order across batches — a right row arriving
+   * after a later-timestamped right row is ignored (monotone state
+   * frontier), and a left row is enriched with the newest state KNOWN at
+   * its batch, exactly like an online feature store. For bit-exact
+   * retro-joins over settled data, run the batch `AsofJoin` — the spec
+   * asserts the two agree whenever arrival order respects event time.
+   */
+  def asofEnrich(ticks: Dataset[AsofTick],
+      idleTimeout: Option[String] = None): Dataset[AsofOut] = {
+    import ticks.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (k: Long, rows: Iterator[AsofTick], state: GroupState[AsofState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // event-time order within the batch; right before left on ties
+            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.side, t.id))
+            var st = state.getOption.getOrElse(
+              AsofState(Long.MinValue, 0.0, has = false))
+            val out = Seq.newBuilder[AsofOut]
+            sorted.foreach { t =>
+              if (t.side == 0) {
+                if (!st.has || t.ts.getTime >= st.lastTs)
+                  st = AsofState(t.ts.getTime, t.payload, has = true)
+              } else out += AsofOut(t.id, k, t.ts,
+                if (st.has) Some(st.payload) else None)
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+        })
+  }
+
   /**
    * Streaming ingestion gate against a STATIC benchmark — decontamination at
    * arrival time, so contaminated documents never land in the stage zone.

@@ -102,6 +102,62 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("streaming asof: monotone state frontier across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{AsofTick, AsofOut}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(t: Long) = new java.sql.Timestamp(t)
+    val mem = MemoryStream[AsofTick]
+    val q = StreamingIngest.asofEnrich(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream").start()
+    try {
+      // batch 1: left before any state -> None; left after right -> 1.0
+      mem.addData(AsofTick(1, ts(10), 0, 0, 1.0),
+        AsofTick(1, ts(5), 1, 100, 0), AsofTick(1, ts(15), 1, 101, 0))
+      q.processAllAvailable()
+      // batch 2: state advances to 2.0
+      mem.addData(AsofTick(1, ts(20), 0, 0, 2.0),
+        AsofTick(1, ts(25), 1, 102, 0))
+      q.processAllAvailable()
+      // batch 3: STALE right (ts 12 < frontier 20) is ignored
+      mem.addData(AsofTick(1, ts(12), 0, 0, 9.9),
+        AsofTick(1, ts(30), 1, 103, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream").as[AsofOut].collect()
+      .map(o => o.id -> o.payload).toMap
+    assert(got === Map(100L -> None, 101L -> Some(1.0),
+      102L -> Some(2.0), 103L -> Some(2.0)))
+  }
+
+  test("streaming asof in one ordered batch equals the batch AsofJoin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.AsofTick
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")).limit(2000)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("value").as("p"))
+    val want = graft.ops.AsofJoin
+      .backward(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("p"))
+      .select("event_id", "p").as[(Long, Option[Double])]
+      .collect().toMap
+    val ticks = StreamingIngest.asofLeft(clicks, "user_id", "ts", "event_id")
+      .unionByName(StreamingIngest.asofRight(purchases, "user_id", "ts", "p"))
+      .as[AsofTick].collect()
+    val mem = MemoryStream[AsofTick]
+    val q = StreamingIngest.asofEnrich(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_batch_eq").start()
+    try { mem.addData(ticks.toSeq); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("asof_batch_eq")
+      .select("id", "payload").as[(Long, Option[Double])].collect().toMap
+    assert(got === want)
+  }
+
   test("sessionization state machine emits on timeout") {
     val dir = Files.createTempDirectory("graft_sess").toString
     spark.read.parquet(s"$sf/events.parquet")
