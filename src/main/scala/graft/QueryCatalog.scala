@@ -1335,7 +1335,10 @@ object QueryCatalog {
     * floor(sum/count). `a_i` assigns against `c_{i-1}`; `c_i` coalesces
     * empty clusters back to their previous centroid; the final SELECT is
     * the post-update assignment. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  /** WITH-chain ending in `asg(vec_id, v, cid)` — the post-update
+    * assignment of `iters` Lloyd rounds (see kmeans scaladoc in the
+    * catalog entries below). */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
         c0 AS (SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
@@ -1357,13 +1360,13 @@ object QueryCatalog {
         c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
           FROM $prev LEFT JOIN m$i ON m$i.cid = $prev.cid)"""
     }
-    sb ++= s"""
-        SELECT vec_id, cid AS cluster FROM (
-          SELECT q.vec_id, c$iters.cid,
+    sb ++= s""",
+        asg AS (SELECT vec_id, v, cid FROM (
+          SELECT q.vec_id, q.v, c$iters.cid,
             row_number() OVER (PARTITION BY q.vec_id
               ORDER BY ${cosineSql("q.v", s"c$iters.cv")} DESC,
                 c$iters.cid ASC) AS r
-          FROM q CROSS JOIN c$iters) WHERE r = 1"""
+          FROM q CROSS JOIN c$iters) WHERE r = 1)"""
     sb.toString
   }
 
@@ -1376,7 +1379,23 @@ object QueryCatalog {
     ("q_emb_kmeans",
       (s: SparkSession, d: String) => Similarity.kmeans(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
-      Some(kmeansOracleSql(k = 8, iters = 2))),
+      Some(s"""${kmeansCtes(k = 8, iters = 2)}
+        SELECT vec_id, cid AS cluster FROM asg""")),
+
+    // SemDeDup: within each k-means cluster, drop every vector with a
+    // smaller-id near-duplicate (cosine >= 0.35); pairwise work is bounded
+    // by cluster size, never corpus size. Keeps 416/500 on the fixture.
+    ("q_emb_semdedup",
+      (s: SparkSession, d: String) => Similarity.semanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,
+        threshold = 0.35),
+      Some(s"""${kmeansCtes(k = 8, iters = 1)},
+        pairs AS (SELECT b.vec_id AS id2
+          FROM asg a JOIN asg b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= 0.35)
+        SELECT vec_id, cid AS cluster FROM asg
+        WHERE vec_id NOT IN (SELECT id2 FROM pairs)""")),
 
     ("q_sim_topk",
       (s: SparkSession, d: String) => {

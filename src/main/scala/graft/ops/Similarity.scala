@@ -290,7 +290,14 @@ object Similarity {
    * pick can pre-select probes and pass them as the first k ids).
    */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): DataFrame =
+    kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col("vec_id"), col("cluster"))
+
+  /** [[kmeans]] keeping the quantized vector alongside the assignment —
+    * (vec_id, v, cluster) — for downstream per-cluster work. */
+  private[ops] def kmeansAssign(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, "k-means needs k > 0 and iters >= 1")
     // materialized once: every Lloyd round (and the seed pick) re-scans the
     // quantized corpus — iters+2 passes that would otherwise each re-read
@@ -321,6 +328,38 @@ object Similarity {
       centVecs = centIds.map(cid => means.getOrElse(cid, // empty: keep old
         centVecs(centIds.indexOf(cid))))
     }
-    assigned.select(col("vec_id"), col("cluster"))
+    assigned
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication: cluster with [[kmeans]], then
+   * drop every vector that has a SMALLER-id near-duplicate (quantized
+   * cosine >= `threshold`) in its own cluster. Returns the kept
+   * (id, cluster) rows — deterministic keep-smallest-id, the embedding
+   * analog of `Dedup.exactDedup`'s canonical-min rule.
+   *
+   * The pairwise scan is quadratic only WITHIN a cluster — that is the
+   * entire point of clustering first (SemDeDup): at corpus scale, k grows
+   * with n so mean cluster size stays bounded, and the self-join shuffles
+   * on the cluster id like any equi-join. A degenerate mega-cluster is the
+   * same pathology as a hot LSH bucket — raise k or cap cluster size the
+   * way `annNearDupPairs.maxBucket` does.
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("cluster"), col("vec_id").as("id1"),
+      col("v").as("v1"), col("n2").as("n21"))
+    val b = asg.select(col("cluster"), col("vec_id").as("id2"),
+      col("v").as("v2"), col("n2").as("n22"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .filter(qcosineWithNorms(qdot(col("v1"), col("v2")),
+        col("n21"), col("n22")) >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
   }
 }

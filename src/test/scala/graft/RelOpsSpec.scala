@@ -114,6 +114,22 @@ class RelOpsSpec extends SparkSpec {
     assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
   }
 
+  test("semanticDedup keeps the smallest id of each duplicate group") {
+    // 8 distinct directions, each duplicated 3x with ascending ids;
+    // identical vectors always share a cluster, so exactly the smallest id
+    // of each triple survives at a near-1 threshold
+    val dirs = (0 until 8).map(j => Array.tabulate(8)(i =>
+      if (i == j) 1.0f else 0.05f * ((i + j) % 3)))
+    val vecs = (for {
+      (dir, j) <- dirs.zipWithIndex
+      c <- 0 until 3
+    } yield ((c * 8 + j).toLong, dir.toSeq)).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.999)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(kept === (0L until 8L).toSet)
+  }
+
   test("kmeans on the fixture: clusters are seed ids, total assignment") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val out = Similarity.kmeans(e, "vec_id", "embedding", k = 4, iters = 2)
