@@ -1731,7 +1731,22 @@ object QueryCatalog {
         graft.write.Bucketing.writeClustered(src, out, Seq("o_orderkey"), 8)
         s.read.parquet(out)
       },
-      Some("SELECT o_orderkey, o_totalprice FROM orders")))
+      Some("SELECT o_orderkey, o_totalprice FROM orders")),
+
+    // Z-order rewrite: multi-column Morton clustering (files become compact
+    // key-space rectangles -> min/max skipping on EITHER column); the
+    // driver-verified contract is content preservation
+    ("q_maint_zorder",
+      (s: SparkSession, d: String) => {
+        val out = sys.props("java.io.tmpdir") + "/graft_zorder_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
+        val src = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        graft.write.Bucketing.writeZOrdered(src, out,
+          Seq("o_orderkey", "o_custkey"), 8)
+        s.read.parquet(out)
+      },
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")))
 
   // ============================================================ sampling
 

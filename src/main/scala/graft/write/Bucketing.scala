@@ -54,4 +54,44 @@ object Bucketing {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Z-order (Morton-curve) clustered layout for MULTI-column skipping.
+    * Lexicographic range clustering skips perfectly on its leading column
+    * and not at all on the others — every file spans the full range of the
+    * second key. Interleaving the bits of all cluster keys into one Morton
+    * value and range-clustering on THAT gives every file a compact
+    * hyper-rectangle in key space, so parquet min/max stats prune scans
+    * filtered on ANY clustered column (at mild per-column efficiency cost
+    * vs a dedicated single-key sort).
+    *
+    * Each column is min-max scaled to a 16-bit grid first (one cheap
+    * aggregate pass for the bounds — the rewrite already reads the full
+    * table, so the extra scan is marginal and the mapping stays monotone);
+    * the interleave itself is a fold of codegen'd shift/mask built-ins.
+    * Numeric columns only; 16 bits x up to 4 columns fits a long. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size <= 4, "1-4 numeric z-order columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = cols.size
+    val grid = cols.zipWithIndex.map { case (c, j) =>
+      val (lo, hi) = (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
+        .cast("long")
+    }
+    val z = (0 until 16).flatMap { i =>
+      grid.zipWithIndex.map { case (g, j) =>
+        shiftleft(shiftright(g, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -87,4 +87,31 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum("o_orderkey")).head().getLong(0) ==
       orders.agg(sum("o_orderkey")).head().getLong(0))
   }
+
+  test("z-order write: BOTH dimensions skip; lexicographic only the first") {
+    import spark.implicits._
+    // uniform 128x128 grid — the adversarial case for single-key clustering
+    val grid = (for (x <- 0 until 128; y <- 0 until 128)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString).agg(min(c), max(c)).head()
+          (r.getLong(1) - r.getLong(0)).toDouble
+        }
+      spans.sum / spans.length
+    }
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val ldir = java.nio.file.Files.createTempDirectory("lex").toString + "/t"
+    Bucketing.writeZOrdered(grid, zdir, Seq("x", "y"), files = 16)
+    Bucketing.writeClustered(grid, ldir, Seq("x", "y"), files = 16)
+    // 16 z-files = compact 32x32-ish blocks: each file spans ~1/4 of each
+    // axis; lexicographic files span the FULL y axis
+    assert(avgSpan(zdir, "x") < 64.0 && avgSpan(zdir, "y") < 64.0,
+      s"z spans: x=${avgSpan(zdir, "x")} y=${avgSpan(zdir, "y")}")
+    assert(avgSpan(ldir, "y") > 100.0) // no skipping on the second key
+    // content preserved
+    assert(spark.read.parquet(zdir).as[(Long, Long)].collect().toSet ===
+      grid.as[(Long, Long)].collect().toSet)
+  }
 }
