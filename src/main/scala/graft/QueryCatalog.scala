@@ -761,7 +761,36 @@ object QueryCatalog {
           WHERE event_type = 'purchase')
         SELECT w.wid, p.event_id,
           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
-        FROM w JOIN p ON w.lo <= p.t AND p.t <= w.hi""")))
+        FROM w JOIN p ON w.lo <= p.t AND p.t <= w.hi""")),
+
+    // Sequence packing (concat-and-chunk batch prep): each document's token
+    // span mapped to its 512-token training sequences via a GLOBAL running
+    // offset — computed by ops/Prefix's two-pass distributed prefix sum,
+    // not the single-reducer Window.orderBy the oracle uses (same result,
+    // one task vs every partition in parallel).
+    ("q_seq_pack",
+      (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Prefix.runningOffsets(tc, "doc_id", "n_tokens")
+          .select(col("doc_id"), col("n_tokens"),
+            col("offset").as("tok_offset"),
+            floor(col("offset") / 512.0).cast("long").as("seq_start"),
+            floor((col("offset") + greatest(col("n_tokens"), lit(1L)) -
+              lit(1L)) / 512.0).cast("long").as("seq_end"))
+      },
+      Some(s"""WITH tc AS (SELECT doc_id,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
+        o AS (SELECT doc_id, n_tokens,
+            COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS off
+          FROM tc)
+        SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+          CAST(floor(off / 512.0) AS BIGINT) AS seq_start,
+          CAST(floor((off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+            AS seq_end
+        FROM o""")))
 
   // ================================================================ text
 

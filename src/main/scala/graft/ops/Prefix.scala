@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed prefix sum (exclusive running total in a global order) — the
+ * primitive behind sequence packing, global offset assignment and row
+ * numbering, which Spark only offers as a degenerate single-task window
+ * (`Window.orderBy` with no partition: every row through ONE reducer).
+ *
+ * Classic two-pass scan instead: range-partition on the order key (so
+ * partition i holds keys entirely below partition i+1), compute each
+ * partition's local sum, prefix-sum THOSE on the driver (one long per
+ * partition), and hand each partition its base offset for a second,
+ * purely partition-local pass. Both passes run every partition in
+ * parallel; the driver reduction is over `numPartitions` longs; nothing
+ * serializes through one task; and the result is independent of the
+ * partition count (prefix sums associate). The second pass is a
+ * `mapPartitions` running accumulator — the genuinely per-partition
+ * imperative case, chosen over a `Window.partitionBy(pid)` formulation
+ * because the window would re-shuffle the (already range-placed) data on
+ * the partition id.
+ */
+object Prefix {
+
+  /** Adds `offset` = sum of `valueCol` over all rows with a smaller
+    * `orderCol` (exclusive prefix sum). The order key must be unique and
+    * `valueCol` non-null. Input columns are preserved. */
+  def runningOffsets(df: DataFrame, orderCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // pin the layout: both passes must see the SAME partitioning
+    val ranged = df
+      .withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val localSums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver prefix over per-partition sums: range partition i precedes
+    // i+1; pids absent from the map are empty partitions (contribute 0)
+    val pids = localSums.keys.toSeq.sorted
+    val baseOf = pids.zip(pids.scanLeft(0L)((acc, p) => acc + localSums(p)))
+      .toMap
+    val inSchema = ranged.schema
+    val vIdx = inSchema.fieldIndex("__v")
+    val pIdx = inSchema.fieldIndex("__pid")
+    val keepIdx = df.schema.fieldNames.map(inSchema.fieldIndex).toSeq
+    val outSchema = df.schema.add("offset", LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      var running = Long.MinValue // sentinel: base looked up at first row
+      it.map { r =>
+        if (running == Long.MinValue) running = baseOf(r.getInt(pIdx))
+        val out = Row.fromSeq(keepIdx.map(r.get) :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}

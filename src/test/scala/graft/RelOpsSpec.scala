@@ -114,6 +114,24 @@ class RelOpsSpec extends SparkSpec {
     assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
   }
 
+  test("prefix sum equals driver reference, invariant to input layout") {
+    val rnd = new scala.util.Random(17)
+    val rows = rnd.shuffle((0 until 1000).toList)
+      .map(i => (i.toLong, rnd.nextInt(50).toLong))
+    // driver reference: exclusive prefix in id order
+    val expected = {
+      var a = 0L
+      rows.sortBy(_._1).map { case (id, v) =>
+        val r = (id, a); a += v; r }.toMap
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = graft.ops.Prefix.runningOffsets(df, "id", "v")
+        .select("id", "offset").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"input partitions=$parts")
+    }
+  }
+
   test("semanticDedup keeps the smallest id of each duplicate group") {
     // 8 distinct directions, each duplicated 3x with ascending ids;
     // identical vectors always share a cluster, so exactly the smallest id
