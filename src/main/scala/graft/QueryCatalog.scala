@@ -1029,6 +1029,62 @@ object QueryCatalog {
         FROM toks GROUP BY 1
         ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
 
+    // Inverted-index construction (the search/RAG-retrieval build step):
+    // rare terms (bounded df) -> their sorted document posting lists.
+    // One explode + one combine-enabled groupBy; common terms are gated out
+    // by df AFTER aggregation, so the posting-list cell stays bounded the
+    // same way jaccardPairs bounds hot shingles.
+    ("q_text_index",
+      (s: SparkSession, d: String) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(array_sort(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .filter(col("df").between(2, 380)),
+      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, t
+          FROM documents, UNNEST(${tokensSql()}) AS u(t))
+        SELECT t AS term, count(*) AS df,
+          string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+        FROM toks GROUP BY 1 HAVING count(*) BETWEEN 2 AND 380""")),
+
+    // Bigram language-model counts: conditional probability per bigram,
+    // floor-quantized from exact integer counts (the n-gram-LM statistics
+    // step; also the base table for perplexity-style quality scoring)
+    ("q_text_bigrams",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(
+          TextOps.tokens(col("text")).as("ts"))
+        // zip with the tail; the final (last, null) pair maps to null and
+        // is filtered — the HOF lambda runs interpreted, acceptable here
+        // because the exploded bigrams hit a combine-enabled groupBy
+        // immediately (only distinct bigrams reach the shuffle)
+        val bi = toks.select(explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+        val uni = toks.select(explode(col("ts")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n_first"))
+        bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .join(uni, col("w1") === col("w"))
+          .filter(col("n") >= 20)
+          .select(col("bigram"), col("n"),
+            (floor(col("n").cast("double") / col("n_first").cast("double")
+              * 1e6) / 1e6).as("p_cond"))
+      },
+      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
+        bi AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram, ts[i] AS w1
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        bc AS (SELECT bigram, w1, count(*) AS n FROM bi GROUP BY 1, 2),
+        uni AS (SELECT t AS w, count(*) AS n_first
+          FROM docs, UNNEST(ts) AS u(t) GROUP BY 1)
+        SELECT bigram, n,
+          floor(CAST(n AS DOUBLE) / CAST(n_first AS DOUBLE) * 1e6) / 1e6
+            AS p_cond
+        FROM bc JOIN uni ON w1 = uni.w WHERE n >= 20""")),
+
     // C4/RefinedWeb-style boilerplate removal: 4-token tiles shared by >= 2
     // document-positions are cut corpus-wide, docs reassembled in order
     // (TextOps.removeRepeatedSpans).
