@@ -423,6 +423,13 @@ class OpsSpec extends SparkSpec {
     val plan = Multimodal.metadataSummary(media)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("content"))
+    // the extracted features compose straight into the similarity surface:
+    // media retrieval = stub-decode -> feature vector -> ANN/top-k
+    val fdf = feats.toDF()
+    val top = Similarity.cosineTopK(fdf, "media_id", "feature",
+      fdf.filter(col("media_id") < 3), "media_id", "feature", k = 3)
+    assert(top.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 3L))
   }
 
   test("stage pipeline quarantines bad columns and keeps going") {

@@ -188,6 +188,22 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe mergeOnce: no adjacent pair survives; concatenation invariant") {
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc")
+    val gen = Gen.zip(Gen.listOfN(12, sym), sym, sym)
+    samples(gen, 300).foreach { case (syms, a, b) =>
+      val merged = graft.ops.Bpe.mergeOnce(syms, a, b)
+      // left-to-right greedy: no untouched adjacent (a, b) remains — any
+      // survivor must come from a merged token re-creating the boundary
+      merged.sliding(2).zipWithIndex.foreach { case (w, i) =>
+        if (w == Seq(a, b))
+          assert(i > 0 && merged(i - 1).endsWith(a),
+            s"unmerged ($a,$b) in $merged from $syms")
+      }
+      assert(merged.mkString == syms.mkString) // content preserved
+    }
+  }
+
   test("period limits are well-formed for any monthsBack") {
     val gen = Gen.zip(Gen.choose(-48, 0), Gen.choose(2000, 2030),
       Gen.choose(1, 12))
