@@ -315,16 +315,20 @@ object Similarity {
         centVecs.map(cv => cv.map(x => x * x).sum)))
 
     for (_ <- 1 to iters) {
+      // centroid update via the native element-wise vector-sum aggregate:
+      // map-side partials reduce each partition to one array per cluster,
+      // so the shuffle moves k x partitions rows — a posexplode +
+      // groupBy(cluster, pos) formulation shuffles n x dims rows instead
       val means = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long")
-          .as("m"))
+        .groupBy("cluster")
+        .agg(graft.plans.GraftExpressions.vec_sum(col("v")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-        }
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          r.getLong(0) -> r.getSeq[Long](1).map(x =>
+            math.floor(x.toDouble / n).toLong)
+        }.toMap
       centVecs = centIds.map(cid => means.getOrElse(cid, // empty: keep old
         centVecs(centIds.indexOf(cid))))
     }

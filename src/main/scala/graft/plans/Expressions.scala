@@ -693,6 +693,89 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/**
+ * Element-wise sum of `array<bigint>` values — the vector accumulator for
+ * centroid updates and any per-group vector statistic. A
+ * `TypedImperativeAggregate` with an `Array[Long]` buffer: map-side partials
+ * reduce each partition to one k x dims-independent array, so the shuffle
+ * moves ONE row per (group, partition) instead of the n x dims rows a
+ * posexplode + groupBy(pos) formulation shuffles. Exact integer math —
+ * order-independent, oracle-replayable. Arrays must share a length (the
+ * first non-null row fixes it; a mismatch fails loudly rather than
+ * truncating).
+ */
+case class VecSumAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"vec_sum needs array<bigint>, got $other")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def addInto(buf: Array[Long], v: ArrayData): Array[Long] = {
+    val n = v.numElements()
+    val acc = if (buf.isEmpty) new Array[Long](n) else buf
+    require(acc.length == n,
+      s"vec_sum: mixed vector lengths (${acc.length} vs $n)")
+    var i = 0
+    while (i < n) { acc(i) += v.getLong(i); i += 1 }
+    acc
+  }
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else addInto(buf, v.asInstanceOf[ArrayData])
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"vec_sum: mixed vector lengths (${a.length} vs ${b.length})")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumAgg =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -727,6 +810,10 @@ object GraftExpressions {
     ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hash60), k)
       .toAggregateExpression())
 
+  def vec_sum(vec: Column): Column =
+    ColumnBridge.column(VecSumAgg(ColumnBridge.expression(vec))
+      .toAggregateExpression())
+
   def ivf_assign(vec: Column, centIds: Seq[Long], centVecs: Seq[Seq[Long]],
       centNorms: Seq[Long]): Column =
     ColumnBridge.column(IvfAssign(ColumnBridge.expression(vec),
@@ -746,5 +833,7 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", exprs => KmvDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum", exprs => VecSumAgg(exprs.head), "built-in")
   }
 }

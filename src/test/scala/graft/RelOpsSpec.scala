@@ -59,6 +59,22 @@ class RelOpsSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("vec_sum aggregate: element-wise totals, null-safe, SQL-callable") {
+    val df = Seq((0, Seq(1L, 2L, 3L)), (0, Seq(10L, 20L, 30L)),
+      (1, Seq(5L, 5L, 5L))).toDF("g", "v")
+      .union(Seq((1, null.asInstanceOf[Seq[Long]])).toDF("g", "v"))
+    val got = df.repartition(4)
+      .groupBy("g")
+      .agg(graft.plans.GraftExpressions.vec_sum(col("v")).as("s"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(got === Map(0 -> Seq(11L, 22L, 33L), 1 -> Seq(5L, 5L, 5L)))
+    graft.plans.GraftExpressions.register(spark)
+    df.createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT g, graft_vec_sum(v) AS s FROM vecs GROUP BY g")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(sql === got)
+  }
+
   test("kmeans separates two obvious clusters and is deterministic") {
     val vecs = (0 until 20).map { i =>
       val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
