@@ -1029,6 +1029,76 @@ object QueryCatalog {
         FROM toks GROUP BY 1
         ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
 
+    // Document chunking (RAG / pretraining window prep): overlapping
+    // 64-token windows at stride 48, all from codegen'd sequence/slice
+    // expressions — the explode fan-out is ceil(n_tokens/stride) rows per
+    // doc, bounded and predictable; chunks emit as md5 so row width stays
+    // constant regardless of window size
+    ("q_text_chunks",
+      (s: SparkSession, d: String) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            floor((size(col("ts")) - 1) / 48.0).cast("long"))).as("k"),
+          col("ts"))
+        .select(col("doc_id"), col("k").as("chunk_id"),
+          slice(col("ts"), (col("k") * 48 + 1).cast("int"), lit(64))
+            .as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5")),
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        ch AS (SELECT doc_id, k,
+            ts[CAST(48 * k + 1 AS BIGINT):CAST(least(48 * k + 64, len(ts))
+              AS BIGINT)] AS chunk
+          FROM docs, UNNEST(range(0,
+            CAST(floor((len(ts) - 1) / 48.0) AS BIGINT) + 1)) AS u(k)
+          WHERE len(ts) > 0)
+        SELECT doc_id, k AS chunk_id,
+          CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+          md5(array_to_string(chunk, ' ')) AS chunk_md5
+        FROM ch""")),
+
+    // TF-IDF top terms per document, with an INTEGER-quantized idf
+    // (floor(1000*N/df) — transcendental log idf is not cross-engine
+    // bit-stable; the integer variant ranks identically for retrieval):
+    // two combine-enabled aggregates + a broadcast df join + a rank window
+    ("q_text_tfidf",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.count()
+        val toks = docs.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(broadcast(df_), Seq("term"))
+          .withColumn("score", col("tf") *
+            floor(lit(1000.0) * lit(nDocs) / col("df").cast("double"))
+              .cast("long"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("score"),
+            col("rnk"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, t AS term
+            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM
+          (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+            tf.tf * CAST(floor(1000.0 * n.n / df) AS BIGINT) AS score
+          FROM tf JOIN idf USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, score, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rnk
+          FROM sc) WHERE rnk <= 5""")),
+
     // Inverted-index construction (the search/RAG-retrieval build step):
     // rare terms (bounded df) -> their sorted document posting lists.
     // One explode + one combine-enabled groupBy; common terms are gated out

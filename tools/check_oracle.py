@@ -5,6 +5,7 @@ columns by name + rows by value, and compare. Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, os, json, glob
+from concurrent.futures import ProcessPoolExecutor
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -17,6 +18,7 @@ def norm(df):
 
 def connect(sf_dir):
     con = duckdb.connect()
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -24,10 +26,6 @@ def connect(sf_dir):
     return con
 
 def run_query(sf_dir, pdir, sql):
-    # Fresh connection per query: the heavy oracles (LSH bucket replays,
-    # recursive CTEs) otherwise accumulate allocator state across ~70
-    # queries and can hit transient OOM under memory pressure from the
-    # still-resident Spark JVM.
     con = connect(sf_dir)
     try:
         got = norm(con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf())
@@ -36,47 +34,52 @@ def run_query(sf_dir, pdir, sql):
     finally:
         con.close()
 
+def check_one(task):
+    # Runs in a FRESH subprocess (max_tasks_per_child=1): duckdb's
+    # process-global allocator does not reliably return memory across
+    # connections, so one 100M-pair oracle at a big SF otherwise leaves the
+    # process unable to allocate for every later (tiny) query.
+    sf_dir, out_dir, name, sql = task
+    pdir = f"{out_dir}/{name}"
+    if not glob.glob(f"{pdir}/*.parquet"):
+        return (name, False, "no spark output")
+    try:
+        got, want = run_query(sf_dir, pdir, sql)
+    except Exception as e:
+        return (name, False, str(e))
+    if list(got.columns) != list(want.columns):
+        return (name, False,
+                f"columns {list(got.columns)} vs {list(want.columns)}")
+    if len(got) != len(want):
+        return (name, False, f"rows {len(got)} vs {len(want)}")
+    dt_note = ""
+    if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+        dt_note = (f"  [dtypes: {list(map(str, got.dtypes))} vs "
+                   f"{list(map(str, want.dtypes))}]")
+    if got.astype(str).equals(want.astype(str)):
+        return (name, True, f"({len(got)} rows){dt_note}")
+    diff = (got.astype(str) != want.astype(str)).any(axis=1)
+    idx = diff[diff].index[:3]
+    lines = [f"value mismatch, e.g. rows {list(idx)}"]
+    for i in idx:
+        lines.append(f"  got : {got.loc[i].to_dict()}")
+        lines.append(f"  want: {want.loc[i].to_dict()}")
+    return (name, False, "\n".join(lines))
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    tasks = [(sf_dir, out_dir, name, sql)
+             for name, sql in sorted(oracles.items())
+             if not only or name in only]
     n_pass = n_fail = 0
-    for name, sql in sorted(oracles.items()):
-        if only and name not in only:
-            continue
-        pdir = f"{out_dir}/{name}"
-        if not glob.glob(f"{pdir}/*.parquet"):
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        try:
-            try:
-                got, want = run_query(sf_dir, pdir, sql)
-            except Exception as e:
-                if "Out of Memory" not in str(e):
-                    raise
-                got, want = run_query(sf_dir, pdir, sql)  # one retry
-        except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
-        if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
-            n_fail += 1; continue
-        if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
-            n_fail += 1; continue
-        # dtype visibility (informational; value compare is authoritative)
-        dt_note = ""
-        if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
-            dt_note = f"  [dtypes: {list(map(str, got.dtypes))} vs {list(map(str, want.dtypes))}]"
-        eq = got.astype(str).equals(want.astype(str))
-        if eq:
-            print(f"PASS {name} ({len(got)} rows){dt_note}"); n_pass += 1
-        else:
-            diff = (got.astype(str) != want.astype(str)).any(axis=1)
-            idx = diff[diff].index[:3]
-            print(f"FAIL {name}: value mismatch, e.g. rows {list(idx)}")
-            for i in idx:
-                print(f"  got : {got.loc[i].to_dict()}")
-                print(f"  want: {want.loc[i].to_dict()}")
-            n_fail += 1
+    with ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1) as ex:
+        for name, ok, msg in ex.map(check_one, tasks):
+            if ok:
+                print(f"PASS {name} {msg}"); n_pass += 1
+            else:
+                print(f"FAIL {name}: {msg}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
