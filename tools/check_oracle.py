@@ -18,7 +18,7 @@ def norm(df):
 
 def connect(sf_dir):
     con = duckdb.connect()
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='90GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
