@@ -1029,6 +1029,42 @@ object QueryCatalog {
         FROM toks GROUP BY 1
         ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
 
+    // LM-coverage quality gate: the fraction of a document's bigrams that
+    // are corpus-frequent — the integer-stable stand-in for perplexity
+    // scoring (log-prob sums are not cross-engine bit-stable; a coverage
+    // ratio of exact counts is). Frequent-bigram set broadcast; per-doc
+    // work is one combine-enabled aggregate.
+    ("q_text_bigram_coverage",
+      (s: SparkSession, d: String) => {
+        val docBi = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+        val frequent = docBi.groupBy("bigram")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 20)
+          .select(col("bigram"), lit(1L).as("known"))
+        docBi.join(broadcast(frequent), Seq("bigram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("known"), lit(0L))).as("n_known"))
+          .withColumn("coverage",
+            floor(col("n_known").cast("double") /
+              col("n_bigrams").cast("double") * 1e6) / 1e6)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        bi AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        freq AS (SELECT bigram, CAST(1 AS BIGINT) AS known FROM
+          (SELECT bigram, count(*) AS n FROM bi GROUP BY 1) WHERE n >= 20)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(coalesce(known, 0)) AS BIGINT) AS n_known,
+          floor(CAST(sum(coalesce(known, 0)) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS coverage
+        FROM bi LEFT JOIN freq USING (bigram) GROUP BY 1""")),
+
     // Document chunking (RAG / pretraining window prep): overlapping
     // 64-token windows at stride 48, all from codegen'd sequence/slice
     // expressions — the explode fan-out is ceil(n_tokens/stride) rows per
