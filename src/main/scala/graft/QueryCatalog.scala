@@ -1986,6 +1986,59 @@ object QueryCatalog {
     * and its semi-join back. */
   private val cleanQueries: Seq[(String, Q, Option[String])] = Seq(
 
+    // The full curation chain as ONE declarative plan: exact dedup ->
+    // benchmark decontamination -> mixture sampling -> token counting ->
+    // global sequence-packing offsets. Every stage is an operator verified
+    // on its own elsewhere in the catalog; this query pins their
+    // COMPOSITION (the thing a real corpus build runs nightly). Catalyst
+    // sees one tree: the dedup window, the broadcast anti-join, the
+    // mixture filter and the token count all pipeline without
+    // materialization; only the prefix-sum pass adds its two scans.
+    ("q_curate_pack",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        val canon = Dedup.exactDedup(corpus, "doc_id", "text")
+        val contaminated = Dedup.contaminationPairs(canon, "doc_id", "text",
+            bench, "doc_id", "text", n = 8, minShared = 2)
+          .select(col("doc_id")).distinct()
+        val decont = canon.join(contaminated, Seq("doc_id"), "left_anti")
+        val mixed = Sampling.mixtureSample(decont, "doc_id", "source",
+          Map("src0" -> 0.9, "src1" -> 0.5), defaultRate = 0.1)
+        val tc = mixed.select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.ops.Prefix.runningOffsets(tc, "doc_id", "n_tokens")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("offset").as("tok_offset"),
+            floor(col("offset") / 512.0).cast("long").as("seq_start"))
+      },
+      Some(s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents
+            WHERE doc_id % 20 <> 0
+            GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+              'g')))),
+        ${shingleSqlFor(8, "WHERE doc_id IN (SELECT doc_id FROM canon)",
+          "cdocs", "csh")},
+        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
+        contaminated AS (SELECT DISTINCT doc_id FROM (
+          SELECT c.doc_id FROM csh c JOIN bsh b ON c.sg = b.sg
+          GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)),
+        mixed AS (SELECT doc_id, source, text FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM canon)
+            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            AND ${hashScoreSql("doc_id")} <
+              CASE WHEN source = 'src1' THEN 0.5
+                   WHEN source = 'src0' THEN 0.9 ELSE 0.1 END),
+        tc AS (SELECT doc_id, source,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM mixed),
+        o AS (SELECT doc_id, source, n_tokens,
+            COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM tc)
+        SELECT doc_id, source, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+          CAST(floor(off / 512.0) AS BIGINT) AS seq_start
+        FROM o""")),
+
     ("q_clean_pipeline",
       (s: SparkSession, d: String) => {
         val scored = TextOps.withQuality(t(s, d, "documents"), "text")
