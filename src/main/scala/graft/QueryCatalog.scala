@@ -730,6 +730,56 @@ object QueryCatalog {
         EXCEPT SELECT md5(text) AS fp FROM documents
         WHERE ${hashScoreSql("doc_id")} < 0.05""")),
 
+    // SCD-2 history merge (beyond the reference's SCD-0/1): one version
+    // batch against a bootstrapped dimension — changed keys close their
+    // old version and open a new one, identical keys stay untouched, new
+    // keys insert. Version label is an explicit literal, so the whole
+    // history is deterministic and the oracle replays it.
+    ("q_merge_scd2",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val base = o.filter(col("o_orderkey") % 4 =!= 0)
+          .select(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"),
+            cents(col("o_totalprice")).as("price_cents"))
+        val batch = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("id"),
+            when(col("o_orderkey") % 3 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("status"),
+            cents(col("o_totalprice")).as("price_cents"))
+        MergeWriter.scd2Merge(
+          MergeWriter.scd2Bootstrap(base, "2024-01-01"),
+          batch, Seq("id"), "2024-02-01")
+      },
+      Some(s"""WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
+            ${centsSql("o_totalprice")} AS price_cents
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        b AS (SELECT o_orderkey AS id,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+              AS status,
+            ${centsSql("o_totalprice")} AS price_cents
+          FROM orders WHERE o_orderkey % 2 = 0),
+        shared AS (SELECT base.id, base.status AS ostatus,
+            base.price_cents AS oprice, b.status AS nstatus,
+            b.price_cents AS nprice
+          FROM base JOIN b USING (id)),
+        changed AS (SELECT * FROM shared
+          WHERE ostatus IS DISTINCT FROM nstatus
+             OR oprice IS DISTINCT FROM nprice)
+        SELECT id, status, price_cents, valid_from, valid_to, is_current
+        FROM (
+          SELECT id, ostatus AS status, oprice AS price_cents,
+            '2024-01-01' AS valid_from, '2024-02-01' AS valid_to,
+            false AS is_current FROM changed
+          UNION ALL
+          SELECT id, status, price_cents, '2024-01-01', NULL, true
+          FROM base WHERE id NOT IN (SELECT id FROM changed)
+          UNION ALL
+          SELECT id, nstatus, nprice, '2024-02-01', NULL, true FROM changed
+          UNION ALL
+          SELECT id, status, price_cents, '2024-02-01', NULL, true
+          FROM b WHERE id NOT IN (SELECT id FROM base))""")),
+
     // Keyless interval-containment join: purchases falling inside derived
     // error-spike windows. ops/RangeJoin bucketizes the time axis (15-min
     // buckets vs 30-min windows) so the theta-join runs as a hash join with

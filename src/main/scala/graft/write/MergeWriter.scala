@@ -97,6 +97,68 @@ object MergeWriter {
       .union(b)
   }
 
+  /** SCD-2 history merge (beyond the reference's SCD-0/1 upsert): versioned
+    * rows carry (valid_from, valid_to, is_current). For each batch key, a
+    * differing current row is CLOSED (valid_to = `versionTs`, not current)
+    * and the batch row inserted as the new current version; identical rows
+    * are untouched; unseen keys insert as new current rows. History rows
+    * pass through untouched. One full-outer-shaped pass: current rows
+    * left-join the (key-deduplicated) batch, the batch anti-joins current —
+    * the same join-on-ids shuffle as [[upsert]], history carried by union.
+    * `versionTs` is an explicit caller-provided version label (a date
+    * string), not wall clock — runs replay deterministically.
+    * Returns the merged frame; write it with [[writeSwap]] (or via a
+    * partition-pruned route when the table is partitioned on a stable
+    * column, exactly as [[write]] does for SCD-1). */
+  def scd2Merge(target: DataFrame, batch: DataFrame, ids: Seq[String],
+      versionTs: String): DataFrame = {
+    require(ids.nonEmpty, "merge requires at least one id column")
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    require(scdCols.forall(target.columns.contains),
+      s"SCD-2 target needs ${scdCols.mkString(", ")} columns")
+    val dataCols = target.columns.filterNot(scdCols.contains).toSeq
+    val compareCols = dataCols.filterNot(ids.contains)
+    val b = batch.dropDuplicates(ids)
+      .select(dataCols.map(col): _*) // batch carries data columns only
+    val cur = target.filter(col("is_current"))
+    val hist = target.filter(!col("is_current"))
+
+    val differs = compareCols.map(c =>
+        not(col(s"c.$c") <=> col(s"b.$c"))).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    val joined = cur.as("c").join(b.as("b"),
+        ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
+        "left_outer")
+      .withColumn("__changed",
+        col(s"b.${ids.head}").isNotNull && differs)
+    val closed = joined.filter(col("__changed"))
+      .select(dataCols.map(c => col(s"c.$c")) :+ col("c.valid_from"): _*)
+      .withColumn("valid_to", lit(versionTs))
+      .withColumn("is_current", lit(false))
+    val keptCur = joined.filter(!col("__changed"))
+      .select(target.columns.map(c => col(s"c.$c")).toSeq: _*)
+    val newRows = b.as("b")
+      .join(cur.as("c"),
+        ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
+        "left_outer")
+      .filter(col(s"c.${ids.head}").isNull || differs)
+      .select(dataCols.map(c => col(s"b.$c")): _*)
+      .withColumn("valid_from", lit(versionTs))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    val order = target.columns.toSeq
+    Seq(hist, closed, keptCur, newRows)
+      .map(_.select(order.map(col): _*))
+      .reduce(_ union _)
+  }
+
+  /** Bootstrap an SCD-2 table from a plain batch: every row current as of
+    * `versionTs`. */
+  def scd2Bootstrap(batch: DataFrame, versionTs: String): DataFrame =
+    batch.withColumn("valid_from", lit(versionTs))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+
   /** K5 — transactional window: delete `processperiod >= cutoff` from the
     * target, then merge (aje-stage-dms-load.py:488-495). `cutoffPeriod` is
     * yyyyMM as Int. Delete keeps null periods, matching Delta's

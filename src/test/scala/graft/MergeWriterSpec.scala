@@ -211,6 +211,29 @@ class MergeWriterSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("scd2: closes changed versions, keeps identical, inserts new") {
+    import spark.implicits._
+    val target = MergeWriter.scd2Bootstrap(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "2024-01-01")
+    val batch = Seq((2L, "B"), (2L, "B"), (3L, "c")).toDF("id", "v") // dup ok
+    val merged = MergeWriter.scd2Merge(target, batch, Seq("id"), "2024-02-01")
+    val rows = merged
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)]
+      .collect().toSet
+    assert(rows === Set(
+      (1L, "a", "2024-01-01", None, true),          // untouched
+      (2L, "b", "2024-01-01", Some("2024-02-01"), false), // closed
+      (2L, "B", "2024-02-01", None, true),          // new version
+      (3L, "c", "2024-02-01", None, true)))         // new key
+    // idempotence: identical re-merge changes nothing (even at a later ts)
+    val again = MergeWriter.scd2Merge(merged, batch, Seq("id"), "2024-03-01")
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)]
+      .collect().toSet
+    assert(again === rows)
+  }
+
   test("retry combinator retries then succeeds") {
     var calls = 0
     val out = MergeWriter.withRetry(3, _ => 0L) {
