@@ -683,6 +683,26 @@ object QueryCatalog {
             AS delta_cents
         FROM v""")),
 
+    // Ranking-function surface: ntile / percent_rank / cume_dist over one
+    // shared window — all integer-derived doubles (rank/count ratios), so
+    // cross-engine exact
+    ("q_window_rankfns",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        t(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+      },
+      Some("""SELECT source, doc_id, n_chars,
+          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)""")),
+
     // Top-k per group: the O2 surface the reference lacks, as a rank
     // window — the scalable shape (no global sort, no driver collect)
     ("q_window_topk",

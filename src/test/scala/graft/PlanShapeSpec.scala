@@ -1,0 +1,62 @@
+package graft
+
+/** Pins the SCALE-critical physical-plan properties of headline queries:
+  * these assertions fail if a refactor silently reintroduces the pathology
+  * the operator was designed to avoid (a nested-loop non-equi join, a
+  * shuffle in a pure scan-stage pipeline, a pivot discovery scan). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("non-equi joins plan as hash joins, never nested-loop/cartesian") {
+    for (q <- Seq("q_join_asof", "q_join_range")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("scan-stage pipelines have NO shuffle") {
+    // pure per-row work must stay in the scan stage: a sample filter, a
+    // DSL projection, chunk explosion — none may exchange
+    for (q <- Seq("q_sample_hash", "q_sample_mixture", "q_dsl_concat",
+        "q_text_chunks", "q_src_tz_shift")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+    }
+  }
+
+  test("windows and aggregations share one exchange where designed") {
+    // sessionize: two windows + groupBy, one hash exchange total
+    val p = plan("q_agg_sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    // moving-window analytics: all three columns off one exchange
+    val pm = plan("q_window_moving")
+    val em = "Exchange hashpartitioning".r.findAllIn(pm).size
+    assert(em == 1, s"expected 1 exchange, got $em")
+  }
+
+  test("declared-value pivot runs as one aggregate pass (no discovery job)") {
+    // a values-discovery pivot would show as a separate collect-limit job;
+    // the declared form is exactly two HashAggregate pairs (partial+final
+    // for the pivot agg over the date group)
+    val p = plan("q_agg_pivot")
+    assert(!p.contains("CollectLimit"), p)
+  }
+
+  test("kmeans assignment is a pure projection (no shuffle, no join)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.ops.Similarity.quantize(
+        org.apache.spark.sql.functions.col("embedding")).as("v"))
+    val assigned = q.withColumn("cluster",
+      graft.plans.GraftExpressions.ivf_assign(org.apache.spark.sql.functions
+        .col("v"), Seq(0L), Seq(Seq.fill(64)(1L)), Seq(64L)))
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+}
