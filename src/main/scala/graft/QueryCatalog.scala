@@ -1210,20 +1210,27 @@ object QueryCatalog {
     // One explode + one combine-enabled groupBy; common terms are gated out
     // by df AFTER aggregation, so the posting-list cell stays bounded the
     // same way jaccardPairs bounds hot shingles.
-    ("q_text_index",
-      (s: SparkSession, d: String) => t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-        .groupBy("term")
-        .agg(count(lit(1)).as("df"),
-          array_join(transform(array_sort(collect_list(col("doc_id"))),
-            _.cast("string")), ",").as("postings"))
-        .filter(col("df").between(2, 380)),
+    ("q_text_index", {
+      // df gate RELATIVE to corpus size (<= 80% of docs) so the query does
+      // the same work at every SF — an absolute cap goes empty as N grows
+      ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val maxDf = math.floor(docs.count() * 0.8).toLong
+        docs.select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            array_join(transform(array_sort(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
+          .filter(col("df").between(2, maxDf))
+      }): Q
+      },
       Some(s"""WITH toks AS (SELECT DISTINCT doc_id, t
           FROM documents, UNNEST(${tokensSql()}) AS u(t))
         SELECT t AS term, count(*) AS df,
           string_agg(doc_id, ',' ORDER BY doc_id) AS postings
-        FROM toks GROUP BY 1 HAVING count(*) BETWEEN 2 AND 380""")),
+        FROM toks GROUP BY 1 HAVING count(*) BETWEEN 2 AND
+          floor((SELECT count(*) FROM documents) * 0.8)""")),
 
     // Bigram language-model counts: conditional probability per bigram,
     // floor-quantized from exact integer counts (the n-gram-LM statistics
