@@ -113,6 +113,32 @@ object StreamingIngest {
       }
       .start()
 
+  /**
+   * CDC stream into an SCD-2 HISTORY table: each micro-batch closes changed
+   * versions and opens new ones through `MergeWriter.scd2Merge`; the first
+   * batch bootstraps. The version label is derived from the BATCH ID, not
+   * wall clock, so a checkpoint-replayed batch re-merges with the SAME
+   * label against rows that already carry its values — a no-op — giving
+   * at-least-once replay convergence just like [[mergeSink]].
+   */
+  def scd2Sink(stream: DataFrame, path: String, ids: Seq[String],
+      checkpoint: String, versionOf: Long => String = b => f"batch-$b%06d")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = graft.write.MergeWriter
+          .readTarget(batch.sparkSession, path) match {
+            case Some(tgt) => graft.write.MergeWriter
+              .scd2Merge(tgt, batch, ids, versionOf(batchId))
+            case None => graft.write.MergeWriter
+              .scd2Bootstrap(batch.dropDuplicates(ids), versionOf(batchId))
+          }
+        graft.write.MergeWriter.writeSwap(merged, path)
+        ()
+      }
+      .start()
+
   final case class AsofTick(k: Long, ts: java.sql.Timestamp, side: Int,
       id: Long, payload: Double)
   final case class AsofState(lastTs: Long, payload: Double, has: Boolean)

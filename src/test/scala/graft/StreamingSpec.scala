@@ -102,6 +102,30 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("scd2 sink: micro-batches build version history") {
+    val src = Files.createTempDirectory("graft_s2src").toString
+    val stage = Files.createTempDirectory("graft_s2stage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_s2ckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("id LONG, v STRING").parquet(src)
+    val q = StreamingIngest.scd2Sink(stream, stage, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(stage)
+      .select("id", "v", "valid_to", "is_current")
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(rows === Set(
+      (1L, "a", None, true),                  // untouched from batch 0
+      (2L, "b", Some("batch-000001"), false), // closed by batch 1
+      (2L, "B", None, true),
+      (3L, "c", None, true)))
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}
