@@ -594,6 +594,31 @@ object QueryCatalog {
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""")),
 
+    // SLIDING event-time windows (1 h window, 30 min slide): every event
+    // lands in exactly two windows — Spark's window() explodes to the
+    // covering windows before the aggregate, the same shape the oracle
+    // reproduces with an explicit two-start UNNEST
+    ("q_agg_sliding",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n_events"), col("min_value")),
+      Some("""WITH slid AS (SELECT event_type, "value",
+          unnest([date_trunc('hour', ts) +
+              CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                   ELSE INTERVAL 0 MINUTE END,
+            date_trunc('hour', ts) +
+              CASE WHEN minute(ts) >= 30 THEN INTERVAL 0 MINUTE
+                   ELSE -INTERVAL 30 MINUTE END]) AS ws
+          FROM events)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+          count(*) AS n_events, min("value") AS min_value
+        FROM slid GROUP BY 1, 2""")),
+
     // Full cube over the two flag dimensions — all four grouping levels in
     // one pass (Spark expands to a single partial-aggregated plan)
     ("q_agg_cube",

@@ -234,6 +234,48 @@ class MergeWriterSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("scd2: random batch sequence equals a driver-side reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def randBatch() = (1 to 12).flatMap(id =>
+      if (rnd.nextBoolean()) Some((id.toLong, s"v${rnd.nextInt(3)}"))
+      else None).toDF("id", "v")
+    val versions = Seq("t1", "t2", "t3", "t4")
+    val b0 = randBatch()
+
+    // engine: bootstrap + 3 merges
+    var table = MergeWriter.scd2Bootstrap(b0, versions.head)
+    val batches = Seq(randBatch(), randBatch(), randBatch())
+    batches.zip(versions.tail).foreach { case (b, ts) =>
+      table = MergeWriter.scd2Merge(table, b, Seq("id"), ts)
+    }
+    val got = table
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+
+    // reference: a driver map of key -> list of (value, from, to)
+    var cur = b0.as[(Long, String)].collect().toMap
+    var from = cur.map { case (k, _) => k -> versions.head }
+    var hist = List.empty[(Long, String, String, Option[String], Boolean)]
+    batches.zip(versions.tail).foreach { case (b, ts) =>
+      b.as[(Long, String)].collect().foreach { case (k, v) =>
+        cur.get(k) match {
+          case Some(old) if old != v =>
+            hist ::= (k, old, from(k), Some(ts), false)
+            cur += k -> v; from += k -> ts
+          case Some(_) => ()
+          case None => cur += k -> v; from += k -> ts
+        }
+      }
+    }
+    val want = hist.toSet ++
+      cur.map { case (k, v) => (k, v, from(k), None, true) }
+    assert(got === want)
+    // structural invariants: one current row per live key, unique versions
+    assert(got.count(_._5) === cur.size)
+    assert(got.map(r => (r._1, r._3)).size === got.size)
+  }
+
   test("retry combinator retries then succeeds") {
     var calls = 0
     val out = MergeWriter.withRetry(3, _ => 0L) {
