@@ -489,6 +489,34 @@ object QueryCatalog {
           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
         FROM s GROUP BY 1, 2""")),
 
+    // Same sessions through Spark's BUILT-IN session_window (merging
+    // event-time sessions with a 30-min gap) — pinned to the identical
+    // lag->flag->running-sum oracle as q_agg_sessionize, so the built-in
+    // and hand-rolled routes are proven equivalent
+    ("q_agg_sessionwindow",
+      (s: SparkSession, d: String) => t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_start"))
+        .select(col("user_id"), col("t_start"), col("n_events")),
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+          FROM events),
+        s AS (SELECT user_id, ts,
+          -- session_window's span is [ts, ts+gap) EXCLUSIVE: an event
+          -- exactly 30 min later starts a NEW session (>=), where the
+          -- hand-rolled q_agg_sessionize merges it (>)
+          CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+                        THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+          count(*) AS n_events
+        FROM s GROUP BY user_id, session_id""")),
+
     ("q_agg_pricing",
       // all money runs as floor-quantized BIGINT cents (see `cents` scaladoc:
       // double→decimal casts of RAW doubles are cross-engine-unstable on the
