@@ -200,7 +200,10 @@ class StreamingSpec extends SparkSpec {
       // NB: processAllAvailable() never settles for a timeout-driven stateful
       // query (the timeouts keep scheduling batches) — drive it by wall clock
       // instead: first batch consumes the input, later batches fire timeouts.
-      val deadline = System.currentTimeMillis() + 20000
+      // generous: suites run in parallel against one shared session, and a
+      // loaded scheduler can starve the timeout-firing micro-batches well
+      // past the nominal gap (observed flake at 20 s under full-suite load)
+      val deadline = System.currentTimeMillis() + 90000
       while (spark.table("sessions").isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(250)
     } finally q.stop()
