@@ -1858,6 +1858,22 @@ object QueryCatalog {
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
         strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem""")),
 
+    // ORC round trip: the second columnar format a lake interoperates
+    // with — typed write + read-back, verified lossless against the
+    // parquet-sourced oracle
+    ("q_src_orc",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_orc").toString + "/docs"
+        t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+            col("lang"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
+        FROM documents""")),
+
     // JSONL round trip (write -> declared-schema read): lossless through
     // JSON string escaping — verified via md5 over the full text body
     ("q_src_jsonl",
