@@ -52,6 +52,14 @@ class RelOpsSpec extends SparkSpec {
     assert(strict.select("p").as[Long].head() === 7L)
   }
 
+  test("asof with an empty right side keeps all left rows, null payload") {
+    val l = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("lid", "k", "lts")
+    val r = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "p")
+    val got = AsofJoin.backward(l, r, Seq("k"), "lts", "rts", Seq("p"))
+    assert(got.count() === 2)
+    assert(got.filter(col("p").isNotNull).isEmpty)
+  }
+
   test("asof forward equals brute force (earliest at-or-after)") {
     val (l, r) = fixture(11)
     val got = AsofJoin.forward(l, r, Seq("k"), "lts", "rts", Seq("p"))
@@ -102,6 +110,17 @@ class RelOpsSpec extends SparkSpec {
     }.toDF("iid", "lo", "hi")
     val naive = ivs.join(pts, col("lo") <= col("t") && col("t") <= col("hi"))
       .select("iid", "pid")
+    // negative axis values: floor-division bucketing must stay monotone
+    val ptsNeg = pts.withColumn("t", col("t") - 5000L)
+    val ivsNeg = ivs.withColumn("lo", col("lo") - 5000L)
+      .withColumn("hi", col("hi") - 5000L)
+    val naiveNeg = ivsNeg
+      .join(ptsNeg, col("lo") <= col("t") && col("t") <= col("hi"))
+      .select("iid", "pid")
+    val gotNeg = graft.ops.RangeJoin
+      .pointInInterval(ptsNeg, "t", ivsNeg, "lo", "hi", 400L)
+      .select("iid", "pid")
+    assert(gotNeg.except(naiveNeg).isEmpty && naiveNeg.except(gotNeg).isEmpty)
     for (bucket <- Seq(50L, 400L, 5000L)) {
       val got = graft.ops.RangeJoin
         .pointInInterval(pts, "t", ivs, "lo", "hi", bucket)
