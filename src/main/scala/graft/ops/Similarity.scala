@@ -329,9 +329,15 @@ object Similarity {
           r.getLong(0) -> r.getSeq[Long](1).map(x =>
             math.floor(x.toDouble / n).toLong)
         }.toMap
-      centVecs = centIds.map(cid => means.getOrElse(cid, // empty: keep old
-        centVecs(centIds.indexOf(cid))))
+      val prevByCid = centIds.zip(centVecs).toMap
+      centVecs = centIds.map(cid => means.getOrElse(cid, prevByCid(cid)))
     }
+    // All multi-pass reuse of the cache has happened (the seed collect +
+    // one aggregate per round). Release it here rather than leaking it for
+    // the session lifetime; the returned lazy plan re-runs the quantize
+    // scan once in the caller's action — one pass, the same cost as
+    // re-reading a disk-cached copy.
+    q.unpersist(blocking = false)
     assigned
   }
 
@@ -345,18 +351,32 @@ object Similarity {
    * The pairwise scan is quadratic only WITHIN a cluster — that is the
    * entire point of clustering first (SemDeDup): at corpus scale, k grows
    * with n so mean cluster size stays bounded, and the self-join shuffles
-   * on the cluster id like any equi-join. A degenerate mega-cluster is the
-   * same pathology as a hot LSH bucket — raise k or cap cluster size the
-   * way `annNearDupPairs.maxBucket` does.
+   * on the cluster id like any equi-join. A degenerate mega-cluster (an
+   * all-identical-embedding crawl slice) is the same pathology as a hot
+   * LSH bucket — `maxCluster` is the enforced guard: clusters larger than
+   * it SKIP pairwise dedup entirely (all their rows are kept), exactly how
+   * `annNearDupPairs.maxBucket` trades recall for a bounded worst stage.
+   * 0 = uncapped (exact within-cluster semantics; the oracle default).
    */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, threshold: Double): DataFrame = {
+      k: Int, iters: Int, threshold: Double, maxCluster: Int = 0): DataFrame = {
+    // localCheckpoint instead of persist: the assignment is scanned three
+    // times (both self-join sides + the final anti-join), so materializing
+    // once matters — and checkpointed blocks are released by the
+    // ContextCleaner when the plan is GC'd, where a CacheManager persist
+    // leaks for the session lifetime unless the CALLER remembers to
+    // unpersist a frame we never hand them.
     val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
       .withColumn("n2", qdot(col("v"), col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = asg.select(col("cluster"), col("vec_id").as("id1"),
+      .localCheckpoint()
+    val paired = if (maxCluster <= 0) asg else {
+      val w = Window.partitionBy("cluster")
+      asg.withColumn("csz", count(lit(1)).over(w))
+        .filter(col("csz") <= maxCluster).drop("csz")
+    }
+    val a = paired.select(col("cluster"), col("vec_id").as("id1"),
       col("v").as("v1"), col("n2").as("n21"))
-    val b = asg.select(col("cluster"), col("vec_id").as("id2"),
+    val b = paired.select(col("cluster"), col("vec_id").as("id2"),
       col("v").as("v2"), col("n2").as("n22"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id1") < col("id2"))

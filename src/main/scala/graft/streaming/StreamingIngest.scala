@@ -119,25 +119,49 @@ object StreamingIngest {
    * batch bootstraps. The version label is derived from the BATCH ID, not
    * wall clock, so a checkpoint-replayed batch re-merges with the SAME
    * label against rows that already carry its values — a no-op — giving
-   * at-least-once replay convergence just like [[mergeSink]].
+   * at-least-once replay convergence just like [[mergeSink]] (scd2Merge's
+   * batch dedup is deterministic, so the replayed batch picks the same row).
+   *
+   * The table is partitioned on `scd_part = coalesce(valid_to,
+   * '__current__')` and each micro-batch goes through the PRUNED merge:
+   * only the `__current__` partition is read and rewritten, plus one fresh
+   * `scd_part=<versionTs>` partition for the rows this batch closes. A
+   * closed row's valid_to never changes again, so closed partitions are
+   * immutable by construction — the pruned-merge stability contract holds
+   * trivially, and per-batch cost is O(|current| + |batch|) instead of the
+   * O(|history|) whole-table rewrite (history grows monotonically; a
+   * continuously-running CDC sink would otherwise slow down forever).
+   * `recency` orders multi-change micro-batches (latest row per key wins).
    */
   def scd2Sink(stream: DataFrame, path: String, ids: Seq[String],
-      checkpoint: String, versionOf: Long => String = b => f"batch-$b%06d")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, versionOf: Long => String = b => f"batch-$b%06d",
+      recency: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val CUR = "__current__"
+    val part = coalesce(col("valid_to"), lit(CUR)).as("scd_part")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val merged = graft.write.MergeWriter
-          .readTarget(batch.sparkSession, path) match {
-            case Some(tgt) => graft.write.MergeWriter
-              .scd2Merge(tgt, batch, ids, versionOf(batchId))
-            case None => graft.write.MergeWriter
-              .scd2Bootstrap(batch.dropDuplicates(ids), versionOf(batchId))
-          }
-        graft.write.MergeWriter.writeSwap(merged, path)
+        val s = batch.sparkSession
+        if (graft.write.MergeWriter.tableExists(path)) {
+          graft.write.MergeWriter.prunedMergeWrite(
+            s, batch.withColumn("scd_part", lit(CUR)), path,
+            Seq("scd_part"), alsoTouched = None,
+            (tgt, b) => graft.write.MergeWriter
+              .scd2Merge(tgt.drop("scd_part"), b.drop("scd_part"),
+                ids, versionOf(batchId), recency)
+              .withColumn("scd_part", part))
+        } else {
+          val boot = graft.write.MergeWriter
+            .scd2Bootstrap(graft.write.MergeWriter
+                .dedupDeterministic(batch, ids, recency), versionOf(batchId))
+            .withColumn("scd_part", part)
+          graft.write.MergeWriter.writeSwap(boot, path, Seq("scd_part"))
+        }
         ()
       }
       .start()
+  }
 
   final case class AsofTick(k: Long, ts: java.sql.Timestamp, side: Int,
       id: Long, payload: Double)

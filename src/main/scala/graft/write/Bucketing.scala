@@ -64,11 +64,16 @@ object Bucketing {
     * filtered on ANY clustered column (at mild per-column efficiency cost
     * vs a dedicated single-key sort).
     *
-    * Each column is min-max scaled to a 16-bit grid first (one cheap
+    * Each column is min-max scaled to a small integer grid first (one cheap
     * aggregate pass for the bounds — the rewrite already reads the full
     * table, so the extra scan is marginal and the mapping stays monotone);
     * the interleave itself is a fold of codegen'd shift/mask built-ins.
-    * Numeric columns only; 16 bits x up to 4 columns fits a long. */
+    * Numeric columns only. Grid width is min(16, 63/n) bits so the TOP
+    * interleaved bit never reaches position 63: repartitionByRange orders
+    * by the SIGNED long, and a sign-bit hit would split the keyspace at the
+    * wrap, handing one file two disjoint hyper-rectangles. Null cells (and
+    * all-null/empty bounds) clamp to grid 0 — a defined curve position, not
+    * a null z for the whole row. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       files: Int): Unit = {
     import org.apache.spark.sql.functions._
@@ -77,13 +82,19 @@ object Bucketing {
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val n = cols.size
+    val bits = math.min(16, 63 / n)
+    val maxGrid = (1L << bits) - 1
     val grid = cols.zipWithIndex.map { case (c, j) =>
-      val (lo, hi) = (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
+      val (lo, hi) =
+        if (bounds.isNullAt(2 * j) || bounds.isNullAt(2 * j + 1)) (0.0, 0.0)
+        else (bounds.getDouble(2 * j), bounds.getDouble(2 * j + 1))
       val span = if (hi > lo) hi - lo else 1.0
-      floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(65535.0))
-        .cast("long")
+      coalesce(
+        floor((col(c).cast("double") - lit(lo)) / lit(span)
+          * lit(maxGrid.toDouble)).cast("long"),
+        lit(0L))
     }
-    val z = (0 until 16).flatMap { i =>
+    val z = (0 until bits).flatMap { i =>
       grid.zipWithIndex.map { case (g, j) =>
         shiftleft(shiftright(g, i).bitwiseAND(lit(1L)), i * n + j)
       }

@@ -107,18 +107,27 @@ object MergeWriter {
     * the same join-on-ids shuffle as [[upsert]], history carried by union.
     * `versionTs` is an explicit caller-provided version label (a date
     * string), not wall clock — runs replay deterministically.
+    *
+    * Batch key-dedup is DETERMINISTIC (unlike the reference's bare
+    * dropDuplicates): with `recency` given, the latest batch row per key
+    * wins; without it, the max over all data columns wins. Either way a
+    * checkpoint-replayed batch picks the SAME row as the first run — a
+    * replay merges rows the table already carries and is a no-op, which is
+    * what [[graft.streaming.StreamingIngest.scd2Sink]]'s at-least-once
+    * convergence claim rests on.
+    *
     * Returns the merged frame; write it with [[writeSwap]] (or via a
     * partition-pruned route when the table is partitioned on a stable
     * column, exactly as [[write]] does for SCD-1). */
   def scd2Merge(target: DataFrame, batch: DataFrame, ids: Seq[String],
-      versionTs: String): DataFrame = {
+      versionTs: String, recency: Seq[String] = Nil): DataFrame = {
     require(ids.nonEmpty, "merge requires at least one id column")
     val scdCols = Seq("valid_from", "valid_to", "is_current")
     require(scdCols.forall(target.columns.contains),
       s"SCD-2 target needs ${scdCols.mkString(", ")} columns")
     val dataCols = target.columns.filterNot(scdCols.contains).toSeq
     val compareCols = dataCols.filterNot(ids.contains)
-    val b = batch.dropDuplicates(ids)
+    val b = dedupDeterministic(batch, ids, recency)
       .select(dataCols.map(col): _*) // batch carries data columns only
     val cur = target.filter(col("is_current"))
     val hist = target.filter(!col("is_current"))
@@ -150,6 +159,20 @@ object MergeWriter {
     Seq(hist, closed, keptCur, newRows)
       .map(_.select(order.map(col): _*))
       .reduce(_ union _)
+  }
+
+  /** Deterministic key-dedup shared by [[scd2Merge]] and the scd2Sink
+    * bootstrap: latest-by-`recency` per key, falling back to the max over
+    * all non-id columns — never an arbitrary survivor, so replayed batches
+    * pick the same row. */
+  private[graft] def dedupDeterministic(batch: DataFrame, ids: Seq[String],
+      recency: Seq[String]): DataFrame = {
+    val order =
+      if (recency.nonEmpty) recency
+      else batch.columns.filterNot(ids.contains).toSeq
+    graft.pipeline.StageTransform
+      .dedupLatest(batch, ids, order, ids) // no-op when order is empty
+      .dropDuplicates(ids) // pure-key batch: duplicates are identical rows
   }
 
   /** Bootstrap an SCD-2 table from a plain batch: every row current as of

@@ -114,4 +114,46 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).as[(Long, Long)].collect().toSet ===
       grid.as[(Long, Long)].collect().toSet)
   }
+
+  test("z-order with 4 columns: no sign-bit wrap, every axis skips") {
+    import spark.implicits._
+    // 8^4 lattice; with a 16-bit grid the 4th column's top bit would land
+    // at position 63, so max-grid rows sort NEGATIVE and one range file
+    // gets both corners of the hypercube — the 15-bit cap keeps the curve
+    // unsigned-monotone and every file a compact rectangle on every axis
+    val grid = (for (a <- 0 until 8; b <- 0 until 8; c <- 0 until 8;
+                     d <- 0 until 8)
+      yield (a.toLong, b.toLong, c.toLong, d.toLong)).toDF("a", "b", "c", "d")
+    val dir = java.nio.file.Files.createTempDirectory("z4").toString + "/t"
+    Bucketing.writeZOrdered(grid, dir, Seq("a", "b", "c", "d"), files = 16)
+    for (cname <- Seq("a", "b", "c", "d")) {
+      val spans = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(cname), max(cname)).head()
+          r.getLong(1) - r.getLong(0)
+        }
+      // a wrapped file spans the whole 0..7 axis; compact blocks span <= 4
+      assert(spans.max <= 4, s"$cname spans: ${spans.toSeq}")
+    }
+    assert(spark.read.parquet(dir).as[(Long, Long, Long, Long)]
+      .collect().toSet === grid.as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
+  test("z-order survives empty input and all-null columns") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("znull").toString
+    // empty frame: bounds row is all null — must not NPE
+    Bucketing.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("x", "y"), s"$root/empty",
+      Seq("x", "y"), files = 4)
+    assert(spark.read.parquet(s"$root/empty").count() == 0)
+    // one clustered column entirely null: rows keep a defined curve position
+    val mixed = Seq((1L, None: Option[Long]), (2L, None), (3L, None))
+      .toDF("x", "y")
+    Bucketing.writeZOrdered(mixed, s"$root/nullcol", Seq("x", "y"), files = 2)
+    assert(spark.read.parquet(s"$root/nullcol")
+      .as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, None), (3L, None)))
+  }
 }

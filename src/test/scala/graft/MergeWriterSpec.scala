@@ -234,6 +234,30 @@ class MergeWriterSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("scd2: multi-row batch picks a deterministic winner") {
+    import spark.implicits._
+    val target = MergeWriter.scd2Bootstrap(
+      Seq((1L, "a", 1L)).toDF("id", "v", "seq"), "t0")
+    val batch = Seq((1L, "x", 5L), (1L, "y", 9L), (1L, "z", 2L))
+      .toDF("id", "v", "seq")
+    def currentV(df: org.apache.spark.sql.DataFrame): String =
+      df.filter(col("is_current")).select("v").as[String].head()
+    // recency: the latest batch row per key (seq=9) wins
+    val withRecency = MergeWriter.scd2Merge(target, batch, Seq("id"), "t1",
+      recency = Seq("seq"))
+    assert(currentV(withRecency) == "y")
+    // no recency: max over all data columns — (v, seq) desc — picks "z";
+    // crucially the SAME row every run, so a replayed batch is a no-op
+    val fallback = MergeWriter.scd2Merge(target, batch, Seq("id"), "t1")
+    assert(currentV(fallback) == "z")
+    val replay = MergeWriter.scd2Merge(fallback, batch, Seq("id"), "t2")
+      .select("id", "v", "seq", "valid_from", "valid_to", "is_current")
+      .collect().toSet
+    assert(replay === fallback
+      .select("id", "v", "seq", "valid_from", "valid_to", "is_current")
+      .collect().toSet)
+  }
+
   test("scd2: random batch sequence equals a driver-side reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)

@@ -137,7 +137,11 @@ class RelOpsSpec extends SparkSpec {
       val lo = rnd.nextInt(5000).toLong
       (i.toLong, lo, lo + rnd.nextInt(600).toLong)
     }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
-    val a = mk(80, "a")
+    // duplicate rows on the left: multiplicity must match the naive
+    // theta-join exactly (each duplicate keeps its own matches — the old
+    // full-row distinct() collapsed them)
+    val a0 = mk(80, "a")
+    val a = a0.union(a0.limit(5))
     val b = mk(80, "b")
     val naive = a.join(b,
       col("alo") <= col("bhi") && col("blo") <= col("ahi"))
@@ -145,8 +149,8 @@ class RelOpsSpec extends SparkSpec {
     val got = graft.ops.RangeJoin
       .intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", bucket = 300L)
       .select("aid", "bid")
-    assert(got.count() === naive.count()) // distinct() collapsed multi-bucket
-    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    assert(got.count() === naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
   test("prefix sum equals driver reference, invariant to input layout") {

@@ -126,6 +126,46 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", None, true)))
   }
 
+  test("scd2 sink: closed partitions are immutable across micro-batches") {
+    val src = Files.createTempDirectory("graft_s2immsrc").toString
+    val stage = Files.createTempDirectory("graft_s2immstage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_s2immckpt").toString
+    def fileNames(dir: String): Set[String] = {
+      val d = new java.io.File(dir)
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("id LONG, v STRING").parquet(src)
+    val q = StreamingIngest.scd2Sink(stream, stage, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      Seq((1L, "A")).toDF("id", "v").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // batch 1 closed (1,"a") into its own valid_to partition
+      val closed1 = s"$stage/scd_part=batch-000001"
+      val snapshot = fileNames(closed1)
+      assert(snapshot.nonEmpty, "expected a closed partition after batch 1")
+      Seq((2L, "B")).toDF("id", "v").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // batch 2 closed (2,"b") elsewhere; batch 1's closed files UNTOUCHED
+      // (same physical files — the whole-table rewrite would have replaced
+      // them with freshly named parts)
+      assert(fileNames(closed1) === snapshot)
+      assert(fileNames(s"$stage/scd_part=batch-000002").nonEmpty)
+    } finally q.stop()
+    val rows = spark.read.parquet(stage)
+      .select("id", "v", "valid_to", "is_current")
+      .as[(Long, String, Option[String], Boolean)].collect().toSet
+    assert(rows === Set(
+      (1L, "a", Some("batch-000001"), false),
+      (1L, "A", None, true),
+      (2L, "b", Some("batch-000002"), false),
+      (2L, "B", None, true)))
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}

@@ -5,11 +5,17 @@ columns by name + rows by value, and compare. Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, os, json, glob
-from concurrent.futures import ProcessPoolExecutor
+import multiprocessing as mp
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Conservative default; override for a bigger box. DuckDB treats this as a
+# buffer-manager budget, not an OS reservation, so keep it well under free
+# RAM — a 90GB budget on a machine also running a Spark JVM dies with
+# "Failed to allocate block" (system malloc) long before DuckDB's own limit.
+MEMORY_LIMIT = os.environ.get("ORACLE_MEMORY_LIMIT", "8GB")
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -18,7 +24,7 @@ def norm(df):
 
 def connect(sf_dir):
     con = duckdb.connect()
-    con.execute("SET memory_limit='90GB'")
+    con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
@@ -35,7 +41,7 @@ def run_query(sf_dir, pdir, sql):
         con.close()
 
 def check_one(task):
-    # Runs in a FRESH subprocess (max_tasks_per_child=1): duckdb's
+    # Runs in a FRESH subprocess (one Process per query): duckdb's
     # process-global allocator does not reliably return memory across
     # connections, so one 100M-pair oracle at a big SF otherwise leaves the
     # process unable to allocate for every later (tiny) query.
@@ -66,6 +72,10 @@ def check_one(task):
         lines.append(f"  want: {want.loc[i].to_dict()}")
     return (name, False, "\n".join(lines))
 
+def _child(q, task):
+    q.put(check_one(task))
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -74,12 +84,24 @@ def main():
              for name, sql in sorted(oracles.items())
              if not only or name in only]
     n_pass = n_fail = 0
-    with ProcessPoolExecutor(max_workers=1, max_tasks_per_child=1) as ex:
-        for name, ok, msg in ex.map(check_one, tasks):
-            if ok:
-                print(f"PASS {name} {msg}"); n_pass += 1
-            else:
-                print(f"FAIL {name}: {msg}"); n_fail += 1
+    # One FRESH process per query (see check_one). Plain multiprocessing
+    # instead of ProcessPoolExecutor(max_tasks_per_child=1): that kwarg is
+    # Python >= 3.11 only, and a spawned-per-task Process gives the same
+    # isolation on any interpreter.
+    ctx = mp.get_context("spawn")
+    for task in tasks:
+        q = ctx.Queue()
+        p = ctx.Process(target=_child, args=(q, task))
+        p.start()
+        p.join()
+        if p.exitcode == 0 and not q.empty():
+            name, ok, msg = q.get()
+        else:
+            name, ok, msg = task[2], False, f"subprocess died rc={p.exitcode}"
+        if ok:
+            print(f"PASS {name} {msg}"); n_pass += 1
+        else:
+            print(f"FAIL {name}: {msg}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
