@@ -1370,12 +1370,16 @@ object QueryCatalog {
   /** Shared SQL: distinct (doc_id, shingle) posting list, n-word shingles.
     * `where` filters the source rows; CTE names are parameterized so two
     * posting lists (corpus + benchmark) can coexist in one oracle. */
+  // MATERIALIZED: the shingle set is referenced by several downstream CTEs
+  // (signatures, sizes, intersections) — an inlining planner re-tokenizes
+  // the whole corpus per reference, which is the multi-GB / tens-of-seconds
+  // pattern that starved the round-3 oracle runner (see kmeansCtes note).
   private def shingleSqlFor(n: Int, where: String, docsCte: String,
       shCte: String): String = {
     val joinExpr = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
-    s"""$docsCte AS (SELECT doc_id, ${tokensSql()} AS toks
+    s"""$docsCte AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS toks
         FROM documents $where),
-      $shCte AS (SELECT DISTINCT doc_id, sg FROM $docsCte, UNNEST(
+      $shCte AS MATERIALIZED (SELECT DISTINCT doc_id, sg FROM $docsCte, UNNEST(
         CASE WHEN len(toks) >= $n
              THEN list_transform(range(1, len(toks) - ${n - 2}),
                     i -> $joinExpr)
@@ -1447,7 +1451,7 @@ object QueryCatalog {
           .select("doc_id", "lang", "source")
       },
       Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
                   UNION SELECT doc2, doc1 FROM mh_pairs),
         reach(id, r) AS (
           SELECT DISTINCT a, a FROM edges
@@ -1483,8 +1487,8 @@ object QueryCatalog {
         t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.40, tables = 8, planes = 6, dims = 64),
       Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS (
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
           FROM buckets x JOIN buckets y
             ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
@@ -1504,17 +1508,19 @@ object QueryCatalog {
           tables = 8, planes = 6, dims = 64),
         aCol = "id1", bCol = "id2"),
       Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS (
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
           FROM buckets x JOIN buckets y
             ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        pairs AS (SELECT id1, id2 FROM (
+        pairs AS MATERIALIZED (SELECT id1, id2 FROM (
             SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
             FROM cand JOIN c a ON a.vec_id = cand.id1
                       JOIN c b ON b.vec_id = cand.id2)
           WHERE cosine >= 0.40),
-        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        -- edges feeds every recursion round: MATERIALIZED or the whole LSH
+        -- replay above re-runs per round (34 s / 3 GB at sf0.01 inlined)
+        edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
                   UNION SELECT id2, id1 FROM pairs),
         reach(id, r) AS (
           SELECT DISTINCT a, a FROM edges
@@ -1549,22 +1555,22 @@ object QueryCatalog {
       s"SELECT doc_id, $b AS band, md5($key) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""${shingleSql(n)},
-      seeds AS (SELECT doc_id, sg,
+      seeds AS MATERIALIZED (SELECT doc_id, sg,
           CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
           CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
         FROM sh),
-      sigs AS (SELECT doc_id, $sigExprs FROM seeds GROUP BY doc_id),
-      bandkeys AS ($bandRows),
-      cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+      sigs AS MATERIALIZED (SELECT doc_id, $sigExprs FROM seeds GROUP BY doc_id),
+      bandkeys AS MATERIALIZED ($bandRows),
+      cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
                FROM bandkeys x JOIN bandkeys y
                  ON x.band = y.band AND x.band_key = y.band_key
                 AND x.doc_id < y.doc_id),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      inter AS (SELECT doc1, doc2, count(*) AS intersection
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      inter AS MATERIALIZED (SELECT doc1, doc2, count(*) AS intersection
                 FROM cand JOIN sh sa ON sa.doc_id = doc1
                           JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
                 GROUP BY 1, 2),
-      mh_pairs AS (
+      mh_pairs AS MATERIALIZED (
         SELECT doc1, doc2,
           CAST(intersection AS DOUBLE) /
             CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
@@ -1584,7 +1590,7 @@ object QueryCatalog {
   private def clustersOracleSql(n: Int, k: Int, bands: Int,
       threshold: Double): String =
     s"""WITH RECURSIVE ${minhashPairsCtes(n, k, bands, threshold)},
-      edges AS (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+      edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
                 UNION SELECT doc2, doc1 FROM mh_pairs),
       reach(id, r) AS (
         SELECT DISTINCT a, a FROM edges
@@ -1629,22 +1635,22 @@ object QueryCatalog {
     * expression's accumulation order bit-for-bit). Shared by the ANN top-k
     * and ANN near-dup oracles. */
   private def lshBucketsCtes(tables: Int, planes: Int, dims: Int = 64): String =
-    s"""w AS (
+    s"""w AS MATERIALIZED (
           SELECT t.t, p.p, d.d,
             CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
                 ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
               1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
           FROM range(0, $tables) t(t), range(0, $planes) p(p),
                range(0, $dims) d(d)),
-        prods AS (
+        prods AS MATERIALIZED (
           SELECT v.vec_id, w.t, w.p, w.d,
             CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
           FROM embeddings v CROSS JOIN w),
-        sigacc AS (
+        sigacc AS MATERIALIZED (
           SELECT vec_id, t, p,
             list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
           FROM prods GROUP BY vec_id, t, p),
-        buckets AS (
+        buckets AS MATERIALIZED (
           SELECT vec_id, t,
             CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
                      ELSE 0 END) AS BIGINT) AS b

@@ -197,7 +197,27 @@ object MergeWriter {
   /** Atomic-ish local swap write: write to `<path>.__tmp`, then replace
     * `path`. (On a real cluster this is a cloud-storage rename / Delta
     * transaction; the shape — never read and overwrite the same files in one
-    * job — is the part that matters.) */
+    * job — is the part that matters.)
+    *
+    * Concurrent-reader design note (what a cloud deployment changes, and
+    * nothing else): the delete-then-move window below means a reader that
+    * lists `path` mid-swap sees a missing or half-populated directory, and
+    * a long-running reader can have files deleted under its footer cache.
+    * The production fix is a COMMIT PROTOCOL, not a smarter rename — any of:
+    *  - a table format (Delta/Iceberg/Hudi): writers commit a new snapshot
+    *    (manifest of immutable files) and readers pin the snapshot they
+    *    started with — swap becomes a metadata pointer flip, old files are
+    *    vacuumed after a retention window;
+    *  - a manifest file: write data files under unique names, then
+    *    atomically replace ONE small `_manifest.json` listing the live
+    *    files; readers list via the manifest, never the directory;
+    *  - versioned directories: write `path/v=N+1/`, flip a `_latest`
+    *    pointer, garbage-collect old versions asynchronously.
+    * All three keep this writer's invariant (never read and rewrite the
+    * same files in one job) and its pruned-merge contract unchanged —
+    * [[prunedMergeWrite]]'s per-partition swap maps 1:1 onto a per-partition
+    * snapshot commit. The local-FS rename here is the harness-appropriate
+    * stand-in for that pointer flip. */
   def writeSwap(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long = {
     val tmp = path + ".__tmp"
     val writer = df.write.mode(SaveMode.Overwrite)
