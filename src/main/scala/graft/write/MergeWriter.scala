@@ -102,9 +102,13 @@ object MergeWriter {
     * differing current row is CLOSED (valid_to = `versionTs`, not current)
     * and the batch row inserted as the new current version; identical rows
     * are untouched; unseen keys insert as new current rows. History rows
-    * pass through untouched. One full-outer-shaped pass: current rows
-    * left-join the (key-deduplicated) batch, the batch anti-joins current —
-    * the same join-on-ids shuffle as [[upsert]], history carried by union.
+    * pass through untouched. ONE full-outer join on the ids produces every
+    * outcome: each joined row explodes to its closed and/or opened and/or
+    * kept versions (0-2 output rows via an array + explode, all computed in
+    * the same projection) — a single join shuffle per batch, and the
+    * (key-deduplicated) batch is scanned once, where a left-join +
+    * anti-join formulation re-computes the batch dedup per reference.
+    * History is carried by union.
     * `versionTs` is an explicit caller-provided version label (a date
     * string), not wall clock — runs replay deterministically.
     *
@@ -132,33 +136,34 @@ object MergeWriter {
     val cur = target.filter(col("is_current"))
     val hist = target.filter(!col("is_current"))
 
+    val hasC = col(s"c.${ids.head}").isNotNull
+    val hasB = col(s"b.${ids.head}").isNotNull
     val differs = compareCols.map(c =>
         not(col(s"c.$c") <=> col(s"b.$c"))).reduceOption(_ || _)
       .getOrElse(lit(false))
-    val joined = cur.as("c").join(b.as("b"),
-        ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
-        "left_outer")
-      .withColumn("__changed",
-        col(s"b.${ids.head}").isNotNull && differs)
-    val closed = joined.filter(col("__changed"))
-      .select(dataCols.map(c => col(s"c.$c")) :+ col("c.valid_from"): _*)
-      .withColumn("valid_to", lit(versionTs))
-      .withColumn("is_current", lit(false))
-    val keptCur = joined.filter(!col("__changed"))
-      .select(target.columns.map(c => col(s"c.$c")).toSeq: _*)
-    val newRows = b.as("b")
-      .join(cur.as("c"),
-        ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
-        "left_outer")
-      .filter(col(s"c.${ids.head}").isNull || differs)
-      .select(dataCols.map(c => col(s"b.$c")): _*)
-      .withColumn("valid_from", lit(versionTs))
-      .withColumn("valid_to", lit(null).cast("string"))
-      .withColumn("is_current", lit(true))
     val order = target.columns.toSeq
-    Seq(hist, closed, keptCur, newRows)
-      .map(_.select(order.map(col): _*))
-      .reduce(_ union _)
+    // the three possible versions of a joined key, as same-shaped structs
+    def mk(data: String => Column, vf: Column, vt: Column, ic: Column) = {
+      val byName = (dataCols.map(c => c -> data(c)) ++ Seq(
+        "valid_from" -> vf, "valid_to" -> vt, "is_current" -> ic)).toMap
+      struct(order.map(c => byName(c).as(c)): _*)
+    }
+    val changed = hasC && hasB && differs
+    val closedS = when(changed,
+      mk(c => col(s"c.$c"), col("c.valid_from"), lit(versionTs), lit(false)))
+    val keptS = when(hasC && !changed,
+      mk(c => col(s"c.$c"), col("c.valid_from"), col("c.valid_to"),
+        col("c.is_current")))
+    val newS = when(hasB && (!hasC || differs),
+      mk(c => col(s"b.$c"), lit(versionTs), lit(null).cast("string"),
+        lit(true)))
+    val merged = cur.as("c").join(b.as("b"),
+        ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
+        "full_outer")
+      .select(explode(filter(array(closedS, keptS, newS),
+        r => r.isNotNull)).as("r"))
+      .select(order.map(c => col(s"r.$c").as(c)): _*)
+    hist.select(order.map(col): _*).union(merged)
   }
 
   /** Deterministic key-dedup shared by [[scd2Merge]] and the scd2Sink
@@ -170,9 +175,12 @@ object MergeWriter {
     val order =
       if (recency.nonEmpty) recency
       else batch.columns.filterNot(ids.contains).toSeq
-    graft.pipeline.StageTransform
-      .dedupLatest(batch, ids, order, ids) // no-op when order is empty
-      .dropDuplicates(ids) // pure-key batch: duplicates are identical rows
+    // exactly ONE dedup shuffle either way: the window already leaves one
+    // row per key when there is an ordering; only a pure-key batch (where
+    // duplicates are identical rows) falls back to dropDuplicates
+    if (order.nonEmpty)
+      graft.pipeline.StageTransform.dedupLatest(batch, ids, order, ids)
+    else batch.dropDuplicates(ids)
   }
 
   /** Bootstrap an SCD-2 table from a plain batch: every row current as of
