@@ -151,7 +151,10 @@ object StreamingIngest {
               .scd2Merge(tgt.drop("scd_part"), b.drop("scd_part"),
                 ids, versionOf(batchId), recency)
               .withColumn("scd_part", part))
-        } else {
+        } else if (!batch.isEmpty) {
+          // an EMPTY first micro-batch must not bootstrap: it would write a
+          // _SUCCESS with zero parquet files, tableExists would then route
+          // every later batch into a schema-less read of the empty table
           val boot = graft.write.MergeWriter
             .scd2Bootstrap(graft.write.MergeWriter
                 .dedupDeterministic(batch, ids, recency), versionOf(batchId))

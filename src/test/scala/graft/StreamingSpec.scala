@@ -126,6 +126,30 @@ class StreamingSpec extends SparkSpec {
       (3L, "c", None, true)))
   }
 
+  test("scd2 sink: empty first micro-batch does not poison the table") {
+    val src = Files.createTempDirectory("graft_s2esrc").toString
+    val stage = Files.createTempDirectory("graft_s2estage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_s2eckpt").toString
+    // batch 0 filters to zero rows: nothing must be bootstrapped (a
+    // _SUCCESS-only table would break every later batch's schema read)
+    Seq((-1L, "drop")).toDF("id", "v").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("id LONG, v STRING").parquet(src)
+      .filter(col("id") >= 0)
+    val q = StreamingIngest.scd2Sink(stream, stage, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      assert(!graft.write.MergeWriter.tableExists(stage))
+      Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((1L, "b")).toDF("id", "v").write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(stage)
+      .select("id", "v", "is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(rows === Set((1L, "a", false), (1L, "b", true)))
+  }
+
   test("scd2 sink: closed partitions are immutable across micro-batches") {
     val src = Files.createTempDirectory("graft_s2immsrc").toString
     val stage = Files.createTempDirectory("graft_s2immstage").toString + "/t"
