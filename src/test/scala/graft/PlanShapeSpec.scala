@@ -59,4 +59,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = assigned.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
+
+  test("scd2 merge plans exactly ONE join and ONE batch-dedup window") {
+    // the merge is a single full-outer join whose rows explode to their
+    // closed/kept/opened versions; a regression to the join + anti-join
+    // formulation shows as a second Join and re-computed dedup Windows
+    val p = plan("q_merge_scd2")
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 1, s"expected 1 join, got $joins:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows <= 1, s"expected <= 1 dedup window, got $windows:\n$p")
+  }
 }
