@@ -1908,6 +1908,26 @@ object QueryCatalog {
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
         FROM documents""")),
 
+    // Snapshot-committed table round trip: two commits + a vacuum, read
+    // through the pointer — the commit protocol (atomic pointer flip,
+    // immutable versions, retention) exercised end-to-end; the oracle is
+    // the second commit's content
+    ("q_snapshot_roundtrip",
+      (s: SparkSession, d: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_snap").toString + "/orders"
+        val src = t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_custkey")
+        graft.write.SnapshotStore.commit(
+          src.filter(col("o_orderkey") % 2 === 0), root)
+        graft.write.SnapshotStore.commit(src, root,
+          partitionCols = Seq("o_orderstatus"))
+        graft.write.SnapshotStore.vacuum(root, keep = 1)
+        graft.write.SnapshotStore.read(s, root)
+          .select("o_orderkey", "o_orderstatus", "o_custkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus, o_custkey FROM orders")),
+
     // JSONL round trip (write -> declared-schema read): lossless through
     // JSON string escaping — verified via md5 over the full text body
     ("q_src_jsonl",

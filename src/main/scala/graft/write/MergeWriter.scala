@@ -225,7 +225,10 @@ object MergeWriter {
     * same files in one job) and its pruned-merge contract unchanged —
     * [[prunedMergeWrite]]'s per-partition swap maps 1:1 onto a per-partition
     * snapshot commit. The local-FS rename here is the harness-appropriate
-    * stand-in for that pointer flip. */
+    * stand-in for that pointer flip; [[SnapshotStore]] implements the
+    * versioned-directory variant in full (atomic pointer flip, reader
+    * isolation, optimistic writer claims, vacuum) for tables that need
+    * concurrent readers. */
   def writeSwap(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Long = {
     val tmp = path + ".__tmp"
     val writer = df.write.mode(SaveMode.Overwrite)
