@@ -364,9 +364,19 @@ object MergeWriter {
     * (aje-stage-dms-load.py:520-522) are Delta bookkeeping with no parquet
     * analog; the part that matters at scale is SMALL-FILE COMPACTION: a
     * merge-heavy table accretes one file set per batch and scan task counts
-    * balloon. Rewrites the table into `target` files. */
-  def compact(spark: SparkSession, path: String, target: Int = 1): Long =
-    writeSwap(spark.read.parquet(path).repartition(target), path)
+    * balloon. Rewrites the table into `target` files. With `partitionCols`
+    * the directory layout is PRESERVED (clustered on the partition columns
+    * so each directory compacts to ~one file) — omitting them on a
+    * partitioned table would silently flatten it and every downstream
+    * partition-pruned scan and pruned merge would stop pruning. */
+  def compact(spark: SparkSession, path: String, target: Int = 1,
+      partitionCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(path)
+    if (partitionCols.isEmpty) writeSwap(df.repartition(target), path)
+    else writeSwap(
+      df.repartition(target, partitionCols.map(col): _*),
+      path, partitionCols)
+  }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {

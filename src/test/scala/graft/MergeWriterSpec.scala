@@ -234,6 +234,31 @@ class MergeWriterSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("compact preserves a partitioned layout and reduces files") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pcompact").toString + "/t"
+    val rows = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "F" else "O"))
+      .toDF("id", "status")
+    // simulate merge accretion: several multi-file writes per partition
+    rows.repartition(8).write.partitionBy("status").mode("overwrite").parquet(path)
+    def files(sub: String) = {
+      val d = new java.io.File(s"$path/$sub")
+      if (d.isDirectory) d.listFiles().count(_.getName.endsWith(".parquet"))
+      else 0
+    }
+    assert(files("status=F") > 1 && files("status=O") > 1)
+    MergeWriter.compact(spark, path, target = 4,
+      partitionCols = Seq("status"))
+    // layout survives, each partition collapses to one file, data intact
+    assert(files("status=F") == 1 && files("status=O") == 1)
+    assert(spark.read.parquet(path).as[(Long, String)].collect().toSet ===
+      rows.as[(Long, String)].collect().toSet)
+    val pruned = spark.read.parquet(path).filter(col("status") === "F")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("scd2: multi-row batch picks a deterministic winner") {
     import spark.implicits._
     val target = MergeWriter.scd2Bootstrap(
