@@ -2176,7 +2176,31 @@ object QueryCatalog {
       Some(s"""SELECT doc_id, source FROM documents
         WHERE ${hashScoreSql("doc_id")} <
           CASE WHEN source = 'src1' THEN 0.5
-               WHEN source = 'src0' THEN 0.9 ELSE 0.1 END""")))
+               WHEN source = 'src0' THEN 0.9 ELSE 0.1 END""")),
+
+    // TOKEN-budgeted mixture: per-source token budgets walked in hash
+    // order (the "N tokens of web, M of code" knob — mixtureSample can only
+    // hit an EXPECTED share). Running totals via the grouped two-pass
+    // prefix scan, not a per-group window; budgets truncate src0 midway,
+    // keep src1 whole, cut the remaining 18 sources early.
+    ("q_sample_tokenbudget",
+      (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents").select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Sampling.tokenBudgetSample(tc, "doc_id", "source", "n_tokens",
+          Map("src0" -> 800L, "src1" -> 10000L), defaultBudget = 300L)
+      },
+      Some(s"""WITH tc AS (SELECT doc_id, source,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
+            ${hashScoreSql("doc_id")} AS h FROM documents),
+        o AS (SELECT doc_id, source, n_tokens,
+            COALESCE(sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM tc)
+        SELECT doc_id, source, n_tokens FROM o
+        WHERE off < CASE WHEN source = 'src0' THEN 800
+                         WHEN source = 'src1' THEN 10000 ELSE 300 END""")))
 
   // ================================================== composed cleaning
 

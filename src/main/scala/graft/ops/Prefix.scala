@@ -62,4 +62,59 @@ object Prefix {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
+
+  /** Per-GROUP exclusive prefix sum: `offset` = sum of `valueCol` over rows
+    * of the same `groupCol` value that sort earlier on `orderCols`. The
+    * same two-pass scan as [[runningOffsets]], range-partitioned on
+    * (group, order...): a group's rows are contiguous across the range
+    * layout, the driver prefix runs per (group, partition) — `numPartitions
+    * x |groups|` longs, so the group column must be LOW-CARDINALITY (a
+    * source/domain/language tag, not a document id; a per-key running total
+    * over high-cardinality keys is a plain window, which Spark already
+    * parallelizes by key). Unlike `Window.partitionBy(group)`, no single
+    * task ever processes a whole group — the fix for exactly the hot-group
+    * skew a domain-mixture pipeline hits (one `web` domain holding 90% of
+    * the corpus). (`orderCols` must be unique WITHIN a group.) */
+  def runningOffsetsBy(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val rangeCols = (groupCol +: orderCols).map(col)
+    val ranged = df
+      .withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
+      .repartitionByRange(parts, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val localSums = ranged.groupBy("__pid", groupCol)
+      .agg(sum("__v").as("s")).collect()
+      .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
+    // driver prefix per group across the range-ordered partition ids
+    val pids = localSums.keys.map(_._1).toSeq.distinct.sorted
+    val groups = localSums.keys.map(_._2).toSeq.distinct
+    val baseOf: Map[(Int, Any), Long] = groups.flatMap { g =>
+      var acc = 0L
+      pids.map { p =>
+        val base = (p, g) -> acc
+        acc += localSums.getOrElse((p, g), 0L)
+        base
+      }
+    }.toMap
+    val inSchema = ranged.schema
+    val vIdx = inSchema.fieldIndex("__v")
+    val pIdx = inSchema.fieldIndex("__pid")
+    val gIdx = inSchema.fieldIndex(groupCol)
+    val keepIdx = df.schema.fieldNames.map(inSchema.fieldIndex).toSeq
+    val outSchema = df.schema.add("offset", LongType, nullable = false)
+    ranged.mapPartitions { it =>
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.map { r =>
+        val g = r.get(gIdx)
+        val off = running.getOrElseUpdate(g, baseOf((r.getInt(pIdx), g)))
+        val out = Row.fromSeq(keepIdx.map(r.get) :+ off)
+        running(g) = off + r.getLong(vIdx)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -64,4 +64,35 @@ object Sampling {
       .filter(col("__graft_rank") <= quota)
       .drop("__graft_rank")
   }
+
+  /** TOKEN-budgeted mixture: walk each group (source/domain/language) in
+    * deterministic hash order and keep documents while the group's running
+    * token total is below its budget — the "N billion tokens of web, M of
+    * code" knob of corpus assembly, where [[mixtureSample]]'s per-row rates
+    * can only target an EXPECTED token share. A document is kept iff the
+    * tokens before it fit the budget (`offset < budget`), so the crossing
+    * document is included and every group with a positive budget and any
+    * data contributes at least one document. Keys absent from
+    * `budgetByKey` take `defaultBudget` (0 = drop).
+    *
+    * Scale shape: the running totals come from [[Prefix.runningOffsetsBy]]
+    * — a grouped two-pass range scan — NOT `Window.partitionBy(group)`,
+    * which would drag each group through one task exactly when one domain
+    * holds 90% of the corpus. Deterministic like everything here: hash
+    * order is a pure function of ids, so the sample is partitioning-,
+    * retry- and engine-stable (the oracle replays it). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, keyCol: String,
+      tokensCol: String, budgetByKey: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require((budgetByKey.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be non-negative")
+    val scored = df.withColumn("__h", hashScore(col(idCol)))
+    val withOff = graft.ops.Prefix.runningOffsetsBy(
+      scored, keyCol, Seq("__h", idCol), tokensCol)
+    val budget = budgetByKey.foldLeft(lit(defaultBudget)) {
+      case (alt, (k, b)) => when(col(keyCol) === k, lit(b)).otherwise(alt)
+    }
+    withOff.filter(col("offset") < budget)
+      .drop("__h", "offset")
+  }
 }

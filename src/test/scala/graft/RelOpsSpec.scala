@@ -171,6 +171,52 @@ class RelOpsSpec extends SparkSpec {
     }
   }
 
+  test("grouped prefix sum equals driver reference, invariant to layout") {
+    val rnd = new scala.util.Random(23)
+    val rows = rnd.shuffle((0 until 900).toList)
+      .map(i => (i.toLong, s"g${i % 5}", rnd.nextInt(50).toLong))
+    // driver reference: exclusive prefix within each group, id order
+    val expected = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      var a = 0L
+      grp.sortBy(_._1).map { case (id, _, v) =>
+        val r = id -> a; a += v; r }
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("id", "g", "v").repartition(parts)
+      val got = graft.ops.Prefix.runningOffsetsBy(df, "g", Seq("id"), "v")
+        .select("id", "offset").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"input partitions=$parts")
+    }
+  }
+
+  test("token-budget sample: greedy hash-order walk per group") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"s${i % 3}", 10L + i % 7)).toDF("id", "src", "toks")
+    val budgets = Map("s0" -> 120L, "s1" -> 100000L) // s2 -> default 0
+    val got = graft.ops.Sampling.tokenBudgetSample(
+        docs, "id", "src", "toks", budgets, defaultBudget = 0L)
+      .as[(Long, String, Long)].collect()
+    // driver reference: same hash order, same greedy rule
+    def score(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val top = h.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      top.toDouble / 4294967296.0
+    }
+    val expected = docs.as[(Long, String, Long)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (src, grp) =>
+        val budget = budgets.getOrElse(src, 0L)
+        var acc = 0L
+        grp.sortBy(r => (score(r._1), r._1)).filter { r =>
+          val keep = acc < budget; acc += r._3; keep }.toSeq
+      }.toSet
+    assert(got.toSet === expected)
+    // whole of s1 kept, s2 absent, s0 truncated
+    assert(got.count(_._2 == "s1") == 67)
+    assert(!got.exists(_._2 == "s2"))
+    assert(got.count(_._2 == "s0") < 67 && got.exists(_._2 == "s0"))
+  }
+
   test("semanticDedup keeps the smallest id of each duplicate group") {
     // 8 distinct directions, each duplicated 3x with ascending ids;
     // identical vectors always share a cluster, so exactly the smallest id
