@@ -80,6 +80,33 @@ object StreamingIngest {
   }
 
   /**
+   * Watermarked STREAM-STREAM inner join: left rows match right rows with
+   * the same `key` whose event time falls in `[leftTs - before,
+   * leftTs + after]`. The two things that keep join state BOUNDED on an
+   * unbounded stream — and that a naive `left.join(right, key)` lacks —
+   * are both mandatory here: watermarks on BOTH sides (how late a row may
+   * arrive) and the time-range join condition (how long a buffered row can
+   * still find partners). Together they let the engine evict a buffered
+   * row once the other side's watermark passes its window; without either,
+   * state grows with every row ever seen and a long-running job dies by
+   * state-store. Output columns: all left columns + the right side's
+   * non-key columns.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String, after: String,
+      delay: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct column names (both survive the join)")
+    val l = left.withWatermark(leftTs, delay).alias("l")
+    val r = right.withWatermark(rightTs, delay).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after"))
+      .drop(col(s"r.$key"))
+  }
+
+  /**
    * CDC-style continuous merge: every micro-batch upserts into the stage
    * table through `MergeWriter.write` — the streaming form of the
    * reference's scheduled increment-then-MERGE cycle

@@ -27,6 +27,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join agrees with the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val lmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamingIngest.intervalJoin(
+      lmem.toDF().toDF("k", "lts", "x"),
+      rmem.toDF().toDF("k", "rts", "tag"),
+      key = "k", leftTs = "lts", rightTs = "rts",
+      before = "10 minutes", after = "5 minutes", delay = "30 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin").start()
+    try {
+      // batch 1: in-window and out-of-window partners
+      lmem.addData((1L, ts(100), 1.0), (2L, ts(200), 2.0))
+      rmem.addData((1L, ts(95), "in"), (1L, ts(80), "too_old"),
+        (2L, ts(204), "in2"))
+      q.processAllAvailable()
+      // batch 2: an out-of-order right row joins a still-buffered left row.
+      // It must land INSIDE the eviction horizon: after batch 1 the right
+      // watermark is 204-30m = 174, so the left@100 row (horizon 105) is
+      // already evicted — only left@200 can still gain partners. That
+      // eviction is the bounded-state guarantee, not data loss.
+      rmem.addData((2L, ts(198), "late_in"), (3L, ts(100), "wrong_key"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin").select("k", "x", "tag")
+      .as[(Long, Double, String)].collect().toSet
+    // the batch join over the same data, same predicate
+    val lb = Seq((1L, ts(100), 1.0), (2L, ts(200), 2.0)).toDF("k", "lts", "x")
+    val rb = Seq((1L, ts(95), "in"), (1L, ts(80), "too_old"),
+      (2L, ts(204), "in2"), (2L, ts(198), "late_in"),
+      (3L, ts(100), "wrong_key")).toDF("k", "rts", "tag")
+    val want = lb.as("l").join(rb.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.rts") >= col("l.lts") - expr("INTERVAL 10 minutes") &&
+          col("r.rts") <= col("l.lts") + expr("INTERVAL 5 minutes"))
+      .select(col("l.k"), col("x"), col("tag"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, 1.0, "in"), (2L, 2.0, "late_in"),
+      (2L, 2.0, "in2")))
+  }
+
   test("streaming dedup keeps one row per key within the watermark horizon") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     // duplicate every user_id: base rows + clones with different event_ids
