@@ -1428,6 +1428,27 @@ object QueryCatalog {
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // INCREMENTAL dedup: docs with doc_id % 10 = 0 arrive as today's batch
+    // against the persisted index of the rest — emits exactly the corpus-
+    // wide pairs that touch the batch (new-vs-corpus + new-vs-new), which
+    // is what the oracle replays: full-corpus minhash pairs filtered to a
+    // new side. Daily cost is O(increment x collisions), never O(corpus^2).
+    ("q_dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val corpusIdx = Dedup.minhashIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          n = 5, k = 12)
+        val newIdx = Dedup.minhashIndex(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          n = 5, k = 12)
+        Dedup.incrementalNearDups(corpusIdx, newIdx,
+          k = 12, bands = 4, threshold = 0.7)
+      },
+      Some(s"""WITH ${minhashPairsCtes(5, 12, 4, 0.7)}
+        SELECT doc1, doc2, jaccard FROM mh_pairs
+        WHERE doc1 % 10 = 0 OR doc2 % 10 = 0""")),
+
     ("q_dedup_clusters",
       (s: SparkSession, d: String) => Dedup.components(
         Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",

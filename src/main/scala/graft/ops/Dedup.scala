@@ -311,6 +311,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The per-document DEDUP INDEX a continuously-ingested corpus persists:
+    * (doc_id, sh_set, n_sh, sig_0..sig_{k-1}) — hashed shingle set + true
+    * size + MinHash signature, one row per document. Write it to the lake
+    * alongside the corpus; each increment builds the same index over its
+    * own documents ([[incrementalNearDups]] consumes both), then appends
+    * its rows. Shingles are hashed to 60-bit longs (8 bytes each, see
+    * [[shingleHash]]), so index size is ~8·|shingles| + 8k bytes per doc. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, maxShingles: Int = 0): DataFrame = {
+    val sh = materialized(shingleTable(df, idCol, textCol, n))
+    docShingleSets(sh, maxShingles)
+      .join(signaturesFromShingles(sh, k), "doc_id")
+  }
+
+  /** INCREMENTAL near-dup detection: pairs touching the new batch only —
+    * new-vs-corpus plus new-vs-new — against a persisted [[minhashIndex]].
+    * The invariant that keeps continuous ingestion tractable: corpus-vs-
+    * corpus pairs were emitted when those documents were themselves new, so
+    * a daily increment costs O(increment x band collisions), never a
+    * corpus-wide re-pairing — the full 100 TB corpus is touched only
+    * through an equi-join on band keys (and the corpus index is scanned,
+    * not re-shingled). Returns (doc1 < doc2, jaccard >= threshold), the
+    * same contract as [[minhashNearDups]]; in fact it equals
+    * `minhashNearDups(corpus ∪ new)` filtered to pairs with a new side
+    * (asserted in the spec, replayed by the oracle). Both indexes must
+    * share (n, k, maxShingles) and have globally unique ids. */
+  def incrementalNearDups(corpusIndex: DataFrame, newIndex: DataFrame,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val newIdx = materialized(newIndex)
+    val bn = materialized(minhashBands(newIdx, k, bands))
+    val bo = minhashBands(corpusIndex, k, bands)
+    // ids are disjoint across the two indexes, so new-vs-corpus needs no
+    // inequality; new-vs-new orders inside the join as usual
+    val newOld = bn.as("x").join(bo.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc2"))
+    val newNew = bn.as("x").join(bn.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+    val cand = newOld.union(newNew).distinct()
+    val sets = corpusIndex.select("doc_id", "sh_set", "n_sh")
+      .union(newIdx.select("doc_id", "sh_set", "n_sh"))
+    cand
+      .join(sets.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(sets.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("z1.sh_set"), col("z2.sh_set")))
+          .cast("long").as("intersection"),
+        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"))
+      .select(col("doc1"), col("doc2"),
+        (col("intersection").cast("double") /
+          (col("n1") + col("n2") - col("intersection")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   val SimhashBits = 60 // 15 md5 hex chars — sign-safe in a BIGINT everywhere

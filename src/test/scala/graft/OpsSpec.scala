@@ -124,6 +124,26 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} pairs")
   }
 
+  test("incremental dedup equals the full-corpus pairs touching the batch") {
+    val isNew = (id: Long) => id % 7 == 0
+    val corpusIdx = Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", n = 5, k = 12)
+    val newIdx = Dedup.minhashIndex(docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 5, k = 12)
+    val got = Dedup.incrementalNearDups(corpusIdx, newIdx,
+        k = 12, bands = 4, threshold = 0.8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    // the invariant: full-corpus LSH pairs filtered to a new side
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text",
+        n = 5, k = 12, bands = 4, threshold = 0.8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val want = full.filter(p => isNew(p._1) || isNew(p._2))
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should produce at least one delta pair")
+    // nothing corpus-vs-corpus leaks in
+    assert(!got.exists(p => !isNew(p._1) && !isNew(p._2)))
+  }
+
   test("simhash aggregate: majority rule, ties drop the bit, SQL-callable") {
     // hashes 5 (0b101) and 7 (0b111): bit0 2-0 set, bit1 1-1 TIE -> unset,
     // bit2 2-0 set => 0b101
