@@ -1519,6 +1519,34 @@ object QueryCatalog {
                     JOIN c b ON b.vec_id = cand.id2)
         SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")),
 
+    // INCREMENTAL embedding dedup: vec_id % 10 = 0 arrives as today's
+    // batch against the persisted bucket index of the rest — the
+    // embedding-side twin of q_dedup_incremental (same invariant: the
+    // oracle is the full-corpus bucket replay filtered to a new side)
+    ("q_emb_incremental",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val corpusIdx = Similarity.annIndex(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          tables = 8, planes = 6, dims = 64)
+        val newIdx = Similarity.annIndex(
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          tables = 8, planes = 6, dims = 64)
+        Similarity.incrementalAnnPairs(corpusIdx, newIdx, threshold = 0.40)
+      },
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        scored AS (
+          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2)
+        SELECT id1, id2, cosine FROM scored
+        WHERE cosine >= 0.40 AND (id1 % 10 = 0 OR id2 % 10 = 0)""")),
+
     // end-to-end embedding dedup: ANN bucket pairs -> connected components
     // -> per-vector canonical component id (the embedding-space analog of
     // q_dedup_clusters; same recursive-CTE oracle over the replayed pairs)

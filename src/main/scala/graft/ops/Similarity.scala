@@ -247,6 +247,51 @@ object Similarity {
       .distinct()
   }
 
+  /** The persisted EMBEDDING DEDUP INDEX: (id, v, n2, t, b) — quantized
+    * vector, squared norm, and one row per LSH table with its bucket key.
+    * Write it to the lake alongside the corpus; each increment builds the
+    * same index over its own vectors and [[incrementalAnnPairs]] joins the
+    * two — the embedding-side twin of `Dedup.minhashIndex`. */
+  def annIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, planes: Int = 6, dims: Int = 64): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dims).as("b")))
+    corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"),
+        explode(array(buckets: _*)).as("bucket"))
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .select(col("id"), col("v"), col("n2"),
+        col("bucket.t").as("t"), col("bucket.b").as("b"))
+  }
+
+  /** Incremental embedding near-dup: pairs touching the new batch only —
+    * new-vs-corpus plus new-vs-new — against a persisted [[annIndex]].
+    * Same invariant as `Dedup.incrementalNearDups`: corpus-vs-corpus pairs
+    * were found when those vectors were new, so a daily embedding increment
+    * joins the stored bucket table instead of re-bucketing 100 TB. Equals
+    * `annNearDupPairs(corpus ∪ new)` filtered to pairs with a new side
+    * (spec-asserted, oracle-replayed). Ids must be globally unique and both
+    * indexes must share (tables, planes, dims). */
+  def incrementalAnnPairs(corpusIndex: DataFrame, newIndex: DataFrame,
+      threshold: Double): DataFrame = {
+    val bn = Dedup.materialized(newIndex)
+    val score = (x: String, y: String) =>
+      qcosineWithNorms(qdot(col(s"$x.v"), col(s"$y.v")),
+        col(s"$x.n2"), col(s"$y.n2"))
+    val newOld = bn.as("x").join(corpusIndex.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b"))
+      .select(least(col("x.id"), col("y.id")).as("id1"),
+        greatest(col("x.id"), col("y.id")).as("id2"),
+        score("x", "y").as("cosine"))
+    val newNew = bn.as("x").join(bn.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        score("x", "y").as("cosine"))
+    newOld.union(newNew)
+      .filter(col("cosine") >= threshold) // before the dedup shuffle
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs within a probe subset vs the corpus —
     * quantized cosine >= threshold. (Full-corpus near-dup at scale goes
     * through [[annNearDupPairs]] buckets instead of this cross product.) */

@@ -217,6 +217,25 @@ class RelOpsSpec extends SparkSpec {
     assert(got.count(_._2 == "s0") < 67 && got.exists(_._2 == "s0"))
   }
 
+  test("incremental ANN pairs equal the full-corpus pairs touching the batch") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isNew = (id: Long) => id % 6 == 0
+    val corpusIdx = Similarity.annIndex(
+      e.filter(col("vec_id") % 6 =!= 0), "vec_id", "embedding",
+      tables = 8, planes = 6, dims = 64)
+    val newIdx = Similarity.annIndex(
+      e.filter(col("vec_id") % 6 === 0), "vec_id", "embedding",
+      tables = 8, planes = 6, dims = 64)
+    val got = Similarity.incrementalAnnPairs(corpusIdx, newIdx, 0.40)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val full = Similarity.annNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.40, tables = 8, planes = 6, dims = 64)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got === full.filter(p => isNew(p._1) || isNew(p._2)))
+    assert(got.nonEmpty)
+    assert(!got.exists(p => !isNew(p._1) && !isNew(p._2)))
+  }
+
   test("semanticDedup keeps the smallest id of each duplicate group") {
     // 8 distinct directions, each duplicated 3x with ascending ids;
     // identical vectors always share a cluster, so exactly the smallest id
