@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Distributed prefix sum (exclusive running total in a global order) — the
@@ -33,13 +32,19 @@ object Prefix {
       : DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
-    // pin the layout: both passes must see the SAME partitioning
+    // PIN the layout with an eager localCheckpoint: both passes must see
+    // the SAME partitioning, and repartitionByRange picks its boundaries by
+    // sampling — a recompute could re-place rows and silently mismatch the
+    // per-partition bases collected below. (A persist() would pin too, but
+    // leaks for the session lifetime since the caller never sees this frame
+    // to unpersist it; checkpointed blocks are released by the
+    // ContextCleaner when the plan is GC'd.)
     val ranged = df
       .withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val localSums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // driver prefix over per-partition sums: range partition i precedes
@@ -80,12 +85,13 @@ object Prefix {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val rangeCols = (groupCol +: orderCols).map(col)
+    // eager localCheckpoint, not persist — same reasons as runningOffsets
     val ranged = df
       .withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
       .repartitionByRange(parts, rangeCols: _*)
       .sortWithinPartitions(rangeCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val localSums = ranged.groupBy("__pid", groupCol)
       .agg(sum("__v").as("s")).collect()
       .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
