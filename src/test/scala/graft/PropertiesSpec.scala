@@ -204,6 +204,52 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped prefix sum: arbitrary data, groups, and layouts") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(120, Gen.zip(Gen.choose(0, 6), Gen.choose(0L, 40L))),
+      Gen.choose(1, 12)) // input partitions
+    samples(gen, 8).foreach { case (rows, parts) =>
+      // unique ids; group g0..g6 with heavy collisions; arbitrary values
+      val data = rows.zipWithIndex.map { case ((g, v), i) =>
+        (i.toLong, s"g$g", v) }
+      val expected = data.groupBy(_._2).flatMap { case (_, grp) =>
+        var acc = 0L
+        grp.sortBy(_._1).map { case (id, _, v) =>
+          val r = id -> acc; acc += v; r }
+      }
+      val got = graft.ops.Prefix.runningOffsetsBy(
+          data.toDF("id", "g", "v").repartition(parts), "g", Seq("id"), "v")
+        .select("id", "offset").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("scd2 merge: deterministic under batch row order and layout") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import graft.write.MergeWriter
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0, 4))),
+      Gen.choose(1, 8))
+    samples(gen, 8).foreach { case (batchRows, parts) =>
+      val target = MergeWriter.scd2Bootstrap(
+        (1L to 5L).map(k => (k, s"v$k")).toDF("id", "v"), "t0")
+      def merge(rows: Seq[(Long, Int)]) = MergeWriter.scd2Merge(target,
+          rows.map { case (k, x) => (k, s"x$x") }.toDF("id", "v")
+            .repartition(parts), Seq("id"), "t1")
+        .select("id", "v", "valid_from", "valid_to", "is_current")
+        .as[(Long, String, String, Option[String], Boolean)].collect().toSet
+      // any permutation of the same multi-row batch merges identically —
+      // the deterministic-dedup contract scd2Sink's replay convergence
+      // rests on
+      val a = merge(batchRows)
+      val b = merge(scala.util.Random.shuffle(batchRows))
+      assert(a === b)
+    }
+  }
+
   test("period limits are well-formed for any monthsBack") {
     val gen = Gen.zip(Gen.choose(-48, 0), Gen.choose(2000, 2030),
       Gen.choose(1, 12))
