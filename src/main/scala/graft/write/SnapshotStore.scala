@@ -12,26 +12,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * long-running reader can have files deleted under its footer cache. Here a
  * writer never touches live data:
  *
- *  - each commit writes a FRESH immutable directory `root/_v<N>/` (data
- *    files are never modified or reused across versions);
- *  - the commit point is ONE atomic rename of the tiny `root/_latest`
- *    pointer file (write `_latest.__tmp`, `ATOMIC_MOVE` over `_latest`) —
- *    a reader resolving the pointer either sees version N or version N+1,
- *    never a mixture, with no reader-writer coordination;
- *  - concurrent writers are serialized OPTIMISTICALLY: claiming a version is
- *    `Files.createDirectory(_v<N+1>)`, which is atomic on POSIX — the loser
- *    gets `FileAlreadyExistsException`, retries against the new head (the
- *    same claim-by-atomic-create Delta/Iceberg do on their log files);
+ *  - data is written into a uniquely-named STAGING directory, then the
+ *    whole directory is atomically RENAMED to `root/_v<N>/` — the rename is
+ *    both the version claim (it fails if `_v<N>` exists) and the data
+ *    publication, so a `_v` directory only ever exists COMPLETE. Version
+ *    directories are immutable from birth;
+ *  - the read point is ONE atomic rename of the tiny `root/_latest`
+ *    pointer file — a reader resolving the pointer either sees version N
+ *    or version N+1, never a mixture, with no reader-writer coordination;
+ *    the flip is forward-only, so a slow committer can never move readers
+ *    backwards in time;
+ *  - concurrent writers serialize OPTIMISTICALLY on the rename: the loser
+ *    re-plans against the new head (the same claim-by-atomic-create that
+ *    Delta/Iceberg do on their log files). Because `_v` directories are
+ *    complete by construction, a contender may treat an existing-but-not-
+ *    yet-flipped `_v<head+1>` as the true head — an in-flight or crashed
+ *    committer never blocks progress and its data is never half-read;
  *  - superseded snapshots stay on disk until [[vacuum]] — an in-flight
  *    reader of version N keeps working while N+1..N+k commit; vacuum with a
  *    retention of `keep` versions is the explicit, delayed destructor
  *    (Delta's VACUUM semantics).
  *
- * On cloud object stores, `_latest` maps to a conditional PUT (If-Match) or
- * a pointer object; `_v<N>` claims map to If-None-Match creates. The
- * directory layout and reader protocol are unchanged — which is the point:
- * the harness-local implementation and a production one share every
- * invariant, only the two atomic primitives are swapped.
+ * On cloud object stores, `_latest` maps to a conditional PUT (If-Match),
+ * and the staging-rename claim maps to an If-None-Match create of a
+ * manifest object listing the staged files. The layout and reader protocol
+ * are unchanged — which is the point: the harness-local implementation and
+ * a production one share every invariant, only the two atomic primitives
+ * are swapped.
  */
 object SnapshotStore {
 
@@ -46,52 +53,77 @@ object SnapshotStore {
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
   }
 
-  /** Commit `df` as the next version of the table at `root`; returns the
-    * committed version number. A lost version claim moves to the NEXT
-    * version immediately (never waits on the winner, never touches the
-    * winner's directory). A writer that claims a version and crashes before
-    * the pointer flip leaves an orphaned `_v<N>` directory: readers never
-    * see it (the pointer never pointed at it) and later writers skip past
-    * it — the same garbage a failed cloud commit leaves for maintenance. */
+  /** The head a WRITER must build on: the pointer, advanced over any
+    * complete-but-not-yet-flipped successor directories (an in-flight or
+    * crashed committer's work — complete by the rename-publication
+    * invariant). Readers keep using the pointer alone. */
+  private def writerHead(rootP: JPath, root: String): Option[Long] = {
+    var head = currentVersion(root)
+    while (Files.isDirectory(versionDir(rootP, head.getOrElse(-1L) + 1L)))
+      head = Some(head.getOrElse(-1L) + 1L)
+    head
+  }
+
+  /** Write `df` under a unique staging name inside `root`; returns the
+    * staging path. Staging dirs are invisible to readers and writers (only
+    * `_v`-named dirs participate in the protocol). */
+  private def writeStaging(df: DataFrame, rootP: JPath,
+      partitionCols: Seq[String]): JPath = {
+    val staging = rootP.resolve(s".staging-${java.util.UUID.randomUUID}")
+    val writer = df.write.mode(SaveMode.Append) // fresh dir: nothing to clash
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staging.toString)
+    staging
+  }
+
+  /** Atomically claim version `v` with the staged data; true on success. */
+  private def claim(staging: JPath, rootP: JPath, v: Long): Boolean = {
+    val dest = versionDir(rootP, v)
+    try {
+      Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      // rename onto an existing dir surfaces as FileAlreadyExists or a
+      // generic FileSystemException ("Directory not empty" on Linux) — a
+      // lost claim iff the destination exists; anything else is a real
+      // I/O failure and propagates
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.nio.file.FileSystemException
+          if Files.exists(dest) => false
+    }
+  }
+
+  /** Forward-only pointer flip (per-version tmp file, JVM flip lock). On an
+    * object store this is one conditional PUT (If-Match on the pointer). */
+  private def flip(rootP: JPath, root: String, v: Long): Unit = {
+    val tmp = rootP.resolve(s"_latest.__tmp$v")
+    Files.writeString(tmp, v.toString)
+    flipLock.synchronized {
+      if (currentVersion(root).forall(_ < v))
+        Files.move(tmp, pointer(rootP), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      else Files.delete(tmp) // superseded: the version stays readable
+    }
+  }
+
+  /** Commit `df` as the next version of the table at `root` (whole-table
+    * REPLACEMENT semantics); returns the committed version. The data is
+    * written ONCE; only the (cheap) rename retries when a concurrent
+    * writer takes the version. */
   def commit(df: DataFrame, root: String,
       partitionCols: Seq[String] = Nil, maxRaceRetries: Int = 1000): Long = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP)
-    var tryV = currentVersion(root).getOrElse(-1L) + 1L
+    val staging = writeStaging(df, rootP, partitionCols)
+    var tryV = writerHead(rootP, root).getOrElse(-1L) + 1L
     var attempt = 0
     while (attempt <= maxRaceRetries) {
-      val dir = versionDir(rootP, tryV)
-      val claimed =
-        try { Files.createDirectory(dir); true } // atomic claim
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (claimed) {
-        // this directory is exclusively ours: write, then flip the pointer.
-        // Append, NOT Overwrite: overwrite deletes + recreates the claimed
-        // dir, and in that gap another writer's createDirectory would
-        // succeed — two owners of one version. Appending into the empty
-        // claimed dir keeps the claim held for the whole write.
-        val writer = df.write.mode(SaveMode.Append)
-        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-         else writer).parquet(dir.toString)
-        // per-version tmp name: concurrent committers must not share one
-        // staging file, or the first mover deletes the second's out from
-        // under it mid-flip. The flip itself is FORWARD-ONLY under a JVM
-        // lock: a slow low-version committer must not move the pointer
-        // backwards over a newer commit (readers would time-travel). On an
-        // object store both properties collapse into one conditional PUT
-        // (If-Match on the pointer's current value).
-        val tmp = rootP.resolve(s"_latest.__tmp$tryV")
-        Files.writeString(tmp, tryV.toString)
-        flipLock.synchronized {
-          if (currentVersion(root).forall(_ < tryV))
-            Files.move(tmp, pointer(rootP), StandardCopyOption.ATOMIC_MOVE,
-              StandardCopyOption.REPLACE_EXISTING)
-          else Files.delete(tmp) // superseded: our version stays readable
-        }
+      if (claim(staging, rootP, tryV)) {
+        flip(rootP, root, tryV)
         return tryV
       }
       attempt += 1
-      tryV = math.max(currentVersion(root).getOrElse(-1L), tryV) + 1L
+      tryV = math.max(writerHead(rootP, root).getOrElse(-1L), tryV) + 1L
     }
     throw new IllegalStateException(
       s"snapshot claim raced $maxRaceRetries times at $root")
@@ -109,11 +141,48 @@ object SnapshotStore {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(versionDir(Paths.get(root), version).toString)
 
+  /** Read-modify-commit with OPTIMISTIC CONCURRENCY CONTROL: apply `merge`
+    * to the current snapshot (None before the first commit) and commit the
+    * result as the next version. Two concurrent merges both reading version
+    * N would otherwise silently drop one another's changes (the lost
+    * update); here a writer claims EXACTLY head+1 for the head its plan
+    * read — no skip-forward — so a racing commit makes the claim FAIL and
+    * the merge re-plans against the new head (including any complete-but-
+    * unflipped version an in-flight committer has already published).
+    * This is Delta/Iceberg's commit-conflict retry, with rename atomicity
+    * standing in for the log append. Serializable across concurrent
+    * commitMerge writers; a concurrent plain [[commit]] is whole-table
+    * replacement and wins by its own semantics. Each lost race costs one
+    * re-planned write — the OCC price; `maxConflictRetries` bounds it. */
+  def commitMerge(spark: SparkSession, root: String,
+      merge: Option[DataFrame] => DataFrame,
+      partitionCols: Seq[String] = Nil, maxConflictRetries: Int = 40): Long = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    var attempt = 0
+    while (attempt <= maxConflictRetries) {
+      val head = writerHead(rootP, root)
+      val v = head.getOrElse(-1L) + 1L
+      val merged = merge(head.map(h => readVersion(spark, root, h)))
+      val staging = writeStaging(merged, rootP, partitionCols)
+      if (claim(staging, rootP, v)) {
+        flip(rootP, root, v)
+        return v
+      }
+      deleteRecursive(staging) // lost the race: this plan missed a commit
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitMerge lost $maxConflictRetries conflict races at $root")
+  }
+
   /** Delete superseded snapshot directories, keeping the latest `keep`
-    * versions. Returns the number of versions removed. Run this with a
-    * retention that outlives the longest reader (the same contract as
-    * Delta's VACUUM: the pointer flip retires a version logically; vacuum
-    * is the physical delete, deliberately decoupled). */
+    * versions, plus any abandoned staging directories. Returns the number
+    * of versions removed. Run this with a retention that outlives the
+    * longest reader (the same contract as Delta's VACUUM: the pointer flip
+    * retires a version logically; vacuum is the physical delete,
+    * deliberately decoupled) and with no writers in flight (staging dirs
+    * belong to live commits until they are renamed or abandoned). */
   def vacuum(root: String, keep: Int = 2): Int = {
     require(keep >= 1, "must keep at least the current version")
     val rootP = Paths.get(root)
@@ -121,6 +190,10 @@ object SnapshotStore {
     val victims = (0L to latest - keep)
       .map(versionDir(rootP, _)).filter(Files.isDirectory(_))
     victims.foreach(deleteRecursive)
+    val s = Files.list(rootP)
+    try s.filter(p => p.getFileName.toString.startsWith(".staging-"))
+      .forEach(deleteRecursive)
+    finally s.close()
     victims.size
   }
 

@@ -61,6 +61,31 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("commitMerge: concurrent read-modify-commits never lose an update") {
+    import spark.implicits._
+    val root = tmp()
+    // 6 concurrent appenders; each merges {its row} ∪ current snapshot.
+    // A lost update (two writers planning from the same head, both
+    // publishing) would drop a row from the final table.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = (0 until 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SnapshotStore.commitMerge(spark, root,
+            { cur =>
+              val mine = Seq((i.toLong, s"w$i")).toDF("id", "v")
+              cur.map(_.union(mine)).getOrElse(mine)
+            })
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions == (0L to 5L), s"got $versions")
+    } finally pool.shutdown()
+    val rows = SnapshotStore.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    assert(rows === (0 until 6).map(i => (i.toLong, s"w$i")).toSet)
+  }
+
   test("vacuum removes superseded versions, keeps retention window") {
     import spark.implicits._
     val root = tmp()
