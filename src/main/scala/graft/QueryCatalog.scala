@@ -239,7 +239,30 @@ object QueryCatalog {
         Transforms.column("fn_transform_Datetime()", "timestamp").as("now_lima"),
         Transforms.column("fn_transform_Datetime(c_name)", "timestamp")
           .as("null_ts")),
-      None))
+      None),
+
+    // the PARSE arm of fn_transform_Datetime (non-empty arg ->
+    // try_to_timestamp: well-formed input parses, malformed yields null —
+    // the non-ANSI reference behavior) — oracle-able, unlike the now() arm
+    ("q_dsl_datetime_parse",
+      (s: SparkSession, d: String) => t(s, d, "orders")
+        .filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey"),
+          concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            lit(" 12:30:45")).as("ts_str"),
+          col("o_orderstatus"))
+        .select(col("o_orderkey"),
+          date_format(Transforms.column("fn_transform_Datetime(ts_str)",
+            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("parsed"),
+          date_format(Transforms.column(
+            "fn_transform_Datetime(o_orderstatus)", "timestamp"),
+            "yyyy-MM-dd HH:mm:ss").as("bad_ts")),
+      Some("""SELECT o_orderkey,
+          strftime(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 12:30:45'
+            AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS parsed,
+          strftime(TRY_CAST(o_orderstatus AS TIMESTAMP),
+            '%Y-%m-%d %H:%M:%S') AS bad_ts
+        FROM orders WHERE o_orderkey < 400""")))
 
   // =========================================================== pipeline
 

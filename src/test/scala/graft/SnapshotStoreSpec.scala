@@ -86,6 +86,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows === (0 until 6).map(i => (i.toLong, s"w$i")).toSet)
   }
 
+  test("a crashed commit (claimed, never flipped) is adopted, not blocking") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotStore.commit(Seq((1L, "base")).toDF("id", "v"), root)
+    // simulate a committer that died between rename-claim and pointer flip:
+    // a COMPLETE _v000001 (full-table state, as any version is) exists but
+    // the pointer still says 0
+    Seq((1L, "base"), (2L, "crashed")).toDF("id", "v")
+      .write.parquet(s"$root/.staging-crash")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/.staging-crash"),
+      java.nio.file.Paths.get(s"$root/_v000001"))
+    assert(SnapshotStore.currentVersion(root).contains(0L))
+    // readers still see version 0 (the crash published no read point) ...
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet === Set((1L, "base")))
+    // ... but the next merge BUILDS ON the complete crashed version (its
+    // data is never half-written — rename is the publication) and its
+    // commit flips the pointer past it
+    val v = SnapshotStore.commitMerge(spark, root,
+      cur => cur.get.union(Seq((3L, "after")).toDF("id", "v")))
+    assert(v == 2L)
+    assert(SnapshotStore.read(spark, root).as[(Long, String)]
+      .collect().toSet ===
+      Set((1L, "base"), (2L, "crashed"), (3L, "after")))
+  }
+
   test("vacuum removes superseded versions, keeps retention window") {
     import spark.implicits._
     val root = tmp()
