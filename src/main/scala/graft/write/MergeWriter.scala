@@ -138,8 +138,17 @@ object MergeWriter {
 
     val hasC = col(s"c.${ids.head}").isNotNull
     val hasB = col(s"b.${ids.head}").isNotNull
+    // change detection must not ORDER on unorderable types: a map-typed
+    // column compares through its sorted entry array (canonical — map
+    // iteration order is unspecified, entry SETS are what equality means)
+    val typeOf = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    def comparable(side: String, c: String): Column = typeOf(c) match {
+      case _: org.apache.spark.sql.types.MapType =>
+        sort_array(map_entries(col(s"$side.$c")))
+      case _ => col(s"$side.$c")
+    }
     val differs = compareCols.map(c =>
-        not(col(s"c.$c") <=> col(s"b.$c"))).reduceOption(_ || _)
+        not(comparable("c", c) <=> comparable("b", c))).reduceOption(_ || _)
       .getOrElse(lit(false))
     val order = target.columns.toSeq
     // the three possible versions of a joined key, as same-shaped structs
@@ -172,9 +181,21 @@ object MergeWriter {
     * pick the same row. */
   private[graft] def dedupDeterministic(batch: DataFrame, ids: Seq[String],
       recency: Seq[String]): DataFrame = {
+    // maps are not orderable in Spark: a map-typed payload column must not
+    // break the dedup (it just can't contribute to the tie-break)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val order =
       if (recency.nonEmpty) recency
-      else batch.columns.filterNot(ids.contains).toSeq
+      else batch.schema.fields
+        .filterNot(f => ids.contains(f.name))
+        .filterNot(f => hasMap(f.dataType))
+        .map(_.name).toSeq
     // exactly ONE dedup shuffle either way: the window already leaves one
     // row per key when there is an ordering; only a pure-key batch (where
     // duplicates are identical rows) falls back to dropDuplicates

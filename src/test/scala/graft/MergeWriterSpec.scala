@@ -283,6 +283,21 @@ class MergeWriterSpec extends SparkSpec {
       .collect().toSet)
   }
 
+  test("scd2: map-typed payload columns don't break the batch dedup") {
+    import spark.implicits._
+    val target = MergeWriter.scd2Bootstrap(
+      Seq((1L, "a", Map("k" -> 1L))).toDF("id", "v", "props"), "t0")
+    val batch = Seq((1L, "b", Map("k" -> 2L)), (2L, "c", Map.empty[String, Long]))
+      .toDF("id", "v", "props")
+    // maps can't order, so they are excluded from the tie-break — the merge
+    // must still run and version correctly
+    val merged = MergeWriter.scd2Merge(target, batch, Seq("id"), "t1")
+      .select("id", "v", "is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(merged === Set(
+      (1L, "a", false), (1L, "b", true), (2L, "c", true)))
+  }
+
   test("scd2: random batch sequence equals a driver-side reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
