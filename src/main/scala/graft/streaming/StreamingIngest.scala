@@ -80,6 +80,40 @@ object StreamingIngest {
   }
 
   /**
+   * CDC stream into a SNAPSHOT-COMMITTED table: each micro-batch upserts
+   * through `SnapshotStore.commitMerge`, so concurrent readers always see a
+   * complete committed version — no mid-swap window, and a reader holding
+   * version N keeps it while the stream commits N+1.. (vacuum retention
+   * permitting). Contrast [[mergeSink]]: same upsert semantics, but its
+   * writeSwap target briefly vanishes mid-swap for an unlucky reader.
+   * Replays converge: a checkpoint-replayed batch upserts rows the table
+   * already carries — it commits a new (identical-content) version rather
+   * than corrupting one. Vacuum periodically (`vacuumEvery` batches,
+   * `keep` retention) or old versions accumulate one per micro-batch.
+   */
+  def snapshotMergeSink(stream: DataFrame, root: String, ids: Seq[String],
+      checkpoint: String, recency: Seq[String] = Nil,
+      vacuumEvery: Int = 10, keep: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.write.SnapshotStore.commitMerge(batch.sparkSession, root,
+            {
+              case Some(cur) =>
+                graft.write.MergeWriter.upsert(cur, batch, ids, recency)
+              case None =>
+                graft.write.MergeWriter.dedupDeterministic(batch, ids, recency)
+            })
+          if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1)
+            graft.write.SnapshotStore.vacuum(root, keep)
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Watermarked STREAM-STREAM inner join: left rows match right rows with
    * the same `key` whose event time falls in `[leftTs - before,
    * leftTs + after]`. The two things that keep join state BOUNDED on an

@@ -147,6 +147,33 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("snapshot merge sink: versions commit per batch, readers isolated") {
+    import graft.write.SnapshotStore
+    val src = Files.createTempDirectory("graft_snapsrc").toString
+    val root = Files.createTempDirectory("graft_snapstage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_snapckpt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("id LONG, v STRING").parquet(src)
+    val q = StreamingIngest.snapshotMergeSink(stream, root, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      val v0 = SnapshotStore.currentVersion(root)
+      assert(v0.contains(0L))
+      // a reader resolves version 0 and keeps it across the next commit
+      val reader = SnapshotStore.read(spark, root)
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(SnapshotStore.currentVersion(root).contains(1L))
+      assert(reader.select("id", "v").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b")))
+    } finally q.stop()
+    assert(SnapshotStore.read(spark, root).select("id", "v")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("scd2 sink: micro-batches build version history") {
     val src = Files.createTempDirectory("graft_s2src").toString
     val stage = Files.createTempDirectory("graft_s2stage").toString + "/t"
