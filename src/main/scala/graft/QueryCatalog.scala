@@ -568,6 +568,30 @@ object QueryCatalog {
     // lineitem-orders fact join, revenue in exact integer cents. Catalyst
     // broadcasts region/nation/supplier/customer and leaves ONE shuffle
     // (the fact-fact join) + the final group-by
+    // part-dimension revenue breakdown (TPC-H Q14 shape): fact joins the
+    // broadcast part dim on l_partkey, one shuffle for the 6-type group —
+    // also the only query exercising the `part` fixture table
+    ("q_join_part_revenue",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg((sum(cents(col("l_extendedprice")) *
+              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
+              .as("revenue"),
+            count(lit(1)).as("n_items"),
+            (sum(cents(col("p_retailprice"))) / lit(100.0)).as("retail"))
+      },
+      Some(s"""SELECT p_type,
+          CAST(sum(${centsSql("l_extendedprice")} *
+                   (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
+            AS revenue,
+          count(*) AS n_items,
+          CAST(sum(${centsSql("p_retailprice")}) AS BIGINT) / 100.0 AS retail
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")),
+
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
