@@ -1007,6 +1007,72 @@ object QueryCatalog {
                 CAST(len(grams) AS DOUBLE) AS dup_ratio
         FROM g""")),
 
+    // Gopher repetition gates (Rae et al. 2021 §A1.1): duplicate-line
+    // fractions + top/duplicate n-gram character fractions. The fixture has
+    // no newlines, so "lines" are deterministic 8-token tiles; real corpora
+    // pass split-on-newline. The oracle replays the gram stats within-row
+    // (list ops) — semantically identical to the engine's distributed
+    // two-level aggregate, tractable only because oracle inputs are small.
+    ("q_text_gopher",
+      (s: SparkSession, d: String) => {
+        val linesOf = (text: org.apache.spark.sql.Column) => {
+          val tk = TextOps.tokens(text)
+          when(text.isNull || coalesce(size(tk), lit(0)) === 0,
+            array(lit("")))
+            .otherwise(transform(
+              sequence(lit(0),
+                ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
+              i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
+        }
+        TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text",
+          linesOf, topN = 2, dupN = 3)
+      },
+      Some {
+        def gramsFor(n: Int): String =
+          s"""CASE WHEN text IS NULL THEN [CAST(NULL AS VARCHAR)]
+              WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}),
+                i -> array_to_string(tk[i:i+${n - 1}], ' '))
+              ELSE [array_to_string(tk, ' ')] END"""
+        val cnt = "len(list_filter(grams, x -> x = g))"
+        val top = "COALESCE(list_max(list_transform(list_distinct(grams), " +
+          s"g -> $cnt * COALESCE(length(g), 0))), 0)"
+        val dup = "COALESCE(list_sum(list_transform(list_distinct(grams), " +
+          s"g -> CASE WHEN $cnt > 1 THEN $cnt * COALESCE(length(g), 0) " +
+          "ELSE 0 END)), 0)"
+        val tot = "list_sum(list_transform(grams, g -> COALESCE(length(g), 0)))"
+        def statsFor(n: Int, cte: String): String =
+          s"""$cte AS (SELECT doc_id, $top AS top_c, $dup AS dup_c, $tot AS tot_c
+              FROM (SELECT doc_id, ${gramsFor(n)} AS grams FROM base))"""
+        s"""WITH base AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk, text
+              FROM documents),
+          ln AS (SELECT doc_id,
+              CASE WHEN text IS NULL OR len(tk) = 0 THEN ['']
+                   ELSE list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+                     i -> array_to_string(tk[i*8+1:i*8+8], ' ')) END AS lines
+            FROM base),
+          lm AS (SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              len(lines) - len(list_distinct(lines)) AS n_dup,
+              list_sum(list_transform(lines, x -> length(x))) AS lc,
+              list_sum(list_transform(list_distinct(lines), x -> length(x)))
+                AS dc
+            FROM ln),
+          ${statsFor(2, "g2")},
+          ${statsFor(3, "g3")}
+          SELECT lm.doc_id, lm.n_lines,
+            floor(1e6 * CAST(n_dup AS DOUBLE) / CAST(n_lines AS DOUBLE)) / 1e6
+              AS dup_line_frac,
+            floor(1e6 * CAST(lc - dc AS DOUBLE) /
+              CAST(greatest(lc, 1) AS DOUBLE)) / 1e6 AS dup_line_char_frac,
+            floor(1e6 * CAST(COALESCE(g2.top_c, 0) AS DOUBLE) /
+              CAST(greatest(g2.tot_c, 1) AS DOUBLE)) / 1e6
+              AS top2gram_char_frac,
+            floor(1e6 * CAST(COALESCE(g3.dup_c, 0) AS DOUBLE) /
+              CAST(greatest(g3.tot_c, 1) AS DOUBLE)) / 1e6
+              AS dup3gram_char_frac
+          FROM lm JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
+      }),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextOps.withQuality(t(s, d, "documents"), "text")

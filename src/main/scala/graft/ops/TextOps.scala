@@ -216,6 +216,77 @@ object TextOps {
         col("n_removed"))
   }
 
+  /** Per-document n-gram repetition character stats — the building block of
+    * the Gopher repetition gates (Rae et al. 2021, arXiv:2112.11446 §A1.1,
+    * "repetitious text" filters): for word `n`-grams WITH multiplicity,
+    *   total_chars = Σ count(g)·len(g)   over every gram occurrence,
+    *   top_chars   = max count(g)·len(g) (the gram occupying the most chars),
+    *   dup_chars   = Σ count(g)·len(g)   over grams with count(g) > 1.
+    * Character counts include the single-space joiners inside a gram and use
+    * `coalesce(len, 0)` so a null-text document scores 0, not null.
+    *
+    * Distributed shape: the compiled shingle flatMap (duplicates kept), then
+    * a two-level aggregate — (doc_id, shingle) with map-side combine, then
+    * doc_id — both partial-aggregated, so the corpus-sized gram stream
+    * shuffles once at (doc_id, gram) granularity and once at doc
+    * granularity. No per-row quadratic `filter(distinct, equals)` lambda:
+    * that within-row formulation is O(|doc|·|vocab|) interpreted work per
+    * document (the DuckDB oracle replays it that way only because oracle
+    * inputs are small). */
+  def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val chars = coalesce(length(col("shingle")), lit(0)).cast("long")
+    graft.ops.Dedup.shingleTable(df, idCol, textCol, n, keepDuplicates = true)
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt") * chars).as("total_chars"),
+        max(col("cnt") * chars).as("top_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * chars).otherwise(0L))
+          .as("dup_chars"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1) per document:
+    * line-level duplication plus top/duplicate n-gram character fractions.
+    * Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    * top{topN}gram_char_frac, dup{dupN}gram_char_frac); every fraction is an
+    * int/int rational floor-quantized to 6 dp (cross-engine exact).
+    *
+    * `linesOf` supplies the document's lines; real corpora pass
+    * `split(col(text), "\n")`. The fixture documents are single-line, so the
+    * catalog derives deterministic pseudo-lines (fixed-width token tiles)
+    * instead. A null/empty document contributes one empty line.
+    *
+    * Line metrics are a pure scan-stage projection (array exprs — the
+    * per-line lambdas run on |doc|/tile elements, not per token). Gram
+    * metrics come from two `ngramRepetitionStats` passes joined back on
+    * doc_id: three corpus-sized frames co-partitioned on a unique key, the
+    * standard sort-merge shape. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      linesOf: Column => Column, topN: Int = 2, dupN: Int = 3): DataFrame = {
+    def q6(c: Column): Column = floor(c * 1e6) / 1e6
+    val lines_ = linesOf(col(textCol))
+    val dist = array_distinct(lines_)
+    val lineChars = aggregate(lines_, lit(0L),
+      (acc, x) => acc + coalesce(length(x).cast("long"), lit(0L)))
+    val distChars = aggregate(dist, lit(0L),
+      (acc, x) => acc + coalesce(length(x).cast("long"), lit(0L)))
+    val lineMetrics = df.select(
+      col(idCol).as("doc_id"),
+      size(lines_).cast("long").as("n_lines"),
+      q6((size(lines_) - size(dist)).cast("double") /
+        size(lines_).cast("double")).as("dup_line_frac"),
+      q6((lineChars - distChars).cast("double") /
+        greatest(lineChars, lit(1L)).cast("double")).as("dup_line_char_frac"))
+    def frac(statsN: Int, pick: String, outName: String): DataFrame =
+      ngramRepetitionStats(df, idCol, textCol, statsN).select(
+        col("doc_id"),
+        q6(col(pick).cast("double") /
+          greatest(col("total_chars"), lit(1L)).cast("double")).as(outName))
+    lineMetrics
+      .join(frac(topN, "top_chars", s"top${topN}gram_char_frac"), Seq("doc_id"))
+      .join(frac(dupN, "dup_chars", s"dup${dupN}gram_char_frac"), Seq("doc_id"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * every non-alnum run to one space, trim. */
   def normalize(text: Column): Column =

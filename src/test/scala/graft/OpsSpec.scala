@@ -34,6 +34,21 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 3L, 0.0)))
   }
 
+  test("gopherRepetition: hand-computed line and n-gram char fractions") {
+    val df = Seq((1L, "a b/a b/c d"), (2L, "one two three"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(df, "doc_id", "text",
+        text => split(text, "/"), topN = 2, dupN = 3)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // doc 1: lines [a b, a b, c d] -> 1/3 dup lines, 3/9 dup line chars;
+    // bigrams over tokens [a b a b c d]: "a b"x2 + 3 singletons, 3 chars
+    // each -> top 6/15; trigrams all distinct -> dup 0
+    assert(got(1L) == ((3L, 0.333333, 0.333333, 0.4, 0.0)))
+    // doc 2: one line; bigrams "one two"(7), "two three"(9) -> top 9/16
+    assert(got(2L) == ((1L, 0.0, 0.0, math.floor(1e6 * 9 / 16.0) / 1e6, 0.0)))
+  }
+
   test("langId: marker words and CJK routing") {
     val got = Seq(
       "the cat and the dog is here",
