@@ -2362,7 +2362,29 @@ object QueryCatalog {
           FROM tc)
         SELECT doc_id, source, n_tokens FROM o
         WHERE off < CASE WHEN source = 'src0' THEN 800
-                         WHEN source = 'src1' THEN 10000 ELSE 300 END""")))
+                         WHEN source = 'src1' THEN 10000 ELSE 300 END""")),
+
+    // DSIR-style importance resampling (Xie et al. 2023): top-150 docs by
+    // hashed-unigram likeness to the src0 subset vs the whole corpus.
+    // Linear floor-quantized ratio weights instead of log + Gumbel — see
+    // Sampling.dsirResample for why (cross-engine ln/RNG divergence).
+    ("q_sample_dsir",
+      (s: SparkSession, d: String) => Sampling.dsirResample(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", buckets = 1024, topK = 150),
+      Some(s"""WITH tok AS MATERIALIZED (
+          SELECT doc_id, source = 'src0' AS t,
+            CAST(concat('0x', substr(md5(u.tok), 1, 4)) AS BIGINT) % 1024 AS bk
+          FROM (SELECT doc_id, source, ${tokensSql()} AS tks FROM documents),
+               UNNEST(tks) AS u(tok)),
+        w AS MATERIALIZED (
+          SELECT bk, CAST(floor(1e6 * (count(*) FILTER (WHERE t) + 1.0) /
+            (count(*) + 1.0)) AS BIGINT) AS w
+          FROM tok GROUP BY bk),
+        sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+          FROM tok JOIN w USING (bk) GROUP BY doc_id)
+        SELECT doc_id, score FROM sc
+        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 150""")))
 
   // ================================================== composed cleaning
 

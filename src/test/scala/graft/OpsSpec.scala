@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.StageTransform
 import graft.meta.ColumnSpec
 
@@ -47,6 +47,20 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == ((3L, 0.333333, 0.333333, 0.4, 0.0)))
     // doc 2: one line; bigrams "one two"(7), "two three"(9) -> top 9/16
     assert(got(2L) == ((1L, 0.0, 0.0, math.floor(1e6 * 9 / 16.0) / 1e6, 0.0)))
+  }
+
+  test("dsirResample: target-like documents outrank the rest") {
+    val df = Seq(
+      (1L, "t", "alpha beta alpha beta"),
+      (2L, "t", "alpha beta alpha beta"),
+      (3L, "c", "alpha beta alpha beta"), // target-LIKE non-target
+      (4L, "c", "gamma delta gamma delta"),
+      (5L, "c", "gamma delta gamma delta")
+    ).toDF("doc_id", "source", "text")
+    val got = Sampling.dsirResample(df, "doc_id", "text",
+        isTarget = $"source" === "t", buckets = 64, topK = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L)) // the alpha-beta profile wins
   }
 
   test("langId: marker words and CJK routing") {
