@@ -1998,7 +1998,88 @@ object QueryCatalog {
         SELECT query_id, neighbor_id, cosine, rnk FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
+    // Product-quantization ANN (Jégou et al. 2011): Lloyd-trained per-
+    // subspace codebooks, m-byte codes, ADC table scoring. The oracle
+    // replays TRAINING (every round's exact-integer assignment + update),
+    // the encoding, and the ADC sums bit-for-bit — all integer math.
+    ("q_sim_pq_topk",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.pqTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, m = 8, ksub = 16, iters = 2, dims = 64)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""${pqCtes(m = 8, ksub = 16, iters = 2, subDim = 8)},
+        p AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM q
+          WHERE vec_id < 8),
+        scored AS MATERIALIZED (
+          SELECT p.query_id, e.vec_id AS neighbor_id,
+            CAST(sum(${pqL2Sql("list_slice(p.qv, e.s * 8 + 1, (e.s + 1) * 8)",
+        "c.cv", 8)}) AS BIGINT) AS adc_dist
+          FROM p CROSS JOIN enc e JOIN c2 c ON c.s = e.s AND c.ord = e.code
+          WHERE e.vec_id <> p.query_id
+          GROUP BY p.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, adc_dist, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM scored)
         WHERE rnk <= 5""")))
+
+  /** Exact integer squared-L2 between two BIGINT lists of length `n`. */
+  private def pqL2Sql(a: String, b: String, n: Int): String =
+    s"list_sum(list_transform(range(1, ${n + 1}), " +
+      s"j -> (($a)[j] - ($b)[j]) * (($a)[j] - ($b)[j])))"
+
+  /** WITH-chain replaying Similarity.pqTopK's codebook training: seeds are
+    * the sub-slices of the `ksub` smallest-id vectors (ordinal = seed rank),
+    * each round assigns every (vector, subspace) to its min-squared-L2
+    * codeword (ties to the smaller ordinal) and recenters codewords with the
+    * exact-integer floor(sum/count) mean (empty codewords keep their
+    * previous value). Ends in `enc(vec_id, s, code)` — the post-training
+    * encoding — with the final codebooks in `c$iters(s, ord, cv)`.
+    * MATERIALIZED throughout: each c_i is referenced by a_{i+1} AND
+    * c_{i+1}'s fallback join (the kmeansCtes inlining lesson). */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String = {
+    def sliceOf(v: String, s: String): String =
+      s"list_slice($v, $s * $subDim + 1, ($s + 1) * $subDim)"
+    def assignCte(name: String, books: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, s, ord FROM (
+          SELECT q.vec_id, c.s, c.ord,
+            row_number() OVER (PARTITION BY q.vec_id, c.s
+              ORDER BY ${pqL2Sql(sliceOf("q.v", "c.s"), "c.cv", subDim)} ASC,
+                c.ord ASC) AS r
+          FROM q CROSS JOIN $books c) WHERE r = 1)"""
+    val sb = new StringBuilder(
+      s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, $quantSql AS v FROM embeddings),
+        sd AS MATERIALIZED (SELECT vec_id, v,
+            row_number() OVER (ORDER BY vec_id) - 1 AS ord
+          FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $ksub)),
+        c0 AS MATERIALIZED (SELECT gs.s, sd.ord,
+            ${sliceOf("sd.v", "gs.s")} AS cv
+          FROM sd CROSS JOIN range(0, $m) gs(s))""")
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+        ${assignCte(s"a$i", prev)},
+        m$i AS MATERIALIZED (SELECT s, ord, list(mm ORDER BY pos) AS cv FROM (
+          SELECT s, ord, pos,
+            CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mm
+          FROM (SELECT a.s, a.ord,
+                  unnest(${sliceOf("q.v", "a.s")}) AS x,
+                  generate_subscripts(${sliceOf("q.v", "a.s")}, 1) AS pos
+                FROM a$i a JOIN q USING (vec_id))
+          GROUP BY s, ord, pos) GROUP BY s, ord),
+        c$i AS MATERIALIZED (SELECT p.s, p.ord, coalesce(u.cv, p.cv) AS cv
+          FROM $prev p LEFT JOIN m$i u ON u.s = p.s AND u.ord = p.ord)"""
+    }
+    sb ++= s""",
+        ${assignCte("enc", s"c$iters").replace("vec_id, s, ord FROM",
+      "vec_id, s, ord AS code FROM")}"""
+    sb.toString
+  }
 
   // ========================================================== multimodal
 

@@ -200,6 +200,89 @@ object Similarity {
   }
 
   /**
+   * Product-quantization ANN (Jégou et al., TPAMI 2011 — the FAISS `PQ`
+   * index shape): each corpus vector is compressed to an m-byte code (per
+   * subspace, the ordinal of the nearest codeword by exact integer squared
+   * L2), probes precompute an ADC distance table, and scoring a
+   * (probe, code) pair is m table lookups + m adds — O(m) per pair instead
+   * of O(dims), with the corpus held as codes (m bytes/vector vs 4·dims).
+   * Returns (query_id, neighbor_id, adc_dist, rank): top-k by approximate
+   * distance ascending, ties to the smaller neighbor id.
+   *
+   * Codebooks are Lloyd-trained per subspace (`iters` rounds) from
+   * deterministic seeds — the sub-slices of the `ksub` smallest-id vectors —
+   * with the same exact-integer update as [[kmeans]] (floor(sum/count) per
+   * dim; empty codewords keep their previous value). Everything is integer
+   * math on the quantized grid, so the DuckDB oracle replays training,
+   * encoding and ADC bit-for-bit.
+   *
+   * Scale shape, sized like [[kmeans]]:
+   *  - every training round is ONE pass: the native [[graft.plans.PqEncode]]
+   *    projection (all m codebooks ride as one codegen reference object)
+   *    feeds a posexplode -> (subspace, code) vec_sum aggregate — map-side
+   *    combined to m x ksub partials per partition; only m x ksub x subDim
+   *    longs ever reach the driver.
+   *  - encoding is a shuffle-free map projection; the probe side (small by
+   *    contract, broadcast) carries its ADC table as one column computed
+   *    once per probe by [[graft.plans.PqAdcTable]].
+   *  - the scoring join is corpus-codes x broadcast-probes with pair cost
+   *    O(m); per-probe top-k is the standard window.
+   */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    require(ksub > 0 && iters >= 0 && k > 0, "ksub, iters, k out of range")
+    val subDim = dims / m
+    // materialized once: seeds + one scan per Lloyd round + the final encode
+    // all re-read the quantized corpus (kmeansAssign's rationale applies)
+    val q = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = q.orderBy("neighbor_id").limit(ksub).collect()
+    require(seeds.nonEmpty, "pqTopK needs a non-empty corpus")
+    var books: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
+      seeds.toSeq.map(r => r.getSeq[Long](1)
+        .slice(s * subDim, (s + 1) * subDim).padTo(subDim, 0L))
+    }
+    for (_ <- 1 to iters) {
+      val updated = q
+        .select(posexplode(
+          graft.plans.GraftExpressions.pq_encode(col("v"), books, subDim))
+          .as(Seq("s", "code")), col("v"))
+        .groupBy("s", "code")
+        .agg(graft.plans.GraftExpressions.vec_sum(
+          slice(col("v"), col("s") * subDim + 1, lit(subDim))).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(3).toDouble
+          (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Long](2).map(x => math.floor(x.toDouble / n).toLong)
+        }.toMap
+      books = books.zipWithIndex.map { case (words, s) =>
+        words.zipWithIndex.map { case (w, c) => updated.getOrElse((s, c), w) }
+      }
+    }
+    val encoded = q.withColumn("codes",
+      graft.plans.GraftExpressions.pq_encode(col("v"), books, subDim))
+    q.unpersist(blocking = false)
+    val p = probes.select(col(probeIdCol).cast("long").as("query_id"),
+        quantize(col(probeVecCol)).as("qv"))
+      .withColumn("tbl",
+        graft.plans.GraftExpressions.pq_adc_table(col("qv"), books, subDim))
+    val adc = (0 until m).map(s => col("tbl")(s)(col("codes")(s)))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(p),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Corpus-wide embedding near-duplicate pairs through LSH buckets — the
    * scale path [[nearDupPairs]]' scaladoc points at: vectors sharing a
    * bucket in ANY of `tables` tables become candidates (an equi-join on

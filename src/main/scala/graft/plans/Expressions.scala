@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -776,6 +776,168 @@ case class VecSumAgg(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Product-quantization encode (Jégou et al., TPAMI 2011): split a quantized
+ * `array<bigint>` vector into `m` contiguous `subDim`-wide sub-vectors and
+ * return, per subspace, the ORDINAL of the codeword minimizing exact integer
+ * squared-L2 distance (ties to the smallest ordinal). Output is
+ * `array<int>` of length m — the m-byte PQ code of the row.
+ *
+ * All m codebooks ride as ONE codegen reference object ([[PqBooks]] — the
+ * IvfAssign/LshBucket lesson: per-codeword literal structs grow the
+ * generated class with m x ksub and re-pay Janino per execution). Pure
+ * integer math — no float order, no ties beyond the ordinal rule — so the
+ * DuckDB oracle replays the encoding exactly. Elements beyond the vector's
+ * length count as 0 (a short vector is treated as zero-padded; callers pass
+ * vectors of exactly m x subDim dims).
+ */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Long]]],
+    subDim: Int) extends UnaryExpression {
+  require(books.nonEmpty && subDim > 0 &&
+    books.forall(b => b.nonEmpty && b.forall(_.length == subDim)),
+    "malformed PQ codebooks")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"pq_encode needs array<bigint>, got $other")
+    }
+
+  @transient private lazy val table =
+    new PqBooks(books.map(_.map(_.toArray).toArray).toArray, subDim)
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      PqBooks.encode(v.asInstanceOf[ArrayData], table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", table, classOf[PqBooks].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData" +
+        s".toArrayData(graft.plans.PqBooks.encode($v, $ref));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/**
+ * The ADC distance table for one probe vector: `array<array<bigint>>` where
+ * `out[s][c]` is the exact integer squared-L2 distance between the probe's
+ * s-th sub-vector and codeword c of subspace s. Computed ONCE per probe
+ * (m x ksub x subDim work); scoring a (probe, code) pair is then m array
+ * lookups + m adds — the whole point of ADC: pair cost O(m), not O(dims).
+ */
+case class PqAdcTable(child: Expression, books: Seq[Seq[Seq[Long]]],
+    subDim: Int) extends UnaryExpression {
+  require(books.nonEmpty && subDim > 0 &&
+    books.forall(b => b.nonEmpty && b.forall(_.length == subDim)),
+    "malformed PQ codebooks")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"pq_adc_table needs array<bigint>, got $other")
+    }
+
+  @transient private lazy val table =
+    new PqBooks(books.map(_.map(_.toArray).toArray).toArray, subDim)
+
+  override def nullSafeEval(v: Any): Any = {
+    val t = PqBooks.adcTable(v.asInstanceOf[ArrayData], table)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      t.map(row => org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(row): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBooks", table, classOf[PqBooks].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.PqBooks.adcTableData($v, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/** Broadcast-by-codegen-reference PQ codebooks: `vecs(s)(c)` is codeword c
+  * of subspace s, each `subDim` longs. */
+final class PqBooks(val vecs: Array[Array[Array[Long]]], val subDim: Int)
+  extends Serializable
+
+object PqBooks {
+  /** Squared-L2 between sub-vector s of `vec` (zero-padded past its end)
+    * and one codeword — exact integer math, shared by eval and codegen. */
+  private def subDist(vec: ArrayData, s: Int, cw: Array[Long],
+      subDim: Int): Long = {
+    val n = vec.numElements()
+    val off = s * subDim
+    var d = 0L
+    var t = 0
+    while (t < subDim) {
+      val x = if (off + t < n) vec.getLong(off + t) else 0L
+      val diff = x - cw(t)
+      d += diff * diff
+      t += 1
+    }
+    d
+  }
+
+  def encode(vec: ArrayData, b: PqBooks): Array[Int] = {
+    val m = b.vecs.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val words = b.vecs(s)
+      var best = 0L
+      var bestJ = 0
+      var j = 0
+      while (j < words.length) {
+        val d = subDist(vec, s, words(j), b.subDim)
+        if (j == 0 || d < best) { best = d; bestJ = j }
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    out
+  }
+
+  def adcTable(vec: ArrayData, b: PqBooks): Array[Array[Long]] = {
+    val m = b.vecs.length
+    val out = new Array[Array[Long]](m)
+    var s = 0
+    while (s < m) {
+      val words = b.vecs(s)
+      val row = new Array[Long](words.length)
+      var j = 0
+      while (j < words.length) {
+        row(j) = subDist(vec, s, words(j), b.subDim)
+        j += 1
+      }
+      out(s) = row
+      s += 1
+    }
+    out
+  }
+
+  /** Codegen-facing wrapper returning Catalyst ArrayData directly. */
+  def adcTableData(vec: ArrayData, b: PqBooks)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      adcTable(vec, b).map(row =>
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(row): Any))
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -818,6 +980,13 @@ object GraftExpressions {
       centNorms: Seq[Long]): Column =
     ColumnBridge.column(IvfAssign(ColumnBridge.expression(vec),
       centIds, centVecs, centNorms))
+
+  def pq_encode(vec: Column, books: Seq[Seq[Seq[Long]]], subDim: Int): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books, subDim))
+
+  def pq_adc_table(vec: Column, books: Seq[Seq[Seq[Long]]],
+      subDim: Int): Column =
+    ColumnBridge.column(PqAdcTable(ColumnBridge.expression(vec), books, subDim))
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */

@@ -109,6 +109,48 @@ class OpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("pq encode/adc expressions match a hand-rolled reference") {
+    // 2 subspaces x 2 dims; codebooks chosen so assignments are unambiguous
+    val books: Seq[Seq[Seq[Long]]] = Seq(
+      Seq(Seq(0L, 0L), Seq(10L, 10L)),
+      Seq(Seq(5L, 5L), Seq(-5L, -5L)))
+    val df = Seq(Tuple1(Array(9L, 9L, -4L, -6L))).toDF("v")
+    val codes = df.select(
+        graft.plans.GraftExpressions.pq_encode($"v", books, 2))
+      .as[Seq[Int]].collect().head
+    assert(codes == Seq(1, 1)) // (9,9)->cw1 d=2 vs 162; (-4,-6)->cw1 d=2
+    val tbl = df.select(
+        graft.plans.GraftExpressions.pq_adc_table($"v", books, 2))
+      .as[Seq[Seq[Long]]].collect().head
+    assert(tbl == Seq(Seq(81L + 81L, 1L + 1L), Seq(81L + 121L, 1L + 1L)))
+  }
+
+  test("pqTopK: uncompressed codebooks reproduce exact L2 ranking") {
+    // ksub >= |corpus| and iters = 0: every vector IS a codeword, so codes
+    // reconstruct vectors exactly and ADC equals the true squared-L2 — the
+    // PQ pipeline with zero quantization error must equal brute force.
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5) * 0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" < 3), "vec_id", "embedding",
+        k = 4, m = 4, ksub = 12, iters = 0, dims = 8)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)))
+      .toMap
+    // brute-force reference on the quantized grid
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1000.0)) }.toMap
+    for (probe <- 0L until 3L) {
+      val want = q.filter(_._1 != probe).map { case (id, v) =>
+        (id, v.zip(q(probe)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(4)
+      assert(got(probe).toSeq == want, s"probe $probe")
+    }
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
       .toDF("doc_id", "text")
