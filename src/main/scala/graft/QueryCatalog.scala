@@ -2445,6 +2445,24 @@ object QueryCatalog {
         WHERE off < CASE WHEN source = 'src0' THEN 800
                          WHEN source = 'src1' THEN 10000 ELSE 300 END""")),
 
+    // Curriculum binning: global short->long decile of every document by
+    // token count — the "sort by difficulty, schedule in bins" step. The
+    // ordinal comes from the two-pass range-partitioned prefix scan, not a
+    // single-reducer global window; the oracle replays it as row_number.
+    ("q_sample_curriculum",
+      (s: SparkSession, d: String) => Sampling.curriculumBins(
+        t(s, d, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+        orderCols = Seq("n_tokens", "doc_id"), bins = 10),
+      Some(s"""WITH m AS MATERIALIZED (SELECT doc_id,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
+        cnt AS (SELECT count(*) AS n FROM m)
+        SELECT doc_id, n_tokens,
+          CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / n) AS BIGINT) AS bin
+        FROM (SELECT doc_id, n_tokens,
+                row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+              FROM m), cnt""")),
+
     // DSIR-style importance resampling (Xie et al. 2023): top-150 docs by
     // hashed-unigram likeness to the src0 subset vs the whole corpus.
     // Linear floor-quantized ratio weights instead of log + Gumbel — see

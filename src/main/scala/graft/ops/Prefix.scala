@@ -29,7 +29,13 @@ object Prefix {
     * `orderCol` (exclusive prefix sum). The order key must be unique and
     * `valueCol` non-null. Input columns are preserved. */
   def runningOffsets(df: DataFrame, orderCol: String, valueCol: String)
-      : DataFrame = {
+      : DataFrame = runningOffsetsOrdered(df, Seq(orderCol), valueCol)
+
+  /** [[runningOffsets]] with a compound (lexicographic) global order — the
+    * order columns together must form a unique total order. */
+  def runningOffsetsOrdered(df: DataFrame, orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "runningOffsetsOrdered needs order columns")
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     // PIN the layout with an eager localCheckpoint: both passes must see
@@ -41,8 +47,8 @@ object Prefix {
     // ContextCleaner when the plan is GC'd.)
     val ranged = df
       .withColumn("__v", coalesce(col(valueCol).cast("long"), lit(0L)))
-      .repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val localSums = ranged.groupBy("__pid").agg(sum("__v").as("s"))

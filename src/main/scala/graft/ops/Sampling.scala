@@ -118,6 +118,30 @@ object Sampling {
     * twice (once per job) — at scale that is cheaper than materializing a
     * corpus-sized token table to save a re-scan. Documents with zero tokens
     * score nothing and are dropped (they cannot carry signal either way). */
+  /** Curriculum binning: assign every row a global quantile bin
+    * (0..bins-1) under the total order given by `orderCols` (which must be
+    * unique as a tuple — end with the id). Bin = floor(rank * bins / n)
+    * with `rank` the 0-based global ordinal — equal-width bins with the
+    * remainder spread over the FIRST bins, deterministic (no ntile
+    * remainder ambiguity, no RNG).
+    *
+    * Scale shape: the global ordinal comes from
+    * [[Prefix.runningOffsetsOrdered]] with weight 1 — the two-pass
+    * range-partitioned scan — NOT `Window.orderBy` (which drags the corpus
+    * through ONE reducer). One extra count() job fixes `n`. This is the
+    * "sort by difficulty, then schedule" step of curriculum training-data
+    * ordering. */
+  def curriculumBins(df: DataFrame, orderCols: Seq[String], bins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val n = math.max(df.count(), 1L)
+    graft.ops.Prefix.runningOffsetsOrdered(
+        df.withColumn("__one", lit(1L)), orderCols, "__one")
+      .withColumn(binCol,
+        floor((col("offset") * bins).cast("double") / n.toDouble).cast("long"))
+      .drop("__one", "offset")
+  }
+
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024, topK: Int = 100): DataFrame = {
     require(buckets > 0 && topK > 0, "buckets and topK must be positive")

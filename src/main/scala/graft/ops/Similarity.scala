@@ -45,7 +45,7 @@ object Similarity {
   /** Cosine from a precomputed dot + squared norms — identical IEEE ops to
     * [[qcosine]], but each side's norm is computed ONCE PER ROW upstream
     * instead of once per pair (a 3x flop cut on an n*m scoring join). */
-  private def qcosineWithNorms(dot: Column, n2a: Column, n2b: Column): Column =
+  private[graft] def qcosineWithNorms(dot: Column, n2a: Column, n2b: Column): Column =
     floor(dot.cast("double") /
       (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) * 1e6) / 1e6
 

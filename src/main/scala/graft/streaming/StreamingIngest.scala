@@ -338,6 +338,70 @@ object StreamingIngest {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /**
+   * Streaming embedding-dedup sink with a SELF-MAINTAINING persisted ANN
+   * index — the arrival-time twin of the batch
+   * `Similarity.incrementalAnnPairs` story: each micro-batch builds its own
+   * `Similarity.annIndex` (same tables/planes/dims as the stored index),
+   * drops every arriving vector with a near-duplicate (quantized cosine >=
+   * `threshold`) either in the persisted corpus index (corpus always wins)
+   * or earlier in its own batch (smaller id wins — `semanticDedup`'s greedy
+   * rule), appends the SURVIVORS to `outPath` and their index rows to
+   * `indexPath`. The index therefore always holds exactly the canonical
+   * vectors, and per-batch cost is |batch| x bucket-collision work against
+   * an equi-joined index — never a corpus rescan.
+   *
+   * Replay semantics (at-least-once source): survivors are appended to
+   * `outPath` BEFORE their index rows. A crash between the two appends can
+   * duplicate rows in `outPath` on replay (standard at-least-once output —
+   * downstream exact dedup or an idempotent consumer absorbs it); once the
+   * index append lands, a replayed batch's vectors match THEMSELVES in the
+   * index at cosine 1 and are dropped, so the sink converges. Atomic
+   * variants would route both appends through one SnapshotStore commit.
+   */
+  def annDedupSink(stream: DataFrame, idCol: String, vecCol: String,
+      outPath: String, indexPath: String, checkpoint: String,
+      threshold: Double, tables: Int = 8, planes: Int = 6, dims: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import graft.ops.Similarity
+          // one batch-index build reused by both joins and the final append
+          val newIdx = Similarity
+            .annIndex(batch, idCol, vecCol, tables, planes, dims)
+            .localCheckpoint()
+          val cos = Similarity.qcosineWithNorms(
+            graft.plans.GraftExpressions.int_dot(col("x.v"), col("y.v")),
+            col("x.n2"), col("y.n2"))
+          val vsBatch = newIdx.as("x").join(newIdx.as("y"),
+              col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+                col("x.id") > col("y.id"))
+            .filter(cos >= threshold)
+            .select(col("x.id"))
+          val dropIds = (if (graft.write.MergeWriter.tableExists(indexPath)) {
+            val corpusIdx = s.read.parquet(indexPath)
+            newIdx.as("x").join(corpusIdx.as("y"),
+                col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+                  col("x.id") =!= col("y.id"))
+              .filter(cos >= threshold)
+              .select(col("x.id"))
+              .union(vsBatch)
+          } else vsBatch).distinct()
+          val survivors = batch.join(dropIds.withColumnRenamed("id", idCol),
+            Seq(idCol), "left_anti")
+          survivors.write.mode("append").parquet(outPath)
+          newIdx
+            .join(survivors.select(col(idCol).as("id")), Seq("id"),
+              "left_semi")
+            .write.mode("append").parquet(indexPath)
+          ()
+        }
+      }
+      .start()
+
   /** Drive a streaming frame through a memory sink synchronously (test /
     * local verification harness). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

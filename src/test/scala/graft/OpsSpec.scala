@@ -49,6 +49,19 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0.0, 0.0, math.floor(1e6 * 9 / 16.0) / 1e6, 0.0)))
   }
 
+  test("curriculumBins: global deciles match row_number arithmetic") {
+    val df = (1L to 10L).map(i => (i, i * 100)).toDF("id", "score")
+    val got = Sampling.curriculumBins(df, Seq("score", "id"), bins = 3)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // rank r in 0..9 -> floor(r*3/10): first 4 rows bin 0, then 3, then 3
+    val want = (1L to 10L).map(i => i -> ((i - 1) * 3 / 10)).toMap
+    assert(got == want)
+    // layout-invariant: a different input partitioning yields the same bins
+    val re = Sampling.curriculumBins(df.repartition(7), Seq("score", "id"),
+      bins = 3).select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(re == want)
+  }
+
   test("dsirResample: target-like documents outrank the rest") {
     val df = Seq(
       (1L, "t", "alpha beta alpha beta"),

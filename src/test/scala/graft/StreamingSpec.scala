@@ -116,6 +116,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("annDedupSink drops near-dups vs corpus and batch, index stays canonical") {
+    val src = Files.createTempDirectory("graft_asrc").toString
+    val out = Files.createTempDirectory("graft_aout").toString + "/out"
+    val idx = Files.createTempDirectory("graft_aidx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_ackpt").toString
+    val A = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val B = Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val C = Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    // batch 1: two distinct vectors
+    Seq((1L, A), (2L, B)).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(src)
+    val q = StreamingIngest.annDedupSink(stream, "vec_id", "embedding",
+      out, idx, ckpt, threshold = 0.99, tables = 4, planes = 4, dims = 8)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).select("vec_id")
+        .as[Long].collect().toSet == Set(1L, 2L))
+      // batch 2: 3 duplicates corpus A; 5 duplicates batch-mate 4 (C)
+      Seq((3L, A), (4L, C), (5L, C)).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("vec_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // index holds exactly the canonical survivors, one row per LSH table
+    val idxIds = spark.read.parquet(idx).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(idxIds == Map(1L -> 4L, 2L -> 4L, 4L -> 4L))
+  }
+
   test("contamination gate flags streamed docs against a static benchmark") {
     val dir = Files.createTempDirectory("graft_sgate").toString
     val bench = Seq(
