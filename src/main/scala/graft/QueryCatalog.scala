@@ -1535,6 +1535,42 @@ object QueryCatalog {
         WHERE CAST(intersection AS DOUBLE) /
               CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7""")),
 
+    // the CAPPED path — the 100 TB configuration: per-doc shingle sets are
+    // bottom-32 minwise sketches (bounded row cells, bounded pair work), so
+    // jaccard is the standard sketch estimate. The oracle replays the same
+    // 60-bit hash order and cap, so even the estimate matches bit-for-bit.
+    ("q_dedup_jaccard_capped",
+      (s: SparkSession, d: String) => Dedup.jaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", n = 5,
+        threshold = 0.5, maxDf = 10, maxShingles = 32),
+      Some(s"""WITH ${shingleSql(5)},
+        hs AS MATERIALIZED (SELECT doc_id,
+            CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h
+          FROM sh),
+        capped AS MATERIALIZED (SELECT doc_id, h FROM (
+            SELECT doc_id, h,
+              row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+            FROM hs) WHERE rn <= 32),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
+        rare AS (SELECT sg FROM sh GROUP BY sg
+                 HAVING count(*) BETWEEN 2 AND 10),
+        rs AS (SELECT sh.doc_id, sh.sg FROM sh JOIN rare USING (sg)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM rs a JOIN rs b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+        inter AS (SELECT doc1, doc2, count(*) AS intersection
+                  FROM cand JOIN capped ca ON ca.doc_id = doc1
+                            JOIN capped cb ON cb.doc_id = doc2
+                              AND ca.h = cb.h
+                  GROUP BY 1, 2)
+        SELECT doc1, doc2, intersection,
+          z1.n_sh AS n1, z2.n_sh AS n2,
+          CAST(intersection AS DOUBLE) /
+            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
+                   JOIN sizes z2 ON doc2 = z2.doc_id
+        WHERE CAST(intersection AS DOUBLE) /
+              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.5""")),
+
     ("q_dedup_minhash",
       (s: SparkSession, d: String) => Dedup.minhashNearDups(
         t(s, d, "documents"), "doc_id", "text",
