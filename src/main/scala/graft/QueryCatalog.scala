@@ -2036,6 +2036,60 @@ object QueryCatalog {
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
         WHERE rnk <= 5""")),
 
+    // IVF-PQ (the FAISS IVFxx,PQyy composition): coarse md5-sampled IVF
+    // lists + PQ codes of the per-list RESIDUALS; probes search nprobe
+    // lists with one ADC table per probed list. The oracle replays coarse
+    // assignment, residuals, PQ training, encoding and ADC — all integer
+    // math after the floor-quantized coarse cosine.
+    ("q_sim_ivfpq",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.ivfPqTopK(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 8, iters = 1,
+            dims = 64)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""WITH cq AS MATERIALIZED (
+          SELECT vec_id, $quantSql AS v FROM embeddings),
+        cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM cq
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        asg AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+          SELECT cq.vec_id, cq.v, cents.cid,
+            row_number() OVER (PARTITION BY cq.vec_id
+              ORDER BY ${cosineSql("cq.v", "cents.cv")} DESC, cents.cid ASC)
+              AS arnk
+          FROM cq CROSS JOIN cents) WHERE arnk = 1),
+        r AS MATERIALIZED (SELECT a.vec_id,
+            list_transform(range(1, 65), j -> a.v[j] - ct.cv[j]) AS rv, a.cid
+          FROM asg a JOIN cents ct ON ct.cid = a.cid),
+        ${pqTrainCtes(m = 8, ksub = 8, iters = 1, subDim = 8,
+        src = "r", vec = "rv")},
+        p AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM cq
+          WHERE vec_id < 8),
+        pc AS MATERIALIZED (SELECT query_id, qv, cid FROM (
+          SELECT p.query_id, p.qv, cents.cid,
+            row_number() OVER (PARTITION BY p.query_id
+              ORDER BY ${cosineSql("p.qv", "cents.cv")} DESC, cents.cid ASC)
+              AS prnk
+          FROM p CROSS JOIN cents) WHERE prnk <= 3),
+        pr AS MATERIALIZED (SELECT pc.query_id, pc.cid,
+            list_transform(range(1, 65), j -> pc.qv[j] - ct.cv[j]) AS rv
+          FROM pc JOIN cents ct ON ct.cid = pc.cid),
+        scored AS MATERIALIZED (
+          SELECT pr.query_id, e.vec_id AS neighbor_id,
+            CAST(sum(${pqL2Sql("list_slice(pr.rv, e.s * 8 + 1, (e.s + 1) * 8)",
+        "cb.cv", 8)}) AS BIGINT) AS adc_dist
+          FROM pr JOIN r rr ON rr.cid = pr.cid
+               JOIN enc e ON e.vec_id = rr.vec_id
+               JOIN c1 cb ON cb.s = e.s AND cb.ord = e.code
+          WHERE e.vec_id <> pr.query_id
+          GROUP BY pr.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, adc_dist, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
     // Product-quantization ANN (Jégou et al. 2011): Lloyd-trained per-
     // subspace codebooks, m-byte codes, ADC table scoring. The oracle
     // replays TRAINING (every round's exact-integer assignment + update),
@@ -2077,24 +2131,31 @@ object QueryCatalog {
     * encoding — with the final codebooks in `c$iters(s, ord, cv)`.
     * MATERIALIZED throughout: each c_i is referenced by a_{i+1} AND
     * c_{i+1}'s fallback join (the kmeansCtes inlining lesson). */
-  private def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String = {
+  private def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String =
+    s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, $quantSql AS v FROM embeddings),
+        ${pqTrainCtes(m, ksub, iters, subDim, src = "q", vec = "v")}"""
+
+  /** The training/encode WITH-chain over an existing `$src(vec_id, $vec)`
+    * CTE (no leading WITH) — shared by plain PQ (src = quantized corpus)
+    * and IVF-PQ (src = per-list residuals). */
+  private def pqTrainCtes(m: Int, ksub: Int, iters: Int, subDim: Int,
+      src: String, vec: String): String = {
     def sliceOf(v: String, s: String): String =
       s"list_slice($v, $s * $subDim + 1, ($s + 1) * $subDim)"
     def assignCte(name: String, books: String): String =
       s"""$name AS MATERIALIZED (SELECT vec_id, s, ord FROM (
-          SELECT q.vec_id, c.s, c.ord,
-            row_number() OVER (PARTITION BY q.vec_id, c.s
-              ORDER BY ${pqL2Sql(sliceOf("q.v", "c.s"), "c.cv", subDim)} ASC,
-                c.ord ASC) AS r
-          FROM q CROSS JOIN $books c) WHERE r = 1)"""
+          SELECT $src.vec_id, c.s, c.ord,
+            row_number() OVER (PARTITION BY $src.vec_id, c.s
+              ORDER BY ${pqL2Sql(sliceOf(s"$src.$vec", "c.s"), "c.cv", subDim)}
+                ASC, c.ord ASC) AS r
+          FROM $src CROSS JOIN $books c) WHERE r = 1)"""
     val sb = new StringBuilder(
-      s"""WITH q AS MATERIALIZED (
-          SELECT vec_id, $quantSql AS v FROM embeddings),
-        sd AS MATERIALIZED (SELECT vec_id, v,
+      s"""sd AS MATERIALIZED (SELECT vec_id, $vec,
             row_number() OVER (ORDER BY vec_id) - 1 AS ord
-          FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $ksub)),
+          FROM (SELECT vec_id, $vec FROM $src ORDER BY vec_id LIMIT $ksub)),
         c0 AS MATERIALIZED (SELECT gs.s, sd.ord,
-            ${sliceOf("sd.v", "gs.s")} AS cv
+            ${sliceOf(s"sd.$vec", "gs.s")} AS cv
           FROM sd CROSS JOIN range(0, $m) gs(s))""")
     for (i <- 1 to iters) {
       val prev = s"c${i - 1}"
@@ -2104,9 +2165,9 @@ object QueryCatalog {
           SELECT s, ord, pos,
             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mm
           FROM (SELECT a.s, a.ord,
-                  unnest(${sliceOf("q.v", "a.s")}) AS x,
-                  generate_subscripts(${sliceOf("q.v", "a.s")}, 1) AS pos
-                FROM a$i a JOIN q USING (vec_id))
+                  unnest(${sliceOf(s"$src.$vec", "a.s")}) AS x,
+                  generate_subscripts(${sliceOf(s"$src.$vec", "a.s")}, 1) AS pos
+                FROM a$i a JOIN $src USING (vec_id))
           GROUP BY s, ord, pos) GROUP BY s, ord),
         c$i AS MATERIALIZED (SELECT p.s, p.ord, coalesce(u.cv, p.cv) AS cv
           FROM $prev p LEFT JOIN m$i u ON u.s = p.s AND u.ord = p.ord)"""

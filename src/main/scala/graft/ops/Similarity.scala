@@ -240,31 +240,7 @@ object Similarity {
     val q = corpus.select(col(idCol).cast("long").as("neighbor_id"),
         quantize(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = q.orderBy("neighbor_id").limit(ksub).collect()
-    require(seeds.nonEmpty, "pqTopK needs a non-empty corpus")
-    var books: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
-      seeds.toSeq.map(r => r.getSeq[Long](1)
-        .slice(s * subDim, (s + 1) * subDim).padTo(subDim, 0L))
-    }
-    for (_ <- 1 to iters) {
-      val updated = q
-        .select(posexplode(
-          graft.plans.GraftExpressions.pq_encode(col("v"), books, subDim))
-          .as(Seq("s", "code")), col("v"))
-        .groupBy("s", "code")
-        .agg(graft.plans.GraftExpressions.vec_sum(
-          slice(col("v"), col("s") * subDim + 1, lit(subDim))).as("sum"),
-          count(lit(1)).as("n"))
-        .collect()
-        .map { r =>
-          val n = r.getLong(3).toDouble
-          (r.getInt(0), r.getInt(1)) ->
-            r.getSeq[Long](2).map(x => math.floor(x.toDouble / n).toLong)
-        }.toMap
-      books = books.zipWithIndex.map { case (words, s) =>
-        words.zipWithIndex.map { case (w, c) => updated.getOrElse((s, c), w) }
-      }
-    }
+    val books = trainPqBooks(q, "neighbor_id", "v", m, ksub, iters, subDim)
     val encoded = q.withColumn("codes",
       graft.plans.GraftExpressions.pq_encode(col("v"), books, subDim))
     q.unpersist(blocking = false)
@@ -276,6 +252,120 @@ object Similarity {
       .reduce(_ + _)
     val scored = encoded.join(broadcast(p),
         col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Lloyd-train per-subspace PQ codebooks over `df(idCol, vecCol)` (see
+    * [[pqTopK]]'s scaladoc for the exact deterministic semantics; seeds are
+    * the sub-slices of the `ksub` smallest-id rows). One pass per round:
+    * native encode projection -> posexplode -> vec_sum aggregate. */
+  private def trainPqBooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, subDim: Int): Seq[Seq[Seq[Long]]] = {
+    val seeds = df.orderBy(idCol).limit(ksub)
+      .select(col(idCol), col(vecCol)).collect()
+    require(seeds.nonEmpty, "PQ training needs a non-empty corpus")
+    var books: Seq[Seq[Seq[Long]]] = (0 until m).map { s =>
+      seeds.toSeq.map(r => r.getSeq[Long](1)
+        .slice(s * subDim, (s + 1) * subDim).padTo(subDim, 0L))
+    }
+    for (_ <- 1 to iters) {
+      val updated = df
+        .select(posexplode(
+          graft.plans.GraftExpressions.pq_encode(col(vecCol), books, subDim))
+          .as(Seq("s", "code")), col(vecCol).as("__bv"))
+        .groupBy("s", "code")
+        .agg(graft.plans.GraftExpressions.vec_sum(
+          slice(col("__bv"), col("s") * subDim + 1, lit(subDim))).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(3).toDouble
+          (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Long](2).map(x => math.floor(x.toDouble / n).toLong)
+        }.toMap
+      books = books.zipWithIndex.map { case (words, s) =>
+        words.zipWithIndex.map { case (w, c) => updated.getOrElse((s, c), w) }
+      }
+    }
+    books
+  }
+
+  /**
+   * IVF-PQ ANN (the FAISS `IVFxx,PQyy` composition — the billion-scale
+   * default): a coarse IVF quantizer routes every vector to one of `nlist`
+   * lists ([[annIvf]]'s deterministic md5-sampled centroids + native
+   * `IvfAssign` projection, no shuffle), and within each list vectors are
+   * compressed to m-byte PQ codes of their RESIDUAL against the list
+   * centroid ((q-c)-(x-c) = q-x, so residual ADC approximates true L2
+   * between original vectors). Probes search their `nprobe` nearest lists,
+   * carrying ONE ADC table per probed list (computed on the probe's
+   * residual against THAT list's centroid). Pair cost is m lookups + m
+   * adds; corpus storage is m bytes + a list id per vector.
+   *
+   * Deterministic end to end (md5 centroid sample, cosine coarse
+   * assignment with the [[annIvf]] tie rule, integer residuals via the
+   * native `AnchorSub` projection, integer PQ training/encode/ADC) — the
+   * DuckDB oracle replays every stage. Same output shape as [[pqTopK]].
+   */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 1, dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val subDim = dims / m
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("cn2", qdot(col("v"), col("v")))
+    val cents = c.orderBy(md5(col("neighbor_id").cast("string").cast("binary")),
+        col("neighbor_id"))
+      .limit(nlist)
+      .select(col("neighbor_id").as("cid"), col("v"), col("cn2")).collect()
+    val centIds = cents.map(_.getLong(0)).toSeq
+    val centVecs = cents.map(_.getSeq[Long](1)).toSeq
+    val centNorms = cents.map(_.getLong(2)).toSeq
+    // coarse-assign + residual in one shuffle-free native projection chain;
+    // materialized because training re-scans it once per Lloyd round
+    val resid = c
+      .withColumn("cent_id", graft.plans.GraftExpressions.ivf_assign(
+        col("v"), centIds, centVecs, centNorms))
+      .withColumn("rv", graft.plans.GraftExpressions.anchor_sub(
+        col("v"), col("cent_id"), centIds, centVecs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqBooks(resid, "neighbor_id", "rv", m, ksub, iters, subDim)
+    val encoded = resid.select(col("neighbor_id"), col("cent_id"),
+      graft.plans.GraftExpressions.pq_encode(col("rv"), books, subDim)
+        .as("codes"))
+    resid.unpersist(blocking = false)
+    val p = probes.select(col(probeIdCol).cast("long").as("query_id"),
+        quantize(col(probeVecCol)).as("qv"))
+      .withColumn("qn2", qdot(col("qv"), col("qv")))
+    // probe side is small by contract: per-centroid struct chain is fine
+    val structs = cents.map { r =>
+      val cv = lit(r.getSeq[Long](1).toArray)
+      struct(
+        negate(qcosineWithNorms(qdot(col("qv"), cv), col("qn2"),
+          lit(r.getLong(2)))).as("negcos"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val pw = Window.partitionBy("query_id").orderBy(col("negcos"), col("cid"))
+    val probeCands = p
+      .select(col("query_id"), col("qv"),
+        explode(array(structs.toIndexedSeq: _*)).as("cs"))
+      .select(col("query_id"), col("qv"),
+        col("cs.negcos").as("negcos"), col("cs.cid").as("cid"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= nprobe)
+      .withColumn("tbl", graft.plans.GraftExpressions.pq_adc_table(
+        graft.plans.GraftExpressions.anchor_sub(col("qv"), col("cid"),
+          centIds, centVecs), books, subDim))
+      .select(col("query_id"), col("cid").as("cent_id"), col("tbl"))
+    val adc = (0 until m).map(s => col("tbl")(s)(col("codes")(s)))
+      .reduce(_ + _)
+    val scored = encoded.join(broadcast(probeCands), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)

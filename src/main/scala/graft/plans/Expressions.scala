@@ -869,6 +869,70 @@ case class PqAdcTable(child: Expression, books: Seq[Seq[Seq[Long]]],
     copy(child = newChild)
 }
 
+/**
+ * Element-wise residual against a driver-side anchor table: `vec -
+ * anchors(anchorId)` as `array<bigint>` — the IVF-PQ residual step ((q-c)
+ * and (x-c) share the anchor, so squared-L2 between residuals equals
+ * squared-L2 between the originals within a list). The anchor table rides
+ * as ONE codegen reference object; a `zip_with` + map-lookup formulation
+ * runs its lambda interpreted per ELEMENT on every corpus row. Unknown
+ * anchor ids fail loudly (they indicate a broken assignment upstream);
+ * elements past the vector's length read as 0.
+ */
+case class AnchorSub(left: Expression, right: Expression,
+    anchorIds: Seq[Long], anchorVecs: Seq[Seq[Long]])
+    extends BinaryExpression {
+  require(anchorIds.nonEmpty && anchorIds.length == anchorVecs.length,
+    "malformed anchor table")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"anchor_sub needs (array<bigint>, bigint), got $other")
+    }
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    anchorIds.zip(anchorVecs).foreach { case (id, v) => m.put(id, v.toArray) }
+    m
+  }
+
+  override def nullSafeEval(v: Any, id: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      AnchorSub.sub(v.asInstanceOf[ArrayData], id.asInstanceOf[Long], table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchors", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (v, id) =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData" +
+        s".toArrayData(graft.plans.AnchorSub.sub($v, $id, $ref));")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AnchorSub =
+    copy(left = newLeft, right = newRight)
+}
+
+object AnchorSub {
+  def sub(vec: ArrayData, id: Long,
+      anchors: java.util.HashMap[java.lang.Long, Array[Long]]): Array[Long] = {
+    val a = anchors.get(id)
+    require(a != null, s"anchor_sub: unknown anchor id $id")
+    val out = new Array[Long](a.length)
+    val n = vec.numElements()
+    var i = 0
+    while (i < a.length) {
+      out(i) = (if (i < n) vec.getLong(i) else 0L) - a(i)
+      i += 1
+    }
+    out
+  }
+}
+
 /** Broadcast-by-codegen-reference PQ codebooks: `vecs(s)(c)` is codeword c
   * of subspace s, each `subDim` longs. */
 final class PqBooks(val vecs: Array[Array[Array[Long]]], val subDim: Int)
@@ -983,6 +1047,11 @@ object GraftExpressions {
 
   def pq_encode(vec: Column, books: Seq[Seq[Seq[Long]]], subDim: Int): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books, subDim))
+
+  def anchor_sub(vec: Column, anchorId: Column, anchorIds: Seq[Long],
+      anchorVecs: Seq[Seq[Long]]): Column =
+    ColumnBridge.column(AnchorSub(ColumnBridge.expression(vec),
+      ColumnBridge.expression(anchorId), anchorIds, anchorVecs))
 
   def pq_adc_table(vec: Column, books: Seq[Seq[Seq[Long]]],
       subDim: Int): Column =

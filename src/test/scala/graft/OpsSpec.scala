@@ -164,6 +164,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: one list + uncompressed codebooks equal exact L2") {
+    // nlist = 1 (all residuals share the anchor), ksub >= |corpus|,
+    // iters = 0: residual ADC must equal true squared-L2 between originals.
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 5 + d * 7) % 13 - 6) * 0.25f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" < 3), "vec_id", "embedding",
+        k = 4, nlist = 1, nprobe = 1, m = 4, ksub = 12, iters = 0, dims = 8)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)))
+      .toMap
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1000.0)) }.toMap
+    for (probe <- 0L until 3L) {
+      val want = q.filter(_._1 != probe).map { case (id, v) =>
+        (id, v.zip(q(probe)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.toSeq.sortBy { case (id, d) => (d, id) }.take(4)
+      assert(got(probe).toSeq == want, s"probe $probe")
+    }
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val df = Seq((1L, "Hello World"), (2L, "hello, world!"), (3L, "other"))
       .toDF("doc_id", "text")
