@@ -77,6 +77,37 @@ object Dedup {
     rows
   }
 
+  /** [[shingleTable]] for SEVERAL gram sizes in ONE corpus pass: emits
+    * (doc_id, n, shingle) with each document tokenized once and slid once
+    * per n — for consumers needing multiple gram orders (the Gopher
+    * repetition gates score 2-grams and 3-grams together; two separate
+    * shingleTable passes would re-scan and re-tokenize the corpus). Per-n
+    * semantics are identical to `shingleTable(n)` (same short-text and
+    * null fallbacks). Duplicates are always kept — multi-n consumers are
+    * counting, not set-building. */
+  def shingleTableMulti(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "shingleTableMulti needs at least one gram size")
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("n", org.apache.spark.sql.types.IntegerType, false),
+      StructField("shingle", StringType)))
+    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+      .flatMap { r =>
+        val id = r.get(0)
+        if (r.isNullAt(1)) ns.iterator.map(n => Row(id, n, null))
+        else {
+          val toks = graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
+          ns.iterator.flatMap { n =>
+            if (toks.length >= n)
+              toks.sliding(n).map(g => Row(id, n, g.mkString(" ")))
+            else Iterator.single(Row(id, n, toks.mkString(" ")))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** 60-bit md5-derived shingle hash (15 hex chars — sign-safe in a BIGINT,
     * DuckDB-replayable). Shingle SETS are carried as arrays of these, not of
     * strings: an n-gram string averages tens of bytes while the hash is 8,

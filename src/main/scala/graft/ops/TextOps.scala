@@ -277,14 +277,29 @@ object TextOps {
         size(lines_).cast("double")).as("dup_line_frac"),
       q6((lineChars - distChars).cast("double") /
         greatest(lineChars, lit(1L)).cast("double")).as("dup_line_char_frac"))
-    def frac(statsN: Int, pick: String, outName: String): DataFrame =
-      ngramRepetitionStats(df, idCol, textCol, statsN).select(
-        col("doc_id"),
-        q6(col(pick).cast("double") /
-          greatest(col("total_chars"), lit(1L)).cast("double")).as(outName))
-    lineMetrics
-      .join(frac(topN, "top_chars", s"top${topN}gram_char_frac"), Seq("doc_id"))
-      .join(frac(dupN, "dup_chars", s"dup${dupN}gram_char_frac"), Seq("doc_id"))
+    // BOTH gram orders in one corpus pass (tokenize once, slide twice) and
+    // one two-level aggregate with conditional sums — the two-separate-
+    // ngramRepetitionStats formulation re-scanned and re-tokenized the
+    // corpus per gram size and paid a third join
+    val chars = coalesce(length(col("shingle")), lit(0)).cast("long")
+    val cc = col("cnt") * chars
+    val gramMetrics = graft.ops.Dedup
+      .shingleTableMulti(df, idCol, textCol, Seq(topN, dupN).distinct)
+      .groupBy("doc_id", "n", "shingle").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === topN, cc)).as("top_chars"),
+        sum(when(col("n") === topN, cc).otherwise(0L)).as("top_total"),
+        sum(when(col("n") === dupN && col("cnt") > 1, cc).otherwise(0L))
+          .as("dup_chars"),
+        sum(when(col("n") === dupN, cc).otherwise(0L)).as("dup_total"))
+      .select(col("doc_id"),
+        q6(col("top_chars").cast("double") /
+          greatest(col("top_total"), lit(1L)).cast("double"))
+          .as(s"top${topN}gram_char_frac"),
+        q6(col("dup_chars").cast("double") /
+          greatest(col("dup_total"), lit(1L)).cast("double"))
+          .as(s"dup${dupN}gram_char_frac"))
+    lineMetrics.join(gramMetrics, Seq("doc_id"))
   }
 
   /** Canonical text normalization for fingerprinting: lowercase, collapse

@@ -60,6 +60,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
 
+  test("pq encode + residual are pure projections (no shuffle, no join)") {
+    // the corpus side of PQ / IVF-PQ: quantize -> coarse-assign -> residual
+    // -> m-byte encode must all fuse into the scan stage; codebooks and
+    // anchors ride as codegen reference objects, never as a join side
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val books = (0 until 8).map(_ => Seq(Seq.fill(8)(0L), Seq.fill(8)(5L)))
+    val q = e.select(col("vec_id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("cent_id", graft.plans.GraftExpressions.ivf_assign(
+        col("v"), Seq(0L), Seq(Seq.fill(64)(1L)), Seq(64L)))
+      .withColumn("rv", graft.plans.GraftExpressions.anchor_sub(
+        col("v"), col("cent_id"), Seq(0L), Seq(Seq.fill(64)(1L))))
+      .withColumn("codes",
+        graft.plans.GraftExpressions.pq_encode(col("rv"), books, 8))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("scd2 merge plans exactly ONE join and ONE batch-dedup window") {
     // the merge is a single full-outer join whose rows explode to their
     // closed/kept/opened versions; a regression to the join + anti-join
