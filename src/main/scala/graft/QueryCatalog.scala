@@ -1073,6 +1073,28 @@ object QueryCatalog {
           FROM lm JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
       }),
 
+    // ExactSubstr-style duplicated spans (Lee et al. 2022): positions whose
+    // 5-gram repeats anywhere in the corpus, merged into maximal runs,
+    // reported at >= 8 tokens. Marking + island windows only — no pair join.
+    ("q_text_exact_spans",
+      (s: SparkSession, d: String) => TextOps.duplicatedSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 5, minSpan = 8),
+      Some(s"""WITH dp AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        pos AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+            array_to_string(tk[u.i:u.i+4], ' ') AS g
+          FROM dp, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        hot AS MATERIALIZED (SELECT g FROM pos
+          GROUP BY g HAVING count(*) >= 2),
+        d AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (g)),
+        isl AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM d)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+          CAST(count(*) + 4 AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, grp
+        HAVING count(*) + 4 >= 8""")),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextOps.withQuality(t(s, d, "documents"), "text")

@@ -108,6 +108,31 @@ object Dedup {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** POSITIONAL shingles: (doc_id, pos, shingle) with `pos` the 0-based
+    * token offset of each n-gram — the input to span-level duplicate
+    * detection, where WHERE a gram sits matters as much as what it is.
+    * Documents shorter than `n` emit nothing (no n-token span exists in
+    * them; whole-short-doc duplication belongs to exact dedup). */
+  def shingleTablePos(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+      StructField("shingle", StringType)))
+    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+      .flatMap { r =>
+        val id = r.get(0)
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val toks = graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
+          if (toks.length < n) Iterator.empty
+          else toks.sliding(n).zipWithIndex
+            .map { case (g, i) => Row(id, i, g.mkString(" ")) }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** 60-bit md5-derived shingle hash (15 hex chars — sign-safe in a BIGINT,
     * DuckDB-replayable). Shingle SETS are carried as arrays of these, not of
     * strings: an n-gram string averages tens of bytes while the hash is 8,

@@ -302,6 +302,42 @@ object TextOps {
     lineMetrics.join(gramMetrics, Seq("doc_id"))
   }
 
+  /**
+   * ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+   * arXiv:2107.06499 — there via suffix arrays; here the distributed
+   * formulation): a token position participates in a duplicate when its
+   * n-gram occurs at >= 2 positions anywhere in the corpus (within- or
+   * cross-document, like ExactSubstr); maximal RUNS of consecutive
+   * duplicated positions in a document merge into spans, reported when at
+   * least `minSpan` tokens long. Output: (doc_id, span_start, span_len) in
+   * token units — the regions a training pipeline masks or cuts.
+   *
+   * Scale shape — the property that makes this tractable where pairwise
+   * span attribution is not: positions are only MARKED (a document-
+   * frequency window over the gram key, one shuffle, reused partitioning —
+   * no pair join), so a boilerplate gram at a million positions costs a
+   * million marks, never a million-squared pair explosion; the island
+   * merge is one doc_id-keyed window (`pos - row_number()` run grouping).
+   * Granularity is the gram size: duplicated regions shorter than `n`
+   * are invisible here and belong to exact/minhash dedup.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minSpan: Int): DataFrame = {
+    require(minSpan >= n, s"minSpan=$minSpan must be >= gram size n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val pos = graft.ops.Dedup.shingleTablePos(df, idCol, textCol, n)
+    val dfw = Window.partitionBy("shingle")
+    val dup = pos.withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") >= 2).drop("df", "shingle")
+    val iw = Window.partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("grp", col("pos") - row_number().over(iw))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (count(lit(1)) + (n - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select("doc_id", "span_start", "span_len")
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * every non-alnum run to one space, trim. */
   def normalize(text: Column): Column =

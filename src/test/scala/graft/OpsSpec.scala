@@ -62,6 +62,20 @@ class OpsSpec extends SparkSpec {
     assert(re == want)
   }
 
+  test("duplicatedSpans: cross-doc island merge and within-doc repeats") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // shares c..j with doc 2
+      (2L, "c d e f g h i j"),
+      (3L, "x y z w v x y z w v") // within-doc repeat of a 5-token block
+    ).toDF("doc_id", "text")
+    val got = TextOps.duplicatedSpans(df, "doc_id", "text", n = 5, minSpan = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1: dup 5-grams at positions 2..5 -> one span [2, len 8]; doc 2:
+    // all four grams dup -> [0, 8]; doc 3: gram "x y z w v" at 0 and 5
+    // (within-doc count 2) -> two 5-token spans, positions 0 and 5
+    assert(got == Set((1L, 2L, 8L), (2L, 0L, 8L), (3L, 0L, 5L), (3L, 5L, 5L)))
+  }
+
   test("dsirResample: target-like documents outrank the rest") {
     val df = Seq(
       (1L, "t", "alpha beta alpha beta"),
