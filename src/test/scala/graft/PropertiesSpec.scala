@@ -133,6 +133,53 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans: a fully cloned corpus yields whole-doc spans") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val n = 3
+    val gen = Gen.chooseNum(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg"))
+        .map(_.mkString(" ")))
+    val texts = samples(gen, 60).distinct // distinct: no accidental dups
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val cloned = docs ++ docs.map { case (id, t) => (id + 10000L, t) }
+    val got = graft.ops.TextOps.duplicatedSpans(
+        cloned.toDF("doc_id", "text"), "doc_id", "text", n = n, minSpan = n)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    cloned.foreach { case (id, t) =>
+      val toks = graft.plans.TokenizeAlnum.tokensOf(t)
+      if (toks.length >= n)
+        // every position's gram has its clone: ONE span covering the doc
+        assert(got(id) == Set((0L, toks.length.toLong)), s"doc $id")
+      else assert(!got.contains(id), s"doc $id under gram size")
+    }
+  }
+
+  test("gopherRepetition: fractions bounded, extremes hit exactly") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = Gen.chooseNum(1, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("w1", "w2", "w3", "w4"))
+        .map(_.mkString(" ")))
+    val texts = samples(gen, 80) :+ "" :+ ("solo " * 30).trim
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.gopherRepetition(df, "doc_id", "text",
+        t => split(t, " "), topN = 2, dupN = 3)
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length == texts.length)
+    rows.foreach { case (id, nLines, dlf, dlcf, topf, dupf) =>
+      assert(nLines >= 1, s"doc $id")
+      Seq(dlf, dlcf, topf, dupf).foreach(f =>
+        assert(f >= 0.0 && f <= 1.0, s"doc $id frac $f out of range"))
+    }
+    // "solo" x30: every line duplicated, every 3-gram duplicated
+    val solo = rows.find(_._1 == texts.length - 1L).get
+    assert(solo._3 > 0.9 && solo._6 == 1.0)
+  }
+
   test("components equal a union-find reference on random graphs") {
     val spark = SparkSpec.spark
     import spark.implicits._
