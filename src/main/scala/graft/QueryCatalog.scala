@@ -1095,6 +1095,41 @@ object QueryCatalog {
         FROM isl GROUP BY doc_id, grp
         HAVING count(*) + 4 >= 8""")),
 
+    // ...and APPLIED: the detected spans cut from every document (the
+    // ExactSubstr dedup step itself). Equi-joins + one reassembly shuffle.
+    ("q_text_exact_scrub",
+      (s: SparkSession, d: String) => TextOps.cutDuplicatedSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 5, minSpan = 8),
+      Some(s"""WITH dp AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        pos AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
+            array_to_string(tk[u.i:u.i+4], ' ') AS g
+          FROM dp, UNNEST(range(1, len(tk) - 3)) AS u(i)),
+        hot AS MATERIALIZED (SELECT g FROM pos
+          GROUP BY g HAVING count(*) >= 2),
+        dd AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (g)),
+        isl AS (SELECT doc_id, pos,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM dd),
+        spans AS MATERIALIZED (SELECT doc_id, min(pos) AS span_start,
+            count(*) + 4 AS span_len
+          FROM isl GROUP BY doc_id, grp HAVING count(*) + 4 >= 8),
+        cov AS MATERIALIZED (SELECT doc_id, u.i AS idx
+          FROM spans, UNNEST(range(span_start, span_start + span_len)) u(i)),
+        toks AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx,
+            tk[u.i] AS tok
+          FROM dp, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        kept AS (SELECT doc_id,
+            string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+            count(*) AS n_kept
+          FROM (SELECT t.* FROM toks t ANTI JOIN cov c
+                ON c.doc_id = t.doc_id AND c.idx = t.idx)
+          GROUP BY doc_id)
+        SELECT dp.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          CAST(len(tk) AS BIGINT) AS n_tokens,
+          CAST(len(tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+        FROM dp LEFT JOIN kept k ON k.doc_id = dp.doc_id""")),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextOps.withQuality(t(s, d, "documents"), "text")

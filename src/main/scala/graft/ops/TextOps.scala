@@ -338,6 +338,48 @@ object TextOps {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /**
+   * Apply [[duplicatedSpans]]: cut every detected span's tokens from every
+   * document and reassemble — ExactSubstr dedup actually performed (Lee et
+   * al. 2022 cut duplicated substrings over 50 tokens; `minSpan` is that
+   * knob). Output: (doc_id, clean_text, n_tokens, n_cut) with `clean_text`
+   * the surviving tokens rejoined in order (normalized token text, like
+   * [[removeRepeatedSpans]]); every input document survives, possibly
+   * empty.
+   *
+   * Scale shape: spans explode to covered token positions (spans are
+   * maximal and disjoint per doc, so no distinct needed), tokens drop via
+   * one anti equi-join on (doc, position), and reassembly is the same
+   * single doc-keyed sort-collect as [[removeRepeatedSpans]] — equi-joins
+   * and one reassembly shuffle only; nothing pairwise, nothing interpreted
+   * per token.
+   */
+  def cutDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minSpan: Int): DataFrame = {
+    val covered = duplicatedSpans(df, idCol, textCol, n, minSpan)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"),
+          col("span_start") + col("span_len") - 1)).as("idx"))
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("idx", "tok")))
+      .withColumn("idx", col("idx").cast("long"))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("doc_id"),
+        coalesce(size(tokens(col(textCol))), lit(0)).cast("long")
+          .as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, collapse
     * every non-alnum run to one space, trim. */
   def normalize(text: Column): Column =

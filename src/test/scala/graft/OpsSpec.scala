@@ -76,6 +76,23 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 8L), (2L, 0L, 8L), (3L, 0L, 5L), (3L, 5L, 5L)))
   }
 
+  test("cutDuplicatedSpans: spans removed, untouched docs intact") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "c d e f g h i j"),
+      (3L, "x y z w v x y z w v"),
+      (4L, "totally unique words here only")
+    ).toDF("doc_id", "text")
+    val got = TextOps.cutDuplicatedSpans(df, "doc_id", "text",
+        n = 5, minSpan = 5)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == (("a b", 10L, 8L)))     // span [2,8] cut
+    assert(got(2L) == (("", 8L, 8L)))         // whole doc duplicated
+    assert(got(3L) == (("", 10L, 10L)))       // two 5-token spans cut
+    assert(got(4L) == (("totally unique words here only", 5L, 0L)))
+  }
+
   test("dsirResample: target-like documents outrank the rest") {
     val df = Seq(
       (1L, "t", "alpha beta alpha beta"),
