@@ -1272,6 +1272,42 @@ object QueryCatalog {
           ex.exact_distinct
         FROM kth JOIN ex ON kth.lang IS NOT DISTINCT FROM ex.lang""")),
 
+    // Count-Min frequency sketch (the counterpart of q_text_kmv's distinct
+    // sketch): one fixed 4x512-counter aggregate over every token occurrence,
+    // then the top-20 exact heavy hitters with their sketch point-estimates.
+    // At 100 TB the sketch replaces the full-vocabulary shuffle: state is
+    // 16 KB per partition, counter-wise summed map-side. The oracle replays
+    // the buckets exactly (md5-derived hashes, addition commutes).
+    ("q_text_cms",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(
+          explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
+        val sketch = graft.ops.TextOps.cmsSketch(toks, "word",
+          depth = 4, width = 512)
+        val top = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("word").asc).limit(20)
+        top.crossJoin(broadcast(sketch))
+          .select(col("word"), col("n_exact"),
+            graft.ops.TextOps.cmsEstimate(col("sketch"), col("word"),
+              depth = 4, width = 512).as("cms_est"))
+      },
+      Some(s"""WITH toks AS MATERIALIZED (SELECT t AS word
+            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+          cnt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+            FROM toks GROUP BY word),
+          hb AS MATERIALIZED (SELECT word, n_exact, r.t,
+              CAST(concat('0x',
+                substr(md5(CAST(r.t AS VARCHAR) || ':' || word), 1, 15))
+                AS BIGINT) % 512 AS b
+            FROM cnt, UNNEST(range(0, 4)) AS r(t)),
+          bsum AS MATERIALIZED (SELECT t, b, SUM(n_exact) AS s
+            FROM hb GROUP BY t, b),
+          est AS (SELECT hb.word, CAST(min(bsum.s) AS BIGINT) AS cms_est
+            FROM hb JOIN bsum USING (t, b) GROUP BY hb.word)
+        SELECT c.word, c.n_exact, e.cms_est
+        FROM cnt c JOIN est e USING (word)
+        ORDER BY c.n_exact DESC, c.word ASC LIMIT 20""")),
+
     // Exact per-language length percentiles (discrete: the element at
     // ceil(p*n), no interpolation — interpolated quantiles are IEEE
     // op-order-sensitive across engines, the rank selection is not). Both

@@ -392,4 +392,31 @@ object TextOps {
     * (graft.plans.RollingHash). */
   def fingerprintRolling(text: Column): Column =
     graft.plans.GraftExpressions.rolling_hash(normalize(text))
+
+  /**
+   * Count-Min frequency sketch of a string column: ONE row holding the
+   * depth*width counter array (see graft.plans.CmsAgg for hashing and the
+   * 100 TB rationale — fixed 16 KB-ish state, map-side combinable, no
+   * full-vocabulary shuffle).
+   */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int,
+      width: Int): DataFrame =
+    df.agg(graft.plans.GraftExpressions
+      .cms_agg(col(valueCol), depth, width).as("sketch"))
+
+  /**
+   * Point query against a [[cmsSketch]] array column: min over the sketch's
+   * `depth` counters for `value` — an upper bound on the true occurrence
+   * count. Pure `functions._` arithmetic on the md5 convention shared with
+   * the aggregate, so it runs inside codegen and replays in the oracle.
+   */
+  def cmsEstimate(sketch: Column, value: Column, depth: Int,
+      width: Int): Column = {
+    val perRow = (0 until depth).map { t =>
+      val h = conv(substring(md5(concat(lit(t + ":"), value)
+        .cast("binary")), 1, 15), 16, 10).cast("long")
+      element_at(sketch, (lit(t * width) + pmod(h, lit(width)) + 1).cast("int"))
+    }
+    if (perRow.size == 1) perRow.head else least(perRow: _*)
+  }
 }

@@ -1002,6 +1002,108 @@ object PqBooks {
         org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(row): Any))
 }
 
+/**
+ * Count-Min Sketch (Cormode & Muthukrishnan 2005) — the frequency-sketch
+ * counterpart to [[KmvDistinct]]: `depth` rows of `width` counters; each
+ * input string increments one counter per row at bucket
+ * `md5("<row>:<value>")[0,15) % width` (the repo's 60-bit md5 convention).
+ * A point query reads the minimum of its `depth` counters — an upper bound
+ * on the true count, within eps*N with probability 1-delta for
+ * width = e/eps, depth = ln(1/delta).
+ *
+ * Scale rationale: heavy-hitter estimation over 100 TB of tokens without
+ * the full-width groupBy shuffle — the aggregate's state is a fixed
+ * depth*width Long array (e.g. 4x512 = 16 KB), map-side combinable
+ * (counter-wise sum), so the shuffle moves one small array per partition
+ * regardless of corpus size or vocabulary. Addition commutes, and the
+ * hashes are md5-derived, so the sketch is byte-identical under any
+ * partitioning AND exactly replayable by the DuckDB oracle (bucket sums +
+ * min over rows in plain SQL) — same determinism bar as KMV.
+ */
+case class CmsAgg(child: Expression, depth: Int, width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
+  require(width >= 2, s"width=$width must be >= 2")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      var t = 0
+      while (t < depth) {
+        buf(t * width + CmsAgg.bucket(t, s, width)) += 1L
+        t += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): CmsAgg =
+    copy(child = newChild)
+}
+
+object CmsAgg {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Bucket of `value` in sketch row `t`: first 15 hex chars of
+    * md5("t:value") as a 60-bit long, mod width — matches the SQL form
+    * `conv(substring(md5(concat('t:', v)), 1, 15), 16, 10) % width` on both
+    * Spark and DuckDB, so sketch queries replay engine-externally. */
+  def bucket(t: Int, value: String, width: Int): Int = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest((t + ":" + value)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7.5 bytes; build the 60-bit value directly
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+    (h % width).toInt
+  }
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -1040,6 +1142,10 @@ object GraftExpressions {
     ColumnBridge.column(VecSumAgg(ColumnBridge.expression(vec))
       .toAggregateExpression())
 
+  def cms_agg(value: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CmsAgg(ColumnBridge.expression(value), depth, width)
+      .toAggregateExpression())
+
   def ivf_assign(vec: Column, centIds: Seq[Long], centVecs: Seq[Seq[Long]],
       centNorms: Seq[Long]): Column =
     ColumnBridge.column(IvfAssign(ColumnBridge.expression(vec),
@@ -1073,5 +1179,9 @@ object GraftExpressions {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_sum", exprs => VecSumAgg(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_agg", exprs => CmsAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -498,6 +498,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(e1 - 500) / 500.0 < 0.4, s"estimate $e1 too far from 500")
   }
 
+  test("cms sketch: upper bound, partition-invariant, additive under union") {
+    // skewed corpus: val_i appears i times (1..40), 820 occurrences total
+    val df = (1 to 40).flatMap(i => Seq.fill(i)(s"val_$i")).toDF("w")
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      TextOps.cmsSketch(d, "w", depth = 4, width = 64)
+        .head().getSeq[Long](0)
+    // merge correctness: the counter array cannot depend on partitioning
+    val s1 = sketchOf(df.repartition(1))
+    assert(sketchOf(df.repartition(7)) == s1)
+    // every counter counts occurrences: totals per row equal corpus size
+    (0 until 4).foreach { t =>
+      assert(s1.slice(t * 64, (t + 1) * 64).sum == 820L)
+    }
+    // doubling the corpus doubles every counter (addition commutes)
+    assert(sketchOf(df.union(df)) == s1.map(_ * 2))
+    // point estimates: always >= the true count, and with 40 keys in
+    // 4x64 counters the heavy hitter is exact with overwhelming odds
+    val est = df.distinct()
+      .crossJoin(broadcast(TextOps.cmsSketch(df, "w", 4, 64)))
+      .select($"w", TextOps.cmsEstimate($"sketch", $"w", 4, 64).as("e"))
+      .as[(String, Long)].collect().toMap
+    (1 to 40).foreach { i =>
+      assert(est(s"val_$i") >= i.toLong, s"val_$i underestimated")
+    }
+  }
+
   test("repeated-span removal cuts shared tiles, keeps order, empty-safe") {
     val boiler = "subscribe to our newsletter now" // 5 tokens -> tile + tail
     val df = Seq(
