@@ -2361,6 +2361,38 @@ object QueryCatalog {
       },
       Some("SELECT o_orderkey, o_orderstatus, o_custkey FROM orders")),
 
+    // Change-data feed between two snapshot versions (Delta CDF's
+    // table_changes, re-derived from immutable snapshots): v0 = even
+    // orderkeys, v1 = keys not divisible by 3 with o_custkey bumped on
+    // multiples of 4 -> odd non-3-multiples are inserts, even 3-multiples
+    // deletes, 4-multiples (not div 3) updates; the oracle recomputes the
+    // classification from the same predicates over the source table
+    ("q_snapshot_changes",
+      (s: SparkSession, d: String) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cdc").toString + "/orders"
+        val src = t(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_custkey")
+        graft.write.SnapshotStore.commit(
+          src.filter(col("o_orderkey") % 2 === 0), root)
+        graft.write.SnapshotStore.commit(
+          src.filter(col("o_orderkey") % 3 =!= 0)
+            .withColumn("o_custkey", when(col("o_orderkey") % 4 === 0,
+              col("o_custkey") + 1).otherwise(col("o_custkey"))), root)
+        graft.write.SnapshotStore.changesBetween(s, root, 0L, 1L,
+          Seq("o_orderkey"))
+      },
+      Some("""WITH src AS (SELECT o_orderkey, o_orderstatus, o_custkey
+            FROM orders)
+        SELECT o_orderkey, 'insert' AS change_op, o_orderstatus, o_custkey
+          FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey, 'delete', o_orderstatus, o_custkey
+          FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'update', o_orderstatus, o_custkey + 1
+          FROM src WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0""")),
+
     // JSONL round trip (write -> declared-schema read): lossless through
     // JSON string escaping — verified via md5 over the full text body
     ("q_src_jsonl",

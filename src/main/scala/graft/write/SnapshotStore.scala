@@ -2,6 +2,7 @@ package graft.write
 
 import java.nio.file.{Files, Path => JPath, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Snapshot-committed tables: the commit protocol [[MergeWriter.writeSwap]]'s
@@ -140,6 +141,45 @@ object SnapshotStore {
   /** Time travel: read a specific committed version. */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(versionDir(Paths.get(root), version).toString)
+
+  /**
+   * Change-data feed between two committed versions: the keyed diff
+   * from -> to, classified `insert` / `update` / `delete` — the
+   * `table_changes` read of Delta's CDF, re-derived from immutable
+   * snapshots as ONE full-outer join on the key columns (one shuffle per
+   * side, AQE free to broadcast a small version). Presence is tracked by
+   * the join sides themselves (payload structs carry a constant marker),
+   * so all-NULL payloads diff correctly; payload equality is null-safe.
+   * Rows carry the NEW image for insert/update and the OLD image for
+   * delete. The diff covers the data columns COMMON to both versions — a
+   * column existing in only one version is ignored rather than reported
+   * as a phantom change on every row (callers diffing across a schema
+   * migration should project explicitly). Unchanged rows are dropped.
+   */
+  def changesBetween(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesBetween needs key columns")
+    val oldV = readVersion(spark, root, fromVersion)
+    val newV = readVersion(spark, root, toVersion)
+    Seq(oldV, newV).foreach { v =>
+      val missing = keys.filterNot(v.columns.contains)
+      require(missing.isEmpty, s"version missing key columns: $missing")
+    }
+    val dataCols = oldV.columns.filterNot(keys.contains)
+      .filter(newV.columns.contains).toSeq
+    def side(df: DataFrame, name: String) = df.select(
+      keys.map(col) :+ struct(lit(1).as("_present") +:
+        dataCols.map(col): _*).as(name): _*)
+    side(oldV, "_old").join(side(newV, "_new"), keys, "full_outer")
+      .withColumn("change_op",
+        when(col("_old").isNull, lit("insert"))
+          .when(col("_new").isNull, lit("delete"))
+          .when(!(col("_new") <=> col("_old")), lit("update")))
+      .filter(col("change_op").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_op")) ++ dataCols.map(c =>
+        when(col("change_op") === "delete", col(s"_old.$c"))
+          .otherwise(col(s"_new.$c")).as(c)): _*)
+  }
 
   /** Read-modify-commit with OPTIMISTIC CONCURRENCY CONTROL: apply `merge`
     * to the current snapshot (None before the first commit) and commit the

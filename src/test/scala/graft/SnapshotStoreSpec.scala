@@ -140,4 +140,34 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"), scan)
     assert(pruned.count() == 1)
   }
+
+  test("changesBetween classifies insert/update/delete; null-safe; evolves") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotStore.commit(Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String])
+    ).toDF("id", "v"), root)
+    SnapshotStore.commit(Seq(
+      (2L, Some("B")),          // update: payload changed
+      (3L, None: Option[String]), // unchanged all-NULL payload -> dropped
+      (4L, None: Option[String])  // insert with NULL payload
+    ).toDF("id", "v"), root)
+    val got = SnapshotStore.changesBetween(spark, root, 0L, 1L, Seq("id"))
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("delete", Some("a"))), // old image on delete
+      2L -> (("update", Some("B"))), // new image on update
+      4L -> (("insert", None))))
+    // a version diffed against itself is empty
+    assert(SnapshotStore.changesBetween(spark, root, 1L, 1L, Seq("id"))
+      .isEmpty)
+    // schema evolution: a column added in v2 is ignored, not a phantom
+    // change on every row
+    SnapshotStore.commit(Seq((2L, Some("B"), 9), (4L, None: Option[String], 9))
+      .toDF("id", "v", "extra"), root)
+    assert(SnapshotStore.changesBetween(spark, root, 1L, 2L, Seq("id"))
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((3L, "delete", None)))
+  }
 }
