@@ -2602,7 +2602,43 @@ object QueryCatalog {
           Seq("o_orderkey", "o_custkey"), 8)
         s.read.parquet(out)
       },
-      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")))
+      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
+
+    // ANALYZE-style column profile: one aggregation pass emitting the
+    // statistics a CBO / drift monitor keeps per column. String-typed
+    // columns only get string min/max; doubles and timestamps are excluded
+    // from the catalog variant (engine string renderings differ)
+    ("q_profile_stats",
+      (s: SparkSession, d: String) => graft.ops.Stats.profileColumns(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")),
+      Some {
+        def rowFor(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_val,
+              CAST(max($c) AS VARCHAR) AS max_val FROM lineitem"""
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+          .map(rowFor).mkString("\n UNION ALL\n ")
+      }),
+
+    // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
+    // bucket expression evaluated in one fixed IEEE op order on both
+    // engines, bounds floor-quantized to 6 dp
+    ("q_profile_hist",
+      (s: SparkSession, d: String) => graft.ops.Stats.histogram(
+        t(s, d, "lineitem"), "l_quantity", buckets = 10),
+      Some("""WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
+              CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem),
+          h AS (SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - mn)
+                / (mx - mn) * 10), 9) AS BIGINT) AS bucket,
+              count(*) AS n
+            FROM lineitem, b WHERE l_quantity IS NOT NULL GROUP BY 1)
+        SELECT bucket,
+          floor((mn + bucket * (mx - mn) / 10) * 1e6) / 1e6 AS lo,
+          floor((mn + (bucket + 1) * (mx - mn) / 10) * 1e6) / 1e6 AS hi, n
+        FROM h, b""")))
 
   // ============================================================ sampling
 

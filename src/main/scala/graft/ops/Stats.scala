@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-profiling operators — the ANALYZE/statistics surface of the engine:
+ * per-column summary statistics and equi-width value histograms, the inputs
+ * a query planner's CBO, a data-quality monitor, or a pipeline drift check
+ * consumes.
+ *
+ * Reference analog: the ingestion system's per-table row-count bookkeeping
+ * (`transform_light.py`'s count logging) generalized to the per-column
+ * statistics a lakehouse table format keeps in its metadata.
+ */
+object Stats {
+
+  /**
+   * ANALYZE-style column profile: one row per requested column with
+   * `(col_name, n_rows, n_null, n_distinct, min_val, max_val)`. ONE
+   * aggregation pass over the table; min/max are rendered as strings so
+   * heterogeneous column types share the output schema.
+   *
+   * Scale note: the exact `count_distinct` over k columns plans as a Spark
+   * Expand (each input row shuffled k times, tagged per distinct-aggregate).
+   * That is the canonical exact plan; for very wide profiles over 100 TB
+   * swap in the KMV sketch ([[graft.plans.KmvDistinct]]) — one pass, O(k)
+   * state per column, no Expand — at the price of an estimate.
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_min_$c").as("min_val"),
+        col(s"_max_$c").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /**
+   * Equi-width histogram of a numeric column: `buckets` bins over the
+   * observed [min, max], rows `(bucket, lo, hi, n)`. Two passes — a bounds
+   * aggregate (one tiny driver row), then one bucketing groupBy whose key
+   * count is `buckets`, so the shuffle is bounded regardless of table size.
+   * The max value lands in the last bucket (`least`-capped), NULLs are
+   * excluded, and a constant column collapses to bucket 0.
+   *
+   * Cross-engine determinism: the bucket expression is evaluated in one
+   * fixed order — `floor((x - mn) / span * buckets)` — and bounds are
+   * floor-quantized to 6 dp, so any IEEE-754 engine computing the same
+   * expression tree reproduces the rows bit-for-bit.
+   */
+  def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val r = df.agg(min(col(valueCol)).cast("double"),
+      max(col(valueCol)).cast("double")).head()
+    require(!r.isNullAt(0), s"histogram: $valueCol has no non-null values")
+    val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+    val span = mx - mn
+    val bucket = (if (span == 0d) lit(0.0)
+      else least(floor((col(valueCol).cast("double") - mn) / span * buckets),
+        lit(buckets - 1.0))).cast("long")
+    def q6(c: Column): Column = floor(c * 1e6) / 1e6
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        q6(lit(mn) + col("bucket") * span / buckets).as("lo"),
+        q6(lit(mn) + (col("bucket") + 1) * span / buckets).as("hi"),
+        col("n"))
+  }
+}

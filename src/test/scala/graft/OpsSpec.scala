@@ -524,6 +524,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stats profile: nulls, distincts, mixed types; histogram edges") {
+    import graft.ops.Stats
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null, "a"), (5L, "c")
+    ).toDF("id", "s")
+    val prof = Stats.profileColumns(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(prof("id") == (("id", 5L, 1L, 3L, "1", "5")))
+    assert(prof("s") == (("s", 5L, 1L, 3L, "a", "c")))
+    // histogram: max value capped into the last bucket, nulls dropped
+    val h = Stats.histogram(
+      Seq[java.lang.Double](0.0, 1.0, 5.0, 9.0, 10.0, null)
+        .toDF("x"), "x", buckets = 5)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(h == Map(0L -> ((0.0, 2.0, 2L)), 2L -> ((4.0, 6.0, 1L)),
+      4L -> ((8.0, 10.0, 2L))))
+    // constant column collapses to one bucket 0 spanning [v, v]
+    val c = Stats.histogram(Seq(7.0, 7.0).toDF("x"), "x", 4)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(c == Seq((0L, 7.0, 7.0, 2L)))
+  }
+
   test("repeated-span removal cuts shared tiles, keeps order, empty-safe") {
     val boiler = "subscribe to our newsletter now" // 5 tokens -> tile + tail
     val df = Seq(
