@@ -477,6 +477,30 @@ object QueryCatalog {
           string_agg(event_type, ',' ORDER BY rn) AS sequence
         FROM r WHERE rn <= 20 GROUP BY 1""")),
 
+    // Ordered funnel (view -> click -> purchase): greedy per-user stage
+    // matching via one codegen'd array fold (ONE user_id shuffle); the
+    // oracle replays the equivalent chained first-match formulation
+    ("q_seq_funnel",
+      (s: SparkSession, d: String) => graft.ops.Funnel.funnelCounts(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase")),
+      Some("""WITH rn AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events),
+        s1 AS (SELECT user_id, min(rn) AS r FROM rn
+          WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT rn.user_id, min(rn.rn) AS r
+          FROM rn JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND rn.rn > s1.r GROUP BY 1),
+        s3 AS (SELECT rn.user_id, min(rn.rn) AS r
+          FROM rn JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND rn.rn > s2.r GROUP BY 1)
+        SELECT 1 AS stage, 'view' AS stage_name,
+          (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
+
     ("q_agg_sessionize",
       // batch sessionization: a session breaks after a 30-min gap. lag ->
       // flag -> running sum is the canonical two-window composition; both

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered-funnel analysis over an event stream: for each user, greedily
+ * match the stage sequence (stage k+1 must occur strictly after the event
+ * that matched stage k) and report how many users reach each stage.
+ *
+ * Execution shape: ONE shuffle on the user key; each group folds its
+ * (ts, tie)-ordered events with `functions.aggregate` — a codegen'd scalar
+ * fold, no UDF. Per-group state is the user's event array, the same bound
+ * as any per-entity sequence operator (cap long histories upstream with
+ * [[graft.pipeline.StageTransform]]-style windows if a single entity can
+ * exceed executor memory). The greedy fold is equivalent to the chained
+ * first-match formulation (first stage-1 event, then the first stage-2
+ * event after it, ...), which is what the DuckDB oracle replays.
+ */
+object Funnel {
+
+  /** Per-user funnel depth: `(userCol, stage_reached)` with stage_reached
+    * in [0, stages.length]. `tieCol` must totally order equal timestamps —
+    * determinism of the fold (and of any engine replaying it) needs a
+    * total event order. */
+  def stageReached(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val stageArr = array(stages.map(lit): _*)
+    df.groupBy(col(userCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol).as("t")))).as("evs"))
+      .select(col(userCol),
+        aggregate(col("evs"), lit(0), (acc, e) =>
+          when(acc < stages.length &&
+            e.getField("t") === element_at(stageArr, acc + 1), acc + 1)
+            .otherwise(acc)).as("stage_reached"))
+  }
+
+  /** Funnel report: one row per stage `(stage, stage_name, n_users)` where
+    * n_users counts users whose greedy match reached AT LEAST that stage —
+    * the monotone drop-off curve. Stages nobody reaches still appear (with
+    * n_users = 0) so the report schema is stable. */
+  def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    val stageArr = array(stages.map(lit): _*)
+    val reached = stageReached(df, userCol, tsCol, tieCol, typeCol, stages)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = stages.indices.map(i => i + 1).toDF("stage")
+    val counts = reached.filter(col("stage_reached") >= 1)
+      .select(explode(sequence(lit(1), col("stage_reached"))).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    all.join(counts, Seq("stage"), "left_outer")
+      .select(col("stage"),
+        element_at(stageArr, col("stage")).as("stage_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+}

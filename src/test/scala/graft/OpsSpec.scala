@@ -524,6 +524,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: greedy ordered matching, ties by id, zero-stage users") {
+    import graft.ops.Funnel
+    val stages = Seq("view", "click", "purchase")
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // user 2: click precedes the first view -> only reaches 'click' via
+      // the later click; purchase BEFORE that click must not count
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"),
+      (2L, 25L, 6L, "purchase"), (2L, 30L, 7L, "click"),
+      // user 3: purchase only -> reaches nothing
+      (3L, 10L, 8L, "purchase"),
+      // user 4: equal ts, event_id breaks the tie -> view(9) then click(10)
+      (4L, 10L, 9L, "view"), (4L, 10L, 10L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val reached = Funnel.stageReached(ev, "user_id", "ts", "event_id",
+      "event_type", stages).as[(Long, Int)].collect().toMap
+    assert(reached == Map(1L -> 3, 2L -> 2, 3L -> 0, 4L -> 2))
+    val counts = Funnel.funnelCounts(ev, "user_id", "ts", "event_id",
+      "event_type", stages).as[(Int, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(counts == Map(1 -> (("view", 3L)), 2 -> (("click", 3L)),
+      3 -> (("purchase", 1L))))
+  }
+
   test("stats profile: nulls, distincts, mixed types; histogram edges") {
     import graft.ops.Stats
     val df = Seq[(java.lang.Long, String)](
