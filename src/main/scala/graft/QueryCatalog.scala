@@ -501,6 +501,25 @@ object QueryCatalog {
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
 
+    // Cohort retention: first-active-day cohorts x day offsets with exact
+    // integer counts and a 6dp floor-quantized ratio
+    ("q_seq_cohort",
+      (s: SparkSession, d: String) => graft.ops.Funnel.cohortRetention(
+        t(s, d, "events"), "user_id", "ts"),
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY 1),
+        c AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1),
+        a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+          FROM events),
+        r AS (SELECT f.cohort_day,
+            CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER)
+              AS day_offset,
+            count(*) AS n_active
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+        SELECT r.cohort_day, r.day_offset, r.n_active, c.n_cohort,
+          floor(1e6 * r.n_active / c.n_cohort) / 1e6 AS retention
+        FROM r JOIN c USING (cohort_day)""")),
+
     ("q_agg_sessionize",
       // batch sessionization: a session breaks after a 30-min gap. lag ->
       // flag -> running sum is the canonical two-window composition; both

@@ -56,4 +56,33 @@ object Funnel {
         element_at(stageArr, col("stage")).as("stage_name"),
         coalesce(col("n_users"), lit(0L)).as("n_users"))
   }
+
+  /**
+   * Cohort retention: users cohorted by their FIRST active day, then for
+   * each (cohort_day, day_offset) the count of cohort members active that
+   * day and the retention ratio. The canonical three-shuffle plan (first-day
+   * aggregate, distinct active days, user-keyed join back); every group key
+   * is day-granular, so output and shuffle widths are bounded by
+   * users x active-days regardless of raw event volume. The ratio is
+   * floor-quantized at 6 dp from exact integer counts — cross-engine
+   * identical (counts < 2^53 make the single divide correctly rounded on
+   * both sides).
+   */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = df.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    val active = df.select(col(userCol),
+      to_date(col(tsCol)).as("active_day")).distinct()
+    // after the distinct, (user, active_day) is unique and day_offset is a
+    // function of it, so count(*) counts distinct users per cell
+    active.join(first, Seq(userCol))
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_day"))
+      .withColumn("retention",
+        floor(lit(1e6) * col("n_active") / col("n_cohort")) / 1e6)
+  }
 }

@@ -549,6 +549,26 @@ class OpsSpec extends SparkSpec {
       3 -> (("purchase", 1L))))
   }
 
+  test("cohort retention: first-day cohorts, offsets, exact ratios") {
+    import graft.ops.Funnel
+    val ev = Seq(
+      // cohort 2024-01-01: users 1,2; user 1 returns day 2, user 2 never
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 17:00:00"),
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 23:00:00"),
+      // cohort 2024-01-02: user 3, returns day 1
+      (3L, "2024-01-02 01:00:00"), (3L, "2024-01-03 01:00:00")
+    ).toDF("user_id", "s").select($"user_id", $"s".cast("timestamp").as("ts"))
+    val got = Funnel.cohortRetention(ev, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),   // both cohort members day 0
+      ("2024-01-01", 2) -> ((1L, 2L, 0.5)),   // user 1 back on day 2
+      ("2024-01-02", 0) -> ((1L, 1L, 1.0)),
+      ("2024-01-02", 1) -> ((1L, 1L, 1.0))))
+  }
+
   test("stats profile: nulls, distincts, mixed types; histogram edges") {
     import graft.ops.Stats
     val df = Seq[(java.lang.Long, String)](
