@@ -26,16 +26,27 @@ object Stats {
    * That is the canonical exact plan; for very wide profiles over 100 TB
    * swap in the KMV sketch ([[graft.plans.KmvDistinct]]) — one pass, O(k)
    * state per column, no Expand — at the price of an estimate.
+   *
+   * The distinct aggregates and the min/max aggregates run as two separate
+   * (cross-joined single-row) passes on purpose: string-typed min/max has
+   * an immutable agg buffer, and fusing it into the Expand aggregate
+   * downgrades the WHOLE operator to SortAggregate — sorting k x n expanded
+   * rows. Split, the distinct path stays a HashAggregate and the min/max
+   * pass is a global aggregate with no grouping key (no sort at all); the
+   * second column-pruned scan is linear and cheaper than the avoided
+   * n log n sort at any scale.
    */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
-    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
+    val ndAggs: Seq[Column] =
+      cols.map(c => count_distinct(col(c)).as(s"_nd_$c"))
+    val basicAggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"_nn_$c"),
-        count_distinct(col(c)).as(s"_nd_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(basicAggs.head, basicAggs.tail: _*)
+      .crossJoin(df.agg(ndAggs.head, ndAggs.tail: _*))
     val entries = cols.map { c =>
       struct(lit(c).as("col_name"),
         col("_n").as("n_rows"),
