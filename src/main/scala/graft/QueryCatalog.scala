@@ -450,6 +450,29 @@ object QueryCatalog {
           min("value") AS min_value, max("value") AS max_value
         FROM events GROUP BY 1, 2""")),
 
+    // Integer-exact z-score anomaly gate: hourly count cells per event
+    // type, flagged when (x*n - s1)^2 > 9*(n*s2 - s1^2) — the 3-sigma test
+    // multiplied through by n^2 so every comparison is an exact BIGINT
+    ("q_agg_anomaly",
+      (s: SparkSession, d: String) => graft.ops.Stats.countAnomalies(
+          t(s, d, "events"), Seq("event_type"),
+          date_trunc("hour", col("ts")), k = 3)
+        .select(col("event_type"),
+          date_format(col("cell"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_rows"), col("n_cells"), col("s1"), col("s2")),
+      Some("""WITH cells AS (SELECT event_type,
+            date_trunc('hour', ts) AS cell, count(*) AS n_rows
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, count(*) AS n_cells,
+            CAST(sum(n_rows) AS BIGINT) AS s1,
+            CAST(sum(n_rows * n_rows) AS BIGINT) AS s2
+          FROM cells GROUP BY 1)
+        SELECT c.event_type, strftime(c.cell, '%Y-%m-%d %H:%M:%S') AS hour,
+          c.n_rows, m.n_cells, m.s1, m.s2
+        FROM cells c JOIN m USING (event_type)
+        WHERE (c.n_rows * m.n_cells - m.s1) * (c.n_rows * m.n_cells - m.s1)
+          > 9 * (m.n_cells * m.s2 - m.s1 * m.s1)""")),
+
     // Training-sequence construction (beyond reference): each user's first
     // 20 events, time-ordered with an exact tie-break, as one
     // comma-joined behavioral sequence — the sequence-building step a

@@ -71,6 +71,42 @@ object Stats {
    * floor-quantized to 6 dp, so any IEEE-754 engine computing the same
    * expression tree reproduces the rows bit-for-bit.
    */
+  /**
+   * Z-score anomaly gate over count cells, in EXACT integer arithmetic:
+   * counts rows per (group, cell), then flags cells whose count deviates
+   * from their group's mean by more than `k` population standard
+   * deviations. The test `(x - mean)^2 > k^2 * var` is evaluated as
+   * `(x*n - sum)^2 > k^2 * (n*sumsq - sum^2)` — both sides exact BIGINTs
+   * (multiply through by n^2), so there is NO floating-point anywhere and
+   * any engine agrees bit-for-bit. Strict inequality: a group with zero
+   * variance flags nothing, and a single-cell group never flags itself.
+   *
+   * Shape: one count shuffle on (group, cell); the per-group moments
+   * aggregate over the already-tiny cell table and broadcast back.
+   *
+   * Domain bound: the int64 products are exact while
+   * |cell_count x n_cells - s1| < 3e9 (its square < 2^63); for groups
+   * beyond that, cast the moment columns to DecimalType(38,0) before the
+   * comparison — same algebra, 128-bit exactness.
+   */
+  def countAnomalies(df: DataFrame, groupCols: Seq[String], cellCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val gcols = groupCols.map(col)
+    val cells = df.groupBy(gcols :+ cellCol.as("cell"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val moments = cells.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_rows")).as("s1"),
+      sum(col("n_rows") * col("n_rows")).as("s2"))
+    val dev = col("n_rows") * col("n_cells") - col("s1")
+    cells.join(broadcast(moments), groupCols)
+      .filter(dev * dev >
+        lit(k.toLong * k) * (col("n_cells") * col("s2") - col("s1") * col("s1")))
+      .select(gcols ++ Seq(col("cell"), col("n_rows"), col("n_cells"),
+        col("s1"), col("s2")): _*)
+  }
+
   def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     val r = df.agg(min(col(valueCol)).cast("double"),

@@ -549,6 +549,26 @@ class OpsSpec extends SparkSpec {
       3 -> (("purchase", 1L))))
   }
 
+  test("count anomalies: 3-sigma cells flagged, zero-variance group silent") {
+    import graft.ops.Stats
+    // one outlier among n-1 identical cells has z^2 = n-1 exactly, so with
+    // k=3 it flags iff n > 10: 17 cells of 10 rows + one of 100 -> z=sqrt(17)
+    // group h: uniform 5 rows/cell -> zero variance, nothing flagged
+    val rows =
+      (1 to 17).flatMap(c => Seq.fill(10)(("g", c))) ++
+        Seq.fill(100)(("g", 18)) ++
+        (1 to 4).flatMap(c => Seq.fill(5)(("h", c)))
+    val got = Stats.countAnomalies(rows.toDF("grp", "cell"),
+      Seq("grp"), col("cell"), k = 3)
+      .as[(String, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 18, 100L, 18L, 270L, 11700L)))
+    // the 10-cell boundary case sits at exact equality -> strict test: empty
+    val edge = (1 to 9).flatMap(c => Seq.fill(10)(("g", c))) ++
+      Seq.fill(100)(("g", 10))
+    assert(Stats.countAnomalies(edge.toDF("grp", "cell"),
+      Seq("grp"), col("cell"), k = 3).isEmpty)
+  }
+
   test("cohort retention: first-day cohorts, offsets, exact ratios") {
     import graft.ops.Funnel
     val ev = Seq(
