@@ -658,6 +658,66 @@ object QueryCatalog {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1""")),
 
+    // TPC-H Q22 shape (scalar subquery + anti join): positive-balance
+    // customers above the average positive balance with no RECENT orders
+    // (dormant since 2000-01-01), by nation. Balances compared in exact
+    // integer cents; the scalar threshold is one broadcast row; the anti
+    // join is the only fact shuffle
+    ("q_join_noorders",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
+        val pos = c.filter(col("bal_cents") > 0)
+        val thr = pos.agg((sum("bal_cents").cast("double") /
+          count(lit(1))).as("thr"))
+        pos.crossJoin(broadcast(thr))
+          .filter(col("bal_cents") > col("thr"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("bal_cents").as("bal_cents_sum"))
+      },
+      Some(s"""WITH c AS (SELECT c_custkey, c_nationkey,
+            ${centsSql("c_acctbal")} AS bal_cents FROM customer),
+          t AS (SELECT CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE)
+              / count(*) AS thr FROM c WHERE bal_cents > 0)
+        SELECT c_nationkey, count(*) AS n_cust,
+          CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
+        FROM c, t
+        WHERE bal_cents > 0 AND bal_cents > thr
+          AND NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1""")),
+
+    // TPC-H Q17 shape (aggregate-compare join): lineitems below a fifth of
+    // their part's average quantity. The test 5*qty*cnt < sum multiplies
+    // the avg through so every comparison is an exact BIGINT
+    ("q_join_lowqty",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        val pp = li.groupBy("l_partkey")
+          .agg(sum("qty").as("sq"), count(lit(1)).as("cq"))
+        li.join(pp, Seq("l_partkey"))
+          .filter(col("qty") * 5 * col("cq") < col("sq"))
+          .agg(count(lit(1)).as("n_items"),
+            (sum("price_cents") / lit(100.0)).as("total_price"))
+      },
+      Some(s"""WITH li AS (SELECT l_partkey,
+            CAST(l_quantity AS BIGINT) AS qty,
+            ${centsSql("l_extendedprice")} AS price_cents FROM lineitem),
+          pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
+            count(*) AS cq FROM li GROUP BY 1)
+        SELECT count(*) AS n_items,
+          CAST(sum(price_cents) AS BIGINT) / 100.0 AS total_price
+        FROM li JOIN pp USING (l_partkey)
+        WHERE qty * 5 * cq < sq""")),
+
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
