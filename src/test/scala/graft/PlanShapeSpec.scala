@@ -89,4 +89,31 @@ class PlanShapeSpec extends SparkSpec {
     val windows = "\\bWindow\\b".r.findAllIn(p).size
     assert(windows <= 1, s"expected <= 1 dedup window, got $windows:\n$p")
   }
+
+  test("column profile never degrades to a sorting aggregate") {
+    // string min/max in the SAME aggregate as the distinct Expand forces
+    // SortAggregate over k x n expanded rows (the round-4 regression);
+    // the split formulation keeps the Expand path hash-aggregated and the
+    // min/max pass grouping-key-free, so no sort may appear anywhere
+    val p = plan("q_profile_stats")
+    assert(!p.contains("Sort "), s"profile plans a sort:\n$p")
+    assert(p.contains("Expand"), p) // the exact-distinct path is present
+  }
+
+  test("cms sketch aggregates partially before its exchange") {
+    // the sketch must combine map-side: an ObjectHashAggregate pair around
+    // one exchange, never a single-phase aggregate of raw occurrences
+    val p = plan("q_text_cms")
+    val oha = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(oha >= 2, s"expected partial+final sketch aggregate:\n$p")
+  }
+
+  test("funnel folds off ONE user shuffle; cdc diff is one full-outer join") {
+    val pf = plan("q_seq_funnel")
+    val ex = "Exchange hashpartitioning".r.findAllIn(pf).size
+    // one user_id exchange for the fold + one for the tiny stage counts
+    assert(ex <= 2, s"funnel shuffles too much ($ex):\n$pf")
+    val pc = plan("q_snapshot_changes")
+    assert("Join".r.findAllIn(pc).size == 1, s"cdc diff joins != 1:\n$pc")
+  }
 }
