@@ -90,6 +90,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows <= 1, s"expected <= 1 dedup window, got $windows:\n$p")
   }
 
+  test("grouped top-k rank-limits BEFORE the shuffle (WindowGroupLimit)") {
+    // Spark's rank-limit pushdown keeps only <= k rows per group per
+    // partition map-side, so the exchange carries k x groups x partitions
+    // rows, not the table; a formulation that defeats the rewrite (e.g.
+    // filtering on a derived column) would shuffle everything
+    val p = plan("q_window_topk")
+    val pre = p.indexOf("WindowGroupLimit", p.indexOf("Exchange"))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(pre >= 0, s"no map-side rank limit below the exchange:\n$p")
+  }
+
   test("column profile never degrades to a sorting aggregate") {
     // string min/max in the SAME aggregate as the distinct Expand forces
     // SortAggregate over k x n expanded rows (the round-4 regression);
