@@ -170,4 +170,24 @@ class SnapshotStoreSpec extends SparkSpec {
       .as[(Long, String, Option[String])].collect().toSeq ==
       Seq((3L, "delete", None)))
   }
+
+  test("applying the change feed to the old version rebuilds the new one") {
+    import spark.implicits._
+    val root = tmp()
+    val rnd = new scala.util.Random(11)
+    def table(n: Int) = (1 to n).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(5), rnd.nextBoolean()))
+      .groupBy(_._1).map(_._2.head).toSeq.toDF("id", "x", "flag")
+    SnapshotStore.commit(table(30), root)
+    SnapshotStore.commit(table(35), root)
+    val changes = SnapshotStore.changesBetween(spark, root, 0L, 1L, Seq("id"))
+    // consumer replay: delete the deletes, upsert the inserts/updates
+    val rebuilt = SnapshotStore.readVersion(spark, root, 0L)
+      .join(changes.filter($"change_op".isin("delete", "update"))
+        .select("id"), Seq("id"), "left_anti")
+      .unionByName(changes.filter($"change_op" =!= "delete")
+        .drop("change_op"))
+    val want = SnapshotStore.readVersion(spark, root, 1L)
+    assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty)
+  }
 }
