@@ -2401,6 +2401,21 @@ object QueryCatalog {
 
   private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
 
+    // REAL codec round trip (rows-only: DuckDB cannot decode PNG): build
+    // deterministic compressed PNGs in the executors, resize 32x24 -> 8x6
+    // nearest-neighbor, decode with javax.imageio, emit exact pixel sums.
+    // doc_id drives the pattern so the distributed build is reproducible
+    ("q_mm_decode",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPng(id, 32, 24)))
+        Multimodal.decodeImages(Multimodal.resizeImages(pngs, 8, 6))
+          .toDF().select(col("media_id"), col("width"), col("height"),
+            col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      },
+      None),
+
     ("q_mm_meta",
       (s: SparkSession, d: String) => Multimodal.metadataSummary(
           Multimodal.mediaFromDocuments(s, t(s, d, "documents")))

@@ -705,6 +705,44 @@ class OpsSpec extends SparkSpec {
       .forall(_.getLong(1) == 3L))
   }
 
+  test("REAL image codec: png round trip, exact sums, nearest resize") {
+    // 2x2 PNG with known pixels decoded through actual javax.imageio bytes
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val ds = Seq((7L, out.toByteArray)).toDS()
+    val d = Multimodal.decodeImages(ds).collect().head
+    assert((d.width, d.height, d.n_pixels) == ((2, 2, 4L)))
+    assert((d.sum_r, d.sum_g, d.sum_b) == ((510L, 510L, 510L)))
+    assert(d.luma_hist.sum == 4L)
+    // luma bins: red 76->4, green 149->9, blue 29->1, white 255->15
+    assert(d.luma_hist(4) == 1 && d.luma_hist(9) == 1 &&
+      d.luma_hist(1) == 1 && d.luma_hist(15) == 1)
+    // nearest-neighbor 2x2 -> 1x1 keeps exactly pixel (0,0) = pure red
+    val r = Multimodal.decodeImages(
+      Multimodal.resizeImages(ds, 1, 1)).collect().head
+    assert((r.n_pixels, r.sum_r, r.sum_g, r.sum_b) == ((1L, 255L, 0L, 0L)))
+    // synthetic corpus end-to-end: distributed build -> resize -> decode
+    val synth = spark.range(24).as[Long]
+      .map(id => (id, Multimodal.syntheticPng(id, 32, 24)))
+    val dec = Multimodal.decodeImages(Multimodal.resizeImages(synth, 8, 6))
+      .collect()
+    assert(dec.length == 24 && dec.forall(x => x.n_pixels == 48L))
+  }
+
+  test("REAL wav codec: 16-bit PCM triangle wave, exact peak and frames") {
+    val ds = Seq((3L, Multimodal.syntheticWav(3L, 16000, 640))).toDS()
+    val w = Multimodal.decodeWav(ds).collect().head
+    assert((w.sample_rate, w.channels, w.n_frames) == ((16000, 1, 640L)))
+    // amp for id 3 = 8000 + 3*10 = 8030; triangle peaks at ph=period/2
+    // with value (period/2)*2*amp/period = amp exactly
+    assert(w.peak_abs == 8030)
+    assert(w.sum_abs > 0)
+  }
+
   test("stage pipeline quarantines bad columns and keeps going") {
     val specs = Seq(
       ColumnSpec("T", "ok", 1, "string", "c_name"),
