@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -401,6 +401,39 @@ object StreamingIngest {
         }
       }
       .start()
+
+  /**
+   * Streaming anomaly gate — the streaming face of
+   * [[graft.ops.Stats.countAnomalies]]: windowed per-key live counts
+   * compared against a STATIC baseline's count moments with the same
+   * exact-integer k-sigma algebra (no floating point). The baseline is one
+   * batch aggregate over history; the stream needs no corpus-wide state —
+   * one watermarked windowed count per cell plus a broadcast join, so a
+   * spiking key is flagged as soon as its window closes. Emits
+   * `keyCols + (window_start, n_rows)` in append mode.
+   */
+  def anomalyGate(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+      windowDur: String, watermark: String, baseline: DataFrame,
+      baselineCell: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val gcols = keyCols.map(col)
+    val cells = baseline
+      .groupBy(gcols :+ baselineCell.as("cell"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val moments = cells.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_rows")).as("s1"),
+      sum(col("n_rows") * col("n_rows")).as("s2"))
+    val live = stream.withWatermark(tsCol, watermark)
+      .groupBy(gcols :+ window(col(tsCol), windowDur).as("w"): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val dev = col("n_rows") * col("n_cells") - col("s1")
+    live.join(broadcast(moments), keyCols)
+      .filter(dev * dev > lit(k.toLong * k) *
+        (col("n_cells") * col("s2") - col("s1") * col("s1")))
+      .select(gcols ++ Seq(col("w.start").as("window_start"),
+        col("n_rows")): _*)
+  }
 
   /** Drive a streaming frame through a memory sink synchronously (test /
     * local verification harness). */

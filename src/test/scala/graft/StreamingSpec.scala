@@ -180,6 +180,30 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("anomaly gate flags a spiking window against baseline moments") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // baseline per-cell counts for key "a": eight 5s, one 4, one 6 ->
+    // n=10, s1=50, s2=252; 3 sigma = 3*sqrt(0.2) ~ 1.34 around mean 5
+    val baseline = ((1 to 8).flatMap(c => Seq.fill(5)(("a", c))) ++
+      Seq.fill(4)(("a", 9)) ++ Seq.fill(6)(("a", 10))).toDF("key", "cell")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val gated = StreamingIngest.anomalyGate(
+      mem.toDF().toDF("ts", "key"), "ts", Seq("key"),
+      windowDur = "5 minutes", watermark = "0 seconds",
+      baseline, col("cell"), k = 3)
+    // window 10:00 has 6 events (within 3 sigma), window 10:05 spikes to 9
+    mem.addData((1 to 6).map(i => (ts(0), "a")) ++
+      (1 to 9).map(i => (ts(5), "a")))
+    // a later event only advances the watermark past both windows
+    mem.addData(Seq((ts(20), "a")))
+    val got = StreamingIngest.runToMemory(gated, "agate", OutputMode.Append())
+      .as[(String, java.sql.Timestamp, Long)].collect().toSeq
+    assert(got == Seq(("a", ts(5), 9L)),
+      s"expected only the 9-event window flagged, got $got")
+  }
+
   test("snapshot merge sink: versions commit per batch, readers isolated") {
     import graft.write.SnapshotStore
     val src = Files.createTempDirectory("graft_snapsrc").toString
