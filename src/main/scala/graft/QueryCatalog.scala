@@ -524,6 +524,31 @@ object QueryCatalog {
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
 
+    // Time-windowed funnel: each stage must convert within 6 hours of the
+    // previous match; gaps compared in exact microseconds on both engines
+    ("q_seq_funnel_windowed",
+      (s: SparkSession, d: String) => graft.ops.Funnel.funnelCountsWithin(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 21600),
+      Some("""WITH rn AS (SELECT user_id, event_type, ts,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS rn
+          FROM events),
+        s1 AS (SELECT user_id, min(rn) AS r, min_by(ts, rn) AS t
+          FROM rn WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT rn.user_id, min(rn.rn) AS r, min_by(rn.ts, rn.rn) AS t
+          FROM rn JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND rn.rn > s1.r
+            AND epoch_us(rn.ts) - epoch_us(s1.t) <= 21600000000 GROUP BY 1),
+        s3 AS (SELECT rn.user_id, min(rn.rn) AS r
+          FROM rn JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND rn.rn > s2.r
+            AND epoch_us(rn.ts) - epoch_us(s2.t) <= 21600000000 GROUP BY 1)
+        SELECT 1 AS stage, 'view' AS stage_name,
+          (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
+
     // Cohort retention: first-active-day cohorts x day offsets with exact
     // integer counts and a 6dp floor-quantized ratio
     ("q_seq_cohort",

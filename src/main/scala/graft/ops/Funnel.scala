@@ -58,6 +58,59 @@ object Funnel {
   }
 
   /**
+   * Time-windowed funnel: like [[stageReached]], but stage k+1 must occur
+   * within `maxGapSeconds` of the event that matched stage k (the
+   * "purchase within N hours of click" form — the industry-standard
+   * funnel). Greedy first-match like the unbounded variant; the fold state
+   * carries the matched event's timestamp, and the gap compares exact
+   * MICROSECONDS on both engines (`unix_micros` here, `epoch_us` in the
+   * oracle) so sub-second timestamps never straddle a rounding boundary.
+   */
+  def stageReachedWithin(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapSeconds > 0, s"maxGapSeconds=$maxGapSeconds must be > 0")
+    val stageArr = array(stages.map(lit): _*)
+    val gapUs = maxGapSeconds * 1000000L
+    val init = struct(lit(0).as("stage"),
+      lit(null).cast("long").as("mus"))
+    df.groupBy(col(userCol))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol).as("t")))).as("evs"))
+      .select(col(userCol),
+        aggregate(col("evs"), init, (acc, e) => {
+          val st = acc.getField("stage")
+          val eus = unix_micros(e.getField(tsCol))
+          val hit = st < stages.length &&
+            e.getField("t") === element_at(stageArr, st + 1) &&
+            (st === 0 || eus - acc.getField("mus") <= gapUs)
+          when(hit, struct((st + 1).as("stage"), eus.as("mus")))
+            .otherwise(acc)
+        }).getField("stage").as("stage_reached"))
+  }
+
+  /** Drop-off report for the time-windowed funnel — same shape as
+    * [[funnelCounts]]. */
+  def funnelCountsWithin(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    val stageArr = array(stages.map(lit): _*)
+    val reached = stageReachedWithin(df, userCol, tsCol, tieCol, typeCol,
+      stages, maxGapSeconds)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = stages.indices.map(i => i + 1).toDF("stage")
+    val counts = reached.filter(col("stage_reached") >= 1)
+      .select(explode(sequence(lit(1), col("stage_reached"))).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    all.join(counts, Seq("stage"), "left_outer")
+      .select(col("stage"),
+        element_at(stageArr, col("stage")).as("stage_name"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+  }
+
+  /**
    * Cohort retention: users cohorted by their FIRST active day, then for
    * each (cohort_day, day_offset) the count of cohort members active that
    * day and the retention ratio. The canonical three-shuffle plan (first-day

@@ -549,6 +549,29 @@ class OpsSpec extends SparkSpec {
       3 -> (("purchase", 1L))))
   }
 
+  test("windowed funnel: stage converts only within the gap of its match") {
+    import graft.ops.Funnel
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: click 5 min after view (inside a 10-min gap), purchase
+      // 30 min after the click (outside) -> stops at 2
+      (1L, ts(0), 1L, "view"), (1L, ts(5), 2L, "click"),
+      (1L, ts(35), 3L, "purchase"),
+      // user 2: all three within successive 10-min gaps -> reaches 3;
+      // note view->purchase span is 18 min: only ADJACENT gaps matter
+      (2L, ts(0), 4L, "view"), (2L, ts(9), 5L, "click"),
+      (2L, ts(18), 6L, "purchase"),
+      // user 3: the fold walks TIME order regardless of insert order —
+      // the +8 min in-gap click matches; the +11 one is never needed
+      (3L, ts(0), 7L, "view"), (3L, ts(11), 8L, "click"),
+      (3L, ts(8), 9L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.stageReachedWithin(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"), maxGapSeconds = 600)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 3, 3L -> 2))
+  }
+
   test("count anomalies: 3-sigma cells flagged, zero-variance group silent") {
     import graft.ops.Stats
     // one outlier among n-1 identical cells has z^2 = n-1 exactly, so with
