@@ -2441,6 +2441,18 @@ object QueryCatalog {
       },
       None),
 
+    // REAL audio codec (rows-only): deterministic PCM triangle waves built
+    // and WAV-decoded in the executors; exact peak/sum statistics out
+    ("q_mm_wav",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticWav(id, 16000,
+            320 + (id % 7).toInt * 64)))
+        Multimodal.decodeWav(wavs).toDF()
+      },
+      None),
+
     ("q_mm_meta",
       (s: SparkSession, d: String) => Multimodal.metadataSummary(
           Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
@@ -2506,6 +2518,30 @@ object QueryCatalog {
       },
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
         FROM documents""")),
+
+    // Schema evolution on READ: two partition directories with different
+    // schemas (a column added mid-stream) merged by mergeSchema + partition
+    // discovery — the old partition reads the new column as NULL, no
+    // rewrite of old data. The oracle recomputes both generations from the
+    // source table
+    ("q_src_evolved",
+      (s: SparkSession, d: String) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_evo").toString + "/orders"
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").parquet(out + "/gen=old")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(out + "/gen=new")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "gen")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 2 = 1 THEN 'new' ELSE 'old' END AS gen
+        FROM orders""")),
 
     // Snapshot-committed table round trip: two commits + a vacuum, read
     // through the pointer — the commit protocol (atomic pointer flip,
