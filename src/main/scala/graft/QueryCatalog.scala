@@ -2825,6 +2825,35 @@ object QueryCatalog {
           .map(rowFor).mkString("\n UNION ALL\n ")
       }),
 
+    // The 100 TB profile: ONE global pass, KMV-sketch distinct estimates
+    // (no Expand — nothing is replicated into the shuffle), exact
+    // everything else. The oracle replays each column's sketch
+    // (row_number over ordered 60-bit md5 hashes) bit-for-bit
+    ("q_profile_approx",
+      (s: SparkSession, d: String) => graft.ops.Stats.profileColumnsApprox(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"),
+        sketchK = 256),
+      Some {
+        def rowFor(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              (WITH h AS (SELECT DISTINCT CAST(concat('0x',
+                    substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                  FROM lineitem WHERE $c IS NOT NULL),
+                r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+                    count(*) OVER () AS cnt FROM h)
+                SELECT CASE WHEN any_value(cnt) < 256
+                    THEN CAST(any_value(cnt) AS DOUBLE)
+                    ELSE 255.0 * 1152921504606846976.0 /
+                      CAST(max(CASE WHEN rn <= 256 THEN h END) AS DOUBLE)
+                  END FROM r) AS n_distinct_est,
+              CAST(min($c) AS VARCHAR) AS min_val,
+              CAST(max($c) AS VARCHAR) AS max_val FROM lineitem"""
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
+          .map(rowFor).mkString("\n UNION ALL\n ")
+      }),
+
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both
     // engines, bounds floor-quantized to 6 dp

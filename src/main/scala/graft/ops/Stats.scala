@@ -72,6 +72,38 @@ object Stats {
    * expression tree reproduces the rows bit-for-bit.
    */
   /**
+   * The 100 TB profile: same shape as [[profileColumns]] but distinct
+   * counts come from the KMV sketch ([[graft.plans.KmvDistinct]]) — ONE
+   * global aggregation pass over the table, no Expand (nothing is
+   * replicated k times into the shuffle), no second scan, O(k) state per
+   * column. `n_distinct` becomes an estimate (exact below the sketch size);
+   * everything else stays exact. Deterministic: the sketch is a pure
+   * function of md5-derived hashes, so the oracle replays it bit-for-bit.
+   */
+  def profileColumnsApprox(df: DataFrame, cols: Seq[String],
+      sketchK: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "profileColumnsApprox needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      val h = conv(substring(md5(col(c).cast("string").cast("binary")),
+        1, 15), 16, 10).cast("long")
+      Seq(count(col(c)).as(s"_nn_$c"),
+        graft.plans.GraftExpressions.kmv_distinct(h, sketchK).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("n_distinct_est"),
+        col(s"_min_$c").as("min_val"),
+        col(s"_max_$c").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /**
    * Z-score anomaly gate over count cells, in EXACT integer arithmetic:
    * counts rows per (group, cell), then flags cells whose count deviates
    * from their group's mean by more than `k` population standard

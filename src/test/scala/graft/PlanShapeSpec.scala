@@ -109,6 +109,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_profile_stats")
     assert(!p.contains("Sort "), s"profile plans a sort:\n$p")
     assert(p.contains("Expand"), p) // the exact-distinct path is present
+    // the sketch profile is ONE pass: no Expand, no sort, and exactly one
+    // exchange (the global aggregate's partial->final hop)
+    val pa = plan("q_profile_approx")
+    assert(!pa.contains("Expand") && !pa.contains("Sort "), pa)
+    assert("Exchange".r.findAllIn(pa).size == 1, pa)
   }
 
   test("cms sketch aggregates partially before its exchange") {
