@@ -72,7 +72,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // Ad-hoc filtered runs (args given) must not clobber the round artifact:
+    // BENCH_FULL.json is reserved for full-suite runs.
+    val outName = if (args.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       (fullLine + "\n").getBytes("UTF-8"))
     val bySlowest = results.sortBy(-_._2)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
@@ -81,7 +84,7 @@ object Bench {
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"shown":${kept.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

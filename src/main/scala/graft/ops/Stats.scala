@@ -59,35 +59,45 @@ object Stats {
   }
 
   /**
-   * Equi-width histogram of a numeric column: `buckets` bins over the
-   * observed [min, max], rows `(bucket, lo, hi, n)`. Two passes — a bounds
-   * aggregate (one tiny driver row), then one bucketing groupBy whose key
-   * count is `buckets`, so the shuffle is bounded regardless of table size.
-   * The max value lands in the last bucket (`least`-capped), NULLs are
-   * excluded, and a constant column collapses to bucket 0.
-   *
-   * Cross-engine determinism: the bucket expression is evaluated in one
-   * fixed order — `floor((x - mn) / span * buckets)` — and bounds are
-   * floor-quantized to 6 dp, so any IEEE-754 engine computing the same
-   * expression tree reproduces the rows bit-for-bit.
-   */
-  /**
    * The 100 TB profile: same shape as [[profileColumns]] but distinct
    * counts come from the KMV sketch ([[graft.plans.KmvDistinct]]) — ONE
    * global aggregation pass over the table, no Expand (nothing is
    * replicated k times into the shuffle), no second scan, O(k) state per
    * column. `n_distinct` becomes an estimate (exact below the sketch size);
    * everything else stays exact. Deterministic: the sketch is a pure
-   * function of md5-derived hashes, so the oracle replays it bit-for-bit.
+   * function of md5-derived hashes, so the oracle replays it bit-for-bit —
+   * the hash is [[graft.plans.Md5Prefix60]] (= `conv(substr(md5(x),1,15),
+   * 16,10)` without the hex render / substring / base-16 re-parse per row).
+   *
+   * For pipelines that don't need engine-external replay,
+   * [[profileColumnsSketch]] swaps the md5 for `xxhash64` — same sketch,
+   * ~an order of magnitude cheaper per row.
    */
   def profileColumnsApprox(df: DataFrame, cols: Seq[String],
-      sketchK: Int = 256): DataFrame = {
+      sketchK: Int = 256): DataFrame =
+    kmvProfile(df, cols, sketchK, c =>
+      graft.plans.GraftExpressions.md5_prefix60(col(c).cast("string")))
+
+  /**
+   * Production variant of [[profileColumnsApprox]]: the sketch hash is
+   * Spark's codegen'd `xxhash64` (shifted into the same [0, 2^60) space) —
+   * no cryptographic digest per row. Identical plan shape and estimate
+   * error; NOT replayable by an external engine (xxhash64's seed/layout is
+   * Spark-specific), so correctness is pinned by spec against the exact
+   * profile instead of the DuckDB oracle.
+   */
+  def profileColumnsSketch(df: DataFrame, cols: Seq[String],
+      sketchK: Int = 256): DataFrame =
+    kmvProfile(df, cols, sketchK, c =>
+      shiftrightunsigned(xxhash64(col(c).cast("string")), 4))
+
+  private def kmvProfile(df: DataFrame, cols: Seq[String], sketchK: Int,
+      hash60: String => Column): DataFrame = {
     require(cols.nonEmpty, "profileColumnsApprox needs at least one column")
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.flatMap { c =>
-      val h = conv(substring(md5(col(c).cast("string").cast("binary")),
-        1, 15), 16, 10).cast("long")
       Seq(count(col(c)).as(s"_nn_$c"),
-        graft.plans.GraftExpressions.kmv_distinct(h, sketchK).as(s"_nd_$c"),
+        graft.plans.GraftExpressions.kmv_distinct(hash60(c), sketchK)
+          .as(s"_nd_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
@@ -139,6 +149,19 @@ object Stats {
         col("s1"), col("s2")): _*)
   }
 
+  /**
+   * Equi-width histogram of a numeric column: `buckets` bins over the
+   * observed [min, max], rows `(bucket, lo, hi, n)`. Two passes — a bounds
+   * aggregate (one tiny driver row), then one bucketing groupBy whose key
+   * count is `buckets`, so the shuffle is bounded regardless of table size.
+   * The max value lands in the last bucket (`least`-capped), NULLs are
+   * excluded, and a constant column collapses to bucket 0.
+   *
+   * Cross-engine determinism: the bucket expression is evaluated in one
+   * fixed order — `floor((x - mn) / span * buckets)` — and bounds are
+   * floor-quantized to 6 dp, so any IEEE-754 engine computing the same
+   * expression tree reproduces the rows bit-for-bit.
+   */
   def histogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     val r = df.agg(min(col(valueCol)).cast("double"),

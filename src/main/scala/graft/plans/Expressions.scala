@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -625,15 +625,22 @@ object IvfAssign {
  * The estimate is a pure function of the k smallest md5-derived hashes —
  * no engine-specific register layout — so DuckDB replays it exactly
  * (row_number over ordered hashes), and results are independent of
- * partitioning: update/merge keep a bounded sorted set, making the
+ * partitioning: update/merge keep a bounded sorted array, making the
  * aggregate map-side combinable with O(k) state per group at any scale.
  * Input must be the engine's 60-bit hash (`conv(substr(md5(x),1,15),16,10)`)
  * so the uniformity assumption and the replay hold.
+ *
+ * Buffer is a PRIMITIVE sorted long array, not a TreeSet: once full, the
+ * common path is ONE comparison against the k-th min (early reject — after
+ * the first k distinct values an accepted insert happens only ~k·ln(n/k)
+ * times total); a survivor costs a binary search (dedup + position) and an
+ * `arraycopy` shift. No boxing, no tree-node churn, 2 KiB cache-resident
+ * state at k=256.
  */
 case class KmvDistinct(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate
-      .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      .TypedImperativeAggregate[KmvBuffer]
     with UnaryLike[Expression] {
   require(k >= 2, s"k=$k must be >= 2")
 
@@ -642,46 +649,41 @@ case class KmvDistinct(child: Expression, k: Int,
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-      input: org.apache.spark.sql.catalyst.InternalRow)
-      : java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      if (buf.size < k) buf.add(h)
-      else if (h < buf.last) { buf.add(h); if (buf.size > k) buf.pollLast() }
-    }
+    if (v != null) buf.insert(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(a: java.util.TreeSet[java.lang.Long],
-      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    a.addAll(b)
-    while (a.size > k) a.pollLast()
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.arr(i)); i += 1 }
     a
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+  override def eval(buf: KmvBuffer): Any =
     if (buf.size < k) buf.size.toDouble
-    else (k - 1).toDouble * HashSpace / buf.last.toDouble
+    else (k - 1).toDouble * HashSpace / buf.arr(k - 1).toDouble
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
     bb.putInt(buf.size)
-    buf.forEach(h => bb.putLong(h))
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val out = new KmvBuffer(k)
+    // serialized form is sorted ascending — fill the array directly
     var i = 0
-    while (i < n) { out.add(bb.getLong); i += 1 }
+    while (i < n) { out.arr(i) = bb.getLong; i += 1 }
+    out.size = n
     out
   }
 
@@ -691,6 +693,88 @@ case class KmvDistinct(child: Expression, k: Int,
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
     copy(child = newChild)
+}
+
+/** Sorted ascending primitive buffer of the k smallest distinct hashes.
+  * `arr(0..size)` is the live prefix; invariant: strictly increasing. */
+final class KmvBuffer(val k: Int) {
+  val arr = new Array[Long](k)
+  var size = 0
+
+  def insert(h: Long): Unit = {
+    if (size == k && h >= arr(k - 1)) return // early reject vs k-th min
+    val idx = java.util.Arrays.binarySearch(arr, 0, size, h)
+    if (idx >= 0) return // already present (distinct semantics)
+    val ins = -idx - 1
+    if (size < k) {
+      System.arraycopy(arr, ins, arr, ins + 1, size - ins)
+      arr(ins) = h
+      size += 1
+    } else {
+      // full: drop the current max, shift [ins, k-1) right by one
+      System.arraycopy(arr, ins, arr, ins + 1, k - 1 - ins)
+      arr(ins) = h
+    }
+  }
+}
+
+/**
+ * First 60 bits of md5 as a long — the engine's canonical oracle-replayable
+ * hash, computed directly from the digest bytes.
+ *
+ * Semantically identical to `conv(substring(md5(x), 1, 15), 16, 10)` (first
+ * 15 hex chars = first 7.5 digest bytes, big-endian), but skips the three
+ * intermediate materializations that chain costs per row: the 32-char hex
+ * UTF8String render, the substring copy, and conv's base-16 re-parse. That
+ * chain sits under every KMV sketch update (interpreted, inside
+ * ObjectHashAggregate), so the constant matters at 100 TB — DuckDB still
+ * replays the arithmetic form bit-for-bit.
+ */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"md5_prefix60 needs string or binary, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input match {
+      case s: UTF8String => s.getBytes
+      case b: Array[Byte] => b
+    }
+    Md5Prefix60.hash60(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes =
+        if (child.dataType == StringType) s"$c.getBytes()" else c
+      s"${ev.value} = graft.plans.Md5Prefix60.hash60($bytes);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes), big-endian, as a non-negative long. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 }
 
 /**
@@ -1138,6 +1222,9 @@ object GraftExpressions {
     ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hash60), k)
       .toAggregateExpression())
 
+  def md5_prefix60(c: Column): Column =
+    ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))
+
   def vec_sum(vec: Column): Column =
     ColumnBridge.column(VecSumAgg(ColumnBridge.expression(vec))
       .toAggregateExpression())
@@ -1177,6 +1264,8 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv_distinct", exprs => KmvDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_sum", exprs => VecSumAgg(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Stats, TextOps}
 import graft.pipeline.StageTransform
 import graft.meta.ColumnSpec
 
@@ -496,6 +496,35 @@ class OpsSpec extends SparkSpec {
     assert(est(df.union(df).repartition(5), 64) == e1)
     // k=64 standard error ~ 1/sqrt(62) ~ 13%; allow 3 sigma
     assert(math.abs(e1 - 500) / 500.0 < 0.4, s"estimate $e1 too far from 500")
+  }
+
+  test("md5_prefix60 == conv(substr(md5,1,15),16,10); null-safe") {
+    import graft.plans.GraftExpressions
+    val df = ((1 to 200).map(i => s"v$i") :+ null).toDF("w")
+    val bad = df.select(
+      GraftExpressions.md5_prefix60($"w").as("fast"),
+      conv(substring(md5($"w".cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("ref"))
+      .filter(!($"fast" <=> $"ref")).count()
+    assert(bad == 0)
+  }
+
+  test("profileColumnsSketch (xxhash64): same shape, accurate, exact below k") {
+    val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "grp")
+    val got = Stats.profileColumnsSketch(df, Seq("id", "grp"), sketchK = 128)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "grp"))
+    // grp: 7 distinct < k — the sketch is exact
+    assert(got("grp").getDouble(3) == 7.0)
+    // id: 1000 distinct, k=128 — std err ~ 1/sqrt(126) ~ 9%; allow 4 sigma
+    val est = got("id").getDouble(3)
+    assert(math.abs(est - 1000) / 1000.0 < 0.36, s"estimate $est off 1000")
+    // partition-invariant (map-side combinable) like the md5 variant
+    val a = Stats.profileColumnsSketch(df.repartition(1), Seq("id"), 128)
+      .head().getDouble(3)
+    val b = Stats.profileColumnsSketch(df.repartition(7), Seq("id"), 128)
+      .head().getDouble(3)
+    assert(a == b)
   }
 
   test("cms sketch: upper bound, partition-invariant, additive under union") {

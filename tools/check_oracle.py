@@ -93,11 +93,16 @@ def main():
         q = ctx.Queue()
         p = ctx.Process(target=_child, args=(q, task))
         p.start()
+        # Drain the queue BEFORE join: a result bigger than the OS pipe
+        # buffer blocks the child's queue feeder thread, so join-first
+        # deadlocks; and q.empty() right after join can race false-negative.
+        try:
+            name, ok, msg = q.get(timeout=600)
+        except Exception:
+            name, ok, msg = task[2], False, "subprocess produced no result"
         p.join()
-        if p.exitcode == 0 and not q.empty():
-            name, ok, msg = q.get()
-        else:
-            name, ok, msg = task[2], False, f"subprocess died rc={p.exitcode}"
+        if p.exitcode != 0 and ok is False and msg.startswith("subprocess"):
+            msg = f"subprocess died rc={p.exitcode}"
         if ok:
             print(f"PASS {name} {msg}"); n_pass += 1
         else:
