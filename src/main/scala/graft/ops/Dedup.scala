@@ -146,18 +146,22 @@ object Dedup {
     * `maxShingles > 0` keeps only the doc's `maxShingles` SMALLEST hashes —
     * a bottom-k minwise sketch, so jaccard on two capped sets is the
     * standard unbiased estimate rather than exact; docs under the cap are
-    * unaffected. The cap is applied BEFORE collection (row_number window),
-    * so the per-row array cell is bounded even for pathological documents. */
+    * unaffected. The cap is a bounded-state aggregate
+    * ([[graft.plans.BottomKDistinct]] — O(k) buffer, map-side combinable),
+    * NOT a row_number window: the window formulation sorts a pathological
+    * document's whole shingle stream in one task, the sketch never holds
+    * more than k longs per doc anywhere. Input rows are distinct per doc
+    * (shingleTable's contract), so bottom-k-distinct == bottom-k. */
   private def docShingleSets(sh: DataFrame, maxShingles: Int): DataFrame = {
     val hashed = sh.select(col("doc_id"), shingleHash(col("shingle")).as("h"))
-    val capped = if (maxShingles <= 0) hashed else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("h")
-      hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= maxShingles).drop("rn")
-    }
-    capped.groupBy("doc_id")
-      .agg(collect_list("h").as("sh_set"), count("*").as("n_sh"))
+    if (maxShingles <= 0)
+      hashed.groupBy("doc_id")
+        .agg(collect_list("h").as("sh_set"), count("*").as("n_sh"))
+    else
+      hashed.groupBy("doc_id")
+        .agg(graft.plans.GraftExpressions.bottomk_distinct(col("h"),
+          maxShingles).as("sh_set"))
+        .withColumn("n_sh", size(col("sh_set")).cast("long"))
   }
 
   /** Spark evaluates each PLAN REFERENCE to a subtree independently — a
@@ -214,13 +218,17 @@ object Dedup {
     // more exchanges.
     val docSets = docShingleSets(sh, maxShingles)
 
-    // document frequency via count-over-window: one shuffle on `shingle`,
-    // reused by the candidate self-join below (same partitioning) — vs the
-    // groupBy + semi-join formulation, which pays an extra join stage
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val rareSh = sh.withColumn("df", count(lit(1)).over(w))
+    // document frequency via groupBy + equi-join, NOT count-over-window:
+    // the window buffers EVERY posting of one shingle in a single task, so
+    // a boilerplate gram with 10^8 postings at corpus scale is one spilling
+    // straggler. The aggregate combines map-side (hot grams collapse to one
+    // row per partition before the exchange) and AQE's skew-join splits a
+    // hot gram's join side; the extra join stage is the price of a bounded
+    // worst task.
+    val gramDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf) // prune hot shingles
-      .drop("df")
+      .select("shingle")
+    val rareSh = sh.join(gramDf, Seq("shingle"))
 
     val candidates = rareSh.as("a").join(rareSh.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -494,10 +502,15 @@ object Dedup {
         explode(array(tableStructs: _*)).as("tk"))
       .select(col("doc_id"), col("simhash"),
         col("tk.tbl").as("tbl"), col("tk.key").as("key"))
+    // Bucket cap via groupBy + equi-join, not count-over-window: the guard
+    // exists precisely because some buckets are pathologically hot, and a
+    // window would buffer exactly those buckets in single tasks. The count
+    // aggregate combines map-side; the join shuffles on the same (tbl, key)
+    // the self-join below uses.
     val pruned = if (maxBucket <= 0) keyed else {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "key")
-      keyed.withColumn("bsz", count(lit(1)).over(w))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
+      val small = keyed.groupBy("tbl", "key").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("tbl", "key")
+      keyed.join(small, Seq("tbl", "key"))
     }
     pruned.as("x").join(pruned.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.key") === col("y.key") &&

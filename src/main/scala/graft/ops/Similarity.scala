@@ -395,10 +395,13 @@ object Similarity {
         quantize(col(vecCol)).as("v"),
         explode(array(buckets: _*)).as("bucket"))
       .withColumn("n2", qdot(col("v"), col("v"))) // norm once per row
+    // groupBy + equi-join, not count-over-window: the cap guards against hot
+    // buckets, and a window buffers exactly those in one task each (see
+    // Dedup.simhashNearDups — same pattern, same fix).
     val prunedPlan = if (maxBucket <= 0) keyed else {
-      val w = Window.partitionBy("bucket")
-      keyed.withColumn("bsz", count(lit(1)).over(w))
-        .filter(col("bsz") <= maxBucket).drop("bsz")
+      val small = keyed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("bucket")
+      keyed.join(small, Seq("bucket"))
     }
     // Both sides of the self-join reference this subtree; Spark evaluates
     // each reference independently, so quantization + `tables` bucket
@@ -587,10 +590,14 @@ object Similarity {
     val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
       .withColumn("n2", qdot(col("v"), col("v")))
       .localCheckpoint()
+    // Cluster sizes via groupBy + BROADCAST join (k rows — tiny by
+    // construction), not count-over-window: a degenerate mega-cluster is
+    // exactly what the cap guards against, and a window would buffer it in
+    // one task to measure it.
     val paired = if (maxCluster <= 0) asg else {
-      val w = Window.partitionBy("cluster")
-      asg.withColumn("csz", count(lit(1)).over(w))
-        .filter(col("csz") <= maxCluster).drop("csz")
+      val small = asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
+        .filter(col("csz") <= maxCluster).select("cluster")
+      asg.join(broadcast(small), Seq("cluster"))
     }
     val a = paired.select(col("cluster"), col("vec_id").as("id1"),
       col("v").as("v1"), col("n2").as("n21"))

@@ -313,22 +313,27 @@ object TextOps {
    * token units — the regions a training pipeline masks or cuts.
    *
    * Scale shape — the property that makes this tractable where pairwise
-   * span attribution is not: positions are only MARKED (a document-
-   * frequency window over the gram key, one shuffle, reused partitioning —
-   * no pair join), so a boilerplate gram at a million positions costs a
-   * million marks, never a million-squared pair explosion; the island
-   * merge is one doc_id-keyed window (`pos - row_number()` run grouping).
-   * Granularity is the gram size: duplicated regions shorter than `n`
-   * are invisible here and belong to exact/minhash dedup.
+   * span attribution is not: positions are only MARKED (gram frequencies
+   * via `groupBy(shingle).count` — map-side partial aggregation — then an
+   * equi-join back onto the position table), so a boilerplate gram at a
+   * million positions costs a million marks, never a million-squared pair
+   * explosion. Deliberately NOT a `count over (partition by shingle)`
+   * window: that buffers every position of one gram in a single task — a
+   * header gram with 10^8 occurrences at 100 TB is one spilling straggler —
+   * whereas the aggregate combines map-side and AQE's skew-join splits a
+   * hot gram's join side. The island merge is one doc_id-keyed window
+   * (`pos - row_number()` run grouping). Granularity is the gram size:
+   * duplicated regions shorter than `n` are invisible here and belong to
+   * exact/minhash dedup.
    */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, minSpan: Int): DataFrame = {
     require(minSpan >= n, s"minSpan=$minSpan must be >= gram size n=$n")
     import org.apache.spark.sql.expressions.Window
     val pos = graft.ops.Dedup.shingleTablePos(df, idCol, textCol, n)
-    val dfw = Window.partitionBy("shingle")
-    val dup = pos.withColumn("df", count(lit(1)).over(dfw))
-      .filter(col("df") >= 2).drop("df", "shingle")
+    val dupGrams = pos.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("shingle")
+    val dup = pos.join(dupGrams, Seq("shingle")).drop("shingle")
     val iw = Window.partitionBy("doc_id").orderBy("pos")
     dup.withColumn("grp", col("pos") - row_number().over(iw))
       .groupBy("doc_id", "grp")

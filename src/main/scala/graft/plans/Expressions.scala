@@ -719,6 +719,73 @@ final class KmvBuffer(val k: Int) {
 }
 
 /**
+ * The k smallest DISTINCT longs of a group, as a sorted ascending
+ * `array<bigint>` — the bottom-k minwise sketch as an aggregate.
+ *
+ * This is the scale-correct form of "cap a per-group set": the alternative
+ * (`row_number() over (partition by g order by h) <= k`) buffers and sorts a
+ * group's ENTIRE value stream in one window task, while this aggregate
+ * carries O(k) state per group and combines map-side (KmvBuffer: one
+ * comparison early-reject once full), so a pathological million-value group
+ * costs its partitions' local inserts, never one task's sort. Same buffer as
+ * [[KmvDistinct]]; this returns the sketch itself where that returns the
+ * distinct estimate.
+ */
+case class BottomKDistinct(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[KmvBuffer]
+    with UnaryLike[Expression] {
+  require(k >= 1, s"k=$k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.size) { a.insert(b.arr(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    ArrayData.toArrayData(java.util.Arrays.copyOf(buf.arr, buf.size))
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { out.arr(i) = bb.getLong; i += 1 }
+    out.size = n
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(
+      newChild: Expression): BottomKDistinct = copy(child = newChild)
+}
+
+/**
  * First 60 bits of md5 as a long — the engine's canonical oracle-replayable
  * hash, computed directly from the digest bytes.
  *
@@ -1224,6 +1291,10 @@ object GraftExpressions {
 
   def md5_prefix60(c: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))
+
+  def bottomk_distinct(c: Column, k: Int): Column =
+    ColumnBridge.column(BottomKDistinct(ColumnBridge.expression(c), k)
+      .toAggregateExpression())
 
   def vec_sum(vec: Column): Column =
     ColumnBridge.column(VecSumAgg(ColumnBridge.expression(vec))

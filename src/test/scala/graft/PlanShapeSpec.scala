@@ -124,6 +124,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(oha >= 2, s"expected partial+final sketch aggregate:\n$p")
   }
 
+  test("hot-key marking and caps never plan a WindowExec") {
+    // Document-frequency marking and bucket/cluster caps guard against hot
+    // keys, so they must not themselves buffer a hot key's rows in one
+    // window task: the groupBy + equi-join formulation is pinned here.
+    // duplicatedSpans keeps exactly ONE window — the doc_id-keyed island
+    // merge (bounded by document length, not corpus frequency).
+    val ps = plan("q_text_exact_spans")
+    val w = "\\bWindow\\b".r.findAllIn(ps).size
+    assert(w == 1, s"expected only the island-merge window, got $w:\n$ps")
+    // the capped variants (the 100 TB configs) must be window-free
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val capped = Seq(
+      "jaccard_capped" -> graft.ops.Dedup.jaccardPairs(docs, "doc_id",
+        "text", n = 5, threshold = 0.5, maxDf = 20, maxShingles = 64),
+      "simhash_capped" -> graft.ops.Dedup.simhashNearDups(docs, "doc_id",
+        "text", maxHamming = 3, blocks = 6, maxBucket = 50),
+      "ann_capped" -> graft.ops.Similarity.annNearDupPairs(emb, "vec_id",
+        "embedding", threshold = 0.9, maxBucket = 50),
+      "semdedup_capped" -> graft.ops.Similarity.semanticDedup(emb, "vec_id",
+        "embedding", k = 8, iters = 2, threshold = 0.95, maxCluster = 100))
+    for ((name, df) <- capped) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$name plans a window:\n$p")
+    }
+    spark.catalog.clearCache() // the pair ops persist their signature tables
+  }
+
   test("funnel folds off ONE user shuffle; cdc diff is one full-outer join") {
     val pf = plan("q_seq_funnel")
     val ex = "Exchange hashpartitioning".r.findAllIn(pf).size
