@@ -120,6 +120,10 @@ object MergeWriter {
     * what [[graft.streaming.StreamingIngest.scd2Sink]]'s at-least-once
     * convergence claim rests on.
     *
+    * Schema evolves like [[upsert]]: new batch columns join the output
+    * (nulls in pre-existing rows) instead of being dropped, and null-keyed
+    * rows on either side are kept/inserted, never silently deleted.
+    *
     * Returns the merged frame; write it with [[writeSwap]] (or via a
     * partition-pruned route when the table is partitioned on a stable
     * column, exactly as [[write]] does for SCD-1). */
@@ -129,19 +133,39 @@ object MergeWriter {
     val scdCols = Seq("valid_from", "valid_to", "is_current")
     require(scdCols.forall(target.columns.contains),
       s"SCD-2 target needs ${scdCols.mkString(", ")} columns")
-    val dataCols = target.columns.filterNot(scdCols.contains).toSeq
+    // Schema evolution, like [[upsert]]: batch columns ABSENT from the
+    // target join the output schema (existing history/current rows read
+    // them as typed nulls), and batch rows missing target data columns get
+    // typed nulls — a CDC source adding a column must never lose data
+    // silently. A genuinely new column differs (null <=> value is false)
+    // on every key that carries it, so affected rows version as expected.
+    val targetData = target.columns.filterNot(scdCols.contains).toSeq
+    val bData = {
+      val d = dedupDeterministic(batch, ids, recency)
+      d.drop(scdCols.filter(d.columns.contains): _*)
+    }
+    val dataSchema = unionSchemaOf(target.select(targetData.map(col): _*), bData)
+    val dataCols = dataSchema.map(_._1)
     val compareCols = dataCols.filterNot(ids.contains)
-    val b = dedupDeterministic(batch, ids, recency)
-      .select(dataCols.map(col): _*) // batch carries data columns only
-    val cur = target.filter(col("is_current"))
-    val hist = target.filter(!col("is_current"))
+    val b = alignTo(bData, dataSchema)
+    val extras = dataCols.filterNot(target.columns.contains)
+    val fullSchema = target.schema.fields.toSeq
+      .map(f => f.name -> f.dataType.sql) ++
+      dataSchema.filter { case (n, _) => extras.contains(n) }
+    val evolved = alignTo(target, fullSchema)
+    val cur = evolved.filter(col("is_current"))
+    val hist = evolved.filter(!col("is_current"))
 
-    val hasC = col(s"c.${ids.head}").isNotNull
-    val hasB = col(s"b.${ids.head}").isNotNull
+    // Side presence via constant markers, NOT key nullability: a null-keyed
+    // current or batch row never equi-joins, but it still owns its output
+    // (kept / inserted) — testing `ids.head IS NOT NULL` would silently
+    // delete null-keyed current rows and drop null-keyed batch rows.
+    val hasC = col("c.__graft_present").isNotNull
+    val hasB = col("b.__graft_present").isNotNull
     // change detection must not ORDER on unorderable types: a map-typed
     // column compares through its sorted entry array (canonical — map
     // iteration order is unspecified, entry SETS are what equality means)
-    val typeOf = target.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typeOf = evolved.schema.fields.map(f => f.name -> f.dataType).toMap
     def comparable(side: String, c: String): Column = typeOf(c) match {
       case _: org.apache.spark.sql.types.MapType =>
         sort_array(map_entries(col(s"$side.$c")))
@@ -150,7 +174,7 @@ object MergeWriter {
     val differs = compareCols.map(c =>
         not(comparable("c", c) <=> comparable("b", c))).reduceOption(_ || _)
       .getOrElse(lit(false))
-    val order = target.columns.toSeq
+    val order = evolved.columns.toSeq
     // the three possible versions of a joined key, as same-shaped structs
     def mk(data: String => Column, vf: Column, vt: Column, ic: Column) = {
       val byName = (dataCols.map(c => c -> data(c)) ++ Seq(
@@ -166,7 +190,8 @@ object MergeWriter {
     val newS = when(hasB && (!hasC || differs),
       mk(c => col(s"b.$c"), lit(versionTs), lit(null).cast("string"),
         lit(true)))
-    val merged = cur.as("c").join(b.as("b"),
+    val merged = cur.withColumn("__graft_present", lit(1)).as("c")
+      .join(b.withColumn("__graft_present", lit(1)).as("b"),
         ids.map(k => col(s"c.$k") === col(s"b.$k")).reduce(_ && _),
         "full_outer")
       .select(explode(filter(array(closedS, keptS, newS),

@@ -234,6 +234,51 @@ class MergeWriterSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("scd2: NEW batch columns evolve the schema instead of dropping") {
+    import spark.implicits._
+    val target = MergeWriter.scd2Bootstrap(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t0")
+    // batch adds a column the target has never seen
+    val batch = Seq((2L, "b", "eu"), (3L, "c", "us")).toDF("id", "v", "region")
+    val merged = MergeWriter.scd2Merge(target, batch, Seq("id"), "t1")
+    assert(merged.columns.contains("region"))
+    val rows = merged
+      .select("id", "v", "region", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Option[String], String, Option[String], Boolean)]
+      .collect().toSet
+    // key 1: untouched, region null; key 2: null -> "eu" differs, so the
+    // old version closes and a new one opens carrying the region; key 3: new
+    assert(rows === Set(
+      (1L, "a", None, "t0", None, true),
+      (2L, "b", None, "t0", Some("t1"), false),
+      (2L, "b", Some("eu"), "t1", None, true),
+      (3L, "c", Some("us"), "t1", None, true)))
+    // re-merge with the same batch is a no-op (evolution is idempotent)
+    val again = MergeWriter.scd2Merge(merged, batch, Seq("id"), "t2")
+      .select("id", "v", "region", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Option[String], String, Option[String], Boolean)]
+      .collect().toSet
+    assert(again === rows)
+  }
+
+  test("scd2: null-keyed rows are kept/inserted, never silently deleted") {
+    import spark.implicits._
+    val target = MergeWriter.scd2Bootstrap(
+      Seq((Some(1L), "a"), (None, "orphan")).toDF("id", "v"), "t0")
+    val batch = Seq((Some(1L), "A"), (None, "stray")).toDF("id", "v")
+    val rows = MergeWriter.scd2Merge(target, batch, Seq("id"), "t1")
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Option[Long], String, String, Option[String], Boolean)]
+      .collect().toSet
+    // null keys never equi-join: the current null-key row survives
+    // unchanged and the batch null-key row inserts as its own version
+    assert(rows === Set(
+      (Some(1L), "a", "t0", Some("t1"), false),
+      (Some(1L), "A", "t1", None, true),
+      (None, "orphan", "t0", None, true),
+      (None, "stray", "t1", None, true)))
+  }
+
   test("compact preserves a partitioned layout and reduces files") {
     import spark.implicits._
     val path = java.nio.file.Files
