@@ -205,6 +205,11 @@ object Multimodal {
           val f = in.getFormat
           require(f.getSampleSizeInBits == 16,
             s"media $id: expected 16-bit PCM, got ${f.getSampleSizeInBits}")
+          // 16-bit alone is not enough: a PCM_UNSIGNED (or float) stream
+          // would decode as signed garbage silently — fail loudly instead
+          require(f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media $id: expected PCM_SIGNED, got ${f.getEncoding}")
           val data = in.readAllBytes()
           var peak = 0; var sum = 0L
           var i = 0

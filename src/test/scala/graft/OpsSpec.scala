@@ -795,6 +795,25 @@ class OpsSpec extends SparkSpec {
     assert(w.sum_abs > 0)
   }
 
+  test("codec queries match committed golden result hashes") {
+    // q_mm_decode / q_mm_wav are the only catalog rows the DuckDB oracle
+    // can't replay (no PNG/WAV codec there). Pin their full results to
+    // committed hashes over the sf0.001 fixture — same canonicalization as
+    // the driver's compare (columns sorted by name, rows sorted, values as
+    // strings) — so codec regressions are a hard signal, not rows-only.
+    def goldenHash(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val cols = df.columns.sorted.map(col)
+      val canon = df.select(cols: _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+        .mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(goldenHash("q_mm_decode") === "adb53fa9159ca8bc1655fc95e1317780")
+    assert(goldenHash("q_mm_wav") === "5ba13775b28cc3adf0e8e7d756c2e62f")
+  }
+
   test("stage pipeline quarantines bad columns and keeps going") {
     val specs = Seq(
       ColumnSpec("T", "ok", 1, "string", "c_name"),
