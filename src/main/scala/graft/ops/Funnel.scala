@@ -10,26 +10,45 @@ import org.apache.spark.sql.functions._
  *
  * Execution shape: ONE shuffle on the user key; each group folds its
  * (ts, tie)-ordered events with `functions.aggregate` — a codegen'd scalar
- * fold, no UDF. Per-group state is the user's event array, the same bound
- * as any per-entity sequence operator (cap long histories upstream with
- * [[graft.pipeline.StageTransform]]-style windows if a single entity can
- * exceed executor memory). The greedy fold is equivalent to the chained
- * first-match formulation (first stage-1 event, then the first stage-2
- * event after it, ...), which is what the DuckDB oracle replays.
+ * fold, no UDF. Events are pre-filtered to the stage types (non-stage
+ * events can never advance the fold, so results are identical and the
+ * shuffled volume drops to the funnel-relevant slice). Per-group state is
+ * the user's relevant-event array; `maxEvents > 0` bounds it via
+ * [[graft.plans.EarliestK]] — an O(k)-state map-side-combinable bottom-k
+ * heap, so one pathological bot entity can never hold a task's memory
+ * (events beyond the cap are invisible to the fold; users under it are
+ * exact). The greedy fold is equivalent to the chained first-match
+ * formulation (first stage-1 event, then the first stage-2 event after
+ * it, ...), which is what the DuckDB oracle replays.
  */
 object Funnel {
+
+  /** The (ts, tie)-sorted relevant-event array per user: exact sorted
+    * collect when uncapped, bounded earliest-k heap when capped. */
+  private def sortedEvents(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String],
+      maxEvents: Int): DataFrame = {
+    val relevant = df.filter(col(typeCol).isin(stages: _*))
+    val ev = struct(col(tsCol), col(tieCol), col(typeCol).as("t"))
+    val evs =
+      if (maxEvents <= 0) array_sort(collect_list(ev))
+      else graft.plans.GraftExpressions.earliest_k(ev, maxEvents)
+    relevant.groupBy(col(userCol)).agg(evs.as("evs"))
+  }
 
   /** Per-user funnel depth: `(userCol, stage_reached)` with stage_reached
     * in [0, stages.length]. `tieCol` must totally order equal timestamps —
     * determinism of the fold (and of any engine replaying it) needs a
-    * total event order. */
+    * total event order. `maxEvents > 0` caps each user's fold to their
+    * earliest `maxEvents` stage-typed events with bounded state. Users
+    * with NO stage-typed events are omitted (implicitly stage 0) — the
+    * drop-off reports only count stage >= 1, so they are unaffected. */
   def stageReached(df: DataFrame, userCol: String, tsCol: String,
-      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+      tieCol: String, typeCol: String, stages: Seq[String],
+      maxEvents: Int = 0): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val stageArr = array(stages.map(lit): _*)
-    df.groupBy(col(userCol))
-      .agg(array_sort(collect_list(
-        struct(col(tsCol), col(tieCol), col(typeCol).as("t")))).as("evs"))
+    sortedEvents(df, userCol, tsCol, tieCol, typeCol, stages, maxEvents)
       .select(col(userCol),
         aggregate(col("evs"), lit(0), (acc, e) =>
           when(acc < stages.length &&
@@ -42,9 +61,11 @@ object Funnel {
     * the monotone drop-off curve. Stages nobody reaches still appear (with
     * n_users = 0) so the report schema is stable. */
   def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
-      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+      tieCol: String, typeCol: String, stages: Seq[String],
+      maxEvents: Int = 0): DataFrame = {
     val stageArr = array(stages.map(lit): _*)
-    val reached = stageReached(df, userCol, tsCol, tieCol, typeCol, stages)
+    val reached = stageReached(df, userCol, tsCol, tieCol, typeCol, stages,
+      maxEvents)
     val spark = df.sparkSession
     import spark.implicits._
     val all = stages.indices.map(i => i + 1).toDF("stage")
@@ -68,16 +89,14 @@ object Funnel {
    */
   def stageReachedWithin(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, stages: Seq[String],
-      maxGapSeconds: Long): DataFrame = {
+      maxGapSeconds: Long, maxEvents: Int = 0): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(maxGapSeconds > 0, s"maxGapSeconds=$maxGapSeconds must be > 0")
     val stageArr = array(stages.map(lit): _*)
     val gapUs = maxGapSeconds * 1000000L
     val init = struct(lit(0).as("stage"),
       lit(null).cast("long").as("mus"))
-    df.groupBy(col(userCol))
-      .agg(array_sort(collect_list(
-        struct(col(tsCol), col(tieCol), col(typeCol).as("t")))).as("evs"))
+    sortedEvents(df, userCol, tsCol, tieCol, typeCol, stages, maxEvents)
       .select(col(userCol),
         aggregate(col("evs"), init, (acc, e) => {
           val st = acc.getField("stage")
@@ -94,10 +113,10 @@ object Funnel {
     * [[funnelCounts]]. */
   def funnelCountsWithin(df: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, stages: Seq[String],
-      maxGapSeconds: Long): DataFrame = {
+      maxGapSeconds: Long, maxEvents: Int = 0): DataFrame = {
     val stageArr = array(stages.map(lit): _*)
     val reached = stageReachedWithin(df, userCol, tsCol, tieCol, typeCol,
-      stages, maxGapSeconds)
+      stages, maxGapSeconds, maxEvents)
     val spark = df.sparkSession
     import spark.implicits._
     val all = stages.indices.map(i => i + 1).toDF("stage")

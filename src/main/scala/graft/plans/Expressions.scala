@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -786,6 +787,128 @@ case class BottomKDistinct(child: Expression, k: Int,
 }
 
 /**
+ * The k SMALLEST rows of a struct column per group (by the struct's natural
+ * field-order comparison), returned sorted ascending — `array_sort(
+ * collect_list(s))` truncated to k, but with O(k) aggregation state.
+ *
+ * This is the per-entity event cap for sequence operators (funnel, session
+ * folds): `collect_list` buffers a pathological entity's ENTIRE history in
+ * one aggregation buffer, while this keeps a bounded max-heap (size k) that
+ * combines map-side — a million-event bot user costs k rows of state per
+ * partition, never a million. With fewer than k rows the output equals the
+ * sorted collect exactly.
+ */
+case class EarliestK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]]
+    with UnaryLike[Expression] {
+  require(k >= 1, s"k=$k must be >= 1")
+
+  private def structType: StructType =
+    child.dataType.asInstanceOf[StructType]
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"earliest_k needs a struct, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val ordering: Ordering[InternalRow] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+  // max-heap: the head is the LARGEST kept row — the eviction candidate
+  @transient private lazy val heapCmp =
+    new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int =
+        ordering.compare(b, a)
+    }
+  @transient private lazy val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(structType)
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[InternalRow] =
+    new java.util.PriorityQueue[InternalRow](k, heapCmp)
+
+  private def insert(buf: java.util.PriorityQueue[InternalRow],
+      row: InternalRow): Unit = {
+    if (buf.size < k) buf.add(toUnsafe(row).copy())
+    else if (ordering.compare(row, buf.peek()) < 0) {
+      buf.poll()
+      buf.add(toUnsafe(row).copy())
+    }
+  }
+
+  override def update(buf: java.util.PriorityQueue[InternalRow],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[InternalRow])
+    buf
+  }
+
+  override def merge(a: java.util.PriorityQueue[InternalRow],
+      b: java.util.PriorityQueue[InternalRow])
+      : java.util.PriorityQueue[InternalRow] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.PriorityQueue[InternalRow]): Any = {
+    val arr = buf.toArray(new Array[InternalRow](buf.size))
+    java.util.Arrays.sort(arr, ordering)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[InternalRow])
+      : Array[Byte] = {
+    val rows = buf.toArray(new Array[InternalRow](buf.size))
+      .map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow])
+    val total = 4 + rows.map(4 + _.getSizeInBytes).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(rows.length)
+    rows.foreach { r =>
+      bb.putInt(r.getSizeInBytes)
+      r.writeTo(bb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.PriorityQueue[InternalRow] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.PriorityQueue[InternalRow](k, heapCmp)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val rowBytes = new Array[Byte](len)
+      bb.get(rowBytes)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(
+        structType.length)
+      row.pointTo(rowBytes, len)
+      out.add(row)
+      i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): EarliestK =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): EarliestK =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): EarliestK =
+    copy(child = newChild)
+}
+
+/**
  * First 60 bits of md5 as a long — the engine's canonical oracle-replayable
  * hash, computed directly from the digest bytes.
  *
@@ -1294,6 +1417,10 @@ object GraftExpressions {
 
   def bottomk_distinct(c: Column, k: Int): Column =
     ColumnBridge.column(BottomKDistinct(ColumnBridge.expression(c), k)
+      .toAggregateExpression())
+
+  def earliest_k(s: Column, k: Int): Column =
+    ColumnBridge.column(EarliestK(ColumnBridge.expression(s), k)
       .toAggregateExpression())
 
   def vec_sum(vec: Column): Column =

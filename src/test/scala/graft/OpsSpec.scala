@@ -578,6 +578,42 @@ class OpsSpec extends SparkSpec {
       3 -> (("purchase", 1L))))
   }
 
+  test("funnel: maxEvents caps a degenerate user with bounded state") {
+    import graft.ops.Funnel
+    val stages = Seq("view", "click", "purchase")
+    // bot user 9: 10k view events, then the click/purchase arrive LAST —
+    // beyond any sane cap; normal user 1 converts in 3 events
+    val bot = (1 to 10000).map(i => (9L, i.toLong, i.toLong, "view")) ++
+      Seq((9L, 20000L, 20001L, "click"), (9L, 20010L, 20002L, "purchase"))
+    val ok = Seq((1L, 1L, 1L, "view"), (1L, 2L, 2L, "click"),
+      (1L, 3L, 3L, "purchase"))
+    val ev = (bot ++ ok).toDF("user_id", "ts", "event_id", "event_type")
+    // uncapped: both users complete the funnel
+    val full = Funnel.stageReached(ev, "user_id", "ts", "event_id",
+      "event_type", stages).as[(Long, Int)].collect().toMap
+    assert(full == Map(9L -> 3, 1L -> 3))
+    // capped at 100: the bot's conversion events fall beyond its earliest
+    // 100, so it stops at 'view'; the under-cap user is exact
+    val capped = Funnel.stageReached(ev, "user_id", "ts", "event_id",
+      "event_type", stages, maxEvents = 100).as[(Long, Int)].collect().toMap
+    assert(capped == Map(9L -> 1, 1L -> 3))
+    // same cap through the windowed variant (timestamp-typed ts) + reports
+    val evTs = ev.withColumn("ts", timestamp_seconds(col("ts")))
+    val cw = Funnel.stageReachedWithin(evTs, "user_id", "ts", "event_id",
+      "event_type", stages, maxGapSeconds = 1000000L, maxEvents = 100)
+      .as[(Long, Int)].collect().toMap
+    assert(cw(9L) == 1 && cw(1L) == 3)
+    val counts = Funnel.funnelCounts(ev, "user_id", "ts", "event_id",
+      "event_type", stages, maxEvents = 100)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(counts == Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+    // the capped fold is partition-invariant (EarliestK combines map-side)
+    val rep = Funnel.stageReached(ev.repartition(13), "user_id", "ts",
+      "event_id", "event_type", stages, maxEvents = 100)
+      .as[(Long, Int)].collect().toMap
+    assert(rep == capped)
+  }
+
   test("windowed funnel: stage converts only within the gap of its match") {
     import graft.ops.Funnel
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
