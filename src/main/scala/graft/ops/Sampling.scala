@@ -96,28 +96,6 @@ object Sampling {
       .drop("__h", "offset")
   }
 
-  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
-    * pick the `topK` documents whose hashed-unigram profile looks most like
-    * a target subset relative to the whole corpus. Per token, the feature is
-    * a `buckets`-way md5 hash; per bucket, an add-one-smoothed frequency
-    * ratio between target and corpus; per document, the score is the sum of
-    * its tokens' bucket ratios (with multiplicity).
-    *
-    * Divergence from the paper, deliberately: the paper scores with
-    * log-likelihood ratios and samples with Gumbel noise; engines disagree
-    * on `ln` ULPs and any RNG breaks replayability, so the score here is the
-    * LINEAR ratio floor-quantized to 6 dp per bucket (a monotone surrogate
-    * on the same sufficient statistics) and selection is exact top-k with
-    * the id as tie-break — bit-identical on any engine, cluster or retry.
-    *
-    * Scale shape: one pass over the exploded token stream computes BOTH
-    * histograms (`count(*)` and a filtered count, map-side combined into at
-    * most `buckets` rows); the bucket->weight table is broadcast, so scoring
-    * is a map-side join + one doc_id-keyed aggregate; selection is a
-    * distributed TakeOrdered, never a global sort. The corpus is tokenized
-    * twice (once per job) — at scale that is cheaper than materializing a
-    * corpus-sized token table to save a re-scan. Documents with zero tokens
-    * score nothing and are dropped (they cannot carry signal either way). */
   /** Curriculum binning: assign every row a global quantile bin
     * (0..bins-1) under the total order given by `orderCols` (which must be
     * unique as a tuple — end with the id). Bin = floor(rank * bins / n)
@@ -142,6 +120,28 @@ object Sampling {
       .drop("__one", "offset")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * pick the `topK` documents whose hashed-unigram profile looks most like
+    * a target subset relative to the whole corpus. Per token, the feature is
+    * a `buckets`-way md5 hash; per bucket, an add-one-smoothed frequency
+    * ratio between target and corpus; per document, the score is the sum of
+    * its tokens' bucket ratios (with multiplicity).
+    *
+    * Divergence from the paper, deliberately: the paper scores with
+    * log-likelihood ratios and samples with Gumbel noise; engines disagree
+    * on `ln` ULPs and any RNG breaks replayability, so the score here is the
+    * LINEAR ratio floor-quantized to 6 dp per bucket (a monotone surrogate
+    * on the same sufficient statistics) and selection is exact top-k with
+    * the id as tie-break — bit-identical on any engine, cluster or retry.
+    *
+    * Scale shape: one pass over the exploded token stream computes BOTH
+    * histograms (`count(*)` and a filtered count, map-side combined into at
+    * most `buckets` rows); the bucket->weight table is broadcast, so scoring
+    * is a map-side join + one doc_id-keyed aggregate; selection is a
+    * distributed TakeOrdered, never a global sort. The corpus is tokenized
+    * twice (once per job) — at scale that is cheaper than materializing a
+    * corpus-sized token table to save a re-scan. Documents with zero tokens
+    * score nothing and are dropped (they cannot carry signal either way). */
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024, topK: Int = 100): DataFrame = {
     require(buckets > 0 && topK > 0, "buckets and topK must be positive")

@@ -94,16 +94,31 @@ object SnapshotStore {
     }
   }
 
-  /** Forward-only pointer flip (per-version tmp file, JVM flip lock). On an
-    * object store this is one conditional PUT (If-Match on the pointer). */
+  /** Forward-only pointer flip. The read-compare-rename is guarded by TWO
+    * locks: the JVM `flipLock` serializes threads of this process (and
+    * keeps `FileChannel.lock` from throwing OverlappingFileLockException),
+    * and an OS-level file lock on `_latest.lock` serializes OTHER writer
+    * processes — without it a slower committer in a second JVM could
+    * overwrite `_latest` with a lower version and move readers backwards.
+    * On an object store this whole method is one conditional PUT (If-Match
+    * on the pointer). */
   private def flip(rootP: JPath, root: String, v: Long): Unit = {
     val tmp = rootP.resolve(s"_latest.__tmp$v")
     Files.writeString(tmp, v.toString)
     flipLock.synchronized {
-      if (currentVersion(root).forall(_ < v))
-        Files.move(tmp, pointer(rootP), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      else Files.delete(tmp) // superseded: the version stays readable
+      val ch = java.nio.channels.FileChannel.open(
+        rootP.resolve("_latest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        try {
+          if (currentVersion(root).forall(_ < v))
+            Files.move(tmp, pointer(rootP), StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          else Files.delete(tmp) // superseded: the version stays readable
+        } finally osLock.release()
+      } finally ch.close()
     }
   }
 
