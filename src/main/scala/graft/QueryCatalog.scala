@@ -2680,6 +2680,37 @@ object QueryCatalog {
             (acc, c) -> (acc * 31 + c) % 1000000000000000) AS rh
         FROM n""")),
 
+    // the sketch surface through SQL: graft_kmv_distinct over the native
+    // graft_md5_prefix60 hash, grouped — `expr()`/spark.sql users get the
+    // same bounded-state distinct estimation the Scala API ships, and the
+    // oracle replays each group's sketch (row_number over ordered 60-bit
+    // hashes) bit-for-bit
+    ("q_dsl_sql_sketch",
+      (s: SparkSession, d: String) => {
+        graft.plans.GraftExpressions.register(s)
+        t(s, d, "documents").createOrReplaceTempView("documents_sqlsk")
+        s.sql("""SELECT lang, count(*) AS n_docs,
+            graft_kmv_distinct(
+              graft_md5_prefix60(CAST(doc_id AS STRING)), 64) AS nd_doc_est
+          FROM documents_sqlsk GROUP BY lang""")
+      },
+      Some("""WITH h AS MATERIALIZED (SELECT lang,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+            FROM (SELECT DISTINCT lang, doc_id FROM documents)),
+          r AS (SELECT lang, h,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY lang) AS cnt
+            FROM (SELECT DISTINCT lang, h FROM h)),
+          est AS (SELECT lang,
+              CASE WHEN any_value(cnt) < 64 THEN CAST(any_value(cnt) AS DOUBLE)
+                   ELSE 63.0 * 1152921504606846976.0 /
+                     CAST(max(CASE WHEN rn <= 64 THEN h END) AS DOUBLE)
+              END AS nd_doc_est FROM r GROUP BY lang),
+          n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        SELECT n.lang, n.n_docs, est.nd_doc_est
+        FROM n JOIN est USING (lang)""")),
+
     // multimodal frame sampling: one row per sampled frame index per video
     ("q_mm_frames",
       (s: SparkSession, d: String) => Multimodal.sampleFrames(

@@ -1465,6 +1465,12 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottomk_distinct", exprs => BottomKDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_earliest_k", exprs => EarliestK(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_sum", exprs => VecSumAgg(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms_agg", exprs => CmsAgg(exprs.head,
