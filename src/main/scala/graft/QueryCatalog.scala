@@ -1397,8 +1397,7 @@ object QueryCatalog {
         val toks = t(s, d, "documents").select(col("lang"),
           explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
         toks
-          .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 15),
-            16, 10).cast("long"))
+          .withColumn("h", graft.plans.GraftExpressions.md5_prefix60(col("w")))
           .groupBy("lang").agg(
             graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
               .as("est_distinct"),

@@ -140,7 +140,7 @@ object Dedup {
     * row cell — and `array_intersect` compares primitives. Cross-set
     * equality is exact up to md5 collisions (~2^-60 per pair). */
   private def shingleHash(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.GraftExpressions.md5_prefix60(c)
 
   /** Per-doc shingle set (hashed) + true set size, one shuffle on doc_id.
     * `maxShingles > 0` keeps only the doc's `maxShingles` SMALLEST hashes —
@@ -439,9 +439,9 @@ object Dedup {
 
   val SimhashBits = 60 // 15 md5 hex chars — sign-safe in a BIGINT everywhere
 
-  /** Per-token 60-bit hash (15 hex chars of md5). */
+  /** Per-token 60-bit hash (15 hex chars of md5, native expression). */
   private def tokenHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.plans.GraftExpressions.md5_prefix60(c)
 
   /** 60-bit SimHash per document: bit j set iff the majority of the doc's
     * distinct tokens have bit j set (strictly more 1s than 0s). One explode +

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform-in-[0,1) deterministic score for an id: first 8 md5 hex chars
-    * scaled by 2^-32. */
+    * scaled by 2^-32 (native digest-prefix expression; same value as
+    * `conv(substr(md5(x),1,8),16,10)` — the oracle replays that form). */
   def hashScore(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+    graft.plans.GraftExpressions.md5_prefix(id.cast("string"), 8)
       .cast("double") / lit(4294967296.0)
 
   /** Keep rows whose hash score < `fraction` — a reproducible Bernoulli
@@ -148,8 +149,8 @@ object Sampling {
     val toks = df.select(col(idCol).as("doc_id"), isTarget.as("__t"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("bk",
-        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
-          .cast("long"), lit(buckets)))
+        pmod(graft.plans.GraftExpressions.md5_prefix(col("tok"), 4),
+          lit(buckets)))
     val weights = broadcast(toks.groupBy("bk").agg(
         count(lit(1)).as("s_n"),
         count(when(col("__t"), lit(1))).as("t_n"))

@@ -418,8 +418,8 @@ object TextOps {
   def cmsEstimate(sketch: Column, value: Column, depth: Int,
       width: Int): Column = {
     val perRow = (0 until depth).map { t =>
-      val h = conv(substring(md5(concat(lit(t + ":"), value)
-        .cast("binary")), 1, 15), 16, 10).cast("long")
+      val h = graft.plans.GraftExpressions
+        .md5_prefix60(concat(lit(t + ":"), value))
       element_at(sketch, (lit(t * width) + pmod(h, lit(width)) + 1).cast("int"))
     }
     if (perRow.size == 1) perRow.head else least(perRow: _*)

@@ -909,18 +909,22 @@ case class EarliestK(child: Expression, k: Int,
 }
 
 /**
- * First 60 bits of md5 as a long — the engine's canonical oracle-replayable
- * hash, computed directly from the digest bytes.
+ * First `hexChars` md5 hex digits as a long — the engine's canonical
+ * oracle-replayable hash family, computed directly from the digest bytes.
  *
- * Semantically identical to `conv(substring(md5(x), 1, 15), 16, 10)` (first
- * 15 hex chars = first 7.5 digest bytes, big-endian), but skips the three
- * intermediate materializations that chain costs per row: the 32-char hex
- * UTF8String render, the substring copy, and conv's base-16 re-parse. That
- * chain sits under every KMV sketch update (interpreted, inside
- * ObjectHashAggregate), so the constant matters at 100 TB — DuckDB still
- * replays the arithmetic form bit-for-bit.
+ * Semantically identical to `conv(substring(md5(x), 1, hexChars), 16, 10)`
+ * (first hexChars hex chars = first 4*hexChars digest bits, big-endian),
+ * but skips the three intermediate materializations that chain costs per
+ * row: the 32-char hex UTF8String render, the substring copy, and conv's
+ * base-16 re-parse. That chain sits under every shingle, sketch update and
+ * sample filter — the engine's hottest per-row work — so the constant
+ * matters at 100 TB. DuckDB still replays the arithmetic form bit-for-bit.
+ * hexChars <= 15 keeps the value sign-safe in a BIGINT on every engine.
  */
-case class Md5Prefix60(child: Expression) extends UnaryExpression {
+case class Md5Prefix60(child: Expression, hexChars: Int = 15)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars=$hexChars must be in [1, 15]")
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -935,14 +939,14 @@ case class Md5Prefix60(child: Expression) extends UnaryExpression {
       case s: UTF8String => s.getBytes
       case b: Array[Byte] => b
     }
-    Md5Prefix60.hash60(bytes)
+    Md5Prefix60.hashPrefix(bytes, hexChars)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val bytes =
         if (child.dataType == StringType) s"$c.getBytes()" else c
-      s"${ev.value} = graft.plans.Md5Prefix60.hash60($bytes);"
+      s"${ev.value} = graft.plans.Md5Prefix60.hashPrefix($bytes, $hexChars);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix60 =
@@ -956,14 +960,19 @@ object Md5Prefix60 {
   }
 
   /** First 60 bits of md5(bytes), big-endian, as a non-negative long. */
-  def hash60(bytes: Array[Byte]): Long = {
+  def hash60(bytes: Array[Byte]): Long = hashPrefix(bytes, 15)
+
+  /** First 4*hexChars bits of md5(bytes), big-endian, non-negative. */
+  def hashPrefix(bytes: Array[Byte], hexChars: Int): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(bytes)
     var h = 0L
     var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
+    val full = hexChars / 2
+    while (i < full) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    if ((hexChars & 1) == 1) h = (h << 4) | ((d(full) & 0xf0L) >> 4)
+    h
   }
 }
 
@@ -1414,6 +1423,9 @@ object GraftExpressions {
 
   def md5_prefix60(c: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))
+
+  def md5_prefix(c: Column, hexChars: Int): Column =
+    ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c), hexChars))
 
   def bottomk_distinct(c: Column, k: Int): Column =
     ColumnBridge.column(BottomKDistinct(ColumnBridge.expression(c), k)
