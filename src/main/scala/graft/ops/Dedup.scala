@@ -152,8 +152,14 @@ object Dedup {
     * document's whole shingle stream in one task, the sketch never holds
     * more than k longs per doc anywhere. Input rows are distinct per doc
     * (shingleTable's contract), so bottom-k-distinct == bottom-k. */
-  private def docShingleSets(sh: DataFrame, maxShingles: Int): DataFrame = {
-    val hashed = sh.select(col("doc_id"), shingleHash(col("shingle")).as("h"))
+  private def docShingleSets(sh: DataFrame, maxShingles: Int): DataFrame =
+    docShingleSetsHashed(
+      sh.select(col("doc_id"), shingleHash(col("shingle")).as("h")),
+      maxShingles)
+
+  /** [[docShingleSets]] over an already-hashed (doc_id, h) table. */
+  private def docShingleSetsHashed(hashed: DataFrame,
+      maxShingles: Int): DataFrame = {
     if (maxShingles <= 0)
       hashed.groupBy("doc_id")
         .agg(collect_list("h").as("sh_set"), count("*").as("n_sh"))
@@ -207,8 +213,14 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, maxDf: Int = 20, maxShingles: Int = 0): DataFrame = {
-    // referenced twice below (candidate gen, per-doc set collection)
-    val sh = materialized(shingleTable(df, idCol, textCol, n))
+    // Hash shingles to 60-bit longs BEFORE materializing: every downstream
+    // stage (set collection, document frequency, candidate self-join) then
+    // shuffles 8-byte keys instead of ~10·n-char gram strings, and the
+    // posting list is tokenized exactly once. Candidate equality is on the
+    // hash — exact up to md5 collisions, the same convention the set
+    // intersection below already uses.
+    val sh = materialized(shingleTable(df, idCol, textCol, n)
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h")))
 
     // One shuffle on doc_id: the (hashed, optionally capped) shingle set AND
     // its size per doc. Carrying the set as an array keeps the
@@ -216,7 +228,7 @@ object Dedup {
     // codegen'd) instead of the posting-list x posting-list re-join, which
     // at corpus scale shuffles |candidates| x avg_shingles rows through two
     // more exchanges.
-    val docSets = docShingleSets(sh, maxShingles)
+    val docSets = docShingleSetsHashed(sh, maxShingles)
 
     // document frequency via groupBy + equi-join, NOT count-over-window:
     // the window buffers EVERY posting of one shingle in a single task, so
@@ -225,13 +237,13 @@ object Dedup {
     // row per partition before the exchange) and AQE's skew-join splits a
     // hot gram's join side; the extra join stage is the price of a bounded
     // worst task.
-    val gramDf = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val gramDf = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf) // prune hot shingles
-      .select("shingle")
-    val rareSh = sh.join(gramDf, Seq("shingle"))
+      .select("h")
+    val rareSh = sh.join(gramDf, Seq("h"))
 
     val candidates = rareSh.as("a").join(rareSh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()

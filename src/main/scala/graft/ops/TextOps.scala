@@ -330,10 +330,19 @@ object TextOps {
       n: Int, minSpan: Int): DataFrame = {
     require(minSpan >= n, s"minSpan=$minSpan must be >= gram size n=$n")
     import org.apache.spark.sql.expressions.Window
-    val pos = graft.ops.Dedup.shingleTablePos(df, idCol, textCol, n)
-    val dupGrams = pos.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("shingle")
-    val dup = pos.join(dupGrams, Seq("shingle")).drop("shingle")
+    // Positions carry the 60-bit gram hash, not the gram string: the
+    // frequency groupBy and the mark-join shuffle 8-byte keys instead of
+    // ~10·n-char grams (equality is exact up to md5 collisions, the same
+    // convention as every hashed shingle set here). Materialized because
+    // both the frequency aggregate and the join probe it — without this
+    // the corpus would tokenize twice.
+    val pos = graft.ops.Dedup.materialized(
+      graft.ops.Dedup.shingleTablePos(df, idCol, textCol, n)
+        .select(col("doc_id"), col("pos"),
+          graft.plans.GraftExpressions.md5_prefix60(col("shingle")).as("h")))
+    val dupGrams = pos.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h")
+    val dup = pos.join(dupGrams, Seq("h")).drop("h")
     val iw = Window.partitionBy("doc_id").orderBy("pos")
     dup.withColumn("grp", col("pos") - row_number().over(iw))
       .groupBy("doc_id", "grp")
