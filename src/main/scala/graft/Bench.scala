@@ -50,14 +50,24 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must be VISIBLE, not a fast "success": record the error,
+    // keep it out of the timing stats, and exit nonzero at the end. (BENCH_r05
+    // silently timed 21 analysis crashes as 0.06s wins — never again.)
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn, sfDir) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn, sfDir)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(200)
+      }
       spark.catalog.clearCache()
       System.gc() // outside the timers: don't bill query N+1 for N's garbage
-      name -> dt
     }
+    val results = timings.toSeq
     val total = results.map(_._2).sum
     // Two outputs (the driver's tail capture is a fixed 2000-char window, so
     // a full 100+-entry map on one line is unparseable by construction —
@@ -70,8 +80,12 @@ object Bench {
     //     sub-0.3s entries are measurement noise anyway.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
     // Ad-hoc filtered runs (args given) must not clobber the round artifact:
     // BENCH_FULL.json is reserved for full-suite runs.
     val outName = if (args.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
@@ -84,7 +98,12 @@ object Bench {
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"failed":${errors.size},"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -50,15 +50,13 @@ object QueryCatalog {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (legacy long mode) and convert losslessly to a micros timestamp — the
-    * same value DuckDB sees. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  /** The events fixture's `ts` encoding has drifted across testdata
+    * generations (TIMESTAMP(NANOS)-as-long, then native TIMESTAMP(MICROS)).
+    * [[graft.sources.EventLog]] inspects the resolved schema and normalizes
+    * whichever encoding is present to TimestampType — the same instant
+    * DuckDB sees. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventLog.events(s, dir)
 
   // ================================================================ DSL
 
@@ -2883,6 +2881,19 @@ object QueryCatalog {
         Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
           .map(rowFor).mkString("\n UNION ALL\n ")
       }),
+
+    // The PRODUCTION sketch profile: same one-pass KMV plan as
+    // q_profile_approx but hashing with Spark's codegen'd xxhash64 instead
+    // of a cryptographic digest — the variant a real 100 TB deployment
+    // runs. xxhash64's layout is Spark-specific, so no external engine can
+    // replay it: the driver records a rows-only check here, and value
+    // correctness is spec-pinned against the EXACT profile (OpsSpec)
+    ("q_profile_sketch",
+      (s: SparkSession, d: String) => graft.ops.Stats.profileColumnsSketch(
+        t(s, d, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"),
+        sketchK = 256),
+      None),
 
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both

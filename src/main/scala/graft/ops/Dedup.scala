@@ -567,9 +567,16 @@ object Dedup {
    */
   def components(pairs: DataFrame, aCol: String = "doc1",
       bCol: String = "doc2", maxIter: Int = 20): DataFrame = {
+    // Evaluate `pairs` ONCE before the undirected expansion: the union
+    // references the plan twice, and Spark evaluates each reference
+    // independently — with an LSH pair-generation pipeline upstream, that
+    // re-runs shingling + banding + the candidate self-join a second time
+    // for the swapped direction. Checkpoint the (tiny) pair table first;
+    // the swap is then a projection over the materialized RDD.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
     val edges =
-      pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-        .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      p.union(p.select(col("b").as("a"), col("a").as("b")))
         .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()

@@ -50,6 +50,38 @@ class SourcesSpec extends SparkSpec {
     assert(row.getString(1) == "a")
   }
 
+  test("event log reader normalizes every historical ts encoding") {
+    import spark.implicits._
+    import graft.sources.EventLog
+    // the three encodings the fixture has shipped with (or could): native
+    // micros (TIMESTAMP_NTZ from un-annotated parquet), TIMESTAMP(NANOS)
+    // surfaced as a raw long under nanosAsLong, and an ISO string — a
+    // silent testdata regeneration must not zero the event-backed catalog
+    val micros = java.sql.Timestamp.valueOf("2024-03-04 05:06:07.000008")
+    val dir = java.nio.file.Files.createTempDirectory("graft_evts").toString
+    Seq((1L, micros)).toDF("event_id", "ts")
+      .select(col("event_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+      .write.parquet(s"$dir/ntz/events.parquet")
+    Seq((1L, micros.getTime * 1000000L +
+        (micros.getNanos % 1000000L))) // epoch nanos (ms*1e6 + sub-ms nanos)
+      .toDF("event_id", "ts")
+      .write.parquet(s"$dir/nanos_as_long/events.parquet")
+    Seq((1L, "2024-03-04 05:06:07.000008")).toDF("event_id", "ts")
+      .write.parquet(s"$dir/string/events.parquet")
+    val got = Seq("ntz", "nanos_as_long", "string").map { v =>
+      val df = EventLog.events(spark, s"$dir/$v")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"variant $v")
+      df.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
+        .getString(0)
+    }
+    assert(got.distinct == Seq("2024-03-04 05:06:07.000008"), got.toString)
+    // and a non-normalizable type fails loudly, not downstream
+    val bad = Seq((1L, 2.5)).toDF("event_id", "ts")
+    intercept[IllegalArgumentException](EventLog.normalizeTs(bad, "ts"))
+  }
+
   test("registry: full-DSL literal + positional forms agree with Column API") {
     import spark.implicits._
     Registry.registerAll(spark)

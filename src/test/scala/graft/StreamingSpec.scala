@@ -10,8 +10,7 @@ class StreamingSpec extends SparkSpec {
 
   test("windowed counts over a streamed raw drop match the batch equivalent") {
     val dir = Files.createTempDirectory("graft_stream").toString
-    val batch = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.sources.EventLog.events(spark, sf)
     batch.write.mode("overwrite").parquet(dir)
 
     val streamed = StreamingIngest.incrementalStream(spark, dir,
@@ -75,8 +74,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming dedup keeps one row per key within the watermark horizon") {
     val dir = Files.createTempDirectory("graft_sdedup").toString
     // duplicate every user_id: base rows + clones with different event_ids
-    val base = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val base = graft.sources.EventLog.events(spark, sf)
       .limit(300)
     base.union(base.withColumn("event_id", col("event_id") + 1000000L))
       .write.mode("overwrite").parquet(dir)
@@ -352,8 +350,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.AsofTick
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")).limit(2000)
+    val ev = graft.sources.EventLog.events(spark, sf).limit(2000)
     val clicks = ev.filter(col("event_type") === "click")
       .select("event_id", "user_id", "ts")
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -377,8 +374,7 @@ class StreamingSpec extends SparkSpec {
 
   test("sessionization state machine emits on timeout") {
     val dir = Files.createTempDirectory("graft_sess").toString
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.EventLog.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .limit(200)
       .write.mode("overwrite").parquet(dir)
