@@ -341,6 +341,22 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("components evaluates its pair input exactly once") {
+    // the r5 regression: the undirected-edge union referenced the pairs
+    // plan twice, re-running the entire upstream LSH pipeline per
+    // direction. Count evaluations with an accumulator inside the plan —
+    // exactly one pass over the 3 pair rows, not two.
+    val evals = spark.sparkContext.longAccumulator("pair_evals")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+      .mapPartitions { it => it.map { r => evals.add(1); r } }(
+        org.apache.spark.sql.Encoders.row(
+          Seq((1L, 2L)).toDF("doc1", "doc2").schema))
+    val comps = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(evals.value == 3L,
+      s"pair input evaluated ${evals.value}/3 times — upstream pipeline re-run")
+  }
+
   test("simhash blocked search equals brute-force all-pairs hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() == docs.count())
