@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
  * Text-analysis operators for training-data pipelines: tokenization, token
@@ -256,11 +257,21 @@ object TextOps {
     * catalog derives deterministic pseudo-lines (fixed-width token tiles)
     * instead. A null/empty document contributes one empty line.
     *
-    * Line metrics are a pure scan-stage projection (array exprs — the
-    * per-line lambdas run on |doc|/tile elements, not per token). Gram
-    * metrics come from two `ngramRepetitionStats` passes joined back on
-    * doc_id: three corpus-sized frames co-partitioned on a unique key, the
-    * standard sort-merge shape. */
+    * Distributed shape — ONE corpus scan, ZERO shuffles: the line metrics
+    * are scan-stage array expressions (per-line lambdas run on |doc|/tile
+    * elements, not per token), and the gram statistics are computed in the
+    * SAME pass by a typed map with a per-document hash count — gram counts
+    * with multiplicity are doc-LOCAL facts, so routing every (doc, n, gram)
+    * occurrence through a corpus-wide two-level aggregate (the previous
+    * shape, the suite's most expensive query) shuffled the entire gram
+    * stream to compute numbers each scan task already had. State is bounded
+    * by one document's distinct grams — the same per-doc bound as the
+    * island-merge window in [[duplicatedSpans]] — and the doc-granular
+    * outputs (4 longs) reduce in the map itself. Values are bit-identical:
+    * same tokenizer, same short-text/null fallbacks as
+    * [[graft.ops.Dedup.shingleTableMulti]], char counts by code point
+    * (Spark `length` semantics), and the final fractions use the identical
+    * cast-divide-floor expression tree. */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
       linesOf: Column => Column, topN: Int = 2, dupN: Int = 3): DataFrame = {
     def q6(c: Column): Column = floor(c * 1e6) / 1e6
@@ -270,36 +281,65 @@ object TextOps {
       (acc, x) => acc + coalesce(length(x).cast("long"), lit(0L)))
     val distChars = aggregate(dist, lit(0L),
       (acc, x) => acc + coalesce(length(x).cast("long"), lit(0L)))
-    val lineMetrics = df.select(
+    val pre = df.select(
       col(idCol).as("doc_id"),
+      col(textCol).cast("string").as("text"),
       size(lines_).cast("long").as("n_lines"),
       q6((size(lines_) - size(dist)).cast("double") /
         size(lines_).cast("double")).as("dup_line_frac"),
       q6((lineChars - distChars).cast("double") /
         greatest(lineChars, lit(1L)).cast("double")).as("dup_line_char_frac"))
-    // BOTH gram orders in one corpus pass (tokenize once, slide twice) and
-    // one two-level aggregate with conditional sums — the two-separate-
-    // ngramRepetitionStats formulation re-scanned and re-tokenized the
-    // corpus per gram size and paid a third join
-    val chars = coalesce(length(col("shingle")), lit(0)).cast("long")
-    val cc = col("cnt") * chars
-    val gramMetrics = graft.ops.Dedup
-      .shingleTableMulti(df, idCol, textCol, Seq(topN, dupN).distinct)
-      .groupBy("doc_id", "n", "shingle").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        max(when(col("n") === topN, cc)).as("top_chars"),
-        sum(when(col("n") === topN, cc).otherwise(0L)).as("top_total"),
-        sum(when(col("n") === dupN && col("cnt") > 1, cc).otherwise(0L))
-          .as("dup_chars"),
-        sum(when(col("n") === dupN, cc).otherwise(0L)).as("dup_total"))
-      .select(col("doc_id"),
-        q6(col("top_chars").cast("double") /
-          greatest(col("top_total"), lit(1L)).cast("double"))
-          .as(s"top${topN}gram_char_frac"),
-        q6(col("dup_chars").cast("double") /
-          greatest(col("dup_total"), lit(1L)).cast("double"))
-          .as(s"dup${dupN}gram_char_frac"))
-    lineMetrics.join(gramMetrics, Seq("doc_id"))
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("n_lines", org.apache.spark.sql.types.LongType),
+      StructField("doc_dup_line_frac", org.apache.spark.sql.types.DoubleType),
+      StructField("doc_dup_line_char_frac",
+        org.apache.spark.sql.types.DoubleType),
+      StructField("top_chars", org.apache.spark.sql.types.LongType),
+      StructField("top_total", org.apache.spark.sql.types.LongType),
+      StructField("dup_chars", org.apache.spark.sql.types.LongType),
+      StructField("dup_total", org.apache.spark.sql.types.LongType)))
+    val stats = pre.map { r =>
+      val toks: Array[String] =
+        if (r.isNullAt(1)) Array.empty
+        else graft.plans.TokenizeAlnum.tokensOf(r.getString(1))
+      // (max cnt*chars, total cnt*chars, dup cnt*chars) for word n-grams
+      // WITH multiplicity; short/null docs fall back to the single joined
+      // gram, exactly like shingleTableMulti
+      def gramStats(n: Int): (Long, Long, Long) = {
+        val counts = new java.util.HashMap[String, Long]()
+        if (toks.length >= n) {
+          val it = toks.sliding(n)
+          while (it.hasNext)
+            counts.merge(it.next().mkString(" "), 1L, (a, b) => a + b)
+        } else counts.put(toks.mkString(" "), 1L)
+        var mx = 0L; var tot = 0L; var dup = 0L
+        val e = counts.entrySet().iterator()
+        while (e.hasNext) {
+          val kv = e.next()
+          val g = kv.getKey; val c = kv.getValue
+          val cc = c * g.codePointCount(0, g.length)
+          tot += cc
+          if (cc > mx) mx = cc
+          if (c > 1L) dup += cc
+        }
+        (mx, tot, dup)
+      }
+      val (tMax, tTot, tDup) = gramStats(topN)
+      val (_, dTot, dDup) =
+        if (dupN == topN) (tMax, tTot, tDup) else gramStats(dupN)
+      Row(r.get(0), r.get(2), r.get(3), r.get(4), tMax, tTot, dDup, dTot)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    stats.select(col("doc_id"), col("n_lines"),
+      col("doc_dup_line_frac").as("dup_line_frac"),
+      col("doc_dup_line_char_frac").as("dup_line_char_frac"),
+      q6(col("top_chars").cast("double") /
+        greatest(col("top_total"), lit(1L)).cast("double"))
+        .as(s"top${topN}gram_char_frac"),
+      q6(col("dup_chars").cast("double") /
+        greatest(col("dup_total"), lit(1L)).cast("double"))
+        .as(s"dup${dupN}gram_char_frac"))
   }
 
   /**
