@@ -1308,6 +1308,51 @@ object QueryCatalog {
                * 1e6) / 1e6 AS quality_score
         FROM m""")),
 
+    // C4 sentence-level cleaning (Raffel 2020 §2.2): terminal-punctuation
+    // rule encoded in the extraction regex (RE2-safe — DuckDB replays the
+    // identical pattern), word-count + phrase-blacklist per sentence,
+    // min-surviving-sentences per document. One scan-stage projection +
+    // predicate — no shuffle
+    // The fixture documents carry no punctuation, so the catalog derives
+    // deterministic pseudo-sentences (the same 8-token tiles the gopher
+    // entry uses for lines) in place of the default terminal-punct
+    // extractor; that rule itself is spec-pinned (OpsSpec) on punctuated
+    // text. 'slow' plays the blacklist phrase against the fixture vocab
+    ("q_text_c4_clean",
+      (s: SparkSession, d: String) => {
+        val tilesOf = (text: org.apache.spark.sql.Column) => {
+          val tk = TextOps.tokens(text)
+          when(text.isNull || coalesce(size(tk), lit(0)) === 0,
+            array(lit("")))
+            .otherwise(transform(
+              sequence(lit(0),
+                ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
+              i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
+        }
+        TextOps.c4SentenceClean(t(s, d, "documents"), "doc_id", "text",
+          minWords = 8, minSentences = 2,
+          blacklist = Seq("slow", "lorem ipsum"), sentencesOf = tilesOf)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, ${tokensSql()} AS tk, text
+            FROM documents),
+        ln AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR len(tk) = 0 THEN ['']
+                 ELSE list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+                   i -> array_to_string(tk[i*8+1:i*8+8], ' ')) END AS sents
+          FROM base),
+        k AS (SELECT doc_id,
+            CAST(len(sents) AS BIGINT) AS n_sentences,
+            list_filter(sents, x ->
+              len(list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'),
+                  t -> len(t) > 0)) >= 8
+              AND NOT contains(lower(x), 'slow')
+              AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+          FROM ln)
+        SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
+          array_to_string(list_transform(kept, x -> trim(x)), ' ')
+            AS clean_text
+        FROM k WHERE len(kept) >= 2""")),
+
     ("q_text_langid",
       (s: SparkSession, d: String) => t(s, d, "documents").select(
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),

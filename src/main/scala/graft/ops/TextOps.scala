@@ -83,6 +83,49 @@ object TextOps {
     * near 0. Distributed shape: the compiled shingle flatMap WITH duplicates
     * kept, then one count/count-distinct shuffle on doc_id; the ratio is one
     * bigint→double division + subtraction (cross-engine exact). */
+  /**
+   * C4-style sentence-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+   * §2.2 — the "Colossal Clean Crawled Corpus" rules, at sentence
+   * granularity): keep only sentences that END IN TERMINAL PUNCTUATION
+   * (encoded by the extraction pattern itself — a trailing un-punctuated
+   * fragment is never extracted), contain at least `minWords` word tokens,
+   * and mention no blacklisted phrase (case-insensitive); a document
+   * survives when at least `minSentences` sentences remain. Output:
+   * (id, n_sentences, n_kept, clean_text) with `clean_text` the surviving
+   * sentences trimmed and re-joined.
+   *
+   * Distributed shape: ONE scan-stage projection + a scan predicate — no
+   * shuffle, no UDF. Sentence extraction is a single RE2-safe
+   * `regexp_extract_all` (no lookaround, so the DuckDB oracle replays the
+   * identical pattern), and the per-sentence lambdas run on |doc|/sentence
+   * elements; the word count inside them reuses the native compiled
+   * tokenizer.
+   */
+  /** The default sentence extractor for [[c4SentenceClean]]: maximal
+    * terminal-punctuated chunks. A trailing fragment with no `.`/`!`/`?`
+    * is simply never matched — C4's "lines must end in terminal
+    * punctuation" rule falls out of the pattern. */
+  def terminalPunctSentences(text: Column): Column =
+    regexp_extract_all(text, lit("[^.!?]+[.!?]"), lit(0))
+
+  def c4SentenceClean(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, minSentences: Int = 2,
+      blacklist: Seq[String] = Seq("javascript", "lorem ipsum", "cookie"),
+      sentencesOf: Column => Column = terminalPunctSentences)
+      : DataFrame = {
+    require(minWords >= 1 && minSentences >= 0,
+      s"minWords=$minWords, minSentences=$minSentences out of range")
+    val sents = sentencesOf(col(textCol))
+    val keptArr = filter(sents, s =>
+      blacklist.map(b => !lower(s).contains(b))
+        .foldLeft(size(tokens(s)) >= minWords)(_ && _))
+    df.select(col(idCol),
+        size(sents).cast("long").as("n_sentences"),
+        size(keptArr).cast("long").as("n_kept"),
+        array_join(transform(keptArr, s => trim(s)), " ").as("clean_text"))
+      .filter(col("n_kept") >= minSentences)
+  }
+
   def dupNgramRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     graft.ops.Dedup.shingleTable(df, idCol, textCol, n, keepDuplicates = true)

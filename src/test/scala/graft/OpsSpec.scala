@@ -34,6 +34,28 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == ((3L, 3L, 0.0)))
   }
 
+  test("c4SentenceClean: terminal punct, min words, blacklist, min sentences") {
+    val df = Seq(
+      // 3 sentences: one good, one too short, one blacklisted; trailing
+      // fragment has no terminal punctuation and is never extracted
+      (1L, "This sentence is long enough. No! Enable JavaScript to view. tail"),
+      // survives: two good sentences re-joined, trimmed
+      (2L, "First valid sentence here. And a second valid one?"),
+      // 2 kept of 3 (middle one is 2 words) — survives
+      (3L, "Alpha beta gamma delta. Too short. One more proper sentence!"),
+      (4L, null.asInstanceOf[String])) // no sentences -> dropped
+      .toDF("doc_id", "text")
+    val got = TextOps.c4SentenceClean(df, "doc_id", "text",
+        minWords = 3, minSentences = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!got.contains(1L) && !got.contains(4L)) // 1 kept / no sentences
+    assert(got(2L) == ((2L, 2L,
+      "First valid sentence here. And a second valid one?")))
+    assert(got(3L) == ((3L, 2L,
+      "Alpha beta gamma delta. One more proper sentence!")))
+  }
+
   test("gopherRepetition: hand-computed line and n-gram char fractions") {
     val df = Seq((1L, "a b/a b/c d"), (2L, "one two three"))
       .toDF("doc_id", "text")
