@@ -22,8 +22,13 @@ class PlanShapeSpec extends SparkSpec {
   test("scan-stage pipelines have NO shuffle") {
     // pure per-row work must stay in the scan stage: a sample filter, a
     // DSL projection, chunk explosion — none may exchange
+    // q_text_gopher: doc-local gram stats — the whole Gopher repetition
+    // profile reduces inside the scan (r6; previously the suite's most
+    // expensive query, shuffling the corpus gram stream).
+    // q_text_c4_clean: sentence rules are a projection + scan predicate.
     for (q <- Seq("q_sample_hash", "q_sample_mixture", "q_dsl_concat",
-        "q_text_chunks", "q_src_tz_shift")) {
+        "q_text_chunks", "q_src_tz_shift", "q_text_gopher",
+        "q_text_c4_clean")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
     }
