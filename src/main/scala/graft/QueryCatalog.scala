@@ -1871,9 +1871,14 @@ object QueryCatalog {
     ("q_dedup_incremental",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        // incrementalNearDups reads the corpus index twice (band keys +
+        // shingle sets — two column-pruned scans of the STORED index in
+        // production); computed inline here, persist stands in for the
+        // parquet table so the index isn't re-shingled per reference
         val corpusIdx = Dedup.minhashIndex(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
           n = 5, k = 12)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val newIdx = Dedup.minhashIndex(
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           n = 5, k = 12)
