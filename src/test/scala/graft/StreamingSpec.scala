@@ -372,6 +372,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("c4 sentence cleaning is a stateless streaming gate (batch parity)") {
+    // pure projection + predicate, so it must run unchanged on a stream in
+    // append mode with no watermark/state — the shape a live ingest filter
+    // needs
+    val dir = Files.createTempDirectory("graft_c4").toString
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(300)
+    batch.write.mode("overwrite").parquet(dir)
+    val tilesOf = (text: org.apache.spark.sql.Column) => {
+      val tk = graft.ops.TextOps.tokens(text)
+      when(text.isNull || coalesce(size(tk), lit(0)) === 0, array(lit("")))
+        .otherwise(transform(
+          sequence(lit(0), ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
+          i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
+    }
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.c4SentenceClean(df, "doc_id", "text",
+        minWords = 8, minSentences = 2,
+        blacklist = Seq("slow"), sentencesOf = tilesOf)
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val got = StreamingIngest.runToMemory(clean(streamed), "c4_stream",
+      OutputMode.Append())
+    val want = clean(spark.read.parquet(dir))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("sessionization state machine emits on timeout") {
     val dir = Files.createTempDirectory("graft_sess").toString
     graft.sources.EventLog.events(spark, sf)
