@@ -1431,6 +1431,37 @@ object QueryCatalog {
             AS containment
         FROM shared s JOIN sizes z USING (bench_id)""")),
 
+    // Bloom-filter decontamination: the same benchmark split as
+    // q_text_decontam, but membership goes through a 2^20-bit Bloom filter
+    // (one fixed-size aggregate row broadcast to the corpus scan) instead
+    // of a gram join — the O(MB)-state 100 TB form. Bit positions are the
+    // md5 minhash family, so the oracle rebuilds the EXACT filter (false
+    // positives included) and flags the identical documents
+    ("q_text_bloom_decontam",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.bloomContamination(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+          n = 8, mBits = 1 << 20, k = 4)
+      },
+      Some(s"""WITH ${shingleSqlFor(8, "WHERE doc_id % 20 <> 0", "cdocs", "csh")},
+        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
+        ks AS (SELECT unnest(range(0, 4)) AS i),
+        bpos AS (SELECT DISTINCT
+            (CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT)
+             + ks.i * CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT))
+              % 1048576 AS pos
+          FROM bsh CROSS JOIN ks),
+        cpos AS (SELECT doc_id, sg,
+            (CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT)
+             + ks.i * CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT))
+              % 1048576 AS pos
+          FROM csh CROSS JOIN ks),
+        hit AS (SELECT doc_id, sg FROM cpos JOIN bpos USING (pos)
+          GROUP BY 1, 2 HAVING count(*) = 4)
+        SELECT doc_id, count(*) AS n_hits FROM hit GROUP BY 1""")),
+
     // KMV distinct-count sketch vs exact distinct, per language — the
     // deterministic alternative to HLL: the estimate is a pure function of
     // the k smallest md5 hashes, so the oracle replays it bit-for-bit

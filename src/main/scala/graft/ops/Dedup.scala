@@ -298,6 +298,39 @@ object Dedup {
           col("bench_ngrams").cast("double")).as("containment"))
   }
 
+  /**
+   * Bloom-filter decontamination — the O(MB)-state form of
+   * [[contaminationPairs]] for when the benchmark's gram set is too large
+   * to broadcast as rows but a membership BIT ARRAY still fits everywhere:
+   * the benchmark n-grams fold into one `mBits`-bit Bloom filter
+   * ([[graft.plans.BloomBitsAgg]] — map-side OR'd partials, ONE fixed-size
+   * row leaves each partition), and the corpus gram stream probes it
+   * inside the scan's codegen ([[graft.plans.BloomContains]]). Returns
+   * (doc_id, n_hits): documents with any gram (possibly) present in the
+   * benchmark, with the count of hit grams.
+   *
+   * The filter's false positives are DETERMINISTIC — positions are the
+   * md5-derived minhash hash family `(a + i*b) mod mBits` — so an external
+   * engine replays the identical flag set, false positives included; there
+   * are never false negatives (every true overlap is flagged). Size the
+   * filter by `mBits >> k * |benchmark grams|`; at the default 2^20 bits /
+   * k=4 a 10^4-gram benchmark has a ~1e-7 per-gram false-positive rate.
+   */
+  def bloomContamination(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, n: Int = 8, mBits: Int = 1 << 20,
+      k: Int = 4): DataFrame = {
+    val bits = shingleTable(bench, benchId, benchText, n)
+      .filter(col("shingle").isNotNull)
+      .agg(graft.plans.GraftExpressions
+        .bloom_bits(col("shingle"), mBits, k).as("bits"))
+    shingleTable(corpus, corpusId, corpusText, n)
+      .crossJoin(broadcast(bits))
+      .filter(graft.plans.GraftExpressions
+        .bloom_contains(col("bits"), col("shingle"), mBits, k))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** First/second 8 hex chars of md5 as non-negative longs — the (a, b) seeds

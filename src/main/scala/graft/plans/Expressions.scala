@@ -959,6 +959,24 @@ object Md5Prefix60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The minhash/bloom seed pair from one digest: (first 4 digest bytes,
+    * next 4) as non-negative longs — the same values as
+    * `conv(substr(md5(x), 1, 8), 16, 10)` / `(…, 9, 8)`, which is how the
+    * DuckDB oracles replay them. */
+  def seeds(bytes: Array[Byte]): (Long, Long) = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var a = 0L; var b = 0L
+    var i = 0
+    while (i < 4) {
+      a = (a << 8) | (d(i) & 0xffL)
+      b = (b << 8) | (d(i + 4) & 0xffL)
+      i += 1
+    }
+    (a, b)
+  }
+
   /** First 60 bits of md5(bytes), big-endian, as a non-negative long. */
   def hash60(bytes: Array[Byte]): Long = hashPrefix(bytes, 15)
 
@@ -974,6 +992,153 @@ object Md5Prefix60 {
     if ((hexChars & 1) == 1) h = (h << 4) | ((d(full) & 0xf0L) >> 4)
     h
   }
+}
+
+/** Shared Bloom-filter bit-position math: k positions per value, derived
+  * from the md5 seed pair as `(a + i*b) mod m` — exactly the minhash hash
+  * family, so the DuckDB oracle replays every position (and therefore
+  * every false positive) bit-for-bit. `a, b < 2^32` and `i < k <= 16`, so
+  * `a + i*b < 2^37` — overflow-free in a long. */
+object BloomHash {
+  def positions(bytes: Array[Byte], k: Int, mBits: Int, out: Array[Int]): Unit = {
+    val (a, b) = Md5Prefix60.seeds(bytes)
+    var i = 0
+    while (i < k) { out(i) = ((a + i * b) % mBits).toInt; i += 1 }
+  }
+
+  /** All k bits of `bytes` set in `words` (long-array bitset)? */
+  def contains(words: ArrayData, bytes: Array[Byte], k: Int, mBits: Int): Boolean = {
+    val (a, b) = Md5Prefix60.seeds(bytes)
+    var i = 0
+    while (i < k) {
+      val pos = ((a + i * b) % mBits).toInt
+      if ((words.getLong(pos >> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def valueBytes(v: Any): Array[Byte] = v match {
+    case s: UTF8String => s.getBytes
+    case b: Array[Byte] => b
+  }
+}
+
+/**
+ * Bloom-filter build aggregate: folds string/binary values into an
+ * `mBits`-bit filter (output: `array<bigint>` of mBits/64 words) with the
+ * [[BloomHash]] md5-derived hash family. A `TypedImperativeAggregate` whose
+ * `Array[Long]` partials OR together — map-side combine reduces each
+ * partition to ONE fixed-size row, so building a filter over 100 TB of
+ * n-grams shuffles `partitions x mBits/8` bytes, not the gram stream. The
+ * filter is a pure function of the input SET (OR is commutative/idempotent):
+ * deterministic, order-independent, and — because positions are md5-derived
+ * — replayable by an external engine, false positives included.
+ */
+case class BloomBitsAgg(child: Expression, mBits: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  require(mBits >= 64 && (mBits & 63) == 0,
+    s"mBits=$mBits must be a positive multiple of 64")
+  require(k >= 1 && k <= 16, s"k=$k must be in [1, 16]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"bloom_bits needs string or binary, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+  @transient private lazy val posBuf = new Array[Int](k)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      BloomHash.positions(BloomHash.valueBytes(v), k, mBits, posBuf)
+      var i = 0
+      while (i < k) {
+        val p = posBuf(i)
+        buf(p >> 6) |= (1L << (p & 63))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomBitsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomBitsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBitsAgg =
+    copy(child = newChild)
+}
+
+/**
+ * Bloom-filter membership test against an `array<bigint>` filter built by
+ * [[BloomBitsAgg]] with the same (mBits, k): true iff all k md5-derived bit
+ * positions of the value are set. Codegen'd (no UDF) — a corpus-sized gram
+ * stream probes the broadcast filter inside the scan's WholeStageCodegen.
+ * May return false-positive `true` (the Bloom contract, deterministic and
+ * oracle-replayable); never a false negative.
+ */
+case class BloomContains(left: Expression, right: Expression,
+    mBits: Int, k: Int) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+        (right.dataType == StringType || right.dataType == BinaryType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("bloom_contains needs (array<bigint>, string|binary)" +
+        s", got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(bits: Any, value: Any): Any =
+    BloomHash.contains(bits.asInstanceOf[ArrayData],
+      BloomHash.valueBytes(value), k, mBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bits, v) => {
+      val bytes =
+        if (right.dataType == StringType) s"$v.getBytes()" else v
+      s"${ev.value} = graft.plans.BloomHash.contains($bits, $bytes, $k, $mBits);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
 }
 
 /**
@@ -1420,6 +1585,14 @@ object GraftExpressions {
   def kmv_distinct(hash60: Column, k: Int): Column =
     ColumnBridge.column(KmvDistinct(ColumnBridge.expression(hash60), k)
       .toAggregateExpression())
+
+  def bloom_bits(c: Column, mBits: Int, k: Int): Column =
+    ColumnBridge.column(BloomBitsAgg(ColumnBridge.expression(c), mBits, k)
+      .toAggregateExpression())
+
+  def bloom_contains(bits: Column, c: Column, mBits: Int, k: Int): Column =
+    ColumnBridge.column(BloomContains(ColumnBridge.expression(bits),
+      ColumnBridge.expression(c), mBits, k))
 
   def md5_prefix60(c: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))

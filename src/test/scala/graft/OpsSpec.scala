@@ -363,6 +363,32 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("bloom contamination flags the exact overlap set (no false negatives)") {
+    val corpus = docs.filter($"doc_id" % 20 =!= 0)
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    // ground truth under bloom's semantics: distinct corpus grams that
+    // appear anywhere in the benchmark gram set, counted once per doc
+    val bg = Dedup.shingleTable(bench, "doc_id", "text", 8)
+      .select("shingle").na.drop().distinct()
+    val exact = Dedup.shingleTable(corpus, "doc_id", "text", 8)
+      .join(bg, "shingle").groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.bloomContamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, mBits = 1 << 20, k = 4)
+      .as[(Long, Long)].collect().toMap
+    // Bloom may only ADD deterministic false positives, never lose a hit;
+    // at 2^20 bits over this benchmark the fp odds are ~1e-7 per gram, so
+    // the sets coincide (and the filter is md5-pure: this can never flake)
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    assert(bloom == exact, "unexpected false positive at test scale")
+    // shrink the filter to force collisions: still no false negatives
+    val tiny = Dedup.bloomContamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, mBits = 256, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(tiny.keySet))
+    exact.foreach { case (id, n) => assert(tiny(id) >= n) }
+  }
+
   test("components evaluates its pair input exactly once") {
     // the r5 regression: the undirected-edge union referenced the pairs
     // plan twice, re-running the entire upstream LSH pipeline per
