@@ -1648,6 +1648,14 @@ object GraftExpressions {
       "graft_kmv_distinct", exprs => KmvDistinct(exprs.head,
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_bits", exprs => BloomBitsAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs => BloomContains(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bottomk_distinct", exprs => BottomKDistinct(exprs.head,

@@ -82,6 +82,18 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](EventLog.normalizeTs(bad, "ts"))
   }
 
+  test("registry: bloom build + probe via SQL match the Column API") {
+    import spark.implicits._
+    graft.plans.GraftExpressions.register(spark)
+    Seq("alpha", "beta", "gamma").toDF("w").createOrReplaceTempView("bloom_b")
+    Seq("alpha", "delta").toDF("w").createOrReplaceTempView("bloom_p")
+    val got = spark.sql("""
+      WITH f AS (SELECT graft_bloom_bits(w, 1024, 4) AS bits FROM bloom_b)
+      SELECT w, graft_bloom_contains(bits, w, 1024, 4) AS hit
+      FROM bloom_p CROSS JOIN f""").as[(String, Boolean)].collect().toMap
+    assert(got == Map("alpha" -> true, "delta" -> false))
+  }
+
   test("registry: full-DSL literal + positional forms agree with Column API") {
     import spark.implicits._
     Registry.registerAll(spark)
