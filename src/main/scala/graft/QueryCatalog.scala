@@ -2963,6 +2963,34 @@ object QueryCatalog {
           .map(rowFor).mkString("\n UNION ALL\n ")
       }),
 
+    // Exact grouped discrete quantiles: order statistics over the
+    // aggregated (group, value) CELL table — map-side combine collapses
+    // the corpus before the only window, which runs over cells (the
+    // countAnomalies pattern). Selection is pure integer arithmetic; the
+    // oracle replays the identical cumulative formulation
+    ("q_profile_quantiles",
+      (s: SparkSession, d: String) => graft.ops.Stats.quantilesDisc(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.95)),
+      Some("""WITH cells AS (SELECT l_returnflag, l_quantity AS v,
+              count(*) AS cnt
+            FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+          cum AS (SELECT l_returnflag, v, cnt,
+              sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
+            FROM cells),
+          qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
+        SELECT l_returnflag, CAST(q AS DOUBLE) AS q, v AS value,
+          greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
+            AS rank,
+          CAST(n_rows AS BIGINT) AS n_rows
+        FROM cum CROSS JOIN qs
+        WHERE cum - cnt <
+            greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
+          AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
+            <= cum""")),
+
     // The PRODUCTION sketch profile: same one-pass KMV plan as
     // q_profile_approx but hashing with Spark's codegen'd xxhash64 instead
     // of a cryptographic digest — the variant a real 100 TB deployment

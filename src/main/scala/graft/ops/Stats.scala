@@ -114,6 +114,47 @@ object Stats {
   }
 
   /**
+   * EXACT grouped discrete quantiles — `percentile_disc` semantics: for
+   * each group and each `q`, the smallest value whose cumulative count
+   * reaches `ceil(q * n)`. Output (group…, q, value, rank, n_rows).
+   *
+   * Scale shape — the reason this is NOT a row_number window over the data:
+   * exact order statistics need a per-group ordering, but they only need it
+   * over the DISTINCT-VALUE CELL TABLE, not the corpus. One groupBy
+   * (group, value) with map-side combine collapses 100 TB to
+   * |group x distinct value| cells; the cumulative-sum window then runs
+   * over that bounded table (same cells-table pattern as
+   * [[countAnomalies]]). The quantile row is selected exactly by
+   * `cum - cnt < rank <= cum` — integer arithmetic end to end, so any
+   * engine replays it bit-for-bit (`ceil(q*n)` is one IEEE multiply of the
+   * same literal on both sides). Values with unbounded cardinality (raw
+   * doubles at 100 TB) belong to [[histogram]] or a sketch instead — the
+   * cell table is only as bounded as the value domain.
+   */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles $qs must lie in (0, 1]")
+    val gcols = groupCols.map(col)
+    val cells = df.filter(col(valueCol).isNotNull)
+      .groupBy(gcols :+ col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("v").asc)
+    val totals = cells.groupBy(gcols: _*).agg(sum("cnt").as("n_rows"))
+    val cum = cells.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(totals), groupCols)
+    cum.select(gcols ++ Seq(col("v"), col("cnt"), col("cum"), col("n_rows"),
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .withColumn("rank", ceil(col("q") * col("n_rows")).cast("long"))
+      .withColumn("rank", greatest(col("rank"), lit(1L)))
+      .filter(col("cum") - col("cnt") < col("rank") &&
+        col("rank") <= col("cum"))
+      .select(gcols ++ Seq(col("q"), col("v").as("value"), col("rank"),
+        col("n_rows")): _*)
+  }
+
+  /**
    * Z-score anomaly gate over count cells, in EXACT integer arithmetic:
    * counts rows per (group, cell), then flags cells whose count deviates
    * from their group's mean by more than `k` population standard

@@ -573,6 +573,17 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("quantilesDisc: exact percentile_disc semantics per group") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 2), ("a", 5), ("b", 10))
+      .toDF("g", "x")
+    val got = Stats.quantilesDisc(df, Seq("g"), "x", Seq(0.5, 1.0))
+      .as[(String, Double, Int, Long, Long)].collect().toSet
+    // a: n=4 -> rank 2 (q=.5) lands inside the duplicated 2-cell; rank 4 -> 5
+    // b: n=1 -> rank clamps to 1 for both q
+    assert(got == Set(("a", 0.5, 2, 2L, 4L), ("a", 1.0, 5, 4L, 4L),
+      ("b", 0.5, 10, 1L, 1L), ("b", 1.0, 10, 1L, 1L)))
+  }
+
   test("profileColumnsSketch (xxhash64): same shape, accurate, exact below k") {
     val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "grp")
     val got = Stats.profileColumnsSketch(df, Seq("id", "grp"), sketchK = 128)
