@@ -121,6 +121,30 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pa).size == 1, pa)
   }
 
+  test("grouped quantiles sort only the aggregated cell table") {
+    // exact order statistics must run over (group, value) CELLS — every
+    // window in the plan must have a HashAggregate somewhere BELOW it
+    // (the corpus collapsed first), never sort the raw scan per group
+    val raw = SparkEntry.queries("q_profile_quantiles")(spark, sf)
+      .queryExecution.executedPlan
+    val exec = raw match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, exec.toString)
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty,
+        s"window sorts un-aggregated input:\n${exec.toString}")
+    }
+  }
+
   test("cms sketch aggregates partially before its exchange") {
     // the sketch must combine map-side: an ObjectHashAggregate pair around
     // one exchange, never a single-phase aggregate of raw occurrences
