@@ -2502,12 +2502,80 @@ object QueryCatalog {
 
   // ========================================================== multimodal
 
+  /** Replays [[graft.ops.Multimodal.imageAHash]] over
+    * [[graft.ops.Multimodal.syntheticPngFamily]](id, 32, 24) images from
+    * first principles: the decoded pixel at 8x8-grid cell (x, y) is the
+    * generated pixel at (sx, sy) = (x*32//8, y*24//8) (PNG is lossless and
+    * the resample mapping is the same integer division), luma is the exact
+    * integer rec601 weighting, and the bit rule is the strict majority
+    * `l*64 > total`. The sign bit rides through HUGEINT and wraps to the
+    * signed BIGINT Spark produces. */
+  private def mmAhashSigSql: String =
+    """WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+      cell AS (SELECT d.doc_id, cy.i * 8 + cx.i AS bit,
+          cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+        FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
+      lum AS (SELECT doc_id, bit,
+          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
+           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
+           (CASE WHEN sy = doc_id % 24
+                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
+                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
+            // 1000 AS l
+        FROM cell),
+      tot AS (SELECT doc_id, sum(l) AS t FROM lum GROUP BY 1),
+      acc AS (SELECT lum.doc_id,
+          sum(CASE WHEN lum.l * 64 > tot.t THEN 1::HUGEINT << lum.bit
+                   ELSE 0::HUGEINT END) AS h
+        FROM lum JOIN tot USING (doc_id) GROUP BY 1),
+      sig AS (SELECT doc_id AS media_id,
+          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                    ELSE h END AS BIGINT) AS ahash
+        FROM acc)"""
+
   private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // REAL codec round trip (rows-only: DuckDB cannot decode PNG): build
     // deterministic compressed PNGs in the executors, resize 32x24 -> 8x6
     // nearest-neighbor, decode with javax.imageio, emit exact pixel sums.
     // doc_id drives the pattern so the distributed build is reproducible
+    // Perceptual image hashing over REAL decoded PNG bytes — with a FULL
+    // oracle: the family-pattern pixels are pure integer arithmetic of
+    // (x, y, id) and PNG is lossless, so DuckDB replays the decoded 8x8
+    // luma grid (sx = x*32//8, sy = y*24//8) and the strict-majority bit
+    // rule from the formula, no codec needed. Spark actually encodes and
+    // decodes every image (javax.imageio) — the codec path is exercised,
+    // the values are engine-checkable. Sign bit via HUGEINT wrap.
+    ("q_mm_ahash",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Multimodal.imageAHash(pngs).toDF()
+          .select(col("media_id"), col("ahash"))
+      },
+      Some(mmAhashSigSql + "\nSELECT media_id, ahash FROM sig")),
+
+    // corpus-wide perceptual near-dup pairs: the 64-bit aHash through the
+    // same Manku blocked search as text simhash (exact recall at
+    // maxHamming < blocks) — must equal the oracle's brute-force hamming
+    // join over the replayed signatures
+    ("q_mm_ahash_pairs",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Dedup.hammingNearDups(
+          Multimodal.imageAHash(pngs).toDF()
+            .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
+          bits = 64, maxHamming = 3, blocks = 6, maxBucket = 0)
+      },
+      Some(s"""$mmAhashSigSql
+        SELECT a.media_id AS doc1, b.media_id AS doc2,
+          CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
+
     ("q_mm_decode",
       (s: SparkSession, d: String) => {
         import s.implicits._

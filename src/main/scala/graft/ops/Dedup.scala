@@ -524,14 +524,25 @@ object Dedup {
    * worst key at the cost of exactness (leave 0 for oracle-exact output).
    */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, blocks: Int = 6, maxBucket: Int = 0): DataFrame = {
-    require(blocks > maxHamming && blocks <= SimhashBits,
-      s"need maxHamming < blocks <= $SimhashBits")
+      maxHamming: Int = 3, blocks: Int = 6, maxBucket: Int = 0): DataFrame =
+    hammingNearDups(simhash(df, idCol, textCol), SimhashBits,
+      maxHamming, blocks, maxBucket)
+
+  /** The Manku blocked search over an ARBITRARY signature table
+    * (doc_id, simhash) of `bits` significant bits (bits = 64 allowed: block
+    * extraction masks after the arithmetic shift, so a set sign bit is
+    * handled like any other) — shared by text SimHash and perceptual image
+    * hashes ([[Multimodal.imageAHash]]). Same exact-recall pigeonhole
+    * guarantee and bucket-cap semantics as [[simhashNearDups]]. */
+  def hammingNearDups(sigs: DataFrame, bits: Int,
+      maxHamming: Int, blocks: Int, maxBucket: Int): DataFrame = {
+    require(blocks > maxHamming && blocks <= bits && bits <= 64,
+      s"need maxHamming < blocks <= bits <= 64, got ($maxHamming, $blocks, $bits)")
     // one row per doc; referenced by both join sides
-    val sh = materialized(simhash(df, idCol, textCol))
+    val sh = materialized(sigs)
     // block i covers [off_i, off_i + w_i): widths differ by at most 1
-    val base = SimhashBits / blocks
-    val widths = (0 until blocks).map(i => base + (if (i < SimhashBits % blocks) 1 else 0))
+    val base = bits / blocks
+    val widths = (0 until blocks).map(i => base + (if (i < bits % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val blockVal = (i: Int) => shiftright(col("simhash"), offsets(i))
       .bitwiseAND((1L << widths(i)) - 1)

@@ -252,6 +252,78 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic FAMILY-pattern PNG for near-duplicate demos: ids in the
+    * same family (`id / 10`) share a gradient+stripe base image and each id
+    * perturbs exactly one pixel row (`y == id % h`, blue inverted) — so
+    * sibling images are perceptual near-duplicates whose [[imageAHash]]
+    * distance depends on whether the 8x8 sampling grid hits the perturbed
+    * row. Every pixel is pure integer arithmetic of (x, y, id), and PNG is
+    * lossless, so an external engine can replay the DECODED pixels — and
+    * the hash — from the formula without any codec. */
+  def syntheticPngFamily(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fam = id / 10
+        // family-unique gradient offsets: without them, families sharing a
+        // stripe phase (fam % 8) render IDENTICAL images and the near-dup
+        // classes grow with the corpus instead of the family size
+        val r = ((x * 255 / math.max(1, w - 1)) + (fam % 7) * 36).toInt % 256
+        val g = ((y * 255 / math.max(1, h - 1)) + (fam % 11) * 23).toInt % 256
+        val base = (((x + y + fam) % 8) * 32).toInt & 0xff
+        val b = if (y == (id % h)) 255 - base else base
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class ImageHash(media_id: Long, ahash: Long)
+
+  /** 64-bit average-hash (aHash) perceptual image fingerprint: decode with
+    * the JDK codec, nearest-neighbor-sample an 8x8 luma grid (the same
+    * integer pixel mapping as [[resizeImages]], the same integer luma as
+    * [[decodeImages]]), and set bit `y*8+x` iff the cell's luma STRICTLY
+    * exceeds the 64-cell mean — compared as `luma*64 > total`, so the hash
+    * is exact integer arithmetic end to end: no float, no platform or
+    * encoder dependence, replayable by any engine that can reproduce the
+    * pixels. Near-duplicate images differ in few bits; feed the result to
+    * [[Dedup.hammingNearDups]] (bits = 64) for corpus-wide pairs. */
+  def imageAHash(media: Dataset[(Long, Array[Byte])]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: no JDK codec for these bytes")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val luma = new Array[Long](64)
+        var tot = 0L
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB((i & 7) * sw / 8, (i >> 3) * sh / 8)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          val l = (r * 299L + g * 587L + b * 114L) / 1000L
+          luma(i) = l; tot += l
+          i += 1
+        }
+        var hsh = 0L
+        i = 0
+        while (i < 64) { if (luma(i) * 64 > tot) hsh |= (1L << i); i += 1 }
+        ImageHash(id, hsh)
+      }
+    }
+  }
+
   /** Deterministic 16-bit mono PCM WAV: an exact integer triangle wave. */
   def syntheticWav(id: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
     val amp = 8000 + (id % 100).toInt * 10

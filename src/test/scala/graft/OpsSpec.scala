@@ -405,6 +405,52 @@ class OpsSpec extends SparkSpec {
       s"pair input evaluated ${evals.value}/3 times — upstream pipeline re-run")
   }
 
+  test("imageAHash: decoded-pixel hash equals the pixel-formula replay") {
+    import graft.ops.Multimodal
+    val ids = (0L until 60L).toDS()
+    val pngs = ids.map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+    val got = Multimodal.imageAHash(pngs).collect()
+      .map(r => r.media_id -> r.ahash).toMap
+    // independent replay from the generator formula — no codec involved
+    def expected(id: Long): Long = {
+      val luma = (0 until 64).map { i =>
+        val sx = (i & 7) * 32 / 8; val sy = (i >> 3) * 24 / 8
+        val fam = id / 10
+        val r = (sx * 255 / 31 + (fam % 7) * 36) % 256
+        val g = (sy * 255 / 23 + (fam % 11) * 23) % 256
+        val base = ((sx + sy + fam) % 8) * 32
+        val b = if (sy == id % 24) 255 - base else base
+        (r * 299L + g * 587L + b * 114L) / 1000L
+      }
+      val tot = luma.sum
+      (0 until 64).foldLeft(0L)((h, i) =>
+        if (luma(i) * 64 > tot) h | (1L << i) else h)
+    }
+    (0L until 60L).foreach(id => assert(got(id) == expected(id), s"id $id"))
+    // family siblings whose perturbed row misses the sampling grid are
+    // hamming-0 near-dups; the fixture must produce SOME close pairs
+    val sigs = got.values.toSeq
+    assert(sigs.distinct.size < sigs.size)
+  }
+
+  test("ahash blocked pairs equal brute force (64-bit, sign bit set)") {
+    import graft.ops.Multimodal
+    val pngs = (0L until 80L).toDS()
+      .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+    val sig = Multimodal.imageAHash(pngs).toDF()
+      .select($"media_id".as("doc_id"), $"ahash".as("simhash"))
+    // some signature must exercise bit 63 for the sign-safety claim
+    assert(sig.filter($"simhash" < 0).count() > 0)
+    val truth = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.hammingNearDups(sig, bits = 64, maxHamming = 3,
+        blocks = 6, maxBucket = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+  }
+
   test("simhash blocked search equals brute-force all-pairs hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() == docs.count())
