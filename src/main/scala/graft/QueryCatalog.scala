@@ -2533,7 +2533,73 @@ object QueryCatalog {
                     ELSE h END AS BIGINT) AS ahash
         FROM acc)"""
 
+  /** Replays [[graft.ops.Multimodal.audioEnergyHash]] over
+    * [[graft.ops.Multimodal.syntheticWavFamily]] clips from first
+    * principles: WAV PCM is lossless, so the decoded sample i is the
+    * generated triangle value at phase-shifted index `i + fam % 97`
+    * (zeroed inside the id's 64-sample cut); frame f = i // 32 over the
+    * fixed 2080-sample clip, energy = exact |sample| sum, bit rule
+    * strict `e(f) > e(f+1)`. Sign bit through HUGEINT, as in
+    * [[mmAhashSigSql]]. */
+  private def mmAudioSigSql: String =
+    """WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
+      p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
+          32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
+          (doc_id % 61) * 32 AS cut0
+        FROM documents),
+      smp AS (SELECT p.doc_id, r.i,
+          CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
+               ELSE (CASE WHEN (r.i + phase) % per < per // 2
+                          THEN (r.i + phase) % per
+                          ELSE per - (r.i + phase) % per END) * 2 * amp // per
+                    * (CASE WHEN ((r.i + phase) // per) % 2 = 0
+                            THEN 1 ELSE -1 END)
+          END AS s
+        FROM p CROSS JOIN r2080 r),
+      frm AS (SELECT doc_id, i // 32 AS f, sum(abs(s)) AS e
+        FROM smp GROUP BY 1, 2),
+      eacc AS (SELECT a.doc_id,
+          sum(CASE WHEN a.e > b.e THEN 1::HUGEINT << a.f
+                   ELSE 0::HUGEINT END) AS h
+        FROM frm a JOIN frm b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        WHERE a.f < 64 GROUP BY 1),
+      asig AS (SELECT doc_id AS media_id,
+          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                    ELSE h END AS BIGINT) AS ehash
+        FROM eacc)"""
+
   private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Acoustic fingerprinting over REAL decoded WAV bytes, full oracle —
+    // the audio twin of q_mm_ahash: Spark writes and codec-decodes every
+    // clip; DuckDB replays the samples from the integer formula
+    ("q_mm_audio_hash",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+        Multimodal.audioEnergyHash(wavs).toDF()
+          .select(col("media_id"), col("ehash"))
+      },
+      Some(mmAudioSigSql + "\nSELECT media_id, ehash FROM asig")),
+
+    // corpus-wide acoustic near-dup pairs through the shared Manku blocked
+    // search — must equal the oracle's brute-force hamming join
+    ("q_mm_audio_pairs",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+        Dedup.hammingNearDups(
+          Multimodal.audioEnergyHash(wavs).toDF()
+            .select(col("media_id").as("doc_id"), col("ehash").as("simhash")),
+          bits = 64, maxHamming = 3, blocks = 6, maxBucket = 0)
+      },
+      Some(s"""$mmAudioSigSql
+        SELECT a.media_id AS doc1, b.media_id AS doc2,
+          CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
+        FROM asig a JOIN asig b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""")),
 
     // REAL codec round trip (rows-only: DuckDB cannot decode PNG): build
     // deterministic compressed PNGs in the executors, resize 32x24 -> 8x6

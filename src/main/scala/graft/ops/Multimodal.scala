@@ -324,6 +324,93 @@ object Multimodal {
     }
   }
 
+  final case class AudioHash(media_id: Long, ehash: Long)
+
+  /** 64-bit energy-difference audio fingerprint (the classic acoustic-hash
+    * bit rule): decode 16-bit signed PCM with the JDK codec, split the
+    * samples into 65 equal frames (sample i belongs to frame `i*65/n` —
+    * integer mapping), take each frame's exact absolute-amplitude energy,
+    * and set bit f iff `energy(f) > energy(f+1)` (strict). Integer end to
+    * end — replayable by any engine that can reproduce the samples, and
+    * robust to local perturbations the way a raw sample hash is not. Feed
+    * to [[Dedup.hammingNearDups]] (bits = 64). */
+  def audioEnergyHash(media: Dataset[(Long, Array[Byte])])
+      : Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media $id: need 16-bit PCM_SIGNED, got ${f.getEncoding}")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val energy = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val o = 2 * i
+            val s =
+              if (f.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+              else (data(o + 1) << 8) | (data(o) & 0xff)
+            energy((i.toLong * 65 / n).toInt) += math.abs(s)
+            i += 1
+          }
+          var hsh = 0L
+          var b = 0
+          while (b < 64) {
+            if (energy(b) > energy(b + 1)) hsh |= (1L << b)
+            b += 1
+          }
+          AudioHash(id, hsh)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Deterministic FAMILY-pattern WAV for near-duplicate demos — the audio
+    * twin of [[syntheticPngFamily]]: ids sharing `id / 10` render the same
+    * triangle wave (family-dependent amplitude and period) and each id
+    * SILENCES one 64-sample segment (`start = (id % 61) * 32`). Samples are
+    * pure integer arithmetic of (i, id), and WAV PCM is lossless, so an
+    * external engine replays the decoded samples — and the
+    * [[audioEnergyHash]] — from the formula. Fixed length 2080 samples
+    * (65 frames x 32). */
+  def syntheticWavFamily(id: Long, sampleRate: Int): Array[Byte] = {
+    val n = 2080
+    val fam = id / 10
+    val amp = 6000 + (fam % 50).toInt * 50
+    val period = 32 + (fam % 5).toInt * 16
+    // family phase shift: the energy-difference hash is amplitude-invariant
+    // (energies scale with amp, the > comparison doesn't), so without a
+    // phase term families sharing a period would hash identically and the
+    // near-dup classes would grow with the corpus (see PERF_NOTES round 6)
+    val phase = (fam % 97).toInt
+    val cut0 = (id % 61).toInt * 32
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val j = i + phase
+      val ph = j % period
+      val tri = if (ph < period / 2) ph else period - ph
+      val base = tri * 2 * amp / period * (if ((j / period) % 2 == 0) 1 else -1)
+      val s = if (i >= cut0 && i < cut0 + 64) 0 else base
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+      true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic 16-bit mono PCM WAV: an exact integer triangle wave. */
   def syntheticWav(id: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
     val amp = 8000 + (id % 100).toInt * 10

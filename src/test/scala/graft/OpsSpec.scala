@@ -451,6 +451,53 @@ class OpsSpec extends SparkSpec {
     assert(truth.nonEmpty && got == truth)
   }
 
+  test("audioEnergyHash: decoded-sample hash equals the wave-formula replay") {
+    import graft.ops.Multimodal
+    val ids = (0L until 60L).toDS()
+    val wavs = ids.map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+    val got = Multimodal.audioEnergyHash(wavs).collect()
+      .map(r => r.media_id -> r.ehash).toMap
+    def expected(id: Long): Long = {
+      val fam = id / 10
+      val amp = 6000 + (fam % 50).toInt * 50
+      val per = 32 + (fam % 5).toInt * 16
+      val phase = (fam % 97).toInt
+      val cut0 = (id % 61).toInt * 32
+      val e = new Array[Long](65)
+      for (i <- 0 until 2080) {
+        val s = if (i >= cut0 && i < cut0 + 64) 0 else {
+          val j = i + phase
+          val ph = j % per
+          val tri = if (ph < per / 2) ph else per - ph
+          tri * 2 * amp / per * (if ((j / per) % 2 == 0) 1 else -1)
+        }
+        e(i / 32) += math.abs(s)
+      }
+      (0 until 64).foldLeft(0L)((h, f) =>
+        if (e(f) > e(f + 1)) h | (1L << f) else h)
+    }
+    (0L until 60L).foreach(id => assert(got(id) == expected(id), s"id $id"))
+    // family siblings (same wave, different cut) must be near, not equal,
+    // in general — the fixture has to produce a non-degenerate hash set
+    assert(got.values.toSeq.distinct.size > 5)
+  }
+
+  test("audio blocked pairs equal brute force over energy hashes") {
+    import graft.ops.Multimodal
+    val wavs = (0L until 80L).toDS()
+      .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+    val sig = Multimodal.audioEnergyHash(wavs).toDF()
+      .select($"media_id".as("doc_id"), $"ehash".as("simhash"))
+    val truth = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("h"))
+      .filter($"h" <= 3).as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.hammingNearDups(sig, bits = 64, maxHamming = 3,
+        blocks = 6, maxBucket = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+  }
+
   test("simhash blocked search equals brute-force all-pairs hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     assert(sh.count() == docs.count())
