@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Transforms
 import graft.incr.Incremental
 import graft.meta.ColumnSpec
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Graph, Multimodal, Sampling, Similarity, TextOps}
 import graft.pipeline.StageTransform
 import graft.write.MergeWriter
 
@@ -1772,7 +1772,65 @@ object QueryCatalog {
           FROM kept GROUP BY 1)
         SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
           t.n_tiles, t.n_tiles - coalesce(ka.n_kept, 0) AS n_removed
-        FROM totals t LEFT JOIN ka USING (doc_id)""")))
+        FROM totals t LEFT JOIN ka USING (doc_id)""")),
+
+    // Winnowing fingerprint selection (Schleimer et al. SIGMOD'03): the
+    // guaranteed-density local fingerprint set — min 4-gram hash per
+    // 4-window, rightmost on ties. One doc-bounded window pass; the
+    // per-doc distinct reuses its partitioning (PlanShapeSpec pins the
+    // single exchange). Oracle replays windows as a pos-range join.
+    ("q_text_winnow",
+      (s: SparkSession, d: String) => TextOps.winnow(
+        t(s, d, "documents"), "doc_id", "text", k = 4, w = 4),
+      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        g AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS pos,
+            CAST(concat('0x', substr(md5(
+              tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+            ), 1, 15)) AS BIGINT) AS h
+          FROM toks, UNNEST(range(0, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 4),
+        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        win AS (SELECT doc_id, CAST(t AS INT) AS t
+          FROM n, UNNEST(range(0, ng - 3)) AS u(t) WHERE ng >= 4),
+        wm AS (SELECT w.doc_id, w.t, min(g.h) AS h
+          FROM win w JOIN g ON g.doc_id = w.doc_id
+            AND g.pos BETWEEN w.t AND w.t + 3
+          GROUP BY 1, 2),
+        sel AS (SELECT wm.doc_id, max(g.pos) AS pos, wm.h
+          FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.h
+            AND g.pos BETWEEN wm.t AND wm.t + 3
+          GROUP BY wm.doc_id, wm.t, wm.h)
+        SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel""")),
+
+    // Per-source boilerplate removal (RefinedWeb's repeated-span gate
+    // scoped to the document's source/domain): an 8-token tile in >=
+    // max(2, 25% of the source's docs) distinct docs OF THAT SOURCE is
+    // cut everywhere in the source. TextOps.boilerplateClean.
+    ("q_text_boilerplate",
+      (s: SparkSession, d: String) => TextOps.boilerplateClean(
+        t(s, d, "documents"), "doc_id", "source", "text",
+        n = 8, minFrac = 0.25, minDf = 2),
+      Some(s"""WITH base AS (SELECT doc_id, source,
+            ${tokensSql("coalesce(text, '')")} AS tk FROM documents),
+        tl AS MATERIALIZED (SELECT doc_id, source, CAST(i AS INT) AS idx,
+            CASE WHEN len(tk) = 0 THEN ''
+                 ELSE array_to_string(tk[i*8+1:i*8+8], ' ') END AS tile
+          FROM base, UNNEST(range(0,
+            greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1))) AS u(i)),
+        nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        bo AS (SELECT source, tile FROM (
+            SELECT source, tile, count(DISTINCT doc_id) AS df
+            FROM tl GROUP BY 1, 2) f JOIN nd USING (source)
+          WHERE df >= greatest(2, CAST(ceil(0.25 * n_docs) AS BIGINT))),
+        mk AS (SELECT tl.doc_id, any_value(tl.source) AS source,
+            count(*) AS n_tiles,
+            count(bo.tile) AS n_removed,
+            coalesce(string_agg(CASE WHEN bo.tile IS NULL THEN tl.tile END,
+              ' ' ORDER BY tl.idx), '') AS clean_text
+          FROM tl LEFT JOIN bo ON tl.source = bo.source AND tl.tile = bo.tile
+          GROUP BY 1)
+        SELECT doc_id, source, clean_text, n_tiles, n_removed FROM mk""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
@@ -3256,7 +3314,100 @@ object QueryCatalog {
         sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
           FROM tok JOIN w USING (bk) GROUP BY doc_id)
         SELECT doc_id, score FROM sc
-        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 150""")))
+        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 150""")),
+
+    // Priority sampling (Duffield-Lund-Thorup JACM'07): weight-aware k=12
+    // per language, with the unbiased max(w, tau) adjusted weight. Hash-RNG
+    // priorities, WindowGroupLimit top-k (pinned) — see
+    // Sampling.prioritySample.
+    ("q_sample_priority",
+      (s: SparkSession, d: String) => Sampling.prioritySample(
+        t(s, d, "documents"), "lang", "doc_id", "n_chars", k = 12),
+      Some(s"""WITH pr AS (SELECT lang AS grp, doc_id AS id,
+            CAST(n_chars AS BIGINT) AS w,
+            CAST(n_chars AS DOUBLE) * 1152921504606846976.0 /
+              CAST(CAST(concat('0x',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) + 1 AS DOUBLE) AS q
+          FROM documents),
+        rk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY grp
+            ORDER BY q DESC, id ASC) AS rnk FROM pr) WHERE rnk <= 13),
+        tau AS (SELECT grp, max(CASE WHEN rnk = 13 THEN q END) AS tau
+          FROM rk GROUP BY 1)
+        SELECT rk.grp, rk.id, rk.w, CAST(rk.rnk AS BIGINT) AS rnk,
+          floor(greatest(CAST(rk.w AS DOUBLE), coalesce(tau.tau, 0.0)) * 1e6)
+            / 1e6 AS est_w
+        FROM rk LEFT JOIN tau USING (grp) WHERE rk.rnk <= 12""")))
+
+  // ================================================================ graph
+
+  /** Unrolled DuckDB replay of [[Graph.pageRankInt]] over the
+    * part<->supplier graph: one CTE per round, integer `//` division —
+    * bit-identical to the Spark fixed-point iteration. `sum(BIGINT)` is
+    * HUGEINT in DuckDB, so intermediate ranks widen losslessly and the
+    * final projection casts back. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+           150000000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+           FROM r${i - 1} r JOIN d ON r.node = d.src JOIN e ON e.src = d.src
+           GROUP BY 1) s USING (node))"""
+    }.mkString(",\n        ")
+    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+          l_suppkey * 2 + 1 AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM fwd
+          UNION ALL SELECT dst, src FROM fwd),
+        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+        $rounds
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
+  }
+
+  /** The part<->supplier co-occurrence graph from lineitem: parts on even
+    * node ids, suppliers on odd (one BIGINT key space, bipartite so the
+    * two directions never collide), an edge per distinct (part, supplier)
+    * pairing, both directions. The stand-in for the similarity / hyperlink
+    * graphs a curation pipeline ranks before sampling. */
+  private def partSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    val fwd = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val graphQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Fixed-point integer PageRank, 5 rounds — graph centrality as a
+    // first-class curation operator (rank nodes of the similarity graph /
+    // host graph before sampling). Deterministic across engines: every
+    // round is BIGINT arithmetic (see Graph.pageRankInt).
+    ("q_graph_pagerank",
+      (s: SparkSession, d: String) => Graph.pageRankInt(
+        partSupplierEdges(s, d), "src", "dst", iters = 5),
+      Some(pageRankOracleSql(5))),
+
+    // Degree profile of the same graph — the sanity check run before any
+    // iterative graph op (skew detection: a node whose degree is
+    // corpus-proportional is the hot key every shuffle strategy must know
+    // about). One union + one combine-enabled aggregate.
+    ("q_graph_degree",
+      (s: SparkSession, d: String) => Graph.degrees(
+        partSupplierEdges(s, d), "src", "dst"),
+      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+            l_suppkey * 2 + 1 AS dst FROM lineitem),
+          e AS (SELECT src, dst FROM fwd
+            UNION ALL SELECT dst, src FROM fwd),
+          b AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
+            UNION ALL SELECT dst, 0, 1 FROM e)
+          SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+            CAST(sum(i) AS BIGINT) AS in_deg,
+            count(*) AS degree
+          FROM b GROUP BY 1""")))
 
   // ================================================== composed cleaning
 
@@ -3380,7 +3531,7 @@ object QueryCatalog {
   val all: Seq[(String, Q, Option[String])] =
     dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
       dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries ++
-      samplingQueries ++ cleanQueries
+      samplingQueries ++ graphQueries ++ cleanQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 

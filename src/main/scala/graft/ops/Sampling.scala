@@ -162,4 +162,54 @@ object Sampling {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /**
+   * Priority sampling (Duffield, Lund, Thorup — JACM 54(6), 2007): a
+   * weight-aware fixed-size-`k` sample per group with an UNBIASED subset-sum
+   * estimator. Each row draws priority q = w / u with u uniform in (0,1];
+   * the k highest-priority rows are kept, and each keeps the adjusted
+   * weight est_w = max(w, tau) where tau is the (k+1)-th priority of its
+   * group — E[Σ est_w over sample] equals the group's true Σ w, with
+   * near-optimal variance among all k-sample schemes. The workhorse for
+   * "keep 10k docs per language but let token-count steer who survives"
+   * while keeping downstream token-mass statistics unbiased.
+   *
+   * Determinism: u = (md5_prefix60(id) + 1) / 2^60 — the same hash-as-RNG
+   * convention as [[hashScore]], so the sample is reproducible on any
+   * cluster and replayable by the oracle. q and est_w are each TWO
+   * correctly-rounded IEEE ops (one multiply by the exact power 2^60, one
+   * divide), bit-identical across engines; est_w is additionally
+   * floor-quantized to 6 dp for the output.
+   *
+   * Scale shape: priorities are scan-stage expressions; the per-group
+   * top-(k+1) is a rank-limited window that Spark rewrites to
+   * WindowGroupLimit — bounded O(k) state per map partition BEFORE the
+   * shuffle, so a dominant group never sorts corpus-sized input (same
+   * machinery `q_window_topk` pins). tau rides the same ranked output
+   * (row k+1) via a per-group max — no second pass over the data.
+   *
+   * Output: (grp, id, w, rnk, est_w) — the k sampled rows per group.
+   */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"prioritySample needs k > 0, got $k")
+    val pow60 = 1152921504606846976.0 // 2^60, exact in a double
+    val u = (graft.plans.GraftExpressions
+      .md5_prefix60(col("id").cast("string")) + 1).cast("double")
+    val ranked = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("q", col("w").cast("double") * lit(pow60) / u)
+      .withColumn("rnk", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("q").desc, col("id").asc)))
+      .filter(col("rnk") <= k + 1)
+    // tau = the (k+1)-th priority, 0 when the group has <= k rows (then
+    // every row is sampled and est_w = w — the estimator is exact)
+    val tau = ranked.groupBy("grp")
+      .agg(max(when(col("rnk") === k + 1, col("q"))).as("tau"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("grp"), "left_outer")
+      .select(col("grp"), col("id"), col("w"), col("rnk").cast("long").as("rnk"),
+        (floor(greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0)))
+          * 1e6) / 1e6).as("est_w"))
+  }
 }

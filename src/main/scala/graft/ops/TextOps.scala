@@ -516,4 +516,122 @@ object TextOps {
     }
     if (perRow.size == 1) perRow.head else least(perRow: _*)
   }
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Daswani, Aiken — SIGMOD'03
+   * "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+   * `k`-token shingle, slide a window of `w` consecutive hashes over each
+   * document, and select the MINIMUM hash of every window (rightmost
+   * occurrence on ties — the paper's tie rule). The selected (position,
+   * hash) set is the document's fingerprint: any shared substring of at
+   * least `w + k - 1` tokens between two documents is guaranteed to share
+   * a selected fingerprint, at an expected density of 2/(w+1) — the
+   * local-dedup / plagiarism-detection primitive that `fingerprintMd5`
+   * (whole-doc) and `duplicatedSpans` (every-gram) bracket.
+   *
+   * Output: (doc_id, pos, h) — one row per selected fingerprint. Documents
+   * with fewer than `w` shingles (fewer than `w + k - 1` tokens) emit no
+   * rows, per the paper's definition (no full window exists).
+   *
+   * Distributed shape: one corpus scan (compiled shingle flatMap + native
+   * md5-prefix hash), then ONE shuffle on doc_id for a DOC-BOUNDED sliding
+   * window (`ROWS BETWEEN CURRENT AND w-1 FOLLOWING` — state is w rows,
+   * window length is bounded by the longest document, never by the corpus).
+   * The rightmost-min tie rule rides the same window via
+   * `min(struct(h, -pos))` (lexicographic struct ordering = arg-min with
+   * max-pos tie-break — no second pass). The trailing per-doc distinct
+   * reuses the window's hash partitioning (doc_id is a subset of the
+   * grouping key, so EnsureRequirements inserts no second exchange).
+   */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got ($k, $w)")
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.ops.Dedup.shingleTablePos(df, idCol, textCol, k)
+      .withColumn("h", graft.plans.GraftExpressions.md5_prefix60(col("shingle")))
+      .select("doc_id", "pos", "h")
+    val win = Window.partitionBy("doc_id").orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("nw", count(lit(1)).over(win))
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("nw") === w) // full windows only — the paper's window set
+      .select(col("doc_id"), (-col("m.np")).cast("int").as("pos"),
+        col("m.h").as("h"))
+      .distinct()
+  }
+
+  /** [[tileTable]] carrying one extra grouping column (e.g. the document's
+    * source/domain) through the compiled flatMap — so per-group consumers
+    * like [[boilerplateClean]] don't pay a corpus-sized join to recover it. */
+  def tileTableKeyed(df: DataFrame, idCol: String, keyCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val keyField = df.schema(df.schema.fieldIndex(keyCol))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idField.dataType, idField.nullable),
+      StructField("grp", keyField.dataType, keyField.nullable),
+      StructField("idx", IntegerType, false),
+      StructField("tile", org.apache.spark.sql.types.StringType)))
+    df.select(col(idCol).as("doc_id"), col(keyCol).as("grp"),
+        col(textCol).cast("string").as("text"))
+      .flatMap { r =>
+        val id = r.get(0)
+        val key = r.get(1)
+        val toks =
+          if (r.isNullAt(2)) Array.empty[String]
+          else graft.plans.TokenizeAlnum.tokensOf(r.getString(2))
+        if (toks.isEmpty) Iterator.single(Row(id, key, 0, ""))
+        else toks.grouped(n).zipWithIndex
+          .map { case (g, i) => Row(id, key, i, g.mkString(" ")) }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * Per-source boilerplate removal (the RefinedWeb / MassiveWeb "repeated
+   * line" gate, Penedo et al. 2023 §3.2, scoped to a domain): an `n`-token
+   * tile present in at least `max(minDf, ceil(minFrac * docs_in_source))`
+   * DISTINCT documents OF THE SAME SOURCE (nav bars, footers, license
+   * blurbs, cookie banners — templated per site, not per corpus) is cut
+   * from every document of that source; documents are reassembled in tile
+   * order. Differs from [[removeRepeatedSpans]] (corpus-global, absolute
+   * df) exactly the way RefinedWeb differs from C4: the frequency that
+   * makes text boilerplate is frequency WITHIN its site.
+   *
+   * Output: (doc_id, source, clean_text, n_tiles, n_removed).
+   *
+   * Distributed shape: one corpus scan emits keyed tiles; document
+   * frequency is a two-level (grp, tile, doc) -> (grp, tile) aggregate
+   * (both map-side combinable); per-source doc counts are a tiny broadcast.
+   * The boilerplate set joins back on (grp, tile) as a SHUFFLE join — not a
+   * broadcast — because its size scales with the number of sources (each
+   * site contributes its own templates), and the reassembly groupBy(doc_id)
+   * is the same bounded-by-document-length collect as removeRepeatedSpans.
+   */
+  def boilerplateClean(df: DataFrame, idCol: String, srcCol: String,
+      textCol: String, n: Int, minFrac: Double, minDf: Int): DataFrame = {
+    val tiles = tileTableKeyed(df, idCol, srcCol, textCol, n)
+    val perSrcDocs = broadcast(
+      df.groupBy(col(srcCol).as("grp"))
+        .agg(count(lit(1)).as("n_docs")))
+    val boiler = tiles
+      .groupBy("grp", "tile")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .join(perSrcDocs, Seq("grp"))
+      .filter(col("df") >= greatest(lit(minDf),
+        ceil(lit(minFrac) * col("n_docs")).cast("long")))
+      .select(col("grp"), col("tile"), lit(true).as("__boiler"))
+    tiles.join(boiler, Seq("grp", "tile"), "left_outer")
+      .groupBy("doc_id").agg(
+        first(col("grp")).as("source"),
+        count(lit(1)).as("n_tiles"),
+        count(col("__boiler")).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__boiler").isNull, struct(col("idx"), col("tile"))))),
+          x => x.getField("tile")), " ").as("clean_text"))
+      .select(col("doc_id"), col("source"), col("clean_text"),
+        col("n_tiles"), col("n_removed"))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Graph centrality: the Spark fixed-point PageRank is checked against an
+  * INDEPENDENT in-memory replication of the integer recurrence (plain Scala
+  * maps — no Spark, no SQL), so a mistake in the DataFrame formulation
+  * cannot hide in a shared implementation. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** The reference recurrence, replicated independently. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> Scale).toMap
+    for (_ <- 1 to iters) {
+      val recv = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(n => n -> (150000000000L + 85L * recv.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankInt(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pageRankInt: symmetric 2-cycle holds rank exactly at scale") {
+    // a <-> b: each round forwards the full rank, damps by 85/100 and adds
+    // the 15/100 teleport — 1e12 is a fixed point with ZERO truncation, so
+    // any off-by-one in the integer recurrence shows up exactly
+    val got = run(Seq((1L, 2L), (2L, 1L)), iters = 7)
+    assert(got == Map(1L -> Scale, 2L -> Scale))
+  }
+
+  test("pageRankInt: star and dangling-source graphs match the reference recurrence") {
+    // undirected star (center 0, leaves 1..3) — asymmetric degrees, real
+    // truncation; and a directed edge into a sink — teleport-only source,
+    // dropped dangling mass at the sink
+    val star = (1L to 3L).flatMap(l => Seq((0L, l), (l, 0L)))
+    for (edges <- Seq(star, Seq((10L, 20L)))) {
+      for (iters <- Seq(0, 1, 3, 5)) {
+        assert(run(edges, iters) == refPageRank(edges, iters),
+          s"edges=$edges iters=$iters")
+      }
+    }
+  }
+
+  test("pageRankInt: rank ordering and symmetry on an undirected path") {
+    // path 1-2-3-4-5: nodes 2 and 4 rank HIGHEST (each receives an
+    // endpoint's entire rank — the classic path-graph result), endpoints
+    // lowest; mirror-symmetric pairs tie exactly
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = path ++ path.map(_.swap)
+    val r = run(edges, 5)
+    assert(r(2L) > r(3L) && r(3L) > r(1L))
+    assert(r(2L) == r(4L) && r(1L) == r(5L))
+    assert(r == refPageRank(edges, 5))
+  }
+
+  test("degrees: out/in/total per node, destination-only nodes included") {
+    val got = Graph.degrees(
+        Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0L, 2L)),
+      2L -> ((1L, 1L, 2L)),
+      3L -> ((0L, 2L, 2L))))
+  }
+}

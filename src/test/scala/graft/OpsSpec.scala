@@ -1037,4 +1037,78 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(got == java.sql.Timestamp.valueOf("2024-01-01 07:00:00"))
   }
+
+  test("winnow: density guarantee, gram consistency, shared-run detection") {
+    val k = 4; val w = 4
+    val fp = TextOps.winnow(docs, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+    assert(fp.nonEmpty)
+    val byDoc = fp.groupBy(_._1)
+    // the winnowing guarantee: every window of w consecutive gram
+    // positions contains at least one selected fingerprint position
+    val nGrams = graft.ops.Dedup.shingleTablePos(docs, "doc_id", "text", k)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    for ((doc, sel) <- byDoc; ng = nGrams(doc); if ng >= w) {
+      val pos = sel.map(_._2).toSet
+      for (t <- 0 to (ng - w).toInt)
+        assert((t until t + w).exists(pos), s"doc $doc window $t uncovered")
+    }
+    // each selected hash IS the hash of the gram at its position
+    val gramsH = graft.ops.Dedup.shingleTablePos(docs, "doc_id", "text", k)
+      .withColumn("h", graft.plans.GraftExpressions.md5_prefix60($"shingle"))
+      .select("doc_id", "pos", "h").as[(Long, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    fp.foreach { case (d, p, h) => assert(gramsH((d, p)) == h) }
+    // two docs sharing a run of >= w+k-1 tokens share a fingerprint hash
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val two = Seq((1L, s"one two $shared"), (2L, s"$shared nine ten"))
+      .toDF("doc_id", "text")
+    val f2 = TextOps.winnow(two, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+    val h1 = f2.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = f2.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty, "shared 9-token run produced no common fingerprint")
+  }
+
+  test("boilerplateClean: frequency is scoped to the source, order kept") {
+    val boiler = "cookie notice applies to all pages of this"  // 8 tokens
+    val df = Seq(
+      (1L, "a", s"$boiler site one tail unique words here padding extra"),
+      (2L, "a", s"$boiler site two tail other words here padding extra"),
+      (3L, "a", s"$boiler site three also more words here padding extra"),
+      (4L, "a", "fully original document with no shared tiles at all"),
+      // same tile in source b ONCE: below b's threshold -> kept there
+      (5L, "b", s"$boiler site solo tail extra words here padding extra"))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.boilerplateClean(df, "doc_id", "source", "text",
+        n = 8, minFrac = 0.25, minDf = 2)
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // source a: tile df=3 of 4 docs >= max(2, 1) -> removed, tails kept in order
+    assert(got(1L) == (("a", "site one tail unique words here padding extra", 2L, 1L)))
+    assert(got(2L)._4 == 1L && got(3L)._4 == 1L)
+    assert(got(4L) == (("a", "fully original document with no shared tiles at all", 2L, 0L)))
+    // source b: same tile, df=1 < 2 -> untouched
+    assert(got(5L)._4 == 0L && got(5L)._2.startsWith(boiler))
+  }
+
+  test("prioritySample: k per group, est_w >= w, exact when group fits, retry-stable") {
+    val df = docs.select($"lang", $"doc_id", $"n_chars")
+    val got = Sampling.prioritySample(df, "lang", "doc_id", "n_chars", k = 7)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val byGrp = got.groupBy(_._1)
+    assert(byGrp.keySet == sizes.keySet)
+    for ((g, rows) <- byGrp) {
+      assert(rows.length == math.min(7L, sizes(g)).toInt, g)
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, g)
+      rows.foreach { case (_, _, w, _, est) => assert(est >= w.toDouble) }
+      // a group that fits entirely keeps exact weights (tau = 0)
+      if (sizes(g) <= 7) rows.foreach { r => assert(r._5 == r._3.toDouble) }
+    }
+    // hash-priority selection is partitioning-independent (retry-stable)
+    val re = Sampling.prioritySample(df.repartition(7), "lang", "doc_id",
+      "n_chars", k = 7).as[(String, Long, Long, Long, Double)].collect()
+    assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }

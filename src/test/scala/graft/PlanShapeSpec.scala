@@ -100,10 +100,23 @@ class PlanShapeSpec extends SparkSpec {
     // partition map-side, so the exchange carries k x groups x partitions
     // rows, not the table; a formulation that defeats the rewrite (e.g.
     // filtering on a derived column) would shuffle everything
-    val p = plan("q_window_topk")
-    val pre = p.indexOf("WindowGroupLimit", p.indexOf("Exchange"))
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(pre >= 0, s"no map-side rank limit below the exchange:\n$p")
+    // q_sample_priority rides the same machinery: a dominant language must
+    // never sort corpus-sized input to pick its k survivors
+    for (q <- Seq("q_window_topk", "q_sample_priority")) {
+      val p = plan(q)
+      val pre = p.indexOf("WindowGroupLimit", p.indexOf("Exchange"))
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+      assert(pre >= 0, s"$q: no map-side rank limit below the exchange:\n$p")
+    }
+  }
+
+  test("winnow: window and per-doc distinct share ONE exchange") {
+    // the sliding-window min shuffles on doc_id; the trailing distinct
+    // groups on (doc_id, pos, h) — a superset of the partitioning keys —
+    // so EnsureRequirements must NOT insert a second exchange
+    val p = plan("q_text_winnow")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"expected 1 exchange, got $ex:\n$p")
   }
 
   test("column profile never degrades to a sorting aggregate") {
