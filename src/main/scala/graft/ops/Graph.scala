@@ -43,19 +43,27 @@ object Graph {
    * for the similarity-graph use).
    *
    * Distributed shape: outdegree is ONE map-side-combinable aggregate,
-   * joined to the edge list once before the loop and checkpointed; each
-   * round is then one shuffle join (ranks × out-edges on src) + one
-   * combine-enabled groupBy(dst) — the canonical message-passing shape that
-   * scales linearly in |E|, with per-round localCheckpoint keeping the plan
-   * flat (same discipline as [[Dedup.components]]). Rounds are fixed (no
-   * convergence count()) so the whole run is `iters` stages, no driver
-   * round-trips beyond the loop.
+   * joined to the edge list once before the loop and checkpointed (it is
+   * referenced every round — without the checkpoint each reference would
+   * re-run the scan+distinct); each round is then one join (ranks ×
+   * out-edges on src — the rank table is |V| rows against |E| edges, so
+   * Spark broadcasts it when it fits) + one combine-enabled groupBy(dst) —
+   * the canonical message-passing shape that scales linearly in |E|.
+   * Unlike [[Dedup.components]], rounds are NOT individually checkpointed:
+   * each round references its predecessor exactly once, so the plan grows
+   * linearly (not exponentially) and the fixed `iters` rounds pipeline as
+   * ONE lazy DAG — no per-round materialization jobs, no driver
+   * round-trips (a convergence-checked loop needs per-round actions; a
+   * fixed-round loop does not). Every `iters` rounds past
+   * `CheckpointEvery` the loop does cut the lineage, bounding plan size
+   * for deep iteration counts.
    *
    * Output: (node BIGINT, rank BIGINT) — every node of the graph.
    */
   def pageRankInt(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 0, s"pageRankInt needs iters >= 0, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
@@ -66,12 +74,18 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val teleport = 15L * scale / 100L
+    val CheckpointEvery = 8
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // `DIV`, not `/`: Spark's `/` on BIGINT is DOUBLE division, whose
       // 53-bit mantissa rounds 1e12-scale ranks before the floor — the
       // integral operator keeps every round exact
-      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+      // `broadcastRanks` pins the |V|-row rank table to a broadcast join
+      // (callers who KNOW their node set is dimension-sized); the default
+      // lets AQE decide per round from the actual size — the right call
+      // for graphs whose rank table may outgrow executor memory
+      val rhs = if (broadcastRanks) broadcast(ranks) else ranks
+      val contrib = eo.join(rhs, eo("src") === rhs("node"))
         .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
       // union the zero row per node so isolated-in-degree nodes keep their
       // teleport rank (and the output keeps every node every round)
@@ -80,7 +94,7 @@ object Graph {
         .groupBy("node").agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit(teleport) + expr("(85 * s) DIV 100")).as("rank"))
-        .localCheckpoint()
+      if (i % CheckpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("rank"))
   }
