@@ -36,48 +36,47 @@ object Registry {
       throw Transforms.CompileError(s"$what must be a string literal, got: $other")
   }
 
-  /** Register every SQL-callable DSL name on the session. Idempotent. */
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-
-    def add(name: String)(f: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, f, "built-in")
-
+  /** Every SQL-callable DSL name as (name, builder) — ONE list consumed by
+    * both registration doors: [[registerAll]] (programmatic) and
+    * [[graft.GraftExtensions]] (the `spark.sql.extensions` config path). */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // The full DSL through one door: fn_transform('<dsl>'[, '<type>'])
-    add("fn_transform") { exprs =>
+    "fn_transform" -> ((exprs: Seq[Expression]) => {
       val dsl = litString(exprs.head, "fn_transform: transformation")
       val dt = if (exprs.length > 1) litString(exprs(1), "fn_transform: datatype")
                else ""
       E(Transforms.column(dsl, dt))
-    }
-
+    }),
     // Expression-positional forms (arguments are ordinary SQL expressions).
-    add("fn_transform_concatenate") { exprs =>
-      E(concat_ws("|", exprs.map(C): _*))
-    }
-    add("fn_transform_concatenate_ws") { exprs =>
+    "fn_transform_concatenate" -> ((exprs: Seq[Expression]) =>
+      E(concat_ws("|", exprs.map(C): _*))),
+    "fn_transform_concatenate_ws" -> ((exprs: Seq[Expression]) => {
       val sep = litString(exprs.last, "fn_transform_Concatenate_ws: separator")
       E(concat_ws(sep, exprs.dropRight(1).map(C): _*))
-    }
-    add("fn_transform_bytemagic") { exprs =>
+    }),
+    "fn_transform_bytemagic" -> ((exprs: Seq[Expression]) => {
       val c = C(exprs.head)
       E(when(c === "T", "T").when(c === "F", "F").otherwise(C(exprs(1))))
-    }
-    add("fn_transform_clearstring") { exprs =>
+    }),
+    "fn_transform_clearstring" -> ((exprs: Seq[Expression]) => {
       val c = C(exprs.head)
       E(if (exprs.length > 1)
           when(c.isNotNull, trim(c)).otherwise(C(exprs(1)))
         else trim(c))
-    }
-    add("fn_transform_date_to_string") { exprs =>
+    }),
+    "fn_transform_date_to_string" -> ((exprs: Seq[Expression]) =>
       E(date_format(C(exprs.head),
-        litString(exprs(1), "fn_transform_Date_to_String: format")))
-    }
-    add("fn_transform_periodmagic") { exprs =>
+        litString(exprs(1), "fn_transform_Date_to_String: format")))),
+    "fn_transform_periodmagic" -> ((exprs: Seq[Expression]) => {
       val p = C(exprs.head)
       val e = C(exprs(1))
       E(when(p.isNull, "190001")
         .otherwise(concat(p.cast("string"), lpad(e.cast("string"), 2, "0"))))
-    }
-  }
+    }))
+
+  /** Register every SQL-callable DSL name on the session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit =
+    for ((name, builder) <- sqlFunctions)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }

@@ -1633,41 +1633,44 @@ object GraftExpressions {
       subDim: Int): Column =
     ColumnBridge.column(PqAdcTable(ColumnBridge.expression(vec), books, subDim))
 
+  /** Every SQL-callable native expression as (name, builder) — ONE list
+    * consumed by both registration doors: [[register]] (programmatic, the
+    * session-state temp registry) and [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` config path). */
+  val sqlFunctions: Seq[(String,
+      Seq[Expression] => Expression)] = Seq(
+    "graft_rolling_hash" -> ((exprs: Seq[Expression]) =>
+      RollingHash(exprs.head)),
+    "graft_int_dot" -> ((exprs: Seq[Expression]) =>
+      IntDot(exprs.head, exprs(1))),
+    "graft_double_dot" -> ((exprs: Seq[Expression]) =>
+      DoubleDot(exprs.head, exprs(1))),
+    "graft_simhash_agg" -> ((exprs: Seq[Expression]) =>
+      SimhashAgg(exprs.head)),
+    "graft_kmv_distinct" -> ((exprs: Seq[Expression]) =>
+      KmvDistinct(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    "graft_bloom_bits" -> ((exprs: Seq[Expression]) =>
+      BloomBitsAgg(exprs.head, exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])),
+    "graft_bloom_contains" -> ((exprs: Seq[Expression]) =>
+      BloomContains(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int])),
+    "graft_md5_prefix60" -> ((exprs: Seq[Expression]) =>
+      Md5Prefix60(exprs.head)),
+    "graft_bottomk_distinct" -> ((exprs: Seq[Expression]) =>
+      BottomKDistinct(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    "graft_earliest_k" -> ((exprs: Seq[Expression]) =>
+      EarliestK(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    "graft_vec_sum" -> ((exprs: Seq[Expression]) =>
+      VecSumAgg(exprs.head)),
+    "graft_cms_agg" -> ((exprs: Seq[Expression]) =>
+      CmsAgg(exprs.head, exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
+
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_int_dot", exprs => IntDot(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_double_dot", exprs => DoubleDot(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash_agg", exprs => SimhashAgg(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_kmv_distinct", exprs => KmvDistinct(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_bits", exprs => BloomBitsAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains", exprs => BloomContains(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_prefix60", exprs => Md5Prefix60(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bottomk_distinct", exprs => BottomKDistinct(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_earliest_k", exprs => EarliestK(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_sum", exprs => VecSumAgg(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cms_agg", exprs => CmsAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    for ((name, builder) <- sqlFunctions)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
 }
