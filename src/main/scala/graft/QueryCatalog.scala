@@ -3337,7 +3337,20 @@ object QueryCatalog {
         SELECT rk.grp, rk.id, rk.w, CAST(rk.rnk AS BIGINT) AS rnk,
           floor(greatest(CAST(rk.w AS DOUBLE), coalesce(tau.tau, 0.0)) * 1e6)
             / 1e6 AS est_w
-        FROM rk LEFT JOIN tau USING (grp) WHERE rk.rnk <= 12""")))
+        FROM rk LEFT JOIN tau USING (grp) WHERE rk.rnk <= 12""")),
+
+    // Training-shard manifest: deterministic hash sharding (16 shards) +
+    // per-shard doc count and char mass — the "write N shards, prove
+    // they're balanced" close of corpus assembly (Sampling.shardManifest;
+    // one scan-stage hash + one combine-enabled aggregate)
+    ("q_sample_shards",
+      (s: SparkSession, d: String) => Sampling.shardManifest(
+        t(s, d, "documents"), "doc_id", "n_chars", shards = 16),
+      Some("""SELECT CAST(concat('0x',
+            substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16
+            AS shard,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS w_sum
+        FROM documents GROUP BY 1""")))
 
   // ================================================================ graph
 

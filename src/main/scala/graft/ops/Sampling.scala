@@ -212,4 +212,30 @@ object Sampling {
         (floor(greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0)))
           * 1e6) / 1e6).as("est_w"))
   }
+
+  /** Deterministic shard id for a row: hash of the id mod `shards`. The
+    * assignment is a pure scan-stage expression — the same row lands in the
+    * same shard on any cluster, at any parallelism, on any retry — which is
+    * what makes shard manifests auditable and incremental appends safe
+    * (re-running assignment over old rows cannot move them). */
+  def shardOf(id: Column, shards: Int): Column =
+    pmod(graft.plans.GraftExpressions.md5_prefix60(id.cast("string")),
+      lit(shards.toLong))
+
+  /** Training-shard manifest: assign every row a [[shardOf]] shard and
+    * report per-shard document count and weight mass (chars, tokens, bytes —
+    * whatever `weightCol` carries). The last step of corpus assembly —
+    * "write N shards, prove they're balanced" — as one combine-enabled
+    * aggregate: hash sharding balances to ~1/sqrt(n_docs_per_shard)
+    * relative deviation by construction, and the manifest is the evidence
+    * (feed it to the writer's partitionBy or a repartition(shards, col)).
+    * Output: (shard, n_docs, w_sum). */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, s"shardManifest needs shards > 0, got $shards")
+    df.select(shardOf(col(idCol), shards).as("shard"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_sum"))
+  }
 }

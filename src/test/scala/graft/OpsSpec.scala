@@ -1111,4 +1111,17 @@ class OpsSpec extends SparkSpec {
       "n_chars", k = 7).as[(String, Long, Long, Long, Double)].collect()
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("shardManifest: complete, conserves mass, partitioning-independent") {
+    val m = Sampling.shardManifest(docs, "doc_id", "n_chars", shards = 16)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(m.map(_._1).toSeq == (0L to 15L)) // every shard populated here
+    assert(m.map(_._2).sum == docs.count())
+    val totalChars = docs.agg(sum($"n_chars")).as[Long].collect().head
+    assert(m.map(_._3).sum == totalChars)
+    // hash assignment ignores physical layout (retry/append-stable)
+    val re = Sampling.shardManifest(docs.repartition(5), "doc_id", "n_chars",
+      shards = 16).as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == m.toSeq)
+  }
 }
