@@ -1116,6 +1116,31 @@ object QueryCatalog {
   private def tokensSql(src: String = "text"): String =
     s"list_filter(regexp_split_to_array(lower($src), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+  /** Winnowing (k=4, w=4) selected-fingerprint CTEs, ending in `sel`
+    * (doc_id, pos, h) — the DuckDB replay of [[TextOps.winnow]], shared by
+    * the fingerprint dump and the near-dup pairs oracle. Windows become a
+    * pos-range join; the rightmost-min tie rule is max(pos) over h = min. */
+  private def winnowCtes(): String =
+    s"""toks AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        g AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS pos,
+            CAST(concat('0x', substr(md5(
+              tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+            ), 1, 15)) AS BIGINT) AS h
+          FROM toks, UNNEST(range(0, len(tk) - 3)) AS u(i)
+          WHERE len(tk) >= 4),
+        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        win AS (SELECT doc_id, CAST(t AS INT) AS t
+          FROM n, UNNEST(range(0, ng - 3)) AS u(t) WHERE ng >= 4),
+        wm AS (SELECT w.doc_id, w.t, min(g.h) AS h
+          FROM win w JOIN g ON g.doc_id = w.doc_id
+            AND g.pos BETWEEN w.t AND w.t + 3
+          GROUP BY 1, 2),
+        sel AS MATERIALIZED (SELECT wm.doc_id, max(g.pos) AS pos, wm.h
+          FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.h
+            AND g.pos BETWEEN wm.t AND wm.t + 3
+          GROUP BY wm.doc_id, wm.t, wm.h)"""
+
   private def stopListSql: String =
     TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1782,25 +1807,7 @@ object QueryCatalog {
     ("q_text_winnow",
       (s: SparkSession, d: String) => TextOps.winnow(
         t(s, d, "documents"), "doc_id", "text", k = 4, w = 4),
-      Some(s"""WITH toks AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        g AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS pos,
-            CAST(concat('0x', substr(md5(
-              tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
-            ), 1, 15)) AS BIGINT) AS h
-          FROM toks, UNNEST(range(0, len(tk) - 3)) AS u(i)
-          WHERE len(tk) >= 4),
-        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-        win AS (SELECT doc_id, CAST(t AS INT) AS t
-          FROM n, UNNEST(range(0, ng - 3)) AS u(t) WHERE ng >= 4),
-        wm AS (SELECT w.doc_id, w.t, min(g.h) AS h
-          FROM win w JOIN g ON g.doc_id = w.doc_id
-            AND g.pos BETWEEN w.t AND w.t + 3
-          GROUP BY 1, 2),
-        sel AS (SELECT wm.doc_id, max(g.pos) AS pos, wm.h
-          FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.h
-            AND g.pos BETWEEN wm.t AND wm.t + 3
-          GROUP BY wm.doc_id, wm.t, wm.h)
+      Some(s"""WITH ${winnowCtes()}
         SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel""")),
 
     // Per-source boilerplate removal (RefinedWeb's repeated-span gate
@@ -2028,6 +2035,25 @@ object QueryCatalog {
           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+
+    // Winnow-fingerprint near-dup pairs (the MOSS/plagiarism join): docs
+    // sharing >= 2 distinct selected fingerprints, hot fingerprints
+    // (df > 8) dropped before the self-join so candidate classes stay
+    // bounded — same banding discipline as jaccard/simhash, over the
+    // 2/(w+1)-density winnow set instead of the full gram set
+    ("q_dedup_winnow_pairs",
+      (s: SparkSession, d: String) => TextOps.winnowPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 8),
+      Some(s"""WITH ${winnowCtes()},
+        fp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel),
+        rare AS (SELECT fp.doc_id, fp.h FROM fp JOIN (
+            SELECT h FROM fp GROUP BY h HAVING count(*) <= 8) fr
+          USING (h))
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          count(*) AS n_shared
+        FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     // corpus-wide embedding near-dup through LSH buckets — the scale path
     // (bucket self-join, quadratic only within a bucket). Approximate recall

@@ -561,6 +561,40 @@ object TextOps {
       .distinct()
   }
 
+  /**
+   * Near-duplicate pairs from [[winnow]] fingerprints — winnowing's payoff
+   * operator (the MOSS/plagiarism-detection join): documents sharing at
+   * least `minShared` DISTINCT selected fingerprints, with the shared
+   * count. Because winnowing guarantees a selected fingerprint inside any
+   * shared run of `w + k - 1` tokens, a pair with a long common span cannot
+   * be missed, while the 2/(w+1) density makes the join input ~3x smaller
+   * than the full gram set — the cheap local-overlap screen between exact
+   * dedup (whole doc) and Jaccard (bag-of-shingles).
+   *
+   * Scale shape: the same banded-candidate discipline as every other
+   * pairing op here — fingerprints with document frequency above `maxDf`
+   * are dropped BEFORE the self-join (boilerplate fingerprints otherwise
+   * make a candidate class corpus-proportional, the r6 lesson), so bucket
+   * sizes are bounded by construction and the join shuffles 8-byte hash
+   * keys. Output: (doc1, doc2, n_shared), doc1 < doc2.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"winnowPairs needs minShared >= 1 and maxDf >= 2, got ($minShared, $maxDf)")
+    val fp = winnow(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
+    val rare = fp.join(
+      fp.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("h"),
+      Seq("h"))
+    rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[tileTable]] carrying one extra grouping column (e.g. the document's
     * source/domain) through the compiled flatMap — so per-group consumers
     * like [[boilerplateClean]] don't pay a corpus-sized join to recover it. */

@@ -1112,6 +1112,31 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("winnowPairs: shared spans pair up, hot fingerprints are capped out") {
+    val span = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val df = Seq(
+      (1L, s"intro words here $span closing one"),
+      (2L, s"$span different ending entirely for two"),
+      (3L, "completely unrelated text with nothing shared at all in it"),
+      (4L, "another fully distinct document about other things entirely"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(df, "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 2)
+    // a fingerprint in EVERY doc is boilerplate: with maxDf below the doc
+    // count it must not generate candidates on its own
+    val boiler = Seq.tabulate(6)(i =>
+      (10L + i, s"$span unique tail number $i marker"))
+      .toDF("doc_id", "text")
+    val capped = TextOps.winnowPairs(boiler, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, maxDf = 3)
+    val uncapped = TextOps.winnowPairs(boiler, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, maxDf = 100)
+    assert(uncapped.count() > capped.count())
+  }
+
   test("shardManifest: complete, conserves mass, partitioning-independent") {
     val m = Sampling.shardManifest(docs, "doc_id", "n_chars", shards = 16)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
