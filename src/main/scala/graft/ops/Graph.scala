@@ -65,8 +65,12 @@ object Graph {
       scale: Long = 1000000000000L,
       broadcastRanks: Boolean = false): DataFrame = {
     require(iters >= 0, s"pageRankInt needs iters >= 0, got $iters")
+    // evaluate the caller's edge pipeline ONCE: deg, eo and nodes all
+    // reference it, and cross-job exchange reuse does not exist — without
+    // this checkpoint an upstream distinct/banding subtree runs per derived
+    // table (the Dedup.components lesson)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // out-edges annotated with the sender's degree, evaluated once
     val eo = e.join(deg, "src").localCheckpoint()
