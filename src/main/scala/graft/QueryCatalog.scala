@@ -2055,6 +2055,25 @@ object QueryCatalog {
         FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
+    // Fuzzy dedup: LSH candidates reranked by integer levenshtein on the
+    // normalized 256-char prefix — block-then-verify; the DP cost is
+    // bounded per pair by the truncation, and the distance is an integer,
+    // identical in every engine (Dedup.fuzzyNearDups)
+    ("q_dedup_fuzzy",
+      (s: SparkSession, d: String) => Dedup.fuzzyNearDups(
+        t(s, d, "documents"), "doc_id", "text",
+        n = 5, k = 12, bands = 4, maxDist = 40, prefixLen = 256),
+      Some(s"""WITH ${minhashCandCtes(n = 5, k = 12, bands = 4)},
+        norm AS MATERIALIZED (SELECT doc_id,
+            substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+              1, 256) AS nt
+          FROM documents)
+        SELECT cand.doc1, cand.doc2,
+          CAST(levenshtein(p1.nt, p2.nt) AS BIGINT) AS dist
+        FROM cand JOIN norm p1 ON cand.doc1 = p1.doc_id
+                  JOIN norm p2 ON cand.doc2 = p2.doc_id
+        WHERE levenshtein(p1.nt, p2.nt) <= 40""")),
+
     // corpus-wide embedding near-dup through LSH buckets — the scale path
     // (bucket self-join, quadratic only within a bucket). Approximate recall
     // but fully deterministic, so the oracle replays buckets + rerank exactly.
@@ -2148,8 +2167,10 @@ object QueryCatalog {
 
   /** CTE chain ending in `mh_pairs(doc1, doc2, jaccard)` — the MinHash+LSH
     * near-dup pairs. Shared by the pairs query and the components query. */
-  private def minhashPairsCtes(n: Int, k: Int, bands: Int,
-      threshold: Double): String = {
+  /** CTE chain ending in `cand(doc1, doc2)` — the MinHash-LSH banded
+    * candidate pairs, shared by the Jaccard-verified pairs and the
+    * edit-distance rerank oracle. */
+  private def minhashCandCtes(n: Int, k: Int, bands: Int): String = {
     val r = k / bands
     val sigExprs = (0 until k).map(i =>
       s"min((a + $i * b) % ${Dedup.MinhashPrime}) AS sig_$i").mkString(",\n  ")
@@ -2168,7 +2189,12 @@ object QueryCatalog {
       cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
                FROM bandkeys x JOIN bandkeys y
                  ON x.band = y.band AND x.band_key = y.band_key
-                AND x.doc_id < y.doc_id),
+                AND x.doc_id < y.doc_id)"""
+  }
+
+  private def minhashPairsCtes(n: Int, k: Int, bands: Int,
+      threshold: Double): String = {
+    s"""${minhashCandCtes(n, k, bands)},
       sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       inter AS MATERIALIZED (SELECT doc1, doc2, count(*) AS intersection
                 FROM cand JOIN sh sa ON sa.doc_id = doc1

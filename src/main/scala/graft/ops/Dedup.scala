@@ -420,6 +420,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * Fuzzy (edit-distance) near-dup pairs: MinHash-LSH candidate generation
+   * reranked by `levenshtein` on the NORMALIZED text, truncated to
+   * `prefixLen` chars — the small-perturbation dedup pass that set-based
+   * Jaccard misses scores for (transposed words, in-place edits score low
+   * on shingle overlap but tiny on edit distance) and that quadratic
+   * all-pairs edit distance cannot afford. Only candidate pairs (banded,
+   * bounded buckets) ever pay the O(prefixLen^2) DP — the standard
+   * fuzzy-matching shape: block, then verify.
+   *
+   * Determinism: levenshtein is an integer (identical in every engine);
+   * normalization and the char-based truncation replay exactly. The
+   * truncation also BOUNDS the verify cost per pair (64 KB of DP at the
+   * default 256), which is what makes the rerank safe to run at corpus
+   * scale — full-document edit distance on a pathological 1 MB doc pair
+   * would be a 10^12-cell DP.
+   *
+   * Output: (doc1, doc2, dist), doc1 < doc2, dist <= maxDist.
+   */
+  def fuzzyNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4,
+      maxDist: Int = 20, prefixLen: Int = 256): DataFrame = {
+    require(maxDist >= 0 && prefixLen >= 1,
+      s"fuzzyNearDups needs maxDist >= 0 and prefixLen >= 1, got ($maxDist, $prefixLen)")
+    val cand = minhashCandidates(df, idCol, textCol, n, k, bands)
+    val norm = df.select(col(idCol).as("doc_id"),
+      substring(graft.ops.TextOps.normalize(col(textCol)), 1, prefixLen)
+        .as("nt"))
+    cand
+      .join(norm.as("p1"), col("doc1") === col("p1.doc_id"))
+      .join(norm.as("p2"), col("doc2") === col("p2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("p1.nt"), col("p2.nt")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The per-document DEDUP INDEX a continuously-ingested corpus persists:
     * (doc_id, sh_set, n_sh, sig_0..sig_{k-1}) — hashed shingle set + true
     * size + MinHash signature, one row per document. Write it to the lake

@@ -1112,6 +1112,27 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("fuzzyNearDups: small edits pair with their exact prefix edit distance") {
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew strong coffee beside the ancient stone bridge at dawn"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("coffee", "tea")), // one-word in-place edit
+      (3L, "entirely different content about spacecraft navigation and " +
+        "orbital mechanics with no lexical overlap whatsoever here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyNearDups(df, "doc_id", "text",
+        n = 3, k = 12, bands = 4, maxDist = 10, prefixLen = 256)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // levenshtein("coffee","tea") within the otherwise-identical prefix:
+    // 5 (c->t, o->e, f->a, drop f+e... the DP's exact answer), independently
+    assert(got.head._3 == 5L)
+    // maxDist gates: the same pair vanishes below its distance
+    assert(Dedup.fuzzyNearDups(df, "doc_id", "text",
+      n = 3, k = 12, bands = 4, maxDist = 4, prefixLen = 256).count() == 0L)
+  }
+
   test("winnowPairs: shared spans pair up, hot fingerprints are capped out") {
     val span = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
     val df = Seq(
