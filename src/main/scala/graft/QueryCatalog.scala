@@ -448,6 +448,49 @@ object QueryCatalog {
           min("value") AS min_value, max("value") AS max_value
         FROM events GROUP BY 1, 2""")),
 
+    // Time-series densification: hourly resample (max value per hour) onto
+    // each event type's full hour grid, gaps filled by
+    // last-observation-carried-forward. The grid is calendar-bounded (hours
+    // between first and last event), so the per-type window state never
+    // scales with event volume — the corpus-sized work is one
+    // combine-enabled hourly aggregate.
+    ("q_agg_gapfill",
+      (s: SparkSession, d: String) => {
+        val hourly = t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(max(col("value")).as("v"))
+          .select(col("w.start").as("hour"), col("event_type"), col("v"))
+        val grid = hourly.groupBy("event_type")
+          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("hour"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "hour"), "left_outer")
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("filled"),
+            col("v").isNull.cast("long").as("is_gap"))
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+            event_type, max("value") AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+          FROM hourly GROUP BY 1),
+        grid AS (SELECT event_type,
+            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+        j AS (SELECT g.event_type, g.hour, h.v
+          FROM grid g LEFT JOIN hourly h USING (event_type, hour))
+        SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS filled,
+          CAST(v IS NULL AS BIGINT) AS is_gap
+        FROM j""")),
+
     // Integer-exact z-score anomaly gate: hourly count cells per event
     // type, flagged when (x*n - s1)^2 > 9*(n*s2 - s1^2) — the 3-sigma test
     // multiplied through by n^2 so every comparison is an exact BIGINT
@@ -3263,7 +3306,32 @@ object QueryCatalog {
         SELECT bucket,
           floor((mn + bucket * (mx - mn) / 10) * 1e6) / 1e6 AS lo,
           floor((mn + (bucket + 1) * (mx - mn) / 10) * 1e6) / 1e6 AS hi, n
-        FROM h, b""")))
+        FROM h, b""")),
+
+    // Categorical drift monitor: Laplace-smoothed per-category chi-square
+    // contributions between two corpus halves (Stats.chiSquareDrift) —
+    // exact BIGINT terms, one quantized double division per category
+    ("q_profile_drift",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        graft.ops.Stats.chiSquareDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "lang")
+      },
+      Some("""WITH o AS (SELECT lang AS category, count(*) AS n_cur
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          r AS (SELECT lang AS category, count(*) AS n_ref
+            FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+          cells AS (SELECT category, coalesce(n_cur, 0) AS n_cur,
+              coalesce(n_ref, 0) AS n_ref
+            FROM o FULL OUTER JOIN r USING (category)),
+          t AS (SELECT CAST(sum(n_cur) + count(*) AS BIGINT) AS curT,
+              CAST(sum(n_ref) + count(*) AS BIGINT) AS refT FROM cells)
+        SELECT category, n_cur, n_ref,
+          floor(CAST(((n_cur + 1) * refT - (n_ref + 1) * curT)
+              * ((n_cur + 1) * refT - (n_ref + 1) * curT) AS DOUBLE)
+            / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
+        FROM cells, t""")))
 
   // ============================================================ sampling
 

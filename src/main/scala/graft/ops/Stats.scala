@@ -222,4 +222,56 @@ object Stats {
         q6(lit(mn) + (col("bucket") + 1) * span / buckets).as("hi"),
         col("n"))
   }
+
+  /**
+   * Categorical drift between two samples as per-category chi-square
+   * contributions — the distribution-shift monitor a corpus pipeline runs
+   * between snapshots / batches ("did today's crawl change the language
+   * mix?"). For category i with observed counts o_i (current) and r_i
+   * (reference), Laplace-smoothed (+1 per category, totals + L):
+   *
+   *   e_i     = r'_i * curT' / refT'          (expected under reference)
+   *   chi2_i  = (o'_i - e_i)^2 / e_i
+   *           = (o'_i*refT' - r'_i*curT')^2 / (r'_i * curT' * refT')
+   *
+   * The smoothing makes every category well-defined even when it appears
+   * in only one sample (new language shows up = large, finite
+   * contribution). All terms are exact BIGINTs; the single division runs
+   * in doubles (one correctly-rounded IEEE op) and is floor-quantized to
+   * 6 dp — bit-identical in any engine. Compare Σ chi2_i to the usual
+   * critical values, or alert on the top contributors directly.
+   * Exactness bound: the squared numerator is a BIGINT product, exact while
+   * count * total < 2^31.5 per side (~3e9 rows with ~100 categories);
+   * beyond that pre-aggregate counts to coarser units or promote the
+   * products to decimal(38,0) — the formula is unchanged.
+   *
+   * Distributed shape: one combine-enabled groupBy per sample, a tiny
+   * (L-row) union-aggregate, and a broadcast of the two totals — no
+   * corpus-sized shuffle beyond the counting pass.
+   *
+   * Output: (category, n_cur, n_ref, chi2) — one row per category of
+   * either sample, chi2 quantized to 6 dp.
+   */
+  def chiSquareDrift(cur: DataFrame, ref: DataFrame,
+      catCol: String): DataFrame = {
+    val o = cur.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_cur"))
+    val r = ref.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_ref"))
+    val cells = o.join(r, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val totals = broadcast(cells.agg(
+      (sum(col("n_cur")) + count(lit(1))).as("curT"),
+      (sum(col("n_ref")) + count(lit(1))).as("refT")))
+    cells.crossJoin(totals)
+      .select(col("category"), col("n_cur"), col("n_ref"),
+        (floor(
+          (((col("n_cur") + 1) * col("refT") - (col("n_ref") + 1) * col("curT"))
+            * ((col("n_cur") + 1) * col("refT") - (col("n_ref") + 1) * col("curT")))
+            .cast("double") /
+          ((col("n_ref") + 1) * col("curT") * col("refT")).cast("double")
+          * 1e6) / 1e6).as("chi2"))
+  }
 }

@@ -1112,6 +1112,44 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("chiSquareDrift: hand-computed smoothed contributions") {
+    // cur: a,a,a,b   ref: a,a,c,c   L=3 -> curT'=refT'=7
+    // a: o'=4,r'=3 -> (28-21)^2/(3*49) = 49/147 = 0.333333...
+    // b: o'=2,r'=1 -> 49/49   = 1.0
+    // c: o'=1,r'=3 -> 196/147 = 1.333333...
+    val cur = Seq("a", "a", "a", "b").toDF("k")
+    val ref = Seq("a", "a", "c", "c").toDF("k")
+    val got = graft.ops.Stats.chiSquareDrift(cur, ref, "k")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 2L, 0.333333)))
+    assert(got("b") == ((1L, 0L, 1.0)))
+    assert(got("c") == ((0L, 2L, 1.333333)))
+  }
+
+  test("gapfill: contiguous hour grid, LOCF fills flagged gaps") {
+    val rows = SparkEntry.queries("q_agg_gapfill")(spark, sf)
+      .as[(String, String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    for ((_, tl) <- rows.groupBy(_._1)) {
+      val sorted = tl.sortBy(_._2).toList
+      // grid is contiguous hourly
+      sorted.map(r => java.time.LocalDateTime.parse(r._2, fmt))
+        .sliding(2).foreach {
+          case List(a, b) => assert(java.time.Duration.between(a, b).toHours == 1)
+          case _ =>
+        }
+      // first cell is observed; every gap carries the last observed value
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case List(prev, curr) if curr._4 == 1L => assert(curr._3 == prev._3)
+        case _ =>
+      }
+    }
+  }
+
   test("fuzzyNearDups: small edits pair with their exact prefix edit distance") {
     val base = "the quick brown fox jumps over the lazy dog while seven " +
       "wizards brew strong coffee beside the ancient stone bridge at dawn"
