@@ -541,6 +541,40 @@ object QueryCatalog {
           string_agg(event_type, ',' ORDER BY rn) AS sequence
         FROM r WHERE rn <= 20 GROUP BY 1""")),
 
+    // User-journey transition matrix (first-order Markov stats): adjacent
+    // event-type pairs within each user's timeline, with the conditional
+    // probability of each successor — floor-quantized from exact integer
+    // counts. The lead() window is USER-bounded (same state bound as
+    // sessionize); the corpus-sized work is one combine-enabled groupBy
+    // over (from, to) pairs.
+    ("q_seq_transitions",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val outTotals = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+        tr.join(broadcast(outTotals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            (floor(col("n").cast("double") / col("tot").cast("double") * 1e6)
+              / 1e6).as("p_next"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
+          FROM events),
+        tr AS (SELECT event_type AS from_type, next AS to_type,
+            count(*) AS n
+          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+          FROM tr GROUP BY 1)
+        SELECT from_type, to_type, n,
+          floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) / 1e6 AS p_next
+        FROM tr JOIN tot USING (from_type)""")),
+
     // Ordered funnel (view -> click -> purchase): greedy per-user stage
     // matching via one codegen'd array fold (ONE user_id shuffle); the
     // oracle replays the equivalent chained first-match formulation
@@ -3307,6 +3341,61 @@ object QueryCatalog {
           floor((mn + bucket * (mx - mn) / 10) * 1e6) / 1e6 AS lo,
           floor((mn + (bucket + 1) * (mx - mn) / 10) * 1e6) / 1e6 AS hi, n
         FROM h, b""")),
+
+    // Post-load integrity gate: FK orphan counts, PK surplus rows and
+    // null-rate cells for the star schema, one labeled row per check —
+    // the validation suite an ingest runs before publishing a batch
+    // (generalizes the reference's count-action bookkeeping, §2.7). Each
+    // check is one anti-join or combine-enabled aggregate; the union is a
+    // single plan, no driver-side loop.
+    ("q_profile_validate",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        def row(label: String, bad: DataFrame, total: Long): DataFrame =
+          bad.select(lit(label).as("check"),
+            coalesce(col("n_bad"), lit(0L)).as("n_bad"),
+            lit(total).as("n_total"))
+        val fkLiO = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+        val fkOC = o.join(c.select(col("c_custkey").as("o_custkey")),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+        val pkO = o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") - 1).as("n_bad"))
+        val pkLi = li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt") - 1).as("n_bad"))
+        val nullP = o.agg(count(when(col("o_totalprice").isNull, 1))
+          .as("n_bad"))
+        row("fk_lineitem_orders", fkLiO, li.count())
+          .union(row("fk_orders_customer", fkOC, o.count()))
+          .union(row("pk_orders_surplus", pkO, o.count()))
+          .union(row("pk_lineitem_surplus", pkLi, li.count()))
+          .union(row("null_o_totalprice", nullP, o.count()))
+      },
+      Some("""SELECT 'fk_lineitem_orders' AS check, CAST((
+            SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_bad,
+          (SELECT count(*) FROM lineitem) AS n_total
+        UNION ALL SELECT 'fk_orders_customer', CAST((
+            SELECT count(*) FROM orders WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM customer)) AS BIGINT),
+          (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'pk_orders_surplus', CAST(coalesce((
+            SELECT sum(cnt - 1) FROM (SELECT count(*) AS cnt FROM orders
+              GROUP BY o_orderkey)), 0) AS BIGINT),
+          (SELECT count(*) FROM orders)
+        UNION ALL SELECT 'pk_lineitem_surplus', CAST(coalesce((
+            SELECT sum(cnt - 1) FROM (SELECT count(*) AS cnt FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT),
+          (SELECT count(*) FROM lineitem)
+        UNION ALL SELECT 'null_o_totalprice', CAST((
+            SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
+            AS BIGINT),
+          (SELECT count(*) FROM orders)""")),
 
     // Categorical drift monitor: Laplace-smoothed per-category chi-square
     // contributions between two corpus halves (Stats.chiSquareDrift) —

@@ -1112,6 +1112,38 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("transitions: per-state probabilities sum to one (quantization aside)") {
+    val rows = SparkEntry.queries("q_seq_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((from, ts) <- rows.groupBy(_._1)) {
+      val p = ts.map(_._4).sum
+      // floor-quantized 6dp terms: sum within L*1e-6 of exactly 1
+      assert(p <= 1.0 + 1e-9 && p >= 1.0 - ts.length * 1e-6, s"$from: $p")
+      val tot = ts.map(_._3).sum
+      ts.foreach { r => assert(r._4 == math.floor(r._3.toDouble / tot * 1e6) / 1e6) }
+    }
+  }
+
+  test("integrity gate: clean checks are zero, lineitem PK surplus detected") {
+    val got = SparkEntry.queries("q_profile_validate")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set("fk_lineitem_orders", "fk_orders_customer",
+      "pk_orders_surplus", "pk_lineitem_surplus", "null_o_totalprice"))
+    for (c <- Seq("fk_lineitem_orders", "fk_orders_customer",
+        "pk_orders_surplus", "null_o_totalprice"))
+      assert(got(c)._1 == 0L, s"$c flagged ${got(c)._1} rows")
+    // the synthetic generator REUSES (l_orderkey, l_linenumber) — the gate
+    // must report exactly the independently-computed surplus, not zero
+    // (a real detection on shipped data, which is the point of the check)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val surplus = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(surplus > 0L)
+    assert(got("pk_lineitem_surplus")._1 == surplus)
+    got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
+  }
+
   test("chiSquareDrift: hand-computed smoothed contributions") {
     // cur: a,a,a,b   ref: a,a,c,c   L=3 -> curT'=refT'=7
     // a: o'=4,r'=3 -> (28-21)^2/(3*49) = 49/147 = 0.333333...
