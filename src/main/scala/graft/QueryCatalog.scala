@@ -3629,7 +3629,57 @@ object QueryCatalog {
           SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
             CAST(sum(i) AS BIGINT) AS in_deg,
             count(*) AS degree
-          FROM b GROUP BY 1""")))
+          FROM b GROUP BY 1""")),
+
+    // Per-node triangle counts + clustering coefficient by degree-ordered
+    // orientation (Graph.triangleCounts) over the parts-co-ordered-together
+    // graph — the bipartite part<->supplier graph has no odd cycles, so the
+    // triangle query runs on its one-mode projection (parts sharing an
+    // order), whose per-order fan-out is bounded by order size by
+    // construction. Orientation bounds the wedge join at O(|E|^1.5) — the
+    // 100 TB-safe shape (a hub never owns its whole neighborhood).
+    ("q_graph_triangles", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        Graph.triangleCounts(e, "src", "dst")
+      }): Q
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+            GROUP BY 1),
+          o AS (SELECT
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN c.a ELSE c.b END AS lo,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN c.b ELSE c.a END AS hi,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN db.deg ELSE da.deg END AS dhi
+            FROM canon c JOIN deg da ON c.a = da.node
+            JOIN deg db ON c.b = db.node),
+          wed AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
+            FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+            WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
+          tri AS (SELECT p, x, y
+            FROM wed JOIN o ON wed.x = o.lo AND wed.y = o.hi),
+          pn AS (SELECT node, count(*) AS t FROM (
+              SELECT p AS node FROM tri UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri) GROUP BY 1)
+          SELECT d.node, d.deg AS degree,
+            coalesce(pn.t, CAST(0 AS BIGINT)) AS triangles,
+            CASE WHEN d.deg >= 2 THEN
+              floor(CAST(coalesce(pn.t, CAST(0 AS BIGINT)) AS DOUBLE) * 2e6
+                / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 1e6
+            ELSE 0.0 END AS clustering
+          FROM deg d LEFT JOIN pn ON d.node = pn.node""")))
 
   // ================================================== composed cleaning
 

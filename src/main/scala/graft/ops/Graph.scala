@@ -119,4 +119,85 @@ object Graph {
       .agg(sum("o").as("out_deg"), sum("i").as("in_deg"),
         count(lit(1)).as("degree"))
   }
+
+  /**
+   * Per-node triangle counts + local clustering coefficient over an
+   * UNDIRECTED graph, by degree-ordered edge orientation (Schank &
+   * Wagner 2005; the MapReduce shape of Suri & Vassilvitskii WWW'11).
+   * Community cohesion is the third centrality signal (after degree and
+   * PageRank) a curation pipeline reads off its similarity graph: a doc
+   * whose neighborhood closes into triangles sits in a dense near-dup
+   * community; a high-degree zero-triangle node is a hub/template.
+   *
+   * Why orientation matters at 100 TB: the naive wedge join fans out
+   * quadratically in the max degree (a 1e6-degree hub yields 1e12 wedges).
+   * Orienting every edge from its (degree, id)-smaller endpoint toward the
+   * larger bounds every oriented out-degree by O(sqrt(|E|)) — total wedge
+   * count falls from Σ d(v)^2 to O(|E|^(3/2)), the known optimum for this
+   * join shape, and no single task owns a hub's full neighborhood.
+   *
+   * Shape: canonicalize (least, greatest) + distinct; ONE combine-enabled
+   * degree aggregate; orient; wedge self-join on the pivot; close each
+   * wedge with a semi-ish inner join back to the oriented edge set; three
+   * corner unions -> per-node counts. All counts are exact BIGINTs; the
+   * clustering coefficient 2T/(d(d-1)) is floor-quantized to 1e-6 (one
+   * double division per node — cross-engine bit-identical).
+   *
+   * Input rows may list each undirected edge in either or both directions;
+   * self-loops are dropped, duplicates collapse via distinct.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      // deg, the orientation and the wedge join all reference the
+      // canonical edge set; evaluate the caller's pipeline once
+      .localCheckpoint()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from its (deg, id)-smaller endpoint (lo) to the
+    // larger (hi); the id tie-break makes the order total, so every edge
+    // gets exactly one orientation
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    val oriented = canon.join(da, "a").join(db, "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"),
+            col("da").as("dlo"), col("db").as("dhi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+            col("db").as("dlo"), col("da").as("dhi"))).as("o"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
+        col("o.dlo").as("dlo"), col("o.dhi").as("dhi"))
+      .localCheckpoint()
+    // wedges pivot at lo (the low-degree endpoint — bounded fan-out);
+    // order the two spokes by the SAME (deg, id) total order so each
+    // unordered spoke pair appears once, then close against the oriented
+    // edge (x, y): x precedes y in that order by construction
+    val w1 = oriented.select(col("lo").as("p"), col("hi").as("x"),
+      col("dhi").as("dx"))
+    val w2 = oriented.select(col("lo").as("p"), col("hi").as("y"),
+      col("dhi").as("dy"))
+    val wedges = w1.join(w2, Seq("p"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y")).select("p", "x", "y")
+    val perNode = tris.select(col("p").as("node"))
+      .union(tris.select(col("x").as("node")))
+      .union(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          floor(coalesce(col("triangles"), lit(0L)).cast("double") * 2e6 /
+            (col("deg") * (col("deg") - 1)).cast("double")) / 1e6)
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -63,6 +63,53 @@ class GraphSpec extends SparkSpec {
     assert(r == refPageRank(edges, 5))
   }
 
+  /** Independent brute-force triangle reference: all node triples. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct.toSet
+    val nodes = es.toSeq.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    nodes.map(n => n -> tris.count(t => t._1 == n || t._2 == n || t._3 == n)
+      .toLong).toMap
+  }
+
+  test("triangleCounts: K4-plus-tail matches brute force; coefficients exact") {
+    // K4 on 1..4 (every node in 3 triangles, coefficient 1.0) plus a tail
+    // 4-5 (node 4's coefficient drops: degree 4, still 3 triangles) and an
+    // isolated edge 6-7 (zero triangles, zero coefficient); duplicate and
+    // reversed input rows must collapse
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (6L, 7L), (5L, 4L), (1L, 2L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val ref = refTriangles(edges)
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (n, (d, t, c)) =>
+      assert(t == ref(n), s"node $n")
+      val expC = if (d >= 2) math.floor(t.toDouble * 2e6 / (d * (d - 1))) / 1e6
+        else 0.0
+      assert(c == expC, s"node $n coeff")
+    }
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(4L)._1 == 4L && got(4L)._2 == 3L && got(4L)._3 == 0.5)
+    assert(got(5L) == ((1L, 0L, 0.0)) && got(7L) == ((1L, 0L, 0.0)))
+  }
+
+  test("triangleCounts: partitioning-independent (orientation is a total order)") {
+    val edges = (for (a <- 1L to 9L; b <- a + 1 to 9L if (a + b) % 3 != 0)
+      yield (a, b)).toSeq
+    val one = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val re = Graph.triangleCounts(edges.toDF("src", "dst").repartition(7))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(one == re)
+    assert(one.map(_._3).sum % 3 == 0) // every triangle counted at 3 corners
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
