@@ -1223,6 +1223,34 @@ object QueryCatalog {
 
   private val textQueries: Seq[(String, Q, Option[String])] = Seq(
 
+    // Corpus-bigram-LM surprisal per document (TextOps.surprisalScore) —
+    // the perplexity-style quality gate, in exact whole-bit integer
+    // arithmetic so the oracle replays it with length(bin(x)) instead of
+    // engine-variant logarithms. Hashed 60-bit bigram keys on the shuffle.
+    ("q_text_surprisal",
+      (s: SparkSession, d: String) => TextOps.surprisalScore(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        bi AS MATERIALIZED (SELECT doc_id,
+            CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15))
+              AS BIGINT) AS hb,
+            CAST(concat('0x', substr(md5(ts[i]), 1, 15)) AS BIGINT) AS h1
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        bc AS (SELECT hb, count(*) AS n_bi FROM bi GROUP BY 1),
+        uni AS (SELECT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+              AS h1, count(*) AS n_first
+          FROM docs, UNNEST(ts) AS u(t) GROUP BY 1),
+        v AS (SELECT count(*) AS vs FROM uni),
+        j AS (SELECT doc_id,
+            length(bin(n_first + vs)) - length(bin(n_bi + 1)) AS bits
+          FROM bi JOIN bc USING (hb) JOIN uni USING (h1), v)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(sum(bits) AS BIGINT) AS sum_bits,
+          floor(CAST(sum(bits) AS DOUBLE) * 1e6 /
+            CAST(count(*) AS DOUBLE)) / 1e6 AS mean_bits
+        FROM j GROUP BY 1""")),
+
     ("q_text_tokens",
       (s: SparkSession, d: String) => t(s, d, "documents").select(
         col("doc_id"),

@@ -668,4 +668,67 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("clean_text"),
         col("n_tiles"), col("n_removed"))
   }
+
+  /**
+   * Bigram language-model surprisal scoring — the KenLM-style perplexity
+   * quality gate (CCNet, Wenzek 2020) with the LM trained on the corpus
+   * itself: documents whose token transitions are improbable under the
+   * corpus bigram statistics (boilerplate, gibberish, wrong-language
+   * remnants) score HIGH and get filtered.
+   *
+   * The surprisal of each transition is measured in WHOLE BITS via exact
+   * integer arithmetic: with `bits(x)` = the binary-representation length,
+   *
+   *   surprisal(w2 | w1) = bits(n_first(w1) + V) - bits(n_bigram + 1)
+   *
+   * approximates `-log2((n_bigram + 1) / (n_first + V))` — add-one-smoothed
+   * conditional probability — to within one bit, while staying pure BIGINT
+   * (the catalog deliberately has NO transcendentals: `ln`/`exp` are only
+   * 1-ulp-accurate and differ between the JVM and libm, so a floor on a log
+   * could flip across engines; `bits()` replays bit-identically anywhere).
+   * One-bit resolution per transition averages out over a document's
+   * hundreds of transitions — the mean is a 6-dp-quantized cross-entropy
+   * estimate sharp enough to rank documents.
+   *
+   * Distributed shape: bigrams are hashed to 60-bit longs AT THE SCAN
+   * (8-byte shuffle keys, never gram strings — the jaccard lesson); the
+   * model is two combine-enabled aggregates (bigram counts and token
+   * occurrence counts — the same denominator convention as the
+   * `q_text_bigrams` statistics table); scoring joins the bigram stream
+   * against the two model
+   * tables on long keys (AQE picks broadcast when the vocab fits) and
+   * reduces per-document. The bigram stream is materialized ONCE
+   * (localCheckpoint) — it feeds both the model build and the scoring
+   * probe, and cross-job exchange reuse does not exist.
+   *
+   * Output: (doc_id, n_bigrams, sum_bits, mean_bits) — documents with
+   * fewer than two tokens have no transitions and no row.
+   */
+  def surprisalScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = graft.plans.GraftExpressions.md5_prefix60 _
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .localCheckpoint()
+    val bi = toks.select(col("doc_id"), explode(zip_with(col("ts"),
+        slice(col("ts"), lit(2), size(col("ts"))),
+        (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), h(col("bg")).as("hb"),
+        h(substring_index(col("bg"), " ", 1)).as("h1"))
+      .localCheckpoint()
+    val bigramCounts = bi.groupBy("hb").agg(count(lit(1)).as("n_bi"))
+    val firstCounts = toks.select(explode(col("ts")).as("w"))
+      .select(h(col("w")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("n_first"))
+      .localCheckpoint()
+    val vocab = firstCounts.count()
+    bi.join(bigramCounts, "hb").join(firstCounts, "h1")
+      .withColumn("bits",
+        (length(bin(col("n_first") + lit(vocab))) -
+          length(bin(col("n_bi") + lit(1L)))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+        (floor(col("sum_bits").cast("double") * 1e6 /
+          col("n_bigrams").cast("double")) / 1e6).as("mean_bits"))
+  }
 }

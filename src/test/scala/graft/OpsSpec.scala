@@ -1228,6 +1228,22 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.count() > capped.count())
   }
 
+  test("surprisalScore: hand-computed whole-bit surprisals; short docs have no row") {
+    // uni: a:3 b:3 q:1 r:1 x:1 -> V=5
+    // "a b" (n_bi=3): bits(3+5)-bits(3+1) = 4-3 = 1, three times
+    // "b a" (n_bi=2): bits(3+5)-bits(2+1) = 4-2 = 2, twice
+    // "q r" (n_bi=1): bits(1+5)-bits(1+1) = 3-2 = 1
+    // doc 3 ("x") has no transitions -> dropped
+    val df = Seq((1L, "a b a b a b"), (2L, "q r"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.surprisalScore(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((5L, 7L, math.floor(7e6 / 5) / 1e6)),
+      2L -> ((1L, 1L, 1.0))))
+  }
+
   test("shardManifest: complete, conserves mass, partitioning-independent") {
     val m = Sampling.shardManifest(docs, "doc_id", "n_chars", shards = 16)
       .as[(Long, Long, Long)].collect().sortBy(_._1)
