@@ -491,6 +491,52 @@ object QueryCatalog {
           CAST(v IS NULL AS BIGINT) AS is_gap
         FROM j""")),
 
+    // Recency-decayed per-user engagement features — the feature-
+    // engineering step of a behavioral/user-model pipeline (recent
+    // activity outweighs stale activity). The decay is a POWER-OF-TWO
+    // half-life (one halving per 168h week, capped at 40 shifts): value
+    // micros are right-shifted by the integer week count, so the entire
+    // computation is BIGINT arithmetic — exact, order-independent, and
+    // replayed bit-for-bit by the oracle (exp()-based decay would hit the
+    // engine-variant-transcendental problem; a shift is the same number
+    // everywhere). ONE combine-enabled aggregate after a broadcast of the
+    // 1-row corpus max-timestamp; no windows, no per-user state.
+    ("q_agg_decay", {
+      ((s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("ts").cast("long").as("ep"),
+          floor(col("value") * 1e6).cast("long").as("micros"))
+        val ref = ev.agg(max(col("ep")).as("ref_ep"))
+        ev.crossJoin(broadcast(ref))
+          .withColumn("sh", least(
+            expr("((ref_ep - ep) div 3600) div 168"), lit(40L)).cast("int"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("micros")).as("raw_sum"),
+            sum(expr("shiftright(micros, sh)")).as("dec_sum"),
+            sum(expr("shiftright(1000000, sh)").cast("long")).as("dec_n"),
+            expr("(max(ref_ep) - max(ep)) div 3600").as("hours_idle"))
+          .select(col("user_id"), col("n_events"), col("raw_sum"),
+            col("dec_sum"), col("dec_n"), col("hours_idle"),
+            (col("dec_sum").cast("double") / 1e6).as("engagement"))
+      }): Q
+      },
+      Some("""WITH ev AS (SELECT user_id,
+            epoch_us(ts) // 1000000 AS ep,
+            CAST(floor("value" * 1e6) AS BIGINT) AS micros FROM events),
+          r AS (SELECT max(ep) AS ref_ep FROM ev),
+          d AS (SELECT user_id, ep, micros, ref_ep,
+              CAST(least(((ref_ep - ep) // 3600) // 168, 40) AS INT) AS sh
+            FROM ev, r)
+          SELECT user_id, count(*) AS n_events,
+            CAST(sum(micros) AS BIGINT) AS raw_sum,
+            CAST(sum(micros >> sh) AS BIGINT) AS dec_sum,
+            CAST(sum(1000000 >> sh) AS BIGINT) AS dec_n,
+            (max(ref_ep) - max(ep)) // 3600 AS hours_idle,
+            CAST(CAST(sum(micros >> sh) AS BIGINT) AS DOUBLE) / 1e6
+              AS engagement
+          FROM d GROUP BY 1""")),
+
     // Integer-exact z-score anomaly gate: hourly count cells per event
     // type, flagged when (x*n - s1)^2 > 9*(n*s2 - s1^2) — the 3-sigma test
     // multiplied through by n^2 so every comparison is an exact BIGINT

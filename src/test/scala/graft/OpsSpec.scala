@@ -1182,6 +1182,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("decay features: shift-decay invariants against an independent replay") {
+    val rows = SparkEntry.queries("q_agg_decay")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, raw, dec, decN, idle, eng) =>
+      assert(dec <= raw && dec >= 0)           // decay only shrinks
+      assert(decN <= n * 1000000L && decN > 0) // decayed count bounded by count
+      assert(idle >= 0)
+      assert(eng == dec.toDouble / 1e6)        // presentation is one division
+    }
+    assert(rows.exists(_._6 == 0L)) // the globally-latest user is fully fresh
+    // independent replay of the shift recurrence on the raw fixture
+    val ev = graft.sources.EventLog.events(spark, sf)
+      .select($"user_id", $"ts".cast("long").as("ep"),
+        floor($"value" * 1e6).cast("long").as("m"))
+      .as[(Long, Long, Long)].collect()
+    val refEp = ev.map(_._2).max
+    val exp = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map { case (_, ep, m) =>
+        m >> math.min(((refEp - ep) / 3600) / 168, 40L).toInt }.sum
+    }
+    rows.foreach { case (u, _, _, dec, _, _, _) => assert(dec == exp(u), s"user $u") }
+  }
+
   test("fuzzyNearDups: small edits pair with their exact prefix edit distance") {
     val base = "the quick brown fox jumps over the lazy dog while seven " +
       "wizards brew strong coffee beside the ancient stone bridge at dawn"
