@@ -3494,7 +3494,39 @@ object QueryCatalog {
           floor(CAST(((n_cur + 1) * refT - (n_ref + 1) * curT)
               * ((n_cur + 1) * refT - (n_ref + 1) * curT) AS DOUBLE)
             / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
-        FROM cells, t""")))
+        FROM cells, t""")),
+
+    // Per-group Pearson correlation on integer-quantized measures
+    // (Stats.pearson): quantity cents vs extendedprice whole dollars by
+    // return flag — the feature-redundancy profile. Five exact BIGINT
+    // moment sums in ONE combine-enabled aggregate; the final formula runs
+    // in decimal(38,0) (HUGEINT in the oracle) because n*Σxy outgrows
+    // BIGINT, then three IEEE ops, floor-quantized.
+    ("q_profile_corr",
+      (s: SparkSession, d: String) => graft.ops.Stats.pearson(
+        t(s, d, "lineitem"), Seq("l_returnflag"),
+        floor(col("l_quantity") * 100), floor(col("l_extendedprice"))),
+      Some("""WITH q AS (SELECT l_returnflag,
+            CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+            CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+          m AS (SELECT l_returnflag, count(*) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy FROM q GROUP BY 1)
+        SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+          CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+                AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+          THEN floor(
+            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+              AS DOUBLE)
+            / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+              AS DOUBLE))
+            / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+              AS DOUBLE))
+            * 1e6) / 1e6
+          ELSE NULL END AS corr
+        FROM m""")))
 
   // ============================================================ sampling
 

@@ -274,4 +274,45 @@ object Stats {
           ((col("n_ref") + 1) * col("curT") * col("refT")).cast("double")
           * 1e6) / 1e6).as("chi2"))
   }
+
+  /**
+   * Per-group Pearson correlation between two INTEGER-QUANTIZED measures —
+   * the column-relationship profile (feature redundancy / leakage scan) a
+   * pipeline runs before training on tabular features.
+   *
+   * Callers pass x and y already quantized to integer units (cents, whole
+   * dollars — the catalog's money discipline), so all five moment sums are
+   * exact BIGINTs accumulated in ONE combine-enabled aggregate: n, Σx, Σy,
+   * Σxy, Σx², Σy². The correlation itself needs cross-products of those
+   * sums (n·Σxy can exceed 2^63), so the final formula runs in
+   * decimal(38,0) — exact, mirrored by HUGEINT in the oracle — and only
+   * then converts: corr = num / sqrt(dx) / sqrt(dy), three IEEE ops on
+   * correctly-rounded conversions, floor-quantized to 6 dp. Groups with
+   * zero variance in either measure yield NULL.
+   *
+   * Overflow headroom: BIGINT moment sums hold to |x|,|y| ≤ ~1e7 units at
+   * ~1e9 rows/group; beyond that (the 100 TB full-table profile), quantize
+   * coarser or promote the x·y products to decimal(38,0) BEFORE summing —
+   * the aggregate stays map-side combinable either way.
+   */
+  def pearson(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val g = df.select(groupCols.map(col) :+ x.cast("long").as("x")
+      :+ y.cast("long").as("y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val dx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    g.select(groupCols.map(col) ++ Seq(col("n"), col("sx"), col("sy"),
+      col("sxy"), col("sxx"), col("syy"),
+      when(dx > 0 && dy > 0,
+        floor(num.cast("double") / sqrt(dx.cast("double")) /
+          sqrt(dy.cast("double")) * 1e6) / 1e6).as("corr")): _*)
+  }
 }

@@ -1182,6 +1182,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pearson: exact moments; perfect, anti and degenerate correlation") {
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),    // y = 2x
+      ("dn", 1L, 6L), ("dn", 2L, 4L), ("dn", 3L, 2L),    // y = 8 - 2x
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L) // zero variance
+    ).toDF("g", "x", "y")
+    val got = graft.ops.Stats.pearson(df, Seq("g"), $"x", $"y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getLong(4),
+      up.getLong(5), up.getLong(6)) == ((3L, 6L, 12L, 28L, 14L, 56L)))
+    // replay the exact op order: num/sqrt(dx)/sqrt(dy), floor-quantized
+    def corr(num: Long, dx: Long, dy: Long): Double =
+      math.floor(num.toDouble / math.sqrt(dx.toDouble) /
+        math.sqrt(dy.toDouble) * 1e6) / 1e6
+    assert(up.getDouble(7) == corr(12, 6, 24))
+    assert(got("dn").getDouble(7) == corr(-12, 6, 24))
+    assert(got("flat").isNullAt(7))
+  }
+
   test("decay features: shift-decay invariants against an independent replay") {
     val rows = SparkEntry.queries("q_agg_decay")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
