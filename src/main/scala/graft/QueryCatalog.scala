@@ -3496,6 +3496,32 @@ object QueryCatalog {
             / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
         FROM cells, t""")),
 
+    // Equi-depth decile binning of extendedprice whole dollars
+    // (Stats.equiDepthBins): exact type-III quantile boundaries over the
+    // distinct-value cell table (domain-bounded state), compiled into a
+    // scan-stage comparison chain; ties fall to the lower bin. The
+    // feature-discretization profile.
+    ("q_profile_bins",
+      (s: SparkSession, d: String) => graft.ops.Stats.equiDepthBins(
+        t(s, d, "lineitem"), floor(col("l_extendedprice")), bins = 10),
+      Some("""WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+            FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          n AS (SELECT count(*) AS n FROM v),
+          cells AS (SELECT v, count(*) AS cnt FROM v GROUP BY 1),
+          cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum
+            FROM cells),
+          b AS (SELECT DISTINCT bv FROM (
+            SELECT q, min(v) AS bv FROM cum, n,
+              UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(q)
+            WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
+            GROUP BY 1)),
+          assigned AS (SELECT c.v, c.cnt,
+              (SELECT count(*) FROM b WHERE b.bv < c.v) AS bin
+            FROM cells c)
+          SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+            min(v) AS min_v, max(v) AS max_v
+          FROM assigned GROUP BY 1""")),
+
     // Per-group Pearson correlation on integer-quantized measures
     // (Stats.pearson): quantity cents vs extendedprice whole dollars by
     // return flag — the feature-redundancy profile. Five exact BIGINT

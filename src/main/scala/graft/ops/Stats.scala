@@ -155,6 +155,43 @@ object Stats {
   }
 
   /**
+   * Equi-depth (quantile) binning of an integer-quantized measure — the
+   * feature-discretization step of a tabular-training pipeline (and the
+   * histogram whose buckets carry equal mass rather than equal width).
+   *
+   * Boundaries are the exact type-III discrete quantiles of
+   * [[quantilesDisc]] at i/bins; a value equal to a boundary falls in the
+   * LOWER bin (assignment is `count of boundaries < v` — deterministic
+   * under ties, bit-identical in the oracle). The at-most-(bins-1)
+   * boundary values come back to the driver and compile into a codegen'd
+   * comparison chain, so assignment is pure scan-stage work; the output
+   * profile is one combine-enabled aggregate.
+   *
+   * Scale note: the boundary computation windows over the DISTINCT-VALUE
+   * cell table, so its state is bounded by the measure's value domain,
+   * not the corpus — quantize accordingly (whole dollars, not cents, for
+   * a 100 TB price profile). Heavily-duplicated domains collapse in the
+   * map-side combine of the cell aggregate.
+   *
+   * Output: (bin, n_rows, min_v, max_v), bins numbered 0..bins-1; empty
+   * bins (possible when one value carries more than 1/bins of the mass)
+   * are simply absent.
+   */
+  def equiDepthBins(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"equiDepthBins needs bins >= 2, got $bins")
+    val v = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val bounds = quantilesDisc(v, Nil, "v", qs)
+      .select(col("value")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val bin = bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0)).cast("long")
+    v.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  /**
    * Z-score anomaly gate over count cells, in EXACT integer arithmetic:
    * counts rows per (group, cell), then flags cells whose count deviates
    * from their group's mean by more than `k` population standard

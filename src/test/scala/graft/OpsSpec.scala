@@ -1182,6 +1182,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthBins: quartiles of 1..100, ties to lower bin, mass conserved") {
+    val df = (1L to 100L).toDF("v")
+    val got = graft.ops.Stats.equiDepthBins(df, $"v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // boundaries are ceil-rank order stats: 25, 50, 75 -> bins of exactly 25
+    assert(got.toSeq == Seq((0L, 25L, 1L, 25L), (1L, 25L, 26L, 50L),
+      (2L, 25L, 51L, 75L), (3L, 25L, 76L, 100L)))
+    // a dominant value collapses boundaries: ties fall LOW, bins stay <= 4
+    val skew = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("v")
+    val sk = graft.ops.Stats.equiDepthBins(skew, $"v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sk.map(_._2).sum == 100L)
+    assert(sk.map(_._1).distinct.length == sk.length && sk.length <= 4)
+  }
+
   test("pearson: exact moments; perfect, anti and degenerate correlation") {
     val df = Seq(
       ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),    // y = 2x
