@@ -195,6 +195,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache() // the pair ops persist their signature tables
   }
 
+  test("round-8 additions stay window-free; decay broadcasts its anchor") {
+    // surprisal, decay, triangles: corpus-sized streams must reduce via
+    // combine-enabled aggregates and hash joins only — a WindowExec here
+    // would mean some hot key owns its whole stream in one task
+    for (q <- Seq("q_text_surprisal", "q_agg_decay", "q_graph_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+    }
+    // the 1-row corpus max-timestamp joins as a broadcast, never a shuffle
+    val pd = plan("q_agg_decay")
+    assert(pd.contains("BroadcastExchange"), pd)
+    assert(!pd.contains("CartesianProduct"), pd)
+  }
+
   test("funnel folds off ONE user shuffle; cdc diff is one full-outer join") {
     val pf = plan("q_seq_funnel")
     val ex = "Exchange hashpartitioning".r.findAllIn(pf).size
