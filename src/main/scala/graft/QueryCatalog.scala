@@ -2302,6 +2302,34 @@ object QueryCatalog {
           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""")),
 
+    // Embedding-table integrity gate: per-label vector counts, dimension
+    // consistency, zero-vector detection and exact quantized-norm² stats —
+    // the validation profile a similarity pipeline runs BEFORE building any
+    // index (a zero vector poisons cosine; a ragged dimension breaks every
+    // dot product). One combine-enabled aggregate over a scan-stage
+    // projection; all stats are exact BIGINTs on the quantized grid.
+    ("q_emb_validate",
+      (s: SparkSession, d: String) => t(s, d, "embeddings")
+        .select(col("label"), size(col("embedding")).cast("long").as("dims"),
+          Similarity.qdot(Similarity.quantize(col("embedding")),
+            Similarity.quantize(col("embedding"))).as("n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("dims")).as("dims_min"), max(col("dims")).as("dims_max"),
+          sum((col("n2") === 0).cast("long")).as("n_zero"),
+          min(col("n2")).as("n2_min"), max(col("n2")).as("n2_max"),
+          sum(col("n2")).as("n2_sum")),
+      Some(s"""WITH v AS (SELECT label,
+            CAST(len(embedding) AS BIGINT) AS dims,
+            CAST(${dotSql(quantSql, quantSql)} AS BIGINT) AS n2
+          FROM embeddings)
+        SELECT label, count(*) AS n_vecs,
+          min(dims) AS dims_min, max(dims) AS dims_max,
+          CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          min(n2) AS n2_min, max(n2) AS n2_max,
+          CAST(sum(n2) AS BIGINT) AS n2_sum
+        FROM v GROUP BY 1""")),
+
     ("q_emb_neardup",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
@@ -2547,6 +2575,31 @@ object QueryCatalog {
             ${cosineSql("q.v", "c.v")} AS cosine
           FROM q JOIN c ON c.vec_id <> q.vec_id)
         SELECT query_id, neighbor_id, cosine, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
+    // Hard-negative mining (Similarity.hardNegatives): nearest different-
+    // label corpus vectors per probe — the contrastive-training negative
+    // sampler. Probe broadcast + WindowGroupLimit top-k, ranked on the
+    // exact quantized cosine.
+    ("q_sim_hard_negatives",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+            k = 5)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, label, $quantSql AS v
+          FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, label, $quantSql AS v FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+            c.vec_id AS neighbor_id, c.label AS neighbor_label,
+            ${cosineSql("q.v", "c.v")} AS cosine
+          FROM q JOIN c ON c.label <> q.label)
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+          rnk FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
         WHERE rnk <= 5""")),

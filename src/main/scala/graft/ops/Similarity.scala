@@ -73,6 +73,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Hard-negative mining for contrastive training: for each probe, the `k`
+   * corpus vectors MOST similar to it that carry a DIFFERENT label — the
+   * negatives that sit closest to the decision boundary, which is exactly
+   * what a contrastive/triplet objective wants (random negatives are
+   * trivially easy; in-batch negatives are label-blind).
+   *
+   * Same distributed shape as [[cosineTopK]]: probes broadcast against the
+   * corpus scan, exact integer dot products with per-row norms, ranked by
+   * the floor-quantized cosine with a neighbor-id tie break (fully
+   * deterministic). The `rank <= k` predicate rewrites to WindowGroupLimit,
+   * so each scan task keeps only its local top-k per probe before the
+   * shuffle. For probe sets beyond broadcast size, run the same mining
+   * through [[annLsh]]-style bucketed candidates instead of the full cross
+   * score.
+   *
+   * Output: (query_id, query_label, neighbor_id, neighbor_label, cosine,
+   * rank).
+   */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, probeLabelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label"),
+        quantize(col(vecCol)).as("cvec"))
+      .withColumn("cn2", qdot(col("cvec"), col("cvec")))
+    val p = probes.select(col(probeIdCol).as("query_id"),
+        col(probeLabelCol).as("query_label"),
+        quantize(col(probeVecCol)).as("qvec"))
+      .withColumn("qn2", qdot(col("qvec"), col("qvec")))
+    val scored = c.join(broadcast(p),
+        col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        qcosineWithNorms(qdot(col("qvec"), col("cvec")), col("qn2"),
+          col("cn2")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Sign-bit bucket signature for one LSH table: `planes` bits packed into a
     * long. One native expression carrying the whole md5-derived weight matrix
     * as a codegen reference object (graft.plans.LshBucket — see its scaladoc

@@ -1182,6 +1182,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: nearest different-label vectors only, rank-ordered") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.999f, 0.01f), 0),   // same label: never a negative
+      (3L, Seq(0.998f, 0.02f), 1),   // closest different-label
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(df, "vec_id", "embedding",
+        "label", df.filter($"vec_id" === 1L), "vec_id", "embedding", "label",
+        k = 2)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().sortBy(_._6)
+    assert(got.map(_._3).toSeq == Seq(3L, 4L)) // hard one first
+    assert(got.forall(r => r._2 == 0 && r._4 == 1))
+    assert(got.map(_._6).toSeq == Seq(1, 2))
+    assert(got(0)._5 > got(1)._5)
+  }
+
+  test("embedding validation profile: constant dims, no zero vectors on fixture") {
+    val rows = SparkEntry.queries("q_emb_validate")(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, dmin, dmax, nzero, n2min, n2max, n2sum) =>
+      assert(dmin == 64L && dmax == 64L) // fixture dimension is consistent
+      assert(nzero == 0L && n2min > 0L)
+      assert(n2min <= n2max && n2sum >= n2max * 1L && n > 0L)
+    }
+    assert(rows.map(_._2).sum == emb.count())
+  }
+
   test("equiDepthBins: quartiles of 1..100, ties to lower bin, mass conserved") {
     val df = (1L to 100L).toDF("v")
     val got = graft.ops.Stats.equiDepthBins(df, $"v", bins = 4)
