@@ -3825,7 +3825,13 @@ object QueryCatalog {
     // 100 TB-safe shape (a hub never owns its whole neighborhood).
     ("q_graph_triangles", {
       ((s: SparkSession, d: String) => {
+        // every fifth order: the co-order projection densifies
+        // quadratically with corpus size (a part's degree grows with its
+        // order count), so the BENCH graph is a deterministic order sample
+        // — the plan shape (and the oriented-wedge bound) is what scales,
+        // not the constant
         val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
         val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
@@ -3835,7 +3841,7 @@ object QueryCatalog {
       }): Q
       },
       Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
+            FROM lineitem WHERE l_orderkey % 5 = 0),
           canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
             FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
           deg AS (SELECT node, count(*) AS deg FROM (
