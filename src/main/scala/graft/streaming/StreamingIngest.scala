@@ -79,6 +79,54 @@ object StreamingIngest {
         })
   }
 
+  final case class DecayState(week: Long, acc: Long, n: Long)
+  final case class DecayOut(user_id: Long, week: Long,
+    engagement_micros: Long, n_events: Long)
+
+  /**
+   * Streaming recency-decayed engagement — the streaming face of
+   * `q_agg_decay`'s power-of-two half-life features, maintained
+   * incrementally: per user the state holds ONE accumulator normalized to
+   * the user's latest event week; when a newer event arrives the
+   * accumulator right-shifts by the week delta before adding, and a LATE
+   * event shifts its own contribution instead (monotone state — late data
+   * folds in without rewinding). Every update emits the user's current
+   * (week, engagement_micros, n_events) row.
+   *
+   * All integer arithmetic — the fold recurrence is the contract and is
+   * deterministic for a given arrival order; within a micro-batch rows
+   * fold in (ts, event_id) order so replays of the same batch sequence
+   * reproduce the same outputs. Note the incremental fold truncates at
+   * each step (floor(floor(a/2^s)+b) vs the batch formula's one floor per
+   * term), so it is a <=1-unit-per-fold lower neighbor of the batch
+   * number — the documented price of O(1) state per user (three longs;
+   * bound the keyspace with a timeout in a production sink).
+   */
+  def decayedEngagement(events: Dataset[Event],
+      halfLifeHours: Long = 168L): Dataset[DecayOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Event], state: GroupState[DecayState]) => {
+          var s = state.getOption.getOrElse(DecayState(Long.MinValue, 0L, 0L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val w = e.ts.getTime / 1000L / 3600L / halfLifeHours
+            val micros = math.floor(e.value * 1e6).toLong
+            s =
+              if (s.week == Long.MinValue) DecayState(w, micros, 1L)
+              else if (w >= s.week) {
+                val sh = math.min(w - s.week, 62L).toInt
+                DecayState(w, (s.acc >> sh) + micros, s.n + 1L)
+              } else {
+                val sh = math.min(s.week - w, 62L).toInt
+                DecayState(s.week, s.acc + (micros >> sh), s.n + 1L)
+              }
+          }
+          state.update(s)
+          DecayOut(uid, s.week, s.acc, s.n)
+        })
+  }
+
   /**
    * CDC stream into a SNAPSHOT-COMMITTED table: each micro-batch upserts
    * through `SnapshotStore.commitMerge`, so concurrent readers always see a

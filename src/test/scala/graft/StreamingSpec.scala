@@ -317,6 +317,34 @@ class StreamingSpec extends SparkSpec {
       (2L, "B", None, true)))
   }
 
+  test("streaming decayed engagement: shift fold across batches, late data folds in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{Event, DecayOut}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hours: Long) = new java.sql.Timestamp(hours * 3600000L)
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.decayedEngagement(mem.toDS(), halfLifeHours = 1L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("decay_stream").start()
+    try {
+      // hour 0: 4.0; hour 1: 2.0 -> acc = (4e6 >> 1) + 2e6 = 4e6 at week 1
+      mem.addData(Event(1, ts(0), 1, "a", 4.0), Event(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      // LATE event at hour 0 (state is at week 1): += 1e6 >> 1
+      // and a second user starts fresh
+      mem.addData(Event(3, ts(0), 1, "a", 1.0), Event(4, ts(5), 2, "a", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("decay_stream").as[DecayOut].collect()
+    val byUpdate = rows.map(o => (o.user_id, o.n_events) -> o).toMap
+    assert(byUpdate((1L, 2L)).engagement_micros == 4000000L)
+    assert(byUpdate((1L, 2L)).week == 1L)
+    assert(byUpdate((1L, 3L)).engagement_micros == 4500000L)
+    assert(byUpdate((1L, 3L)).week == 1L) // late data does not rewind the week
+    assert(byUpdate((2L, 1L)).engagement_micros == 500000L)
+    assert(byUpdate((2L, 1L)).week == 5L)
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}
