@@ -621,6 +621,71 @@ object QueryCatalog {
           floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) / 1e6 AS p_next
         FROM tr JOIN tot USING (from_type)""")),
 
+    // Per-user training-feature assembly — the behavioral flagship
+    // composition (the events-side q_curate_pack): activity stats,
+    // first/last/favorite event type and the shift-decayed engagement sum
+    // joined into ONE wide feature table. Every ordered pick is a
+    // min/max(struct(...)) aggregate with a total tie order (ep, event_id
+    // unique; favorite ties break on type) — NO windows over the corpus
+    // stream; three combine-enabled user-keyed aggregates + two user-keyed
+    // joins that AQE co-partitions.
+    ("q_seq_user_profile", {
+      ((s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("event_id").as("eid"), col("ts").cast("long").as("ep"),
+          floor(col("value") * 1e6).cast("long").as("micros"),
+          col("event_type").as("tp"))
+        val ref = ev.agg(max(col("ep")).as("ref_ep"))
+        val base = ev.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          count_distinct(expr("ep div 86400")).as("active_days"),
+          expr("(max(ep) - min(ep)) div 3600").as("span_hours"),
+          min(struct(col("ep"), col("eid"), col("tp")))
+            .getField("tp").as("first_type"),
+          max(struct(col("ep"), col("eid"), col("tp")))
+            .getField("tp").as("last_type"),
+          sum(col("micros")).as("micros_sum"))
+        val fav = ev.groupBy("user_id", "tp").agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("tp"))).getField("tp").as("fav_type"))
+        val dec = ev.crossJoin(broadcast(ref))
+          .withColumn("sh", least(
+            expr("((ref_ep - ep) div 3600) div 168"), lit(40L)).cast("int"))
+          .groupBy("user_id")
+          .agg(sum(expr("shiftright(micros, sh)")).as("dec_sum"))
+        base.join(fav, "user_id").join(dec, "user_id")
+      }): Q
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id AS eid,
+            epoch_us(ts) // 1000000 AS ep,
+            CAST(floor("value" * 1e6) AS BIGINT) AS micros,
+            event_type AS tp FROM events),
+          r AS (SELECT max(ep) AS ref_ep FROM ev),
+          base AS (SELECT user_id, count(*) AS n_events,
+            count(DISTINCT ep // 86400) AS active_days,
+            (max(ep) - min(ep)) // 3600 AS span_hours,
+            CAST(sum(micros) AS BIGINT) AS micros_sum FROM ev GROUP BY 1),
+          fo AS (SELECT user_id, tp AS first_type FROM (
+            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
+              ORDER BY ep ASC, eid ASC) AS rn FROM ev) WHERE rn = 1),
+          la AS (SELECT user_id, tp AS last_type FROM (
+            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
+              ORDER BY ep DESC, eid DESC) AS rn FROM ev) WHERE rn = 1),
+          fav AS (SELECT user_id, tp AS fav_type FROM (
+            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
+              ORDER BY n DESC, tp DESC) AS rn
+            FROM (SELECT user_id, tp, count(*) AS n FROM ev GROUP BY 1, 2))
+            WHERE rn = 1),
+          dec AS (SELECT user_id, CAST(sum(micros >> sh) AS BIGINT)
+              AS dec_sum FROM (
+            SELECT user_id, micros,
+              CAST(least(((ref_ep - ep) // 3600) // 168, 40) AS INT) AS sh
+            FROM ev, r) GROUP BY 1)
+        SELECT b.user_id, n_events, active_days, span_hours, first_type,
+          last_type, micros_sum, fav_type, dec_sum
+        FROM base b JOIN fo USING (user_id) JOIN la USING (user_id)
+          JOIN fav USING (user_id) JOIN dec USING (user_id)""")),
+
     // Ordered funnel (view -> click -> purchase): greedy per-user stage
     // matching via one codegen'd array fold (ONE user_id shuffle); the
     // oracle replays the equivalent chained first-match formulation

@@ -1226,6 +1226,23 @@ class OpsSpec extends SparkSpec {
     assert(sk.map(_._1).distinct.length == sk.length && sk.length <= 4)
   }
 
+  test("user profile: feature assembly agrees with its component queries") {
+    val prof = SparkEntry.queries("q_seq_user_profile")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(prof.nonEmpty)
+    // decayed sum must equal the standalone decay query's (shared anchor)
+    val dec = SparkEntry.queries("q_agg_decay")(spark, sf)
+      .select("user_id", "dec_sum").as[(Long, Long)].collect().toMap
+    assert(prof.keySet == dec.keySet)
+    prof.foreach { case (u, r) =>
+      assert(r.getLong(8) == dec(u), s"user $u dec_sum")
+      assert(r.getLong(2) >= 1L)                       // active_days
+      assert(r.getLong(3) >= 0L)                       // span_hours
+      assert(r.getLong(1) >= r.getLong(2))             // events >= active days
+      assert(Option(r.getString(7)).nonEmpty)          // fav_type present
+    }
+  }
+
   test("pearson: exact moments; perfect, anti and degenerate correlation") {
     val df = Seq(
       ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),    // y = 2x
