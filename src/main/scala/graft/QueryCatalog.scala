@@ -2737,6 +2737,60 @@ object QueryCatalog {
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
         WHERE rnk <= 5""")),
 
+    // Reciprocal-rank fusion of the exact brute-force top-10 and the
+    // IVF top-10 (Similarity.rrfFuse): the retrieval-ensemble step.
+    // Both term divisions and their sum are fixed-order IEEE ops, so the
+    // oracle fuses its own two ranking CTEs bit-identically.
+    ("q_sim_rrf",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val probes = e.filter(col("vec_id") < 8)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10)
+        val ivf = Similarity.annIvf(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
+        Similarity.rrfFuse(exact, ivf, k = 5)
+          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      },
+      Some(s"""WITH c AS MATERIALIZED (SELECT vec_id, $quantSql AS v
+          FROM embeddings),
+        q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
+        ex AS (SELECT query_id, neighbor_id, rnk FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rnk
+          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 10),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM c
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        asg AS (SELECT vec_id, v, cid FROM (
+          SELECT c.vec_id, c.v, cents.cid,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${cosineSql("c.v", "cents.cv")} DESC, cents.cid ASC)
+              AS arnk
+          FROM c CROSS JOIN cents) WHERE arnk = 1),
+        pc AS (SELECT query_id, qv, cid FROM (
+          SELECT q.vec_id AS query_id, q.v AS qv, cents.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", "cents.cv")} DESC, cents.cid ASC)
+              AS prnk
+          FROM q CROSS JOIN cents) WHERE prnk <= 4),
+        iv AS (SELECT query_id, neighbor_id, rnk FROM (
+          SELECT sc.query_id, sc.neighbor_id,
+            row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY sc.cosine DESC, sc.neighbor_id ASC) AS rnk FROM (
+            SELECT pc.query_id, asg.vec_id AS neighbor_id,
+              ${cosineSql("pc.qv", "asg.v")} AS cosine
+            FROM pc JOIN asg ON asg.cid = pc.cid
+              AND asg.vec_id <> pc.query_id) sc) WHERE rnk <= 10),
+        fused AS (SELECT query_id, neighbor_id,
+            coalesce(CAST(1 AS DOUBLE) / (60 + ex.rnk), 0) +
+            coalesce(CAST(1 AS DOUBLE) / (60 + iv.rnk), 0) AS rrf
+          FROM ex FULL OUTER JOIN iv USING (query_id, neighbor_id))
+        SELECT query_id, neighbor_id, rrf, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, neighbor_id ASC) AS rnk FROM fused)
+        WHERE rnk <= 5""")),
+
     // IVF-PQ (the FAISS IVFxx,PQyy composition): coarse md5-sampled IVF
     // lists + PQ codes of the per-list RESIDUALS; probes search nprobe
     // lists with one ADC table per probed list. The oracle replays coarse

@@ -115,6 +115,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of two
+   * ranked retrieval lists: score = Σ 1/(c0 + rank_m) over the methods
+   * that returned the candidate — the standard ensemble step when an
+   * exact scorer and an ANN index (or lexical + dense retrieval) disagree
+   * on recall. Rank-based, so it needs no score calibration between
+   * methods.
+   *
+   * Inputs are (query_id, neighbor_id, rank) tables; a candidate missing
+   * from one list contributes 0 for it (full-outer join). The two
+   * reciprocal terms are each ONE correctly-rounded IEEE division and
+   * their sum one add, in fixed (a, b) order — bit-identical in the
+   * oracle. Output re-ranks by fused score with a neighbor-id tie break.
+   *
+   * Shape: one co-partitioned full-outer join on (query, neighbor) + the
+   * per-query top-k (WindowGroupLimit) — both sides are already k-bounded
+   * per query, so state is O(k) per query everywhere.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c0: Int = 60): DataFrame = {
+    val fa = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("ra"))
+    val fb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("rb"))
+    val fused = fa.join(fb, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(lit(1.0) / (lit(c0) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c0) + col("rb")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sign-bit bucket signature for one LSH table: `planes` bits packed into a
     * long. One native expression carrying the whole md5-derived weight matrix
     * as a codegen reference object (graft.plans.LshBucket — see its scaladoc

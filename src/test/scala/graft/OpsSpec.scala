@@ -1226,6 +1226,18 @@ class OpsSpec extends SparkSpec {
     assert(sk.map(_._1).distinct.length == sk.length && sk.length <= 4)
   }
 
+  test("rrfFuse: both-list candidates outrank single-list; exact reciprocal sums") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = graft.ops.Similarity.rrfFuse(a, b, k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // 11 is in both lists (1/62 + 1/61) and must rank first
+    assert(got.map(_._2).toSeq == Seq(11L, 10L, 12L))
+    assert(got(0)._3 == 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._3 == 1.0 / 61 + 0.0)
+    assert(got(2)._3 == 0.0 + 1.0 / 62)
+  }
+
   test("user profile: feature assembly agrees with its component queries") {
     val prof = SparkEntry.queries("q_seq_user_profile")(spark, sf)
       .collect().map(r => r.getLong(0) -> r).toMap
