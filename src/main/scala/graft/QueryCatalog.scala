@@ -1301,6 +1301,15 @@ object QueryCatalog {
 
   // ================================================================ text
 
+  /** BM25 constants, computed ONCE here and interpolated into the oracle
+    * via Double.toString (shortest round-tripping repr — DuckDB parses
+    * back the identical double, so e.g. `k1 + 1`'s rounding happens in
+    * exactly one place). */
+  private def Bm25K1: Double = 1.2
+  private def Bm25B: Double = 0.75
+  private def Bm25K1p1: Double = Bm25K1 + 1
+  private def Bm25OneMb: Double = 1 - Bm25B
+
   private def tokensSql(src: String = "text"): String =
     s"list_filter(regexp_split_to_array(lower($src), '[^a-z0-9]+'), x -> len(x) > 0)"
 
@@ -1895,6 +1904,74 @@ object QueryCatalog {
     // (floor(1000*N/df) — transcendental log idf is not cross-engine
     // bit-stable; the integer variant ranks identically for retrieval):
     // two combine-enabled aggregates + a broadcast df join + a rank window
+    // BM25 per-doc top terms — tf-idf's production successor: tf saturates
+    // (k1) and document length normalizes (b), so a term-stuffed or merely
+    // long document stops winning. The idf is in whole bits
+    // (bits(N+1) - bits(df) — exact integers, the surprisal discipline);
+    // the saturation rational is a FIXED-ORDER IEEE chain whose constants
+    // (k1, k1+1, 1-b) are computed once in Scala and injected into the
+    // oracle as round-tripping literals, so both engines run the same ops
+    // on the same doubles. Same shuffle shape as tfidf: two combine-enabled
+    // aggregates + a broadcast df join + per-doc WindowGroupLimit.
+    ("q_text_bm25",
+      ((s: SparkSession, d: String) => {
+        val k1 = Bm25K1; val b = Bm25B
+        val k1p1 = Bm25K1p1; val oneMb = Bm25OneMb
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ts"))
+        val withLen = toks.select(col("doc_id"), col("ts"),
+          size(col("ts")).cast("long").as("len"))
+        val terms = withLen.select(col("doc_id"), col("len"),
+          explode(col("ts")).as("term"))
+        val tf = terms.groupBy("doc_id", "term", "len")
+          .agg(count(lit(1)).as("tf"))
+        val df_ = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = withLen.agg(sum(col("len")).as("sl"),
+          count(lit(1)).as("nd"))
+        val avg = col("sl").cast("double") / col("nd")
+        val idfBits = (length(bin(col("nd") + 1)) -
+          length(bin(col("df")))).cast("long")
+        val denom = lit(k1) * (lit(oneMb) +
+          lit(b) * (col("len").cast("double") / avg)) + col("tf")
+        val score = floor(idfBits.cast("double") * (col("tf") * lit(k1p1)) /
+          denom * lit(1e6)) / 1e6
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(stats))
+          .withColumn("idf_bits", idfBits)
+          .withColumn("score", score)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("idf_bits"),
+            col("score"), col("rnk"))
+      }): Q,
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        wl AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS len FROM toks),
+        terms AS (SELECT doc_id, len, t AS term
+          FROM wl, UNNEST(ts) AS u(t)),
+        tf AS (SELECT doc_id, term, len, count(*) AS tf
+          FROM terms GROUP BY 1, 2, 3),
+        idf AS (SELECT term, count(DISTINCT doc_id) AS df
+          FROM terms GROUP BY 1),
+        st AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd
+          FROM wl),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+            CAST(length(bin(nd + 1)) - length(bin(df)) AS BIGINT)
+              AS idf_bits,
+            floor(CAST(length(bin(nd + 1)) - length(bin(df)) AS DOUBLE)
+              * (tf * $Bm25K1p1)
+              / ($Bm25K1 * ($Bm25OneMb +
+                  $Bm25B * (len / (CAST(sl AS DOUBLE) / nd))) + tf)
+              * 1e6) / 1e6 AS score
+          FROM tf JOIN idf USING (term) CROSS JOIN st)
+        SELECT doc_id, term, tf, idf_bits, score, rnk FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term ASC) AS rnk
+          FROM sc) WHERE rnk <= 5""")),
+
     ("q_text_tfidf",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

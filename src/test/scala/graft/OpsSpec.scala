@@ -1226,6 +1226,31 @@ class OpsSpec extends SparkSpec {
     assert(sk.map(_._1).distinct.length == sk.length && sk.length <= 4)
   }
 
+  test("bm25: saturation + length-norm ranking on the fixture; idf in whole bits") {
+    val rows = SparkEntry.queries("q_text_bm25")(spark, sf)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nd = docs.count()
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    rows.foreach { case (_, _, tf, idfBits, score, rnk) =>
+      assert(idfBits >= 0 && idfBits <= bits(nd + 1))
+      assert(score >= 0.0 && rnk >= 1 && rnk <= 5)
+      // saturation: the score can never exceed idf * (k1 + 1)
+      assert(score <= idfBits.toDouble * 2.2 + 1e-9, s"tf=$tf")
+    }
+    // ranks are dense and ordered per doc
+    for ((_, ds) <- rows.groupBy(_._1)) {
+      val sorted = ds.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi._5 > lo._5 || (hi._5 == lo._5 && hi._2 < lo._2))
+        case _ =>
+      }
+    }
+  }
+
   test("rrfFuse: both-list candidates outrank single-list; exact reciprocal sums") {
     val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
     val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "neighbor_id", "rank")
