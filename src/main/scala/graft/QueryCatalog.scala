@@ -2753,6 +2753,61 @@ object QueryCatalog {
     // and the rerank is the quantized cosine — so DuckDB replays the whole
     // pipeline exactly: weights from md5, ordered fold via
     // list(x ORDER BY d) + list_reduce, same bucket equi-join, same rerank.
+    // Index-quality evaluation: recall@5 of the LSH ANN against the exact
+    // brute-force top-5 per probe — the measurement loop that tunes
+    // (tables, planes) before an index ships. Left join exact->ann on
+    // k-bounded sides; the recall ratio is one floor-quantized division
+    // from exact integer hit counts.
+    ("q_sim_recall",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val probes = e.filter(col("vec_id") < 8)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ann = Similarity.annLsh(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 5, tables = 4, planes = 10,
+          dims = 64).select(col("query_id"), col("neighbor_id"))
+        exact.join(ann.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (floor(col("n_hit").cast("double") * 1e6 /
+              col("n_exact").cast("double")) / 1e6).as("recall"))
+      },
+      Some(s"""WITH ${lshBucketsCtes(tables = 4, planes = 10)},
+        q AS (SELECT vec_id, $quantSql AS v FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        ex AS (SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rnk
+          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 5),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
+          WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+        ann AS (SELECT query_id, neighbor_id FROM (
+          SELECT sc.query_id, sc.neighbor_id,
+            row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY sc.cosine DESC, sc.neighbor_id ASC) AS rnk FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+              ${cosineSql("q.v", "c.v")} AS cosine
+            FROM cand JOIN q ON q.vec_id = cand.query_id
+                      JOIN c ON c.vec_id = cand.neighbor_id) sc)
+          WHERE rnk <= 5)
+        SELECT ex.query_id, count(*) AS n_exact,
+          CAST(sum(CASE WHEN ann.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hit,
+          floor(CAST(sum(CASE WHEN ann.neighbor_id IS NULL THEN 0 ELSE 1
+              END) AS DOUBLE) * 1e6 / CAST(count(*) AS DOUBLE)) / 1e6
+            AS recall
+        FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+          AND ex.neighbor_id = ann.neighbor_id
+        GROUP BY 1""")),
+
     ("q_sim_ann_lsh",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")

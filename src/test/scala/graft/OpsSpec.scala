@@ -1226,6 +1226,19 @@ class OpsSpec extends SparkSpec {
     assert(sk.map(_._1).distinct.length == sk.length && sk.length <= 4)
   }
 
+  test("recall@5 evaluation: bounded, consistent with its own counts") {
+    val rows = SparkEntry.queries("q_sim_recall")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 8) // one row per probe
+    rows.foreach { case (_, nExact, nHit, recall) =>
+      assert(nExact == 5L)
+      assert(nHit >= 0L && nHit <= nExact)
+      assert(recall == math.floor(nHit.toDouble * 1e6 / nExact.toDouble) / 1e6)
+    }
+    // the LSH index must be USEFUL on the fixture, not vacuous
+    assert(rows.map(_._3).sum > 0L)
+  }
+
   test("bm25: saturation + length-norm ranking on the fixture; idf in whole bits") {
     val rows = SparkEntry.queries("q_text_bm25")(spark, sf)
       .as[(Long, String, Long, Long, Double, Long)].collect()
