@@ -3778,6 +3778,45 @@ object QueryCatalog {
     // Categorical drift monitor: Laplace-smoothed per-category chi-square
     // contributions between two corpus halves (Stats.chiSquareDrift) —
     // exact BIGINT terms, one quantized double division per category
+    // Daily drift trend (Stats.driftTrend): chi-square event-mix shift
+    // between each day and its predecessor, contributions floor-quantized
+    // to micro-units and summed as BIGINTs (order-independent). The lag
+    // window runs over the distinct-day table only.
+    ("q_profile_drift_trend",
+      (s: SparkSession, d: String) => graft.ops.Stats.driftTrend(
+          t(s, d, "events"), date_trunc("day", col("ts")), "event_type")
+        .select(date_format(col("cell"), "yyyy-MM-dd").as("day"),
+          col("n_cats"), col("chi2_micros"), col("chi2")),
+      Some("""WITH wc AS (SELECT date_trunc('day', ts) AS cell,
+            event_type AS category, count(*) AS n FROM events GROUP BY 1, 2),
+          paired AS (SELECT cell, prev FROM (
+            SELECT cell, lag(cell) OVER (ORDER BY cell) AS prev
+            FROM (SELECT DISTINCT cell FROM wc)) WHERE prev IS NOT NULL),
+          cats AS (
+            SELECT DISTINCT p.cell, p.prev, w.category
+            FROM paired p JOIN wc w ON w.cell = p.cell
+            UNION
+            SELECT DISTINCT p.cell, p.prev, w.category
+            FROM paired p JOIN wc w ON w.cell = p.prev),
+          f AS (SELECT c.cell, c.category,
+              coalesce(cu.n, 0) AS nc, coalesce(rf.n, 0) AS nr
+            FROM cats c
+            LEFT JOIN wc cu ON cu.cell = c.cell AND cu.category = c.category
+            LEFT JOIN wc rf ON rf.cell = c.prev AND rf.category = c.category),
+          tot AS (SELECT cell, CAST(sum(nc) + count(*) AS BIGINT) AS curT,
+              CAST(sum(nr) + count(*) AS BIGINT) AS refT FROM f GROUP BY 1),
+          contrib AS (SELECT f.cell,
+              CAST(floor(
+                CAST((f.nc + 1) * t.refT - (f.nr + 1) * t.curT AS DOUBLE)
+                * CAST((f.nc + 1) * t.refT - (f.nr + 1) * t.curT AS DOUBLE)
+                / CAST((f.nr + 1) * t.curT * t.refT AS DOUBLE) * 1e6)
+                AS BIGINT) AS chi2_micros
+            FROM f JOIN tot t USING (cell))
+        SELECT strftime(cell, '%Y-%m-%d') AS day, count(*) AS n_cats,
+          CAST(sum(chi2_micros) AS BIGINT) AS chi2_micros,
+          CAST(CAST(sum(chi2_micros) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+        FROM contrib GROUP BY 1""")),
+
     ("q_profile_drift",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

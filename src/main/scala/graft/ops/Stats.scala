@@ -313,6 +313,68 @@ object Stats {
   }
 
   /**
+   * Chi-square drift TREND: [[chiSquareDrift]]'s two-sample statistic
+   * computed between every pair of SUCCESSIVE time cells in one plan — the
+   * continuous monitoring face (a dashboard of "how much did yesterday's
+   * event mix shift from the day before") rather than the one-shot
+   * cur-vs-ref compare.
+   *
+   * Per cell pair, the category universe is the union of categories seen
+   * in either cell (two equi-joins + union-distinct — never an OR-join,
+   * which would plan a nested loop); Laplace smoothing adds one
+   * pseudo-count per category exactly as in [[chiSquareDrift]]. Each
+   * category contribution is floor-quantized to integer MICRO-units and
+   * summed as BIGINTs — order-independent, so the per-cell total replays
+   * exactly (a double sum would depend on reduction order). The squared
+   * numerator is computed in DOUBLE (cast once, then multiply) because
+   * num² overflows BIGINT for daily-scale cells; the cast-multiply-divide
+   * chain is the same correctly-rounded IEEE sequence in both engines.
+   *
+   * The lag window runs over the DISTINCT-CELL table (calendar-bounded
+   * state); corpus-sized work is one combine-enabled (cell, category)
+   * count.
+   *
+   * Output: (cell, n_cats, chi2_micros, chi2) — one row per cell that has
+   * a predecessor.
+   */
+  def driftTrend(df: DataFrame, cellCol: Column, catCol: String): DataFrame = {
+    val wc = df.groupBy(cellCol.as("cell"), col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cell")
+    val paired = wc.select("cell").distinct()
+      .withColumn("prev", lag(col("cell"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val catsCur = paired.join(wc.select(col("cell"), col("category")), Seq("cell"))
+      .select(col("cell"), col("prev"), col("category"))
+    val catsPrev = paired.join(
+        wc.select(col("cell").as("prev"), col("category")), Seq("prev"))
+      .select(col("cell"), col("prev"), col("category"))
+    val cats = catsCur.union(catsPrev).distinct()
+    val full = cats
+      .join(wc.select(col("cell"), col("category"), col("n").as("nc0")),
+        Seq("cell", "category"), "left_outer")
+      .join(wc.select(col("cell").as("prev"), col("category"),
+        col("n").as("nr0")), Seq("prev", "category"), "left_outer")
+      .select(col("cell"), col("category"),
+        coalesce(col("nc0"), lit(0L)).as("nc"),
+        coalesce(col("nr0"), lit(0L)).as("nr"))
+    val tot = full.groupBy("cell").agg(
+      (sum(col("nc")) + count(lit(1))).as("curT"),
+      (sum(col("nr")) + count(lit(1))).as("refT"))
+    val num = ((col("nc") + 1) * col("refT") -
+      (col("nr") + 1) * col("curT")).cast("double")
+    val contrib = full.join(tot, Seq("cell"))
+      .select(col("cell"),
+        floor(num * num /
+          ((col("nr") + 1) * col("curT") * col("refT")).cast("double")
+          * 1e6).cast("long").as("chi2_micros"))
+    contrib.groupBy("cell")
+      .agg(count(lit(1)).as("n_cats"), sum(col("chi2_micros")).as("chi2_micros"))
+      .select(col("cell"), col("n_cats"), col("chi2_micros"),
+        (col("chi2_micros").cast("double") / 1e6).as("chi2"))
+  }
+
+  /**
    * Per-group Pearson correlation between two INTEGER-QUANTIZED measures —
    * the column-relationship profile (feature redundancy / leakage scan) a
    * pipeline runs before training on tabular features.

@@ -1144,6 +1144,23 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
   }
 
+  test("driftTrend: identical successive cells score zero; a shift scores high") {
+    // cells 1 and 2 share the same mix -> every contribution rounds to the
+    // same tiny smoothing residue; cell 3 flips the mix -> chi2 jumps
+    val df = (Seq.fill(40)((1L, "a")) ++ Seq.fill(10)((1L, "b")) ++
+        Seq.fill(40)((2L, "a")) ++ Seq.fill(10)((2L, "b")) ++
+        Seq.fill(10)((3L, "a")) ++ Seq.fill(40)((3L, "b")))
+      .toDF("cell", "k")
+    val got = graft.ops.Stats.driftTrend(df, $"cell", "k")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(2L, 3L)) // cell 1 has no predecessor
+    assert(got(2L)._1 == 2L && got(3L)._1 == 2L)
+    assert(got(2L)._2 == 0L)          // identical mix: exactly zero
+    assert(got(3L)._2 > 1000000L)     // flipped mix: chi2 > 1
+    assert(got(3L)._3 == got(3L)._2.toDouble / 1e6)
+  }
+
   test("chiSquareDrift: hand-computed smoothed contributions") {
     // cur: a,a,a,b   ref: a,a,c,c   L=3 -> curT'=refT'=7
     // a: o'=4,r'=3 -> (28-21)^2/(3*49) = 49/147 = 0.333333...
