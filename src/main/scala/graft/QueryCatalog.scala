@@ -3839,6 +3839,36 @@ object QueryCatalog {
             / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
         FROM cells, t""")),
 
+    // Power-of-two-bucket quantile BOUNDS (Stats.quantileBounds): the
+    // 100 TB quantile path — 64 buckets max per group regardless of
+    // cardinality (bit-length bucketing, one combine-enabled aggregate,
+    // 64-row windows), each quantile reported as the [lo, hi] octave
+    // range that provably contains the exact discrete quantile.
+    ("q_profile_quantile_bounds",
+      (s: SparkSession, d: String) => graft.ops.Stats.quantileBounds(
+        t(s, d, "lineitem"), Seq("l_returnflag"),
+        floor(col("l_extendedprice")), Seq(0.25, 0.5, 0.75, 0.9, 0.99)),
+      Some("""WITH v AS (SELECT l_returnflag,
+            CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND floor(l_extendedprice) >= 0),
+          cells AS (SELECT l_returnflag,
+              CAST(length(bin(v + 1)) AS BIGINT) AS bucket,
+              count(*) AS cnt FROM v GROUP BY 1, 2),
+          tot AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_rows
+            FROM cells GROUP BY 1),
+          cum AS (SELECT cells.*, CAST(sum(cnt) OVER (
+              PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum
+            FROM cells),
+          x AS (SELECT cum.l_returnflag, bucket, cnt, cum, n_rows, q,
+              greatest(CAST(ceil(q * n_rows) AS BIGINT), 1) AS rank
+            FROM cum JOIN tot USING (l_returnflag),
+              UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS u(q))
+        SELECT l_returnflag, q, rank, n_rows, bucket,
+          (CAST(1 AS BIGINT) << (CAST(bucket AS INT) - 1)) - 1 AS lo,
+          (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 2 AS hi,
+          cnt AS n_in_bucket
+        FROM x WHERE cum - cnt < rank AND rank <= cum""")),
+
     // Equi-depth decile binning of extendedprice whole dollars
     // (Stats.equiDepthBins): exact type-III quantile boundaries over the
     // distinct-value cell table (domain-bounded state), compiled into a

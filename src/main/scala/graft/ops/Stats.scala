@@ -313,6 +313,53 @@ object Stats {
   }
 
   /**
+   * Quantile BOUNDS from power-of-two buckets — the 100 TB quantile path.
+   * [[quantilesDisc]] is exact but windows over the distinct-value cell
+   * table (fine for domain-bounded measures, wrong for high-cardinality
+   * ones); this sketch buckets every non-negative value by its bit length
+   * (`bits(v+1)` — at most 64 buckets per group, one combine-enabled
+   * aggregate, and the cumulative window touches <= 64 rows per group), so
+   * its state is CONSTANT regardless of corpus or domain size. The price
+   * is resolution: each quantile comes back as the [lo, hi] range of its
+   * bucket (a factor-of-two bound, like an HDR-histogram with one bucket
+   * per octave), plus the exact in-bucket count and ceil-rank — exactly
+   * the information a partition planner or skew detector needs.
+   *
+   * All integer arithmetic; ranks use the same ceil(q*n) type-III
+   * convention as [[quantilesDisc]], so the bucket reported here always
+   * CONTAINS the exact discrete quantile.
+   *
+   * Output: (group..., q, rank, n_rows, bucket, lo, hi, n_in_bucket).
+   */
+  def quantileBounds(df: DataFrame, groupCols: Seq[String], value: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles $qs must lie in (0, 1]")
+    val gcols = groupCols.map(col)
+    val v = df.select(gcols :+ value.cast("long").as("v"): _*)
+      .filter(col("v").isNotNull && col("v") >= 0)
+    val cells = v.groupBy(gcols :+
+        length(bin(col("v") + 1)).cast("long").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("bucket").asc)
+    val totals = cells.groupBy(gcols: _*).agg(sum("cnt").as("n_rows"))
+    val cum = cells.withColumn("cum", sum("cnt").over(w))
+      .join(broadcast(totals), groupCols)
+    cum.select(gcols ++ Seq(col("bucket"), col("cnt"), col("cum"),
+        col("n_rows"), explode(array(qs.map(lit): _*)).as("q")): _*)
+      .withColumn("rank",
+        greatest(ceil(col("q") * col("n_rows")).cast("long"), lit(1L)))
+      .filter(col("cum") - col("cnt") < col("rank") &&
+        col("rank") <= col("cum"))
+      .select(gcols ++ Seq(col("q"), col("rank"), col("n_rows"),
+        col("bucket"),
+        (expr("shiftleft(1L, cast(bucket as int) - 1)") - 1).as("lo"),
+        (expr("shiftleft(1L, cast(bucket as int))") - 2).as("hi"),
+        col("cnt").as("n_in_bucket")): _*)
+  }
+
+  /**
    * Chi-square drift TREND: [[chiSquareDrift]]'s two-sample statistic
    * computed between every pair of SUCCESSIVE time cells in one plan — the
    * continuous monitoring face (a dashboard of "how much did yesterday's

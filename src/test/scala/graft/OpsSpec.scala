@@ -1144,6 +1144,27 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
   }
 
+  test("quantileBounds: octave ranges contain the exact discrete quantiles") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val bounds = graft.ops.Stats.quantileBounds(li, Seq("l_returnflag"),
+        floor($"l_extendedprice"), qs)
+      .select("l_returnflag", "q", "lo", "hi", "bucket")
+      .as[(String, Double, Long, Long, Long)].collect()
+    val exact = graft.ops.Stats.quantilesDisc(
+        li.select($"l_returnflag",
+          floor($"l_extendedprice").cast("long").as("v")),
+        Seq("l_returnflag"), "v", qs)
+      .select("l_returnflag", "q", "value").as[(String, Double, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(bounds.length == exact.size && bounds.nonEmpty)
+    bounds.foreach { case (g, q, lo, hi, b) =>
+      val v = exact((g, q))
+      assert(v >= lo && v <= hi, s"$g q=$q: $v outside [$lo,$hi]")
+      assert(hi < 2 * (lo + 1), s"octave width violated at bucket $b")
+    }
+  }
+
   test("driftTrend: identical successive cells score zero; a shift scores high") {
     // cells 1 and 2 share the same mix -> every contribution rounds to the
     // same tiny smoothing residue; cell 3 flips the mix -> chi2 jumps
