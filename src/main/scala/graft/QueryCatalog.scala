@@ -3839,6 +3839,28 @@ object QueryCatalog {
             / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
         FROM cells, t""")),
 
+    // Join-cardinality (fan-out) profile: the distribution of child rows
+    // per parent key across the orders->lineitem FK — the number a join
+    // planner needs BEFORE choosing broadcast vs shuffle vs salt (a
+    // fan-out histogram with a heavy tail is the skew warning). Parents
+    // with zero children included via one left join; two combine-enabled
+    // aggregates.
+    ("q_profile_fanout",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"))
+        val per = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("fanout"))
+        o.join(per, Seq("ok"), "left_outer")
+          .select(coalesce(col("fanout"), lit(0L)).as("fanout"))
+          .groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+      },
+      Some("""WITH per AS (SELECT l_orderkey AS ok, count(*) AS fanout
+            FROM lineitem GROUP BY 1)
+          SELECT coalesce(per.fanout, 0) AS fanout, count(*) AS n_orders
+          FROM orders LEFT JOIN per ON o_orderkey = per.ok
+          GROUP BY 1""")),
+
     // Power-of-two-bucket quantile BOUNDS (Stats.quantileBounds): the
     // 100 TB quantile path — 64 buckets max per group regardless of
     // cardinality (bit-length bucketing, one combine-enabled aggregate,
