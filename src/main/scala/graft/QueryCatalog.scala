@@ -4116,6 +4116,27 @@ object QueryCatalog {
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.kCore]] over the sampled co-order
+    * parts graph: one (degree-filter + two-join) CTE pair per peel round —
+    * bit-identical to the Spark fixed-round loop (pure integer counts). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS (SELECT src FROM (
+           SELECT src, count(*) AS c FROM e${i - 1} GROUP BY 1)
+           WHERE c >= $k),
+         e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           JOIN a$i s ON e.src = s.src JOIN a$i t ON e.dst = t.src)"""
+    }.mkString(",\n        ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_orderkey % 5 = 0),
+        canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+        e0 AS (SELECT a AS src, b AS dst FROM canon
+          UNION ALL SELECT b, a FROM canon),
+        $steps
+        SELECT src AS node, count(*) AS degree FROM e$rounds GROUP BY 1"""
+  }
+
   /** The part<->supplier co-occurrence graph from lineitem: parts on even
     * node ids, suppliers on odd (one BIGINT key space, bipartite so the
     * two directions never collide), an edge per distinct (part, supplier)
@@ -4157,6 +4178,26 @@ object QueryCatalog {
             CAST(sum(i) AS BIGINT) AS in_deg,
             count(*) AS degree
           FROM b GROUP BY 1""")),
+
+    // Fixed-round k-core peel (Graph.kCore) over the sampled co-order
+    // graph — density filtering of the similarity graph. k=16 sits below
+    // the graph's scale-stable median degree (~23 at every SF), so
+    // the peel is non-trivial at smoke, oracle and bench scales alike.
+    ("q_graph_kcore", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
+        val e = canon.select(col("a").as("src"), col("b").as("dst"))
+          .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        Graph.kCore(e, "src", "dst", k = 16, rounds = 4)
+      }): Q
+      },
+      Some(kCoreOracleSql(k = 16, rounds = 4))),
 
     // Per-node triangle counts + clustering coefficient by degree-ordered
     // orientation (Graph.triangleCounts) over the parts-co-ordered-together

@@ -121,6 +121,42 @@ object Graph {
   }
 
   /**
+   * k-core peel over an UNDIRECTED graph (pass both edge directions, like
+   * [[pageRankInt]]): repeatedly remove nodes of degree < k for a FIXED
+   * number of rounds — the density filter a curation pipeline runs on its
+   * similarity graph (the k-core is where template/near-dup communities
+   * live; the shell is the long tail a sampler can keep cheaply).
+   *
+   * Each round is ONE combine-enabled degree aggregate + TWO left-semi
+   * joins against the surviving-node set — the message-passing shape,
+   * linear in |E|; like the PageRank loop, each round references its
+   * predecessor once, so the fixed-round loop pipelines as one lazy DAG
+   * with lineage cut every 4 rounds. Peeling converges monotonically
+   * (the edge set only shrinks); `rounds` bounds work rather than
+   * chasing a fixpoint with per-round driver actions — callers needing
+   * the exact core re-run with more rounds and compare counts (the spec
+   * pins convergence on bounded graphs).
+   *
+   * Output: (node, degree) for nodes still alive after `rounds` peels,
+   * with degrees measured on the surviving subgraph.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"kCore needs k,rounds >= 1")
+    var e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    for (i <- 1 to rounds) {
+      val alive = e.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select("src")
+      e = e.join(alive, Seq("src"), "left_semi")
+        .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /**
    * Per-node triangle counts + local clustering coefficient over an
    * UNDIRECTED graph, by degree-ordered edge orientation (Schank &
    * Wagner 2005; the MapReduce shape of Suri & Vassilvitskii WWW'11).

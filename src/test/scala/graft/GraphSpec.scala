@@ -110,6 +110,26 @@ class GraphSpec extends SparkSpec {
     assert(one.map(_._3).sum % 3 == 0) // every triangle counted at 3 corners
   }
 
+  test("kCore: K5 survives a 3-core peel, tails and bridges cascade away") {
+    // K5 on 1..5 (deg 4) + a path 5-6-7 (deg <= 2) + a triangle 8-9-10
+    // (deg 2): for k=3 only K5 survives, and removing the path must
+    // CASCADE (node 6 only drops once 7 goes, etc.)
+    val k5 = for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)
+    val und = (k5 ++ Seq((5L, 6L), (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L)))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Graph.kCore(und.toDF("src", "dst"), "src", "dst", k = 3,
+        rounds = 4).as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 5L).toSet)
+    assert(got(5L) == 4L) // degree measured on the SURVIVING subgraph
+    // converged: extra rounds change nothing
+    val more = Graph.kCore(und.toDF("src", "dst"), "src", "dst", k = 3,
+        rounds = 8).as[(Long, Long)].collect().toMap
+    assert(more == got)
+    // k=1 peels nothing here
+    assert(Graph.kCore(und.toDF("src", "dst"), "src", "dst", 1, 2)
+      .count() == 10L)
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
