@@ -1275,6 +1275,39 @@ object QueryCatalog {
     // offset — computed by ops/Prefix's two-pass distributed prefix sum,
     // not the single-reducer Window.orderBy the oracle uses (same result,
     // one task vs every partition in parallel).
+    // Length-bucketed batch construction: docs bucketed by token-count
+    // OCTAVE (bits — same-magnitude lengths pad efficiently together),
+    // then per-bucket running offsets assign contiguous ~2048-token
+    // batches. Composition of the bit-bucket trick with the grouped
+    // two-pass prefix scan (Prefix.runningOffsetsBy) — no hot-bucket
+    // single-task window anywhere.
+    ("q_curate_buckets",
+      (s: SparkSession, d: String) => {
+        val tc = t(s, d, "documents").select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("bucket",
+            length(bin(greatest(col("n_tokens"), lit(1L)))).cast("long"))
+        graft.ops.Prefix.runningOffsetsBy(tc, "bucket", Seq("doc_id"),
+            "n_tokens")
+          .select(col("bucket"), col("doc_id"), col("n_tokens"),
+            col("offset").as("bucket_offset"),
+            floor(col("offset") / 2048.0).cast("long").as("batch_idx"))
+      },
+      Some(s"""WITH tc AS (SELECT doc_id,
+            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
+        b AS (SELECT doc_id, n_tokens,
+            CAST(length(bin(greatest(n_tokens, 1))) AS BIGINT) AS bucket
+          FROM tc),
+        o AS (SELECT bucket, doc_id, n_tokens,
+            COALESCE(sum(n_tokens) OVER (PARTITION BY bucket
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM b)
+        SELECT bucket, doc_id, n_tokens, CAST(off AS BIGINT)
+            AS bucket_offset,
+          CAST(floor(off / 2048.0) AS BIGINT) AS batch_idx
+        FROM o""")),
+
     ("q_seq_pack",
       (s: SparkSession, d: String) => {
         val tc = t(s, d, "documents").select(col("doc_id"),

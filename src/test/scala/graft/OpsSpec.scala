@@ -1144,6 +1144,24 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
   }
 
+  test("length buckets: octave membership, per-bucket offsets and batch bounds") {
+    val rows = SparkEntry.queries("q_curate_buckets")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == docs.count())
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    rows.foreach { case (bucket, _, n, off, batch) =>
+      assert(bucket == bits(math.max(n, 1L)))
+      assert(batch == math.floor(off / 2048.0).toLong)
+    }
+    // offsets within each bucket are an exact prefix sum in doc_id order
+    for ((_, rs) <- rows.groupBy(_._1)) {
+      val sorted = rs.sortBy(_._2)
+      sorted.foldLeft(0L) { case (acc, (_, _, n, off, _)) =>
+        assert(off == acc); acc + n
+      }
+    }
+  }
+
   test("quantileBounds: octave ranges contain the exact discrete quantiles") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
