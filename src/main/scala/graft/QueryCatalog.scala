@@ -2285,6 +2285,35 @@ object QueryCatalog {
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // Cross-source contamination matrix: near-dup pair counts aggregated
+    // to (source, source) cells — WHICH feeds copy from which (mirror
+    // detection, license-laundering audits, the decontamination targeting
+    // report). The k-bounded pair table joins two tiny source dims
+    // (AQE broadcasts); pairs keyed least/greatest so each unordered
+    // source pair lands in one cell.
+    ("q_dedup_source_matrix",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          n = 5, k = 12, bands = 4, threshold = 0.7)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")),
+            "doc1")
+          .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")),
+            "doc2")
+          .select(least(col("s1"), col("s2")).as("src_a"),
+            greatest(col("s1"), col("s2")).as("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH ${minhashPairsCtes(n = 5, k = 12, bands = 4,
+          threshold = 0.7)}
+        SELECT least(a.source, b.source) AS src_a,
+          greatest(a.source, b.source) AS src_b, count(*) AS n_pairs
+        FROM mh_pairs JOIN documents a ON doc1 = a.doc_id
+          JOIN documents b ON doc2 = b.doc_id
+        GROUP BY 1, 2""")),
+
     // INCREMENTAL dedup: docs with doc_id % 10 = 0 arrive as today's batch
     // against the persisted index of the rest — emits exactly the corpus-
     // wide pairs that touch the batch (new-vs-corpus + new-vs-new), which

@@ -1144,6 +1144,16 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
   }
 
+  test("source matrix: cells sum to the pair count; keys canonically ordered") {
+    val pairs = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+      n = 5, k = 12, bands = 4, threshold = 0.7)
+    val cells = SparkEntry.queries("q_dedup_source_matrix")(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(cells.map(_._3).sum == pairs.count())
+    cells.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+    assert(cells.map(c => (c._1, c._2)).distinct.length == cells.length)
+  }
+
   test("length buckets: octave membership, per-bucket offsets and batch bounds") {
     val rows = SparkEntry.queries("q_curate_buckets")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
