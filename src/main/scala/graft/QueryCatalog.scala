@@ -4333,6 +4333,42 @@ object QueryCatalog {
     // sees one tree: the dedup window, the broadcast anti-join, the
     // mixture filter and the token count all pipeline without
     // materialization; only the prefix-sum pass adds its two scans.
+    // Dataset card: the one-row corpus summary a release ships with —
+    // volume (docs/tokens/chars), diversity (languages, sources), and the
+    // exact-duplicate rate from canonical fingerprints. ONE combine-
+    // enabled aggregate over a scan-stage projection.
+    ("q_curate_card",
+      (s: SparkSession, d: String) => t(s, d, "documents")
+        .select(TextOps.tokenCount(col("text")).cast("long").as("tk"),
+          col("n_chars"), col("lang"), col("source"),
+          TextOps.fingerprintMd5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tk")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          count_distinct(col("fp")).as("n_unique"))
+        .select(col("n_docs"), col("total_tokens"), col("total_chars"),
+          col("n_langs"), col("n_sources"),
+          (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+          (floor(col("total_tokens").cast("double") * 1e6 /
+            col("n_docs").cast("double")) / 1e6).as("mean_tokens")),
+      Some(s"""WITH m AS (SELECT
+            CAST(len(${tokensSql()}) AS BIGINT) AS tk, n_chars, lang,
+            source,
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+              AS fp
+          FROM documents)
+        SELECT count(*) AS n_docs,
+          CAST(sum(tk) AS BIGINT) AS total_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          count(DISTINCT lang) AS n_langs,
+          count(DISTINCT source) AS n_sources,
+          count(*) - count(DISTINCT fp) AS n_exact_dups,
+          floor(CAST(sum(tk) AS DOUBLE) * 1e6 /
+            CAST(count(*) AS DOUBLE)) / 1e6 AS mean_tokens
+        FROM m""")),
+
     ("q_curate_pack",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

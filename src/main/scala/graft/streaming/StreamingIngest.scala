@@ -38,6 +38,34 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** EVENT-TIME session windows (native `session_window`, the declarative
+    * sibling of [[sessionize]]'s custom-state form): per-user sessions
+    * close when event time goes `gap` quiet, independent of arrival
+    * timing — replays and backfills produce identical sessions, which the
+    * processing-time variant cannot promise. State is evicted by the
+    * watermark. Works identically on a batch frame (used by the parity
+    * spec). */
+  def sessionWindowStats(events: DataFrame, tsCol: String = "ts",
+      gap: String = "30 minutes", delay: String = "1 hour"): DataFrame = {
+    // respect an upstream watermark (e.g. incrementalStream's): redefining
+    // one on the same stream is an analysis error
+    val hasWatermark = events.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+        => e
+    }.nonEmpty
+    val in = if (events.isStreaming && !hasWatermark)
+      events.withWatermark(tsCol, delay) else events
+    in.groupBy(session_window(col(tsCol), gap), col("user_id"))
+      // cents, not raw double sums: a float total would depend on the
+      // partial-aggregation order and stream/batch parity could drift in
+      // the last ulp — the catalog's money discipline applies here too
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).as("total_cents"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("total_cents"))
+  }
+
   /** Streaming dedup: first row per key wins, duplicate arrivals within the
     * watermark horizon are dropped, and the per-key state itself is evicted
     * once the watermark passes — WITHOUT the horizon bound, dedup state grows

@@ -1144,6 +1144,20 @@ class OpsSpec extends SparkSpec {
     got.foreach { case (c, (_, total)) => assert(total > 0L, c) }
   }
 
+  test("dataset card: one row whose fields match independent counts") {
+    val r = SparkEntry.queries("q_curate_card")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(r.length == 1)
+    val (nDocs, totTok, totChars, nLangs, nSrcs, nDups, meanTok) = r.head
+    assert(nDocs == docs.count())
+    assert(nLangs == docs.select("lang").distinct().count())
+    assert(nSrcs == docs.select("source").distinct().count())
+    val canonical = graft.ops.Dedup.exactDedup(docs, "doc_id", "text").count()
+    assert(nDups == nDocs - canonical)
+    assert(totChars == docs.agg(sum($"n_chars")).as[Long].collect().head)
+    assert(meanTok == math.floor(totTok.toDouble * 1e6 / nDocs.toDouble) / 1e6)
+  }
+
   test("source matrix: cells sum to the pair count; keys canonically ordered") {
     val pairs = graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
       n = 5, k = 12, bands = 4, threshold = 0.7)

@@ -317,6 +317,30 @@ class StreamingSpec extends SparkSpec {
       (2L, "B", None, true)))
   }
 
+  test("event-time session windows: streamed sessions equal the batch sessions") {
+    val dir = Files.createTempDirectory("graft_sess").toString
+    val batch = graft.sources.EventLog.events(spark, sf)
+    batch.write.mode("overwrite").parquet(dir)
+    val streamed = StreamingIngest.incrementalStream(spark, dir,
+      batch.schema, "ts", "10 minutes")
+    val got = StreamingIngest.runToMemory(
+      StreamingIngest.sessionWindowStats(streamed), "sess_stream",
+      OutputMode.Complete())
+    val want = StreamingIngest.sessionWindowStats(batch)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // sessions are per-user disjoint and ordered
+    val rows = want.select("user_id", "session_start", "session_end")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect()
+    for ((_, ss) <- rows.groupBy(_._1)) {
+      val sorted = ss.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.getTime <= b._2.getTime)
+        case _ =>
+      }
+    }
+  }
+
   test("streaming decayed engagement: shift fold across batches, late data folds in") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{Event, DecayOut}
