@@ -242,7 +242,9 @@ object SnapshotStore {
     require(keep >= 1, "must keep at least the current version")
     val rootP = Paths.get(root)
     val latest = currentVersion(root).getOrElse(return 0)
+    val pinned = tags(root).values.toSet
     val victims = (0L to latest - keep)
+      .filterNot(pinned)
       .map(versionDir(rootP, _)).filter(Files.isDirectory(_))
     victims.foreach(deleteRecursive)
     val s = Files.list(rootP)
@@ -250,6 +252,83 @@ object SnapshotStore {
       .forEach(deleteRecursive)
     finally s.close()
     victims.size
+  }
+
+  /** Git-style IMMUTABLE tag: a named ref to a committed version (release
+    * pins, eval-set freezes, "the corpus we trained v3 on"). A tag never
+    * moves — re-tagging an existing name throws — and [[vacuum]] keeps
+    * tagged versions regardless of retention, so a pinned corpus stays
+    * readable for as long as its tag exists. Creation is write-tmp +
+    * ATOMIC_MOVE without replace: two racers get one winner, one error —
+    * never a torn or silently-overwritten ref. */
+  def tag(root: String, name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name: $name")
+    val rootP = Paths.get(root)
+    require(Files.isDirectory(versionDir(rootP, version)),
+      s"cannot tag missing version $version at $root")
+    val tmp = rootP.resolve(s"_tag_$name.__tmp")
+    Files.writeString(tmp, version.toString)
+    // hard-link creation is atomic AND fails on an existing target (POSIX
+    // link(2) EEXIST) — a plain ATOMIC_MOVE silently replaces on Linux,
+    // which would let a racer overwrite a published ref
+    try Files.createLink(rootP.resolve(s"_tag_$name"), tmp)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(s"tag '$name' already exists", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** All tags of the table: name -> version. */
+  def tags(root: String): Map[String, Long] = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Map.empty
+    val s = Files.list(rootP)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("_tag_") && !n.endsWith(".__tmp"))
+        .map(n => n.stripPrefix("_tag_") ->
+          Files.readString(rootP.resolve(n)).trim.toLong)
+        .toMap
+    } finally s.close()
+  }
+
+  /** Delete a tag (the version becomes vacuum-eligible again). */
+  def untag(root: String, name: String): Boolean =
+    Files.deleteIfExists(Paths.get(root).resolve(s"_tag_$name"))
+
+  /** Read the version a tag pins. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))
+    readVersion(spark, root, v)
+  }
+
+  /**
+   * Apply a [[changesBetween]] change feed to the snapshot table at
+   * `root` — CDC REPLICATION: a downstream replica consumes the upstream
+   * feed instead of re-copying the table (at 100 TB the feed is the only
+   * affordable transport). Deletes anti-join out, inserts/updates upsert
+   * in, all inside ONE OCC [[commitMerge]] so a racing writer can't
+   * interleave between the delete and the upsert. Applying the
+   * `changesBetween(a, b)` feed to a replica at version-content `a`
+   * reproduces version-content `b` exactly (pinned in the spec); empty
+   * feeds still commit (an explicit replication checkpoint).
+   */
+  def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "applyChanges needs key columns")
+    require(changes.columns.contains("change_op"),
+      "changes must carry a change_op column")
+    val ups = changes.filter(col("change_op") =!= "delete").drop("change_op")
+    val dels = changes.filter(col("change_op") === "delete")
+      .select(keys.map(col): _*)
+    commitMerge(spark, root, {
+      case None => ups
+      case Some(cur) =>
+        graft.write.MergeWriter.upsert(
+          cur.join(dels, keys, "left_anti"), ups, keys, Nil)
+    }, partitionCols)
   }
 
   private def deleteRecursive(p: JPath): Unit =

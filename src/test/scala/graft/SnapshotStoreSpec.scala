@@ -190,4 +190,51 @@ class SnapshotStoreSpec extends SparkSpec {
     val want = SnapshotStore.readVersion(spark, root, 1L)
     assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty)
   }
+
+  test("tags: immutable refs that pin versions through vacuum") {
+    import spark.implicits._
+    val root = tmp()
+    SnapshotStore.commit(Seq((1L, "a")).toDF("id", "v"), root)
+    SnapshotStore.commit(Seq((1L, "b")).toDF("id", "v"), root)
+    SnapshotStore.commit(Seq((1L, "c")).toDF("id", "v"), root)
+    SnapshotStore.tag(root, "train-v3", 0L)
+    assert(SnapshotStore.tags(root) == Map("train-v3" -> 0L))
+    assert(SnapshotStore.readTag(spark, root, "train-v3")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // a tag never moves
+    intercept[IllegalStateException](SnapshotStore.tag(root, "train-v3", 1L))
+    // vacuum keeps the tagged version, drops the untagged superseded one
+    assert(SnapshotStore.vacuum(root, keep = 1) == 1) // only v1 removed
+    assert(SnapshotStore.readTag(spark, root, "train-v3")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    intercept[Exception](SnapshotStore.readVersion(spark, root, 1L).collect())
+    // untagging releases the pin
+    assert(SnapshotStore.untag(root, "train-v3"))
+    assert(SnapshotStore.vacuum(root, keep = 1) == 1) // now v0 goes
+    intercept[IllegalArgumentException](
+      SnapshotStore.readTag(spark, root, "train-v3"))
+  }
+
+  test("applyChanges replicates a table through its CDC feed") {
+    import spark.implicits._
+    val src = tmp(); val replica = tmp()
+    val rnd = new scala.util.Random(23)
+    def table(n: Int) = (1 to n).map(i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(5)))
+      .groupBy(_._1).map(_._2.head).toSeq.toDF("id", "x")
+    SnapshotStore.commit(table(30), src)
+    SnapshotStore.commit(table(35), src)
+    // replica bootstraps from the upstream v0 image, then consumes the feed
+    SnapshotStore.commit(SnapshotStore.readVersion(spark, src, 0L), replica)
+    val feed = SnapshotStore.changesBetween(spark, src, 0L, 1L, Seq("id"))
+    SnapshotStore.applyChanges(spark, replica, feed, Seq("id"))
+    val got = SnapshotStore.read(spark, replica)
+    val want = SnapshotStore.readVersion(spark, src, 1L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an empty feed still commits (replication checkpoint), content stable
+    val v = SnapshotStore.applyChanges(spark, replica,
+      feed.filter(lit(false)), Seq("id"))
+    assert(v == 2L)
+    assert(SnapshotStore.read(spark, replica).exceptAll(want).isEmpty)
+  }
 }
