@@ -130,6 +130,44 @@ class GraphSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("triangleCounts: random graphs match brute force (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val n = 4 + rnd.nextInt(7)
+      val edges = (for (a <- 1L to n; b <- a + 1 to n
+        if rnd.nextDouble() < 0.45) yield (a, b)).toSeq
+      if (edges.nonEmpty) {
+        val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+          .as[(Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> r._3).toMap
+        assert(got == refTriangles(edges), s"trial $trial edges=$edges")
+      }
+    }
+  }
+
+  test("kCore: random graphs reach an all-degrees>=k fixpoint subgraph (seeded)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(8)
+      val und = (for (a <- 1L to n; b <- a + 1 to n
+        if rnd.nextDouble() < 0.4) yield (a, b))
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSeq
+      if (und.nonEmpty) {
+        val k = 2 + rnd.nextInt(2)
+        // n rounds always suffice: each non-final round peels >= 1 node
+        val core = Graph.kCore(und.toDF("src", "dst"), "src", "dst", k,
+          rounds = n.toInt).as[(Long, Long)].collect().toMap
+        // fixpoint: every surviving degree >= k…
+        core.values.foreach(d => assert(d >= k, s"trial $trial"))
+        // …and the degrees are consistent with the surviving edge set
+        val alive = core.keySet
+        val sub = und.filter { case (a, b) => alive(a) && alive(b) }
+        val deg = sub.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+        assert(core == deg, s"trial $trial")
+      }
+    }
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
