@@ -1285,8 +1285,8 @@ object QueryCatalog {
       (s: SparkSession, d: String) => {
         val tc = t(s, d, "documents").select(col("doc_id"),
             TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("bucket",
-            length(bin(greatest(col("n_tokens"), lit(1L)))).cast("long"))
+          .withColumn("bucket", graft.plans.GraftExpressions
+            .bit_length_long(greatest(col("n_tokens"), lit(1L))))
         graft.ops.Prefix.runningOffsetsBy(tc, "bucket", Seq("doc_id"),
             "n_tokens")
           .select(col("bucket"), col("doc_id"), col("n_tokens"),
@@ -1964,8 +1964,9 @@ object QueryCatalog {
         val stats = withLen.agg(sum(col("len")).as("sl"),
           count(lit(1)).as("nd"))
         val avg = col("sl").cast("double") / col("nd")
-        val idfBits = (length(bin(col("nd") + 1)) -
-          length(bin(col("df")))).cast("long")
+        val idfBits = graft.plans.GraftExpressions.bit_length_long(
+          col("nd") + 1) -
+          graft.plans.GraftExpressions.bit_length_long(col("df"))
         val denom = lit(k1) * (lit(oneMb) +
           lit(b) * (col("len").cast("double") / avg)) + col("tf")
         val score = floor(idfBits.cast("double") * (col("tf") * lit(k1p1)) /

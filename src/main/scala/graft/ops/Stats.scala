@@ -339,7 +339,8 @@ object Stats {
     val v = df.select(gcols :+ value.cast("long").as("v"): _*)
       .filter(col("v").isNotNull && col("v") >= 0)
     val cells = v.groupBy(gcols :+
-        length(bin(col("v") + 1)).cast("long").as("bucket"): _*)
+        graft.plans.GraftExpressions.bit_length_long(col("v") + 1)
+          .as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols: _*).orderBy(col("bucket").asc)

@@ -723,8 +723,9 @@ object TextOps {
     val vocab = firstCounts.count()
     bi.join(bigramCounts, "hb").join(firstCounts, "h1")
       .withColumn("bits",
-        (length(bin(col("n_first") + lit(vocab))) -
-          length(bin(col("n_bi") + lit(1L)))).cast("long"))
+        graft.plans.GraftExpressions.bit_length_long(
+          col("n_first") + lit(vocab)) -
+        graft.plans.GraftExpressions.bit_length_long(col("n_bi") + lit(1L)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),

@@ -994,6 +994,39 @@ object Md5Prefix60 {
   }
 }
 
+/**
+ * Bit length of a non-negative BIGINT: `64 - numberOfLeadingZeros(v)` (0
+ * for 0) — semantically identical to `length(bin(v))` for positive values,
+ * which is how the DuckDB oracles replay it, but ONE intrinsic instead of
+ * rendering a 64-char binary UTF8String and measuring it. Sits under every
+ * whole-bit surprisal/idf term and every octave bucket — per-row hot-path
+ * work where the string round-trip is pure allocation.
+ */
+case class BitLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType || child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"bit_length_long needs int/bigint, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    64L - java.lang.Long.numberOfLeadingZeros(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = 64L - java.lang.Long.numberOfLeadingZeros((long) $c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BitLength =
+    copy(child = newChild)
+}
+
 /** Shared Bloom-filter bit-position math: k positions per value, derived
   * from the md5 seed pair as `(a + i*b) mod m` — exactly the minhash hash
   * family, so the DuckDB oracle replays every position (and therefore
@@ -1596,6 +1629,9 @@ object GraftExpressions {
 
   def md5_prefix60(c: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c)))
+
+  def bit_length_long(c: Column): Column =
+    ColumnBridge.column(BitLength(ColumnBridge.expression(c)))
 
   def md5_prefix(c: Column, hexChars: Int): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(c), hexChars))
