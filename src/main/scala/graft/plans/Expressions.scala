@@ -1693,6 +1693,8 @@ object GraftExpressions {
         exprs(3).eval().asInstanceOf[Int])),
     "graft_md5_prefix60" -> ((exprs: Seq[Expression]) =>
       Md5Prefix60(exprs.head)),
+    "graft_bit_length" -> ((exprs: Seq[Expression]) =>
+      BitLength(exprs.head)),
     "graft_bottomk_distinct" -> ((exprs: Seq[Expression]) =>
       BottomKDistinct(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     "graft_earliest_k" -> ((exprs: Seq[Expression]) =>

@@ -27,7 +27,9 @@ class ExtensionsSpec extends SparkSpec {
       // each registration family, value-checked
       val row = s2.sql("""SELECT
           graft_md5_prefix60('abc') AS h,
-          fn_transform_concatenate('a', 'b') AS c""").collect().head
+          fn_transform_concatenate('a', 'b') AS c,
+          graft_bit_length(CAST(1023 AS BIGINT)) AS bl""").collect().head
+      assert(row.getLong(2) == 10L)
       val expected = java.lang.Long.parseLong(
         java.security.MessageDigest.getInstance("MD5")
           .digest("abc".getBytes("UTF-8"))
