@@ -2164,7 +2164,58 @@ object QueryCatalog {
               ' ' ORDER BY tl.idx), '') AS clean_text
           FROM tl LEFT JOIN bo ON tl.source = bo.source AND tl.tile = bo.tile
           GROUP BY 1)
-        SELECT doc_id, source, clean_text, n_tiles, n_removed FROM mk""")))
+        SELECT doc_id, source, clean_text, n_tiles, n_removed FROM mk""")),
+
+    // EXACT heavy hitters without the full-vocabulary shuffle: one
+    // Misra-Gries pass (bounded k-entry state, map-side combined) yields a
+    // guaranteed candidate superset; a broadcast-semi-join second pass
+    // re-counts only candidates and filters on the exact integer support
+    // threshold. k=799 < the bigram vocabulary (~920), so the summary runs
+    // under real decrement pressure — and the final answer is still
+    // bit-equal to the naive GROUP BY HAVING the oracle runs, because the
+    // MG error bound N/(k+1) < N/support. See TextOps.heavyHitters.
+    ("q_text_heavyhitters",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(
+          TextOps.tokens(col("text")).as("ts"))
+        val bg = toks.select(explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+        TextOps.heavyHitters(bg, "bigram", k = 799, support = 800)
+      },
+      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
+        bg AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        tot AS (SELECT count(*) AS n FROM bg)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n_exact
+        FROM bg, tot GROUP BY bigram, tot.n
+        HAVING count(*) * 800 > tot.n""")),
+
+    // Model-based quality filtering (CCNet / GPT-3 curation): linear
+    // classifier over hashed bag-of-words features as a pure scan-stage
+    // fold — no shuffle, no UDF, margin in exact BIGINT (md5-derived
+    // stand-in weights; production broadcasts a trained vector keyed by
+    // the same 60-bit hash). See TextOps.classifierColumns.
+    ("q_text_classifier",
+      (s: SparkSession, d: String) => {
+        val cols = TextOps.classifierColumns(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id") +:
+          cols.map { case (n, c) =>
+            (if (n == "keep") c.cast("long") else c).as(n) }: _*)
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        m AS (SELECT doc_id,
+            CAST(coalesce(list_sum(list_transform(ts,
+              t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                % 2001 - 1000)), 0) AS BIGINT) AS margin,
+            CAST(len(ts) AS BIGINT) AS n_toks
+          FROM docs)
+        SELECT doc_id, margin, n_toks,
+          CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {

@@ -518,6 +518,85 @@ object TextOps {
   }
 
   /**
+   * EXACT heavy hitters of a string column in two bounded-memory passes —
+   * every value whose occurrence count `n_exact` satisfies
+   * `n_exact * support > N` (i.e. frequency strictly above `N / support`),
+   * with its exact count.
+   *
+   * Pass 1 runs ONE Misra–Gries summary (see [[graft.plans.MisraGriesAgg]])
+   * alongside the total count: state ≤ `k` entries per partition, map-side
+   * combined, so the shuffle carries ≤ k rows per partition instead of the
+   * full vocabulary. MG guarantees every value with frequency > N/(k+1) is
+   * among the ≤ k candidates; `require(k + 1 >= support)` makes that a
+   * superset of the answer. Pass 2 re-counts ONLY the candidates (broadcast
+   * semi-join on ≤ k keys — rows that can't be answers never reach the
+   * aggregate) and filters on the exact integer threshold. The candidate
+   * set varies with arrival order; the final result does not — it equals
+   * the plain `GROUP BY HAVING count(*)*support > N` answer bit-for-bit,
+   * which is exactly what the DuckDB oracle runs.
+   *
+   * At 100 TB this replaces the full-vocabulary shuffle (the naive groupBy
+   * moves every distinct token; a web-scale corpus has billions) with two
+   * scans whose shuffled bytes are bounded by k, independent of corpus or
+   * vocabulary size.
+   */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+      support: Int): DataFrame = {
+    require(support >= 2, s"support=$support must be >= 2")
+    require(k + 1 >= support,
+      s"k=$k too small for support=$support: MG guarantees only items with " +
+        s"frequency > N/(k+1); need k+1 >= support")
+    // one pass: candidates and the stream length from the same aggregate;
+    // n_total rides each candidate row so the summary subtree appears in
+    // the plan ONCE (a separate scalar crossJoin would re-evaluate it —
+    // i.e. re-scan the corpus — per reference)
+    val cand = df.agg(
+        graft.plans.GraftExpressions.misra_gries(col(valueCol), k).as("mg"),
+        count(col(valueCol)).as("n_total"))
+      .select(explode(col("mg")).as("c"), col("n_total"))
+      .select(col("c.item").as("cand_item"), col("n_total")) // ≤ k rows
+    df.join(broadcast(cand), col(valueCol) === col("cand_item"))
+      .groupBy(col(valueCol), col("n_total"))
+      .agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") * lit(support) > col("n_total"))
+      .select(col(valueCol), col("n_exact"))
+  }
+
+  /**
+   * Hashed-feature linear-classifier inference — the model-based quality
+   * filter of CCNet / the GPT-3 curation pipeline (a linear model over
+   * hashed bag-of-words features, fastText-style), as a pure scan-stage
+   * fold: margin = Σ over tokens of w(token), keep = margin > 0.
+   *
+   * `w(token)` here is the md5-derived integer `md5_prefix60(token) % 2001
+   * - 1000` ∈ [-1000, 1000] — a deterministic stand-in for trained weights
+   * (this sandbox trains no classifier), chosen so the DuckDB oracle can
+   * replay inference bit-for-bit. A production model swaps the weight
+   * lookup (same 60-bit hash keying a broadcast weight array); everything
+   * that matters at 100 TB is real and unchanged: tokenize + hash + fold
+   * runs inside the scan stage — no shuffle, no UDF, no model-server round
+   * trip — and the margin is exact BIGINT arithmetic, so the keep decision
+   * is reproducible across engines and partitionings.
+   */
+  def classifierColumns(text: Column): Seq[(String, Column)] = {
+    val t0 = coalesce(text, lit("")) // null doc = empty doc: margin 0, reject
+    val w = (t: Column) =>
+      pmod(graft.plans.GraftExpressions.md5_prefix60(t), lit(2001L)) -
+        lit(1000L)
+    val margin = aggregate(tokens(t0), lit(0L), (acc, t) => acc + w(t))
+    Seq(
+      "margin" -> margin,
+      "n_toks" -> tokenCount(t0).cast("long"),
+      "keep" -> (margin > 0))
+  }
+
+  /** [[classifierColumns]] appended to `df` (keyed inference entry point). */
+  def classifierScore(df: DataFrame, textCol: String): DataFrame =
+    classifierColumns(col(textCol)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+
+  /**
    * Winnowing fingerprint selection (Schleimer, Daswani, Aiken — SIGMOD'03
    * "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
    * `k`-token shingle, slide a window of `w` consecutive hashes over each

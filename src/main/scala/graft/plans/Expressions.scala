@@ -1585,6 +1585,167 @@ object CmsAgg {
   }
 }
 
+/**
+ * Misra–Gries frequent-items summary (Misra & Gries '82), in the mergeable
+ * form of Agarwal et al., PODS'12: at most `k` (item, count) entries; an
+ * arriving item increments its entry, opens one if there is room, and
+ * otherwise decrements EVERY entry by one (dropping zeros) — each such
+ * decrement cancels k+1 stream occurrences, so any item can lose at most
+ * N/(k+1) of its true count. Merge = add counts pairwise, then subtract the
+ * (k+1)-th largest count from all and drop non-positives; the lost mass
+ * telescopes, so the N/(k+1) bound holds under ANY merge tree — i.e. under
+ * any partitioning, any map-side combine order.
+ *
+ * Guarantees (and what the engine does with them):
+ *  - every item with true frequency > N/(k+1) is PRESENT in the summary;
+ *  - each reported count is a lower bound, short by at most N/(k+1).
+ * The output is therefore a CANDIDATE set, not an answer —
+ * [[graft.ops.TextOps.heavyHitters]] re-counts the ≤ k candidates exactly in
+ * a second pass and filters on the exact support threshold, which makes the
+ * operator's final result deterministic and engine-independent even though
+ * the intermediate summary depends on arrival order.
+ *
+ * Scale rationale: exact heavy hitters over 100 TB of tokens normally cost a
+ * full-vocabulary shuffle (the groupBy carries every distinct token). This
+ * aggregate's state is ≤ k entries per partition — map-side combined, so the
+ * shuffle moves ≤ k rows per partition — and the second pass is a broadcast
+ * semi-join (≤ k keys) + a groupBy over only the matching rows. Total: two
+ * scans, no wide shuffle, bounded memory everywhere.
+ *
+ * Output: array<struct<item string, lb bigint>> sorted (lb desc, item asc).
+ */
+case class MisraGriesAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+    with UnaryLike[Expression] {
+  require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+
+  private def outStruct: StructType = new StructType()
+    .add("item", StringType, nullable = false)
+    .add("lb", LongType, nullable = false)
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"misra_gries needs a string, got ${child.dataType}")
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+    new java.util.HashMap[String, Array[Long]](k * 2)
+
+  override def update(buf: java.util.HashMap[String, Array[Long]],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.HashMap[String, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.toString
+      val cur = buf.get(s)
+      if (cur != null) cur(0) += 1L
+      else if (buf.size < k) buf.put(s, Array(1L))
+      else {
+        // decrement-all: O(k) here, but each trigger cancels k+1 arrivals,
+        // so the amortized per-row cost is O(1)
+        val it = buf.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          c(0) -= 1L
+          if (c(0) == 0L) it.remove()
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Array[Long]],
+      b: java.util.HashMap[String, Array[Long]])
+      : java.util.HashMap[String, Array[Long]] = {
+    val itb = b.entrySet().iterator()
+    while (itb.hasNext) {
+      val e = itb.next()
+      val cur = a.get(e.getKey)
+      if (cur != null) cur(0) += e.getValue()(0)
+      else a.put(e.getKey, e.getValue)
+    }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count from everything; ≤ k survive
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val itc = a.values().iterator()
+      while (itc.hasNext) { counts(i) = itc.next()(0); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (k + 1)) // (k+1)-th largest
+      val it = a.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        c(0) -= sub
+        if (c(0) <= 0L) it.remove()
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+    val entries = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0))
+      i += 1
+    }
+    val sorted = entries.sortBy { case (item, lb) => (-lb, item) }
+    ArrayData.toArrayData(sorted.map { case (item, lb) =>
+      InternalRow(UTF8String.fromString(item), lb): Any
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Array[Long]])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val bytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(e.getValue()(0))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[String, Array[Long]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val out = new java.util.HashMap[String, Array[Long]](k * 2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      out.put(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        Array(in.readLong()))
+      i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(
+      newChild: Expression): MisraGriesAgg = copy(child = newChild)
+}
+
 object GraftExpressions {
   /** Column wrapper (Spark 4 classic bridge). */
   def rolling_hash(c: Column): Column =
@@ -1652,6 +1813,10 @@ object GraftExpressions {
     ColumnBridge.column(CmsAgg(ColumnBridge.expression(value), depth, width)
       .toAggregateExpression())
 
+  def misra_gries(value: Column, k: Int): Column =
+    ColumnBridge.column(MisraGriesAgg(ColumnBridge.expression(value), k)
+      .toAggregateExpression())
+
   def ivf_assign(vec: Column, centIds: Seq[Long], centVecs: Seq[Seq[Long]],
       centNorms: Seq[Long]): Column =
     ColumnBridge.column(IvfAssign(ColumnBridge.expression(vec),
@@ -1703,7 +1868,9 @@ object GraftExpressions {
       VecSumAgg(exprs.head)),
     "graft_cms_agg" -> ((exprs: Seq[Expression]) =>
       CmsAgg(exprs.head, exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int])))
+        exprs(2).eval().asInstanceOf[Int])),
+    "graft_misra_gries" -> ((exprs: Seq[Expression]) =>
+      MisraGriesAgg(exprs.head, exprs(1).eval().asInstanceOf[Int])))
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */

@@ -40,6 +40,12 @@ class ExtensionsSpec extends SparkSpec {
           graft_md5_prefix60(CAST(id AS STRING)), 16) AS est
         FROM range(10)""").collect().head
       assert(agg.getDouble(0) == 10.0) // < k values: exact count
+      // misra-gries through SQL: 4 distinct < k=8 -> exact counts
+      val mg = s2.sql("""SELECT graft_misra_gries(
+          CAST(id % 4 AS STRING), 8) AS mg FROM range(12)""").collect().head
+      val entries = mg.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(entries == Map("0" -> 3L, "1" -> 3L, "2" -> 3L, "3" -> 3L))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -721,6 +721,80 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries: exact below k, guaranteed superset + lower bounds above") {
+    import graft.plans.GraftExpressions
+    def summary(d: org.apache.spark.sql.DataFrame, k: Int): Map[String, Long] =
+      d.agg(GraftExpressions.misra_gries($"w", k).as("mg"))
+        .select(explode($"mg").as("c")).select($"c.item", $"c.lb")
+        .as[(String, Long)].collect().toMap
+    // distinct <= k: no decrement can ever fire, so the summary IS the
+    // exact count map, under any partitioning
+    val small = (1 to 30).flatMap(i => Seq.fill(i)(s"v$i")).toDF("w")
+    val exactSmall = (1 to 30).map(i => s"v$i" -> i.toLong).toMap
+    assert(summary(small.repartition(1), 64) == exactSmall)
+    assert(summary(small.repartition(7), 64) == exactSmall)
+    // under pressure: 2 heavy items in a sea of 1000 singletons, k=15
+    // error bound N/(k+1) = 1800/16 = 112.5 < both heavy counts
+    val heavy = Seq.fill(500)("hh_a") ++ Seq.fill(300)("hh_b") ++
+      (1 to 1000).map(i => s"noise_$i")
+    val n = heavy.size.toLong
+    val truth = Map("hh_a" -> 500L, "hh_b" -> 300L)
+    for (parts <- Seq(1, 4, 13)) {
+      val got = summary(heavy.toDF("w").repartition(parts), 15)
+      assert(got.size <= 15)
+      truth.foreach { case (item, cnt) =>
+        val lb = got.getOrElse(item,
+          fail(s"$item (freq $cnt > N/(k+1)) missing at parts=$parts"))
+        assert(lb <= cnt && cnt - lb <= n / 16 + 1,
+          s"$item lb=$lb outside [${cnt - n / 16 - 1}, $cnt]")
+      }
+      // every reported count is a lower bound on some true count
+      got.foreach { case (item, lb) =>
+        val t = truth.getOrElse(item, 1L)
+        assert(lb <= t, s"$item lb=$lb exceeds true $t")
+      }
+    }
+  }
+
+  test("heavyHitters: bit-equal to the naive GROUP BY under any partitioning") {
+    // zipf-ish: val_i appears i*i times (i in 1..25) -> N = 5525
+    val rows = (1 to 25).flatMap(i => Seq.fill(i * i)(s"val_$i"))
+    val expected = {
+      val n = rows.size
+      (1 to 25).filter(i => i * i * 20 > n).map(i => s"val_$i" -> (i * i).toLong)
+    }.toMap
+    assert(expected.nonEmpty)
+    for (parts <- Seq(1, 3, 11)) {
+      val got = TextOps.heavyHitters(
+          rows.toDF("w").repartition(parts), "w", k = 19, support = 20)
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // k below vocab (25) but >= support-1: still exact, by the MG bound
+    val got2 = TextOps.heavyHitters(rows.toDF("w"), "w", 19, 20)
+    assert(got2.columns.toSeq == Seq("w", "n_exact"))
+  }
+
+  test("classifierScore: margin is the exact hashed-weight fold") {
+    def w(t: String): Long = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      h % 2001L - 1000L
+    }
+    val df = Seq((1L, "Alpha beta alpha!"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val got = TextOps.classifierScore(df, "text")
+      .select($"doc_id", $"margin", $"n_toks", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val m1 = 2 * w("alpha") + w("beta")
+    assert(got(1L) == ((m1, 3L, m1 > 0)))
+    assert(got(2L) == ((0L, 0L, false))) // empty text: zero-margin reject
+    assert(got(3L) == ((0L, 0L, false))) // null text = empty text
+  }
+
   test("funnel: greedy ordered matching, ties by id, zero-stage users") {
     import graft.ops.Funnel
     val stages = Seq("view", "click", "purchase")
