@@ -2425,6 +2425,35 @@ object QueryCatalog {
         SELECT doc_id, lang, source FROM documents
         WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> c)""")),
 
+    // quality-aware canonicalization: per near-dup cluster keep the row
+    // maximizing n_chars (keep-the-longest-copy curation policy), ties to
+    // the smallest id — arg-max as ONE combinable max(struct) aggregate,
+    // no per-component window. Oracle picks keepers with a row_number.
+    ("q_dedup_canonical_best",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.componentDedupBy(docs, "doc_id", "n_chars",
+          Dedup.minhashNearDups(docs, "doc_id", "text",
+            n = 5, k = 12, bands = 4, threshold = 0.7))
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        scored AS (SELECT comps.c, comps.id, d.n_chars
+          FROM comps JOIN documents d ON d.doc_id = comps.id),
+        keep AS (SELECT c, id FROM (SELECT c, id, row_number() OVER (
+            PARTITION BY c ORDER BY n_chars DESC, id ASC) AS rn
+          FROM scored) WHERE rn = 1)
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT s.id FROM scored s
+          JOIN keep k ON s.c = k.c AND s.id <> k.id)""")),
+
     ("q_dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),

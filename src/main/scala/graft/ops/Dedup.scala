@@ -758,4 +758,36 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Quality-aware canonicalization: like [[componentDedup]], but instead of
+   * keeping each near-dup cluster's smallest id, keep its BEST member — the
+   * row maximizing `scoreCol` (ties broken toward the smallest id, so the
+   * result is deterministic). This is the curation policy real pipelines
+   * want: when a near-dup cluster mixes a full article with its truncated
+   * scrape, keep the longest / highest-quality copy, not an arbitrary one.
+   *
+   * Distributed shape: the keeper per component is ONE map-side-combinable
+   * aggregate — `max(struct(score, -id))` is an arg-max whose lexicographic
+   * struct ordering encodes the tie-break, so there is no per-component
+   * window and no row_number sort; state is one struct per component per
+   * partition. Only ids that appear in some pair enter the join (the
+   * overwhelming majority of a 100 TB corpus is untouched and flows through
+   * the anti-join probe side untouched).
+   */
+  def componentDedupBy(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2")
+      : DataFrame = {
+    val comps = components(pairs, aCol, bCol)
+    val scored = comps.join(
+      df.select(col(idCol).as("doc_id"), col(scoreCol).as("_score")),
+      Seq("doc_id"))
+    val keepers = scored.groupBy("component_id")
+      .agg(max(struct(col("_score"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("component_id"), (-col("m.neg_id")).as("keeper_id"))
+    val drop = scored.join(keepers, Seq("component_id"))
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -363,6 +363,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("componentDedupBy: keeps the best-scoring member, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), // chain: 2 wins on score
+        (10L, 4L), (11L, 4L), // tie: 10 wins on id
+        (99L, 1L)) // unpaired: always kept
+      .toDF("doc_id", "quality")
+    val kept = Dedup.componentDedupBy(docs, "doc_id", "quality", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L))
+    // min-id policy (componentDedup) differs on the same input: keeps 1
+    val minId = Dedup.componentDedup(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L, 99L))
+  }
+
   test("bloom contamination flags the exact overlap set (no false negatives)") {
     val corpus = docs.filter($"doc_id" % 20 =!= 0)
     val bench = docs.filter($"doc_id" % 20 === 0)
