@@ -2215,7 +2215,50 @@ object QueryCatalog {
           FROM docs)
         SELECT doc_id, margin, n_toks,
           CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        FROM m""")))
+        FROM m""")),
+
+    // Content-defined chunking (LBFS/FastCDC on tokens): boundaries where
+    // the 4-gram hash ≡ 0 mod 16, so chunk hashes survive insertions —
+    // the incremental / offset-invariant dedup property fixed-stride tiles
+    // lack. One scan-stage projection+explode builds the chunk table; the
+    // cross-doc df groupBy+join shares the chunk_hash partitioning. Oracle
+    // replays the full list pipeline (cuts, bounds, reassembly, md5).
+    ("q_text_cdc",
+      (s: SparkSession, d: String) => {
+        val ch = TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+          w = 4, divisor = 16)
+        val dfc = ch.groupBy("chunk_hash")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        ch.join(dfc, Seq("chunk_hash"))
+          .select(col("doc_id"), col("chunk_idx"), col("n_toks_chunk"),
+            col("chunk_hash"), col("df"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        c AS (SELECT doc_id, tk, len(tk) AS n,
+            CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
+              i -> (CAST(concat('0x', substr(md5(
+                array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
+                % 16) = 0)
+            ELSE [] END AS cuts
+          FROM docs),
+        b AS (SELECT doc_id, tk, list_concat(list_concat(
+            [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+          FROM c),
+        ch AS (SELECT doc_id, j,
+            array_to_string(tk[bounds[j]+1:bounds[j+1]], ' ') AS chunk,
+            bounds[j+1] - bounds[j] AS n_toks_chunk
+          FROM b, UNNEST(range(1, len(bounds))) AS u(j)
+          WHERE bounds[j+1] > bounds[j]),
+        chi AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY j) - 1 AS INT) AS chunk_idx,
+            CAST(n_toks_chunk AS BIGINT) AS n_toks_chunk,
+            md5(chunk) AS chunk_hash
+          FROM ch),
+        dfc AS (SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT)
+            AS df FROM chi GROUP BY 1)
+        SELECT doc_id, chunk_idx, n_toks_chunk, chunk_hash, df
+        FROM chi JOIN dfc USING (chunk_hash)""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {

@@ -563,6 +563,56 @@ object TextOps {
   }
 
   /**
+   * Content-defined chunking (the LBFS / FastCDC idea — Muthitacharoen et
+   * al. SOSP'01 — lifted from bytes to tokens): cut a document after token
+   * `i` whenever the hash of the `w`-token gram ending at `i` is ≡ 0 mod
+   * `divisor`. Boundaries depend only on LOCAL content, so inserting or
+   * deleting a sentence moves only the chunks it touches — every other
+   * chunk keeps its hash. That is the property that makes chunk-level
+   * dedup incremental: re-crawled pages share almost all chunk hashes with
+   * their previous crawl, and shared boilerplate shows up as cross-doc
+   * repeated chunks regardless of where it sits in the page (a fixed-stride
+   * tiling like [[tileTable]] loses both under any offset shift).
+   *
+   * Output: one row per chunk — (idCol, chunk_idx, n_toks_chunk, chunk,
+   * chunk_hash) with `chunk_hash = md5(chunk)`. Expected chunk length is
+   * `divisor` tokens + the w-gram tail. Documents shorter than `w` tokens
+   * form one whole-doc chunk; empty docs emit none.
+   *
+   * Distributed shape: cut positions, boundaries, and chunk reassembly are
+   * all per-row array expressions — the whole operator is ONE scan-stage
+   * projection + explode, no shuffle, no window, no state. The md5-gram
+   * convention keeps every hash engine-replayable (the DuckDB oracle runs
+   * the same list pipeline).
+   */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int, divisor: Int): DataFrame = {
+    require(w >= 1 && divisor >= 2, s"w=$w, divisor=$divisor out of range")
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    // cut AFTER token i (1-based) iff hash(gram(i-w+1 .. i)) % divisor == 0
+    val cuts = when(size(toks) >= w,
+      filter(sequence(lit(w), size(toks)), i =>
+        pmod(graft.plans.GraftExpressions.md5_prefix60(
+          concat_ws(" ", slice(toks, i - w + 1, lit(w)))),
+          lit(divisor.toLong)) === 0L)
+    ).otherwise(array().cast("array<int>"))
+    val bounds = concat(array(lit(0)), cuts, array(size(toks)))
+    // adjacent boundary pairs (a, b], kept when non-empty
+    val spans = filter(
+      zip_with(bounds, slice(bounds, lit(2), size(bounds)),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      s => s.getField("b").isNotNull && s.getField("b") > s.getField("a"))
+    df.select(col(idCol), posexplode(
+        transform(spans, s => concat_ws(" ",
+          slice(toks, s.getField("a") + 1,
+            s.getField("b") - s.getField("a"))))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(tokens(col("col"))).cast("long").as("n_toks_chunk"),
+        col("col").as("chunk"),
+        md5(col("col").cast("binary")).as("chunk_hash"))
+  }
+
+  /**
    * Hashed-feature linear-classifier inference — the model-based quality
    * filter of CCNet / the GPT-3 curation pipeline (a linear model over
    * hashed bag-of-words features, fastText-style), as a pure scan-stage

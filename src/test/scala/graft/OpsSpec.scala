@@ -790,6 +790,28 @@ class OpsSpec extends SparkSpec {
     assert(got2.columns.toSeq == Seq("w", "n_exact"))
   }
 
+  test("cdcChunks: content-defined boundaries are offset-invariant; lossless") {
+    val common = (1 to 80).map(i => s"w${i % 23}tok").mkString(" ")
+    val df = Seq((1L, common), (2L, s"spliced prefix junk $common"),
+        (3L, "shortdoc"), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(df, "doc_id", "text", w = 4, divisor = 16)
+      .select($"doc_id", $"chunk_idx", $"chunk", $"chunk_hash")
+      .as[(Long, Int, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // lossless: chunks reassemble to the tokenized text, in order
+    assert(ch(1L).map(_._3).mkString(" ") == common)
+    assert(ch(3L).map(_._3).toSeq == Seq("shortdoc")) // < w tokens: one chunk
+    assert(!ch.contains(4L) && !ch.contains(5L)) // empty/null: no chunks
+    // offset invariance: a spliced prefix may change the FIRST chunk only;
+    // every later chunk of the original reappears verbatim in the spliced
+    // doc (fixed-stride tiles would lose all of them — 3-token shift)
+    val origTail = ch(1L).drop(1).map(_._4)
+    assert(origTail.nonEmpty, "fixture text produced no interior cut")
+    val spliced = ch(2L).map(_._4).toSet
+    origTail.foreach(h => assert(spliced.contains(h), s"lost chunk $h"))
+  }
+
   test("classifierScore: margin is the exact hashed-weight fold") {
     def w(t: String): Long = {
       val h = java.lang.Long.parseLong(
