@@ -76,6 +76,23 @@ object StreamingIngest {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming heavy-hitter candidate tracking: ONE Misra–Gries aggregate
+    * (see [[graft.plans.MisraGriesAgg]]) over the whole stream — state is
+    * bounded at `k` (item, count) entries TOTAL no matter how long the
+    * stream runs or how large the value domain grows, which is the property
+    * a long-running job needs (a groupBy-count's state grows with every
+    * distinct value ever seen). Every value with overall frequency
+    * > n_total/(k+1) is guaranteed present; counts are lower bounds. Emits
+    * one row (candidates array + exact n_total) per trigger in
+    * complete/update mode; the periodic exact recount is a batch
+    * [[graft.ops.TextOps.heavyHitters]] pass over the landed data. */
+  def heavyHitterCandidates(stream: DataFrame, valueCol: String,
+      k: Int): DataFrame =
+    stream.agg(
+      graft.plans.GraftExpressions.misra_gries(col(valueCol), k)
+        .as("candidates"),
+      count(col(valueCol)).as("n_total"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)

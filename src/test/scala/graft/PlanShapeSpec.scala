@@ -209,6 +209,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pd.contains("CartesianProduct"), pd)
   }
 
+  test("heavy hitters: bounded-state candidates broadcast; no window anywhere") {
+    val p = plan("q_text_heavyhitters")
+    // the MG candidate set (<= k rows) must reach the recount as a
+    // broadcast — a shuffled join here would mean the full bigram stream
+    // is being co-partitioned against 799 rows
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("classifier inference and cdc chunking stay in the scan stage") {
+    // classifier: margin fold is a pure projection — no shuffle at all
+    val pc = plan("q_text_classifier")
+    assert(!pc.contains("Exchange"), s"classifier shuffles:\n$pc")
+    // cdc: the only exchanges are the chunk_hash df groupBy and its join
+    // back — the chunk build itself must not shuffle, and nothing windows
+    val pd = plan("q_text_cdc")
+    assert(!pd.contains("Window"), pd)
+    assert(!pd.contains("SortMergeJoin") ||
+      "Exchange hashpartitioning".r.findAllIn(pd).size <= 3, pd)
+  }
+
   test("funnel folds off ONE user shuffle; cdc diff is one full-outer join") {
     val pf = plan("q_seq_funnel")
     val ex = "Exchange hashpartitioning".r.findAllIn(pf).size

@@ -26,6 +26,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming heavy-hitter candidates: bounded state, exact below k") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val agg = StreamingIngest.heavyHitterCandidates(mem.toDF().toDF("w"),
+      "w", k = 32)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("hh_cand").start()
+    // 3 micro-batches, 8 distinct values < k: with no decrement pressure
+    // the MG merge is pure addition, so the final summary IS the exact
+    // count map regardless of how the stream was batched
+    mem.addData(Seq.fill(5)("a") ++ Seq.fill(2)("b"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(3)("a") ++ (1 to 6).map(i => s"x$i"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(4)("b"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("hh_cand").collect().head
+    val cand = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("a" -> 8L, "b" -> 6L) ++
+      (1 to 6).map(i => s"x$i" -> 1L).toMap
+    assert(cand == expected)
+    assert(row.getLong(1) == 20L)
+  }
+
   test("stream-stream interval join agrees with the batch join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
