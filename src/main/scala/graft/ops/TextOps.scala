@@ -588,28 +588,40 @@ object TextOps {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       w: Int, divisor: Int): DataFrame = {
     require(w >= 1 && divisor >= 2, s"w=$w, divisor=$divisor out of range")
-    val toks = tokens(coalesce(col(textCol), lit("")))
+    // Each stage aliases its result before the next references it: an HOF
+    // lambda body re-evaluates every expression it embeds PER ELEMENT, so
+    // inlining the tokenizer here would re-tokenize the document once per
+    // gram position (measured 14x on the catalog query). Aliased, the
+    // lambdas read a bound array attribute; CollapseProject keeps the
+    // stages separate because the aliases are non-cheap and multiply
+    // referenced. Still one scan stage — Projects, no shuffle.
+    val withToks = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+    val tk = col("_toks")
     // cut AFTER token i (1-based) iff hash(gram(i-w+1 .. i)) % divisor == 0
-    val cuts = when(size(toks) >= w,
-      filter(sequence(lit(w), size(toks)), i =>
+    val cuts = when(size(tk) >= w,
+      filter(sequence(lit(w), size(tk)), i =>
         pmod(graft.plans.GraftExpressions.md5_prefix60(
-          concat_ws(" ", slice(toks, i - w + 1, lit(w)))),
+          concat_ws(" ", slice(tk, i - w + 1, lit(w)))),
           lit(divisor.toLong)) === 0L)
     ).otherwise(array().cast("array<int>"))
-    val bounds = concat(array(lit(0)), cuts, array(size(toks)))
+    val withBounds = withToks.select(col(idCol), tk,
+      concat(array(lit(0)), cuts, array(size(tk))).as("_bounds"))
+    val bounds = col("_bounds")
     // adjacent boundary pairs (a, b], kept when non-empty
     val spans = filter(
       zip_with(bounds, slice(bounds, lit(2), size(bounds)),
         (a, b) => struct(a.as("a"), b.as("b"))),
       s => s.getField("b").isNotNull && s.getField("b") > s.getField("a"))
-    df.select(col(idCol), posexplode(
-        transform(spans, s => concat_ws(" ",
-          slice(toks, s.getField("a") + 1,
-            s.getField("b") - s.getField("a"))))))
+    withBounds.select(col(idCol), posexplode(
+        transform(spans, s => struct(
+          concat_ws(" ", slice(tk, s.getField("a") + 1,
+            s.getField("b") - s.getField("a"))).as("chunk"),
+          (s.getField("b") - s.getField("a")).cast("long").as("n")))))
       .select(col(idCol), col("pos").as("chunk_idx"),
-        size(tokens(col("col"))).cast("long").as("n_toks_chunk"),
-        col("col").as("chunk"),
-        md5(col("col").cast("binary")).as("chunk_hash"))
+        col("col.n").as("n_toks_chunk"),
+        col("col.chunk").as("chunk"),
+        md5(col("col.chunk").cast("binary")).as("chunk_hash"))
   }
 
   /**
