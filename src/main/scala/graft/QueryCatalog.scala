@@ -2192,6 +2192,32 @@ object QueryCatalog {
         FROM bg, tot GROUP BY bigram, tot.n
         HAVING count(*) * 800 > tot.n""")),
 
+    // Per-group exact heavy hitters (per-language hot bigrams): the MG
+    // summary and support test scoped per lang — pass-1 state <= k entries
+    // per (lang, partition), candidates re-counted through a (lang, item)
+    // equi-join. k=699 < each lang's bigram vocabulary, so every group's
+    // summary runs under decrement pressure; answers still exactly equal
+    // the per-group GROUP BY HAVING.
+    ("q_text_heavyhitters_by",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("lang"),
+          TextOps.tokens(col("text")).as("ts"))
+        val bg = docs.select(col("lang"), explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+        TextOps.heavyHittersBy(bg, "lang", "bigram", k = 699, support = 700)
+      },
+      Some(s"""WITH docs AS (SELECT lang, ${tokensSql()} AS ts
+            FROM documents),
+        bg AS (SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        tot AS (SELECT lang, count(*) AS n FROM bg GROUP BY 1)
+        SELECT bg.lang, bigram, CAST(count(*) AS BIGINT) AS n_exact
+        FROM bg JOIN tot ON bg.lang = tot.lang
+        GROUP BY bg.lang, bigram, tot.n
+        HAVING count(*) * 700 > tot.n""")),
+
     // Model-based quality filtering (CCNet / GPT-3 curation): linear
     // classifier over hashed bag-of-words features as a pure scan-stage
     // fold — no shuffle, no UDF, margin in exact BIGINT (md5-derived
@@ -2303,6 +2329,29 @@ object QueryCatalog {
   }
 
   private def shingleSql(n: Int): String = shingleSqlFor(n, "", "docs", "sh")
+
+  /** CDC chunk-hash CTEs (w=4, divisor=16 — must match the catalog's
+    * cdcChunks calls), ending in `${p}ch` (doc_id, chunk_hash with
+    * multiplicity). Prefix-parameterized so corpus and increment chunkings
+    * coexist in one oracle. */
+  private def cdcHashCtes(where: String, p: String): String =
+    s"""${p}docs AS (SELECT doc_id, ${tokensSql()} AS tk
+          FROM documents $where),
+      ${p}c AS (SELECT doc_id, tk, len(tk) AS n,
+          CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
+            i -> (CAST(concat('0x', substr(md5(
+              array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
+              % 16) = 0)
+          ELSE [] END AS cuts
+        FROM ${p}docs),
+      ${p}b AS (SELECT doc_id, tk, list_concat(list_concat(
+          [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+        FROM ${p}c),
+      ${p}ch AS (SELECT doc_id,
+          md5(array_to_string(tk[bounds[j]+1:bounds[j+1]], ' '))
+            AS chunk_hash
+        FROM ${p}b, UNNEST(range(1, len(bounds))) AS u(j)
+        WHERE bounds[j+1] > bounds[j])"""
 
   private val dedupQueries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -2434,6 +2483,28 @@ object QueryCatalog {
       Some(s"""WITH ${minhashPairsCtes(5, 12, 4, 0.7)}
         SELECT doc1, doc2, jaccard FROM mh_pairs
         WHERE doc1 % 10 = 0 OR doc2 % 10 = 0""")),
+
+    // Chunk-level containment of an increment against the corpus (the
+    // re-crawl gate CDC chunking exists for): dup_frac ~ 1 flags a page
+    // whose whole-doc hash changed but whose content is already held.
+    // Corpus side reduces to DISTINCT chunk hashes; probe = one equi-join
+    // + doc-keyed count. Same 1-in-10 split as q_dedup_incremental.
+    ("q_dedup_cdc_containment",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TextOps.cdcContainment(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", w = 4, divisor = 16)
+      },
+      Some(s"""WITH ${cdcHashCtes("WHERE doc_id % 10 <> 0", "c_")},
+        ${cdcHashCtes("WHERE doc_id % 10 = 0", "n_")},
+        cs AS (SELECT DISTINCT chunk_hash FROM c_ch),
+        j AS (SELECT n_ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(count(cs.chunk_hash) AS BIGINT) AS n_dup
+          FROM n_ch LEFT JOIN cs USING (chunk_hash) GROUP BY 1)
+        SELECT doc_id, n_chunks, n_dup,
+          floor(n_dup * 1e6 / n_chunks) / 1e6 AS dup_frac FROM j""")),
 
     ("q_dedup_clusters",
       (s: SparkSession, d: String) => Dedup.components(

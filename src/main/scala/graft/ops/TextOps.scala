@@ -563,6 +563,44 @@ object TextOps {
   }
 
   /**
+   * Per-group EXACT heavy hitters — [[heavyHitters]] with the Misra–Gries
+   * summary and the support test scoped to each `groupCol` value (per-domain
+   * hot terms, per-language hot n-grams, per-source boilerplate tokens).
+   *
+   * Pass 1 is one groupBy(group) aggregate whose state is ≤ k entries PER
+   * GROUP per partition — map-side combined, so the shuffle carries ≤ k
+   * rows per (group, partition), never a group's vocabulary. The exploded
+   * candidate table (≤ k rows per group) then re-counts through an equi-join
+   * on (group, item): only rows matching a candidate of THEIR OWN group
+   * reach the recount aggregate. Each group's answer is exact by the same
+   * N_g/(k+1) < N_g/support bound, N_g the group's stream length.
+   *
+   * The candidate join is a plain equi-join (not forced broadcast): with
+   * many groups the candidate table is k × |groups| rows — small, but let
+   * AQE decide rather than pinning a driver-side collect of an unbounded
+   * group count.
+   */
+  def heavyHittersBy(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, support: Int): DataFrame = {
+    require(support >= 2, s"support=$support must be >= 2")
+    require(k + 1 >= support,
+      s"k=$k too small for support=$support (MG bound is N/(k+1))")
+    val cand = df.groupBy(col(groupCol))
+      .agg(graft.plans.GraftExpressions.misra_gries(col(valueCol), k).as("mg"),
+        count(col(valueCol)).as("n_total"))
+      .select(col(groupCol).as("_cand_group"), explode(col("mg")).as("c"),
+        col("n_total"))
+      .select(col("_cand_group"), col("c.item").as("cand_item"),
+        col("n_total"))
+    df.join(cand, col(groupCol) === col("_cand_group") &&
+        col(valueCol) === col("cand_item"))
+      .groupBy(col(groupCol), col(valueCol), col("n_total"))
+      .agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") * lit(support) > col("n_total"))
+      .select(col(groupCol), col(valueCol), col("n_exact"))
+  }
+
+  /**
    * Content-defined chunking (the LBFS / FastCDC idea — Muthitacharoen et
    * al. SOSP'01 — lifted from bytes to tokens): cut a document after token
    * `i` whenever the hash of the `w`-token gram ending at `i` is ≡ 0 mod
@@ -622,6 +660,36 @@ object TextOps {
         col("col.n").as("n_toks_chunk"),
         col("col.chunk").as("chunk"),
         md5(col("col.chunk").cast("binary")).as("chunk_hash"))
+  }
+
+  /**
+   * Chunk-level containment of new documents against a corpus — the
+   * re-crawl / boilerplate-containment gate that [[cdcChunks]]'s
+   * offset-invariance exists for: a page recrawled with a new header still
+   * shares almost all content-defined chunk hashes with its previous crawl,
+   * so `dup_frac` ≈ 1 flags it even though whole-doc hashes (and fixed
+   * tiles) all changed. Output per new doc: (idCol, n_chunks, n_dup,
+   * dup_frac) with dup_frac floor-quantized to 6 dp from the exact
+   * integer chunk counts.
+   *
+   * Distributed shape: both chunkings are scan-stage; the corpus side
+   * reduces to DISTINCT chunk hashes (combinable), and the probe is one
+   * equi-join on chunk_hash followed by a doc-keyed count — no windows, no
+   * pairwise doc join. Incremental use persists the corpus chunk-hash
+   * table once and joins each day's increment against it, exactly like
+   * [[graft.ops.Dedup.minhashIndex]].
+   */
+  def cdcContainment(newDf: DataFrame, corpusDf: DataFrame, idCol: String,
+      textCol: String, w: Int, divisor: Int): DataFrame = {
+    val newCh = cdcChunks(newDf, idCol, textCol, w, divisor)
+      .select(col(idCol), col("chunk_hash"))
+    val corpusSet = cdcChunks(corpusDf, idCol, textCol, w, divisor)
+      .select(col("chunk_hash")).distinct()
+    newCh.join(corpusSet.withColumn("_hit", lit(1)), Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), count(col("_hit")).as("n_dup"))
+      .withColumn("dup_frac",
+        floor(col("n_dup") * lit(1e6) / col("n_chunks")) / lit(1e6))
   }
 
   /**

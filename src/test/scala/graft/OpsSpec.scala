@@ -790,6 +790,47 @@ class OpsSpec extends SparkSpec {
     assert(got2.columns.toSeq == Seq("w", "n_exact"))
   }
 
+  test("heavyHittersBy: per-group answers equal the per-group naive") {
+    // group a: zipf-ish (val_i x i*i, i<=12); group b: one dominant value
+    val rows = (1 to 12).flatMap(i => Seq.fill(i * i)(("a", s"val_$i"))) ++
+      (Seq.fill(40)(("b", "hot")) ++ (1 to 30).map(i => ("b", s"cold_$i")))
+    val expected = {
+      val byG = rows.groupBy(_._1)
+      byG.flatMap { case (g, rs) =>
+        val n = rs.size
+        rs.groupBy(_._2).collect {
+          case (v, vs) if vs.size * 8 > n => (g, v, vs.size.toLong)
+        }
+      }.toSet
+    }
+    assert(expected.nonEmpty && expected.exists(_._1 == "b"))
+    for (parts <- Seq(1, 5)) {
+      val got = TextOps.heavyHittersBy(
+          rows.toDF("g", "w").repartition(parts), "g", "w",
+          k = 7, support = 8)
+        .as[(String, String, Long)].collect().toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("cdcContainment: recrawl-with-new-prefix flags high, novel doc zero") {
+    val common = (1 to 120).map(i => s"w${i % 29}tok").mkString(" ")
+    val corpus = Seq((1L, common)).toDF("doc_id", "text")
+    val incoming = Seq(
+        (10L, s"fresh banner added today $common"), // recrawl
+        (11L, (1 to 60).map(i => s"novel${i}z").mkString(" "))) // new page
+      .toDF("doc_id", "text")
+    val got = TextOps.cdcContainment(incoming, corpus, "doc_id", "text",
+        w = 4, divisor = 16)
+      .select($"doc_id", $"n_chunks", $"n_dup", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n10, d10, f10) = got(10L)
+    // all but the first chunk(s) of the recrawl are already held
+    assert(d10 >= n10 - 2 && f10 > 0.5, s"recrawl under-flagged: $got")
+    assert(got(11L)._3 == 0L && got(11L)._4 == 0.0)
+  }
+
   test("cdcChunks: content-defined boundaries are offset-invariant; lossless") {
     val common = (1 to 80).map(i => s"w${i % 23}tok").mkString(" ")
     val df = Seq((1L, common), (2L, s"spliced prefix junk $common"),
