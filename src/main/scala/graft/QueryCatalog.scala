@@ -621,6 +621,37 @@ object QueryCatalog {
           floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) / 1e6 AS p_next
         FROM tr JOIN tot USING (from_type)""")),
 
+    // Last-touch conversion attribution: each purchase credits the user's
+    // most recent PRIOR click/view (conversions with no prior touch fall
+    // into the 'organic' bucket). The carry-forward is a per-user window
+    // (state bounded by one user's history — the accepted domain-bounded
+    // class, same as q_seq_transitions); revenue sums in exact BIGINT
+    // cents with a total (ts, event_id) tie order.
+    ("q_seq_attribution",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("touch",
+            last(when(col("event_type").isin("click", "view"),
+              col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("touch"), lit("organic")).as("touch"))
+          .agg(count(lit(1)).as("n_conversions"),
+            (sum(cents(col("value"))) / lit(100.0)).as("revenue"))
+      },
+      Some(s"""WITH r AS (SELECT event_type, "value",
+            last_value(CASE WHEN event_type IN ('click', 'view')
+                THEN event_type END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM events)
+        SELECT coalesce(touch, 'organic') AS touch,
+          count(*) AS n_conversions,
+          CAST(sum(${centsSql(""""value"""")}) AS BIGINT) / 100.0 AS revenue
+        FROM r WHERE event_type = 'purchase' GROUP BY 1""")),
+
     // Per-user training-feature assembly — the behavioral flagship
     // composition (the events-side q_curate_pack): activity stats,
     // first/last/favorite event type and the shift-decayed engagement sum
@@ -928,6 +959,73 @@ object QueryCatalog {
           CAST(sum(price_cents) AS BIGINT) / 100.0 AS total_price
         FROM li JOIN pp USING (l_partkey)
         WHERE qty * 5 * cq < sq""")),
+
+    // TPC-H Q2 shape (correlated-min decorrelation): for each small part,
+    // the supplier(s) offering the minimum price. The correlated scalar
+    // subquery decorrelates to groupBy-min + equi-join back (ties kept, as
+    // in Q2); part/supplier/nation are broadcast dims, so the only fact
+    // shuffles are the two offer aggregations. Prices compared in exact
+    // integer cents.
+    ("q_join_mincost",
+      (s: SparkSession, d: String) => {
+        val off = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(cents(col("l_extendedprice"))).as("offer_cents"))
+        val mo = off.groupBy("l_partkey")
+          .agg(min("offer_cents").as("min_cents"))
+        off.join(mo, Seq("l_partkey"))
+          .filter(col("offer_cents") === col("min_cents"))
+          .join(broadcast(t(s, d, "part").filter(col("p_size") <= 5)),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_partkey"), col("p_type"), col("s_name"),
+            col("n_name"), (col("min_cents") / lit(100.0)).as("min_price"))
+      },
+      Some(s"""WITH off AS (SELECT l_partkey, l_suppkey,
+            min(${centsSql("l_extendedprice")}) AS offer_cents
+          FROM lineitem GROUP BY 1, 2),
+          mo AS (SELECT l_partkey, min(offer_cents) AS min_cents
+          FROM off GROUP BY 1)
+        SELECT p_partkey, p_type, s_name, n_name,
+          CAST(min_cents AS BIGINT) / 100.0 AS min_price
+        FROM off JOIN mo USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE offer_cents = min_cents AND p_size <= 5""")),
+
+    // TPC-H Q18 shape (HAVING-filtered semi enrichment): orders whose
+    // total quantity exceeds the threshold, with their customer. The
+    // lineitem aggregate is map-side combinable and its survivors are few,
+    // so the enrichment join broadcasts the AGGREGATE, not the fact table;
+    // order dates render as strings for cross-engine byte equality.
+    ("q_join_bigorders",
+      (s: SparkSession, d: String) => {
+        val big = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        t(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            (cents(col("o_totalprice")) / lit(100.0)).as("total_price"),
+            col("sum_qty"))
+      },
+      Some(s"""WITH big AS (SELECT l_orderkey,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING sum_qty > 300)
+        SELECT c_name, c_custkey, o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          CAST(${centsSql("o_totalprice")} AS BIGINT) / 100.0
+            AS total_price,
+          sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey""")),
 
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {
@@ -2422,6 +2520,30 @@ object QueryCatalog {
                    JOIN sizes z2 ON doc2 = z2.doc_id
         WHERE CAST(intersection AS DOUBLE) /
               CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.5""")),
+
+    // EXACT similarity join (PPJoin prefix filter): the oracle is the
+    // UNCAPPED all-shared-shingle ground truth — the hash-match proves the
+    // prefix filter is lossless, not merely close, which is precisely what
+    // separates it from the maxDf heuristic in q_dedup_jaccard above.
+    ("q_dedup_ppjoin",
+      (s: SparkSession, d: String) => Dedup.ppjoinPairs(
+        t(s, d, "documents"), "doc_id", "text", n = 5, threshold = 0.7),
+      Some(s"""WITH ${shingleSql(5)},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+        inter AS (SELECT doc1, doc2, count(*) AS intersection
+                  FROM cand JOIN sh sa ON sa.doc_id = doc1
+                            JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
+                  GROUP BY 1, 2)
+        SELECT doc1, doc2, intersection,
+          z1.n_sh AS n1, z2.n_sh AS n2,
+          CAST(intersection AS DOUBLE) /
+            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
+                   JOIN sizes z2 ON doc2 = z2.doc_id
+        WHERE CAST(intersection AS DOUBLE) /
+              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7""")),
 
     ("q_dedup_minhash",
       (s: SparkSession, d: String) => Dedup.minhashNearDups(
@@ -3946,6 +4068,43 @@ object QueryCatalog {
             greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
           AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
             <= cum""")),
+
+    // Per-type winsorized value profile: clamp at the exact p05/p95
+    // discrete quantiles (cents-quantized, so the clamped sum is exact
+    // BIGINT), bounds broadcast onto the fact scan — see Stats.winsorize
+    ("q_profile_winsorize",
+      (s: SparkSession, d: String) => graft.ops.Stats.winsorize(
+        t(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("v")),
+        Seq("event_type"), "v", lo = 0.05, hi = 0.95),
+      Some("""WITH e AS (SELECT event_type,
+              CAST(floor("value" * 100) AS BIGINT) AS v
+            FROM events WHERE "value" IS NOT NULL),
+          cells AS (SELECT event_type, v, count(*) AS cnt
+            FROM e GROUP BY 1, 2),
+          cum AS (SELECT event_type, v, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+            FROM cells),
+          qs AS (SELECT unnest([0.05, 0.95]) AS q),
+          qv AS (SELECT event_type, CAST(q AS DOUBLE) AS q, v
+            FROM cum CROSS JOIN qs
+            WHERE cum - cnt < greatest(
+                CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
+              AND greatest(
+                CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1) <= cum),
+          b AS (SELECT event_type,
+              min(CASE WHEN q = 0.05 THEN v END) AS lo_v,
+              min(CASE WHEN q = 0.95 THEN v END) AS hi_v
+            FROM qv GROUP BY 1)
+        SELECT e.event_type, count(*) AS n_rows,
+          CAST(sum(CASE WHEN v < lo_v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+          CAST(sum(CASE WHEN v > hi_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+          lo_v, hi_v,
+          CAST(sum(least(greatest(v, lo_v), hi_v)) AS BIGINT) AS sum_w
+        FROM e JOIN b USING (event_type)
+        GROUP BY e.event_type, lo_v, hi_v""")),
 
     // The PRODUCTION sketch profile: same one-pass KMV plan as
     // q_profile_approx but hashing with Spark's codegen'd xxhash64 instead

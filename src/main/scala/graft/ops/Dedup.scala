@@ -260,6 +260,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * EXACT threshold-Jaccard self-join via prefix filtering (the
+   * AllPairs/PPJoin bound — Bayardo WWW'07, Xiao WWW'08). Unlike
+   * [[jaccardPairs]], whose rare-shingle cap (`maxDf`) can miss a pair
+   * whose every shared shingle is frequent, the prefix filter is LOSSLESS:
+   * order every document's shingle set by ascending global document
+   * frequency and keep only the first `m - ceil(t*m) + 1` shingles — any
+   * pair with Jaccard >= t provably shares at least one PREFIX shingle, so
+   * an equi-join on prefix shingles generates a complete candidate set.
+   * Output: (doc1, doc2, intersection, n1, n2, jaccard), the true pairs.
+   *
+   * Scale shape: the candidate join touches only prefix postings — each
+   * document contributes its ~(1-t)·m RAREST shingles, so the join's key
+   * distribution is anti-correlated with shingle hotness by construction
+   * (a boilerplate gram that appears in 10^7 documents sits at the very
+   * END of every ordering and never enters a prefix unless the threshold
+   * is so low that near-everything pairs anyway). A size filter
+   * (t·max <= min, necessary since J <= min/max) prunes cross-length
+   * candidates before the verify join. Document frequency and the per-doc
+   * ordering are both single groupBy shuffles (map-side combinable / keyed
+   * by doc_id, state bounded by document length); verification is
+   * per-candidate local `array_intersect` over the two hashed sets.
+   */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val sh = materialized(shingleTable(df, idCol, textCol, n)
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h")))
+
+    // Global df — the prefix ordering key. Ties broken on the hash so the
+    // ordering is total and identical across documents (the losslessness
+    // proof needs one global order, not just any per-doc order).
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+
+    // One doc_id shuffle: the full set ordered rarest-first. array_sort on
+    // (df, h) structs sorts lexicographically — exactly the global order.
+    val ordered = sh.join(dfreq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("h"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), x => x("h")).as("hs"),
+        size(col("ord")).as("m"))
+
+    // Prefix length m - ceil(t*m) + 1. The 1e-9 nudge makes ceil of an
+    // exactly-integer t*m that double rounding pushed ABOVE the integer
+    // err toward a LONGER prefix (more candidates) — never a shorter one,
+    // which would break the completeness guarantee.
+    val pref = ordered.select(col("doc_id"), col("m"),
+      explode(slice(col("hs"), lit(1),
+        (col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + 1)
+          .cast("int"))).as("h"))
+
+    // Candidates: prefix-token equi-join + the length filter. The epsilon
+    // keeps a borderline m2 == t*m1 pair IN (over-generation is corrected
+    // by the exact verify; under-generation would be a wrong answer).
+    val candidates = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.m"), col("b.m")).cast("double") >=
+            (lit(threshold) - lit(1e-9)) * greatest(col("a.m"), col("b.m")))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+
+    val docSets = docShingleSetsHashed(sh, 0)
+    candidates
+      .join(docSets.as("z1"), col("doc1") === col("z1.doc_id"))
+      .join(docSets.as("z2"), col("doc2") === col("z2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        size(array_intersect(col("z1.sh_set"), col("z2.sh_set")))
+          .cast("long").as("intersection"),
+        col("z1.n_sh").as("n1"), col("z2.n_sh").as("n2"))
+      .withColumn("jaccard", col("intersection").cast("double") /
+        (col("n1") + col("n2") - col("intersection")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ----------------------------------------------------- decontamination
 
   /**

@@ -155,6 +155,42 @@ object Stats {
   }
 
   /**
+   * Per-group winsorization: clamp an integer-quantized measure to its
+   * group's [lo, hi] discrete quantiles and report the clamped aggregate —
+   * the outlier-robust feature-scaling step of a tabular/feature pipeline
+   * (a corrupt 1e12 sensor reading must not drag a 100 TB mean).
+   *
+   * Bounds are the exact type-III quantiles of [[quantilesDisc]] (so the
+   * oracle replays them bit-for-bit); they come back as ONE row per group
+   * and broadcast-join onto the fact scan, so the clamp itself is pure
+   * scan-stage work followed by one combine-enabled aggregate — two passes
+   * over the facts total, no fact-side window anywhere. `valueCol` must
+   * already be integer-quantized (cents, not raw doubles): the winsorized
+   * sum is then an exact BIGINT, order-independent across partitions.
+   *
+   * Output: groupCols + (n_rows, n_lo, n_hi, lo_v, hi_v, sum_w) where
+   * n_lo/n_hi count clamped rows and sum_w is the clamped BIGINT sum.
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo > 0 && hi <= 1 && lo < hi, s"need 0 < lo < hi <= 1: $lo, $hi")
+    val gcols = groupCols.map(col)
+    val facts = df.filter(col(valueCol).isNotNull)
+    val bounds = quantilesDisc(facts, groupCols, valueCol, Seq(lo, hi))
+      .groupBy(gcols: _*)
+      .agg(min(when(col("q") === lo, col("value"))).as("lo_v"),
+        min(when(col("q") === hi, col("value"))).as("hi_v"))
+    val v = col(valueCol)
+    facts.join(broadcast(bounds), groupCols)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(v < col("lo_v"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(v > col("hi_v"), 1L).otherwise(0L)).as("n_hi"),
+        min(col("lo_v")).as("lo_v"), min(col("hi_v")).as("hi_v"),
+        sum(least(greatest(v, col("lo_v")), col("hi_v"))).as("sum_w"))
+  }
+
+  /**
    * Equi-depth (quantile) binning of an integer-quantized measure — the
    * feature-discretization step of a tabular-training pipeline (and the
    * histogram whose buckets carry equal mass rather than equal width).

@@ -272,6 +272,31 @@ class OpsSpec extends SparkSpec {
     assert(capped.map(p => (p._1, p._2, p._6)) == Set((1L, 2L, 1.0)))
   }
 
+  test("ppjoin equals uncapped ground truth and survives hot shingles") {
+    // set-equality with the UNCAPPED candidate generation (maxDf = MaxValue
+    // admits every shingle with df >= 2, which is complete: a pair with
+    // J > 0 shares at least one shingle of df >= 2)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.7, maxDf = Int.MaxValue)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.7)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(truth.nonEmpty && got == truth)
+    // four identical docs: every shared shingle has df = 4, so a df-capped
+    // candidate filter (maxDf = 3) misses all six pairs; the prefix filter
+    // is lossless and must return them all
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val hot = (1L to 4L).map(i => (i, text)).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(hot, "doc_id", "text", n = 5,
+      threshold = 0.9, maxDf = 3).count()
+    val pp = Dedup.ppjoinPairs(hot, "doc_id", "text", n = 5, threshold = 0.9)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(capped == 0L)
+    assert(pp == Set((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("minhash LSH candidates recall the true jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
         threshold = 0.8, maxDf = 10)
