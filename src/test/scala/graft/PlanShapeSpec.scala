@@ -239,4 +239,33 @@ class PlanShapeSpec extends SparkSpec {
     val pc = plan("q_snapshot_changes")
     assert("Join".r.findAllIn(pc).size == 1, s"cdc diff joins != 1:\n$pc")
   }
+
+  test("decorrelated joins broadcast their small sides; ppjoin stays equi") {
+    // mincost: the dim enrichments (part/supplier/nation) are explicit
+    // broadcasts; nothing may degrade to a cartesian/nested-loop
+    val pm = plan("q_join_mincost")
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("CartesianProduct") &&
+      !pm.contains("BroadcastNestedLoopJoin"), pm)
+    // bigorders: the HAVING-filtered order aggregate (few survivors) is
+    // the broadcast BUILD side — the orders fact table must not shuffle
+    // against it
+    val pb = plan("q_join_bigorders")
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    // winsorize: the per-group bounds reach the fact scan as ONE broadcast
+    // row per group; the only WindowExec allowed is the cum-sum over the
+    // distinct-value CELL table inside the bounds computation
+    val pw = plan("q_profile_winsorize")
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    // ppjoin: candidate generation and verification are hash equi-joins —
+    // a nested-loop here is the quadratic catastrophe the prefix filter
+    // exists to avoid
+    val pp = plan("q_dedup_ppjoin")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp)
+    // attribution: exactly one per-user WindowExec (the carry-forward);
+    // the conversion rollup itself must aggregate, not window
+    val pa = plan("q_seq_attribution")
+    assert("Window".r.findAllIn(pa).size == 1, pa)
+  }
 }

@@ -396,6 +396,45 @@ class StreamingSpec extends SparkSpec {
     assert(byUpdate((2L, 1L)).week == 5L)
   }
 
+  test("streaming last-touch attribution matches a reference fold in order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{Event, AttributionOut}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic pseudo-random in-order stream over 5 users
+    val types = Array("view", "click", "purchase", "error", "signup")
+    val evs = (1L to 120L).map { i =>
+      Event(i, new java.sql.Timestamp(i * 1000L), i % 5,
+        types(((i % 7) * 2 % 5).toInt), i * 0.37)
+    }
+    // reference: the batch window semantics, folded directly
+    val lastTouch = scala.collection.mutable.Map[Long, String]()
+    val expected = evs.flatMap { e =>
+      val out = e.event_type match {
+        case "purchase" => Some(AttributionOut(e.event_id, e.user_id,
+          lastTouch.getOrElse(e.user_id, "organic"),
+          math.floor(e.value * 100).toLong))
+        case _ => None
+      }
+      if (e.event_type == "click" || e.event_type == "view")
+        lastTouch(e.user_id) = e.event_type
+      out
+    }.toSet
+    assert(expected.exists(_.touch == "organic") &&
+      expected.exists(_.touch != "organic")) // both branches exercised
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.lastTouchAttribution(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_stream").start()
+    try {
+      // split into three micro-batches to cross state boundaries
+      evs.grouped(40).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("attr_stream").as[AttributionOut].collect().toSet
+    assert(got == expected)
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}
