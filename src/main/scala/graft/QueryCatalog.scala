@@ -448,6 +448,60 @@ object QueryCatalog {
           min("value") AS min_value, max("value") AS max_value
         FROM events GROUP BY 1, 2""")),
 
+    // Daily active users + cumulative distinct reach: first-seen day per
+    // user (one groupBy — the classic "count distinct so far" rewrite that
+    // needs NO stateful running distinct), then a running sum over the
+    // CALENDAR (the only window, bounded by days-in-range, not corpus)
+    ("q_agg_reach",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val active = e.groupBy("day").agg(count(lit(1)).as("n_active"))
+        val firstSeen = e.groupBy("user_id").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        active.join(firstSeen, Seq("day"), "left")
+          .na.fill(0L, Seq("n_new"))
+          .withColumn("cum_reach", sum("n_new").over(w))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_active"), col("n_new"), col("cum_reach"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+          a AS (SELECT day, count(*) AS n_active FROM e GROUP BY 1),
+          f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
+          nn AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active,
+          coalesce(nn.n_new, 0) AS n_new,
+          CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
+        FROM a LEFT JOIN nn USING (day)""")),
+
+    // Incremental rollup maintenance: the merged (base-partial + delta-
+    // partial) aggregate must equal the full recompute — the algebraic
+    // mergeability that lets a 100 TB daily rollup absorb a new partition
+    // by combining partials instead of rescanning history. The oracle IS
+    // the full recompute, so the hash-match is the maintenance proof.
+    ("q_incr_agg_merge",
+      (s: SparkSession, d: String) => {
+        val split = lit("2024-01-20").cast("timestamp")
+        def rollup(df: DataFrame): DataFrame = df
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("value_cents"))
+        val e = t(s, d, "events")
+        rollup(e.filter(col("ts") < split))
+          .unionByName(rollup(e.filter(col("ts") >= split)))
+          .groupBy("day", "event_type")
+          .agg(sum("n").as("n"), sum("value_cents").as("value_cents"))
+      },
+      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+          count(*) AS n,
+          CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2""")),
+
     // Time-series densification: hourly resample (max value per hour) onto
     // each event type's full hour grid, gaps filled by
     // last-observation-carried-forward. The grid is calendar-bounded (hours
@@ -1026,6 +1080,54 @@ object QueryCatalog {
           sum_qty
         FROM orders JOIN big ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey""")),
+
+    // Market-basket association mining: co-ordered part pairs with support
+    // and lift. The pair fan-out is per-ORDER-bounded (an order carries at
+    // most a handful of lines, so the self-join emits <= C(lines,2) rows
+    // per order — corpus-LINEAR, unlike a part-keyed pairing which would
+    // square on popular parts); the global order count is one broadcast
+    // row, and lift renders via the floor(1e6*x)/1e6 fixed-point both
+    // engines compute identically.
+    ("q_basket_lift",
+      (s: SparkSession, d: String) => {
+        val items = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 3)
+        val totals = items.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_part"))
+        val nOrders = items.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(totals.select(col("l_partkey").as("p1"),
+            col("n_part").as("n1")), Seq("p1"))
+          .join(totals.select(col("l_partkey").as("p2"),
+            col("n_part").as("n2")), Seq("p2"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("lift",
+            floor(lit(1e6) * (col("n_co") * col("n_orders")).cast("double") /
+              (col("n1") * col("n2")).cast("double")) / lit(1e6))
+          .select("p1", "p2", "n_co", "n1", "n2", "lift")
+      },
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem),
+          pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+              count(*) AS n_co
+            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 3),
+          tot AS (SELECT l_partkey, count(*) AS n_part FROM i GROUP BY 1),
+          no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i)
+        SELECT p1, p2, n_co, t1.n_part AS n1, t2.n_part AS n2,
+          floor(1e6 * CAST(n_co * n_orders AS DOUBLE) /
+            CAST(t1.n_part * t2.n_part AS DOUBLE)) / 1e6 AS lift
+        FROM pr JOIN tot t1 ON p1 = t1.l_partkey
+                JOIN tot t2 ON p2 = t2.l_partkey
+                CROSS JOIN no""")),
 
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {

@@ -268,4 +268,20 @@ class PlanShapeSpec extends SparkSpec {
     val pa = plan("q_seq_attribution")
     assert("Window".r.findAllIn(pa).size == 1, pa)
   }
+
+  test("basket pairs stay order-keyed; reach windows only the calendar") {
+    // basket: the pair generation is an equi-join on l_orderkey (per-order
+    // bounded fan-out); the only nested-loop is the 1-row n_orders
+    // broadcast — a part-keyed pairing would square on popular parts
+    val pb = plan("q_basket_lift")
+    assert(!pb.contains("CartesianProduct"), pb)
+    assert(!pb.contains("Window"), pb)
+    // reach: one WindowExec total, and it runs AFTER aggregation to the
+    // per-day table (calendar-bounded input, not the event stream)
+    val pr = plan("q_agg_reach")
+    assert("Window".r.findAllIn(pr).size == 1, pr)
+    // incremental merge: pure aggregates — no window, no join anywhere
+    val pi = plan("q_incr_agg_merge")
+    assert(!pi.contains("Window") && !pi.contains("Join"), pi)
+  }
 }
