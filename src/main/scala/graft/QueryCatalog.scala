@@ -1129,6 +1129,35 @@ object QueryCatalog {
                 JOIN tot t2 ON p2 = t2.l_partkey
                 CROSS JOIN no""")),
 
+    // Supply-concentration profile (Herfindahl index per part): squared
+    // supplier shares sum to ss/tot² — kept as exact BIGINT numerator and
+    // denominator through both combine-enabled aggregates, with ONE double
+    // division at presentation. Two map-side-combining groupBys, no
+    // window, no join: the shape a 100 TB concentration report wants.
+    ("q_agg_hhi",
+      (s: SparkSession, d: String) => {
+        val per = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        per.groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("q") * col("q")).as("ss"),
+            sum(col("q")).as("tot"))
+          .withColumn("hhi",
+            floor(lit(1e6) * col("ss").cast("double") /
+              (col("tot") * col("tot")).cast("double")) / lit(1e6))
+      },
+      Some("""WITH per AS (SELECT l_partkey, l_suppkey,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_partkey, count(*) AS n_suppliers,
+          CAST(sum(q * q) AS BIGINT) AS ss,
+          CAST(sum(q) AS BIGINT) AS tot,
+          floor(1e6 * CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) /
+            CAST(CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE))
+            / 1e6 AS hhi
+        FROM per GROUP BY 1""")),
+
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
@@ -1297,6 +1326,33 @@ object QueryCatalog {
     // Moving-window analytics: trailing 4-row sum/count + lag delta per
     // user. Both frames share one (user_id) partitioning + (ts, event_id)
     // sort, so Spark plans ONE shuffle + one sort for all three columns.
+    // Per-user maximum drawdown: running peak minus current value, maxed —
+    // the time-series stress metric (how far below its own high-water mark
+    // a series fell). One per-user window (user-bounded state) sharing its
+    // (user, ts) sort with the rollup; values in exact cents throughout.
+    ("q_window_drawdown",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("v", cents(col("value")))
+          .withColumn("peak", max("v").over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max("peak").as("peak_cents"),
+            max(col("peak") - col("v")).as("max_drawdown_cents"))
+      },
+      Some(s"""WITH r AS (SELECT user_id, ${centsSql(""""value"""")} AS v,
+            max(${centsSql(""""value"""")}) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+          CAST(max(peak) AS BIGINT) AS peak_cents,
+          CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents
+        FROM r GROUP BY 1""")),
+
     ("q_window_moving",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
@@ -2064,6 +2120,50 @@ object QueryCatalog {
           count(DISTINCT doc_id) AS n_docs
         FROM toks GROUP BY 1
         ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
+
+    // Zipf-slope corpus diagnostic: regress whole-bit log2(freq) on
+    // whole-bit log2(rank) over the vocabulary — a healthy natural-text
+    // corpus slopes near -1; word-soup or boilerplate-heavy corpora
+    // flatten. All moments are exact BIGINTs (bit-lengths, not floating
+    // logs — cross-engine bit-stable); the ONLY window ranks the
+    // VOCABULARY table (sublinear in the corpus — the same domain-bounded
+    // class as the quantile cell tables), and the result is one row.
+    ("q_text_zipf",
+      (s: SparkSession, d: String) => {
+        val f = t(s, d, "documents")
+          .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq"))
+        val ranked = f.withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
+        val b = ranked.select(
+          graft.plans.GraftExpressions.bit_length_long(col("rank")).as("x"),
+          graft.plans.GraftExpressions.bit_length_long(col("freq")).as("y"))
+        b.agg(count(lit(1)).as("n_terms"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_bits",
+            floor(lit(1e6) *
+              (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) / lit(1e6))
+      },
+      Some(s"""WITH terms AS (SELECT t AS term
+            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+          f AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1),
+          r AS (SELECT freq, row_number() OVER (
+              ORDER BY freq DESC, term ASC) AS rank FROM f),
+          b AS (SELECT CAST(length(bin(rank)) AS BIGINT) AS x,
+              CAST(length(bin(freq)) AS BIGINT) AS y FROM r),
+          m AS (SELECT count(*) AS n_terms,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(x * y) AS BIGINT) AS sxy FROM b)
+        SELECT n_terms, sx, sy, sxx, sxy,
+          floor(1e6 * CAST(n_terms * sxy - sx * sy AS DOUBLE) /
+            CAST(n_terms * sxx - sx * sx AS DOUBLE)) / 1e6 AS slope_bits
+        FROM m""")),
 
     // LM-coverage quality gate: the fraction of a document's bigrams that
     // are corpus-frequent — the integer-stable stand-in for perplexity

@@ -283,5 +283,12 @@ class PlanShapeSpec extends SparkSpec {
     // incremental merge: pure aggregates — no window, no join anywhere
     val pi = plan("q_incr_agg_merge")
     assert(!pi.contains("Window") && !pi.contains("Join"), pi)
+    // hhi: two combine-enabled aggregates, nothing else
+    val ph = plan("q_agg_hhi")
+    assert(!ph.contains("Window") && !ph.contains("Join"), ph)
+    // zipf: the only window ranks the vocabulary table (post-aggregate) —
+    // exactly one WindowExec, no join
+    val pz = plan("q_text_zipf")
+    assert("Window".r.findAllIn(pz).size == 1 && !pz.contains("Join"), pz)
   }
 }
