@@ -1158,6 +1158,39 @@ object QueryCatalog {
             / 1e6 AS hhi
         FROM per GROUP BY 1""")),
 
+    // Runtime-filter semi-join: a Bloom filter built over the filtered
+    // dimension's keys reaches the FACT SCAN as one broadcast row, so
+    // non-matching orders drop in the scan stage — before any exchange —
+    // and the exact broadcast join afterwards removes the false positives.
+    // The explicit form of the sideways information passing a 100 TB
+    // selective-dim join lives on (the fact side never shuffles rows the
+    // dim cannot match). The oracle is the plain semi-join — the bloom is
+    // semantically transparent by construction.
+    ("q_join_bloom_prune",
+      (s: SparkSession, d: String) => {
+        val dim = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > 9000)
+          .select(col("c_custkey"))
+        val bits = dim.agg(graft.plans.GraftExpressions.bloom_bits(
+          col("c_custkey").cast("string"), 1 << 17, 4).as("bits"))
+        t(s, d, "orders")
+          .crossJoin(broadcast(bits))
+          .filter(graft.plans.GraftExpressions.bloom_contains(col("bits"),
+            col("o_custkey").cast("string"), 1 << 17, 4))
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(cents(col("o_totalprice"))) / lit(100.0)).as("total_price"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) / 100.0
+            AS total_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
+        GROUP BY 1""")),
+
     ("q_join_region_revenue",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
@@ -4320,6 +4353,54 @@ object QueryCatalog {
         Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"),
         sketchK = 256),
       None),
+
+    // KMV sketch MERGEABILITY proof: per-(lang, source) bottom-k states
+    // re-aggregated to the lang level must estimate EXACTLY what a direct
+    // lang-level sketch estimates (bottom-k of a union == bottom-k of the
+    // union of bottom-ks) — the algebraic property that lets a 100 TB
+    // profile keep per-partition sketches and combine them without a
+    // second data pass. The oracle computes the direct estimate once and
+    // asserts it for BOTH columns.
+    ("q_profile_sketch_merge",
+      (s: SparkSession, d: String) => {
+        val h = t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .withColumn("h",
+            graft.plans.GraftExpressions.md5_prefix60(col("w")))
+        val est = (sk: org.apache.spark.sql.Column) =>
+          when(size(sk) < 16, size(sk).cast("double"))
+            .otherwise(lit(15.0 * 1152921504606846976.0) /
+              element_at(sk, 16).cast("double"))
+        val parts = h.groupBy("lang", "source")
+          .agg(graft.plans.GraftExpressions.bottomk_distinct(col("h"), 16)
+            .as("sk"))
+        val merged = parts
+          .select(col("lang"), explode(col("sk")).as("h"))
+          .groupBy("lang")
+          .agg(graft.plans.GraftExpressions.bottomk_distinct(col("h"), 16)
+            .as("sk"))
+          .select(col("lang"), est(col("sk")).as("est_merged"))
+        val direct = h.groupBy("lang")
+          .agg(graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
+            .as("est_direct"))
+        merged.join(direct, Seq("lang"))
+      },
+      Some(s"""WITH toks AS (SELECT lang, t
+            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+          h AS (SELECT DISTINCT lang,
+              CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+            FROM toks),
+          r AS (SELECT lang, h,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+              count(*) OVER (PARTITION BY lang) AS cnt FROM h),
+          kth AS (SELECT lang, max(CASE WHEN rn <= 16 THEN h END) AS h_k,
+              any_value(cnt) AS cnt FROM r GROUP BY 1),
+          e AS (SELECT lang,
+              CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
+                   ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+              END AS est FROM kth)
+        SELECT lang, est AS est_merged, est AS est_direct FROM e""")),
 
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both

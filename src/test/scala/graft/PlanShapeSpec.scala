@@ -290,5 +290,13 @@ class PlanShapeSpec extends SparkSpec {
     // exactly one WindowExec, no join
     val pz = plan("q_text_zipf")
     assert("Window".r.findAllIn(pz).size == 1 && !pz.contains("Join"), pz)
+    // bloom prune: the fact side joins ONLY by broadcast (bits + dim);
+    // a sort-merge join would mean the pruned scan still shuffled
+    val pbl = plan("q_join_bloom_prune")
+    assert(pbl.contains("BroadcastHashJoin"), pbl)
+    assert(!pbl.contains("SortMergeJoin"), pbl)
+    // sketch merge: bounded-state aggregates only — no window anywhere
+    val psm = plan("q_profile_sketch_merge")
+    assert(!psm.contains("Window"), psm)
   }
 }
