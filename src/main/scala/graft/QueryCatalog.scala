@@ -267,6 +267,36 @@ object QueryCatalog {
   private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // W1 — windowed latest-row dedup (deterministic tie-break on event_id)
+    // Telemetry debounce: an event repeating its (user, type) key within
+    // 5 s of the PREVIOUS occurrence is a client-side duplicate — the
+    // lag-window suppression every clickstream ingest runs before
+    // counting. One per-key window (user-bounded), exact integer micros.
+    ("q_dedup_debounce",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        t(s, d, "events")
+          .withColumn("gap_us", unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("kept",
+            col("gap_us").isNull || col("gap_us") >= 5000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+            epoch_us(ts) - lag(epoch_us(ts)) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts ASC, event_id ASC) AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_total,
+          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 5000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 5000000
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM g GROUP BY 1""")),
+
     ("q_dedup_latest",
       (s: SparkSession, d: String) => StageTransform.dedupLatest(
           t(s, d, "events"), Seq("user_id"), Seq("ts"), Seq("event_id"))
@@ -3893,6 +3923,37 @@ object QueryCatalog {
       },
       Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
         strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem""")),
+
+    // Federated multi-format union: the same region dim served from
+    // parquet, CSV and ORC, unified under one schema and aggregated —
+    // the lake reality where history lives in one format and fresh loads
+    // in another. Schema alignment is explicit casts at the source reads
+    // (unionByName after normalization); each branch keeps its own
+    // format-native scan. Oracle: each region appears once per format.
+    ("q_src_federated",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "region")
+          .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+            col("r_name"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_fed").toString
+        graft.sources.RawZone.writeRawCsv(base, s"$tmp/csv",
+          overwrite = true)
+        base.write.mode("overwrite").orc(s"$tmp/orc")
+        val fromCsv = graft.sources.RawZone.readRawCsv(s, s"$tmp/csv")
+          .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+            col("r_name"))
+        val fromOrc = s.read.orc(s"$tmp/orc")
+        base.withColumn("fmt", lit("parquet"))
+          .unionByName(fromCsv.withColumn("fmt", lit("csv")))
+          .unionByName(fromOrc.withColumn("fmt", lit("orc")))
+          .groupBy("r_regionkey", "r_name")
+          .agg(count(lit(1)).as("n_copies"),
+            count_distinct(col("fmt")).as("n_formats"))
+      },
+      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+          CAST(3 AS BIGINT) AS n_copies, CAST(3 AS BIGINT) AS n_formats
+        FROM region""")),
 
     // ORC round trip: the second columnar format a lake interoperates
     // with — typed write + read-back, verified lossless against the
