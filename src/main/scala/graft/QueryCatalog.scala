@@ -2622,32 +2622,56 @@ object QueryCatalog {
           .select(col("doc_id"), col("chunk_idx"), col("n_toks_chunk"),
             col("chunk_hash"), col("df"))
       },
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        c AS (SELECT doc_id, tk, len(tk) AS n,
-            CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
-              i -> (CAST(concat('0x', substr(md5(
-                array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
-                % 16) = 0)
-            ELSE [] END AS cuts
-          FROM docs),
-        b AS (SELECT doc_id, tk, list_concat(list_concat(
-            [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
-          FROM c),
-        ch AS (SELECT doc_id, j,
-            array_to_string(tk[bounds[j]+1:bounds[j+1]], ' ') AS chunk,
-            bounds[j+1] - bounds[j] AS n_toks_chunk
-          FROM b, UNNEST(range(1, len(bounds))) AS u(j)
-          WHERE bounds[j+1] > bounds[j]),
-        chi AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
-              ORDER BY j) - 1 AS INT) AS chunk_idx,
-            CAST(n_toks_chunk AS BIGINT) AS n_toks_chunk,
-            md5(chunk) AS chunk_hash
-          FROM ch),
+      Some(s"""WITH ${cdcChiCtes()},
         dfc AS (SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT)
             AS df FROM chi GROUP BY 1)
         SELECT doc_id, chunk_idx, n_toks_chunk, chunk_hash, df
-        FROM chi JOIN dfc USING (chunk_hash)""")))
+        FROM chi JOIN dfc USING (chunk_hash)""")),
+
+    // Chunk-level storage dedup (the dedup-filesystem accounting view of
+    // cdcChunks): every chunk CONTENT is stored once, owned by its
+    // globally-first occurrence (min (doc_id, chunk_idx) — a total order,
+    // deterministic under ties); per document, how many of its tokens it
+    // actually stores vs references. One chunk_hash groupBy (combinable
+    // min-struct) + one join back — no windows over the corpus stream.
+    ("q_text_chunk_dedup",
+      (s: SparkSession, d: String) => {
+        val ch = TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+            w = 4, divisor = 16)
+          .select("doc_id", "chunk_idx", "n_toks_chunk", "chunk_hash")
+        val owner = ch.groupBy("chunk_hash")
+          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+          .select(col("chunk_hash"), col("own.doc_id").as("o_doc"),
+            col("own.chunk_idx").as("o_idx"))
+        ch.join(owner, Seq("chunk_hash"))
+          .withColumn("stored_toks",
+            when(col("doc_id") === col("o_doc") &&
+              col("chunk_idx") === col("o_idx"), col("n_toks_chunk"))
+              .otherwise(0L))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("n_toks_chunk").as("n_toks"),
+            sum("stored_toks").as("n_toks_stored"))
+          .withColumn("stored_frac",
+            floor(lit(1e6) * col("n_toks_stored").cast("double") /
+              col("n_toks").cast("double")) / lit(1e6))
+      },
+      Some(s"""WITH ${cdcChiCtes()},
+        o1 AS (SELECT chunk_hash, min(doc_id) AS o_doc
+          FROM chi GROUP BY 1),
+        own AS (SELECT chi.chunk_hash, o_doc, min(chunk_idx) AS o_idx
+          FROM chi JOIN o1 ON chi.chunk_hash = o1.chunk_hash
+            AND chi.doc_id = o1.o_doc
+          GROUP BY 1, 2)
+        SELECT chi.doc_id, count(*) AS n_chunks,
+          CAST(sum(n_toks_chunk) AS BIGINT) AS n_toks,
+          CAST(sum(CASE WHEN chi.doc_id = o_doc AND chunk_idx = o_idx
+            THEN n_toks_chunk ELSE 0 END) AS BIGINT) AS n_toks_stored,
+          floor(1e6 * CAST(sum(CASE WHEN chi.doc_id = o_doc
+              AND chunk_idx = o_idx THEN n_toks_chunk ELSE 0 END)
+              AS DOUBLE) /
+            CAST(sum(n_toks_chunk) AS DOUBLE)) / 1e6 AS stored_frac
+        FROM chi JOIN own USING (chunk_hash) GROUP BY 1""")))
 
   private def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
@@ -2715,6 +2739,34 @@ object QueryCatalog {
             AS chunk_hash
         FROM ${p}b, UNNEST(range(1, len(bounds))) AS u(j)
         WHERE bounds[j+1] > bounds[j])"""
+
+  /** CDC chunk CTEs ending in `chi` (doc_id, chunk_idx, n_toks_chunk,
+    * chunk_hash) — the full replay of [[graft.ops.TextOps.cdcChunks]]
+    * (w=4, divisor=16 — must match the catalog's calls), shared by
+    * q_text_cdc and q_text_chunk_dedup. */
+  private def cdcChiCtes(): String =
+    s"""docs AS (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents),
+        c AS (SELECT doc_id, tk, len(tk) AS n,
+            CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
+              i -> (CAST(concat('0x', substr(md5(
+                array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
+                % 16) = 0)
+            ELSE [] END AS cuts
+          FROM docs),
+        b AS (SELECT doc_id, tk, list_concat(list_concat(
+            [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
+          FROM c),
+        ch AS (SELECT doc_id, j,
+            array_to_string(tk[bounds[j]+1:bounds[j+1]], ' ') AS chunk,
+            bounds[j+1] - bounds[j] AS n_toks_chunk
+          FROM b, UNNEST(range(1, len(bounds))) AS u(j)
+          WHERE bounds[j+1] > bounds[j]),
+        chi AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY j) - 1 AS INT) AS chunk_idx,
+            CAST(n_toks_chunk AS BIGINT) AS n_toks_chunk,
+            md5(chunk) AS chunk_hash
+          FROM ch)"""
 
   private val dedupQueries: Seq[(String, Q, Option[String])] = Seq(
 

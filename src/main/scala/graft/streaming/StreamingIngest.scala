@@ -220,6 +220,66 @@ object StreamingIngest {
         })
   }
 
+  final case class DebounceOut(event_id: Long, user_id: Long,
+    event_type: String, kept: Boolean)
+
+  /**
+   * Streaming debounce — the streaming face of `q_dedup_debounce`: an
+   * event repeating its (user, type) key within `minGapMs` of the
+   * PREVIOUS occurrence (kept or not — lag semantics, matching the batch
+   * window) is flagged as a client-side duplicate. State per key is ONE
+   * long (the last event's timestamp); in-order streams reproduce the
+   * batch window exactly (spec-pinned against a reference fold).
+   */
+  def debounce(events: Dataset[Event], minGapMs: Long = 5000L)
+      : Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[Event],
+            state: GroupState[Long]) => {
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .map { e =>
+              val t = e.ts.getTime
+              val kept = last == Long.MinValue || t - last >= minGapMs
+              last = t
+              DebounceOut(e.event_id, key._1, key._2, kept)
+            }
+          state.update(last)
+          out.iterator
+        })
+  }
+
+  /**
+   * Streaming KMV distinct sketch — per key the state is the k smallest
+   * distinct 60-bit hashes seen so far (O(k) longs); each micro-batch
+   * emits the key's current estimate using the SAME (k-1)·2^60/h_k
+   * formula as the batch `kmv_distinct` aggregate, so a drained in-order
+   * stream lands on the batch number exactly (spec-pinned). The streaming
+   * face of q_profile_sketch_merge's mergeability: folding a batch into
+   * the state IS the bottom-k union merge.
+   */
+  def kmvSketchStream(hashed: Dataset[(String, Long)], k: Int = 16)
+      : Dataset[(String, Double)] = {
+    import hashed.sparkSession.implicits._
+    require(k >= 2, s"k=$k must be >= 2")
+    hashed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Long]]) => {
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev.iterator ++ rows.map(_._2)).toArray
+            .distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0 /
+              merged(k - 1).toDouble
+          (key, est)
+        })
+  }
+
   /**
    * CDC stream into a SNAPSHOT-COMMITTED table: each micro-batch upserts
    * through `SnapshotStore.commitMerge`, so concurrent readers always see a

@@ -435,6 +435,71 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming debounce matches the batch lag-window on in-order data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{Event, DebounceOut}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val types = Array("view", "click")
+    // monotone but irregular timeline: mostly 700ms steps with a 4s jump
+    // every 13th event, so per-key gaps land on both sides of the 5s bar
+    val evs = (1L to 80L).map { i =>
+      Event(i, new java.sql.Timestamp(i * 700L + (i / 13L) * 4000L),
+        i % 3, types((i % 2).toInt), 1.0)
+    }
+    val lastSeen = scala.collection.mutable.Map[(Long, String), Long]()
+    val expected = evs.map { e =>
+      val key = (e.user_id, e.event_type)
+      val kept = lastSeen.get(key).forall(t => e.ts.getTime - t >= 5000L)
+      lastSeen(key) = e.ts.getTime
+      DebounceOut(e.event_id, e.user_id, e.event_type, kept)
+    }.toSet
+    assert(expected.exists(_.kept) && expected.exists(!_.kept))
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.debounce(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("debounce_stream").start()
+    try {
+      evs.grouped(30).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("debounce_stream").as[DebounceOut].collect().toSet
+    assert(got == expected)
+  }
+
+  test("streaming KMV sketch drains to the batch kmv_distinct estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // two keys, enough distinct values to exceed k on one and not the other
+    val rows = (1 to 120).map(i => ("big", h60(s"w${i % 40}"))) ++
+      (1 to 30).map(i => ("small", h60(s"v${i % 5}")))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingIngest.kmvSketchStream(mem.toDS(), k = 16)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_stream").start()
+    try {
+      rows.grouped(50).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // last update per key = the drained estimate
+    val got = spark.table("kmv_stream").as[(String, Double)].collect()
+      .zipWithIndex.groupBy(_._1._1).view
+      .mapValues(_.maxBy(_._2)._1._2).toMap
+    val batch = rows.toDF("k", "h")
+      .groupBy("k")
+      .agg(graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
+        .as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(got == batch)
+    assert(batch("small") == 5.0) // under-k keys report exact counts
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}
