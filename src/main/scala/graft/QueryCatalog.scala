@@ -4891,6 +4891,66 @@ object QueryCatalog {
     // per-shard doc count and char mass — the "write N shards, prove
     // they're balanced" close of corpus assembly (Sampling.shardManifest;
     // one scan-stage hash + one combine-enabled aggregate)
+    // Leakage-free train/val/test split: the split key is the NEAR-DUP
+    // CLUSTER root, not the document — two near-duplicates can never
+    // straddle splits (the eval-contamination mode that inflates every
+    // benchmark). Assignment is a deterministic md5 bucket of the root;
+    // the n_leaked column is the machine-checked gate (0 by construction,
+    // and the oracle recomputes it independently). Components via the
+    // star contraction; the pair list is persisted because both the
+    // contraction and the leakage audit consume it.
+    ("q_sample_cluster_split",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+            n = 5, k = 12, bands = 4, threshold = 0.7)
+          .select("doc1", "doc2")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val comp = Dedup.componentsStar(pairs)
+        val asg = docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("root", coalesce(col("component_id"), col("doc_id")))
+          .withColumn("bucket", pmod(graft.plans.GraftExpressions
+            .md5_prefix60(col("root").cast("string")), lit(10L)))
+          .withColumn("split", when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+        val leaked = pairs
+          .join(asg.select(col("doc_id").as("doc1"),
+            col("split").as("s1")), Seq("doc1"))
+          .join(asg.select(col("doc_id").as("doc2"),
+            col("split").as("s2")), Seq("doc2"))
+          .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_leaked"))
+        asg.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("root")).as("n_clusters"))
+          .crossJoin(broadcast(leaked))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        asg AS (SELECT doc_id, root,
+            CASE WHEN bucket < 8 THEN 'train'
+                 WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, root,
+              CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10 AS bucket
+            FROM (SELECT doc_id, coalesce(c.c, doc_id) AS root
+              FROM documents LEFT JOIN comps c ON doc_id = c.id))),
+        lk AS (SELECT coalesce(sum(CASE WHEN a.split <> b.split
+              THEN 1 ELSE 0 END), 0) AS n_leaked
+          FROM mh_pairs p JOIN asg a ON p.doc1 = a.doc_id
+                          JOIN asg b ON p.doc2 = b.doc_id)
+        SELECT split, count(*) AS n_docs,
+          count(DISTINCT root) AS n_clusters,
+          CAST(n_leaked AS BIGINT) AS n_leaked
+        FROM asg, lk GROUP BY 1, n_leaked""")),
+
     ("q_sample_shards",
       (s: SparkSession, d: String) => Sampling.shardManifest(
         t(s, d, "documents"), "doc_id", "n_chars", shards = 16),
