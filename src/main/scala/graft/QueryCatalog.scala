@@ -3146,6 +3146,54 @@ object QueryCatalog {
     // index (a zero vector poisons cosine; a ragged dimension breaks every
     // dot product). One combine-enabled aggregate over a scan-stage
     // projection; all stats are exact BIGINTs on the quantized grid.
+    // Johnson-Lindenstrauss dimensionality reduction with a Rademacher
+    // (±1) matrix derived from md5 parities — EXACT integer arithmetic on
+    // the quantized grid (no float matmul, no cross-engine rounding), so
+    // the 64→8 projection is a pure codegen'd scan-stage expression: the
+    // cheap pre-filter tier in front of exact ANN scoring at corpus scale.
+    // The sign matrix is built on the driver (512 md5s) and compiled into
+    // the projection expression as literals.
+    ("q_emb_project",
+      (s: SparkSession, d: String) => {
+        val dims = 64; val outDims = 8
+        def sgn(i: Int, j: Int): Long = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_))
+            .mkString
+          if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L
+          else -1L
+        }
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.quantize(col("embedding"))
+            .as("q"))
+        val projCols = (1 to outDims).map { j =>
+          (1 to dims).map(i => element_at(col("q"), i) * lit(sgn(i, j)))
+            .reduce(_ + _).as(s"p$j")
+        }
+        e.select(col("vec_id") +: projCols: _*)
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        e AS (SELECT vec_id, i, v[i] AS x
+          FROM q, UNNEST(range(1, 65)) AS u(i)),
+        s AS (SELECT a.i AS i, b.j AS j,
+            CASE WHEN CAST(concat('0x', substr(md5(concat(
+                CAST(a.i AS VARCHAR), ':', CAST(b.j AS VARCHAR))), 1, 15))
+                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM UNNEST(range(1, 65)) AS a(i),
+               UNNEST(range(1, 9)) AS b(j)),
+        p AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
+          FROM e JOIN s USING (i) GROUP BY 1, 2)
+        SELECT vec_id,
+          max(CASE WHEN j = 1 THEN pj END) AS p1,
+          max(CASE WHEN j = 2 THEN pj END) AS p2,
+          max(CASE WHEN j = 3 THEN pj END) AS p3,
+          max(CASE WHEN j = 4 THEN pj END) AS p4,
+          max(CASE WHEN j = 5 THEN pj END) AS p5,
+          max(CASE WHEN j = 6 THEN pj END) AS p6,
+          max(CASE WHEN j = 7 THEN pj END) AS p7,
+          max(CASE WHEN j = 8 THEN pj END) AS p8
+        FROM p GROUP BY 1""")),
+
     ("q_emb_validate",
       (s: SparkSession, d: String) => t(s, d, "embeddings")
         .select(col("label"), size(col("embedding")).cast("long").as("dims"),

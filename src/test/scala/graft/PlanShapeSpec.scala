@@ -26,9 +26,11 @@ class PlanShapeSpec extends SparkSpec {
     // profile reduces inside the scan (r6; previously the suite's most
     // expensive query, shuffling the corpus gram stream).
     // q_text_c4_clean: sentence rules are a projection + scan predicate.
+    // q_emb_project: the JL projection is a codegen'd scan-stage
+    // expression — 64→8 dims with zero exchanges.
     for (q <- Seq("q_sample_hash", "q_sample_mixture", "q_dsl_concat",
         "q_text_chunks", "q_src_tz_shift", "q_text_gopher",
-        "q_text_c4_clean")) {
+        "q_text_c4_clean", "q_emb_project")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
     }
