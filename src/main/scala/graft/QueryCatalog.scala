@@ -3155,19 +3155,11 @@ object QueryCatalog {
     // the projection expression as literals.
     ("q_emb_project",
       (s: SparkSession, d: String) => {
-        val dims = 64; val outDims = 8
-        def sgn(i: Int, j: Int): Long = {
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_))
-            .mkString
-          if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L
-          else -1L
-        }
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), Similarity.quantize(col("embedding"))
             .as("q"))
-        val projCols = (1 to outDims).map { j =>
-          (1 to dims).map(i => element_at(col("q"), i) * lit(sgn(i, j)))
+        val projCols = (1 to JlOutDims).map { j =>
+          (1 to JlDims).map(i => element_at(col("q"), i) * lit(jlSgn(i, j)))
             .reduce(_ + _).as(s"p$j")
         }
         e.select(col("vec_id") +: projCols: _*)
@@ -3175,12 +3167,7 @@ object QueryCatalog {
       Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
         e AS (SELECT vec_id, i, v[i] AS x
           FROM q, UNNEST(range(1, 65)) AS u(i)),
-        s AS (SELECT a.i AS i, b.j AS j,
-            CASE WHEN CAST(concat('0x', substr(md5(concat(
-                CAST(a.i AS VARCHAR), ':', CAST(b.j AS VARCHAR))), 1, 15))
-                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-          FROM UNNEST(range(1, 65)) AS a(i),
-               UNNEST(range(1, 9)) AS b(j)),
+        s AS $jlSignsSql,
         p AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
           FROM e JOIN s USING (i) GROUP BY 1, 2)
         SELECT vec_id,
@@ -3310,6 +3297,29 @@ object QueryCatalog {
   }
 
   // ========================================================== similarity
+
+  /** Rademacher sign for the JL projection: parity of the 60-bit md5 of
+    * "i:j" — engine-reproducible (the oracles regenerate the matrix from
+    * the same strings). Shared by q_emb_project and q_sim_tiered. */
+  // final vals with literal initializers are COMPILE-TIME constants —
+  // inlined at use sites, immune to the object-init-order trap that bites
+  // runtime vals referenced from earlier-initializing query vals
+  private final val JlDims = 64
+  private final val JlOutDims = 8
+  private def jlSgn(i: Int, j: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
+  }
+
+  /** The JL signs CTE (i, j, sgn) matching [[jlSgn]]. */
+  private def jlSignsSql: String =
+    s"""(SELECT a.i AS i, b.j AS j,
+        CASE WHEN CAST(concat('0x', substr(md5(concat(
+            CAST(a.i AS VARCHAR), ':', CAST(b.j AS VARCHAR))), 1, 15))
+            AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM UNNEST(range(1, ${JlDims + 1})) AS a(i),
+           UNNEST(range(1, ${JlOutDims + 1})) AS b(j))"""
 
   // NB: referenced from earlier-initializing vals — must be a def
   private def quantSql: String =
@@ -3463,6 +3473,66 @@ object QueryCatalog {
         SELECT query_id, neighbor_id, cosine, rnk FROM
           (SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        WHERE rnk <= 5""")),
+
+    // Tiered retrieval: score EVERY candidate with the cheap 8-dim JL
+    // projection (integer dot, scan-stage), rank-limit to the top-64
+    // shortlist per probe, then rerank only the shortlist with the exact
+    // 64-dim dot — the two-tier pattern that makes exact scoring
+    // affordable at corpus scale (the expensive dot touches 64 rows per
+    // probe, not the corpus). Both tiers are integer-exact, so the oracle
+    // replays shortlist AND rerank bit-for-bit — including which
+    // neighbors the prefilter admits.
+    ("q_sim_tiered",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.quantize(col("embedding"))
+            .as("q"))
+        val proj = array((1 to JlOutDims).map { j =>
+          (1 to JlDims).map(i => element_at(col("q"), i) * lit(jlSgn(i, j)))
+            .reduce(_ + _)
+        }: _*)
+        val corpus = e.select(col("vec_id"), col("q"), proj.as("p"))
+        val probes = corpus.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("p").as("qp"))
+        val w1 = Window.partitionBy("query_id")
+          .orderBy(col("pscore").desc, col("vec_id").asc)
+        val w2 = Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("vec_id").asc)
+        corpus.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("pscore", Similarity.qdot(col("p"), col("qp")))
+          .withColumn("prnk", row_number().over(w1))
+          .filter(col("prnk") <= 64)
+          .withColumn("dot", Similarity.qdot(col("q"), col("qq")))
+          .withColumn("rnk", row_number().over(w2).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            col("dot"), col("rnk"))
+      },
+      Some(s"""WITH q0 AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        s AS $jlSignsSql,
+        ex AS (SELECT vec_id, i, v[i] AS x
+          FROM q0, UNNEST(range(1, ${JlDims + 1})) AS u(i)),
+        pr AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
+          FROM ex JOIN s USING (i) GROUP BY 1, 2),
+        pv AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM pr GROUP BY 1),
+        t1 AS (SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id,
+            CAST(${dotSql("pc.p", "pq.p")} AS BIGINT) AS pscore
+          FROM pv pq JOIN pv pc ON pc.vec_id <> pq.vec_id
+          WHERE pq.vec_id < 4),
+        short AS (SELECT query_id, neighbor_id FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY pscore DESC, neighbor_id ASC) AS prnk FROM t1)
+          WHERE prnk <= 64),
+        t2 AS (SELECT query_id, neighbor_id,
+            CAST(${dotSql("cq.v", "cc.v")} AS BIGINT) AS dot
+          FROM short JOIN q0 cq ON cq.vec_id = query_id
+                     JOIN q0 cc ON cc.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, dot, rnk FROM
+          (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM t2)
         WHERE rnk <= 5""")),
 
     // Hard-negative mining (Similarity.hardNegatives): nearest different-

@@ -300,5 +300,10 @@ class PlanShapeSpec extends SparkSpec {
     // sketch merge: bounded-state aggregates only — no window anywhere
     val psm = plan("q_profile_sketch_merge")
     assert(!psm.contains("Window"), psm)
+    // tiered retrieval: both rank-limits push WindowGroupLimit below the
+    // shuffle, and the probe side joins as a broadcast
+    val pt = plan("q_sim_tiered")
+    assert(pt.contains("WindowGroupLimit"), pt)
+    assert(pt.contains("BroadcastExchange"), pt)
   }
 }
