@@ -508,6 +508,37 @@ object QueryCatalog {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
         FROM a LEFT JOIN nn USING (day)""")),
 
+    // Trailing-7-day distinct users per day — the sliding count-distinct
+    // that has NO incremental form (users leave the window): the
+    // scale-correct rewrite explodes each distinct (user, active-day) into
+    // its <= 7 covering windows (bounded fan-out, corpus-linear) and
+    // re-distincts per window — never a running distinct state, never a
+    // per-day rescan. Windows clipped to days with actual activity.
+    ("q_agg_sliding_reach",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val bounds = e.agg(max("day").as("max_day"))
+        e.crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("day"),
+              least(date_add(col("day"), 6), col("max_day")))).as("w_day"))
+          .distinct()
+          .groupBy("w_day")
+          .agg(count(lit(1)).as("n_users_7d"))
+          .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"),
+            col("n_users_7d"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+            FROM events),
+          b AS (SELECT max(day) AS max_day FROM e),
+          w AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS w_day
+            FROM e, b, UNNEST(range(0, 7)) AS u(o)
+            WHERE day + CAST(o AS INTEGER) <= max_day)
+        SELECT strftime(w_day, '%Y-%m-%d') AS day,
+          count(*) AS n_users_7d
+        FROM w GROUP BY 1""")),
+
     // Incremental rollup maintenance: the merged (base-partial + delta-
     // partial) aggregate must equal the full recompute — the algebraic
     // mergeability that lets a 100 TB daily rollup absorb a new partition
@@ -4232,6 +4263,37 @@ object QueryCatalog {
             col("lang"), col("n_chars"))
       },
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
+        FROM documents""")),
+
+    // Malformed-record tolerance: a JSONL feed with broken lines must load
+    // the good rows and COUNT the bad ones (PERMISSIVE parse, corrupt
+    // lines land in a rescue column) — silently dropping them is how a
+    // 100 TB ingest loses data without anyone noticing. Three known-bad
+    // lines are injected among the real export; the oracle states the
+    // expected census directly.
+    ("q_src_jsonl_bad",
+      (s: SparkSession, d: String) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_jsonl_bad").toString + "/docs"
+        graft.sources.RawZone.writeJsonl(
+          t(s, d, "documents").select("doc_id", "lang"),
+          dir, overwrite = true)
+        // corrupt lines: truncated JSON, non-JSON garbage, wrong bracket
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "bad.json"),
+          "{\"doc_id\": 1, \"lang\"\nnot json at all\n[3, 4]\n"
+            .getBytes("UTF-8"))
+        s.read.schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(dir)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_bad"),
+            count_distinct(col("lang")).as("n_langs"))
+      },
+      Some("""SELECT count(*) + 3 AS n_lines, CAST(3 AS BIGINT) AS n_bad,
+          count(DISTINCT lang) AS n_langs
         FROM documents""")),
 
     // S5 — every TimestampType column shifted UTC -> Lima (-5h)
