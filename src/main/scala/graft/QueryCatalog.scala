@@ -508,6 +508,48 @@ object QueryCatalog {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
         FROM a LEFT JOIN nn USING (day)""")),
 
+    // Backfill planner: which CONTIGUOUS day ranges are missing from a
+    // partitioned table — the recompute scoping step of an incremental
+    // pipeline (backfills are issued per gap RANGE, not per day). A
+    // deterministic subset of days is excluded to simulate loss; missing
+    // days come from an anti-join against the calendar, and consecutive
+    // days collapse into ranges via the islands trick (day minus
+    // row_number is constant within a run). All windows are
+    // calendar-bounded.
+    ("q_incr_backfill",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        val present = e.filter(dayofmonth(col("ts")) % 7 =!= 3 &&
+            !dayofmonth(col("ts")).between(20, 22))
+          .select(to_date(col("ts")).as("day")).distinct()
+        val cal = e.agg(min(to_date(col("ts"))).as("lo"),
+            max(to_date(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val w = Window.orderBy(col("day").asc)
+        cal.join(present, Seq("day"), "left_anti")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("grp", expr("date_sub(day, rn)"))
+          .groupBy("grp")
+          .agg(date_format(min("day"), "yyyy-MM-dd").as("gap_start"),
+            date_format(max("day"), "yyyy-MM-dd").as("gap_end"),
+            count(lit(1)).as("n_days"))
+          .drop("grp")
+      },
+      Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+              max(CAST(ts AS DATE)) AS hi FROM events),
+          cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+          present AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+            WHERE day(ts) % 7 <> 3 AND day(ts) NOT BETWEEN 20 AND 22),
+          missing AS (SELECT day,
+              day - CAST(row_number() OVER (ORDER BY day) AS INTEGER)
+                AS grp
+            FROM cal ANTI JOIN present USING (day))
+        SELECT strftime(min(day), '%Y-%m-%d') AS gap_start,
+          strftime(max(day), '%Y-%m-%d') AS gap_end,
+          count(*) AS n_days
+        FROM missing GROUP BY grp""")),
+
     // Trailing-7-day distinct users per day — the sliding count-distinct
     // that has NO incremental form (users leave the window): the
     // scale-correct rewrite explodes each distinct (user, active-day) into
