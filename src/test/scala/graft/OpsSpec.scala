@@ -297,6 +297,29 @@ class OpsSpec extends SparkSpec {
       (2L, 3L), (2L, 4L), (3L, 4L)))
   }
 
+  test("ppjoin losslessness holds on seeded random hot-vocab corpora") {
+    // tiny vocabulary -> heavily shared shingles: exactly the regime where
+    // the df-capped candidate filter goes blind and the prefix bound must
+    // not. Includes sub-n docs (whole-text fallback shingle).
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 12).map(i => s"t$i")
+      val data = (1L to 40L).map { id =>
+        val len = 1 + rnd.nextInt(25)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = data.toDF("doc_id", "text")
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.5, maxDf = Int.MaxValue)
+        .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+      val got = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.5)
+        .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+      assert(got == truth, s"trial $trial: got ${got.size}, " +
+        s"truth ${truth.size}, missing ${truth -- got}")
+    }
+  }
+
   test("minhash LSH candidates recall the true jaccard pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
         threshold = 0.8, maxDf = 10)
