@@ -4639,6 +4639,43 @@ object QueryCatalog {
           AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
             <= cum""")),
 
+    // Robust (MAD-based) outlier profile — see Stats.madOutliers: median
+    // and MAD are exact discrete quantiles broadcast onto the fact scan;
+    // the |v-med| > 3·MAD gate cannot be dragged by the outliers it hunts
+    ("q_profile_mad",
+      (s: SparkSession, d: String) => graft.ops.Stats.madOutliers(
+        t(s, d, "events")
+          .select(col("event_type"), cents(col("value")).as("v")),
+        Seq("event_type"), "v", k = 3),
+      Some("""WITH e AS (SELECT event_type,
+              CAST(floor("value" * 100) AS BIGINT) AS v
+            FROM events WHERE "value" IS NOT NULL),
+          c1 AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+          u1 AS (SELECT event_type, v, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+            FROM c1),
+          med AS (SELECT event_type, v AS med FROM u1
+            WHERE cum - cnt < greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1)
+              AND greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1) <= cum),
+          d AS (SELECT e.event_type, v, abs(v - med) AS dev
+            FROM e JOIN med USING (event_type)),
+          c2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+          u2 AS (SELECT event_type, dev, cnt,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                ROWS UNBOUNDED PRECEDING) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
+            FROM c2),
+          mad AS (SELECT event_type, dev AS mad FROM u2
+            WHERE cum - cnt < greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1)
+              AND greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1) <= cum)
+        SELECT d.event_type, count(*) AS n_rows, med, mad,
+          CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_out
+        FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
+        GROUP BY 1, med, mad""")),
+
     // Per-type winsorized value profile: clamp at the exact p05/p95
     // discrete quantiles (cents-quantized, so the clamped sum is exact
     // BIGINT), bounds broadcast onto the fact scan — see Stats.winsorize

@@ -191,6 +191,37 @@ object Stats {
   }
 
   /**
+   * Robust outlier profile via the median absolute deviation: a row is an
+   * outlier when |v - median| > k · MAD — unlike the mean/std gate
+   * ([[countAnomalies]]), the thresholds themselves cannot be dragged by
+   * the outliers being hunted (a corrupt 1e12 reading shifts a mean but
+   * not a median). Both the median and the MAD are exact type-III
+   * discrete quantiles ([[quantilesDisc]]) of the integer-quantized
+   * measure, each returning ONE row per group broadcast onto the fact
+   * scan — three fact passes total, all windows bounded by the value
+   * domain (the cell tables), never the corpus.
+   *
+   * Output: groupCols + (n_rows, med, mad, n_out).
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 3): DataFrame = {
+    val gcols = groupCols.map(col)
+    val facts = df.filter(col(valueCol).isNotNull)
+    val med = quantilesDisc(facts, groupCols, valueCol, Seq(0.5))
+      .groupBy(gcols: _*).agg(min("value").as("med"))
+    val dev = facts.join(broadcast(med), groupCols)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = quantilesDisc(dev, groupCols, "dev", Seq(0.5))
+      .groupBy(gcols: _*).agg(min("value").as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        min("med").as("med"), min("mad").as("mad"),
+        sum(when(col("dev") > lit(k.toLong) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+  }
+
+  /**
    * Equi-depth (quantile) binning of an integer-quantized measure — the
    * feature-discretization step of a tabular-training pipeline (and the
    * histogram whose buckets carry equal mass rather than equal width).
