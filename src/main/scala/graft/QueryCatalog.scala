@@ -1117,6 +1117,41 @@ object QueryCatalog {
         FROM li JOIN pp USING (l_partkey)
         WHERE qty * 5 * cq < sq""")),
 
+    // Inter-purchase interval per customer: days between consecutive
+    // orders (lag window, customer-bounded state), rolled up to average /
+    // max gap and order count — the churn-risk feature every retention
+    // model starts from. Gap arithmetic on epoch DAYS (exact integers);
+    // the average presents via one floor-quantized division.
+    ("q_join_ordergap",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("gap_days",
+            datediff(col("o_orderdate"),
+              lag(col("o_orderdate"), 1).over(w)).cast("long"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("gap_days").as("sum_gap_days"),
+            max("gap_days").as("max_gap_days"),
+            (floor(lit(1e6) * sum("gap_days").cast("double") /
+              greatest(count(col("gap_days")), lit(1L)).cast("double")) /
+              lit(1e6)).as("avg_gap_days"))
+      },
+      Some("""WITH g AS (SELECT o_custkey,
+            CAST(date_diff('day', lag(o_orderdate) OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate)
+              AS BIGINT) AS gap_days
+          FROM orders)
+        SELECT o_custkey, count(*) AS n_orders,
+          CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+          max(gap_days) AS max_gap_days,
+          floor(1e6 * CAST(CAST(sum(gap_days) AS BIGINT) AS DOUBLE) /
+            CAST(greatest(count(gap_days), 1) AS DOUBLE)) / 1e6
+            AS avg_gap_days
+        FROM g GROUP BY 1""")),
+
     // TPC-H Q2 shape (correlated-min decorrelation): for each small part,
     // the supplier(s) offering the minimum price. The correlated scalar
     // subquery decorrelates to groupBy-min + equi-join back (ties kept, as
