@@ -1382,6 +1382,25 @@ object QueryCatalog {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
 
+    // EXPLICIT grouping sets (the third grouping-analytics form next to
+    // ROLLUP/CUBE): per-returnflag and per-linestatus marginals in ONE
+    // partial-aggregated pass — no union of two scans
+    ("q_agg_groupingsets",
+      (s: SparkSession, d: String) => t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("lvl")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
+          count(*) AS n,
+          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")),
+
     // 3-way join, small dims broadcast; revenue per market segment
     ("q_join_revenue",
       (s: SparkSession, d: String) => {
@@ -1497,6 +1516,31 @@ object QueryCatalog {
     // Moving-window analytics: trailing 4-row sum/count + lag delta per
     // user. Both frames share one (user_id) partitioning + (ts, event_id)
     // sort, so Spark plans ONE shuffle + one sort for all three columns.
+    // TIME-range window (RANGE BETWEEN INTERVAL, not ROWS): events in the
+    // trailing 30 minutes per user — the rate-limiter / burst-detection
+    // frame, which row-count windows cannot express (bursts have variable
+    // row counts). Ordered on exact epoch micros so the frame bound is
+    // integer arithmetic on both engines.
+    ("q_window_timerange",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-1800L * 1000000L, Window.currentRow)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_trailing_30m"),
+            sum(cents(col("value"))).over(w).as("cents_trailing_30m"))
+      },
+      Some("""SELECT event_id, user_id,
+          count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+            AS n_trailing_30m,
+          CAST(sum(CAST(floor("value" * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cents_trailing_30m
+        FROM events""")),
+
     // Per-user maximum drawdown: running peak minus current value, maxed —
     // the time-series stress metric (how far below its own high-water mark
     // a series fell). One per-user window (user-bounded state) sharing its
