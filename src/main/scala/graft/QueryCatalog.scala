@@ -5329,6 +5329,28 @@ object QueryCatalog {
   /** Unrolled DuckDB replay of [[Graph.kCore]] over the sampled co-order
     * parts graph: one (degree-filter + two-join) CTE pair per peel round —
     * bit-identical to the Spark fixed-round loop (pure integer counts). */
+  /** Unrolled fixed-round label-propagation replay over the sampled
+    * co-order graph (must mirror q_graph_communities' construction). */
+  private def lpaOracleSql(rounds: Int): String = {
+    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
+      canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT a AS src, b AS dst FROM canon
+        UNION SELECT b, a FROM canon),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    val iters = (1 to rounds).map { i =>
+      s""",
+      r$i AS (SELECT e.src AS node, l.label, count(*) AS c
+        FROM edges e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
+      l$i AS (SELECT node, label FROM (SELECT node, label,
+          row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) AS rn
+        FROM r$i) WHERE rn = 1)"""
+    }.mkString
+    base + iters + s"\n      SELECT node, label FROM l$rounds"
+  }
+
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""a$i AS (SELECT src FROM (
@@ -5393,6 +5415,27 @@ object QueryCatalog {
     // graph — density filtering of the similarity graph. k=16 sits below
     // the graph's scale-stable median degree (~23 at every SF), so
     // the peel is non-trivial at smoke, oracle and bench scales alike.
+    // Community detection via fixed-round synchronous label propagation
+    // (Graph.labelPropagation) over the sampled co-order graph — the
+    // DENSE-region structure, where q_dedup_clusters* find mere
+    // connectivity. 4 rounds + total tie order = deterministic; the
+    // oracle unrolls the rounds as mode-per-node CTEs.
+    ("q_graph_communities", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
+        val e = canon.select(col("a").as("src"), col("b").as("dst"))
+          .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      }): Q
+      },
+      Some(lpaOracleSql(4))),
+
     ("q_graph_kcore", {
       ((s: SparkSession, d: String) => {
         val lp = t(s, d, "lineitem")

@@ -157,6 +157,42 @@ object Graph {
   }
 
   /**
+   * Synchronous label propagation for COMMUNITY detection, fixed rounds:
+   * every node starts labeled with its own id; each round a node adopts
+   * the most frequent label among its neighbors (ties -> the smallest
+   * label). Unlike components (min-propagation finds mere connectivity),
+   * the mode update converges on DENSE regions — the community structure
+   * of a similarity graph. A fixed round count plus a total tie order
+   * makes the result deterministic, so the oracle replays it with
+   * unrolled per-round CTEs.
+   *
+   * Scale shape per round: one message join (edge-partitioned — a hub's
+   * messages split across its edge partitions), one combine-enabled
+   * (node, label) count, one combine-enabled arg-max; lineage cut per
+   * round. Expects a SYMMETRIC edge list (isolated nodes carry no edges
+   * and are their own communities by definition — emit them upstream if
+   * needed).
+   */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val msgs = e.join(labels, e("dst") === labels("node"))
+        .select(e("src").as("node"), col("label"))
+      labels = msgs.groupBy("node", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /**
    * Per-node triangle counts + local clustering coefficient over an
    * UNDIRECTED graph, by degree-ordered edge orientation (Schank &
    * Wagner 2005; the MapReduce shape of Suri & Vassilvitskii WWW'11).

@@ -168,6 +168,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: random graphs match an independent sync fold (seeded)") {
+    // plain-Scala synchronous mode-label recurrence, replicated without
+    // Spark: each round every node takes its neighbors' most frequent
+    // label, ties to the smallest
+    def ref(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nodes = edges.map(_._1).distinct
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lab = nodes.map { n =>
+          val counts = adj(n).map(lab).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }.toMap
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 12 + rnd.nextInt(10)
+      val directed = (1 to 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val sym = (directed ++ directed.map(_.swap)).distinct
+      val got = Graph.labelPropagation(
+          sym.toDF("src", "dst"), "src", "dst", rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref(sym, 4), s"trial $trial")
+    }
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
