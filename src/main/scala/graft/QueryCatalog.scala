@@ -3026,6 +3026,38 @@ object QueryCatalog {
     // report). The k-bounded pair table joins two tiny source dims
     // (AQE broadcasts); pairs keyed least/greatest so each unordered
     // source pair lands in one cell.
+    // Cross-modal agreement audit: for every TEXT near-dup pair, does the
+    // EMBEDDING space agree (quantized cosine >= 0.8)? Disagreements are
+    // the drift signal that the embedding model no longer reflects
+    // textual similarity — the health check run before trusting SemDeDup
+    // over a new encoder. Pair list is small (LSH output), so both
+    // embedding joins broadcast IT, never the embedding table.
+    ("q_dedup_cross_modal",
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.minhashNearDups(t(s, d, "documents"), "doc_id",
+            "text", n = 5, k = 12, bands = 4, threshold = 0.7)
+          .select("doc1", "doc2")
+        val q = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.quantize(col("embedding"))
+            .as("v"))
+        broadcast(pairs)
+          .join(q.select(col("vec_id").as("doc1"), col("v").as("va")),
+            Seq("doc1"))
+          .join(q.select(col("vec_id").as("doc2"), col("v").as("vb")),
+            Seq("doc2"))
+          .withColumn("cosine", Similarity.qcosine(col("va"), col("vb")))
+          .select(col("doc1"), col("doc2"), col("cosine"),
+            (col("cosine") >= 0.8).as("agree"))
+      },
+      Some(s"""WITH ${minhashPairsCtes(n = 5, k = 12, bands = 4,
+          threshold = 0.7)},
+        qv AS (SELECT vec_id, $quantSql AS v FROM embeddings)
+        SELECT doc1, doc2,
+          ${cosineSql("a.v", "b.v")} AS cosine,
+          ${cosineSql("a.v", "b.v")} >= 0.8 AS agree
+        FROM mh_pairs JOIN qv a ON doc1 = a.vec_id
+                      JOIN qv b ON doc2 = b.vec_id""")),
+
     ("q_dedup_source_matrix",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
