@@ -4073,6 +4073,33 @@ object QueryCatalog {
     * integer rec601 weighting, and the bit rule is the strict majority
     * `l*64 > total`. The sign bit rides through HUGEINT and wraps to the
     * signed BIGINT Spark produces. */
+  /** Replays [[graft.ops.Multimodal.imageTileHash]] (2x2 tiles, 4x4 grid)
+    * over the synthetic 32x24 PNG family from first principles — same
+    * pixel generator as [[mmAhashSigSql]], sampled at
+    * sx = tx*16 + cx*4, sy = ty*12 + cy*3. Ends in `acc`
+    * (doc_id, tile, thash). */
+  private def mmTileSigSql: String =
+    """WITH g4 AS (SELECT unnest(range(0, 4)) AS i),
+      t2 AS (SELECT unnest(range(0, 2)) AS i),
+      cell AS (SELECT d.doc_id, ty.i * 2 + tx.i AS tile,
+          cy.i * 4 + cx.i AS bit,
+          tx.i * 16 + cx.i * 4 AS sx, ty.i * 12 + cy.i * 3 AS sy
+        FROM documents d CROSS JOIN t2 tx CROSS JOIN t2 ty
+             CROSS JOIN g4 cx CROSS JOIN g4 cy),
+      lum AS (SELECT doc_id, tile, bit,
+          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
+           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
+           (CASE WHEN sy = doc_id % 24
+                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
+                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
+            // 1000 AS l
+        FROM cell),
+      tot AS (SELECT doc_id, tile, sum(l) AS t FROM lum GROUP BY 1, 2),
+      acc AS (SELECT lum.doc_id, lum.tile,
+          CAST(sum(CASE WHEN lum.l * 16 > tot.t THEN 1::BIGINT << lum.bit
+                   ELSE 0 END) AS BIGINT) AS thash
+        FROM lum JOIN tot USING (doc_id, tile) GROUP BY 1, 2)"""
+
   private def mmAhashSigSql: String =
     """WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
       cell AS (SELECT d.doc_id, cy.i * 8 + cx.i AS bit,
@@ -4204,6 +4231,54 @@ object QueryCatalog {
           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
+
+    // Per-tile perceptual signatures (2x2 tiles, 16-bit hashes) over the
+    // REAL decoded PNGs — the partial-overlap index; oracle rebuilds the
+    // pixels from first principles
+    ("q_mm_tiles",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Multimodal.imageTileHash(pngs).toDF()
+      },
+      Some(s"""$mmTileSigSql
+        SELECT doc_id AS media_id, CAST(tile AS INTEGER) AS tile, thash
+        FROM acc""")),
+
+    // Partial-overlap pairs: images sharing >= 2 RARE tile hashes (tile
+    // document frequency <= 8 — flat/boilerplate tiles are the image-
+    // space hot shingles and are excluded exactly like text dedup's hot
+    // grams). Catches collage/crop reuse that whole-image hamming misses.
+    ("q_mm_tile_pairs",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        val th = Multimodal.imageTileHash(pngs).toDF()
+        val rare = th.groupBy("tile", "thash")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 8)
+          .select("tile", "thash")
+        val ra = th.join(rare, Seq("tile", "thash"))
+        ra.as("a").join(ra.as("b"),
+            col("a.tile") === col("b.tile") &&
+              col("a.thash") === col("b.thash") &&
+              col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("doc1"),
+            col("b.media_id").as("doc2"))
+          .agg(count(lit(1)).as("n_shared_tiles"))
+          .filter(col("n_shared_tiles") >= 2)
+      },
+      Some(s"""$mmTileSigSql,
+        rare AS (SELECT tile, thash FROM acc GROUP BY 1, 2
+                 HAVING count(*) BETWEEN 2 AND 8),
+        ra AS (SELECT acc.* FROM acc JOIN rare USING (tile, thash))
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          count(*) AS n_shared_tiles
+        FROM ra a JOIN ra b ON a.tile = b.tile AND a.thash = b.thash
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
     ("q_mm_decode",
       (s: SparkSession, d: String) => {

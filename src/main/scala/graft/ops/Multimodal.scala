@@ -324,6 +324,52 @@ object Multimodal {
     }
   }
 
+  final case class TileHash(media_id: Long, tile: Int, thash: Long)
+
+  /** Per-TILE perceptual hashes for PARTIAL-overlap detection — the
+    * image-space analog of text span dedup: the image splits into
+    * tilesX × tilesY regions, each hashed independently with the same
+    * exact-integer mean-threshold rule as [[imageAHash]] over a
+    * grid × grid luminance sample (grid² bits per tile). Two images
+    * sharing a region (collage, crop, watermark re-composite) collide on
+    * that tile's hash even when their WHOLE-image hashes differ in many
+    * bits. Join on (tile, thash) for candidate pairs; filter hot tile
+    * hashes (flat backgrounds) by document frequency, exactly like hot
+    * shingles in text dedup. Integer end to end, replayable. */
+  def imageTileHash(media: Dataset[(Long, Array[Byte])], tilesX: Int = 2,
+      tilesY: Int = 2, grid: Int = 4): Dataset[TileHash] = {
+    import media.sparkSession.implicits._
+    require(grid * grid <= 62, s"grid=$grid overflows a long hash")
+    media.flatMap { case (id, bytes) =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media $id: no JDK codec for these bytes")
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val (tw, th) = (sw / tilesX, sh / tilesY)
+      val n = grid * grid
+      for (ty <- 0 until tilesY; tx <- 0 until tilesX) yield {
+        val luma = new Array[Long](n)
+        var tot = 0L
+        var i = 0
+        while (i < n) {
+          val px = tx * tw + (i % grid) * tw / grid
+          val py = ty * th + (i / grid) * th / grid
+          val p = img.getRGB(px, py)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          val l = (r * 299L + g * 587L + b * 114L) / 1000L
+          luma(i) = l; tot += l
+          i += 1
+        }
+        var hsh = 0L
+        i = 0
+        while (i < n) { if (luma(i) * n > tot) hsh |= (1L << i); i += 1 }
+        TileHash(id, ty * tilesX + tx, hsh)
+      }
+    }
+  }
+
   final case class AudioHash(media_id: Long, ehash: Long)
 
   /** 64-bit energy-difference audio fingerprint (the classic acoustic-hash
