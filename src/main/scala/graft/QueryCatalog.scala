@@ -4255,7 +4255,12 @@ object QueryCatalog {
         import s.implicits._
         val pngs = t(s, d, "documents").select("doc_id").as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        // persisted: rare-filter, posting join and self-join all reference
+        // this subtree, and each re-execution would re-encode + re-decode
+        // every PNG (codec CPU dominates — the opposite tradeoff from
+        // ppjoin's cheap codegen'd prefix subtree, where a persist LOST)
         val th = Multimodal.imageTileHash(pngs).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rare = th.groupBy("tile", "thash")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= 8)
