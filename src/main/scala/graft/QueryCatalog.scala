@@ -4830,6 +4830,52 @@ object QueryCatalog {
           AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
             <= cum""")),
 
+    // Column-entropy profile in whole bits: Shannon entropy with
+    // floor-log2 (bit-length) term weights — H ≈ log2(n) − Σc·log2(c)/n,
+    // every moment an exact BIGINT (the information-content screen that
+    // flags constant-ish columns and near-unique keys in one scan). All
+    // three columns melt through ONE explode, so the fact table is read
+    // once; presentation is a single double division.
+    ("q_profile_entropy",
+      (s: SparkSession, d: String) => {
+        val bl = (c: org.apache.spark.sql.Column) =>
+          graft.plans.GraftExpressions.bit_length_long(c) - lit(1L)
+        t(s, d, "events")
+          .select(explode(array(
+            struct(lit("event_type").as("c"),
+              col("event_type").cast("string").as("v")),
+            struct(lit("user_id").as("c"),
+              col("user_id").cast("string").as("v")),
+            struct(lit("day").as("c"),
+              date_format(col("ts"), "yyyy-MM-dd").as("v")))).as("x"))
+          .select(col("x.c").as("column_name"), col("x.v").as("v"))
+          .groupBy("column_name", "v").agg(count(lit(1)).as("cnt"))
+          .groupBy("column_name")
+          .agg(count(lit(1)).as("n_distinct"),
+            sum("cnt").as("n"),
+            sum(col("cnt") * bl(col("cnt"))).as("s_bits"))
+          .withColumn("h_microbits",
+            floor(lit(1e6) *
+              (bl(col("n")) * col("n") - col("s_bits")).cast("double") /
+              col("n").cast("double")).cast("long"))
+      },
+      Some("""WITH m AS (
+          SELECT 'event_type' AS column_name, event_type AS v FROM events
+          UNION ALL
+          SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+          UNION ALL
+          SELECT 'day', strftime(ts, '%Y-%m-%d') FROM events),
+        cts AS (SELECT column_name, v, count(*) AS cnt
+          FROM m GROUP BY 1, 2),
+        agg AS (SELECT column_name, count(*) AS n_distinct,
+            CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(sum(cnt * (length(bin(cnt)) - 1)) AS BIGINT) AS s_bits
+          FROM cts GROUP BY 1)
+        SELECT column_name, n_distinct, n, s_bits,
+          CAST(floor(1e6 * CAST((length(bin(n)) - 1) * n - s_bits
+              AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS h_microbits
+        FROM agg""")),
+
     // Robust (MAD-based) outlier profile — see Stats.madOutliers: median
     // and MAD are exact discrete quantiles broadcast onto the fact scan;
     // the |v-med| > 3·MAD gate cannot be dragged by the outliers it hunts
