@@ -4830,6 +4830,48 @@ object QueryCatalog {
           AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
             <= cum""")),
 
+    // Benford leading-digit audit: observed first-digit distribution of
+    // order totals against Benford expectation — the classic fabricated-
+    // numbers screen. Digits extracted by integer string ops (exact);
+    // expected shares are injected as round-tripping double literals so
+    // both engines compare the same constants; one combine-enabled
+    // aggregate.
+    ("q_profile_benford", {
+      // P(d) = log10(1 + 1/d), pre-rounded to 6 dp so the literal
+      // round-trips identically through Scala and SQL text
+      val exp = (1 to 9).map(dd =>
+        dd -> (math.floor(math.log10(1.0 + 1.0 / dd) * 1e6) / 1e6))
+      ((s: SparkSession, d: String) => {
+        val tot = t(s, d, "orders").agg(count(lit(1)).as("n_total"))
+        t(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .withColumn("observed",
+            floor(lit(1e6) * col("n").cast("double") /
+              col("n_total").cast("double")) / lit(1e6))
+          .withColumn("expected",
+            element_at(map(exp.flatMap { case (k, v) =>
+              Seq(lit(k), lit(v)) }: _*), col("digit")))
+      }): Q
+      },
+      Some {
+        val expCase = (1 to 9).map { dd =>
+          val v = math.floor(math.log10(1.0 + 1.0 / dd) * 1e6) / 1e6
+          s"WHEN $dd THEN $v"
+        }.mkString(" ")
+        s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+              AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders),
+          tot AS (SELECT count(*) AS n_total FROM dg)
+          SELECT digit, count(*) AS n, n_total,
+            floor(1e6 * CAST(count(*) AS DOUBLE) /
+              CAST(n_total AS DOUBLE)) / 1e6 AS observed,
+            CASE digit $expCase END AS expected
+          FROM dg, tot GROUP BY digit, n_total"""
+      }),
+
     // Column-entropy profile in whole bits: Shannon entropy with
     // floor-log2 (bit-length) term weights — H ≈ log2(n) − Σc·log2(c)/n,
     // every moment an exact BIGINT (the information-content screen that
