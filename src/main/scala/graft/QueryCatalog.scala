@@ -4830,6 +4830,37 @@ object QueryCatalog {
           AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
             <= cum""")),
 
+    // Candidate-key discovery: distinct ratio per declared column combo —
+    // is_key fires when every row is unique (the profiling step that
+    // finds join keys and catches PK violations before a merge). One
+    // groupBy per combo over pre-projected strings; combos chosen are the
+    // plausible identities of the events table.
+    ("q_profile_uniqueness",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        def probe(name: String, key: org.apache.spark.sql.Column) =
+          e.agg(lit(name).as("combo"), count(lit(1)).as("n"),
+            count_distinct(key).as("n_distinct"))
+        probe("event_id", col("event_id"))
+          .unionByName(probe("user_id", col("user_id")))
+          .unionByName(probe("user_id|ts",
+            concat_ws("|", col("user_id"),
+              unix_micros(col("ts")).cast("string"))))
+          .withColumn("is_key", col("n_distinct") === col("n"))
+      },
+      Some("""SELECT 'event_id' AS combo, count(*) AS n,
+          count(DISTINCT event_id) AS n_distinct,
+          count(DISTINCT event_id) = count(*) AS is_key FROM events
+        UNION ALL
+        SELECT 'user_id', count(*), count(DISTINCT user_id),
+          count(DISTINCT user_id) = count(*) FROM events
+        UNION ALL
+        SELECT 'user_id|ts', count(*),
+          count(DISTINCT concat(CAST(user_id AS VARCHAR), '|',
+            CAST(epoch_us(ts) AS VARCHAR))),
+          count(DISTINCT concat(CAST(user_id AS VARCHAR), '|',
+            CAST(epoch_us(ts) AS VARCHAR))) = count(*) FROM events""")),
+
     // Benford leading-digit audit: observed first-digit distribution of
     // order totals against Benford expectation — the classic fabricated-
     // numbers screen. Digits extracted by integer string ops (exact);
@@ -5429,6 +5460,47 @@ object QueryCatalog {
     // per-shard doc count and char mass — the "write N shards, prove
     // they're balanced" close of corpus assembly (Sampling.shardManifest;
     // one scan-stage hash + one combine-enabled aggregate)
+    // SOFT dedup: downweight near-duplicates instead of dropping them —
+    // every document keeps weight 1/cluster_size (micro fixed-point), so
+    // a cluster contributes one document-equivalent of training mass
+    // regardless of copy count, preserving in-cluster diversity that hard
+    // canonicalization throws away. Effective corpus size = Σ weights,
+    // reported per source.
+    ("q_sample_soft_dedup",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val comp = Dedup.componentsStar(
+          Dedup.minhashNearDups(docs, "doc_id", "text",
+            n = 5, k = 12, bands = 4, threshold = 0.7))
+        val withRoot = docs.select(col("doc_id"), col("source"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("root", coalesce(col("component_id"), col("doc_id")))
+        val sizes = withRoot.groupBy("root")
+          .agg(count(lit(1)).as("csize"))
+        withRoot.join(sizes, Seq("root"))
+          .withColumn("w_micro",
+            (lit(1000000L) / col("csize")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("root")).as("n_clusters"),
+            sum("w_micro").as("effective_micro"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        wr AS (SELECT doc_id, source, coalesce(c.c, doc_id) AS root
+          FROM documents LEFT JOIN comps c ON doc_id = c.id),
+        sz AS (SELECT root, count(*) AS csize FROM wr GROUP BY 1)
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT wr.root) AS n_clusters,
+          CAST(sum(1000000 // csize) AS BIGINT) AS effective_micro
+        FROM wr JOIN sz ON wr.root = sz.root GROUP BY 1""")),
+
     // Leakage-free train/val/test split: the split key is the NEAR-DUP
     // CLUSTER root, not the document — two near-duplicates can never
     // straddle splits (the eval-contamination mode that inflates every
