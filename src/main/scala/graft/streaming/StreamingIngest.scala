@@ -280,6 +280,49 @@ object StreamingIngest {
         })
   }
 
+  final case class QBoundOut(key: String, n: Long, bucket: Int,
+    lo: Long, hi: Long)
+
+  /**
+   * Streaming constant-state quantile bound — the streaming face of
+   * `Stats.quantileBounds`: per key the state is 65 power-of-two bucket
+   * counters (bucket = bit-length of v+1, the same rule as the batch
+   * aggregate), so ANY stream length costs O(65 longs) per key. Each
+   * update emits the bucket containing the q-quantile with its [lo, hi]
+   * value range — the range is GUARANTEED to contain the exact discrete
+   * quantile, and a drained in-order stream lands on the batch
+   * operator's bucket exactly (spec-pinned). Negative values are
+   * ignored, as in the batch operator.
+   */
+  def quantileBoundStream(rows: Dataset[(String, Long)], q: Double = 0.5)
+      : Dataset[QBoundOut] = {
+    import rows.sparkSession.implicits._
+    require(q > 0 && q <= 1, s"q in (0,1]: $q")
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[Array[Long]]) => {
+          val counts = state.getOption.getOrElse(new Array[Long](65))
+          it.foreach { case (_, v) =>
+            if (v >= 0) {
+              val b = 64 - java.lang.Long.numberOfLeadingZeros(v + 1)
+              counts(b) += 1
+            }
+          }
+          state.update(counts)
+          val n = counts.sum
+          val rank = math.max(math.ceil(q * n).toLong, 1L)
+          var cum = 0L; var found = 0; var i = 0
+          while (i < counts.length && found == 0) {
+            cum += counts(i)
+            if (cum >= rank) found = i
+            i += 1
+          }
+          QBoundOut(key, n, found, (1L << (found - 1)) - 1,
+            (1L << found) - 2)
+        })
+  }
+
   /**
    * CDC stream into a SNAPSHOT-COMMITTED table: each micro-batch upserts
    * through `SnapshotStore.commitMerge`, so concurrent readers always see a

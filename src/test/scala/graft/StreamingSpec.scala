@@ -500,6 +500,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch("small") == 5.0) // under-k keys report exact counts
   }
 
+  test("streaming quantile bound drains to the batch bucket operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.QBoundOut
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two keys with different magnitudes; a negative value must be ignored
+    val rows = (1 to 90).map(i => ("a", (i * i * 7L) % 5000)) ++
+      (1 to 40).map(i => ("b", i * 100000L)) :+ ("b", -5L)
+    val mem = MemoryStream[(String, Long)]
+    val qy = StreamingIngest.quantileBoundStream(mem.toDS(), q = 0.5)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("qbound_stream").start()
+    try {
+      rows.grouped(40).foreach { b =>
+        mem.addData(b: _*); qy.processAllAvailable()
+      }
+    } finally qy.stop()
+    val got = spark.table("qbound_stream").as[QBoundOut].collect()
+      .zipWithIndex.groupBy(_._1.key).view
+      .mapValues(_.maxBy(x => (x._1.n, x._2))._1).toMap
+    val batch = graft.ops.Stats.quantileBounds(
+        rows.toDF("k", "v"), Seq("k"), col("v"), Seq(0.5))
+      .select("k", "n_rows", "bucket", "lo", "hi")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    for (k <- Seq("a", "b")) {
+      val (_, n, bkt, lo, hi) = batch(k)
+      assert(got(k).n == n && got(k).bucket.toLong == bkt &&
+        got(k).lo == lo && got(k).hi == hi, s"key $k: ${got(k)} vs ${batch(k)}")
+    }
+  }
+
   test("streaming asof: monotone state frontier across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.{AsofTick, AsofOut}
