@@ -3342,10 +3342,8 @@ object QueryCatalog {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), Similarity.quantize(col("embedding"))
             .as("q"))
-        val projCols = (1 to JlOutDims).map { j =>
-          (1 to JlDims).map(i => element_at(col("q"), i) * lit(jlSgn(i, j)))
-            .reduce(_ + _).as(s"p$j")
-        }
+        val projCols = jlProjTerms(col("q")).zipWithIndex
+          .map { case (c, j) => c.as(s"p${j + 1}") }
         e.select(col("vec_id") +: projCols: _*)
       },
       Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
@@ -3495,6 +3493,17 @@ object QueryCatalog {
       .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
     if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
   }
+
+  /** The 8 projected coordinates of a quantized vector column — the ONE
+    * construction site both q_emb_project and q_sim_tiered compile their
+    * literal sign matrix from (two copies would silently desynchronize
+    * the prefilter from the projection it claims to share). */
+  private def jlProjTerms(q: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    (1 to JlOutDims).map { j =>
+      (1 to JlDims).map(i => element_at(q, i) * lit(jlSgn(i, j)))
+        .reduce(_ + _)
+    }
 
   /** The JL signs CTE (i, j, sgn) matching [[jlSgn]]. */
   private def jlSignsSql: String =
@@ -3672,10 +3681,7 @@ object QueryCatalog {
         val e = t(s, d, "embeddings")
           .select(col("vec_id"), Similarity.quantize(col("embedding"))
             .as("q"))
-        val proj = array((1 to JlOutDims).map { j =>
-          (1 to JlDims).map(i => element_at(col("q"), i) * lit(jlSgn(i, j)))
-            .reduce(_ + _)
-        }: _*)
+        val proj = array(jlProjTerms(col("q")): _*)
         val corpus = e.select(col("vec_id"), col("q"), proj.as("p"))
         val probes = corpus.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("q").as("qq"),

@@ -95,6 +95,13 @@ object StreamingIngest {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+
+  /** Exact event-time micros of a Timestamp. `getTime` alone truncates to
+    * MILLIS — an operator ordering or differencing on it silently
+    * diverges from its batch counterpart on the micros-precision events
+    * fixture (the batch windows compare `unix_micros`). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
   final case class SessionOut(user_id: Long, nEvents: Long, total: Double)
 
@@ -172,7 +179,7 @@ object StreamingIngest {
         })
   }
 
-  final case class TouchState(touch: String, lastTs: Long, lastId: Long)
+  final case class TouchState(touch: String, lastTs: Long, lastId: Long) // lastTs in event-time MICROS
   final case class AttributionOut(event_id: Long, user_id: Long,
     touch: String, value_cents: Long)
 
@@ -201,10 +208,10 @@ object StreamingIngest {
             state: GroupState[TouchState]) => {
           var s = state.getOption.orNull
           val out = scala.collection.mutable.ListBuffer[AttributionOut]()
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
             e.event_type match {
               case "click" | "view" =>
-                val t = e.ts.getTime
+                val t = tsMicros(e.ts)
                 if (s == null || t > s.lastTs ||
                     (t == s.lastTs && e.event_id > s.lastId))
                   s = TouchState(e.event_type, t, e.event_id)
@@ -239,10 +246,11 @@ object StreamingIngest {
         (key: (Long, String), rows: Iterator[Event],
             state: GroupState[Long]) => {
           var last = state.getOption.getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             .map { e =>
-              val t = e.ts.getTime
-              val kept = last == Long.MinValue || t - last >= minGapMs
+              val t = tsMicros(e.ts)
+              val kept = last == Long.MinValue ||
+                t - last >= minGapMs * 1000L
               last = t
               DebounceOut(e.event_id, key._1, key._2, kept)
             }
@@ -299,7 +307,7 @@ object StreamingIngest {
     import rows.sparkSession.implicits._
     require(q > 0 && q <= 1, s"q in (0,1]: $q")
     rows.groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (key: String, it: Iterator[(String, Long)],
             state: GroupState[Array[Long]]) => {
           val counts = state.getOption.getOrElse(new Array[Long](65))
@@ -311,15 +319,21 @@ object StreamingIngest {
           }
           state.update(counts)
           val n = counts.sum
-          val rank = math.max(math.ceil(q * n).toLong, 1L)
-          var cum = 0L; var found = 0; var i = 0
-          while (i < counts.length && found == 0) {
-            cum += counts(i)
-            if (cum >= rank) found = i
-            i += 1
+          // no non-negative value yet -> no row, matching the batch
+          // operator (which has no group to emit); emitting here would
+          // fabricate a bucket from an all-zero histogram
+          if (n == 0L) Iterator.empty
+          else {
+            val rank = math.max(math.ceil(q * n).toLong, 1L)
+            var cum = 0L; var found = 0; var i = 0
+            while (i < counts.length && found == 0) {
+              cum += counts(i)
+              if (cum >= rank) found = i
+              i += 1
+            }
+            Iterator.single(QBoundOut(key, n, found,
+              (1L << (found - 1)) - 1, (1L << found) - 2))
           }
-          QBoundOut(key, n, found, (1L << (found - 1)) - 1,
-            (1L << found) - 2)
         })
   }
 

@@ -446,20 +446,30 @@ class StreamingSpec extends SparkSpec {
       Event(i, new java.sql.Timestamp(i * 700L + (i / 13L) * 4000L),
         i % 3, types((i % 2).toInt), 1.0)
     }
+    // MICROSECOND-precision pair: batch gap = 4_999_100 us < 5 s, so the
+    // second event must drop even though the millisecond gap reads 5000
+    // (the getTime truncation bug class); appended at the tail in order
+    val t1 = new java.sql.Timestamp(200000L); t1.setNanos(900000) // +900 us
+    val t2 = new java.sql.Timestamp(205000L)
+    val evs2 = evs ++ Seq(Event(900L, t1, 99L, "view", 1.0),
+      Event(901L, t2, 99L, "view", 1.0))
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val lastSeen = scala.collection.mutable.Map[(Long, String), Long]()
-    val expected = evs.map { e =>
+    val expected = evs2.map { e =>
       val key = (e.user_id, e.event_type)
-      val kept = lastSeen.get(key).forall(t => e.ts.getTime - t >= 5000L)
-      lastSeen(key) = e.ts.getTime
+      val kept = lastSeen.get(key).forall(t => us(e.ts) - t >= 5000000L)
+      lastSeen(key) = us(e.ts)
       DebounceOut(e.event_id, e.user_id, e.event_type, kept)
     }.toSet
     assert(expected.exists(_.kept) && expected.exists(!_.kept))
+    assert(!expected.find(_.event_id == 901L).get.kept) // the micros case
     val mem = MemoryStream[Event]
     val q = StreamingIngest.debounce(mem.toDS())
       .writeStream.outputMode("append").format("memory")
       .queryName("debounce_stream").start()
     try {
-      evs.grouped(30).foreach { b =>
+      evs2.grouped(30).foreach { b =>
         mem.addData(b: _*); q.processAllAvailable()
       }
     } finally q.stop()
@@ -506,7 +516,8 @@ class StreamingSpec extends SparkSpec {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // two keys with different magnitudes; a negative value must be ignored
     val rows = (1 to 90).map(i => ("a", (i * i * 7L) % 5000)) ++
-      (1 to 40).map(i => ("b", i * 100000L)) :+ ("b", -5L)
+      (1 to 40).map(i => ("b", i * 100000L)) ++
+      Seq(("b", -5L), ("c", -1L), ("c", -9L)) // 'c' is all-negative
     val mem = MemoryStream[(String, Long)]
     val qy = StreamingIngest.quantileBoundStream(mem.toDS(), q = 0.5)
       .writeStream.outputMode("update").format("memory")
@@ -529,6 +540,9 @@ class StreamingSpec extends SparkSpec {
       assert(got(k).n == n && got(k).bucket.toLong == bkt &&
         got(k).lo == lo && got(k).hi == hi, s"key $k: ${got(k)} vs ${batch(k)}")
     }
+    // a key with no non-negative value yet emits NOTHING (batch parity:
+    // quantileBounds has no such group either)
+    assert(!got.contains("c") && !batch.contains("c"))
   }
 
   test("streaming asof: monotone state frontier across micro-batches") {
