@@ -5466,6 +5466,46 @@ object QueryCatalog {
     // per-shard doc count and char mass — the "write N shards, prove
     // they're balanced" close of corpus assembly (Sampling.shardManifest;
     // one scan-stage hash + one combine-enabled aggregate)
+    // Dedup funnel report: the curation story in one table — corpus size,
+    // survivors after exact dedup (normalized-text fingerprint, min-id
+    // keeper), survivors after near-dup canonicalization (minhash
+    // clusters, min-root keeper). Each stage is the operator the catalog
+    // already verifies individually; the report's value is the exact
+    // stage-over-stage attrition in one pass per stage.
+    ("q_dedup_funnel",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val n0 = docs.agg(count(lit(1)).as("n"))
+          .select(lit(0L).as("stage"), lit("corpus").as("name"), col("n"))
+        val exact = Dedup.exactDedup(docs, "doc_id", "text")
+        val n1 = exact.agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("stage"), lit("exact").as("name"), col("n"))
+        val n2 = Dedup.componentDedup(docs, "doc_id",
+            Dedup.minhashNearDups(docs, "doc_id", "text",
+              n = 5, k = 12, bands = 4, threshold = 0.7))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(2L).as("stage"), lit("near_dup").as("name"), col("n"))
+        n0.unionByName(n1).unionByName(n2)
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
+            '[^a-z0-9]+', ' ', 'g'))) AS f FROM documents),
+        keep1 AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1)
+        SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS name,
+          count(*) AS n FROM documents
+        UNION ALL
+        SELECT 1, 'exact', count(*) FROM keep1
+        UNION ALL
+        SELECT 2, 'near_dup', count(*) FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> c)""")),
+
     // SOFT dedup: downweight near-duplicates instead of dropping them —
     // every document keeps weight 1/cluster_size (micro fixed-point), so
     // a cluster contributes one document-equivalent of training mass
