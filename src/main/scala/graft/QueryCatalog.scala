@@ -2033,6 +2033,18 @@ object QueryCatalog {
           CAST(len(tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
         FROM dp LEFT JOIN kept k ON k.doc_id = dp.doc_id""")),
 
+    // Deflate compression-ratio quality gate (rows-only: no deflate in
+    // the oracle engine; the full result is pinned by a committed golden
+    // hash in OpsSpec, like the codec queries)
+    ("q_text_compression",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        TextOps.compressionScore(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .as[(Long, String)]).toDF()
+      },
+      None),
+
     ("q_text_quality",
       (s: SparkSession, d: String) =>
         TextOps.withQuality(t(s, d, "documents"), "text")
@@ -5374,6 +5386,41 @@ object QueryCatalog {
         WHERE ${hashScoreSql("doc_id")} <
           CASE WHEN source = 'src1' THEN 0.5
                WHEN source = 'src0' THEN 0.9 ELSE 0.1 END""")),
+
+    // Temperature-scaled mixture weights (T = 2): per-source sampling
+    // weight ∝ sqrt(share) — the up-weighting of rare sources every
+    // multilingual/multi-domain training mix applies. sqrt is correctly
+    // rounded IEEE on both engines, and the cross-source normalizer sums
+    // in ONE FIXED ORDER (sorted array fold ↔ list_reduce ORDER BY) so
+    // the double total is bit-identical despite partial-agg order.
+    ("q_sample_temperature",
+      (s: SparkSession, d: String) => {
+        val counts = t(s, d, "documents").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum("n_docs").as("n_total"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("source"),
+              col("n_docs")))), x => sqrt(x("n_docs").cast("double"))),
+            lit(0.0), (acc, x) => acc + x).as("sum_sqrt"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (floor(lit(1e6) * col("n_docs").cast("double") /
+              col("n_total").cast("double")) / lit(1e6)).as("share"),
+            (floor(lit(1e6) * sqrt(col("n_docs").cast("double")) /
+              col("sum_sqrt")) / lit(1e6)).as("w_temp"))
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+            FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+              (a, x) -> a + x) AS sum_sqrt FROM c)
+        SELECT source, n_docs,
+          floor(1e6 * CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+            / 1e6 AS share,
+          floor(1e6 * sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt) / 1e6
+            AS w_temp
+        FROM c, t""")),
 
     // TOKEN-budgeted mixture: per-source token budgets walked in hash
     // order (the "N tokens of web, M of code" knob — mixtureSample can only

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -940,5 +940,35 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
         (floor(col("sum_bits").cast("double") * 1e6 /
           col("n_bigrams").cast("double")) / 1e6).as("mean_bits"))
+  }
+
+  final case class CompressionScore(doc_id: Long, raw_len: Long,
+    comp_len: Long, ratio_micro: Long)
+
+  /** Deflate compression-ratio quality signal (the Gopher/RedPajama-class
+    * filter): heavily repetitive or templated documents compress far
+    * below natural text, near-random noise barely compresses —
+    * ratio_micro = 1e6 · deflated/raw flags both tails in one number.
+    * One Deflater per PARTITION, reset per row (allocation-free inner
+    * loop); level 6, default strategy — deterministic for a given zlib,
+    * so the result is pinned by a committed golden hash in the spec
+    * rather than a SQL oracle (the oracle engine has no deflate). */
+  def compressionScore(docs: Dataset[(Long, String)])
+      : Dataset[CompressionScore] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      val d = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      rows.map { case (id, text) =>
+        val bytes =
+          if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+        d.reset(); d.setInput(bytes); d.finish()
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        val ratio =
+          if (bytes.length == 0) 1000000L else n * 1000000L / bytes.length
+        CompressionScore(id, bytes.length.toLong, n, ratio)
+      }
+    }
   }
 }

@@ -1216,6 +1216,21 @@ class OpsSpec extends SparkSpec {
     }
     assert(goldenHash("q_mm_decode") === "adb53fa9159ca8bc1655fc95e1317780")
     assert(goldenHash("q_mm_wav") === "5ba13775b28cc3adf0e8e7d756c2e62f")
+    // deflate is the third engine-side codec the oracle can't replay
+    assert(goldenHash("q_text_compression")
+      === "526865b58f53ba315f1c747a47cdbe76")
+  }
+
+  test("compression score: repetition collapses, noise does not") {
+    val rep = ("spark " * 200).trim
+    val mixed = (1 to 200).map(i => s"w${i * 7919 % 1000}").mkString(" ")
+    val r = graft.ops.TextOps.compressionScore(
+        Seq((1L, rep), (2L, mixed)).toDS())
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(r(1L).raw_len == rep.getBytes("UTF-8").length)
+    assert(r(1L).comp_len < r(1L).raw_len / 10) // pure repetition collapses
+    assert(r(1L).ratio_micro * 3 < r(2L).ratio_micro)
+    assert(r(2L).comp_len < r(2L).raw_len) // still text, still compresses
   }
 
   test("stage pipeline quarantines bad columns and keeps going") {
