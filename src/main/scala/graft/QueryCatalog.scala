@@ -508,6 +508,65 @@ object QueryCatalog {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
         FROM a LEFT JOIN nn USING (day)""")),
 
+    // Freshness / watermark-lag report: per event type, the newest event
+    // and its lag behind the global high-water mark — the staleness SLA
+    // panel every incremental pipeline watches (a type whose feed died
+    // shows a growing lag while the table still "has data"). Two tiny
+    // aggregates, the global mark broadcast as one row.
+    ("q_incr_freshness",
+      (s: SparkSession, d: String) => {
+        val perType = t(s, d, "events").groupBy("event_type")
+          .agg(max(unix_micros(col("ts"))).as("max_us"),
+            count(lit(1)).as("n_events"))
+        val global = perType.agg(max("max_us").as("global_us"))
+        perType.crossJoin(broadcast(global))
+          .select(col("event_type"), col("n_events"),
+            date_format((col("max_us") / lit(1000000L)).cast("timestamp"),
+              "yyyy-MM-dd HH:mm:ss").as("latest"),
+            ((col("global_us") - col("max_us")) / lit(1000000L))
+              .cast("long").as("lag_seconds"))
+      },
+      Some("""WITH p AS (SELECT event_type, max(epoch_us(ts)) AS max_us,
+            count(*) AS n_events FROM events GROUP BY 1),
+          g AS (SELECT max(max_us) AS global_us FROM p)
+        SELECT event_type, n_events,
+          strftime(to_timestamp(max_us // 1000000), '%Y-%m-%d %H:%M:%S')
+            AS latest,
+          CAST((global_us - max_us) // 1000000 AS BIGINT) AS lag_seconds
+        FROM p, g""")),
+
+    // User reactivation distribution: a reactivation is a return after
+    // >=2 idle days (the lag-window gap rule; the threshold matches the
+    // fixture's event density — a 30-day dense stream has no week-long
+    // gaps); the rollup buckets users by
+    // how often they churned-and-returned — the lifecycle histogram
+    // retention teams track. Per-user window (bounded), exact day math.
+    ("q_seq_reactivation",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val perUser = t(s, d, "events")
+          .withColumn("gap_days",
+            datediff(to_date(col("ts")),
+              lag(to_date(col("ts")), 1).over(w)))
+          .groupBy("user_id")
+          .agg(sum(when(col("gap_days") >= 2, 1L).otherwise(0L))
+            .as("n_reactivations"))
+        perUser.groupBy("n_reactivations")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH g AS (SELECT user_id,
+            date_diff('day', lag(CAST(ts AS DATE)) OVER (
+              PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+              CAST(ts AS DATE)) AS gap_days
+          FROM events),
+        pu AS (SELECT user_id,
+            CAST(sum(CASE WHEN gap_days >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_reactivations
+          FROM g GROUP BY 1)
+        SELECT n_reactivations, count(*) AS n_users
+        FROM pu GROUP BY 1""")),
+
     // Backfill planner: which CONTIGUOUS day ranges are missing from a
     // partitioned table — the recompute scoping step of an incremental
     // pipeline (backfills are issued per gap RANGE, not per day). A
