@@ -508,6 +508,90 @@ object QueryCatalog {
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
         FROM a LEFT JOIN nn USING (day)""")),
 
+    // Cohort LTV curve: cumulative purchase revenue per signup cohort by
+    // day offset — the money sibling of q_seq_cohort's retention counts.
+    // Revenue accumulates in exact BIGINT cents; the only window runs
+    // over the (cohort, offset) GRID (calendar² rows, not events), and
+    // the per-user mean divides once at presentation.
+    ("q_agg_ltv",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events")
+        val cohort = e.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("cohort_day"))
+        val sizes = cohort.groupBy("cohort_day")
+          .agg(count(lit(1)).as("n_cohort"))
+        val rev = e.filter(col("event_type") === "purchase")
+          .join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            datediff(to_date(col("ts")), col("cohort_day"))
+              .cast("long").as("day_offset"))
+          .agg(sum(cents(col("value"))).as("rev_cents"))
+        val w = Window.partitionBy("cohort_day")
+          .orderBy(col("day_offset").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        rev.withColumn("cum_cents", sum("rev_cents").over(w))
+          .join(broadcast(sizes), Seq("cohort_day"))
+          .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+              .as("cohort_day"),
+            col("day_offset"), col("rev_cents"), col("cum_cents"),
+            col("n_cohort"),
+            (floor(lit(1e4) * col("cum_cents").cast("double") /
+              col("n_cohort").cast("double")) / lit(1e6))
+              .as("ltv_per_user"))
+      },
+      Some(s"""WITH c AS (SELECT user_id, min(CAST(ts AS DATE))
+            AS cohort_day FROM events GROUP BY 1),
+          sz AS (SELECT cohort_day, count(*) AS n_cohort
+            FROM c GROUP BY 1),
+          r AS (SELECT c.cohort_day,
+              CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
+                AS BIGINT) AS day_offset,
+              CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS rev_cents
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+          cum AS (SELECT cohort_day, day_offset, rev_cents,
+              CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+                ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_cents
+            FROM r)
+        SELECT strftime(cum.cohort_day, '%Y-%m-%d') AS cohort_day,
+          day_offset, rev_cents, cum_cents, n_cohort,
+          floor(1e4 * CAST(cum_cents AS DOUBLE) /
+            CAST(n_cohort AS DOUBLE)) / 1e6 AS ltv_per_user
+        FROM cum JOIN sz ON cum.cohort_day = sz.cohort_day""")),
+
+    // Longest consecutive-active-day streak per user (islands on the
+    // per-user day grid — gamified-engagement's favorite metric), rolled
+    // into a streak-length histogram. Both windows are per-user and
+    // bounded by the user's distinct active days.
+    ("q_window_streak",
+      (s: SparkSession, d: String) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+        val streaks = days
+          .withColumn("rn", row_number().over(w))
+          .withColumn("grp", expr("date_sub(day, rn)"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("best_streak"))
+        streaks.groupBy("best_streak")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+            FROM events),
+          g AS (SELECT user_id, day,
+              day - CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY day) AS INTEGER) AS grp
+            FROM d),
+          st AS (SELECT user_id, count(*) AS len
+            FROM g GROUP BY user_id, grp),
+          best AS (SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
+            FROM st GROUP BY 1)
+        SELECT best_streak, count(*) AS n_users
+        FROM best GROUP BY 1""")),
+
     // Freshness / watermark-lag report: per event type, the newest event
     // and its lag behind the global high-water mark — the staleness SLA
     // panel every incremental pipeline watches (a type whose feed died
