@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The 57 queries of the first green full-suite run (BENCH_r01, sf0.1,
+   *  local[32]) and its recorded total. Every later bench is compared on
+   *  THIS subset — the catalog grows each round, so totals are not
+   *  like-for-like, but the anchor subset is: `anchor_ratio` = (sum of the
+   *  anchor queries' seconds in this run) / 32.113. It is also the
+   *  box-drift calibrator: this shared machine varies up to ~2× between
+   *  windows, so a high ratio with unchanged plans means "slow window",
+   *  not regression. `--anchor` runs just this subset. See BASELINE.md. */
+  final val AnchorBaselineSec = 32.113
+  val anchorQueries: Set[String] = Set(
+    "q_agg_count", "q_agg_hourly", "q_agg_pricing", "q_agg_sessionize",
+    "q_agg_watermark", "q_clean_pipeline", "q_dedup_canonical",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_jaccard", "q_dedup_latest",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_simhash_pairs",
+    "q_distinct_full", "q_distinct_keyed", "q_dsl_bytemagic", "q_dsl_case",
+    "q_dsl_case_compound", "q_dsl_case_default", "q_dsl_clearstring",
+    "q_dsl_concat", "q_dsl_concat_ws", "q_dsl_date_to_string",
+    "q_dsl_datemagic", "q_dsl_datetime_now", "q_dsl_datetimemagic",
+    "q_dsl_expr", "q_dsl_nested", "q_dsl_periodmagic", "q_dsl_sql_registry",
+    "q_emb_neardup", "q_incr_epoch", "q_incr_period_limits", "q_incr_window",
+    "q_incr_window_2col", "q_join_lifted", "q_join_revenue",
+    "q_maint_compact", "q_merge_txnwindow", "q_merge_upsert",
+    "q_mm_features", "q_mm_frames", "q_mm_meta", "q_mm_resize",
+    "q_pipeline_stage", "q_sample_hash", "q_sample_stratified",
+    "q_sim_ann_lsh", "q_sim_topk", "q_skew_salted_join",
+    "q_src_csv_roundtrip", "q_src_tz_shift", "q_text_fingerprint",
+    "q_text_langid", "q_text_quality", "q_text_tokens")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,10 +60,17 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // `--anchor` = run exactly the r1-anchor subset (self-calibrating drift
+    // probe); other args = query-name filter for local iteration.
+    val anchorMode = args.contains("--anchor")
+    val nameArgs = args.filterNot(_ == "--anchor")
+    def isSelected(k: String): Boolean =
+      if (anchorMode) anchorQueries(k)
+      else nameArgs.isEmpty || nameArgs.contains(k)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", sfDir)
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries
-        .filter { case (k, _) => args.isEmpty || args.contains(k) }
+        .filter { case (k, _) => isSelected(k) }
         .foreach { case (_, fn) =>
           try run(fn, warmDir) catch { case _: Throwable => () }
         }
@@ -47,9 +82,7 @@ object Bench {
     // made per-query numbers incomparable across runs (first heavy query
     // absorbs one-time costs).
     // Optional args = query-name filter (local iteration); driver passes none.
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val selected = SparkEntry.queries.filter { case (k, _) => isSelected(k) }
     // A failed query must be VISIBLE, not a fast "success": record the error,
     // keep it out of the timing stats, and exit nonzero at the end. (BENCH_r05
     // silently timed 21 analysis crashes as 0.06s wins — never again.)
@@ -84,8 +117,16 @@ object Bench {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // anchor_ratio: this run's time on the r1-anchor subset / the recorded
+    // 32.113s baseline — only when the whole subset actually timed (a
+    // partial filtered run would report a meaningless fraction).
+    val anchorTimed = results.filter { case (k, _) => anchorQueries(k) }
+    val anchorJson =
+      if (anchorTimed.size == anchorQueries.size)
+        f""","anchor_sec":${anchorTimed.map(_._2).sum}%.3f,"anchor_ratio":${anchorTimed.map(_._2).sum / AnchorBaselineSec}%.3f"""
+      else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"failed":${errors.size}$anchorJson,"sf":"$sfDir"}"""
     // Ad-hoc filtered runs (args given) must not clobber the round artifact:
     // BENCH_FULL.json is reserved for full-suite runs.
     val outName = if (args.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"
@@ -98,7 +139,7 @@ object Bench {
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"failed":${errors.size},"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"failed":${errors.size}$anchorJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
       spark.stop()

@@ -50,6 +50,31 @@ object QueryCatalog {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM scratch root for queries that materialize intermediate files
+    * (format round-trips, snapshot stores, compaction). One FIXED subdir
+    * per tag, wiped and recreated on each call, so a repeated gate/bench
+    * invocation reuses the same path instead of leaking a fresh temp dir
+    * per run; a shutdown hook removes the whole root at JVM exit. The wipe
+    * also guarantees version-numbered stores (SnapshotStore) start from
+    * v0 on every invocation. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
+    p
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  private def scratch(tag: String): String = {
+    val d = scratchRoot.resolve(tag)
+    rmTree(d.toFile)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** The events fixture's `ts` encoding has drifted across testdata
     * generations (TIMESTAMP(NANOS)-as-long, then native TIMESTAMP(MICROS)).
     * [[graft.sources.EventLog]] inspects the resolved schema and normalizes
@@ -3841,6 +3866,16 @@ object QueryCatalog {
         val probes = corpus.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("q").as("qq"),
             col("p").as("qp"))
+        // PROBE-SIDE CONTRACT, enforced: the shortlist tier scans
+        // corpus x probes, so the probe set must be broadcast-sized
+        // ("few queries, exact answer"). A large probe set belongs on the
+        // IVF-PQ path (q_sim_ivfpq) — fail fast instead of running a slow
+        // quadratic plan. limit(1025) bounds the guard's own scan.
+        val nProbes = probes.limit(1025).count()
+        require(nProbes <= 1024,
+          s"tiered retrieval probe set exceeds 1024 rows; the " +
+          "corpus x probes shortlist tier is for broadcast-sized probe " +
+          "sets — route large probe sets through IVF-PQ")
         val w1 = Window.partitionBy("query_id")
           .orderBy(col("pscore").desc, col("vec_id").asc)
         val w2 = Window.partitionBy("query_id")
@@ -4505,8 +4540,7 @@ object QueryCatalog {
     // re-applied (the reference's raw-zone round trip)
     ("q_src_csv_roundtrip",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_csv").toString + "/raw"
+        val out = scratch("csv") + "/raw"
         val src = t(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
@@ -4530,8 +4564,7 @@ object QueryCatalog {
         val base = t(s, d, "region")
           .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
             col("r_name"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_fed").toString
+        val tmp = scratch("fed")
         graft.sources.RawZone.writeRawCsv(base, s"$tmp/csv",
           overwrite = true)
         base.write.mode("overwrite").orc(s"$tmp/orc")
@@ -4555,8 +4588,7 @@ object QueryCatalog {
     // parquet-sourced oracle
     ("q_src_orc",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_orc").toString + "/docs"
+        val out = scratch("orc") + "/docs"
         t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
           .write.mode("overwrite").orc(out)
         s.read.orc(out)
@@ -4573,8 +4605,7 @@ object QueryCatalog {
     // source table
     ("q_src_evolved",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_evo").toString + "/orders"
+        val out = scratch("evo") + "/orders"
         val o = t(s, d, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select("o_orderkey", "o_custkey")
@@ -4596,8 +4627,7 @@ object QueryCatalog {
     // the second commit's content
     ("q_snapshot_roundtrip",
       (s: SparkSession, d: String) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_snap").toString + "/orders"
+        val root = scratch("snap") + "/orders"
         val src = t(s, d, "orders")
           .select("o_orderkey", "o_orderstatus", "o_custkey")
         graft.write.SnapshotStore.commit(
@@ -4618,8 +4648,7 @@ object QueryCatalog {
     // classification from the same predicates over the source table
     ("q_snapshot_changes",
       (s: SparkSession, d: String) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_cdc").toString + "/orders"
+        val root = scratch("cdc") + "/orders"
         val src = t(s, d, "orders")
           .select("o_orderkey", "o_orderstatus", "o_custkey")
         graft.write.SnapshotStore.commit(
@@ -4646,8 +4675,7 @@ object QueryCatalog {
     // JSON string escaping — verified via md5 over the full text body
     ("q_src_jsonl",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_jsonl").toString + "/docs"
+        val out = scratch("jsonl") + "/docs"
         graft.sources.RawZone.writeJsonl(
           t(s, d, "documents").select("doc_id", "text", "lang", "n_chars"),
           out, overwrite = true)
@@ -4667,8 +4695,7 @@ object QueryCatalog {
     // expected census directly.
     ("q_src_jsonl_bad",
       (s: SparkSession, d: String) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_jsonl_bad").toString + "/docs"
+        val dir = scratch("jsonl_bad") + "/docs"
         graft.sources.RawZone.writeJsonl(
           t(s, d, "documents").select("doc_id", "lang"),
           dir, overwrite = true)
@@ -4873,8 +4900,7 @@ object QueryCatalog {
     // K7 — small-file compaction round trip: content identical after rewrite
     ("q_maint_compact",
       (s: SparkSession, d: String) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_compact").toString + "/t"
+        val out = scratch("compact") + "/t"
         val src = t(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"))
         src.repartition(16).write.mode("overwrite").parquet(out) // many files

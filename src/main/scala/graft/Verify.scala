@@ -32,6 +32,11 @@ object Verify {
           failed += name
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Release persisted intermediates (pair pipelines persist posting
+        // lists / signature tables; the handles are session-lived by
+        // contract — see Dedup.materialized) so a 200-query dump doesn't
+        // accumulate MEMORY_AND_DISK blocks across queries.
+        spark.catalog.clearCache()
       }
     }
     // Loud summary on BOTH streams: a thrown query produces no parquet, and

@@ -175,7 +175,16 @@ object Dedup {
     * band union) would be recomputed once per reference. Materialize it once;
     * the in-session analog of writing the (corpus-fraction-sized)
     * intermediate to parquet, which is what a 100 TB pipeline does between
-    * its tokenize and join stages. */
+    * its tokenize and join stages.
+    *
+    * LIFETIME CONTRACT: the cached handle lives until the session caches are
+    * cleared — the returned plan is lazy, so the callee cannot unpersist it
+    * before the caller has consumed it. Batch drivers (`Bench`, `Verify`)
+    * run `spark.catalog.clearCache()` between queries, which releases every
+    * handle from the previous query; a long-running interactive session
+    * calling pair-generation repeatedly must do the same (or unpersist via
+    * `spark.sharedState.cacheManager`) or the MEMORY_AND_DISK blocks
+    * accumulate for the session's lifetime. */
   private[ops] def materialized(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -335,7 +335,16 @@ object Multimodal {
     * that tile's hash even when their WHOLE-image hashes differ in many
     * bits. Join on (tile, thash) for candidate pairs; filter hot tile
     * hashes (flat backgrounds) by document frequency, exactly like hot
-    * shingles in text dedup. Integer end to end, replayable. */
+    * shingles in text dedup. Integer end to end, replayable.
+    *
+    * MARGIN TRUNCATION: tile width/height are integer divisions
+    * (`sw / tilesX`, `sh / tilesY`), so when the image dimensions are not
+    * divisible by the tile grid the right/bottom remainder pixels (up to
+    * `tilesX-1` columns / `tilesY-1` rows) are never sampled — two images
+    * differing ONLY in that margin hash identically. This is intentional
+    * (a perceptual hash tolerates edge noise by design) but means the
+    * hash is not a full-image integrity check; use a byte digest for
+    * that. */
   def imageTileHash(media: Dataset[(Long, Array[Byte])], tilesX: Int = 2,
       tilesY: Int = 2, grid: Int = 4): Dataset[TileHash] = {
     import media.sparkSession.implicits._

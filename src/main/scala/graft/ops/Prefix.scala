@@ -101,6 +101,15 @@ object Prefix {
     val localSums = ranged.groupBy("__pid", groupCol)
       .agg(sum("__v").as("s")).collect()
       .map(r => (r.getInt(0), r.get(1)) -> r.getLong(2)).toMap
+    // Enforce the low-cardinality contract instead of silently degrading:
+    // the driver holds (#partitions x #groups) longs. A high-cardinality
+    // group column (document id, user id) belongs on a plain
+    // Window.partitionBy(group) — Spark already parallelizes that by key.
+    val nGroups = localSums.keys.map(_._2).toSet.size
+    require(nGroups <= 100000,
+      s"runningOffsetsBy: $nGroups distinct '$groupCol' values exceed the " +
+      "low-cardinality contract (<=100000); use a per-key window " +
+      "(Window.partitionBy) for high-cardinality running totals")
     // driver prefix per group across the range-ordered partition ids
     val pids = localSums.keys.map(_._1).toSeq.distinct.sorted
     val groups = localSums.keys.map(_._2).toSeq.distinct

@@ -958,6 +958,11 @@ object TextOps {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
       val d = new java.util.zip.Deflater(6)
+      // Deflater holds NATIVE zlib memory — release deterministically at
+      // task end (covers early termination under a limit too), not at GC
+      // finalization. end() is idempotent, so double-release is safe.
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => d.end()))
       val buf = new Array[Byte](1 << 16)
       rows.map { case (id, text) =>
         val bytes =
