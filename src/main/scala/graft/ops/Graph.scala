@@ -18,6 +18,53 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
+   * Structural degree cap — the graph-side analog of the dedup family's
+   * `maxBucket` / `maxDf` hot-key guards. Derived graphs (co-order,
+   * co-occurrence, similarity) densify superlinearly around hubs, and a
+   * 1e6-degree hub turns any wedge/message join quadratic no matter how the
+   * downstream operator is shaped; the class-size lesson from the dedup
+   * side is that the bound must be ON THE STRUCTURE, not in caller
+   * convention. This keeps, per node, the `maxDegree` incident edges with
+   * the smallest xxhash64(src, dst) rank (ties broken on (src, dst) — a
+   * total order, so the sample is DETERMINISTIC across runs and engines),
+   * and an edge survives only if BOTH endpoints kept it — so every
+   * surviving node has degree <= maxDegree and the result is a
+   * well-defined subgraph, not a per-side-inconsistent edge soup.
+   *
+   * The capped result is a documented UNDER-count for whatever runs on it
+   * (triangles, communities): exact on the sampled subgraph, a sample of
+   * the full graph. Leaf nodes whose only edges were dropped at the hub
+   * side disappear from the edge list entirely (they become isolated —
+   * their own community / zero triangles by definition).
+   *
+   * Scale shape: one duplicate-collapsing distinct, one combine-enabled
+   * bottom-k aggregate per endpoint ([[graft.plans.EarliestK]]: O(k) heap
+   * state per group, map-side combining — a hub costs k rows of state per
+   * partition, never its full edge list), one count-2 aggregate on the
+   * kept pairs. Linear in |E|, no window over a hot node.
+   */
+  def capDegree(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxDegree: Int = 1000): DataFrame = {
+    require(maxDegree >= 1, s"capDegree needs maxDegree >= 1, got $maxDegree")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val s = struct(xxhash64(col("src"), col("dst")).as("h"),
+      col("src"), col("dst"))
+    val incident = e.select(col("src").as("node"), s.as("s"))
+      .union(e.select(col("dst").as("node"), s.as("s")))
+    incident.groupBy("node")
+      .agg(graft.plans.GraftExpressions.earliest_k(col("s"), maxDegree)
+        .as("keep"))
+      .select(explode(col("keep")).as("s"))
+      .groupBy(col("s.src").as("src"), col("s.dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      // kept by both endpoints (a self-loop's two incidences are the same
+      // node's list twice — also n = 2)
+      .filter(col("n") === 2)
+      .select("src", "dst")
+  }
+
+  /**
    * PageRank (Page, Brin, Motwani, Winograd 1999) with integer fixed-point
    * arithmetic, run for a FIXED number of rounds:
    *
@@ -174,10 +221,24 @@ object Graph {
    * needed).
    */
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", rounds: Int = 4): DataFrame = {
+      dstCol: String = "dst", rounds: Int = 4,
+      maxDegree: Int = 0): DataFrame = {
     require(rounds >= 1, s"labelPropagation needs rounds >= 1")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    // maxDegree > 0 = structural hub guard ([[capDegree]]): cap on the
+    // canonical undirected form, then re-symmetrize, so both directions of
+    // a surviving edge survive together. Communities on the sampled
+    // subgraph; nodes stripped of every edge drop out (isolated).
+    val sym =
+      if (maxDegree <= 0) edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      else {
+        val canon = capDegree(
+          edges.select(least(col(srcCol), col(dstCol)).cast("long").as("src"),
+            greatest(col(srcCol), col(dstCol)).cast("long").as("dst")),
+          "src", "dst", maxDegree)
+        canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
+      }
+    val e = sym.distinct().localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
@@ -219,12 +280,20 @@ object Graph {
    * self-loops are dropped, duplicates collapse via distinct.
    */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val canon = edges
+      dstCol: String = "dst", maxDegree: Int = 0): DataFrame = {
+    val canon0 = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // maxDegree > 0 = structural hub guard ([[capDegree]]): triangle/
+    // clustering counts become exact-on-the-sampled-subgraph (an
+    // under-count of the full graph), with wedge fan-out bounded by
+    // min(maxDegree, sqrt(|E|)) regardless of how dense the caller's
+    // derived graph turned out.
+    val canon = (if (maxDegree <= 0) canon0
+      else capDegree(canon0, "a", "b", maxDegree)
+        .select(col("src").as("a"), col("dst").as("b")))
       // deg, the orientation and the wedge join all reference the
       // canonical edge set; evaluate the caller's pipeline once
       .localCheckpoint()

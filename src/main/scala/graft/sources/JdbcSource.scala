@@ -62,6 +62,46 @@ object JdbcSource {
       password: String): DataFrame =
     spark.read.format("jdbc").options(options(e, query, password)).load()
 
+  /** Dialect-agnostic push-down read of a generated query against an
+    * explicit JDBC URL — the reader construction shared by [[read]] and the
+    * embedded-database integration tests (the harness has no Oracle/MSSQL/
+    * MySQL, but Derby executes the same generated ANSI SQL). A bare `query`
+    * read is ONE source cursor regardless of `numPartitions`; use
+    * [[readPartitioned]] for the parallel form. */
+  def readQuery(spark: SparkSession, url: String, driver: String,
+      query: String, user: String = "", password: String = "",
+      fetchSize: Int = 1000): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("query", query)
+      .option("fetchsize", fetchSize.toString)
+    val r2 = if (user.nonEmpty)
+      r.option("user", user).option("password", password) else r
+    r2.load()
+  }
+
+  /** Dialect-agnostic bounded-partition read: `dbtable` (a table name or a
+    * `(subquery) alias`) split on `partitionColumn` over
+    * [lowerBound, upperBound] into `numPartitions` executor-issued range
+    * queries — the Spark-native form of the reference's driver thread-split
+    * (S3, load_with_query.py:281-329). */
+  def readPartitioned(spark: SparkSession, url: String, driver: String,
+      dbtable: String, partitionColumn: String, lowerBound: String,
+      upperBound: String, numPartitions: Int, user: String = "",
+      password: String = "", fetchSize: Int = 1000): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("driver", driver)
+      .option("dbtable", dbtable)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions.toString)
+      .option("fetchsize", fetchSize.toString)
+    val r2 = if (user.nonEmpty)
+      r.option("user", user).option("password", password) else r
+    r2.load()
+  }
+
   /** Incremental read: Spark-partitioned on the watermark column over
     * [START_VALUE, END_VALUE] — the native form of the reference's
     * thread-split (S3). */
@@ -71,15 +111,8 @@ object JdbcSource {
     val table =
       s"(${Incremental.fullQuery(t.sourceSchema, t.sourceTable, t.columns,
         t.idColumn, t.joinExpr)}) src"
-    spark.read.format("jdbc")
-      .option("url", url).option("driver", driver)
-      .option("user", e.srcDbUsername).option("password", password)
-      .option("dbtable", table)
-      .option("partitionColumn", t.filterColumn.split(",").head.trim)
-      .option("lowerBound", t.startValue)
-      .option("upperBound", t.endValue)
-      .option("numPartitions", numPartitions.toString)
-      .option("fetchsize", "1000")
-      .load()
+    readPartitioned(spark, url, driver, table,
+      t.filterColumn.split(",").head.trim, t.startValue, t.endValue,
+      numPartitions, e.srcDbUsername, password)
   }
 }

@@ -199,6 +199,53 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("capDegree: hub-heavy graph bounded, deterministic, exact below cap") {
+    // hub 0 wired to 1..200, plus a clean triangle (300,301,302) far from
+    // the hub — the degenerate derived-graph shape that turned the r6
+    // triangle query quadratic before fixture thinning
+    val hub = (1L to 200L).map(i => (0L, i))
+    val tri = Seq((300L, 301L), (301L, 302L), (300L, 302L))
+    val edges = (hub ++ tri).toDF("src", "dst")
+    val capped = Graph.capDegree(edges, "src", "dst", maxDegree = 10)
+      .as[(Long, Long)].collect().toSet
+    // every surviving node's degree respects the cap
+    val degs = capped.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    assert(degs.values.forall(_ <= 10), s"cap violated: $degs")
+    // the hub kept exactly maxDegree of its 200 edges (a documented
+    // under-count); below-cap structure is untouched
+    assert(degs(0L) == 10)
+    assert(tri.toSet.subsetOf(capped))
+    // deterministic: same input -> bit-identical sample
+    val again = Graph.capDegree(edges, "src", "dst", maxDegree = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == again)
+  }
+
+  test("capDegree: triangleCounts and labelPropagation run capped on hubs") {
+    // triangles through the hub are a sample of the full count; the
+    // off-hub triangle must survive intact (its nodes are below the cap)
+    val hub = (1L to 200L).map(i => (0L, i)) ++
+      (1L until 200L).map(i => (i, i + 1)) // wheel rim: many hub triangles
+    val tri = Seq((300L, 301L), (301L, 302L), (300L, 302L))
+    val edges = (hub ++ tri).toDF("src", "dst")
+    val exact = Graph.triangleCounts(edges, "src", "dst")
+      .select("node", "triangles").as[(Long, Long)].collect().toMap
+    val capped = Graph.triangleCounts(edges, "src", "dst", maxDegree = 10)
+      .select("node", "triangles").as[(Long, Long)].collect().toMap
+    // under-count, never over; exact on the untouched triangle
+    capped.foreach { case (n, t) =>
+      assert(t <= exact.getOrElse(n, 0L), s"node $n overcounted")
+    }
+    Seq(300L, 301L, 302L).foreach(n => assert(capped.get(n).contains(1L)))
+    // label propagation on the capped symmetric graph completes and still
+    // finds the off-hub community
+    val sym = (hub ++ tri ++ (hub ++ tri).map(_.swap)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(sym, "src", "dst", rounds = 3,
+      maxDegree = 10).as[(Long, Long)].collect().toMap
+    assert(labels(300L) == labels(301L) && labels(301L) == labels(302L))
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
