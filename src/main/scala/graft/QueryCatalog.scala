@@ -255,14 +255,32 @@ object QueryCatalog {
       Some("SELECT c_custkey, trim(concat_ws('|', c_name, c_mktsegment)) " +
         "AS nested FROM customer")),
 
-    // fn_transform_Datetime() is now()-based — rows-only check (no oracle)
+    // fn_transform_Datetime()'s now() arm, made ORACLE-ABLE by the
+    // injectable clock (Transforms.nowUtc): the `spark.graft.now` session
+    // conf pins the instant, which bakes into the plan as a literal at
+    // column construction / analysis — so the conf can be cleared before
+    // the query even runs, and production (conf unset) stays wall-clock.
+    // Both doors are exercised: the DSL branch and the SQL `graft_now()`.
     ("q_dsl_datetime_now",
-      (s: SparkSession, d: String) => t(s, d, "customer").limit(10).select(
-        col("c_custkey"),
-        Transforms.column("fn_transform_Datetime()", "timestamp").as("now_lima"),
-        Transforms.column("fn_transform_Datetime(c_name)", "timestamp")
-          .as("null_ts")),
-      None),
+      (s: SparkSession, d: String) => {
+        s.conf.set("spark.graft.now", "2026-01-15 10:30:00")
+        try {
+          graft.functions.Registry.registerAll(s)
+          // DataFrame construction analyzes eagerly, so graft_now() has
+          // resolved (and read the conf) by the time select returns
+          t(s, d, "customer").filter(col("c_custkey") <= 10).select(
+            col("c_custkey"),
+            date_format(Transforms.column("fn_transform_Datetime()",
+              "timestamp"), "yyyy-MM-dd HH:mm:ss").as("now_lima"),
+            date_format(expr("graft_now()"), "yyyy-MM-dd HH:mm:ss")
+              .as("now_utc"),
+            date_format(Transforms.column("fn_transform_Datetime(c_name)",
+              "timestamp"), "yyyy-MM-dd HH:mm:ss").as("null_ts"))
+        } finally s.conf.unset("spark.graft.now")
+      },
+      Some("""SELECT c_custkey, '2026-01-15 05:30:00' AS now_lima,
+          '2026-01-15 10:30:00' AS now_utc, CAST(NULL AS VARCHAR) AS null_ts
+        FROM customer WHERE c_custkey <= 10""")),
 
     // the PARSE arm of fn_transform_Datetime (non-empty arg ->
     // try_to_timestamp: well-formed input parses, malformed yields null —

@@ -67,6 +67,9 @@ object Registry {
     "fn_transform_date_to_string" -> ((exprs: Seq[Expression]) =>
       E(date_format(C(exprs.head),
         litString(exprs(1), "fn_transform_Date_to_String: format")))),
+    // Injectable clock (see [[Transforms.nowUtc]]): fixed via the
+    // `spark.graft.now` session conf, wall-clock otherwise.
+    "graft_now" -> ((_: Seq[Expression]) => E(Transforms.nowUtc())),
     "fn_transform_periodmagic" -> ((exprs: Seq[Expression]) => {
       val p = C(exprs.head)
       val e = C(exprs(1))

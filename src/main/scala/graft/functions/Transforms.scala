@@ -57,6 +57,23 @@ object Transforms {
     case Raw(t) => expr(t)
   }
 
+  /** Injectable clock for the DSL's now() arm (and the SQL `graft_now()`):
+    * reads the session conf `spark.graft.now` at COLUMN-CONSTRUCTION time
+    * (driver-side, analysis) — when set, the value (a
+    * "yyyy-MM-dd HH:mm:ss" string, interpreted in the session time zone)
+    * bakes into the plan as a timestamp literal, making every now()-based
+    * transformation deterministic and therefore oracle-checkable; unset
+    * (production), it is `current_timestamp()` exactly as before. A
+    * Column-level twist on the standard Clock-parameter pattern: the
+    * override travels with the session, so the metadata-driven DSL needs
+    * no signature change. */
+  def nowUtc(): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption("spark.graft.now"))
+      .map(v => to_timestamp(lit(v)))
+      .getOrElse(current_timestamp())
+
   /** Parse + compile + cast — one output column, as the reference applies it
     * (every `transform_df` branch ends `.cast(data_type)`). `try_cast`, not
     * `cast`: the reference ran non-ANSI Spark 3 where a malformed cast
@@ -103,7 +120,7 @@ object Transforms {
       // null; under Spark 4 ANSI semantics plain to_timestamp would throw.
       case "fn_transform_Datetime" =>
         if (args.isEmpty || rawText(args.head).isEmpty)
-          from_utc_timestamp(current_timestamp(), "America/Lima")
+          from_utc_timestamp(nowUtc(), "America/Lima")
         else try_to_timestamp(argCol(args.head))
 
       // "pending review" in the reference — aliased to Concatenate_ws (:237-239)

@@ -559,8 +559,11 @@ object StreamingIngest {
    * Streaming ingestion gate against a STATIC benchmark — decontamination at
    * arrival time, so contaminated documents never land in the stage zone.
    * The benchmark's distinct n-grams are collected once at plan time and
-   * broadcast (eval sets are driver-sized; corpus-scale retro-scans use the
-   * batch `Dedup.contaminationPairs`); each arriving document is then scored
+   * broadcast — the SMALL-benchmark fast path (eval sets are driver-sized
+   * by contract; a benchmark too big to collect belongs on
+   * [[contaminationGateBloom]], whose state is constant-size, and
+   * corpus-scale retro-scans on the batch `Dedup.contaminationPairs`);
+   * each arriving document is then scored
    * by a pure per-row function — tokenize, shingle, count membership in the
    * broadcast set. Completely STATELESS: no streaming aggregation, no state
    * store, works in append mode with unchanged watermark semantics, and the
@@ -594,6 +597,48 @@ object StreamingIngest {
         }
       Row.fromSeq(r.toSeq ++ Seq(matched, matched >= minShared))
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /**
+   * Bloom form of [[contaminationGate]] — the corpus-scale-benchmark shape.
+   * The exact gate collects the benchmark's distinct shingles to the driver
+   * (fine for eval-set-sized benchmarks, its documented contract); this
+   * variant folds them into a [[graft.plans.BloomBitsAgg]] bit array —
+   * mBits/64 longs of CONSTANT state regardless of benchmark size —
+   * computed inside the engine and attached as a one-row broadcast
+   * stream-static join, so NOTHING benchmark-sized ever reaches the
+   * driver. Per arriving row the grams are built columnarly with the same
+   * tokenize → sliding-n → distinct semantics as the exact gate (short
+   * texts fall back to the single whole-text gram) and counted against the
+   * filter via `bloom_contains` inside a higher-order filter — stateless,
+   * append-mode, no watermark, exactly like the exact gate.
+   *
+   * `n_matched` can OVER-count by bloom false positives but never under
+   * (no false negatives: every true overlap is flagged), so the gate only
+   * ever over-quarantines; size `mBits >> k * |benchmark grams|` (the
+   * default 2^20 bits / k=4 gives ~1e-7 per-gram FP on a 10^4-gram
+   * benchmark — see [[graft.ops.Dedup.bloomContamination]]).
+   */
+  def contaminationGateBloom(docs: DataFrame, textCol: String,
+      bench: DataFrame, benchId: String, benchText: String, n: Int,
+      minShared: Int, mBits: Int = 1 << 20, k: Int = 4): DataFrame = {
+    val E = graft.plans.GraftExpressions
+    val bits = graft.ops.Dedup.shingleTable(bench, benchId, benchText, n)
+      .filter(col("shingle").isNotNull)
+      .agg(E.bloom_bits(col("shingle"), mBits, k).as("__bits"))
+    val toks = E.tokenize_alnum(col(textCol))
+    val grams = when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array(array_join(toks, " ")))
+    docs.crossJoin(broadcast(bits))
+      .withColumn("n_matched",
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(filter(grams,
+            g => E.bloom_contains(col("__bits"), g, mBits, k)))
+            .cast("long")))
+      .withColumn("contaminated", col("n_matched") >= minShared)
+      .drop("__bits")
   }
 
   /**

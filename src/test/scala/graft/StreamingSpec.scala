@@ -205,6 +205,52 @@ class StreamingSpec extends SparkSpec {
     assert(batchGot == got)
   }
 
+  test("bloom contamination gate: parity with the exact gate and batch bloom") {
+    val dir = Files.createTempDirectory("graft_bgate").toString
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (2L, "alpha beta unrelated gamma delta elsewhere"),
+      (3L, "completely different content here"),
+      (4L, "one two three four and then five six seven"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "tiny")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    // at 2^20 bits / k=4 over ~7 benchmark grams the FP probability is
+    // ~1e-20 — the bloom gate must agree with the exact gate bit-for-bit
+    val exact = StreamingIngest.contaminationGate(docs, "text",
+      bench, "doc_id", "text", n = 4, minShared = 2)
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val bloomBatch = StreamingIngest.contaminationGateBloom(docs, "text",
+      bench, "doc_id", "text", n = 4, minShared = 2)
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloomBatch == exact)
+    // the same plan runs as a STREAM (stateless, append mode) and agrees
+    val streamed = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val gated = StreamingIngest.contaminationGateBloom(streamed, "text",
+      bench, "doc_id", "text", n = 4, minShared = 2)
+    val got = StreamingIngest.runToMemory(gated, "bgate", OutputMode.Append())
+      .select("doc_id", "n_matched", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == exact)
+    // and the per-doc hit counts agree with the BATCH bloom decontaminator
+    // (same BloomBitsAgg bits, different plan shape)
+    val nHits = graft.ops.Dedup.bloomContamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (id, (m, _)) =>
+      assert(nHits.getOrElse(id, 0L) == m, s"doc $id: bloom batch disagrees")
+    }
+  }
+
   test("anomaly gate flags a spiking window against baseline moments") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

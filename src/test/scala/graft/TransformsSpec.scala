@@ -130,4 +130,27 @@ class TransformsSpec extends SparkSpec {
     assert(row.getAs[java.sql.Timestamp]("now") != null)
     assert(row.getAs[java.sql.Timestamp]("bad") == null)
   }
+
+  test("injectable clock: spark.graft.now pins the now() arm, unset = wall") {
+    spark.conf.set("spark.graft.now", "2026-01-15 10:30:00")
+    val pinned = try {
+      graft.functions.Registry.registerAll(spark)
+      Seq(1).toDF("x").select(
+        date_format(Transforms.column("fn_transform_Datetime()", "timestamp"),
+          "yyyy-MM-dd HH:mm:ss").as("lima"),
+        date_format(expr("graft_now()"), "yyyy-MM-dd HH:mm:ss").as("utc"))
+    } finally spark.conf.unset("spark.graft.now")
+    // the literal baked at construction — evaluating AFTER the unset still
+    // yields the pinned instant (Lima = UTC-5, no DST)
+    val r = pinned.collect().head
+    assert(r.getString(0) == "2026-01-15 05:30:00")
+    assert(r.getString(1) == "2026-01-15 10:30:00")
+    // conf unset -> the production wall-clock arm
+    val t0 = System.currentTimeMillis()
+    val got = Seq(1).toDF("x")
+      .select(Transforms.column("fn_transform_Datetime()", "timestamp"))
+      .collect().head.getTimestamp(0).getTime
+    assert(math.abs(got + 5L * 3600 * 1000 - t0) < 120000,
+      s"wall-clock now() drifted: $got vs $t0")
+  }
 }
