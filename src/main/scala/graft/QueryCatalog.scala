@@ -2310,6 +2310,37 @@ object QueryCatalog {
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdOracleSql)),
 
+    // URL canonicalization (TextOps.canonicalUrl) — the crawl pipeline's
+    // first dedup key. Two deterministic variants of the same logical URL
+    // per customer (one messy: uppercase scheme/host, www., default port,
+    // trailing slash, utm_ tracking param, unsorted params, fragment; one
+    // clean) must collapse to ONE canonical string per customer. The
+    // oracle states the expected canonical in closed form — any wrong
+    // normalization step breaks the group-by and the hash.
+    ("q_text_url_canon",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(
+          col("c_custkey").cast("string").as("ck"),
+          col("c_nationkey").cast("string").as("nk"),
+          lower(col("c_mktsegment")).as("seg"))
+        val messy = concat(lit("HTTPS://WWW.shop"), col("nk"),
+          lit(".com:443/item/"), col("ck"),
+          lit("/?utm_source=mail&ref="), col("seg"), lit("&a=1#top"))
+        val clean = concat(lit("https://shop"), col("nk"),
+          lit(".com/item/"), col("ck"), lit("?a=1&ref="), col("seg"))
+        c.select(explode(array(messy, clean)).as("url"))
+          .select(col("url"),
+            TextOps.canonicalUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_variants"),
+            count_distinct(col("url")).as("n_distinct_inputs"))
+      },
+      Some("""SELECT concat('https://shop', c_nationkey, '.com/item/',
+          c_custkey, '?a=1&ref=', lower(c_mktsegment)) AS canonical_url,
+          CAST(2 AS BIGINT) AS n_variants,
+          CAST(2 AS BIGINT) AS n_distinct_inputs
+        FROM customer""")),
+
     ("q_text_fingerprint",
       (s: SparkSession, d: String) => t(s, d, "documents").select(
         col("doc_id"),
@@ -4735,6 +4766,71 @@ object QueryCatalog {
           count(DISTINCT lang) AS n_langs
         FROM documents""")),
 
+    // S1/S3 ORACLE-CHECKED — the reference's flagship JDBC extraction
+    // executed against a LIVE embedded database inside the query: a
+    // bounded deterministic subset of `orders` is loaded into in-memory
+    // Derby (driver-side JDBC batch — harness setup bounded by the key
+    // filter literal, not a data-path collect), then extracted back
+    // through the SAME generated SQL production uses (P4/P6 projection +
+    // key alias, P3 window predicate) via the Spark-partitioned bounded
+    // read (S3: executors issue the per-range queries; bounds control the
+    // stride, the window predicate lives in the pushed subquery). The
+    // oracle recomputes the window from the original parquet — a JDBC
+    // round-trip fidelity proof, not just a spec.
+    ("q_src_jdbc",
+      (s: SparkSession, d: String) => {
+        val url = "jdbc:derby:memory:graftq;create=true"
+        val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+        Class.forName(drv)
+        val rows = t(s, d, "orders")
+          .filter(col("o_orderkey") <= 20000)
+          .select(col("o_orderkey").cast("long"),
+            col("o_custkey").cast("long"), col("o_orderstatus"),
+            cents(col("o_totalprice")),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .collect()
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val st = c.createStatement()
+          // Derby has no IF EXISTS: idempotent re-create for repeated
+          // invocations (bench warm-up runs every query twice)
+          try st.executeUpdate("DROP TABLE GRAFT.ORDERS_SRC")
+          catch { case _: java.sql.SQLException => () }
+          try st.executeUpdate("CREATE SCHEMA GRAFT")
+          catch { case _: java.sql.SQLException => () }
+          st.executeUpdate("""CREATE TABLE GRAFT.ORDERS_SRC(
+            O_ORDERKEY BIGINT NOT NULL PRIMARY KEY, O_CUSTKEY BIGINT,
+            O_ORDERSTATUS VARCHAR(1), CENTS BIGINT, O_DATE VARCHAR(10))""")
+          val ps = c.prepareStatement(
+            "INSERT INTO GRAFT.ORDERS_SRC VALUES (?,?,?,?,?)")
+          rows.foreach { r =>
+            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
+            ps.setString(3, r.getString(2)); ps.setLong(4, r.getLong(3))
+            ps.setString(5, r.getString(4)); ps.addBatch()
+          }
+          ps.executeBatch()
+          st.close(); ps.close()
+        } finally c.close()
+        val baseQ = Incremental.fullQuery("GRAFT", "ORDERS_SRC",
+          "o_custkey,o_orderstatus,cents,o_date", idColumn = "o_orderkey")
+        val pred = Incremental.windowPredicateSql("o_orderkey",
+          "4000", "16000")
+        // the projection aliased the key to `id` (P6) — Spark's partition
+        // column must name the SUBQUERY's output column
+        graft.sources.JdbcSource.readPartitioned(s, url, drv,
+            s"($baseQ where $pred) AS src", "id", "4000", "16000",
+            numPartitions = 4)
+          .select(col("id").cast("bigint").as("o_orderkey"),
+            col("o_custkey").cast("bigint").as("o_custkey"),
+            col("o_orderstatus"), col("cents").cast("bigint").as("cents"),
+            col("o_date"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          ${centsSql("o_totalprice")} AS cents,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM orders
+        WHERE o_orderkey <= 20000 AND o_orderkey BETWEEN 4000 AND 16000""")),
+
     // S5 — every TimestampType column shifted UTC -> Lima (-5h)
     ("q_src_tz_shift",
       (s: SparkSession, d: String) =>
@@ -6032,6 +6128,72 @@ object QueryCatalog {
             FROM lineitem WHERE l_orderkey % 5 = 0),
           canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
             FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          deg AS (SELECT node, count(*) AS deg FROM (
+              SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
+            GROUP BY 1),
+          o AS (SELECT
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN c.a ELSE c.b END AS lo,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN c.b ELSE c.a END AS hi,
+              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+                THEN db.deg ELSE da.deg END AS dhi
+            FROM canon c JOIN deg da ON c.a = da.node
+            JOIN deg db ON c.b = db.node),
+          wed AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
+            FROM o w1 JOIN o w2 ON w1.lo = w2.lo
+            WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
+          tri AS (SELECT p, x, y
+            FROM wed JOIN o ON wed.x = o.lo AND wed.y = o.hi),
+          pn AS (SELECT node, count(*) AS t FROM (
+              SELECT p AS node FROM tri UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri) GROUP BY 1)
+          SELECT d.node, d.deg AS degree,
+            coalesce(pn.t, CAST(0 AS BIGINT)) AS triangles,
+            CASE WHEN d.deg >= 2 THEN
+              floor(CAST(coalesce(pn.t, CAST(0 AS BIGINT)) AS DOUBLE) * 2e6
+                / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 1e6
+            ELSE 0.0 END AS clustering
+          FROM deg d LEFT JOIN pn ON d.node = pn.node""")),
+
+    // The STRUCTURAL hub guard, oracle-verified: the same co-order graph
+    // as q_graph_triangles but degree-capped with Graph.capDegree
+    // (maxDegree=8) before counting — per-node deterministic bottom-k by
+    // md5("src|dst") rank, an edge surviving only at both endpoints. The
+    // oracle replays the sampling exactly (row_number over the md5 order,
+    // keep rank<=8, count(*)=2), then the full oriented-wedge pipeline on
+    // the capped subgraph — proving the capped result is EXACT on the
+    // sampled subgraph, not merely "bounded". maxDegree is what makes a
+    // hub-degenerate derived graph safe at corpus scale (wedge fan-out
+    // <= cap, no quadratic key).
+    ("q_graph_capped", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        Graph.triangleCounts(e, "src", "dst", maxDegree = 8)
+      }): Q
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % 5 = 0),
+          canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          inc AS (SELECT a AS node, a, b,
+              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+            FROM canon0
+            UNION ALL
+            SELECT b AS node, a, b,
+              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+            FROM canon0),
+          ranked AS (SELECT node, a, b,
+              row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
+            FROM inc),
+          canon AS (SELECT a, b FROM ranked WHERE rk <= 8
+            GROUP BY a, b HAVING count(*) = 2),
           deg AS (SELECT node, count(*) AS deg FROM (
               SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
             GROUP BY 1),

@@ -29,7 +29,10 @@ object Graph {
    * total order, so the sample is DETERMINISTIC across runs and engines),
    * and an edge survives only if BOTH endpoints kept it — so every
    * surviving node has degree <= maxDegree and the result is a
-   * well-defined subgraph, not a per-side-inconsistent edge soup.
+   * well-defined subgraph, not a per-side-inconsistent edge soup. The rank
+   * hash is md5 over "src|dst" (the catalog's only cross-engine hash), so
+   * an oracle engine replays the exact sample — the capped subgraph is as
+   * oracle-checkable as the exact one.
    *
    * The capped result is a documented UNDER-count for whatever runs on it
    * (triangles, communities): exact on the sampled subgraph, a sample of
@@ -48,7 +51,8 @@ object Graph {
     require(maxDegree >= 1, s"capDegree needs maxDegree >= 1, got $maxDegree")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    val s = struct(xxhash64(col("src"), col("dst")).as("h"),
+    val s = struct(
+      md5(concat_ws("|", col("src"), col("dst")).cast("binary")).as("h"),
       col("src"), col("dst"))
     val incident = e.select(col("src").as("node"), s.as("s"))
       .union(e.select(col("dst").as("node"), s.as("s")))

@@ -976,4 +976,43 @@ object TextOps {
       }
     }
   }
+
+  /**
+   * URL canonicalization — the web-corpus dedup key every crawl pipeline
+   * computes before anything touches page content (CommonCrawl/C4 dedup by
+   * URL first; the same page is fetched as `HTTP://WWW.x.com:80/a/?utm=…#f`
+   * and `http://x.com/a`). Normalization rules, composed entirely from
+   * codegen'd built-ins (no UDF):
+   *
+   *   - scheme and host lowercased; path and query left case-sensitive
+   *   - default port stripped (`:443` for https, `:80` for http)
+   *   - leading `www.` stripped from the host
+   *   - fragment dropped
+   *   - trailing slash stripped from a non-root path; empty path -> `/`
+   *   - query params split on `&`, tracking params (`utm_*`) and empties
+   *     dropped, the rest SORTED (param order is transport noise)
+   *
+   * Pure per-row projection — fuses into the scan stage, no shuffle; the
+   * canonical string then feeds an ordinary exact-dedup groupBy.
+   */
+  def canonicalUrl(raw: Column): Column = {
+    val u = regexp_replace(raw, "#.*", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "https",
+        regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val path0 = regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", "/").otherwise(stripped)
+    val q = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(q, "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", "").otherwise(concat(lit("?"), kept)))
+  }
 }
