@@ -3249,6 +3249,56 @@ object QueryCatalog {
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // LSH parameter sweep — the measurement loop that tunes (bands, rows)
+    // BEFORE a dedup index ships: for each banding of the same k=12
+    // signature, candidate-set size, how many true pairs (>= 0.7 Jaccard,
+    // ground truth = the LOSSLESS prefix-filter join) the banding caught,
+    // and floor-quantized recall/precision. The sweep is the text-dedup
+    // analog of q_sim_recall: banded probability of catching a pair is
+    // 1-(1-j^r)^b, so more bands (shorter rows) buys recall with more
+    // candidates — this query MEASURES that curve instead of trusting it.
+    // Signature table evaluated once (localCheckpoint) and read by every
+    // config; each config is one equi-join on its band keys. (This
+    // fixture's near-dup pairs are all >= 0.9 Jaccard, so every config
+    // scores 100% here — the sweep differentiates on a corpus with
+    // mid-similarity pairs; what the oracle certifies is the measurement
+    // machinery itself.)
+    ("q_dedup_lsh_tuning",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val truth = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5,
+            threshold = 0.7)
+          .select(col("doc1"), col("doc2"), lit(1L).as("is_true"))
+          .localCheckpoint()
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
+          .localCheckpoint()
+        val stats = Seq(2, 4, 6).map { b =>
+          val bk = Dedup.minhashBands(sigs, 12, b)
+          val cand = bk.join(bk.select(col("doc_id").as("doc2"),
+                col("band"), col("band_key")), Seq("band", "band_key"))
+            .filter(col("doc_id") < col("doc2"))
+            .select(col("doc_id").as("doc1"), col("doc2")).distinct()
+          cand.join(truth, Seq("doc1", "doc2"), "left")
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum(col("is_true")), lit(0L)).as("n_found"))
+            .select(lit(b.toLong).as("bands"),
+              lit((12 / b).toLong).as("rows_per_band"),
+              col("n_candidates"), col("n_found"))
+        }.reduce(_ unionByName _)
+        stats.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+            col("n_found"), col("n_true"),
+            when(col("n_true") === 0, lit(0L)).otherwise(
+              floor(col("n_found").cast("double") * 1e6 /
+                col("n_true").cast("double"))).cast("long")
+              .as("recall_ppm"),
+            when(col("n_candidates") === 0, lit(0L)).otherwise(
+              floor(col("n_found").cast("double") * 1e6 /
+                col("n_candidates").cast("double"))).cast("long")
+              .as("precision_ppm"))
+      },
+      Some(lshTuningOracleSql)),
+
     // Cross-source contamination matrix: near-dup pair counts aggregated
     // to (source, source) cells — WHICH feeds copy from which (mirror
     // detection, license-laundering audits, the decontamination targeting
@@ -3677,6 +3727,70 @@ object QueryCatalog {
       threshold: Double): String =
     s"""WITH ${minhashPairsCtes(n, k, bands, threshold)}
       SELECT doc1, doc2, jaccard FROM mh_pairs"""
+
+  /** LSH tuning sweep oracle: exact ground truth (full shingle equi-join,
+    * the ppjoin oracle's truth) + per-config banding candidates, one stat
+    * row per (bands, rows) config. */
+  private def lshTuningOracleSql: String = {
+    val k = 12
+    val sigExprs = (0 until k).map(i =>
+      s"min((a + $i * b) % ${Dedup.MinhashPrime}) AS sig_$i")
+      .mkString(",\n  ")
+    def bandCtes(b: Int): String = {
+      val r = k / b
+      val bandRows = (0 until b).map { bi =>
+        val key = (0 until r).map(i => s"CAST(sig_${bi * r + i} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bi AS band, md5($key) AS band_key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""bk$b AS MATERIALIZED ($bandRows),
+        cand$b AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1,
+            y.doc_id AS doc2
+          FROM bk$b x JOIN bk$b y ON x.band = y.band
+            AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+        stat$b AS (SELECT CAST($b AS BIGINT) AS bands,
+            CAST($r AS BIGINT) AS rows_per_band,
+            count(*) AS n_candidates,
+            CAST(coalesce(sum(CASE WHEN t.doc1 IS NOT NULL THEN 1 END), 0)
+              AS BIGINT) AS n_found
+          FROM cand$b c LEFT JOIN truth t
+            ON c.doc1 = t.doc1 AND c.doc2 = t.doc2)"""
+    }
+    s"""WITH ${shingleSql(5)},
+      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh
+        FROM sh GROUP BY 1),
+      ecand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc1,
+          b.doc_id AS doc2
+        FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+      einter AS MATERIALIZED (SELECT doc1, doc2, count(*) AS intersection
+        FROM ecand JOIN sh sa ON sa.doc_id = doc1
+                  JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
+        GROUP BY 1, 2),
+      truth AS MATERIALIZED (SELECT doc1, doc2 FROM einter
+        JOIN sizes z1 ON doc1 = z1.doc_id JOIN sizes z2 ON doc2 = z2.doc_id
+        WHERE CAST(intersection AS DOUBLE) /
+          CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7),
+      tcount AS (SELECT count(*) AS n_true FROM truth),
+      seeds AS MATERIALIZED (SELECT doc_id, sg,
+          CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
+          CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
+        FROM sh),
+      sigs AS MATERIALIZED (SELECT doc_id, $sigExprs
+        FROM seeds GROUP BY doc_id),
+      ${bandCtes(2)},
+      ${bandCtes(4)},
+      ${bandCtes(6)}
+      SELECT bands, rows_per_band, n_candidates, n_found, n_true,
+        CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(floor(CAST(n_found AS DOUBLE) * 1e6 /
+            CAST(n_true AS DOUBLE)) AS BIGINT) END AS recall_ppm,
+        CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(floor(CAST(n_found AS DOUBLE) * 1e6 /
+            CAST(n_candidates AS DOUBLE)) AS BIGINT) END AS precision_ppm
+      FROM (SELECT * FROM stat2 UNION ALL SELECT * FROM stat4
+            UNION ALL SELECT * FROM stat6)
+      CROSS JOIN tcount"""
+  }
 
   /** Connected components of the near-dup graph by reachability:
     * component_id = min doc id reachable from each doc (recursive CTE). */
