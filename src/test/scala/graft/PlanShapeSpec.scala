@@ -306,4 +306,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(pt.contains("WindowGroupLimit"), pt)
     assert(pt.contains("BroadcastExchange"), pt)
   }
+
+  test("round-7 additions: capped graph windowless, jdbc partitioned, url scan-stage") {
+    // capDegree must be the O(k)-state aggregate, never a row_number
+    // window over a node's (possibly hub-sized) incident list (the
+    // catalog query's final plan hides the subtree behind its
+    // lineage-cut, so pin the operator's own plan)
+    import spark.implicits._
+    val pc = graft.ops.Graph.capDegree(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", 5)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("WindowExec"), pc)
+    assert(pc.toLowerCase.contains("earliestk") ||
+      pc.contains("earliest_k"), pc)
+    // the live JDBC read is a genuinely partitioned scan: 4 executor-side
+    // range queries, not one driver cursor
+    val dfj = SparkEntry.queries("q_src_jdbc")(spark, sf)
+    assert(dfj.rdd.getNumPartitions == 4,
+      s"jdbc scan has ${dfj.rdd.getNumPartitions} partitions")
+    // URL canonicalization is pure scan-stage work before its dedup
+    // groupBy: exactly the two exchanges of the count_distinct rewrite
+    // ((canon, url) partial-dedup then canon final), nothing upstream —
+    // and no window/join anywhere
+    val pu = plan("q_text_url_canon")
+    assert("Exchange hashpartitioning".r.findAllIn(pu).size == 2, pu)
+    assert(!pu.contains("WindowExec") && !pu.contains("Join"), pu)
+    // LSH tuning: ground truth + every config off ONE cached signature
+    // evaluation; candidate joins are equi (no nested loop anywhere)
+    val pl = plan("q_dedup_lsh_tuning")
+    assert(!pl.contains("BroadcastNestedLoopJoin") ||
+      pl.contains("n_true"), pl) // the 1-row n_true crossJoin is the only
+                                 // allowed nested-loop (broadcast anchor)
+  }
 }
