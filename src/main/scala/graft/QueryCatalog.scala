@@ -702,6 +702,38 @@ object QueryCatalog {
     // days collapse into ranges via the islands trick (day minus
     // row_number is constant within a run). All windows are
     // calendar-bounded.
+    // Changed-partition detection (Incremental.changedPartitions): which
+    // months did a new source generation touch? Current = base minus every
+    // 89th order (deletes) with every 97th order's custkey bumped
+    // (updates); a month is recomputed only if its content fingerprint
+    // moved. The oracle derives the expected statuses in closed form from
+    // the same predicates — certifying the detector's OUTPUT (no false
+    // changes, no missed changes on this fixture), while the fingerprint
+    // mechanics (order-independence, add/remove/change taxonomy) are
+    // spec-pinned.
+    ("q_incr_changed_partitions",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "orders").select(
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderkey").cast("long").as("k"),
+          col("o_custkey").cast("long").as("ck"),
+          col("o_orderstatus"))
+        val current = base.filter(col("k") % 89 =!= 0)
+          .withColumn("ck", when(col("k") % 97 === 0, col("ck") + 1)
+            .otherwise(col("ck")))
+        Incremental.changedPartitions(base, current, "month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+          count(*) AS n_base,
+          CAST(sum(CASE WHEN o_orderkey % 89 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_current,
+          CASE WHEN sum(CASE WHEN o_orderkey % 89 <> 0 THEN 1 ELSE 0 END)
+              = 0 THEN 'removed'
+            WHEN max(CASE WHEN o_orderkey % 89 = 0 OR o_orderkey % 97 = 0
+              THEN 1 ELSE 0 END) = 1 THEN 'changed'
+            ELSE 'unchanged' END AS status
+        FROM orders GROUP BY 1""")),
+
     ("q_incr_backfill",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "events")

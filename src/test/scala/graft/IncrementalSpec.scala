@@ -158,4 +158,36 @@ class IncrementalSpec extends AnyFunSuite {
     assert(my("url") == "jdbc:mysql://h:3306/DB")
     assert(!my.contains("sessionInitStatement"))
   }
+
+  test("changedPartitions: add/remove/change/unchanged, order-independent") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val base = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),   // unchanged
+      ("p2", 3L, "c"), ("p2", 4L, "d"),   // value edit -> changed
+      ("p3", 5L, "e"),                    // row added -> changed
+      ("p4", 6L, "f")                     // partition dropped -> removed
+    ).toDF("p", "k", "v")
+    val current = Seq(
+      ("p1", 2L, "b"), ("p1", 1L, "a"),   // same content, ROWS REORDERED
+      ("p2", 3L, "c"), ("p2", 4L, "D"),
+      ("p3", 5L, "e"), ("p3", 7L, "g"),
+      ("p5", 8L, "h")                     // new partition -> added
+    ).toDF("p", "k", "v")
+    val got = graft.incr.Incremental.changedPartitions(base, current, "p")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "p1" -> ((2L, 2L, "unchanged")),
+      "p2" -> ((2L, 2L, "changed")),
+      "p3" -> ((1L, 2L, "changed")),
+      "p4" -> ((1L, 0L, "removed")),
+      "p5" -> ((0L, 1L, "added"))))
+    // null rendering: (a, NULL) vs (NULL, a) must NOT collide
+    val b2 = Seq(("p", Option("a"), Option.empty[String])).toDF("p", "x", "y")
+    val c2 = Seq(("p", Option.empty[String], Option("a"))).toDF("p", "x", "y")
+    val st = graft.incr.Incremental.changedPartitions(b2, c2, "p")
+      .select("status").as[String].collect()
+    assert(st.toSeq == Seq("changed"))
+  }
 }
