@@ -3760,6 +3760,43 @@ object QueryCatalog {
     s"""WITH ${minhashPairsCtes(n, k, bands, threshold)}
       SELECT doc1, doc2, jaccard FROM mh_pairs"""
 
+  /** HLL oracle: replay bucket/rank extraction from the md5-60 hash, the
+    * exact-integer register sum, and the single shared-constant division.
+    * The rank ladder is generated (like the simhash oracle's 60 bit sums)
+    * because the oracle engine has no integer bit-length function. */
+  private def hllOracleSql: String = {
+    val p = 9
+    val m = 1 << p
+    val remBits = 60 - p
+    val rhoMax = remBits + 1
+    val mask = (1L << remBits) - 1
+    val ladder = (remBits to 1 by -1)
+      .map(b => s"WHEN rem >= ${1L << (b - 1)} THEN $b").mkString("\n      ")
+    val alpha = graft.ops.Stats.hllAlphaConst(p)
+    s"""WITH hsh AS (SELECT CAST(concat('0x',
+          substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem),
+      br AS (SELECT h >> $remBits AS bucket, h & $mask AS rem FROM hsh),
+      rr AS (SELECT bucket,
+          $rhoMax - (CASE $ladder ELSE 0 END) AS rho FROM br),
+      regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1),
+      agg AS (SELECT count(*) AS n_filled,
+          CAST(sum(CAST(1 AS BIGINT) << ($rhoMax - rho)) AS BIGINT)
+            AS s_filled
+        FROM regs),
+      fin AS (SELECT CAST($m - n_filled AS BIGINT) AS v_empty,
+          s_filled + CAST($m - n_filled AS BIGINT) *
+            (CAST(1 AS BIGINT) << $rhoMax) AS s_units FROM agg),
+      ex AS (SELECT count(DISTINCT CAST(l_orderkey AS VARCHAR)) AS n_exact
+        FROM lineitem)
+      SELECT n_exact, v_empty, s_units,
+        CAST(floor($alpha / CAST(s_units AS DOUBLE)) AS BIGINT) AS hll_raw,
+        CAST(floor(CAST(abs(CAST(floor($alpha / CAST(s_units AS DOUBLE))
+            AS BIGINT) - n_exact) AS DOUBLE) * 1e6 /
+          CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+      FROM fin CROSS JOIN ex"""
+  }
+
   /** LSH tuning sweep oracle: exact ground truth (full shingle equi-join,
     * the ppjoin oracle's truth) + per-config banding candidates, one stat
     * row per (bands, rows) config. */
@@ -5530,6 +5567,28 @@ object QueryCatalog {
                    ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
               END AS est FROM kth)
         SELECT lang, est AS est_merged, est AS est_direct FROM e""")),
+
+    // Deterministic HyperLogLog (Stats.hllSummary): the CONSTANT-state
+    // distinct counter — 512 registers whatever the cardinality, merged
+    // by max (map-side combining), vs the KMV sketch whose state is k
+    // hashes. The whole estimate is exact-integer until ONE final IEEE
+    // division by a shared literal constant, so DuckDB replays the sketch
+    // bit-for-bit (including the floored estimate and its ppm error
+    // against the exact count) — which Spark's builtin
+    // approx_count_distinct can never offer.
+    ("q_profile_hll",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").cast("string").as("v"))
+        val sk = graft.ops.Stats.hllSummary(li, "v", p = 9)
+        val ex = li.agg(count_distinct(col("v")).as("n_exact"))
+        sk.crossJoin(broadcast(ex))
+          .select(col("n_exact"), col("v_empty"), col("s_units"),
+            col("hll_raw"),
+            floor(abs(col("hll_raw") - col("n_exact")).cast("double") * 1e6 /
+              col("n_exact").cast("double")).cast("long").as("err_ppm"))
+      },
+      Some(hllOracleSql)),
 
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both

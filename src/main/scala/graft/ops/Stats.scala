@@ -529,4 +529,67 @@ object Stats {
         floor(num.cast("double") / sqrt(dx.cast("double")) /
           sqrt(dy.cast("double")) * 1e6) / 1e6).as("corr")): _*)
   }
+
+  /**
+   * Deterministic HyperLogLog (Flajolet et al. 2007) distinct-count
+   * summary — the CONSTANT-state companion to the KMV sketch: 2^p
+   * registers regardless of cardinality, each the max leading-zero rank
+   * seen in its hash bucket, merged by max (map-side combinable; the
+   * groupBy(bucket) state is m rows total).
+   *
+   * Engine-replayable by construction, unlike Spark's builtin
+   * `approx_count_distinct` (HLL++ with implementation-defined hashing):
+   *   - hash = first 60 bits of md5 (the catalog's cross-engine hash);
+   *     top p bits bucket, the remaining 60-p bits feed the rank
+   *     rho = (60-p+1) - bit_length(remainder)  (remainder 0 -> max rank)
+   *   - the harmonic denominator Σ 2^-M_j is accumulated as an EXACT
+   *     BIGINT in units of 2^-(60-p+1) — every term a power of two, so
+   *     the sum is order-independent (no float accumulation anywhere)
+   *   - the raw estimate alpha·m²/Σ is ONE double constant (computed
+   *     once, interpolated identically into the oracle) divided by the
+   *     exact integer — a single IEEE op, bit-identical across engines.
+   *
+   * Output (one row): v_empty (untouched registers), s_units (the exact
+   * integer denominator), hll_raw (floored raw estimate). The raw
+   * estimate is the sketch-defined quantity; the small-range
+   * linear-counting correction (m·ln(m/V)) is a PRESENTATION choice left
+   * to callers — ln is libm-dependent and would break cross-engine
+   * replay. Relative error ~1.04/sqrt(m) in the calibrated range
+   * (n >~ 2.5m).
+   */
+  def hllSummary(df: DataFrame, valueCol: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllSummary needs 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val remBits = 60 - p
+    val rhoMax = remBits + 1
+    val h = conv(substring(md5(col(valueCol).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = shiftright(h, remBits)
+    val rem = h.bitwiseAND(lit((1L << remBits) - 1))
+    val rho = lit(rhoMax.toLong) -
+      graft.plans.GraftExpressions.bit_length_long(rem)
+    val regs = df.select(bucket.as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("rho"))
+    val unit = expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - rho AS INT))")
+    val alphaC = 0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *
+      math.pow(2.0, rhoMax)
+    regs.agg(count(lit(1)).as("n_filled"), sum(unit).as("s_filled"))
+      .select(
+        (lit(m.toLong) - col("n_filled")).as("v_empty"),
+        (col("s_filled") +
+          (lit(m.toLong) - col("n_filled")) * lit(1L << rhoMax))
+          .as("s_units"))
+      .select(col("v_empty"), col("s_units"),
+        floor(lit(alphaC) / col("s_units").cast("double")).cast("long")
+          .as("hll_raw"))
+  }
+
+  /** The exact double constant [[hllSummary]] divides by, for oracle
+    * interpolation (Double.toString round-trips, so both engines parse
+    * the identical bits). */
+  def hllAlphaConst(p: Int): String = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *
+      math.pow(2.0, 60 - p + 1)).toString
+  }
 }
