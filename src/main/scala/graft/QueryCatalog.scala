@@ -1931,6 +1931,41 @@ object QueryCatalog {
     // buckets vs 30-min windows) so the theta-join runs as a hash join with
     // bounded interval replication — not a BroadcastNestedLoop/cartesian
     // scan. All axis math in exact epoch micros.
+    // Point-in-time dimension enrichment — the SCD-2 read path: each fact
+    // row joins the dimension VERSION valid at its event date (here a
+    // two-version synthetic dim: nationkey bumped from 1996-07-01). The
+    // join is equi on the key with the validity range as a residual
+    // predicate, so it plans as an ordinary hash/sort-merge join on
+    // custkey — never a nested loop — and scales like any keyed join;
+    // ISO date STRINGS compare lexicographically, keeping the predicate
+    // engine-identical. The oracle derives the valid version in closed
+    // form.
+    ("q_join_scd_pit",
+      (s: SparkSession, d: String) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val dim = cust.select(col("c_custkey").as("ck"),
+            col("c_nationkey").as("nk"),
+            lit("1900-01-01").as("valid_from"),
+            lit("1996-06-30").as("valid_to"))
+          .unionByName(cust.select(col("c_custkey").as("ck"),
+            (col("c_nationkey") + 100).as("nk"),
+            lit("1996-07-01").as("valid_from"),
+            lit("9999-12-31").as("valid_to")))
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        o.join(dim, col("o_custkey") === col("ck") &&
+            col("od") >= col("valid_from") && col("od") <= col("valid_to"))
+          .select(col("o_orderkey"), col("o_custkey"), col("od"),
+            col("nk").as("nation_at_order"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS od,
+          CASE WHEN strftime(o_orderdate, '%Y-%m-%d') <= '1996-06-30'
+            THEN c_nationkey ELSE c_nationkey + 100 END AS nation_at_order
+        FROM orders JOIN customer ON o_custkey = c_custkey""")),
+
     ("q_join_range",
       (s: SparkSession, d: String) => {
         val ev = t(s, d, "events")
@@ -5195,6 +5230,24 @@ object QueryCatalog {
         FROM events""")),
 
     // K7 — small-file compaction round trip: content identical after rewrite
+    // Partition pruning round trip: write partitioned by status, read
+    // with a partition predicate — the scan must touch ONLY the matching
+    // directory (PlanShapeSpec pins PartitionFilters on the scan node;
+    // this query pins the content). At 100 TB, pruning is the difference
+    // between scanning a status's slice and scanning the lake.
+    ("q_maint_prune",
+      (s: SparkSession, d: String) => {
+        val out = scratch("prune") + "/orders"
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+        s.read.parquet(out).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'F'""")),
+
     ("q_maint_compact",
       (s: SparkSession, d: String) => {
         val out = scratch("compact") + "/t"
@@ -5589,6 +5642,56 @@ object QueryCatalog {
               col("n_exact").cast("double")).cast("long").as("err_ppm"))
       },
       Some(hllOracleSql)),
+
+    // Functional-dependency audit (Stats.fdViolations): does o_custkey
+    // really determine c_nationkey after the join (it must — join
+    // fidelity), how badly does it NOT determine o_orderkey (a customer
+    // has many orders), and is nation -> segment even close to
+    // functional? One two-level combine-enabled aggregate per declared
+    // FD — the lookup-key sanity check an ingest runs before
+    // denormalizing.
+    ("q_profile_fd",
+      (s: SparkSession, d: String) => {
+        val oc = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        graft.ops.Stats.fdViolations(oc, Seq(
+          (Seq("o_custkey"), "c_nationkey"),
+          (Seq("o_custkey"), "o_orderkey"),
+          (Seq("c_nationkey"), "c_mktsegment")))
+      },
+      Some("""WITH oc AS (SELECT o_orderkey, o_custkey, c_nationkey,
+            c_mktsegment
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        f1 AS (SELECT o_custkey AS dk,
+            count(DISTINCT coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>'))
+              AS card,
+            count(*) AS nr FROM oc GROUP BY 1),
+        f2 AS (SELECT o_custkey AS dk,
+            count(DISTINCT coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'))
+              AS card,
+            count(*) AS nr FROM oc GROUP BY 1),
+        f3 AS (SELECT c_nationkey AS dk,
+            count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), '<NULL>'))
+              AS card,
+            count(*) AS nr FROM oc GROUP BY 1)
+        SELECT 'o_custkey->c_nationkey' AS fd, count(*) AS n_groups,
+          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_violating_groups,
+          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT)
+            AS n_violating_rows,
+          max(card) AS max_dep_cardinality FROM f1
+        UNION ALL
+        SELECT 'o_custkey->o_orderkey', count(*),
+          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
+          max(card) FROM f2
+        UNION ALL
+        SELECT 'c_nationkey->c_mktsegment', count(*),
+          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
+          max(card) FROM f3""")),
 
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both

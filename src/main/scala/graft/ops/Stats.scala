@@ -584,6 +584,43 @@ object Stats {
           .as("hll_raw"))
   }
 
+  /**
+   * Functional-dependency violation audit (the Metanome-class profiling
+   * check): for each declared FD `det -> dep`, how many determinant
+   * groups exist, how many carry MORE than one dependent value (the FD
+   * violations), and the worst group's dependent cardinality. The check
+   * an ingest runs before trusting a column as a lookup key or a
+   * denormalization as consistent.
+   *
+   * One combine-enabled two-level aggregate per FD ((det..., dep) count,
+   * then det rollup) — no window, no join; FDs are checked independently
+   * and unioned, so the whole audit is a handful of scans that AQE can
+   * overlap. Exact counts (BIGINT); `null` dependent values count as a
+   * distinct value (a null amid reals IS an inconsistency).
+   */
+  def fdViolations(df: DataFrame,
+      fds: Seq[(Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdViolations needs at least one declared FD")
+    fds.map { case (det, dep) =>
+      val g = df
+        .select((det.map(col) :+
+          coalesce(col(dep).cast("string"), lit("<NULL>")).as("__dep")): _*)
+        .groupBy((det.map(col) :+ col("__dep")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(det.map(col): _*)
+        .agg(count(lit(1)).as("card"), sum("__n").as("rows"))
+      g.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("card") > 1, 1L).otherwise(0L))
+            .as("n_violating_groups"),
+          sum(when(col("card") > 1, col("rows")).otherwise(0L))
+            .as("n_violating_rows"),
+          max(col("card")).as("max_dep_cardinality"))
+        .select(lit(det.mkString(",") + "->" + dep).as("fd"),
+          col("n_groups"), col("n_violating_groups"),
+          col("n_violating_rows"), col("max_dep_cardinality"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The exact double constant [[hllSummary]] divides by, for oracle
     * interpolation (Double.toString round-trips, so both engines parse
     * the identical bits). */

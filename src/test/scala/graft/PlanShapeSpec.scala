@@ -337,5 +337,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pl.contains("BroadcastNestedLoopJoin") ||
       pl.contains("n_true"), pl) // the 1-row n_true crossJoin is the only
                                  // allowed nested-loop (broadcast anchor)
+    // partition pruning actually reaches the scan: the status predicate
+    // must appear as a PartitionFilter (directory pruning), not a data
+    // Filter over a full scan
+    val pp = plan("q_maint_prune")
+    val pf = pp.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("o_orderstatus")),
+      s"status predicate not pushed to PartitionFilters:\n$pp")
+    // point-in-time SCD join: equi join on the key with the validity
+    // range as residual — never a nested loop
+    val ps = plan("q_join_scd_pit")
+    assert(!ps.contains("BroadcastNestedLoopJoin") &&
+      !ps.contains("CartesianProduct"), ps)
   }
 }
