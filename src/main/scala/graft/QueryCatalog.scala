@@ -3709,6 +3709,48 @@ object QueryCatalog {
           max(CASE WHEN j = 8 THEN pj END) AS p8
         FROM p GROUP BY 1""")),
 
+    // Embedding drift monitor: did a re-encode move the space? Per-label
+    // centroid cosine between two generations (gen B = every third
+    // vector's first dimension shifted — a deterministic stand-in for a
+    // model upgrade). Centroids are EXACT integer sum-vectors (VecSumAgg,
+    // map-side combining, one row per label), so the only float work is
+    // the final cosine of two 64-long arrays — small enough that every
+    // intermediate is integer-exact in a double, hence replayable. The
+    // health check run before trusting a new encoder's neighbors.
+    ("q_emb_drift",
+      (s: SparkSession, d: String) => {
+        val E = graft.plans.GraftExpressions
+        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding")).as("q"))
+        val drifted = e.select(col("label"),
+          transform(col("q"), (x, i) => x +
+            when(col("vec_id") % 3 === 0 && i === 0, 100L)
+              .otherwise(0L)).as("q"))
+        val a = e.groupBy("label").agg(E.vec_sum(col("q")).as("ca"),
+          count(lit(1)).as("n_vectors"))
+        val b = drifted.groupBy("label").agg(E.vec_sum(col("q")).as("cb"))
+        a.join(b, "label")
+          .select(col("label"), col("n_vectors"),
+            (floor(Similarity.qdot(col("ca"), col("cb")).cast("double") /
+              (sqrt(Similarity.qdot(col("ca"), col("ca")).cast("double")) *
+               sqrt(Similarity.qdot(col("cb"), col("cb")).cast("double"))) *
+              1e6) / 1e6).as("centroid_cosine"))
+      },
+      Some(s"""WITH q0 AS (SELECT vec_id, label, $quantSql AS v
+            FROM embeddings),
+          ex AS (SELECT label, i, v[i] AS x, vec_id FROM q0,
+            UNNEST(range(1, ${JlDims + 1})) AS u(i)),
+          sa AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(CASE WHEN i = 1 AND vec_id % 3 = 0 THEN 100
+                ELSE 0 END) AS BIGINT) AS shift
+            FROM ex GROUP BY 1, 2),
+          va AS (SELECT label, list(s ORDER BY i) AS ca,
+              list(s + shift ORDER BY i) AS cb FROM sa GROUP BY 1),
+          n AS (SELECT label, count(*) AS n_vectors FROM q0 GROUP BY 1)
+        SELECT label, n_vectors, ${cosineSql("ca", "cb")}
+          AS centroid_cosine
+        FROM va JOIN n USING (label)""")),
+
     ("q_emb_validate",
       (s: SparkSession, d: String) => t(s, d, "embeddings")
         .select(col("label"), size(col("embedding")).cast("long").as("dims"),
@@ -6081,6 +6123,44 @@ object QueryCatalog {
     // per language, with the unbiased max(w, tau) adjusted weight. Hash-RNG
     // priorities, WindowGroupLimit top-k (pinned) — see
     // Sampling.prioritySample.
+    // Deterministic random-negative pairing for contrastive training: the
+    // uniform companion to q_sim_hard_negatives. Every vector is paired
+    // with the one HALF THE CORPUS away in md5 order — uniform with
+    // respect to content, self-pair-free by construction, reproducible
+    // across runs and engines. The global rank comes from the
+    // range-partitioned prefix scan (Prefix.runningOffsets), NOT a
+    // single-partition row_number window — the 100 TB-safe form of
+    // "shuffle and zip".
+    ("q_sample_negatives",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"), col("label"))
+          .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+          .withColumn("one", lit(1L))
+        val ranked = graft.ops.Prefix.runningOffsets(e, "h", "one")
+          .select(col("vec_id"), col("label"), col("offset"))
+        val n = ranked.agg(count(lit(1)).as("n_total"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("partner",
+            (col("offset") + expr("n_total DIV 2")) % col("n_total"))
+          .join(ranked.select(col("offset").as("p_off"),
+              col("vec_id").as("negative_id"),
+              col("label").as("neg_label")),
+            col("partner") === col("p_off"))
+          .select(col("vec_id").as("query_id"),
+            col("label").as("query_label"),
+            col("negative_id"), col("neg_label"))
+      },
+      Some("""WITH r AS (SELECT vec_id, label,
+            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+              - 1 AS off,
+            count(*) OVER () AS n
+          FROM embeddings)
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+          b.vec_id AS negative_id, b.label AS neg_label
+        FROM r a JOIN r b
+          ON b.off = (a.off + CAST(floor(a.n / 2) AS BIGINT)) % a.n""")),
+
     ("q_sample_priority",
       (s: SparkSession, d: String) => Sampling.prioritySample(
         t(s, d, "documents"), "lang", "doc_id", "n_chars", k = 12),
