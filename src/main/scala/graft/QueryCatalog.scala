@@ -2377,6 +2377,32 @@ object QueryCatalog {
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdOracleSql)),
 
+    // Unicode NFC normalization (plans.UnicodeNormalize — native codegen'd
+    // expression, no UDF): "é" arrives precomposed (U+00E9) and decomposed
+    // (e + U+0301); without NFC the two spellings hash apart and split one
+    // document's dedup class. Two variants per customer collapse to ONE
+    // normalized key; the oracle replays with DuckDB's nfc_normalize.
+    ("q_text_unicode",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        val variants = c.select(col("c_custkey"),
+          explode(array(concat(col("c_name"), lit("e\u0301")),
+            concat(col("c_name"), lit("\u00e9")))).as("raw"))
+        variants.select(col("c_custkey"), col("raw"),
+            graft.plans.GraftExpressions.unicode_normalize(col("raw"))
+              .as("norm"))
+          .groupBy("c_custkey")
+          .agg(count_distinct(col("raw")).as("n_distinct_raw"),
+            count_distinct(col("norm")).as("n_distinct_nfc"),
+            min(md5(col("norm").cast("binary"))).as("nfc_md5"),
+            max(length(col("raw")) - length(col("norm"))).as("len_delta"))
+      },
+      Some(s"""SELECT c_custkey, CAST(2 AS BIGINT) AS n_distinct_raw,
+          CAST(1 AS BIGINT) AS n_distinct_nfc,
+          md5(nfc_normalize(c_name || 'e' || chr(769))) AS nfc_md5,
+          CAST(1 AS INT) AS len_delta
+        FROM customer""")),
+
     // URL canonicalization (TextOps.canonicalUrl) — the crawl pipeline's
     // first dedup key. Two deterministic variants of the same logical URL
     // per customer (one messy: uppercase scheme/host, www., default port,

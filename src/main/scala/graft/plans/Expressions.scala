@@ -342,6 +342,52 @@ object StopwordCount {
  * lambda runs interpreted per token. The tokenizer feeding every text
  * operator (counts, quality, simhash explode) belongs inside codegen.
  */
+/**
+ * Unicode normalization (java.text.Normalizer) as a native codegen'd
+ * expression — the i18n prerequisite of every text-dedup key: "é" arrives
+ * both precomposed (U+00E9) and decomposed (e + U+0301), and without NFC
+ * the two spellings hash apart, splitting what is one document. `form` is
+ * one of NFC/NFD/NFKC/NFKD (validated at construction; NFC is the dedup
+ * default and the one the DuckDB oracle replays via nfc_normalize; NFKC
+ * additionally folds compatibility characters — ligatures, full-width
+ * forms — the aggressive choice for training-corpus keys). Pure per-row
+ * scan-stage work; no UDF, no shuffle.
+ */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unicode_normalize form must be NFC/NFD/NFKC/NFKD, got $form")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"unicode_normalize needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.UnicodeNormalize.normalize($c, "$form");""")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnicodeNormalize = copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  /** Shared by eval and generated code. Fast path: Normalizer.isNormalized
+    * is O(n) with no allocation — ASCII and already-normalized text (the
+    * overwhelming majority of a real corpus) skips the rewrite. */
+  def normalize(text: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, f)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+}
+
 case class TokenizeAlnum(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
@@ -1766,6 +1812,9 @@ object GraftExpressions {
   def tokenize_alnum(text: Column): Column =
     ColumnBridge.column(TokenizeAlnum(ColumnBridge.expression(text)))
 
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+
   def stopword_count(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(StopwordCount(ColumnBridge.expression(text), words))
 
@@ -1870,7 +1919,12 @@ object GraftExpressions {
       CmsAgg(exprs.head, exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])),
     "graft_misra_gries" -> ((exprs: Seq[Expression]) =>
-      MisraGriesAgg(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+      MisraGriesAgg(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    "graft_unicode_normalize" -> ((exprs: Seq[Expression]) =>
+      UnicodeNormalize(exprs.head,
+        if (exprs.length > 1)
+          exprs(1).eval().asInstanceOf[UTF8String].toString
+        else "NFC")))
 
   /** Register SQL-callable names so the DSL surface reaches `expr()` / SQL:
     * `SELECT graft_rolling_hash(text) FROM docs`. */

@@ -39,6 +39,42 @@ class SourcesSpec extends SparkSpec {
     assert(df.isEmpty && df.schema.isEmpty)
   }
 
+  test("unicode_normalize: NFC composes, NFKC folds compat, forms via SQL") {
+    import spark.implicits._
+    import graft.plans.GraftExpressions.unicode_normalize
+    graft.plans.GraftExpressions.register(spark)
+    val rows = Seq(
+      "é",       // decomposed e + combining acute
+      "é",        // precomposed é
+      "ﬁle",      // ﬁ ligature + "le"
+      "ＡBC",      // full-width A + "BC"
+      "plain").toDF("s")
+    val got = rows.select(col("s"),
+        unicode_normalize(col("s")).as("nfc"),
+        unicode_normalize(col("s"), "NFKC").as("nfkc"),
+        unicode_normalize(col("s"), "NFD").as("nfd"))
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // NFC: both é spellings converge on the precomposed form
+    assert(got("é")._1 == "é" && got("é")._1 == "é")
+    // NFD: both converge on the decomposed form
+    assert(got("é")._3 == "é" && got("é")._3 == "é")
+    // NFKC additionally folds compatibility characters
+    assert(got("ﬁle")._2 == "file")
+    assert(got("ＡBC")._2 == "ABC")
+    // NFC leaves compatibility chars alone (that is NFKC's job)
+    assert(got("ﬁle")._1 == "ﬁle")
+    assert(got("plain") == (("plain", "plain", "plain")))
+    // SQL door + form validation
+    val viaSql = spark.sql(
+      "SELECT graft_unicode_normalize('é'), " +
+      "graft_unicode_normalize('ﬁ', 'NFKC')").collect().head
+    assert(viaSql.getString(0) == "é" && viaSql.getString(1) == "fi")
+    intercept[IllegalArgumentException] {
+      unicode_normalize(col("s"), "NFX")
+    }
+  }
+
   test("tz shift moves only timestamp columns, by -5h (S5)") {
     import spark.implicits._
     val df = Seq(("a", java.sql.Timestamp.valueOf("2024-01-02 10:30:00")))
