@@ -3735,6 +3735,39 @@ object QueryCatalog {
           max(CASE WHEN j = 8 THEN pj END) AS p8
         FROM p GROUP BY 1""")),
 
+    // Embedding index coverage audit: which documents have NO vector in
+    // the (simulated partial) index — the ops QA gate run before serving
+    // retrieval over a corpus. One left-anti join (the index id set
+    // broadcasts) + per-(source, lang) census with a floor-quantized
+    // coverage ratio.
+    ("q_emb_coverage",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"))
+        val idx = t(s, d, "embeddings").select(col("vec_id"))
+          .filter(col("vec_id") % 7 =!= 0)
+        val missing = docs
+          .join(idx, col("doc_id") === col("vec_id"), "left_anti")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n_missing"))
+        docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+          .join(missing, Seq("source", "lang"), "left_outer")
+          .select(col("source"), col("lang"), col("n_docs"),
+            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+            floor((col("n_docs") - coalesce(col("n_missing"), lit(0L)))
+              .cast("double") * 1e6 / col("n_docs").cast("double"))
+              .cast("long").as("coverage_ppm"))
+      },
+      Some("""SELECT source, lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN doc_id % 7 = 0
+              OR doc_id NOT IN (SELECT vec_id FROM embeddings)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+          CAST(floor(CAST(count(*) -
+              sum(CASE WHEN doc_id % 7 = 0
+                OR doc_id NOT IN (SELECT vec_id FROM embeddings)
+              THEN 1 ELSE 0 END) AS DOUBLE) * 1e6 /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS coverage_ppm
+        FROM documents GROUP BY 1, 2""")),
+
     // Embedding drift monitor: did a re-encode move the space? Per-label
     // centroid cosine between two generations (gen B = every third
     // vector's first dimension shifted — a deterministic stand-in for a
@@ -5710,6 +5743,38 @@ object QueryCatalog {
               col("n_exact").cast("double")).cast("long").as("err_ppm"))
       },
       Some(hllOracleSql)),
+
+    // Per-group z-score standardization — the vanilla feature scaler
+    // (companion to winsorize/MAD): z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²),
+    // algebraically identical to (x−mean)/sd_pop but with every
+    // intermediate an EXACT integer, so the single sqrt+divide (both
+    // IEEE-defined) replays bit-identically. Moments are one
+    // combine-enabled aggregate broadcast back onto the scan.
+    ("q_profile_zscore",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val m = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        docs.join(broadcast(m), "lang")
+          .select(col("doc_id"), col("lang"),
+            when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
+              .otherwise(floor(
+                (col("n_chars") * col("n") - col("sx")).cast("double") * 1e6
+                / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))).cast("long")).as("z_micro"))
+      },
+      Some("""WITH m AS (SELECT lang, count(*) AS n,
+            CAST(sum(n_chars) AS BIGINT) AS sx,
+            CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+          FROM documents GROUP BY 1)
+        SELECT doc_id, d.lang,
+          CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(CAST(n_chars * n - sx AS DOUBLE) * 1e6 /
+              sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
+          END AS z_micro
+        FROM documents d JOIN m ON d.lang = m.lang""")),
 
     // Functional-dependency audit (Stats.fdViolations): does o_custkey
     // really determine c_nationkey after the join (it must — join
