@@ -4203,6 +4203,12 @@ object QueryCatalog {
     s"floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) " +
       "* 1e6) / 1e6"
 
+  /** Micro-quantized cosine as an exact BIGINT (the MMR scoring unit) —
+    * same IEEE ops as [[cosineSql]] without the final /1e6. */
+  private def simMicroSql(a: String, b: String): String =
+    s"CAST(floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * " +
+      s"sqrt(${dotSql(b, b)})) * 1e6) AS BIGINT)"
+
   /** CTE chain ending in `buckets(vec_id, t, b)` — the LSH bucket signature
     * of every embedding, replaying plans/Expressions.scala LshBucket exactly:
     * md5-derived weights (first 4 md5 bytes as uint32, /2^31 - 1) and an
@@ -4353,6 +4359,83 @@ object QueryCatalog {
     // probe, not the corpus). Both tiers are integer-exact, so the oracle
     // replays shortlist AND rerank bit-for-bit — including which
     // neighbors the prefilter admits.
+    // MMR diversified selection (Similarity.mmrSelect): 3 picks per probe
+    // from a 16-candidate shortlist at lambda = 7/10 — relevance traded
+    // against redundancy so the picks SPAN the neighborhood instead of
+    // restating the nearest result. Integer micro-cosines + rational
+    // lambda make every round's argmax exact; the oracle unrolls the
+    // greedy trace round by round (s1/s2/s3 CTEs) and must match the
+    // whole (sim, penalty, score, pick) tuple.
+    ("q_sim_mmr", {
+      ((s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.mmrSelect(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 4), "vec_id", "embedding",
+          shortlist = 16, k = 3)
+      }): Q
+      },
+      Some(s"""WITH q0 AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+          p AS (SELECT vec_id AS query_id, v AS qv FROM q0
+            WHERE vec_id < 4),
+          scored0 AS (SELECT p.query_id, c.vec_id AS cand_id, c.v AS cv,
+              ${simMicroSql("c.v", "p.qv")} AS sim
+            FROM q0 c JOIN p ON c.vec_id <> p.query_id),
+          cand AS (SELECT query_id, cand_id, cv, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, cand_id) AS rk FROM scored0)
+            WHERE rk <= 16),
+          pr AS (SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+              ${simMicroSql("x.cv", "y.cv")} AS psim
+            FROM cand x JOIN cand y ON x.query_id = y.query_id
+              AND x.cand_id <> y.cand_id),
+          s1 AS (SELECT query_id, cand_id, sim,
+              CAST(0 AS BIGINT) AS penalty, 7 * sim AS score, 1 AS pick
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, cand_id) AS rk FROM cand)
+            WHERE rk = 1),
+          pen2 AS (SELECT pr.query_id, pr.a AS cand_id,
+              max(pr.psim) AS penalty
+            FROM pr JOIN s1 ON pr.query_id = s1.query_id
+              AND pr.b = s1.cand_id
+            GROUP BY 1, 2),
+          sc2 AS (SELECT c.query_id, c.cand_id, c.sim,
+              coalesce(p2.penalty, CAST(0 AS BIGINT)) AS penalty,
+              7 * c.sim - 3 * coalesce(p2.penalty, CAST(0 AS BIGINT))
+                AS score
+            FROM cand c LEFT JOIN pen2 p2
+              ON c.query_id = p2.query_id AND c.cand_id = p2.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM s1
+              WHERE s1.query_id = c.query_id AND s1.cand_id = c.cand_id)),
+          s2 AS (SELECT query_id, cand_id, sim, penalty, score, 2 AS pick
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, cand_id) AS rk FROM sc2)
+            WHERE rk = 1),
+          sel2 AS (SELECT query_id, cand_id FROM s1
+            UNION ALL SELECT query_id, cand_id FROM s2),
+          pen3 AS (SELECT pr.query_id, pr.a AS cand_id,
+              max(pr.psim) AS penalty
+            FROM pr JOIN sel2 ON pr.query_id = sel2.query_id
+              AND pr.b = sel2.cand_id
+            GROUP BY 1, 2),
+          sc3 AS (SELECT c.query_id, c.cand_id, c.sim,
+              coalesce(p3.penalty, CAST(0 AS BIGINT)) AS penalty,
+              7 * c.sim - 3 * coalesce(p3.penalty, CAST(0 AS BIGINT))
+                AS score
+            FROM cand c LEFT JOIN pen3 p3
+              ON c.query_id = p3.query_id AND c.cand_id = p3.cand_id
+            WHERE NOT EXISTS (SELECT 1 FROM sel2
+              WHERE sel2.query_id = c.query_id
+                AND sel2.cand_id = c.cand_id)),
+          s3 AS (SELECT query_id, cand_id, sim, penalty, score, 3 AS pick
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, cand_id) AS rk FROM sc3)
+            WHERE rk = 1)
+        SELECT query_id, cand_id, sim, penalty, score, pick FROM s1
+        UNION ALL SELECT query_id, cand_id, sim, penalty, score, pick
+          FROM s2
+        UNION ALL SELECT query_id, cand_id, sim, penalty, score, pick
+          FROM s3""")),
+
     ("q_sim_tiered",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")

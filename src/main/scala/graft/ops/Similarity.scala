@@ -74,6 +74,98 @@ object Similarity {
   }
 
   /**
+   * MMR — Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+   * greedy diversified top-k. Round t picks the candidate maximizing
+   * `lambda·sim(q,c) − (1−lambda)·max_{s∈S} sim(c,s)` — relevance traded
+   * against redundancy with what is already selected. The selection a
+   * retrieval-data curator runs so k examples span a topic instead of
+   * restating the nearest one k times.
+   *
+   * Deterministic end to end: similarities are micro-quantized cosines
+   * (exact BIGINTs) and lambda is a RATIONAL num/den, so each round's
+   * score `num·sim − (den−num)·penalty` is integer arithmetic with an id
+   * tie-break — the greedy trace is a pure function of the corpus,
+   * replayable round-by-round by unrolled oracle CTEs.
+   *
+   * Shape: the shortlist is the broadcast-probe exact scan (probe side
+   * small by contract, as in tiered retrieval); the pairwise-sim table is
+   * bounded by |probes|·shortlist²; each of the k FIXED rounds is one
+   * aggregate + one argmax over that bounded table, composed as a single
+   * lazy plan (no per-round driver actions — the shortlist and pair
+   * tables are checkpointed once and re-read k times).
+   *
+   * Output: (query_id, cand_id, sim, penalty, score, pick) — one row per
+   * selected candidate per probe, pick = 1..k in selection order.
+   */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      probes: DataFrame, probeIdCol: String, probeVecCol: String,
+      shortlist: Int, k: Int, lambdaNum: Long = 7,
+      lambdaDen: Long = 10): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"mmrSelect needs 1 <= k <= shortlist, got k=$k shortlist=$shortlist")
+    require(lambdaNum >= 0 && lambdaDen >= lambdaNum && lambdaDen > 0,
+      s"lambda must be a rational in [0,1]: $lambdaNum/$lambdaDen")
+    def simMicro(dot: Column, n2a: Column, n2b: Column): Column =
+      floor(dot.cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) * 1e6)
+        .cast("long")
+    val c = corpus.select(col(idCol).as("cand_id"),
+        quantize(col(vecCol)).as("cvec"))
+      .withColumn("cn2", qdot(col("cvec"), col("cvec")))
+    val p = probes.select(col(probeIdCol).as("query_id"),
+        quantize(col(probeVecCol)).as("qvec"))
+      .withColumn("qn2", qdot(col("qvec"), col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val cand = c.join(broadcast(p), col("cand_id") =!= col("query_id"))
+      .withColumn("sim",
+        simMicro(qdot(col("qvec"), col("cvec")), col("qn2"), col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= shortlist)
+      .select(col("query_id"), col("cand_id"), col("cvec"), col("cn2"),
+        col("sim"))
+      .localCheckpoint()
+    val x = cand.select(col("query_id"), col("cand_id").as("a"),
+      col("cvec").as("va"), col("cn2").as("na"))
+    val y = cand.select(col("query_id"), col("cand_id").as("b"),
+      col("cvec").as("vb"), col("cn2").as("nb"))
+    val pair = x.join(y, "query_id").filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        simMicro(qdot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("psim"))
+      .localCheckpoint()
+    var selected = cand
+      .select(col("query_id").as("sq"), col("cand_id").as("sel_id"))
+      .filter(lit(false))
+    var result: DataFrame = null
+    for (t <- 1 to k) {
+      val pen = pair
+        .join(selected, pair("query_id") === col("sq") &&
+          col("b") === col("sel_id"))
+        .groupBy(pair("query_id").as("query_id"), col("a").as("cand_id"))
+        .agg(max(col("psim")).as("penalty"))
+      val remaining = cand.join(selected,
+        cand("query_id") === col("sq") && cand("cand_id") === col("sel_id"),
+        "left_anti")
+      val ww = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("cand_id").asc)
+      val pick = remaining
+        .join(pen, Seq("query_id", "cand_id"), "left_outer")
+        .withColumn("penalty", coalesce(col("penalty"), lit(0L)))
+        .withColumn("score", lit(lambdaNum) * col("sim") -
+          lit(lambdaDen - lambdaNum) * col("penalty"))
+        .withColumn("rn", row_number().over(ww))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("sim"),
+          col("penalty"), col("score"), lit(t).as("pick"))
+      selected = selected.unionByName(pick
+        .select(col("query_id").as("sq"), col("cand_id").as("sel_id")))
+      result = if (result == null) pick else result.unionByName(pick)
+    }
+    result
+  }
+
+  /**
    * Hard-negative mining for contrastive training: for each probe, the `k`
    * corpus vectors MOST similar to it that carry a DIFFERENT label — the
    * negatives that sit closest to the decision boundary, which is exactly
