@@ -311,4 +311,95 @@ class PropertiesSpec extends AnyFunSuite {
         now.toLocalDate.withDayOfMonth(now.toLocalDate.lengthOfMonth))
     }
   }
+
+  test("canonicalUrl: idempotent and variant-insensitive on generated URLs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/b", "/a/b/")
+      params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "z=9"))
+      frag <- Gen.oneOf("", "#top")
+    } yield {
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$www$host.com$port$path$q$frag"
+    }
+    val urls = samples(gen, 200).distinct
+    val out = urls.toDF("u")
+      .select(col("u"),
+        graft.ops.TextOps.canonicalUrl(col("u")).as("c1"))
+      .select(col("u"), col("c1"),
+        graft.ops.TextOps.canonicalUrl(col("c1")).as("c2"))
+      .as[(String, String, String)].collect()
+    out.foreach { case (u, c1, c2) =>
+      // idempotence: canonical form is a fixed point
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      // invariants: lowercase scheme+host, no fragment, no utm_, no
+      // default port, no trailing slash on a non-root path
+      assert(!c1.contains("#") && !c1.contains("utm_"), s"$u -> $c1")
+      val hostPart = c1.drop(c1.indexOf("://") + 3).takeWhile(_ != '/')
+        .takeWhile(_ != '?')
+      // DEFAULT ports stripped for their own scheme only (https://h:80 is
+      // a legitimate non-default port and must survive)
+      if (c1.startsWith("https://"))
+        assert(!hostPart.endsWith(":443"), s"$u -> $c1")
+      if (c1.startsWith("http://"))
+        assert(!hostPart.endsWith(":80"), s"$u -> $c1")
+      assert(hostPart == hostPart.toLowerCase && !hostPart.startsWith("www."),
+        s"$u -> $c1")
+    }
+    // messy/clean variants of the same logical URL converge
+    val pairCheck = Seq(
+      ("HTTPS://WWW.Site.com:443/x/?utm_a=1&b=2#f", "https://site.com/x?b=2"))
+    pairCheck.foreach { case (messy, clean) =>
+      val got = Seq(messy, clean).toDF("u")
+        .select(graft.ops.TextOps.canonicalUrl(col("u"))).as[String]
+        .collect().toSet
+      assert(got.size == 1, s"did not converge: $got")
+    }
+  }
+
+  test("unicode_normalize: idempotent per form; NFC/NFD round-trip stable") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.plans.GraftExpressions.unicode_normalize
+    val gen = Gen.listOfN(6, Gen.oneOf(
+      "a", "Z", "9", " ", "é", "é", "ü", "ü",
+      "ﬁ", "Ａ", "ß")).map(_.mkString)
+    val strs = samples(gen, 200).distinct
+    val out = strs.toDF("s").select(col("s"),
+        unicode_normalize(col("s")).as("nfc"),
+        unicode_normalize(unicode_normalize(col("s"))).as("nfc2"),
+        unicode_normalize(unicode_normalize(col("s"), "NFD"), "NFC")
+          .as("nfd_nfc"))
+      .as[(String, String, String, String)].collect()
+    out.foreach { case (s, nfc, nfc2, nfdNfc) =>
+      assert(nfc == nfc2, s"NFC not idempotent on ${s.codePoints.toArray.toSeq}")
+      // composing after a full decomposition lands on the same NFC form
+      assert(nfdNfc == nfc, s"NFD->NFC != NFC on ${s.codePoints.toArray.toSeq}")
+    }
+  }
+
+  test("changedPartitions: permuted identical generations are all unchanged") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val gen = Gen.listOfN(60, for {
+      p <- Gen.choose(0, 4)
+      k <- Gen.choose(0L, 1000000L)
+      v <- Gen.alphaStr.map(_.take(6))
+    } yield (s"p$p", k, v)).map(_.distinct)
+    samples(gen, 20).foreach { rows =>
+      val base = rows.toDF("p", "k", "v")
+      val permuted = scala.util.Random.shuffle(rows).toDF("p", "k", "v")
+        .repartition(7)
+      val st = graft.incr.Incremental.changedPartitions(base, permuted, "p")
+        .select("status").distinct().as[String].collect().toSeq
+      assert(st.isEmpty || st == Seq("unchanged"), st.toString)
+    }
+  }
 }
