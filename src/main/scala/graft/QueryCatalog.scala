@@ -502,6 +502,61 @@ object QueryCatalog {
   private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
+    // Holt linear exponential smoothing (level+trend) over the daily
+    // series, one-step forecast per event type — the forecasting
+    // primitive behind capacity planning and anomaly baselines. With
+    // alpha = beta = 1/2 every recursion step is multiply-by-0.5 and add:
+    // DYADIC rationals, exactly representable in doubles, so the float
+    // recursion is bit-identical across engines — replayed by DuckDB's
+    // list_reduce over the same day-ordered fold (state = [level, trend]
+    // pair; init = [x_1, 0]). The per-type series is CALENDAR-BOUNDED
+    // (one element per day), so the collect_list state is domain-bounded
+    // like the other calendar windows.
+    ("q_agg_holt",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val step = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val level = lit(0.5) * x.getItem(0) +
+            lit(0.5) * (acc.getItem(0) + acc.getItem(1))
+          array(level,
+            lit(0.5) * (level - acc.getItem(0)) +
+              lit(0.5) * acc.getItem(1))
+        }
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("n"))))
+            .as("xs0"), count(lit(1)).as("n_days"))
+          .withColumn("xs", transform(col("xs0"),
+            e => array(e.getField("n").cast("double"), lit(0.0))))
+          .withColumn("st", aggregate(
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            element_at(col("xs"), 1), step))
+          .select(col("event_type"), col("n_days"),
+            col("st").getItem(0).as("level"),
+            col("st").getItem(1).as("trend"),
+            (col("st").getItem(0) + col("st").getItem(1))
+              .as("forecast_next"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        arr AS (SELECT event_type,
+            list([CAST(n AS DOUBLE), CAST(0 AS DOUBLE)] ORDER BY day)
+              AS xs,
+            count(*) AS n_days
+          FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n_days, list_reduce(xs, (acc, x) -> [
+            0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+            0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              + 0.5 * acc[2]
+          ]) AS st FROM arr)
+        SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+          st[1] + st[2] AS forecast_next
+        FROM f""")),
+
     // Weekday-seasonality deviation: each day's event count against its
     // weekday's total, in the exact-integer (x·n − Σx) form (no float
     // mean) with one floor-quantized relative deviation — the seasonal
