@@ -46,6 +46,33 @@ object QueryCatalog {
 
   private def centsSql(x: String): String = s"CAST(floor($x*100) AS BIGINT)"
 
+  /** One UNION ALL arm of the q_profile_ri oracle: scalar subqueries keep
+    * each count's null semantics explicit (count(DISTINCT) ignores nulls,
+    * matching the engine's non-null n_keys; NOT EXISTS instead of NOT IN so
+    * a null parent key cannot veto the whole audit). NB: def, not val —
+    * object-init order (see [[quantSql]]). */
+  private def riRelSql(child: String, fk: String, parent: String,
+      pk: String): String =
+    s"""SELECT '$child.$fk->$parent.$pk' AS relationship,
+      (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+      (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $fk IS NULL)
+        AS n_null_rows,
+      (SELECT CAST(count(DISTINCT $fk) AS BIGINT) FROM $child) AS n_keys,
+      (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT DISTINCT $fk AS k FROM $child WHERE $fk IS NOT NULL) c
+        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.k))
+        AS n_orphan_keys,
+      (SELECT CAST(count(*) AS BIGINT) FROM $child c
+        WHERE $fk IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphan_rows"""
+
+  private def riEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
@@ -556,6 +583,42 @@ object QueryCatalog {
         SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
           st[1] + st[2] AS forecast_next
         FROM f""")),
+
+    // Pareto frontier (skyline: maximize p_size, minimize price). The
+    // scale shape: a combine-enabled groupBy(p_size).min collapses the
+    // corpus to one row per size BEFORE any ordered scan, so the window
+    // below runs over a domain-bounded table (|distinct sizes|), not the
+    // corpus — the pre-aggregate IS the partition-local skyline prune, and
+    // the frontier joins back as a broadcast. A (size, best-price) pair
+    // survives iff no strictly-larger size reached an equal-or-lower
+    // minimum price; rows tied with their size's best price all keep
+    // (dominance must be strict in at least one dimension).
+    ("q_agg_skyline",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").select(col("p_partkey"),
+          col("p_size").cast("int").as("p_size"),
+          cents(col("p_retailprice")).as("price_cents"))
+        val best = p.groupBy("p_size")
+          .agg(min("price_cents").as("best_cents"))
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sky = best.withColumn("min_larger", min("best_cents").over(w))
+          .filter(col("min_larger").isNull ||
+            col("best_cents") < col("min_larger"))
+          .select(col("p_size").as("sky_size"),
+            col("best_cents").as("sky_cents"))
+        p.join(broadcast(sky),
+          col("p_size") === col("sky_size") &&
+            col("price_cents") === col("sky_cents"))
+          .select(col("p_partkey"), col("p_size"), col("price_cents"))
+      },
+      Some("""WITH q AS (SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+            CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+          FROM part)
+        SELECT p_partkey, p_size, price_cents FROM q a
+        WHERE NOT EXISTS (SELECT 1 FROM q b
+          WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+            AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""")),
 
     // Weekday-seasonality deviation: each day's event count against its
     // weekday's total, in the exact-integer (x·n − Σx) form (no float
@@ -6092,6 +6155,19 @@ object QueryCatalog {
           CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
           CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
           max(card) FROM f3""")),
+
+    // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
+    // declared child->parent edge of the star schema — the pre-merge key
+    // sanity gate. Per edge: a combine-enabled key-count aggregate (corpus
+    // -> |keys|) then LEFT ANTI against the parent key column (broadcast
+    // for dimension parents, shuffled for orders-sized ones — AQE picks).
+    ("q_profile_ri",
+      (s: SparkSession, d: String) => graft.ops.Stats.riAudit(
+        riEdges.map { case (child, fk, parent, pk) =>
+          (t(s, d, child), fk, t(s, d, parent), pk,
+            s"$child.$fk->$parent.$pk")
+        }),
+      Some(riEdges.map((riRelSql _).tupled).mkString("\nUNION ALL\n"))),
 
     // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
     // bucket expression evaluated in one fixed IEEE op order on both

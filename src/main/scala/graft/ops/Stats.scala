@@ -621,6 +621,40 @@ object Stats {
     }.reduce(_ unionByName _)
   }
 
+  /** Referential-integrity audit: for each declared (child, fkCol, parent,
+    * pkCol, name) edge, counts the child rows and distinct keys whose
+    * foreign key has no parent row. Shape per edge: one combine-enabled
+    * key-count aggregate (corpus → |distinct keys| rows), then a LEFT ANTI
+    * join against the parent's key column — broadcast when the parent is
+    * dimension-sized, shuffled otherwise (AQE decides); both linear and
+    * skew-free at 100 TB because the anti-join's left side is already one
+    * row per key. Null FKs are reported separately instead of being
+    * silently dropped the way SQL `NOT IN` would. This is the pre-merge
+    * key-sanity gate the reference's stage loads assume implicitly when
+    * they inject source-side joins (load_with_query.py:129-150). */
+  def riAudit(rels: Seq[(DataFrame, String, DataFrame, String, String)])
+      : DataFrame = {
+    require(rels.nonEmpty, "riAudit needs at least one declared relationship")
+    rels.map { case (child, fk, parent, pk, name) =>
+      val ck = child.groupBy(col(fk).as("k")).agg(count(lit(1)).as("n"))
+      val nulls = ck.filter(col("k").isNull)
+        .agg(coalesce(sum("n"), lit(0L)).as("n_null_rows"))
+      val keyed = ck.filter(col("k").isNotNull)
+      val tot = keyed.agg(coalesce(sum("n"), lit(0L)).as("n_nonnull"),
+        count(lit(1)).as("n_keys"))
+      val orph = keyed
+        .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"),
+          coalesce(sum("n"), lit(0L)).as("n_orphan_rows"))
+      // three 1-row aggregates — the crossJoins are literal-sized anchors
+      tot.crossJoin(nulls).crossJoin(orph).select(
+        lit(name).as("relationship"),
+        (col("n_nonnull") + col("n_null_rows")).as("n_rows"),
+        col("n_null_rows"), col("n_keys"), col("n_orphan_keys"),
+        col("n_orphan_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The exact double constant [[hllSummary]] divides by, for oracle
     * interpolation (Double.toString round-trips, so both engines parse
     * the identical bits). */
