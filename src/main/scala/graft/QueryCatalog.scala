@@ -584,6 +584,65 @@ object QueryCatalog {
           st[1] + st[2] AS forecast_next
         FROM f""")),
 
+    // One-sided CUSUM changepoint detector over each event type's daily
+    // count series (Page 1954): s_i = max(0, s_{i-1} + dev_i - allowance),
+    // alarm when s_i clears the threshold. All arithmetic is exact BIGINT
+    // in "8N-scaled count units" (dev_i = 8·N·n_i − 8·S, allowance = an
+    // eighth of the mean = S, threshold = one mean = 8·S), so the fold is
+    // bit-identical cross-engine — same ordered-fold shape as q_agg_holt:
+    // a calendar-bounded per-key array folded with one aggregate() HOF,
+    // replayed by DuckDB's list_reduce. No corpus-sized window: the only
+    // shuffle is the combine-enabled daily groupBy.
+    ("q_agg_cusum",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val g = daily.groupBy("event_type").agg(
+          array_sort(collect_list(struct(col("day"), col("n")))).as("xs"),
+          count(lit(1)).as("n_days"), sum("n").as("total"))
+        val step = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val sNew = greatest(lit(0L), acc.getItem(0) +
+            lit(8L) * col("n_days") * x.getField("n") -
+            lit(9L) * col("total"))
+          array(sNew, greatest(acc.getItem(1), sNew),
+            acc.getItem(2) +
+              when(sNew > lit(8L) * col("total"), 1L).otherwise(0L))
+        }
+        g.withColumn("st",
+            aggregate(col("xs"), array(lit(0L), lit(0L), lit(0L)), step))
+          .select(col("event_type"), col("n_days"), col("total"),
+            col("st").getItem(0).as("final_cusum"),
+            col("st").getItem(1).as("max_cusum"),
+            col("st").getItem(2).as("n_alarms"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        arr AS (SELECT event_type,
+            list([CAST(n AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+              ORDER BY day) AS xs,
+            CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(n) AS BIGINT) AS total
+          FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n_days, total,
+          list_reduce(list_prepend(
+              [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)], xs),
+            (acc, x) -> [
+              greatest(CAST(0 AS BIGINT),
+                acc[1] + 8 * n_days * x[1] - 9 * total),
+              greatest(acc[2], greatest(CAST(0 AS BIGINT),
+                acc[1] + 8 * n_days * x[1] - 9 * total)),
+              acc[3] + CASE WHEN greatest(CAST(0 AS BIGINT),
+                  acc[1] + 8 * n_days * x[1] - 9 * total) > 8 * total
+                THEN 1 ELSE 0 END]) AS st
+          FROM arr)
+        SELECT event_type, n_days, total, st[1] AS final_cusum,
+          st[2] AS max_cusum, st[3] AS n_alarms
+        FROM f""")),
+
     // Pareto frontier (skyline: maximize p_size, minimize price). The
     // scale shape: a combine-enabled groupBy(p_size).min collapses the
     // corpus to one row per size BEFORE any ordered scan, so the window
@@ -2277,6 +2336,43 @@ object QueryCatalog {
           floor(CAST(sum(bits) AS DOUBLE) * 1e6 /
             CAST(count(*) AS DOUBLE)) / 1e6 AS mean_bits
         FROM j GROUP BY 1""")),
+
+    // Flesch-style readability: words per sentence + vowel-group syllable
+    // proxy per word, composed into the classic reading-ease score. Pure
+    // per-row codegen'd expressions (regexp_count + the native tokenizer),
+    // zero shuffles; the score is ONE fixed left-associative IEEE chain of
+    // exact-integer inputs, floor-quantized to milli-points — identical in
+    // any engine. Null texts drop (a readability score for no text is
+    // noise, and engines disagree on greatest(NULL, x)).
+    ("q_text_readability",
+      (s: SparkSession, d: String) => {
+        val doc = t(s, d, "documents").filter(col("text").isNotNull)
+        val w = greatest(TextOps.tokenCount(col("text")).cast("long"),
+          lit(1L))
+        val sent = greatest(
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+        val syl = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long")
+        doc.select(col("doc_id"), w.as("n_words"), sent.as("n_sentences"),
+          syl.as("n_syllables"),
+          floor(lit(206835.0) -
+            lit(1015.0) * w.cast("double") / sent.cast("double") -
+            lit(84600.0) * syl.cast("double") / w.cast("double"))
+            .cast("long").as("flesch_milli"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id,
+          greatest(CAST(len(${tokensSql()}) AS BIGINT), 1) AS n_words,
+          greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+            1) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+            AS n_syllables
+        FROM documents WHERE text IS NOT NULL)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+          CAST(floor(206835.0 -
+            1015.0 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) -
+            84600.0 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+            AS BIGINT) AS flesch_milli
+        FROM m""")),
 
     ("q_text_tokens",
       (s: SparkSession, d: String) => t(s, d, "documents").select(
