@@ -66,6 +66,36 @@ object QueryCatalog {
         WHERE $fk IS NOT NULL AND NOT EXISTS
           (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphan_rows"""
 
+  /** Round-unrolled DuckDB replay of [[graft.ops.Similarity.kcenterSelect]]
+    * (same CTE-per-round shape as the q_sim_mmr oracle): sel_r accumulates
+    * the chosen set, m_{r+1} recomputes every remaining point's exact
+    * min-squared-distance to it, and a deterministic ORDER BY dist DESC,
+    * vec_id LIMIT 1 reproduces the tie-break. Integer squared distances:
+    * quantized dots are ≤ dims·1e6, exact in list_dot_product's double. */
+  private def kcenterOracleSql(k: Int): String = {
+    def sq(a: String, b: String): String =
+      s"CAST(${dotSql(a, a)} - 2*${dotSql(a, b)} + ${dotSql(b, b)} AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"WITH c AS (SELECT vec_id, $quantSql AS v FROM embeddings),\n"
+    sb ++= "s1 AS (SELECT vec_id AS id, v, CAST(0 AS BIGINT) AS dist " +
+      "FROM c ORDER BY vec_id LIMIT 1),\n"
+    sb ++= "sel1 AS (SELECT id, v, dist, CAST(1 AS BIGINT) AS pick FROM s1)"
+    for (r <- 2 to k) {
+      sb ++= s""",
+        m$r AS (SELECT c.vec_id, c.v, min(${sq("c.v", "p.v")}) AS dist
+          FROM c CROSS JOIN sel${r - 1} p
+          WHERE c.vec_id NOT IN (SELECT id FROM sel${r - 1})
+          GROUP BY c.vec_id, c.v),
+        s$r AS (SELECT vec_id AS id, v, dist FROM m$r
+          ORDER BY dist DESC, vec_id LIMIT 1),
+        sel$r AS (SELECT id, v, dist, pick FROM sel${r - 1}
+          UNION ALL SELECT id, v, dist, CAST($r AS BIGINT) AS pick
+          FROM s$r)"""
+    }
+    sb ++= s"\nSELECT pick, id AS vec_id, dist FROM sel$k"
+    sb.toString
+  }
+
   private def riEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -1699,6 +1729,54 @@ object QueryCatalog {
     // denominator through both combine-enabled aggregates, with ONE double
     // division at presentation. Two map-side-combining groupBys, no
     // window, no join: the shape a 100 TB concentration report wants.
+    // Concentration cut ("how many top customers cover 80% of a segment's
+    // revenue"): per-customer revenue in exact cents, ranked desc inside
+    // each segment by the RANGE-PARTITIONED prefix scan
+    // (Prefix.runningOffsetsBy, 5 segment groups — well inside its
+    // low-cardinality contract) instead of Window.partitionBy(segment),
+    // so no task ever buffers a whole segment — the hot-group-safe form
+    // of the cumulative-share analytic. Membership is the exact integer
+    // test 5·offset < 4·total on the EXCLUSIVE prefix, so the minimal
+    // cover always includes the row that crosses the 80% line.
+    ("q_agg_pareto_cut",
+      (s: SparkSession, d: String) => {
+        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev"))
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .join(rev, col("c_custkey") === col("o_custkey"))
+          .select(col("seg"), col("c_custkey"), col("rev"))
+        val ranked = graft.ops.Prefix.runningOffsetsBy(
+          c.withColumn("negrev", -col("rev")),
+          "seg", Seq("negrev", "c_custkey"), "rev")
+        val totals = c.groupBy("seg")
+          .agg(sum("rev").as("total_rev"), count(lit(1)).as("n_customers"))
+        ranked.join(broadcast(totals), "seg")
+          .filter(col("offset") * 5 < col("total_rev") * 4)
+          .groupBy(col("seg"), col("n_customers"), col("total_rev"))
+          .agg(count(lit(1)).as("n_cover"), sum("rev").as("cover_rev"))
+          .select(col("seg"), col("n_customers"), col("total_rev"),
+            col("n_cover"), col("cover_rev"))
+      },
+      Some(s"""WITH rev AS (SELECT o_custkey AS k,
+            CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+        c AS (SELECT c_mktsegment AS seg, c_custkey, rev
+          FROM customer JOIN rev ON c_custkey = k),
+        o AS (SELECT seg, c_custkey, rev,
+            COALESCE(sum(rev) OVER (PARTITION BY seg
+              ORDER BY rev DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+            sum(rev) OVER (PARTITION BY seg) AS total,
+            count(*) OVER (PARTITION BY seg) AS n_customers
+          FROM c)
+        SELECT seg, CAST(n_customers AS BIGINT) AS n_customers,
+          CAST(total AS BIGINT) AS total_rev,
+          CAST(count(*) AS BIGINT) AS n_cover,
+          CAST(sum(rev) AS BIGINT) AS cover_rev
+        FROM o WHERE 5 * off < 4 * total
+        GROUP BY seg, n_customers, total""")),
+
     ("q_agg_hhi",
       (s: SparkSession, d: String) => {
         val per = t(s, d, "lineitem")
@@ -2068,6 +2146,53 @@ object QueryCatalog {
           count(*) AS n,
           CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1""")),
+
+    // Spark-4 VariantType path: a nested JSON payload (object + array,
+    // built deterministically from event columns) goes through parse_json
+    // into the binary Variant encoding, then typed variant_get extractions
+    // — object paths, a nested path, and an array index — feed a filter
+    // and an aggregate. This is the open-schema ingestion shape for
+    // semi-structured event payloads: Variant decodes once per row and
+    // each extraction is a codegen'd path lookup, no per-field re-parse
+    // the way repeated get_json_object would. The oracle replays the same
+    // construction + JSON-path extraction in DuckDB's JSON type.
+    ("q_src_variant",
+      (s: SparkSession, d: String) => {
+        val day = date_format(col("ts"), "yyyy-MM-dd")
+        val js = concat(
+          lit("{\"meta\":{\"type\":\""), col("event_type"),
+          lit("\",\"day\":\""), day,
+          lit("\"},\"k\":"), get_json_object(col("props"), "$.k"),
+          lit(",\"tags\":[\""), col("event_type"), lit("\",\""), day,
+          lit("\"]}"))
+        t(s, d, "events").select(col("event_id"), js.as("js"))
+          .select(col("event_id"), parse_json(col("js")).as("v"))
+          .select(col("event_id"),
+            variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+            variant_get(col("v"), "$.meta.day", "string").as("vday"),
+            variant_get(col("v"), "$.k", "long").as("k"),
+            variant_get(col("v"), "$.tags[1]", "string").as("tag1"))
+          .filter(col("k") > 50)
+          .groupBy("vtype")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("vday").as("min_day"), max("tag1").as("max_tag1"))
+      },
+      Some("""WITH j AS (SELECT event_id,
+          '{"meta":{"type":"' || event_type || '","day":"' ||
+          strftime(ts, '%Y-%m-%d') || '"},"k":' ||
+          json_extract_string(props, '$.k') ||
+          ',"tags":["' || event_type || '","' ||
+          strftime(ts, '%Y-%m-%d') || '"]}' AS js
+        FROM events),
+        x AS (SELECT event_id,
+          json_extract_string(js, '$.meta.type') AS vtype,
+          json_extract_string(js, '$.meta.day') AS vday,
+          CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+          json_extract_string(js, '$.tags[1]') AS tag1
+        FROM j)
+        SELECT vtype, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+          min(vday) AS min_day, max(tag1) AS max_tag1
+        FROM x WHERE k > 50 GROUP BY 1""")),
 
     // Set-op decontamination framing: corpus fingerprints EXCEPT a held-out
     // set's fingerprints (U1 — absent in the reference). EXCEPT plans as a
@@ -6661,6 +6786,17 @@ object QueryCatalog {
     // range-partitioned prefix scan (Prefix.runningOffsets), NOT a
     // single-partition row_number window — the 100 TB-safe form of
     // "shuffle and zip".
+    // Greedy k-center coreset (Similarity.kcenterSelect): k corpus-parallel
+    // rounds, each scoring every remaining point's exact integer squared
+    // distance to its nearest chosen center and reducing to the global
+    // argmax; driver state is the k centers only. The oracle unrolls the
+    // identical rounds as CTEs, so the hash-match pins seed choice,
+    // distance arithmetic, and tie-breaks end to end.
+    ("q_sample_kcenter",
+      (s: SparkSession, d: String) => Similarity.kcenterSelect(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 4),
+      Some(kcenterOracleSql(4))),
+
     ("q_sample_negatives",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")

@@ -777,4 +777,52 @@ object Similarity {
     asg.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
+
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal):
+    * start from the smallest id, then k−1 times pick the point farthest
+    * from its nearest already-chosen center (exact integer squared
+    * euclidean on the quantized grid; ties break to the smallest id). A
+    * 2-approximation to the optimal k-center cover — the diversity-first
+    * seed selection for labeling budgets and coreset construction.
+    *
+    * Scale shape: each round is ONE corpus-parallel pass — the chosen
+    * centers ride along as array literals (k of them, broadcast-sized by
+    * the `require`), the per-point min-distance is a codegen'd `least`
+    * chain, and the argmax is a sort-limit reduce. Driver state is the k
+    * centers only (the same bounded-model-state contract as kmeans/IVF);
+    * the input is pinned once with a localCheckpoint because every round
+    * rescans it. Returns (pick, vec_id, dist): dist is the max-min
+    * distance at selection time (0 for the seed). */
+  def kcenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"kcenterSelect: k must be in [1,256], got $k — the driver holds " +
+      "the k chosen centers and the plan embeds k distance terms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .localCheckpoint()
+    val first = q.orderBy(col("id").asc).head()
+    // (pick, id, distAtPick, vec, n2)
+    val picked = scala.collection.mutable.ArrayBuffer(
+      (1L, first.getLong(0), 0L,
+        first.getSeq[Long](1).toList, first.getLong(2)))
+    for (r <- 2 to k) {
+      val dists = picked.toSeq.map { case (_, _, _, cv, cn2) =>
+        col("n2") - lit(2L) * qdot(col("v"), typedLit(cv: Seq[Long])) +
+          lit(cn2)
+      }
+      val mind = if (dists.size == 1) dists.head else least(dists: _*)
+      val top = q.filter(!col("id").isin(picked.toSeq.map(_._2): _*))
+        .select(col("id"), col("v"), col("n2"), mind.as("dist"))
+        .orderBy(col("dist").desc, col("id").asc)
+        .head()
+      picked += ((r.toLong, top.getLong(0), top.getLong(3),
+        top.getSeq[Long](1).toList, top.getLong(2)))
+    }
+    picked.toSeq.map { case (p, id, dist, _, _) => (p, id, dist) }
+      .toDF("pick", "vec_id", "dist")
+  }
 }
