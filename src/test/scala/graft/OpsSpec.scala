@@ -1706,4 +1706,25 @@ class OpsSpec extends SparkSpec {
       shards = 16).as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(re.toSeq == m.toSeq)
   }
+
+  test("riAudit: orphan rows/keys counted, null FKs reported separately") {
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)), (3L, Some(20L)),
+      (4L, Some(99L)), (5L, Some(99L)), (6L, Some(77L)),
+      (7L, None), (8L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val out = Stats.riAudit(Seq((child, "fk", parent, "pk", "child->parent")))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // (relationship, n_rows, n_null_rows, n_keys, n_orphan_keys, n_orphan_rows)
+    assert(out.toSeq === Seq(("child->parent", 8L, 2L, 4L, 2L, 3L)))
+  }
+
+  test("riAudit: clean edge reports zero orphans and zero nulls") {
+    val child = Seq((1L, 10L), (2L, 20L)).toDF("id", "fk")
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val out = Stats.riAudit(Seq((child, "fk", parent, "pk", "e")))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("e", 2L, 0L, 2L, 0L, 0L)))
+  }
 }

@@ -261,4 +261,35 @@ class RelOpsSpec extends SparkSpec {
     assert(out.length === e.count())
     assert(out.map(_._2).toSet.subsetOf(seeds))
   }
+
+  test("kcenterSelect equals the plain-Scala greedy farthest-point fold") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.kcenterSelect(e, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // independent reference: same quantization, brute-force greedy walk
+    val pts = e.select(col("vec_id").cast("long"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Seq((1L, pts.head._1, 0L))
+    var centers = Seq(pts.head)
+    for (r <- 2 to 5) {
+      val (bestId, bestVec, bestD) = pts
+        .filterNot(p => centers.exists(_._1 == p._1))
+        .map(p => (p._1, p._2, centers.map(c => sq(p._2, c._2)).min))
+        .maxBy { case (id, _, d) => (d, -id) }
+      chosen :+= ((r.toLong, bestId, bestD))
+      centers :+= ((bestId, bestVec))
+    }
+    assert(got === chosen)
+  }
+
+  test("kcenterSelect rejects an unbounded k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      Similarity.kcenterSelect(e, "vec_id", "embedding", k = 1000)
+    }
+  }
 }
