@@ -973,6 +973,45 @@ object QueryCatalog {
             ELSE 'unchanged' END AS status
         FROM orders GROUP BY 1""")),
 
+    // CDC changelog netting (Incremental.netChanges) — the executable form
+    // of the reference's DMS CDC apply: a deterministic I/U/D changelog
+    // built from orders nets to final row images (last writer wins on the
+    // sequence, delete tombstones drop the key) BEFORE any merge replays
+    // it. One per-key window, parallel by key; key history per apply
+    // window is small by CDC contract.
+    ("q_incr_cdc_apply",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("id"),
+          col("o_orderstatus").as("status"),
+          cents(col("o_totalprice")).as("price_cents"))
+        val log = o.select(col("id"), lit(1L).as("seq"), lit("I").as("op"),
+            col("status"), col("price_cents"))
+          .union(o.filter(col("id") % 3 === 0)
+            .select(col("id"), lit(2L).as("seq"), lit("U").as("op"),
+              lit("X").as("status"),
+              (col("price_cents") + 777L).as("price_cents")))
+          .union(o.filter(col("id") % 5 === 0)
+            .select(col("id"), lit(3L).as("seq"), lit("D").as("op"),
+              lit(null).cast("string").as("status"),
+              lit(null).cast("long").as("price_cents")))
+        Incremental.netChanges(log, Seq("id"), "seq", "op")
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey AS id,
+            o_orderstatus AS status,
+            ${centsSql("o_totalprice")} AS price_cents
+          FROM orders),
+        log AS (
+          SELECT id, CAST(1 AS BIGINT) AS seq, 'I' AS op, status,
+            price_cents FROM o
+          UNION ALL SELECT id, 2, 'U', 'X', price_cents + 777 FROM o
+            WHERE id % 3 = 0
+          UNION ALL SELECT id, 3, 'D', NULL, NULL FROM o
+            WHERE id % 5 = 0),
+        r AS (SELECT *, row_number() OVER (PARTITION BY id
+            ORDER BY seq DESC) AS rn FROM log)
+        SELECT id, seq, op, status, price_cents
+        FROM r WHERE rn = 1 AND op <> 'D'""")),
+
     ("q_incr_backfill",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "events")
@@ -7071,6 +7110,30 @@ object QueryCatalog {
         SELECT src AS node, count(*) AS degree FROM e$rounds GROUP BY 1"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.bfsLevels]] over the part<->supplier
+    * bipartite graph ([[partSupplierEdges]] construction mirrored): one
+    * (frontier-join + NOT IN) CTE pair per hop, so the hash-match pins the
+    * frontier-expansion admission rule (a node enters at its minimum hop,
+    * exactly once). */
+  private def bfsOracleSql(rounds: Int): String = {
+    val base = """WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+          l_suppkey * 2 + 1 AS dst FROM lineitem),
+      e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      l0 AS (SELECT DISTINCT l_partkey * 2 AS node,
+          CAST(0 AS BIGINT) AS level
+        FROM lineitem WHERE l_partkey < 5)"""
+    val hops = (1 to rounds).map { r =>
+      s""",
+      f$r AS (SELECT DISTINCT e.dst AS node
+        FROM e JOIN ${if (r == 1) "l0" else s"f${r - 1}"} f
+          ON e.src = f.node
+        WHERE e.dst NOT IN (SELECT node FROM l${r - 1})),
+      l$r AS (SELECT node, level FROM l${r - 1}
+        UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)"""
+    }.mkString
+    base + hops + s"\n      SELECT node, level FROM l$rounds"
+  }
+
   /** The part<->supplier co-occurrence graph from lineitem: parts on even
     * node ids, suppliers on odd (one BIGINT key space, bipartite so the
     * two directions never collide), an edge per distinct (part, supplier)
@@ -7274,7 +7337,23 @@ object QueryCatalog {
               floor(CAST(coalesce(pn.t, CAST(0 AS BIGINT)) AS DOUBLE) * 2e6
                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 1e6
             ELSE 0.0 END AS clustering
-          FROM deg d LEFT JOIN pn ON d.node = pn.node""")))
+          FROM deg d LEFT JOIN pn ON d.node = pn.node""")),
+
+    // Fixed-round BFS levels (Graph.bfsLevels) from a small seed set over
+    // the part<->supplier bipartite graph — hop-bounded reachability, the
+    // "how far does contamination / influence spread" primitive the
+    // centrality family lacks. Each hop is one frontier equi-join + LEFT
+    // ANTI against the accumulated levels; the unrolled oracle pins the
+    // enters-at-its-minimum-hop admission rule.
+    ("q_graph_bfs", {
+      ((s: SparkSession, d: String) => {
+        val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
+          .select((col("l_partkey") * 2).as("seed"))
+        Graph.bfsLevels(partSupplierEdges(s, d), "src", "dst",
+          seeds, "seed", rounds = 3)
+      }): Q
+      },
+      Some(bfsOracleSql(3))))
 
   // ================================================== composed cleaning
 

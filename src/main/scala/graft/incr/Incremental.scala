@@ -238,4 +238,24 @@ object Incremental {
       try props.store(out, "graft watermarks") finally out.close()
     }
   }
+
+  /** Nets a CDC changelog down to final row images: last-writer-wins per
+    * key on a monotone sequence column, with `D` tombstones deleting the
+    * key. This is the executable semantics of the reference's DMS CDC
+    * apply path (S8 — artifacts/raw CDC load feeds the same merge the
+    * incremental path uses): net the log FIRST, then hand one row per key
+    * to [[graft.write.MergeWriter]], so the merge never replays
+    * intermediate images. One per-key window, parallel by key — a key's
+    * history within an apply window is small by CDC contract, so no hot
+    * task. `seqCol` must totally order each key's history (ties would be
+    * nondeterministic and are a malformed changelog). */
+  def netChanges(log: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): org.apache.spark.sql.DataFrame = {
+    require(keyCols.nonEmpty, "netChanges needs at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn")
+  }
 }

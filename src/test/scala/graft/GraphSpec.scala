@@ -256,4 +256,35 @@ class GraphSpec extends SparkSpec {
       2L -> ((1L, 1L, 2L)),
       3L -> ((0L, 2L, 2L))))
   }
+
+  test("bfsLevels: path graph levels, horizon cut, unreached absent") {
+    // undirected path 1-2-3-4-5 (both directions listed)
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.bfsLevels(e, "src", "dst", seeds, "seed", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5 beyond horizon
+  }
+
+  test("bfsLevels: diamond admits each node once at its minimum hop") {
+    val fwd = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.bfsLevels(e, "src", "dst",
+        Seq(1L).toDF("seed"), "seed", rounds = 4)
+      .as[(Long, Long)].collect()
+    assert(rows.length == rows.map(_._1).distinct.length) // once per node
+    assert(rows.toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
+  test("bfsLevels: multi-seed frontier takes the nearer seed") {
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.bfsLevels(e, "src", "dst",
+        Seq(1L, 5L).toDF("seed"), "seed", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got ==
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
 }

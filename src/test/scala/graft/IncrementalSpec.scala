@@ -190,4 +190,20 @@ class IncrementalSpec extends AnyFunSuite {
       .select("status").as[String].collect()
     assert(st.toSeq == Seq("changed"))
   }
+
+  test("netChanges: last writer wins, tombstones delete, inserts survive") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "a2"),             // latest U wins
+      (2L, 1L, "I", "b"), (2L, 2L, "U", "b2"), (2L, 3L, "D", null),
+      (3L, 1L, "I", "c"),                                  // plain insert
+      (4L, 1L, "D", null), (4L, 2L, "I", "d")              // re-insert after D
+    ).toDF("id", "seq", "op", "v")
+    val got = Incremental.netChanges(log, Seq("id"), "seq", "op")
+      .select("id", "seq", "op", "v").as[(Long, Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, "U", "a2"), (3L, 1L, "I", "c"), (4L, 2L, "I", "d")))
+  }
 }
