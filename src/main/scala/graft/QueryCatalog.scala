@@ -96,6 +96,36 @@ object QueryCatalog {
     sb.toString
   }
 
+  /** Round-unrolled DuckDB replay of [[graft.ops.Similarity.pcaPower]]:
+    * per round a dot CTE, an integer d-vector sum grouped by component,
+    * and the L∞ floor-division renormalization (the ((a%m)+m)%m residue
+    * matches Scala's remainder semantics; (a−mod)//m is exact because mod
+    * makes a divisible). All-integer — doubles appear only inside
+    * list_dot_product whose per-round bound (d·Q·scale ≤ 6.7e7) is far
+    * under 2^53. */
+  private def pcaOracleSql(rounds: Int, dims: Int, scale: Long): String = {
+    val v0 = Seq.fill(dims)(s"CAST($scale AS BIGINT)").mkString("[", ", ", "]")
+    val sb = new StringBuilder
+    sb ++= s"WITH c AS (SELECT $quantSql AS v FROM embeddings),\n"
+    sb ++= s"v0 AS (SELECT $v0 AS vl)"
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        d$r AS (SELECT c.v,
+            CAST(${dotSql("c.v", s"v${r - 1}.vl")} AS BIGINT) AS d
+          FROM c, v${r - 1}),
+        w$r AS (SELECT j, CAST(sum(v[j] * d) AS BIGINT) AS w
+          FROM d$r, UNNEST(range(1, ${dims + 1})) AS t(j) GROUP BY j),
+        m$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$r),
+        v$r AS (SELECT list(
+            (w * $scale - ((((w * $scale) % m) + m) % m)) // m ORDER BY j)
+            AS vl FROM w$r, m$r)"""
+    }
+    sb ++= s"""
+      SELECT CAST(j AS BIGINT) AS j, vl[j] AS loading
+      FROM v$rounds, UNNEST(range(1, ${dims + 1})) AS t(j)"""
+    sb.toString
+  }
+
   private def riEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -4216,6 +4246,17 @@ object QueryCatalog {
     // cheap pre-filter tier in front of exact ANN scoring at corpus scale.
     // The sign matrix is built on the driver (512 md5s) and compiled into
     // the projection expression as literals.
+    // Top principal direction (Similarity.pcaPower): 3 rounds of integer
+    // power iteration — per round one codegen'd dot pass + the VecSumAgg
+    // combine-enabled d-vector aggregate, L∞-renormalized on the driver
+    // with mathematical floor division. Exact BIGINTs end to end; the
+    // oracle replays every round, so the hash-match pins the full
+    // recursion including the renormalization's floor residues.
+    ("q_emb_pca",
+      (s: SparkSession, d: String) => Similarity.pcaPower(
+        t(s, d, "embeddings"), "embedding", rounds = 3),
+      Some(pcaOracleSql(rounds = 3, dims = 64, scale = 1024L))),
+
     ("q_emb_project",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")

@@ -825,4 +825,48 @@ object Similarity {
     picked.toSeq.map { case (p, id, dist, _, _) => (p, id, dist) }
       .toDF("pick", "vec_id", "dist")
   }
+
+  /** Top principal direction by fixed-round power iteration, entirely on
+    * the quantized integer grid: each round is ONE corpus-parallel pass
+    * computing d_i = q_i·v (codegen'd IntDot) and the d-vector
+    * w = Σ_i d_i·q_i (the VecSumAgg combine-enabled aggregate), then an
+    * L∞ renormalization back to `scale` on the driver using mathematical
+    * floor division — every operation is exact BIGINT, so the whole
+    * recursion is bit-identical in any engine. Driver state per round is
+    * one d-length vector (bounded model state, like kmeans centroids).
+    *
+    * The deterministic all-ones start vector converges to ± the dominant
+    * eigendirection of the UNCENTERED second-moment matrix — subtract the
+    * column means first if you want covariance PCA. Integer bounds: with
+    * per-entry |q| ≤ Q and n rows, |d_i| ≤ d·Q·scale and
+    * |w_j| ≤ n·Q²·d·scale — for Q=1e3, d=64, scale=1024 that caps n at
+    * ~1.3e8 rows per exact fold; beyond that, raise the partial-fold to
+    * decimal(38) or pre-aggregate per shard. Returns (j, loading): the
+    * 1-based component index and the scale-normalized loading. */
+  def pcaPower(df: DataFrame, vecCol: String, rounds: Int = 3,
+      scale: Long = 1024L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"pcaPower needs 1 <= rounds <= 16, got $rounds")
+    require(scale >= 2, s"pcaPower needs scale >= 2, got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = df.select(quantize(col(vecCol)).as("v")).localCheckpoint()
+    val dims = q.select(size(col("v"))).head().getInt(0)
+    var v: Seq[Long] = List.fill(dims)(scale)
+    for (_ <- 1 to rounds) {
+      val vl = typedLit(v)
+      val w = q.withColumn("d", qdot(col("v"), vl))
+        .select(graft.plans.GraftExpressions.vec_sum(
+          transform(col("v"), x => x * col("d"))).as("w"))
+        .head().getSeq[Long](0)
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map { wj =>
+        val a = wj * scale
+        val mod = ((a % m) + m) % m // mathematical floor residue, m > 0
+        (a - mod) / m
+      }.toList
+    }
+    v.zipWithIndex.map { case (x, j) => ((j + 1).toLong, x) }
+      .toDF("j", "loading")
+  }
 }

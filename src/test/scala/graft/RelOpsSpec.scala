@@ -286,6 +286,25 @@ class RelOpsSpec extends SparkSpec {
     assert(got === chosen)
   }
 
+  test("pcaPower finds a planted dominant axis, L-inf normalized") {
+    // points hugging the (2,1) direction, tiny orthogonal jitter
+    val pts = (1 to 40).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      val jit = (i % 5 - 2) * 0.01f
+      (i.toLong, Seq(s * 2.0f + jit, s * 1.0f - 2 * jit))
+    }.toDF("vec_id", "embedding")
+    val v = Similarity.pcaPower(pts, "embedding", rounds = 6)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(v.map(math.abs).max === 1024L) // L-inf renorm invariant
+    // dominant component ~2x the other, same sign
+    val ratio = v(0).toDouble / v(1).toDouble
+    assert(ratio > 1.9 && ratio < 2.1, s"ratio $ratio")
+    // deterministic: a rerun is bit-identical
+    val v2 = Similarity.pcaPower(pts, "embedding", rounds = 6)
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(v.toSeq === v2.toSeq)
+  }
+
   test("kcenterSelect rejects an unbounded k") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     intercept[IllegalArgumentException] {
