@@ -5295,6 +5295,49 @@ object QueryCatalog {
                    ELSE 0 END) AS BIGINT) AS thash
         FROM lum JOIN tot USING (doc_id, tile) GROUP BY 1, 2)"""
 
+  /** Replays [[graft.ops.Multimodal.imagePHash]] from first principles:
+    * same synthetic-pixel luma as [[mmAhashSigSql]], then the exact
+    * integer 2D DCT-II with [[graft.ops.Multimodal.DctBasis]] interpolated
+    * as literals (the cosine table never recomputes cross-engine), the
+    * 32nd-smallest-of-63 AC median as a pure order statistic, and the
+    * HUGEINT sign fold for bit 63. */
+  private def mmPhashSigSql: String = {
+    val basis = graft.ops.Multimodal.DctBasis
+    val rows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${basis(u)(x)})").mkString(", ")
+    s"""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+      dct(u, x, c) AS (SELECT * FROM (VALUES $rows) AS t(u, x, c)),
+      cell AS (SELECT d.doc_id, cx.i AS x, cy.i AS y,
+          cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+        FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
+      lum AS (SELECT doc_id, x, y,
+          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
+           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
+           (CASE WHEN sy = doc_id % 24
+                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
+                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
+            // 1000 AS l
+        FROM cell),
+      f AS (SELECT lum.doc_id, cu.u AS u, cv.u AS v,
+          CAST(sum(cu.c * cv.c * lum.l) AS BIGINT) AS fv
+        FROM lum JOIN dct cu ON cu.x = lum.x JOIN dct cv ON cv.x = lum.y
+        GROUP BY 1, 2, 3),
+      ac AS (SELECT doc_id, u * 8 + v AS bit, fv FROM f
+        WHERE NOT (u = 0 AND v = 0)),
+      med AS (SELECT doc_id, fv AS med FROM (
+          SELECT doc_id, fv,
+            row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
+          FROM ac) WHERE rn = 32),
+      pacc AS (SELECT ac.doc_id,
+          sum(CASE WHEN ac.fv > med.med THEN 1::HUGEINT << ac.bit
+                   ELSE 0::HUGEINT END) AS h
+        FROM ac JOIN med USING (doc_id) GROUP BY 1),
+      psig AS (SELECT doc_id AS media_id,
+          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                    ELSE h END AS BIGINT) AS phash
+        FROM pacc)"""
+  }
+
   private def mmAhashSigSql: String =
     """WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
       cell AS (SELECT d.doc_id, cy.i * 8 + cx.i AS bit,
@@ -5426,6 +5469,23 @@ object QueryCatalog {
           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         FROM sig a JOIN sig b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
+
+    // DCT perceptual hash (Multimodal.imagePHash) over the REAL decoded
+    // PNGs: exact-integer 8x8 DCT-II (fixed-point basis shared with the
+    // oracle as literals), bits = AC coefficient vs the 32nd-smallest-
+    // of-63 order-statistic median. Spectral-shape dedup where aHash is
+    // luminance-threshold dedup — catches brightness/contrast-shifted
+    // duplicates. Oracle rebuilds pixels from first principles and
+    // replays the full transform.
+    ("q_mm_phash",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Multimodal.imagePHash(pngs).toDF()
+          .select(col("media_id"), col("phash"))
+      },
+      Some(mmPhashSigSql + "\nSELECT media_id, phash FROM psig")),
 
     // Per-tile perceptual signatures (2x2 tiles, 16-bit hashes) over the
     // REAL decoded PNGs — the partial-overlap index; oracle rebuilds the

@@ -324,6 +324,79 @@ object Multimodal {
     }
   }
 
+  final case class PHash(media_id: Long, phash: Long)
+
+  /** Fixed-point DCT-II basis, C(u,x) = round(cos((2x+1)·u·π/16) · 4096):
+    * computed ONCE here and interpolated as integer literals into the
+    * oracle SQL, so both engines multiply the identical table — the
+    * transcendental never crosses an engine boundary. */
+  val DctBasis: Array[Array[Long]] = Array.tabulate(8, 8) { (u, x) =>
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 16.0) * 4096.0)
+  }
+
+  /** 64-bit DCT perceptual hash (pHash): decode, sample the same 8x8 luma
+    * grid as [[imageAHash]], apply an exact-integer 2D DCT-II with the
+    * fixed-point [[DctBasis]] table, and set bit u·8+v iff that AC
+    * coefficient STRICTLY exceeds the median (defined as the 32nd
+    * smallest of the 63 AC values — a pure order statistic, so tie order
+    * never matters). Where aHash thresholds raw luminance (fooled by a
+    * global brightness ramp), pHash thresholds spectral shape — robust to
+    * brightness/contrast shifts that preserve structure. Integer end to
+    * end (|coef| ≤ 64·4096²·255 ≈ 2.7e11), replayable by any engine that
+    * can reproduce the pixels. Feed to [[Dedup.hammingNearDups]] for
+    * corpus-wide pairs, exactly like aHash. */
+  def imagePHash(media: Dataset[(Long, Array[Byte])]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    val basis = DctBasis
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: no JDK codec for these bytes")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val l = new Array[Long](64) // index y*8+x
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB((i & 7) * sw / 8, (i >> 3) * sh / 8)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          l(i) = (r * 299L + g * 587L + b * 114L) / 1000L
+          i += 1
+        }
+        val f = new Array[Long](64) // index u*8+v
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0L
+            var x = 0
+            while (x < 8) {
+              var y = 0
+              while (y < 8) {
+                s += basis(u)(x) * basis(v)(y) * l(y * 8 + x)
+                y += 1
+              }
+              x += 1
+            }
+            f(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+        java.util.Arrays.sort(ac)
+        val med = ac(31) // 32nd smallest of 63
+        var h = 0L
+        var b = 1
+        while (b < 64) {
+          if (f(b) > med) h |= (1L << b)
+          b += 1
+        }
+        PHash(id, h)
+      }
+    }
+  }
+
   final case class TileHash(media_id: Long, tile: Int, thash: Long)
 
   /** Per-TILE perceptual hashes for PARTIAL-overlap detection — the

@@ -1707,6 +1707,33 @@ class OpsSpec extends SparkSpec {
     assert(re.toSeq == m.toSeq)
   }
 
+  test("imagePHash: brightness shift flips almost no bits; different " +
+      "structure flips many") {
+    import graft.ops.Multimodal
+    def png(shift: Int, flip: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) {
+        // mid-range textured gradient so a +40 shift never clamps
+        val base = 60 + (x * 3 + y * 2 + (x * y) % 31) % 120
+        val v = if (flip) 200 - base / 2 + (x ^ y) % 40 else base
+        val c = math.min(215, v) + shift
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(0, false)), (2L, png(40, false)),
+      (3L, png(0, true))).toDS()
+    val h = Multimodal.imagePHash(media).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // +40 brightness shifts only the (excluded) DC coefficient
+    assert(ham(h(1L), h(2L)) <= 2, s"brightness: ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) >= 12, s"structure: ${ham(h(1L), h(3L))}")
+  }
+
   test("riAudit: orphan rows/keys counted, null FKs reported separately") {
     val child = Seq(
       (1L, Some(10L)), (2L, Some(10L)), (3L, Some(20L)),
