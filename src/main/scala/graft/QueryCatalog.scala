@@ -5962,6 +5962,31 @@ object QueryCatalog {
 
     // skew-mitigated shuffle join: row-identical to the plain join, hot keys
     // spread over nSalts reducers
+    // Join-key skew audit (Skew.keyAudit): rows / distinct keys / hottest
+    // key share / ceil(max/avg) salt recommendation per candidate join
+    // key — the measurement that picks plain vs salted vs AQE-split joins
+    // BEFORE the slow shuffle happens. One combine-enabled aggregate per
+    // key; all-integer report.
+    ("q_profile_skew",
+      (s: SparkSession, d: String) => graft.ops.Skew.keyAudit(Seq(
+        (t(s, d, "lineitem"), "l_orderkey", "lineitem.l_orderkey"),
+        (t(s, d, "lineitem"), "l_partkey", "lineitem.l_partkey"),
+        (t(s, d, "lineitem"), "l_suppkey", "lineitem.l_suppkey"),
+        (t(s, d, "orders"), "o_custkey", "orders.o_custkey"))),
+      Some(Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+          ("lineitem", "l_suppkey"), ("orders", "o_custkey"))
+        .map { case (tbl, k) =>
+          s"""SELECT '$tbl.$k' AS key_name,
+            CAST(sum(c) AS BIGINT) AS n_rows,
+            count(*) AS n_keys,
+            CAST(max(c) AS BIGINT) AS max_rows,
+            CAST(floor(CAST(max(c) AS DOUBLE) * 1e6 /
+              CAST(sum(c) AS DOUBLE)) AS BIGINT) AS top1_share_ppm,
+            CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
+              AS salt_factor
+          FROM (SELECT count(*) AS c FROM $tbl GROUP BY $k)"""
+        }.mkString("\nUNION ALL\n"))),
+
     ("q_skew_salted_join",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")

@@ -41,4 +41,29 @@ object Skew {
       explode(sequence(lit(0L), lit(nSalts - 1L))))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
   }
+
+  /** Join-key distribution audit — the measurement that decides between a
+    * plain shuffle join, [[saltedJoin]], and AQE skew splitting. For each
+    * (frame, keyCol, label) target: total rows, distinct keys, the hottest
+    * key's row count, its corpus share in ppm, and `salt_factor` =
+    * ceil(max/avg) — the nSalts that levels the hottest reducer to the
+    * average. One combine-enabled count aggregate per target (corpus →
+    * |keys| → 1 row); all-integer (ceil via (a+b−1) div b), so any engine
+    * reproduces the report bit for bit. Null keys count as one key — they
+    * hash to one reducer like any other value, which is exactly why
+    * null-heavy FKs are the most common real-world hot key. */
+  def keyAudit(targets: Seq[(DataFrame, String, String)]): DataFrame = {
+    require(targets.nonEmpty, "keyAudit needs at least one target")
+    targets.map { case (df, k, label) =>
+      df.groupBy(col(k)).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_rows"))
+        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_rows"),
+          floor(col("max_rows").cast("double") * 1e6 /
+            col("n_rows").cast("double")).cast("long").as("top1_share_ppm"),
+          expr("CAST((max_rows * n_keys + n_rows - 1) DIV n_rows AS BIGINT)")
+            .as("salt_factor"))
+    }.reduce(_ unionByName _)
+  }
 }
