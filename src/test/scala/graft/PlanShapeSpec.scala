@@ -316,7 +316,7 @@ class PlanShapeSpec extends SparkSpec {
     val pc = graft.ops.Graph.capDegree(
         Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst", 5)
       .queryExecution.executedPlan.toString
-    assert(!pc.contains("WindowExec"), pc)
+    assert(!pc.contains("Window ["), pc)
     assert(pc.toLowerCase.contains("earliestk") ||
       pc.contains("earliest_k"), pc)
     // the live JDBC read is a genuinely partitioned scan: 4 executor-side
@@ -330,7 +330,7 @@ class PlanShapeSpec extends SparkSpec {
     // and no window/join anywhere
     val pu = plan("q_text_url_canon")
     assert("Exchange hashpartitioning".r.findAllIn(pu).size == 2, pu)
-    assert(!pu.contains("WindowExec") && !pu.contains("Join"), pu)
+    assert(!pu.contains("Window [") && !pu.contains("Join"), pu)
     // LSH tuning: ground truth + every config off ONE cached signature
     // evaluation; candidate joins are equi (no nested loop anywhere)
     val pl = plan("q_dedup_lsh_tuning")
@@ -349,5 +349,36 @@ class PlanShapeSpec extends SparkSpec {
     val ps = plan("q_join_scd_pit")
     assert(!ps.contains("BroadcastNestedLoopJoin") &&
       !ps.contains("CartesianProduct"), ps)
+  }
+
+  test("round-7 batch 3: skyline broadcasts, readability is scan-stage, " +
+      "audits stay anti-join") {
+    // skyline: the frontier joins back as a BROADCAST hash join (never a
+    // shuffle of the corpus against a ~|size-domain| table), and the only
+    // WindowExec runs over the domain-bounded min-price table — i.e.
+    // AFTER the partial aggregate, never over the corpus
+    val psky = plan("q_agg_skyline")
+    assert(psky.contains("BroadcastHashJoin"), psky)
+    assert(psky.contains("Window ["), psky)
+    // readability: pure per-row regexp/tokenizer work — zero exchanges
+    val pr = plan("q_text_readability")
+    assert(!pr.contains("Exchange"), pr)
+    // RI + skew audits: no window, no nested loop; the RI orphan check
+    // must be semi/anti-style hash joins
+    for (q <- Seq("q_profile_ri", "q_profile_skew")) {
+      val p = plan(q)
+      assert(!p.contains("Window ["), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // CUSUM folds per key off ONE hash exchange pair (daily groupBy +
+    // per-type collect) — no window, no join
+    val pc = plan("q_agg_cusum")
+    assert(!pc.contains("Window [") && !pc.contains("Join"), pc)
+    // CDC netting: the per-key window IS the plan — and nothing else
+    // shuffles besides its hash exchange
+    val pn = plan("q_incr_cdc_apply")
+    assert(pn.contains("Window ["), pn)
+    assert(!pn.contains("CartesianProduct") &&
+      !pn.contains("BroadcastNestedLoopJoin"), pn)
   }
 }
