@@ -1468,6 +1468,45 @@ object QueryCatalog {
           floor(1e6 * r.n_active / c.n_cohort) / 1e6 AS retention
         FROM r JOIN c USING (cohort_day)""")),
 
+    // Peak concurrency by sweep line: each user-day session becomes a
+    // +1/−1 delta at its first/last event, the GLOBAL running sum over
+    // (ts, start-before-end, user) comes from the range-partitioned
+    // prefix scan (Prefix.runningOffsetsOrdered — no single-partition
+    // window over the corpus-sized delta stream), and the per-day max of
+    // offset+delta is the day's peak concurrent-session count. Sessions
+    // never span days, so the running sum self-resets at day boundaries.
+    ("q_agg_concurrency",
+      (s: SparkSession, d: String) => {
+        val sess = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+        val deltas = sess.select(col("day"), col("t0").as("at"),
+            lit(1L).as("delta"), lit(0L).as("dord"), col("user_id"))
+          .union(sess.select(col("day"), col("t1").as("at"),
+            lit(-1L).as("delta"), lit(1L).as("dord"), col("user_id")))
+        graft.ops.Prefix.runningOffsetsOrdered(deltas,
+            Seq("at", "dord", "user_id"), "delta")
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
+              .as("n_sessions"),
+            max(col("offset") + col("delta")).as("peak_concurrency"))
+      },
+      Some("""WITH sess AS (SELECT user_id, CAST(ts AS DATE) AS day,
+            min(ts) AS t0, max(ts) AS t1
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT day, t0 AS at, 1 AS delta, 0 AS dord, user_id
+            FROM sess
+          UNION ALL SELECT day, t1, -1, 1, user_id FROM sess),
+        o AS (SELECT day, delta,
+            sum(delta) OVER (ORDER BY at, dord, user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+          FROM d)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+          CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sessions,
+          CAST(max(conc) AS BIGINT) AS peak_concurrency
+        FROM o GROUP BY 1""")),
+
     ("q_agg_sessionize",
       // batch sessionization: a session breaks after a 30-min gap. lag ->
       // flag -> running sum is the canonical two-window composition; both
@@ -3377,6 +3416,51 @@ object QueryCatalog {
     // Bigram language-model counts: conditional probability per bigram,
     // floor-quantized from exact integer counts (the n-gram-LM statistics
     // step; also the base table for perplexity-style quality scoring)
+    // Collocation mining by pointwise mutual information, in the same
+    // transcendental-free whole-bit form as q_text_surprisal:
+    // pmi_bits = bits(n_ab·N) − bits(n_a·n_b) (integer bit lengths — the
+    // native codegen'd expression vs DuckDB's bin()), so the association
+    // ranking is exact cross-engine. Marginals derive from the DISTINCT
+    // bigram table, not the raw stream — one corpus-sized combine-enabled
+    // groupBy, then vocabulary-sized joins; N rides as a 1-row broadcast.
+    ("q_text_pmi",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(
+          TextOps.tokens(col("text")).as("ts"))
+        val bi = toks.select(explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
+          .filter(col("bigram").isNotNull)
+        val bc = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .withColumn("w2", substring_index(col("bigram"), " ", -1))
+        val na = bc.groupBy("w1").agg(sum("n_ab").as("n_a"))
+        val nb = bc.groupBy("w2").agg(sum("n_ab").as("n_b"))
+        val tot = bc.agg(sum("n_ab").as("nn"))
+        val bl = graft.plans.GraftExpressions.bit_length_long _
+        bc.join(na, "w1").join(nb, "w2").crossJoin(broadcast(tot))
+          .filter(col("n_ab") >= 15)
+          .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+            (bl(col("n_ab") * col("nn")) - bl(col("n_a") * col("n_b")))
+              .cast("long").as("pmi_bits"))
+      },
+      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
+        bi AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram,
+            ts[i] AS w1, ts[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        bc AS (SELECT bigram, w1, w2, count(*) AS n_ab FROM bi
+          GROUP BY 1, 2, 3),
+        na AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc
+          GROUP BY 1),
+        nb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM bc
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM bc)
+        SELECT bigram, n_ab, n_a, n_b,
+          CAST(length(bin(n_ab * nn)) - length(bin(n_a * n_b)) AS BIGINT)
+            AS pmi_bits
+        FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
+        WHERE n_ab >= 15""")),
+
     ("q_text_bigrams",
       (s: SparkSession, d: String) => {
         val toks = t(s, d, "documents").select(
