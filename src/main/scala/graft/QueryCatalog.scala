@@ -1468,6 +1468,105 @@ object QueryCatalog {
           floor(1e6 * r.n_active / c.n_cohort) / 1e6 AS retention
         FROM r JOIN c USING (cohort_day)""")),
 
+    // Two-proportion A/B test (chi-squared form), exact-integer end to
+    // end: users hash-split by id parity, per-user conversion flag, and
+    // z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(n−c)) with both sides of
+    // the ratio exact BIGINTs and ONE floor-quantized IEEE division at
+    // presentation. The 3.841459 cutoff is chi²(1, 0.05). Promote the
+    // numerator to decimal(38) before 1e9-user populations (cents()
+    // scaladoc precedent). Two combine-enabled aggregates, no window.
+    ("q_agg_abtest",
+      (s: SparkSession, d: String) => {
+        // unit = user-DAY (a user converts on a day they purchase) —
+        // user-lifetime conversion saturates to 1 on this fixture
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("v", pmod(col("user_id"), lit(2L)))
+        val a = u.agg(
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("c2"))
+        val num = (col("c1") * col("n2") - col("c2") * col("n1")) *
+          (col("c1") * col("n2") - col("c2") * col("n1")) *
+          (col("n1") + col("n2"))
+        val den = col("n1") * col("n2") * (col("c1") + col("c2")) *
+          (col("n1") + col("n2") - col("c1") - col("c2"))
+        a.withColumn("z2_micro",
+            when(den === 0, lit(null).cast("long")).otherwise(
+              floor(num.cast("double") * 1e6 / den.cast("double"))
+                .cast("long")))
+          .withColumn("significant",
+            when(col("z2_micro") > 3841459L, 1L).otherwise(0L))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        g AS (SELECT user_id % 2 AS v, conv FROM u),
+        a AS (SELECT
+            CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+              AS c1,
+            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+              AS c2
+          FROM g),
+        z AS (SELECT n1, c1, n2, c2,
+            CASE WHEN n1 * n2 * (c1+c2) * (n1+n2-c1-c2) = 0 THEN NULL
+              ELSE CAST(floor(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1)
+                  * (n1+n2) AS DOUBLE) * 1e6 /
+                CAST(n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS DOUBLE))
+                AS BIGINT) END AS z2_micro
+          FROM a)
+        SELECT n1, c1, n2, c2, z2_micro,
+          CASE WHEN z2_micro > 3841459 THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS significant
+        FROM z""")),
+
+    // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
+    // pass — each row's replicate weight is a quantized-Poisson draw from
+    // an md5 prefix (identical integer thresholds interpolated into both
+    // engines), so the replicate totals are exactly reproducible. The
+    // scan-stage 8x fan-out feeds a combine-enabled groupBy(b); the
+    // spread of the 8 totals is the uncertainty estimate a 100 TB
+    // aggregate can't get any other way without a second pass.
+    ("q_agg_bootstrap",
+      (s: SparkSession, d: String) => {
+        val thr = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey").as("id"),
+            cents(col("o_totalprice")).as("pc"))
+          .select(col("id"), col("pc"),
+            explode(sequence(lit(0L), lit(7L))).as("b"))
+        val h = graft.plans.GraftExpressions.md5_prefix(
+          concat(col("id").cast("string"), lit("|"),
+            col("b").cast("string")), 8)
+        val w = when(h < thr(0), 0L).when(h < thr(1), 1L)
+          .when(h < thr(2), 2L).when(h < thr(3), 3L).otherwise(4L)
+        o.withColumn("w", w).groupBy("b")
+          .agg(sum(col("w")).as("n_eff"),
+            sum(col("w") * col("pc")).as("total_cents"))
+      },
+      Some(s"""WITH x AS (SELECT o_orderkey AS id,
+            ${centsSql("o_totalprice")} AS pc FROM orders),
+        e AS (SELECT id, pc, unnest(range(0, 8)) AS b FROM x),
+        h AS (SELECT b, pc,
+            CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || '|' ||
+              CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+          FROM e),
+        w AS (SELECT b, pc,
+            CASE WHEN hv < 1580030168 THEN 0
+                 WHEN hv < 3160060337 THEN 1
+                 WHEN hv < 3950075421 THEN 2
+                 WHEN hv < 4213413783 THEN 3 ELSE 4 END AS w
+          FROM h)
+        SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
+          CAST(sum(w * pc) AS BIGINT) AS total_cents
+        FROM w GROUP BY 1""")),
+
     // Peak concurrency by sweep line: each user-day session becomes a
     // +1/−1 delta at its first/last event, the GLOBAL running sum over
     // (ts, start-before-end, user) comes from the range-partitioned
