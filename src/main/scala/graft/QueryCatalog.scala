@@ -5579,7 +5579,67 @@ object QueryCatalog {
                     ELSE h END AS BIGINT) AS ehash
         FROM eacc)"""
 
+  /** Replays [[graft.ops.Multimodal.audioSpectralHash]] from first
+    * principles: the [[mmAudioSigSql]] sample formula, the fixed-point
+    * DFT basis interpolated as literals, per-frame 4-bin powers, dominant
+    * bin by (power DESC, k ASC), 2-bit symbols packed through HUGEINT. */
+  private def mmSpectralSigSql: String = {
+    val cosT = graft.ops.Multimodal.DftCos
+    val sinT = graft.ops.Multimodal.DftSin
+    val rows = (for (k <- 0 until 4; t <- 0 until 32)
+      yield s"($k, $t, ${cosT(k)(t)}, ${sinT(k)(t)})").mkString(", ")
+    s"""WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
+      p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
+          32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
+          (doc_id % 61) * 32 AS cut0
+        FROM documents),
+      smp AS (SELECT p.doc_id, r.i,
+          CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
+               ELSE (CASE WHEN (r.i + phase) % per < per // 2
+                          THEN (r.i + phase) % per
+                          ELSE per - (r.i + phase) % per END) * 2 * amp // per
+                    * (CASE WHEN ((r.i + phase) // per) % 2 = 0
+                            THEN 1 ELSE -1 END)
+          END AS s
+        FROM p CROSS JOIN r2080 r),
+      basis(k, t, cb, sb) AS (SELECT * FROM (VALUES $rows)
+        AS b(k, t, cb, sb)),
+      fr AS (SELECT doc_id, i // 32 AS f, i % 32 AS t, s AS x FROM smp
+        WHERE i < 1024),
+      pw AS (SELECT fr.doc_id, fr.f, b.k,
+          CAST(sum(x * cb) AS BIGINT) AS re,
+          CAST(sum(x * sb) AS BIGINT) AS im
+        FROM fr JOIN basis b ON b.t = fr.t GROUP BY 1, 2, 3),
+      dom AS (SELECT doc_id, f, k AS sym FROM (
+          SELECT doc_id, f, k, row_number() OVER (PARTITION BY doc_id, f
+            ORDER BY re * re + im * im DESC, k ASC) AS rn
+          FROM pw) WHERE rn = 1),
+      sacc AS (SELECT doc_id,
+          sum(CAST(sym AS HUGEINT) << (2 * f)) AS h
+        FROM dom GROUP BY 1),
+      ssig AS (SELECT doc_id AS media_id,
+          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                    ELSE h END AS BIGINT) AS shash
+        FROM sacc)"""
+  }
+
   private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Spectral acoustic fingerprint (Multimodal.audioSpectralHash) over
+    // REAL decoded WAV bytes: per 32-sample frame an exact-integer 4-bin
+    // DFT power, dominant bin -> 2-bit symbol, 32 frames packed into one
+    // BIGINT — the frequency-domain complement of the energy hash
+    // (amplitude-invariant by argmax). Oracle replays samples AND the
+    // full transform from the shared fixed-point basis.
+    ("q_mm_audio_spectral",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+        Multimodal.audioSpectralHash(wavs).toDF()
+          .select(col("media_id"), col("shash"))
+      },
+      Some(mmSpectralSigSql + "\nSELECT media_id, shash FROM ssig")),
 
     // Acoustic fingerprinting over REAL decoded WAV bytes, full oracle —
     // the audio twin of q_mm_ahash: Spark writes and codec-decodes every

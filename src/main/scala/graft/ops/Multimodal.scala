@@ -498,6 +498,78 @@ object Multimodal {
     }
   }
 
+  final case class SpectralHash(media_id: Long, shash: Long)
+
+  /** Fixed-point DFT basis for [[audioSpectralHash]]: bin k ∈ 1..4 cycles
+    * per 32-sample frame, c/s = round(cos/sin(2π·k·t/32)·1024). Computed
+    * once and interpolated into the oracle as literals — the
+    * transcendentals never recompute cross-engine. */
+  val DftCos: Array[Array[Long]] = Array.tabulate(4, 32) { (k, t) =>
+    math.round(math.cos(2 * math.Pi * (k + 1) * t / 32.0) * 1024.0)
+  }
+  val DftSin: Array[Array[Long]] = Array.tabulate(4, 32) { (k, t) =>
+    math.round(math.sin(2 * math.Pi * (k + 1) * t / 32.0) * 1024.0)
+  }
+
+  /** 64-bit SPECTRAL audio fingerprint — the frequency-domain complement
+    * of [[audioEnergyHash]] (which only sees loudness): each 32-sample
+    * frame gets an exact-integer 4-bin DFT power (re² + im² with the
+    * fixed-point [[DftCos]]/[[DftSin]] tables), the dominant bin (ties to
+    * the lowest) becomes a 2-bit symbol, and the first 32 frames pack
+    * into one BIGINT. A pitch-shifted copy moves symbols; an
+    * amplitude-scaled copy does not (argmax is scale-invariant) — the
+    * Shazam-style constellation idea reduced to its deterministic core.
+    * Integer bounds: |sample| < 2^15, |basis| ≤ 1024, 32 terms →
+    * |re| ≤ 2^30, re² ≤ 2^60 — exact in BIGINT. Replayable by any engine
+    * that can reproduce the samples. */
+  def audioSpectralHash(media: Dataset[(Long, Array[Byte])])
+      : Dataset[SpectralHash] = {
+    import media.sparkSession.implicits._
+    val (cosT, sinT) = (DftCos, DftSin)
+    media.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media $id: need 16-bit PCM_SIGNED, got ${f.getEncoding}")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          def sample(i: Int): Long = {
+            val o = 2 * i
+            if (f.isBigEndian) ((data(o) << 8) | (data(o + 1) & 0xff)).toLong
+            else ((data(o + 1) << 8) | (data(o) & 0xff)).toLong
+          }
+          val nFrames = math.min(n / 32, 32)
+          var h = 0L
+          var fr = 0
+          while (fr < nFrames) {
+            var bestK = 0
+            var bestP = Long.MinValue
+            var k = 0
+            while (k < 4) {
+              var re = 0L; var im = 0L; var t = 0
+              while (t < 32) {
+                val x = sample(fr * 32 + t)
+                re += x * cosT(k)(t)
+                im += x * sinT(k)(t)
+                t += 1
+              }
+              val p = re * re + im * im
+              if (p > bestP) { bestP = p; bestK = k } // strict: ties low k
+              k += 1
+            }
+            h |= bestK.toLong << (2 * fr)
+            fr += 1
+          }
+          SpectralHash(id, h)
+        } finally in.close()
+      }
+    }
+  }
+
   /** Deterministic FAMILY-pattern WAV for near-duplicate demos — the audio
     * twin of [[syntheticPngFamily]]: ids sharing `id / 10` render the same
     * triangle wave (family-dependent amplitude and period) and each id

@@ -1734,6 +1734,38 @@ class OpsSpec extends SparkSpec {
     assert(ham(h(1L), h(3L)) >= 12, s"structure: ${ham(h(1L), h(3L))}")
   }
 
+  test("audioSpectralHash: amplitude-invariant, pitch-sensitive") {
+    import graft.ops.Multimodal
+    def wav(period: Int, amp: Int): Array[Byte] = {
+      val n = 1024
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val ph = i % period
+        val tri = if (ph < period / 2) ph else period - ph
+        val s = tri * 2 * amp / period * (if ((i / period) % 2 == 0) 1 else -1)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true,
+        false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(16, 6000)), // 2 cycles per 32-sample frame -> bin 2
+      (2L, wav(16, 2995)), // same pitch, ~half amplitude
+      (3L, wav(8, 6000))   // doubled pitch -> bin 4
+    ).toDS()
+    val h = Multimodal.audioSpectralHash(media).collect()
+      .map(r => r.media_id -> r.shash).toMap
+    assert(h(1L) === h(2L)) // argmax is scale-invariant
+    assert(h(1L) !== h(3L)) // pitch moves the dominant bin
+  }
+
   test("riAudit: orphan rows/keys counted, null FKs reported separately") {
     val child = Seq(
       (1L, Some(10L)), (2L, Some(10L)), (3L, Some(20L)),
