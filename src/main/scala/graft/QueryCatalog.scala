@@ -1726,6 +1726,90 @@ object QueryCatalog {
     // (dormant since 2000-01-01), by nation. Balances compared in exact
     // integer cents; the scalar threshold is one broadcast row; the anti
     // join is the only fact shuffle
+    // Null-safe equi-join (<=>): NULL keys MATCH each other — the join
+    // semantics entity-resolution and late-dimension pipelines need when
+    // "unknown" is a legitimate key value. EqualNullSafe is still an
+    // equi-join key for Spark (hash join, never a nested loop; the plan
+    // pin asserts it), unlike the OR-of-IS-NULL rewrite users reach for.
+    ("q_join_nullsafe",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(
+          when(col("c_custkey") % 7 === 0, lit(null))
+            .otherwise(col("c_nationkey")).cast("long").as("ck"),
+          col("c_custkey"))
+        val su = t(s, d, "supplier").select(
+          when(col("s_suppkey") % 5 === 0, lit(null))
+            .otherwise(col("s_nationkey")).cast("long").as("sk"),
+          col("s_suppkey"))
+        c.join(su, col("ck") <=> col("sk"))
+          .groupBy(coalesce(col("ck"), lit(-1L)).as("nation"))
+          .agg(count(lit(1)).as("n_pairs"),
+            count_distinct(col("c_custkey")).as("n_customers"),
+            count_distinct(col("s_suppkey")).as("n_suppliers"))
+      },
+      Some("""WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(c_nationkey AS BIGINT) END AS ck, c_custkey
+          FROM customer),
+        su AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+              ELSE CAST(s_nationkey AS BIGINT) END AS sk, s_suppkey
+          FROM supplier)
+        SELECT coalesce(ck, -1) AS nation, count(*) AS n_pairs,
+          count(DISTINCT c_custkey) AS n_customers,
+          count(DISTINCT s_suppkey) AS n_suppliers
+        FROM c JOIN su ON ck IS NOT DISTINCT FROM sk
+        GROUP BY 1""")),
+
+    // STL-lite decomposition of the daily revenue series: trend = centered
+    // 7-day window sum (kept x7 — no division), dev7 = 7·x − trend
+    // (exact), seasonal = each weekday's mean dev7 floor-quantized to
+    // micro-units, residual = dev7·1e6 − seasonal (exact BIGINTs all the
+    // way). Both windows run over the calendar-bounded day table — the
+    // documented constant-state exception — and the weekday means join
+    // back as a 7-row broadcast.
+    ("q_agg_stl",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"),
+            (weekday(col("ts")) + 1).as("isodow"))
+          .agg(sum(cents(col("value"))).as("x"))
+        val w = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+        val tr = daily
+          .withColumn("n7", count(lit(1)).over(w))
+          .withColumn("sum7", sum("x").over(w))
+          .filter(col("n7") === 7)
+          .withColumn("dev7", col("x") * 7 - col("sum7"))
+        val wd = tr.groupBy("isodow")
+          .agg(floor(sum(col("dev7")).cast("double") * 1e6 /
+            count(lit(1)).cast("double")).cast("long").as("seasonal_micro"))
+        tr.join(broadcast(wd), "isodow")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("isodow").cast("int").as("isodow"), col("x"),
+            col("sum7").as("trend_x7"), col("dev7"),
+            col("seasonal_micro"),
+            (col("dev7") * 1000000L - col("seasonal_micro"))
+              .as("residual_micro"))
+      },
+      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+            isodow(ts) AS isodow,
+            CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        tr AS (SELECT day, isodow, x,
+            count(*) OVER wnd AS n7, CAST(sum(x) OVER wnd AS BIGINT) AS sum7
+          FROM daily
+          WINDOW wnd AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+            AND 3 FOLLOWING)),
+        dv AS (SELECT day, isodow, x, sum7, x * 7 - sum7 AS dev7 FROM tr
+          WHERE n7 = 7),
+        wd AS (SELECT isodow,
+            CAST(floor(CAST(sum(dev7) AS DOUBLE) * 1e6 /
+              CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micro
+          FROM dv GROUP BY 1)
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+          CAST(dv.isodow AS INT) AS isodow, x, sum7 AS trend_x7, dev7,
+          seasonal_micro,
+          dev7 * 1000000 - seasonal_micro AS residual_micro
+        FROM dv JOIN wd ON dv.isodow = wd.isodow""")),
+
     ("q_join_noorders",
       (s: SparkSession, d: String) => {
         val c = t(s, d, "customer").select(col("c_custkey"),

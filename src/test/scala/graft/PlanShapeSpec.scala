@@ -380,5 +380,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(pn.contains("Window ["), pn)
     assert(!pn.contains("CartesianProduct") &&
       !pn.contains("BroadcastNestedLoopJoin"), pn)
+    // null-safe equality must stay an EQUI hash join (EqualNullSafe is a
+    // join key), never the nested-loop an OR-of-IS-NULL rewrite plans
+    val pns = plan("q_join_nullsafe")
+    assert(!pns.contains("BroadcastNestedLoopJoin") &&
+      !pns.contains("CartesianProduct"), pns)
   }
 }
