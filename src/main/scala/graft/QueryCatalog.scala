@@ -1468,6 +1468,57 @@ object QueryCatalog {
           floor(1e6 * r.n_active / c.n_cohort) / 1e6 AS retention
         FROM r JOIN c USING (cohort_day)""")),
 
+    // R×C categorical association (the chi-squared contingency audit —
+    // q_agg_abtest's big sibling): segment × nation observed vs expected,
+    // per-cell (o·N − r·c)² kept as an exact BIGINT and floor-quantized
+    // through ONE deterministic IEEE cast+divide per cell, then summed.
+    // All tables here are domain-bounded (|segments|·|nations| cells);
+    // marginals join back as broadcasts. The summary row carries the
+    // degrees of freedom so a consumer can threshold.
+    ("q_profile_contingency",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nat"))
+        val cell = c.groupBy("seg", "nat").agg(count(lit(1)).as("o"))
+        val rm = cell.groupBy("seg").agg(sum("o").as("r"))
+        val cm = cell.groupBy("nat").agg(sum("o").as("cc"))
+        val tot = cell.agg(sum("o").as("nn"),
+          count_distinct(col("seg")).as("nr"),
+          count_distinct(col("nat")).as("nc"))
+        val a = col("o") * col("nn") - col("r") * col("cc")
+        cell.join(broadcast(rm), "seg").join(broadcast(cm), "nat")
+          .crossJoin(broadcast(tot))
+          .withColumn("cell_micro",
+            floor((a * a).cast("double") * 1e6 /
+              (col("nn") * col("r") * col("cc")).cast("double"))
+              .cast("long"))
+          .groupBy(col("nn").as("n"), col("nr"), col("nc"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum("cell_micro").as("chi2_micro"))
+          .select(col("n"), col("n_cells"), col("chi2_micro"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment AS seg,
+            CAST(c_nationkey AS BIGINT) AS nat FROM customer),
+        cell AS (SELECT seg, nat, count(*) AS o FROM c GROUP BY 1, 2),
+        rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cell
+          GROUP BY 1),
+        cm AS (SELECT nat, CAST(sum(o) AS BIGINT) AS cc FROM cell
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+            count(DISTINCT seg) AS nr, count(DISTINCT nat) AS nc
+          FROM cell),
+        x AS (SELECT
+            CAST(floor(CAST((o*nn - r*cc) * (o*nn - r*cc) AS DOUBLE) * 1e6
+              / CAST(nn * r * cc AS DOUBLE)) AS BIGINT) AS cell_micro,
+            nn, nr, nc
+          FROM cell JOIN rm USING (seg) JOIN cm USING (nat), tot)
+        SELECT nn AS n, CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+          CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+        FROM x GROUP BY nn, nr, nc""")),
+
     // Two-proportion A/B test (chi-squared form), exact-integer end to
     // end: users hash-split by id parity, per-user conversion flag, and
     // z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(n−c)) with both sides of
@@ -1566,6 +1617,28 @@ object QueryCatalog {
         SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
           CAST(sum(w * pc) AS BIGINT) AS total_cents
         FROM w GROUP BY 1""")),
+
+    // Top conversion paths: each user's FIRST FIVE events (total
+    // (ts, event_id) order — deterministic under ties) join into a path
+    // string, then a combine-enabled census keeps paths shared by >= 2
+    // users. Per-user state is bounded by the slice, not the stream; the
+    // ordered fold replays in DuckDB as list(... ORDER BY)[1:5].
+    ("q_seq_paths",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "events").groupBy(col("user_id"))
+          .agg(concat_ws(">", slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 5)).as("path"))
+        p.groupBy("path").agg(count(lit(1)).as("n_users"))
+          .filter(col("n_users") >= 2)
+      },
+      Some("""WITH p AS (SELECT user_id,
+            array_to_string(
+              (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+          FROM events GROUP BY 1)
+        SELECT path, count(*) AS n_users FROM p
+        GROUP BY 1 HAVING count(*) >= 2""")),
 
     // Peak concurrency by sweep line: each user-day session becomes a
     // +1/−1 delta at its first/last event, the GLOBAL running sum over
