@@ -3608,6 +3608,72 @@ object QueryCatalog {
             ORDER BY score DESC, term ASC) AS rnk
           FROM sc) WHERE rnk <= 5""")),
 
+    // Query-time BM25 retrieval — the step q_text_bm25 (weights) and
+    // q_text_index (postings) build toward: a fixed 3-term query prunes
+    // the term stream BEFORE tf aggregation (the filter rides the explode
+    // in the scan stage; df/length stats still come from the full corpus,
+    // as BM25 requires), per-(doc,term) micro-scores stay BIGINT so the
+    // per-doc sum is exact, and the global top-10 is a TakeOrdered — no
+    // corpus window anywhere.
+    ("q_text_search", {
+      ((s: SparkSession, d: String) => {
+        val k1 = Bm25K1; val b = Bm25B
+        val k1p1 = Bm25K1p1; val oneMb = Bm25OneMb
+        val qterms = Seq("spark", "merge", "window")
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ts"))
+        val withLen = toks.select(col("doc_id"), col("ts"),
+          size(col("ts")).cast("long").as("len"))
+        val terms = withLen.select(col("doc_id"), col("len"),
+          explode(col("ts")).as("term"))
+        val tf = terms.filter(col("term").isin(qterms: _*))
+          .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
+        val df_ = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("term").isin(qterms: _*))
+        val stats = withLen.agg(sum(col("len")).as("sl"),
+          count(lit(1)).as("nd"))
+        val avg = col("sl").cast("double") / col("nd")
+        val idfBits = graft.plans.GraftExpressions.bit_length_long(
+          col("nd") + 1) -
+          graft.plans.GraftExpressions.bit_length_long(col("df"))
+        val denom = lit(k1) * (lit(oneMb) +
+          lit(b) * (col("len").cast("double") / avg)) + col("tf")
+        val scoreMicro = floor(idfBits.cast("double") *
+          (col("tf") * lit(k1p1)) / denom * lit(1e6)).cast("long")
+        tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(stats))
+          .withColumn("score_micro", scoreMicro)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum("score_micro").as("total_micro"))
+          .orderBy(col("total_micro").desc, col("doc_id").asc)
+          .limit(10)
+      }): Q
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        wl AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS len FROM toks),
+        terms AS (SELECT doc_id, len, t AS term
+          FROM wl, UNNEST(ts) AS u(t)),
+        tf AS (SELECT doc_id, term, len, count(*) AS tf FROM terms
+          WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3),
+        idf AS (SELECT term, count(DISTINCT doc_id) AS df
+          FROM terms GROUP BY 1),
+        st AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd
+          FROM wl),
+        sc AS (SELECT tf.doc_id,
+            CAST(floor(CAST(length(bin(nd + 1)) - length(bin(df))
+                AS DOUBLE) * (tf * $Bm25K1p1)
+              / ($Bm25K1 * ($Bm25OneMb +
+                  $Bm25B * (len / (CAST(sl AS DOUBLE) / nd))) + tf)
+              * 1e6) AS BIGINT) AS score_micro
+          FROM tf JOIN idf USING (term) CROSS JOIN st)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(sum(score_micro) AS BIGINT) AS total_micro
+        FROM sc GROUP BY doc_id
+        ORDER BY total_micro DESC, doc_id ASC LIMIT 10""")),
+
     ("q_text_tfidf",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
@@ -6941,6 +7007,50 @@ object QueryCatalog {
           CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
           CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
           max(card) FROM f3""")),
+
+    // k-anonymity / l-diversity audit — the privacy gate a dataset passes
+    // before release: rows grouped by their quasi-identifier tuple
+    // (status, order month, price band), classes smaller than k=5 are
+    // re-identifiable, classes whose sensitive column (priority) is
+    // homogeneous leak it outright. Two combine-enabled aggregates,
+    // corpus -> |classes| -> 1 row; the price band is one IEEE division
+    // by a literal, identical in any engine.
+    ("q_profile_kanon",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderstatus").as("qi1"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("qi2"),
+          floor(col("o_totalprice") / 50000.0).cast("long").as("qi3"),
+          col("o_orderpriority").as("sens"))
+        o.groupBy("qi1", "qi2", "qi3")
+          .agg(count(lit(1)).as("sz"),
+            count_distinct(col("sens")).as("ldiv"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("sz") < 5, 1L).otherwise(0L))
+              .as("n_small_classes"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+              .as("n_rows_at_risk"),
+            min("sz").as("min_class_size"),
+            sum(when(col("ldiv") < 2, 1L).otherwise(0L))
+              .as("n_homogeneous_classes"))
+      },
+      Some("""WITH q AS (SELECT o_orderstatus AS qi1,
+            strftime(o_orderdate, '%Y-%m') AS qi2,
+            CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS qi3,
+            o_orderpriority AS sens
+          FROM orders),
+        cls AS (SELECT qi1, qi2, qi3, count(*) AS sz,
+            count(DISTINCT sens) AS ldiv
+          FROM q GROUP BY 1, 2, 3)
+        SELECT count(*) AS n_classes,
+          CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_small_classes,
+          CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+            AS n_rows_at_risk,
+          CAST(min(sz) AS BIGINT) AS min_class_size,
+          CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_homogeneous_classes
+        FROM cls""")),
 
     // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
     // declared child->parent edge of the star schema — the pre-merge key
