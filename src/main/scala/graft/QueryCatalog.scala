@@ -126,6 +126,45 @@ object QueryCatalog {
     sb.toString
   }
 
+  /** Round-unrolled DuckDB replay of [[graft.ops.Bpe.train]]: per merge
+    * round a weighted adjacent-pair count over the VOCABULARY (unique
+    * words × counts — never the corpus), the deterministic argmax
+    * (total DESC, a, b), and the greedy left-to-right merge application
+    * as a list_reduce fold. The fold needs no "just merged" flag: the
+    * merged symbol a||b is strictly longer than a, so it can never match
+    * the pattern's left side in the same pass — same invariant
+    * `Bpe.mergeOnce` relies on. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (SELECT t AS word, count(*) AS cnt
+        FROM (SELECT ${tokensSql()} AS ts FROM documents),
+          UNNEST(ts) AS u(t)
+        GROUP BY 1),
+      v0 AS (SELECT list_append(regexp_extract_all(word, '.'), '</w>')
+          AS syms, cnt FROM w)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+          CAST(sum(cnt) AS BIGINT) AS total
+        FROM v${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2),
+      best$r AS (SELECT a, b FROM pc$r
+        ORDER BY total DESC, a, b LIMIT 1),
+      v$r AS (SELECT list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]),
+            list_transform(syms, s -> [s])),
+          (acc, x) -> CASE
+            WHEN len(acc) > 0 AND acc[-1] = best$r.a AND x[1] = best$r.b
+            THEN acc[1:len(acc) - 1] || [best$r.a || best$r.b]
+            ELSE acc || x END) AS syms, cnt
+        FROM v${r - 1}, best$r)"""
+    }
+    sb ++= (1 to rounds).map { r =>
+      s"\n      SELECT CAST($r AS BIGINT) AS round, a, b FROM best$r"
+    }.mkString("", "\n      UNION ALL", "")
+    sb.toString
+  }
+
   private def riEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -3607,6 +3646,22 @@ object QueryCatalog {
           SELECT *, row_number() OVER (PARTITION BY doc_id
             ORDER BY score DESC, term ASC) AS rnk
           FROM sc) WHERE rnk <= 5""")),
+
+    // BPE merge training (Bpe.train), oracle-checked: 3 learned merges
+    // with the deterministic (total DESC, a, b) argmax. The only corpus
+    // pass is the word count; every round runs on the vocabulary, so the
+    // iteration cost is corpus-size-independent. The oracle unrolls the
+    // rounds and replays the greedy merge as a list fold — the hash-match
+    // pins pair counting, tie-breaks, and merge application end to end.
+    ("q_text_bpe_train",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        graft.ops.Bpe.train(t(s, d, "documents"), "text", numMerges = 3)
+          .zipWithIndex
+          .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+          .toDF("round", "a", "b")
+      },
+      Some(bpeOracleSql(3))),
 
     // Query-time BM25 retrieval — the step q_text_bm25 (weights) and
     // q_text_index (postings) build toward: a fixed 3-term query prunes
