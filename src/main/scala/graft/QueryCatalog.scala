@@ -742,6 +742,84 @@ object QueryCatalog {
           st[2] AS max_cusum, st[3] AS n_alarms
         FROM f""")),
 
+    // Wald–Wolfowitz runs test on each event type's daily series: is the
+    // sequence of above/below-median days random, or does it trend/cycle?
+    // Median is the lower order statistic (pure rank — tie order can't
+    // matter), the run count is an ordered aggregate() fold over the
+    // calendar-bounded day array, and z² stays a ratio of exact BIGINTs:
+    // z² = (n(R−1) − 2·n1·n0)²·(n−1) / (2·n1·n0·(2·n1·n0 − n)), one
+    // floor-quantized IEEE division at the end. Same fold shape as
+    // q_agg_holt/q_agg_cusum; only shuffle is the daily groupBy.
+    ("q_agg_runs_test",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val g = daily.groupBy("event_type").agg(
+          array_sort(collect_list(struct(col("day"), col("n")))).as("xs"),
+          count(lit(1)).as("nd"))
+        val vals = transform(col("xs"), x => x.getField("n"))
+        val med = element_at(array_sort(vals), ((col("nd") + 1) / 2)
+          .cast("int"))
+        val sign = (v: org.apache.spark.sql.Column) =>
+          when(v > col("med"), 1L).otherwise(0L)
+        val step = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) =>
+          array(sign(x),
+            acc.getItem(1) + when(sign(x) =!= acc.getItem(0), 1L)
+              .otherwise(0L))
+        val withRuns = g.withColumn("med", med)
+          .withColumn("vals", vals)
+          .withColumn("n1",
+            aggregate(col("vals"), lit(0L), (a, x) => a + sign(x)))
+          .withColumn("runs", aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            array(sign(element_at(col("vals"), 1)), lit(1L)),
+            step).getItem(1))
+        val n = col("nd"); val n1 = col("n1"); val n0 = col("nd") - col("n1")
+        val a = n * (col("runs") - 1) - lit(2L) * n1 * n0
+        val den = lit(2L) * n1 * n0 * (lit(2L) * n1 * n0 - n)
+        withRuns.select(col("event_type"), col("nd").as("n_days"),
+          col("med"), col("n1").as("n_above"), col("runs"),
+          when(den <= 0, lit(null).cast("long")).otherwise(
+            floor((a * a * (n - 1)).cast("double") * 1e6 /
+              den.cast("double")).cast("long")).as("z2_micro"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        arr AS (SELECT event_type,
+            list(CAST(n AS BIGINT) ORDER BY day) AS vals,
+            CAST(count(*) AS BIGINT) AS nd
+          FROM daily GROUP BY 1),
+        m AS (SELECT event_type, vals, nd,
+            list_sort(vals)[CAST((nd + 1) // 2 AS INTEGER)] AS med
+          FROM arr),
+        f AS (SELECT event_type, nd, med,
+            CAST(list_sum(list_transform(vals,
+              v -> CASE WHEN v > med THEN 1 ELSE 0 END)) AS BIGINT) AS n1,
+            list_reduce(
+              list_prepend([CASE WHEN vals[1] > med THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END, CAST(1 AS BIGINT)],
+                list_transform(vals[2:],
+                  v -> [CASE WHEN v > med THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END, CAST(0 AS BIGINT)])),
+              (acc, x) -> [x[1],
+                acc[2] + CASE WHEN x[1] <> acc[1] THEN 1 ELSE 0 END]
+            )[2] AS runs
+          FROM m)
+        SELECT event_type, nd AS n_days, med, n1 AS n_above, runs,
+          CASE WHEN 2 * n1 * (nd - n1) * (2 * n1 * (nd - n1) - nd) <= 0
+            THEN NULL
+            ELSE CAST(floor(
+              CAST((nd * (runs - 1) - 2 * n1 * (nd - n1))
+                 * (nd * (runs - 1) - 2 * n1 * (nd - n1))
+                 * (nd - 1) AS DOUBLE) * 1e6 /
+              CAST(2 * n1 * (nd - n1) * (2 * n1 * (nd - n1) - nd)
+                AS DOUBLE)) AS BIGINT) END AS z2_micro
+        FROM f""")),
+
     // Pareto frontier (skyline: maximize p_size, minimize price). The
     // scale shape: a combine-enabled groupBy(p_size).min collapses the
     // corpus to one row per size BEFORE any ordered scan, so the window
