@@ -742,6 +742,113 @@ object QueryCatalog {
           st[2] AS max_cusum, st[3] AS n_alarms
         FROM f""")),
 
+    // Last-observation-carried-forward gap fill: a sparse per-type daily
+    // series (holes punched on every 3rd day) expands to the full
+    // calendar x type grid and fills each hole with the latest known
+    // value — last(x, ignoreNulls) over a per-type calendar-bounded
+    // window (the documented domain-bounded exception; the grid is
+    // |days|·|types|, never the event stream). The sibling of
+    // q_agg_gapfill's zero-fill: LOCF is the right fill for LEVEL
+    // metrics (balances, gauges), zero-fill for FLOW metrics (counts).
+    ("q_window_locf",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("x"))
+          .filter(dayofmonth(col("day")) % 3 =!= 0)
+        val cal = t(s, d, "events")
+          .agg(min(to_date(col("ts"))).as("lo"),
+            max(to_date(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val types = daily.select("event_type").distinct()
+        val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cal.crossJoin(broadcast(types))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("filled", last(col("x"), ignoreNulls = true).over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+            col("filled"),
+            when(col("x").isNull, 1L).otherwise(0L).as("is_filled"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        sparse AS (SELECT * FROM daily WHERE day(day) % 3 <> 0),
+        b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+            max(CAST(ts AS DATE)) AS hi FROM events),
+        cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        grid AS (SELECT t.event_type, cal.day
+          FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM sparse) t),
+        j AS (SELECT g.event_type, g.day, s.x
+          FROM grid g LEFT JOIN sparse s
+            ON g.event_type = s.event_type AND g.day = s.day)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+          last_value(x IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS filled,
+          CASE WHEN x IS NULL THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS is_filled
+        FROM j""")),
+
+    // Holt forecast BACKTEST — the evaluation q_agg_holt's fit lacks:
+    // roll through the series accumulating the one-step-ahead absolute
+    // error |level+trend − x| BEFORE each update, in the same bit-exact
+    // ordered fold (identical IEEE ops in identical order in both
+    // engines). Emits the error sum and a floor-quantized MAE — the
+    // number that says whether the smoothing constants are any good.
+    ("q_agg_holt_backtest",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val step = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val xv = x.getItem(0)
+          val err = abs(acc.getItem(0) + acc.getItem(1) - xv)
+          val level = lit(0.5) * xv +
+            lit(0.5) * (acc.getItem(0) + acc.getItem(1))
+          array(level,
+            lit(0.5) * (level - acc.getItem(0)) +
+              lit(0.5) * acc.getItem(1),
+            acc.getItem(2) + err)
+        }
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("n"))))
+            .as("xs0"), count(lit(1)).as("n_days"))
+          .withColumn("xs", transform(col("xs0"),
+            e => array(e.getField("n").cast("double"), lit(0.0),
+              lit(0.0))))
+          .withColumn("st", aggregate(
+            slice(col("xs"), lit(2), size(col("xs")) - 1),
+            element_at(col("xs"), 1), step))
+          .select(col("event_type"), col("n_days"),
+            col("st").getItem(2).as("sum_abs_err"),
+            floor(col("st").getItem(2) * 1e6 /
+              (col("n_days") - 1).cast("double")).cast("long")
+              .as("mae_micro"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        arr AS (SELECT event_type,
+            list([CAST(n AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE)] ORDER BY day) AS xs,
+            CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1),
+        f AS (SELECT event_type, n_days, list_reduce(xs, (acc, x) -> [
+            0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+            0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              + 0.5 * acc[2],
+            acc[3] + abs(acc[1] + acc[2] - x[1])
+          ]) AS st FROM arr)
+        SELECT event_type, n_days, st[3] AS sum_abs_err,
+          CAST(floor(st[3] * 1e6 / CAST(n_days - 1 AS DOUBLE)) AS BIGINT)
+            AS mae_micro
+        FROM f""")),
+
     // Wald–Wolfowitz runs test on each event type's daily series: is the
     // sequence of above/below-median days random, or does it trend/cycle?
     // Median is the lower order statistic (pure rank — tie order can't
@@ -7594,6 +7701,61 @@ object QueryCatalog {
     // range-partitioned prefix scan (Prefix.runningOffsets), NOT a
     // single-partition row_number window — the 100 TB-safe form of
     // "shuffle and zip".
+    // Neyman-optimal stratified allocation: a 100-row sample budget split
+    // across segments ∝ n_h·σ_h (the allocation that minimizes the
+    // estimator's variance), with largest-remainder rounding so the
+    // parts sum to exactly 100. n·σ = sqrt(n·Σx² − (Σx)²) of exact
+    // integer moments (whole currency units — cents² would overflow the
+    // n·Σx² fold at population scale); the normalizer is a FIXED-ORDER
+    // fold over the segment-sorted weight array, so the only doubles are
+    // bit-identical cross-engine. All post-aggregate tables are
+    // |segments|-sized.
+    ("q_sample_neyman",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal")).cast("long").as("x"))
+        val m = c.groupBy("seg").agg(count(lit(1)).as("nh"),
+          sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
+        val mw = m.withColumn("w",
+          sqrt((col("nh") * col("s2") - col("s1") * col("s1"))
+            .cast("double")))
+        val tot = mw.agg(
+          aggregate(array_sort(collect_list(struct(col("seg"), col("w")))),
+            lit(0.0), (acc, x) => acc + x.getField("w")).as("tw"))
+        val raw = lit(100.0) * col("w") / col("tw")
+        val based = mw.crossJoin(broadcast(tot))
+          .withColumn("base", floor(raw).cast("long"))
+          .withColumn("rem", raw - floor(raw))
+        val give = based.agg((lit(100L) - sum("base")).as("give"))
+        val wr = Window.orderBy(col("rem").desc, col("seg").asc)
+        based.crossJoin(broadcast(give))
+          .withColumn("rk", row_number().over(wr))
+          .select(col("seg"), col("nh"), col("base"),
+            (col("base") + when(col("rk") <= col("give"), 1L)
+              .otherwise(0L)).as("alloc"))
+      },
+      Some("""WITH c AS (SELECT c_mktsegment AS seg,
+            CAST(floor(c_acctbal) AS BIGINT) AS x FROM customer),
+        m AS (SELECT seg, count(*) AS nh, CAST(sum(x) AS BIGINT) AS s1,
+            CAST(sum(x * x) AS BIGINT) AS s2
+          FROM c GROUP BY 1),
+        mw AS (SELECT seg, nh, sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE))
+            AS w FROM m),
+        tot AS (SELECT list_reduce(
+            list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY seg)),
+            (acc, x) -> acc + x) AS tw FROM mw),
+        b AS (SELECT seg, nh, w, 100.0 * w / tw AS raw,
+            CAST(floor(100.0 * w / tw) AS BIGINT) AS base,
+            100.0 * w / tw - floor(100.0 * w / tw) AS rem
+          FROM mw, tot),
+        g AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS give FROM b),
+        r AS (SELECT seg, nh, base, rem,
+            row_number() OVER (ORDER BY rem DESC, seg ASC) AS rk
+          FROM b)
+        SELECT seg, CAST(nh AS BIGINT) AS nh, base,
+          base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS alloc
+        FROM r, g""")),
+
     // Greedy k-center coreset (Similarity.kcenterSelect): k corpus-parallel
     // rounds, each scoring every remaining point's exact integer squared
     // distance to its nearest chosen center and reducing to the global
