@@ -1864,6 +1864,63 @@ object QueryCatalog {
         SELECT path, count(*) AS n_users FROM p
         GROUP BY 1 HAVING count(*) >= 2""")),
 
+    // RFM segmentation (recency / frequency / monetary quintiles): exact
+    // global ranks for each dimension come from three range-partitioned
+    // prefix scans (rank = exclusive count prefix + 1 — no corpus-sized
+    // ntile window), quintile = floor(5·(rank−1)/n)+1 with recency
+    // inverted (fresher = higher). The output is the classic 5x5x5 cell
+    // census with per-cell revenue — the marketing-segmentation rollup.
+    ("q_seq_rfm",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val anchor = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last"),
+            count(lit(1)).as("f"), sum(cents(col("o_totalprice"))).as("m"))
+          .crossJoin(broadcast(anchor))
+          .withColumn("r", datediff(col("mx"), col("last")).cast("long"))
+          .select("o_custkey", "r", "f", "m")
+        val n = cust.count() // one scalar driver action, like q_text_index
+        def score(df: DataFrame, metric: String, out: String,
+            invert: Boolean): DataFrame = {
+          val ranked = graft.ops.Prefix.runningOffsetsOrdered(
+            df.withColumn("one", lit(1L)),
+            Seq(metric, "o_custkey"), "one")
+          val b = floor((col("offset") * 5).cast("double") / n.toDouble)
+            .cast("long") + 1L
+          ranked.withColumn(out, if (invert) lit(6L) - b else b)
+            .drop("one", "offset")
+        }
+        val scored = score(score(score(cust, "r", "score_r", invert = true),
+          "f", "score_f", invert = false), "m", "score_m", invert = false)
+        scored.groupBy("score_r", "score_f", "score_m")
+          .agg(count(lit(1)).as("n_customers"), sum("m").as("revenue_cents"))
+      },
+      Some(s"""WITH cust AS (SELECT o_custkey,
+            max(CAST(o_orderdate AS DATE)) AS last, count(*) AS f,
+            CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS m
+          FROM orders GROUP BY 1),
+        a AS (SELECT max(last) AS mx FROM cust),
+        base AS (SELECT o_custkey, CAST(mx - last AS BIGINT) AS r, f, m
+          FROM cust, a),
+        n AS (SELECT count(*) AS nn FROM base),
+        rk AS (SELECT o_custkey, r, f, m,
+            row_number() OVER (ORDER BY r, o_custkey) - 1 AS rr,
+            row_number() OVER (ORDER BY f, o_custkey) - 1 AS rf,
+            row_number() OVER (ORDER BY m, o_custkey) - 1 AS rm
+          FROM base),
+        sc AS (SELECT o_custkey, m,
+            6 - (CAST(floor(CAST(rr * 5 AS DOUBLE) / nn) AS BIGINT) + 1)
+              AS score_r,
+            CAST(floor(CAST(rf * 5 AS DOUBLE) / nn) AS BIGINT) + 1
+              AS score_f,
+            CAST(floor(CAST(rm * 5 AS DOUBLE) / nn) AS BIGINT) + 1
+              AS score_m
+          FROM rk, n)
+        SELECT score_r, score_f, score_m, count(*) AS n_customers,
+          CAST(sum(m) AS BIGINT) AS revenue_cents
+        FROM sc GROUP BY 1, 2, 3""")),
+
     // Peak concurrency by sweep line: each user-day session becomes a
     // +1/−1 delta at its first/last event, the GLOBAL running sum over
     // (ts, start-before-end, user) comes from the range-partitioned
@@ -2364,6 +2421,47 @@ object QueryCatalog {
           CAST(sum(rev) AS BIGINT) AS cover_rev
         FROM o WHERE 5 * off < 4 * total
         GROUP BY seg, n_customers, total""")),
+
+    // Gini inequality coefficient per segment, on exact ranks: the
+    // rank-weighted sum Σ rank·x comes from the range-partitioned grouped
+    // prefix scan (rank = exclusive count prefix + 1 — no per-segment
+    // window), and G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) evaluates with
+    // exact BIGINT numerators and one floor-quantized IEEE division.
+    // Complements q_agg_hhi (share concentration) with the rank-based
+    // inequality measure. Ties broken by customer id — deterministic and
+    // the standard midrank-free formulation.
+    ("q_profile_gini",
+      (s: SparkSession, d: String) => {
+        val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+            col("c_custkey"), cents(col("c_acctbal")).as("x"))
+          .filter(col("x") >= 0)
+          .withColumn("one", lit(1L))
+        val ranked = graft.ops.Prefix.runningOffsetsBy(c, "seg",
+            Seq("x", "c_custkey"), "one")
+          .withColumn("rank", col("offset") + 1L)
+        val g = ranked.groupBy("seg").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum(col("rank") * col("x")).as("srx"))
+        g.select(col("seg"), col("n"), col("sx"),
+          floor((lit(2L) * col("srx") - (col("n") + 1) * col("sx"))
+            .cast("double") * 1e6 /
+            (col("n") * col("sx")).cast("double")).cast("long")
+            .as("gini_ppm"))
+      },
+      Some(s"""WITH c AS (SELECT c_mktsegment AS seg, c_custkey,
+            ${centsSql("c_acctbal")} AS x
+          FROM customer WHERE ${centsSql("c_acctbal")} >= 0),
+        r AS (SELECT seg, x,
+            row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey)
+              AS rank
+          FROM c),
+        g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(rank * x) AS BIGINT) AS srx
+          FROM r GROUP BY 1)
+        SELECT seg, n, sx,
+          CAST(floor(CAST(2 * srx - (n + 1) * sx AS DOUBLE) * 1e6 /
+            CAST(n * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
+        FROM g""")),
 
     ("q_agg_hhi",
       (s: SparkSession, d: String) => {
