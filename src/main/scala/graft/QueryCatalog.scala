@@ -1227,6 +1227,54 @@ object QueryCatalog {
             ELSE 'unchanged' END AS status
         FROM orders GROUP BY 1""")),
 
+    // Out-of-orderness audit — the measurement that sizes a streaming
+    // watermark delay: replay each user's events in ARRIVAL order
+    // (event_id) and compare event time against the user's running
+    // event-time frontier; an event below the frontier is late, its gap
+    // the lateness magnitude. One per-user window (parallel by key),
+    // then a combine-enabled rollup per event type: late share and the
+    // max/p-ish lateness the watermark must tolerate.
+    ("q_incr_out_of_order",
+      (s: SparkSession, d: String) => {
+        // deterministic arrival perturbation (the fixture's event_id is
+        // already time-ordered — unperturbed, the audit is trivially all
+        // zeros and the oracle compare proves nothing)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("arrival").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .withColumn("arrival",
+            col("event_id") + (col("event_id") % 7) * 3)
+          .withColumn("frontier", max(col("ts")).over(w))
+          .withColumn("late_s",
+            when(col("ts") < col("frontier"),
+              (unix_timestamp(col("frontier")) - unix_timestamp(col("ts")))
+                .cast("long")).otherwise(lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
+            max("late_s").as("max_late_s"),
+            sum("late_s").as("sum_late_s"))
+      },
+      Some("""WITH e AS (SELECT event_type, ts, user_id, event_id,
+            event_id + (event_id % 7) * 3 AS arrival FROM events),
+        f AS (SELECT event_type, ts,
+            max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS frontier
+          FROM e),
+        l AS (SELECT event_type,
+            CASE WHEN ts < frontier
+              THEN CAST(date_diff('second', ts, frontier) AS BIGINT)
+              ELSE 0 END AS late_s
+          FROM f)
+        SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late,
+          CAST(max(late_s) AS BIGINT) AS max_late_s,
+          CAST(sum(late_s) AS BIGINT) AS sum_late_s
+        FROM l GROUP BY 1""")),
+
     // CDC changelog netting (Incremental.netChanges) — the executable form
     // of the reference's DMS CDC apply: a deterministic I/U/D changelog
     // built from orders nets to final row images (last writer wins on the
