@@ -1849,6 +1849,123 @@ object QueryCatalog {
                ELSE CAST(0 AS BIGINT) END AS significant
         FROM z""")),
 
+    // Welch two-sample t² on order values of two customer cohorts
+    // (hash-split): means and variances from exact integer moments, the
+    // statistic one floor-quantized division of cross-engine-identical
+    // doubles — t² = (m1−m2)² / (v1/n1 + v2/n2), each term a fixed IEEE
+    // expression of exact BIGINTs. The parametric complement of
+    // q_agg_abtest (proportions) and q_agg_mannwhitney (ranks).
+    ("q_agg_welch",
+      (s: SparkSession, d: String) => {
+        // hecto-units, not cents: the n·Σx² − (Σx)² variance numerator
+        // must stay inside BIGINT at population scale (cents² overflows
+        // past ~1e5 rows of 1e6-cent values; /100 buys 4 decades)
+        val o = t(s, d, "orders").select(
+          pmod(col("o_custkey"), lit(2L)).as("g"),
+          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
+        val m = o.groupBy("g").agg(count(lit(1)).as("n"),
+          sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
+        val a = m.agg(
+          sum(when(col("g") === 0, col("n"))).as("n1"),
+          sum(when(col("g") === 0, col("s1"))).as("a1"),
+          sum(when(col("g") === 0, col("s2"))).as("q1"),
+          sum(when(col("g") === 1, col("n"))).as("n2"),
+          sum(when(col("g") === 1, col("s1"))).as("a2"),
+          sum(when(col("g") === 1, col("s2"))).as("q2"))
+        // mean_i = a_i/n_i ; var_i/n_i = (n_i·q_i − a_i²)/(n_i²·(n_i−1))
+        // — the n_i² in the denominator already folds the standard-error
+        // division, so the se² below is v1n + v2n directly
+        val m1 = col("a1").cast("double") / col("n1").cast("double")
+        val m2 = col("a2").cast("double") / col("n2").cast("double")
+        val v1n = (col("n1") * col("q1") - col("a1") * col("a1"))
+          .cast("double") /
+          (col("n1") * col("n1") * (col("n1") - 1)).cast("double")
+        val v2n = (col("n2") * col("q2") - col("a2") * col("a2"))
+          .cast("double") /
+          (col("n2") * col("n2") * (col("n2") - 1)).cast("double")
+        a.select(col("n1"), col("n2"),
+          floor((m1 - m2) * (m1 - m2) * 1e6 / (v1n + v2n))
+            .cast("long").as("t2_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
+            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
+        m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s1,
+            CAST(sum(x * x) AS BIGINT) AS s2
+          FROM o GROUP BY 1),
+        a AS (SELECT
+            CAST(sum(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN g = 0 THEN s1 END) AS BIGINT) AS a1,
+            CAST(sum(CASE WHEN g = 0 THEN s2 END) AS BIGINT) AS q1,
+            CAST(sum(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN g = 1 THEN s1 END) AS BIGINT) AS a2,
+            CAST(sum(CASE WHEN g = 1 THEN s2 END) AS BIGINT) AS q2
+          FROM m)
+        SELECT n1, n2,
+          CAST(floor(
+            (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            * (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1e6 /
+            (CAST(n1 * q1 - a1 * a1 AS DOUBLE) /
+               CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
+             + CAST(n2 * q2 - a2 * a2 AS DOUBLE) /
+               CAST(n2 * n2 * (n2 - 1) AS DOUBLE)))
+            AS BIGINT) AS t2_micro
+        FROM a""")),
+
+    // Mann–Whitney rank-sum test, midranks and all: the combined sample
+    // collapses to one row per distinct VALUE (combine-enabled), the
+    // global rank prefix comes from the range-partitioned prefix scan
+    // over that value table (never a corpus sort in one task), and
+    // doubled midranks keep every tie-handling term an exact BIGINT:
+    // 2·R1 = Σ c1·(2·prefix + c + 1). The z² statistic is one
+    // deterministic IEEE chain at the end. The nonparametric sibling of
+    // q_agg_welch — same cohorts, no normality assumption.
+    ("q_agg_mannwhitney",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          pmod(col("o_custkey"), lit(2L)).as("g"),
+          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
+        val byVal = o.groupBy("x").agg(count(lit(1)).as("c"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"))
+        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
+          byVal, Seq("x"), "c")
+        val a = ranked.agg(
+          sum(col("c1") * (lit(2L) * col("offset") + col("c") + 1))
+            .as("two_r1"),
+          sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"))
+        val bigA = col("two_r1") - col("n1") * (col("n1") + 1) -
+          col("n1") * col("n2")
+        val den = col("n1") * col("n2") * (col("n1") + col("n2") + 1)
+        a.select(col("n1"), col("n2"), col("two_r1"),
+          (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"),
+          floor(bigA.cast("double") * bigA.cast("double") * lit(3e6) /
+            den.cast("double")).cast("long").as("z2_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
+            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
+        bv AS (SELECT x, count(*) AS c,
+            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          FROM o GROUP BY 1),
+        r AS (SELECT x, c, c1,
+            COALESCE(sum(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM bv),
+        a AS (SELECT
+            CAST(sum(c1 * (2 * off + c + 1)) AS BIGINT) AS two_r1,
+            CAST(sum(c1) AS BIGINT) AS n1,
+            CAST(sum(c - c1) AS BIGINT) AS n2
+          FROM r)
+        SELECT n1, n2, two_r1,
+          two_r1 - n1 * (n1 + 1) AS two_u1,
+          CAST(floor(
+            CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+            * CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) * 3e6
+            / CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE)) AS BIGINT)
+            AS z2_micro
+        FROM a""")),
+
     // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
     // pass — each row's replicate weight is a quantized-Poisson draw from
     // an md5 prefix (identical integer thresholds interpolated into both
