@@ -1849,6 +1849,63 @@ object QueryCatalog {
                ELSE CAST(0 AS BIGINT) END AS significant
         FROM z""")),
 
+    // Kolmogorov–Smirnov two-sample statistic, EXACT: D = max over
+    // values of |F1 − F2| evaluates as max|cum1·n2 − cum2·n1| / (n1·n2)
+    // with the per-group cumulative counts from ONE range-partitioned
+    // prefix scan over the value-grouped table — every comparison a
+    // BIGINT, no ECDF floats anywhere. Completes the two-sample family:
+    // abtest (proportions), welch (means), mannwhitney (ranks), ks
+    // (whole distribution shape).
+    ("q_agg_ks",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          pmod(col("o_custkey"), lit(2L)).as("g"),
+          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
+        val byVal = o.groupBy("x").agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c2"))
+        // two prefixes over |values| rows — one range-partitioned scan
+        // each (the value table is already corpus-collapsed)
+        val p1 = graft.ops.Prefix.runningOffsetsOrdered(byVal, Seq("x"), "c1")
+          .withColumnRenamed("offset", "p1")
+        val p2 = graft.ops.Prefix.runningOffsetsOrdered(
+            p1, Seq("x"), "c2")
+          .withColumnRenamed("offset", "p2")
+        val cum1 = col("p1") + col("c1")
+        val cum2 = col("p2") + col("c2")
+        val tot = p2.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+        p2.crossJoin(broadcast(tot))
+          .select(col("x"), (cum1 * col("n2") - cum2 * col("n1"))
+            .as("dnum"), col("n1"), col("n2"))
+          .groupBy("n1", "n2")
+          .agg(max(abs(col("dnum"))).as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            floor(col("d_num").cast("double") * 1e6 /
+              (col("n1") * col("n2")).cast("double")).cast("long")
+              .as("d_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
+            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
+        bv AS (SELECT x,
+            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM o GROUP BY 1),
+        cumt AS (SELECT x,
+            CAST(sum(c1) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum1,
+            CAST(sum(c2) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum2
+          FROM bv),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+            CAST(sum(c2) AS BIGINT) AS n2 FROM bv)
+        SELECT n1, n2,
+          CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+          CAST(floor(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) * 1e6
+            / CAST(n1 * n2 AS DOUBLE)) AS BIGINT) AS d_micro
+        FROM cumt, tot GROUP BY n1, n2""")),
+
     // Welch two-sample t² on order values of two customer cohorts
     // (hash-split): means and variances from exact integer moments, the
     // statistic one floor-quantized division of cross-engine-identical
