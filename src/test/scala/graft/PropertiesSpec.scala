@@ -402,4 +402,65 @@ class PropertiesSpec extends AnyFunSuite {
       assert(st.isEmpty || st == Seq("unchanged"), st.toString)
     }
   }
+
+  test("skyline query is sound and complete vs brute-force dominance") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val got = SparkEntry.queries("q_agg_skyline")(spark,
+        "/root/testdata/sf0.001")
+      .select("p_partkey", "p_size", "price_cents")
+      .as[(Long, Int, Long)].collect().toSet
+    val pts = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .selectExpr("p_partkey", "CAST(p_size AS INT) p_size",
+        "CAST(floor(p_retailprice * 100) AS BIGINT) pc")
+      .as[(Long, Int, Long)].collect()
+    def dominated(s: Int, c: Long) = pts.exists { case (_, s2, c2) =>
+      s2 >= s && c2 <= c && (s2 > s || c2 < c) }
+    // sound: nothing returned is dominated
+    assert(got.forall { case (_, s, c) => !dominated(s, c) })
+    // complete: everything not returned is dominated
+    assert(pts.forall { case (k, s, c) =>
+      got.contains((k, s, c)) || dominated(s, c) })
+  }
+
+  test("netChanges is idempotent: re-netting the net images is identity") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val g = for {
+      id <- Gen.choose(1L, 20L)
+      seq <- Gen.choose(1L, 9L)
+      op <- Gen.oneOf("I", "U", "D")
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (id, seq, op, v)
+    val raw = samples(g, 200)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (id, seq)
+    val log = raw.toDF("id", "seq", "op", "v")
+    val net = Incremental.netChanges(log, Seq("id"), "seq", "op")
+    val once = net.as[(Long, Long, String, String)].collect().sortBy(_._1)
+    val twice = Incremental.netChanges(net, Seq("id"), "seq", "op")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
+    assert(once.toSeq === twice.toSeq)
+    assert(once.forall(_._3 != "D"))
+  }
+
+  test("bfs levels satisfy edge relaxation: no edge drops more than 1 hop") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(1L, 30L); b <- Gen.choose(1L, 30L) if a != b
+    } yield (a, b)
+    val fwd = samples(edgeGen, 120).distinct
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val lvl = graft.ops.Graph.bfsLevels(e, "src", "dst",
+        Seq(1L).toDF("seed"), "seed", rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    for ((u, v) <- fwd ++ fwd.map(_.swap)) {
+      (lvl.get(u), lvl.get(v)) match {
+        case (Some(lu), Some(lv)) => assert(lv <= lu + 1, s"($u,$v)")
+        case (Some(lu), None) => assert(lu >= 5, s"$v unreached from $u")
+        case _ => ()
+      }
+    }
+    assert(lvl.get(1L).contains(0L))
+  }
 }
