@@ -528,6 +528,36 @@ object QueryCatalog {
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
         UNION ALL SELECT * FROM batch""")),
 
+    // Exactly-once replay semantics, demonstrated not asserted: the SAME
+    // batch upserts twice and the result must equal the single apply —
+    // the retry-safety a checkpointed ingest leans on when a write
+    // succeeds but its acknowledgment is lost. The oracle is the
+    // single-apply expected state, so a non-idempotent merge (dup rows,
+    // double-applied increments) hash-mismatches immediately.
+    ("q_merge_idempotent",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val target = o.filter(col("o_orderkey") % 7 < 5).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price"))
+        val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
+          col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (cents(col("o_totalprice")) + lit(100000L)).as("price"))
+        val once = MergeWriter.upsert(target, batch, Seq("o_orderkey"))
+        MergeWriter.upsert(once, batch, Seq("o_orderkey"))
+      },
+      Some(s"""WITH target AS (
+          SELECT o_orderkey, o_orderstatus,
+                 ${centsSql("o_totalprice")} AS price
+          FROM orders WHERE o_orderkey % 7 < 5),
+        batch AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 ${centsSql("o_totalprice")} + 100000 AS price
+          FROM orders WHERE o_orderkey % 7 >= 3)
+        SELECT t.* FROM target t
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        UNION ALL SELECT * FROM batch""")),
+
     // K5 — transactional-window delete + merge
     ("q_merge_txnwindow",
       (s: SparkSession, d: String) => {
