@@ -856,8 +856,9 @@ object QueryCatalog {
             element_at(col("xs"), 1), step))
           .select(col("event_type"), col("n_days"),
             col("st").getItem(2).as("sum_abs_err"),
-            floor(col("st").getItem(2) * 1e6 /
-              (col("n_days") - 1).cast("double")).cast("long")
+            when(col("n_days") < 2, lit(null).cast("long")).otherwise(
+              floor(col("st").getItem(2) * 1e6 /
+                (col("n_days") - 1).cast("double")).cast("long"))
               .as("mae_micro"))
       },
       Some("""WITH daily AS (SELECT event_type,
@@ -875,8 +876,9 @@ object QueryCatalog {
             acc[3] + abs(acc[1] + acc[2] - x[1])
           ]) AS st FROM arr)
         SELECT event_type, n_days, st[3] AS sum_abs_err,
-          CAST(floor(st[3] * 1e6 / CAST(n_days - 1 AS DOUBLE)) AS BIGINT)
-            AS mae_micro
+          CASE WHEN n_days < 2 THEN NULL
+            ELSE CAST(floor(st[3] * 1e6 / CAST(n_days - 1 AS DOUBLE))
+              AS BIGINT) END AS mae_micro
         FROM f""")),
 
     // Wald–Wolfowitz runs test on each event type's daily series: is the
@@ -1792,7 +1794,9 @@ object QueryCatalog {
         cell.join(broadcast(rm), "seg").join(broadcast(cm), "nat")
           .crossJoin(broadcast(tot))
           .withColumn("cell_micro",
-            floor((a * a).cast("double") * 1e6 /
+            // square in DOUBLE: the BIGINT (a*a) wraps past |a| ~ 3e9 —
+            // the deterministic-IEEE product of identical casts instead
+            floor(a.cast("double") * a.cast("double") * 1e6 /
               (col("nn") * col("r") * col("cc")).cast("double"))
               .cast("long"))
           .groupBy(col("nn").as("n"), col("nr"), col("nc"))
@@ -1812,7 +1816,8 @@ object QueryCatalog {
             count(DISTINCT seg) AS nr, count(DISTINCT nat) AS nc
           FROM cell),
         x AS (SELECT
-            CAST(floor(CAST((o*nn - r*cc) * (o*nn - r*cc) AS DOUBLE) * 1e6
+            CAST(floor(CAST(o*nn - r*cc AS DOUBLE)
+              * CAST(o*nn - r*cc AS DOUBLE) * 1e6
               / CAST(nn * r * cc AS DOUBLE)) AS BIGINT) AS cell_micro,
             nn, nr, nc
           FROM cell JOIN rm USING (seg) JOIN cm USING (nat), tot)
@@ -1971,8 +1976,12 @@ object QueryCatalog {
           .cast("double") /
           (col("n2") * col("n2") * (col("n2") - 1)).cast("double")
         a.select(col("n1"), col("n2"),
-          floor((m1 - m2) * (m1 - m2) * 1e6 / (v1n + v2n))
-            .cast("long").as("t2_micro"))
+          when(col("n1") < 2 || col("n2") < 2 ||
+              (col("n1") * col("q1") === col("a1") * col("a1")) &&
+              (col("n2") * col("q2") === col("a2") * col("a2")),
+            lit(null).cast("long")).otherwise(
+            floor((m1 - m2) * (m1 - m2) * 1e6 / (v1n + v2n))
+              .cast("long")).as("t2_micro"))
       },
       Some("""WITH o AS (SELECT o_custkey % 2 AS g,
             CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
@@ -1989,7 +1998,9 @@ object QueryCatalog {
             CAST(sum(CASE WHEN g = 1 THEN s2 END) AS BIGINT) AS q2
           FROM m)
         SELECT n1, n2,
-          CAST(floor(
+          CASE WHEN n1 < 2 OR n2 < 2
+            OR (n1 * q1 = a1 * a1 AND n2 * q2 = a2 * a2) THEN NULL
+          ELSE CAST(floor(
             (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
              - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))
             * (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
@@ -1998,7 +2009,7 @@ object QueryCatalog {
                CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
              + CAST(n2 * q2 - a2 * a2 AS DOUBLE) /
                CAST(n2 * n2 * (n2 - 1) AS DOUBLE)))
-            AS BIGINT) AS t2_micro
+            AS BIGINT) END AS t2_micro
         FROM a""")),
 
     // Mann–Whitney rank-sum test, midranks and all: the combined sample
@@ -4191,7 +4202,12 @@ object QueryCatalog {
     ("q_text_bpe_train",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        graft.ops.Bpe.train(t(s, d, "documents"), "text", numMerges = 3)
+        // minPairCount = 1: the oracle unrolls exactly 3 rounds, so the
+        // engine must not early-stop on a sparse corpus (this corpus has
+        // thousands of shared words; the no-pairs-at-all case cannot
+        // occur with a non-empty tokenized fixture)
+        graft.ops.Bpe.train(t(s, d, "documents"), "text", numMerges = 3,
+            minPairCount = 1L)
           .zipWithIndex
           .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
           .toDF("round", "a", "b")
@@ -4219,9 +4235,12 @@ object QueryCatalog {
           explode(col("ts")).as("term"))
         val tf = terms.filter(col("term").isin(qterms: _*))
           .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-        val df_ = terms.select("doc_id", "term").distinct()
+        // df of a query term depends only on docs containing it — filter
+        // BEFORE the distinct so the df shuffle carries 3 terms' postings,
+        // not the whole vocabulary stream
+        val df_ = terms.filter(col("term").isin(qterms: _*))
+          .select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
-          .filter(col("term").isin(qterms: _*))
         val stats = withLen.agg(sum(col("len")).as("sl"),
           count(lit(1)).as("nd"))
         val avg = col("sl").cast("double") / col("nd")
@@ -7038,8 +7057,8 @@ object QueryCatalog {
             CAST(max(c) AS BIGINT) AS max_rows,
             CAST(floor(CAST(max(c) AS DOUBLE) * 1e6 /
               CAST(sum(c) AS DOUBLE)) AS BIGINT) AS top1_share_ppm,
-            CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
-              AS salt_factor
+            CAST(ceil(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+              / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS salt_factor
           FROM (SELECT count(*) AS c FROM $tbl GROUP BY $k)"""
         }.mkString("\nUNION ALL\n"))),
 

@@ -804,6 +804,11 @@ object Similarity {
         quantize(col(vecCol)).as("v"))
       .withColumn("n2", qdot(col("v"), col("v")))
       .localCheckpoint()
+    // fail fast with the real reason, not a NoSuchElementException three
+    // Spark jobs in; limit(k) bounds the guard's own scan
+    val nAvail = q.limit(k).count()
+    require(nAvail >= k,
+      s"kcenterSelect: k=$k exceeds the input's $nAvail distinct rows")
     val first = q.orderBy(col("id").asc).head()
     // (pick, id, distAtPick, vec, n2)
     val picked = scala.collection.mutable.ArrayBuffer(
@@ -851,6 +856,7 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val q = df.select(quantize(col(vecCol)).as("v")).localCheckpoint()
+    require(!q.isEmpty, "pcaPower needs a non-empty input")
     val dims = q.select(size(col("v"))).head().getInt(0)
     var v: Seq[Long] = List.fill(dims)(scale)
     for (_ <- 1 to rounds) {

@@ -48,8 +48,10 @@ object Skew {
     * key's row count, its corpus share in ppm, and `salt_factor` =
     * ceil(max/avg) — the nSalts that levels the hottest reducer to the
     * average. One combine-enabled count aggregate per target (corpus →
-    * |keys| → 1 row); all-integer (ceil via (a+b−1) div b), so any engine
-    * reproduces the report bit for bit. Null keys count as one key — they
+    * |keys| → 1 row). Counts are exact integers; the share and the ceil
+    * run through single deterministic IEEE chains (identical in any
+    * engine — the exact-integer ceil form would wrap BIGINT at the very
+    * hot-key cardinalities the audit targets). Null keys count as one key — they
     * hash to one reducer like any other value, which is exactly why
     * null-heavy FKs are the most common real-world hot key. */
   def keyAudit(targets: Seq[(DataFrame, String, String)]): DataFrame = {
@@ -62,8 +64,11 @@ object Skew {
           col("max_rows"),
           floor(col("max_rows").cast("double") * 1e6 /
             col("n_rows").cast("double")).cast("long").as("top1_share_ppm"),
-          expr("CAST((max_rows * n_keys + n_rows - 1) DIV n_rows AS BIGINT)")
-            .as("salt_factor"))
+          // ceil(max/avg) through ONE deterministic IEEE chain: the exact
+          // integer form (max_rows*n_keys + n_rows - 1) wraps BIGINT at
+          // precisely the hot-key cardinalities this audit targets
+          ceil(col("max_rows").cast("double") * col("n_keys").cast("double")
+            / col("n_rows").cast("double")).cast("long").as("salt_factor"))
     }.reduce(_ unionByName _)
   }
 }
