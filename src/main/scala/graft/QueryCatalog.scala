@@ -2127,6 +2127,78 @@ object QueryCatalog {
         SELECT path, count(*) AS n_users FROM p
         GROUP BY 1 HAVING count(*) >= 2""")),
 
+    // Kaplan–Meier survival (user churn with right-censoring): lifetime =
+    // days between a user's first and last event; users still active on
+    // the corpus's final day are CENSORED, not churned — the distinction
+    // naive churn rates get wrong. S(t) folds as exact micro-units
+    // (S' = floor(S·(r−d)/r), r from a suffix sum over the ≤|days|
+    // lifetime domain), so the whole curve is bit-identical cross-engine.
+    // Corpus-sized work is one per-user aggregate; everything after runs
+    // on the domain-bounded lifetime table.
+    ("q_seq_survival",
+      (s: SparkSession, d: String) => {
+        val byday = t(s, d, "events").groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+        val mx = byday.agg(max("d1").as("mx"))
+        val u = byday.crossJoin(broadcast(mx)).select(
+          datediff(col("d1"), col("d0")).cast("long").as("t"),
+          when(col("d1") < col("mx"), 1L).otherwise(0L).as("churn"))
+        val tl = u.groupBy("t").agg(count(lit(1)).as("n"),
+          sum("churn").as("d"))
+        val wsuf = Window.orderBy(col("t").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val tr = tl.withColumn("r", sum("n").over(wsuf))
+        val step = (acc: org.apache.spark.sql.Column,
+            x: org.apache.spark.sql.Column) => {
+          val prevS = coalesce(try_element_at(acc, lit(-1)).getField("s"),
+            lit(1000000L))
+          concat(acc, array(struct(
+            x.getField("t").as("t"), x.getField("d").as("d"),
+            x.getField("r").as("r"),
+            floor((prevS * (x.getField("r") - x.getField("d")))
+              .cast("double") / x.getField("r").cast("double"))
+              .cast("long").as("s"))))
+        }
+        tr.agg(array_sort(collect_list(struct(col("t"), col("d"),
+            col("r")))).as("xs"))
+          .select(explode(aggregate(col("xs"),
+            array().cast("array<struct<t:bigint,d:bigint,r:bigint," +
+              "s:bigint>>"), step)).as("e"))
+          .select(col("e.t").as("t"), col("e.d").as("n_churned"),
+            col("e.r").as("n_at_risk"), col("e.s").as("surv_micro"))
+      },
+      Some("""WITH byday AS (SELECT user_id,
+            min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+          FROM events GROUP BY 1),
+        mx AS (SELECT max(d1) AS mx FROM byday),
+        u AS (SELECT CAST(d1 - d0 AS BIGINT) AS t,
+            CASE WHEN d1 < mx THEN 1 ELSE 0 END AS churn
+          FROM byday, mx),
+        tl AS (SELECT t, count(*) AS n, CAST(sum(churn) AS BIGINT) AS d
+          FROM u GROUP BY 1),
+        tr AS (SELECT t, d, CAST(sum(n) OVER (ORDER BY t
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+            AS r
+          FROM tl),
+        g AS (SELECT list({'t': t, 'd': d, 'r': r} ORDER BY t) AS xs
+          FROM tr),
+        f AS (SELECT list_reduce(
+            list_prepend(
+              CAST([] AS STRUCT(t BIGINT, d BIGINT, r BIGINT,
+                s BIGINT)[]),
+              list_transform(xs, x -> [{'t': x.t, 'd': x.d, 'r': x.r,
+                's': CAST(0 AS BIGINT)}])),
+            (acc, e) -> list_append(acc, {'t': e[1].t, 'd': e[1].d,
+              'r': e[1].r,
+              's': CAST(floor(CAST(coalesce(acc[-1].s, 1000000)
+                  * (e[1].r - e[1].d) AS DOUBLE)
+                / CAST(e[1].r AS DOUBLE)) AS BIGINT)})) AS res
+          FROM g)
+        SELECT q.x.t AS t, q.x.d AS n_churned, q.x.r AS n_at_risk,
+          q.x.s AS surv_micro
+        FROM f, UNNEST(res) AS q(x)""")),
+
     // RFM segmentation (recency / frequency / monetary quintiles): exact
     // global ranks for each dimension come from three range-partitioned
     // prefix scans (rank = exclusive count prefix + 1 — no corpus-sized
