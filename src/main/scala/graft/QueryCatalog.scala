@@ -8717,6 +8717,76 @@ object QueryCatalog {
     // centrality family lacks. Each hop is one frontier equi-join + LEFT
     // ANTI against the accumulated levels; the unrolled oracle pins the
     // enters-at-its-minimum-hop admission rule.
+    // Link prediction by common-neighbor Jaccard: wedge join over the
+    // DEGREE-CAPPED co-order graph (the same structural hub guard as
+    // q_graph_capped — wedge fan-out is quadratic in degree), existing
+    // edges anti-joined away, similarity = cn/(da+db−cn) floor-quantized.
+    // The candidate-generation primitive of graph-based retrieval and
+    // "people also bought" — edge-level, where triangles are node-level.
+    ("q_graph_linkpred", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e0 = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst")).distinct()
+        val capped = Graph.capDegree(e0, "src", "dst", maxDegree = 8)
+          .localCheckpoint() // adj, wedge, anti and degrees all rescan it
+        val adj = capped.select(col("src").as("n"), col("dst").as("v"))
+          .union(capped.select(col("dst").as("n"), col("src").as("v")))
+        val wedge = adj.as("x")
+          .join(adj.as("y"), col("x.v") === col("y.v") &&
+            col("x.n") < col("y.n"))
+          .groupBy(col("x.n").as("a"), col("y.n").as("b"))
+          .agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= 2)
+        val deg = adj.groupBy("n").agg(count(lit(1)).as("dg"))
+        wedge.join(capped, col("a") === col("src") &&
+            col("b") === col("dst"), "left_anti")
+          .join(deg.select(col("n").as("a"), col("dg").as("deg_a")), "a")
+          .join(deg.select(col("n").as("b"), col("dg").as("deg_b")), "b")
+          .select(col("a"), col("b"), col("cn"), col("deg_a"),
+            col("deg_b"),
+            floor(col("cn").cast("double") * 1e6 /
+              (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
+              .cast("long").as("jaccard_micro"))
+      }): Q
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % 5 = 0),
+          canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+          inc AS (SELECT a AS node, a, b,
+              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+            FROM canon0
+            UNION ALL
+            SELECT b AS node, a, b,
+              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+            FROM canon0),
+          ranked AS (SELECT node, a, b,
+              row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
+            FROM inc),
+          canon AS (SELECT a, b FROM ranked WHERE rk <= 8
+            GROUP BY a, b HAVING count(*) = 2),
+          adj AS (SELECT a AS n, b AS v FROM canon
+            UNION ALL SELECT b, a FROM canon),
+          w AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
+            FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          deg AS (SELECT n, count(*) AS dg FROM adj GROUP BY 1),
+          cand AS (SELECT w.a, w.b, cn FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM canon c
+              WHERE c.a = w.a AND c.b = w.b))
+          SELECT cand.a, cand.b, CAST(cn AS BIGINT) AS cn,
+            CAST(da.dg AS BIGINT) AS deg_a, CAST(db.dg AS BIGINT) AS deg_b,
+            CAST(floor(CAST(cn AS DOUBLE) * 1e6 /
+              CAST(da.dg + db.dg - cn AS DOUBLE)) AS BIGINT)
+              AS jaccard_micro
+          FROM cand JOIN deg da ON cand.a = da.n
+            JOIN deg db ON cand.b = db.n""")),
+
     ("q_graph_bfs", {
       ((s: SparkSession, d: String) => {
         val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
