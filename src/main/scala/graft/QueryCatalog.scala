@@ -6617,6 +6617,34 @@ object QueryCatalog {
         FROM sig a JOIN sig b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
 
+    // Whole-bit luminance entropy (Multimodal.imageEntropy) — the
+    // flat-image / screenshot quality gate: Σ c·(bits(64) − bits(c)) over
+    // the 8x8 luma sample, exact integers (the image-space twin of the
+    // surprisal trick). Oracle replays pixels + the bit arithmetic.
+    ("q_mm_entropy",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Multimodal.imageEntropy(pngs).toDF()
+      },
+      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+        cell AS (SELECT d.doc_id, cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+          FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
+        lum AS (SELECT doc_id,
+            (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
+             ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
+             (CASE WHEN sy = doc_id % 24
+                   THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
+                   ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
+              // 1000 AS l
+          FROM cell),
+        cnt AS (SELECT doc_id, l, count(*) AS c FROM lum GROUP BY 1, 2)
+        SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_levels,
+          CAST(sum(c * (length(bin(64)) - length(bin(c)))) AS BIGINT)
+            AS entropy_bits_x64
+        FROM cnt GROUP BY doc_id""")),
+
     // DCT perceptual hash (Multimodal.imagePHash) over the REAL decoded
     // PNGs: exact-integer 8x8 DCT-II (fixed-point basis shared with the
     // oracle as literals), bits = AC coefficient vs the 32nd-smallest-

@@ -397,6 +397,44 @@ object Multimodal {
     }
   }
 
+  final case class ImageEntropy(media_id: Long, n_levels: Long,
+      entropy_bits_x64: Long)
+
+  /** Whole-bit luminance entropy over the standard 8x8 sample grid — the
+    * flat-image / screenshot gate of image curation: a single-color image
+    * scores 0, a textured photo scores high. Shannon entropy needs log2;
+    * the whole-bit form Σ c·(bits(N) − bits(c)) (N = 64 samples) is exact
+    * integer arithmetic, replayable anywhere — the same
+    * transcendental-free trick as the text surprisal score. Returned
+    * scaled by N (=64): divide by 64.0 for bits-per-pixel. */
+  def imageEntropy(media: Dataset[(Long, Array[Byte])])
+      : Dataset[ImageEntropy] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: no JDK codec for these bytes")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val counts = new java.util.HashMap[Long, Long]()
+        var i = 0
+        while (i < 64) {
+          val p = img.getRGB((i & 7) * sw / 8, (i >> 3) * sh / 8)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          val l = (r * 299L + g * 587L + b * 114L) / 1000L
+          counts.merge(l, 1L, (a, x) => a + x)
+          i += 1
+        }
+        def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+        var e = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) { val c = it.next(); e += c * (bits(64L) - bits(c)) }
+        ImageEntropy(id, counts.size().toLong, e)
+      }
+    }
+  }
+
   final case class TileHash(media_id: Long, tile: Int, thash: Long)
 
   /** Per-TILE perceptual hashes for PARTIAL-overlap detection — the
