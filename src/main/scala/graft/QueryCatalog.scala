@@ -2012,6 +2012,111 @@ object QueryCatalog {
             AS BIGINT) END AS t2_micro
         FROM a""")),
 
+    // Per-segment OLS fit (price-on-quantity by return flag) as EXACT
+    // RATIONALS: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and intercept =
+    // (Sy·Sxx − Sx·Sxy)/same — numerator/denominator shipped as exact
+    // BIGINTs (one combine-enabled moment aggregate, products widened
+    // through DECIMAL(18,0)² = (37,0) so no 64-bit intermediate wraps;
+    // the quantized point estimates are one floor(double) of those exact
+    // integers). The regression analog of q_agg_welch's moment discipline.
+    ("q_agg_ols",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y"))
+        val m = li.groupBy("flag").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+        val numS = (d18(col("n")) * d18(col("sxy")) -
+          d18(col("sx")) * d18(col("sy"))).cast("long")
+        val denS = (d18(col("n")) * d18(col("sxx")) -
+          d18(col("sx")) * d18(col("sx"))).cast("long")
+        val numI = (d18(col("sy")) * d18(col("sxx")) -
+          d18(col("sx")) * d18(col("sxy"))).cast("long")
+        m.select(col("flag"), col("n"),
+          numS.as("slope_num"), denS.as("den"), numI.as("intercept_num"),
+          floor(numS.cast("double") * 1e6 / denS.cast("double"))
+            .cast("long").as("slope_micro"),
+          floor(numI.cast("double") * 1e3 / denS.cast("double"))
+            .cast("long").as("intercept_milli"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+            CAST(l_quantity AS BIGINT) AS x,
+            CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+        m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM li GROUP BY 1),
+        r AS (SELECT flag, n,
+            CAST(CAST(n AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS BIGINT) AS slope_num,
+            CAST(CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den,
+            CAST(CAST(sy AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sxy AS BIGINT) AS intercept_num
+          FROM m)
+        SELECT flag, n, slope_num, den, intercept_num,
+          CAST(floor(CAST(slope_num AS DOUBLE) * 1e6
+            / CAST(den AS DOUBLE)) AS BIGINT) AS slope_micro,
+          CAST(floor(CAST(intercept_num AS DOUBLE) * 1e3
+            / CAST(den AS DOUBLE)) AS BIGINT) AS intercept_milli
+        FROM r""")),
+
+    // Autocorrelation of the daily order-count series at lags 1..7 — the
+    // seasonality detector run before any forecasting/backtest op. EXACT:
+    // with integer counts, Σ(n·x_t − S)(n·x_{t+k} − S) clears the rational
+    // mean by multiplying through by n² — every term BIGINT (counts keep
+    // magnitudes ~1e6, so the worst product is ~1e12 summed over ~1e4
+    // days). The day index comes from the range-partitioned prefix scan
+    // over the calendar-collapsed daily table (no global one-partition
+    // window, even though days are domain-bounded); lagged pairs are an
+    // idx+k self-join, linear per lag.
+    ("q_agg_acf",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "orders").groupBy(col("o_orderdate").as("dt"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("one", lit(1L))
+        val idxd = graft.ops.Prefix.runningOffsets(daily, "dt", "one")
+          .select(col("dt"), col("x"), (col("offset") + 1L).as("idx"))
+        val tot = idxd.agg(count(lit(1)).as("n"), sum("x").as("s"))
+        val dev = idxd.crossJoin(broadcast(tot))
+          .select(col("idx"), (col("n") * col("x") - col("s")).as("dv"),
+            col("n"))
+        val lags = s.range(1, 8).select(col("id").as("lag"))
+        val pairs = dev.as("a").crossJoin(broadcast(lags))
+          .join(dev.as("b"),
+            col("b.idx") === col("a.idx") + col("lag"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("a.dv") * col("b.dv")).as("num"))
+        val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
+        pairs.crossJoin(broadcast(den))
+          .select(col("lag"), col("n_pairs"), col("num"), col("den"),
+            floor(col("num").cast("double") * 1e3 /
+              col("den").cast("double")).cast("long").as("acf_milli"))
+      },
+      Some("""WITH daily AS (SELECT o_orderdate AS dt,
+            CAST(count(*) AS BIGINT) AS x,
+            CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS idx
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS s FROM daily),
+        dev AS (SELECT idx, n * x - s AS dv FROM daily, tot),
+        den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev),
+        lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        pairs AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+          FROM dev a JOIN lags ON true
+          JOIN dev b ON b.idx = a.idx + lag
+          GROUP BY 1)
+        SELECT lag, n_pairs, num, den,
+          CAST(floor(CAST(num AS DOUBLE) * 1e3 / CAST(den AS DOUBLE))
+            AS BIGINT) AS acf_milli
+        FROM pairs, den""")),
+
     // Mann–Whitney rank-sum test, midranks and all: the combined sample
     // collapses to one row per distinct VALUE (combine-enabled), the
     // global rank prefix comes from the range-partitioned prefix scan
@@ -4389,6 +4494,37 @@ object QueryCatalog {
             ORDER BY score DESC, term ASC) AS rnk
           FROM sc) WHERE rnk <= 5""")),
 
+    // Hashing-trick featurization (Weinberger et al. 2009): token ->
+    // md5-hashed dimension in a fixed 256-wide space, the hash's next bit
+    // as the ± sign (the collision-debiasing trick), weight = signed
+    // occurrence count. The vocabulary-free vectorizer a classifier-based
+    // quality filter runs at corpus scale — no vocab build, no driver
+    // state, ONE explode + ONE combine-enabled aggregate, output bounded
+    // by docs × 256. Deterministic via the catalog's md5 convention, so
+    // the oracle replays every collision.
+    ("q_text_hashfeat",
+      (s: SparkSession, d: String) => {
+        t(s, d, "documents").filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .withColumn("h",
+            graft.plans.GraftExpressions.md5_prefix60(col("term")))
+          .select(col("doc_id"), pmod(col("h"), lit(256L)).as("dim"),
+            when(pmod(expr("h DIV 256"), lit(2L)) === 0, 1L)
+              .otherwise(-1L).as("sgn"))
+          .groupBy("doc_id", "dim").agg(sum("sgn").as("weight"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, t AS term
+            FROM documents, UNNEST(${tokensSql()}) AS u(t)
+            WHERE doc_id % 20 = 0),
+        h AS (SELECT doc_id,
+            CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+          FROM toks)
+        SELECT doc_id, h % 256 AS dim,
+          CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS weight
+        FROM h GROUP BY 1, 2""")),
+
     // Inverted-index construction (the search/RAG-retrieval build step):
     // rare terms (bounded df) -> their sorted document posting lists.
     // One explode + one combine-enabled groupBy; common terms are gated out
@@ -5228,6 +5364,67 @@ object QueryCatalog {
             AS n_same_entity
         FROM scored GROUP BY 1""")),
 
+    // Blocking-quality audit for entity resolution: block part names on
+    // their first-2-sorted-words signature, generate candidates only
+    // within uncapped blocks (> 100 rows skips pairwise — the maxBucket
+    // guard again), score candidates by word-set overlap (>= 4 of 5), and
+    // report the numbers a linker designs by: block count/size, capped
+    // blocks, candidate count vs the n² it avoided (reduction ratio), and
+    // match yield. ONE summary row from three 1-row aggregates; the
+    // pairwise scan is quadratic only within a block.
+    ("q_er_blocking",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "part").select(col("p_partkey").as("id"),
+            array_distinct(sort_array(split(col("p_name"), " "))).as("w"))
+          .withColumn("key", array_join(slice(col("w"), 1, 2), " "))
+        val sizes = p.groupBy("key").agg(count(lit(1)).as("bn"))
+        val ok = sizes.filter(col("bn") <= 100).select("key")
+        val pok = p.join(ok, Seq("key"), "left_semi")
+        val cand = pok.as("x").join(pok.as("y"),
+            col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+          .select(when(size(array_intersect(col("x.w"), col("y.w"))) >= 4,
+            1L).otherwise(0L).as("m"))
+        val nrec = p.agg(count(lit(1)).as("n_records"))
+        val blk = sizes.agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("bn") > 100, 1L).otherwise(0L))
+            .as("n_capped_blocks"),
+          max("bn").as("max_block"))
+        val cd = cand.agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("m")), lit(0L)).as("n_matches"))
+        nrec.crossJoin(blk).crossJoin(cd)
+          .select(col("n_records"), col("n_blocks"), col("n_capped_blocks"),
+            col("max_block"), col("n_candidates"), col("n_matches"),
+            floor(col("n_candidates").cast("double") * 1e6 /
+              (col("n_records").cast("double") *
+                (col("n_records") - 1).cast("double") / 2))
+              .cast("long").as("reduction_micro"))
+      },
+      Some("""WITH p AS (SELECT p_partkey AS id,
+            list_sort(list_distinct(string_split(p_name, ' '))) AS w
+          FROM part),
+        pk AS (SELECT id, w, array_to_string(w[1:2], ' ') AS key FROM p),
+        sizes AS (SELECT key, CAST(count(*) AS BIGINT) AS bn
+          FROM pk GROUP BY 1),
+        ok AS (SELECT key FROM sizes WHERE bn <= 100),
+        cand AS (SELECT
+            CASE WHEN len(list_filter(x.w,
+              z -> list_contains(y.w, z))) >= 4 THEN 1 ELSE 0 END AS m
+          FROM pk x JOIN pk y ON x.key = y.key AND x.id < y.id
+          JOIN ok ON x.key = ok.key),
+        nrec AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM pk),
+        blk AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+            CAST(sum(CASE WHEN bn > 100 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_capped_blocks,
+            CAST(max(bn) AS BIGINT) AS max_block FROM sizes),
+        cd AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+            CAST(coalesce(sum(m), 0) AS BIGINT) AS n_matches FROM cand)
+        SELECT n_records, n_blocks, n_capped_blocks, max_block,
+          n_candidates, n_matches,
+          CAST(floor(CAST(n_candidates AS DOUBLE) * 1e6 /
+            (CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE)
+             / 2)) AS BIGINT) AS reduction_micro
+        FROM nrec, blk, cd""")),
+
     ("q_dedup_fuzzy",
       (s: SparkSession, d: String) => Dedup.fuzzyNearDups(
         t(s, d, "documents"), "doc_id", "text",
@@ -5804,6 +6001,30 @@ object QueryCatalog {
         t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
       Some(s"""${kmeansCtes(k = 8, iters = 2)}
         SELECT vec_id, cid AS cluster FROM asg""")),
+
+    // Simplified-silhouette audit of the same k-means model (score against
+    // CENTROIDS, O(n·k) — the only silhouette shape that exists at corpus
+    // scale): per cluster, cohesion (own-centroid cosine mass) vs
+    // separation (best other-centroid mass) and the count of vectors
+    // sitting on the wrong side of a boundary. Exact micro-cosines; the
+    // oracle replays training AND audit bit-for-bit.
+    ("q_emb_silhouette",
+      (s: SparkSession, d: String) => Similarity.silhouetteAudit(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
+      Some(s"""${kmeansCtes(k = 8, iters = 2)},
+        sims AS (SELECT a.vec_id, a.cid, c.cid AS ccid,
+            ${simMicroSql("a.v", "c.cv")} AS sim
+          FROM asg a CROSS JOIN c2 c),
+        per AS (SELECT vec_id, cid,
+            max(CASE WHEN ccid = cid THEN sim END) AS own,
+            max(CASE WHEN ccid <> cid THEN sim END) AS oth
+          FROM sims GROUP BY 1, 2)
+        SELECT cid AS cluster, count(*) AS n_vecs,
+          CAST(sum(own) AS BIGINT) AS own_sum,
+          CAST(sum(oth) AS BIGINT) AS other_sum,
+          CAST(sum(CASE WHEN oth > own THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_misassigned
+        FROM per GROUP BY 1""")),
 
     // SemDeDup: within each k-means cluster, drop every vector with a
     // smaller-id near-duplicate (cosine >= 0.35); pairwise work is bounded
@@ -8467,6 +8688,41 @@ object QueryCatalog {
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.hitsInt]] over the DIRECTED
+    * part->supplier graph: one (auth-pass, hub-pass) CTE quad per round,
+    * max-normalized with integer `//` — bit-identical to the Spark
+    * fixed-point iteration (sums widen to HUGEINT losslessly; the final
+    * projection casts back). */
+  private def hitsOracleSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT n.node, coalesce(s.s, 0) AS araw
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(h.hub) AS s
+             FROM fwd e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) s
+           USING (node)),
+         a$i AS (SELECT node, (araw * $scale)
+             // greatest((SELECT max(araw) FROM ar$i), 1) AS auth
+           FROM ar$i),
+         hr$i AS (SELECT n.node, coalesce(s.s, 0) AS hraw
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS node, sum(a.auth) AS s
+             FROM fwd e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
+           USING (node)),
+         h$i AS (SELECT node, (hraw * $scale)
+             // greatest((SELECT max(hraw) FROM hr$i), 1) AS hub
+           FROM hr$i)"""
+    }.mkString(",\n        ")
+    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+          l_suppkey * 2 + 1 AS dst FROM lineitem),
+        nodes AS (SELECT DISTINCT src AS node FROM fwd
+          UNION SELECT DISTINCT dst FROM fwd),
+        h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
+        $rounds
+        SELECT a.node, CAST(a.auth AS BIGINT) AS auth,
+          CAST(h.hub AS BIGINT) AS hub
+        FROM a$iters a JOIN h$iters h ON a.node = h.node"""
+  }
+
   /** Unrolled DuckDB replay of [[Graph.kCore]] over the sampled co-order
     * parts graph: one (degree-filter + two-join) CTE pair per peel round —
     * bit-identical to the Spark fixed-round loop (pure integer counts). */
@@ -8823,7 +9079,23 @@ object QueryCatalog {
           seeds, "seed", rounds = 3)
       }): Q
       },
-      Some(bfsOracleSql(3))))
+      Some(bfsOracleSql(3))),
+
+    // HITS hub/authority (Graph.hitsInt) on the DIRECTED part->supplier
+    // graph — parts are pure hubs, suppliers pure authorities (bipartite),
+    // the "rank pointers separately from content" side of link analysis
+    // that q_graph_pagerank's undirected rank cannot express. 3 rounds of
+    // max-normalized integer fixed point; the oracle unrolls them.
+    ("q_graph_hits", {
+      ((s: SparkSession, d: String) => {
+        val fwd = t(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.hitsInt(fwd, "src", "dst", iters = 3)
+      }): Q
+      },
+      Some(hitsOracleSql(3, 1000000L))))
 
   // ================================================== composed cleaning
 

@@ -684,7 +684,15 @@ object Similarity {
   /** [[kmeans]] keeping the quantized vector alongside the assignment —
     * (vec_id, v, cluster) — for downstream per-cluster work. */
   private[ops] def kmeansAssign(corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, iters: Int): DataFrame = {
+      vecCol: String, k: Int, iters: Int): DataFrame =
+    kmeansFit(corpus, idCol, vecCol, k, iters)._1
+
+  /** [[kmeansAssign]] plus the FINAL centroid model (ids, quantized
+    * vectors) — k-bounded driver state, for audits that score against the
+    * centroids themselves (e.g. [[silhouetteAudit]]). */
+  private[ops] def kmeansFit(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int)
+      : (DataFrame, Seq[Long], Seq[Seq[Long]]) = {
     require(k > 0 && iters >= 1, "k-means needs k > 0 and iters >= 1")
     // materialized once: every Lloyd round (and the seed pick) re-scans the
     // quantized corpus — iters+2 passes that would otherwise each re-read
@@ -725,7 +733,57 @@ object Similarity {
     // scan once in the caller's action — one pass, the same cost as
     // re-reading a disk-cached copy.
     q.unpersist(blocking = false)
-    assigned
+    (assigned, centIds, centVecs)
+  }
+
+  /**
+   * Simplified-silhouette clustering-quality audit (the centroid-based
+   * silhouette of Hruschka et al. 2004: score each point against CENTROIDS,
+   * not all points — O(n·k), the only silhouette that exists at corpus
+   * scale; the classic pairwise form is O(n²)). Runs [[kmeans]] with the
+   * same seeds/rounds, then for every vector computes the micro-quantized
+   * cosine to its own centroid (`own`) and the best cosine to any OTHER
+   * centroid (`oth`); a vector with `oth > own` sits on the wrong side of
+   * a boundary — the per-cluster misassignment count plus the own/other
+   * similarity mass summarize cluster cohesion vs separation in one table.
+   *
+   * Every similarity is an exact BIGINT (same IEEE chain as [[mmrSelect]]'s
+   * scoring unit), so a DuckDB oracle replays the audit bit-for-bit.
+   *
+   * Shape: ONE crossJoin of the assignment against the k-row broadcast
+   * centroid table (k-bounded model state, the [[kmeans]] contract), one
+   * per-vector aggregate, one per-cluster combine-enabled aggregate —
+   * linear in n·k, no window, no pairwise scan.
+   *
+   * Output: (cluster, n_vecs, own_sum, other_sum, n_misassigned).
+   */
+  def silhouetteAudit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val (assigned, centIds, centVecs) =
+      kmeansFit(corpus, idCol, vecCol, k, iters)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centIds.zip(centVecs).toDF("ccid", "cv")
+      .withColumn("cn2", qdot(col("cv"), col("cv")))
+    def simMicro(dot: Column, n2a: Column, n2b: Column): Column =
+      floor(dot.cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))) * 1e6)
+        .cast("long")
+    val per = assigned
+      .withColumn("n2", qdot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cluster"),
+        col("ccid"),
+        simMicro(qdot(col("v"), col("cv")), col("n2"), col("cn2")).as("sim"))
+      .groupBy("vec_id", "cluster")
+      .agg(max(when(col("ccid") === col("cluster"), col("sim"))).as("own"),
+        max(when(col("ccid") =!= col("cluster"), col("sim"))).as("oth"))
+    per.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("own").as("own_sum"),
+        sum("oth").as("other_sum"),
+        sum(when(col("oth") > col("own"), 1L).otherwise(0L))
+          .as("n_misassigned"))
   }
 
   /**

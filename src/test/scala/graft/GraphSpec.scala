@@ -246,6 +246,70 @@ class GraphSpec extends SparkSpec {
     assert(labels(300L) == labels(301L) && labels(301L) == labels(302L))
   }
 
+  /** Independent plain-Scala replication of the max-normalized integer
+    * HITS recurrence (duplicate edges honored, like the operator). */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val araw = nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+      val amax = math.max(araw.values.max, 1L)
+      auth = araw.map { case (n, v) => n -> v * scale / amax }
+      val hraw = nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      val hmax = math.max(hraw.values.max, 1L)
+      hub = hraw.map { case (n, v) => n -> v * scale / hmax }
+    }
+    nodes.map(n => n -> ((auth(n), hub(n)))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] =
+    Graph.hitsInt(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("hitsInt: bipartite star splits hubs from authorities exactly") {
+    // 1,2,3 -> 10: the sources are pure hubs (score = scale, no in-edges
+    // so auth 0), the sink the unique authority (scale, hub 0) — fixed
+    // point with zero truncation at any iteration count
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L))
+    for (iters <- Seq(1, 3, 5)) {
+      val got = runHits(edges, iters)
+      assert(got(10L) == ((1000000L, 0L)), s"iters=$iters")
+      Seq(1L, 2L, 3L).foreach(n =>
+        assert(got(n) == ((0L, 1000000L)), s"node $n iters=$iters"))
+    }
+  }
+
+  test("hitsInt: shared-pointer authority outranks a single-pointer one") {
+    // 1 and 2 both point at 10; 3 alone points at 11. 10 must out-score 11
+    // as an authority, and the argmax authority sits exactly at scale
+    val got = runHits(Seq((1L, 10L), (2L, 10L), (3L, 11L)), 3)
+    assert(got(10L)._1 == 1000000L)
+    assert(got(11L)._1 < got(10L)._1 && got(11L)._1 > 0L)
+    assert(got == refHits(Seq((1L, 10L), (2L, 10L), (3L, 11L)), 3, 1000000L))
+  }
+
+  test("hitsInt: random directed graphs match the reference fold (seeded)") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 6) {
+      val n = 5 + rnd.nextInt(8)
+      val edges = (1 to 25).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        for (iters <- Seq(1, 3)) {
+          assert(runHits(edges, iters) == refHits(edges, iters, 1000000L),
+            s"trial $trial iters=$iters edges=$edges")
+        }
+      }
+    }
+  }
+
   test("degrees: out/in/total per node, destination-only nodes included") {
     val got = Graph.degrees(
         Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")

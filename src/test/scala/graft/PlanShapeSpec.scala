@@ -386,4 +386,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pns.contains("BroadcastNestedLoopJoin") &&
       !pns.contains("CartesianProduct"), pns)
   }
+
+  test("round-7 batch 4: moment fits windowless, hashing-trick one " +
+      "exchange, blocking equi-joined, HITS anchors broadcast") {
+    // OLS: one combine-enabled moment aggregate — no window, no join
+    val po = plan("q_agg_ols")
+    assert(!po.contains("Window [") && !po.contains("Join"), po)
+    // ACF: the lag table and the 1-row total/denominator anchors are
+    // BROADCAST; the day-index prefix comes from the range-partitioned
+    // scan, so no corpus-wide single-partition window survives
+    val pa = plan("q_agg_acf")
+    assert(pa.contains("BroadcastExchange"), pa)
+    assert(!pa.contains("Window ["), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+    // hashing-trick featurization: scan-stage hash + explode, then
+    // EXACTLY one hash exchange (the doc_id,dim aggregate)
+    val ph = plan("q_text_hashfeat")
+    val eh = "Exchange hashpartitioning".r.findAllIn(ph).size
+    assert(eh == 1, s"expected 1 exchange, got $eh:\n$ph")
+    assert(!ph.contains("Window ["), ph)
+    // ER blocking: candidates come from an EQUI join on the block key —
+    // never a nested-loop pairwise scan
+    val pb = plan("q_er_blocking")
+    assert(!pb.contains("CartesianProduct"), pb)
+    assert(pb.contains("SortMergeJoin") || pb.contains("BroadcastHashJoin")
+      || pb.contains("ShuffledHashJoin"), pb)
+    // HITS: the per-round max anchors broadcast (1-row crossJoins), and
+    // the message passes stay equi-joins
+    val pg = plan("q_graph_hits")
+    assert(pg.contains("BroadcastExchange"), pg)
+    assert(!pg.contains("CartesianProduct"), pg)
+    // silhouette audit: the centroid table is a k-row BROADCAST against
+    // the assignment — no shuffle-side pairwise scan, no window
+    val ps = plan("q_emb_silhouette")
+    assert(ps.contains("BroadcastExchange"), ps)
+    assert(!ps.contains("Window ["), ps)
+  }
 }
