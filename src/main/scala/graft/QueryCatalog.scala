@@ -7404,6 +7404,27 @@ object QueryCatalog {
         GROUP BY o_orderstatus""")),
 
     // catalog registration (crawlers_job analog): write a partitioned stage
+    // Column-level lineage extracted FROM THE PLAN of a join+aggregate
+    // pipeline (Lineage.columnLineage — pure driver-side plan walk, no
+    // data pass, no job): each output column maps to the source-relation
+    // columns whose values reach it. The oracle is the literal expected
+    // edge set — plan-derived metadata is deterministic and SF-invariant.
+    ("q_meta_lineage",
+      (s: SparkSession, d: String) => {
+        val q = t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        graft.meta.Lineage.columnLineage(q)
+      },
+      Some("""SELECT * FROM (VALUES
+          ('prio', 'orders.parquet', 'o_orderpriority'),
+          ('revenue', 'lineitem.parquet', 'l_discount'),
+          ('revenue', 'lineitem.parquet', 'l_extendedprice'))
+        AS t(out_col, source, src_col)""")),
+
     // table, register it, and read it back BY NAME through the catalog —
     // content must equal a plain scan of the same source rows
     ("q_catalog_register",
