@@ -1435,6 +1435,40 @@ object QueryCatalog {
           CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2""")),
 
+    // Incremental JOIN-view maintenance — the delta-join algebra:
+    //   (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    // The maintained per-priority revenue rollup is the base partial
+    // (old⋈old, in production a stored table) merged with the three delta
+    // contributions — each delta term joins a DELTA-sized side, so
+    // absorbing a batch costs |Δ|-proportional work, never a rescan of
+    // history. Deltas are split on INDEPENDENT keys (orders by orderkey,
+    // lineitem by linenumber) so every cross term is non-empty and the
+    // oracle — the full recompute — certifies the whole algebra.
+    ("q_incr_join_delta",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_orderpriority").as("prio"),
+          (col("o_orderkey") % 10 === 0).as("dlt"))
+        val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
+          cents(col("l_extendedprice")).as("rev"),
+          (col("l_linenumber") % 3 === 0).as("dlt"))
+        def part(a: DataFrame, b: DataFrame): DataFrame =
+          a.drop("dlt").join(b.drop("dlt"), "ok")
+            .groupBy("prio")
+            .agg(count(lit(1)).as("n"), sum("rev").as("rev_cents"))
+        val base = part(o.filter(!col("dlt")), li.filter(!col("dlt")))
+        val dA = part(o.filter(col("dlt")), li.filter(!col("dlt")))
+        val dB = part(o.filter(!col("dlt")), li.filter(col("dlt")))
+        val dAB = part(o.filter(col("dlt")), li.filter(col("dlt")))
+        base.unionByName(dA).unionByName(dB).unionByName(dAB)
+          .groupBy("prio")
+          .agg(sum("n").as("n"), sum("rev_cents").as("rev_cents"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1""")),
+
     // Time-series densification: hourly resample (max value per hour) onto
     // each event type's full hour grid, gaps filled by
     // last-observation-carried-forward. The grid is calendar-bounded (hours
@@ -8709,6 +8743,36 @@ object QueryCatalog {
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.pprInt]] over the part<->supplier
+    * graph with the part-id<5 seed set: the pageRank CTE chain with the
+    * teleport term gated on seed membership. */
+  private def pprOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT f.node,
+           f.iss * 150000000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
+         FROM f LEFT JOIN (
+           SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
+           FROM r${i - 1} r JOIN d ON r.node = d.src JOIN e ON e.src = d.src
+           GROUP BY 1) s USING (node))"""
+    }.mkString(",\n        ")
+    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+          l_suppkey * 2 + 1 AS dst FROM lineitem),
+        e AS (SELECT src, dst FROM fwd
+          UNION ALL SELECT dst, src FROM fwd),
+        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+        sd AS (SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
+          WHERE l_partkey < 5),
+        f AS (SELECT n.node,
+            CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS iss
+          FROM nodes n LEFT JOIN sd s USING (node)),
+        r0 AS (SELECT node, CAST(iss AS BIGINT) * 1000000000000 AS rank
+          FROM f),
+        $rounds
+        SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
+  }
+
   /** Unrolled DuckDB replay of [[Graph.hitsInt]] over the DIRECTED
     * part->supplier graph: one (auth-pass, hub-pass) CTE quad per round,
     * max-normalized with integer `//` — bit-identical to the Spark
@@ -9116,7 +9180,22 @@ object QueryCatalog {
         Graph.hitsInt(fwd, "src", "dst", iters = 3)
       }): Q
       },
-      Some(hitsOracleSql(3, 1000000L))))
+      Some(hitsOracleSql(3, 1000000L))),
+
+    // Personalized PageRank from the part-id<5 seed set (Graph.pprInt) —
+    // "expand the trusted core": teleport mass lands only on seeds, so
+    // rank decays with graph distance from them. The crawl-frontier /
+    // related-document prioritization primitive; 4 rounds, bit-exact
+    // integer recurrence, unrolled oracle.
+    ("q_graph_ppr", {
+      ((s: SparkSession, d: String) => {
+        val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
+          .select((col("l_partkey") * 2).as("seed"))
+        Graph.pprInt(partSupplierEdges(s, d), "src", "dst",
+          seeds, "seed", iters = 4)
+      }): Q
+      },
+      Some(pprOracleSql(4))))
 
   // ================================================== composed cleaning
 

@@ -347,6 +347,60 @@ object Graph {
   }
 
   /**
+   * Personalized PageRank (the topic-sensitive variant of Haveliwala 2002):
+   * identical integer recurrence to [[pageRankInt]], except the teleport
+   * term lands ONLY on the seed set —
+   *
+   *   rank_0(v)   = scale · 1{v ∈ S}
+   *   rank_t+1(v) = 1{v ∈ S} · (15 · scale) / 100
+   *               + (85 · Σ_{u->v} rank_t(u) DIV outdeg(u)) / 100
+   *
+   * — so mass diffuses outward from the seeds and decays with graph
+   * distance: the "expand a trusted core" primitive (seed domains →
+   * crawl-frontier prioritization, seed documents → related-document
+   * harvest). Same determinism and overflow bounds as [[pageRankInt]];
+   * same one-lazy-DAG fixed-round shape (each round references only its
+   * predecessor — no per-round actions, lineage cut periodically).
+   *
+   * Output: (node, rank) for EVERY node of the graph (untouched nodes
+   * rank 0).
+   */
+  def pprInt(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, s"pprInt needs iters >= 0, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(deg, "src").localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("isseed", lit(1L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(sd, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("isseed"), lit(0L)).as("isseed"))
+      .localCheckpoint()
+    val CheckpointEvery = 8
+    var ranks = nodes.select(col("node"),
+      (col("isseed") * scale).as("rank"))
+    for (i <- 1 to iters) {
+      val rhs = ranks
+      val contrib = eo.join(rhs, eo("src") === rhs("node"))
+        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
+      ranks = contrib
+        .union(nodes.select(col("node"), lit(0L).as("c")))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+        .join(nodes, "node")
+        .select(col("node"),
+          (col("isseed") * (15L * scale / 100L) +
+            expr("(85 * s) DIV 100")).as("rank"))
+      if (i % CheckpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /**
    * HITS hub/authority scores (Kleinberg 1999) with integer fixed-point
    * arithmetic, run for a FIXED number of rounds over a DIRECTED edge list:
    *

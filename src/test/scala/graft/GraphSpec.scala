@@ -246,6 +246,62 @@ class GraphSpec extends SparkSpec {
     assert(labels(300L) == labels(301L) && labels(301L) == labels(302L))
   }
 
+  /** Independent plain-Scala fold of the seed-gated PPR recurrence. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(n => n -> (if (seeds(n)) Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val recv = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => rank(s) / out(s) }.sum
+      }
+      rank = nodes.map(n => n -> ((if (seeds(n)) 150000000000L else 0L) +
+        85L * recv.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] =
+    Graph.pprInt(edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("seed"), "seed", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("pprInt: rank decays with distance from the seed; off-component is 0") {
+    // DIRECTED chain 1->2->3->4 with seed 1, plus a disconnected edge
+    // 8->9: every out-degree is 1, so the fixed-point rank is geometric in
+    // distance (r(d+1) = 85% of r(d)) and must strictly decrease along the
+    // chain; off-component nodes stay exactly 0. (On an UNDIRECTED path the
+    // decay claim is false — reflected mass makes the seed's sole neighbor
+    // outrank the seed at the fixed point — so the directed chain is the
+    // honest monotonicity witness.)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    val r = runPpr(edges, Seq(1L), 6)
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L) && r(4L) > 0L)
+    assert(r(8L) == 0L && r(9L) == 0L)
+    assert(r == refPpr(edges, Set(1L), 6))
+  }
+
+  test("pprInt: random graphs and multi-seed sets match the fold (seeded)") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(7)
+      val edges = (1 to 24).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val pool = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val seeds = pool.take(1 + rnd.nextInt(3))
+        for (iters <- Seq(0, 2, 4)) {
+          assert(runPpr(edges, seeds, iters) ==
+            refPpr(edges, seeds.toSet, iters),
+            s"trial $trial iters=$iters seeds=$seeds edges=$edges")
+        }
+      }
+    }
+  }
+
   /** Independent plain-Scala replication of the max-normalized integer
     * HITS recurrence (duplicate edges honored, like the operator). */
   private def refHits(edges: Seq[(Long, Long)], iters: Int,
