@@ -8773,6 +8773,30 @@ object QueryCatalog {
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.ssspInt]] over the weighted
+    * part<->supplier graph (edge weight = min line price in cents for the
+    * pairing) from the part-id<5 seed set: one (relax-union, min-group)
+    * CTE pair per round — the Bellman-Ford "cheapest within r hops"
+    * invariant, bit-exact in BIGINT min/plus. */
+  private def ssspOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+        u$r AS (SELECT node, dist FROM d${r - 1}
+          UNION ALL SELECT e.dst, d.dist + e.w
+          FROM d${r - 1} d JOIN e ON e.src = d.node),
+        d$r AS (SELECT node, min(dist) AS dist FROM u$r GROUP BY 1)"""
+    }.mkString
+    s"""WITH fwd AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+          min(${centsSql("l_extendedprice")}) AS w
+        FROM lineitem GROUP BY 1, 2),
+        e AS (SELECT src, dst, w FROM fwd
+          UNION ALL SELECT dst, src, w FROM fwd),
+        d0 AS (SELECT DISTINCT l_partkey * 2 AS node,
+            CAST(0 AS BIGINT) AS dist
+          FROM lineitem WHERE l_partkey < 5)$steps
+        SELECT node, dist FROM d$rounds"""
+  }
+
   /** Unrolled DuckDB replay of [[Graph.hitsInt]] over the DIRECTED
     * part->supplier graph: one (auth-pass, hub-pass) CTE quad per round,
     * max-normalized with integer `//` — bit-identical to the Spark
@@ -9195,7 +9219,27 @@ object QueryCatalog {
           seeds, "seed", iters = 4)
       }): Q
       },
-      Some(pprOracleSql(4))))
+      Some(pprOracleSql(4))),
+
+    // Weighted shortest paths (Graph.ssspInt), 4 Bellman-Ford rounds from
+    // the part-id<5 seed set over the part<->supplier graph weighted by
+    // the pairing's min line price in cents — "cheapest route within r
+    // legs", exact by the Bellman-Ford invariant, BIGINT min/plus so the
+    // unrolled oracle replays it bit-identically.
+    ("q_graph_sssp", {
+      ((s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val fwd = li.groupBy((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(min(cents(col("l_extendedprice"))).as("w"))
+        val edges = fwd.union(
+          fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        val seeds = li.filter(col("l_partkey") < 5)
+          .select((col("l_partkey") * 2).as("seed"))
+        Graph.ssspInt(edges, "src", "dst", "w", seeds, "seed", rounds = 4)
+      }): Q
+      },
+      Some(ssspOracleSql(4))))
 
   // ================================================== composed cleaning
 

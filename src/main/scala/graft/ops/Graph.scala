@@ -516,4 +516,50 @@ object Graph {
     }
     lvl
   }
+
+  /**
+   * Weighted single-source (single-SET) shortest paths: fixed-round
+   * Bellman-Ford relaxation with BIGINT edge weights —
+   *
+   *   dist_0(v)   = 0 for v in the seed set (absent otherwise)
+   *   dist_t+1(v) = min( dist_t(v), min_{(u,v,w) in E} dist_t(u) + w )
+   *
+   * After r rounds, `dist(v)` is the exact cheapest cost over paths of at
+   * most r hops (the Bellman-Ford invariant), so a fixed `rounds` bounds
+   * the search radius the same way [[bfsLevels]] does for hop counts —
+   * the "cheapest route within r legs" primitive (logistics cost,
+   * weighted link distance on a similarity graph). Integer min/plus has
+   * no ordering sensitivity, so the recurrence is bit-identical across
+   * engines and a DuckDB oracle replays it round by round.
+   *
+   * Scale shape: each round is ONE equi-join of the reached-set against
+   * the edge list plus ONE min-aggregate — both shuffle on the node key,
+   * map-side combining, linear in reached edges per round. Rounds
+   * reference only their predecessor, so the whole traversal pipelines as
+   * a single lazy DAG (pageRankInt's policy, not bfsLevels' eager one —
+   * there is no anti-join against accumulated history here), with a
+   * periodic lineage cut. Weights must be non-negative for the
+   * min-within-r-hops reading (negative edges still relax correctly but
+   * the radius interpretation is lost); unreached nodes are absent.
+   */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"ssspInt needs 1 <= rounds <= 32, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(wCol).cast("long").as("w")).localCheckpoint()
+    val CheckpointEvery = 8
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("dist", lit(0L))
+    for (r <- 1 to rounds) {
+      val prev = dist
+      val relaxed = e.join(prev.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = prev.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
+      if (r % CheckpointEvery == 0 && r < rounds) dist = dist.localCheckpoint()
+    }
+    dist
+  }
 }

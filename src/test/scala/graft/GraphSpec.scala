@@ -302,6 +302,60 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Independent plain-Scala fold of the Bellman-Ford relaxation. */
+  private def refSssp(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    var dist: Map[Long, Long] = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(d => v -> (d + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  private def runSssp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int): Map[Long, Long] =
+    Graph.ssspInt(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      seeds.toDF("seed"), "seed", rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("ssspInt: hand graph — cheaper 2-hop route beats the direct edge") {
+    // 1->3 direct costs 10; 1->2->3 costs 3+4=7; node 4 is 2 hops past 3;
+    // node 9 unreachable. rounds=1 must report the 1-hop truth (direct 10).
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 10L),
+      (3L, 4L, 1L), (9L, 1L, 1L))
+    val r1 = runSssp(edges, Seq(1L), 1)
+    assert(r1(3L) == 10L && r1(2L) == 3L && !r1.contains(4L))
+    val r3 = runSssp(edges, Seq(1L), 3)
+    assert(r3(1L) == 0L && r3(2L) == 3L && r3(3L) == 7L && r3(4L) == 8L)
+    assert(!r3.contains(9L)) // 9 reaches 1, nothing reaches 9
+    assert(r3 == refSssp(edges, Set(1L), 3))
+  }
+
+  test("ssspInt: random weighted graphs match the fold; rounds monotone") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(6)
+      val edges = (1 to 20).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, 1L + rnd.nextInt(9))).distinct
+        .filter { case (a, b, _) => a != b }
+      if (edges.nonEmpty) {
+        val seeds = Seq(edges.head._1)
+        val byRound = Seq(1, 2, 4).map(r =>
+          r -> runSssp(edges, seeds, r)).toMap
+        for ((r, got) <- byRound)
+          assert(got == refSssp(edges, seeds.toSet, r),
+            s"trial $trial rounds=$r edges=$edges")
+        // more rounds never worsens a distance, only adds/loosens nodes
+        for ((node, d4) <- byRound(4); d2 <- byRound(2).get(node))
+          assert(d4 <= d2, s"trial $trial node $node: $d4 > $d2")
+      }
+    }
+  }
+
   /** Independent plain-Scala replication of the max-normalized integer
     * HITS recurrence (duplicate edges honored, like the operator). */
   private def refHits(edges: Seq[(Long, Long)], iters: Int,
