@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Transforms
 import graft.incr.Incremental
 import graft.meta.ColumnSpec
-import graft.ops.{Dedup, Graph, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, Graph, Multimodal, Recon, Sampling, Similarity, TextOps}
 import graft.pipeline.StageTransform
 import graft.write.MergeWriter
 
@@ -1468,6 +1468,57 @@ object QueryCatalog {
           CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1""")),
+
+    // Post-backfill reconciliation audit (Recon.diff): the "right" table
+    // is orders after a simulated faulty migration — every 97th key
+    // dropped, every 89th price drifted one cent, every 101st key
+    // re-added under a rogue negative id — and the diff must recover
+    // EXACTLY that fault set with per-column drill-down. One full-outer
+    // co-partitioned join; matched rows are never emitted (at 100 TB the
+    // diff is the output contract, not a table copy).
+    ("q_recon_rowdiff",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus").as("ostatus"),
+          col("o_orderpriority").as("prio"))
+        val right = o.filter(col("k") % 97 =!= 0)
+          .withColumn("price_cents", col("price_cents") +
+            when(col("k") % 89 === 0, 1L).otherwise(0L))
+          .unionByName(o.filter(col("k") % 101 === 0)
+            .withColumn("k", -col("k")))
+        Recon.diff(o, right, Seq("k"),
+          Seq("price_cents", "ostatus", "prio"))
+      },
+      Some(s"""WITH l AS (SELECT o_orderkey AS k,
+            ${centsSql("o_totalprice")} AS price_cents,
+            o_orderstatus AS ostatus, o_orderpriority AS prio
+          FROM orders),
+        r AS (SELECT k, price_cents
+              + CASE WHEN k % 89 = 0 THEN 1 ELSE 0 END AS price_cents,
+            ostatus, prio FROM l WHERE k % 97 <> 0
+          UNION ALL
+          SELECT -k, price_cents, ostatus, prio FROM l WHERE k % 101 = 0),
+        j AS (SELECT coalesce(l.k, r.k) AS k,
+            l.k IS NOT NULL AS lp, r.k IS NOT NULL AS rp,
+            l.price_cents AS lpc, r.price_cents AS rpc,
+            l.ostatus AS lo, r.ostatus AS ro,
+            l.prio AS lpr, r.prio AS rpr
+          FROM l FULL OUTER JOIN r ON l.k = r.k),
+        o AS (SELECT k,
+            CASE WHEN NOT rp THEN 'removed' WHEN NOT lp THEN 'added'
+              ELSE 'changed' END AS status,
+            CASE WHEN lp AND rp THEN concat_ws(',',
+                CASE WHEN lpc IS NOT DISTINCT FROM rpc THEN NULL
+                  ELSE 'price_cents' END,
+                CASE WHEN lo IS NOT DISTINCT FROM ro THEN NULL
+                  ELSE 'ostatus' END,
+                CASE WHEN lpr IS NOT DISTINCT FROM rpr THEN NULL
+                  ELSE 'prio' END)
+              ELSE '' END AS changed_cols
+          FROM j)
+        SELECT k, status, changed_cols FROM o
+        WHERE status <> 'changed' OR changed_cols <> ''""")),
 
     // Time-series densification: hourly resample (max value per hour) onto
     // each event type's full hour grid, gaps filled by
