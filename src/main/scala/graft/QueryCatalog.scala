@@ -4483,6 +4483,25 @@ object QueryCatalog {
     // as BM25 requires), per-(doc,term) micro-scores stay BIGINT so the
     // per-doc sum is exact, and the global top-10 is a TakeOrdered — no
     // corpus window anywhere.
+    // First-occurrence 3-gram novelty (TextOps.noveltyProfile): each doc's
+    // marginal-content price under id-ordered ingestion — boilerplate
+    // scores ~0, fresh text ~1. The per-document complement of the pair
+    // -finding dedup families. One explode + min-per-gram (map-side
+    // combined) + a fan-out-1 posting join — linear in postings.
+    ("q_text_novelty",
+      (s: SparkSession, d: String) => TextOps.noveltyProfile(
+        t(s, d, "documents"), "doc_id", "text", n = 3),
+      Some(s"""WITH ${shingleSql(3)},
+          fst AS (SELECT sg, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+          j AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+            FROM sh JOIN fst USING (sg) GROUP BY 1)
+          SELECT doc_id, n_grams, n_novel,
+            CAST(floor(1e6 * CAST(n_novel AS DOUBLE) /
+              CAST(n_grams AS DOUBLE)) AS BIGINT) AS novelty_micro
+          FROM j""")),
+
     ("q_text_search", {
       ((s: SparkSession, d: String) => {
         val k1 = Bm25K1; val b = Bm25B
@@ -5748,6 +5767,45 @@ object QueryCatalog {
           min(n2) AS n2_min, max(n2) AS n2_max,
           CAST(sum(n2) AS BIGINT) AS n2_sum
         FROM v GROUP BY 1""")),
+
+    // Per-dimension embedding moment audit — the anisotropy check run
+    // BEFORE trusting any cosine-based dedup/ANN: embeddings whose
+    // variance concentrates in a few dimensions (rogue dims, collapsed
+    // encoder) make cosine thresholds meaningless, and the per-dim mean
+    // exposes an uncentered space. One posexplode + one combine-enabled
+    // aggregate (64·#partitions partial rows), then a 64-row broadcast
+    // total — output bounded by dims, never by corpus. Moments are exact
+    // BIGINT on the quantized grid (at 1e9+ vectors promote ss to
+    // decimal(38,0) — the 2^63 wrap point); only the presentation share
+    // is one IEEE division.
+    ("q_emb_dims",
+      (s: SparkSession, d: String) => {
+        val per = t(s, d, "embeddings")
+          .select(posexplode(Similarity.quantize(col("embedding")))
+            .as(Seq("p", "x")))
+          .groupBy(col("p").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"), sum("x").as("s"),
+            sum(col("x") * col("x")).as("ss"))
+          .withColumn("var_num",
+            col("n") * col("ss") - col("s") * col("s"))
+        val tot = per.agg(sum("var_num").as("tot"))
+        per.crossJoin(broadcast(tot))
+          .select(col("dim"), col("n"), col("s"), col("ss"), col("var_num"),
+            floor(lit(1e6) * col("var_num").cast("double") /
+              col("tot").cast("double")).cast("long").as("var_share_micro"))
+      },
+      Some(s"""WITH q AS (SELECT $quantSql AS v FROM embeddings),
+          ex AS (SELECT i - 1 AS dim, v[i] AS x FROM q,
+            UNNEST(range(1, ${JlDims + 1})) AS u(i)),
+          per AS (SELECT CAST(dim AS BIGINT) AS dim,
+              CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS ss FROM ex GROUP BY 1),
+          v2 AS (SELECT dim, n, s, ss, n * ss - s * s AS var_num FROM per),
+          tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tot FROM v2)
+        SELECT dim, n, s, ss, CAST(var_num AS BIGINT) AS var_num,
+          CAST(floor(1e6 * CAST(var_num AS DOUBLE) / CAST(tot AS DOUBLE))
+            AS BIGINT) AS var_share_micro
+        FROM v2 CROSS JOIN tot""")),
 
     ("q_emb_neardup",
       (s: SparkSession, d: String) => {
@@ -8991,6 +9049,36 @@ object QueryCatalog {
             CAST(sum(i) AS BIGINT) AS in_deg,
             count(*) AS degree
           FROM b GROUP BY 1""")),
+
+    // Degree assortativity (Newman 2002) of the same graph — one number
+    // saying whether hubs link to hubs (>0) or to leaves (<0), i.e. which
+    // side of a downstream graph join carries the hot keys. The bipartite
+    // part<->supplier graph is structurally disassortative, so the audit
+    // has signal here. Exact BIGINT moments; the correlation itself is one
+    // fixed IEEE chain (the moment products would wrap 2^63 at exactly the
+    // graph sizes this audit targets).
+    ("q_graph_assortativity",
+      (s: SparkSession, d: String) => Graph.assortativity(
+        partSupplierEdges(s, d), "src", "dst"),
+      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+            l_suppkey * 2 + 1 AS dst FROM lineitem),
+          e AS (SELECT src, dst FROM fwd
+            UNION ALL SELECT dst, src FROM fwd),
+          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+          p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM e
+            JOIN deg dx ON e.src = dx.node
+            JOIN deg dy ON e.dst = dy.node),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+              CAST(sum(dx) AS BIGINT) AS sx,
+              CAST(sum(dx * dy) AS BIGINT) AS sxy,
+              CAST(sum(dx * dx) AS BIGINT) AS sxx FROM p)
+          SELECT n_edges, sx, sxy, sxx,
+            CAST(floor(1e6 * (CAST(n_edges AS DOUBLE) * sxy
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              / (CAST(n_edges AS DOUBLE) * sxx
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+              AS r_micro
+          FROM m""")),
 
     // Fixed-round k-core peel (Graph.kCore) over the sampled co-order
     // graph — density filtering of the similarity graph. k=16 sits below

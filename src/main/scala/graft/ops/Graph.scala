@@ -542,6 +542,54 @@ object Graph {
    * min-within-r-hops reading (negative edges still relax correctly but
    * the radius interpretation is lost); unreached nodes are absent.
    */
+  /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of the
+   * endpoint degrees across the edge list — POSITIVE when hubs link to
+   * hubs (social-graph shape), NEGATIVE when hubs link to leaves
+   * (hub-and-spoke / bipartite projections, most similarity graphs). The
+   * single number that says which skew-mitigation a downstream graph op
+   * needs: a disassortative graph's hot keys sit on one join side only.
+   *
+   * Caller passes the symmetrized edge list (both directions), so every
+   * unordered edge contributes its (deg(u), deg(v)) pair twice — the
+   * standard undirected estimator, symmetric by construction.
+   *
+   * Determinism: degree moments (n, Σx, Σxy, Σx², with Σy = Σx by
+   * symmetry) are exact BIGINT sums; only the final correlation is IEEE —
+   * one fixed chain of double ops on already-exact integers, bit-identical
+   * across engines, presented floor-quantized at 1e-6. The moment products
+   * go through DOUBLE (not BIGINT) because n·Σxy wraps 2^63 exactly at
+   * the corpus scales this audit targets (the contingency-cell lesson).
+   *
+   * Scale shape: one combine-enabled degree count, two shuffle joins of
+   * the edge list against the node-sized degree table, one global moment
+   * aggregate. Linear in |E|, no window, no driver state.
+   */
+  def assortativity(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+    val m = pairs.agg(
+      count(lit(1)).as("n_edges"),
+      sum("dx").as("sx"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"))
+    // symmetrized list: Σdy = Σdx and Σdy² = Σdx², so one moment set
+    // serves both axes and the denominator is a single variance term
+    val n = col("n_edges").cast("double")
+    val cov = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    m.select(col("n_edges"), col("sx"), col("sxy"), col("sxx"),
+      floor(lit(1e6) * cov / varx).cast("long").as("r_micro"))
+  }
+
   def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, seeds: DataFrame, seedCol: String,
       rounds: Int): DataFrame = {

@@ -1015,4 +1015,34 @@ object TextOps {
     concat(scheme, lit("://"), host, path,
       when(kept === "", "").otherwise(concat(lit("?"), kept)))
   }
+
+  /**
+   * First-occurrence n-gram novelty: per document, the fraction of its
+   * distinct word n-grams whose FIRST appearance (minimum `idCol` over the
+   * corpus) is this document. The streaming-order curation signal behind
+   * "keep documents that add new content": a crawl snapshot ingested in id
+   * order scores boilerplate and syndicated copy near 0 and fresh text
+   * near 1 — the per-document complement of the corpus-level dedup
+   * families (which find the duplicate PAIRS; this prices each doc's
+   * marginal contribution).
+   *
+   * Scale shape: one shingle explode (compiled `shingleTable` path), one
+   * combine-enabled `min` per gram (a gram shared by a million docs
+   * reaches the shuffle once per partition), one gram-keyed shuffle join
+   * whose fan-out is exactly 1 per posting row, one combine-enabled
+   * per-doc count. Linear in total postings; no window, no driver state.
+   */
+  def noveltyProfile(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = Dedup.shingleTable(df, idCol, textCol, n)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long"))
+          .as("n_novel"))
+      .withColumn("novelty_micro",
+        floor(lit(1e6) * col("n_novel").cast("double") /
+          col("n_grams").cast("double")).cast("long"))
+  }
 }
