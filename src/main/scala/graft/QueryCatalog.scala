@@ -165,6 +165,53 @@ object QueryCatalog {
     sb.toString
   }
 
+  /** Round-unrolled DuckDB replay of Bpe.train + [[graft.ops.Bpe
+    * .tokenCount]]: ONE chain of CTEs keeps word identity (e0..eN carry
+    * `word`), so each round derives its pair counts from the same relation
+    * the merge is then applied to — algebraically identical to
+    * [[bpeOracleSql]]'s train chain — and the final per-word symbol count
+    * joins back onto the token stream WITH multiplicity. Docs whose token
+    * list is empty keep a 0 row (left join from documents), matching the
+    * engine's per-doc map. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (SELECT t AS word, count(*) AS cnt
+        FROM (SELECT ${tokensSql()} AS ts FROM documents),
+          UNNEST(ts) AS u(t)
+        GROUP BY 1),
+      e0 AS (SELECT word,
+          list_append(regexp_extract_all(word, '.'), '</w>') AS syms, cnt
+        FROM w)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+          CAST(sum(cnt) AS BIGINT) AS total
+        FROM e${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
+        GROUP BY 1, 2),
+      best$r AS (SELECT a, b FROM pc$r
+        ORDER BY total DESC, a, b LIMIT 1),
+      e$r AS (SELECT word, list_reduce(
+          list_prepend(CAST([] AS VARCHAR[]),
+            list_transform(syms, s -> [s])),
+          (acc, x) -> CASE
+            WHEN len(acc) > 0 AND acc[-1] = best$r.a AND x[1] = best$r.b
+            THEN acc[1:len(acc) - 1] || [best$r.a || best$r.b]
+            ELSE acc || x END) AS syms, cnt
+        FROM e${r - 1}, best$r)"""
+    }
+    sb ++= s""",
+      wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM e$rounds),
+      tok AS (SELECT doc_id, t AS word
+        FROM (SELECT doc_id, ${tokensSql()} AS ts FROM documents),
+          UNNEST(ts) AS u(t)),
+      per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+        FROM tok JOIN wl USING (word) GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT)
+        AS n_bpe_tokens
+      FROM documents d LEFT JOIN per USING (doc_id)"""
+    sb.toString
+  }
+
   private def riEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -2032,6 +2079,50 @@ object QueryCatalog {
     // doubles — t² = (m1−m2)² / (v1/n1 + v2/n2), each term a fixed IEEE
     // expression of exact BIGINTs. The parametric complement of
     // q_agg_abtest (proportions) and q_agg_mannwhitney (ranks).
+    // Isotonic calibration (Stats.isotonicFit — PAVA via the minimax
+    // formula) of P(purchase | $25 value bin): the monotone-curve step a
+    // quality-classifier pipeline runs between raw score and threshold.
+    // One corpus pass (per-bin count/sum); the B^3 minimax runs on the
+    // 12-row bin table. Segment averages are single IEEE divisions of
+    // exact BIGINTs, so the min/max lattice replays bit-identically.
+    ("q_agg_isotonic",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").filter(col("value").isNotNull)
+          .select(
+            least(floor(cents(col("value")).cast("double") / lit(2500.0)),
+              lit(11.0)).cast("long").as("score_bin"),
+            (col("event_type") === "purchase").cast("long").as("label"))
+        graft.ops.Stats.isotonicFit(ev, "score_bin", "label")
+      },
+      Some(s"""WITH e AS (SELECT
+            CAST(least(floor(CAST(${centsSql("\"value\"")} AS DOUBLE)
+              / 2500.0), 11.0) AS BIGINT) AS bin,
+            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+          FROM events WHERE "value" IS NOT NULL),
+        bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(label) AS BIGINT) AS s FROM e GROUP BY 1),
+        cum AS (SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cn,
+            CAST(sum(b.s) AS BIGINT) AS cs
+          FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY 1),
+        segs AS (
+          SELECT p.bin + 1 AS j, k.bin AS k,
+              CAST(k.cs - p.cs AS DOUBLE) / CAST(k.cn - p.cn AS DOUBLE)
+                AS avg
+            FROM cum k JOIN cum p ON p.bin < k.bin
+          UNION ALL
+          SELECT (SELECT min(bin) FROM bins) AS j, bin AS k,
+              CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS avg
+            FROM cum),
+        inn AS (SELECT i.bin AS i, s.j, min(s.avg) AS mn
+          FROM (SELECT bin FROM bins) i
+          JOIN segs s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
+        fit AS (SELECT i, max(mn) AS f FROM inn GROUP BY 1)
+        SELECT b.bin, b.n, b.s,
+          CAST(floor(1e6 * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+            AS BIGINT) AS rate_micro,
+          CAST(floor(1e6 * f) AS BIGINT) AS fit_micro
+        FROM bins b JOIN fit ON b.bin = fit.i""")),
+
     ("q_agg_welch",
       (s: SparkSession, d: String) => {
         // hecto-units, not cents: the n·Σx² − (Σx)² variance numerator
@@ -4475,6 +4566,23 @@ object QueryCatalog {
           .toDF("round", "a", "b")
       },
       Some(bpeOracleSql(3))),
+
+    // BPE ENCODING under the learned vocabulary (Bpe.tokenCount): train 3
+    // merges, then count each document's subword tokens — the budget
+    // currency of every token-count / packing / mixture step downstream.
+    // The corpus pass applies merges via a per-partition word cache
+    // (Zipf: a few thousand distinct words cover nearly all tokens), so
+    // the scan does hash lookups, not re-encodes; the oracle replays the
+    // train chain word-identically and joins symbol counts back onto the
+    // token stream with multiplicity.
+    ("q_text_bpe_encode",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 3,
+          minPairCount = 1L)
+        graft.ops.Bpe.tokenCount(docs, "doc_id", "text", merges)
+      },
+      Some(bpeEncodeOracleSql(3))),
 
     // Query-time BM25 retrieval — the step q_text_bm25 (weights) and
     // q_text_index (postings) build toward: a fixed 3-term query prunes
@@ -7823,6 +7931,60 @@ object QueryCatalog {
     // flags constant-ish columns and near-unique keys in one scan). All
     // three columns melt through ONE explode, so the fact table is read
     // once; presentation is a single double division.
+    // Pairwise mutual-information screen (Stats.mutualInfoBits) in the
+    // entropy query's floor-log2 bit units — the dependence / leakage
+    // audit over categorical column pairs (a leaked label or denormalized
+    // copy scores high; independent pairs ~0). Null categories fold to a
+    // '-' sentinel so no cell drops at the marginal joins.
+    ("q_profile_mi",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val dow = date_format(col("ts"), "EEEE")
+        val hour = date_format(col("ts"), "HH")
+        val vbin = coalesce(
+          least(floor(cents(col("value")).cast("double") / lit(5000.0)),
+            lit(9.0)).cast("long").cast("string"), lit("-"))
+        val pairs = ev.select(explode(array(
+            struct(lit("event_type|dow").as("pair"),
+              col("event_type").as("x"), dow.as("y")),
+            struct(lit("event_type|value_bin").as("pair"),
+              col("event_type").as("x"), vbin.as("y")),
+            struct(lit("dow|hour").as("pair"), dow.as("x"),
+              hour.as("y")))).as("p"))
+          .select(col("p.pair").as("pair"), col("p.x").as("x"),
+            col("p.y").as("y"))
+        graft.ops.Stats.mutualInfoBits(pairs, "pair", "x", "y")
+      },
+      Some("""WITH m AS (
+          SELECT 'event_type|dow' AS pair, event_type AS x,
+            strftime(ts, '%A') AS y FROM events
+          UNION ALL
+          SELECT 'event_type|value_bin', event_type,
+            coalesce(CAST(CAST(least(floor(
+              CAST(CAST(floor("value" * 100) AS BIGINT) AS DOUBLE)
+                / 5000.0), 9.0) AS BIGINT) AS VARCHAR), '-')
+          FROM events
+          UNION ALL
+          SELECT 'dow|hour', strftime(ts, '%A'), strftime(ts, '%H')
+          FROM events),
+        cells AS (SELECT pair, x, y, count(*) AS c FROM m GROUP BY 1, 2, 3),
+        mx AS (SELECT pair, x, CAST(sum(c) AS BIGINT) AS cx
+          FROM cells GROUP BY 1, 2),
+        my AS (SELECT pair, y, CAST(sum(c) AS BIGINT) AS cy
+          FROM cells GROUP BY 1, 2),
+        nn AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
+          FROM cells GROUP BY 1),
+        ag AS (SELECT pair, count(*) AS n_cells, max(n) AS n,
+            CAST(sum(c * ((length(bin(c)) - 1) + (length(bin(n)) - 1)
+              - (length(bin(cx)) - 1) - (length(bin(cy)) - 1)))
+              AS BIGINT) AS s_bits
+          FROM cells JOIN mx USING (pair, x) JOIN my USING (pair, y)
+            JOIN nn USING (pair) GROUP BY 1)
+        SELECT pair, n_cells, n, s_bits,
+          CAST(floor(1e6 * CAST(s_bits AS DOUBLE) / CAST(n AS DOUBLE))
+            AS BIGINT) AS mi_microbits
+        FROM ag""")),
+
     ("q_profile_entropy",
       (s: SparkSession, d: String) => {
         val bl = (c: org.apache.spark.sql.Column) =>

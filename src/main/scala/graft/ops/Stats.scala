@@ -658,6 +658,113 @@ object Stats {
   /** The exact double constant [[hllSummary]] divides by, for oracle
     * interpolation (Double.toString round-trips, so both engines parse
     * the identical bits). */
+  /**
+   * Pairwise mutual information between categorical column pairs, in the
+   * catalog's integer floor-log2 units (the [[q_profile_entropy]]
+   * discipline: `bl(c) = floor(log2 c)` via bit length — deterministic
+   * across engines, no transcendental):
+   *
+   *   s_bits = Σ_xy c_xy · (bl(c_xy) + bl(N) − bl(c_x) − bl(c_y))
+   *   mi_microbits = floor(1e6 · s_bits / N)
+   *
+   * The dependence screen a feature-selection / leakage audit runs over
+   * column pairs before training on tabular data: ~0 for independent
+   * pairs, strongly positive when one column predicts another (a leaked
+   * label, a denormalized copy). Floor-log2 makes it a proxy — exact
+   * enough to rank pairs, bit-identical everywhere.
+   *
+   * Input is the exploded (pair, x, y) stream; the only corpus-sized op
+   * is the combine-enabled cell count. Marginals re-aggregate the CELL
+   * table (bounded by distinct value combos, not rows) and join back on
+   * it. No window, no driver state.
+   */
+  def mutualInfoBits(pairs: DataFrame, pairCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def bl(c: Column): Column =
+      graft.plans.GraftExpressions.bit_length_long(c) - lit(1L)
+    val cells = pairs.groupBy(col(pairCol).as("pair"),
+        col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val mx = cells.groupBy("pair", "x").agg(sum("c").as("cx"))
+    val my = cells.groupBy("pair", "y").agg(sum("c").as("cy"))
+    val n = cells.groupBy("pair").agg(sum("c").as("n"))
+    cells.join(mx, Seq("pair", "x")).join(my, Seq("pair", "y"))
+      .join(n, "pair")
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_cells"), max("n").as("n"),
+        sum(col("c") * (bl(col("c")) + bl(col("n")) - bl(col("cx")) -
+          bl(col("cy")))).as("s_bits"))
+      .withColumn("mi_microbits",
+        floor(lit(1e6) * col("s_bits").cast("double") /
+          col("n").cast("double")).cast("long"))
+  }
+
+  /**
+   * Isotonic (monotone non-decreasing) calibration of a binned score
+   * against a binary label, via the minimax characterization of isotonic
+   * regression (Robertson-Wright-Dykstra):
+   *
+   *   fit(i) = max_{j <= i} min_{k >= i} (S[j..k] / N[j..k])
+   *
+   * — identical to the PAVA solution, but expressible as two bounded
+   * joins instead of a sequential pool loop. The step a quality-classifier
+   * pipeline runs between raw model score and threshold choice: the fit
+   * is the unique monotone curve with minimal L2 error, so thresholding
+   * it keeps the score's ranking while exposing honest per-bin rates.
+   *
+   * Scale shape: the ONLY corpus-sized pass is the per-bin count/sum
+   * aggregate (combine-enabled). Everything after runs on the B-row bin
+   * table — a B² triangle self-join for cumulative sums, a B³-tuple
+   * minimax (two grouped aggregates) — all broadcast-sized for the
+   * bounded B this op is for (`require`d <= 64; a score calibrator wants
+   * 10-30 bins). No window anywhere, no driver state.
+   *
+   * Determinism: S and N are exact BIGINTs; a segment average is ONE IEEE
+   * division of exact integers, so min/max over segment averages are
+   * bit-identical across engines; presentation is micro-floored.
+   */
+  def isotonicFit(df: DataFrame, binCol: String, labelCol: String,
+      maxBins: Int = 64): DataFrame = {
+    val bins = df.groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("s"))
+    val nb = bins.count()
+    require(nb <= maxBins,
+      s"isotonicFit: $nb bins exceeds maxBins=$maxBins — the minimax is " +
+      "B^3 in the bin count; coarsen the binning (or raise maxBins " +
+      "deliberately)")
+    // cumulative sums without a window: B^2 triangle self-join
+    val cum = bins.as("a")
+      .join(bins.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(sum("b.n").as("cn"), sum("b.s").as("cs"))
+    // segment [j..k] averages: pair each k with every j <= k; the j-1
+    // prefix is cum(j-1), folded in as a left join on the predecessor row
+    val segs = cum.as("k")
+      .join(cum.select(col("bin").as("j"), col("cn").as("cnp"),
+        col("cs").as("csp")).as("p"), col("p.j") < col("k.bin"), "inner")
+      .select(col("p.j").as("j"), col("k.bin").as("k"),
+        ((col("k.cs") - col("csp")).cast("double") /
+         (col("k.cn") - col("cnp")).cast("double")).as("avg"))
+      .union(cum.select(lit(null).cast("long").as("j"),
+        col("bin").as("k"),
+        (col("cs").cast("double") / col("cn").cast("double")).as("avg")))
+    // null j marks "segment starts at the first bin" (no predecessor);
+    // normalize to the starting bin id: j = predecessor + 1, or min bin
+    val minBin = bins.agg(min("bin").as("mb"))
+    val seg2 = segs.crossJoin(broadcast(minBin))
+      .select(coalesce(col("j") + 1, col("mb")).as("j"), col("k"),
+        col("avg"))
+    val idx = bins.select(col("bin").as("i"))
+    val inner = idx.join(seg2, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("avg").as("mn"))
+    val fit = inner.groupBy("i").agg(max("mn").as("fit"))
+    bins.join(fit, col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("s"),
+        floor(lit(1e6) * col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("rate_micro"),
+        floor(lit(1e6) * col("fit")).cast("long").as("fit_micro"))
+  }
+
   def hllAlphaConst(p: Int): String = {
     val m = 1 << p
     (0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble *

@@ -1786,4 +1786,66 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect()
     assert(out.toSeq === Seq(("e", 2L, 0L, 2L, 0L, 0L)))
   }
+
+  test("isotonicFit: equals hand-run PAVA, fit is monotone") {
+    // rates by bin: 0.5, 0.0, 1.0 — PAVA pools bins 0+1 to 1/4
+    val rows =
+      Seq.fill(2)((0L, 1L)) ++ Seq.fill(2)((0L, 0L)) ++ // bin 0: 2/4...
+      Seq.fill(2)((1L, 0L)) ++                           // bin 1: 0/2
+      Seq.fill(3)((2L, 1L))                              // bin 2: 3/3
+    val df = rows.toDF("bin", "label")
+    val got = Stats.isotonicFit(df, "bin", "label")
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // PAVA: bins 0,1 violate (0.5 > 0.0) -> pool to (2+0)/(4+2) = 1/3
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.map(_._5).toSeq === Seq(333333L, 333333L, 1000000L))
+    assert(got.map(_._5).toSeq.sliding(2).forall(p => p(0) <= p(1)))
+    // raw rates preserved alongside
+    assert(got.map(_._4).toSeq === Seq(500000L, 0L, 1000000L))
+  }
+
+  test("isotonicFit: rejects unbounded bin cardinality") {
+    val df = (0L until 100L).map(i => (i, i % 2)).toDF("bin", "label")
+    assertThrows[IllegalArgumentException] {
+      Stats.isotonicFit(df, "bin", "label")
+    }
+  }
+
+  test("mutualInfoBits: zero for uniform independent, positive for copy") {
+    // independent 2x2, all cells equal: every floor-log2 term cancels
+    val ind = for { x <- Seq("a", "b"); y <- Seq("u", "v");
+      _ <- 1 to 4 } yield ("ind", x, y)
+    // y = x: s_bits = sum c*(bl(n) - bl(c)) > 0
+    val dep = for { x <- Seq("a", "b"); _ <- 1 to 8 } yield ("dep", x, x)
+    val got = Stats.mutualInfoBits((ind ++ dep).toDF("pair", "x", "y"),
+        "pair", "x", "y")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("ind") === ((4L, 16L, 0L)))
+    // dep: 2 cells of 8 over n=16: s = 2*8*(bl16 - bl8) = 16 -> 1 bit/row
+    assert(got("dep") === ((2L, 16L, 16L)))
+  }
+
+  test("assortativity: star graph is perfectly disassortative") {
+    val fwd = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val e = fwd.union(fwd.select($"dst", $"src"))
+    val r = graft.ops.Graph.assortativity(e, "src", "dst")
+      .select("r_micro").as[Long].collect().head
+    assert(r === -1000000L)
+  }
+
+  test("noveltyProfile: duplicate doc scores zero, first doc full") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy of doc 1
+      (3L, "zeta eta theta iota kappa")       // all-new trigrams
+    ).toDF("doc_id", "text")
+    val got = TextOps.noveltyProfile(df, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(1L) === 1000000L)
+    assert(got(2L) === 0L)
+    assert(got(3L) === 1000000L)
+  }
 }
