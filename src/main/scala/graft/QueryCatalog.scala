@@ -2345,6 +2345,219 @@ object QueryCatalog {
             AS z2_micro
         FROM a""")),
 
+    // Kruskal–Wallis H: the k-sample extension of q_agg_mannwhitney (same
+    // machinery — one row per distinct VALUE, range-partitioned prefix
+    // offsets, doubled midranks so every rank-sum term is an exact
+    // BIGINT: 2·R_g = Σ c_g·(2·prefix + c + 1)). Five customer cohorts;
+    // H and its tie-corrected form are one deterministic IEEE chain at
+    // the end (the (2R_g)² squares would wrap 2^63 at exactly the corpus
+    // sizes the test targets, so they square as doubles; the N³ tie
+    // denominator is widened — decimal here, HUGEINT in the oracle —
+    // before its own double cast).
+    ("q_agg_kruskal",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          pmod(col("o_custkey"), lit(5L)).as("g"),
+          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
+        val aggs = count(lit(1)).as("c") +: (0 to 4).map(g =>
+          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g"))
+        val byVal = o.groupBy("x").agg(aggs.head, aggs.tail: _*)
+        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
+          byVal, Seq("x"), "c")
+        val rankAggs =
+          (0 to 4).map(g => sum(col(s"c$g") *
+            (lit(2L) * col("offset") + col("c") + 1)).as(s"tr$g")) ++
+          (0 to 4).map(g => sum(col(s"c$g")).as(s"n$g")) ++
+          Seq(sum(col("c")).as("n"),
+            sum(col("c") * col("c") * col("c") - col("c")).as("tie_t"))
+        val a = ranked.agg(rankAggs.head, rankAggs.tail: _*)
+        def term(g: Int) =
+          col(s"tr$g").cast("double") * col(s"tr$g").cast("double") /
+            col(s"n$g").cast("double")
+        val sumterm = term(0) + term(1) + term(2) + term(3) + term(4)
+        val h = lit(3.0) * sumterm /
+          (col("n").cast("double") * (col("n") + 1).cast("double")) -
+          lit(3.0) * (col("n") + 1).cast("double")
+        val corr = lit(1.0) - col("tie_t").cast("double") /
+          (col("n").cast("decimal(38,0)") * col("n") * col("n") -
+            col("n")).cast("double")
+        a.withColumn("h", h).withColumn("corr", corr)
+          .select(col("n"), col("tie_t"),
+            floor(lit(1e6) * col("h")).cast("long").as("h_micro"),
+            floor(lit(1e6) * (col("h") / col("corr"))).cast("long")
+              .as("h_adj_micro"))
+      },
+      Some("""WITH o AS (SELECT o_custkey % 5 AS g,
+            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
+        bv AS (SELECT x, count(*) AS c,
+            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+            CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+            CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+          FROM o GROUP BY 1),
+        r AS (SELECT x, c, c0, c1, c2, c3, c4,
+            CAST(COALESCE(sum(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+          FROM bv),
+        a AS (SELECT
+            CAST(sum(c0 * (2 * off + c + 1)) AS BIGINT) AS tr0,
+            CAST(sum(c1 * (2 * off + c + 1)) AS BIGINT) AS tr1,
+            CAST(sum(c2 * (2 * off + c + 1)) AS BIGINT) AS tr2,
+            CAST(sum(c3 * (2 * off + c + 1)) AS BIGINT) AS tr3,
+            CAST(sum(c4 * (2 * off + c + 1)) AS BIGINT) AS tr4,
+            CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+            CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3,
+            CAST(sum(c4) AS BIGINT) AS n4,
+            CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(c * c * c - c) AS BIGINT) AS tie_t
+          FROM r),
+        hh AS (SELECT n, tie_t,
+            3.0 * (CAST(tr0 AS DOUBLE) * CAST(tr0 AS DOUBLE)
+                / CAST(n0 AS DOUBLE)
+              + CAST(tr1 AS DOUBLE) * CAST(tr1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)
+              + CAST(tr2 AS DOUBLE) * CAST(tr2 AS DOUBLE)
+                / CAST(n2 AS DOUBLE)
+              + CAST(tr3 AS DOUBLE) * CAST(tr3 AS DOUBLE)
+                / CAST(n3 AS DOUBLE)
+              + CAST(tr4 AS DOUBLE) * CAST(tr4 AS DOUBLE)
+                / CAST(n4 AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+              - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
+            1.0 - CAST(tie_t AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS corr
+          FROM a)
+        SELECT n, tie_t,
+          CAST(floor(1e6 * h) AS BIGINT) AS h_micro,
+          CAST(floor(1e6 * (h / corr)) AS BIGINT) AS h_adj_micro
+        FROM hh""")),
+
+    // Theil–Sen slope of weekly regional revenue: the median of all
+    // pairwise slopes — the outlier-robust trend estimate (a handful of
+    // corrupted weeks cannot move it, unlike the OLS fit in q_agg_ols).
+    // Slopes stay exact rationals (BIGINT cents / week-diff); ordering
+    // uses the IEEE quotient with the exact (num, den) pair as
+    // tie-break, so both engines select the identical median element.
+    // Scale: the corpus collapses to a weekly table first (one
+    // combine-enabled aggregate); pairs and the per-region window are
+    // calendar-bounded (W(W-1)/2 with W = #weeks), never corpus-sized.
+    ("q_agg_theilsen",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey").as("rk"),
+            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
+              .as("wk"),
+            cents(col("o_totalprice")).as("pc"))
+        val w = o.groupBy("rk", "wk").agg(sum("pc").as("yc"))
+        val p = w.as("a").join(w.as("b"),
+            col("a.rk") === col("b.rk") && col("a.wk") < col("b.wk"))
+          .select(col("a.rk").as("rk"),
+            (col("b.yc") - col("a.yc")).as("num"),
+            (col("b.wk") - col("a.wk")).as("den"))
+        val sd = col("num").cast("double") / col("den").cast("double")
+        val byR = Window.partitionBy("rk")
+        val r = p.withColumn("rn", row_number().over(
+            byR.orderBy(sd.asc, col("num").asc, col("den").asc)))
+          .withColumn("n_pairs", count(lit(1)).over(byR))
+        r.filter(expr("rn = (n_pairs + 1) div 2"))
+          .select(col("rk"), col("n_pairs"),
+            floor(col("num").cast("double") * lit(1e6) /
+              col("den").cast("double")).cast("long").as("slope_micro"))
+      },
+      Some(s"""WITH o AS (SELECT n_regionkey AS rk,
+            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+            ${centsSql("o_totalprice")} AS pc
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey),
+        w AS (SELECT rk, wk, CAST(sum(pc) AS BIGINT) AS yc
+          FROM o GROUP BY 1, 2),
+        p AS (SELECT a.rk AS rk, b.yc - a.yc AS num, b.wk - a.wk AS den
+          FROM w a JOIN w b ON a.rk = b.rk AND a.wk < b.wk),
+        r AS (SELECT rk, num, den,
+            row_number() OVER (PARTITION BY rk
+              ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ASC,
+                num ASC, den ASC) AS rn,
+            count(*) OVER (PARTITION BY rk) AS n_pairs
+          FROM p)
+        SELECT rk, n_pairs,
+          CAST(floor(CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE))
+            AS BIGINT) AS slope_micro
+        FROM r WHERE rn = (n_pairs + 1) // 2""")),
+
+    // Single-changepoint detection per nation: the week split maximizing
+    // the between-segment sum of squares — binary segmentation's first
+    // (and most load-bearing) step, run on the weekly series so every
+    // window is calendar-bounded. The split statistic
+    // A² / (k·(n-k)) with A = S_k·n - S_tot·k is exact BIGINT up to the
+    // final square (which would wrap 2^63, so it squares as a double —
+    // one fixed IEEE chain, argmax tie-broken by earliest week). The
+    // reported gain is its square root (correctly-rounded IEEE on both
+    // engines), back in cents units.
+    ("q_agg_changepoint",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
+              .as("wk"),
+            cents(col("o_totalprice")).as("pc"))
+        val ser = o.groupBy("nk", "wk").agg(sum("pc").as("yc"))
+        val ord = Window.partitionBy("nk").orderBy("wk")
+        val whole = Window.partitionBy("nk")
+        val cum = ser
+          .withColumn("k", row_number().over(ord).cast("long"))
+          .withColumn("sk", sum("yc").over(ord))
+          .withColumn("n", count(lit(1)).over(whole))
+          .withColumn("stot", sum("yc").over(whole))
+        val a = (col("sk") * col("n") - col("stot") * col("k"))
+        val score = a.cast("double") * a.cast("double") /
+          (col("k") * (col("n") - col("k"))).cast("double")
+        val scored = cum.filter(col("k") < col("n"))
+          .withColumn("score", score)
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy("nk")
+              .orderBy(col("score").desc, col("wk").asc)))
+          .filter(col("rn") === 1)
+          .select(col("nk"), col("n").as("n_weeks"),
+            col("wk").as("split_wk"),
+            expr("sk div k").as("mean1_cents"),
+            expr("(stot - sk) div (n - k)").as("mean2_cents"),
+            floor(sqrt(col("score"))).cast("long").as("gain_sqrt_cents"))
+      },
+      Some(s"""WITH o AS (SELECT c_nationkey AS nk,
+            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+            ${centsSql("o_totalprice")} AS pc
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ser AS (SELECT nk, wk, CAST(sum(pc) AS BIGINT) AS yc
+          FROM o GROUP BY 1, 2),
+        cum AS (SELECT nk, wk,
+            CAST(row_number() OVER (PARTITION BY nk ORDER BY wk)
+              AS BIGINT) AS k,
+            CAST(sum(yc) OVER (PARTITION BY nk ORDER BY wk)
+              AS BIGINT) AS sk,
+            CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
+            CAST(sum(yc) OVER (PARTITION BY nk) AS BIGINT) AS stot
+          FROM ser),
+        scored AS (SELECT nk, wk, k, sk, n, stot,
+            CAST(sk * n - stot * k AS DOUBLE)
+              * CAST(sk * n - stot * k AS DOUBLE)
+              / CAST(k * (n - k) AS DOUBLE) AS score
+          FROM cum WHERE k < n),
+        best AS (SELECT *, row_number() OVER (PARTITION BY nk
+            ORDER BY score DESC, wk ASC) AS rn FROM scored)
+        SELECT nk, n AS n_weeks, wk AS split_wk,
+          sk // k AS mean1_cents,
+          (stot - sk) // (n - k) AS mean2_cents,
+          CAST(floor(sqrt(score)) AS BIGINT) AS gain_sqrt_cents
+        FROM best WHERE rn = 1""")),
+
     // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
     // pass — each row's replicate weight is a quantized-Poisson draw from
     // an md5 prefix (identical integer thresholds interpolated into both
@@ -4812,6 +5025,42 @@ object QueryCatalog {
         FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
         WHERE n_ab >= 15""")),
 
+    // Skip-gram (center, context) pair extraction, window = 2, both
+    // directions — the training-pair generator for word/embedding models
+    // (word2vec's data layer) as a corpus operator. Pure scan-stage
+    // array work: per document, zip the token array against its k-shifted
+    // tails (k = 1, 2) and their mirrors, explode, and let ONE
+    // combine-enabled groupBy count pairs — only distinct pairs reach
+    // the shuffle, so the 4x-per-token fan-out never leaves the map side.
+    ("q_text_skipgram",
+      (s: SparkSession, d: String) => {
+        val toks = t(s, d, "documents").select(
+          TextOps.tokens(col("text")).as("ts"))
+        def sh(k: Int) =
+          slice(col("ts"), lit(k + 1), size(col("ts")))
+        def fwd(k: Int) = zip_with(col("ts"), sh(k),
+          (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
+        def rev(k: Int) = zip_with(col("ts"), sh(k),
+          (a, b) => when(b.isNotNull, concat_ws(" ", b, a)))
+        toks.select(explode(concat(fwd(1), fwd(2), rev(1), rev(2)))
+            .as("pair"))
+          .filter(col("pair").isNotNull)
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 25)
+          .select(substring_index(col("pair"), " ", 1).as("center"),
+            substring_index(col("pair"), " ", -1).as("context"),
+            col("n"))
+      },
+      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
+        f AS (SELECT ts[i] AS c, ts[i + k] AS x
+          FROM docs,
+            UNNEST(range(1, len(ts) + 1)) AS u(i),
+            UNNEST([1, 2]) AS o(k)
+          WHERE i + k <= len(ts)),
+        b AS (SELECT c, x FROM f UNION ALL SELECT x, c FROM f)
+        SELECT c AS center, x AS context, count(*) AS n
+        FROM b GROUP BY 1, 2 HAVING count(*) >= 25""")),
+
     ("q_text_bigrams",
       (s: SparkSession, d: String) => {
         val toks = t(s, d, "documents").select(
@@ -5246,6 +5495,50 @@ object QueryCatalog {
         t(s, d, "documents"), "doc_id", "text",
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
+
+    // Edit-distance verification of LSH candidates: the second stage a
+    // production near-dup pipeline runs when shingle Jaccard is too
+    // coarse (it is blind to reorderings and char-level noise) — MinHash
+    // bands propose, character-level Levenshtein on a bounded prefix
+    // disposes. The distance is O(len²) per pair, so it runs on a
+    // 300-char prefix (the cost cap that makes the verify affordable at
+    // any scale) and only on the k-bounded candidate set, broadcast into
+    // the two text lookups — the corpus is never pair-joined.
+    ("q_dedup_edit_verify",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
+        val bk = Dedup.minhashBands(sigs, 12, 4)
+        val cand = bk.join(bk.select(col("doc_id").as("doc2"),
+              col("band"), col("band_key")), Seq("band", "band_key"))
+          .filter(col("doc_id") < col("doc2"))
+          .select(col("doc_id").as("doc1"), col("doc2")).distinct()
+        val txt = docs.select(col("doc_id"),
+          substring(col("text"), 1, 300).as("tx"))
+        val mx = greatest(greatest(col("la"), col("lb")), lit(1))
+        broadcast(cand)
+          .join(txt.select(col("doc_id").as("doc1"), col("tx").as("ta")),
+            Seq("doc1"))
+          .join(txt.select(col("doc_id").as("doc2"), col("tx").as("tb")),
+            Seq("doc2"))
+          .select(col("doc1"), col("doc2"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            length(col("ta")).as("la"), length(col("tb")).as("lb"))
+          .select(col("doc1"), col("doc2"), col("lev"),
+            floor((mx - col("lev")).cast("double") * lit(1e6) /
+              mx.cast("double")).cast("long").as("edit_sim_ppm"))
+      },
+      Some(s"""WITH ${minhashCandCtes(n = 5, k = 12, bands = 4)},
+        txt AS (SELECT doc_id, substr(text, 1, 300) AS tx FROM documents),
+        l AS (SELECT doc1, doc2,
+            CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
+            greatest(greatest(length(a.tx), length(b.tx)), 1) AS mx
+          FROM cand JOIN txt a ON doc1 = a.doc_id
+          JOIN txt b ON doc2 = b.doc_id)
+        SELECT doc1, doc2, lev,
+          CAST(floor(CAST(mx - lev AS DOUBLE) * 1e6 / CAST(mx AS DOUBLE))
+            AS BIGINT) AS edit_sim_ppm
+        FROM l""")),
 
     // LSH parameter sweep — the measurement loop that tunes (bands, rows)
     // BEFORE a dedup index ships: for each banding of the same k=12
@@ -8984,7 +9277,37 @@ object QueryCatalog {
             substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16
             AS shard,
           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS w_sum
-        FROM documents GROUP BY 1""")))
+        FROM documents GROUP BY 1""")),
+
+    // Water-filling quota allocation (Sampling.waterfillAlloc): a total
+    // budget of 400 documents split across languages so no language
+    // dominates — small groups keep everything, large ones are clipped to
+    // one common integer waterline. The corpus is touched once (a
+    // combine-enabled count); the waterline search is a window over the
+    // GROUP table (cardinality = #languages, bounded by contract). The
+    // language distribution is skewed (en ~44%), so at smoke/oracle scale
+    // the minor languages sit fully under the waterline while en is
+    // clipped — both sides of the cap exercise.
+    ("q_sample_waterfill",
+      (s: SparkSession, d: String) => Sampling.waterfillAlloc(
+        t(s, d, "documents"), "lang", budget = 400L),
+      Some("""WITH c AS (SELECT lang AS grp,
+            count(*) AS n_rows FROM documents GROUP BY 1),
+          k AS (SELECT count(*) AS k FROM c),
+          p AS (SELECT grp, n_rows,
+              row_number() OVER (ORDER BY n_rows ASC, grp ASC) AS idx,
+              CAST(COALESCE(sum(n_rows) OVER (ORDER BY n_rows ASC, grp ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS prefix
+            FROM c),
+          cand AS (SELECT idx, n_rows,
+              CAST((400 - prefix) // (k - idx + 1) AS BIGINT) AS cand
+            FROM p, k),
+          cap AS (SELECT CAST(min_by(cand, idx) AS BIGINT) AS cap FROM cand
+            WHERE cand < n_rows)
+          SELECT grp, n_rows,
+            least(n_rows, COALESCE(cap, n_rows)) AS alloc, cap
+          FROM c, cap""")))
 
   // ================================================================ graph
 
@@ -9548,6 +9871,51 @@ object QueryCatalog {
     * gates -> exact dedup -> deterministic sample. Catalyst fuses the scalar
     * scoring into the scan stage; the only shuffles are the dedup groupBy
     * and its semi-join back. */
+  // ============================================================ features
+
+  private val featureQueries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Leave-one-out target encoding with additive smoothing (m = 20
+    // pseudo-observations of the global prior): the standard
+    // high-cardinality-categorical feature for downstream quality /
+    // ranking models, built WITHOUT label leakage — each row's own label
+    // is subtracted from its category's sum before the ratio. Shape: two
+    // combine-enabled aggregates over the corpus, then a broadcast of
+    // the category-cardinality-bounded encoding table; within a
+    // category the encoding takes only two values (label 0 / label 1),
+    // so the output is the (category x label) table itself — applying
+    // it to rows is a broadcast map-join. The ratio is one fixed IEEE
+    // chain over exact BIGINT counts.
+    ("q_feature_target_enc",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderpriority").as("cat"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        val a = o.groupBy("cat")
+          .agg(count(lit(1)).as("n_cat"), sum("y").as("sum_y"))
+        val g = o.agg(sum("y").as("gs"), count(lit(1)).as("gn"))
+        val prior = col("gs").cast("double") / col("gn").cast("double")
+        val num = (col("sum_y") - col("y")).cast("double") +
+          lit(20.0) * prior
+        val den = (col("n_cat") - 1 + 20).cast("double")
+        o.distinct()
+          .join(a, Seq("cat")).crossJoin(broadcast(g))
+          .select(col("cat"), col("y"), col("n_cat"), col("sum_y"),
+            floor(num * lit(1e6) / den).cast("long").as("enc_ppm"))
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS cat,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders),
+        a AS (SELECT cat, count(*) AS n_cat,
+            CAST(sum(y) AS BIGINT) AS sum_y FROM o GROUP BY 1),
+        g AS (SELECT CAST(sum(y) AS BIGINT) AS gs, count(*) AS gn FROM o),
+        b AS (SELECT DISTINCT cat, CAST(y AS BIGINT) AS y FROM o)
+        SELECT cat, y, n_cat, sum_y,
+          CAST(floor((CAST(sum_y - y AS DOUBLE)
+              + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) * 1e6
+            / CAST(n_cat - 1 + 20 AS DOUBLE)) AS BIGINT) AS enc_ppm
+        FROM b JOIN a USING (cat), g""")))
+
   private val cleanQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // The full curation chain as ONE declarative plan: exact dedup ->
@@ -9700,7 +10068,7 @@ object QueryCatalog {
   val all: Seq[(String, Q, Option[String])] =
     dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
       dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries ++
-      samplingQueries ++ graphQueries ++ cleanQueries
+      samplingQueries ++ graphQueries ++ featureQueries ++ cleanQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 

@@ -222,6 +222,54 @@ object Sampling {
     pmod(graft.plans.GraftExpressions.md5_prefix60(id.cast("string")),
       lit(shards.toLong))
 
+  /** Water-filling quota allocation across groups: given a total row
+    * `budget`, find the largest integer cap `c` such that
+    * `sum_g min(n_g, c) <= budget`, and allocate each group
+    * `min(n_g, c)` rows. This is the standard fair-mixing answer to
+    * "N documents total, no source may dominate": small sources keep
+    * everything, large sources are clipped to one common ceiling.
+    *
+    * Shape: one combine-enabled count per group, then a prefix scan over
+    * the GROUP TABLE sorted by ascending count — with groups sorted, the
+    * cap lies in the count-gap after some prefix i, where
+    * `prefix(i) + (k-i) * c <= budget` gives `c = (budget - prefix(i))
+    * / (k - i)` — so the search is one window pass over k rows. The
+    * window is partitioned only by the literal group column's table,
+    * whose cardinality (sources, languages) is bounded by contract —
+    * the corpus itself is touched once, by the count.
+    *
+    * Output: (group, n_rows, alloc, cap) — `cap` repeated for audit.
+    * All-integer; floor division both engines. */
+  def waterfillAlloc(df: DataFrame, keyCol: String, budget: Long)
+      : DataFrame = {
+    require(budget >= 0, s"waterfillAlloc needs budget >= 0, got $budget")
+    val counts = df.groupBy(col(keyCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"))
+    // ascending-count order; ties broken by group name for determinism
+    val w = Window.orderBy(col("n_rows").asc, col("grp").asc)
+    val k = counts.agg(count(lit(1)).as("k"))
+    val pref = counts
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("prefix",
+        coalesce(sum("n_rows").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(k))
+    // cand(i): the cap if exactly groups 1..i-1 keep everything and the
+    // k-i+1 largest are clipped — prefix(i) + (k-i+1)*cand <= budget.
+    // The binding row is the SMALLEST i whose cand falls below its own
+    // group's count (groups before it genuinely fit under the line);
+    // no such row means the budget covers the whole corpus — no cap.
+    val cand = pref.withColumn("cand",
+      expr(s"(${budget}L - prefix) div (k - idx + 1)"))
+    val cap = cand.filter(col("cand") < col("n_rows"))
+      .agg(min_by(col("cand"), col("idx")).as("cap"))
+    counts.crossJoin(broadcast(cap))
+      .select(col("grp"), col("n_rows"),
+        least(col("n_rows"), coalesce(col("cap"), col("n_rows")))
+          .as("alloc"),
+        col("cap"))
+  }
+
   /** Training-shard manifest: assign every row a [[shardOf]] shard and
     * report per-shard document count and weight mass (chars, tokens, bytes —
     * whatever `weightCol` carries). The last step of corpus assembly —

@@ -1707,6 +1707,36 @@ class OpsSpec extends SparkSpec {
     assert(re.toSeq == m.toSeq)
   }
 
+  test("waterfillAlloc: optimal cap vs brute-force over budget sweep") {
+    // deliberately skewed group sizes, incl. a tie
+    val rows = Seq.fill(100)("a") ++ Seq.fill(7)("b") ++ Seq.fill(40)("c") ++
+      Seq.fill(40)("d") ++ Seq.fill(3)("e")
+    val df = rows.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "grp")
+    val sizes = Map("a" -> 100L, "b" -> 7L, "c" -> 40L, "d" -> 40L,
+      "e" -> 3L)
+    def served(c: Long): Long = sizes.values.map(math.min(_, c)).sum
+    for (budget <- Seq(0L, 3L, 10L, 50L, 100L, 150L, 189L, 190L, 500L)) {
+      val got = Sampling.waterfillAlloc(df, "grp", budget)
+        .as[(String, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.map { case (g, (n, _, _)) => g -> n } == sizes)
+      val allocs = got.map { case (g, (_, a, _)) => g -> a }
+      if (budget >= sizes.values.sum) {
+        // budget covers everything: no cap, everything kept
+        assert(got.values.forall(_._3.isEmpty), s"budget=$budget")
+        assert(allocs == sizes)
+      } else {
+        val cap = got.values.head._3.get
+        // brute-force optimality: cap is the LARGEST waterline under budget
+        assert(served(cap) <= budget, s"budget=$budget cap=$cap")
+        assert(served(cap + 1) > budget, s"budget=$budget cap=$cap")
+        assert(allocs == sizes.map { case (g, n) =>
+          g -> math.min(n, cap) })
+      }
+    }
+  }
+
   test("imagePHash: brightness shift flips almost no bits; different " +
       "structure flips many") {
     import graft.ops.Multimodal

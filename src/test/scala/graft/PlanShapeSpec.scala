@@ -422,4 +422,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(ps.contains("BroadcastExchange"), ps)
     assert(!ps.contains("Window ["), ps)
   }
+
+  test("round-7 batch 5: kruskal windowless, skipgram one exchange, " +
+      "waterfill/edit-verify broadcast their bounded tables") {
+    // Kruskal–Wallis: the global midrank prefix comes from the
+    // range-partitioned scan (Prefix), NEVER a corpus-wide WindowExec
+    val pk = plan("q_agg_kruskal")
+    assert(!pk.contains("Window ["), pk)
+    // skip-gram extraction: the 4x-per-token fan-out is scan-stage array
+    // work; exactly ONE hash exchange (the pair count), no join/window
+    val pg = plan("q_text_skipgram")
+    val eg = "Exchange hashpartitioning".r.findAllIn(pg).size
+    assert(eg == 1, s"expected 1 exchange, got $eg:\n$pg")
+    assert(!pg.contains("Window [") && !pg.contains("Join"), pg)
+    // waterfill: the only window runs over the GROUP table (after the
+    // corpus-collapsing count); the cap anchor is a 1-row broadcast —
+    // no cartesian anywhere
+    val pw = plan("q_sample_waterfill")
+    assert(pw.contains("BroadcastExchange"), pw)
+    assert(!pw.contains("CartesianProduct"), pw)
+    // edit-distance verify: the candidate set BROADCASTS into the two
+    // text lookups; band candidates come from an equi-join
+    val pe = plan("q_dedup_edit_verify")
+    assert(pe.contains("BroadcastExchange"), pe)
+    assert(!pe.contains("CartesianProduct"), pe)
+    // Theil–Sen / changepoint: pair generation and cumulative stats are
+    // equi-join + per-region/nation windows (calendar-bounded
+    // partitions) — never an unpartitioned window or cartesian
+    for ((q, part) <- Seq("q_agg_theilsen" -> "rk",
+        "q_agg_changepoint" -> "nk")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // every window is PARTITIONED by the region/nation key (a spec's
+      // first argument is its partition list) — calendar-bounded
+      // partitions, never a corpus in one task
+      val specs = p.split("windowspecdefinition\\(").drop(1)
+      assert(specs.nonEmpty, s"$q:\n$p")
+      specs.foreach(sp => assert(sp.startsWith(part + "#"),
+        s"$q window not partitioned by $part:\n$p"))
+    }
+    // target encoding: two combine-enabled aggregates + broadcasts; the
+    // category table is never windowed
+    val pt = plan("q_feature_target_enc")
+    assert(pt.contains("BroadcastExchange"), pt)
+    assert(!pt.contains("Window ["), pt)
+  }
 }
