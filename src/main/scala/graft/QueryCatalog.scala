@@ -9493,6 +9493,50 @@ object QueryCatalog {
     base + hops + s"\n      SELECT node, level FROM l$rounds"
   }
 
+  /** Unrolled DuckDB replay of [[Graph.randomWalks]] over the CAPPED
+    * (maxDegree = 8) symmetrized co-order parts graph: the q_graph_capped
+    * cap CTEs, a per-node dst-ordered neighbor index, and one join-CTE
+    * per step whose neighbor pick replays the md5-prefix hash decision
+    * `1 + (h(walk|step) mod deg)`. */
+  private def walksOracleSql(steps: Int): String = {
+    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
+      canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+      inc AS (SELECT a AS node, a, b,
+          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+        FROM canon0
+        UNION ALL
+        SELECT b AS node, a, b,
+          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+        FROM canon0),
+      ranked AS (SELECT node, a, b,
+          row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
+        FROM inc),
+      canon AS (SELECT a, b FROM ranked WHERE rk <= 8
+        GROUP BY a, b HAVING count(*) = 2),
+      sym AS (SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon),
+      idx AS (SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
+          ORDER BY dst) AS BIGINT) AS nidx FROM sym),
+      deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+      s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM sym
+        WHERE src % 20 = 0)"""
+    val hops = (1 to steps).map { t =>
+      s""",
+      s$t AS (SELECT w.walk_id, i.dst AS node
+        FROM s${t - 1} w JOIN deg d ON w.node = d.node
+        JOIN idx i ON i.src = w.node
+          AND i.nidx = 1 + (CAST(concat('0x',
+            substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t'), 1, 8))
+            AS BIGINT) % d.deg))"""
+    }.mkString
+    val arms = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM s$t")
+      .mkString("\n      UNION ALL ")
+    s"$base$hops\n      $arms"
+  }
+
   /** The part<->supplier co-occurrence graph from lineitem: parts on even
     * node ids, suppliers on odd (one BIGINT key space, bipartite so the
     * two directions never collide), an edge per distinct (part, supplier)
@@ -9672,6 +9716,34 @@ object QueryCatalog {
     // sampled subgraph, not merely "bounded". maxDegree is what makes a
     // hub-degenerate derived graph safe at corpus scale (wedge fan-out
     // <= cap, no quadratic key).
+    // Deterministic random walks (Graph.randomWalks) over the CAPPED
+    // symmetrized co-order graph — the DeepWalk/node2vec corpus
+    // generator: 4-step walks from every 20th part, every step a
+    // replayable md5-hash neighbor pick (no RNG, so the walk corpus is
+    // retry-stable and auditable). The degree cap bounds the per-node
+    // neighbor-index window by construction (the structural guard the
+    // graph family uses everywhere); each step is two frontier-sized
+    // equi-joins against checkpointed index/degree tables.
+    ("q_graph_walks", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+        val sym = capped.union(
+          capped.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = sym.select(col("src")).distinct()
+          .filter(col("src") % 20 === 0)
+          .select(col("src").as("wid"), col("src").as("nd"))
+        Graph.randomWalks(sym, "src", "dst", seeds, "wid", "nd", steps = 4)
+      }): Q
+      },
+      Some(walksOracleSql(4))),
+
     ("q_graph_capped", {
       ((s: SparkSession, d: String) => {
         val lp = t(s, d, "lineitem")

@@ -610,4 +610,58 @@ object Graph {
     }
     dist
   }
+
+  /**
+   * Deterministic random walks — the corpus generator for node-embedding
+   * training (DeepWalk / node2vec's data layer: walks are the "sentences"
+   * a skip-gram model consumes). Every step is a HASH decision, not an
+   * RNG draw: walk `w` at step `t` moves to its current node's
+   * `1 + (md5_prefix(w|t) mod outdeg)`-th neighbor in dst order, so the
+   * same walk takes the same path on any cluster, at any parallelism, on
+   * any retry — reproducible and replayable by an external engine.
+   *
+   * `edges` is a DIRECTED adjacency (pass both directions for undirected
+   * walks); per-node out-degree must be bounded by construction — run
+   * [[capDegree]] first, exactly like [[triangleCounts]] — because the
+   * neighbor indexing is a per-node row_number window (bounded = one
+   * task's worth; a raw hub would serialize in one task). A walk reaching
+   * a node with no out-edges dies there (inner join); on a symmetrized
+   * capped graph every node kept has degree >= 1, so walks never die.
+   *
+   * Shape: neighbor index + degree table built once and checkpointed
+   * (referenced every step); each step is then two equi-joins (walk
+   * frontier x degree, then x indexed edges) — frontier-sized, never
+   * corpus-sized, and the fixed `steps` rounds pipeline as one DAG.
+   *
+   * Output: (walk_id, step, node), step 0 = the seed row itself.
+   */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, walkIdCol: String, nodeCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64,
+      s"randomWalks needs 1 <= steps <= 64, got $steps")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val idx = e.withColumn("nidx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")).cast("long"))
+      .select(col("src").as("node"), col("dst"), col("nidx"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var cur = seeds.select(col(walkIdCol).cast("long").as("walk_id"),
+      col(nodeCol).cast("long").as("node"))
+    var out = cur.withColumn("step", lit(0L))
+    for (t <- 1 to steps) {
+      val pick = pmod(graft.plans.GraftExpressions.md5_prefix(
+        concat(col("walk_id").cast("string"), lit("|"),
+          lit(t.toString)), 8), col("deg")) + 1
+      cur = cur.join(deg, Seq("node"))
+        .withColumn("pick", pick)
+        .join(idx, Seq("node")).filter(col("pick") === col("nidx"))
+        .select(col("walk_id"), col("dst").as("node"))
+      out = out.union(cur.withColumn("step", lit(t.toLong)))
+    }
+    out.select("walk_id", "step", "node")
+  }
 }

@@ -461,4 +461,47 @@ class GraphSpec extends SparkSpec {
     assert(got ==
       Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
+
+  /** Independent replication of the hash neighbor pick: first 8 md5 hex
+    * chars of "walk|step" as a long, mod out-degree, 1-based index into
+    * the dst-sorted adjacency list — plain Scala, no Spark. */
+  private def refWalks(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      steps: Int): Seq[(Long, Long, Long)] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2).sorted }
+    def pick(walk: Long, step: Int, deg: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$walk|$step".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % deg).toInt
+    }
+    seeds.flatMap { w =>
+      var node = w
+      (w, 0L, node) +: (1 to steps).flatMap { st =>
+        adj.get(node) match {
+          case Some(ns) =>
+            node = ns(pick(w, st, ns.size))
+            Some((w, st.toLong, node))
+          case None => None // walk dies at a sink
+        }
+      }
+    }
+  }
+
+  test("randomWalks: paths match the independent hash replication") {
+    // undirected triangle with a tail, plus a directed sink branch
+    val fwd = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val sym = fwd ++ fwd.map(_.swap)
+    val edges = sym :+ ((4L, 9L)) // 9 has no out-edges: walks die there
+    val seeds = Seq(1L, 2L, 4L)
+    val got = Graph.randomWalks(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("wid").select(col("wid"), col("wid").as("nd")),
+        "wid", "nd", steps = 5)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == refWalks(edges, seeds, 5).sorted)
+    // each surviving walk advances exactly one step at a time
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (0L until rows.size.toLong))
+    }
+  }
 }

@@ -466,5 +466,10 @@ class PlanShapeSpec extends SparkSpec {
     val pt = plan("q_feature_target_enc")
     assert(pt.contains("BroadcastExchange"), pt)
     assert(!pt.contains("Window ["), pt)
+    // random walks: every step is an equi-join (never a cartesian); the
+    // expensive graph subtree is behind the checkpoint cut, so the
+    // final plan is only the frontier joins
+    val pwk = plan("q_graph_walks")
+    assert(!pwk.contains("CartesianProduct"), pwk)
   }
 }
