@@ -1740,6 +1740,80 @@ object QueryCatalog {
           floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) / 1e6 AS p_next
         FROM tr JOIN tot USING (from_type)""")),
 
+    // Markov-chain analysis of the event stream: Laplace-smoothed
+    // transition matrix + 3-round integer power iteration toward the
+    // stationary distribution — "where do user journeys spend their
+    // time" as one deterministic number per state. The corpus collapses
+    // to the (event-type x event-type) count matrix first (the
+    // vocabulary-bounded table); smoothing fills the zero cells, so even
+    // absorbing/unseen states get the uniform row. All arithmetic is
+    // BIGINT fixed-point (probabilities in ppm, mass at 1e12 scale,
+    // per-term floor division) — replayable bit-for-bit by the oracle's
+    // unrolled round CTEs.
+    ("q_seq_markov",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
+          .agg(count(lit(1)).as("c"))
+        val states = tr.select(col("tsrc").as("st"))
+          .union(tr.select(col("tdst").as("st"))).distinct()
+        val kdf = states.agg(count(lit(1)).as("k"))
+        val tot = tr.groupBy(col("tsrc").as("osrc"))
+          .agg(sum("c").as("tot"))
+        val m = broadcast(states.select(col("st").as("msrc")))
+          .crossJoin(broadcast(states.select(col("st").as("mdst"))))
+          .join(tr, col("msrc") === col("tsrc") &&
+            col("mdst") === col("tdst"), "left")
+          .join(broadcast(tot), col("msrc") === col("osrc"), "left")
+          .crossJoin(broadcast(kdf))
+          .select(col("msrc"), col("mdst"),
+            expr("(coalesce(c, 0L) + 1) * 1000000L div " +
+              "(coalesce(tot, 0L) + k)").as("p"))
+        var v = states.crossJoin(broadcast(kdf))
+          .select(col("st"), expr("1000000000000L div k").as("v"))
+        for (_ <- 1 to 3) {
+          v = v.join(m, col("st") === col("msrc"))
+            .groupBy(col("mdst"))
+            .agg(sum(expr("v * p div 1000000L")).as("v"))
+            .select(col("mdst").as("st"), col("v"))
+        }
+        states.join(broadcast(tot), col("st") === col("osrc"), "left")
+          .join(v, Seq("st"))
+          .select(col("st"), coalesce(col("tot"), lit(0L)).as("n_out"),
+            col("v").as("v_scaled"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
+          FROM events),
+        tr AS (SELECT event_type AS tsrc, next AS tdst, count(*) AS c
+          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
+        st AS (SELECT DISTINCT s AS st FROM (SELECT tsrc AS s FROM tr
+          UNION ALL SELECT tdst FROM tr)),
+        k AS (SELECT count(*) AS k FROM st),
+        tot AS (SELECT tsrc AS osrc, CAST(sum(c) AS BIGINT) AS tot
+          FROM tr GROUP BY 1),
+        m AS (SELECT a.st AS msrc, b.st AS mdst,
+            CAST((COALESCE(c, 0) + 1) * 1000000
+              // (COALESCE(tot, 0) + k) AS BIGINT) AS p
+          FROM st a CROSS JOIN st b CROSS JOIN k
+          LEFT JOIN tr ON tr.tsrc = a.st AND tr.tdst = b.st
+          LEFT JOIN tot ON tot.osrc = a.st),
+        v0 AS (SELECT st, CAST(1000000000000 // k AS BIGINT) AS v
+          FROM st, k),
+        v1 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
+          AS v FROM v0 JOIN m ON v0.st = m.msrc GROUP BY 1),
+        v2 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
+          AS v FROM v1 JOIN m ON v1.st = m.msrc GROUP BY 1),
+        v3 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
+          AS v FROM v2 JOIN m ON v2.st = m.msrc GROUP BY 1)
+        SELECT st, COALESCE(tot, 0) AS n_out, v AS v_scaled
+        FROM st LEFT JOIN tot ON st.st = tot.osrc
+        JOIN v3 USING (st)""")),
+
     // Last-touch conversion attribution: each purchase credits the user's
     // most recent PRIOR click/view (conversions with no prior touch fall
     // into the 'organic' bucket). The carry-forward is a per-user window
@@ -5024,6 +5098,59 @@ object QueryCatalog {
             AS pmi_bits
         FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
         WHERE n_ab >= 15""")),
+
+    // Per-source vocabulary divergence, whole-bit form (the
+    // transcendental-free discipline of q_text_pmi / q_profile_mi): for
+    // every (source, word) cell, pointwise information in whole bits =
+    // bitlen(n_sw·N) - bitlen(n_s·n_w); a source's divergence is its
+    // token-weighted bit total, normalized per kilotoken. The corpus
+    // audit that flags WHICH ingest feed drifted off-vocabulary — all
+    // BIGINT (counts, bit lengths, floor division), one exploded-token
+    // aggregate plus three vocabulary/source-bounded joins.
+    ("q_text_source_divergence",
+      (s: SparkSession, d: String) => {
+        val bl = graft.plans.GraftExpressions.bit_length_long _
+        val tok = t(s, d, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+        val wt = sw.groupBy("w").agg(sum("n_sw").as("n_w"))
+        val st = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+        val tot = sw.agg(sum("n_sw").as("nn"))
+        sw.join(wt, "w").join(broadcast(st), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"), col("n_sw"),
+            ((bl(col("n_sw") * col("nn")) -
+              bl(col("n_s") * col("n_w"))).cast("long") * col("n_sw"))
+              .as("wbits"))
+          .groupBy("source")
+          .agg(first(col("n_s")).as("n_tokens"),
+            sum("wbits").as("bits_total"))
+          .select(col("source"), col("n_tokens"), col("bits_total"),
+            // double floor, not integer div: bits_total may be negative
+            // and trunc-vs-floor semantics would diverge across engines
+            floor(col("bits_total").cast("double") * lit(1e3) /
+              col("n_tokens").cast("double")).cast("long")
+              .as("bits_per_kilotoken"))
+      },
+      Some(s"""WITH tok AS (SELECT source, t AS w
+          FROM (SELECT source, ${tokensSql()} AS ts FROM documents),
+            UNNEST(ts) AS u(t)),
+        sw AS (SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
+        wt AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w
+          FROM sw GROUP BY 1),
+        st AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s
+          FROM sw GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_sw) AS BIGINT) AS nn FROM sw),
+        cells AS (SELECT sw.source, n_s,
+            CAST(length(bin(n_sw * nn)) - length(bin(n_s * n_w))
+              AS BIGINT) * n_sw AS wbits
+          FROM sw JOIN wt USING (w) JOIN st USING (source), tot)
+        SELECT source, any_value(n_s) AS n_tokens,
+          CAST(sum(wbits) AS BIGINT) AS bits_total,
+          CAST(floor(CAST(CAST(sum(wbits) AS BIGINT) AS DOUBLE) * 1e3
+            / CAST(any_value(n_s) AS DOUBLE)) AS BIGINT)
+            AS bits_per_kilotoken
+        FROM cells GROUP BY 1""")),
 
     // Skip-gram (center, context) pair extraction, window = 2, both
     // directions — the training-pair generator for word/embedding models
@@ -9307,7 +9434,57 @@ object QueryCatalog {
             WHERE cand < n_rows)
           SELECT grp, n_rows,
             least(n_rows, COALESCE(cap, n_rows)) AS alloc, cap
-          FROM c, cap""")))
+          FROM c, cap""")),
+
+    // Rendezvous (highest-random-weight) sharding stability audit: when a
+    // 16-shard corpus grows to 17 shards, how many documents move? Under
+    // rendezvous hashing (each key goes to the shard with the max
+    // h(key|shard)) only keys whose argmax IS the new shard move
+    // (~1/17); under mod-N hashing (Sampling.shardOf) almost everything
+    // moves (~16/17). This audit MEASURES both — the number that decides
+    // whether an incremental re-shard is a copy of 6% or 94% of a
+    // 100 TB corpus. Pure scan-stage array work per key (17 hashes,
+    // argmax by struct ordering) + one global aggregate; no shuffle of
+    // the corpus at all.
+    ("q_sample_rendezvous",
+      (s: SparkSession, d: String) => {
+        val hs = transform(sequence(lit(0), lit(16)), sh => struct(
+          graft.plans.GraftExpressions.md5_prefix(
+            concat(col("doc_id").cast("string"), lit("#"),
+              sh.cast("string")), 8).as("h"),
+          sh.cast("long").as("s")))
+        val h60 = graft.plans.GraftExpressions.md5_prefix60(
+          col("doc_id").cast("string"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            array_max(slice(hs, 1, 16)).getField("s").as("old_rv"),
+            array_max(hs).getField("s").as("new_rv"),
+            pmod(h60, lit(16L)).as("old_mod"),
+            pmod(h60, lit(17L)).as("new_mod"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("old_rv") =!= col("new_rv"), 1L).otherwise(0L))
+              .as("moved_rendezvous"),
+            sum(when(col("old_mod") =!= col("new_mod"), 1L).otherwise(0L))
+              .as("moved_mod"))
+      },
+      Some("""WITH h AS (SELECT doc_id, s,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+              CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+          FROM documents, UNNEST(range(0, 17)) AS u(s)),
+        rv AS (SELECT doc_id,
+            max_by(s, hv * 32 + s) FILTER (WHERE s < 16) AS old_rv,
+            max_by(s, hv * 32 + s) AS new_rv
+          FROM h GROUP BY 1),
+        md AS (SELECT doc_id,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h60
+          FROM documents)
+        SELECT count(*) AS n_docs,
+          CAST(sum(CASE WHEN old_rv <> new_rv THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved_rendezvous,
+          CAST(sum(CASE WHEN h60 % 16 <> h60 % 17 THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved_mod
+        FROM rv JOIN md USING (doc_id)""")))
 
   // ================================================================ graph
 

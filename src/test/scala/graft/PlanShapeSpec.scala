@@ -471,5 +471,20 @@ class PlanShapeSpec extends SparkSpec {
     // final plan is only the frontier joins
     val pwk = plan("q_graph_walks")
     assert(!pwk.contains("CartesianProduct"), pwk)
+    // rendezvous audit: 17 hashes + argmax are scan-stage array work
+    // feeding ONE global aggregate — no shuffle of the corpus, no join,
+    // no window
+    val pr = plan("q_sample_rendezvous")
+    assert(!pr.contains("Window [") && !pr.contains("Join"), pr)
+    assert(!pr.contains("Exchange hashpartitioning"), pr)
+    // markov: the matrix/state tables are vocabulary-bounded broadcasts;
+    // the only per-user window is the transition lead (domain-bounded)
+    val pm = plan("q_seq_markov")
+    assert(pm.contains("BroadcastExchange"), pm)
+    assert(!pm.contains("CartesianProduct"), pm)
+    // source divergence: the source dimension broadcasts; no window
+    val psd = plan("q_text_source_divergence")
+    assert(psd.contains("BroadcastExchange"), psd)
+    assert(!psd.contains("Window ["), psd)
   }
 }
