@@ -173,7 +173,9 @@ object QueryCatalog {
     * joins back onto the token stream WITH multiplicity. Docs whose token
     * list is empty keep a 0 row (left join from documents), matching the
     * engine's per-doc map. */
-  private def bpeEncodeOracleSql(rounds: Int): String = {
+  /** Shared CTE chain of the BPE-encode oracles, ending at `per`
+    * (doc_id, n_bpe_tokens) and `tok` (doc_id, word). */
+  private def bpeEncodeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (SELECT t AS word, count(*) AS cnt
         FROM (SELECT ${tokensSql()} AS ts FROM documents),
@@ -205,12 +207,34 @@ object QueryCatalog {
         FROM (SELECT doc_id, ${tokensSql()} AS ts FROM documents),
           UNNEST(ts) AS u(t)),
       per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
-        FROM tok JOIN wl USING (word) GROUP BY 1)
+        FROM tok JOIN wl USING (word) GROUP BY 1)"""
+    sb.toString
+  }
+
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)}
       SELECT d.doc_id, CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT)
         AS n_bpe_tokens
       FROM documents d LEFT JOIN per USING (doc_id)"""
-    sb.toString
-  }
+
+  /** Tokenizer-fertility oracle: the same BPE replay aggregated to
+    * (lang): BPE tokens per whitespace word, the multilingual-corpus
+    * budget metric. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    s"""${bpeEncodeCtes(rounds)},
+      nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+        FROM tok GROUP BY 1),
+      j AS (SELECT d.lang,
+          CAST(coalesce(nw.n_words, 0) AS BIGINT) AS n_words,
+          CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe
+        FROM documents d LEFT JOIN nw USING (doc_id)
+        LEFT JOIN per USING (doc_id))
+      SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+        CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        CAST(floor(CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE) * 1e3
+          / CAST(greatest(CAST(sum(n_words) AS BIGINT), 1) AS DOUBLE))
+          AS BIGINT) AS fertility_milli
+      FROM j GROUP BY 1"""
 
   private def riEdges: Seq[(String, String, String, String)] = Seq(
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -2632,6 +2656,78 @@ object QueryCatalog {
           CAST(floor(sqrt(score)) AS BIGINT) AS gain_sqrt_cents
         FROM best WHERE rn = 1""")),
 
+    // Split-conformal calibration (alpha = 0.1): fit a trivial per-
+    // priority mean-price model on a deterministic half of the orders,
+    // take the ceil((n+1)(1-alpha))-th smallest absolute residual as the
+    // conformal quantile q_hat, and AUDIT the guaranteed >= 90% coverage
+    // on the held-out half — the distribution-free prediction-interval
+    // recipe a scoring pipeline ships with its model. Exact throughout:
+    // integer cents residuals, the quantile rank from the
+    // range-partitioned prefix scan over the residual VALUE table
+    // (mannwhitney machinery — never a corpus sort in one task), the
+    // split from the replayable md5 score.
+    ("q_agg_conformal",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("pc"),
+          (Sampling.hashScore(col("o_orderkey")) < 0.5).as("is_cal"))
+        val pred = o.filter(col("is_cal")).groupBy("prio")
+          .agg(sum("pc").as("sp"), count(lit(1)).as("np"))
+          .select(col("prio"), expr("sp div np").as("predc"))
+        val scored = o.join(broadcast(pred), Seq("prio"))
+          .select(col("is_cal"), abs(col("pc") - col("predc")).as("sc"))
+        val byVal = scored.filter(col("is_cal"))
+          .groupBy("sc").agg(count(lit(1)).as("c"))
+        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
+          byVal, Seq("sc"), "c")
+        val ncal = byVal.agg(sum("c").as("n_cal"))
+        val qhat = ranked.crossJoin(broadcast(ncal))
+          .filter(col("offset") + col("c") >=
+            expr("(9L * (n_cal + 1) + 9) div 10"))
+          .agg(min("sc").as("q_hat"))
+        scored.filter(!col("is_cal"))
+          .crossJoin(broadcast(qhat)).crossJoin(broadcast(ncal))
+          .agg(first(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_test"),
+            first(col("q_hat")).as("q_hat_cents"),
+            sum(when(col("sc") <= col("q_hat"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("n_cal"), col("n_test"), col("q_hat_cents"),
+            col("n_covered"),
+            floor(col("n_covered").cast("double") * lit(1e6) /
+              col("n_test").cast("double")).cast("long")
+              .as("coverage_ppm"))
+      },
+      Some(s"""WITH o AS (SELECT o_orderpriority AS prio,
+            ${centsSql("o_totalprice")} AS pc,
+            ${hashScoreSql("o_orderkey")} < 0.5 AS is_cal
+          FROM orders),
+        pred AS (SELECT prio, CAST(sum(pc) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS predc
+          FROM o WHERE is_cal GROUP BY 1),
+        scored AS (SELECT is_cal, abs(pc - predc) AS sc
+          FROM o JOIN pred USING (prio)),
+        bv AS (SELECT sc, count(*) AS c FROM scored WHERE is_cal
+          GROUP BY 1),
+        r AS (SELECT sc, c,
+            CAST(COALESCE(sum(c) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+          FROM bv),
+        ncal AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM bv),
+        qhat AS (SELECT min(sc) AS q_hat FROM r, ncal
+          WHERE off + c >= (9 * (n_cal + 1) + 9) // 10)
+        SELECT any_value(n_cal) AS n_cal,
+          count(*) AS n_test,
+          any_value(q_hat) AS q_hat_cents,
+          CAST(sum(CASE WHEN sc <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_covered,
+          CAST(floor(CAST(sum(CASE WHEN sc <= q_hat THEN 1 ELSE 0 END)
+              AS DOUBLE) * 1e6 / CAST(count(*) AS DOUBLE)) AS BIGINT)
+            AS coverage_ppm
+        FROM scored, qhat, ncal WHERE NOT is_cal""")),
+
     // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
     // pass — each row's replicate weight is a quantized-Poisson draw from
     // an md5 prefix (identical integer thresholds interpolated into both
@@ -4870,6 +4966,34 @@ object QueryCatalog {
         graft.ops.Bpe.tokenCount(docs, "doc_id", "text", merges)
       },
       Some(bpeEncodeOracleSql(3))),
+
+    // Tokenizer fertility by language: BPE tokens per whitespace word —
+    // the number that prices a multilingual corpus in MODEL tokens
+    // rather than words (fertility >> 1 for scripts the merge table
+    // under-serves; the standard input to per-language token budgeting,
+    // cf. q_sample_tokenbudget). Same trained merge table and encode
+    // pass as q_text_bpe_encode, aggregated to the language dimension —
+    // one extra combine-enabled groupBy, nothing corpus-sized beyond
+    // the encode itself.
+    ("q_text_fertility",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 3,
+          minPairCount = 1L)
+        val per = graft.ops.Bpe.tokenCount(docs, "doc_id", "text", merges)
+        docs.select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
+          .join(per, Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(sum("n_words").as("n_words"),
+            sum(coalesce(col("n_bpe_tokens"), lit(0L)))
+              .as("n_bpe_tokens"))
+          .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+            floor(col("n_bpe_tokens").cast("double") * lit(1e3) /
+              greatest(col("n_words"), lit(1L)).cast("double"))
+              .cast("long").as("fertility_milli"))
+      },
+      Some(bpeFertilityOracleSql(3))),
 
     // Query-time BM25 retrieval — the step q_text_bm25 (weights) and
     // q_text_index (postings) build toward: a fixed 3-term query prunes

@@ -486,5 +486,10 @@ class PlanShapeSpec extends SparkSpec {
     val psd = plan("q_text_source_divergence")
     assert(psd.contains("BroadcastExchange"), psd)
     assert(!psd.contains("Window ["), psd)
+    // conformal calibration: residual quantile from the range-partitioned
+    // prefix scan (never a WindowExec); model + q_hat anchors broadcast
+    val pc = plan("q_agg_conformal")
+    assert(!pc.contains("Window ["), pc)
+    assert(pc.contains("BroadcastExchange"), pc)
   }
 }
