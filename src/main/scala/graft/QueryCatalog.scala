@@ -6215,6 +6215,51 @@ object QueryCatalog {
                     JOIN c b ON b.vec_id = cand.id2)
         SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")),
 
+    // Local Outlier Factor over the LSH candidate graph
+    // (Similarity.lofOutliers): density-based embedding outliers — the
+    // curation signal SemDeDup/ANN can't give (those find CLOSE pairs;
+    // LOF finds points whose neighborhood is anomalously SPARSE relative
+    // to their neighbors'). Exact integer distances on quantized
+    // vectors, bounded-state kNN (earliest_k, never a hot-bucket
+    // window), lrd/LOF as two deterministic IEEE divisions with a
+    // neighbor-sorted fold — the oracle replays all of it.
+    ("q_emb_lof",
+      (s: SparkSession, d: String) => Similarity.lofOutliers(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 5, tables = 8, planes = 6, dims = 64),
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        dd AS MATERIALIZED (SELECT id1, id2,
+            CAST(${dotSql("a.v", "a.v")} - 2 * ${dotSql("a.v", "b.v")}
+              + ${dotSql("b.v", "b.v")} AS BIGINT) AS d2
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2),
+        sym AS (SELECT id1 AS a, id2 AS b, d2 FROM dd
+          UNION ALL SELECT id2, id1, d2 FROM dd),
+        nn AS MATERIALIZED (SELECT a, b, d2 FROM (
+            SELECT a, b, d2, row_number() OVER (PARTITION BY a
+              ORDER BY d2 ASC, b ASC) AS rn FROM sym)
+          WHERE rn <= 5),
+        kd AS (SELECT a, CAST(max(d2) AS BIGINT) AS kdist,
+            count(*) AS cnt FROM nn GROUP BY 1),
+        rd AS (SELECT nn.a, nn.b, greatest(nn.d2, kb.kdist) AS rd
+          FROM nn JOIN kd kb ON nn.b = kb.a),
+        lrd AS (SELECT a, CAST(count(*) AS DOUBLE) /
+            CAST(greatest(CAST(sum(rd) AS BIGINT), 1) AS DOUBLE) AS lrd
+          FROM rd GROUP BY 1),
+        sl AS (SELECT rd.a, list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE), list(lb.lrd ORDER BY rd.b)),
+            (x, y) -> x + y) AS slrd
+          FROM rd JOIN lrd lb ON rd.b = lb.a GROUP BY 1)
+        SELECT kd.a AS vec_id, kd.cnt AS n_neighbors, kd.kdist,
+          CAST(floor(1e6 * (slrd / (CAST(kd.cnt AS DOUBLE) * l.lrd)))
+            AS BIGINT) AS lof_micro
+        FROM kd JOIN lrd l ON kd.a = l.a JOIN sl ON kd.a = sl.a""")),
+
     // INCREMENTAL embedding dedup: vec_id % 10 = 0 arrives as today's
     // batch against the persisted bucket index of the rest — the
     // embedding-side twin of q_dedup_incremental (same invariant: the

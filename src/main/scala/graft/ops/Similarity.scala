@@ -589,6 +589,85 @@ object Similarity {
       .distinct()
   }
 
+  /**
+   * Local Outlier Factor (Breunig et al. 2000) over the LSH CANDIDATE
+   * graph — density-based embedding outliers for corpus curation (an
+   * embedding whose neighborhood is much sparser than its neighbors'
+   * neighborhoods is mis-embedded, mislabeled, or genuinely novel; both
+   * ends of that spectrum are what a curation pass wants surfaced).
+   *
+   * Approximation contract: neighborhoods come from the same multi-table
+   * hyperplane-LSH candidate generation as [[annNearDupPairs]] (exact LOF
+   * needs exact kNN — a corpus² scan). Every downstream quantity (k-th
+   * distance, reachability, lrd, LOF) is EXACT over those candidates, and
+   * fully deterministic: squared L2 distances are integers on the
+   * quantized vectors, per-point kNN is the bounded-state `earliest_k`
+   * aggregate (never a window over a hot bucket's fan-out), and the two
+   * IEEE divisions + the neighbor-sorted lrd fold replay bit-for-bit in
+   * the oracle. Points with no candidate (bucket singletons everywhere)
+   * have no neighborhood and are absent from the output; duplicate-heavy
+   * neighborhoods (sum of reach-dists = 0) clamp the denominator to 1.
+   *
+   * Output: (vec_id, n_neighbors, kdist, lof_micro) — lof ~1e6 means
+   * inlier, >> 1e6 means outlier.
+   */
+  def lofOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 64, s"lofOutliers needs 1 <= k <= 64, got $k")
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dims).as("b")))
+    val keyed = corpus.select(col(idCol).as("id"),
+        quantize(col(vecCol)).as("v"),
+        explode(array(buckets: _*)).as("bucket"))
+      .withColumn("n2", qdot(col("v"), col("v")))
+    val prunedPlan = if (maxBucket <= 0) keyed else {
+      val small = keyed.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket).select("bucket")
+      keyed.join(small, Seq("bucket"))
+    }
+    val pruned = Dedup.materialized(prunedPlan)
+    val pairs = pruned.as("x").join(pruned.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        (col("x.n2") - lit(2L) * qdot(col("x.v"), col("y.v")) +
+          col("y.n2")).as("d2"))
+      .distinct()
+    val sym = pairs.union(pairs.select(col("id2").as("id1"),
+      col("id1").as("id2"), col("d2")))
+    // bounded-state kNN: k smallest (d2, neighbor) per point
+    val nbrs = sym.groupBy(col("id1").as("a"))
+      .agg(graft.plans.GraftExpressions.earliest_k(
+        struct(col("d2"), col("id2")), k).as("nn"))
+      .select(col("a"), explode(col("nn")).as("s"))
+      .select(col("a"), col("s.d2").as("d2"), col("s.id2").as("b"))
+    val kd = nbrs.groupBy("a")
+      .agg(max("d2").as("kdist"), count(lit(1)).as("cnt"))
+    val rd = nbrs.join(kd.select(col("a").as("b"),
+        col("kdist").as("kdist_b")), Seq("b"))
+      .select(col("a"), col("b"), greatest(col("d2"), col("kdist_b"))
+        .as("rd"))
+    val lrd = rd.groupBy("a").agg(sum("rd").as("sum_rd"),
+        count(lit(1)).as("n"))
+      .select(col("a"), (col("n").cast("double") /
+        greatest(col("sum_rd"), lit(1L)).cast("double")).as("lrd"))
+    // neighbor lrd sum in a FIXED (neighbor-id-sorted) fold order, so the
+    // double total is bit-identical despite aggregation-order freedom
+    val slrd = rd.select("a", "b")
+      .join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+      .groupBy("a")
+      .agg(aggregate(transform(
+        array_sort(collect_list(struct(col("b"), col("lrd_b")))),
+        x => x.getField("lrd_b")), lit(0.0), (acc, x) => acc + x)
+        .as("slrd"))
+    slrd.join(lrd, Seq("a")).join(kd, Seq("a"))
+      .select(col("a").as("vec_id"), col("cnt").as("n_neighbors"),
+        col("kdist"),
+        floor(lit(1e6) * (col("slrd") /
+          (col("cnt").cast("double") * col("lrd")))).cast("long")
+          .as("lof_micro"))
+  }
+
   /** The persisted EMBEDDING DEDUP INDEX: (id, v, n2, t, b) — quantized
     * vector, squared norm, and one row per LSH table with its bucket key.
     * Write it to the lake alongside the corpus; each increment builds the

@@ -217,6 +217,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lofOutliers: planted line outlier scores highest; core ~1") {
+    // all points are POSITIVE scalar multiples of one base direction, so
+    // every hyperplane sign pattern is identical -> all points share all
+    // LSH buckets (candidates guaranteed, no hash luck involved), and the
+    // geometry is a 1-D line: 8 core points spaced 0.1 apart plus one
+    // outlier far down the same ray
+    def v(c: Double) = Array.tabulate(64)(d =>
+      if (d == 0) (1.0 * c).toFloat else if (d == 1) (2.0 * c).toFloat
+      else 0.0f)
+    val pts = (0 until 8).map(i => (i.toLong, v(0.9 + 0.1 * i))) :+
+      (99L, v(5.0))
+    val got = Similarity.lofOutliers(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.size == 9) // everyone has candidates by construction
+    val core = got.filter(_._1 != 99L).values
+    // core points sit in a roughly uniform 1-D neighborhood: LOF near 1
+    assert(core.forall(l => l > 500000L && l < 3000000L), got)
+    // the outlier dominates every core point by a wide margin
+    assert(got(99L) > 5000000L && got(99L) > core.max * 3, got)
+  }
+
   test("ivfPqTopK: one list + uncompressed codebooks equal exact L2") {
     // nlist = 1 (all residuals share the anchor), ksub >= |corpus|,
     // iters = 0: residual ADC must equal true squared-L2 between originals.

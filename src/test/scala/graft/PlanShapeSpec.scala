@@ -491,5 +491,12 @@ class PlanShapeSpec extends SparkSpec {
     val pc = plan("q_agg_conformal")
     assert(!pc.contains("Window ["), pc)
     assert(pc.contains("BroadcastExchange"), pc)
+    // LOF: candidate self-join is equi on the bucket key; kNN is the
+    // bounded-state earliest_k aggregate, never a window over a bucket's
+    // fan-out
+    val pl = plan("q_emb_lof")
+    assert(!pl.contains("Window [") && !pl.contains("CartesianProduct"), pl)
+    assert(pl.toLowerCase.contains("earliestk") ||
+      pl.contains("earliest_k"), pl)
   }
 }
