@@ -5223,6 +5223,87 @@ object QueryCatalog {
         FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
         WHERE n_ab >= 15""")),
 
+    // Bigram language-model scoring with backoff, whole-bit form: the LM
+    // trains on the even-doc_id half (bigram + unigram counts) and
+    // scores EVERY document — bits(w2|w1) = bitlen(n_w1) - bitlen(n_w1w2)
+    // when the bigram was seen, else backoff to the unigram tail
+    // bitlen(N) - bitlen(n_w2 + 1) plus a 4-bit penalty. The
+    // train/score split is what makes this the real LM-quality gate
+    // (scoring a corpus against ITS OWN counts can never see an unseen
+    // bigram); held-out docs exercise the backoff path. All BIGINT —
+    // counts, bit lengths, per-doc sums; one exploded-bigram scan
+    // joined against the two vocabulary-bounded count tables.
+    ("q_text_lm_score",
+      (s: SparkSession, d: String) => {
+        val bl = graft.plans.GraftExpressions.bit_length_long _
+        val docs = t(s, d, "documents")
+        def bigrams(df: DataFrame) = df.select(col("doc_id"),
+            TextOps.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull,
+              struct(a.as("w1"), b.as("w2"))))).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("doc_id"), col("s.w1").as("w1"),
+            col("s.w2").as("w2"))
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+        val bc = bigrams(ref).groupBy("w1", "w2")
+          .agg(count(lit(1)).as("n12"))
+        val uc = ref.select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n1"))
+        val nTot = uc.agg(sum("n1").as("nn"))
+        val scoredRows = bigrams(docs)
+          .join(bc, Seq("w1", "w2"), "left")
+          .join(uc.select(col("w").as("w1"), col("n1").as("n_a")),
+            Seq("w1"), "left")
+          .join(uc.select(col("w").as("w2"), col("n1").as("n_b")),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(nTot))
+          .select(col("doc_id"),
+            when(coalesce(col("n12"), lit(0L)) > 0,
+              bl(col("n_a")) - bl(col("n12")))
+              .otherwise(bl(col("nn")) -
+                bl(coalesce(col("n_b"), lit(0L)) + 1) + 4)
+              .cast("long").as("bits"))
+        val per = scoredRows.groupBy("doc_id")
+          .agg(sum("bits").as("bits_total"),
+            count(lit(1)).as("n_bigrams"))
+        docs.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("bits_total"), lit(0L)).as("bits_total"))
+          .withColumn("bits_per_bigram_milli",
+            expr("bits_total * 1000L div greatest(n_bigrams, 1L)"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        bi AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        refbi AS (SELECT w1, w2, count(*) AS n12 FROM bi
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        refuni AS (SELECT t AS w, count(*) AS n1
+          FROM docs, UNNEST(ts) AS u(t) WHERE doc_id % 2 = 0 GROUP BY 1),
+        tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn FROM refuni),
+        rows_ AS (SELECT bi.doc_id,
+            CASE WHEN COALESCE(n12, 0) > 0
+              THEN CAST(length(bin(a.n1)) - length(bin(n12)) AS BIGINT)
+              ELSE CAST(length(bin(nn)) -
+                length(bin(COALESCE(b.n1, 0) + 1)) + 4 AS BIGINT)
+            END AS bits
+          FROM bi
+          LEFT JOIN refbi ON bi.w1 = refbi.w1 AND bi.w2 = refbi.w2
+          LEFT JOIN refuni a ON bi.w1 = a.w
+          LEFT JOIN refuni b ON bi.w2 = b.w, tot),
+        per AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS bits_total,
+            count(*) AS n_bigrams FROM rows_ GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(per.n_bigrams, 0) AS n_bigrams,
+          COALESCE(per.bits_total, 0) AS bits_total,
+          COALESCE(per.bits_total, 0) * 1000
+            // greatest(COALESCE(per.n_bigrams, 0), 1)
+            AS bits_per_bigram_milli
+        FROM documents d LEFT JOIN per USING (doc_id)""")),
+
     // Per-source vocabulary divergence, whole-bit form (the
     // transcendental-free discipline of q_text_pmi / q_profile_mi): for
     // every (source, word) cell, pointwise information in whole bits =
@@ -6259,6 +6340,52 @@ object QueryCatalog {
           CAST(floor(1e6 * (slrd / (CAST(kd.cnt AS DOUBLE) * l.lrd)))
             AS BIGINT) AS lof_micro
         FROM kd JOIN lrd l ON kd.a = l.a JOIN sl ON kd.a = sl.a""")),
+
+    // Mutual-kNN density clustering (Similarity.mutualKnnPairs +
+    // Dedup.components): an edge survives only if EACH endpoint is among
+    // the other's k nearest candidates — mutuality cuts hub bridges, so
+    // connected components are tight semantic groups with NO cluster
+    // count to tune (the k-free alternative to q_emb_kmeans, the
+    // graph-sparse alternative to q_emb_semdedup's threshold). k = 2:
+    // on this fixture's unclustered bulk, mutuality then fragments the
+    // graph into hundreds of tight groups (k = 4 percolates into one
+    // giant component — measured, and the expected behavior on data
+    // with no macro-cluster structure). Same LSH candidate substrate
+    // and bounded-state kNN as q_emb_lof; the oracle
+    // replays the graph and takes TRUE components (recursive CTE) — the
+    // hash-match proves the fixed-round star contraction converged.
+    ("q_emb_mutual_knn",
+      (s: SparkSession, d: String) => Dedup.components(
+        Similarity.mutualKnnPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 2, tables = 8, planes = 6, dims = 64),
+        "doc1", "doc2"),
+      Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        dd AS MATERIALIZED (SELECT id1, id2,
+            CAST(${dotSql("a.v", "a.v")} - 2 * ${dotSql("a.v", "b.v")}
+              + ${dotSql("b.v", "b.v")} AS BIGINT) AS d2
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2),
+        sym AS (SELECT id1 AS a, id2 AS b, d2 FROM dd
+          UNION ALL SELECT id2, id1, d2 FROM dd),
+        nn AS MATERIALIZED (SELECT a, b FROM (
+            SELECT a, b, row_number() OVER (PARTITION BY a
+              ORDER BY d2 ASC, b ASC) AS rn FROM sym)
+          WHERE rn <= 2),
+        mutual AS MATERIALIZED (SELECT x.a, x.b FROM nn x
+          JOIN nn m ON m.a = x.b AND m.b = x.a WHERE x.a < x.b),
+        edges AS MATERIALIZED (SELECT a, b FROM mutual
+          UNION SELECT b, a FROM mutual),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        SELECT id AS doc_id, min(r) AS component_id
+        FROM reach GROUP BY 1""")),
 
     // INCREMENTAL embedding dedup: vec_id % 10 = 0 arrives as today's
     // batch against the persisted bucket index of the rest — the

@@ -611,10 +611,14 @@ object Similarity {
    * Output: (vec_id, n_neighbors, kdist, lof_micro) — lof ~1e6 means
    * inlier, >> 1e6 means outlier.
    */
-  def lofOutliers(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
-      maxBucket: Int = 0): DataFrame = {
-    require(k >= 1 && k <= 64, s"lofOutliers needs 1 <= k <= 64, got $k")
+  /** Symmetric LSH candidate pairs with exact integer squared-L2:
+    * (id1, id2, d2), both directions — the neighborhood substrate shared
+    * by [[lofOutliers]] and [[mutualKnnPairs]]. Same bucket generation,
+    * hot-bucket cap, and single-evaluation materialization as
+    * [[annNearDupPairs]]. */
+  private def lshSymPairs(corpus: DataFrame, idCol: String,
+      vecCol: String, tables: Int, planes: Int, dims: Int,
+      maxBucket: Int): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dims).as("b")))
     val keyed = corpus.select(col(idCol).as("id"),
@@ -633,14 +637,43 @@ object Similarity {
         (col("x.n2") - lit(2L) * qdot(col("x.v"), col("y.v")) +
           col("y.n2")).as("d2"))
       .distinct()
-    val sym = pairs.union(pairs.select(col("id2").as("id1"),
+    pairs.union(pairs.select(col("id2").as("id1"),
       col("id1").as("id2"), col("d2")))
-    // bounded-state kNN: k smallest (d2, neighbor) per point
-    val nbrs = sym.groupBy(col("id1").as("a"))
+  }
+
+  /** Bounded-state per-point kNN over the candidate pairs: the k smallest
+    * (d2, neighbor) per point via `earliest_k` — never a window over a
+    * hot bucket's fan-out. Returns (a, d2, b). */
+  private def knnOverCandidates(sym: DataFrame, k: Int): DataFrame =
+    sym.groupBy(col("id1").as("a"))
       .agg(graft.plans.GraftExpressions.earliest_k(
         struct(col("d2"), col("id2")), k).as("nn"))
       .select(col("a"), explode(col("nn")).as("s"))
       .select(col("a"), col("s.d2").as("d2"), col("s.id2").as("b"))
+
+  /** Mutual-kNN graph edges over the LSH candidate graph: (doc1, doc2)
+    * kept iff each point is among the other's k nearest candidates —
+    * the density-cluster substrate (feed to `Dedup.components`) that
+    * needs NO cluster count: mutuality alone cuts hub bridges, so
+    * components of this graph are tight semantic groups. Same
+    * approximation contract and determinism as [[lofOutliers]]. */
+  def mutualKnnPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 64, s"mutualKnnPairs needs 1 <= k <= 64, got $k")
+    val nn = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
+      tables, planes, dims, maxBucket), k).select("a", "b")
+    nn.join(nn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc1"), col("b").as("doc2"))
+  }
+
+  def lofOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 64, s"lofOutliers needs 1 <= k <= 64, got $k")
+    val nbrs = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
+      tables, planes, dims, maxBucket), k)
     val kd = nbrs.groupBy("a")
       .agg(max("d2").as("kdist"), count(lit(1)).as("cnt"))
     val rd = nbrs.join(kd.select(col("a").as("b"),

@@ -240,6 +240,25 @@ class OpsSpec extends SparkSpec {
     assert(got(99L) > 5000000L && got(99L) > core.max * 3, got)
   }
 
+  test("mutualKnnPairs: line fixture keeps only the one mutual 1-NN pair") {
+    // same all-one-ray construction as the LOF spec (buckets shared by
+    // all points). k = 1 on the 0.9..1.6 line + far outlier: 0's nearest
+    // is 1; 1's nearest ties between 0 and 2 and the (d2, id) order picks
+    // 0 -> (0,1) is mutual. Every interior point's nearest is its LEFT
+    // neighbor (same tie rule), whose own nearest is further left -> no
+    // other pair is mutual, and the outlier's nearest (7) doesn't
+    // reciprocate.
+    def v(c: Double) = Array.tabulate(64)(d =>
+      if (d == 0) (1.0 * c).toFloat else if (d == 1) (2.0 * c).toFloat
+      else 0.0f)
+    val pts = (0 until 8).map(i => (i.toLong, v(0.9 + 0.1 * i))) :+
+      (99L, v(5.0))
+    val pairs = Similarity.mutualKnnPairs(
+        pts.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("ivfPqTopK: one list + uncompressed codebooks equal exact L2") {
     // nlist = 1 (all residuals share the anchor), ksub >= |corpus|,
     // iters = 0: residual ADC must equal true squared-L2 between originals.

@@ -498,5 +498,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pl.contains("Window [") && !pl.contains("CartesianProduct"), pl)
     assert(pl.toLowerCase.contains("earliestk") ||
       pl.contains("earliest_k"), pl)
+    // LM score: two vocabulary-bounded count joins + a broadcast total —
+    // no window anywhere (the bigram fan-out is scan-stage array work)
+    val plm = plan("q_text_lm_score")
+    assert(!plm.contains("Window [") && !plm.contains("CartesianProduct"),
+      plm)
   }
 }
