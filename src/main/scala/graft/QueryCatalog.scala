@@ -2728,6 +2728,77 @@ object QueryCatalog {
             AS coverage_ppm
         FROM scored, qhat, ncal WHERE NOT is_cal""")),
 
+    // Difference-in-differences: the causal-inference workhorse for
+    // "did the change move the metric" when treatment wasn't randomized
+    // — treated cohort (even custkeys) vs control, before vs after the
+    // 1998-01-01 cut (the fixture's order dates span 1995..2001); DiD = (T_post − T_pre) − (C_post − C_pre) on mean
+    // order value. ONE conditional aggregate over the join (four exact
+    // BIGINT sum/count cells), then a fixed IEEE chain for the means —
+    // the 100 TB shape is the same single pass.
+    ("q_agg_did",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .select((col("o_custkey") % 2 === 0).as("treated"),
+            (col("o_orderdate") >= lit(java.sql.Date.valueOf("1998-01-01")))
+              .as("post"),
+            cents(col("o_totalprice")).as("pc"))
+        def cell(tr: Boolean, po: Boolean, nm: String) = Seq(
+          sum(when(col("treated") === tr && col("post") === po,
+            col("pc")).otherwise(0L)).as(s"s_$nm"),
+          sum(when(col("treated") === tr && col("post") === po, 1L)
+            .otherwise(0L)).as(s"n_$nm"))
+        val a = o.agg(
+          (cell(true, false, "t1") ++ cell(true, true, "t2") ++
+            cell(false, false, "c1") ++ cell(false, true, "c2")).head,
+          (cell(true, false, "t1") ++ cell(true, true, "t2") ++
+            cell(false, false, "c1") ++ cell(false, true, "c2")).tail: _*)
+        def m(nm: String) =
+          col(s"s_$nm").cast("double") / col(s"n_$nm").cast("double")
+        a.select(col("n_t1"), col("n_t2"), col("n_c1"), col("n_c2"),
+          floor(m("t1")).cast("long").as("mean_t_pre_cents"),
+          floor(m("t2")).cast("long").as("mean_t_post_cents"),
+          floor(m("c1")).cast("long").as("mean_c_pre_cents"),
+          floor(m("c2")).cast("long").as("mean_c_post_cents"),
+          floor((m("t2") - m("t1") - (m("c2") - m("c1"))) * lit(1e3))
+            .cast("long").as("did_milli_cents"))
+      },
+      Some(s"""WITH o AS (SELECT o_custkey % 2 = 0 AS treated,
+            o_orderdate >= DATE '1998-01-01' AS post,
+            ${centsSql("o_totalprice")} AS pc FROM orders),
+        a AS (SELECT
+            CAST(sum(CASE WHEN treated AND NOT post THEN pc ELSE 0 END)
+              AS BIGINT) AS s_t1,
+            CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t1,
+            CAST(sum(CASE WHEN treated AND post THEN pc ELSE 0 END)
+              AS BIGINT) AS s_t2,
+            CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t2,
+            CAST(sum(CASE WHEN NOT treated AND NOT post THEN pc ELSE 0 END)
+              AS BIGINT) AS s_c1,
+            CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c1,
+            CAST(sum(CASE WHEN NOT treated AND post THEN pc ELSE 0 END)
+              AS BIGINT) AS s_c2,
+            CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c2
+          FROM o)
+        SELECT n_t1, n_t2, n_c1, n_c2,
+          CAST(floor(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))
+            AS BIGINT) AS mean_t_pre_cents,
+          CAST(floor(CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE))
+            AS BIGINT) AS mean_t_post_cents,
+          CAST(floor(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
+            AS BIGINT) AS mean_c_pre_cents,
+          CAST(floor(CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE))
+            AS BIGINT) AS mean_c_post_cents,
+          CAST(floor((CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE)
+              - CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+              - (CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE)
+                - CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))) * 1e3)
+            AS BIGINT) AS did_milli_cents
+        FROM a""")),
+
     // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
     // pass — each row's replicate weight is a quantized-Poisson draw from
     // an md5 prefix (identical integer thresholds interpolated into both
@@ -6387,6 +6458,32 @@ object QueryCatalog {
         SELECT id AS doc_id, min(r) AS component_id
         FROM reach GROUP BY 1""")),
 
+    // Candidate-cosine calibration histogram: the similarity
+    // DISTRIBUTION over the LSH candidate set, in 0.05 buckets — the
+    // evidence a SemDeDup/near-dup threshold is set FROM (a planted
+    // near-dup population shows up as a high-cosine spike over the
+    // random-pair bulk; the valley between them is the threshold).
+    // Reuses the exact annNearDupPairs plan with threshold = -1 (every
+    // candidate kept) and collapses to a bucket-bounded count table.
+    ("q_emb_sim_hist",
+      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = -1.0, tables = 8, planes = 6, dims = 64)
+        .select(floor(col("cosine") * 20).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs")),
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        scored AS (SELECT ${cosineSql("a.v", "b.v")} AS cosine
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2)
+        SELECT CAST(floor(cosine * 20) AS BIGINT) AS bucket,
+          count(*) AS n_pairs
+        FROM scored GROUP BY 1""")),
+
     // INCREMENTAL embedding dedup: vec_id % 10 = 0 arrives as today's
     // batch against the persisted bucket index of the rest — the
     // embedding-side twin of q_dedup_incremental (same invariant: the
@@ -9780,7 +9877,65 @@ object QueryCatalog {
             AS BIGINT) AS moved_rendezvous,
           CAST(sum(CASE WHEN h60 % 16 <> h60 % 17 THEN 1 ELSE 0 END)
             AS BIGINT) AS moved_mod
-        FROM rv JOIN md USING (doc_id)""")))
+        FROM rv JOIN md USING (doc_id)""")),
+
+    // Inverse-propensity-weighted estimation audit: downsample per
+    // stratum at known rates (en 10%, zh 50%, rest kept), then estimate
+    // corpus totals from the SAMPLE with 1/rate weights and report the
+    // error against ground truth — the proof a sampled-telemetry /
+    // sampled-corpus pipeline must ship before anyone trusts its
+    // aggregates. Rates chosen with exact integer inverses (10, 2, 1),
+    // so estimates are exact BIGINT arithmetic; the sample membership is
+    // the replayable md5 score. One scan computes truth and estimate
+    // together (conditional aggregates) — the audit costs one pass.
+    ("q_sample_ipw",
+      (s: SparkSession, d: String) => {
+        val w = when(col("lang") === "en", 10L)
+          .when(col("lang") === "zh", 2L).otherwise(1L)
+        val r = when(col("lang") === "en", 0.1)
+          .when(col("lang") === "zh", 0.5).otherwise(1.0)
+        val docs = t(s, d, "documents").select(col("lang"),
+          col("n_chars").cast("long").as("nc"),
+          (Sampling.hashScore(col("doc_id")) < r).as("in_sample"), w.as("w"))
+        docs.groupBy("lang")
+          .agg(count(lit(1)).as("n_true"),
+            sum("nc").as("chars_true"),
+            sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
+            sum(when(col("in_sample"), col("w")).otherwise(0L))
+              .as("n_est"),
+            sum(when(col("in_sample"), col("w") * col("nc")).otherwise(0L))
+              .as("chars_est"))
+          .select(col("lang"), col("n_true"), col("n_sampled"),
+            col("n_est"), col("chars_true"), col("chars_est"),
+            floor(abs(col("n_est") - col("n_true")).cast("double") *
+              lit(1e6) / col("n_true").cast("double")).cast("long")
+              .as("n_err_ppm"),
+            floor(abs(col("chars_est") - col("chars_true")).cast("double") *
+              lit(1e6) / col("chars_true").cast("double")).cast("long")
+              .as("chars_err_ppm"))
+      },
+      Some(s"""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc,
+            ${hashScoreSql("doc_id")} <
+              CASE WHEN lang = 'en' THEN 0.1
+                   WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END AS in_sample,
+            CASE WHEN lang = 'en' THEN 10
+                 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w
+          FROM documents),
+        a AS (SELECT lang, count(*) AS n_true,
+            CAST(sum(nc) AS BIGINT) AS chars_true,
+            CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_sampled,
+            CAST(sum(CASE WHEN in_sample THEN w ELSE 0 END) AS BIGINT)
+              AS n_est,
+            CAST(sum(CASE WHEN in_sample THEN w * nc ELSE 0 END)
+              AS BIGINT) AS chars_est
+          FROM d GROUP BY 1)
+        SELECT lang, n_true, n_sampled, n_est, chars_true, chars_est,
+          CAST(floor(CAST(abs(n_est - n_true) AS DOUBLE) * 1e6
+            / CAST(n_true AS DOUBLE)) AS BIGINT) AS n_err_ppm,
+          CAST(floor(CAST(abs(chars_est - chars_true) AS DOUBLE) * 1e6
+            / CAST(chars_true AS DOUBLE)) AS BIGINT) AS chars_err_ppm
+        FROM a""")))
 
   // ================================================================ graph
 

@@ -503,5 +503,11 @@ class PlanShapeSpec extends SparkSpec {
     val plm = plan("q_text_lm_score")
     assert(!plm.contains("Window [") && !plm.contains("CartesianProduct"),
       plm)
+    // IPW audit and DiD: ONE conditional aggregate over the scan — no
+    // join, no window (the audits cost one pass, the 100 TB shape)
+    for (q <- Seq("q_sample_ipw", "q_agg_did")) {
+      val p = plan(q)
+      assert(!p.contains("Window [") && !p.contains("Join"), s"$q:\n$p")
+    }
   }
 }
