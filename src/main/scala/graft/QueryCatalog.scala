@@ -1838,6 +1838,65 @@ object QueryCatalog {
         FROM st LEFT JOIN tot ON st.st = tot.osrc
         JOIN v3 USING (st)""")),
 
+    // Markov next-event prediction, EVALUATED: train the argmax-next
+    // table on even user_ids, score it on odd users' transitions —
+    // per-state predicted event, held-out hit count, and accuracy. The
+    // baseline every sequence model must beat, with the train/test
+    // split that makes the number honest (self-scoring a majority-class
+    // predictor is circular). The predictor table is vocabulary-bounded
+    // (argmax via a 25-row window); scoring is one broadcast join over
+    // the held-out transition counts.
+    ("q_seq_markov_eval",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("user_id"), col("event_type").as("from_type"),
+            col("next").as("to_type"))
+        val train = tr.filter(col("user_id") % 2 === 0)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
+        val pred = train.withColumn("rn", row_number().over(
+            Window.partitionBy("from_type")
+              .orderBy(col("c").desc, col("to_type").asc)))
+          .filter(col("rn") === 1)
+          .select(col("from_type"), col("to_type").as("predicted"))
+        val eval_ = tr.filter(col("user_id") % 2 === 1)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        eval_.join(broadcast(pred), Seq("from_type"))
+          .groupBy("from_type")
+          .agg(first(col("predicted")).as("predicted"),
+            sum("n").as("n_eval"),
+            sum(when(col("to_type") === col("predicted"), col("n"))
+              .otherwise(0L)).as("n_correct"))
+          .select(col("from_type"), col("predicted"), col("n_eval"),
+            col("n_correct"),
+            floor(col("n_correct").cast("double") * lit(1e6) /
+              col("n_eval").cast("double")).cast("long").as("acc_ppm"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type)
+            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            AS next FROM events),
+        tr AS (SELECT user_id, event_type AS from_type, next AS to_type
+          FROM r WHERE next IS NOT NULL),
+        train AS (SELECT from_type, to_type, count(*) AS c FROM tr
+          WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        pred AS (SELECT from_type, to_type AS predicted FROM (
+            SELECT from_type, to_type, row_number() OVER (
+              PARTITION BY from_type ORDER BY c DESC, to_type ASC) AS rn
+            FROM train) WHERE rn = 1),
+        ev AS (SELECT from_type, to_type, count(*) AS n FROM tr
+          WHERE user_id % 2 = 1 GROUP BY 1, 2)
+        SELECT from_type, any_value(predicted) AS predicted,
+          CAST(sum(n) AS BIGINT) AS n_eval,
+          CAST(sum(CASE WHEN to_type = predicted THEN n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(floor(CAST(sum(CASE WHEN to_type = predicted THEN n
+              ELSE 0 END) AS DOUBLE) * 1e6
+            / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS acc_ppm
+        FROM ev JOIN pred USING (from_type) GROUP BY 1""")),
+
     // Last-touch conversion attribution: each purchase credits the user's
     // most recent PRIOR click/view (conversions with no prior touch fall
     // into the 'organic' bucket). The carry-forward is a per-user window
@@ -10165,6 +10224,43 @@ object QueryCatalog {
     s"$base$hops\n      $arms"
   }
 
+  /** Unrolled DuckDB replay of [[Graph.cascade]] over the CAPPED
+    * symmetrized co-order graph (same cap CTEs as [[walksOracleSql]]):
+    * one (count-gate + anti-join) CTE pair per round. */
+  private def cascadeOracleSql(threshold: Int, rounds: Int): String = {
+    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
+      canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+      inc AS (SELECT a AS node, a, b,
+          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+        FROM canon0
+        UNION ALL
+        SELECT b AS node, a, b,
+          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
+        FROM canon0),
+      ranked AS (SELECT node, a, b,
+          row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
+        FROM inc),
+      canon AS (SELECT a, b FROM ranked WHERE rk <= 8
+        GROUP BY a, b HAVING count(*) = 2),
+      sym AS (SELECT a AS src, b AS dst FROM canon
+        UNION ALL SELECT b, a FROM canon),
+      a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS round
+        FROM sym WHERE src % 20 = 0)"""
+    val hops = (1 to rounds).map { r =>
+      s""",
+      n$r AS (SELECT e.dst AS node, count(*) AS c
+        FROM sym e JOIN a${r - 1} a ON e.src = a.node GROUP BY 1),
+      a$r AS (SELECT node, round FROM a${r - 1}
+        UNION ALL
+        SELECT node, CAST($r AS BIGINT) FROM n$r
+        WHERE c >= $threshold AND node NOT IN
+          (SELECT node FROM a${r - 1}))"""
+    }.mkString
+    base + hops + s"\n      SELECT node, round FROM a$rounds"
+  }
+
   /** The part<->supplier co-occurrence graph from lineitem: parts on even
     * node ids, suppliers on odd (one BIGINT key space, bipartite so the
     * two directions never collide), an edge per distinct (part, supplier)
@@ -10371,6 +10467,31 @@ object QueryCatalog {
       }): Q
       },
       Some(walksOracleSql(4))),
+
+    // Threshold cascade (Graph.cascade) from the walks' seed set over
+    // the same capped graph: "2 active neighbors activate you", 3
+    // rounds — influence spread / taint propagation with a count gate
+    // (where q_graph_bfs spreads on ANY contact). Per round one
+    // frontier equi-join + combine-enabled count + anti-join.
+    ("q_graph_cascade", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+        val sym = capped.union(
+          capped.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = sym.select(col("src")).distinct()
+          .filter(col("src") % 20 === 0)
+        Graph.cascade(sym, "src", "dst", seeds, "src",
+          threshold = 2, rounds = 3)
+      }): Q
+      },
+      Some(cascadeOracleSql(threshold = 2, rounds = 3))),
 
     ("q_graph_capped", {
       ((s: SparkSession, d: String) => {

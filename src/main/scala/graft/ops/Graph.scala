@@ -612,6 +612,41 @@ object Graph {
   }
 
   /**
+   * Bootstrap percolation / linear-threshold cascade, fixed rounds: a
+   * node activates when at least `threshold` of its (distinct-edge)
+   * neighbors are active — the standard influence-spread model, and the
+   * contamination-spread audit for dedup graphs (if leaked benchmark
+   * docs seed the near-dup graph, how far does taint propagate under a
+   * "2 tainted neighbors = tainted" rule?). Same fixed-round
+   * frontier-join shape as [[bfsLevels]] with a count gate: per round
+   * one equi-join active×edges + one combine-enabled count + one
+   * anti-join — linear in |E|, no windows.
+   *
+   * Output: (node, round) — round 0 = seed, r = first round the
+   * threshold was met. Nodes never activated are absent.
+   */
+  def cascade(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, threshold: Int,
+      rounds: Int): DataFrame = {
+    require(threshold >= 1, s"cascade needs threshold >= 1, got $threshold")
+    require(rounds >= 1 && rounds <= 32,
+      s"cascade needs 1 <= rounds <= 32, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    var act = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("round", lit(0L)).localCheckpoint()
+    for (r <- 1 to rounds) {
+      val counts = e.join(act.select(col("node").as("src")), "src")
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("c"))
+      val newly = counts.filter(col("c") >= threshold)
+        .join(act, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("round"))
+      act = act.union(newly).localCheckpoint()
+    }
+    act
+  }
+
+  /**
    * Deterministic random walks — the corpus generator for node-embedding
    * training (DeepWalk / node2vec's data layer: walks are the "sentences"
    * a skip-gram model consumes). Every step is a HASH decision, not an

@@ -462,6 +462,20 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
 
+  test("cascade: square + pendant — threshold gate, chain round, no spread past it") {
+    // square 1-2-3-4, pendant 5 on 2, node 6 hanging off 2 and 4.
+    // seeds {1, 3} (opposite corners): round 1 activates 2 and 4 (two
+    // active neighbors each), round 2 activates 6 (2 and 4 now active);
+    // 5 never activates (one neighbor < threshold 2)
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 5L),
+      (6L, 2L), (6L, 4L))
+    val e = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.cascade(e, "src", "dst", Seq(1L, 3L).toDF("seed"),
+        "seed", threshold = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 2L))
+  }
+
   /** Independent replication of the hash neighbor pick: first 8 md5 hex
     * chars of "walk|step" as a long, mod out-degree, 1-based index into
     * the dst-sorted adjacency list — plain Scala, no Spark. */
