@@ -1378,6 +1378,73 @@ object QueryCatalog {
           CAST(sum(late_s) AS BIGINT) AS sum_late_s
         FROM l GROUP BY 1""")),
 
+    // Watermark sizing sweep: for candidate watermark delays W, how many
+    // events would a streaming job DROP (lateness > W, against the same
+    // deterministically perturbed arrival order as q_incr_out_of_order)?
+    // The table that turns that audit's lateness stats into the actual
+    // sizing decision — pick the smallest W with acceptable loss. ONE
+    // pass: the per-user frontier window (domain-bounded), a single
+    // conditional aggregate of all five W cells, and a 5-row explode of
+    // the one-row result.
+    ("q_incr_watermark_sweep",
+      (s: SparkSession, d: String) => {
+        val ws = Seq(0L, 60L, 300L, 900L, 3600L)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("arrival").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val late = t(s, d, "events")
+          .withColumn("arrival",
+            col("event_id") + (col("event_id") % 7) * 3)
+          .withColumn("frontier", max(col("ts")).over(w))
+          .withColumn("late_s",
+            when(col("ts") < col("frontier"),
+              (unix_timestamp(col("frontier")) - unix_timestamp(col("ts")))
+                .cast("long")).otherwise(lit(0L)))
+        val aggs = count(lit(1)).as("n") +: ws.map(wm =>
+          sum(when(col("late_s") > wm, 1L).otherwise(0L)).as(s"d_$wm"))
+        val one = late.agg(aggs.head, aggs.tail: _*)
+        one.select(col("n"), explode(array(ws.map(wm =>
+            struct(lit(wm).as("watermark_s"),
+              col(s"d_$wm").as("n_dropped"))): _*)).as("s"))
+          .select(col("s.watermark_s").as("watermark_s"), col("n"),
+            col("s.n_dropped").as("n_dropped"),
+            floor((col("n") - col("s.n_dropped")).cast("double") *
+              lit(1e6) / col("n").cast("double")).cast("long")
+              .as("retained_ppm"))
+      },
+      Some("""WITH e AS (SELECT ts, user_id, event_id,
+            event_id + (event_id % 7) * 3 AS arrival FROM events),
+        f AS (SELECT ts,
+            max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS frontier
+          FROM e),
+        l AS (SELECT CASE WHEN ts < frontier
+            THEN CAST(date_diff('second', ts, frontier) AS BIGINT)
+            ELSE 0 END AS late_s FROM f),
+        a AS (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_0,
+            CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_60,
+            CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_300,
+            CAST(sum(CASE WHEN late_s > 900 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_900,
+            CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+              AS d_3600
+          FROM l),
+        u AS (SELECT CAST(0 AS BIGINT) AS watermark_s, n, d_0 AS n_dropped
+            FROM a
+          UNION ALL SELECT 60, n, d_60 FROM a
+          UNION ALL SELECT 300, n, d_300 FROM a
+          UNION ALL SELECT 900, n, d_900 FROM a
+          UNION ALL SELECT 3600, n, d_3600 FROM a)
+        SELECT watermark_s, n, n_dropped,
+          CAST(floor(CAST(n - n_dropped AS DOUBLE) * 1e6
+            / CAST(n AS DOUBLE)) AS BIGINT) AS retained_ppm
+        FROM u""")),
+
     // CDC changelog netting (Incremental.netChanges) — the executable form
     // of the reference's DMS CDC apply: a deterministic I/U/D changelog
     // built from orders nets to final row images (last writer wins on the
@@ -6725,6 +6792,88 @@ object QueryCatalog {
         SELECT label, n_vectors, ${cosineSql("ca", "cb")}
           AS centroid_cosine
         FROM va JOIN n USING (label)""")),
+
+    // Language-separation audit: are the corpus languages actually
+    // separable in embedding space? Per unordered language pair, exact
+    // centroid-to-centroid squared distance and a separation ratio
+    // against the two within-language spreads (Davies-Bouldin's
+    // inverse) — the go/no-go check before using embeddings for
+    // language-aware dedup/mixing. Centroids are EXACT integer
+    // sum-vectors (VecSumAgg); every double enters in a FIXED per-index
+    // fold order, so both engines produce bit-identical sums. One
+    // corpus aggregate; everything after is the 5-row language table.
+    ("q_emb_lang_separation",
+      (s: SparkSession, d: String) => {
+        val E = graft.plans.GraftExpressions
+        val e = t(s, d, "embeddings")
+          .join(t(s, d, "documents").select(col("doc_id").as("vec_id"),
+            col("lang")), "vec_id")
+          .select(col("lang"), Similarity.quantize(col("embedding"))
+            .as("q"))
+        val a = e.groupBy("lang").agg(E.vec_sum(col("q")).as("cs"),
+          count(lit(1)).as("n"),
+          sum(Similarity.qdot(col("q"), col("q"))).as("ssq"))
+        def cn2(cs: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column) =
+          aggregate(cs, lit(0.0), (acc, x) => acc +
+            (x.cast("double") / n.cast("double")) *
+            (x.cast("double") / n.cast("double")))
+        val withW = a.withColumn("within",
+          col("ssq").cast("double") / col("n").cast("double") -
+            cn2(col("cs"), col("n")))
+        val x = withW.select(col("lang").as("lang_a"), col("cs").as("csa"),
+          col("n").as("na"), col("within").as("wa"))
+        val y = withW.select(col("lang").as("lang_b"), col("cs").as("csb"),
+          col("n").as("nb"), col("within").as("wb"))
+        x.join(y, col("lang_a") < col("lang_b"))
+          .withColumn("dist2", aggregate(
+            zip_with(col("csa"), col("csb"), (p, q) =>
+              p.cast("double") / col("na").cast("double") -
+                q.cast("double") / col("nb").cast("double")),
+            lit(0.0), (acc, dv) => acc + dv * dv))
+          .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
+            floor(col("dist2")).cast("long").as("dist2_floor"),
+            floor(lit(1e6) * (col("dist2") / (col("wa") + col("wb"))))
+              .cast("long").as("sep_micro"))
+      },
+      Some(s"""WITH q0 AS (SELECT d.lang, ${quantSql.replace("embedding",
+          "e.embedding")} AS v
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        ex AS (SELECT lang, i, v[i] AS x FROM q0,
+          UNNEST(range(1, ${JlDims + 1})) AS u(i)),
+        sa AS (SELECT lang, i, CAST(sum(x) AS BIGINT) AS sv
+          FROM ex GROUP BY 1, 2),
+        nq AS (SELECT lang, count(*) AS n,
+            CAST(sum(${dotSql("v", "v")}) AS BIGINT) AS ssq
+          FROM q0 GROUP BY 1),
+        w AS (SELECT sa.lang, n, list_reduce(
+              list_prepend(CAST(0.0 AS DOUBLE), list(
+                (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY i)),
+              (p, q) -> p + q) AS cn2,
+            any_value(CAST(ssq AS DOUBLE)) AS ssqd
+          FROM sa JOIN nq ON sa.lang = nq.lang GROUP BY 1, 2),
+        ww AS (SELECT lang, n, ssqd / CAST(n AS DOUBLE) - cn2 AS within
+          FROM w),
+        pp AS (SELECT xa.lang AS lang_a, xb.lang AS lang_b,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
+              (CAST(xa.sv AS DOUBLE) / CAST(na.n AS DOUBLE)
+                - CAST(xb.sv AS DOUBLE) / CAST(nb.n AS DOUBLE))
+              * (CAST(xa.sv AS DOUBLE) / CAST(na.n AS DOUBLE)
+                - CAST(xb.sv AS DOUBLE) / CAST(nb.n AS DOUBLE))
+              ORDER BY xa.i)), (p, q) -> p + q) AS dist2
+          FROM sa xa JOIN sa xb ON xa.i = xb.i AND xa.lang < xb.lang
+          JOIN nq na ON na.lang = xa.lang
+          JOIN nq nb ON nb.lang = xb.lang
+          GROUP BY 1, 2)
+        SELECT lang_a, lang_b, na.n AS na, nb.n AS nb,
+          CAST(floor(dist2) AS BIGINT) AS dist2_floor,
+          CAST(floor(1e6 * (dist2 / (wa.within + wb.within))) AS BIGINT)
+            AS sep_micro
+        FROM pp JOIN nq na ON na.lang = pp.lang_a
+        JOIN nq nb ON nb.lang = pp.lang_b
+        JOIN ww wa ON wa.lang = pp.lang_a
+        JOIN ww wb ON wb.lang = pp.lang_b""")),
 
     ("q_emb_validate",
       (s: SparkSession, d: String) => t(s, d, "embeddings")

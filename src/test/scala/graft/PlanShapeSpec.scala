@@ -509,5 +509,14 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("Window [") && !p.contains("Join"), s"$q:\n$p")
     }
+    // watermark sweep: all five W cells from ONE aggregate (the 5-row
+    // explode rides the one-row result, not the corpus); the only
+    // window is the per-user frontier
+    val pws = plan("q_incr_watermark_sweep")
+    assert("Exchange hashpartitioning".r.findAllIn(pws).size <= 2, pws)
+    // language separation: corpus collapses to the 5-row language table
+    // before any pairwise work (no corpus-sized window or cartesian)
+    val pls = plan("q_emb_lang_separation")
+    assert(!pls.contains("Window ["), pls)
   }
 }
