@@ -5280,6 +5280,72 @@ object QueryCatalog {
         FROM sc GROUP BY doc_id
         ORDER BY total_micro DESC, doc_id ASC LIMIT 10""")),
 
+    // Retrieval-quality eval, self-retrieval protocol over PHRASES:
+    // every 100th doc is a probe whose query is its own 3-gram shingle
+    // set; the eval asks at which rank idf-weighted phrase retrieval
+    // returns the SOURCE doc. Rank 1 is health; a near-dup outranking
+    // its source on tie-break is exactly the interference this metric
+    // exists to surface. (Bag-of-WORDS self-retrieval was measured
+    // first and is structurally uninformative on this corpus — iid
+    // vocabulary means any 5 tokens hit thousands of docs at identical
+    // tf, burying the source mid-pack; phrases discriminate.) NO
+    // corpus-sized sort anywhere: rank = 1 + count(docs strictly
+    // ahead), one conditional aggregate per probe against broadcast
+    // source scores; the shingle stream is pre-filtered to the probes'
+    // bounded query vocabulary before any shuffle.
+    ("q_text_retrieval_eval",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val sh = Dedup.shingleTable(docs, "doc_id", "text", n = 3)
+        val pterms = sh.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("probe_id"), col("shingle"))
+        val vocab = pterms.select("shingle").distinct()
+        val postings = sh.join(broadcast(vocab), Seq("shingle"))
+        val df_ = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val nDocs = docs.count()
+        val scored = postings.join(broadcast(df_), Seq("shingle"))
+          .withColumn("w",
+            floor(lit(1000.0) * lit(nDocs) / col("df").cast("double"))
+              .cast("long"))
+          .join(broadcast(pterms), Seq("shingle"))
+          .groupBy("probe_id", "doc_id").agg(sum("w").as("score"))
+        val src = scored.filter(col("doc_id") === col("probe_id"))
+          .select(col("probe_id"), col("score").as("s_src"))
+        scored.join(broadcast(src), Seq("probe_id"))
+          .groupBy("probe_id")
+          .agg(count(lit(1)).as("n_candidates"),
+            (sum(when(col("score") > col("s_src") ||
+              (col("score") === col("s_src") &&
+                col("doc_id") < col("probe_id")), 1L)
+              .otherwise(0L)) + 1).as("rank"))
+          .select(col("probe_id"), col("n_candidates"), col("rank"),
+            expr("1000000L div rank").as("rr_micro"))
+      },
+      Some(s"""WITH ${shingleSql(3)},
+        pterms AS (SELECT doc_id AS probe_id, sg FROM sh
+          WHERE doc_id % 100 = 0),
+        vocab AS (SELECT DISTINCT sg FROM pterms),
+        postings AS (SELECT doc_id, sg FROM sh
+          WHERE sg IN (SELECT sg FROM vocab)),
+        idf AS (SELECT sg, count(*) AS df FROM postings GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        sc AS (SELECT probe_id, postings.doc_id,
+            CAST(sum(CAST(floor(1000.0 * n.n / df) AS BIGINT))
+              AS BIGINT) AS score
+          FROM postings JOIN idf USING (sg) JOIN pterms USING (sg)
+          CROSS JOIN n GROUP BY 1, 2),
+        src AS (SELECT probe_id, score AS s_src FROM sc
+          WHERE doc_id = probe_id)
+        SELECT sc.probe_id, count(*) AS n_candidates,
+          CAST(sum(CASE WHEN score > s_src OR (score = s_src AND
+              doc_id < sc.probe_id) THEN 1 ELSE 0 END) + 1 AS BIGINT)
+            AS rank,
+          1000000 // CAST(sum(CASE WHEN score > s_src OR (score = s_src
+              AND doc_id < sc.probe_id) THEN 1 ELSE 0 END) + 1 AS BIGINT)
+            AS rr_micro
+        FROM sc JOIN src ON sc.probe_id = src.probe_id
+        GROUP BY 1""")),
+
     ("q_text_tfidf",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")

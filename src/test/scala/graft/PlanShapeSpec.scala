@@ -518,5 +518,10 @@ class PlanShapeSpec extends SparkSpec {
     // before any pairwise work (no corpus-sized window or cartesian)
     val pls = plan("q_emb_lang_separation")
     assert(!pls.contains("Window ["), pls)
+    // retrieval eval: rank by conditional count, never a corpus sort or
+    // window; probe vocabulary broadcasts into the posting filter
+    val pre = plan("q_text_retrieval_eval")
+    assert(!pre.contains("Window [") && pre.contains("BroadcastExchange"),
+      pre)
   }
 }
