@@ -1864,6 +1864,9 @@ object QueryCatalog {
           .select(col("msrc"), col("mdst"),
             expr("(coalesce(c, 0L) + 1) * 1000000L div " +
               "(coalesce(tot, 0L) + k)").as("p"))
+          // the k²-row matrix is referenced every round: materialize it
+          // once, or each round re-runs the corpus-wide transition scan
+          .localCheckpoint()
         var v = states.crossJoin(broadcast(kdf))
           .select(col("st"), expr("1000000000000L div k").as("v"))
         for (_ <- 1 to 3) {
@@ -1963,6 +1966,94 @@ object QueryCatalog {
               ELSE 0 END) AS DOUBLE) * 1e6
             / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS acc_ppm
         FROM ev JOIN pred USING (from_type) GROUP BY 1""")),
+
+    // Absorption probability: per state, the probability a user journey
+    // REACHES 'purchase' within 4 steps under the smoothed Markov chain
+    // — the "conversion potential" of each funnel state (where
+    // q_seq_markov asks where journeys settle, this asks whether they
+    // convert first). Same vocabulary-bounded matrix; backward fixed-
+    // point in exact ppm BIGINT (p(purchase) pinned at 1e6, per-term
+    // floor division), unrolled in the oracle.
+    ("q_seq_absorption",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
+          .agg(count(lit(1)).as("c"))
+        val states = tr.select(col("tsrc").as("st"))
+          .union(tr.select(col("tdst").as("st"))).distinct()
+        val kdf = states.agg(count(lit(1)).as("k"))
+        val tot = tr.groupBy(col("tsrc").as("osrc"))
+          .agg(sum("c").as("tot"))
+        val m = broadcast(states.select(col("st").as("msrc")))
+          .crossJoin(broadcast(states.select(col("st").as("mdst"))))
+          .join(tr, col("msrc") === col("tsrc") &&
+            col("mdst") === col("tdst"), "left")
+          .join(broadcast(tot), col("msrc") === col("osrc"), "left")
+          .crossJoin(broadcast(kdf))
+          .select(col("msrc"), col("mdst"),
+            expr("(coalesce(c, 0L) + 1) * 1000000L div " +
+              "(coalesce(tot, 0L) + k)").as("p"))
+          // the k²-row matrix is referenced every round: materialize it
+          // once, or each round re-runs the corpus-wide transition scan
+          .localCheckpoint()
+        var v = states.select(col("st"),
+          when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
+        for (_ <- 1 to 4) {
+          v = states.select(col("st").as("msrc"))
+            .join(m, Seq("msrc"))
+            .join(v.select(col("st").as("mdst"), col("v")), Seq("mdst"))
+            .groupBy(col("msrc"))
+            .agg(sum(expr("p * v div 1000000L")).as("v0"))
+            .select(col("msrc").as("st"),
+              when(col("st") === "purchase", 1000000L)
+                .otherwise(col("v0")).as("v"))
+        }
+        states.join(broadcast(tot), col("st") === col("osrc"), "left")
+          .join(v, Seq("st"))
+          .select(col("st"), coalesce(col("tot"), lit(0L)).as("n_out"),
+            col("v").as("p_reach_ppm"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
+          FROM events),
+        tr AS (SELECT event_type AS tsrc, next AS tdst, count(*) AS c
+          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
+        st AS (SELECT DISTINCT s AS st FROM (SELECT tsrc AS s FROM tr
+          UNION ALL SELECT tdst FROM tr)),
+        k AS (SELECT count(*) AS k FROM st),
+        tot AS (SELECT tsrc AS osrc, CAST(sum(c) AS BIGINT) AS tot
+          FROM tr GROUP BY 1),
+        m AS (SELECT a.st AS msrc, b.st AS mdst,
+            CAST((COALESCE(c, 0) + 1) * 1000000
+              // (COALESCE(tot, 0) + k) AS BIGINT) AS p
+          FROM st a CROSS JOIN st b CROSS JOIN k
+          LEFT JOIN tr ON tr.tsrc = a.st AND tr.tdst = b.st
+          LEFT JOIN tot ON tot.osrc = a.st),
+        v0 AS (SELECT st, CASE WHEN st = 'purchase'
+            THEN CAST(1000000 AS BIGINT) ELSE 0 END AS v FROM st),
+        v1 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
+          FROM m JOIN v0 ON v0.st = m.mdst GROUP BY 1),
+        v2 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
+          FROM m JOIN v1 ON v1.st = m.mdst GROUP BY 1),
+        v3 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
+          FROM m JOIN v2 ON v2.st = m.mdst GROUP BY 1),
+        v4 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
+            THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
+          FROM m JOIN v3 ON v3.st = m.mdst GROUP BY 1)
+        SELECT st, COALESCE(tot, 0) AS n_out, v AS p_reach_ppm
+        FROM st LEFT JOIN tot ON st.st = tot.osrc
+        JOIN v4 USING (st)""")),
 
     // Last-touch conversion attribution: each purchase credits the user's
     // most recent PRIOR click/view (conversions with no prior touch fall
@@ -8807,6 +8898,62 @@ object QueryCatalog {
     // directory (PlanShapeSpec pins PartitionFilters on the scan node;
     // this query pins the content). At 100 TB, pruning is the difference
     // between scanning a status's slice and scanning the lake.
+    // Zone-map skippability audit: the same rows under two layouts —
+    // hash-bucketed by orderkey vs value-clustered by price — and, per
+    // layout, how many zones (and rows) a `price > $300k` scan could
+    // SKIP from min/max zone stats alone. The number that justifies
+    // clustering/Z-order spend: hash zones all straddle the predicate
+    // (skip ~0), value zones are disjoint (skip ~everything below the
+    // cut). One pass: a 2x scan-stage fan-out (layout tag), one
+    // combine-enabled zone-stats aggregate, one layout-level rollup.
+    ("q_maint_zonemap",
+      (s: SparkSession, d: String) => {
+        val cut = 30000000L // cents: $300k
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("pc"))
+        val tagged = o.select(col("pc"), explode(array(
+          struct(lit("hash64").as("layout"),
+            pmod(col("o_orderkey"), lit(64L)).as("zone")),
+          struct(lit("value_clustered").as("layout"),
+            expr("pc div 2000000L").as("zone")))).as("s"))
+          .select(col("s.layout").as("layout"), col("s.zone").as("zone"),
+            col("pc"))
+        val zones = tagged.groupBy("layout", "zone")
+          .agg(count(lit(1)).as("n_rows"), max("pc").as("max_pc"))
+        zones.groupBy("layout")
+          .agg(count(lit(1)).as("n_zones"),
+            sum(when(col("max_pc") <= cut, 1L).otherwise(0L))
+              .as("n_skippable"),
+            sum("n_rows").as("rows_total"),
+            sum(when(col("max_pc") <= cut, col("n_rows")).otherwise(0L))
+              .as("rows_skipped"))
+          .select(col("layout"), col("n_zones"), col("n_skippable"),
+            col("rows_total"), col("rows_skipped"),
+            floor(col("rows_skipped").cast("double") * lit(1e6) /
+              col("rows_total").cast("double")).cast("long")
+              .as("skip_ppm"))
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey,
+            ${centsSql("o_totalprice")} AS pc FROM orders),
+        tagged AS (
+          SELECT 'hash64' AS layout, o_orderkey % 64 AS zone, pc FROM o
+          UNION ALL
+          SELECT 'value_clustered', pc // 2000000, pc FROM o),
+        z AS (SELECT layout, zone, count(*) AS n_rows,
+            CAST(max(pc) AS BIGINT) AS max_pc
+          FROM tagged GROUP BY 1, 2),
+        a AS (SELECT layout, count(*) AS n_zones,
+            CAST(sum(CASE WHEN max_pc <= 30000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_skippable,
+            CAST(sum(n_rows) AS BIGINT) AS rows_total,
+            CAST(sum(CASE WHEN max_pc <= 30000000 THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_skipped
+          FROM z GROUP BY 1)
+        SELECT layout, n_zones, n_skippable, rows_total, rows_skipped,
+          CAST(floor(CAST(rows_skipped AS DOUBLE) * 1e6
+            / CAST(rows_total AS DOUBLE)) AS BIGINT) AS skip_ppm
+        FROM a""")),
+
     ("q_maint_prune",
       (s: SparkSession, d: String) => {
         val out = scratch("prune") + "/orders"

@@ -523,5 +523,9 @@ class PlanShapeSpec extends SparkSpec {
     val pre = plan("q_text_retrieval_eval")
     assert(!pre.contains("Window [") && pre.contains("BroadcastExchange"),
       pre)
+    // zone-map audit: scan-stage layout fan-out into two combine-enabled
+    // aggregates — no join, no window
+    val pz = plan("q_maint_zonemap")
+    assert(!pz.contains("Window [") && !pz.contains("Join"), pz)
   }
 }
