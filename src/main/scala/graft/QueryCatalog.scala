@@ -3016,6 +3016,50 @@ object QueryCatalog {
             AS BIGINT) AS did_milli_cents
         FROM a""")),
 
+    // Local-peak detection on the weekly revenue series: a week is a
+    // peak when it beats both neighbors AND clears a prominence gate of
+    // 1.3x the nation's mean week (kept exact: 10·yc·n_weeks >
+    // 13·total — no division). The spike-mining primitive behind
+    // campaign attribution and anomaly triage; all windows are
+    // per-nation and calendar-bounded.
+    ("q_agg_peaks",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").as("nk"),
+            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
+              .as("wk"),
+            cents(col("o_totalprice")).as("pc"))
+        val ser = o.groupBy("nk", "wk").agg(sum("pc").as("yc"))
+        val ord = Window.partitionBy("nk").orderBy("wk")
+        val whole = Window.partitionBy("nk")
+        ser.withColumn("prev", lag("yc", 1).over(ord))
+          .withColumn("next", lead("yc", 1).over(ord))
+          .withColumn("n", count(lit(1)).over(whole))
+          .withColumn("stot", sum("yc").over(whole))
+          .filter(col("prev").isNotNull && col("next").isNotNull &&
+            col("yc") > col("prev") && col("yc") >= col("next") &&
+            lit(10L) * col("yc") * col("n") > lit(13L) * col("stot"))
+          .select(col("nk"), col("wk").as("peak_wk"), col("yc"))
+      },
+      Some(s"""WITH o AS (SELECT c_nationkey AS nk,
+            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
+            ${centsSql("o_totalprice")} AS pc
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        ser AS (SELECT nk, wk, CAST(sum(pc) AS BIGINT) AS yc
+          FROM o GROUP BY 1, 2),
+        x AS (SELECT nk, wk, yc,
+            lag(yc) OVER (PARTITION BY nk ORDER BY wk) AS prev,
+            lead(yc) OVER (PARTITION BY nk ORDER BY wk) AS next,
+            CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
+            CAST(sum(yc) OVER (PARTITION BY nk) AS BIGINT) AS stot
+          FROM ser)
+        SELECT nk, wk AS peak_wk, yc FROM x
+        WHERE prev IS NOT NULL AND next IS NOT NULL
+          AND yc > prev AND yc >= next
+          AND 10 * yc * n > 13 * stot""")),
+
     // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
     // pass — each row's replicate weight is a quantized-Poisson draw from
     // an md5 prefix (identical integer thresholds interpolated into both
@@ -5576,6 +5620,47 @@ object QueryCatalog {
             AS pmi_bits
         FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
         WHERE n_ab >= 15""")),
+
+    // Vocabulary-richness profile per source: type-token ratio and the
+    // hapax-legomenon share (words seen exactly once in that source) —
+    // the lexical-diversity fingerprint that separates template/boiler-
+    // plate feeds (low TTR, few hapax) from organic text, next to
+    // q_text_source_divergence's "which vocabulary" signal. One
+    // exploded-token aggregate to the (source x word) table, one
+    // source-level rollup.
+    ("q_text_hapax",
+      (s: SparkSession, d: String) => {
+        val sw = t(s, d, "documents").select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+        sw.groupBy("source")
+          .agg(sum("n_sw").as("n_tokens"),
+            count(lit(1)).as("vocab_size"),
+            sum(when(col("n_sw") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("vocab_size"),
+            col("n_hapax"),
+            floor(col("vocab_size").cast("double") * lit(1e3) /
+              col("n_tokens").cast("double")).cast("long")
+              .as("ttr_milli"),
+            floor(col("n_hapax").cast("double") * lit(1e3) /
+              col("vocab_size").cast("double")).cast("long")
+              .as("hapax_milli"))
+      },
+      Some(s"""WITH sw AS (SELECT source, t AS w, count(*) AS n_sw
+          FROM (SELECT source, ${tokensSql()} AS ts FROM documents),
+            UNNEST(ts) AS u(t)
+          GROUP BY 1, 2),
+        a AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_tokens,
+            count(*) AS vocab_size,
+            CAST(sum(CASE WHEN n_sw = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hapax
+          FROM sw GROUP BY 1)
+        SELECT source, n_tokens, vocab_size, n_hapax,
+          CAST(floor(CAST(vocab_size AS DOUBLE) * 1e3
+            / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS ttr_milli,
+          CAST(floor(CAST(n_hapax AS DOUBLE) * 1e3
+            / CAST(vocab_size AS DOUBLE)) AS BIGINT) AS hapax_milli
+        FROM a""")),
 
     // Bigram language-model scoring with backoff, whole-bit form: the LM
     // trains on the even-doc_id half (bigram + unigram counts) and
