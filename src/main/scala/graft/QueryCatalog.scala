@@ -6880,6 +6880,51 @@ object QueryCatalog {
         SELECT id1, id2, cosine FROM scored
         WHERE cosine >= 0.40 AND (id1 % 10 = 0 OR id2 % 10 = 0)""")),
 
+    // SEMANTIC decontamination: the embedding-space analog of
+    // q_text_decontam/q_text_bloom_decontam — every 50th vector stands
+    // in for a benchmark set, and any remaining corpus vector with
+    // cosine >= 0.40 to ANY benchmark vector is flagged (with hit count
+    // and max similarity — the actionable drop list). Paraphrased
+    // contamination survives n-gram gates; this is the gate that
+    // catches it. Reuses the persisted-index incremental-ANN path
+    // (benchmark-side index joins the corpus index — a 100 TB corpus is
+    // bucketed once, not per benchmark).
+    ("q_emb_decontam",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val corpusIdx = Similarity.annIndex(
+          e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+          tables = 8, planes = 6, dims = 64)
+        val benchIdx = Similarity.annIndex(
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          tables = 8, planes = 6, dims = 64)
+        Similarity.incrementalAnnPairs(corpusIdx, benchIdx,
+            threshold = 0.40)
+          .filter((col("id1") % 50 === 0) =!= (col("id2") % 50 === 0))
+          .select(when(col("id1") % 50 === 0, col("id2"))
+            .otherwise(col("id1")).as("corpus_id"), col("cosine"))
+          .groupBy("corpus_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            max("cosine").as("max_cosine"))
+      },
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+        scored AS (
+          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
+          FROM cand JOIN c a ON a.vec_id = cand.id1
+                    JOIN c b ON b.vec_id = cand.id2),
+        hits AS (SELECT CASE WHEN id1 % 50 = 0 THEN id2 ELSE id1 END
+              AS corpus_id, cosine
+          FROM scored
+          WHERE cosine >= 0.40 AND ((id1 % 50 = 0) <> (id2 % 50 = 0)))
+        SELECT corpus_id, count(*) AS n_bench_hits,
+          max(cosine) AS max_cosine
+        FROM hits GROUP BY 1""")),
+
     // end-to-end embedding dedup: ANN bucket pairs -> connected components
     // -> per-vector canonical component id (the embedding-space analog of
     // q_dedup_clusters; same recursive-CTE oracle over the replayed pairs)
