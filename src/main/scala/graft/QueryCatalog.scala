@@ -10719,8 +10719,12 @@ object QueryCatalog {
   /** Unrolled DuckDB replay of [[Graph.cascade]] over the CAPPED
     * symmetrized co-order graph (same cap CTEs as [[walksOracleSql]]):
     * one (count-gate + anti-join) CTE pair per round. */
-  private def cascadeOracleSql(threshold: Int, rounds: Int): String = {
-    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+  /** DuckDB replay of the CAPPED (maxDegree = 8) symmetrized co-order
+    * parts graph — the shared base of the cascade / ANF oracles (the
+    * q_graph_capped cap CTEs verbatim: md5-ranked bottom-8 incident edges,
+    * kept-at-both-endpoints). Yields `sym(src, dst)`. */
+  private def cappedSymCtes(): String =
+    """lp AS (SELECT DISTINCT l_orderkey AS ok,
           l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
       canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
         FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
@@ -10737,7 +10741,41 @@ object QueryCatalog {
       canon AS (SELECT a, b FROM ranked WHERE rk <= 8
         GROUP BY a, b HAVING count(*) = 2),
       sym AS (SELECT a AS src, b AS dst FROM canon
-        UNION ALL SELECT b, a FROM canon),
+        UNION ALL SELECT b, a FROM canon)"""
+
+  /** Unrolled replay of [[Graph.anfReach]] over the capped graph: exact
+    * r-hop reach sets hop by hop, then the bottom-k sketch REBUILT from
+    * the exact set (legal because bottom-k union is idempotent — the
+    * propagated sketch equals the sketch of the true reach set), same
+    * md5-prefix60 hash, same KMV estimator chain. */
+  private def anfOracleSql(k: Int, rounds: Int): String = {
+    val hops = (1 to rounds).map { r =>
+      s""",
+      r$r AS (SELECT DISTINCT root, reach FROM (
+          SELECT r.root, e.dst AS reach
+          FROM r${r - 1} r JOIN sym e ON e.src = r.reach
+          UNION ALL SELECT root, reach FROM r${r - 1}))"""
+    }.mkString
+    s"""WITH ${cappedSymCtes()},
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      r0 AS (SELECT node AS root, node AS reach FROM nodes)$hops,
+      h AS (SELECT DISTINCT root, CAST(concat('0x',
+            substr(md5(CAST(reach AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM r$rounds),
+      rk AS (SELECT root, h,
+          row_number() OVER (PARTITION BY root ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY root) AS cnt FROM h),
+      kth AS (SELECT root, max(CASE WHEN rn <= $k THEN h END) AS h_k,
+          any_value(cnt) AS cnt FROM rk GROUP BY 1)
+      SELECT root AS node, LEAST(cnt, $k) AS n_sketch,
+        CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
+             ELSE ${k - 1}.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+        END AS reach_est
+      FROM kth"""
+  }
+
+  private def cascadeOracleSql(threshold: Int, rounds: Int): String = {
+    val base = s"""WITH ${cappedSymCtes()},
       a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS round
         FROM sym WHERE src % 20 = 0)"""
     val hops = (1 to rounds).map { r =>
@@ -11176,7 +11214,34 @@ object QueryCatalog {
         Graph.ssspInt(edges, "src", "dst", "w", seeds, "seed", rounds = 4)
       }): Q
       },
-      Some(ssspOracleSql(4))))
+      Some(ssspOracleSql(4))),
+
+    // Approximate neighborhood function (Graph.anfReach): per-node 2-hop
+    // reach estimated by bottom-16 KMV sketch propagation over the capped
+    // co-order graph — the "how big is each node's neighborhood" question
+    // (ball-of-radius-r size distribution, effective-diameter input) that
+    // exact reach sets answer only quadratically. The oracle computes the
+    // TRUE 2-hop reach set per node and rebuilds the sketch from it —
+    // legal because bottom-k union is idempotent, so the propagated sketch
+    // provably equals the sketch of the exact reach set; the hash-match is
+    // therefore a proof of the propagation identity, not just of the
+    // arithmetic.
+    ("q_graph_anf", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+        val sym = capped.union(
+          capped.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.anfReach(sym, "src", "dst", k = 16, rounds = 2)
+      }): Q
+      },
+      Some(anfOracleSql(k = 16, rounds = 2))))
 
   // ================================================== composed cleaning
 

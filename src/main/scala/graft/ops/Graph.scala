@@ -699,4 +699,62 @@ object Graph {
     }
     out.select("walk_id", "step", "node")
   }
+
+  /**
+   * Approximate neighborhood function — ANF (Palmer, Gibbons, Faloutsos
+   * KDD'02; the HyperANF propagation of Boldi, Rosa, Vigna WWW'11 with a
+   * k-minimum-values sketch in place of HyperLogLog registers): per node,
+   * an estimate of the r-hop reach |{u : dist(v,u) <= r}| —
+   *
+   *   sk_0(v)   = { h(v) }
+   *   sk_t+1(v) = bottomk( sk_t(v) ∪  ∪_{(v,u) ∈ E} sk_t(u) )
+   *
+   * Bottom-k union is associative, commutative and IDEMPOTENT, so after r
+   * rounds sk_r(v) is exactly the bottom-k sketch of the true r-hop
+   * reachable set (v included) — reaching a node along many paths cannot
+   * distort the estimate, which is what makes sketch propagation correct
+   * where per-path counting would double-count. The hash is the catalog's
+   * cross-engine md5-prefix60, so an oracle engine can rebuild the exact
+   * sketch from the exact reach set and match bit-for-bit — a determinism
+   * HLL registers cannot offer.
+   *
+   * Output: (node, n_sketch, reach_est). A non-full sketch IS the exact
+   * distinct-hash reach; a full one uses the KMV estimator
+   * (k-1) · 2^60 / kth-smallest-hash — one fixed IEEE chain.
+   *
+   * Scale shape: per-node state is k longs — the constant-state form that
+   * makes r-hop reach computable on a 100 TB graph at all (exact reach
+   * sets are quadratic in the worst case). Each round is ONE |E|-sized
+   * equi-join, an explode bounded by k, and a combine-enabled bottom-k
+   * aggregate ([[graft.plans.BottomKDistinct]]: O(k) sorted-array state,
+   * map-side merging) — shuffle volume O(|E|·k) per round, no window, no
+   * driver state. Rounds reference only their predecessor; each round's
+   * node-sized sketch table is lineage-cut.
+   */
+  def anfReach(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"anfReach needs 2 <= k <= 4096, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"anfReach needs 1 <= rounds <= 16, got $rounds")
+    val E = graft.plans.GraftExpressions
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    var sk = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"),
+        array(E.md5_prefix60(col("node").cast("string"))).as("sk"))
+    for (_ <- 1 to rounds) {
+      sk = e.join(sk.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("sk"))
+        .union(sk)
+        .select(col("node"), explode(col("sk")).as("h"))
+        .groupBy("node")
+        .agg(E.bottomk_distinct(col("h"), k).as("sk"))
+        .localCheckpoint()
+    }
+    sk.select(col("node"), size(col("sk")).cast("long").as("n_sketch"),
+      when(size(col("sk")) < k, size(col("sk")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          array_max(col("sk")).cast("double")).as("reach_est"))
+  }
 }

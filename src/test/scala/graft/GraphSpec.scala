@@ -518,4 +518,41 @@ class GraphSpec extends SparkSpec {
       assert(rows.map(_._2).sorted == (0L until rows.size.toLong))
     }
   }
+
+  test("anfReach: non-full sketches report the exact r-hop reach") {
+    // path 1-2-3-4-5 plus isolated pair 8-9: with k well above the graph
+    // size every sketch stays non-full, so reach_est must BE the exact
+    // |ball(v, r)| — propagation, dedup and the self-inclusion all pinned.
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val got = Graph.anfReach(sym, "src", "dst", k = 64, rounds = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val exact = Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L,
+      8L -> 2L, 9L -> 2L)
+    assert(got == exact)
+    // multiplicity invariance: doubling the edge list changes nothing
+    // (bottom-k union is idempotent)
+    val dbl = Graph.anfReach(sym.union(sym), "src", "dst",
+        k = 64, rounds = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(dbl == exact)
+  }
+
+  test("anfReach: full sketch uses the KMV estimator, never exceeds k") {
+    // star: hub 0 joined to 1..40 — the hub's 1-hop ball is 41 nodes,
+    // far beyond k = 8, so its sketch saturates and the estimate must be
+    // the KMV formula over the 8 smallest node hashes.
+    val fwd = (1L to 40L).map(i => (0L, i))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val rows = Graph.anfReach(sym, "src", "dst", k = 8, rounds = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(rows(0L)._1 == 8L)
+    val est = rows(0L)._2
+    // KMV is an unbiased estimator; for 41 distinct hashes it must land
+    // within a loose constant factor (deterministic given md5)
+    assert(est > 10.0 && est < 200.0, s"est=$est")
+    // leaves see {self, hub} only
+    assert(rows(7L) == ((2L, 2.0)))
+  }
 }
