@@ -3067,6 +3067,66 @@ object QueryCatalog {
     // scan-stage 8x fan-out feeds a combine-enabled groupBy(b); the
     // spread of the 8 totals is the uncertainty estimate a 100 TB
     // aggregate can't get any other way without a second pass.
+    // Two-proportion power analysis — the DESIGN-side complement of
+    // q_agg_abtest (that one asks "is the running test significant";
+    // this one asks "how many units per arm would we need to detect a
+    // given lift at 80% power / 5% two-sided alpha" — the sizing table an
+    // experimentation platform shows before launch). Standard pooled
+    // formula: n = (z_a·sqrt(2·p̄(1-p̄)) + z_b·sqrt(p̄(1-p̄)+p2(1-p2)))²/δ²
+    // with p2 = p̄ + δ over an MDE grid. ONE corpus aggregate (the same
+    // user-day conversion cells as q_agg_abtest) cross-joined with the
+    // 5-row broadcast grid; everything after the aggregate is a fixed
+    // IEEE chain on two exact BIGINT-derived doubles (sqrt is
+    // correctly-rounded in both engines), so the oracle matches
+    // bit-for-bit. z constants fixed at 1.959964 / 0.841621.
+    ("q_agg_power",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+        val a = u.agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        val grid = Seq(5000L, 10000L, 20000L, 50000L, 100000L)
+          .toDF("mde_ppm")
+        a.crossJoin(broadcast(grid))
+          .withColumn("pb",
+            col("c").cast("double") / col("n").cast("double"))
+          .withColumn("delta", col("mde_ppm").cast("double") / lit(1e6))
+          .withColumn("p2", col("pb") + col("delta"))
+          .withColumn("s_",
+            lit(1.959964) *
+              sqrt(lit(2.0) * col("pb") * (lit(1.0) - col("pb"))) +
+            lit(0.841621) *
+              sqrt(col("pb") * (lit(1.0) - col("pb")) +
+                col("p2") * (lit(1.0) - col("p2"))))
+          .select(col("mde_ppm"),
+            floor(col("pb") * lit(1e6)).cast("long").as("pooled_ppm"),
+            ceil(col("s_") * col("s_") / (col("delta") * col("delta")))
+              .cast("long").as("n_required"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        a AS (SELECT count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u),
+        grid AS (SELECT CAST(m AS BIGINT) AS mde_ppm
+          FROM (VALUES (5000), (10000), (20000), (50000), (100000))
+            AS g(m)),
+        x AS (SELECT mde_ppm,
+            CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pb,
+            CAST(mde_ppm AS DOUBLE) / 1e6 AS delta
+          FROM a, grid),
+        y AS (SELECT mde_ppm, pb, delta, pb + delta AS p2 FROM x),
+        z AS (SELECT mde_ppm, pb, delta,
+            1.959964 * sqrt(2.0 * pb * (1.0 - pb)) +
+            0.841621 * sqrt(pb * (1.0 - pb) + p2 * (1.0 - p2)) AS s_
+          FROM y)
+        SELECT mde_ppm,
+          CAST(floor(pb * 1e6) AS BIGINT) AS pooled_ppm,
+          CAST(ceil(s_ * s_ / (delta * delta)) AS BIGINT) AS n_required
+        FROM z""")),
+
     ("q_agg_bootstrap",
       (s: SparkSession, d: String) => {
         val thr = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
