@@ -893,6 +893,93 @@ object QueryCatalog {
                ELSE CAST(0 AS BIGINT) END AS is_filled
         FROM j""")),
 
+    // Linear-interpolation gap fill — the missing-data treatment between
+    // q_window_locf's step fill and q_agg_seasonal's model fill: interior
+    // gaps get the straight line between the flanking known points
+    // (filled = pv + floor((nv−pv)·(day−pd)/(nd−pd)), exact BIGINT
+    // numerator, one double floor-division — floor, not integer div,
+    // because the slope can be negative and the engines' integer
+    // divisions disagree on truncation direction), edge gaps (no known
+    // point on one side) stay null and are tagged. Same sparse series /
+    // calendar-spine construction as LOCF; four domain-bounded windows
+    // (calendar-sized partitions) — the 100 TB form keys the spine by
+    // (series, year) so no partition outgrows the calendar.
+    ("q_window_interp",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("x"))
+          .filter(dayofmonth(col("day")) % 3 =!= 0)
+        val cal = t(s, d, "events")
+          .agg(min(to_date(col("ts"))).as("lo"),
+            max(to_date(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        val types = daily.select("event_type").distinct()
+        val wp = Window.partitionBy("event_type").orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wn = Window.partitionBy("event_type").orderBy(col("day").asc)
+          .rowsBetween(0, Window.unboundedFollowing)
+        val lerp = col("pv") + floor(
+          ((col("nv") - col("pv")) *
+            datediff(col("day"), col("pd"))).cast("double") /
+          datediff(col("nd"), col("pd")).cast("double")).cast("long")
+        cal.crossJoin(broadcast(types))
+          .join(daily, Seq("event_type", "day"), "left")
+          .withColumn("pv", last(col("x"), ignoreNulls = true).over(wp))
+          .withColumn("pd", last(when(col("x").isNotNull, col("day")),
+            ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("x"), ignoreNulls = true).over(wn))
+          .withColumn("nd", first(when(col("x").isNotNull, col("day")),
+            ignoreNulls = true).over(wn))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+            when(col("x").isNotNull, col("x"))
+              .when(col("pv").isNotNull && col("nv").isNotNull, lerp)
+              .otherwise(lit(null).cast("long")).as("filled"),
+            when(col("x").isNotNull, 0L)
+              .when(col("pv").isNotNull && col("nv").isNotNull, 1L)
+              .otherwise(2L).as("method"))
+      },
+      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        sparse AS (SELECT * FROM daily WHERE day(day) % 3 <> 0),
+        b AS (SELECT min(CAST(ts AS DATE)) AS lo,
+            max(CAST(ts AS DATE)) AS hi FROM events),
+        cal AS (SELECT CAST(unnest(generate_series(lo, hi,
+            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        grid AS (SELECT t.event_type, cal.day
+          FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM sparse) t),
+        j AS (SELECT g.event_type, g.day, s.x
+          FROM grid g LEFT JOIN sparse s
+            ON g.event_type = s.event_type AND g.day = s.day),
+        w AS (SELECT event_type, day, x,
+            last_value(x IGNORE NULLS) OVER (PARTITION BY event_type
+              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+              CURRENT ROW) AS pv,
+            last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+            first_value(x IGNORE NULLS) OVER (PARTITION BY event_type
+              ORDER BY day ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM j)
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+          CASE WHEN x IS NOT NULL THEN x
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 pv + CAST(floor(CAST((nv - pv) *
+                     date_diff('day', pd, day) AS DOUBLE) /
+                   CAST(date_diff('day', pd, nd) AS DOUBLE)) AS BIGINT)
+               ELSE NULL END AS filled,
+          CASE WHEN x IS NOT NULL THEN CAST(0 AS BIGINT)
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                 CAST(1 AS BIGINT)
+               ELSE CAST(2 AS BIGINT) END AS method
+        FROM w""")),
+
     // Holt forecast BACKTEST — the evaluation q_agg_holt's fit lacks:
     // roll through the series accumulating the one-step-ahead absolute
     // error |level+trend − x| BEFORE each update, in the same bit-exact
