@@ -9974,6 +9974,81 @@ object QueryCatalog {
     // fan-out histogram with a heavy tail is the skew warning). Parents
     // with zero children included via one left join; two combine-enabled
     // aggregates.
+    // Join-size estimation by CORRELATED key sampling (Vengerov et al.,
+    // VLDB'15) — the cardinality-estimation primitive a cost-based
+    // planner runs BEFORE choosing broadcast vs shuffle vs skew-salt:
+    // |A ⋈ B| = Σ_k fA(k)·fB(k), estimated from the 1/16 of KEYS whose
+    // md5-prefix60 hash ≡ 0 (mod 16). Sampling KEYS (not rows) with the
+    // SAME hash on both sides is the trick — every sampled key carries
+    // its full fA·fB product, so the estimator is unbiased with variance
+    // driven by the key-frequency skew, where independent row sampling
+    // loses the matching rows. Audited on two joins: the orders⋈lineitem
+    // PK-FK join and the lineitem self-join on partkey (= Σ f², the
+    // skew-radar number). Per join: one map-side-combinable key count
+    // per side, the sampled estimate and the TRUE size from the same
+    // count tables (never the expanded join), exact BIGINT throughout.
+    // At 100 TB only the hash-filtered 1/16 count tables are computed —
+    // the truth column here is the audit, not the production path.
+    ("q_profile_join_size",
+      (s: SparkSession, d: String) => {
+        val E = graft.plans.GraftExpressions
+        def counts(df: DataFrame, key: org.apache.spark.sql.Column)
+            : DataFrame =
+          df.groupBy(key.as("key")).agg(count(lit(1)).as("f"))
+            .withColumn("in_sample",
+              (E.md5_prefix60(col("key").cast("string")) % 16 === 0)
+                .cast("long"))
+        def audit(name: String, a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b.select(col("key"), col("f").as("fb")), Seq("key"))
+            .agg(sum(col("f") * col("fb")).as("true_size"),
+              (sum(col("in_sample") * col("f") * col("fb")) * 16L)
+                .as("est_size"))
+            .select(lit(name).as("join_name"), col("true_size"),
+              col("est_size"),
+              floor(abs(col("est_size") - col("true_size"))
+                  .cast("double") * lit(1e6) /
+                col("true_size").cast("double")).cast("long")
+                .as("err_ppm"))
+        val lo = counts(t(s, d, "lineitem"), col("l_orderkey"))
+        val oo = counts(t(s, d, "orders"), col("o_orderkey"))
+        val lp = counts(t(s, d, "lineitem"), col("l_partkey"))
+        // fresh subtree for the self-join's right side (avoids Spark's
+        // ambiguous-self-join attribute collision)
+        val lp2 = counts(t(s, d, "lineitem"), col("l_partkey"))
+        audit("orders_lineitem", oo, lo)
+          .unionAll(audit("lineitem_self_partkey", lp, lp2))
+      },
+      Some("""WITH lo AS (SELECT l_orderkey AS key, count(*) AS f,
+            CASE WHEN CAST(concat('0x', substr(md5(
+                CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS in_sample
+          FROM lineitem GROUP BY 1),
+        oo AS (SELECT o_orderkey AS key, count(*) AS f,
+            CASE WHEN CAST(concat('0x', substr(md5(
+                CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS in_sample
+          FROM orders GROUP BY 1),
+        lp AS (SELECT l_partkey AS key, count(*) AS f,
+            CASE WHEN CAST(concat('0x', substr(md5(
+                CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
+              THEN 1 ELSE 0 END AS in_sample
+          FROM lineitem GROUP BY 1),
+        j1 AS (SELECT CAST(sum(a.f * b.f) AS BIGINT) AS true_size,
+            CAST(sum(a.in_sample * a.f * b.f) * 16 AS BIGINT) AS est_size
+          FROM oo a JOIN lo b ON a.key = b.key),
+        j2 AS (SELECT CAST(sum(a.f * b.f) AS BIGINT) AS true_size,
+            CAST(sum(a.in_sample * a.f * b.f) * 16 AS BIGINT) AS est_size
+          FROM lp a JOIN lp b ON a.key = b.key)
+        SELECT 'orders_lineitem' AS join_name, true_size, est_size,
+          CAST(floor(CAST(abs(est_size - true_size) AS DOUBLE) * 1e6 /
+            CAST(true_size AS DOUBLE)) AS BIGINT) AS err_ppm
+        FROM j1
+        UNION ALL
+        SELECT 'lineitem_self_partkey', true_size, est_size,
+          CAST(floor(CAST(abs(est_size - true_size) AS DOUBLE) * 1e6 /
+            CAST(true_size AS DOUBLE)) AS BIGINT) AS err_ppm
+        FROM j2""")),
+
     ("q_profile_fanout",
       (s: SparkSession, d: String) => {
         val o = t(s, d, "orders").select(col("o_orderkey").as("ok"))
