@@ -10832,8 +10832,11 @@ object QueryCatalog {
     * bit-identical to the Spark fixed-round loop (pure integer counts). */
   /** Unrolled fixed-round label-propagation replay over the sampled
     * co-order graph (must mirror q_graph_communities' construction). */
-  private def lpaOracleSql(rounds: Int): String = {
-    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
+  /** The label-propagation CTE chain (shared by the communities and
+    * modularity oracles): `canon(a, b)`, `edges(src, dst)`, and the final
+    * labels in `l{rounds}(node, label)`. */
+  private def lpaCtes(rounds: Int): String = {
+    val base = """lp AS (SELECT DISTINCT l_orderkey AS ok,
           l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
       canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
         FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
@@ -10849,8 +10852,11 @@ object QueryCatalog {
             ORDER BY c DESC, label ASC) AS rn
         FROM r$i) WHERE rn = 1)"""
     }.mkString
-    base + iters + s"\n      SELECT node, label FROM l$rounds"
+    base + iters
   }
+
+  private def lpaOracleSql(rounds: Int): String =
+    s"WITH ${lpaCtes(rounds)}\n      SELECT node, label FROM l$rounds"
 
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
@@ -11109,6 +11115,76 @@ object QueryCatalog {
       }): Q
       },
       Some(lpaOracleSql(4))),
+
+    // Newman modularity of the label-propagation partition — the number
+    // that says whether q_graph_communities found STRUCTURE or noise
+    // (Q = Σ_c e_c/m − (d_c/2m)², positive when intra-community edge mass
+    // beats the degree-preserving random expectation). The
+    // clustering-quality gate a pipeline checks before trusting
+    // community-based sampling/dedup decisions. Per-community rows (size,
+    // degree mass, intra edges, contribution) so the audit says WHICH
+    // communities carry the structure. Shape: the LP rounds, then one
+    // degree aggregate, one canonical-edge double label join, a
+    // label-keyed groupBy — all combine-enabled, the global m a 1-row
+    // broadcast. Contribution is one fixed IEEE chain over exact BIGINTs.
+    ("q_graph_modularity", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
+        val e = canon.select(col("a").as("src"), col("b").as("dst"))
+          .union(canon.select(col("b").as("src"), col("a").as("dst")))
+        val labels = Graph.labelPropagation(e, "src", "dst", rounds = 4)
+          .localCheckpoint()
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val dc = labels.join(deg, Seq("node"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
+        val ec = canon
+          .join(labels.select(col("node").as("a"), col("label").as("la")),
+            Seq("a"))
+          .join(labels.select(col("node").as("b"), col("label").as("lb")),
+            Seq("b"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+        val m = canon.agg(count(lit(1)).as("m"))
+        dc.join(ec, Seq("label"), "left_outer")
+          .crossJoin(broadcast(m))
+          .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+          .withColumn("t_",
+            col("d_c").cast("double") /
+              (lit(2.0) * col("m").cast("double")))
+          .select(col("label"), col("n_nodes"), col("d_c"), col("e_c"),
+            floor(lit(1e6) *
+              (col("e_c").cast("double") / col("m").cast("double") -
+                col("t_") * col("t_"))).cast("long").as("q_micro"))
+      }): Q
+      },
+      Some(s"""WITH ${lpaCtes(4)},
+        deg AS (SELECT src AS node, count(*) AS deg
+          FROM edges GROUP BY 1),
+        dc AS (SELECT label, count(*) AS n_nodes,
+            CAST(sum(deg) AS BIGINT) AS d_c
+          FROM l4 JOIN deg USING (node) GROUP BY 1),
+        ec AS (SELECT la.label AS label, count(*) AS e_c
+          FROM canon c
+          JOIN l4 la ON c.a = la.node
+          JOIN l4 lb ON c.b = lb.node
+          WHERE la.label = lb.label GROUP BY 1),
+        mm AS (SELECT count(*) AS m FROM canon)
+        SELECT dc.label, dc.n_nodes, dc.d_c,
+          COALESCE(ec.e_c, 0) AS e_c,
+          CAST(floor(1e6 * (CAST(COALESCE(ec.e_c, 0) AS DOUBLE) /
+              CAST(m AS DOUBLE) -
+            (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) *
+            (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))))
+            AS BIGINT) AS q_micro
+        FROM dc LEFT JOIN ec ON dc.label = ec.label, mm""")),
 
     ("q_graph_kcore", {
       ((s: SparkSession, d: String) => {
