@@ -5177,6 +5177,64 @@ object QueryCatalog {
     // ceil(p*n), no interpolation — interpolated quantiles are IEEE
     // op-order-sensitive across engines, the rank selection is not). Both
     // windows and the self-join share one partitioning on lang.
+    // Cross-source quantile normalization — score harmonization before
+    // mixing heterogeneous sources: a "length-quality 60" from a source
+    // of short posts means something different than from a books crawl,
+    // so each source's score is remapped to the GLOBAL bucket at the same
+    // CDF position (mapped = min global bucket whose cumulative fraction
+    // >= the source's). The comparison is done in EXACT cross-multiplied
+    // BIGINT (g_cum·src_total >= s_cum·global_total) — no float CDFs.
+    // Scores quantized to 101 buckets, so every window partition and the
+    // broadcast global table are domain-bounded; the per-source CDF is a
+    // 101-row window, the mapping a broadcast range join + min aggregate.
+    ("q_text_quantile_norm",
+      (s: SparkSession, d: String) => {
+        val b = t(s, d, "documents").select(col("source"),
+          least(floor(col("n_chars") / 50), lit(100L)).as("bucket"))
+        val wc = Window.partitionBy("source").orderBy(col("bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wt = Window.partitionBy("source")
+        val sb = b.groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("s_cum", sum("n").over(wc))
+          .withColumn("s_tot", sum("n").over(wt))
+        val wg = Window.orderBy(col("g_bucket").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val gb = b.groupBy(col("bucket").as("g_bucket"))
+          .agg(count(lit(1)).as("gn"))
+          .withColumn("g_cum", sum("gn").over(wg))
+        val gt = b.agg(count(lit(1)).as("g_tot"))
+        sb.crossJoin(broadcast(gt))
+          .join(broadcast(gb),
+            col("g_cum") * col("s_tot") >= col("s_cum") * col("g_tot"))
+          .groupBy("source", "bucket")
+          .agg(any_value(col("n")).as("n"),
+            any_value(col("s_cum")).as("s_cum"),
+            min("g_bucket").as("mapped_bucket"))
+      },
+      Some("""WITH b AS (SELECT source,
+            least(CAST(floor(n_chars / 50) AS BIGINT), 100) AS bucket
+          FROM documents),
+        sb AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        sc AS (SELECT source, bucket, n,
+            CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s_cum,
+            CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS s_tot
+          FROM sb),
+        gb AS (SELECT bucket AS g_bucket, count(*) AS gn
+          FROM b GROUP BY 1),
+        gc AS (SELECT g_bucket,
+            CAST(sum(gn) OVER (ORDER BY g_bucket ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS g_cum
+          FROM gb),
+        gt AS (SELECT count(*) AS g_tot FROM b)
+        SELECT source, bucket, any_value(n) AS n,
+          any_value(s_cum) AS s_cum,
+          CAST(min(g_bucket) AS BIGINT) AS mapped_bucket
+        FROM sc, gt JOIN gc ON g_cum * s_tot >= s_cum * g_tot
+        GROUP BY 1, 2""")),
+
     ("q_text_lenpct",
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window
