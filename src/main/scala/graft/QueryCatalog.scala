@@ -6845,6 +6845,99 @@ object QueryCatalog {
             AS n_same_entity
         FROM scored GROUP BY 1""")),
 
+    // Golden-record survivorship — the MDM step AFTER er_linkage says
+    // which rows co-refer: fuse each entity's variant rows into one
+    // master record with a DIFFERENT rule per field (the real-world mix):
+    // name by MAJORITY vote (ties → lexicographic min), phone by SOURCE
+    // PRIORITY (lowest source id with a non-null), balance by MAX,
+    // address by LONGEST non-null (ties → lexicographic min). Three
+    // deterministic source variants per customer (altered names, nulled
+    // phones, truncated addresses) make every rule decide something.
+    // Shape: every rule is an arg-min/arg-max STRUCT aggregate — two
+    // combine-enabled groupBys total (one for the vote's (key, name)
+    // counts, one for everything else), no windows, no skew (3 rows per
+    // key by construction). The oracle replays each rule with per-field
+    // row_number CTEs over the same 3-row partitions.
+    ("q_er_golden",
+      (s: SparkSession, d: String) => {
+        val base = t(s, d, "customer").select(col("c_custkey").as("key"),
+          col("c_name").as("name"), col("c_mktsegment").as("seg"),
+          concat(col("c_name"), lit(" #"), col("c_custkey"))
+            .as("display"),
+          cents(col("c_acctbal")).as("bal"))
+        val v0 = base.withColumn("src", lit(0L))
+        val v1 = base.select(col("key"),
+          when(col("key") % 3 === 0, concat(col("name"), lit("x")))
+            .otherwise(col("name")).as("name"),
+          when(col("key") % 4 === 0, lit(null).cast("string"))
+            .otherwise(col("seg")).as("seg"),
+          substring(col("display"), 1, 10).as("display"),
+          (col("bal") - 500L).as("bal"), lit(1L).as("src"))
+        val v2 = base.select(col("key"),
+          when(col("key") % 9 === 0, concat(col("name"), lit("y")))
+            .otherwise(col("name")).as("name"),
+          when(col("key") % 2 === 0, lit(null).cast("string"))
+            .otherwise(col("seg")).as("seg"),
+          col("display"), (col("bal") + 250L).as("bal"),
+          lit(2L).as("src"))
+        val variants = v0.unionAll(v1).unionAll(v2)
+        val nameVote = variants.groupBy("key", "name")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("key")
+          .agg(min(struct((-col("c")).as("nc"), col("name"))).as("m"))
+          .select(col("key"), col("m.name").as("name"))
+        val rest = variants.groupBy("key").agg(
+          min(when(col("seg").isNotNull,
+            struct(col("src"), col("seg")))).as("p"),
+          max(col("bal")).as("bal"),
+          min(struct((-length(col("display"))).as("nl"),
+            col("display"))).as("a"),
+          count(lit(1)).as("n_variants"),
+          sum(when(col("seg").isNotNull, 1L).otherwise(0L))
+            .as("n_seg"))
+        nameVote.join(rest, Seq("key"))
+          .select(col("key"), col("name"), col("p.seg").as("seg"),
+            col("bal"), col("a.display").as("display"),
+            col("n_variants"), col("n_seg"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS key, c_name AS name,
+            c_mktsegment AS seg,
+            name || ' #' || CAST(c_custkey AS VARCHAR) AS display,
+            CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
+          FROM customer),
+        variants AS (
+          SELECT key, name, seg, display, bal, 0 AS src FROM base
+          UNION ALL
+          SELECT key,
+            CASE WHEN key % 3 = 0 THEN name || 'x' ELSE name END,
+            CASE WHEN key % 4 = 0 THEN NULL ELSE seg END,
+            substr(display, 1, 10), bal - 500, 1 FROM base
+          UNION ALL
+          SELECT key,
+            CASE WHEN key % 9 = 0 THEN name || 'y' ELSE name END,
+            CASE WHEN key % 2 = 0 THEN NULL ELSE seg END,
+            display, bal + 250, 2 FROM base),
+        vote AS (SELECT key, name FROM (
+          SELECT key, name, row_number() OVER (PARTITION BY key
+              ORDER BY count(*) DESC, name ASC) AS rn
+          FROM variants GROUP BY key, name) WHERE rn = 1),
+        ph AS (SELECT key, seg FROM (
+          SELECT key, seg, row_number() OVER (PARTITION BY key
+              ORDER BY src ASC) AS rn
+          FROM variants WHERE seg IS NOT NULL) WHERE rn = 1),
+        ad AS (SELECT key, display FROM (
+          SELECT key, display, row_number() OVER (PARTITION BY key
+              ORDER BY length(display) DESC, display ASC) AS rn
+          FROM variants) WHERE rn = 1),
+        agg AS (SELECT key, max(bal) AS bal, count(*) AS n_variants,
+            CAST(sum(CASE WHEN seg IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seg
+          FROM variants GROUP BY 1)
+        SELECT key, vote.name, ph.seg, agg.bal, ad.display,
+          agg.n_variants, agg.n_seg
+        FROM vote JOIN agg USING (key)
+          LEFT JOIN ph USING (key) JOIN ad USING (key)""")),
+
     // Blocking-quality audit for entity resolution: block part names on
     // their first-2-sorted-words signature, generate candidates only
     // within uncapped blocks (> 100 rows skips pairwise — the maxBucket
