@@ -11153,6 +11153,60 @@ object QueryCatalog {
       FROM kth"""
   }
 
+  /** DuckDB replay of [[Graph.boruvkaForest]] (2 Borůvka rounds): per-
+    * component cheapest-edge picks via row_number over the (w, a, b)
+    * total order, then the round-1 merge labels by `labelRounds` UNROLLED
+    * min-label propagation steps over the round-1 forest (the forest is
+    * star-like — measured convergence is 5-6 steps at both fixture
+    * scales; 12 gives 2x margin, and a future fixture needing more fails
+    * the hash LOUDLY rather than silently — a recursive-CTE reach
+    * enumeration is Σ|comp|² rows and measured 10x slower). The Spark
+    * side runs exact-to-convergence components, so the hash-match also
+    * certifies the fixed-round labels converged. */
+  private def mstOracleSql(labelRounds: Int): String = {
+    val labels = (1 to labelRounds).map { i =>
+      s""",
+        lb$i AS MATERIALIZED (SELECT l.id,
+            least(l.lbl, COALESCE(m.m, l.lbl)) AS lbl
+          FROM lb${i - 1} l LEFT JOIN (SELECT e.b AS id, min(x.lbl) AS m
+            FROM e1 e JOIN lb${i - 1} x ON e.a = x.id GROUP BY 1) m
+            ON l.id = m.id)"""
+    }.mkString
+    s"""WITH canon AS MATERIALIZED (
+          SELECT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
+            greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b,
+            min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
+          FROM lineitem GROUP BY 1, 2),
+        nodes AS (SELECT a AS node FROM canon
+          UNION SELECT b FROM canon),
+        g1 AS (SELECT a AS g, w, a, b FROM canon
+          UNION ALL SELECT b, w, a, b FROM canon),
+        sel1 AS (SELECT a, b, w FROM (SELECT g, w, a, b,
+            row_number() OVER (PARTITION BY g ORDER BY w, a, b) AS rn
+          FROM g1) WHERE rn = 1),
+        f1 AS MATERIALIZED (SELECT DISTINCT a, b, w FROM sel1),
+        e1 AS MATERIALIZED (SELECT a, b FROM f1
+          UNION SELECT b, a FROM f1),
+        lb0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl
+          FROM e1)$labels,
+        comp1 AS MATERIALIZED (SELECT n.node,
+            COALESCE(c.lbl, n.node) AS comp
+          FROM nodes n LEFT JOIN lb$labelRounds c ON n.node = c.id),
+        cand2 AS (SELECT canon.a, canon.b, canon.w,
+            x.comp AS ca, y.comp AS cb
+          FROM canon JOIN comp1 x ON canon.a = x.node
+            JOIN comp1 y ON canon.b = y.node
+          WHERE x.comp <> y.comp),
+        g2 AS (SELECT ca AS g, w, a, b FROM cand2
+          UNION ALL SELECT cb, w, a, b FROM cand2),
+        sel2 AS (SELECT a, b, w FROM (SELECT g, w, a, b,
+            row_number() OVER (PARTITION BY g ORDER BY w, a, b) AS rn
+          FROM g2) WHERE rn = 1),
+        f2 AS (SELECT DISTINCT a, b, w FROM (
+          SELECT a, b, w FROM f1 UNION ALL SELECT a, b, w FROM sel2))
+        SELECT a, b, w FROM f2"""
+  }
+
   private def cascadeOracleSql(threshold: Int, rounds: Int): String = {
     val base = s"""WITH ${cappedSymCtes()},
       a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS round
@@ -11690,7 +11744,28 @@ object QueryCatalog {
         Graph.anfReach(sym, "src", "dst", k = 16, rounds = 2)
       }): Q
       },
-      Some(anfOracleSql(k = 16, rounds = 2))))
+      Some(anfOracleSql(k = 16, rounds = 2))),
+
+    // Borůvka minimum-spanning-forest, 2 rounds, on the part<->supplier
+    // graph weighted by the pairing's cheapest line price — the
+    // single-linkage dendrogram backbone (cut the forest at ANY weight t
+    // and the pieces are exactly the <= t components; a similarity-graph
+    // curation run sweeps dedup thresholds on this one artifact instead
+    // of re-clustering per threshold). Every selected edge is a
+    // cut-minimum under the total order (w, a, b), so the oracle's
+    // round-by-round replay (per-component row_number pick + recursive
+    // reach components) matches bit-for-bit.
+    ("q_graph_mst", {
+      ((s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        Graph.boruvkaForest(
+          li.select((col("l_partkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"),
+            cents(col("l_extendedprice")).as("w")),
+          "src", "dst", "w", rounds = 2)
+      }): Q
+      },
+      Some(mstOracleSql(labelRounds = 12))))
 
   // ================================================== composed cleaning
 

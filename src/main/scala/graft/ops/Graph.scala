@@ -757,4 +757,77 @@ object Graph {
         .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
           array_max(col("sk")).cast("double")).as("reach_est"))
   }
+
+  /**
+   * Minimum-spanning-forest by FIXED-ROUND Borůvka (Borůvka 1926; the
+   * classic distributed-MST shape — every component picks its cheapest
+   * outgoing edge, components merge, repeat): after r rounds the result
+   * is the exact Borůvka forest of radius r — a subset of the true MST
+   * (every selected edge is a cut-minimum, so no round can pick a wrong
+   * edge) that IS the full MST once components stop merging; component
+   * count at least halves per round, so log2(max component size) rounds
+   * finish. The same fixed-round contract as [[bfsLevels]]/[[ssspInt]].
+   *
+   * The MST is the single-linkage clustering backbone: cutting the forest
+   * at weight t yields exactly the <= t-threshold components for EVERY t
+   * at once — the dendrogram a similarity-graph curation run sweeps for a
+   * dedup threshold, computed once instead of once per threshold.
+   *
+   * Determinism: each component's pick minimizes the TOTAL order
+   * (w, a, b) — ties never depend on partitioning — so an oracle engine
+   * replays every round bit-identically (no random hooks, no float).
+   *
+   * Scale shape: per round ONE |E|-sized double label join + ONE
+   * combine-enabled min(struct) per component (O(1) state per group),
+   * then an exact min-label components pass over the NODE-sized forest
+   * ([[graft.ops.Dedup.components]] — join-per-round on forest edges,
+   * node-bounded). No window, no driver-side graph state; the edge list
+   * never expands.
+   */
+  def boruvkaForest(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"boruvkaForest needs 1 <= rounds <= 16, got $rounds")
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .localCheckpoint()
+    val nodes = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var comp = nodes.select(col("node"), col("node").as("comp"))
+    var forest: DataFrame = null
+    for (r <- 1 to rounds) {
+      val cand = canon
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")),
+          Seq("a"))
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")),
+          Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      val s = struct(col("w"), col("a"), col("b"))
+      val sel = cand.select(col("ca").as("g"), s.as("s"))
+        .union(cand.select(col("cb").as("g"), s.as("s")))
+        .groupBy("g").agg(min(col("s")).as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"),
+          col("m.w").as("w"))
+        .distinct()
+      forest = (if (forest == null) sel else forest.union(sel).distinct())
+        .localCheckpoint()
+      // the merge labels only feed the NEXT round's cross-component
+      // filter — skip the (iterative) components pass after the last one
+      if (r < rounds) {
+        val lab = Dedup.components(forest, "a", "b")
+        comp = nodes.join(
+            lab.select(col("doc_id").as("node"),
+              col("component_id").as("c")),
+            Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
+          .localCheckpoint()
+      }
+    }
+    forest.select("a", "b", "w")
+  }
 }

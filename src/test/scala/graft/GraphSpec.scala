@@ -555,4 +555,41 @@ class GraphSpec extends SparkSpec {
     // leaves see {self, hub} only
     assert(rows(7L) == ((2L, 2.0)))
   }
+
+  /** Reference MST weight by Kruskal over the canonical edge list. */
+  private def kruskalWeight(edges: Seq[(Long, Long, Long)]): Long = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var total = 0L
+    for ((a, b, w) <- edges.sortBy(e => (e._3, e._1, e._2))) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; total += w }
+    }
+    total
+  }
+
+  test("boruvkaForest: enough rounds yield the exact MST weight") {
+    // two components with distinct-weight edges (unique MST): a 6-node
+    // weighted path with shortcut edges, plus a 4-cycle with one heavy
+    // closing edge that must be excluded
+    val edges = Seq(
+      (1L, 2L, 4L), (2L, 3L, 1L), (3L, 4L, 7L), (4L, 5L, 2L),
+      (5L, 6L, 9L), (1L, 3L, 12L), (2L, 5L, 20L), (3L, 6L, 3L),
+      (10L, 11L, 5L), (11L, 12L, 6L), (12L, 13L, 8L), (13L, 10L, 30L))
+    val df = edges.toDF("src", "dst", "w")
+    val got = Graph.boruvkaForest(df, "src", "dst", "w", rounds = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // a spanning forest of the two components: n - #components edges
+    assert(got.size == 10 - 2)
+    assert(got.map(_._3).sum == kruskalWeight(edges))
+    // cycle-free: Kruskal over the forest itself keeps every edge
+    assert(kruskalWeight(got) == got.map(_._3).sum)
+    // fixed-round prefix property: 1 round selects a sub-forest of it
+    val r1 = Graph.boruvkaForest(df, "src", "dst", "w", rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1.subsetOf(got.toSet))
+  }
 }
