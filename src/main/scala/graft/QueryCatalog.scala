@@ -9933,6 +9933,68 @@ object QueryCatalog {
     // homogeneous leak it outright. Two combine-enabled aggregates,
     // corpus -> |classes| -> 1 row; the price band is one IEEE division
     // by a literal, identical in any engine.
+    // Local-DP randomized response release — the other privacy gate next
+    // to q_profile_kanon's suppression: each document reports its TRUE
+    // lang with probability 3/4, else a uniform pick from the (sorted,
+    // dense-ranked) lang domain — Warner's randomized response, the
+    // mechanism local-DP telemetry (RAPPOR-family) builds on. The release
+    // then DEBIASES: E[n_rep] = n·3/4 + N/20, so n_est =
+    // (20·n_rep − N)/15, reported in milli units (can dip below 0 for
+    // rare classes — that IS the mechanism's noise floor, shown, not
+    // clamped). The coin is md5-prefix60(doc_id): deterministic, so both
+    // engines replay the exact same "randomness" — the mechanism's
+    // arithmetic is pinned bit-for-bit (a production run swaps in a real
+    // RNG; nothing else changes). The uniform branch uses bit-shift
+    // (u >> 2), NOT u/4 — a 60-bit hash through a double loses the low
+    // bits above 2^53. Shape: one 5-row broadcast domain table, one
+    // corpus scan, two combine-enabled counts.
+    ("q_text_rr_release",
+      (s: SparkSession, d: String) => {
+        val E = graft.plans.GraftExpressions
+        val docs = t(s, d, "documents")
+        val wl = Window.orderBy(col("lang").asc)
+        val langs = docs.select("lang").distinct()
+          .withColumn("idx", row_number().over(wl).cast("long") - 1L)
+        val nl = langs.agg(count(lit(1)).as("n_langs"))
+        val r = docs.select(col("lang"),
+            E.md5_prefix60(col("doc_id").cast("string")).as("u"))
+          .crossJoin(broadcast(nl))
+          .withColumn("pick", shiftright(col("u"), 2) % col("n_langs"))
+          .join(broadcast(langs.select(col("idx"),
+            col("lang").as("picked"))), col("pick") === col("idx"))
+          .select(col("lang"),
+            when(col("u") % 4 < 3, col("lang")).otherwise(col("picked"))
+              .as("reported"))
+        val rep = r.groupBy(col("reported").as("lang"))
+          .agg(count(lit(1)).as("n_reported"))
+        val truth = r.groupBy("lang").agg(count(lit(1)).as("n_true"))
+        val tot = r.agg(count(lit(1)).as("n_total"))
+        rep.join(truth, Seq("lang")).crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_reported"), col("n_true"),
+            floor((col("n_reported") * 20L - col("n_total"))
+                .cast("double") * lit(1000.0) / lit(15.0))
+              .cast("long").as("est_milli"))
+      },
+      Some("""WITH langs AS (SELECT lang,
+            row_number() OVER (ORDER BY lang) - 1 AS idx
+          FROM (SELECT DISTINCT lang FROM documents)),
+        nl AS (SELECT count(*) AS n_langs FROM langs),
+        r AS (SELECT d.lang,
+            CASE WHEN u % 4 < 3 THEN d.lang ELSE p.lang END AS reported
+          FROM (SELECT lang,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                1, 15)) AS BIGINT) AS u
+            FROM documents) d, nl
+          JOIN langs p ON (u >> 2) % n_langs = p.idx),
+        rep AS (SELECT reported AS lang, count(*) AS n_reported
+          FROM r GROUP BY 1),
+        truth AS (SELECT lang, count(*) AS n_true FROM r GROUP BY 1),
+        tot AS (SELECT count(*) AS n_total FROM r)
+        SELECT lang, n_reported, n_true,
+          CAST(floor(CAST(n_reported * 20 - n_total AS DOUBLE) * 1000.0
+            / 15.0) AS BIGINT) AS est_milli
+        FROM rep JOIN truth USING (lang), tot""")),
+
     ("q_profile_kanon",
       (s: SparkSession, d: String) => {
         val o = t(s, d, "orders").select(
