@@ -4141,6 +4141,41 @@ object QueryCatalog {
     // and a 100 TB scan to find five known strings is waste. Absent
     // (day, type) cells are 0, not null, matching the conditional-aggregate
     // formulation the pivot rewrites to.
+    // UNPIVOT/melt — the inverse of q_agg_pivot and the other half of
+    // the wide<->long reshaping pair (metric tables ship long, models
+    // consume wide): a 5-row wide aggregate (three BIGINT measures per
+    // order priority) melts into (priority, metric, value) via Spark's
+    // native `unpivot` (Expand under the hood — one operator, no join,
+    // no shuffle past the aggregate; at 100 TB melt multiplies rows by
+    // #measures in the scan stage, never reshuffles). Oracle = UNION ALL
+    // of one SELECT per measure.
+    ("q_agg_melt",
+      (s: SparkSession, d: String) => {
+        val wide = t(s, d, "orders").groupBy(
+            col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).as("sum_total_cents"),
+            max(cents(col("o_totalprice"))).as("max_total_cents"))
+        wide.unpivot(
+          Array(col("priority")),
+          Array(col("n_orders"), col("sum_total_cents"),
+            col("max_total_cents")),
+          "metric", "value")
+      },
+      Some("""WITH wide AS (SELECT o_orderpriority AS priority,
+            count(*) AS n_orders,
+            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_total_cents,
+            CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS max_total_cents
+          FROM orders GROUP BY 1)
+        SELECT priority, 'n_orders' AS metric, n_orders AS value
+        FROM wide
+        UNION ALL
+        SELECT priority, 'sum_total_cents', sum_total_cents FROM wide
+        UNION ALL
+        SELECT priority, 'max_total_cents', max_total_cents FROM wide""")),
+
     ("q_agg_pivot", {
       val types = Seq("click", "error", "purchase", "signup", "view")
       ((s: SparkSession, d: String) => t(s, d, "events")
