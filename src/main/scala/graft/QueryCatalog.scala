@@ -4141,6 +4141,82 @@ object QueryCatalog {
     // and a 100 TB scan to find five known strings is waste. Absent
     // (day, type) cells are 0, not null, matching the conditional-aggregate
     // formulation the pivot rewrites to.
+    // Price-index suite (Laspeyres / Paasche / Fisher) — the composed
+    // index-number analytics a pricing/finance warehouse publishes:
+    // per (part, year) unit prices in cents (floor of the exact
+    // cents-per-unit ratio — deterministic, documents the quantization),
+    // base year = first year, per-year basket = parts present in BOTH
+    // periods. Laspeyres weights by base quantities, Paasche by current,
+    // Fisher is their geometric mean (one sqrt — IEEE-identical). All
+    // four index sums are BIGINT-exact (cents × quantities stay < 2^53
+    // per term and < 2^63 summed); only the final ratios are doubles.
+    // Shape: one (part, year) aggregate, a broadcast base-year join, a
+    // per-year sum — two shuffles total.
+    ("q_agg_price_index",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").join(
+          t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr")),
+          Seq("l_orderkey"))
+        val py = li.groupBy(col("l_partkey").as("pk"), col("yr"))
+          .agg(sum(cents(col("l_extendedprice"))).as("ext"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+          .select(col("pk"), col("yr"),
+            floor(col("ext").cast("double") / col("qty").cast("double"))
+              .cast("long").as("p"),
+            col("qty"))
+        val y0 = py.agg(min("yr").as("y0"))
+        val base = py.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
+          .select(col("pk"), col("p").as("p0"), col("qty").as("q0"))
+        py.join(base, Seq("pk"))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("p") * col("q0")).as("lnum"),
+            sum(col("p0") * col("q0")).as("lden"),
+            sum(col("p") * col("qty")).as("pnum"),
+            sum(col("p0") * col("qty")).as("pden"))
+          .select(col("yr"), col("n_parts"),
+            floor(lit(1000.0) * col("lnum").cast("double") /
+              col("lden").cast("double")).cast("long")
+              .as("laspeyres_milli"),
+            floor(lit(1000.0) * col("pnum").cast("double") /
+              col("pden").cast("double")).cast("long")
+              .as("paasche_milli"),
+            floor(lit(1000.0) * sqrt(
+              (col("lnum").cast("double") / col("lden").cast("double")) *
+              (col("pnum").cast("double") / col("pden").cast("double"))))
+              .cast("long").as("fisher_milli"))
+      },
+      Some("""WITH li AS (SELECT l_partkey AS pk,
+            CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(floor(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+            CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        py AS (SELECT pk, yr,
+            CAST(floor(CAST(sum(ext_cents) AS DOUBLE) /
+              CAST(sum(qty) AS DOUBLE)) AS BIGINT) AS p,
+            CAST(sum(qty) AS BIGINT) AS qty
+          FROM li GROUP BY 1, 2),
+        y0 AS (SELECT min(yr) AS y0 FROM py),
+        base AS (SELECT pk, p AS p0, qty AS q0 FROM py, y0
+          WHERE yr = y0),
+        j AS (SELECT yr, count(*) AS n_parts,
+            CAST(sum(p * q0) AS BIGINT) AS lnum,
+            CAST(sum(p0 * q0) AS BIGINT) AS lden,
+            CAST(sum(p * qty) AS BIGINT) AS pnum,
+            CAST(sum(p0 * qty) AS BIGINT) AS pden
+          FROM py JOIN base USING (pk) GROUP BY 1)
+        SELECT yr, n_parts,
+          CAST(floor(1000.0 * CAST(lnum AS DOUBLE) /
+            CAST(lden AS DOUBLE)) AS BIGINT) AS laspeyres_milli,
+          CAST(floor(1000.0 * CAST(pnum AS DOUBLE) /
+            CAST(pden AS DOUBLE)) AS BIGINT) AS paasche_milli,
+          CAST(floor(1000.0 * sqrt(
+            (CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)) *
+            (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))))
+            AS BIGINT) AS fisher_milli
+        FROM j""")),
+
     // UNPIVOT/melt — the inverse of q_agg_pivot and the other half of
     // the wide<->long reshaping pair (metric tables ship long, models
     // consume wide): a 5-row wide aggregate (three BIGINT measures per
