@@ -2173,6 +2173,86 @@ object QueryCatalog {
           CAST(sum(${centsSql(""""value"""")}) AS BIGINT) / 100.0 AS revenue
         FROM r WHERE event_type = 'purchase' GROUP BY 1""")),
 
+    // Position-based (U-shaped) multi-touch attribution — the fractional
+    // counterpart of q_seq_attribution's winner-take-all last touch:
+    // journeys are the touch runs between purchases (journey id = count
+    // of purchases strictly before the row), and each converting
+    // journey's credit splits 40/20/40 (first / middles / last; 1 touch
+    // = 100%, 2 touches = 50/50). Credit is EXACT ppm BIGINT — middles
+    // get floor(200000/(n-2)) and the first middle absorbs the
+    // remainder, so every journey sums to exactly 1,000,000 ppm (the
+    // audit invariant fractional attribution must hold or double-counts
+    // revenue). All windows partition by user (user-bounded, the seq
+    // family's policy); credited revenue = Σ credit·value_cents in
+    // ppm-cents, exact.
+    ("q_seq_attribution_position",
+      (s: SparkSession, d: String) => {
+        val wj = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = t(s, d, "events")
+          .withColumn("j", coalesce(sum(
+            when(col("event_type") === "purchase", 1L)).over(wj), lit(0L)))
+        val wt = Window.partitionBy("user_id", "j")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wn = Window.partitionBy("user_id", "j")
+        val touches = ev
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("idx", row_number().over(wt).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("j"),
+            cents(col("value")).as("conv_cents"))
+        // Spark's `/` on longs is DOUBLE division — take the exact
+        // integer quotient via a double floor (operands < 2^53)
+        val mid = floor(lit(200000.0) /
+          (col("n") - 2L).cast("double")).cast("long")
+        val rem = lit(200000L) % (col("n") - 2L)
+        val credit =
+          when(col("n") === 1, lit(1000000L))
+            .when(col("n") === 2, lit(500000L))
+            .when(col("idx") === 1 || col("idx") === col("n"),
+              lit(400000L))
+            .otherwise(mid + when(col("idx") === 2, rem).otherwise(0L))
+        touches.join(conv, Seq("user_id", "j"))
+          .select(col("event_type").as("touch"),
+            credit.as("credit_ppm"), col("conv_cents"))
+          .groupBy("touch")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("credit_ppm")).as("conversions_ppm"),
+            sum(col("credit_ppm") * col("conv_cents"))
+              .as("revenue_ppm_cents"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
+            ${centsSql(""""value"""")} AS v_cents,
+            COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+              END) OVER (PARTITION BY user_id ORDER BY ts ASC,
+              event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+              1 PRECEDING) AS BIGINT), 0) AS j
+          FROM events),
+        touches AS (SELECT user_id, j, event_type,
+            CAST(row_number() OVER (PARTITION BY user_id, j
+              ORDER BY ts ASC, event_id ASC) AS BIGINT) AS idx,
+            CAST(count(*) OVER (PARTITION BY user_id, j) AS BIGINT) AS n
+          FROM ev WHERE event_type IN ('click', 'view')),
+        conv AS (SELECT user_id, j, v_cents AS conv_cents FROM ev
+          WHERE event_type = 'purchase'),
+        credited AS (SELECT event_type AS touch,
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN idx = 1 OR idx = n THEN 400000
+                 ELSE CAST(200000 // (n - 2) AS BIGINT) +
+                   CASE WHEN idx = 2
+                     THEN CAST(200000 % (n - 2) AS BIGINT)
+                     ELSE 0 END
+            END AS credit_ppm, conv_cents
+          FROM touches JOIN conv USING (user_id, j))
+        SELECT touch, count(*) AS n_touches,
+          CAST(sum(credit_ppm) AS BIGINT) AS conversions_ppm,
+          CAST(sum(credit_ppm * conv_cents) AS BIGINT)
+            AS revenue_ppm_cents
+        FROM credited GROUP BY 1""")),
+
     // Per-user training-feature assembly — the behavioral flagship
     // composition (the events-side q_curate_pack): activity stats,
     // first/last/favorite event type and the shift-decayed engagement sum
