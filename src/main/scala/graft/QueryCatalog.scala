@@ -11409,13 +11409,14 @@ object QueryCatalog {
   /** DuckDB replay of [[Graph.boruvkaForest]] (2 Borůvka rounds): per-
     * component cheapest-edge picks via row_number over the (w, a, b)
     * total order, then the round-1 merge labels by `labelRounds` UNROLLED
-    * min-label propagation steps over the round-1 forest (the forest is
-    * star-like — measured convergence is 5-6 steps at both fixture
-    * scales; 12 gives 2x margin, and a future fixture needing more fails
-    * the hash LOUDLY rather than silently — a recursive-CTE reach
-    * enumeration is Σ|comp|² rows and measured 10x slower). The Spark
-    * side runs exact-to-convergence components, so the hash-match also
-    * certifies the fixed-round labels converged. */
+    * min-label propagation steps over the round-1 forest — the SAME fixed
+    * rounds the Spark side runs, so the two engines agree even if the
+    * labels were under-converged (the forest is star-like: measured
+    * convergence is 5-6 steps at both fixture scales; 8 has margin). A
+    * recursive-CTE reach enumeration would be Σ|comp|² rows — measured
+    * 10x slower and quadratic in component size. Every lb CTE is
+    * MATERIALIZED: each references its predecessor twice, and DuckDB
+    * would otherwise inline the chain exponentially. */
   private def mstOracleSql(labelRounds: Int): String = {
     val labels = (1 to labelRounds).map { i =>
       s""",
@@ -12018,7 +12019,7 @@ object QueryCatalog {
           "src", "dst", "w", rounds = 2)
       }): Q
       },
-      Some(mstOracleSql(labelRounds = 12))))
+      Some(mstOracleSql(labelRounds = 8))))
 
   // ================================================== composed cleaning
 

@@ -777,17 +777,29 @@ object Graph {
    * (w, a, b) — ties never depend on partitioning — so an oracle engine
    * replays every round bit-identically (no random hooks, no float).
    *
-   * Scale shape: per round ONE |E|-sized double label join + ONE
-   * combine-enabled min(struct) per component (O(1) state per group),
-   * then an exact min-label components pass over the NODE-sized forest
-   * ([[graft.ops.Dedup.components]] — join-per-round on forest edges,
-   * node-bounded). No window, no driver-side graph state; the edge list
-   * never expands.
+   * The merge step runs `labelRounds` FIXED min-label propagation rounds
+   * over the round's forest (label(v) ← min(label(v), neighbor labels)),
+   * not a convergence loop: fixed rounds pipeline as ONE lazy DAG with
+   * no per-iteration driver action, and an oracle engine replays the
+   * exact same rounds — deterministic EVEN IF under-converged. The
+   * Borůvka round-r forest is star-like (each node points at its
+   * cheapest pick), so its diameter is small — measured 5-6 label rounds
+   * to converge at both fixture scales; the default 8 has margin. An
+   * under-converged merge (labelRounds < forest diameter) stays
+   * deterministic but can re-select an intra-component edge — detectable
+   * as |forest| > #nodes − #components; raise labelRounds if seen.
+   *
+   * Scale shape: per Borůvka round ONE |E|-sized double label join + ONE
+   * combine-enabled min(struct) per component (O(1) state per group) +
+   * labelRounds node-bounded join/min-aggregate steps over forest edges.
+   * No window, no driver-side graph state; the edge list never expands.
    */
   def boruvkaForest(edges: DataFrame, srcCol: String, dstCol: String,
-      wCol: String, rounds: Int): DataFrame = {
+      wCol: String, rounds: Int, labelRounds: Int = 8): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"boruvkaForest needs 1 <= rounds <= 16, got $rounds")
+    require(labelRounds >= 1 && labelRounds <= 64,
+      s"boruvkaForest needs 1 <= labelRounds <= 64, got $labelRounds")
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"),
@@ -817,15 +829,23 @@ object Graph {
       forest = (if (forest == null) sel else forest.union(sel).distinct())
         .localCheckpoint()
       // the merge labels only feed the NEXT round's cross-component
-      // filter — skip the (iterative) components pass after the last one
+      // filter — skip the label pass after the last round
       if (r < rounds) {
-        val lab = Dedup.components(forest, "a", "b")
-        comp = nodes.join(
-            lab.select(col("doc_id").as("node"),
-              col("component_id").as("c")),
+        val fe = forest.select(col("a"), col("b"))
+          .union(forest.select(col("b").as("a"), col("a").as("b")))
+        var lab = fe.select(col("a").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        for (k <- 1 to labelRounds) {
+          lab = fe.join(lab.withColumnRenamed("id", "a"), Seq("a"))
+            .select(col("b").as("id"), col("lbl"))
+            .union(lab)
+            .groupBy("id").agg(min("lbl").as("lbl"))
+          if (k % 4 == 0 || k == labelRounds) lab = lab.localCheckpoint()
+        }
+        comp = nodes.join(lab.withColumnRenamed("id", "node"),
             Seq("node"), "left_outer")
-          .select(col("node"), coalesce(col("c"), col("node")).as("comp"))
-          .localCheckpoint()
+          .select(col("node"),
+            coalesce(col("lbl"), col("node")).as("comp"))
       }
     }
     forest.select("a", "b", "w")
