@@ -5103,6 +5103,35 @@ object QueryCatalog {
         col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(langIdOracleSql)),
 
+    // Language-ID confusion matrix — the EVALUATION of q_text_langid's
+    // heuristic against the declared labels (a classifier you haven't
+    // scored against truth is a guess): per (declared, predicted) cell
+    // count plus the within-declared-language rate in ppm. The diagonal
+    // is per-language recall; off-diagonal mass says WHICH languages the
+    // stopword markers confuse (the actionable fix list). Two
+    // combine-enabled aggregates over one scored scan; cells bounded by
+    // the 6x6 language domain.
+    ("q_text_lang_confusion",
+      (s: SparkSession, d: String) => {
+        val p = t(s, d, "documents").select(col("lang"),
+          TextOps.langId(col("text")).as("pred"))
+        val cell = p.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        val per = p.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        cell.join(per, Seq("lang"))
+          .select(col("lang"), col("pred"), col("n"), col("n_lang"),
+            floor(col("n").cast("double") * lit(1e6) /
+              col("n_lang").cast("double")).cast("long").as("cell_ppm"))
+      },
+      Some(s"""WITH pred AS ($langIdOracleSql),
+        j AS (SELECT d.lang, p.lang_pred AS pred
+          FROM documents d JOIN pred p USING (doc_id)),
+        cell AS (SELECT lang, pred, count(*) AS n FROM j GROUP BY 1, 2),
+        per AS (SELECT lang, count(*) AS n_lang FROM j GROUP BY 1)
+        SELECT lang, pred, n, n_lang,
+          CAST(floor(CAST(n AS DOUBLE) * 1e6 /
+            CAST(n_lang AS DOUBLE)) AS BIGINT) AS cell_ppm
+        FROM cell JOIN per USING (lang)""")),
+
     // Unicode NFC normalization (plans.UnicodeNormalize — native codegen'd
     // expression, no UDF): "é" arrives precomposed (U+00E9) and decomposed
     // (e + U+0301); without NFC the two spellings hash apart and split one
