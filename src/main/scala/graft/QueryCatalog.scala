@@ -5327,6 +5327,93 @@ object QueryCatalog {
     // deterministic alternative to HLL: the estimate is a pure function of
     // the k smallest md5 hashes, so the oracle replays it bit-for-bit
     // (plans/Expressions.scala KmvDistinct; O(k) state, map-side combined).
+    // KMV sketch SET ALGEBRA — the step past q_text_kmv's single-set
+    // cardinality: per-source-PAIR vocabulary overlap (intersection size
+    // and Jaccard) estimated from the per-source bottom-64 sketches
+    // alone, audited against the exact pairwise join. The theta trick
+    // (Beyer et al. SIGMOD'07 / theta sketches): merge two sketches,
+    // theta = the union's kth-smallest hash, count common hashes below
+    // theta — an unbiased Jaccard estimate with O(k) state where the
+    // exact answer needs a vocabulary-sized shuffle join per pair. When
+    // the merged sketch is NOT full the formula degrades to the exact
+    // answer by construction (theta = max, everything counted). At
+    // 100 TB the sketch table is #sources rows of 64 longs; the exact
+    // columns here are the audit, not the production path.
+    ("q_text_sketch_overlap",
+      (s: SparkSession, d: String) => {
+        val E = graft.plans.GraftExpressions
+        val toks = t(s, d, "documents")
+          .select(col("source"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .select(col("source"), E.md5_prefix60(col("w")).as("h"))
+          .distinct()
+        val sk = toks.groupBy("source")
+          .agg(E.bottomk_distinct(col("h"), 64).as("sk"))
+        val exact = toks.join(
+            toks.select(col("source").as("s2"), col("h")), Seq("h"))
+          .filter(col("source") < col("s2"))
+          .groupBy(col("source").as("s1"), col("s2"))
+          .agg(count(lit(1)).as("exact_inter"))
+        val pairs = sk.select(col("source").as("s1"), col("sk").as("a"))
+          .join(sk.select(col("source").as("s2"), col("sk").as("b")),
+            col("s1") < col("s2"))
+          .withColumn("m64",
+            slice(array_sort(array_distinct(concat(col("a"), col("b")))),
+              1, 64))
+          .withColumn("kk", size(col("m64")).cast("long"))
+          .withColumn("theta", element_at(col("m64"), col("kk").cast("int")))
+          .withColumn("common",
+            size(filter(array_intersect(col("a"), col("b")),
+              x => x <= col("theta"))).cast("long"))
+          .withColumn("union_est",
+            when(col("kk") < 64, col("kk").cast("double"))
+              .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+                col("theta").cast("double")))
+          .select(col("s1"), col("s2"), col("kk"),
+            floor(lit(1000.0) * col("common").cast("double") /
+              col("kk").cast("double")).cast("long").as("jac_milli"),
+            floor((col("common").cast("double") /
+              col("kk").cast("double")) * col("union_est"))
+              .cast("long").as("inter_est"))
+        pairs.join(exact, Seq("s1", "s2"))
+          .select("s1", "s2", "kk", "jac_milli", "inter_est",
+            "exact_inter")
+      },
+      Some(s"""WITH toks AS MATERIALIZED (SELECT DISTINCT source,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+          FROM documents, UNNEST(${tokensSql()}) AS u(t)),
+        sk AS (SELECT source, list(h ORDER BY h) AS sk FROM (
+            SELECT source, h, row_number() OVER (PARTITION BY source
+              ORDER BY h) AS rn FROM toks)
+          WHERE rn <= 64 GROUP BY 1),
+        exact AS (SELECT a.source AS s1, b.source AS s2,
+            count(*) AS exact_inter
+          FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2),
+        p0 AS (SELECT x.source AS s1, y.source AS s2, x.sk AS a, y.sk AS b
+          FROM sk x JOIN sk y ON x.source < y.source),
+        p1 AS (SELECT s1, s2, a, b,
+            list_sort(list_distinct(list_concat(a, b)))[1:64] AS m64
+          FROM p0),
+        p2 AS (SELECT s1, s2, a, b, m64,
+            CAST(len(m64) AS BIGINT) AS kk,
+            list_extract(m64, len(m64)) AS theta
+          FROM p1),
+        p3 AS (SELECT s1, s2, kk, theta,
+            CAST(len(list_filter(list_intersect(a, b),
+              x -> x <= theta)) AS BIGINT) AS common,
+            CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 /
+                   CAST(theta AS DOUBLE) END AS union_est
+          FROM p2)
+        SELECT s1, s2, kk,
+          CAST(floor(1000.0 * CAST(common AS DOUBLE) /
+            CAST(kk AS DOUBLE)) AS BIGINT) AS jac_milli,
+          CAST(floor((CAST(common AS DOUBLE) / CAST(kk AS DOUBLE)) *
+            union_est) AS BIGINT) AS inter_est,
+          exact_inter
+        FROM p3 JOIN exact USING (s1, s2)""")),
+
     ("q_text_kmv",
       (s: SparkSession, d: String) => {
         val toks = t(s, d, "documents").select(col("lang"),
