@@ -6996,6 +6996,79 @@ object QueryCatalog {
           n = 5, k = 12, bands = 4, threshold = 0.7)),
       Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // B-cubed cluster-quality audit — scores the minhash near-dup
+    // CLUSTERING against the exact-fingerprint truth (Bagga & Baldwin
+    // '98; the standard extrinsic clustering metric): per document,
+    // precision = |cluster ∩ class|/|cluster| and recall = .../|class|,
+    // macro-averaged. Both sums reduce to Σ_{c,k} n_ck²/n_c (resp /n_k)
+    // over the (cluster, class) contingency cells — each term is
+    // floor-quantized to ppm BEFORE the integer sum, so the reduction is
+    // order-free and bit-identical across engines (the no-float-SUM
+    // discipline). Unclustered docs are singletons; exact dups that
+    // minhash splits show up as recall < 1, over-merged neighbors as
+    // precision < 1. One contingency groupBy + two marginal joins.
+    ("q_dedup_b3",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val comp = Dedup.components(Dedup.minhashNearDups(docs, "doc_id",
+          "text", n = 5, k = 12, bands = 4, threshold = 0.7))
+        val a = docs.select(col("doc_id"),
+            graft.ops.TextOps.fingerprintMd5(col("text")).as("cls"))
+          .join(comp.select(col("doc_id"),
+            col("component_id").as("c")), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("cls"),
+            coalesce(col("c"), col("doc_id")).as("cluster"))
+        val nck = a.groupBy("cluster", "cls").agg(count(lit(1)).as("nck"))
+        val nc = a.groupBy("cluster").agg(count(lit(1)).as("ncl"))
+        val nk = a.groupBy("cls").agg(count(lit(1)).as("nkl"))
+        nck.join(nc, Seq("cluster")).join(nk, Seq("cls"))
+          .select(
+            floor((col("nck") * col("nck")).cast("double") * lit(1e6) /
+              col("ncl").cast("double")).cast("long").as("pt"),
+            floor((col("nck") * col("nck")).cast("double") * lit(1e6) /
+              col("nkl").cast("double")).cast("long").as("rt"),
+            col("nck"))
+          .agg(sum("nck").as("n_docs"), sum("pt").as("psum"),
+            sum("rt").as("rsum"))
+          .select(col("n_docs"),
+            floor(col("psum").cast("double") /
+              col("n_docs").cast("double")).cast("long").as("b3_p_ppm"),
+            floor(col("rsum").cast("double") /
+              col("n_docs").cast("double")).cast("long").as("b3_r_ppm"))
+      },
+      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
+        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+                  UNION SELECT doc2, doc1 FROM mh_pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        asg AS (SELECT d.doc_id,
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+              AS cls,
+            COALESCE(comps.c, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN comps ON d.doc_id = comps.id),
+        nck AS (SELECT cluster, cls, count(*) AS nck
+          FROM asg GROUP BY 1, 2),
+        nc AS (SELECT cluster, count(*) AS ncl FROM asg GROUP BY 1),
+        nk AS (SELECT cls, count(*) AS nkl FROM asg GROUP BY 1),
+        terms AS (SELECT nck.nck,
+            CAST(floor(CAST(nck.nck * nck.nck AS DOUBLE) * 1e6 /
+              CAST(ncl AS DOUBLE)) AS BIGINT) AS pt,
+            CAST(floor(CAST(nck.nck * nck.nck AS DOUBLE) * 1e6 /
+              CAST(nkl AS DOUBLE)) AS BIGINT) AS rt
+          FROM nck JOIN nc USING (cluster) JOIN nk USING (cls)),
+        tot AS (SELECT CAST(sum(nck) AS BIGINT) AS n_docs,
+            CAST(sum(pt) AS BIGINT) AS psum,
+            CAST(sum(rt) AS BIGINT) AS rsum FROM terms)
+        SELECT n_docs,
+          CAST(floor(CAST(psum AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            AS BIGINT) AS b3_p_ppm,
+          CAST(floor(CAST(rsum AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            AS BIGINT) AS b3_r_ppm
+        FROM tot""")),
+
     ("q_dedup_canonical",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
