@@ -726,6 +726,75 @@ object QueryCatalog {
 
   // ========================================================== relational
 
+  /** WITH-chain oracle for q_seq_attribution_markov: replays the journey
+    * transition matrix (start → channels → purchase/null) and, for the base
+    * chain plus one chain per removed channel, `rounds` synchronous exact-ppm
+    * fixed-point steps of v(s) = P(reach 'purchase' within the remaining
+    * steps). Removal of channel c is the standard first-order-Markov node
+    * removal: walks entering c die, i.e. v(c) is pinned to 0 every round
+    * (matrix unchanged). Removal effect and credit are exact floor-ppm
+    * divisions. Chain CTEs are MATERIALIZED for the same inlining-planner
+    * reason as [[kmeansCtes]]. */
+  private def markovAttributionSql(channels: Seq[String],
+      rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH r AS MATERIALIZED (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC,
+            event_id ASC) AS prev,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC,
+            event_id ASC) AS next
+        FROM events),
+        tr AS (SELECT tsrc, tdst, count(*) AS c FROM (
+          SELECT 'start' AS tsrc, event_type AS tdst FROM r
+            WHERE prev IS NULL OR prev = 'purchase'
+          UNION ALL
+          SELECT event_type, next FROM r
+            WHERE event_type <> 'purchase' AND next IS NOT NULL
+          UNION ALL
+          SELECT event_type, 'null' FROM r
+            WHERE event_type <> 'purchase' AND next IS NULL) GROUP BY 1, 2),
+        m AS MATERIALIZED (SELECT tsrc, tdst,
+            c * 1000000 // sum(c) OVER (PARTITION BY tsrc) AS p FROM tr),
+        st AS MATERIALIZED (SELECT unnest(['start', 'click', 'error',
+          'signup', 'view', 'purchase', 'null']) AS st)""")
+    val chains = ("base", None: Option[String]) +:
+      channels.map(c => (s"x$c", Some(c): Option[String]))
+    for ((tag, dead) <- chains) {
+      sb ++= s""",
+        ${tag}0 AS (SELECT st, CASE WHEN st = 'purchase'
+            THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v
+          FROM st)"""
+      for (i <- 1 to rounds) {
+        val deadCase = dead.map(c => s"WHEN s.st = '$c' THEN 0").getOrElse("")
+        sb ++= s""",
+        $tag$i AS MATERIALIZED (SELECT s.st,
+            CAST(CASE WHEN s.st = 'purchase' THEN 1000000 $deadCase
+                 ELSE coalesce(a.v0, 0) END AS BIGINT) AS v
+          FROM st s LEFT JOIN (SELECT m.tsrc AS st,
+              sum(m.p * v.v // 1000000) AS v0
+            FROM m JOIN $tag${i - 1} v ON v.st = m.tdst GROUP BY 1) a
+            USING (st))"""
+      }
+    }
+    sb ++= s""",
+        base_p AS (SELECT v AS pb FROM base$rounds WHERE st = 'start'),
+        rem AS ("""
+    sb ++= channels.map(c =>
+        s"SELECT '$c' AS channel, v AS pr FROM x$c$rounds WHERE st = 'start'")
+      .mkString("\n          UNION ALL\n          ")
+    sb ++= s"""),
+        re AS (SELECT channel, pb, pr,
+            (pb - pr) * 1000000 // greatest(pb, 1) AS re_ppm
+          FROM rem CROSS JOIN base_p),
+        tot_re AS (SELECT greatest(sum(re_ppm), 1) AS t FROM re)
+        SELECT channel, CAST(pb AS BIGINT) AS p_base_ppm,
+          CAST(pr AS BIGINT) AS p_removed_ppm,
+          CAST(re_ppm AS BIGINT) AS removal_effect_ppm,
+          CAST(re_ppm * 1000000 // t AS BIGINT) AS credit_ppm
+        FROM re CROSS JOIN tot_re"""
+    sb.toString
+  }
+
   private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
 
     // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
@@ -2142,6 +2211,78 @@ object QueryCatalog {
         FROM st LEFT JOIN tot ON st.st = tot.osrc
         JOIN v4 USING (st)""")),
 
+    // Markov removal-effect attribution (Anderl et al. 2016 — the
+    // data-driven alternative to last-touch/U-shaped): journeys =
+    // user sequences split at each purchase, states = start ∪ channels ∪
+    // {purchase, null}. Base conversion probability = P(start reaches
+    // purchase within 6 steps) under the exact-ppm transition matrix;
+    // removing channel c kills every walk that enters c (v(c) pinned 0
+    // each round — node removal in the within-N-steps formulation needs
+    // no matrix edit). Credit share = removal effect / Σ effects, exact
+    // floor-ppm. ONE pass over events builds all transition arms (explode
+    // of a per-row filtered array in the scan stage); the k²-bounded
+    // matrix is checkpointed once and reused by all 5 fixed-point chains
+    // (5 × 6 rounds of broadcast-size joins — no further corpus scans).
+    ("q_seq_attribution_markov",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val channels = Seq("click", "error", "signup", "view")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .select(explode(expr("""filter(array(
+              IF(prev IS NULL OR prev = 'purchase',
+                 named_struct('tsrc', 'start', 'tdst', event_type), NULL),
+              IF(event_type <> 'purchase',
+                 named_struct('tsrc', event_type,
+                              'tdst', coalesce(next, 'null')), NULL)),
+            x -> x IS NOT NULL)""")).as("e"))
+          .select(col("e.tsrc"), col("e.tdst"))
+          .groupBy("tsrc", "tdst").agg(count(lit(1)).as("c"))
+        val tot = tr.groupBy(col("tsrc").as("osrc")).agg(sum("c").as("tot"))
+        val m = tr.join(tot, col("tsrc") === col("osrc"))
+          .select(col("tsrc"), col("tdst"),
+            expr("c * 1000000L div tot").as("p"))
+          .localCheckpoint()
+        val stDf = ("start" +: channels :+ "purchase" :+ "null").toDF("st")
+        def reach(dead: Option[String]): DataFrame = {
+          var v = stDf.select(col("st"),
+            when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
+          for (_ <- 1 to 6) {
+            val step = m.join(
+                v.select(col("st").as("tdst"), col("v").as("vd")), "tdst")
+              .groupBy(col("tsrc").as("st"))
+              .agg(sum(expr("p * vd div 1000000L")).as("v0"))
+            v = stDf.join(step, Seq("st"), "left")
+              .select(col("st"),
+                when(col("st") === "purchase", 1000000L)
+                  .otherwise(when(
+                    dead.map(col("st") === _).getOrElse(lit(false)), 0L)
+                    .otherwise(coalesce(col("v0"), lit(0L)))).as("v"))
+          }
+          v
+        }
+        val base = reach(None).filter(col("st") === "start")
+          .select(col("v").as("pb"))
+        val rem = channels.map { c =>
+          reach(Some(c)).filter(col("st") === "start")
+            .select(lit(c).as("channel"), col("v").as("pr"))
+        }.reduce(_ union _)
+        val re = rem.crossJoin(broadcast(base))
+          .withColumn("re_ppm",
+            expr("(pb - pr) * 1000000L div greatest(pb, 1L)"))
+        val totRe = re.agg(greatest(sum("re_ppm"), lit(1L)).as("tre"))
+        re.crossJoin(broadcast(totRe))
+          .select(col("channel"), col("pb").as("p_base_ppm"),
+            col("pr").as("p_removed_ppm"),
+            col("re_ppm").as("removal_effect_ppm"),
+            expr("re_ppm * 1000000L div tre").as("credit_ppm"))
+      },
+      Some(markovAttributionSql(Seq("click", "error", "signup", "view"),
+        6))),
+
     // Last-touch conversion attribution: each purchase credits the user's
     // most recent PRIOR click/view (conversions with no prior touch fall
     // into the 'organic' bucket). The carry-forward is a per-user window
@@ -3327,6 +3468,171 @@ object QueryCatalog {
         SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
           CAST(sum(w * pc) AS BIGINT) AS total_cents
         FROM w GROUP BY 1""")),
+
+    // Two-sample permutation test per event type (is mean per-user spend
+    // different between odd and even user cohorts?) with md5-replayable
+    // permutations: rep 0 is the OBSERVED split (user_id % 2); reps
+    // 1..199 reassign each unit by an md5 bit of (type, user, rep). The
+    // unit table (one exact micro-sum per (type, user)) is built FIRST,
+    // so the B× fan-out multiplies users, not events — the scale shape
+    // that keeps resampling viable at 100 TB (B bounded, corpus reduced
+    // before the blow-up; every aggregate combine-enabled). The statistic
+    // |mean1 − mean0| is two IEEE divisions + one subtraction over exact
+    // BIGINTs — bit-identical cross-engine; p = (#extreme + 1)/(B + 1)
+    // in exact ppm (add-one: the observed split is itself a permutation).
+    ("q_agg_permtest",
+      (s: SparkSession, d: String) => {
+        val B = 199
+        val g = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+          .select(col("event_type"), col("user_id"), col("x"),
+            explode(expr(s"sequence(0, $B)")).as("r"))
+          .withColumn("side",
+            when(col("r") === 0, col("user_id") % 2)
+              .otherwise(expr("cast(conv(substr(md5(concat(event_type, " +
+                "':', user_id, ':', r)), 1, 8), 16, 10) as bigint) % 2")))
+          .groupBy("event_type", "r")
+          .agg(sum(when(col("side") === 1L, col("x")).otherwise(0L)).as("s1"),
+            sum(when(col("side") === 0L, col("x")).otherwise(0L)).as("s0"),
+            count(when(col("side") === 1L, lit(1))).as("n1"),
+            count(when(col("side") === 0L, lit(1))).as("n0"))
+          .withColumn("tstat", expr("abs(cast(s1 as double) / " +
+            "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
+            "cast(nullif(n0, 0) as double))"))
+        val obs = g.filter(col("r") === 0).select(col("event_type"),
+          col("s1").as("s_odd"), col("s0").as("s_even"),
+          col("n1").as("n_odd"), col("n0").as("n_even"),
+          col("tstat").as("t_obs"))
+        g.filter(col("r") > 0)
+          .join(broadcast(obs), Seq("event_type"))
+          .groupBy("event_type")
+          .agg((max("n_odd") + max("n_even")).as("n_units"),
+            max("s_odd").as("s_odd"), max("s_even").as("s_even"),
+            floor(max("t_obs")).cast("long").as("t_obs_micro"),
+            sum(when(coalesce(col("tstat") >= col("t_obs"), lit(false)),
+              1L).otherwise(0L)).as("n_extreme"))
+          .withColumn("p_ppm",
+            expr(s"(n_extreme + 1) * 1000000L div ${B + 1}"))
+      },
+      Some("""WITH units AS MATERIALIZED (SELECT event_type, user_id,
+            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        sided AS (SELECT event_type, r,
+            CASE WHEN r = 0 THEN user_id % 2
+                 ELSE CAST(concat('0x', substr(md5(concat(event_type, ':',
+                   CAST(user_id AS VARCHAR), ':', CAST(r AS VARCHAR))),
+                   1, 8)) AS BIGINT) % 2 END AS side, x
+          FROM units CROSS JOIN (SELECT unnest(range(0, 200)) AS r)),
+        g AS MATERIALIZED (SELECT event_type, r,
+            CAST(sum(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+            CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n1,
+            CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n0
+          FROM sided GROUP BY 1, 2),
+        tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
+              CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
+              CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
+        obs AS (SELECT event_type, s1 AS s_odd, s0 AS s_even, n1 AS n_odd,
+            n0 AS n_even, tstat AS t_obs FROM tt WHERE r = 0)
+        SELECT tt.event_type,
+          CAST(any_value(n_odd) + any_value(n_even) AS BIGINT) AS n_units,
+          any_value(s_odd) AS s_odd, any_value(s_even) AS s_even,
+          CAST(floor(any_value(t_obs)) AS BIGINT) AS t_obs_micro,
+          CAST(sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+          CAST((sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+            THEN 1 ELSE 0 END) + 1) * 1000000 // 200 AS BIGINT) AS p_ppm
+        FROM tt JOIN obs USING (event_type) WHERE tt.r > 0
+        GROUP BY 1""")),
+
+    // Benjamini–Hochberg FDR step-up over the per-type permutation
+    // p-values (B = 99 here — the multiple-testing layer cares about the
+    // CORRECTION, not p resolution): rank p ascending, k* = max rank with
+    // p(i)·m ≤ α·i (exact integers, α = 0.10), discoveries = ranks ≤ k*.
+    // The BH pass is a window over m = 5 rows — domain-bounded by the
+    // metric vocabulary, never by the corpus.
+    ("q_agg_fdr",
+      (s: SparkSession, d: String) => {
+        val B = 99
+        val g = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
+          .select(col("event_type"), col("user_id"), col("x"),
+            explode(expr(s"sequence(0, $B)")).as("r"))
+          .withColumn("side",
+            when(col("r") === 0, col("user_id") % 2)
+              .otherwise(expr("cast(conv(substr(md5(concat(event_type, " +
+                "':', user_id, ':', r)), 1, 8), 16, 10) as bigint) % 2")))
+          .groupBy("event_type", "r")
+          .agg(sum(when(col("side") === 1L, col("x")).otherwise(0L)).as("s1"),
+            sum(when(col("side") === 0L, col("x")).otherwise(0L)).as("s0"),
+            count(when(col("side") === 1L, lit(1))).as("n1"),
+            count(when(col("side") === 0L, lit(1))).as("n0"))
+          .withColumn("tstat", expr("abs(cast(s1 as double) / " +
+            "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
+            "cast(nullif(n0, 0) as double))"))
+        val obs = g.filter(col("r") === 0)
+          .select(col("event_type"), col("tstat").as("t_obs"))
+        val p = g.filter(col("r") > 0)
+          .join(broadcast(obs), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(when(coalesce(col("tstat") >= col("t_obs"), lit(false)),
+            1L).otherwise(0L)).as("n_extreme"))
+          .withColumn("p_ppm",
+            expr(s"(n_extreme + 1) * 1000000L div ${B + 1}"))
+        val wAll = Window.orderBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        p.withColumn("rnk", row_number().over(
+            Window.orderBy(col("p_ppm").asc, col("event_type").asc)))
+          .withColumn("m", count(lit(1)).over(wAll))
+          .withColumn("passes",
+            when(col("p_ppm") * col("m") <= lit(100000L) * col("rnk"), 1L)
+              .otherwise(0L))
+          .withColumn("kstar",
+            max(when(col("passes") === 1L, col("rnk")).otherwise(0L))
+              .over(wAll))
+          .select(col("event_type"), col("p_ppm"),
+            col("rnk").cast("long").as("rnk"), col("passes"),
+            when(col("rnk") <= col("kstar"), 1L).otherwise(0L)
+              .as("discovered"))
+      },
+      Some("""WITH units AS MATERIALIZED (SELECT event_type, user_id,
+            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        sided AS (SELECT event_type, r,
+            CASE WHEN r = 0 THEN user_id % 2
+                 ELSE CAST(concat('0x', substr(md5(concat(event_type, ':',
+                   CAST(user_id AS VARCHAR), ':', CAST(r AS VARCHAR))),
+                   1, 8)) AS BIGINT) % 2 END AS side, x
+          FROM units CROSS JOIN (SELECT unnest(range(0, 100)) AS r)),
+        g AS MATERIALIZED (SELECT event_type, r,
+            CAST(sum(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+            CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n1,
+            CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n0
+          FROM sided GROUP BY 1, 2),
+        tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
+              CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
+              CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
+        obs AS (SELECT event_type, tstat AS t_obs FROM tt WHERE r = 0),
+        p AS (SELECT tt.event_type,
+            CAST((sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+              THEN 1 ELSE 0 END) + 1) * 1000000 // 100 AS BIGINT) AS p_ppm
+          FROM tt JOIN obs USING (event_type) WHERE tt.r > 0 GROUP BY 1),
+        ranked AS (SELECT event_type, p_ppm,
+            CAST(row_number() OVER (ORDER BY p_ppm ASC, event_type ASC)
+              AS BIGINT) AS rnk,
+            CAST(count(*) OVER () AS BIGINT) AS m
+          FROM p),
+        marked AS (SELECT *, CASE WHEN p_ppm * m <= 100000 * rnk
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS passes
+          FROM ranked)
+        SELECT event_type, p_ppm, rnk, passes,
+          CASE WHEN rnk <= max(CASE WHEN passes = 1 THEN rnk ELSE 0 END)
+              OVER () THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS discovered
+        FROM marked""")),
 
     // Top conversion paths: each user's FIRST FIVE events (total
     // (ts, event_id) order — deterministic under ties) join into a path
