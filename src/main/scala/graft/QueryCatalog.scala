@@ -8852,6 +8852,84 @@ object QueryCatalog {
           AND ex.neighbor_id = ann.neighbor_id
         GROUP BY 1""")),
 
+    // SQ8 scalar-quantization recall audit (Similarity.sq8Recall): codes
+    // = floor(q*127/amax_dim) signed bytes, inner-product top-10 on codes
+    // vs on exact vectors, recall per probe. The 64-row scale table and
+    // the double-floor chain (never integer div — negative components)
+    // replay exactly; one corpus pass scores both rankings side by side.
+    ("q_emb_sq8",
+      (s: SparkSession, d: String) => Similarity.sq8Recall(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vec_id") % 50 === 0, k = 10),
+      Some(s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, $quantSql AS v FROM embeddings),
+        ex AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
+          generate_subscripts(v, 1) AS pos FROM q),
+        sc AS MATERIALIZED (SELECT pos, greatest(max(abs(x)), 1) AS amax
+          FROM ex GROUP BY 1),
+        cd AS MATERIALIZED (SELECT vec_id, ex.pos, x,
+            CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(amax AS DOUBLE))
+              AS BIGINT) AS c8
+          FROM ex JOIN sc ON sc.pos = ex.pos),
+        pairs AS MATERIALIZED (SELECT p.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            CAST(sum(p.x * c.x) AS BIGINT) AS dot_exact,
+            CAST(sum(p.c8 * c.c8) AS BIGINT) AS dot8
+          FROM cd p JOIN cd c ON p.pos = c.pos AND c.vec_id <> p.vec_id
+          WHERE p.vec_id % 50 = 0
+          GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY dot_exact DESC, neighbor_id ASC) AS re,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY dot8 DESC, neighbor_id ASC) AS r8
+          FROM pairs)
+        SELECT query_id, count(*) AS n_exact,
+          CAST(sum(CASE WHEN r8 <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit,
+          floor(CAST(sum(CASE WHEN r8 <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+            * 1e6 / CAST(count(*) AS DOUBLE)) / 1e6 AS recall
+        FROM r WHERE re <= 10 GROUP BY 1""")),
+
+    // Margin-criterion bitext mining (Similarity.bitextMarginMine):
+    // cos(x,y) scored relative to both sides' top-4 neighborhood averages
+    // — the hub-vector correction LASER/CCMatrix mining uses. Best-margin
+    // candidate per probe across the opposite-label corpus.
+    ("q_emb_bitext_margin",
+      (s: SparkSession, d: String) => Similarity.bitextMarginMine(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") % 50 === 0, kNeigh = 4),
+      Some(s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, label, $quantSql AS v FROM embeddings),
+        pr AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+          FROM q WHERE vec_id % 50 = 0),
+        scored AS MATERIALIZED (SELECT query_id, q.vec_id AS cand_id,
+            ${simMicroSql("qv", "q.v")} AS cos_micro
+          FROM pr JOIN q ON q.label <> pr.qlab),
+        ranked AS MATERIALIZED (SELECT *,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_micro DESC, cand_id ASC) AS rq,
+            row_number() OVER (PARTITION BY cand_id
+              ORDER BY cos_micro DESC, query_id ASC) AS rc
+          FROM scored),
+        aq AS (SELECT query_id, CAST(floor(CAST(sum(cos_micro) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_q_micro
+          FROM ranked WHERE rq <= 4 GROUP BY 1),
+        ac AS (SELECT cand_id, CAST(floor(CAST(sum(cos_micro) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_c_micro
+          FROM ranked WHERE rc <= 4 GROUP BY 1),
+        mg AS (SELECT s.query_id, s.cand_id, s.cos_micro, aq.avg_q_micro,
+            ac.avg_c_micro,
+            CAST(floor(CAST(s.cos_micro AS DOUBLE) * 2e6 /
+              CAST(greatest(aq.avg_q_micro + ac.avg_c_micro, 1) AS DOUBLE))
+              AS BIGINT) AS margin_ppm
+          FROM scored s JOIN aq USING (query_id) JOIN ac USING (cand_id))
+        SELECT query_id, cand_id, cos_micro, avg_q_micro, avg_c_micro,
+          margin_ppm
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY margin_ppm DESC, cand_id ASC) AS best FROM mg)
+        WHERE best = 1""")),
+
     ("q_sim_ann_lsh",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")

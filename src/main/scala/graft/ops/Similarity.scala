@@ -1045,4 +1045,116 @@ object Similarity {
     v.zipWithIndex.map { case (x, j) => ((j + 1).toLong, x) }
       .toDF("j", "loading")
   }
+
+  /**
+   * SQ8 scalar-quantization recall audit (the FAISS `SQ8` codec idea):
+   * compress every vector to one signed byte per dimension with a
+   * per-dimension global scale (`code_d = floor(q_d * 127 / amax_d)` over
+   * the exact 1000-grid ints), then measure recall@k of inner-product
+   * search on the CODES against exact inner-product search on the full
+   * vectors. The scale table is one 64-row aggregate; codes shrink the
+   * scan 4-8x — at 100 TB the code sweep is the memory-bandwidth-bound
+   * first pass and this query reports exactly what that compression costs
+   * in recall. The floor chain is double-floor (never integer `div`:
+   * negative components truncate toward zero in Spark but floor in other
+   * engines). One corpus pass scores BOTH rankings: the broadcast-probe
+   * join projects the exact dot and the code dot side by side, then two
+   * windows rank them (probe side broadcast-small by contract, as in
+   * [[cosineTopK]]).
+   *
+   * Output: (query_id, n_exact, n_hit, recall) — recall = |top-k codes ∩
+   * top-k exact| / k, floor-quantized to 6 dp.
+   */
+  def sq8Recall(corpus: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int): DataFrame = {
+    val q = corpus.select(col(idCol).as("vid"), quantize(col(vecCol)).as("v"),
+      probePred.as("is_probe"))
+    val scales = q.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(greatest(max(abs(col("x"))), lit(1L)).as("amax"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, amax))), " +
+        "s -> s.amax)").as("scales"))
+    val coded = q.crossJoin(broadcast(scales))
+      .withColumn("c8", expr("transform(arrays_zip(v, scales), " +
+        "s -> cast(floor(cast(s.v * 127 as double) / " +
+        "cast(s.scales as double)) as bigint))"))
+      .select(col("vid"), col("v"), col("c8"), col("is_probe"))
+    val probes = coded.filter(col("is_probe"))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("c8").as("qc8"))
+    val scored = coded.join(broadcast(probes),
+        col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        qdot(col("qv"), col("v")).as("dot_exact"),
+        qdot(col("qc8"), col("c8")).as("dot8"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("dot_exact").desc, col("neighbor_id").asc)
+    val w8 = Window.partitionBy("query_id")
+      .orderBy(col("dot8").desc, col("neighbor_id").asc)
+    scored.withColumn("re", row_number().over(we))
+      .withColumn("r8", row_number().over(w8))
+      .filter(col("re") <= k)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("r8") <= k, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (floor(col("n_hit").cast("double") * 1e6 /
+          col("n_exact").cast("double")) / 1e6).as("recall"))
+  }
+
+  /**
+   * Margin-criterion bitext/pair mining (Artetxe & Schwenk, ACL 2019 —
+   * the scoring LASER/CCMatrix mine parallel corpora with): a raw cosine
+   * threshold can't separate "genuinely aligned pair" from "hub vector
+   * that is close to everything", so each pair is scored RELATIVE to its
+   * two neighborhoods: margin = cos(x,y) / ((avgTopK(x) + avgTopK(y))/2).
+   * Here the bipartite sides are a small probe set and the opposite-label
+   * corpus (label = language proxy); both neighborhood averages come from
+   * the SAME probe x candidate score matrix, so the whole mine is one
+   * broadcast-probe corpus pass plus three domain-bounded windows. Probe
+   * side is small by contract (the large-probe path is IVF-PQ, as with
+   * tiered retrieval). Exact arithmetic: micro-int cosines, per-side
+   * top-k sums as BIGINTs, margin as one double-floor ppm division with
+   * the denominator clamped positive.
+   *
+   * Output: one row per probe — its best-margin candidate:
+   * (query_id, cand_id, cos_micro, avg_q_micro, avg_c_micro, margin_ppm).
+   */
+  def bitextMarginMine(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, probePred: Column, kNeigh: Int): DataFrame = {
+    val q = corpus.select(col(idCol).as("vid"), quantize(col(vecCol)).as("v"),
+        col(labelCol).as("lab"), probePred.as("is_probe"))
+      .withColumn("n2", qdot(col("v"), col("v")))
+    val probes = q.filter(col("is_probe"))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("lab").as("qlab"), col("n2").as("qn2"))
+    val scored = q.join(broadcast(probes), col("lab") =!= col("qlab"))
+      .select(col("query_id"), col("vid").as("cand_id"),
+        // floor-micro computed directly from the dot (NOT 6-dp-double *
+        // 1e6, whose binary re-multiply can land at x.999… and truncate)
+        floor(qdot(col("qv"), col("v")).cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double")))
+          * 1e6).cast("long").as("cos_micro"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("cand_id").asc)
+    val wc = Window.partitionBy("cand_id")
+      .orderBy(col("cos_micro").desc, col("query_id").asc)
+    val ranked = scored.withColumn("rq", row_number().over(wq))
+      .withColumn("rc", row_number().over(wc))
+    val avgQ = ranked.filter(col("rq") <= kNeigh).groupBy("query_id")
+      .agg(expr(s"cast(floor(cast(sum(cos_micro) as double) / " +
+        s"cast(count(*) as double)) as bigint)").as("avg_q_micro"))
+    val avgC = ranked.filter(col("rc") <= kNeigh).groupBy("cand_id")
+      .agg(expr(s"cast(floor(cast(sum(cos_micro) as double) / " +
+        s"cast(count(*) as double)) as bigint)").as("avg_c_micro"))
+    val margins = scored.join(avgQ, Seq("query_id")).join(avgC, Seq("cand_id"))
+      .withColumn("margin_ppm", expr("cast(floor(cast(cos_micro as double) " +
+        "* 2e6 / cast(greatest(avg_q_micro + avg_c_micro, 1L) as double)) " +
+        "as bigint)"))
+    val wBest = Window.partitionBy("query_id")
+      .orderBy(col("margin_ppm").desc, col("cand_id").asc)
+    margins.withColumn("best", row_number().over(wBest))
+      .filter(col("best") === 1)
+      .select(col("query_id"), col("cand_id"), col("cos_micro"),
+        col("avg_q_micro"), col("avg_c_micro"), col("margin_ppm"))
+  }
 }
