@@ -9418,6 +9418,112 @@ object QueryCatalog {
         FROM asig a JOIN asig b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""")),
 
+    // Energy-threshold VAD segmentation (Multimodal.audioActivity) over
+    // REAL decoded WAV bytes: active = frame energy strictly above the
+    // clip mean (amplitude-invariant), segments = maximal active runs,
+    // run-length scan inside the per-clip map (no shuffle). Oracle
+    // replays samples, the 65-frame energies, and the gaps-and-islands
+    // run arithmetic from the integer formula.
+    ("q_mm_audio_vad",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
+        Multimodal.audioActivity(wavs).toDF()
+      },
+      Some("""WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
+        p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
+            32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
+            (doc_id % 61) * 32 AS cut0
+          FROM documents),
+        smp AS (SELECT p.doc_id, r.i,
+            CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
+                 ELSE (CASE WHEN (r.i + phase) % per < per // 2
+                            THEN (r.i + phase) % per
+                            ELSE per - (r.i + phase) % per END) * 2 * amp
+                      // per
+                      * (CASE WHEN ((r.i + phase) // per) % 2 = 0
+                              THEN 1 ELSE -1 END)
+            END AS s
+          FROM p CROSS JOIN r2080 r),
+        frm AS (SELECT doc_id, i // 32 AS f, sum(abs(s)) AS e
+          FROM smp GROUP BY 1, 2),
+        tote AS (SELECT doc_id, sum(e) AS tot FROM frm GROUP BY 1),
+        act AS (SELECT frm.doc_id, f, e,
+            CASE WHEN e * 65 > tot THEN 1 ELSE 0 END AS a
+          FROM frm JOIN tote USING (doc_id)),
+        isl AS (SELECT doc_id, f, a,
+            f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f)
+              AS grp
+          FROM act),
+        runs AS (SELECT doc_id, count(*) AS len FROM isl WHERE a = 1
+          GROUP BY doc_id, grp),
+        seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+            CAST(max(len) AS BIGINT) AS longest_run FROM runs GROUP BY 1)
+        SELECT tote.doc_id AS media_id, CAST(65 AS BIGINT) AS n_frames,
+          na.n_active, coalesce(seg.n_segments, 0) AS n_segments,
+          coalesce(seg.longest_run, 0) AS longest_run,
+          CAST(tote.tot AS BIGINT) AS total_energy
+        FROM tote
+        JOIN (SELECT doc_id, CAST(sum(a) AS BIGINT) AS n_active FROM act
+          GROUP BY 1) na USING (doc_id)
+        LEFT JOIN seg USING (doc_id)""")),
+
+    // Shot-boundary detection (Multimodal.sceneCuts): every 'video' doc
+    // gets 12 REAL-codec frames (4-frame shots — the frame pattern seed
+    // advances every 4 frames), aHash per frame in the scan stage, cut =
+    // consecutive hamming strictly > 16 bits. Oracle replays the frame
+    // pixels (seed fid = (doc_id*4 + k/4)*10), the hash, and the lag
+    // arithmetic with no codec.
+    ("q_mm_scene_cuts",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val frames = t(s, d, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("k"))
+          .as[(Long, Int)]
+          .map { case (id, k) =>
+            (id, k,
+              Multimodal.syntheticPngFamily((id * 4 + k / 4) * 10, 32, 24)) }
+        Multimodal.sceneCuts(frames, threshold = 16)
+      },
+      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+        fr AS (SELECT doc_id AS media_id, unnest(range(0, 12)) AS k
+          FROM documents WHERE doc_id % 3 = 2),
+        fid AS (SELECT media_id, k, (media_id * 4 + k // 4) * 10 AS fv
+          FROM fr),
+        cell AS (SELECT media_id, k, fv, cy.i * 8 + cx.i AS bit,
+            cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+          FROM fid CROSS JOIN g8 cx CROSS JOIN g8 cy),
+        lum AS (SELECT media_id, k, bit,
+            (((sx * 255 // 31 + (fv // 10 % 7) * 36) % 256) * 299 +
+             ((sy * 255 // 23 + (fv // 10 % 11) * 23) % 256) * 587 +
+             (CASE WHEN sy = fv % 24
+                   THEN 255 - ((sx + sy + fv // 10) % 8) * 32
+                   ELSE ((sx + sy + fv // 10) % 8) * 32 END) * 114)
+              // 1000 AS l
+          FROM cell),
+        tot AS (SELECT media_id, k, sum(l) AS t FROM lum GROUP BY 1, 2),
+        acc AS (SELECT lum.media_id, lum.k,
+            sum(CASE WHEN lum.l * 64 > tot.t THEN 1::HUGEINT << lum.bit
+                     ELSE 0::HUGEINT END) AS h
+          FROM lum JOIN tot USING (media_id, k) GROUP BY 1, 2),
+        sig AS (SELECT media_id, k,
+            CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                      ELSE h END AS BIGINT) AS ahash
+          FROM acc),
+        stp AS (SELECT media_id, k,
+            bit_count(xor(ahash, lag(ahash) OVER (PARTITION BY media_id
+              ORDER BY k))) AS ham
+          FROM sig)
+        SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(CASE WHEN ham > 16 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          CAST(coalesce(sum(CASE WHEN ham > 16 THEN ham END), 0) AS BIGINT)
+            AS sum_cut_hamming,
+          CAST(coalesce(max(ham), 0) AS BIGINT) AS max_hamming
+        FROM stp GROUP BY 1""")),
+
     // REAL codec round trip (rows-only: DuckDB cannot decode PNG): build
     // deterministic compressed PNGs in the executors, resize 32x24 -> 8x6
     // nearest-neighbor, decode with javax.imageio, emit exact pixel sums.

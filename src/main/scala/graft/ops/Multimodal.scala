@@ -301,25 +301,114 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) => ImageHash(id, ahashBytes(id, bytes)) }
+    }
+  }
+
+  /** Decode one image and compute its 64-bit aHash — the per-row core of
+    * [[imageAHash]], shared with [[sceneCuts]]. Caller is expected to have
+    * disabled the ImageIO disk cache once per partition. */
+  private[ops] def ahashBytes(id: Long, bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"media $id: no JDK codec for these bytes")
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val luma = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < 64) {
+      val p = img.getRGB((i & 7) * sw / 8, (i >> 3) * sh / 8)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      val l = (r * 299L + g * 587L + b * 114L) / 1000L
+      luma(i) = l; tot += l
+      i += 1
+    }
+    var hsh = 0L
+    i = 0
+    while (i < 64) { if (luma(i) * 64 > tot) hsh |= (1L << i); i += 1 }
+    hsh
+  }
+
+  /** Shot-boundary (scene-cut) detection over a per-frame image table —
+    * the first pass of any video curation pipeline (segment before
+    * captioning/sampling; near-static shots collapse to one keyframe).
+    * Each frame is decoded and aHashed in the scan stage ([[ahashBytes]]
+    * — real codec, exact-integer hash); a CUT is a consecutive-frame step
+    * whose hamming distance STRICTLY exceeds `threshold` bits. The step
+    * pass is one `lag` window per media ordered by frame index — state
+    * bounded by a clip's frame count, never the corpus, so the shape
+    * survives 100 TB of video rows. Output per clip: frame count, cut
+    * count, summed and maximal step distances (exact BIGINTs). */
+  def sceneCuts(frames: Dataset[(Long, Int, Array[Byte])],
+      threshold: Int): DataFrame = {
+    import frames.sparkSession.implicits._
+    val hashed = frames.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, idx, bytes) => (id, idx, ahashBytes(id, bytes)) }
+    }.toDF("media_id", "frame_idx", "ahash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(col("frame_idx").asc)
+    hashed.withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("ham", expr("bit_count(ahash ^ prev)").cast("long"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("ham") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(sum(when(col("ham") > threshold, col("ham"))), lit(0L))
+          .as("sum_cut_hamming"),
+        coalesce(max(col("ham")), lit(0L)).as("max_hamming"))
+  }
+
+  final case class AudioActivity(media_id: Long, n_frames: Long,
+    n_active: Long, n_segments: Long, longest_run: Long, total_energy: Long)
+
+  /** Energy-threshold voice-activity detection (VAD) — the segmentation
+    * gate an audio training pipeline runs before transcription: frames
+    * are the same 65-way split as [[audioEnergyHash]] (sample i → frame
+    * i·65/n, exact |amplitude| sums), a frame is ACTIVE iff
+    * `energy · n_frames > total_energy` (strictly above the clip mean —
+    * scale-free, so the gate is amplitude-invariant), and segments are
+    * maximal active runs. The run-length scan happens INSIDE the per-clip
+    * map (a clip's frame count is bounded by construction) — no window,
+    * no shuffle: pure scan-stage projection, the 100 TB shape. */
+  def audioActivity(media: Dataset[(Long, Array[Byte])])
+      : Dataset[AudioActivity] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
       rows.map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        require(img != null, s"media $id: no JDK codec for these bytes")
-        val (sw, sh) = (img.getWidth, img.getHeight)
-        val luma = new Array[Long](64)
-        var tot = 0L
-        var i = 0
-        while (i < 64) {
-          val p = img.getRGB((i & 7) * sw / 8, (i >> 3) * sh / 8)
-          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-          val l = (r * 299L + g * 587L + b * 114L) / 1000L
-          luma(i) = l; tot += l
-          i += 1
-        }
-        var hsh = 0L
-        i = 0
-        while (i < 64) { if (luma(i) * 64 > tot) hsh |= (1L << i); i += 1 }
-        ImageHash(id, hsh)
+        try {
+          val f = in.getFormat
+          require(f.getSampleSizeInBits == 16 && f.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"media $id: need 16-bit PCM_SIGNED, got ${f.getEncoding}")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val energy = new Array[Long](65)
+          var i = 0
+          while (i < n) {
+            val o = 2 * i
+            val s =
+              if (f.isBigEndian) (data(o) << 8) | (data(o + 1) & 0xff)
+              else (data(o + 1) << 8) | (data(o) & 0xff)
+            energy((i.toLong * 65 / n).toInt) += math.abs(s)
+            i += 1
+          }
+          var tot = 0L
+          var b = 0
+          while (b < 65) { tot += energy(b); b += 1 }
+          var nAct = 0L; var nSeg = 0L; var longest = 0L; var run = 0L
+          b = 0
+          while (b < 65) {
+            if (energy(b) * 65 > tot) {
+              if (run == 0) nSeg += 1
+              run += 1; nAct += 1
+              if (run > longest) longest = run
+            } else run = 0
+            b += 1
+          }
+          AudioActivity(id, 65L, nAct, nSeg, longest, tot)
+        } finally in.close()
       }
     }
   }
