@@ -2283,6 +2283,92 @@ object QueryCatalog {
       Some(markovAttributionSql(Seq("click", "error", "signup", "view"),
         6))),
 
+    // Exact Shapley-value attribution over journey channel SETS — the
+    // third leg of the attribution suite (heuristic U-shaped, model-based
+    // Markov removal, game-theoretic Shapley). The characteristic
+    // function v(S) = conversion rate of journeys whose touched-channel
+    // set ⊆ S (exact ppm); with 4 channels the subset lattice is 16 rows,
+    // so φ_i = Σ_S |S|!(3−|S|)!·(v(S∪i)−v(S)) is a broadcast-size join
+    // after ONE corpus pass (journey split + bit_or mask + 16-row
+    // census). Credits are in ppm·24 units (weights kept as exact 24ths
+    // — no rational rounding); φ can be negative (a channel whose
+    // presence predicts NOT converting earns negative credit).
+    ("q_seq_attribution_shapley",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val j = t(s, d, "events")
+          .withColumn("jid", coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(w), lit(0L)))
+          .groupBy("user_id", "jid")
+          .agg(expr("bit_or(CASE event_type WHEN 'click' THEN 1 " +
+            "WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
+            "WHEN 'view' THEN 8 ELSE 0 END)").as("mask"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("conv"))
+        val tmask = j.groupBy("mask")
+          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+        val allm = s.range(16).select(col("id").as("m"))
+        val v = broadcast(allm)
+          .join(broadcast(tmask), expr("(mask & m) = mask"), "left")
+          .groupBy("m")
+          .agg(coalesce(sum("n"), lit(0L)).as("n"),
+            coalesce(sum("c"), lit(0L)).as("c"))
+          .withColumn("v_ppm",
+            expr("CASE WHEN n = 0 THEN 0L ELSE c * 1000000L div n END"))
+        val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+          ("view", 8L)).toDF("channel", "bit")
+        broadcast(ch).join(broadcast(allm), expr("(m & bit) = 0"))
+          .join(broadcast(v.select(col("m").as("sm"),
+            col("v_ppm").as("vs"))), col("m") === col("sm"))
+          .join(broadcast(v.select(col("m").as("im"),
+            col("v_ppm").as("vi"))), expr("im = (m | bit)"))
+          .withColumn("w24", expr("CASE bit_count(m) WHEN 0 THEN 6L " +
+            "WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L END"))
+          .groupBy("channel")
+          .agg(sum(expr("w24 * (vi - vs)")).as("phi_ppm24"),
+            sum(expr("CASE WHEN vi > vs THEN w24 * (vi - vs) ELSE 0L END"))
+              .as("phi_pos_ppm24"))
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+            coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS jid
+          FROM events),
+        j AS (SELECT user_id, jid,
+            bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM r GROUP BY 1, 2),
+        tmask AS (SELECT mask, count(*) AS n, sum(conv) AS c FROM j
+          GROUP BY 1),
+        allm AS (SELECT unnest(range(0, 16)) AS m),
+        v AS (SELECT allm.m, coalesce(sum(t.n), 0) AS n,
+            coalesce(sum(t.c), 0) AS c,
+            CASE WHEN coalesce(sum(t.n), 0) = 0 THEN 0
+                 ELSE coalesce(sum(t.c), 0) * 1000000
+                   // coalesce(sum(t.n), 0) END AS v_ppm
+          FROM allm LEFT JOIN tmask t ON (t.mask & allm.m) = t.mask
+          GROUP BY 1),
+        ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+          ('signup', 4), ('view', 8)) AS c(channel, bit)),
+        terms AS (SELECT ch.channel,
+            CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
+              ELSE 6 END AS w24,
+            vi.v_ppm - vs.v_ppm AS gain
+          FROM ch JOIN allm s ON (s.m & ch.bit) = 0
+          JOIN v vs ON vs.m = s.m
+          JOIN v vi ON vi.m = (s.m | ch.bit))
+        SELECT channel, CAST(sum(w24 * gain) AS BIGINT) AS phi_ppm24,
+          CAST(sum(CASE WHEN gain > 0 THEN w24 * gain ELSE 0 END)
+            AS BIGINT) AS phi_pos_ppm24
+        FROM terms GROUP BY 1""")),
+
     // Last-touch conversion attribution: each purchase credits the user's
     // most recent PRIOR click/view (conversions with no prior touch fall
     // into the 'organic' bucket). The carry-forward is a per-user window
@@ -3633,6 +3719,107 @@ object QueryCatalog {
               OVER () THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
             AS discovered
         FROM marked""")),
+
+    // CUPED variance reduction (Deng et al., WSDM 2013 — the standard
+    // experimentation trick): per event type, each user's PRE-period
+    // spend (before Jan 16) is the covariate for the POST-period metric;
+    // θ = cov(pre, post)/var(pre) pooled, and the adjusted treatment
+    // effect uses mean algebra (Δ_cuped = Δ_raw − θ·Δ_pre) so no
+    // per-row float is ever summed — every input is an exact BIGINT cents
+    // sum, cross products go through DECIMAL (overflow-safe to ~sf10;
+    // promote widths beyond), and the few IEEE ops run in one fixed
+    // order. var_reduction_ppm = floor(ρ²·1e6) — how much narrower the
+    // confidence interval gets for free. One combine-enabled pass.
+    ("q_agg_cuped",
+      (s: SparkSession, d: String) => {
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        val u = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(when(col("ts") < cut, cents(col("value")))
+              .otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, cents(col("value")))
+              .otherwise(0L)).as("y"))
+          .withColumn("arm", col("user_id") % 2)
+        u.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+            sum(expr("y * y")).as("syy"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+          .withColumn("num", expr("cast(n as decimal(12,0)) * " +
+            "cast(sxy as decimal(24,0)) - cast(sx as decimal(18,0)) * " +
+            "cast(sy as decimal(18,0))"))
+          .withColumn("den", expr("cast(n as decimal(12,0)) * " +
+            "cast(sxx as decimal(24,0)) - cast(sx as decimal(18,0)) * " +
+            "cast(sx as decimal(18,0))"))
+          .withColumn("deny", expr("cast(n as decimal(12,0)) * " +
+            "cast(syy as decimal(24,0)) - cast(sy as decimal(18,0)) * " +
+            "cast(sy as decimal(18,0))"))
+          .withColumn("theta", expr(
+            "cast(num as double) / cast(nullif(den, 0) as double)"))
+          .withColumn("diff_raw", expr("cast(sy1 as double) / " +
+            "cast(n1 as double) - cast(sy0 as double) / cast(n0 as double)"))
+          .withColumn("diff_pre", expr("cast(sx1 as double) / " +
+            "cast(n1 as double) - cast(sx0 as double) / cast(n0 as double)"))
+          .select(col("event_type"), col("n").as("n_users"),
+            floor(col("theta") * lit(1e6)).cast("long").as("theta_micro"),
+            floor(col("diff_raw") * lit(1e4)).cast("long")
+              .as("diff_raw_hundredths"),
+            floor((col("diff_raw") - col("theta") * col("diff_pre"))
+              * lit(1e4)).cast("long").as("diff_cuped_hundredths"),
+            floor(expr("cast(num as double) * cast(num as double) / " +
+              "(cast(nullif(den, 0) as double) * " +
+              "cast(nullif(deny, 0) as double))") * lit(1e6)).cast("long")
+              .as("var_reduction_ppm"))
+      },
+      Some(s"""WITH u AS MATERIALIZED (SELECT event_type, user_id,
+            CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT) AS x,
+            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT) AS y,
+            user_id % 2 AS arm
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(y * y) AS BIGINT) AS syy,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+            CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+            CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+          FROM u GROUP BY 1),
+        d AS (SELECT *,
+            CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) -
+              CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS num,
+            CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) -
+              CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS den,
+            CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) -
+              CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS deny
+          FROM g),
+        e AS (SELECT *,
+            CAST(num AS DOUBLE) / CAST(nullif(den, 0) AS DOUBLE) AS theta,
+            CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+              CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_raw,
+            CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+              CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_pre
+          FROM d)
+        SELECT event_type, n AS n_users,
+          CAST(floor(theta * 1e6) AS BIGINT) AS theta_micro,
+          CAST(floor(diff_raw * 1e4) AS BIGINT) AS diff_raw_hundredths,
+          CAST(floor((diff_raw - theta * diff_pre) * 1e4) AS BIGINT)
+            AS diff_cuped_hundredths,
+          CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
+            (CAST(nullif(den, 0) AS DOUBLE) *
+             CAST(nullif(deny, 0) AS DOUBLE)) * 1e6) AS BIGINT)
+            AS var_reduction_ppm
+        FROM e""")),
 
     // Top conversion paths: each user's FIRST FIVE events (total
     // (ts, event_id) order — deterministic under ties) join into a path
@@ -6401,6 +6588,44 @@ object QueryCatalog {
     // ranking is exact cross-engine. Marginals derive from the DISTINCT
     // bigram table, not the raw stream — one corpus-sized combine-enabled
     // groupBy, then vocabulary-sized joins; N rides as a 1-row broadcast.
+    // RAKE keyphrase extraction (TextOps.rakeKeyphrases): stopword-
+    // delimited candidate runs, word score deg·1e6 div freq, top phrase
+    // per document. Oracle replays tokenization, the gaps-and-islands
+    // run grouping, and the integer scoring.
+    ("q_text_keyphrase",
+      (s: SparkSession, d: String) => TextOps.rakeKeyphrases(
+        t(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split(regexp_replace(lower(text), '[^a-z]+',
+              ' ', 'g'), ' ')) AS word,
+            generate_subscripts(string_split(regexp_replace(lower(text),
+              '[^a-z]+', ' ', 'g'), ' '), 1) AS pos
+          FROM documents),
+        ns AS (SELECT doc_id, pos, word FROM toks WHERE word <> ''
+          AND word NOT IN ('the', 'a', 'an', 'of', 'and', 'to', 'in',
+            'is', 'it', 'that')),
+        ph AS (SELECT doc_id, pos, word,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS grp
+          FROM ns),
+        pl AS (SELECT doc_id, grp, count(*) AS plen FROM ph GROUP BY 1, 2),
+        occ AS (SELECT ph.doc_id, ph.grp, ph.pos, ph.word, pl.plen
+          FROM ph JOIN pl USING (doc_id, grp)),
+        ws AS (SELECT doc_id, word,
+            CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS wscore
+          FROM occ GROUP BY 1, 2),
+        sc AS (SELECT occ.doc_id, occ.grp,
+            string_agg(occ.word, ' ' ORDER BY occ.pos) AS phrase,
+            CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(ws.wscore) AS BIGINT) AS score_micro
+          FROM occ JOIN ws ON ws.doc_id = occ.doc_id
+            AND ws.word = occ.word
+          GROUP BY 1, 2)
+        SELECT doc_id, phrase, n_words, score_micro FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, phrase ASC) AS b FROM sc)
+        WHERE b = 1""")),
+
     ("q_text_pmi",
       (s: SparkSession, d: String) => {
         val toks = t(s, d, "documents").select(

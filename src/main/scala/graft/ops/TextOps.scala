@@ -1045,4 +1045,48 @@ object TextOps {
         floor(lit(1e6) * col("n_novel").cast("double") /
           col("n_grams").cast("double")).cast("long"))
   }
+
+  /**
+   * RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+   * topic tagger a curation pipeline runs to cluster/route documents
+   * without a model: candidate phrases are maximal stopword-free token
+   * runs ([[EnglishStopwords]] as delimiters); each word scores
+   * deg/freq (deg = Σ length of the phrases it occurs in — words living
+   * in long phrases score high), a phrase scores the sum of its words,
+   * and the document's top-scoring phrase wins (ties: lexicographic).
+   *
+   * Exact integers end to end: word score = `deg·1e6 div freq` (both
+   * positive), phrase score = Σ word scores. Per-document windows only
+   * (the gaps-and-islands run grouping and the final argmax — state
+   * bounded by a document's token count, never the corpus), one
+   * corpus-wide shuffle on doc_id. Output: (doc_id, phrase, n_words,
+   * score_micro), one row per document with at least one candidate.
+   */
+  def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(split(regexp_replace(lower(col(textCol)), "[^a-z]+",
+          " "), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val nonstop = toks.filter(!col("word").isin(EnglishStopwords: _*))
+    val wRn = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+    val ph = nonstop.withColumn("rn", row_number().over(wRn))
+      .withColumn("grp", col("pos") - col("rn"))
+    val phLen = ph.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
+    val occ = ph.join(phLen, Seq("doc_id", "grp"))
+    val wordScore = occ.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore", expr("deg * 1000000L div freq"))
+    val scored = occ.join(wordScore, Seq("doc_id", "word"))
+      .groupBy("doc_id", "grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, word))), s -> s.word), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"), sum("wscore").as("score_micro"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+    scored.withColumn("b", row_number().over(wBest)).filter(col("b") === 1)
+      .select(col("doc_id"), col("phrase"), col("n_words"),
+        col("score_micro"))
+  }
 }

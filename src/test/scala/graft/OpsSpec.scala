@@ -1920,4 +1920,114 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) === 0L)
     assert(got(3L) === 1000000L)
   }
+
+  test("sceneCuts: cut count equals the independent per-clip hash replay") {
+    import graft.ops.Multimodal
+    // two clips x 6 frames, shot seed advances every 2 frames (fid keyed
+    // off (clip, k/2) exactly like the catalog query's frame generator)
+    val frames = (for (clip <- 0L until 2L; k <- 0 until 6)
+      yield (clip, k)).toDS()
+      .map { case (clip, k) =>
+        (clip, k,
+          Multimodal.syntheticPngFamily((clip * 3 + k / 2) * 10, 32, 24)) }
+    val got = Multimodal.sceneCuts(frames, threshold = 16)
+      .select($"media_id", $"n_frames", $"n_cuts", $"max_hamming")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // independent expectation: hash each frame through the verified
+    // imageAHash path and count threshold crossings in plain Scala
+    val sig = Multimodal.imageAHash(
+        (for (clip <- 0L until 2L; k <- 0 until 6) yield (clip, k)).toDS()
+          .map { case (clip, k) =>
+            (clip * 100 + k,
+              Multimodal.syntheticPngFamily((clip * 3 + k / 2) * 10,
+                32, 24)) })
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    for (clip <- 0L until 2L) {
+      val hs = (0 until 6).map(k => sig(clip * 100 + k))
+      val hams = hs.sliding(2).map { case Seq(a, b) =>
+        java.lang.Long.bitCount(a ^ b).toLong }.toSeq
+      val (nf, nc, mh) = (6L, hams.count(_ > 16).toLong, hams.max)
+      assert(got(clip) === ((clip, nf, nc, mh)), s"clip $clip")
+      assert(nc >= 1L, s"clip $clip: fixture must contain a real cut")
+    }
+  }
+
+  test("audioActivity: segments equal the wave-formula run-length replay") {
+    import graft.ops.Multimodal
+    val ids = (0L until 40L).toDS()
+    val got = Multimodal.audioActivity(
+        ids.map(id => (id, Multimodal.syntheticWavFamily(id, 16000))))
+      .collect().map(a => a.media_id -> a).toMap
+    def sample(id: Long, i: Int): Long = {
+      val fam = id / 10
+      val amp = 6000 + (fam % 50) * 50
+      val per = 32 + (fam % 5) * 16
+      val phase = fam % 97
+      val cut0 = (id % 61) * 32
+      if (i >= cut0 && i < cut0 + 64) 0L
+      else {
+        val j = i + phase
+        val ph = j % per
+        val tri = if (ph < per / 2) ph else per - ph
+        tri * 2 * amp / per * (if ((j / per) % 2 == 0) 1L else -1L)
+      }
+    }
+    (0L until 40L).foreach { id =>
+      val e = new Array[Long](65)
+      (0 until 2080).foreach(i => e(i / 32) += math.abs(sample(id, i)))
+      val tot = e.sum
+      val act = e.map(_ * 65 > tot)
+      var nSeg = 0L; var run = 0L; var longest = 0L
+      act.foreach { on =>
+        if (on) { if (run == 0) nSeg += 1; run += 1
+                  if (run > longest) longest = run }
+        else run = 0
+      }
+      val a = got(id)
+      assert(a.n_frames === 65L)
+      assert(a.total_energy === tot, s"id $id energy")
+      assert(a.n_active === act.count(identity).toLong, s"id $id active")
+      assert(a.n_segments === nSeg, s"id $id segments")
+      assert(a.longest_run === longest, s"id $id longest")
+    }
+  }
+
+  test("sq8Recall: identical-ranking corpus gives recall 1, bounds hold") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = Similarity.sq8Recall(e, "vec_id", "embedding",
+        col("vec_id") % 10 === 0, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, ne, nh, rec) =>
+      assert(ne === 5L)
+      assert(nh >= 0L && nh <= 5L)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec === math.floor(nh.toDouble * 1e6 / 5.0) / 1e6)
+    }
+    // int8 codes preserve most of the inner-product ordering on this
+    // fixture: the audit must report high-but-measured recall, not noise
+    val mean = got.map(_._3).sum.toDouble / (5.0 * got.length)
+    assert(mean >= 0.5, s"suspiciously low sq8 recall: $mean")
+  }
+
+  test("bitextMarginMine: one best row per probe, margin recomputes") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.bitextMarginMine(e, "vec_id", "embedding", "label",
+      col("vec_id") % 10 === 0, kNeigh = 3).collect()
+    val probes = e.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(out.map(_.getLong(0)).toSet === probes.keySet)
+    val labels = e.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    out.foreach { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      assert(labels(c) !== probes(q), s"probe $q matched same-label $c")
+      val (cos, aq, ac, m) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(m === math.floor(cos.toDouble * 2e6 /
+        math.max(aq + ac, 1L).toDouble).toLong, s"probe $q margin")
+    }
+  }
 }
