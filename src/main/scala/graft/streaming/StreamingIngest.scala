@@ -259,6 +259,62 @@ object StreamingIngest {
         })
   }
 
+  final case class CusumState(n: Long, sum: Long, mean: Long,
+    sPos: Long, sNeg: Long)
+  final case class CusumAlarm(event_type: String, event_id: Long,
+    side: String, stat_micro: Long, mean_micro: Long)
+
+  /**
+   * Streaming CUSUM drift alarm (Page 1954) — the streaming face of
+   * `q_agg_cusum`: per key (event_type) the state is FIVE longs — warmup
+   * count/sum plus the frozen baseline mean, and the two one-sided CUSUM
+   * statistics. The first `warmup` events fix the baseline (exact integer
+   * division of micro sums); afterwards
+   *   S⁺ = max(0, S⁺ + (x − μ − slack)),  S⁻ = max(0, S⁻ + (μ − x − slack))
+   * and a strict crossing of `thresholdMicro` emits an alarm row and
+   * resets that side — exact BIGINT micros end to end, no float state.
+   * O(1) state per key: a 100 TB stream keys this by metric cardinality,
+   * not event count. Micro-batch rows fold in (event-time, event_id)
+   * order, so an in-order stream reproduces the reference fold exactly
+   * (spec-pinned); out-of-order arrivals fold at arrival position — the
+   * documented price of constant state (the event-time-exact answer is
+   * the batch CUSUM query).
+   */
+  def cusumAlarms(events: Dataset[Event], warmup: Long = 50L,
+      slackMicro: Long = 20000000L, thresholdMicro: Long = 400000000L)
+      : Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    require(warmup >= 1, s"warmup=$warmup must be >= 1")
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Event],
+            state: GroupState[CusumState]) => {
+          var s = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer[CusumAlarm]()
+          rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val x = math.floor(e.value * 1e6).toLong
+            if (s.n < warmup) {
+              val n = s.n + 1; val sum = s.sum + x
+              s = CusumState(n, sum,
+                if (n == warmup) sum / warmup else 0L, 0L, 0L)
+            } else {
+              var sp = math.max(0L, s.sPos + (x - s.mean - slackMicro))
+              var sn = math.max(0L, s.sNeg + (s.mean - x - slackMicro))
+              if (sp > thresholdMicro) {
+                out += CusumAlarm(key, e.event_id, "up", sp, s.mean); sp = 0L
+              }
+              if (sn > thresholdMicro) {
+                out += CusumAlarm(key, e.event_id, "down", sn, s.mean)
+                sn = 0L
+              }
+              s = CusumState(s.n, s.sum, s.mean, sp, sn)
+            }
+          }
+          state.update(s)
+          out.iterator
+        })
+  }
+
   /**
    * Streaming KMV distinct sketch — per key the state is the k smallest
    * distinct 60-bit hashes seen so far (O(k) longs); each micro-batch

@@ -701,4 +701,53 @@ class StreamingSpec extends SparkSpec {
     // every user whose gap elapsed emitted exactly one closed session
     assert(spark.table("sessions").count() > 0)
   }
+
+  test("streaming CUSUM alarms match the reference fold across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{Event, CusumAlarm}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two keys; key "m" drifts up after event 60, key "k" stays level with
+    // one negative excursion — the fixture must fire BOTH alarm sides
+    def value(key: String, i: Long): Double =
+      if (key == "m") { if (i <= 60) 100.0 + (i % 7) else 160.0 + (i % 7) }
+      else { if (i >= 55 && i <= 70) 40.0 + (i % 5) else 100.0 + (i % 5) }
+    val evs = for (i <- 1L to 120L; k <- Seq("m", "k")) yield
+      Event(i * 2 + (if (k == "m") 0 else 1),
+        new java.sql.Timestamp(i * 1000L), i % 5, k, value(k, i))
+    val (warm, slack, h) = (20L, 5000000L, 100000000L)
+    // reference fold — plain Scala replay of the documented recurrence
+    val expected = scala.collection.mutable.Set[CusumAlarm]()
+    for (key <- Seq("m", "k")) {
+      var (n, sum, mean, sp, sn) = (0L, 0L, 0L, 0L, 0L)
+      evs.filter(_.event_type == key)
+        .sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val x = math.floor(e.value * 1e6).toLong
+          if (n < warm) { n += 1; sum += x; if (n == warm) mean = sum / warm }
+          else {
+            sp = math.max(0L, sp + (x - mean - slack))
+            sn = math.max(0L, sn + (mean - x - slack))
+            if (sp > h) {
+              expected += CusumAlarm(key, e.event_id, "up", sp, mean); sp = 0L
+            }
+            if (sn > h) {
+              expected += CusumAlarm(key, e.event_id, "down", sn, mean)
+              sn = 0L
+            }
+          }
+        }
+    }
+    assert(expected.exists(_.side == "up") &&
+      expected.exists(_.side == "down"), "fixture must fire both sides")
+    val mem = MemoryStream[Event]
+    val q = StreamingIngest.cusumAlarms(mem.toDS(), warm, slack, h)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cusum_stream").start()
+    try {
+      evs.grouped(37).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("cusum_stream").as[CusumAlarm].collect().toSet
+    assert(got == expected.toSet)
+  }
 }
