@@ -3586,12 +3586,17 @@ object QueryCatalog {
           .withColumn("tstat", expr("abs(cast(s1 as double) / " +
             "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
             "cast(nullif(n0, 0) as double))"))
-        val obs = g.filter(col("r") === 0).select(col("event_type"),
-          col("s1").as("s_odd"), col("s0").as("s_even"),
-          col("n1").as("n_odd"), col("n0").as("n_even"),
-          col("tstat").as("t_obs"))
-        g.filter(col("r") > 0)
-          .join(broadcast(obs), Seq("event_type"))
+        // the observed split is rep 0 of the SAME grouped table — lift it
+        // with a window over event_type (5 partitions x B+1 rows,
+        // domain-bounded) instead of a self-join, which would recompute
+        // the whole fan-out twice
+        val gw = Window.partitionBy("event_type")
+        g.withColumn("t_obs", max(when(col("r") === 0, col("tstat"))).over(gw))
+          .withColumn("s_odd", max(when(col("r") === 0, col("s1"))).over(gw))
+          .withColumn("s_even", max(when(col("r") === 0, col("s0"))).over(gw))
+          .withColumn("n_odd", max(when(col("r") === 0, col("n1"))).over(gw))
+          .withColumn("n_even", max(when(col("r") === 0, col("n0"))).over(gw))
+          .filter(col("r") > 0)
           .groupBy("event_type")
           .agg((max("n_odd") + max("n_even")).as("n_units"),
             max("s_odd").as("s_odd"), max("s_even").as("s_even"),
@@ -3619,17 +3624,27 @@ object QueryCatalog {
         tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
               CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
               CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
-        obs AS (SELECT event_type, s1 AS s_odd, s0 AS s_even, n1 AS n_odd,
-            n0 AS n_even, tstat AS t_obs FROM tt WHERE r = 0)
-        SELECT tt.event_type,
-          CAST(any_value(n_odd) + any_value(n_even) AS BIGINT) AS n_units,
-          any_value(s_odd) AS s_odd, any_value(s_even) AS s_even,
-          CAST(floor(any_value(t_obs)) AS BIGINT) AS t_obs_micro,
-          CAST(sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+        lifted AS (SELECT *,
+            max(CASE WHEN r = 0 THEN tstat END)
+              OVER (PARTITION BY event_type) AS t_obs,
+            max(CASE WHEN r = 0 THEN s1 END)
+              OVER (PARTITION BY event_type) AS s_odd,
+            max(CASE WHEN r = 0 THEN s0 END)
+              OVER (PARTITION BY event_type) AS s_even,
+            max(CASE WHEN r = 0 THEN n1 END)
+              OVER (PARTITION BY event_type) AS n_odd,
+            max(CASE WHEN r = 0 THEN n0 END)
+              OVER (PARTITION BY event_type) AS n_even
+          FROM tt)
+        SELECT event_type,
+          CAST(max(n_odd) + max(n_even) AS BIGINT) AS n_units,
+          max(s_odd) AS s_odd, max(s_even) AS s_even,
+          CAST(floor(max(t_obs)) AS BIGINT) AS t_obs_micro,
+          CAST(sum(CASE WHEN coalesce(tstat >= t_obs, false)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-          CAST((sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+          CAST((sum(CASE WHEN coalesce(tstat >= t_obs, false)
             THEN 1 ELSE 0 END) + 1) * 1000000 // 200 AS BIGINT) AS p_ppm
-        FROM tt JOIN obs USING (event_type) WHERE tt.r > 0
+        FROM lifted WHERE r > 0
         GROUP BY 1""")),
 
     // Benjamini–Hochberg FDR step-up over the per-type permutation
@@ -3658,10 +3673,10 @@ object QueryCatalog {
           .withColumn("tstat", expr("abs(cast(s1 as double) / " +
             "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
             "cast(nullif(n0, 0) as double))"))
-        val obs = g.filter(col("r") === 0)
-          .select(col("event_type"), col("tstat").as("t_obs"))
-        val p = g.filter(col("r") > 0)
-          .join(broadcast(obs), Seq("event_type"))
+        val p = g.withColumn("t_obs",
+            max(when(col("r") === 0, col("tstat")))
+              .over(Window.partitionBy("event_type")))
+          .filter(col("r") > 0)
           .groupBy("event_type")
           .agg(sum(when(coalesce(col("tstat") >= col("t_obs"), lit(false)),
             1L).otherwise(0L)).as("n_extreme"))
@@ -3701,11 +3716,13 @@ object QueryCatalog {
         tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
               CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
               CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
-        obs AS (SELECT event_type, tstat AS t_obs FROM tt WHERE r = 0),
-        p AS (SELECT tt.event_type,
-            CAST((sum(CASE WHEN coalesce(tt.tstat >= obs.t_obs, false)
+        lifted AS (SELECT *, max(CASE WHEN r = 0 THEN tstat END)
+              OVER (PARTITION BY event_type) AS t_obs
+          FROM tt),
+        p AS (SELECT event_type,
+            CAST((sum(CASE WHEN coalesce(tstat >= t_obs, false)
               THEN 1 ELSE 0 END) + 1) * 1000000 // 100 AS BIGINT) AS p_ppm
-          FROM tt JOIN obs USING (event_type) WHERE tt.r > 0 GROUP BY 1),
+          FROM lifted WHERE r > 0 GROUP BY 1),
         ranked AS (SELECT event_type, p_ppm,
             CAST(row_number() OVER (ORDER BY p_ppm ASC, event_type ASC)
               AS BIGINT) AS rnk,
