@@ -920,6 +920,50 @@ object QueryCatalog {
     // |days|·|types|, never the event stream). The sibling of
     // q_agg_gapfill's zero-fill: LOCF is the right fill for LEVEL
     // metrics (balances, gauges), zero-fill for FLOW metrics (counts).
+    // Hampel filter — the robust rolling-outlier detector (median/MAD
+    // where a z-score would be dragged by the outlier itself): per
+    // (event_type, day) exact micro sums, a centered 7-row window, med =
+    // the lower-median order statistic of the window list, MAD = the
+    // same order statistic of |x − med|, flag |s − med| > 3·MAD. All
+    // integer order statistics on sorted window lists (no float, no
+    // percentile interpolation); windows are calendar-bounded (~30 rows
+    // per type), the corpus pass is one combine-enabled daily aggregate.
+    ("q_window_hampel",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("s"))
+        val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+          .rowsBetween(-3, 3)
+        daily.withColumn("lst", collect_list(col("s")).over(w))
+          .withColumn("med", expr("element_at(array_sort(lst), " +
+            "cast((size(lst) + 1) div 2 as int))"))
+          .withColumn("mad", expr("element_at(array_sort(transform(lst, " +
+            "v -> abs(v - med))), cast((size(lst) + 1) div 2 as int))"))
+          .select(col("event_type"), col("day"), col("s"), col("med"),
+            col("mad"),
+            when(abs(col("s") - col("med")) > lit(3L) * col("mad"), 1L)
+              .otherwise(0L).as("is_outlier"))
+      },
+      Some("""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day,
+            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1, 2),
+        wl AS (SELECT *, list(s) OVER (PARTITION BY event_type
+            ORDER BY day ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            AS lst
+          FROM daily),
+        m AS (SELECT *, list_sort(lst)[(len(lst) + 1) // 2] AS med
+          FROM wl),
+        mm AS (SELECT *, list_sort(list_transform(lst,
+            v -> abs(v - med)))[(len(lst) + 1) // 2] AS mad FROM m)
+        SELECT event_type, day, s, CAST(med AS BIGINT) AS med,
+          CAST(mad AS BIGINT) AS mad,
+          CASE WHEN abs(s - med) > 3 * mad THEN CAST(1 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS is_outlier
+        FROM mm""")),
+
     ("q_window_locf",
       (s: SparkSession, d: String) => {
         val daily = t(s, d, "events")
@@ -9834,6 +9878,45 @@ object QueryCatalog {
           CAST(sum(c * (length(bin(64)) - length(bin(c)))) AS BIGINT)
             AS entropy_bits_x64
         FROM cnt GROUP BY doc_id""")),
+
+    // Laplacian blur gate (Multimodal.imageSharpness): exact-integer
+    // 4-neighbour Laplacian over the 8x8 decoded-luma grid, interior sum
+    // + max. Oracle rebuilds the pixels and the stencil via four
+    // grid-shifted self-joins.
+    ("q_mm_sharpness",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
+        Multimodal.imageSharpness(pngs).toDF()
+      },
+      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+        cell AS (SELECT d.doc_id, cx.i AS gx, cy.i AS gy,
+            cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+          FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
+        lum AS (SELECT doc_id, gx, gy,
+            (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
+             ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
+             (CASE WHEN sy = doc_id % 24
+                   THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
+                   ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
+              // 1000 AS l
+          FROM cell),
+        lap AS (SELECT c.doc_id,
+            abs(4 * c.l - lw.l - le.l - ln.l - ls.l) AS v
+          FROM lum c
+          JOIN lum lw ON lw.doc_id = c.doc_id AND lw.gx = c.gx - 1
+            AND lw.gy = c.gy
+          JOIN lum le ON le.doc_id = c.doc_id AND le.gx = c.gx + 1
+            AND le.gy = c.gy
+          JOIN lum ln ON ln.doc_id = c.doc_id AND ln.gx = c.gx
+            AND ln.gy = c.gy - 1
+          JOIN lum ls ON ls.doc_id = c.doc_id AND ls.gx = c.gx
+            AND ls.gy = c.gy + 1
+          WHERE c.gx BETWEEN 1 AND 6 AND c.gy BETWEEN 1 AND 6)
+        SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS sharpness,
+          CAST(max(v) AS BIGINT) AS lap_max
+        FROM lap GROUP BY 1""")),
 
     // DCT perceptual hash (Multimodal.imagePHash) over the REAL decoded
     // PNGs: exact-integer 8x8 DCT-II (fixed-point basis shared with the

@@ -358,6 +358,57 @@ object Multimodal {
         coalesce(max(col("ham")), lit(0L)).as("max_hamming"))
   }
 
+  final case class ImageSharpness(media_id: Long, sharpness: Long,
+    lap_max: Long)
+
+  /** Laplacian sharpness score — the blur gate of an image curation
+    * pipeline (the variance-of-Laplacian idea in exact integers): sample
+    * the same 8x8 luma grid as [[imageAHash]], take the 4-neighbour
+    * Laplacian response |4·l − l_left − l_right − l_up − l_down| at the
+    * 36 interior cells, and report the exact sum and max. Defocused or
+    * flat images score near zero; textured/sharp ones score high. Pure
+    * integer arithmetic over decoded pixels — replayable by any engine
+    * that can reproduce the pixels, no float variance. */
+  def imageSharpness(media: Dataset[(Long, Array[Byte])])
+      : Dataset[ImageSharpness] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: no JDK codec for these bytes")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val l = Array.ofDim[Long](8, 8)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val p = img.getRGB(gx * sw / 8, gy * sh / 8)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            l(gy)(gx) = (r * 299L + g * 587L + b * 114L) / 1000L
+            gx += 1
+          }
+          gy += 1
+        }
+        var tot = 0L; var mx = 0L
+        gy = 1
+        while (gy < 7) {
+          var gx = 1
+          while (gx < 7) {
+            val v = math.abs(4 * l(gy)(gx) - l(gy)(gx - 1) -
+              l(gy)(gx + 1) - l(gy - 1)(gx) - l(gy + 1)(gx))
+            tot += v; if (v > mx) mx = v
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageSharpness(id, tot, mx)
+      }
+    }
+  }
+
   final case class AudioActivity(media_id: Long, n_frames: Long,
     n_active: Long, n_segments: Long, longest_run: Long, total_energy: Long)
 
