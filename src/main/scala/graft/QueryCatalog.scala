@@ -2291,29 +2291,31 @@ object QueryCatalog {
             expr("c * 1000000L div tot").as("p"))
           .localCheckpoint()
         val stDf = ("start" +: channels :+ "purchase" :+ "null").toDF("st")
-        def reach(dead: Option[String]): DataFrame = {
-          var v = stDf.select(col("st"),
-            when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
-          for (_ <- 1 to 6) {
-            val step = m.join(
-                v.select(col("st").as("tdst"), col("v").as("vd")), "tdst")
-              .groupBy(col("tsrc").as("st"))
-              .agg(sum(expr("p * vd div 1000000L")).as("v0"))
-            v = stDf.join(step, Seq("st"), "left")
-              .select(col("st"),
-                when(col("st") === "purchase", 1000000L)
-                  .otherwise(when(
-                    dead.map(col("st") === _).getOrElse(lit(false)), 0L)
-                    .otherwise(coalesce(col("v0"), lit(0L)))).as("v"))
-          }
-          v
+        // ALL five fixed-point chains (base + one per removed channel)
+        // advance together in ONE keyed table — (variant, state) is at
+        // most 5 x 7 rows, so each round is a single broadcast-size join
+        // instead of five parallel chain DAGs re-planning the same step
+        val variants = ("base" +: channels).toDF("variant")
+        val grid = variants.crossJoin(stDf)
+        var v = grid.select(col("variant"), col("st"),
+          when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
+        for (_ <- 1 to 6) {
+          val step = v.select(col("variant"), col("st").as("tdst"),
+              col("v").as("vd"))
+            .join(m, "tdst")
+            .groupBy(col("variant"), col("tsrc").as("st"))
+            .agg(sum(expr("p * vd div 1000000L")).as("v0"))
+          v = grid.join(step, Seq("variant", "st"), "left")
+            .select(col("variant"), col("st"),
+              when(col("st") === "purchase", 1000000L)
+                .otherwise(when(col("st") === col("variant"), 0L)
+                  .otherwise(coalesce(col("v0"), lit(0L)))).as("v"))
         }
-        val base = reach(None).filter(col("st") === "start")
+        val atStart = v.filter(col("st") === "start")
+        val base = atStart.filter(col("variant") === "base")
           .select(col("v").as("pb"))
-        val rem = channels.map { c =>
-          reach(Some(c)).filter(col("st") === "start")
-            .select(lit(c).as("channel"), col("v").as("pr"))
-        }.reduce(_ union _)
+        val rem = atStart.filter(col("variant") =!= "base")
+          .select(col("variant").as("channel"), col("v").as("pr"))
         val re = rem.crossJoin(broadcast(base))
           .withColumn("re_ppm",
             expr("(pb - pr) * 1000000L div greatest(pb, 1L)"))
