@@ -2116,6 +2116,90 @@ object QueryCatalog {
     // predictor is circular). The predictor table is vocabulary-bounded
     // (argmax via a 25-row window); scoring is one broadcast join over
     // the held-out transition counts.
+    // Model-order selection for the sequence baseline: FIRST- vs
+    // SECOND-order Markov next-event predictors trained on even users,
+    // scored on held-out odd users, side by side. The order-2 state
+    // space is vocabulary² (25 contexts — domain-bounded); contexts
+    // unseen in training fall back to the order-1 prediction (the
+    // standard backoff), so both rows score every held-out transition
+    // and the accuracy gap is the honest value of the extra state.
+    ("q_seq_markov2",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val tr = t(s, d, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("next", lead(col("event_type"), 1).over(w))
+          .filter(col("next").isNotNull)
+          .select(col("user_id"), coalesce(col("prev"), lit("^")).as("p2"),
+            col("event_type").as("p1"), col("next").as("nx"))
+        val train = tr.filter(col("user_id") % 2 === 0)
+        val pred1 = train.groupBy("p1", "nx")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(Window.partitionBy("p1")
+            .orderBy(col("c").desc, col("nx").asc)))
+          .filter(col("rn") === 1)
+          .select(col("p1"), col("nx").as("pr1"))
+        val pred2 = train.groupBy("p2", "p1", "nx")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("p2", "p1")
+              .orderBy(col("c").desc, col("nx").asc)))
+          .filter(col("rn") === 1)
+          .select(col("p2"), col("p1"), col("nx").as("pr2"))
+        val eval_ = tr.filter(col("user_id") % 2 === 1)
+          .groupBy("p2", "p1", "nx").agg(count(lit(1)).as("n"))
+          .join(broadcast(pred1), Seq("p1"), "left")
+          .join(broadcast(pred2), Seq("p2", "p1"), "left")
+          .withColumn("pr2b", coalesce(col("pr2"), col("pr1")))
+        eval_.select(lit(1L).as("model_order"),
+            col("n"),
+            when(col("nx") === col("pr1"), col("n")).otherwise(0L)
+              .as("hit"))
+          .union(eval_.select(lit(2L).as("model_order"), col("n"),
+            when(col("nx") === col("pr2b"), col("n")).otherwise(0L)
+              .as("hit")))
+          .groupBy("model_order")
+          .agg(sum("n").as("n_eval"), sum("hit").as("n_correct"))
+          .withColumn("acc_ppm",
+            expr("n_correct * 1000000L div n_eval"))
+      },
+      Some("""WITH r AS (SELECT user_id,
+            coalesce(lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC), '^') AS p2,
+            event_type AS p1,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS nx
+          FROM events),
+        tr AS (SELECT user_id, p2, p1, nx FROM r WHERE nx IS NOT NULL),
+        train AS (SELECT * FROM tr WHERE user_id % 2 = 0),
+        pred1 AS (SELECT p1, nx AS pr1 FROM (
+            SELECT p1, nx, row_number() OVER (PARTITION BY p1
+              ORDER BY count(*) DESC, nx ASC) AS rn
+            FROM train GROUP BY p1, nx) WHERE rn = 1),
+        pred2 AS (SELECT p2, p1, nx AS pr2 FROM (
+            SELECT p2, p1, nx, row_number() OVER (PARTITION BY p2, p1
+              ORDER BY count(*) DESC, nx ASC) AS rn
+            FROM train GROUP BY p2, p1, nx) WHERE rn = 1),
+        ev AS (SELECT e.p2, e.p1, e.nx, count(*) AS n,
+            any_value(pred1.pr1) AS pr1,
+            any_value(coalesce(pred2.pr2, pred1.pr1)) AS pr2b
+          FROM tr e
+          LEFT JOIN pred1 ON pred1.p1 = e.p1
+          LEFT JOIN pred2 ON pred2.p2 = e.p2 AND pred2.p1 = e.p1
+          WHERE e.user_id % 2 = 1
+          GROUP BY 1, 2, 3),
+        u AS (
+          SELECT CAST(1 AS BIGINT) AS model_order, n,
+            CASE WHEN nx = pr1 THEN n ELSE 0 END AS hit FROM ev
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), n,
+            CASE WHEN nx = pr2b THEN n ELSE 0 END FROM ev)
+        SELECT model_order, CAST(sum(n) AS BIGINT) AS n_eval,
+          CAST(sum(hit) AS BIGINT) AS n_correct,
+          CAST(sum(hit) * 1000000 // sum(n) AS BIGINT) AS acc_ppm
+        FROM u GROUP BY 1""")),
+
     ("q_seq_markov_eval",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
