@@ -47,6 +47,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(em == 1, s"expected 1 exchange, got $em")
   }
 
+  test("permutation fan-out reads events once and fans out AFTER the unit aggregate") {
+    // the B=199 rep explosion must multiply the (type, user) unit table,
+    // not the event table, and the observed-split lift must be a window,
+    // not a self-join re-deriving the whole pipeline (one scan total)
+    val p = plan("q_agg_permtest")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    val gen = p.indexOf("Generate explode")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && lastAgg > gen,
+      "explode must sit above the unit aggregate in the plan")
+  }
+
+  test("cuped is a pure two-level aggregate: one scan, no window, no join") {
+    val p = plan("q_agg_cuped")
+    val scans = "Scan parquet|FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
   test("declared-value pivot runs as one aggregate pass (no discovery job)") {
     // a values-discovery pivot would show as a separate collect-limit job;
     // the declared form is exactly two HashAggregate pairs (partial+final
