@@ -912,14 +912,6 @@ object QueryCatalog {
           st[2] AS max_cusum, st[3] AS n_alarms
         FROM f""")),
 
-    // Last-observation-carried-forward gap fill: a sparse per-type daily
-    // series (holes punched on every 3rd day) expands to the full
-    // calendar x type grid and fills each hole with the latest known
-    // value — last(x, ignoreNulls) over a per-type calendar-bounded
-    // window (the documented domain-bounded exception; the grid is
-    // |days|·|types|, never the event stream). The sibling of
-    // q_agg_gapfill's zero-fill: LOCF is the right fill for LEVEL
-    // metrics (balances, gauges), zero-fill for FLOW metrics (counts).
     // Hampel filter — the robust rolling-outlier detector (median/MAD
     // where a z-score would be dragged by the outlier itself): per
     // (event_type, day) exact micro sums, a centered 7-row window, med =
@@ -964,6 +956,14 @@ object QueryCatalog {
                ELSE CAST(0 AS BIGINT) END AS is_outlier
         FROM mm""")),
 
+    // Last-observation-carried-forward gap fill: a sparse per-type daily
+    // series (holes punched on every 3rd day) expands to the full
+    // calendar x type grid and fills each hole with the latest known
+    // value — last(x, ignoreNulls) over a per-type calendar-bounded
+    // window (the documented domain-bounded exception; the grid is
+    // |days|·|types|, never the event stream). The sibling of
+    // q_agg_gapfill's zero-fill: LOCF is the right fill for LEVEL
+    // metrics (balances, gauges), zero-fill for FLOW metrics (counts).
     ("q_window_locf",
       (s: SparkSession, d: String) => {
         val daily = t(s, d, "events")
@@ -3889,8 +3889,15 @@ object QueryCatalog {
           .withColumn("arm", col("user_id") % 2)
         u.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-            sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
-            sum(expr("y * y")).as("syy"),
+            // products through DECIMAL so Spark (non-ANSI would wrap a raw
+            // BIGINT x*x silently) and DuckDB (would error) widen the same
+            // way — any overflow past decimal(38) is loud in both engines
+            sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))"))
+              .as("sxx"),
+            sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))"))
+              .as("sxy"),
+            sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))"))
+              .as("syy"),
             sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
             sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
             sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
@@ -3908,10 +3915,15 @@ object QueryCatalog {
             "cast(sy as decimal(18,0))"))
           .withColumn("theta", expr(
             "cast(num as double) / cast(nullif(den, 0) as double)"))
-          .withColumn("diff_raw", expr("cast(sy1 as double) / " +
-            "cast(n1 as double) - cast(sy0 as double) / cast(n0 as double)"))
-          .withColumn("diff_pre", expr("cast(sx1 as double) / " +
-            "cast(n1 as double) - cast(sx0 as double) / cast(n0 as double)"))
+          // nullif on the arm counts (matching theta's den guard): a type
+          // with users in only one arm yields NULL, not Infinity — Spark's
+          // floor(inf) would silently give Long.MaxValue while DuckDB raises
+          .withColumn("diff_raw", expr(
+            "cast(sy1 as double) / cast(nullif(n1, 0) as double) - " +
+            "cast(sy0 as double) / cast(nullif(n0, 0) as double)"))
+          .withColumn("diff_pre", expr(
+            "cast(sx1 as double) / cast(nullif(n1, 0) as double) - " +
+            "cast(sx0 as double) / cast(nullif(n0, 0) as double)"))
           .select(col("event_type"), col("n").as("n_users"),
             floor(col("theta") * lit(1e6)).cast("long").as("theta_micro"),
             floor(col("diff_raw") * lit(1e4)).cast("long")
@@ -3932,9 +3944,9 @@ object QueryCatalog {
           FROM events GROUP BY 1, 2),
         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-            CAST(sum(x * x) AS BIGINT) AS sxx,
-            CAST(sum(x * y) AS BIGINT) AS sxy,
-            CAST(sum(y * y) AS BIGINT) AS syy,
+            sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+            sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+            sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
             CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
@@ -3952,10 +3964,10 @@ object QueryCatalog {
           FROM g),
         e AS (SELECT *,
             CAST(num AS DOUBLE) / CAST(nullif(den, 0) AS DOUBLE) AS theta,
-            CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
-              CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_raw,
-            CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
-              CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff_pre
+            CAST(sy1 AS DOUBLE) / CAST(nullif(n1, 0) AS DOUBLE) -
+              CAST(sy0 AS DOUBLE) / CAST(nullif(n0, 0) AS DOUBLE) AS diff_raw,
+            CAST(sx1 AS DOUBLE) / CAST(nullif(n1, 0) AS DOUBLE) -
+              CAST(sx0 AS DOUBLE) / CAST(nullif(n0, 0) AS DOUBLE) AS diff_pre
           FROM d)
         SELECT event_type, n AS n_users,
           CAST(floor(theta * 1e6) AS BIGINT) AS theta_micro,

@@ -295,8 +295,11 @@ object StreamingIngest {
             val x = math.floor(e.value * 1e6).toLong
             if (s.n < warmup) {
               val n = s.n + 1; val sum = s.sum + x
+              // floorDiv, not `/`: Java `/` truncates toward zero, which
+              // for a negative warmup sum would silently diverge from any
+              // floor-based (`//`) batch oracle — floorDiv pins the spec
               s = CusumState(n, sum,
-                if (n == warmup) sum / warmup else 0L, 0L, 0L)
+                if (n == warmup) Math.floorDiv(sum, warmup) else 0L, 0L, 0L)
             } else {
               var sp = math.max(0L, s.sPos + (x - s.mean - slackMicro))
               var sn = math.max(0L, s.sNeg + (s.mean - x - slackMicro))

@@ -592,4 +592,61 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(r1.subsetOf(got.toSet))
   }
+
+  test("boruvkaForest: under-converged merge labels fail loudly") {
+    // a 12-node path with increasing weights: round 1 selects every path
+    // edge (node i+1's cheapest incident edge is e_i), so the merge label
+    // pass runs over a diameter-11 path — labelRounds = 1 cannot converge
+    // and the fixed-point guard must throw instead of silently carrying
+    // wrong component labels into round 2
+    val path = (1L to 11L).map(i => (i, i + 1, i))
+    val df = path.toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.boruvkaForest(df, "src", "dst", "w", rounds = 2, labelRounds = 1)
+    }
+    assert(ex.getMessage.contains("still changing"))
+    // labelRounds >= diameter converges and yields the exact (unique) MST
+    val ok = Graph.boruvkaForest(df, "src", "dst", "w", rounds = 2,
+        labelRounds = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ok.size == 11 && ok.map(_._3).sum == kruskalWeight(path))
+  }
+
+  test("randomWalks: structural out-degree cap bounds hub fan-out") {
+    // directed hub: 0 -> 1..100, every leaf loops back so walks survive.
+    // With maxDegree = 4 the operator itself must sample 4 deterministic
+    // out-edges at the hub — across 64 walks, step 1 lands on at most 4
+    // distinct leaves; no caller-side capDegree involved.
+    val edges = ((1L to 100L).map(h => (0L, h)) ++
+      (1L to 100L).map(h => (h, 0L))).toDF("src", "dst")
+    val seeds = (1L to 64L).map(w => (w, 0L)).toDF("wid", "nd")
+    def run() = Graph.randomWalks(edges, "src", "dst", seeds, "wid", "nd",
+        steps = 2, maxDegree = 4)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val got = run()
+    val step1 = got.filter(_._2 == 1L).map(_._3).distinct
+    assert(step1.nonEmpty && step1.size <= 4, s"fanout=${step1.size}")
+    // every walk advances 0, 1, 2 (leaves loop back, no walk dies)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == Seq(0L, 1L, 2L))
+    }
+    // the capped sample is a pure md5 function — bit-stable across runs
+    assert(run() == got)
+  }
+
+  test("labelPropagation: audit column reports last-round label movement") {
+    // 8-node path, rounds = 2: labels are still flowing (the path needs
+    // ~n rounds), so the audit must report movement in the final round —
+    // and the default (audit = false) schema stays (node, label)
+    val fwd = (1L to 7L).map(i => (i, i + 1))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val audited = Graph.labelPropagation(sym, "src", "dst", rounds = 2,
+      audit = true)
+    assert(audited.columns.toSeq ==
+      Seq("node", "label", "changed_last_round"))
+    val moved = audited.agg(sum("changed_last_round")).as[Long].head()
+    assert(moved > 0L, s"expected label movement on a path, got $moved")
+    assert(Graph.labelPropagation(sym, "src", "dst", rounds = 2)
+      .columns.toSeq == Seq("node", "label"))
+  }
 }
