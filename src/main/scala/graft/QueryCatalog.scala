@@ -28,13305 +28,19 @@ import graft.write.MergeWriter
  *  - md5 is the only string hash used — identical everywhere.
  */
 object QueryCatalog {
+  // family entries live under graft/catalog/ (one file per
+  // operator family); this object only assembles the driver-facing maps.
 
-  type Q = (SparkSession, String) => DataFrame
+  type Q = graft.catalog.Shared.Q
 
-  /** Money quantization that is bit-identical across engines: `floor(x*100)`
-    * floors the SAME IEEE product in Spark and DuckDB (floor has no tie
-    * mode), yielding exact BIGINT cents whose sums are order-independent.
-    * Raw double→decimal casts are NOT cross-engine-safe: Spark rounds the
-    * shortest decimal representation (`BigDecimal.valueOf`, HALF_UP) while
-    * DuckDB rounds the binary value, so a stored `36485.49499…` renders as
-    * `.495`→`.50` in Spark but `.49` in DuckDB. Sums stay in BIGINT (exact
-    * to 2^63 ≈ 9.2e18 hundredths; promote the product to decimal(38,0)
-    * before summing if a 100 TB aggregate could exceed that); presentation
-    * divides by a double literal — one IEEE op, identical everywhere. */
-  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(100)).cast("long")
-
-  private def centsSql(x: String): String = s"CAST(floor($x*100) AS BIGINT)"
-
-  /** One UNION ALL arm of the q_profile_ri oracle: scalar subqueries keep
-    * each count's null semantics explicit (count(DISTINCT) ignores nulls,
-    * matching the engine's non-null n_keys; NOT EXISTS instead of NOT IN so
-    * a null parent key cannot veto the whole audit). NB: def, not val —
-    * object-init order (see [[quantSql]]). */
-  private def riRelSql(child: String, fk: String, parent: String,
-      pk: String): String =
-    s"""SELECT '$child.$fk->$parent.$pk' AS relationship,
-      (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
-      (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $fk IS NULL)
-        AS n_null_rows,
-      (SELECT CAST(count(DISTINCT $fk) AS BIGINT) FROM $child) AS n_keys,
-      (SELECT CAST(count(*) AS BIGINT) FROM
-        (SELECT DISTINCT $fk AS k FROM $child WHERE $fk IS NOT NULL) c
-        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.k))
-        AS n_orphan_keys,
-      (SELECT CAST(count(*) AS BIGINT) FROM $child c
-        WHERE $fk IS NOT NULL AND NOT EXISTS
-          (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphan_rows"""
-
-  /** Round-unrolled DuckDB replay of [[graft.ops.Similarity.kcenterSelect]]
-    * (same CTE-per-round shape as the q_sim_mmr oracle): sel_r accumulates
-    * the chosen set, m_{r+1} recomputes every remaining point's exact
-    * min-squared-distance to it, and a deterministic ORDER BY dist DESC,
-    * vec_id LIMIT 1 reproduces the tie-break. Integer squared distances:
-    * quantized dots are ≤ dims·1e6, exact in list_dot_product's double. */
-  private def kcenterOracleSql(k: Int): String = {
-    def sq(a: String, b: String): String =
-      s"CAST(${dotSql(a, a)} - 2*${dotSql(a, b)} + ${dotSql(b, b)} AS BIGINT)"
-    val sb = new StringBuilder
-    sb ++= s"WITH c AS (SELECT vec_id, $quantSql AS v FROM embeddings),\n"
-    sb ++= "s1 AS (SELECT vec_id AS id, v, CAST(0 AS BIGINT) AS dist " +
-      "FROM c ORDER BY vec_id LIMIT 1),\n"
-    sb ++= "sel1 AS (SELECT id, v, dist, CAST(1 AS BIGINT) AS pick FROM s1)"
-    for (r <- 2 to k) {
-      sb ++= s""",
-        m$r AS (SELECT c.vec_id, c.v, min(${sq("c.v", "p.v")}) AS dist
-          FROM c CROSS JOIN sel${r - 1} p
-          WHERE c.vec_id NOT IN (SELECT id FROM sel${r - 1})
-          GROUP BY c.vec_id, c.v),
-        s$r AS (SELECT vec_id AS id, v, dist FROM m$r
-          ORDER BY dist DESC, vec_id LIMIT 1),
-        sel$r AS (SELECT id, v, dist, pick FROM sel${r - 1}
-          UNION ALL SELECT id, v, dist, CAST($r AS BIGINT) AS pick
-          FROM s$r)"""
-    }
-    sb ++= s"\nSELECT pick, id AS vec_id, dist FROM sel$k"
-    sb.toString
+  val all: Seq[(String, Q, Option[String])] = {
+    import graft.catalog._
+    DslQueries.entries ++ PipelineQueries.entries ++
+      RelationalQueries.entries ++ TextQueries.entries ++
+      DedupQueries.entries ++ SimQueries.entries ++ MmQueries.entries ++
+      SourceQueries.entries ++ SamplingQueries.entries ++
+      GraphQueries.entries ++ FeatureQueries.entries ++ CleanQueries.entries
   }
-
-  /** Round-unrolled DuckDB replay of [[graft.ops.Similarity.pcaPower]]:
-    * per round a dot CTE, an integer d-vector sum grouped by component,
-    * and the L∞ floor-division renormalization (the ((a%m)+m)%m residue
-    * matches Scala's remainder semantics; (a−mod)//m is exact because mod
-    * makes a divisible). All-integer — doubles appear only inside
-    * list_dot_product whose per-round bound (d·Q·scale ≤ 6.7e7) is far
-    * under 2^53. */
-  private def pcaOracleSql(rounds: Int, dims: Int, scale: Long): String = {
-    val v0 = Seq.fill(dims)(s"CAST($scale AS BIGINT)").mkString("[", ", ", "]")
-    val sb = new StringBuilder
-    sb ++= s"WITH c AS (SELECT $quantSql AS v FROM embeddings),\n"
-    sb ++= s"v0 AS (SELECT $v0 AS vl)"
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-        d$r AS (SELECT c.v,
-            CAST(${dotSql("c.v", s"v${r - 1}.vl")} AS BIGINT) AS d
-          FROM c, v${r - 1}),
-        w$r AS (SELECT j, CAST(sum(v[j] * d) AS BIGINT) AS w
-          FROM d$r, UNNEST(range(1, ${dims + 1})) AS t(j) GROUP BY j),
-        m$r AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$r),
-        v$r AS (SELECT list(
-            (w * $scale - ((((w * $scale) % m) + m) % m)) // m ORDER BY j)
-            AS vl FROM w$r, m$r)"""
-    }
-    sb ++= s"""
-      SELECT CAST(j AS BIGINT) AS j, vl[j] AS loading
-      FROM v$rounds, UNNEST(range(1, ${dims + 1})) AS t(j)"""
-    sb.toString
-  }
-
-  /** Round-unrolled DuckDB replay of [[graft.ops.Bpe.train]]: per merge
-    * round a weighted adjacent-pair count over the VOCABULARY (unique
-    * words × counts — never the corpus), the deterministic argmax
-    * (total DESC, a, b), and the greedy left-to-right merge application
-    * as a list_reduce fold. The fold needs no "just merged" flag: the
-    * merged symbol a||b is strictly longer than a, so it can never match
-    * the pattern's left side in the same pass — same invariant
-    * `Bpe.mergeOnce` relies on. */
-  private def bpeOracleSql(rounds: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""WITH w AS (SELECT t AS word, count(*) AS cnt
-        FROM (SELECT ${tokensSql()} AS ts FROM documents),
-          UNNEST(ts) AS u(t)
-        GROUP BY 1),
-      v0 AS (SELECT list_append(regexp_extract_all(word, '.'), '</w>')
-          AS syms, cnt FROM w)"""
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-      pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-          CAST(sum(cnt) AS BIGINT) AS total
-        FROM v${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
-        GROUP BY 1, 2),
-      best$r AS (SELECT a, b FROM pc$r
-        ORDER BY total DESC, a, b LIMIT 1),
-      v$r AS (SELECT list_reduce(
-          list_prepend(CAST([] AS VARCHAR[]),
-            list_transform(syms, s -> [s])),
-          (acc, x) -> CASE
-            WHEN len(acc) > 0 AND acc[-1] = best$r.a AND x[1] = best$r.b
-            THEN acc[1:len(acc) - 1] || [best$r.a || best$r.b]
-            ELSE acc || x END) AS syms, cnt
-        FROM v${r - 1}, best$r)"""
-    }
-    sb ++= (1 to rounds).map { r =>
-      s"\n      SELECT CAST($r AS BIGINT) AS round, a, b FROM best$r"
-    }.mkString("", "\n      UNION ALL", "")
-    sb.toString
-  }
-
-  /** Round-unrolled DuckDB replay of Bpe.train + [[graft.ops.Bpe
-    * .tokenCount]]: ONE chain of CTEs keeps word identity (e0..eN carry
-    * `word`), so each round derives its pair counts from the same relation
-    * the merge is then applied to — algebraically identical to
-    * [[bpeOracleSql]]'s train chain — and the final per-word symbol count
-    * joins back onto the token stream WITH multiplicity. Docs whose token
-    * list is empty keep a 0 row (left join from documents), matching the
-    * engine's per-doc map. */
-  /** Shared CTE chain of the BPE-encode oracles, ending at `per`
-    * (doc_id, n_bpe_tokens) and `tok` (doc_id, word). */
-  private def bpeEncodeCtes(rounds: Int): String = {
-    val sb = new StringBuilder
-    sb ++= s"""WITH w AS (SELECT t AS word, count(*) AS cnt
-        FROM (SELECT ${tokensSql()} AS ts FROM documents),
-          UNNEST(ts) AS u(t)
-        GROUP BY 1),
-      e0 AS (SELECT word,
-          list_append(regexp_extract_all(word, '.'), '</w>') AS syms, cnt
-        FROM w)"""
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-      pc$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-          CAST(sum(cnt) AS BIGINT) AS total
-        FROM e${r - 1}, UNNEST(range(1, len(syms))) AS u(i)
-        GROUP BY 1, 2),
-      best$r AS (SELECT a, b FROM pc$r
-        ORDER BY total DESC, a, b LIMIT 1),
-      e$r AS (SELECT word, list_reduce(
-          list_prepend(CAST([] AS VARCHAR[]),
-            list_transform(syms, s -> [s])),
-          (acc, x) -> CASE
-            WHEN len(acc) > 0 AND acc[-1] = best$r.a AND x[1] = best$r.b
-            THEN acc[1:len(acc) - 1] || [best$r.a || best$r.b]
-            ELSE acc || x END) AS syms, cnt
-        FROM e${r - 1}, best$r)"""
-    }
-    sb ++= s""",
-      wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n FROM e$rounds),
-      tok AS (SELECT doc_id, t AS word
-        FROM (SELECT doc_id, ${tokensSql()} AS ts FROM documents),
-          UNNEST(ts) AS u(t)),
-      per AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
-        FROM tok JOIN wl USING (word) GROUP BY 1)"""
-    sb.toString
-  }
-
-  private def bpeEncodeOracleSql(rounds: Int): String =
-    s"""${bpeEncodeCtes(rounds)}
-      SELECT d.doc_id, CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT)
-        AS n_bpe_tokens
-      FROM documents d LEFT JOIN per USING (doc_id)"""
-
-  /** Tokenizer-fertility oracle: the same BPE replay aggregated to
-    * (lang): BPE tokens per whitespace word, the multilingual-corpus
-    * budget metric. */
-  private def bpeFertilityOracleSql(rounds: Int): String =
-    s"""${bpeEncodeCtes(rounds)},
-      nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
-        FROM tok GROUP BY 1),
-      j AS (SELECT d.lang,
-          CAST(coalesce(nw.n_words, 0) AS BIGINT) AS n_words,
-          CAST(coalesce(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe
-        FROM documents d LEFT JOIN nw USING (doc_id)
-        LEFT JOIN per USING (doc_id))
-      SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
-        CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-        CAST(floor(CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE) * 1e3
-          / CAST(greatest(CAST(sum(n_words) AS BIGINT), 1) AS DOUBLE))
-          AS BIGINT) AS fertility_milli
-      FROM j GROUP BY 1"""
-
-  private def riEdges: Seq[(String, String, String, String)] = Seq(
-    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("orders", "o_custkey", "customer", "c_custkey"),
-    ("customer", "c_nationkey", "nation", "n_nationkey"))
-
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
-
-  /** Per-JVM scratch root for queries that materialize intermediate files
-    * (format round-trips, snapshot stores, compaction). One FIXED subdir
-    * per tag, wiped and recreated on each call, so a repeated gate/bench
-    * invocation reuses the same path instead of leaking a fresh temp dir
-    * per run; a shutdown hook removes the whole root at JVM exit. The wipe
-    * also guarantees version-numbered stores (SnapshotStore) start from
-    * v0 on every invocation. */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(p.toFile)))
-    p
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
-
-  private def scratch(tag: String): String = {
-    val d = scratchRoot.resolve(tag)
-    rmTree(d.toFile)
-    java.nio.file.Files.createDirectories(d)
-    d.toString
-  }
-
-  /** The events fixture's `ts` encoding has drifted across testdata
-    * generations (TIMESTAMP(NANOS)-as-long, then native TIMESTAMP(MICROS)).
-    * [[graft.sources.EventLog]] inspects the resolved schema and normalizes
-    * whichever encoding is present to TimestampType — the same instant
-    * DuckDB sees. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    graft.sources.EventLog.events(s, dir)
-
-  // ================================================================ DSL
-
-  private val dslQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    ("q_dsl_concat",
-      (s: SparkSession, d: String) => t(s, d, "customer").select(
-        col("c_custkey"),
-        Transforms.column("fn_transform_Concatenate(c_name,c_mktsegment)",
-          "string").as("ck")),
-      Some("SELECT c_custkey, concat_ws('|', c_name, c_mktsegment) AS ck " +
-        "FROM customer")),
-
-    ("q_dsl_concat_ws",
-      (s: SparkSession, d: String) => t(s, d, "customer").select(
-        col("c_custkey"),
-        Transforms.column("fn_transform_Concatenate_ws(c_name,c_mktsegment,-)",
-          "string").as("ckw")),
-      Some("SELECT c_custkey, concat_ws('-', c_name, c_mktsegment) AS ckw " +
-        "FROM customer")),
-
-    ("q_dsl_bytemagic",
-      (s: SparkSession, d: String) => t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        Transforms.column("fn_transform_ByteMagic(l_linestatus,$N)", "string")
-          .as("flag_lit"),
-        Transforms.column("fn_transform_ByteMagic(l_linestatus,l_returnflag)",
-          "string").as("flag_col")),
-      Some("""SELECT l_orderkey, l_linenumber,
-        CASE WHEN l_linestatus='T' THEN 'T' WHEN l_linestatus='F' THEN 'F'
-             ELSE 'N' END AS flag_lit,
-        CASE WHEN l_linestatus='T' THEN 'T' WHEN l_linestatus='F' THEN 'F'
-             ELSE l_returnflag END AS flag_col
-        FROM lineitem""")),
-
-    // QUIRK reproduction: only the LAST rule survives (SURVEY §2.5)
-    ("q_dsl_case",
-      (s: SparkSession, d: String) => t(s, d, "orders").select(
-        col("o_orderkey"),
-        Transforms.column(
-          "fn_transform_Case(o_orderpriority,1-URGENT|2-HIGH->hot,3-MEDIUM->warm)",
-          "string").as("prio")),
-      Some("SELECT o_orderkey, CASE WHEN o_orderpriority = '3-MEDIUM' " +
-        "THEN 'warm' ELSE NULL END AS prio FROM orders")),
-
-    ("q_dsl_case_default",
-      (s: SparkSession, d: String) => t(s, d, "orders").select(
-        col("o_orderkey"),
-        Transforms.column("fn_transform_Case_with_default(o_orderpriority," +
-          "1-URGENT|2-HIGH->hot,3-MEDIUM->warm,$cold)", "string").as("prio")),
-      Some("""SELECT o_orderkey,
-        CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
-             WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
-             ELSE 'cold' END AS prio FROM orders""")),
-
-    // QUIRK reproduction: compound mode accumulates conditions across rules,
-    // so any row matching rule 1 OR rule 2 gets the LAST label
-    ("q_dsl_case_compound",
-      (s: SparkSession, d: String) => t(s, d, "orders").select(
-        col("o_orderkey"),
-        Transforms.column("fn_transform_Case_with_default(" +
-          "o_orderstatus&o_orderpriority,O&1-URGENT->hot1,F&5-LOW->cold5,$mid)",
-          "string").as("cls"),
-        Transforms.column("fn_transform_Case_with_default(" +
-          "o_orderstatus&o_orderpriority,O&1-URGENT|F&5-LOW->either,$rest)",
-          "string").as("alt")),
-      Some("""SELECT o_orderkey,
-        CASE WHEN (o_orderstatus='O' AND o_orderpriority='1-URGENT')
-                OR (o_orderstatus='F' AND o_orderpriority='5-LOW')
-             THEN 'cold5' ELSE 'mid' END AS cls,
-        CASE WHEN (o_orderstatus='O' AND o_orderpriority='1-URGENT')
-                OR (o_orderstatus='F' AND o_orderpriority='5-LOW')
-             THEN 'either' ELSE 'rest' END AS alt
-        FROM orders""")),
-
-    ("q_dsl_clearstring",
-      (s: SparkSession, d: String) => t(s, d, "customer").select(
-        col("c_custkey"),
-        Transforms.column("fn_transform_ClearString(c_name,$none)", "string")
-          .as("name_clean"),
-        Transforms.column("fn_transform_ClearString(c_name)", "string")
-          .as("name_trim")),
-      Some("""SELECT c_custkey,
-        CASE WHEN c_name IS NOT NULL THEN trim(c_name) ELSE 'none' END
-          AS name_clean,
-        trim(c_name) AS name_trim FROM customer""")),
-
-    ("q_dsl_date_to_string",
-      (s: SparkSession, d: String) => t(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        Transforms.column("fn_transform_Date_to_String(l_shipdate,yyyy-MM)",
-          "string").as("ship_ym")),
-      Some("SELECT l_orderkey, l_linenumber, " +
-        "strftime(l_shipdate, '%Y-%m') AS ship_ym FROM lineitem")),
-
-    ("q_dsl_datemagic",
-      (s: SparkSession, d: String) => {
-        val withOrd = t(s, d, "lineitem").withColumn("ord_col",
-          (datediff(to_date(col("l_shipdate")), to_date(lit("1900-01-01"))) +
-            Transforms.OrdinalAnchor).cast("int"))
-        withOrd.select(
-          col("l_orderkey"), col("l_linenumber"),
-          Transforms.column(
-            "fn_transform_DateMagic(ord_col,yyyy-MM-dd,1970-01-01)", "date")
-            .as("ship_decoded"),
-          Transforms.column(
-            "fn_transform_DateMagic(l_linenumber,yyyy-MM-dd,1970-01-01)", "date")
-            .as("bad_decoded"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber,
-        CAST(l_shipdate AS DATE) AS ship_decoded,
-        DATE '1970-01-01' AS bad_decoded FROM lineitem""")),
-
-    ("q_dsl_datetimemagic",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-          .withColumn("ord_col",
-            (datediff(to_date(col("ts")), to_date(lit("1900-01-01"))) +
-              Transforms.OrdinalAnchor).cast("int"))
-          .withColumn("hms_pad", lpad(
-            (hour(col("ts")) * 10000 + minute(col("ts")) * 100 +
-              second(col("ts"))).cast("string"), 6, "0"))
-          .withColumn("hms_raw",
-            (hour(col("ts")) * 10000 + minute(col("ts")) * 100 +
-              second(col("ts"))).cast("string"))
-        e.select(col("event_id"),
-          date_format(Transforms.column(
-            "fn_transform_DatetimeMagic(ord_col,hms_pad,yyyy-MM-dd HH:mm:ss,1900-01-01)",
-            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_full"),
-          date_format(Transforms.column(
-            "fn_transform_DatetimeMagic(ord_col,hms_raw,yyyy-MM-dd HH:mm:ss,1900-01-01)",
-            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_fallback"))
-      },
-      Some("""SELECT event_id,
-        strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_full,
-        CASE WHEN (hour(ts)*10000 + minute(ts)*100 + second(ts)) >= 100000
-             THEN strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
-             ELSE strftime(CAST(ts AS DATE), '%Y-%m-%d %H:%M:%S')
-        END AS ts_fallback FROM events""")),
-
-    ("q_dsl_periodmagic",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-          .withColumn("per_col", when(col("o_orderstatus") === "F", lit(null))
-            .otherwise(year(col("o_orderdate")).cast("string")))
-          .withColumn("ex_col", month(col("o_orderdate")).cast("string"))
-        o.select(col("o_orderkey"),
-          Transforms.column("fn_transform_PeriodMagic(per_col,ex_col)",
-            "string").as("period"))
-      },
-      Some("""SELECT o_orderkey,
-        CASE WHEN o_orderstatus = 'F' THEN '190001'
-             ELSE CAST(year(o_orderdate) AS VARCHAR) ||
-                  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
-        END AS period FROM orders""")),
-
-    // fallthrough: bare Spark-SQL expression (transform_light.py:348-349)
-    ("q_dsl_expr",
-      (s: SparkSession, d: String) => t(s, d, "customer").select(
-        col("c_custkey"),
-        Transforms.column("upper(c_mktsegment)", "string").as("seg_up")),
-      Some("SELECT c_custkey, upper(c_mktsegment) AS seg_up FROM customer")),
-
-    // nested calls compile inner-first (reference $sub_column chaining)
-    ("q_dsl_nested",
-      (s: SparkSession, d: String) => t(s, d, "customer").select(
-        col("c_custkey"),
-        Transforms.column(
-          "fn_transform_ClearString(fn_transform_Concatenate(c_name,c_mktsegment))",
-          "string").as("nested")),
-      Some("SELECT c_custkey, trim(concat_ws('|', c_name, c_mktsegment)) " +
-        "AS nested FROM customer")),
-
-    // fn_transform_Datetime()'s now() arm, made ORACLE-ABLE by the
-    // injectable clock (Transforms.nowUtc): the `spark.graft.now` session
-    // conf pins the instant, which bakes into the plan as a literal at
-    // column construction / analysis — so the conf can be cleared before
-    // the query even runs, and production (conf unset) stays wall-clock.
-    // Both doors are exercised: the DSL branch and the SQL `graft_now()`.
-    ("q_dsl_datetime_now",
-      (s: SparkSession, d: String) => {
-        s.conf.set("spark.graft.now", "2026-01-15 10:30:00")
-        try {
-          graft.functions.Registry.registerAll(s)
-          // DataFrame construction analyzes eagerly, so graft_now() has
-          // resolved (and read the conf) by the time select returns
-          t(s, d, "customer").filter(col("c_custkey") <= 10).select(
-            col("c_custkey"),
-            date_format(Transforms.column("fn_transform_Datetime()",
-              "timestamp"), "yyyy-MM-dd HH:mm:ss").as("now_lima"),
-            date_format(expr("graft_now()"), "yyyy-MM-dd HH:mm:ss")
-              .as("now_utc"),
-            date_format(Transforms.column("fn_transform_Datetime(c_name)",
-              "timestamp"), "yyyy-MM-dd HH:mm:ss").as("null_ts"))
-        } finally s.conf.unset("spark.graft.now")
-      },
-      Some("""SELECT c_custkey, '2026-01-15 05:30:00' AS now_lima,
-          '2026-01-15 10:30:00' AS now_utc, CAST(NULL AS VARCHAR) AS null_ts
-        FROM customer WHERE c_custkey <= 10""")),
-
-    // the PARSE arm of fn_transform_Datetime (non-empty arg ->
-    // try_to_timestamp: well-formed input parses, malformed yields null —
-    // the non-ANSI reference behavior) — oracle-able, unlike the now() arm
-    ("q_dsl_datetime_parse",
-      (s: SparkSession, d: String) => t(s, d, "orders")
-        .filter(col("o_orderkey") < 400)
-        .select(col("o_orderkey"),
-          concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
-            lit(" 12:30:45")).as("ts_str"),
-          col("o_orderstatus"))
-        .select(col("o_orderkey"),
-          date_format(Transforms.column("fn_transform_Datetime(ts_str)",
-            "timestamp"), "yyyy-MM-dd HH:mm:ss").as("parsed"),
-          date_format(Transforms.column(
-            "fn_transform_Datetime(o_orderstatus)", "timestamp"),
-            "yyyy-MM-dd HH:mm:ss").as("bad_ts")),
-      Some("""SELECT o_orderkey,
-          strftime(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') || ' 12:30:45'
-            AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS parsed,
-          strftime(TRY_CAST(o_orderstatus AS TIMESTAMP),
-            '%Y-%m-%d %H:%M:%S') AS bad_ts
-        FROM orders WHERE o_orderkey < 400""")))
-
-  // =========================================================== pipeline
-
-  private val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // W1 — windowed latest-row dedup (deterministic tie-break on event_id)
-    // Telemetry debounce: an event repeating its (user, type) key within
-    // 5 s of the PREVIOUS occurrence is a client-side duplicate — the
-    // lag-window suppression every clickstream ingest runs before
-    // counting. One per-key window (user-bounded), exact integer micros.
-    ("q_dedup_debounce",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id", "event_type")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        t(s, d, "events")
-          .withColumn("gap_us", unix_micros(col("ts")) -
-            lag(unix_micros(col("ts")), 1).over(w))
-          .withColumn("kept",
-            col("gap_us").isNull || col("gap_us") >= 5000000L)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_total"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
-      },
-      Some("""WITH g AS (SELECT event_type,
-            epoch_us(ts) - lag(epoch_us(ts)) OVER (
-              PARTITION BY user_id, event_type
-              ORDER BY ts ASC, event_id ASC) AS gap_us
-          FROM events)
-        SELECT event_type, count(*) AS n_total,
-          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 5000000
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 5000000
-            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        FROM g GROUP BY 1""")),
-
-    ("q_dedup_latest",
-      (s: SparkSession, d: String) => StageTransform.dedupLatest(
-          t(s, d, "events"), Seq("user_id"), Seq("ts"), Seq("event_id"))
-        .select(col("user_id"), col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
-          col("event_type")),
-      Some("""SELECT user_id, event_id,
-          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
-        FROM (SELECT *, row_number() OVER
-                (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
-              FROM events) WHERE rn = 1""")),
-
-    // full config-driven stage pipeline over a fixture spec set
-    ("q_pipeline_stage",
-      (s: SparkSession, d: String) => {
-        val specs = Seq(
-          ColumnSpec("T", "cust_id", 1, "bigint", "c_custkey", isId = true,
-            isOrderBy = true),
-          ColumnSpec("T", "seg", 2, "string",
-            "fn_transform_Case_with_default(c_mktsegment,BUILDING|AUTOMOBILE->ba,$oo)"),
-          ColumnSpec("T", "name_c", 3, "string",
-            "fn_transform_ClearString(c_name,$x)"),
-          // bare-expr + bigint cast: floor-quantized cents (a decimal(12,2)
-          // newDataType on the raw double would be cross-engine-unstable)
-          ColumnSpec("T", "bal", 4, "bigint", "floor(c_acctbal * 100)"),
-          ColumnSpec("T", "broken", 5, "string", "no_such_column")) // quarantined
-        StageTransform.run(t(s, d, "customer"), specs).df
-      },
-      Some(s"""SELECT CAST(c_custkey AS BIGINT) AS cust_id,
-        CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'ba'
-             ELSE 'oo' END AS seg,
-        trim(c_name) AS name_c,
-        ${centsSql("c_acctbal")} AS bal FROM customer""")),
-
-    // K4 — native merge upsert with schema evolution (autoMerge equivalent)
-    ("q_merge_upsert",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-        // price carried as BIGINT cents (floor-quantized; see `cents`) — the
-        // decimal(15,2) cast of a raw double is cross-engine-unstable
-        val target = o.filter(col("o_orderkey") % 7 < 5).select(
-          col("o_orderkey"), col("o_orderstatus"),
-          cents(col("o_totalprice")).as("price"))
-        val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
-          col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (cents(col("o_totalprice")) + lit(100000L)).as("price"),
-          lit(1).as("batch_flag"))
-        MergeWriter.upsert(target, batch, Seq("o_orderkey"))
-      },
-      Some(s"""WITH target AS (
-          SELECT o_orderkey, o_orderstatus,
-                 ${centsSql("o_totalprice")} AS price
-          FROM orders WHERE o_orderkey % 7 < 5),
-        batch AS (
-          SELECT o_orderkey, 'U' AS o_orderstatus,
-                 ${centsSql("o_totalprice")} + 100000 AS price,
-                 1 AS batch_flag
-          FROM orders WHERE o_orderkey % 7 >= 3)
-        SELECT t.*, CAST(NULL AS INTEGER) AS batch_flag FROM target t
-        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
-        UNION ALL SELECT * FROM batch""")),
-
-    // Exactly-once replay semantics, demonstrated not asserted: the SAME
-    // batch upserts twice and the result must equal the single apply —
-    // the retry-safety a checkpointed ingest leans on when a write
-    // succeeds but its acknowledgment is lost. The oracle is the
-    // single-apply expected state, so a non-idempotent merge (dup rows,
-    // double-applied increments) hash-mismatches immediately.
-    ("q_merge_idempotent",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-        val target = o.filter(col("o_orderkey") % 7 < 5).select(
-          col("o_orderkey"), col("o_orderstatus"),
-          cents(col("o_totalprice")).as("price"))
-        val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
-          col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (cents(col("o_totalprice")) + lit(100000L)).as("price"))
-        val once = MergeWriter.upsert(target, batch, Seq("o_orderkey"))
-        MergeWriter.upsert(once, batch, Seq("o_orderkey"))
-      },
-      Some(s"""WITH target AS (
-          SELECT o_orderkey, o_orderstatus,
-                 ${centsSql("o_totalprice")} AS price
-          FROM orders WHERE o_orderkey % 7 < 5),
-        batch AS (
-          SELECT o_orderkey, 'U' AS o_orderstatus,
-                 ${centsSql("o_totalprice")} + 100000 AS price
-          FROM orders WHERE o_orderkey % 7 >= 3)
-        SELECT t.* FROM target t
-        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
-        UNION ALL SELECT * FROM batch""")),
-
-    // K5 — transactional-window delete + merge
-    ("q_merge_txnwindow",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").withColumn("processperiod",
-          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
-            .cast("int"))
-        val target = o.filter(col("o_orderkey") % 3 === 0).select(
-          col("o_orderkey"), col("processperiod"), col("o_orderstatus"))
-        val batch = o.filter(col("o_orderkey") % 3 <= 1 &&
-            col("processperiod") >= 199801)
-          .select(col("o_orderkey"), col("processperiod"),
-            lit("M").as("o_orderstatus"))
-        MergeWriter.transactionalWindowMerge(target, batch,
-          Seq("o_orderkey"), 199801)
-      },
-      Some("""WITH o AS (
-          SELECT *, CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER)
-                 AS processperiod FROM orders),
-        target AS (
-          SELECT o_orderkey, processperiod, o_orderstatus FROM o
-          WHERE o_orderkey % 3 = 0),
-        kept AS (SELECT * FROM target WHERE processperiod < 199801),
-        batch AS (
-          SELECT o_orderkey, processperiod, 'M' AS o_orderstatus FROM o
-          WHERE o_orderkey % 3 <= 1 AND processperiod >= 199801)
-        SELECT * FROM kept
-        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
-        UNION ALL SELECT * FROM batch""")),
-
-    // P3 — incremental window predicate (single + two-column OR variant)
-    ("q_incr_window",
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .filter(Incremental.windowPredicate("l_shipdate",
-          lit("1995-06-01 00:00:00"), lit("1995-12-31 23:59:59")))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship")),
-      Some("""SELECT l_orderkey, l_linenumber,
-          strftime(l_shipdate, '%Y-%m-%d') AS ship
-        FROM lineitem
-        WHERE l_shipdate IS NOT NULL AND l_shipdate BETWEEN
-          TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59'""")),
-
-    ("q_incr_window_2col",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .withColumn("ts2", col("ts") + expr("INTERVAL 12 HOURS"))
-        .filter(Incremental.windowPredicate("ts,ts2",
-          lit("2024-01-02 00:00:00"), lit("2024-01-02 06:00:00")))
-        .select(col("event_id"), col("event_type")),
-      Some("""SELECT event_id, event_type FROM
-        (SELECT *, ts + INTERVAL 12 HOUR AS ts2 FROM events)
-        WHERE (ts IS NOT NULL AND ts BETWEEN TIMESTAMP '2024-01-02 00:00:00'
-                 AND TIMESTAMP '2024-01-02 06:00:00')
-           OR (ts2 IS NOT NULL AND ts2 BETWEEN TIMESTAMP '2024-01-02 00:00:00'
-                 AND TIMESTAMP '2024-01-02 06:00:00')""")),
-
-    // I2 — period-window limits drive a filter (fixed "now" for determinism)
-    ("q_incr_period_limits",
-      (s: SparkSession, d: String) => {
-        val now = java.time.LocalDateTime.of(1997, 6, 15, 0, 0)
-        val (plo, phi) = Incremental.limitsForFilter(-2, "aje_period", now)
-        val (olo, ohi) = Incremental.limitsForFilter(-2, "aje_date", now)
-        t(s, d, "orders")
-          .withColumn("period", date_format(col("o_orderdate"), "yyyyMM"))
-          .withColumn("ord",
-            (datediff(to_date(col("o_orderdate")), to_date(lit("1900-01-01"))) +
-              Transforms.OrdinalAnchor).cast("long"))
-          .filter(col("period").between(plo, phi) ||
-            col("ord").between(olo.toLong, ohi.toLong))
-          .select(col("o_orderkey"), col("period"), col("ord"))
-      },
-      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS period,
-          CAST(CAST(o_orderdate AS DATE) - DATE '1900-01-01' + 693596 AS BIGINT)
-            AS ord
-        FROM orders
-        WHERE strftime(o_orderdate, '%Y%m') BETWEEN '199704' AND '199706'
-           OR (CAST(o_orderdate AS DATE) - DATE '1900-01-01' + 693596)
-              BETWEEN (DATE '1997-04-01' - DATE '1900-01-01' + 693596)
-                  AND (DATE '1997-06-30' - DATE '1900-01-01' + 693596)""")),
-
-    // A2/A3 — watermark MAX with GREATEST + null default
-    ("q_agg_watermark",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .select(when(col("event_type") === "click", col("ts")).as("f1"),
-          when(col("event_type") === "error", col("ts")).as("f2"))
-        .agg(date_format(Incremental.maxWatermark(Seq("f1", "f2"),
-          "2000-01-01 00:00:00"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("wm"),
-          count(lit(1)).cast("bigint").as("n_rows")),
-      Some("""SELECT strftime(greatest(
-          coalesce(max(CASE WHEN event_type='click' THEN ts END),
-                   TIMESTAMP '2000-01-01 00:00:00'),
-          coalesce(max(CASE WHEN event_type='error' THEN ts END),
-                   TIMESTAMP '2000-01-01 00:00:00')),
-          '%Y-%m-%d %H:%M:%S.%f') AS wm,
-        count(*) AS n_rows FROM events""")))
-
-  // ========================================================== relational
-
-  /** WITH-chain oracle for q_seq_attribution_markov: replays the journey
-    * transition matrix (start → channels → purchase/null) and, for the base
-    * chain plus one chain per removed channel, `rounds` synchronous exact-ppm
-    * fixed-point steps of v(s) = P(reach 'purchase' within the remaining
-    * steps). Removal of channel c is the standard first-order-Markov node
-    * removal: walks entering c die, i.e. v(c) is pinned to 0 every round
-    * (matrix unchanged). Removal effect and credit are exact floor-ppm
-    * divisions. Chain CTEs are MATERIALIZED for the same inlining-planner
-    * reason as [[kmeansCtes]]. */
-  private def markovAttributionSql(channels: Seq[String],
-      rounds: Int): String = {
-    val sb = new StringBuilder(
-      """WITH r AS MATERIALIZED (SELECT user_id, event_type,
-          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC,
-            event_id ASC) AS prev,
-          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC,
-            event_id ASC) AS next
-        FROM events),
-        tr AS (SELECT tsrc, tdst, count(*) AS c FROM (
-          SELECT 'start' AS tsrc, event_type AS tdst FROM r
-            WHERE prev IS NULL OR prev = 'purchase'
-          UNION ALL
-          SELECT event_type, next FROM r
-            WHERE event_type <> 'purchase' AND next IS NOT NULL
-          UNION ALL
-          SELECT event_type, 'null' FROM r
-            WHERE event_type <> 'purchase' AND next IS NULL) GROUP BY 1, 2),
-        m AS MATERIALIZED (SELECT tsrc, tdst,
-            c * 1000000 // sum(c) OVER (PARTITION BY tsrc) AS p FROM tr),
-        st AS MATERIALIZED (SELECT unnest(['start', 'click', 'error',
-          'signup', 'view', 'purchase', 'null']) AS st)""")
-    val chains = ("base", None: Option[String]) +:
-      channels.map(c => (s"x$c", Some(c): Option[String]))
-    for ((tag, dead) <- chains) {
-      sb ++= s""",
-        ${tag}0 AS (SELECT st, CASE WHEN st = 'purchase'
-            THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS v
-          FROM st)"""
-      for (i <- 1 to rounds) {
-        val deadCase = dead.map(c => s"WHEN s.st = '$c' THEN 0").getOrElse("")
-        sb ++= s""",
-        $tag$i AS MATERIALIZED (SELECT s.st,
-            CAST(CASE WHEN s.st = 'purchase' THEN 1000000 $deadCase
-                 ELSE coalesce(a.v0, 0) END AS BIGINT) AS v
-          FROM st s LEFT JOIN (SELECT m.tsrc AS st,
-              sum(m.p * v.v // 1000000) AS v0
-            FROM m JOIN $tag${i - 1} v ON v.st = m.tdst GROUP BY 1) a
-            USING (st))"""
-      }
-    }
-    sb ++= s""",
-        base_p AS (SELECT v AS pb FROM base$rounds WHERE st = 'start'),
-        rem AS ("""
-    sb ++= channels.map(c =>
-        s"SELECT '$c' AS channel, v AS pr FROM x$c$rounds WHERE st = 'start'")
-      .mkString("\n          UNION ALL\n          ")
-    sb ++= s"""),
-        re AS (SELECT channel, pb, pr,
-            (pb - pr) * 1000000 // greatest(pb, 1) AS re_ppm
-          FROM rem CROSS JOIN base_p),
-        tot_re AS (SELECT greatest(sum(re_ppm), 1) AS t FROM re)
-        SELECT channel, CAST(pb AS BIGINT) AS p_base_ppm,
-          CAST(pr AS BIGINT) AS p_removed_ppm,
-          CAST(re_ppm AS BIGINT) AS removal_effect_ppm,
-          CAST(re_ppm * 1000000 // t AS BIGINT) AS credit_ppm
-        FROM re CROSS JOIN tot_re"""
-    sb.toString
-  }
-
-  private val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // TPC-H Q1-shaped pricing summary: decimal-exact, partial-agg friendly
-    // Holt linear exponential smoothing (level+trend) over the daily
-    // series, one-step forecast per event type — the forecasting
-    // primitive behind capacity planning and anomaly baselines. With
-    // alpha = beta = 1/2 every recursion step is multiply-by-0.5 and add:
-    // DYADIC rationals, exactly representable in doubles, so the float
-    // recursion is bit-identical across engines — replayed by DuckDB's
-    // list_reduce over the same day-ordered fold (state = [level, trend]
-    // pair; init = [x_1, 0]). The per-type series is CALENDAR-BOUNDED
-    // (one element per day), so the collect_list state is domain-bounded
-    // like the other calendar windows.
-    ("q_agg_holt",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
-          .agg(count(lit(1)).as("n"))
-        val step = (acc: org.apache.spark.sql.Column,
-            x: org.apache.spark.sql.Column) => {
-          val level = lit(0.5) * x.getItem(0) +
-            lit(0.5) * (acc.getItem(0) + acc.getItem(1))
-          array(level,
-            lit(0.5) * (level - acc.getItem(0)) +
-              lit(0.5) * acc.getItem(1))
-        }
-        daily.groupBy("event_type")
-          .agg(array_sort(collect_list(struct(col("day"), col("n"))))
-            .as("xs0"), count(lit(1)).as("n_days"))
-          .withColumn("xs", transform(col("xs0"),
-            e => array(e.getField("n").cast("double"), lit(0.0))))
-          .withColumn("st", aggregate(
-            slice(col("xs"), lit(2), size(col("xs")) - 1),
-            element_at(col("xs"), 1), step))
-          .select(col("event_type"), col("n_days"),
-            col("st").getItem(0).as("level"),
-            col("st").getItem(1).as("trend"),
-            (col("st").getItem(0) + col("st").getItem(1))
-              .as("forecast_next"))
-      },
-      Some("""WITH daily AS (SELECT event_type,
-            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-          FROM events GROUP BY 1, 2),
-        arr AS (SELECT event_type,
-            list([CAST(n AS DOUBLE), CAST(0 AS DOUBLE)] ORDER BY day)
-              AS xs,
-            count(*) AS n_days
-          FROM daily GROUP BY 1),
-        f AS (SELECT event_type, n_days, list_reduce(xs, (acc, x) -> [
-            0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-            0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-              + 0.5 * acc[2]
-          ]) AS st FROM arr)
-        SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
-          st[1] + st[2] AS forecast_next
-        FROM f""")),
-
-    // One-sided CUSUM changepoint detector over each event type's daily
-    // count series (Page 1954): s_i = max(0, s_{i-1} + dev_i - allowance),
-    // alarm when s_i clears the threshold. All arithmetic is exact BIGINT
-    // in "8N-scaled count units" (dev_i = 8·N·n_i − 8·S, allowance = an
-    // eighth of the mean = S, threshold = one mean = 8·S), so the fold is
-    // bit-identical cross-engine — same ordered-fold shape as q_agg_holt:
-    // a calendar-bounded per-key array folded with one aggregate() HOF,
-    // replayed by DuckDB's list_reduce. No corpus-sized window: the only
-    // shuffle is the combine-enabled daily groupBy.
-    ("q_agg_cusum",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
-          .agg(count(lit(1)).as("n"))
-        val g = daily.groupBy("event_type").agg(
-          array_sort(collect_list(struct(col("day"), col("n")))).as("xs"),
-          count(lit(1)).as("n_days"), sum("n").as("total"))
-        val step = (acc: org.apache.spark.sql.Column,
-            x: org.apache.spark.sql.Column) => {
-          val sNew = greatest(lit(0L), acc.getItem(0) +
-            lit(8L) * col("n_days") * x.getField("n") -
-            lit(9L) * col("total"))
-          array(sNew, greatest(acc.getItem(1), sNew),
-            acc.getItem(2) +
-              when(sNew > lit(8L) * col("total"), 1L).otherwise(0L))
-        }
-        g.withColumn("st",
-            aggregate(col("xs"), array(lit(0L), lit(0L), lit(0L)), step))
-          .select(col("event_type"), col("n_days"), col("total"),
-            col("st").getItem(0).as("final_cusum"),
-            col("st").getItem(1).as("max_cusum"),
-            col("st").getItem(2).as("n_alarms"))
-      },
-      Some("""WITH daily AS (SELECT event_type,
-            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-          FROM events GROUP BY 1, 2),
-        arr AS (SELECT event_type,
-            list([CAST(n AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
-              ORDER BY day) AS xs,
-            CAST(count(*) AS BIGINT) AS n_days,
-            CAST(sum(n) AS BIGINT) AS total
-          FROM daily GROUP BY 1),
-        f AS (SELECT event_type, n_days, total,
-          list_reduce(list_prepend(
-              [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)], xs),
-            (acc, x) -> [
-              greatest(CAST(0 AS BIGINT),
-                acc[1] + 8 * n_days * x[1] - 9 * total),
-              greatest(acc[2], greatest(CAST(0 AS BIGINT),
-                acc[1] + 8 * n_days * x[1] - 9 * total)),
-              acc[3] + CASE WHEN greatest(CAST(0 AS BIGINT),
-                  acc[1] + 8 * n_days * x[1] - 9 * total) > 8 * total
-                THEN 1 ELSE 0 END]) AS st
-          FROM arr)
-        SELECT event_type, n_days, total, st[1] AS final_cusum,
-          st[2] AS max_cusum, st[3] AS n_alarms
-        FROM f""")),
-
-    // Hampel filter — the robust rolling-outlier detector (median/MAD
-    // where a z-score would be dragged by the outlier itself): per
-    // (event_type, day) exact micro sums, a centered 7-row window, med =
-    // the lower-median order statistic of the window list, MAD = the
-    // same order statistic of |x − med|, flag |s − med| > 3·MAD. All
-    // integer order statistics on sorted window lists (no float, no
-    // percentile interpolation); windows are calendar-bounded (~30 rows
-    // per type), the corpus pass is one combine-enabled daily aggregate.
-    ("q_window_hampel",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
-          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("s"))
-        val w = Window.partitionBy("event_type").orderBy(col("day").asc)
-          .rowsBetween(-3, 3)
-        daily.withColumn("lst", collect_list(col("s")).over(w))
-          .withColumn("med", expr("element_at(array_sort(lst), " +
-            "cast((size(lst) + 1) div 2 as int))"))
-          .withColumn("mad", expr("element_at(array_sort(transform(lst, " +
-            "v -> abs(v - med))), cast((size(lst) + 1) div 2 as int))"))
-          .select(col("event_type"), col("day"), col("s"), col("med"),
-            col("mad"),
-            when(abs(col("s") - col("med")) > lit(3L) * col("mad"), 1L)
-              .otherwise(0L).as("is_outlier"))
-      },
-      Some("""WITH daily AS (SELECT event_type,
-            strftime(ts, '%Y-%m-%d') AS day,
-            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS s
-          FROM events GROUP BY 1, 2),
-        wl AS (SELECT *, list(s) OVER (PARTITION BY event_type
-            ORDER BY day ASC ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-            AS lst
-          FROM daily),
-        m AS (SELECT *, list_sort(lst)[(len(lst) + 1) // 2] AS med
-          FROM wl),
-        mm AS (SELECT *, list_sort(list_transform(lst,
-            v -> abs(v - med)))[(len(lst) + 1) // 2] AS mad FROM m)
-        SELECT event_type, day, s, CAST(med AS BIGINT) AS med,
-          CAST(mad AS BIGINT) AS mad,
-          CASE WHEN abs(s - med) > 3 * mad THEN CAST(1 AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS is_outlier
-        FROM mm""")),
-
-    // Last-observation-carried-forward gap fill: a sparse per-type daily
-    // series (holes punched on every 3rd day) expands to the full
-    // calendar x type grid and fills each hole with the latest known
-    // value — last(x, ignoreNulls) over a per-type calendar-bounded
-    // window (the documented domain-bounded exception; the grid is
-    // |days|·|types|, never the event stream). The sibling of
-    // q_agg_gapfill's zero-fill: LOCF is the right fill for LEVEL
-    // metrics (balances, gauges), zero-fill for FLOW metrics (counts).
-    ("q_window_locf",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(cents(col("value"))).as("x"))
-          .filter(dayofmonth(col("day")) % 3 =!= 0)
-        val cal = t(s, d, "events")
-          .agg(min(to_date(col("ts"))).as("lo"),
-            max(to_date(col("ts"))).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val types = daily.select("event_type").distinct()
-        val w = Window.partitionBy("event_type").orderBy(col("day").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        cal.crossJoin(broadcast(types))
-          .join(daily, Seq("event_type", "day"), "left")
-          .withColumn("filled", last(col("x"), ignoreNulls = true).over(w))
-          .select(col("event_type"),
-            date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
-            col("filled"),
-            when(col("x").isNull, 1L).otherwise(0L).as("is_filled"))
-      },
-      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-            CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2),
-        sparse AS (SELECT * FROM daily WHERE day(day) % 3 <> 0),
-        b AS (SELECT min(CAST(ts AS DATE)) AS lo,
-            max(CAST(ts AS DATE)) AS hi FROM events),
-        cal AS (SELECT CAST(unnest(generate_series(lo, hi,
-            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-        grid AS (SELECT t.event_type, cal.day
-          FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM sparse) t),
-        j AS (SELECT g.event_type, g.day, s.x
-          FROM grid g LEFT JOIN sparse s
-            ON g.event_type = s.event_type AND g.day = s.day)
-        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
-          last_value(x IGNORE NULLS) OVER (PARTITION BY event_type
-            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS filled,
-          CASE WHEN x IS NULL THEN CAST(1 AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS is_filled
-        FROM j""")),
-
-    // Linear-interpolation gap fill — the missing-data treatment between
-    // q_window_locf's step fill and q_agg_seasonal's model fill: interior
-    // gaps get the straight line between the flanking known points
-    // (filled = pv + floor((nv−pv)·(day−pd)/(nd−pd)), exact BIGINT
-    // numerator, one double floor-division — floor, not integer div,
-    // because the slope can be negative and the engines' integer
-    // divisions disagree on truncation direction), edge gaps (no known
-    // point on one side) stay null and are tagged. Same sparse series /
-    // calendar-spine construction as LOCF; four domain-bounded windows
-    // (calendar-sized partitions) — the 100 TB form keys the spine by
-    // (series, year) so no partition outgrows the calendar.
-    ("q_window_interp",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(sum(cents(col("value"))).as("x"))
-          .filter(dayofmonth(col("day")) % 3 =!= 0)
-        val cal = t(s, d, "events")
-          .agg(min(to_date(col("ts"))).as("lo"),
-            max(to_date(col("ts"))).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val types = daily.select("event_type").distinct()
-        val wp = Window.partitionBy("event_type").orderBy(col("day").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wn = Window.partitionBy("event_type").orderBy(col("day").asc)
-          .rowsBetween(0, Window.unboundedFollowing)
-        val lerp = col("pv") + floor(
-          ((col("nv") - col("pv")) *
-            datediff(col("day"), col("pd"))).cast("double") /
-          datediff(col("nd"), col("pd")).cast("double")).cast("long")
-        cal.crossJoin(broadcast(types))
-          .join(daily, Seq("event_type", "day"), "left")
-          .withColumn("pv", last(col("x"), ignoreNulls = true).over(wp))
-          .withColumn("pd", last(when(col("x").isNotNull, col("day")),
-            ignoreNulls = true).over(wp))
-          .withColumn("nv", first(col("x"), ignoreNulls = true).over(wn))
-          .withColumn("nd", first(when(col("x").isNotNull, col("day")),
-            ignoreNulls = true).over(wn))
-          .select(col("event_type"),
-            date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
-            when(col("x").isNotNull, col("x"))
-              .when(col("pv").isNotNull && col("nv").isNotNull, lerp)
-              .otherwise(lit(null).cast("long")).as("filled"),
-            when(col("x").isNotNull, 0L)
-              .when(col("pv").isNotNull && col("nv").isNotNull, 1L)
-              .otherwise(2L).as("method"))
-      },
-      Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-            CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2),
-        sparse AS (SELECT * FROM daily WHERE day(day) % 3 <> 0),
-        b AS (SELECT min(CAST(ts AS DATE)) AS lo,
-            max(CAST(ts AS DATE)) AS hi FROM events),
-        cal AS (SELECT CAST(unnest(generate_series(lo, hi,
-            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-        grid AS (SELECT t.event_type, cal.day
-          FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM sparse) t),
-        j AS (SELECT g.event_type, g.day, s.x
-          FROM grid g LEFT JOIN sparse s
-            ON g.event_type = s.event_type AND g.day = s.day),
-        w AS (SELECT event_type, day, x,
-            last_value(x IGNORE NULLS) OVER (PARTITION BY event_type
-              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
-              CURRENT ROW) AS pv,
-            last_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
-              OVER (PARTITION BY event_type ORDER BY day
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-            first_value(x IGNORE NULLS) OVER (PARTITION BY event_type
-              ORDER BY day ROWS BETWEEN CURRENT ROW AND
-              UNBOUNDED FOLLOWING) AS nv,
-            first_value(CASE WHEN x IS NOT NULL THEN day END IGNORE NULLS)
-              OVER (PARTITION BY event_type ORDER BY day
-              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-          FROM j)
-        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
-          CASE WHEN x IS NOT NULL THEN x
-               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                 pv + CAST(floor(CAST((nv - pv) *
-                     date_diff('day', pd, day) AS DOUBLE) /
-                   CAST(date_diff('day', pd, nd) AS DOUBLE)) AS BIGINT)
-               ELSE NULL END AS filled,
-          CASE WHEN x IS NOT NULL THEN CAST(0 AS BIGINT)
-               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                 CAST(1 AS BIGINT)
-               ELSE CAST(2 AS BIGINT) END AS method
-        FROM w""")),
-
-    // Holt forecast BACKTEST — the evaluation q_agg_holt's fit lacks:
-    // roll through the series accumulating the one-step-ahead absolute
-    // error |level+trend − x| BEFORE each update, in the same bit-exact
-    // ordered fold (identical IEEE ops in identical order in both
-    // engines). Emits the error sum and a floor-quantized MAE — the
-    // number that says whether the smoothing constants are any good.
-    ("q_agg_holt_backtest",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
-          .agg(count(lit(1)).as("n"))
-        val step = (acc: org.apache.spark.sql.Column,
-            x: org.apache.spark.sql.Column) => {
-          val xv = x.getItem(0)
-          val err = abs(acc.getItem(0) + acc.getItem(1) - xv)
-          val level = lit(0.5) * xv +
-            lit(0.5) * (acc.getItem(0) + acc.getItem(1))
-          array(level,
-            lit(0.5) * (level - acc.getItem(0)) +
-              lit(0.5) * acc.getItem(1),
-            acc.getItem(2) + err)
-        }
-        daily.groupBy("event_type")
-          .agg(array_sort(collect_list(struct(col("day"), col("n"))))
-            .as("xs0"), count(lit(1)).as("n_days"))
-          .withColumn("xs", transform(col("xs0"),
-            e => array(e.getField("n").cast("double"), lit(0.0),
-              lit(0.0))))
-          .withColumn("st", aggregate(
-            slice(col("xs"), lit(2), size(col("xs")) - 1),
-            element_at(col("xs"), 1), step))
-          .select(col("event_type"), col("n_days"),
-            col("st").getItem(2).as("sum_abs_err"),
-            when(col("n_days") < 2, lit(null).cast("long")).otherwise(
-              floor(col("st").getItem(2) * 1e6 /
-                (col("n_days") - 1).cast("double")).cast("long"))
-              .as("mae_micro"))
-      },
-      Some("""WITH daily AS (SELECT event_type,
-            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-          FROM events GROUP BY 1, 2),
-        arr AS (SELECT event_type,
-            list([CAST(n AS DOUBLE), CAST(0 AS DOUBLE),
-              CAST(0 AS DOUBLE)] ORDER BY day) AS xs,
-            CAST(count(*) AS BIGINT) AS n_days
-          FROM daily GROUP BY 1),
-        f AS (SELECT event_type, n_days, list_reduce(xs, (acc, x) -> [
-            0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
-            0.5 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
-              + 0.5 * acc[2],
-            acc[3] + abs(acc[1] + acc[2] - x[1])
-          ]) AS st FROM arr)
-        SELECT event_type, n_days, st[3] AS sum_abs_err,
-          CASE WHEN n_days < 2 THEN NULL
-            ELSE CAST(floor(st[3] * 1e6 / CAST(n_days - 1 AS DOUBLE))
-              AS BIGINT) END AS mae_micro
-        FROM f""")),
-
-    // Wald–Wolfowitz runs test on each event type's daily series: is the
-    // sequence of above/below-median days random, or does it trend/cycle?
-    // Median is the lower order statistic (pure rank — tie order can't
-    // matter), the run count is an ordered aggregate() fold over the
-    // calendar-bounded day array, and z² stays a ratio of exact BIGINTs:
-    // z² = (n(R−1) − 2·n1·n0)²·(n−1) / (2·n1·n0·(2·n1·n0 − n)), one
-    // floor-quantized IEEE division at the end. Same fold shape as
-    // q_agg_holt/q_agg_cusum; only shuffle is the daily groupBy.
-    ("q_agg_runs_test",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(col("event_type"),
-            date_format(col("ts"), "yyyy-MM-dd").as("day"))
-          .agg(count(lit(1)).as("n"))
-        val g = daily.groupBy("event_type").agg(
-          array_sort(collect_list(struct(col("day"), col("n")))).as("xs"),
-          count(lit(1)).as("nd"))
-        val vals = transform(col("xs"), x => x.getField("n"))
-        val med = element_at(array_sort(vals), ((col("nd") + 1) / 2)
-          .cast("int"))
-        val sign = (v: org.apache.spark.sql.Column) =>
-          when(v > col("med"), 1L).otherwise(0L)
-        val step = (acc: org.apache.spark.sql.Column,
-            x: org.apache.spark.sql.Column) =>
-          array(sign(x),
-            acc.getItem(1) + when(sign(x) =!= acc.getItem(0), 1L)
-              .otherwise(0L))
-        val withRuns = g.withColumn("med", med)
-          .withColumn("vals", vals)
-          .withColumn("n1",
-            aggregate(col("vals"), lit(0L), (a, x) => a + sign(x)))
-          .withColumn("runs", aggregate(
-            slice(col("vals"), lit(2), size(col("vals")) - 1),
-            array(sign(element_at(col("vals"), 1)), lit(1L)),
-            step).getItem(1))
-        val n = col("nd"); val n1 = col("n1"); val n0 = col("nd") - col("n1")
-        val a = n * (col("runs") - 1) - lit(2L) * n1 * n0
-        val den = lit(2L) * n1 * n0 * (lit(2L) * n1 * n0 - n)
-        withRuns.select(col("event_type"), col("nd").as("n_days"),
-          col("med"), col("n1").as("n_above"), col("runs"),
-          when(den <= 0, lit(null).cast("long")).otherwise(
-            floor((a * a * (n - 1)).cast("double") * 1e6 /
-              den.cast("double")).cast("long")).as("z2_micro"))
-      },
-      Some("""WITH daily AS (SELECT event_type,
-            strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
-          FROM events GROUP BY 1, 2),
-        arr AS (SELECT event_type,
-            list(CAST(n AS BIGINT) ORDER BY day) AS vals,
-            CAST(count(*) AS BIGINT) AS nd
-          FROM daily GROUP BY 1),
-        m AS (SELECT event_type, vals, nd,
-            list_sort(vals)[CAST((nd + 1) // 2 AS INTEGER)] AS med
-          FROM arr),
-        f AS (SELECT event_type, nd, med,
-            CAST(list_sum(list_transform(vals,
-              v -> CASE WHEN v > med THEN 1 ELSE 0 END)) AS BIGINT) AS n1,
-            list_reduce(
-              list_prepend([CASE WHEN vals[1] > med THEN CAST(1 AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END, CAST(1 AS BIGINT)],
-                list_transform(vals[2:],
-                  v -> [CASE WHEN v > med THEN CAST(1 AS BIGINT)
-                    ELSE CAST(0 AS BIGINT) END, CAST(0 AS BIGINT)])),
-              (acc, x) -> [x[1],
-                acc[2] + CASE WHEN x[1] <> acc[1] THEN 1 ELSE 0 END]
-            )[2] AS runs
-          FROM m)
-        SELECT event_type, nd AS n_days, med, n1 AS n_above, runs,
-          CASE WHEN 2 * n1 * (nd - n1) * (2 * n1 * (nd - n1) - nd) <= 0
-            THEN NULL
-            ELSE CAST(floor(
-              CAST((nd * (runs - 1) - 2 * n1 * (nd - n1))
-                 * (nd * (runs - 1) - 2 * n1 * (nd - n1))
-                 * (nd - 1) AS DOUBLE) * 1e6 /
-              CAST(2 * n1 * (nd - n1) * (2 * n1 * (nd - n1) - nd)
-                AS DOUBLE)) AS BIGINT) END AS z2_micro
-        FROM f""")),
-
-    // Pareto frontier (skyline: maximize p_size, minimize price). The
-    // scale shape: a combine-enabled groupBy(p_size).min collapses the
-    // corpus to one row per size BEFORE any ordered scan, so the window
-    // below runs over a domain-bounded table (|distinct sizes|), not the
-    // corpus — the pre-aggregate IS the partition-local skyline prune, and
-    // the frontier joins back as a broadcast. A (size, best-price) pair
-    // survives iff no strictly-larger size reached an equal-or-lower
-    // minimum price; rows tied with their size's best price all keep
-    // (dominance must be strict in at least one dimension).
-    ("q_agg_skyline",
-      (s: SparkSession, d: String) => {
-        val p = t(s, d, "part").select(col("p_partkey"),
-          col("p_size").cast("int").as("p_size"),
-          cents(col("p_retailprice")).as("price_cents"))
-        val best = p.groupBy("p_size")
-          .agg(min("price_cents").as("best_cents"))
-        val w = Window.orderBy(col("p_size").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val sky = best.withColumn("min_larger", min("best_cents").over(w))
-          .filter(col("min_larger").isNull ||
-            col("best_cents") < col("min_larger"))
-          .select(col("p_size").as("sky_size"),
-            col("best_cents").as("sky_cents"))
-        p.join(broadcast(sky),
-          col("p_size") === col("sky_size") &&
-            col("price_cents") === col("sky_cents"))
-          .select(col("p_partkey"), col("p_size"), col("price_cents"))
-      },
-      Some("""WITH q AS (SELECT p_partkey, CAST(p_size AS INT) AS p_size,
-            CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
-          FROM part)
-        SELECT p_partkey, p_size, price_cents FROM q a
-        WHERE NOT EXISTS (SELECT 1 FROM q b
-          WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
-            AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))""")),
-
-    // Weekday-seasonality deviation: each day's event count against its
-    // weekday's total, in the exact-integer (x·n − Σx) form (no float
-    // mean) with one floor-quantized relative deviation — the seasonal
-    // baseline an anomaly monitor subtracts before alerting. Two
-    // combine-enabled aggregates (daily, then per-weekday moments
-    // broadcast back onto the 7-row-per-weekday day table).
-    ("q_agg_seasonal",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-            (weekday(col("ts")) + 1).as("isodow"))
-          .agg(count(lit(1)).as("n"))
-        val wd = daily.groupBy("isodow")
-          .agg(count(lit(1)).as("n_days"), sum("n").as("sum_wd"))
-        daily.join(broadcast(wd), "isodow")
-          .select(col("day"), col("isodow").cast("int").as("isodow"),
-            col("n"),
-            floor((col("n") * col("n_days") - col("sum_wd")).cast("double")
-              * 1e6 / col("sum_wd").cast("double")).cast("long")
-              .as("dev_ppm"))
-      },
-      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
-            isodow(ts) AS isodow, count(*) AS n
-          FROM events GROUP BY 1, 2),
-        wd AS (SELECT isodow, count(*) AS n_days,
-            CAST(sum(n) AS BIGINT) AS sum_wd
-          FROM daily GROUP BY 1)
-        SELECT day, CAST(d.isodow AS INT) AS isodow, n,
-          CAST(floor(CAST(n * n_days - sum_wd AS DOUBLE) * 1e6 /
-            CAST(sum_wd AS DOUBLE)) AS BIGINT) AS dev_ppm
-        FROM daily d JOIN wd ON d.isodow = wd.isodow""")),
-
-    ("q_agg_hourly",
-      // tumbling-window time-series aggregation via Spark's window():
-      // hourly event counts + distinct users + min/max value (min/max are
-      // order-independent on doubles; float SUMs are not cross-engine-safe)
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          count_distinct(col("user_id")).as("n_users"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"), col("n_events"), col("n_users"),
-          col("min_value"), col("max_value")),
-      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-          AS hour, event_type,
-          count(*) AS n_events, count(DISTINCT user_id) AS n_users,
-          min("value") AS min_value, max("value") AS max_value
-        FROM events GROUP BY 1, 2""")),
-
-    // Daily active users + cumulative distinct reach: first-seen day per
-    // user (one groupBy — the classic "count distinct so far" rewrite that
-    // needs NO stateful running distinct), then a running sum over the
-    // CALENDAR (the only window, bounded by days-in-range, not corpus)
-    ("q_agg_reach",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        val active = e.groupBy("day").agg(count(lit(1)).as("n_active"))
-        val firstSeen = e.groupBy("user_id").agg(min("day").as("day"))
-          .groupBy("day").agg(count(lit(1)).as("n_new"))
-        val w = Window.orderBy(col("day").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        active.join(firstSeen, Seq("day"), "left")
-          .na.fill(0L, Seq("n_new"))
-          .withColumn("cum_reach", sum("n_new").over(w))
-          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-            col("n_active"), col("n_new"), col("cum_reach"))
-      },
-      Some("""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-            FROM events),
-          a AS (SELECT day, count(*) AS n_active FROM e GROUP BY 1),
-          f AS (SELECT user_id, min(day) AS day FROM e GROUP BY 1),
-          nn AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
-        SELECT strftime(a.day, '%Y-%m-%d') AS day, a.n_active,
-          coalesce(nn.n_new, 0) AS n_new,
-          CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY a.day
-            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_reach
-        FROM a LEFT JOIN nn USING (day)""")),
-
-    // Cohort LTV curve: cumulative purchase revenue per signup cohort by
-    // day offset — the money sibling of q_seq_cohort's retention counts.
-    // Revenue accumulates in exact BIGINT cents; the only window runs
-    // over the (cohort, offset) GRID (calendar² rows, not events), and
-    // the per-user mean divides once at presentation.
-    ("q_agg_ltv",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-        val cohort = e.groupBy("user_id")
-          .agg(min(to_date(col("ts"))).as("cohort_day"))
-        val sizes = cohort.groupBy("cohort_day")
-          .agg(count(lit(1)).as("n_cohort"))
-        val rev = e.filter(col("event_type") === "purchase")
-          .join(cohort, Seq("user_id"))
-          .groupBy(col("cohort_day"),
-            datediff(to_date(col("ts")), col("cohort_day"))
-              .cast("long").as("day_offset"))
-          .agg(sum(cents(col("value"))).as("rev_cents"))
-        val w = Window.partitionBy("cohort_day")
-          .orderBy(col("day_offset").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        rev.withColumn("cum_cents", sum("rev_cents").over(w))
-          .join(broadcast(sizes), Seq("cohort_day"))
-          .select(date_format(col("cohort_day"), "yyyy-MM-dd")
-              .as("cohort_day"),
-            col("day_offset"), col("rev_cents"), col("cum_cents"),
-            col("n_cohort"),
-            (floor(lit(1e4) * col("cum_cents").cast("double") /
-              col("n_cohort").cast("double")) / lit(1e6))
-              .as("ltv_per_user"))
-      },
-      Some(s"""WITH c AS (SELECT user_id, min(CAST(ts AS DATE))
-            AS cohort_day FROM events GROUP BY 1),
-          sz AS (SELECT cohort_day, count(*) AS n_cohort
-            FROM c GROUP BY 1),
-          r AS (SELECT c.cohort_day,
-              CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE))
-                AS BIGINT) AS day_offset,
-              CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS rev_cents
-            FROM events e JOIN c USING (user_id)
-            WHERE e.event_type = 'purchase' GROUP BY 1, 2),
-          cum AS (SELECT cohort_day, day_offset, rev_cents,
-              CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
-                ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                AS cum_cents
-            FROM r)
-        SELECT strftime(cum.cohort_day, '%Y-%m-%d') AS cohort_day,
-          day_offset, rev_cents, cum_cents, n_cohort,
-          floor(1e4 * CAST(cum_cents AS DOUBLE) /
-            CAST(n_cohort AS DOUBLE)) / 1e6 AS ltv_per_user
-        FROM cum JOIN sz ON cum.cohort_day = sz.cohort_day""")),
-
-    // Longest consecutive-active-day streak per user (islands on the
-    // per-user day grid — gamified-engagement's favorite metric), rolled
-    // into a streak-length histogram. Both windows are per-user and
-    // bounded by the user's distinct active days.
-    ("q_window_streak",
-      (s: SparkSession, d: String) => {
-        val days = t(s, d, "events")
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        val w = Window.partitionBy("user_id").orderBy(col("day").asc)
-        val streaks = days
-          .withColumn("rn", row_number().over(w))
-          .withColumn("grp", expr("date_sub(day, rn)"))
-          .groupBy("user_id", "grp")
-          .agg(count(lit(1)).as("len"))
-          .groupBy("user_id")
-          .agg(max("len").as("best_streak"))
-        streaks.groupBy("best_streak")
-          .agg(count(lit(1)).as("n_users"))
-      },
-      Some("""WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-            FROM events),
-          g AS (SELECT user_id, day,
-              day - CAST(row_number() OVER (PARTITION BY user_id
-                ORDER BY day) AS INTEGER) AS grp
-            FROM d),
-          st AS (SELECT user_id, count(*) AS len
-            FROM g GROUP BY user_id, grp),
-          best AS (SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
-            FROM st GROUP BY 1)
-        SELECT best_streak, count(*) AS n_users
-        FROM best GROUP BY 1""")),
-
-    // Freshness / watermark-lag report: per event type, the newest event
-    // and its lag behind the global high-water mark — the staleness SLA
-    // panel every incremental pipeline watches (a type whose feed died
-    // shows a growing lag while the table still "has data"). Two tiny
-    // aggregates, the global mark broadcast as one row.
-    ("q_incr_freshness",
-      (s: SparkSession, d: String) => {
-        val perType = t(s, d, "events").groupBy("event_type")
-          .agg(max(unix_micros(col("ts"))).as("max_us"),
-            count(lit(1)).as("n_events"))
-        val global = perType.agg(max("max_us").as("global_us"))
-        perType.crossJoin(broadcast(global))
-          .select(col("event_type"), col("n_events"),
-            date_format((col("max_us") / lit(1000000L)).cast("timestamp"),
-              "yyyy-MM-dd HH:mm:ss").as("latest"),
-            ((col("global_us") - col("max_us")) / lit(1000000L))
-              .cast("long").as("lag_seconds"))
-      },
-      Some("""WITH p AS (SELECT event_type, max(epoch_us(ts)) AS max_us,
-            count(*) AS n_events FROM events GROUP BY 1),
-          g AS (SELECT max(max_us) AS global_us FROM p)
-        SELECT event_type, n_events,
-          strftime(to_timestamp(max_us // 1000000), '%Y-%m-%d %H:%M:%S')
-            AS latest,
-          CAST((global_us - max_us) // 1000000 AS BIGINT) AS lag_seconds
-        FROM p, g""")),
-
-    // User reactivation distribution: a reactivation is a return after
-    // >=2 idle days (the lag-window gap rule; the threshold matches the
-    // fixture's event density — a 30-day dense stream has no week-long
-    // gaps); the rollup buckets users by
-    // how often they churned-and-returned — the lifecycle histogram
-    // retention teams track. Per-user window (bounded), exact day math.
-    ("q_seq_reactivation",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val perUser = t(s, d, "events")
-          .withColumn("gap_days",
-            datediff(to_date(col("ts")),
-              lag(to_date(col("ts")), 1).over(w)))
-          .groupBy("user_id")
-          .agg(sum(when(col("gap_days") >= 2, 1L).otherwise(0L))
-            .as("n_reactivations"))
-        perUser.groupBy("n_reactivations")
-          .agg(count(lit(1)).as("n_users"))
-      },
-      Some("""WITH g AS (SELECT user_id,
-            date_diff('day', lag(CAST(ts AS DATE)) OVER (
-              PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
-              CAST(ts AS DATE)) AS gap_days
-          FROM events),
-        pu AS (SELECT user_id,
-            CAST(sum(CASE WHEN gap_days >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_reactivations
-          FROM g GROUP BY 1)
-        SELECT n_reactivations, count(*) AS n_users
-        FROM pu GROUP BY 1""")),
-
-    // Backfill planner: which CONTIGUOUS day ranges are missing from a
-    // partitioned table — the recompute scoping step of an incremental
-    // pipeline (backfills are issued per gap RANGE, not per day). A
-    // deterministic subset of days is excluded to simulate loss; missing
-    // days come from an anti-join against the calendar, and consecutive
-    // days collapse into ranges via the islands trick (day minus
-    // row_number is constant within a run). All windows are
-    // calendar-bounded.
-    // Changed-partition detection (Incremental.changedPartitions): which
-    // months did a new source generation touch? Current = base minus every
-    // 89th order (deletes) with every 97th order's custkey bumped
-    // (updates); a month is recomputed only if its content fingerprint
-    // moved. The oracle derives the expected statuses in closed form from
-    // the same predicates — certifying the detector's OUTPUT (no false
-    // changes, no missed changes on this fixture), while the fingerprint
-    // mechanics (order-independence, add/remove/change taxonomy) are
-    // spec-pinned.
-    ("q_incr_changed_partitions",
-      (s: SparkSession, d: String) => {
-        val base = t(s, d, "orders").select(
-          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
-          col("o_orderkey").cast("long").as("k"),
-          col("o_custkey").cast("long").as("ck"),
-          col("o_orderstatus"))
-        val current = base.filter(col("k") % 89 =!= 0)
-          .withColumn("ck", when(col("k") % 97 === 0, col("ck") + 1)
-            .otherwise(col("ck")))
-        Incremental.changedPartitions(base, current, "month")
-      },
-      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
-          count(*) AS n_base,
-          CAST(sum(CASE WHEN o_orderkey % 89 <> 0 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_current,
-          CASE WHEN sum(CASE WHEN o_orderkey % 89 <> 0 THEN 1 ELSE 0 END)
-              = 0 THEN 'removed'
-            WHEN max(CASE WHEN o_orderkey % 89 = 0 OR o_orderkey % 97 = 0
-              THEN 1 ELSE 0 END) = 1 THEN 'changed'
-            ELSE 'unchanged' END AS status
-        FROM orders GROUP BY 1""")),
-
-    // Out-of-orderness audit — the measurement that sizes a streaming
-    // watermark delay: replay each user's events in ARRIVAL order
-    // (event_id) and compare event time against the user's running
-    // event-time frontier; an event below the frontier is late, its gap
-    // the lateness magnitude. One per-user window (parallel by key),
-    // then a combine-enabled rollup per event type: late share and the
-    // max/p-ish lateness the watermark must tolerate.
-    ("q_incr_out_of_order",
-      (s: SparkSession, d: String) => {
-        // deterministic arrival perturbation (the fixture's event_id is
-        // already time-ordered — unperturbed, the audit is trivially all
-        // zeros and the oracle compare proves nothing)
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("arrival").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        t(s, d, "events")
-          .withColumn("arrival",
-            col("event_id") + (col("event_id") % 7) * 3)
-          .withColumn("frontier", max(col("ts")).over(w))
-          .withColumn("late_s",
-            when(col("ts") < col("frontier"),
-              (unix_timestamp(col("frontier")) - unix_timestamp(col("ts")))
-                .cast("long")).otherwise(lit(0L)))
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_events"),
-            sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_late"),
-            max("late_s").as("max_late_s"),
-            sum("late_s").as("sum_late_s"))
-      },
-      Some("""WITH e AS (SELECT event_type, ts, user_id, event_id,
-            event_id + (event_id % 7) * 3 AS arrival FROM events),
-        f AS (SELECT event_type, ts,
-            max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              AS frontier
-          FROM e),
-        l AS (SELECT event_type,
-            CASE WHEN ts < frontier
-              THEN CAST(date_diff('second', ts, frontier) AS BIGINT)
-              ELSE 0 END AS late_s
-          FROM f)
-        SELECT event_type, count(*) AS n_events,
-          CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_late,
-          CAST(max(late_s) AS BIGINT) AS max_late_s,
-          CAST(sum(late_s) AS BIGINT) AS sum_late_s
-        FROM l GROUP BY 1""")),
-
-    // Watermark sizing sweep: for candidate watermark delays W, how many
-    // events would a streaming job DROP (lateness > W, against the same
-    // deterministically perturbed arrival order as q_incr_out_of_order)?
-    // The table that turns that audit's lateness stats into the actual
-    // sizing decision — pick the smallest W with acceptable loss. ONE
-    // pass: the per-user frontier window (domain-bounded), a single
-    // conditional aggregate of all five W cells, and a 5-row explode of
-    // the one-row result.
-    ("q_incr_watermark_sweep",
-      (s: SparkSession, d: String) => {
-        val ws = Seq(0L, 60L, 300L, 900L, 3600L)
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("arrival").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val late = t(s, d, "events")
-          .withColumn("arrival",
-            col("event_id") + (col("event_id") % 7) * 3)
-          .withColumn("frontier", max(col("ts")).over(w))
-          .withColumn("late_s",
-            when(col("ts") < col("frontier"),
-              (unix_timestamp(col("frontier")) - unix_timestamp(col("ts")))
-                .cast("long")).otherwise(lit(0L)))
-        val aggs = count(lit(1)).as("n") +: ws.map(wm =>
-          sum(when(col("late_s") > wm, 1L).otherwise(0L)).as(s"d_$wm"))
-        val one = late.agg(aggs.head, aggs.tail: _*)
-        one.select(col("n"), explode(array(ws.map(wm =>
-            struct(lit(wm).as("watermark_s"),
-              col(s"d_$wm").as("n_dropped"))): _*)).as("s"))
-          .select(col("s.watermark_s").as("watermark_s"), col("n"),
-            col("s.n_dropped").as("n_dropped"),
-            floor((col("n") - col("s.n_dropped")).cast("double") *
-              lit(1e6) / col("n").cast("double")).cast("long")
-              .as("retained_ppm"))
-      },
-      Some("""WITH e AS (SELECT ts, user_id, event_id,
-            event_id + (event_id % 7) * 3 AS arrival FROM events),
-        f AS (SELECT ts,
-            max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-              AS frontier
-          FROM e),
-        l AS (SELECT CASE WHEN ts < frontier
-            THEN CAST(date_diff('second', ts, frontier) AS BIGINT)
-            ELSE 0 END AS late_s FROM f),
-        a AS (SELECT count(*) AS n,
-            CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
-              AS d_0,
-            CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
-              AS d_60,
-            CAST(sum(CASE WHEN late_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
-              AS d_300,
-            CAST(sum(CASE WHEN late_s > 900 THEN 1 ELSE 0 END) AS BIGINT)
-              AS d_900,
-            CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
-              AS d_3600
-          FROM l),
-        u AS (SELECT CAST(0 AS BIGINT) AS watermark_s, n, d_0 AS n_dropped
-            FROM a
-          UNION ALL SELECT 60, n, d_60 FROM a
-          UNION ALL SELECT 300, n, d_300 FROM a
-          UNION ALL SELECT 900, n, d_900 FROM a
-          UNION ALL SELECT 3600, n, d_3600 FROM a)
-        SELECT watermark_s, n, n_dropped,
-          CAST(floor(CAST(n - n_dropped AS DOUBLE) * 1e6
-            / CAST(n AS DOUBLE)) AS BIGINT) AS retained_ppm
-        FROM u""")),
-
-    // CDC changelog netting (Incremental.netChanges) — the executable form
-    // of the reference's DMS CDC apply: a deterministic I/U/D changelog
-    // built from orders nets to final row images (last writer wins on the
-    // sequence, delete tombstones drop the key) BEFORE any merge replays
-    // it. One per-key window, parallel by key; key history per apply
-    // window is small by CDC contract.
-    ("q_incr_cdc_apply",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(col("o_orderkey").as("id"),
-          col("o_orderstatus").as("status"),
-          cents(col("o_totalprice")).as("price_cents"))
-        val log = o.select(col("id"), lit(1L).as("seq"), lit("I").as("op"),
-            col("status"), col("price_cents"))
-          .union(o.filter(col("id") % 3 === 0)
-            .select(col("id"), lit(2L).as("seq"), lit("U").as("op"),
-              lit("X").as("status"),
-              (col("price_cents") + 777L).as("price_cents")))
-          .union(o.filter(col("id") % 5 === 0)
-            .select(col("id"), lit(3L).as("seq"), lit("D").as("op"),
-              lit(null).cast("string").as("status"),
-              lit(null).cast("long").as("price_cents")))
-        Incremental.netChanges(log, Seq("id"), "seq", "op")
-      },
-      Some(s"""WITH o AS (SELECT o_orderkey AS id,
-            o_orderstatus AS status,
-            ${centsSql("o_totalprice")} AS price_cents
-          FROM orders),
-        log AS (
-          SELECT id, CAST(1 AS BIGINT) AS seq, 'I' AS op, status,
-            price_cents FROM o
-          UNION ALL SELECT id, 2, 'U', 'X', price_cents + 777 FROM o
-            WHERE id % 3 = 0
-          UNION ALL SELECT id, 3, 'D', NULL, NULL FROM o
-            WHERE id % 5 = 0),
-        r AS (SELECT *, row_number() OVER (PARTITION BY id
-            ORDER BY seq DESC) AS rn FROM log)
-        SELECT id, seq, op, status, price_cents
-        FROM r WHERE rn = 1 AND op <> 'D'""")),
-
-    ("q_incr_backfill",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-        val present = e.filter(dayofmonth(col("ts")) % 7 =!= 3 &&
-            !dayofmonth(col("ts")).between(20, 22))
-          .select(to_date(col("ts")).as("day")).distinct()
-        val cal = e.agg(min(to_date(col("ts"))).as("lo"),
-            max(to_date(col("ts"))).as("hi"))
-          .select(explode(sequence(col("lo"), col("hi"))).as("day"))
-        val w = Window.orderBy(col("day").asc)
-        cal.join(present, Seq("day"), "left_anti")
-          .withColumn("rn", row_number().over(w))
-          .withColumn("grp", expr("date_sub(day, rn)"))
-          .groupBy("grp")
-          .agg(date_format(min("day"), "yyyy-MM-dd").as("gap_start"),
-            date_format(max("day"), "yyyy-MM-dd").as("gap_end"),
-            count(lit(1)).as("n_days"))
-          .drop("grp")
-      },
-      Some("""WITH b AS (SELECT min(CAST(ts AS DATE)) AS lo,
-              max(CAST(ts AS DATE)) AS hi FROM events),
-          cal AS (SELECT CAST(unnest(generate_series(lo, hi,
-            INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-          present AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
-            WHERE day(ts) % 7 <> 3 AND day(ts) NOT BETWEEN 20 AND 22),
-          missing AS (SELECT day,
-              day - CAST(row_number() OVER (ORDER BY day) AS INTEGER)
-                AS grp
-            FROM cal ANTI JOIN present USING (day))
-        SELECT strftime(min(day), '%Y-%m-%d') AS gap_start,
-          strftime(max(day), '%Y-%m-%d') AS gap_end,
-          count(*) AS n_days
-        FROM missing GROUP BY grp""")),
-
-    // Trailing-7-day distinct users per day — the sliding count-distinct
-    // that has NO incremental form (users leave the window): the
-    // scale-correct rewrite explodes each distinct (user, active-day) into
-    // its <= 7 covering windows (bounded fan-out, corpus-linear) and
-    // re-distincts per window — never a running distinct state, never a
-    // per-day rescan. Windows clipped to days with actual activity.
-    ("q_agg_sliding_reach",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        val bounds = e.agg(max("day").as("max_day"))
-        e.crossJoin(broadcast(bounds))
-          .select(col("user_id"),
-            explode(sequence(col("day"),
-              least(date_add(col("day"), 6), col("max_day")))).as("w_day"))
-          .distinct()
-          .groupBy("w_day")
-          .agg(count(lit(1)).as("n_users_7d"))
-          .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"),
-            col("n_users_7d"))
-      },
-      Some("""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-            FROM events),
-          b AS (SELECT max(day) AS max_day FROM e),
-          w AS (SELECT DISTINCT user_id, day + CAST(o AS INTEGER) AS w_day
-            FROM e, b, UNNEST(range(0, 7)) AS u(o)
-            WHERE day + CAST(o AS INTEGER) <= max_day)
-        SELECT strftime(w_day, '%Y-%m-%d') AS day,
-          count(*) AS n_users_7d
-        FROM w GROUP BY 1""")),
-
-    // Incremental rollup maintenance: the merged (base-partial + delta-
-    // partial) aggregate must equal the full recompute — the algebraic
-    // mergeability that lets a 100 TB daily rollup absorb a new partition
-    // by combining partials instead of rescanning history. The oracle IS
-    // the full recompute, so the hash-match is the maintenance proof.
-    ("q_incr_agg_merge",
-      (s: SparkSession, d: String) => {
-        val split = lit("2024-01-20").cast("timestamp")
-        def rollup(df: DataFrame): DataFrame = df
-          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-            col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(cents(col("value"))).as("value_cents"))
-        val e = t(s, d, "events")
-        rollup(e.filter(col("ts") < split))
-          .unionByName(rollup(e.filter(col("ts") >= split)))
-          .groupBy("day", "event_type")
-          .agg(sum("n").as("n"), sum("value_cents").as("value_cents"))
-      },
-      Some(s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-          count(*) AS n,
-          CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS value_cents
-        FROM events GROUP BY 1, 2""")),
-
-    // Incremental JOIN-view maintenance — the delta-join algebra:
-    //   (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
-    // The maintained per-priority revenue rollup is the base partial
-    // (old⋈old, in production a stored table) merged with the three delta
-    // contributions — each delta term joins a DELTA-sized side, so
-    // absorbing a batch costs |Δ|-proportional work, never a rescan of
-    // history. Deltas are split on INDEPENDENT keys (orders by orderkey,
-    // lineitem by linenumber) so every cross term is non-empty and the
-    // oracle — the full recompute — certifies the whole algebra.
-    ("q_incr_join_delta",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
-          col("o_orderpriority").as("prio"),
-          (col("o_orderkey") % 10 === 0).as("dlt"))
-        val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
-          cents(col("l_extendedprice")).as("rev"),
-          (col("l_linenumber") % 3 === 0).as("dlt"))
-        def part(a: DataFrame, b: DataFrame): DataFrame =
-          a.drop("dlt").join(b.drop("dlt"), "ok")
-            .groupBy("prio")
-            .agg(count(lit(1)).as("n"), sum("rev").as("rev_cents"))
-        val base = part(o.filter(!col("dlt")), li.filter(!col("dlt")))
-        val dA = part(o.filter(col("dlt")), li.filter(!col("dlt")))
-        val dB = part(o.filter(!col("dlt")), li.filter(col("dlt")))
-        val dAB = part(o.filter(col("dlt")), li.filter(col("dlt")))
-        base.unionByName(dA).unionByName(dB).unionByName(dAB)
-          .groupBy("prio")
-          .agg(sum("n").as("n"), sum("rev_cents").as("rev_cents"))
-      },
-      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
-          CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS rev_cents
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY 1""")),
-
-    // Post-backfill reconciliation audit (Recon.diff): the "right" table
-    // is orders after a simulated faulty migration — every 97th key
-    // dropped, every 89th price drifted one cent, every 101st key
-    // re-added under a rogue negative id — and the diff must recover
-    // EXACTLY that fault set with per-column drill-down. One full-outer
-    // co-partitioned join; matched rows are never emitted (at 100 TB the
-    // diff is the output contract, not a table copy).
-    ("q_recon_rowdiff",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
-          cents(col("o_totalprice")).as("price_cents"),
-          col("o_orderstatus").as("ostatus"),
-          col("o_orderpriority").as("prio"))
-        val right = o.filter(col("k") % 97 =!= 0)
-          .withColumn("price_cents", col("price_cents") +
-            when(col("k") % 89 === 0, 1L).otherwise(0L))
-          .unionByName(o.filter(col("k") % 101 === 0)
-            .withColumn("k", -col("k")))
-        Recon.diff(o, right, Seq("k"),
-          Seq("price_cents", "ostatus", "prio"))
-      },
-      Some(s"""WITH l AS (SELECT o_orderkey AS k,
-            ${centsSql("o_totalprice")} AS price_cents,
-            o_orderstatus AS ostatus, o_orderpriority AS prio
-          FROM orders),
-        r AS (SELECT k, price_cents
-              + CASE WHEN k % 89 = 0 THEN 1 ELSE 0 END AS price_cents,
-            ostatus, prio FROM l WHERE k % 97 <> 0
-          UNION ALL
-          SELECT -k, price_cents, ostatus, prio FROM l WHERE k % 101 = 0),
-        j AS (SELECT coalesce(l.k, r.k) AS k,
-            l.k IS NOT NULL AS lp, r.k IS NOT NULL AS rp,
-            l.price_cents AS lpc, r.price_cents AS rpc,
-            l.ostatus AS lo, r.ostatus AS ro,
-            l.prio AS lpr, r.prio AS rpr
-          FROM l FULL OUTER JOIN r ON l.k = r.k),
-        o AS (SELECT k,
-            CASE WHEN NOT rp THEN 'removed' WHEN NOT lp THEN 'added'
-              ELSE 'changed' END AS status,
-            CASE WHEN lp AND rp THEN concat_ws(',',
-                CASE WHEN lpc IS NOT DISTINCT FROM rpc THEN NULL
-                  ELSE 'price_cents' END,
-                CASE WHEN lo IS NOT DISTINCT FROM ro THEN NULL
-                  ELSE 'ostatus' END,
-                CASE WHEN lpr IS NOT DISTINCT FROM rpr THEN NULL
-                  ELSE 'prio' END)
-              ELSE '' END AS changed_cols
-          FROM j)
-        SELECT k, status, changed_cols FROM o
-        WHERE status <> 'changed' OR changed_cols <> ''""")),
-
-    // Time-series densification: hourly resample (max value per hour) onto
-    // each event type's full hour grid, gaps filled by
-    // last-observation-carried-forward. The grid is calendar-bounded (hours
-    // between first and last event), so the per-type window state never
-    // scales with event volume — the corpus-sized work is one
-    // combine-enabled hourly aggregate.
-    ("q_agg_gapfill",
-      (s: SparkSession, d: String) => {
-        val hourly = t(s, d, "events")
-          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-          .agg(max(col("value")).as("v"))
-          .select(col("w.start").as("hour"), col("event_type"), col("v"))
-        val grid = hourly.groupBy("event_type")
-          .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-          .select(col("event_type"),
-            explode(sequence(col("h0"), col("h1"),
-              expr("interval 1 hour"))).as("hour"))
-        val w = Window.partitionBy("event_type").orderBy("hour")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        grid.join(hourly, Seq("event_type", "hour"), "left_outer")
-          .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
-          .select(col("event_type"),
-            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-            col("filled"),
-            col("v").isNull.cast("long").as("is_gap"))
-      },
-      Some("""WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
-            event_type, max("value") AS v
-          FROM events GROUP BY 1, 2),
-        bounds AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
-          FROM hourly GROUP BY 1),
-        grid AS (SELECT event_type,
-            unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
-          FROM bounds),
-        j AS (SELECT g.event_type, g.hour, h.v
-          FROM grid g LEFT JOIN hourly h USING (event_type, hour))
-        SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-          last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
-            ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS filled,
-          CAST(v IS NULL AS BIGINT) AS is_gap
-        FROM j""")),
-
-    // Recency-decayed per-user engagement features — the feature-
-    // engineering step of a behavioral/user-model pipeline (recent
-    // activity outweighs stale activity). The decay is a POWER-OF-TWO
-    // half-life (one halving per 168h week, capped at 40 shifts): value
-    // micros are right-shifted by the integer week count, so the entire
-    // computation is BIGINT arithmetic — exact, order-independent, and
-    // replayed bit-for-bit by the oracle (exp()-based decay would hit the
-    // engine-variant-transcendental problem; a shift is the same number
-    // everywhere). ONE combine-enabled aggregate after a broadcast of the
-    // 1-row corpus max-timestamp; no windows, no per-user state.
-    ("q_agg_decay", {
-      ((s: SparkSession, d: String) => {
-        val ev = t(s, d, "events").select(col("user_id"),
-          col("ts").cast("long").as("ep"),
-          floor(col("value") * 1e6).cast("long").as("micros"))
-        val ref = ev.agg(max(col("ep")).as("ref_ep"))
-        ev.crossJoin(broadcast(ref))
-          .withColumn("sh", least(
-            expr("((ref_ep - ep) div 3600) div 168"), lit(40L)).cast("int"))
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("micros")).as("raw_sum"),
-            sum(expr("shiftright(micros, sh)")).as("dec_sum"),
-            sum(expr("shiftright(1000000, sh)").cast("long")).as("dec_n"),
-            expr("(max(ref_ep) - max(ep)) div 3600").as("hours_idle"))
-          .select(col("user_id"), col("n_events"), col("raw_sum"),
-            col("dec_sum"), col("dec_n"), col("hours_idle"),
-            (col("dec_sum").cast("double") / 1e6).as("engagement"))
-      }): Q
-      },
-      Some("""WITH ev AS (SELECT user_id,
-            epoch_us(ts) // 1000000 AS ep,
-            CAST(floor("value" * 1e6) AS BIGINT) AS micros FROM events),
-          r AS (SELECT max(ep) AS ref_ep FROM ev),
-          d AS (SELECT user_id, ep, micros, ref_ep,
-              CAST(least(((ref_ep - ep) // 3600) // 168, 40) AS INT) AS sh
-            FROM ev, r)
-          SELECT user_id, count(*) AS n_events,
-            CAST(sum(micros) AS BIGINT) AS raw_sum,
-            CAST(sum(micros >> sh) AS BIGINT) AS dec_sum,
-            CAST(sum(1000000 >> sh) AS BIGINT) AS dec_n,
-            (max(ref_ep) - max(ep)) // 3600 AS hours_idle,
-            CAST(CAST(sum(micros >> sh) AS BIGINT) AS DOUBLE) / 1e6
-              AS engagement
-          FROM d GROUP BY 1""")),
-
-    // Integer-exact z-score anomaly gate: hourly count cells per event
-    // type, flagged when (x*n - s1)^2 > 9*(n*s2 - s1^2) — the 3-sigma test
-    // multiplied through by n^2 so every comparison is an exact BIGINT
-    ("q_agg_anomaly",
-      (s: SparkSession, d: String) => graft.ops.Stats.countAnomalies(
-          t(s, d, "events"), Seq("event_type"),
-          date_trunc("hour", col("ts")), k = 3)
-        .select(col("event_type"),
-          date_format(col("cell"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("n_rows"), col("n_cells"), col("s1"), col("s2")),
-      Some("""WITH cells AS (SELECT event_type,
-            date_trunc('hour', ts) AS cell, count(*) AS n_rows
-          FROM events GROUP BY 1, 2),
-        m AS (SELECT event_type, count(*) AS n_cells,
-            CAST(sum(n_rows) AS BIGINT) AS s1,
-            CAST(sum(n_rows * n_rows) AS BIGINT) AS s2
-          FROM cells GROUP BY 1)
-        SELECT c.event_type, strftime(c.cell, '%Y-%m-%d %H:%M:%S') AS hour,
-          c.n_rows, m.n_cells, m.s1, m.s2
-        FROM cells c JOIN m USING (event_type)
-        WHERE (c.n_rows * m.n_cells - m.s1) * (c.n_rows * m.n_cells - m.s1)
-          > 9 * (m.n_cells * m.s2 - m.s1 * m.s1)""")),
-
-    // Training-sequence construction (beyond reference): each user's first
-    // 20 events, time-ordered with an exact tie-break, as one
-    // comma-joined behavioral sequence — the sequence-building step a
-    // user-model pipeline feeds a tokenizer. One shuffle: ordered window
-    // rank + the groupBy share the (user_id) partitioning; the per-row
-    // transform touches <= 20 elements.
-    ("q_seq_events",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        t(s, d, "events")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 20)
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("rn"), col("event_type")))),
-              x => x.getField("event_type")), ",").as("sequence"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type,
-          row_number() OVER (PARTITION BY user_id
-            ORDER BY ts ASC, event_id ASC) AS rn
-          FROM events)
-        SELECT user_id, count(*) AS n_events,
-          string_agg(event_type, ',' ORDER BY rn) AS sequence
-        FROM r WHERE rn <= 20 GROUP BY 1""")),
-
-    // User-journey transition matrix (first-order Markov stats): adjacent
-    // event-type pairs within each user's timeline, with the conditional
-    // probability of each successor — floor-quantized from exact integer
-    // counts. The lead() window is USER-bounded (same state bound as
-    // sessionize); the corpus-sized work is one combine-enabled groupBy
-    // over (from, to) pairs.
-    ("q_seq_transitions",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .groupBy(col("event_type").as("from_type"),
-            col("next").as("to_type"))
-          .agg(count(lit(1)).as("n"))
-        val outTotals = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
-        tr.join(broadcast(outTotals), Seq("from_type"))
-          .select(col("from_type"), col("to_type"), col("n"),
-            (floor(col("n").cast("double") / col("tot").cast("double") * 1e6)
-              / 1e6).as("p_next"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
-            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
-          FROM events),
-        tr AS (SELECT event_type AS from_type, next AS to_type,
-            count(*) AS n
-          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
-        tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
-          FROM tr GROUP BY 1)
-        SELECT from_type, to_type, n,
-          floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6) / 1e6 AS p_next
-        FROM tr JOIN tot USING (from_type)""")),
-
-    // Markov-chain analysis of the event stream: Laplace-smoothed
-    // transition matrix + 3-round integer power iteration toward the
-    // stationary distribution — "where do user journeys spend their
-    // time" as one deterministic number per state. The corpus collapses
-    // to the (event-type x event-type) count matrix first (the
-    // vocabulary-bounded table); smoothing fills the zero cells, so even
-    // absorbing/unseen states get the uniform row. All arithmetic is
-    // BIGINT fixed-point (probabilities in ppm, mass at 1e12 scale,
-    // per-term floor division) — replayable bit-for-bit by the oracle's
-    // unrolled round CTEs.
-    ("q_seq_markov",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
-          .agg(count(lit(1)).as("c"))
-        val states = tr.select(col("tsrc").as("st"))
-          .union(tr.select(col("tdst").as("st"))).distinct()
-        val kdf = states.agg(count(lit(1)).as("k"))
-        val tot = tr.groupBy(col("tsrc").as("osrc"))
-          .agg(sum("c").as("tot"))
-        val m = broadcast(states.select(col("st").as("msrc")))
-          .crossJoin(broadcast(states.select(col("st").as("mdst"))))
-          .join(tr, col("msrc") === col("tsrc") &&
-            col("mdst") === col("tdst"), "left")
-          .join(broadcast(tot), col("msrc") === col("osrc"), "left")
-          .crossJoin(broadcast(kdf))
-          .select(col("msrc"), col("mdst"),
-            expr("(coalesce(c, 0L) + 1) * 1000000L div " +
-              "(coalesce(tot, 0L) + k)").as("p"))
-          // the k²-row matrix is referenced every round: materialize it
-          // once, or each round re-runs the corpus-wide transition scan
-          .localCheckpoint()
-        var v = states.crossJoin(broadcast(kdf))
-          .select(col("st"), expr("1000000000000L div k").as("v"))
-        for (_ <- 1 to 3) {
-          v = v.join(m, col("st") === col("msrc"))
-            .groupBy(col("mdst"))
-            .agg(sum(expr("v * p div 1000000L")).as("v"))
-            .select(col("mdst").as("st"), col("v"))
-        }
-        states.join(broadcast(tot), col("st") === col("osrc"), "left")
-          .join(v, Seq("st"))
-          .select(col("st"), coalesce(col("tot"), lit(0L)).as("n_out"),
-            col("v").as("v_scaled"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
-            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
-          FROM events),
-        tr AS (SELECT event_type AS tsrc, next AS tdst, count(*) AS c
-          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
-        st AS (SELECT DISTINCT s AS st FROM (SELECT tsrc AS s FROM tr
-          UNION ALL SELECT tdst FROM tr)),
-        k AS (SELECT count(*) AS k FROM st),
-        tot AS (SELECT tsrc AS osrc, CAST(sum(c) AS BIGINT) AS tot
-          FROM tr GROUP BY 1),
-        m AS (SELECT a.st AS msrc, b.st AS mdst,
-            CAST((COALESCE(c, 0) + 1) * 1000000
-              // (COALESCE(tot, 0) + k) AS BIGINT) AS p
-          FROM st a CROSS JOIN st b CROSS JOIN k
-          LEFT JOIN tr ON tr.tsrc = a.st AND tr.tdst = b.st
-          LEFT JOIN tot ON tot.osrc = a.st),
-        v0 AS (SELECT st, CAST(1000000000000 // k AS BIGINT) AS v
-          FROM st, k),
-        v1 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
-          AS v FROM v0 JOIN m ON v0.st = m.msrc GROUP BY 1),
-        v2 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
-          AS v FROM v1 JOIN m ON v1.st = m.msrc GROUP BY 1),
-        v3 AS (SELECT mdst AS st, CAST(sum(v * p // 1000000) AS BIGINT)
-          AS v FROM v2 JOIN m ON v2.st = m.msrc GROUP BY 1)
-        SELECT st, COALESCE(tot, 0) AS n_out, v AS v_scaled
-        FROM st LEFT JOIN tot ON st.st = tot.osrc
-        JOIN v3 USING (st)""")),
-
-    // Markov next-event prediction, EVALUATED: train the argmax-next
-    // table on even user_ids, score it on odd users' transitions —
-    // per-state predicted event, held-out hit count, and accuracy. The
-    // baseline every sequence model must beat, with the train/test
-    // split that makes the number honest (self-scoring a majority-class
-    // predictor is circular). The predictor table is vocabulary-bounded
-    // (argmax via a 25-row window); scoring is one broadcast join over
-    // the held-out transition counts.
-    // Model-order selection for the sequence baseline: FIRST- vs
-    // SECOND-order Markov next-event predictors trained on even users,
-    // scored on held-out odd users, side by side. The order-2 state
-    // space is vocabulary² (25 contexts — domain-bounded); contexts
-    // unseen in training fall back to the order-1 prediction (the
-    // standard backoff), so both rows score every held-out transition
-    // and the accuracy gap is the honest value of the extra state.
-    ("q_seq_markov2",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("prev", lag(col("event_type"), 1).over(w))
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .select(col("user_id"), coalesce(col("prev"), lit("^")).as("p2"),
-            col("event_type").as("p1"), col("next").as("nx"))
-        val train = tr.filter(col("user_id") % 2 === 0)
-        val pred1 = train.groupBy("p1", "nx")
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(Window.partitionBy("p1")
-            .orderBy(col("c").desc, col("nx").asc)))
-          .filter(col("rn") === 1)
-          .select(col("p1"), col("nx").as("pr1"))
-        val pred2 = train.groupBy("p2", "p1", "nx")
-          .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("p2", "p1")
-              .orderBy(col("c").desc, col("nx").asc)))
-          .filter(col("rn") === 1)
-          .select(col("p2"), col("p1"), col("nx").as("pr2"))
-        val eval_ = tr.filter(col("user_id") % 2 === 1)
-          .groupBy("p2", "p1", "nx").agg(count(lit(1)).as("n"))
-          .join(broadcast(pred1), Seq("p1"), "left")
-          .join(broadcast(pred2), Seq("p2", "p1"), "left")
-          .withColumn("pr2b", coalesce(col("pr2"), col("pr1")))
-        eval_.select(lit(1L).as("model_order"),
-            col("n"),
-            when(col("nx") === col("pr1"), col("n")).otherwise(0L)
-              .as("hit"))
-          .union(eval_.select(lit(2L).as("model_order"), col("n"),
-            when(col("nx") === col("pr2b"), col("n")).otherwise(0L)
-              .as("hit")))
-          .groupBy("model_order")
-          .agg(sum("n").as("n_eval"), sum("hit").as("n_correct"))
-          .withColumn("acc_ppm",
-            expr("n_correct * 1000000L div n_eval"))
-      },
-      Some("""WITH r AS (SELECT user_id,
-            coalesce(lag(event_type) OVER (PARTITION BY user_id
-              ORDER BY ts ASC, event_id ASC), '^') AS p2,
-            event_type AS p1,
-            lead(event_type) OVER (PARTITION BY user_id
-              ORDER BY ts ASC, event_id ASC) AS nx
-          FROM events),
-        tr AS (SELECT user_id, p2, p1, nx FROM r WHERE nx IS NOT NULL),
-        train AS (SELECT * FROM tr WHERE user_id % 2 = 0),
-        pred1 AS (SELECT p1, nx AS pr1 FROM (
-            SELECT p1, nx, row_number() OVER (PARTITION BY p1
-              ORDER BY count(*) DESC, nx ASC) AS rn
-            FROM train GROUP BY p1, nx) WHERE rn = 1),
-        pred2 AS (SELECT p2, p1, nx AS pr2 FROM (
-            SELECT p2, p1, nx, row_number() OVER (PARTITION BY p2, p1
-              ORDER BY count(*) DESC, nx ASC) AS rn
-            FROM train GROUP BY p2, p1, nx) WHERE rn = 1),
-        ev AS (SELECT e.p2, e.p1, e.nx, count(*) AS n,
-            any_value(pred1.pr1) AS pr1,
-            any_value(coalesce(pred2.pr2, pred1.pr1)) AS pr2b
-          FROM tr e
-          LEFT JOIN pred1 ON pred1.p1 = e.p1
-          LEFT JOIN pred2 ON pred2.p2 = e.p2 AND pred2.p1 = e.p1
-          WHERE e.user_id % 2 = 1
-          GROUP BY 1, 2, 3),
-        u AS (
-          SELECT CAST(1 AS BIGINT) AS model_order, n,
-            CASE WHEN nx = pr1 THEN n ELSE 0 END AS hit FROM ev
-          UNION ALL
-          SELECT CAST(2 AS BIGINT), n,
-            CASE WHEN nx = pr2b THEN n ELSE 0 END FROM ev)
-        SELECT model_order, CAST(sum(n) AS BIGINT) AS n_eval,
-          CAST(sum(hit) AS BIGINT) AS n_correct,
-          CAST(sum(hit) * 1000000 // sum(n) AS BIGINT) AS acc_ppm
-        FROM u GROUP BY 1""")),
-
-    ("q_seq_markov_eval",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .select(col("user_id"), col("event_type").as("from_type"),
-            col("next").as("to_type"))
-        val train = tr.filter(col("user_id") % 2 === 0)
-          .groupBy("from_type", "to_type").agg(count(lit(1)).as("c"))
-        val pred = train.withColumn("rn", row_number().over(
-            Window.partitionBy("from_type")
-              .orderBy(col("c").desc, col("to_type").asc)))
-          .filter(col("rn") === 1)
-          .select(col("from_type"), col("to_type").as("predicted"))
-        val eval_ = tr.filter(col("user_id") % 2 === 1)
-          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-        eval_.join(broadcast(pred), Seq("from_type"))
-          .groupBy("from_type")
-          .agg(first(col("predicted")).as("predicted"),
-            sum("n").as("n_eval"),
-            sum(when(col("to_type") === col("predicted"), col("n"))
-              .otherwise(0L)).as("n_correct"))
-          .select(col("from_type"), col("predicted"), col("n_eval"),
-            col("n_correct"),
-            floor(col("n_correct").cast("double") * lit(1e6) /
-              col("n_eval").cast("double")).cast("long").as("acc_ppm"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type)
-            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-            AS next FROM events),
-        tr AS (SELECT user_id, event_type AS from_type, next AS to_type
-          FROM r WHERE next IS NOT NULL),
-        train AS (SELECT from_type, to_type, count(*) AS c FROM tr
-          WHERE user_id % 2 = 0 GROUP BY 1, 2),
-        pred AS (SELECT from_type, to_type AS predicted FROM (
-            SELECT from_type, to_type, row_number() OVER (
-              PARTITION BY from_type ORDER BY c DESC, to_type ASC) AS rn
-            FROM train) WHERE rn = 1),
-        ev AS (SELECT from_type, to_type, count(*) AS n FROM tr
-          WHERE user_id % 2 = 1 GROUP BY 1, 2)
-        SELECT from_type, any_value(predicted) AS predicted,
-          CAST(sum(n) AS BIGINT) AS n_eval,
-          CAST(sum(CASE WHEN to_type = predicted THEN n ELSE 0 END)
-            AS BIGINT) AS n_correct,
-          CAST(floor(CAST(sum(CASE WHEN to_type = predicted THEN n
-              ELSE 0 END) AS DOUBLE) * 1e6
-            / CAST(sum(n) AS DOUBLE)) AS BIGINT) AS acc_ppm
-        FROM ev JOIN pred USING (from_type) GROUP BY 1""")),
-
-    // Absorption probability: per state, the probability a user journey
-    // REACHES 'purchase' within 4 steps under the smoothed Markov chain
-    // — the "conversion potential" of each funnel state (where
-    // q_seq_markov asks where journeys settle, this asks whether they
-    // convert first). Same vocabulary-bounded matrix; backward fixed-
-    // point in exact ppm BIGINT (p(purchase) pinned at 1e6, per-term
-    // floor division), unrolled in the oracle.
-    ("q_seq_absorption",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .filter(col("next").isNotNull)
-          .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
-          .agg(count(lit(1)).as("c"))
-        val states = tr.select(col("tsrc").as("st"))
-          .union(tr.select(col("tdst").as("st"))).distinct()
-        val kdf = states.agg(count(lit(1)).as("k"))
-        val tot = tr.groupBy(col("tsrc").as("osrc"))
-          .agg(sum("c").as("tot"))
-        val m = broadcast(states.select(col("st").as("msrc")))
-          .crossJoin(broadcast(states.select(col("st").as("mdst"))))
-          .join(tr, col("msrc") === col("tsrc") &&
-            col("mdst") === col("tdst"), "left")
-          .join(broadcast(tot), col("msrc") === col("osrc"), "left")
-          .crossJoin(broadcast(kdf))
-          .select(col("msrc"), col("mdst"),
-            expr("(coalesce(c, 0L) + 1) * 1000000L div " +
-              "(coalesce(tot, 0L) + k)").as("p"))
-          // the k²-row matrix is referenced every round: materialize it
-          // once, or each round re-runs the corpus-wide transition scan
-          .localCheckpoint()
-        var v = states.select(col("st"),
-          when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
-        for (_ <- 1 to 4) {
-          v = states.select(col("st").as("msrc"))
-            .join(m, Seq("msrc"))
-            .join(v.select(col("st").as("mdst"), col("v")), Seq("mdst"))
-            .groupBy(col("msrc"))
-            .agg(sum(expr("p * v div 1000000L")).as("v0"))
-            .select(col("msrc").as("st"),
-              when(col("st") === "purchase", 1000000L)
-                .otherwise(col("v0")).as("v"))
-        }
-        states.join(broadcast(tot), col("st") === col("osrc"), "left")
-          .join(v, Seq("st"))
-          .select(col("st"), coalesce(col("tot"), lit(0L)).as("n_out"),
-            col("v").as("p_reach_ppm"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type, lead(event_type) OVER (
-            PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next
-          FROM events),
-        tr AS (SELECT event_type AS tsrc, next AS tdst, count(*) AS c
-          FROM r WHERE next IS NOT NULL GROUP BY 1, 2),
-        st AS (SELECT DISTINCT s AS st FROM (SELECT tsrc AS s FROM tr
-          UNION ALL SELECT tdst FROM tr)),
-        k AS (SELECT count(*) AS k FROM st),
-        tot AS (SELECT tsrc AS osrc, CAST(sum(c) AS BIGINT) AS tot
-          FROM tr GROUP BY 1),
-        m AS (SELECT a.st AS msrc, b.st AS mdst,
-            CAST((COALESCE(c, 0) + 1) * 1000000
-              // (COALESCE(tot, 0) + k) AS BIGINT) AS p
-          FROM st a CROSS JOIN st b CROSS JOIN k
-          LEFT JOIN tr ON tr.tsrc = a.st AND tr.tdst = b.st
-          LEFT JOIN tot ON tot.osrc = a.st),
-        v0 AS (SELECT st, CASE WHEN st = 'purchase'
-            THEN CAST(1000000 AS BIGINT) ELSE 0 END AS v FROM st),
-        v1 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
-            THEN CAST(1000000 AS BIGINT)
-            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
-          FROM m JOIN v0 ON v0.st = m.mdst GROUP BY 1),
-        v2 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
-            THEN CAST(1000000 AS BIGINT)
-            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
-          FROM m JOIN v1 ON v1.st = m.mdst GROUP BY 1),
-        v3 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
-            THEN CAST(1000000 AS BIGINT)
-            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
-          FROM m JOIN v2 ON v2.st = m.mdst GROUP BY 1),
-        v4 AS (SELECT msrc AS st, CASE WHEN msrc = 'purchase'
-            THEN CAST(1000000 AS BIGINT)
-            ELSE CAST(sum(p * v // 1000000) AS BIGINT) END AS v
-          FROM m JOIN v3 ON v3.st = m.mdst GROUP BY 1)
-        SELECT st, COALESCE(tot, 0) AS n_out, v AS p_reach_ppm
-        FROM st LEFT JOIN tot ON st.st = tot.osrc
-        JOIN v4 USING (st)""")),
-
-    // Markov removal-effect attribution (Anderl et al. 2016 — the
-    // data-driven alternative to last-touch/U-shaped): journeys =
-    // user sequences split at each purchase, states = start ∪ channels ∪
-    // {purchase, null}. Base conversion probability = P(start reaches
-    // purchase within 6 steps) under the exact-ppm transition matrix;
-    // removing channel c kills every walk that enters c (v(c) pinned 0
-    // each round — node removal in the within-N-steps formulation needs
-    // no matrix edit). Credit share = removal effect / Σ effects, exact
-    // floor-ppm. ONE pass over events builds all transition arms (explode
-    // of a per-row filtered array in the scan stage); the k²-bounded
-    // matrix is checkpointed once and reused by all 5 fixed-point chains
-    // (5 × 6 rounds of broadcast-size joins — no further corpus scans).
-    ("q_seq_attribution_markov",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val channels = Seq("click", "error", "signup", "view")
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val tr = t(s, d, "events")
-          .withColumn("prev", lag(col("event_type"), 1).over(w))
-          .withColumn("next", lead(col("event_type"), 1).over(w))
-          .select(explode(expr("""filter(array(
-              IF(prev IS NULL OR prev = 'purchase',
-                 named_struct('tsrc', 'start', 'tdst', event_type), NULL),
-              IF(event_type <> 'purchase',
-                 named_struct('tsrc', event_type,
-                              'tdst', coalesce(next, 'null')), NULL)),
-            x -> x IS NOT NULL)""")).as("e"))
-          .select(col("e.tsrc"), col("e.tdst"))
-          .groupBy("tsrc", "tdst").agg(count(lit(1)).as("c"))
-        val tot = tr.groupBy(col("tsrc").as("osrc")).agg(sum("c").as("tot"))
-        val m = tr.join(tot, col("tsrc") === col("osrc"))
-          .select(col("tsrc"), col("tdst"),
-            expr("c * 1000000L div tot").as("p"))
-          .localCheckpoint()
-        val stDf = ("start" +: channels :+ "purchase" :+ "null").toDF("st")
-        // ALL five fixed-point chains (base + one per removed channel)
-        // advance together in ONE keyed table — (variant, state) is at
-        // most 5 x 7 rows, so each round is a single broadcast-size join
-        // instead of five parallel chain DAGs re-planning the same step
-        val variants = ("base" +: channels).toDF("variant")
-        val grid = variants.crossJoin(stDf)
-        var v = grid.select(col("variant"), col("st"),
-          when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
-        for (_ <- 1 to 6) {
-          val step = v.select(col("variant"), col("st").as("tdst"),
-              col("v").as("vd"))
-            .join(m, "tdst")
-            .groupBy(col("variant"), col("tsrc").as("st"))
-            .agg(sum(expr("p * vd div 1000000L")).as("v0"))
-          v = grid.join(step, Seq("variant", "st"), "left")
-            .select(col("variant"), col("st"),
-              when(col("st") === "purchase", 1000000L)
-                .otherwise(when(col("st") === col("variant"), 0L)
-                  .otherwise(coalesce(col("v0"), lit(0L)))).as("v"))
-        }
-        val atStart = v.filter(col("st") === "start")
-        val base = atStart.filter(col("variant") === "base")
-          .select(col("v").as("pb"))
-        val rem = atStart.filter(col("variant") =!= "base")
-          .select(col("variant").as("channel"), col("v").as("pr"))
-        val re = rem.crossJoin(broadcast(base))
-          .withColumn("re_ppm",
-            expr("(pb - pr) * 1000000L div greatest(pb, 1L)"))
-        val totRe = re.agg(greatest(sum("re_ppm"), lit(1L)).as("tre"))
-        re.crossJoin(broadcast(totRe))
-          .select(col("channel"), col("pb").as("p_base_ppm"),
-            col("pr").as("p_removed_ppm"),
-            col("re_ppm").as("removal_effect_ppm"),
-            expr("re_ppm * 1000000L div tre").as("credit_ppm"))
-      },
-      Some(markovAttributionSql(Seq("click", "error", "signup", "view"),
-        6))),
-
-    // Exact Shapley-value attribution over journey channel SETS — the
-    // third leg of the attribution suite (heuristic U-shaped, model-based
-    // Markov removal, game-theoretic Shapley). The characteristic
-    // function v(S) = conversion rate of journeys whose touched-channel
-    // set ⊆ S (exact ppm); with 4 channels the subset lattice is 16 rows,
-    // so φ_i = Σ_S |S|!(3−|S|)!·(v(S∪i)−v(S)) is a broadcast-size join
-    // after ONE corpus pass (journey split + bit_or mask + 16-row
-    // census). Credits are in ppm·24 units (weights kept as exact 24ths
-    // — no rational rounding); φ can be negative (a channel whose
-    // presence predicts NOT converting earns negative credit).
-    ("q_seq_attribution_shapley",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val j = t(s, d, "events")
-          .withColumn("jid", coalesce(
-            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-              .over(w), lit(0L)))
-          .groupBy("user_id", "jid")
-          .agg(expr("bit_or(CASE event_type WHEN 'click' THEN 1 " +
-            "WHEN 'error' THEN 2 WHEN 'signup' THEN 4 " +
-            "WHEN 'view' THEN 8 ELSE 0 END)").as("mask"),
-            max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-              .as("conv"))
-        val tmask = j.groupBy("mask")
-          .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-        val allm = s.range(16).select(col("id").as("m"))
-        val v = broadcast(allm)
-          .join(broadcast(tmask), expr("(mask & m) = mask"), "left")
-          .groupBy("m")
-          .agg(coalesce(sum("n"), lit(0L)).as("n"),
-            coalesce(sum("c"), lit(0L)).as("c"))
-          .withColumn("v_ppm",
-            expr("CASE WHEN n = 0 THEN 0L ELSE c * 1000000L div n END"))
-        val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
-          ("view", 8L)).toDF("channel", "bit")
-        broadcast(ch).join(broadcast(allm), expr("(m & bit) = 0"))
-          .join(broadcast(v.select(col("m").as("sm"),
-            col("v_ppm").as("vs"))), col("m") === col("sm"))
-          .join(broadcast(v.select(col("m").as("im"),
-            col("v_ppm").as("vi"))), expr("im = (m | bit)"))
-          .withColumn("w24", expr("CASE bit_count(m) WHEN 0 THEN 6L " +
-            "WHEN 1 THEN 2L WHEN 2 THEN 2L ELSE 6L END"))
-          .groupBy("channel")
-          .agg(sum(expr("w24 * (vi - vs)")).as("phi_ppm24"),
-            sum(expr("CASE WHEN vi > vs THEN w24 * (vi - vs) ELSE 0L END"))
-              .as("phi_pos_ppm24"))
-      },
-      Some("""WITH r AS (SELECT user_id, event_type,
-            coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END)
-              OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS jid
-          FROM events),
-        j AS (SELECT user_id, jid,
-            bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
-              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
-            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS conv
-          FROM r GROUP BY 1, 2),
-        tmask AS (SELECT mask, count(*) AS n, sum(conv) AS c FROM j
-          GROUP BY 1),
-        allm AS (SELECT unnest(range(0, 16)) AS m),
-        v AS (SELECT allm.m, coalesce(sum(t.n), 0) AS n,
-            coalesce(sum(t.c), 0) AS c,
-            CASE WHEN coalesce(sum(t.n), 0) = 0 THEN 0
-                 ELSE coalesce(sum(t.c), 0) * 1000000
-                   // coalesce(sum(t.n), 0) END AS v_ppm
-          FROM allm LEFT JOIN tmask t ON (t.mask & allm.m) = t.mask
-          GROUP BY 1),
-        ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
-          ('signup', 4), ('view', 8)) AS c(channel, bit)),
-        terms AS (SELECT ch.channel,
-            CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
-              ELSE 6 END AS w24,
-            vi.v_ppm - vs.v_ppm AS gain
-          FROM ch JOIN allm s ON (s.m & ch.bit) = 0
-          JOIN v vs ON vs.m = s.m
-          JOIN v vi ON vi.m = (s.m | ch.bit))
-        SELECT channel, CAST(sum(w24 * gain) AS BIGINT) AS phi_ppm24,
-          CAST(sum(CASE WHEN gain > 0 THEN w24 * gain ELSE 0 END)
-            AS BIGINT) AS phi_pos_ppm24
-        FROM terms GROUP BY 1""")),
-
-    // Last-touch conversion attribution: each purchase credits the user's
-    // most recent PRIOR click/view (conversions with no prior touch fall
-    // into the 'organic' bucket). The carry-forward is a per-user window
-    // (state bounded by one user's history — the accepted domain-bounded
-    // class, same as q_seq_transitions); revenue sums in exact BIGINT
-    // cents with a total (ts, event_id) tie order.
-    ("q_seq_attribution",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        t(s, d, "events")
-          .withColumn("touch",
-            last(when(col("event_type").isin("click", "view"),
-              col("event_type")), ignoreNulls = true).over(w))
-          .filter(col("event_type") === "purchase")
-          .groupBy(coalesce(col("touch"), lit("organic")).as("touch"))
-          .agg(count(lit(1)).as("n_conversions"),
-            (sum(cents(col("value"))) / lit(100.0)).as("revenue"))
-      },
-      Some(s"""WITH r AS (SELECT event_type, "value",
-            last_value(CASE WHEN event_type IN ('click', 'view')
-                THEN event_type END IGNORE NULLS) OVER (
-              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-          FROM events)
-        SELECT coalesce(touch, 'organic') AS touch,
-          count(*) AS n_conversions,
-          CAST(sum(${centsSql(""""value"""")}) AS BIGINT) / 100.0 AS revenue
-        FROM r WHERE event_type = 'purchase' GROUP BY 1""")),
-
-    // Position-based (U-shaped) multi-touch attribution — the fractional
-    // counterpart of q_seq_attribution's winner-take-all last touch:
-    // journeys are the touch runs between purchases (journey id = count
-    // of purchases strictly before the row), and each converting
-    // journey's credit splits 40/20/40 (first / middles / last; 1 touch
-    // = 100%, 2 touches = 50/50). Credit is EXACT ppm BIGINT — middles
-    // get floor(200000/(n-2)) and the first middle absorbs the
-    // remainder, so every journey sums to exactly 1,000,000 ppm (the
-    // audit invariant fractional attribution must hold or double-counts
-    // revenue). All windows partition by user (user-bounded, the seq
-    // family's policy); credited revenue = Σ credit·value_cents in
-    // ppm-cents, exact.
-    ("q_seq_attribution_position",
-      (s: SparkSession, d: String) => {
-        val wj = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val ev = t(s, d, "events")
-          .withColumn("j", coalesce(sum(
-            when(col("event_type") === "purchase", 1L)).over(wj), lit(0L)))
-        val wt = Window.partitionBy("user_id", "j")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val wn = Window.partitionBy("user_id", "j")
-        val touches = ev
-          .filter(col("event_type").isin("click", "view"))
-          .withColumn("idx", row_number().over(wt).cast("long"))
-          .withColumn("n", count(lit(1)).over(wn))
-        val conv = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("j"),
-            cents(col("value")).as("conv_cents"))
-        // Spark's `/` on longs is DOUBLE division — take the exact
-        // integer quotient via a double floor (operands < 2^53)
-        val mid = floor(lit(200000.0) /
-          (col("n") - 2L).cast("double")).cast("long")
-        val rem = lit(200000L) % (col("n") - 2L)
-        val credit =
-          when(col("n") === 1, lit(1000000L))
-            .when(col("n") === 2, lit(500000L))
-            .when(col("idx") === 1 || col("idx") === col("n"),
-              lit(400000L))
-            .otherwise(mid + when(col("idx") === 2, rem).otherwise(0L))
-        touches.join(conv, Seq("user_id", "j"))
-          .select(col("event_type").as("touch"),
-            credit.as("credit_ppm"), col("conv_cents"))
-          .groupBy("touch")
-          .agg(count(lit(1)).as("n_touches"),
-            sum(col("credit_ppm")).as("conversions_ppm"),
-            sum(col("credit_ppm") * col("conv_cents"))
-              .as("revenue_ppm_cents"))
-      },
-      Some(s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
-            ${centsSql(""""value"""")} AS v_cents,
-            COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
-              END) OVER (PARTITION BY user_id ORDER BY ts ASC,
-              event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
-              1 PRECEDING) AS BIGINT), 0) AS j
-          FROM events),
-        touches AS (SELECT user_id, j, event_type,
-            CAST(row_number() OVER (PARTITION BY user_id, j
-              ORDER BY ts ASC, event_id ASC) AS BIGINT) AS idx,
-            CAST(count(*) OVER (PARTITION BY user_id, j) AS BIGINT) AS n
-          FROM ev WHERE event_type IN ('click', 'view')),
-        conv AS (SELECT user_id, j, v_cents AS conv_cents FROM ev
-          WHERE event_type = 'purchase'),
-        credited AS (SELECT event_type AS touch,
-            CASE WHEN n = 1 THEN 1000000
-                 WHEN n = 2 THEN 500000
-                 WHEN idx = 1 OR idx = n THEN 400000
-                 ELSE CAST(200000 // (n - 2) AS BIGINT) +
-                   CASE WHEN idx = 2
-                     THEN CAST(200000 % (n - 2) AS BIGINT)
-                     ELSE 0 END
-            END AS credit_ppm, conv_cents
-          FROM touches JOIN conv USING (user_id, j))
-        SELECT touch, count(*) AS n_touches,
-          CAST(sum(credit_ppm) AS BIGINT) AS conversions_ppm,
-          CAST(sum(credit_ppm * conv_cents) AS BIGINT)
-            AS revenue_ppm_cents
-        FROM credited GROUP BY 1""")),
-
-    // Per-user training-feature assembly — the behavioral flagship
-    // composition (the events-side q_curate_pack): activity stats,
-    // first/last/favorite event type and the shift-decayed engagement sum
-    // joined into ONE wide feature table. Every ordered pick is a
-    // min/max(struct(...)) aggregate with a total tie order (ep, event_id
-    // unique; favorite ties break on type) — NO windows over the corpus
-    // stream; three combine-enabled user-keyed aggregates + two user-keyed
-    // joins that AQE co-partitions.
-    ("q_seq_user_profile", {
-      ((s: SparkSession, d: String) => {
-        val ev = t(s, d, "events").select(col("user_id"),
-          col("event_id").as("eid"), col("ts").cast("long").as("ep"),
-          floor(col("value") * 1e6).cast("long").as("micros"),
-          col("event_type").as("tp"))
-        val ref = ev.agg(max(col("ep")).as("ref_ep"))
-        val base = ev.groupBy("user_id").agg(
-          count(lit(1)).as("n_events"),
-          count_distinct(expr("ep div 86400")).as("active_days"),
-          expr("(max(ep) - min(ep)) div 3600").as("span_hours"),
-          min(struct(col("ep"), col("eid"), col("tp")))
-            .getField("tp").as("first_type"),
-          max(struct(col("ep"), col("eid"), col("tp")))
-            .getField("tp").as("last_type"),
-          sum(col("micros")).as("micros_sum"))
-        val fav = ev.groupBy("user_id", "tp").agg(count(lit(1)).as("n"))
-          .groupBy("user_id")
-          .agg(max(struct(col("n"), col("tp"))).getField("tp").as("fav_type"))
-        val dec = ev.crossJoin(broadcast(ref))
-          .withColumn("sh", least(
-            expr("((ref_ep - ep) div 3600) div 168"), lit(40L)).cast("int"))
-          .groupBy("user_id")
-          .agg(sum(expr("shiftright(micros, sh)")).as("dec_sum"))
-        base.join(fav, "user_id").join(dec, "user_id")
-      }): Q
-      },
-      Some("""WITH ev AS (SELECT user_id, event_id AS eid,
-            epoch_us(ts) // 1000000 AS ep,
-            CAST(floor("value" * 1e6) AS BIGINT) AS micros,
-            event_type AS tp FROM events),
-          r AS (SELECT max(ep) AS ref_ep FROM ev),
-          base AS (SELECT user_id, count(*) AS n_events,
-            count(DISTINCT ep // 86400) AS active_days,
-            (max(ep) - min(ep)) // 3600 AS span_hours,
-            CAST(sum(micros) AS BIGINT) AS micros_sum FROM ev GROUP BY 1),
-          fo AS (SELECT user_id, tp AS first_type FROM (
-            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
-              ORDER BY ep ASC, eid ASC) AS rn FROM ev) WHERE rn = 1),
-          la AS (SELECT user_id, tp AS last_type FROM (
-            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
-              ORDER BY ep DESC, eid DESC) AS rn FROM ev) WHERE rn = 1),
-          fav AS (SELECT user_id, tp AS fav_type FROM (
-            SELECT user_id, tp, row_number() OVER (PARTITION BY user_id
-              ORDER BY n DESC, tp DESC) AS rn
-            FROM (SELECT user_id, tp, count(*) AS n FROM ev GROUP BY 1, 2))
-            WHERE rn = 1),
-          dec AS (SELECT user_id, CAST(sum(micros >> sh) AS BIGINT)
-              AS dec_sum FROM (
-            SELECT user_id, micros,
-              CAST(least(((ref_ep - ep) // 3600) // 168, 40) AS INT) AS sh
-            FROM ev, r) GROUP BY 1)
-        SELECT b.user_id, n_events, active_days, span_hours, first_type,
-          last_type, micros_sum, fav_type, dec_sum
-        FROM base b JOIN fo USING (user_id) JOIN la USING (user_id)
-          JOIN fav USING (user_id) JOIN dec USING (user_id)""")),
-
-    // Ordered funnel (view -> click -> purchase): greedy per-user stage
-    // matching via one codegen'd array fold (ONE user_id shuffle); the
-    // oracle replays the equivalent chained first-match formulation
-    ("q_seq_funnel",
-      (s: SparkSession, d: String) => graft.ops.Funnel.funnelCounts(
-        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
-        Seq("view", "click", "purchase")),
-      Some("""WITH rn AS (SELECT user_id, event_type,
-            row_number() OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS rn
-          FROM events),
-        s1 AS (SELECT user_id, min(rn) AS r FROM rn
-          WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT rn.user_id, min(rn.rn) AS r
-          FROM rn JOIN s1 USING (user_id)
-          WHERE event_type = 'click' AND rn.rn > s1.r GROUP BY 1),
-        s3 AS (SELECT rn.user_id, min(rn.rn) AS r
-          FROM rn JOIN s2 USING (user_id)
-          WHERE event_type = 'purchase' AND rn.rn > s2.r GROUP BY 1)
-        SELECT 1 AS stage, 'view' AS stage_name,
-          (SELECT count(*) FROM s1) AS n_users
-        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
-
-    // Time-windowed funnel: each stage must convert within 6 hours of the
-    // previous match; gaps compared in exact microseconds on both engines
-    ("q_seq_funnel_windowed",
-      (s: SparkSession, d: String) => graft.ops.Funnel.funnelCountsWithin(
-        t(s, d, "events"), "user_id", "ts", "event_id", "event_type",
-        Seq("view", "click", "purchase"), maxGapSeconds = 21600),
-      Some("""WITH rn AS (SELECT user_id, event_type, ts,
-            row_number() OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS rn
-          FROM events),
-        s1 AS (SELECT user_id, min(rn) AS r, min_by(ts, rn) AS t
-          FROM rn WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT rn.user_id, min(rn.rn) AS r, min_by(rn.ts, rn.rn) AS t
-          FROM rn JOIN s1 USING (user_id)
-          WHERE event_type = 'click' AND rn.rn > s1.r
-            AND epoch_us(rn.ts) - epoch_us(s1.t) <= 21600000000 GROUP BY 1),
-        s3 AS (SELECT rn.user_id, min(rn.rn) AS r
-          FROM rn JOIN s2 USING (user_id)
-          WHERE event_type = 'purchase' AND rn.rn > s2.r
-            AND epoch_us(rn.ts) - epoch_us(s2.t) <= 21600000000 GROUP BY 1)
-        SELECT 1 AS stage, 'view' AS stage_name,
-          (SELECT count(*) FROM s1) AS n_users
-        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
-        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""")),
-
-    // Cohort retention: first-active-day cohorts x day offsets with exact
-    // integer counts and a 6dp floor-quantized ratio
-    ("q_seq_cohort",
-      (s: SparkSession, d: String) => graft.ops.Funnel.cohortRetention(
-        t(s, d, "events"), "user_id", "ts"),
-      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-            FROM events GROUP BY 1),
-        c AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1),
-        a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
-          FROM events),
-        r AS (SELECT f.cohort_day,
-            CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER)
-              AS day_offset,
-            count(*) AS n_active
-          FROM a JOIN f USING (user_id) GROUP BY 1, 2)
-        SELECT r.cohort_day, r.day_offset, r.n_active, c.n_cohort,
-          floor(1e6 * r.n_active / c.n_cohort) / 1e6 AS retention
-        FROM r JOIN c USING (cohort_day)""")),
-
-    // R×C categorical association (the chi-squared contingency audit —
-    // q_agg_abtest's big sibling): segment × nation observed vs expected,
-    // per-cell (o·N − r·c)² kept as an exact BIGINT and floor-quantized
-    // through ONE deterministic IEEE cast+divide per cell, then summed.
-    // All tables here are domain-bounded (|segments|·|nations| cells);
-    // marginals join back as broadcasts. The summary row carries the
-    // degrees of freedom so a consumer can threshold.
-    ("q_profile_contingency",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer")
-          .select(col("c_mktsegment").as("seg"),
-            col("c_nationkey").cast("long").as("nat"))
-        val cell = c.groupBy("seg", "nat").agg(count(lit(1)).as("o"))
-        val rm = cell.groupBy("seg").agg(sum("o").as("r"))
-        val cm = cell.groupBy("nat").agg(sum("o").as("cc"))
-        val tot = cell.agg(sum("o").as("nn"),
-          count_distinct(col("seg")).as("nr"),
-          count_distinct(col("nat")).as("nc"))
-        val a = col("o") * col("nn") - col("r") * col("cc")
-        cell.join(broadcast(rm), "seg").join(broadcast(cm), "nat")
-          .crossJoin(broadcast(tot))
-          .withColumn("cell_micro",
-            // square in DOUBLE: the BIGINT (a*a) wraps past |a| ~ 3e9 —
-            // the deterministic-IEEE product of identical casts instead
-            floor(a.cast("double") * a.cast("double") * 1e6 /
-              (col("nn") * col("r") * col("cc")).cast("double"))
-              .cast("long"))
-          .groupBy(col("nn").as("n"), col("nr"), col("nc"))
-          .agg(count(lit(1)).as("n_cells"),
-            sum("cell_micro").as("chi2_micro"))
-          .select(col("n"), col("n_cells"), col("chi2_micro"),
-            ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
-      },
-      Some("""WITH c AS (SELECT c_mktsegment AS seg,
-            CAST(c_nationkey AS BIGINT) AS nat FROM customer),
-        cell AS (SELECT seg, nat, count(*) AS o FROM c GROUP BY 1, 2),
-        rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cell
-          GROUP BY 1),
-        cm AS (SELECT nat, CAST(sum(o) AS BIGINT) AS cc FROM cell
-          GROUP BY 1),
-        tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
-            count(DISTINCT seg) AS nr, count(DISTINCT nat) AS nc
-          FROM cell),
-        x AS (SELECT
-            CAST(floor(CAST(o*nn - r*cc AS DOUBLE)
-              * CAST(o*nn - r*cc AS DOUBLE) * 1e6
-              / CAST(nn * r * cc AS DOUBLE)) AS BIGINT) AS cell_micro,
-            nn, nr, nc
-          FROM cell JOIN rm USING (seg) JOIN cm USING (nat), tot)
-        SELECT nn AS n, CAST(count(*) AS BIGINT) AS n_cells,
-          CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
-          CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
-        FROM x GROUP BY nn, nr, nc""")),
-
-    // Two-proportion A/B test (chi-squared form), exact-integer end to
-    // end: users hash-split by id parity, per-user conversion flag, and
-    // z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(n−c)) with both sides of
-    // the ratio exact BIGINTs and ONE floor-quantized IEEE division at
-    // presentation. The 3.841459 cutoff is chi²(1, 0.05). Promote the
-    // numerator to decimal(38) before 1e9-user populations (cents()
-    // scaladoc precedent). Two combine-enabled aggregates, no window.
-    ("q_agg_abtest",
-      (s: SparkSession, d: String) => {
-        // unit = user-DAY (a user converts on a day they purchase) —
-        // user-lifetime conversion saturates to 1 on this fixture
-        val u = t(s, d, "events")
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(max(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L)).as("conv"))
-          .withColumn("v", pmod(col("user_id"), lit(2L)))
-        val a = u.agg(
-          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n1"),
-          sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("c1"),
-          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n2"),
-          sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("c2"))
-        val num = (col("c1") * col("n2") - col("c2") * col("n1")) *
-          (col("c1") * col("n2") - col("c2") * col("n1")) *
-          (col("n1") + col("n2"))
-        val den = col("n1") * col("n2") * (col("c1") + col("c2")) *
-          (col("n1") + col("n2") - col("c1") - col("c2"))
-        a.withColumn("z2_micro",
-            when(den === 0, lit(null).cast("long")).otherwise(
-              floor(num.cast("double") * 1e6 / den.cast("double"))
-                .cast("long")))
-          .withColumn("significant",
-            when(col("z2_micro") > 3841459L, 1L).otherwise(0L))
-      },
-      Some("""WITH u AS (SELECT user_id,
-            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS conv
-          FROM events GROUP BY user_id, CAST(ts AS DATE)),
-        g AS (SELECT user_id % 2 AS v, conv FROM u),
-        a AS (SELECT
-            CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-            CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
-              AS c1,
-            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-            CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
-              AS c2
-          FROM g),
-        z AS (SELECT n1, c1, n2, c2,
-            CASE WHEN n1 * n2 * (c1+c2) * (n1+n2-c1-c2) = 0 THEN NULL
-              ELSE CAST(floor(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1)
-                  * (n1+n2) AS DOUBLE) * 1e6 /
-                CAST(n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS DOUBLE))
-                AS BIGINT) END AS z2_micro
-          FROM a)
-        SELECT n1, c1, n2, c2, z2_micro,
-          CASE WHEN z2_micro > 3841459 THEN CAST(1 AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS significant
-        FROM z""")),
-
-    // Kolmogorov–Smirnov two-sample statistic, EXACT: D = max over
-    // values of |F1 − F2| evaluates as max|cum1·n2 − cum2·n1| / (n1·n2)
-    // with the per-group cumulative counts from ONE range-partitioned
-    // prefix scan over the value-grouped table — every comparison a
-    // BIGINT, no ECDF floats anywhere. Completes the two-sample family:
-    // abtest (proportions), welch (means), mannwhitney (ranks), ks
-    // (whole distribution shape).
-    ("q_agg_ks",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          pmod(col("o_custkey"), lit(2L)).as("g"),
-          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
-        val byVal = o.groupBy("x").agg(
-          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"),
-          sum(when(col("g") === 1, 1L).otherwise(0L)).as("c2"))
-        // two prefixes over |values| rows — one range-partitioned scan
-        // each (the value table is already corpus-collapsed)
-        val p1 = graft.ops.Prefix.runningOffsetsOrdered(byVal, Seq("x"), "c1")
-          .withColumnRenamed("offset", "p1")
-        val p2 = graft.ops.Prefix.runningOffsetsOrdered(
-            p1, Seq("x"), "c2")
-          .withColumnRenamed("offset", "p2")
-        val cum1 = col("p1") + col("c1")
-        val cum2 = col("p2") + col("c2")
-        val tot = p2.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-        p2.crossJoin(broadcast(tot))
-          .select(col("x"), (cum1 * col("n2") - cum2 * col("n1"))
-            .as("dnum"), col("n1"), col("n2"))
-          .groupBy("n1", "n2")
-          .agg(max(abs(col("dnum"))).as("d_num"))
-          .select(col("n1"), col("n2"), col("d_num"),
-            floor(col("d_num").cast("double") * 1e6 /
-              (col("n1") * col("n2")).cast("double")).cast("long")
-              .as("d_micro"))
-      },
-      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
-            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
-        bv AS (SELECT x,
-            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
-          FROM o GROUP BY 1),
-        cumt AS (SELECT x,
-            CAST(sum(c1) OVER (ORDER BY x
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS cum1,
-            CAST(sum(c2) OVER (ORDER BY x
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS cum2
-          FROM bv),
-        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
-            CAST(sum(c2) AS BIGINT) AS n2 FROM bv)
-        SELECT n1, n2,
-          CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
-          CAST(floor(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) * 1e6
-            / CAST(n1 * n2 AS DOUBLE)) AS BIGINT) AS d_micro
-        FROM cumt, tot GROUP BY n1, n2""")),
-
-    // Welch two-sample t² on order values of two customer cohorts
-    // (hash-split): means and variances from exact integer moments, the
-    // statistic one floor-quantized division of cross-engine-identical
-    // doubles — t² = (m1−m2)² / (v1/n1 + v2/n2), each term a fixed IEEE
-    // expression of exact BIGINTs. The parametric complement of
-    // q_agg_abtest (proportions) and q_agg_mannwhitney (ranks).
-    // Isotonic calibration (Stats.isotonicFit — PAVA via the minimax
-    // formula) of P(purchase | $25 value bin): the monotone-curve step a
-    // quality-classifier pipeline runs between raw score and threshold.
-    // One corpus pass (per-bin count/sum); the B^3 minimax runs on the
-    // 12-row bin table. Segment averages are single IEEE divisions of
-    // exact BIGINTs, so the min/max lattice replays bit-identically.
-    ("q_agg_isotonic",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events").filter(col("value").isNotNull)
-          .select(
-            least(floor(cents(col("value")).cast("double") / lit(2500.0)),
-              lit(11.0)).cast("long").as("score_bin"),
-            (col("event_type") === "purchase").cast("long").as("label"))
-        graft.ops.Stats.isotonicFit(ev, "score_bin", "label")
-      },
-      Some(s"""WITH e AS (SELECT
-            CAST(least(floor(CAST(${centsSql("\"value\"")} AS DOUBLE)
-              / 2500.0), 11.0) AS BIGINT) AS bin,
-            CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
-          FROM events WHERE "value" IS NOT NULL),
-        bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(label) AS BIGINT) AS s FROM e GROUP BY 1),
-        cum AS (SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS cn,
-            CAST(sum(b.s) AS BIGINT) AS cs
-          FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY 1),
-        segs AS (
-          SELECT p.bin + 1 AS j, k.bin AS k,
-              CAST(k.cs - p.cs AS DOUBLE) / CAST(k.cn - p.cn AS DOUBLE)
-                AS avg
-            FROM cum k JOIN cum p ON p.bin < k.bin
-          UNION ALL
-          SELECT (SELECT min(bin) FROM bins) AS j, bin AS k,
-              CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS avg
-            FROM cum),
-        inn AS (SELECT i.bin AS i, s.j, min(s.avg) AS mn
-          FROM (SELECT bin FROM bins) i
-          JOIN segs s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
-        fit AS (SELECT i, max(mn) AS f FROM inn GROUP BY 1)
-        SELECT b.bin, b.n, b.s,
-          CAST(floor(1e6 * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
-            AS BIGINT) AS rate_micro,
-          CAST(floor(1e6 * f) AS BIGINT) AS fit_micro
-        FROM bins b JOIN fit ON b.bin = fit.i""")),
-
-    ("q_agg_welch",
-      (s: SparkSession, d: String) => {
-        // hecto-units, not cents: the n·Σx² − (Σx)² variance numerator
-        // must stay inside BIGINT at population scale (cents² overflows
-        // past ~1e5 rows of 1e6-cent values; /100 buys 4 decades)
-        val o = t(s, d, "orders").select(
-          pmod(col("o_custkey"), lit(2L)).as("g"),
-          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
-        val m = o.groupBy("g").agg(count(lit(1)).as("n"),
-          sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
-        val a = m.agg(
-          sum(when(col("g") === 0, col("n"))).as("n1"),
-          sum(when(col("g") === 0, col("s1"))).as("a1"),
-          sum(when(col("g") === 0, col("s2"))).as("q1"),
-          sum(when(col("g") === 1, col("n"))).as("n2"),
-          sum(when(col("g") === 1, col("s1"))).as("a2"),
-          sum(when(col("g") === 1, col("s2"))).as("q2"))
-        // mean_i = a_i/n_i ; var_i/n_i = (n_i·q_i − a_i²)/(n_i²·(n_i−1))
-        // — the n_i² in the denominator already folds the standard-error
-        // division, so the se² below is v1n + v2n directly
-        val m1 = col("a1").cast("double") / col("n1").cast("double")
-        val m2 = col("a2").cast("double") / col("n2").cast("double")
-        val v1n = (col("n1") * col("q1") - col("a1") * col("a1"))
-          .cast("double") /
-          (col("n1") * col("n1") * (col("n1") - 1)).cast("double")
-        val v2n = (col("n2") * col("q2") - col("a2") * col("a2"))
-          .cast("double") /
-          (col("n2") * col("n2") * (col("n2") - 1)).cast("double")
-        a.select(col("n1"), col("n2"),
-          when(col("n1") < 2 || col("n2") < 2 ||
-              (col("n1") * col("q1") === col("a1") * col("a1")) &&
-              (col("n2") * col("q2") === col("a2") * col("a2")),
-            lit(null).cast("long")).otherwise(
-            floor((m1 - m2) * (m1 - m2) * 1e6 / (v1n + v2n))
-              .cast("long")).as("t2_micro"))
-      },
-      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
-            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
-        m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS BIGINT) AS s1,
-            CAST(sum(x * x) AS BIGINT) AS s2
-          FROM o GROUP BY 1),
-        a AS (SELECT
-            CAST(sum(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n1,
-            CAST(sum(CASE WHEN g = 0 THEN s1 END) AS BIGINT) AS a1,
-            CAST(sum(CASE WHEN g = 0 THEN s2 END) AS BIGINT) AS q1,
-            CAST(sum(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n2,
-            CAST(sum(CASE WHEN g = 1 THEN s1 END) AS BIGINT) AS a2,
-            CAST(sum(CASE WHEN g = 1 THEN s2 END) AS BIGINT) AS q2
-          FROM m)
-        SELECT n1, n2,
-          CASE WHEN n1 < 2 OR n2 < 2
-            OR (n1 * q1 = a1 * a1 AND n2 * q2 = a2 * a2) THEN NULL
-          ELSE CAST(floor(
-            (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-             - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-            * (CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-               - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1e6 /
-            (CAST(n1 * q1 - a1 * a1 AS DOUBLE) /
-               CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
-             + CAST(n2 * q2 - a2 * a2 AS DOUBLE) /
-               CAST(n2 * n2 * (n2 - 1) AS DOUBLE)))
-            AS BIGINT) END AS t2_micro
-        FROM a""")),
-
-    // Per-segment OLS fit (price-on-quantity by return flag) as EXACT
-    // RATIONALS: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and intercept =
-    // (Sy·Sxx − Sx·Sxy)/same — numerator/denominator shipped as exact
-    // BIGINTs (one combine-enabled moment aggregate, products widened
-    // through DECIMAL(18,0)² = (37,0) so no 64-bit intermediate wraps;
-    // the quantized point estimates are one floor(double) of those exact
-    // integers). The regression analog of q_agg_welch's moment discipline.
-    ("q_agg_ols",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
-          col("l_quantity").cast("long").as("x"),
-          floor(col("l_extendedprice")).cast("long").as("y"))
-        val m = li.groupBy("flag").agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
-        def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
-        val numS = (d18(col("n")) * d18(col("sxy")) -
-          d18(col("sx")) * d18(col("sy"))).cast("long")
-        val denS = (d18(col("n")) * d18(col("sxx")) -
-          d18(col("sx")) * d18(col("sx"))).cast("long")
-        val numI = (d18(col("sy")) * d18(col("sxx")) -
-          d18(col("sx")) * d18(col("sxy"))).cast("long")
-        m.select(col("flag"), col("n"),
-          numS.as("slope_num"), denS.as("den"), numI.as("intercept_num"),
-          floor(numS.cast("double") * 1e6 / denS.cast("double"))
-            .cast("long").as("slope_micro"),
-          floor(numI.cast("double") * 1e3 / denS.cast("double"))
-            .cast("long").as("intercept_milli"))
-      },
-      Some("""WITH li AS (SELECT l_returnflag AS flag,
-            CAST(l_quantity AS BIGINT) AS x,
-            CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem),
-        m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-            CAST(sum(x * y) AS BIGINT) AS sxy,
-            CAST(sum(x * x) AS BIGINT) AS sxx
-          FROM li GROUP BY 1),
-        r AS (SELECT flag, n,
-            CAST(CAST(n AS HUGEINT) * sxy
-              - CAST(sx AS HUGEINT) * sy AS BIGINT) AS slope_num,
-            CAST(CAST(n AS HUGEINT) * sxx
-              - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den,
-            CAST(CAST(sy AS HUGEINT) * sxx
-              - CAST(sx AS HUGEINT) * sxy AS BIGINT) AS intercept_num
-          FROM m)
-        SELECT flag, n, slope_num, den, intercept_num,
-          CAST(floor(CAST(slope_num AS DOUBLE) * 1e6
-            / CAST(den AS DOUBLE)) AS BIGINT) AS slope_micro,
-          CAST(floor(CAST(intercept_num AS DOUBLE) * 1e3
-            / CAST(den AS DOUBLE)) AS BIGINT) AS intercept_milli
-        FROM r""")),
-
-    // Autocorrelation of the daily order-count series at lags 1..7 — the
-    // seasonality detector run before any forecasting/backtest op. EXACT:
-    // with integer counts, Σ(n·x_t − S)(n·x_{t+k} − S) clears the rational
-    // mean by multiplying through by n² — every term BIGINT (counts keep
-    // magnitudes ~1e6, so the worst product is ~1e12 summed over ~1e4
-    // days). The day index comes from the range-partitioned prefix scan
-    // over the calendar-collapsed daily table (no global one-partition
-    // window, even though days are domain-bounded); lagged pairs are an
-    // idx+k self-join, linear per lag.
-    ("q_agg_acf",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "orders").groupBy(col("o_orderdate").as("dt"))
-          .agg(count(lit(1)).as("x"))
-          .withColumn("one", lit(1L))
-        val idxd = graft.ops.Prefix.runningOffsets(daily, "dt", "one")
-          .select(col("dt"), col("x"), (col("offset") + 1L).as("idx"))
-        val tot = idxd.agg(count(lit(1)).as("n"), sum("x").as("s"))
-        val dev = idxd.crossJoin(broadcast(tot))
-          .select(col("idx"), (col("n") * col("x") - col("s")).as("dv"),
-            col("n"))
-        val lags = s.range(1, 8).select(col("id").as("lag"))
-        val pairs = dev.as("a").crossJoin(broadcast(lags))
-          .join(dev.as("b"),
-            col("b.idx") === col("a.idx") + col("lag"))
-          .groupBy("lag")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(col("a.dv") * col("b.dv")).as("num"))
-        val den = dev.agg(sum(col("dv") * col("dv")).as("den"))
-        pairs.crossJoin(broadcast(den))
-          .select(col("lag"), col("n_pairs"), col("num"), col("den"),
-            floor(col("num").cast("double") * 1e3 /
-              col("den").cast("double")).cast("long").as("acf_milli"))
-      },
-      Some("""WITH daily AS (SELECT o_orderdate AS dt,
-            CAST(count(*) AS BIGINT) AS x,
-            CAST(row_number() OVER (ORDER BY o_orderdate) AS BIGINT) AS idx
-          FROM orders GROUP BY 1),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS BIGINT) AS s FROM daily),
-        dev AS (SELECT idx, n * x - s AS dv FROM daily, tot),
-        den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev),
-        lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
-        pairs AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-            CAST(sum(a.dv * b.dv) AS BIGINT) AS num
-          FROM dev a JOIN lags ON true
-          JOIN dev b ON b.idx = a.idx + lag
-          GROUP BY 1)
-        SELECT lag, n_pairs, num, den,
-          CAST(floor(CAST(num AS DOUBLE) * 1e3 / CAST(den AS DOUBLE))
-            AS BIGINT) AS acf_milli
-        FROM pairs, den""")),
-
-    // Mann–Whitney rank-sum test, midranks and all: the combined sample
-    // collapses to one row per distinct VALUE (combine-enabled), the
-    // global rank prefix comes from the range-partitioned prefix scan
-    // over that value table (never a corpus sort in one task), and
-    // doubled midranks keep every tie-handling term an exact BIGINT:
-    // 2·R1 = Σ c1·(2·prefix + c + 1). The z² statistic is one
-    // deterministic IEEE chain at the end. The nonparametric sibling of
-    // q_agg_welch — same cohorts, no normality assumption.
-    ("q_agg_mannwhitney",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          pmod(col("o_custkey"), lit(2L)).as("g"),
-          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
-        val byVal = o.groupBy("x").agg(count(lit(1)).as("c"),
-          sum(when(col("g") === 0, 1L).otherwise(0L)).as("c1"))
-        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
-          byVal, Seq("x"), "c")
-        val a = ranked.agg(
-          sum(col("c1") * (lit(2L) * col("offset") + col("c") + 1))
-            .as("two_r1"),
-          sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"))
-        val bigA = col("two_r1") - col("n1") * (col("n1") + 1) -
-          col("n1") * col("n2")
-        val den = col("n1") * col("n2") * (col("n1") + col("n2") + 1)
-        a.select(col("n1"), col("n2"), col("two_r1"),
-          (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u1"),
-          floor(bigA.cast("double") * bigA.cast("double") * lit(3e6) /
-            den.cast("double")).cast("long").as("z2_micro"))
-      },
-      Some("""WITH o AS (SELECT o_custkey % 2 AS g,
-            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
-        bv AS (SELECT x, count(*) AS c,
-            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-          FROM o GROUP BY 1),
-        r AS (SELECT x, c, c1,
-            COALESCE(sum(c) OVER (ORDER BY x
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-          FROM bv),
-        a AS (SELECT
-            CAST(sum(c1 * (2 * off + c + 1)) AS BIGINT) AS two_r1,
-            CAST(sum(c1) AS BIGINT) AS n1,
-            CAST(sum(c - c1) AS BIGINT) AS n2
-          FROM r)
-        SELECT n1, n2, two_r1,
-          two_r1 - n1 * (n1 + 1) AS two_u1,
-          CAST(floor(
-            CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
-            * CAST(two_r1 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) * 3e6
-            / CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE)) AS BIGINT)
-            AS z2_micro
-        FROM a""")),
-
-    // Kruskal–Wallis H: the k-sample extension of q_agg_mannwhitney (same
-    // machinery — one row per distinct VALUE, range-partitioned prefix
-    // offsets, doubled midranks so every rank-sum term is an exact
-    // BIGINT: 2·R_g = Σ c_g·(2·prefix + c + 1)). Five customer cohorts;
-    // H and its tie-corrected form are one deterministic IEEE chain at
-    // the end (the (2R_g)² squares would wrap 2^63 at exactly the corpus
-    // sizes the test targets, so they square as doubles; the N³ tie
-    // denominator is widened — decimal here, HUGEINT in the oracle —
-    // before its own double cast).
-    ("q_agg_kruskal",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          pmod(col("o_custkey"), lit(5L)).as("g"),
-          floor(col("o_totalprice") / 100.0).cast("long").as("x"))
-        val aggs = count(lit(1)).as("c") +: (0 to 4).map(g =>
-          sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c$g"))
-        val byVal = o.groupBy("x").agg(aggs.head, aggs.tail: _*)
-        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
-          byVal, Seq("x"), "c")
-        val rankAggs =
-          (0 to 4).map(g => sum(col(s"c$g") *
-            (lit(2L) * col("offset") + col("c") + 1)).as(s"tr$g")) ++
-          (0 to 4).map(g => sum(col(s"c$g")).as(s"n$g")) ++
-          Seq(sum(col("c")).as("n"),
-            sum(col("c") * col("c") * col("c") - col("c")).as("tie_t"))
-        val a = ranked.agg(rankAggs.head, rankAggs.tail: _*)
-        def term(g: Int) =
-          col(s"tr$g").cast("double") * col(s"tr$g").cast("double") /
-            col(s"n$g").cast("double")
-        val sumterm = term(0) + term(1) + term(2) + term(3) + term(4)
-        val h = lit(3.0) * sumterm /
-          (col("n").cast("double") * (col("n") + 1).cast("double")) -
-          lit(3.0) * (col("n") + 1).cast("double")
-        val corr = lit(1.0) - col("tie_t").cast("double") /
-          (col("n").cast("decimal(38,0)") * col("n") * col("n") -
-            col("n")).cast("double")
-        a.withColumn("h", h).withColumn("corr", corr)
-          .select(col("n"), col("tie_t"),
-            floor(lit(1e6) * col("h")).cast("long").as("h_micro"),
-            floor(lit(1e6) * (col("h") / col("corr"))).cast("long")
-              .as("h_adj_micro"))
-      },
-      Some("""WITH o AS (SELECT o_custkey % 5 AS g,
-            CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x FROM orders),
-        bv AS (SELECT x, count(*) AS c,
-            CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-            CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-            CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-            CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
-            CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
-          FROM o GROUP BY 1),
-        r AS (SELECT x, c, c0, c1, c2, c3, c4,
-            CAST(COALESCE(sum(c) OVER (ORDER BY x
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS off
-          FROM bv),
-        a AS (SELECT
-            CAST(sum(c0 * (2 * off + c + 1)) AS BIGINT) AS tr0,
-            CAST(sum(c1 * (2 * off + c + 1)) AS BIGINT) AS tr1,
-            CAST(sum(c2 * (2 * off + c + 1)) AS BIGINT) AS tr2,
-            CAST(sum(c3 * (2 * off + c + 1)) AS BIGINT) AS tr3,
-            CAST(sum(c4 * (2 * off + c + 1)) AS BIGINT) AS tr4,
-            CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
-            CAST(sum(c2) AS BIGINT) AS n2, CAST(sum(c3) AS BIGINT) AS n3,
-            CAST(sum(c4) AS BIGINT) AS n4,
-            CAST(sum(c) AS BIGINT) AS n,
-            CAST(sum(c * c * c - c) AS BIGINT) AS tie_t
-          FROM r),
-        hh AS (SELECT n, tie_t,
-            3.0 * (CAST(tr0 AS DOUBLE) * CAST(tr0 AS DOUBLE)
-                / CAST(n0 AS DOUBLE)
-              + CAST(tr1 AS DOUBLE) * CAST(tr1 AS DOUBLE)
-                / CAST(n1 AS DOUBLE)
-              + CAST(tr2 AS DOUBLE) * CAST(tr2 AS DOUBLE)
-                / CAST(n2 AS DOUBLE)
-              + CAST(tr3 AS DOUBLE) * CAST(tr3 AS DOUBLE)
-                / CAST(n3 AS DOUBLE)
-              + CAST(tr4 AS DOUBLE) * CAST(tr4 AS DOUBLE)
-                / CAST(n4 AS DOUBLE))
-              / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
-              - 3.0 * CAST(n + 1 AS DOUBLE) AS h,
-            1.0 - CAST(tie_t AS DOUBLE)
-              / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS corr
-          FROM a)
-        SELECT n, tie_t,
-          CAST(floor(1e6 * h) AS BIGINT) AS h_micro,
-          CAST(floor(1e6 * (h / corr)) AS BIGINT) AS h_adj_micro
-        FROM hh""")),
-
-    // Theil–Sen slope of weekly regional revenue: the median of all
-    // pairwise slopes — the outlier-robust trend estimate (a handful of
-    // corrupted weeks cannot move it, unlike the OLS fit in q_agg_ols).
-    // Slopes stay exact rationals (BIGINT cents / week-diff); ordering
-    // uses the IEEE quotient with the exact (num, den) pair as
-    // tie-break, so both engines select the identical median element.
-    // Scale: the corpus collapses to a weekly table first (one
-    // combine-enabled aggregate); pairs and the per-region window are
-    // calendar-bounded (W(W-1)/2 with W = #weeks), never corpus-sized.
-    ("q_agg_theilsen",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-          .join(t(s, d, "customer"),
-            col("o_custkey") === col("c_custkey"))
-          .join(broadcast(t(s, d, "nation")),
-            col("c_nationkey") === col("n_nationkey"))
-          .select(col("n_regionkey").as("rk"),
-            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
-              .as("wk"),
-            cents(col("o_totalprice")).as("pc"))
-        val w = o.groupBy("rk", "wk").agg(sum("pc").as("yc"))
-        val p = w.as("a").join(w.as("b"),
-            col("a.rk") === col("b.rk") && col("a.wk") < col("b.wk"))
-          .select(col("a.rk").as("rk"),
-            (col("b.yc") - col("a.yc")).as("num"),
-            (col("b.wk") - col("a.wk")).as("den"))
-        val sd = col("num").cast("double") / col("den").cast("double")
-        val byR = Window.partitionBy("rk")
-        val r = p.withColumn("rn", row_number().over(
-            byR.orderBy(sd.asc, col("num").asc, col("den").asc)))
-          .withColumn("n_pairs", count(lit(1)).over(byR))
-        r.filter(expr("rn = (n_pairs + 1) div 2"))
-          .select(col("rk"), col("n_pairs"),
-            floor(col("num").cast("double") * lit(1e6) /
-              col("den").cast("double")).cast("long").as("slope_micro"))
-      },
-      Some(s"""WITH o AS (SELECT n_regionkey AS rk,
-            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
-            ${centsSql("o_totalprice")} AS pc
-          FROM orders JOIN customer ON o_custkey = c_custkey
-          JOIN nation ON c_nationkey = n_nationkey),
-        w AS (SELECT rk, wk, CAST(sum(pc) AS BIGINT) AS yc
-          FROM o GROUP BY 1, 2),
-        p AS (SELECT a.rk AS rk, b.yc - a.yc AS num, b.wk - a.wk AS den
-          FROM w a JOIN w b ON a.rk = b.rk AND a.wk < b.wk),
-        r AS (SELECT rk, num, den,
-            row_number() OVER (PARTITION BY rk
-              ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) ASC,
-                num ASC, den ASC) AS rn,
-            count(*) OVER (PARTITION BY rk) AS n_pairs
-          FROM p)
-        SELECT rk, n_pairs,
-          CAST(floor(CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE))
-            AS BIGINT) AS slope_micro
-        FROM r WHERE rn = (n_pairs + 1) // 2""")),
-
-    // Single-changepoint detection per nation: the week split maximizing
-    // the between-segment sum of squares — binary segmentation's first
-    // (and most load-bearing) step, run on the weekly series so every
-    // window is calendar-bounded. The split statistic
-    // A² / (k·(n-k)) with A = S_k·n - S_tot·k is exact BIGINT up to the
-    // final square (which would wrap 2^63, so it squares as a double —
-    // one fixed IEEE chain, argmax tie-broken by earliest week). The
-    // reported gain is its square root (correctly-rounded IEEE on both
-    // engines), back in cents units.
-    ("q_agg_changepoint",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-          .join(t(s, d, "customer"),
-            col("o_custkey") === col("c_custkey"))
-          .select(col("c_nationkey").as("nk"),
-            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
-              .as("wk"),
-            cents(col("o_totalprice")).as("pc"))
-        val ser = o.groupBy("nk", "wk").agg(sum("pc").as("yc"))
-        val ord = Window.partitionBy("nk").orderBy("wk")
-        val whole = Window.partitionBy("nk")
-        val cum = ser
-          .withColumn("k", row_number().over(ord).cast("long"))
-          .withColumn("sk", sum("yc").over(ord))
-          .withColumn("n", count(lit(1)).over(whole))
-          .withColumn("stot", sum("yc").over(whole))
-        val a = (col("sk") * col("n") - col("stot") * col("k"))
-        val score = a.cast("double") * a.cast("double") /
-          (col("k") * (col("n") - col("k"))).cast("double")
-        val scored = cum.filter(col("k") < col("n"))
-          .withColumn("score", score)
-        scored.withColumn("rn", row_number().over(
-            Window.partitionBy("nk")
-              .orderBy(col("score").desc, col("wk").asc)))
-          .filter(col("rn") === 1)
-          .select(col("nk"), col("n").as("n_weeks"),
-            col("wk").as("split_wk"),
-            expr("sk div k").as("mean1_cents"),
-            expr("(stot - sk) div (n - k)").as("mean2_cents"),
-            floor(sqrt(col("score"))).cast("long").as("gain_sqrt_cents"))
-      },
-      Some(s"""WITH o AS (SELECT c_nationkey AS nk,
-            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
-            ${centsSql("o_totalprice")} AS pc
-          FROM orders JOIN customer ON o_custkey = c_custkey),
-        ser AS (SELECT nk, wk, CAST(sum(pc) AS BIGINT) AS yc
-          FROM o GROUP BY 1, 2),
-        cum AS (SELECT nk, wk,
-            CAST(row_number() OVER (PARTITION BY nk ORDER BY wk)
-              AS BIGINT) AS k,
-            CAST(sum(yc) OVER (PARTITION BY nk ORDER BY wk)
-              AS BIGINT) AS sk,
-            CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
-            CAST(sum(yc) OVER (PARTITION BY nk) AS BIGINT) AS stot
-          FROM ser),
-        scored AS (SELECT nk, wk, k, sk, n, stot,
-            CAST(sk * n - stot * k AS DOUBLE)
-              * CAST(sk * n - stot * k AS DOUBLE)
-              / CAST(k * (n - k) AS DOUBLE) AS score
-          FROM cum WHERE k < n),
-        best AS (SELECT *, row_number() OVER (PARTITION BY nk
-            ORDER BY score DESC, wk ASC) AS rn FROM scored)
-        SELECT nk, n AS n_weeks, wk AS split_wk,
-          sk // k AS mean1_cents,
-          (stot - sk) // (n - k) AS mean2_cents,
-          CAST(floor(sqrt(score)) AS BIGINT) AS gain_sqrt_cents
-        FROM best WHERE rn = 1""")),
-
-    // Split-conformal calibration (alpha = 0.1): fit a trivial per-
-    // priority mean-price model on a deterministic half of the orders,
-    // take the ceil((n+1)(1-alpha))-th smallest absolute residual as the
-    // conformal quantile q_hat, and AUDIT the guaranteed >= 90% coverage
-    // on the held-out half — the distribution-free prediction-interval
-    // recipe a scoring pipeline ships with its model. Exact throughout:
-    // integer cents residuals, the quantile rank from the
-    // range-partitioned prefix scan over the residual VALUE table
-    // (mannwhitney machinery — never a corpus sort in one task), the
-    // split from the replayable md5 score.
-    ("q_agg_conformal",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          col("o_orderpriority").as("prio"),
-          cents(col("o_totalprice")).as("pc"),
-          (Sampling.hashScore(col("o_orderkey")) < 0.5).as("is_cal"))
-        val pred = o.filter(col("is_cal")).groupBy("prio")
-          .agg(sum("pc").as("sp"), count(lit(1)).as("np"))
-          .select(col("prio"), expr("sp div np").as("predc"))
-        val scored = o.join(broadcast(pred), Seq("prio"))
-          .select(col("is_cal"), abs(col("pc") - col("predc")).as("sc"))
-        val byVal = scored.filter(col("is_cal"))
-          .groupBy("sc").agg(count(lit(1)).as("c"))
-        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
-          byVal, Seq("sc"), "c")
-        val ncal = byVal.agg(sum("c").as("n_cal"))
-        val qhat = ranked.crossJoin(broadcast(ncal))
-          .filter(col("offset") + col("c") >=
-            expr("(9L * (n_cal + 1) + 9) div 10"))
-          .agg(min("sc").as("q_hat"))
-        scored.filter(!col("is_cal"))
-          .crossJoin(broadcast(qhat)).crossJoin(broadcast(ncal))
-          .agg(first(col("n_cal")).as("n_cal"),
-            count(lit(1)).as("n_test"),
-            first(col("q_hat")).as("q_hat_cents"),
-            sum(when(col("sc") <= col("q_hat"), 1L).otherwise(0L))
-              .as("n_covered"))
-          .select(col("n_cal"), col("n_test"), col("q_hat_cents"),
-            col("n_covered"),
-            floor(col("n_covered").cast("double") * lit(1e6) /
-              col("n_test").cast("double")).cast("long")
-              .as("coverage_ppm"))
-      },
-      Some(s"""WITH o AS (SELECT o_orderpriority AS prio,
-            ${centsSql("o_totalprice")} AS pc,
-            ${hashScoreSql("o_orderkey")} < 0.5 AS is_cal
-          FROM orders),
-        pred AS (SELECT prio, CAST(sum(pc) AS BIGINT)
-            // CAST(count(*) AS BIGINT) AS predc
-          FROM o WHERE is_cal GROUP BY 1),
-        scored AS (SELECT is_cal, abs(pc - predc) AS sc
-          FROM o JOIN pred USING (prio)),
-        bv AS (SELECT sc, count(*) AS c FROM scored WHERE is_cal
-          GROUP BY 1),
-        r AS (SELECT sc, c,
-            CAST(COALESCE(sum(c) OVER (ORDER BY sc
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS off
-          FROM bv),
-        ncal AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM bv),
-        qhat AS (SELECT min(sc) AS q_hat FROM r, ncal
-          WHERE off + c >= (9 * (n_cal + 1) + 9) // 10)
-        SELECT any_value(n_cal) AS n_cal,
-          count(*) AS n_test,
-          any_value(q_hat) AS q_hat_cents,
-          CAST(sum(CASE WHEN sc <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_covered,
-          CAST(floor(CAST(sum(CASE WHEN sc <= q_hat THEN 1 ELSE 0 END)
-              AS DOUBLE) * 1e6 / CAST(count(*) AS DOUBLE)) AS BIGINT)
-            AS coverage_ppm
-        FROM scored, qhat, ncal WHERE NOT is_cal""")),
-
-    // Difference-in-differences: the causal-inference workhorse for
-    // "did the change move the metric" when treatment wasn't randomized
-    // — treated cohort (even custkeys) vs control, before vs after the
-    // 1998-01-01 cut (the fixture's order dates span 1995..2001); DiD = (T_post − T_pre) − (C_post − C_pre) on mean
-    // order value. ONE conditional aggregate over the join (four exact
-    // BIGINT sum/count cells), then a fixed IEEE chain for the means —
-    // the 100 TB shape is the same single pass.
-    ("q_agg_did",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-          .select((col("o_custkey") % 2 === 0).as("treated"),
-            (col("o_orderdate") >= lit(java.sql.Date.valueOf("1998-01-01")))
-              .as("post"),
-            cents(col("o_totalprice")).as("pc"))
-        def cell(tr: Boolean, po: Boolean, nm: String) = Seq(
-          sum(when(col("treated") === tr && col("post") === po,
-            col("pc")).otherwise(0L)).as(s"s_$nm"),
-          sum(when(col("treated") === tr && col("post") === po, 1L)
-            .otherwise(0L)).as(s"n_$nm"))
-        val a = o.agg(
-          (cell(true, false, "t1") ++ cell(true, true, "t2") ++
-            cell(false, false, "c1") ++ cell(false, true, "c2")).head,
-          (cell(true, false, "t1") ++ cell(true, true, "t2") ++
-            cell(false, false, "c1") ++ cell(false, true, "c2")).tail: _*)
-        def m(nm: String) =
-          col(s"s_$nm").cast("double") / col(s"n_$nm").cast("double")
-        a.select(col("n_t1"), col("n_t2"), col("n_c1"), col("n_c2"),
-          floor(m("t1")).cast("long").as("mean_t_pre_cents"),
-          floor(m("t2")).cast("long").as("mean_t_post_cents"),
-          floor(m("c1")).cast("long").as("mean_c_pre_cents"),
-          floor(m("c2")).cast("long").as("mean_c_post_cents"),
-          floor((m("t2") - m("t1") - (m("c2") - m("c1"))) * lit(1e3))
-            .cast("long").as("did_milli_cents"))
-      },
-      Some(s"""WITH o AS (SELECT o_custkey % 2 = 0 AS treated,
-            o_orderdate >= DATE '1998-01-01' AS post,
-            ${centsSql("o_totalprice")} AS pc FROM orders),
-        a AS (SELECT
-            CAST(sum(CASE WHEN treated AND NOT post THEN pc ELSE 0 END)
-              AS BIGINT) AS s_t1,
-            CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_t1,
-            CAST(sum(CASE WHEN treated AND post THEN pc ELSE 0 END)
-              AS BIGINT) AS s_t2,
-            CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_t2,
-            CAST(sum(CASE WHEN NOT treated AND NOT post THEN pc ELSE 0 END)
-              AS BIGINT) AS s_c1,
-            CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_c1,
-            CAST(sum(CASE WHEN NOT treated AND post THEN pc ELSE 0 END)
-              AS BIGINT) AS s_c2,
-            CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_c2
-          FROM o)
-        SELECT n_t1, n_t2, n_c1, n_c2,
-          CAST(floor(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE))
-            AS BIGINT) AS mean_t_pre_cents,
-          CAST(floor(CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE))
-            AS BIGINT) AS mean_t_post_cents,
-          CAST(floor(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))
-            AS BIGINT) AS mean_c_pre_cents,
-          CAST(floor(CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE))
-            AS BIGINT) AS mean_c_post_cents,
-          CAST(floor((CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE)
-              - CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
-              - (CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE)
-                - CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE))) * 1e3)
-            AS BIGINT) AS did_milli_cents
-        FROM a""")),
-
-    // Local-peak detection on the weekly revenue series: a week is a
-    // peak when it beats both neighbors AND clears a prominence gate of
-    // 1.3x the nation's mean week (kept exact: 10·yc·n_weeks >
-    // 13·total — no division). The spike-mining primitive behind
-    // campaign attribution and anomaly triage; all windows are
-    // per-nation and calendar-bounded.
-    ("q_agg_peaks",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-          .join(t(s, d, "customer"),
-            col("o_custkey") === col("c_custkey"))
-          .select(col("c_nationkey").as("nk"),
-            expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
-              .as("wk"),
-            cents(col("o_totalprice")).as("pc"))
-        val ser = o.groupBy("nk", "wk").agg(sum("pc").as("yc"))
-        val ord = Window.partitionBy("nk").orderBy("wk")
-        val whole = Window.partitionBy("nk")
-        ser.withColumn("prev", lag("yc", 1).over(ord))
-          .withColumn("next", lead("yc", 1).over(ord))
-          .withColumn("n", count(lit(1)).over(whole))
-          .withColumn("stot", sum("yc").over(whole))
-          .filter(col("prev").isNotNull && col("next").isNotNull &&
-            col("yc") > col("prev") && col("yc") >= col("next") &&
-            lit(10L) * col("yc") * col("n") > lit(13L) * col("stot"))
-          .select(col("nk"), col("wk").as("peak_wk"), col("yc"))
-      },
-      Some(s"""WITH o AS (SELECT c_nationkey AS nk,
-            date_diff('day', DATE '1992-01-01', o_orderdate) // 7 AS wk,
-            ${centsSql("o_totalprice")} AS pc
-          FROM orders JOIN customer ON o_custkey = c_custkey),
-        ser AS (SELECT nk, wk, CAST(sum(pc) AS BIGINT) AS yc
-          FROM o GROUP BY 1, 2),
-        x AS (SELECT nk, wk, yc,
-            lag(yc) OVER (PARTITION BY nk ORDER BY wk) AS prev,
-            lead(yc) OVER (PARTITION BY nk ORDER BY wk) AS next,
-            CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
-            CAST(sum(yc) OVER (PARTITION BY nk) AS BIGINT) AS stot
-          FROM ser)
-        SELECT nk, wk AS peak_wk, yc FROM x
-        WHERE prev IS NOT NULL AND next IS NOT NULL
-          AND yc > prev AND yc >= next
-          AND 10 * yc * n > 13 * stot""")),
-
-    // Deterministic Poisson(λ=1) bootstrap: 8 resample replicates in ONE
-    // pass — each row's replicate weight is a quantized-Poisson draw from
-    // an md5 prefix (identical integer thresholds interpolated into both
-    // engines), so the replicate totals are exactly reproducible. The
-    // scan-stage 8x fan-out feeds a combine-enabled groupBy(b); the
-    // spread of the 8 totals is the uncertainty estimate a 100 TB
-    // aggregate can't get any other way without a second pass.
-    // Two-proportion power analysis — the DESIGN-side complement of
-    // q_agg_abtest (that one asks "is the running test significant";
-    // this one asks "how many units per arm would we need to detect a
-    // given lift at 80% power / 5% two-sided alpha" — the sizing table an
-    // experimentation platform shows before launch). Standard pooled
-    // formula: n = (z_a·sqrt(2·p̄(1-p̄)) + z_b·sqrt(p̄(1-p̄)+p2(1-p2)))²/δ²
-    // with p2 = p̄ + δ over an MDE grid. ONE corpus aggregate (the same
-    // user-day conversion cells as q_agg_abtest) cross-joined with the
-    // 5-row broadcast grid; everything after the aggregate is a fixed
-    // IEEE chain on two exact BIGINT-derived doubles (sqrt is
-    // correctly-rounded in both engines), so the oracle matches
-    // bit-for-bit. z constants fixed at 1.959964 / 0.841621.
-    ("q_agg_power",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val u = t(s, d, "events")
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(max(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L)).as("conv"))
-        val a = u.agg(count(lit(1)).as("n"), sum("conv").as("c"))
-        val grid = Seq(5000L, 10000L, 20000L, 50000L, 100000L)
-          .toDF("mde_ppm")
-        a.crossJoin(broadcast(grid))
-          .withColumn("pb",
-            col("c").cast("double") / col("n").cast("double"))
-          .withColumn("delta", col("mde_ppm").cast("double") / lit(1e6))
-          .withColumn("p2", col("pb") + col("delta"))
-          .withColumn("s_",
-            lit(1.959964) *
-              sqrt(lit(2.0) * col("pb") * (lit(1.0) - col("pb"))) +
-            lit(0.841621) *
-              sqrt(col("pb") * (lit(1.0) - col("pb")) +
-                col("p2") * (lit(1.0) - col("p2"))))
-          .select(col("mde_ppm"),
-            floor(col("pb") * lit(1e6)).cast("long").as("pooled_ppm"),
-            ceil(col("s_") * col("s_") / (col("delta") * col("delta")))
-              .cast("long").as("n_required"))
-      },
-      Some("""WITH u AS (SELECT user_id,
-            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-              AS conv
-          FROM events GROUP BY user_id, CAST(ts AS DATE)),
-        a AS (SELECT count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM u),
-        grid AS (SELECT CAST(m AS BIGINT) AS mde_ppm
-          FROM (VALUES (5000), (10000), (20000), (50000), (100000))
-            AS g(m)),
-        x AS (SELECT mde_ppm,
-            CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pb,
-            CAST(mde_ppm AS DOUBLE) / 1e6 AS delta
-          FROM a, grid),
-        y AS (SELECT mde_ppm, pb, delta, pb + delta AS p2 FROM x),
-        z AS (SELECT mde_ppm, pb, delta,
-            1.959964 * sqrt(2.0 * pb * (1.0 - pb)) +
-            0.841621 * sqrt(pb * (1.0 - pb) + p2 * (1.0 - p2)) AS s_
-          FROM y)
-        SELECT mde_ppm,
-          CAST(floor(pb * 1e6) AS BIGINT) AS pooled_ppm,
-          CAST(ceil(s_ * s_ / (delta * delta)) AS BIGINT) AS n_required
-        FROM z""")),
-
-    ("q_agg_bootstrap",
-      (s: SparkSession, d: String) => {
-        val thr = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L)
-        val o = t(s, d, "orders")
-          .select(col("o_orderkey").as("id"),
-            cents(col("o_totalprice")).as("pc"))
-          .select(col("id"), col("pc"),
-            explode(sequence(lit(0L), lit(7L))).as("b"))
-        val h = graft.plans.GraftExpressions.md5_prefix(
-          concat(col("id").cast("string"), lit("|"),
-            col("b").cast("string")), 8)
-        val w = when(h < thr(0), 0L).when(h < thr(1), 1L)
-          .when(h < thr(2), 2L).when(h < thr(3), 3L).otherwise(4L)
-        o.withColumn("w", w).groupBy("b")
-          .agg(sum(col("w")).as("n_eff"),
-            sum(col("w") * col("pc")).as("total_cents"))
-      },
-      Some(s"""WITH x AS (SELECT o_orderkey AS id,
-            ${centsSql("o_totalprice")} AS pc FROM orders),
-        e AS (SELECT id, pc, unnest(range(0, 8)) AS b FROM x),
-        h AS (SELECT b, pc,
-            CAST(concat('0x', substr(md5(CAST(id AS VARCHAR) || '|' ||
-              CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-          FROM e),
-        w AS (SELECT b, pc,
-            CASE WHEN hv < 1580030168 THEN 0
-                 WHEN hv < 3160060337 THEN 1
-                 WHEN hv < 3950075421 THEN 2
-                 WHEN hv < 4213413783 THEN 3 ELSE 4 END AS w
-          FROM h)
-        SELECT CAST(b AS BIGINT) AS b, CAST(sum(w) AS BIGINT) AS n_eff,
-          CAST(sum(w * pc) AS BIGINT) AS total_cents
-        FROM w GROUP BY 1""")),
-
-    // Two-sample permutation test per event type (is mean per-user spend
-    // different between odd and even user cohorts?) with md5-replayable
-    // permutations: rep 0 is the OBSERVED split (user_id % 2); reps
-    // 1..199 reassign each unit by an md5 bit of (type, user, rep). The
-    // unit table (one exact micro-sum per (type, user)) is built FIRST,
-    // so the B× fan-out multiplies users, not events — the scale shape
-    // that keeps resampling viable at 100 TB (B bounded, corpus reduced
-    // before the blow-up; every aggregate combine-enabled). The statistic
-    // |mean1 − mean0| is two IEEE divisions + one subtraction over exact
-    // BIGINTs — bit-identical cross-engine; p = (#extreme + 1)/(B + 1)
-    // in exact ppm (add-one: the observed split is itself a permutation).
-    ("q_agg_permtest",
-      (s: SparkSession, d: String) => {
-        val B = 199
-        val g = t(s, d, "events")
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
-          .select(col("event_type"), col("user_id"), col("x"),
-            explode(expr(s"sequence(0, $B)")).as("r"))
-          .withColumn("side",
-            when(col("r") === 0, col("user_id") % 2)
-              .otherwise(expr("cast(conv(substr(md5(concat(event_type, " +
-                "':', user_id, ':', r)), 1, 8), 16, 10) as bigint) % 2")))
-          .groupBy("event_type", "r")
-          .agg(sum(when(col("side") === 1L, col("x")).otherwise(0L)).as("s1"),
-            sum(when(col("side") === 0L, col("x")).otherwise(0L)).as("s0"),
-            count(when(col("side") === 1L, lit(1))).as("n1"),
-            count(when(col("side") === 0L, lit(1))).as("n0"))
-          .withColumn("tstat", expr("abs(cast(s1 as double) / " +
-            "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
-            "cast(nullif(n0, 0) as double))"))
-        // the observed split is rep 0 of the SAME grouped table — lift it
-        // with a window over event_type (5 partitions x B+1 rows,
-        // domain-bounded) instead of a self-join, which would recompute
-        // the whole fan-out twice
-        val gw = Window.partitionBy("event_type")
-        g.withColumn("t_obs", max(when(col("r") === 0, col("tstat"))).over(gw))
-          .withColumn("s_odd", max(when(col("r") === 0, col("s1"))).over(gw))
-          .withColumn("s_even", max(when(col("r") === 0, col("s0"))).over(gw))
-          .withColumn("n_odd", max(when(col("r") === 0, col("n1"))).over(gw))
-          .withColumn("n_even", max(when(col("r") === 0, col("n0"))).over(gw))
-          .filter(col("r") > 0)
-          .groupBy("event_type")
-          .agg((max("n_odd") + max("n_even")).as("n_units"),
-            max("s_odd").as("s_odd"), max("s_even").as("s_even"),
-            floor(max("t_obs")).cast("long").as("t_obs_micro"),
-            sum(when(coalesce(col("tstat") >= col("t_obs"), lit(false)),
-              1L).otherwise(0L)).as("n_extreme"))
-          .withColumn("p_ppm",
-            expr(s"(n_extreme + 1) * 1000000L div ${B + 1}"))
-      },
-      Some("""WITH units AS MATERIALIZED (SELECT event_type, user_id,
-            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2),
-        sided AS (SELECT event_type, r,
-            CASE WHEN r = 0 THEN user_id % 2
-                 ELSE CAST(concat('0x', substr(md5(concat(event_type, ':',
-                   CAST(user_id AS VARCHAR), ':', CAST(r AS VARCHAR))),
-                   1, 8)) AS BIGINT) % 2 END AS side, x
-          FROM units CROSS JOIN (SELECT unnest(range(0, 200)) AS r)),
-        g AS MATERIALIZED (SELECT event_type, r,
-            CAST(sum(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
-            CAST(sum(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
-            CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n1,
-            CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n0
-          FROM sided GROUP BY 1, 2),
-        tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
-              CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
-              CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
-        lifted AS (SELECT *,
-            max(CASE WHEN r = 0 THEN tstat END)
-              OVER (PARTITION BY event_type) AS t_obs,
-            max(CASE WHEN r = 0 THEN s1 END)
-              OVER (PARTITION BY event_type) AS s_odd,
-            max(CASE WHEN r = 0 THEN s0 END)
-              OVER (PARTITION BY event_type) AS s_even,
-            max(CASE WHEN r = 0 THEN n1 END)
-              OVER (PARTITION BY event_type) AS n_odd,
-            max(CASE WHEN r = 0 THEN n0 END)
-              OVER (PARTITION BY event_type) AS n_even
-          FROM tt)
-        SELECT event_type,
-          CAST(max(n_odd) + max(n_even) AS BIGINT) AS n_units,
-          max(s_odd) AS s_odd, max(s_even) AS s_even,
-          CAST(floor(max(t_obs)) AS BIGINT) AS t_obs_micro,
-          CAST(sum(CASE WHEN coalesce(tstat >= t_obs, false)
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
-          CAST((sum(CASE WHEN coalesce(tstat >= t_obs, false)
-            THEN 1 ELSE 0 END) + 1) * 1000000 // 200 AS BIGINT) AS p_ppm
-        FROM lifted WHERE r > 0
-        GROUP BY 1""")),
-
-    // Benjamini–Hochberg FDR step-up over the per-type permutation
-    // p-values (B = 99 here — the multiple-testing layer cares about the
-    // CORRECTION, not p resolution): rank p ascending, k* = max rank with
-    // p(i)·m ≤ α·i (exact integers, α = 0.10), discoveries = ranks ≤ k*.
-    // The BH pass is a window over m = 5 rows — domain-bounded by the
-    // metric vocabulary, never by the corpus.
-    ("q_agg_fdr",
-      (s: SparkSession, d: String) => {
-        val B = 99
-        val g = t(s, d, "events")
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(sum(floor(col("value") * lit(1e6)).cast("long")).as("x"))
-          .select(col("event_type"), col("user_id"), col("x"),
-            explode(expr(s"sequence(0, $B)")).as("r"))
-          .withColumn("side",
-            when(col("r") === 0, col("user_id") % 2)
-              .otherwise(expr("cast(conv(substr(md5(concat(event_type, " +
-                "':', user_id, ':', r)), 1, 8), 16, 10) as bigint) % 2")))
-          .groupBy("event_type", "r")
-          .agg(sum(when(col("side") === 1L, col("x")).otherwise(0L)).as("s1"),
-            sum(when(col("side") === 0L, col("x")).otherwise(0L)).as("s0"),
-            count(when(col("side") === 1L, lit(1))).as("n1"),
-            count(when(col("side") === 0L, lit(1))).as("n0"))
-          .withColumn("tstat", expr("abs(cast(s1 as double) / " +
-            "cast(nullif(n1, 0) as double) - cast(s0 as double) / " +
-            "cast(nullif(n0, 0) as double))"))
-        val p = g.withColumn("t_obs",
-            max(when(col("r") === 0, col("tstat")))
-              .over(Window.partitionBy("event_type")))
-          .filter(col("r") > 0)
-          .groupBy("event_type")
-          .agg(sum(when(coalesce(col("tstat") >= col("t_obs"), lit(false)),
-            1L).otherwise(0L)).as("n_extreme"))
-          .withColumn("p_ppm",
-            expr(s"(n_extreme + 1) * 1000000L div ${B + 1}"))
-        val wAll = Window.orderBy(lit(1))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        p.withColumn("rnk", row_number().over(
-            Window.orderBy(col("p_ppm").asc, col("event_type").asc)))
-          .withColumn("m", count(lit(1)).over(wAll))
-          .withColumn("passes",
-            when(col("p_ppm") * col("m") <= lit(100000L) * col("rnk"), 1L)
-              .otherwise(0L))
-          .withColumn("kstar",
-            max(when(col("passes") === 1L, col("rnk")).otherwise(0L))
-              .over(wAll))
-          .select(col("event_type"), col("p_ppm"),
-            col("rnk").cast("long").as("rnk"), col("passes"),
-            when(col("rnk") <= col("kstar"), 1L).otherwise(0L)
-              .as("discovered"))
-      },
-      Some("""WITH units AS MATERIALIZED (SELECT event_type, user_id,
-            CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2),
-        sided AS (SELECT event_type, r,
-            CASE WHEN r = 0 THEN user_id % 2
-                 ELSE CAST(concat('0x', substr(md5(concat(event_type, ':',
-                   CAST(user_id AS VARCHAR), ':', CAST(r AS VARCHAR))),
-                   1, 8)) AS BIGINT) % 2 END AS side, x
-          FROM units CROSS JOIN (SELECT unnest(range(0, 100)) AS r)),
-        g AS MATERIALIZED (SELECT event_type, r,
-            CAST(sum(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
-            CAST(sum(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
-            CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n1,
-            CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n0
-          FROM sided GROUP BY 1, 2),
-        tt AS (SELECT *, abs(CAST(s1 AS DOUBLE) /
-              CAST(nullif(n1, 0) AS DOUBLE) - CAST(s0 AS DOUBLE) /
-              CAST(nullif(n0, 0) AS DOUBLE)) AS tstat FROM g),
-        lifted AS (SELECT *, max(CASE WHEN r = 0 THEN tstat END)
-              OVER (PARTITION BY event_type) AS t_obs
-          FROM tt),
-        p AS (SELECT event_type,
-            CAST((sum(CASE WHEN coalesce(tstat >= t_obs, false)
-              THEN 1 ELSE 0 END) + 1) * 1000000 // 100 AS BIGINT) AS p_ppm
-          FROM lifted WHERE r > 0 GROUP BY 1),
-        ranked AS (SELECT event_type, p_ppm,
-            CAST(row_number() OVER (ORDER BY p_ppm ASC, event_type ASC)
-              AS BIGINT) AS rnk,
-            CAST(count(*) OVER () AS BIGINT) AS m
-          FROM p),
-        marked AS (SELECT *, CASE WHEN p_ppm * m <= 100000 * rnk
-              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS passes
-          FROM ranked)
-        SELECT event_type, p_ppm, rnk, passes,
-          CASE WHEN rnk <= max(CASE WHEN passes = 1 THEN rnk ELSE 0 END)
-              OVER () THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-            AS discovered
-        FROM marked""")),
-
-    // CUPED variance reduction (Deng et al., WSDM 2013 — the standard
-    // experimentation trick): per event type, each user's PRE-period
-    // spend (before Jan 16) is the covariate for the POST-period metric;
-    // θ = cov(pre, post)/var(pre) pooled, and the adjusted treatment
-    // effect uses mean algebra (Δ_cuped = Δ_raw − θ·Δ_pre) so no
-    // per-row float is ever summed — every input is an exact BIGINT cents
-    // sum, cross products go through DECIMAL (overflow-safe to ~sf10;
-    // promote widths beyond), and the few IEEE ops run in one fixed
-    // order. var_reduction_ppm = floor(ρ²·1e6) — how much narrower the
-    // confidence interval gets for free. One combine-enabled pass.
-    ("q_agg_cuped",
-      (s: SparkSession, d: String) => {
-        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
-        val u = t(s, d, "events")
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(sum(when(col("ts") < cut, cents(col("value")))
-              .otherwise(0L)).as("x"),
-            sum(when(col("ts") >= cut, cents(col("value")))
-              .otherwise(0L)).as("y"))
-          .withColumn("arm", col("user_id") % 2)
-        u.groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-            // products through DECIMAL so Spark (non-ANSI would wrap a raw
-            // BIGINT x*x silently) and DuckDB (would error) widen the same
-            // way — any overflow past decimal(38) is loud in both engines
-            sum(expr("cast(x as decimal(19,0)) * cast(x as decimal(19,0))"))
-              .as("sxx"),
-            sum(expr("cast(x as decimal(19,0)) * cast(y as decimal(19,0))"))
-              .as("sxy"),
-            sum(expr("cast(y as decimal(19,0)) * cast(y as decimal(19,0))"))
-              .as("syy"),
-            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-            sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
-            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
-            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
-            sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
-            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
-          .withColumn("num", expr("cast(n as decimal(12,0)) * " +
-            "cast(sxy as decimal(24,0)) - cast(sx as decimal(18,0)) * " +
-            "cast(sy as decimal(18,0))"))
-          .withColumn("den", expr("cast(n as decimal(12,0)) * " +
-            "cast(sxx as decimal(24,0)) - cast(sx as decimal(18,0)) * " +
-            "cast(sx as decimal(18,0))"))
-          .withColumn("deny", expr("cast(n as decimal(12,0)) * " +
-            "cast(syy as decimal(24,0)) - cast(sy as decimal(18,0)) * " +
-            "cast(sy as decimal(18,0))"))
-          .withColumn("theta", expr(
-            "cast(num as double) / cast(nullif(den, 0) as double)"))
-          // nullif on the arm counts (matching theta's den guard): a type
-          // with users in only one arm yields NULL, not Infinity — Spark's
-          // floor(inf) would silently give Long.MaxValue while DuckDB raises
-          .withColumn("diff_raw", expr(
-            "cast(sy1 as double) / cast(nullif(n1, 0) as double) - " +
-            "cast(sy0 as double) / cast(nullif(n0, 0) as double)"))
-          .withColumn("diff_pre", expr(
-            "cast(sx1 as double) / cast(nullif(n1, 0) as double) - " +
-            "cast(sx0 as double) / cast(nullif(n0, 0) as double)"))
-          .select(col("event_type"), col("n").as("n_users"),
-            floor(col("theta") * lit(1e6)).cast("long").as("theta_micro"),
-            floor(col("diff_raw") * lit(1e4)).cast("long")
-              .as("diff_raw_hundredths"),
-            floor((col("diff_raw") - col("theta") * col("diff_pre"))
-              * lit(1e4)).cast("long").as("diff_cuped_hundredths"),
-            floor(expr("cast(num as double) * cast(num as double) / " +
-              "(cast(nullif(den, 0) as double) * " +
-              "cast(nullif(deny, 0) as double))") * lit(1e6)).cast("long")
-              .as("var_reduction_ppm"))
-      },
-      Some(s"""WITH u AS MATERIALIZED (SELECT event_type, user_id,
-            CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT) AS x,
-            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
-              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT) AS y,
-            user_id % 2 AS arm
-          FROM events GROUP BY 1, 2),
-        g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-            sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
-            sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
-            sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
-            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-            CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
-            CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
-            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-            CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
-            CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
-          FROM u GROUP BY 1),
-        d AS (SELECT *,
-            CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(24,0)) -
-              CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS num,
-            CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(24,0)) -
-              CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS den,
-            CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(24,0)) -
-              CAST(sy AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS deny
-          FROM g),
-        e AS (SELECT *,
-            CAST(num AS DOUBLE) / CAST(nullif(den, 0) AS DOUBLE) AS theta,
-            CAST(sy1 AS DOUBLE) / CAST(nullif(n1, 0) AS DOUBLE) -
-              CAST(sy0 AS DOUBLE) / CAST(nullif(n0, 0) AS DOUBLE) AS diff_raw,
-            CAST(sx1 AS DOUBLE) / CAST(nullif(n1, 0) AS DOUBLE) -
-              CAST(sx0 AS DOUBLE) / CAST(nullif(n0, 0) AS DOUBLE) AS diff_pre
-          FROM d)
-        SELECT event_type, n AS n_users,
-          CAST(floor(theta * 1e6) AS BIGINT) AS theta_micro,
-          CAST(floor(diff_raw * 1e4) AS BIGINT) AS diff_raw_hundredths,
-          CAST(floor((diff_raw - theta * diff_pre) * 1e4) AS BIGINT)
-            AS diff_cuped_hundredths,
-          CAST(floor(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) /
-            (CAST(nullif(den, 0) AS DOUBLE) *
-             CAST(nullif(deny, 0) AS DOUBLE)) * 1e6) AS BIGINT)
-            AS var_reduction_ppm
-        FROM e""")),
-
-    // Top conversion paths: each user's FIRST FIVE events (total
-    // (ts, event_id) order — deterministic under ties) join into a path
-    // string, then a combine-enabled census keeps paths shared by >= 2
-    // users. Per-user state is bounded by the slice, not the stream; the
-    // ordered fold replays in DuckDB as list(... ORDER BY)[1:5].
-    ("q_seq_paths",
-      (s: SparkSession, d: String) => {
-        val p = t(s, d, "events").groupBy(col("user_id"))
-          .agg(concat_ws(">", slice(transform(
-            array_sort(collect_list(struct(col("ts"), col("event_id"),
-              col("event_type")))),
-            x => x.getField("event_type")), 1, 5)).as("path"))
-        p.groupBy("path").agg(count(lit(1)).as("n_users"))
-          .filter(col("n_users") >= 2)
-      },
-      Some("""WITH p AS (SELECT user_id,
-            array_to_string(
-              (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
-          FROM events GROUP BY 1)
-        SELECT path, count(*) AS n_users FROM p
-        GROUP BY 1 HAVING count(*) >= 2""")),
-
-    // Kaplan–Meier survival (user churn with right-censoring): lifetime =
-    // days between a user's first and last event; users still active on
-    // the corpus's final day are CENSORED, not churned — the distinction
-    // naive churn rates get wrong. S(t) folds as exact micro-units
-    // (S' = floor(S·(r−d)/r), r from a suffix sum over the ≤|days|
-    // lifetime domain), so the whole curve is bit-identical cross-engine.
-    // Corpus-sized work is one per-user aggregate; everything after runs
-    // on the domain-bounded lifetime table.
-    ("q_seq_survival",
-      (s: SparkSession, d: String) => {
-        val byday = t(s, d, "events").groupBy(col("user_id"))
-          .agg(min(to_date(col("ts"))).as("d0"),
-            max(to_date(col("ts"))).as("d1"))
-        val mx = byday.agg(max("d1").as("mx"))
-        val u = byday.crossJoin(broadcast(mx)).select(
-          datediff(col("d1"), col("d0")).cast("long").as("t"),
-          when(col("d1") < col("mx"), 1L).otherwise(0L).as("churn"))
-        val tl = u.groupBy("t").agg(count(lit(1)).as("n"),
-          sum("churn").as("d"))
-        val wsuf = Window.orderBy(col("t").asc)
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val tr = tl.withColumn("r", sum("n").over(wsuf))
-        val step = (acc: org.apache.spark.sql.Column,
-            x: org.apache.spark.sql.Column) => {
-          val prevS = coalesce(try_element_at(acc, lit(-1)).getField("s"),
-            lit(1000000L))
-          concat(acc, array(struct(
-            x.getField("t").as("t"), x.getField("d").as("d"),
-            x.getField("r").as("r"),
-            floor((prevS * (x.getField("r") - x.getField("d")))
-              .cast("double") / x.getField("r").cast("double"))
-              .cast("long").as("s"))))
-        }
-        tr.agg(array_sort(collect_list(struct(col("t"), col("d"),
-            col("r")))).as("xs"))
-          .select(explode(aggregate(col("xs"),
-            array().cast("array<struct<t:bigint,d:bigint,r:bigint," +
-              "s:bigint>>"), step)).as("e"))
-          .select(col("e.t").as("t"), col("e.d").as("n_churned"),
-            col("e.r").as("n_at_risk"), col("e.s").as("surv_micro"))
-      },
-      Some("""WITH byday AS (SELECT user_id,
-            min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-          FROM events GROUP BY 1),
-        mx AS (SELECT max(d1) AS mx FROM byday),
-        u AS (SELECT CAST(d1 - d0 AS BIGINT) AS t,
-            CASE WHEN d1 < mx THEN 1 ELSE 0 END AS churn
-          FROM byday, mx),
-        tl AS (SELECT t, count(*) AS n, CAST(sum(churn) AS BIGINT) AS d
-          FROM u GROUP BY 1),
-        tr AS (SELECT t, d, CAST(sum(n) OVER (ORDER BY t
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-            AS r
-          FROM tl),
-        g AS (SELECT list({'t': t, 'd': d, 'r': r} ORDER BY t) AS xs
-          FROM tr),
-        f AS (SELECT list_reduce(
-            list_prepend(
-              CAST([] AS STRUCT(t BIGINT, d BIGINT, r BIGINT,
-                s BIGINT)[]),
-              list_transform(xs, x -> [{'t': x.t, 'd': x.d, 'r': x.r,
-                's': CAST(0 AS BIGINT)}])),
-            (acc, e) -> list_append(acc, {'t': e[1].t, 'd': e[1].d,
-              'r': e[1].r,
-              's': CAST(floor(CAST(coalesce(acc[-1].s, 1000000)
-                  * (e[1].r - e[1].d) AS DOUBLE)
-                / CAST(e[1].r AS DOUBLE)) AS BIGINT)})) AS res
-          FROM g)
-        SELECT q.x.t AS t, q.x.d AS n_churned, q.x.r AS n_at_risk,
-          q.x.s AS surv_micro
-        FROM f, UNNEST(res) AS q(x)""")),
-
-    // RFM segmentation (recency / frequency / monetary quintiles): exact
-    // global ranks for each dimension come from three range-partitioned
-    // prefix scans (rank = exclusive count prefix + 1 — no corpus-sized
-    // ntile window), quintile = floor(5·(rank−1)/n)+1 with recency
-    // inverted (fresher = higher). The output is the classic 5x5x5 cell
-    // census with per-cell revenue — the marketing-segmentation rollup.
-    ("q_seq_rfm",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-        val anchor = o.agg(max(to_date(col("o_orderdate"))).as("mx"))
-        val cust = o.groupBy(col("o_custkey"))
-          .agg(max(to_date(col("o_orderdate"))).as("last"),
-            count(lit(1)).as("f"), sum(cents(col("o_totalprice"))).as("m"))
-          .crossJoin(broadcast(anchor))
-          .withColumn("r", datediff(col("mx"), col("last")).cast("long"))
-          .select("o_custkey", "r", "f", "m")
-        val n = cust.count() // one scalar driver action, like q_text_index
-        def score(df: DataFrame, metric: String, out: String,
-            invert: Boolean): DataFrame = {
-          val ranked = graft.ops.Prefix.runningOffsetsOrdered(
-            df.withColumn("one", lit(1L)),
-            Seq(metric, "o_custkey"), "one")
-          val b = floor((col("offset") * 5).cast("double") / n.toDouble)
-            .cast("long") + 1L
-          ranked.withColumn(out, if (invert) lit(6L) - b else b)
-            .drop("one", "offset")
-        }
-        val scored = score(score(score(cust, "r", "score_r", invert = true),
-          "f", "score_f", invert = false), "m", "score_m", invert = false)
-        scored.groupBy("score_r", "score_f", "score_m")
-          .agg(count(lit(1)).as("n_customers"), sum("m").as("revenue_cents"))
-      },
-      Some(s"""WITH cust AS (SELECT o_custkey,
-            max(CAST(o_orderdate AS DATE)) AS last, count(*) AS f,
-            CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS m
-          FROM orders GROUP BY 1),
-        a AS (SELECT max(last) AS mx FROM cust),
-        base AS (SELECT o_custkey, CAST(mx - last AS BIGINT) AS r, f, m
-          FROM cust, a),
-        n AS (SELECT count(*) AS nn FROM base),
-        rk AS (SELECT o_custkey, r, f, m,
-            row_number() OVER (ORDER BY r, o_custkey) - 1 AS rr,
-            row_number() OVER (ORDER BY f, o_custkey) - 1 AS rf,
-            row_number() OVER (ORDER BY m, o_custkey) - 1 AS rm
-          FROM base),
-        sc AS (SELECT o_custkey, m,
-            6 - (CAST(floor(CAST(rr * 5 AS DOUBLE) / nn) AS BIGINT) + 1)
-              AS score_r,
-            CAST(floor(CAST(rf * 5 AS DOUBLE) / nn) AS BIGINT) + 1
-              AS score_f,
-            CAST(floor(CAST(rm * 5 AS DOUBLE) / nn) AS BIGINT) + 1
-              AS score_m
-          FROM rk, n)
-        SELECT score_r, score_f, score_m, count(*) AS n_customers,
-          CAST(sum(m) AS BIGINT) AS revenue_cents
-        FROM sc GROUP BY 1, 2, 3""")),
-
-    // Peak concurrency by sweep line: each user-day session becomes a
-    // +1/−1 delta at its first/last event, the GLOBAL running sum over
-    // (ts, start-before-end, user) comes from the range-partitioned
-    // prefix scan (Prefix.runningOffsetsOrdered — no single-partition
-    // window over the corpus-sized delta stream), and the per-day max of
-    // offset+delta is the day's peak concurrent-session count. Sessions
-    // never span days, so the running sum self-resets at day boundaries.
-    ("q_agg_concurrency",
-      (s: SparkSession, d: String) => {
-        val sess = t(s, d, "events")
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
-        val deltas = sess.select(col("day"), col("t0").as("at"),
-            lit(1L).as("delta"), lit(0L).as("dord"), col("user_id"))
-          .union(sess.select(col("day"), col("t1").as("at"),
-            lit(-1L).as("delta"), lit(1L).as("dord"), col("user_id")))
-        graft.ops.Prefix.runningOffsetsOrdered(deltas,
-            Seq("at", "dord", "user_id"), "delta")
-          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
-          .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L))
-              .as("n_sessions"),
-            max(col("offset") + col("delta")).as("peak_concurrency"))
-      },
-      Some("""WITH sess AS (SELECT user_id, CAST(ts AS DATE) AS day,
-            min(ts) AS t0, max(ts) AS t1
-          FROM events GROUP BY 1, 2),
-        d AS (SELECT day, t0 AS at, 1 AS delta, 0 AS dord, user_id
-            FROM sess
-          UNION ALL SELECT day, t1, -1, 1, user_id FROM sess),
-        o AS (SELECT day, delta,
-            sum(delta) OVER (ORDER BY at, dord, user_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
-          FROM d)
-        SELECT strftime(day, '%Y-%m-%d') AS day,
-          CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_sessions,
-          CAST(max(conc) AS BIGINT) AS peak_concurrency
-        FROM o GROUP BY 1""")),
-
-    ("q_agg_sessionize",
-      // batch sessionization: a session breaks after a 30-min gap. lag ->
-      // flag -> running sum is the canonical two-window composition; both
-      // windows share the same (user_id, ts) partitioning+ordering so Spark
-      // plans ONE shuffle + one sort. Gaps compare in exact integer micros.
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val gap = unix_micros(col("ts")) -
-          lag(unix_micros(col("ts")), 1).over(w)
-        val isNew = when(gap.isNull || gap > 1800L * 1000000L, 1L)
-          .otherwise(0L)
-        t(s, d, "events")
-          .withColumn("session_id", sum(isNew).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("n_events"),
-            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_start"),
-            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_end"))
-      },
-      Some("""WITH g AS (SELECT user_id, event_id, ts,
-          epoch_us(ts) - lag(epoch_us(ts)) OVER
-            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
-          FROM events),
-        s AS (SELECT user_id, event_id, ts,
-          CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
-                        THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-          FROM g)
-        SELECT user_id, session_id, count(*) AS n_events,
-          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
-          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
-        FROM s GROUP BY 1, 2""")),
-
-    // Same sessions through Spark's BUILT-IN session_window (merging
-    // event-time sessions with a 30-min gap) — pinned to the identical
-    // lag->flag->running-sum oracle as q_agg_sessionize, so the built-in
-    // and hand-rolled routes are proven equivalent
-    ("q_agg_sessionwindow",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
-          col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("t_start"))
-        .select(col("user_id"), col("t_start"), col("n_events")),
-      Some("""WITH g AS (SELECT user_id, event_id, ts,
-          epoch_us(ts) - lag(epoch_us(ts)) OVER
-            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
-          FROM events),
-        s AS (SELECT user_id, ts,
-          -- session_window's span is [ts, ts+gap) EXCLUSIVE: an event
-          -- exactly 30 min later starts a NEW session (>=), where the
-          -- hand-rolled q_agg_sessionize merges it (>)
-          CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
-                        THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-          FROM g)
-        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
-          count(*) AS n_events
-        FROM s GROUP BY user_id, session_id""")),
-
-    ("q_agg_pricing",
-      // all money runs as floor-quantized BIGINT cents (see `cents` scaladoc:
-      // double→decimal casts of RAW doubles are cross-engine-unstable on the
-      // half-cent digit); sums are exact integers, presentation divides by a
-      // double literal — one IEEE op, bit-identical in both engines
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
-          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base"),
-          (sum(cents(col("l_extendedprice")) *
-            (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
-            .as("sum_disc"),
-          count(lit(1)).as("n")),
-      Some(s"""SELECT l_returnflag, l_linestatus,
-        CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
-        CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) / 100.0
-          AS sum_base,
-        CAST(sum(${centsSql("l_extendedprice")} *
-                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
-          AS sum_disc,
-        count(*) AS n
-        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
-
-    // TPC-H Q5-shaped 6-table join: two broadcast dim chains feeding the
-    // lineitem-orders fact join, revenue in exact integer cents. Catalyst
-    // broadcasts region/nation/supplier/customer and leaves ONE shuffle
-    // (the fact-fact join) + the final group-by
-    // part-dimension revenue breakdown (TPC-H Q14 shape): fact joins the
-    // broadcast part dim on l_partkey, one shuffle for the 6-type group —
-    // also the only query exercising the `part` fixture table
-    ("q_join_part_revenue",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        val p = t(s, d, "part")
-        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_type"))
-          .agg((sum(cents(col("l_extendedprice")) *
-              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
-              .as("revenue"),
-            count(lit(1)).as("n_items"),
-            (sum(cents(col("p_retailprice"))) / lit(100.0)).as("retail"))
-      },
-      Some(s"""SELECT p_type,
-          CAST(sum(${centsSql("l_extendedprice")} *
-                   (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
-            AS revenue,
-          count(*) AS n_items,
-          CAST(sum(${centsSql("p_retailprice")}) AS BIGINT) / 100.0 AS retail
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY 1""")),
-
-    // TPC-H Q22 shape (scalar subquery + anti join): positive-balance
-    // customers above the average positive balance with no RECENT orders
-    // (dormant since 2000-01-01), by nation. Balances compared in exact
-    // integer cents; the scalar threshold is one broadcast row; the anti
-    // join is the only fact shuffle
-    // Null-safe equi-join (<=>): NULL keys MATCH each other — the join
-    // semantics entity-resolution and late-dimension pipelines need when
-    // "unknown" is a legitimate key value. EqualNullSafe is still an
-    // equi-join key for Spark (hash join, never a nested loop; the plan
-    // pin asserts it), unlike the OR-of-IS-NULL rewrite users reach for.
-    ("q_join_nullsafe",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(
-          when(col("c_custkey") % 7 === 0, lit(null))
-            .otherwise(col("c_nationkey")).cast("long").as("ck"),
-          col("c_custkey"))
-        val su = t(s, d, "supplier").select(
-          when(col("s_suppkey") % 5 === 0, lit(null))
-            .otherwise(col("s_nationkey")).cast("long").as("sk"),
-          col("s_suppkey"))
-        c.join(su, col("ck") <=> col("sk"))
-          .groupBy(coalesce(col("ck"), lit(-1L)).as("nation"))
-          .agg(count(lit(1)).as("n_pairs"),
-            count_distinct(col("c_custkey")).as("n_customers"),
-            count_distinct(col("s_suppkey")).as("n_suppliers"))
-      },
-      Some("""WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
-              ELSE CAST(c_nationkey AS BIGINT) END AS ck, c_custkey
-          FROM customer),
-        su AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
-              ELSE CAST(s_nationkey AS BIGINT) END AS sk, s_suppkey
-          FROM supplier)
-        SELECT coalesce(ck, -1) AS nation, count(*) AS n_pairs,
-          count(DISTINCT c_custkey) AS n_customers,
-          count(DISTINCT s_suppkey) AS n_suppliers
-        FROM c JOIN su ON ck IS NOT DISTINCT FROM sk
-        GROUP BY 1""")),
-
-    // STL-lite decomposition of the daily revenue series: trend = centered
-    // 7-day window sum (kept x7 — no division), dev7 = 7·x − trend
-    // (exact), seasonal = each weekday's mean dev7 floor-quantized to
-    // micro-units, residual = dev7·1e6 − seasonal (exact BIGINTs all the
-    // way). Both windows run over the calendar-bounded day table — the
-    // documented constant-state exception — and the weekday means join
-    // back as a 7-row broadcast.
-    ("q_agg_stl",
-      (s: SparkSession, d: String) => {
-        val daily = t(s, d, "events")
-          .groupBy(to_date(col("ts")).as("day"),
-            (weekday(col("ts")) + 1).as("isodow"))
-          .agg(sum(cents(col("value"))).as("x"))
-        val w = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
-        val tr = daily
-          .withColumn("n7", count(lit(1)).over(w))
-          .withColumn("sum7", sum("x").over(w))
-          .filter(col("n7") === 7)
-          .withColumn("dev7", col("x") * 7 - col("sum7"))
-        val wd = tr.groupBy("isodow")
-          .agg(floor(sum(col("dev7")).cast("double") * 1e6 /
-            count(lit(1)).cast("double")).cast("long").as("seasonal_micro"))
-        tr.join(broadcast(wd), "isodow")
-          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-            col("isodow").cast("int").as("isodow"), col("x"),
-            col("sum7").as("trend_x7"), col("dev7"),
-            col("seasonal_micro"),
-            (col("dev7") * 1000000L - col("seasonal_micro"))
-              .as("residual_micro"))
-      },
-      Some(s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-            isodow(ts) AS isodow,
-            CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2),
-        tr AS (SELECT day, isodow, x,
-            count(*) OVER wnd AS n7, CAST(sum(x) OVER wnd AS BIGINT) AS sum7
-          FROM daily
-          WINDOW wnd AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
-            AND 3 FOLLOWING)),
-        dv AS (SELECT day, isodow, x, sum7, x * 7 - sum7 AS dev7 FROM tr
-          WHERE n7 = 7),
-        wd AS (SELECT isodow,
-            CAST(floor(CAST(sum(dev7) AS DOUBLE) * 1e6 /
-              CAST(count(*) AS DOUBLE)) AS BIGINT) AS seasonal_micro
-          FROM dv GROUP BY 1)
-        SELECT strftime(day, '%Y-%m-%d') AS day,
-          CAST(dv.isodow AS INT) AS isodow, x, sum7 AS trend_x7, dev7,
-          seasonal_micro,
-          dev7 * 1000000 - seasonal_micro AS residual_micro
-        FROM dv JOIN wd ON dv.isodow = wd.isodow""")),
-
-    ("q_join_noorders",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(col("c_custkey"),
-          col("c_nationkey"), cents(col("c_acctbal")).as("bal_cents"))
-        val pos = c.filter(col("bal_cents") > 0)
-        val thr = pos.agg((sum("bal_cents").cast("double") /
-          count(lit(1))).as("thr"))
-        pos.crossJoin(broadcast(thr))
-          .filter(col("bal_cents") > col("thr"))
-          .join(t(s, d, "orders")
-            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
-            .select(col("o_custkey").as("c_custkey")),
-            Seq("c_custkey"), "left_anti")
-          .groupBy("c_nationkey")
-          .agg(count(lit(1)).as("n_cust"),
-            sum("bal_cents").as("bal_cents_sum"))
-      },
-      Some(s"""WITH c AS (SELECT c_custkey, c_nationkey,
-            ${centsSql("c_acctbal")} AS bal_cents FROM customer),
-          t AS (SELECT CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE)
-              / count(*) AS thr FROM c WHERE bal_cents > 0)
-        SELECT c_nationkey, count(*) AS n_cust,
-          CAST(sum(bal_cents) AS BIGINT) AS bal_cents_sum
-        FROM c, t
-        WHERE bal_cents > 0 AND bal_cents > thr
-          AND NOT EXISTS (SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey
-              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-        GROUP BY 1""")),
-
-    // TPC-H Q17 shape (aggregate-compare join): lineitems below a fifth of
-    // their part's average quantity. The test 5*qty*cnt < sum multiplies
-    // the avg through so every comparison is an exact BIGINT
-    ("q_join_lowqty",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem").select(col("l_partkey"),
-          col("l_quantity").cast("long").as("qty"),
-          cents(col("l_extendedprice")).as("price_cents"))
-        val pp = li.groupBy("l_partkey")
-          .agg(sum("qty").as("sq"), count(lit(1)).as("cq"))
-        li.join(pp, Seq("l_partkey"))
-          .filter(col("qty") * 5 * col("cq") < col("sq"))
-          .agg(count(lit(1)).as("n_items"),
-            (sum("price_cents") / lit(100.0)).as("total_price"))
-      },
-      Some(s"""WITH li AS (SELECT l_partkey,
-            CAST(l_quantity AS BIGINT) AS qty,
-            ${centsSql("l_extendedprice")} AS price_cents FROM lineitem),
-          pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sq,
-            count(*) AS cq FROM li GROUP BY 1)
-        SELECT count(*) AS n_items,
-          CAST(sum(price_cents) AS BIGINT) / 100.0 AS total_price
-        FROM li JOIN pp USING (l_partkey)
-        WHERE qty * 5 * cq < sq""")),
-
-    // Inter-purchase interval per customer: days between consecutive
-    // orders (lag window, customer-bounded state), rolled up to average /
-    // max gap and order count — the churn-risk feature every retention
-    // model starts from. Gap arithmetic on epoch DAYS (exact integers);
-    // the average presents via one floor-quantized division.
-    ("q_join_ordergap",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        t(s, d, "orders")
-          .withColumn("gap_days",
-            datediff(col("o_orderdate"),
-              lag(col("o_orderdate"), 1).over(w)).cast("long"))
-          .groupBy("o_custkey")
-          .agg(count(lit(1)).as("n_orders"),
-            sum("gap_days").as("sum_gap_days"),
-            max("gap_days").as("max_gap_days"),
-            (floor(lit(1e6) * sum("gap_days").cast("double") /
-              greatest(count(col("gap_days")), lit(1L)).cast("double")) /
-              lit(1e6)).as("avg_gap_days"))
-      },
-      Some("""WITH g AS (SELECT o_custkey,
-            CAST(date_diff('day', lag(o_orderdate) OVER (
-              PARTITION BY o_custkey
-              ORDER BY o_orderdate ASC, o_orderkey ASC), o_orderdate)
-              AS BIGINT) AS gap_days
-          FROM orders)
-        SELECT o_custkey, count(*) AS n_orders,
-          CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
-          max(gap_days) AS max_gap_days,
-          floor(1e6 * CAST(CAST(sum(gap_days) AS BIGINT) AS DOUBLE) /
-            CAST(greatest(count(gap_days), 1) AS DOUBLE)) / 1e6
-            AS avg_gap_days
-        FROM g GROUP BY 1""")),
-
-    // TPC-H Q2 shape (correlated-min decorrelation): for each small part,
-    // the supplier(s) offering the minimum price. The correlated scalar
-    // subquery decorrelates to groupBy-min + equi-join back (ties kept, as
-    // in Q2); part/supplier/nation are broadcast dims, so the only fact
-    // shuffles are the two offer aggregations. Prices compared in exact
-    // integer cents.
-    ("q_join_mincost",
-      (s: SparkSession, d: String) => {
-        val off = t(s, d, "lineitem")
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(min(cents(col("l_extendedprice"))).as("offer_cents"))
-        val mo = off.groupBy("l_partkey")
-          .agg(min("offer_cents").as("min_cents"))
-        off.join(mo, Seq("l_partkey"))
-          .filter(col("offer_cents") === col("min_cents"))
-          .join(broadcast(t(s, d, "part").filter(col("p_size") <= 5)),
-            col("l_partkey") === col("p_partkey"))
-          .join(broadcast(t(s, d, "supplier")),
-            col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(t(s, d, "nation")),
-            col("s_nationkey") === col("n_nationkey"))
-          .select(col("p_partkey"), col("p_type"), col("s_name"),
-            col("n_name"), (col("min_cents") / lit(100.0)).as("min_price"))
-      },
-      Some(s"""WITH off AS (SELECT l_partkey, l_suppkey,
-            min(${centsSql("l_extendedprice")}) AS offer_cents
-          FROM lineitem GROUP BY 1, 2),
-          mo AS (SELECT l_partkey, min(offer_cents) AS min_cents
-          FROM off GROUP BY 1)
-        SELECT p_partkey, p_type, s_name, n_name,
-          CAST(min_cents AS BIGINT) / 100.0 AS min_price
-        FROM off JOIN mo USING (l_partkey)
-        JOIN part ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON n_nationkey = s_nationkey
-        WHERE offer_cents = min_cents AND p_size <= 5""")),
-
-    // TPC-H Q18 shape (HAVING-filtered semi enrichment): orders whose
-    // total quantity exceeds the threshold, with their customer. The
-    // lineitem aggregate is map-side combinable and its survivors are few,
-    // so the enrichment join broadcasts the AGGREGATE, not the fact table;
-    // order dates render as strings for cross-engine byte equality.
-    ("q_join_bigorders",
-      (s: SparkSession, d: String) => {
-        val big = t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
-          .filter(col("sum_qty") > 300)
-        t(s, d, "orders")
-          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
-            (cents(col("o_totalprice")) / lit(100.0)).as("total_price"),
-            col("sum_qty"))
-      },
-      Some(s"""WITH big AS (SELECT l_orderkey,
-            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-          FROM lineitem GROUP BY 1 HAVING sum_qty > 300)
-        SELECT c_name, c_custkey, o_orderkey,
-          strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-          CAST(${centsSql("o_totalprice")} AS BIGINT) / 100.0
-            AS total_price,
-          sum_qty
-        FROM orders JOIN big ON o_orderkey = l_orderkey
-        JOIN customer ON o_custkey = c_custkey""")),
-
-    // Market-basket association mining: co-ordered part pairs with support
-    // and lift. The pair fan-out is per-ORDER-bounded (an order carries at
-    // most a handful of lines, so the self-join emits <= C(lines,2) rows
-    // per order — corpus-LINEAR, unlike a part-keyed pairing which would
-    // square on popular parts); the global order count is one broadcast
-    // row, and lift renders via the floor(1e6*x)/1e6 fixed-point both
-    // engines compute identically.
-    ("q_basket_lift",
-      (s: SparkSession, d: String) => {
-        val items = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = items.as("a").join(items.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-          .agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 3)
-        val totals = items.groupBy("l_partkey")
-          .agg(count(lit(1)).as("n_part"))
-        val nOrders = items.select("l_orderkey").distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        pairs
-          .join(totals.select(col("l_partkey").as("p1"),
-            col("n_part").as("n1")), Seq("p1"))
-          .join(totals.select(col("l_partkey").as("p2"),
-            col("n_part").as("n2")), Seq("p2"))
-          .crossJoin(broadcast(nOrders))
-          .withColumn("lift",
-            floor(lit(1e6) * (col("n_co") * col("n_orders")).cast("double") /
-              (col("n1") * col("n2")).cast("double")) / lit(1e6))
-          .select("p1", "p2", "n_co", "n1", "n2", "lift")
-      },
-      Some("""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey
-            FROM lineitem),
-          pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
-              count(*) AS n_co
-            FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey
-              AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING count(*) >= 3),
-          tot AS (SELECT l_partkey, count(*) AS n_part FROM i GROUP BY 1),
-          no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i)
-        SELECT p1, p2, n_co, t1.n_part AS n1, t2.n_part AS n2,
-          floor(1e6 * CAST(n_co * n_orders AS DOUBLE) /
-            CAST(t1.n_part * t2.n_part AS DOUBLE)) / 1e6 AS lift
-        FROM pr JOIN tot t1 ON p1 = t1.l_partkey
-                JOIN tot t2 ON p2 = t2.l_partkey
-                CROSS JOIN no""")),
-
-    // Supply-concentration profile (Herfindahl index per part): squared
-    // supplier shares sum to ss/tot² — kept as exact BIGINT numerator and
-    // denominator through both combine-enabled aggregates, with ONE double
-    // division at presentation. Two map-side-combining groupBys, no
-    // window, no join: the shape a 100 TB concentration report wants.
-    // Concentration cut ("how many top customers cover 80% of a segment's
-    // revenue"): per-customer revenue in exact cents, ranked desc inside
-    // each segment by the RANGE-PARTITIONED prefix scan
-    // (Prefix.runningOffsetsBy, 5 segment groups — well inside its
-    // low-cardinality contract) instead of Window.partitionBy(segment),
-    // so no task ever buffers a whole segment — the hot-group-safe form
-    // of the cumulative-share analytic. Membership is the exact integer
-    // test 5·offset < 4·total on the EXCLUSIVE prefix, so the minimal
-    // cover always includes the row that crosses the 80% line.
-    ("q_agg_pareto_cut",
-      (s: SparkSession, d: String) => {
-        val rev = t(s, d, "orders").groupBy(col("o_custkey"))
-          .agg(sum(cents(col("o_totalprice"))).as("rev"))
-        val c = t(s, d, "customer")
-          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
-          .join(rev, col("c_custkey") === col("o_custkey"))
-          .select(col("seg"), col("c_custkey"), col("rev"))
-        val ranked = graft.ops.Prefix.runningOffsetsBy(
-          c.withColumn("negrev", -col("rev")),
-          "seg", Seq("negrev", "c_custkey"), "rev")
-        val totals = c.groupBy("seg")
-          .agg(sum("rev").as("total_rev"), count(lit(1)).as("n_customers"))
-        ranked.join(broadcast(totals), "seg")
-          .filter(col("offset") * 5 < col("total_rev") * 4)
-          .groupBy(col("seg"), col("n_customers"), col("total_rev"))
-          .agg(count(lit(1)).as("n_cover"), sum("rev").as("cover_rev"))
-          .select(col("seg"), col("n_customers"), col("total_rev"),
-            col("n_cover"), col("cover_rev"))
-      },
-      Some(s"""WITH rev AS (SELECT o_custkey AS k,
-            CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS rev
-          FROM orders GROUP BY 1),
-        c AS (SELECT c_mktsegment AS seg, c_custkey, rev
-          FROM customer JOIN rev ON c_custkey = k),
-        o AS (SELECT seg, c_custkey, rev,
-            COALESCE(sum(rev) OVER (PARTITION BY seg
-              ORDER BY rev DESC, c_custkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
-            sum(rev) OVER (PARTITION BY seg) AS total,
-            count(*) OVER (PARTITION BY seg) AS n_customers
-          FROM c)
-        SELECT seg, CAST(n_customers AS BIGINT) AS n_customers,
-          CAST(total AS BIGINT) AS total_rev,
-          CAST(count(*) AS BIGINT) AS n_cover,
-          CAST(sum(rev) AS BIGINT) AS cover_rev
-        FROM o WHERE 5 * off < 4 * total
-        GROUP BY seg, n_customers, total""")),
-
-    // Gini inequality coefficient per segment, on exact ranks: the
-    // rank-weighted sum Σ rank·x comes from the range-partitioned grouped
-    // prefix scan (rank = exclusive count prefix + 1 — no per-segment
-    // window), and G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) evaluates with
-    // exact BIGINT numerators and one floor-quantized IEEE division.
-    // Complements q_agg_hhi (share concentration) with the rank-based
-    // inequality measure. Ties broken by customer id — deterministic and
-    // the standard midrank-free formulation.
-    ("q_profile_gini",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
-            col("c_custkey"), cents(col("c_acctbal")).as("x"))
-          .filter(col("x") >= 0)
-          .withColumn("one", lit(1L))
-        val ranked = graft.ops.Prefix.runningOffsetsBy(c, "seg",
-            Seq("x", "c_custkey"), "one")
-          .withColumn("rank", col("offset") + 1L)
-        val g = ranked.groupBy("seg").agg(count(lit(1)).as("n"),
-          sum("x").as("sx"), sum(col("rank") * col("x")).as("srx"))
-        g.select(col("seg"), col("n"), col("sx"),
-          floor((lit(2L) * col("srx") - (col("n") + 1) * col("sx"))
-            .cast("double") * 1e6 /
-            (col("n") * col("sx")).cast("double")).cast("long")
-            .as("gini_ppm"))
-      },
-      Some(s"""WITH c AS (SELECT c_mktsegment AS seg, c_custkey,
-            ${centsSql("c_acctbal")} AS x
-          FROM customer WHERE ${centsSql("c_acctbal")} >= 0),
-        r AS (SELECT seg, x,
-            row_number() OVER (PARTITION BY seg ORDER BY x, c_custkey)
-              AS rank
-          FROM c),
-        g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(x) AS BIGINT) AS sx,
-            CAST(sum(rank * x) AS BIGINT) AS srx
-          FROM r GROUP BY 1)
-        SELECT seg, n, sx,
-          CAST(floor(CAST(2 * srx - (n + 1) * sx AS DOUBLE) * 1e6 /
-            CAST(n * sx AS DOUBLE)) AS BIGINT) AS gini_ppm
-        FROM g""")),
-
-    ("q_agg_hhi",
-      (s: SparkSession, d: String) => {
-        val per = t(s, d, "lineitem")
-          .groupBy(col("l_partkey"), col("l_suppkey"))
-          .agg(sum(col("l_quantity").cast("long")).as("q"))
-        per.groupBy("l_partkey")
-          .agg(count(lit(1)).as("n_suppliers"),
-            sum(col("q") * col("q")).as("ss"),
-            sum(col("q")).as("tot"))
-          .withColumn("hhi",
-            floor(lit(1e6) * col("ss").cast("double") /
-              (col("tot") * col("tot")).cast("double")) / lit(1e6))
-      },
-      Some("""WITH per AS (SELECT l_partkey, l_suppkey,
-            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-          FROM lineitem GROUP BY 1, 2)
-        SELECT l_partkey, count(*) AS n_suppliers,
-          CAST(sum(q * q) AS BIGINT) AS ss,
-          CAST(sum(q) AS BIGINT) AS tot,
-          floor(1e6 * CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) /
-            CAST(CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT) AS DOUBLE))
-            / 1e6 AS hhi
-        FROM per GROUP BY 1""")),
-
-    // Runtime-filter semi-join: a Bloom filter built over the filtered
-    // dimension's keys reaches the FACT SCAN as one broadcast row, so
-    // non-matching orders drop in the scan stage — before any exchange —
-    // and the exact broadcast join afterwards removes the false positives.
-    // The explicit form of the sideways information passing a 100 TB
-    // selective-dim join lives on (the fact side never shuffles rows the
-    // dim cannot match). The oracle is the plain semi-join — the bloom is
-    // semantically transparent by construction.
-    ("q_join_bloom_prune",
-      (s: SparkSession, d: String) => {
-        val dim = t(s, d, "customer")
-          .filter(col("c_mktsegment") === "BUILDING" &&
-            col("c_acctbal") > 9000)
-          .select(col("c_custkey"))
-        val bits = dim.agg(graft.plans.GraftExpressions.bloom_bits(
-          col("c_custkey").cast("string"), 1 << 17, 4).as("bits"))
-        t(s, d, "orders")
-          .crossJoin(broadcast(bits))
-          .filter(graft.plans.GraftExpressions.bloom_contains(col("bits"),
-            col("o_custkey").cast("string"), 1 << 17, 4))
-          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n_orders"),
-            (sum(cents(col("o_totalprice"))) / lit(100.0)).as("total_price"))
-      },
-      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
-          CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) / 100.0
-            AS total_price
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer
-          WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000)
-        GROUP BY 1""")),
-
-    ("q_join_region_revenue",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        val o = t(s, d, "orders")
-          .filter(col("o_orderdate") >= lit("1996-01-01") &&
-            col("o_orderdate") < lit("1997-01-01"))
-        val c = t(s, d, "customer")
-        val su = t(s, d, "supplier")
-        val n = t(s, d, "nation")
-        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .groupBy(col("n_name"))
-          .agg((sum(cents(col("l_extendedprice")) *
-            (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
-            .as("revenue"))
-      },
-      Some(s"""SELECT n_name,
-        CAST(sum(${centsSql("l_extendedprice")} *
-                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
-          AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-                     AND c_nationkey = s_nationkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY n_name""")),
-
-    // grouping sets: ROLLUP over (returnflag, linestatus) with an explicit
-    // level marker — partial-aggregable, one shuffle for every level
-    ("q_agg_rollup",
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().as("lvl")),
-      Some(s"""SELECT l_returnflag, l_linestatus,
-          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
-          count(*) AS n,
-          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
-            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
-
-    // EXPLICIT grouping sets (the third grouping-analytics form next to
-    // ROLLUP/CUBE): per-returnflag and per-linestatus marginals in ONE
-    // partial-aggregated pass — no union of two scans
-    ("q_agg_groupingsets",
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .groupingSets(
-          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().as("lvl")),
-      Some(s"""SELECT l_returnflag, l_linestatus,
-          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
-          count(*) AS n,
-          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
-            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")),
-
-    // 3-way join, small dims broadcast; revenue per market segment
-    ("q_join_revenue",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        val o = t(s, d, "orders")
-        val c = t(s, d, "customer")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(
-            (sum(cents(col("l_extendedprice")) *
-              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
-              .as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
-      },
-      Some(s"""SELECT c_mktsegment,
-        CAST(sum(${centsSql("l_extendedprice")} *
-                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
-          AS revenue,
-        count(DISTINCT o_orderkey) AS n_orders
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment""")),
-
-    // SLIDING event-time windows (1 h window, 30 min slide): every event
-    // lands in exactly two windows — Spark's window() explodes to the
-    // covering windows before the aggregate, the same shape the oracle
-    // reproduces with an explicit two-start UNNEST
-    ("q_agg_sliding",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          min(col("value")).as("min_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("win_start"),
-          col("event_type"), col("n_events"), col("min_value")),
-      Some("""WITH slid AS (SELECT event_type, "value",
-          unnest([date_trunc('hour', ts) +
-              CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
-                   ELSE INTERVAL 0 MINUTE END,
-            date_trunc('hour', ts) +
-              CASE WHEN minute(ts) >= 30 THEN INTERVAL 0 MINUTE
-                   ELSE -INTERVAL 30 MINUTE END]) AS ws
-          FROM events)
-        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-          count(*) AS n_events, min("value") AS min_value
-        FROM slid GROUP BY 1, 2""")),
-
-    // Full cube over the two flag dimensions — all four grouping levels in
-    // one pass (Spark expands to a single partial-aggregated plan)
-    ("q_agg_cube",
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg((sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().as("lvl")),
-      Some(s"""SELECT l_returnflag, l_linestatus,
-          CAST(sum(${centsSql("l_quantity")}) AS BIGINT) / 100.0 AS sum_qty,
-          count(*) AS n,
-          CAST(GROUPING(l_returnflag) AS BIGINT) * 2 +
-            CAST(GROUPING(l_linestatus) AS BIGINT) AS lvl
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)""")),
-
-    // Pivot (long -> wide): daily event counts, one column per event type.
-    // The value list is DECLARED, not discovered — an undeclared pivot runs
-    // an extra distinct job over the fact table just to learn its columns,
-    // and a 100 TB scan to find five known strings is waste. Absent
-    // (day, type) cells are 0, not null, matching the conditional-aggregate
-    // formulation the pivot rewrites to.
-    // Price-index suite (Laspeyres / Paasche / Fisher) — the composed
-    // index-number analytics a pricing/finance warehouse publishes:
-    // per (part, year) unit prices in cents (floor of the exact
-    // cents-per-unit ratio — deterministic, documents the quantization),
-    // base year = first year, per-year basket = parts present in BOTH
-    // periods. Laspeyres weights by base quantities, Paasche by current,
-    // Fisher is their geometric mean (one sqrt — IEEE-identical). All
-    // four index sums are BIGINT-exact (cents × quantities stay < 2^53
-    // per term and < 2^63 summed); only the final ratios are doubles.
-    // Shape: one (part, year) aggregate, a broadcast base-year join, a
-    // per-year sum — two shuffles total.
-    ("q_agg_price_index",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem").join(
-          t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
-            year(col("o_orderdate")).cast("long").as("yr")),
-          Seq("l_orderkey"))
-        val py = li.groupBy(col("l_partkey").as("pk"), col("yr"))
-          .agg(sum(cents(col("l_extendedprice"))).as("ext"),
-            sum(col("l_quantity").cast("long")).as("qty"))
-          .select(col("pk"), col("yr"),
-            floor(col("ext").cast("double") / col("qty").cast("double"))
-              .cast("long").as("p"),
-            col("qty"))
-        val y0 = py.agg(min("yr").as("y0"))
-        val base = py.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
-          .select(col("pk"), col("p").as("p0"), col("qty").as("q0"))
-        py.join(base, Seq("pk"))
-          .groupBy("yr")
-          .agg(count(lit(1)).as("n_parts"),
-            sum(col("p") * col("q0")).as("lnum"),
-            sum(col("p0") * col("q0")).as("lden"),
-            sum(col("p") * col("qty")).as("pnum"),
-            sum(col("p0") * col("qty")).as("pden"))
-          .select(col("yr"), col("n_parts"),
-            floor(lit(1000.0) * col("lnum").cast("double") /
-              col("lden").cast("double")).cast("long")
-              .as("laspeyres_milli"),
-            floor(lit(1000.0) * col("pnum").cast("double") /
-              col("pden").cast("double")).cast("long")
-              .as("paasche_milli"),
-            floor(lit(1000.0) * sqrt(
-              (col("lnum").cast("double") / col("lden").cast("double")) *
-              (col("pnum").cast("double") / col("pden").cast("double"))))
-              .cast("long").as("fisher_milli"))
-      },
-      Some("""WITH li AS (SELECT l_partkey AS pk,
-            CAST(year(o_orderdate) AS BIGINT) AS yr,
-            CAST(floor(l_extendedprice * 100) AS BIGINT) AS ext_cents,
-            CAST(l_quantity AS BIGINT) AS qty
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        py AS (SELECT pk, yr,
-            CAST(floor(CAST(sum(ext_cents) AS DOUBLE) /
-              CAST(sum(qty) AS DOUBLE)) AS BIGINT) AS p,
-            CAST(sum(qty) AS BIGINT) AS qty
-          FROM li GROUP BY 1, 2),
-        y0 AS (SELECT min(yr) AS y0 FROM py),
-        base AS (SELECT pk, p AS p0, qty AS q0 FROM py, y0
-          WHERE yr = y0),
-        j AS (SELECT yr, count(*) AS n_parts,
-            CAST(sum(p * q0) AS BIGINT) AS lnum,
-            CAST(sum(p0 * q0) AS BIGINT) AS lden,
-            CAST(sum(p * qty) AS BIGINT) AS pnum,
-            CAST(sum(p0 * qty) AS BIGINT) AS pden
-          FROM py JOIN base USING (pk) GROUP BY 1)
-        SELECT yr, n_parts,
-          CAST(floor(1000.0 * CAST(lnum AS DOUBLE) /
-            CAST(lden AS DOUBLE)) AS BIGINT) AS laspeyres_milli,
-          CAST(floor(1000.0 * CAST(pnum AS DOUBLE) /
-            CAST(pden AS DOUBLE)) AS BIGINT) AS paasche_milli,
-          CAST(floor(1000.0 * sqrt(
-            (CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)) *
-            (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))))
-            AS BIGINT) AS fisher_milli
-        FROM j""")),
-
-    // UNPIVOT/melt — the inverse of q_agg_pivot and the other half of
-    // the wide<->long reshaping pair (metric tables ship long, models
-    // consume wide): a 5-row wide aggregate (three BIGINT measures per
-    // order priority) melts into (priority, metric, value) via Spark's
-    // native `unpivot` (Expand under the hood — one operator, no join,
-    // no shuffle past the aggregate; at 100 TB melt multiplies rows by
-    // #measures in the scan stage, never reshuffles). Oracle = UNION ALL
-    // of one SELECT per measure.
-    ("q_agg_melt",
-      (s: SparkSession, d: String) => {
-        val wide = t(s, d, "orders").groupBy(
-            col("o_orderpriority").as("priority"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(cents(col("o_totalprice"))).as("sum_total_cents"),
-            max(cents(col("o_totalprice"))).as("max_total_cents"))
-        wide.unpivot(
-          Array(col("priority")),
-          Array(col("n_orders"), col("sum_total_cents"),
-            col("max_total_cents")),
-          "metric", "value")
-      },
-      Some("""WITH wide AS (SELECT o_orderpriority AS priority,
-            count(*) AS n_orders,
-            CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
-              AS BIGINT) AS sum_total_cents,
-            CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT))
-              AS BIGINT) AS max_total_cents
-          FROM orders GROUP BY 1)
-        SELECT priority, 'n_orders' AS metric, n_orders AS value
-        FROM wide
-        UNION ALL
-        SELECT priority, 'sum_total_cents', sum_total_cents FROM wide
-        UNION ALL
-        SELECT priority, 'max_total_cents', max_total_cents FROM wide""")),
-
-    ("q_agg_pivot", {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      ((s: SparkSession, d: String) => t(s, d, "events")
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
-        .pivot("event_type", types).agg(count(lit(1)))
-        .select(col("d") +:
-          types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)): Q
-      },
-      Some(Seq("click", "error", "purchase", "signup", "view").map(ty =>
-        s"count(*) FILTER (WHERE event_type = '$ty') AS $ty")
-        .mkString("SELECT strftime(ts, '%Y-%m-%d') AS d, ", ", ",
-          " FROM events GROUP BY 1"))),
-
-    // Point-in-time enrichment: each click joined to the user's latest
-    // purchase at-or-before it (ops/AsofJoin — union + ONE keyed window,
-    // not a quadratic range join). DuckDB's native ASOF LEFT JOIN is the
-    // oracle, so the operator's semantics are pinned to the standard.
-    ("q_join_asof",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events")
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id"), col("user_id"), col("ts"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(cents(col("value"))).as("purchase_cents"))
-        graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"),
-            "ts", "ts", Seq("purchase_cents"))
-          .select(col("event_id"), col("user_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
-            col("purchase_cents"))
-      },
-      Some(s"""WITH l AS (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'click'),
-        r AS (SELECT user_id, ts,
-            max(${centsSql("\"value\"")}) AS purchase_cents
-          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        SELECT l.event_id, l.user_id,
-          strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, r.purchase_cents
-        FROM l ASOF LEFT JOIN r
-          ON l.user_id = r.user_id AND l.ts >= r.ts""")),
-
-    // Moving-window analytics: trailing 4-row sum/count + lag delta per
-    // user. Both frames share one (user_id) partitioning + (ts, event_id)
-    // sort, so Spark plans ONE shuffle + one sort for all three columns.
-    // TIME-range window (RANGE BETWEEN INTERVAL, not ROWS): events in the
-    // trailing 30 minutes per user — the rate-limiter / burst-detection
-    // frame, which row-count windows cannot express (bursts have variable
-    // row counts). Ordered on exact epoch micros so the frame bound is
-    // integer arithmetic on both engines.
-    ("q_window_timerange",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(unix_micros(col("ts")))
-          .rangeBetween(-1800L * 1000000L, Window.currentRow)
-        t(s, d, "events")
-          .select(col("event_id"), col("user_id"),
-            count(lit(1)).over(w).as("n_trailing_30m"),
-            sum(cents(col("value"))).over(w).as("cents_trailing_30m"))
-      },
-      Some("""SELECT event_id, user_id,
-          count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
-            AS n_trailing_30m,
-          CAST(sum(CAST(floor("value" * 100) AS BIGINT)) OVER (
-            PARTITION BY user_id ORDER BY epoch_us(ts)
-            RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT)
-            AS cents_trailing_30m
-        FROM events""")),
-
-    // Per-user maximum drawdown: running peak minus current value, maxed —
-    // the time-series stress metric (how far below its own high-water mark
-    // a series fell). One per-user window (user-bounded state) sharing its
-    // (user, ts) sort with the rollup; values in exact cents throughout.
-    ("q_window_drawdown",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t(s, d, "events")
-          .withColumn("v", cents(col("value")))
-          .withColumn("peak", max("v").over(w))
-          .groupBy("user_id")
-          .agg(count(lit(1)).as("n_events"),
-            max("peak").as("peak_cents"),
-            max(col("peak") - col("v")).as("max_drawdown_cents"))
-      },
-      Some(s"""WITH r AS (SELECT user_id, ${centsSql(""""value"""")} AS v,
-            max(${centsSql(""""value"""")}) OVER (PARTITION BY user_id
-              ORDER BY ts ASC, event_id ASC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
-          FROM events)
-        SELECT user_id, count(*) AS n_events,
-          CAST(max(peak) AS BIGINT) AS peak_cents,
-          CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents
-        FROM r GROUP BY 1""")),
-
-    ("q_window_moving",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val wm = w.rowsBetween(-3, Window.currentRow)
-        t(s, d, "events")
-          .withColumn("v", cents(col("value")))
-          .select(col("event_id"), col("user_id"),
-            sum(col("v")).over(wm).as("mov_cents"),
-            count(lit(1)).over(wm).as("n_win"),
-            (col("v") - lag(col("v"), 1).over(w)).as("delta_cents"))
-      },
-      Some(s"""WITH v AS (SELECT event_id, user_id, ts,
-          ${centsSql("\"value\"")} AS v FROM events)
-        SELECT event_id, user_id,
-          CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_cents,
-          count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_win,
-          v - lag(v, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-            AS delta_cents
-        FROM v""")),
-
-    // Ranking-function surface: ntile / percent_rank / cume_dist over one
-    // shared window — all integer-derived doubles (rank/count ratios), so
-    // cross-engine exact
-    ("q_window_rankfns",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("source")
-          .orderBy(col("n_chars").asc, col("doc_id").asc)
-        t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars"))
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
-          .withColumn("pct_rank", percent_rank().over(w))
-          .withColumn("cume", cume_dist().over(w))
-      },
-      Some("""SELECT source, doc_id, n_chars,
-          CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-          percent_rank() OVER w AS pct_rank,
-          cume_dist() OVER w AS cume
-        FROM documents
-        WINDOW w AS (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)""")),
-
-    // Top-k per group: the O2 surface the reference lacks, as a rank
-    // window — the scalable shape (no global sort, no driver collect)
-    ("q_window_topk",
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("source")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        t(s, d, "documents")
-          .select(col("source"), col("doc_id"), col("n_chars"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-      },
-      Some("""SELECT source, doc_id, n_chars, rnk FROM (
-          SELECT source, doc_id, n_chars,
-            row_number() OVER (PARTITION BY source
-              ORDER BY n_chars DESC, doc_id ASC) AS rnk
-          FROM documents) WHERE rnk <= 3""")),
-
-    // JSON surface: typed extraction from a JSON string column (the
-    // training-data norm for event payloads). get_json_object stays inside
-    // whole-stage codegen; path + cast both push into the scan stage.
-    ("q_json_props",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
-          cents(col("value")).as("v"))
-        .groupBy("k")
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents")),
-      Some(s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
-          count(*) AS n,
-          CAST(sum(${centsSql("\"value\"")}) AS BIGINT) AS sum_cents
-        FROM events GROUP BY 1""")),
-
-    // Spark-4 VariantType path: a nested JSON payload (object + array,
-    // built deterministically from event columns) goes through parse_json
-    // into the binary Variant encoding, then typed variant_get extractions
-    // — object paths, a nested path, and an array index — feed a filter
-    // and an aggregate. This is the open-schema ingestion shape for
-    // semi-structured event payloads: Variant decodes once per row and
-    // each extraction is a codegen'd path lookup, no per-field re-parse
-    // the way repeated get_json_object would. The oracle replays the same
-    // construction + JSON-path extraction in DuckDB's JSON type.
-    ("q_src_variant",
-      (s: SparkSession, d: String) => {
-        val day = date_format(col("ts"), "yyyy-MM-dd")
-        val js = concat(
-          lit("{\"meta\":{\"type\":\""), col("event_type"),
-          lit("\",\"day\":\""), day,
-          lit("\"},\"k\":"), get_json_object(col("props"), "$.k"),
-          lit(",\"tags\":[\""), col("event_type"), lit("\",\""), day,
-          lit("\"]}"))
-        t(s, d, "events").select(col("event_id"), js.as("js"))
-          .select(col("event_id"), parse_json(col("js")).as("v"))
-          .select(col("event_id"),
-            variant_get(col("v"), "$.meta.type", "string").as("vtype"),
-            variant_get(col("v"), "$.meta.day", "string").as("vday"),
-            variant_get(col("v"), "$.k", "long").as("k"),
-            variant_get(col("v"), "$.tags[1]", "string").as("tag1"))
-          .filter(col("k") > 50)
-          .groupBy("vtype")
-          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
-            min("vday").as("min_day"), max("tag1").as("max_tag1"))
-      },
-      Some("""WITH j AS (SELECT event_id,
-          '{"meta":{"type":"' || event_type || '","day":"' ||
-          strftime(ts, '%Y-%m-%d') || '"},"k":' ||
-          json_extract_string(props, '$.k') ||
-          ',"tags":["' || event_type || '","' ||
-          strftime(ts, '%Y-%m-%d') || '"]}' AS js
-        FROM events),
-        x AS (SELECT event_id,
-          json_extract_string(js, '$.meta.type') AS vtype,
-          json_extract_string(js, '$.meta.day') AS vday,
-          CAST(json_extract(js, '$.k') AS BIGINT) AS k,
-          json_extract_string(js, '$.tags[1]') AS tag1
-        FROM j)
-        SELECT vtype, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
-          min(vday) AS min_day, max(tag1) AS max_tag1
-        FROM x WHERE k > 50 GROUP BY 1""")),
-
-    // Set-op decontamination framing: corpus fingerprints EXCEPT a held-out
-    // set's fingerprints (U1 — absent in the reference). EXCEPT plans as a
-    // hash-partitioned distinct + anti semi-join on the 16-byte digest, the
-    // same single-shuffle shape as exact dedup.
-    ("q_set_except",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        docs.select(md5(col("text").cast("binary")).as("fp"))
-          .except(docs
-            .filter(Sampling.hashScore(col("doc_id")) < 0.05)
-            .select(md5(col("text").cast("binary")).as("fp")))
-      },
-      Some(s"""SELECT md5(text) AS fp FROM documents
-        EXCEPT SELECT md5(text) AS fp FROM documents
-        WHERE ${hashScoreSql("doc_id")} < 0.05""")),
-
-    // SCD-2 history merge (beyond the reference's SCD-0/1): one version
-    // batch against a bootstrapped dimension — changed keys close their
-    // old version and open a new one, identical keys stay untouched, new
-    // keys insert. Version label is an explicit literal, so the whole
-    // history is deterministic and the oracle replays it.
-    ("q_merge_scd2",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders")
-        val base = o.filter(col("o_orderkey") % 4 =!= 0)
-          .select(col("o_orderkey").as("id"),
-            col("o_orderstatus").as("status"),
-            cents(col("o_totalprice")).as("price_cents"))
-        val batch = o.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey").as("id"),
-            when(col("o_orderkey") % 3 === 0, lit("X"))
-              .otherwise(col("o_orderstatus")).as("status"),
-            cents(col("o_totalprice")).as("price_cents"))
-        MergeWriter.scd2Merge(
-          MergeWriter.scd2Bootstrap(base, "2024-01-01"),
-          batch, Seq("id"), "2024-02-01")
-      },
-      Some(s"""WITH base AS (SELECT o_orderkey AS id, o_orderstatus AS status,
-            ${centsSql("o_totalprice")} AS price_cents
-          FROM orders WHERE o_orderkey % 4 <> 0),
-        b AS (SELECT o_orderkey AS id,
-            CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
-              AS status,
-            ${centsSql("o_totalprice")} AS price_cents
-          FROM orders WHERE o_orderkey % 2 = 0),
-        shared AS (SELECT base.id, base.status AS ostatus,
-            base.price_cents AS oprice, b.status AS nstatus,
-            b.price_cents AS nprice
-          FROM base JOIN b USING (id)),
-        changed AS (SELECT * FROM shared
-          WHERE ostatus IS DISTINCT FROM nstatus
-             OR oprice IS DISTINCT FROM nprice)
-        SELECT id, status, price_cents, valid_from, valid_to, is_current
-        FROM (
-          SELECT id, ostatus AS status, oprice AS price_cents,
-            '2024-01-01' AS valid_from, '2024-02-01' AS valid_to,
-            false AS is_current FROM changed
-          UNION ALL
-          SELECT id, status, price_cents, '2024-01-01', NULL, true
-          FROM base WHERE id NOT IN (SELECT id FROM changed)
-          UNION ALL
-          SELECT id, nstatus, nprice, '2024-02-01', NULL, true FROM changed
-          UNION ALL
-          SELECT id, status, price_cents, '2024-02-01', NULL, true
-          FROM b WHERE id NOT IN (SELECT id FROM base))""")),
-
-    // Keyless interval-containment join: purchases falling inside derived
-    // error-spike windows. ops/RangeJoin bucketizes the time axis (15-min
-    // buckets vs 30-min windows) so the theta-join runs as a hash join with
-    // bounded interval replication — not a BroadcastNestedLoop/cartesian
-    // scan. All axis math in exact epoch micros.
-    // Point-in-time dimension enrichment — the SCD-2 read path: each fact
-    // row joins the dimension VERSION valid at its event date (here a
-    // two-version synthetic dim: nationkey bumped from 1996-07-01). The
-    // join is equi on the key with the validity range as a residual
-    // predicate, so it plans as an ordinary hash/sort-merge join on
-    // custkey — never a nested loop — and scales like any keyed join;
-    // ISO date STRINGS compare lexicographically, keeping the predicate
-    // engine-identical. The oracle derives the valid version in closed
-    // form.
-    ("q_join_scd_pit",
-      (s: SparkSession, d: String) => {
-        val cust = t(s, d, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))
-        val dim = cust.select(col("c_custkey").as("ck"),
-            col("c_nationkey").as("nk"),
-            lit("1900-01-01").as("valid_from"),
-            lit("1996-06-30").as("valid_to"))
-          .unionByName(cust.select(col("c_custkey").as("ck"),
-            (col("c_nationkey") + 100).as("nk"),
-            lit("1996-07-01").as("valid_from"),
-            lit("9999-12-31").as("valid_to")))
-        val o = t(s, d, "orders").select(col("o_orderkey"),
-          col("o_custkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
-        o.join(dim, col("o_custkey") === col("ck") &&
-            col("od") >= col("valid_from") && col("od") <= col("valid_to"))
-          .select(col("o_orderkey"), col("o_custkey"), col("od"),
-            col("nk").as("nation_at_order"))
-      },
-      Some("""SELECT o_orderkey, o_custkey,
-          strftime(o_orderdate, '%Y-%m-%d') AS od,
-          CASE WHEN strftime(o_orderdate, '%Y-%m-%d') <= '1996-06-30'
-            THEN c_nationkey ELSE c_nationkey + 100 END AS nation_at_order
-        FROM orders JOIN customer ON o_custkey = c_custkey""")),
-
-    ("q_join_range",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events")
-        val windows = ev.filter(col("event_type") === "error")
-          .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("lo"))
-          .filter(col("n") >= 6)
-          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("wid"),
-            col("lo"), (col("lo") + lit(1800000000L)).as("hi"))
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), unix_micros(col("ts")).as("t"), col("ts"))
-        graft.ops.RangeJoin.pointInInterval(purchases, "t",
-            windows, "lo", "hi", bucket = 900000000L)
-          .select(col("wid"), col("event_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
-      },
-      Some("""WITH err AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
-            min(epoch_us(ts)) AS lo
-          FROM events WHERE event_type = 'error' GROUP BY 1),
-        w AS (SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS wid, lo,
-            lo + 1800000000 AS hi
-          FROM err WHERE n >= 6),
-        p AS (SELECT event_id, epoch_us(ts) AS t, ts FROM events
-          WHERE event_type = 'purchase')
-        SELECT w.wid, p.event_id,
-          strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
-        FROM w JOIN p ON w.lo <= p.t AND p.t <= w.hi""")),
-
-    // Sequence packing (concat-and-chunk batch prep): each document's token
-    // span mapped to its 512-token training sequences via a GLOBAL running
-    // offset — computed by ops/Prefix's two-pass distributed prefix sum,
-    // not the single-reducer Window.orderBy the oracle uses (same result,
-    // one task vs every partition in parallel).
-    // Length-bucketed batch construction: docs bucketed by token-count
-    // OCTAVE (bits — same-magnitude lengths pad efficiently together),
-    // then per-bucket running offsets assign contiguous ~2048-token
-    // batches. Composition of the bit-bucket trick with the grouped
-    // two-pass prefix scan (Prefix.runningOffsetsBy) — no hot-bucket
-    // single-task window anywhere.
-    ("q_curate_buckets",
-      (s: SparkSession, d: String) => {
-        val tc = t(s, d, "documents").select(col("doc_id"),
-            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-          .withColumn("bucket", graft.plans.GraftExpressions
-            .bit_length_long(greatest(col("n_tokens"), lit(1L))))
-        graft.ops.Prefix.runningOffsetsBy(tc, "bucket", Seq("doc_id"),
-            "n_tokens")
-          .select(col("bucket"), col("doc_id"), col("n_tokens"),
-            col("offset").as("bucket_offset"),
-            floor(col("offset") / 2048.0).cast("long").as("batch_idx"))
-      },
-      Some(s"""WITH tc AS (SELECT doc_id,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
-        b AS (SELECT doc_id, n_tokens,
-            CAST(length(bin(greatest(n_tokens, 1))) AS BIGINT) AS bucket
-          FROM tc),
-        o AS (SELECT bucket, doc_id, n_tokens,
-            COALESCE(sum(n_tokens) OVER (PARTITION BY bucket
-              ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-          FROM b)
-        SELECT bucket, doc_id, n_tokens, CAST(off AS BIGINT)
-            AS bucket_offset,
-          CAST(floor(off / 2048.0) AS BIGINT) AS batch_idx
-        FROM o""")),
-
-    ("q_seq_pack",
-      (s: SparkSession, d: String) => {
-        val tc = t(s, d, "documents").select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        graft.ops.Prefix.runningOffsets(tc, "doc_id", "n_tokens")
-          .select(col("doc_id"), col("n_tokens"),
-            col("offset").as("tok_offset"),
-            floor(col("offset") / 512.0).cast("long").as("seq_start"),
-            floor((col("offset") + greatest(col("n_tokens"), lit(1L)) -
-              lit(1L)) / 512.0).cast("long").as("seq_end"))
-      },
-      Some(s"""WITH tc AS (SELECT doc_id,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
-        o AS (SELECT doc_id, n_tokens,
-            COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS off
-          FROM tc)
-        SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
-          CAST(floor(off / 512.0) AS BIGINT) AS seq_start,
-          CAST(floor((off + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
-            AS seq_end
-        FROM o""")))
-
-  // ================================================================ text
-
-  /** BM25 constants, computed ONCE here and interpolated into the oracle
-    * via Double.toString (shortest round-tripping repr — DuckDB parses
-    * back the identical double, so e.g. `k1 + 1`'s rounding happens in
-    * exactly one place). */
-  private def Bm25K1: Double = 1.2
-  private def Bm25B: Double = 0.75
-  private def Bm25K1p1: Double = Bm25K1 + 1
-  private def Bm25OneMb: Double = 1 - Bm25B
-
-  private def tokensSql(src: String = "text"): String =
-    s"list_filter(regexp_split_to_array(lower($src), '[^a-z0-9]+'), x -> len(x) > 0)"
-
-  /** Winnowing (k=4, w=4) selected-fingerprint CTEs, ending in `sel`
-    * (doc_id, pos, h) — the DuckDB replay of [[TextOps.winnow]], shared by
-    * the fingerprint dump and the near-dup pairs oracle. Windows become a
-    * pos-range join; the rightmost-min tie rule is max(pos) over h = min. */
-  private def winnowCtes(): String =
-    s"""toks AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        g AS MATERIALIZED (SELECT doc_id, CAST(i AS INT) AS pos,
-            CAST(concat('0x', substr(md5(
-              tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
-            ), 1, 15)) AS BIGINT) AS h
-          FROM toks, UNNEST(range(0, len(tk) - 3)) AS u(i)
-          WHERE len(tk) >= 4),
-        n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-        win AS (SELECT doc_id, CAST(t AS INT) AS t
-          FROM n, UNNEST(range(0, ng - 3)) AS u(t) WHERE ng >= 4),
-        wm AS (SELECT w.doc_id, w.t, min(g.h) AS h
-          FROM win w JOIN g ON g.doc_id = w.doc_id
-            AND g.pos BETWEEN w.t AND w.t + 3
-          GROUP BY 1, 2),
-        sel AS MATERIALIZED (SELECT wm.doc_id, max(g.pos) AS pos, wm.h
-          FROM wm JOIN g ON g.doc_id = wm.doc_id AND g.h = wm.h
-            AND g.pos BETWEEN wm.t AND wm.t + 3
-          GROUP BY wm.doc_id, wm.t, wm.h)"""
-
-  private def stopListSql: String =
-    TextOps.EnglishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-
-  private val textQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // Corpus-bigram-LM surprisal per document (TextOps.surprisalScore) —
-    // the perplexity-style quality gate, in exact whole-bit integer
-    // arithmetic so the oracle replays it with length(bin(x)) instead of
-    // engine-variant logarithms. Hashed 60-bit bigram keys on the shuffle.
-    ("q_text_surprisal",
-      (s: SparkSession, d: String) => TextOps.surprisalScore(
-        t(s, d, "documents"), "doc_id", "text"),
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        bi AS MATERIALIZED (SELECT doc_id,
-            CAST(concat('0x', substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 15))
-              AS BIGINT) AS hb,
-            CAST(concat('0x', substr(md5(ts[i]), 1, 15)) AS BIGINT) AS h1
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        bc AS (SELECT hb, count(*) AS n_bi FROM bi GROUP BY 1),
-        uni AS (SELECT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-              AS h1, count(*) AS n_first
-          FROM docs, UNNEST(ts) AS u(t) GROUP BY 1),
-        v AS (SELECT count(*) AS vs FROM uni),
-        j AS (SELECT doc_id,
-            length(bin(n_first + vs)) - length(bin(n_bi + 1)) AS bits
-          FROM bi JOIN bc USING (hb) JOIN uni USING (h1), v)
-        SELECT doc_id, count(*) AS n_bigrams,
-          CAST(sum(bits) AS BIGINT) AS sum_bits,
-          floor(CAST(sum(bits) AS DOUBLE) * 1e6 /
-            CAST(count(*) AS DOUBLE)) / 1e6 AS mean_bits
-        FROM j GROUP BY 1""")),
-
-    // Flesch-style readability: words per sentence + vowel-group syllable
-    // proxy per word, composed into the classic reading-ease score. Pure
-    // per-row codegen'd expressions (regexp_count + the native tokenizer),
-    // zero shuffles; the score is ONE fixed left-associative IEEE chain of
-    // exact-integer inputs, floor-quantized to milli-points — identical in
-    // any engine. Null texts drop (a readability score for no text is
-    // noise, and engines disagree on greatest(NULL, x)).
-    ("q_text_readability",
-      (s: SparkSession, d: String) => {
-        val doc = t(s, d, "documents").filter(col("text").isNotNull)
-        val w = greatest(TextOps.tokenCount(col("text")).cast("long"),
-          lit(1L))
-        val sent = greatest(
-          regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
-        val syl = regexp_count(lower(col("text")), lit("[aeiouy]+"))
-          .cast("long")
-        doc.select(col("doc_id"), w.as("n_words"), sent.as("n_sentences"),
-          syl.as("n_syllables"),
-          floor(lit(206835.0) -
-            lit(1015.0) * w.cast("double") / sent.cast("double") -
-            lit(84600.0) * syl.cast("double") / w.cast("double"))
-            .cast("long").as("flesch_milli"))
-      },
-      Some(s"""WITH m AS (SELECT doc_id,
-          greatest(CAST(len(${tokensSql()}) AS BIGINT), 1) AS n_words,
-          greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
-            1) AS n_sentences,
-          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
-            AS n_syllables
-        FROM documents WHERE text IS NOT NULL)
-        SELECT doc_id, n_words, n_sentences, n_syllables,
-          CAST(floor(206835.0 -
-            1015.0 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) -
-            84600.0 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-            AS BIGINT) AS flesch_milli
-        FROM m""")),
-
-    ("q_text_tokens",
-      (s: SparkSession, d: String) => t(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("bigint").as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).cast("bigint").as("n_bpe"),
-        TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords)
-          .cast("bigint").as("n_stop")),
-      Some(s"""SELECT doc_id,
-        CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
-        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
-          AS BIGINT) AS n_bpe,
-        CAST(len(list_filter(${tokensSql()},
-          t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stop
-        FROM documents""")),
-
-    // Gopher/C4-style within-document repetition gate: duplicate trigram
-    // ratio per doc (short texts fall back to one whole-text gram, null
-    // text to one null gram — count_distinct ignores nulls in both engines)
-    ("q_text_dupngrams",
-      (s: SparkSession, d: String) => TextOps.dupNgramRatio(
-        t(s, d, "documents"), "doc_id", "text", n = 3),
-      Some(s"""WITH toks AS (
-          SELECT doc_id, ${tokensSql()} AS tk, text FROM documents),
-        g AS (SELECT doc_id,
-          CASE WHEN text IS NULL THEN [CAST(NULL AS VARCHAR)]
-               WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
-                 i -> array_to_string(tk[i:i+2], ' '))
-               ELSE [array_to_string(tk, ' ')] END AS grams
-          FROM toks)
-        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_ngrams,
-          CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-          1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) /
-                CAST(len(grams) AS DOUBLE) AS dup_ratio
-        FROM g""")),
-
-    // Gopher repetition gates (Rae et al. 2021 §A1.1): duplicate-line
-    // fractions + top/duplicate n-gram character fractions. The fixture has
-    // no newlines, so "lines" are deterministic 8-token tiles; real corpora
-    // pass split-on-newline. The oracle replays the gram stats within-row
-    // (list ops) — semantically identical to the engine's distributed
-    // two-level aggregate, tractable only because oracle inputs are small.
-    ("q_text_gopher",
-      (s: SparkSession, d: String) => {
-        val linesOf = (text: org.apache.spark.sql.Column) => {
-          val tk = TextOps.tokens(text)
-          when(text.isNull || coalesce(size(tk), lit(0)) === 0,
-            array(lit("")))
-            .otherwise(transform(
-              sequence(lit(0),
-                ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
-              i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
-        }
-        TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text",
-          linesOf, topN = 2, dupN = 3)
-      },
-      Some {
-        def gramsFor(n: Int): String =
-          s"""CASE WHEN text IS NULL THEN [CAST(NULL AS VARCHAR)]
-              WHEN len(tk) >= $n THEN list_transform(range(1, len(tk) - ${n - 2}),
-                i -> array_to_string(tk[i:i+${n - 1}], ' '))
-              ELSE [array_to_string(tk, ' ')] END"""
-        val cnt = "len(list_filter(grams, x -> x = g))"
-        val top = "COALESCE(list_max(list_transform(list_distinct(grams), " +
-          s"g -> $cnt * COALESCE(length(g), 0))), 0)"
-        val dup = "COALESCE(list_sum(list_transform(list_distinct(grams), " +
-          s"g -> CASE WHEN $cnt > 1 THEN $cnt * COALESCE(length(g), 0) " +
-          "ELSE 0 END)), 0)"
-        val tot = "list_sum(list_transform(grams, g -> COALESCE(length(g), 0)))"
-        def statsFor(n: Int, cte: String): String =
-          s"""$cte AS (SELECT doc_id, $top AS top_c, $dup AS dup_c, $tot AS tot_c
-              FROM (SELECT doc_id, ${gramsFor(n)} AS grams FROM base))"""
-        s"""WITH base AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk, text
-              FROM documents),
-          ln AS (SELECT doc_id,
-              CASE WHEN text IS NULL OR len(tk) = 0 THEN ['']
-                   ELSE list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
-                     i -> array_to_string(tk[i*8+1:i*8+8], ' ')) END AS lines
-            FROM base),
-          lm AS (SELECT doc_id,
-              CAST(len(lines) AS BIGINT) AS n_lines,
-              len(lines) - len(list_distinct(lines)) AS n_dup,
-              list_sum(list_transform(lines, x -> length(x))) AS lc,
-              list_sum(list_transform(list_distinct(lines), x -> length(x)))
-                AS dc
-            FROM ln),
-          ${statsFor(2, "g2")},
-          ${statsFor(3, "g3")}
-          SELECT lm.doc_id, lm.n_lines,
-            floor(1e6 * CAST(n_dup AS DOUBLE) / CAST(n_lines AS DOUBLE)) / 1e6
-              AS dup_line_frac,
-            floor(1e6 * CAST(lc - dc AS DOUBLE) /
-              CAST(greatest(lc, 1) AS DOUBLE)) / 1e6 AS dup_line_char_frac,
-            floor(1e6 * CAST(COALESCE(g2.top_c, 0) AS DOUBLE) /
-              CAST(greatest(g2.tot_c, 1) AS DOUBLE)) / 1e6
-              AS top2gram_char_frac,
-            floor(1e6 * CAST(COALESCE(g3.dup_c, 0) AS DOUBLE) /
-              CAST(greatest(g3.tot_c, 1) AS DOUBLE)) / 1e6
-              AS dup3gram_char_frac
-          FROM lm JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)"""
-      }),
-
-    // ExactSubstr-style duplicated spans (Lee et al. 2022): positions whose
-    // 5-gram repeats anywhere in the corpus, merged into maximal runs,
-    // reported at >= 8 tokens. Marking + island windows only — no pair join.
-    ("q_text_exact_spans",
-      (s: SparkSession, d: String) => TextOps.duplicatedSpans(
-        t(s, d, "documents"), "doc_id", "text", n = 5, minSpan = 8),
-      Some(s"""WITH dp AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        pos AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
-            array_to_string(tk[u.i:u.i+4], ' ') AS g
-          FROM dp, UNNEST(range(1, len(tk) - 3)) AS u(i)),
-        hot AS MATERIALIZED (SELECT g FROM pos
-          GROUP BY g HAVING count(*) >= 2),
-        d AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (g)),
-        isl AS (SELECT doc_id, pos,
-            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-          FROM d)
-        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-          CAST(count(*) + 4 AS BIGINT) AS span_len
-        FROM isl GROUP BY doc_id, grp
-        HAVING count(*) + 4 >= 8""")),
-
-    // ...and APPLIED: the detected spans cut from every document (the
-    // ExactSubstr dedup step itself). Equi-joins + one reassembly shuffle.
-    ("q_text_exact_scrub",
-      (s: SparkSession, d: String) => TextOps.cutDuplicatedSpans(
-        t(s, d, "documents"), "doc_id", "text", n = 5, minSpan = 8),
-      Some(s"""WITH dp AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        pos AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos,
-            array_to_string(tk[u.i:u.i+4], ' ') AS g
-          FROM dp, UNNEST(range(1, len(tk) - 3)) AS u(i)),
-        hot AS MATERIALIZED (SELECT g FROM pos
-          GROUP BY g HAVING count(*) >= 2),
-        dd AS (SELECT p.doc_id, p.pos FROM pos p JOIN hot USING (g)),
-        isl AS (SELECT doc_id, pos,
-            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-          FROM dd),
-        spans AS MATERIALIZED (SELECT doc_id, min(pos) AS span_start,
-            count(*) + 4 AS span_len
-          FROM isl GROUP BY doc_id, grp HAVING count(*) + 4 >= 8),
-        cov AS MATERIALIZED (SELECT doc_id, u.i AS idx
-          FROM spans, UNNEST(range(span_start, span_start + span_len)) u(i)),
-        toks AS MATERIALIZED (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS idx,
-            tk[u.i] AS tok
-          FROM dp, UNNEST(range(1, len(tk) + 1)) AS u(i)),
-        kept AS (SELECT doc_id,
-            string_agg(tok, ' ' ORDER BY idx) AS clean_text,
-            count(*) AS n_kept
-          FROM (SELECT t.* FROM toks t ANTI JOIN cov c
-                ON c.doc_id = t.doc_id AND c.idx = t.idx)
-          GROUP BY doc_id)
-        SELECT dp.doc_id, coalesce(k.clean_text, '') AS clean_text,
-          CAST(len(tk) AS BIGINT) AS n_tokens,
-          CAST(len(tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
-        FROM dp LEFT JOIN kept k ON k.doc_id = dp.doc_id""")),
-
-    // Deflate compression-ratio quality gate (rows-only: no deflate in
-    // the oracle engine; the full result is pinned by a committed golden
-    // hash in OpsSpec, like the codec queries)
-    ("q_text_compression",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        TextOps.compressionScore(
-          t(s, d, "documents").select(col("doc_id"), col("text"))
-            .as[(Long, String)]).toDF()
-      },
-      None),
-
-    ("q_text_quality",
-      (s: SparkSession, d: String) =>
-        TextOps.withQuality(t(s, d, "documents"), "text")
-          .select("doc_id", "n_chars", "n_tokens", "n_stopwords",
-            "punct_ratio", "stop_ratio", "quality_score"),
-      Some(s"""WITH m AS (SELECT doc_id,
-          CAST(length(text) AS BIGINT) AS n_chars,
-          CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
-          CAST(len(list_filter(${tokensSql()},
-            t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stopwords,
-          CAST(length(text) -
-            length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
-            AS n_punct
-        FROM documents)
-        SELECT doc_id, n_chars, n_tokens, n_stopwords,
-          floor((CAST(n_punct AS DOUBLE) /
-                 CAST(greatest(n_chars, 1) AS DOUBLE)) * 1e6) / 1e6
-            AS punct_ratio,
-          floor((CAST(n_stopwords AS DOUBLE) /
-                 CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6) / 1e6
-            AS stop_ratio,
-          floor((0.4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
-               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) /
-                              CAST(greatest(n_chars, 1) AS DOUBLE))
-               + 0.3 * least((CAST(n_stopwords AS DOUBLE) /
-                              CAST(greatest(n_tokens, 1) AS DOUBLE)) * 5, 1.0))
-               * 1e6) / 1e6 AS quality_score
-        FROM m""")),
-
-    // C4 sentence-level cleaning (Raffel 2020 §2.2): terminal-punctuation
-    // rule encoded in the extraction regex (RE2-safe — DuckDB replays the
-    // identical pattern), word-count + phrase-blacklist per sentence,
-    // min-surviving-sentences per document. One scan-stage projection +
-    // predicate — no shuffle
-    // The fixture documents carry no punctuation, so the catalog derives
-    // deterministic pseudo-sentences (the same 8-token tiles the gopher
-    // entry uses for lines) in place of the default terminal-punct
-    // extractor; that rule itself is spec-pinned (OpsSpec) on punctuated
-    // text. 'slow' plays the blacklist phrase against the fixture vocab
-    ("q_text_c4_clean",
-      (s: SparkSession, d: String) => {
-        val tilesOf = (text: org.apache.spark.sql.Column) => {
-          val tk = TextOps.tokens(text)
-          when(text.isNull || coalesce(size(tk), lit(0)) === 0,
-            array(lit("")))
-            .otherwise(transform(
-              sequence(lit(0),
-                ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
-              i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
-        }
-        TextOps.c4SentenceClean(t(s, d, "documents"), "doc_id", "text",
-          minWords = 8, minSentences = 2,
-          blacklist = Seq("slow", "lorem ipsum"), sentencesOf = tilesOf)
-      },
-      Some(s"""WITH base AS (SELECT doc_id, ${tokensSql()} AS tk, text
-            FROM documents),
-        ln AS (SELECT doc_id,
-            CASE WHEN text IS NULL OR len(tk) = 0 THEN ['']
-                 ELSE list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
-                   i -> array_to_string(tk[i*8+1:i*8+8], ' ')) END AS sents
-          FROM base),
-        k AS (SELECT doc_id,
-            CAST(len(sents) AS BIGINT) AS n_sentences,
-            list_filter(sents, x ->
-              len(list_filter(regexp_split_to_array(lower(x), '[^a-z0-9]+'),
-                  t -> len(t) > 0)) >= 8
-              AND NOT contains(lower(x), 'slow')
-              AND NOT contains(lower(x), 'lorem ipsum')) AS kept
-          FROM ln)
-        SELECT doc_id, n_sentences, CAST(len(kept) AS BIGINT) AS n_kept,
-          array_to_string(list_transform(kept, x -> trim(x)), ' ')
-            AS clean_text
-        FROM k WHERE len(kept) >= 2""")),
-
-    ("q_text_langid",
-      (s: SparkSession, d: String) => t(s, d, "documents").select(
-        col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
-      Some(langIdOracleSql)),
-
-    // Language-ID confusion matrix — the EVALUATION of q_text_langid's
-    // heuristic against the declared labels (a classifier you haven't
-    // scored against truth is a guess): per (declared, predicted) cell
-    // count plus the within-declared-language rate in ppm. The diagonal
-    // is per-language recall; off-diagonal mass says WHICH languages the
-    // stopword markers confuse (the actionable fix list). Two
-    // combine-enabled aggregates over one scored scan; cells bounded by
-    // the 6x6 language domain.
-    ("q_text_lang_confusion",
-      (s: SparkSession, d: String) => {
-        val p = t(s, d, "documents").select(col("lang"),
-          TextOps.langId(col("text")).as("pred"))
-        val cell = p.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-        val per = p.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-        cell.join(per, Seq("lang"))
-          .select(col("lang"), col("pred"), col("n"), col("n_lang"),
-            floor(col("n").cast("double") * lit(1e6) /
-              col("n_lang").cast("double")).cast("long").as("cell_ppm"))
-      },
-      Some(s"""WITH pred AS ($langIdOracleSql),
-        j AS (SELECT d.lang, p.lang_pred AS pred
-          FROM documents d JOIN pred p USING (doc_id)),
-        cell AS (SELECT lang, pred, count(*) AS n FROM j GROUP BY 1, 2),
-        per AS (SELECT lang, count(*) AS n_lang FROM j GROUP BY 1)
-        SELECT lang, pred, n, n_lang,
-          CAST(floor(CAST(n AS DOUBLE) * 1e6 /
-            CAST(n_lang AS DOUBLE)) AS BIGINT) AS cell_ppm
-        FROM cell JOIN per USING (lang)""")),
-
-    // Unicode NFC normalization (plans.UnicodeNormalize — native codegen'd
-    // expression, no UDF): "é" arrives precomposed (U+00E9) and decomposed
-    // (e + U+0301); without NFC the two spellings hash apart and split one
-    // document's dedup class. Two variants per customer collapse to ONE
-    // normalized key; the oracle replays with DuckDB's nfc_normalize.
-    ("q_text_unicode",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
-        val variants = c.select(col("c_custkey"),
-          explode(array(concat(col("c_name"), lit("e\u0301")),
-            concat(col("c_name"), lit("\u00e9")))).as("raw"))
-        variants.select(col("c_custkey"), col("raw"),
-            graft.plans.GraftExpressions.unicode_normalize(col("raw"))
-              .as("norm"))
-          .groupBy("c_custkey")
-          .agg(count_distinct(col("raw")).as("n_distinct_raw"),
-            count_distinct(col("norm")).as("n_distinct_nfc"),
-            min(md5(col("norm").cast("binary"))).as("nfc_md5"),
-            max(length(col("raw")) - length(col("norm"))).as("len_delta"))
-      },
-      Some(s"""SELECT c_custkey, CAST(2 AS BIGINT) AS n_distinct_raw,
-          CAST(1 AS BIGINT) AS n_distinct_nfc,
-          md5(nfc_normalize(c_name || 'e' || chr(769))) AS nfc_md5,
-          CAST(1 AS INT) AS len_delta
-        FROM customer""")),
-
-    // Accent-insensitive dedup keys: NFD then strip combining marks
-    // (\p{Mn}) then lowercase — the cross-lingual fold that merges
-    // "Café" / "Café" / "cafe" into one key. Three spellings per
-    // customer (plain, precomposed accent, decomposed accent) fold to
-    // exactly two keys (the accented pair merges; the plain one differs
-    // by its missing base letter). \p{Mn} means the same Unicode property
-    // in Java regex and RE2, so the oracle replays the fold directly.
-    ("q_text_accent_fold",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
-        val variants = c.select(col("c_custkey"), explode(array(
-            col("c_name"),
-            concat(col("c_name"), lit("\u00e9")),
-            concat(col("c_name"), lit("e\u0301")))).as("raw"))
-        val folded = lower(regexp_replace(
-          graft.plans.GraftExpressions.unicode_normalize(col("raw"), "NFD"),
-          "\\p{Mn}", ""))
-        variants.select(col("c_custkey"), folded.as("k"))
-          .groupBy("c_custkey")
-          .agg(count(lit(1)).as("n_raw"),
-            count_distinct(col("k")).as("n_folded"),
-            min(col("k")).as("k_min"))
-          .select(col("c_custkey"), col("n_raw"), col("n_folded"),
-            md5(col("k_min").cast("binary")).as("fold_md5"))
-      },
-      Some("""SELECT c_custkey, CAST(3 AS BIGINT) AS n_raw,
-          CAST(2 AS BIGINT) AS n_folded,
-          md5(lower(c_name)) AS fold_md5
-        FROM customer""")),
-
-    // URL canonicalization (TextOps.canonicalUrl) — the crawl pipeline's
-    // first dedup key. Two deterministic variants of the same logical URL
-    // per customer (one messy: uppercase scheme/host, www., default port,
-    // trailing slash, utm_ tracking param, unsorted params, fragment; one
-    // clean) must collapse to ONE canonical string per customer. The
-    // oracle states the expected canonical in closed form — any wrong
-    // normalization step breaks the group-by and the hash.
-    ("q_text_url_canon",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(
-          col("c_custkey").cast("string").as("ck"),
-          col("c_nationkey").cast("string").as("nk"),
-          lower(col("c_mktsegment")).as("seg"))
-        val messy = concat(lit("HTTPS://WWW.shop"), col("nk"),
-          lit(".com:443/item/"), col("ck"),
-          lit("/?utm_source=mail&ref="), col("seg"), lit("&a=1#top"))
-        val clean = concat(lit("https://shop"), col("nk"),
-          lit(".com/item/"), col("ck"), lit("?a=1&ref="), col("seg"))
-        c.select(explode(array(messy, clean)).as("url"))
-          .select(col("url"),
-            TextOps.canonicalUrl(col("url")).as("canonical_url"))
-          .groupBy("canonical_url")
-          .agg(count(lit(1)).as("n_variants"),
-            count_distinct(col("url")).as("n_distinct_inputs"))
-      },
-      Some("""SELECT concat('https://shop', c_nationkey, '.com/item/',
-          c_custkey, '?a=1&ref=', lower(c_mktsegment)) AS canonical_url,
-          CAST(2 AS BIGINT) AS n_variants,
-          CAST(2 AS BIGINT) AS n_distinct_inputs
-        FROM customer""")),
-
-    ("q_text_fingerprint",
-      (s: SparkSession, d: String) => t(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
-        TextOps.fingerprintRolling(col("text")).as("fp_roll")),
-      Some("""WITH n AS (SELECT doc_id,
-          trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-        FROM documents)
-        SELECT doc_id, md5(norm) AS fp_md5,
-          list_reduce(
-            list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(norm) + 1),
-                i -> CAST(unicode(norm[i]) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % 1000000000000000) AS fp_roll
-        FROM n""")),
-
-    // PII scrubbing audit: deterministic synthetic PII is appended to each
-    // document (derived from its own columns — the fixture text itself has
-    // none), then counted and redacted. Patterns are RE2-safe, so the same
-    // pattern TEXT drives Spark's Java regex and DuckDB's RE2 identically.
-    ("q_text_pii",
-      (s: SparkSession, d: String) => {
-        val aug = concat(col("text"), lit(" contact "), col("source"),
-          lit("@example.com or 555-123-4567 at 10.0."),
-          (col("doc_id") % 256).cast("string"), lit(".7"))
-        t(s, d, "documents").select(
-          col("doc_id") +:
-            graft.ops.TextOps.piiColumns(aug).map { case (n, c) => c.as(n) }: _*)
-      },
-      Some {
-        val (e, p, i) = (TextOps.EmailPattern, TextOps.PhonePattern,
-          TextOps.Ipv4Pattern)
-        s"""WITH aug AS (SELECT doc_id,
-            text || ' contact ' || source ||
-              '@example.com or 555-123-4567 at 10.0.' ||
-              CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
-          FROM documents),
-        st AS (SELECT doc_id, t,
-            regexp_replace(t, '$e', '[EMAIL]', 'g') AS t1 FROM aug),
-        st2 AS (SELECT *, regexp_replace(t1, '$p', '[PHONE]', 'g') AS t2
-          FROM st)
-        SELECT doc_id,
-          CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
-          CAST(len(regexp_extract_all(t1, '$p')) AS BIGINT) AS n_phones,
-          CAST(len(regexp_extract_all(t2, '$i')) AS BIGINT) AS n_ips,
-          regexp_replace(t2, '$i', '[IP]', 'g') AS redacted
-        FROM st2"""
-      }),
-
-    // Benchmark decontamination: every 20th document plays the eval set;
-    // the rest are the training corpus. Long (8-gram) overlap — the
-    // GPT-3/PaLM-style contamination gate (Dedup.contaminationPairs).
-    ("q_text_decontam",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        Dedup.contaminationPairs(
-          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
-          n = 8, minShared = 2)
-      },
-      Some(s"""WITH ${shingleSqlFor(8, "WHERE doc_id % 20 <> 0", "cdocs", "csh")},
-        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
-        sizes AS (SELECT doc_id AS bench_id, count(*) AS bench_ngrams
-          FROM bsh GROUP BY 1),
-        shared AS (SELECT c.doc_id, b.doc_id AS bench_id,
-            count(*) AS shared_ngrams
-          FROM csh c JOIN bsh b ON c.sg = b.sg
-          GROUP BY 1, 2 HAVING count(*) >= 2)
-        SELECT s.doc_id, s.bench_id, s.shared_ngrams, z.bench_ngrams,
-          CAST(s.shared_ngrams AS DOUBLE) / CAST(z.bench_ngrams AS DOUBLE)
-            AS containment
-        FROM shared s JOIN sizes z USING (bench_id)""")),
-
-    // Bloom-filter decontamination: the same benchmark split as
-    // q_text_decontam, but membership goes through a 2^20-bit Bloom filter
-    // (one fixed-size aggregate row broadcast to the corpus scan) instead
-    // of a gram join — the O(MB)-state 100 TB form. Bit positions are the
-    // md5 minhash family, so the oracle rebuilds the EXACT filter (false
-    // positives included) and flags the identical documents
-    ("q_text_bloom_decontam",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        Dedup.bloomContamination(
-          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
-          docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
-          n = 8, mBits = 1 << 20, k = 4)
-      },
-      Some(s"""WITH ${shingleSqlFor(8, "WHERE doc_id % 20 <> 0", "cdocs", "csh")},
-        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
-        ks AS (SELECT unnest(range(0, 4)) AS i),
-        bpos AS (SELECT DISTINCT
-            (CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT)
-             + ks.i * CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT))
-              % 1048576 AS pos
-          FROM bsh CROSS JOIN ks),
-        cpos AS (SELECT doc_id, sg,
-            (CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT)
-             + ks.i * CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT))
-              % 1048576 AS pos
-          FROM csh CROSS JOIN ks),
-        hit AS (SELECT doc_id, sg FROM cpos JOIN bpos USING (pos)
-          GROUP BY 1, 2 HAVING count(*) = 4)
-        SELECT doc_id, count(*) AS n_hits FROM hit GROUP BY 1""")),
-
-    // KMV distinct-count sketch vs exact distinct, per language — the
-    // deterministic alternative to HLL: the estimate is a pure function of
-    // the k smallest md5 hashes, so the oracle replays it bit-for-bit
-    // (plans/Expressions.scala KmvDistinct; O(k) state, map-side combined).
-    // KMV sketch SET ALGEBRA — the step past q_text_kmv's single-set
-    // cardinality: per-source-PAIR vocabulary overlap (intersection size
-    // and Jaccard) estimated from the per-source bottom-64 sketches
-    // alone, audited against the exact pairwise join. The theta trick
-    // (Beyer et al. SIGMOD'07 / theta sketches): merge two sketches,
-    // theta = the union's kth-smallest hash, count common hashes below
-    // theta — an unbiased Jaccard estimate with O(k) state where the
-    // exact answer needs a vocabulary-sized shuffle join per pair. When
-    // the merged sketch is NOT full the formula degrades to the exact
-    // answer by construction (theta = max, everything counted). At
-    // 100 TB the sketch table is #sources rows of 64 longs; the exact
-    // columns here are the audit, not the production path.
-    ("q_text_sketch_overlap",
-      (s: SparkSession, d: String) => {
-        val E = graft.plans.GraftExpressions
-        val toks = t(s, d, "documents")
-          .select(col("source"),
-            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
-          .select(col("source"), E.md5_prefix60(col("w")).as("h"))
-          .distinct()
-        val sk = toks.groupBy("source")
-          .agg(E.bottomk_distinct(col("h"), 64).as("sk"))
-        val exact = toks.join(
-            toks.select(col("source").as("s2"), col("h")), Seq("h"))
-          .filter(col("source") < col("s2"))
-          .groupBy(col("source").as("s1"), col("s2"))
-          .agg(count(lit(1)).as("exact_inter"))
-        val pairs = sk.select(col("source").as("s1"), col("sk").as("a"))
-          .join(sk.select(col("source").as("s2"), col("sk").as("b")),
-            col("s1") < col("s2"))
-          .withColumn("m64",
-            slice(array_sort(array_distinct(concat(col("a"), col("b")))),
-              1, 64))
-          .withColumn("kk", size(col("m64")).cast("long"))
-          .withColumn("theta", element_at(col("m64"), col("kk").cast("int")))
-          .withColumn("common",
-            size(filter(array_intersect(col("a"), col("b")),
-              x => x <= col("theta"))).cast("long"))
-          .withColumn("union_est",
-            when(col("kk") < 64, col("kk").cast("double"))
-              .otherwise(lit(63.0) * lit(1152921504606846976.0) /
-                col("theta").cast("double")))
-          .select(col("s1"), col("s2"), col("kk"),
-            floor(lit(1000.0) * col("common").cast("double") /
-              col("kk").cast("double")).cast("long").as("jac_milli"),
-            floor((col("common").cast("double") /
-              col("kk").cast("double")) * col("union_est"))
-              .cast("long").as("inter_est"))
-        pairs.join(exact, Seq("s1", "s2"))
-          .select("s1", "s2", "kk", "jac_milli", "inter_est",
-            "exact_inter")
-      },
-      Some(s"""WITH toks AS MATERIALIZED (SELECT DISTINCT source,
-            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-          FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-        sk AS (SELECT source, list(h ORDER BY h) AS sk FROM (
-            SELECT source, h, row_number() OVER (PARTITION BY source
-              ORDER BY h) AS rn FROM toks)
-          WHERE rn <= 64 GROUP BY 1),
-        exact AS (SELECT a.source AS s1, b.source AS s2,
-            count(*) AS exact_inter
-          FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
-          GROUP BY 1, 2),
-        p0 AS (SELECT x.source AS s1, y.source AS s2, x.sk AS a, y.sk AS b
-          FROM sk x JOIN sk y ON x.source < y.source),
-        p1 AS (SELECT s1, s2, a, b,
-            list_sort(list_distinct(list_concat(a, b)))[1:64] AS m64
-          FROM p0),
-        p2 AS (SELECT s1, s2, a, b, m64,
-            CAST(len(m64) AS BIGINT) AS kk,
-            list_extract(m64, len(m64)) AS theta
-          FROM p1),
-        p3 AS (SELECT s1, s2, kk, theta,
-            CAST(len(list_filter(list_intersect(a, b),
-              x -> x <= theta)) AS BIGINT) AS common,
-            CASE WHEN kk < 64 THEN CAST(kk AS DOUBLE)
-                 ELSE 63.0 * 1152921504606846976.0 /
-                   CAST(theta AS DOUBLE) END AS union_est
-          FROM p2)
-        SELECT s1, s2, kk,
-          CAST(floor(1000.0 * CAST(common AS DOUBLE) /
-            CAST(kk AS DOUBLE)) AS BIGINT) AS jac_milli,
-          CAST(floor((CAST(common AS DOUBLE) / CAST(kk AS DOUBLE)) *
-            union_est) AS BIGINT) AS inter_est,
-          exact_inter
-        FROM p3 JOIN exact USING (s1, s2)""")),
-
-    ("q_text_kmv",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(col("lang"),
-          explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
-        toks
-          .withColumn("h", graft.plans.GraftExpressions.md5_prefix60(col("w")))
-          .groupBy("lang").agg(
-            graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
-              .as("est_distinct"),
-            count_distinct(col("w")).as("exact_distinct"))
-      },
-      Some(s"""WITH toks AS (SELECT lang, t
-          FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-        h AS (SELECT DISTINCT lang,
-            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-          FROM toks),
-        r AS (SELECT lang, h,
-            row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
-            count(*) OVER (PARTITION BY lang) AS cnt FROM h),
-        kth AS (SELECT lang, max(CASE WHEN rn <= 16 THEN h END) AS h_k,
-            any_value(cnt) AS cnt FROM r GROUP BY 1),
-        ex AS (SELECT lang, count(DISTINCT t) AS exact_distinct
-          FROM toks GROUP BY 1)
-        SELECT kth.lang,
-          CASE WHEN kth.cnt < 16 THEN CAST(kth.cnt AS DOUBLE)
-               ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
-          END AS est_distinct,
-          ex.exact_distinct
-        FROM kth JOIN ex ON kth.lang IS NOT DISTINCT FROM ex.lang""")),
-
-    // Count-Min frequency sketch (the counterpart of q_text_kmv's distinct
-    // sketch): one fixed 4x512-counter aggregate over every token occurrence,
-    // then the top-20 exact heavy hitters with their sketch point-estimates.
-    // At 100 TB the sketch replaces the full-vocabulary shuffle: state is
-    // 16 KB per partition, counter-wise summed map-side. The oracle replays
-    // the buckets exactly (md5-derived hashes, addition commutes).
-    ("q_text_cms",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(
-          explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
-        val sketch = graft.ops.TextOps.cmsSketch(toks, "word",
-          depth = 4, width = 512)
-        val top = toks.groupBy("word").agg(count(lit(1)).as("n_exact"))
-          .orderBy(col("n_exact").desc, col("word").asc).limit(20)
-        top.crossJoin(broadcast(sketch))
-          .select(col("word"), col("n_exact"),
-            graft.ops.TextOps.cmsEstimate(col("sketch"), col("word"),
-              depth = 4, width = 512).as("cms_est"))
-      },
-      Some(s"""WITH toks AS MATERIALIZED (SELECT t AS word
-            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-          cnt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_exact
-            FROM toks GROUP BY word),
-          hb AS MATERIALIZED (SELECT word, n_exact, r.t,
-              CAST(concat('0x',
-                substr(md5(CAST(r.t AS VARCHAR) || ':' || word), 1, 15))
-                AS BIGINT) % 512 AS b
-            FROM cnt, UNNEST(range(0, 4)) AS r(t)),
-          bsum AS MATERIALIZED (SELECT t, b, SUM(n_exact) AS s
-            FROM hb GROUP BY t, b),
-          est AS (SELECT hb.word, CAST(min(bsum.s) AS BIGINT) AS cms_est
-            FROM hb JOIN bsum USING (t, b) GROUP BY hb.word)
-        SELECT c.word, c.n_exact, e.cms_est
-        FROM cnt c JOIN est e USING (word)
-        ORDER BY c.n_exact DESC, c.word ASC LIMIT 20""")),
-
-    // Exact per-language length percentiles (discrete: the element at
-    // ceil(p*n), no interpolation — interpolated quantiles are IEEE
-    // op-order-sensitive across engines, the rank selection is not). Both
-    // windows and the self-join share one partitioning on lang.
-    // Cross-source quantile normalization — score harmonization before
-    // mixing heterogeneous sources: a "length-quality 60" from a source
-    // of short posts means something different than from a books crawl,
-    // so each source's score is remapped to the GLOBAL bucket at the same
-    // CDF position (mapped = min global bucket whose cumulative fraction
-    // >= the source's). The comparison is done in EXACT cross-multiplied
-    // BIGINT (g_cum·src_total >= s_cum·global_total) — no float CDFs.
-    // Scores quantized to 101 buckets, so every window partition and the
-    // broadcast global table are domain-bounded; the per-source CDF is a
-    // 101-row window, the mapping a broadcast range join + min aggregate.
-    ("q_text_quantile_norm",
-      (s: SparkSession, d: String) => {
-        val b = t(s, d, "documents").select(col("source"),
-          least(floor(col("n_chars") / 50), lit(100L)).as("bucket"))
-        val wc = Window.partitionBy("source").orderBy(col("bucket").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wt = Window.partitionBy("source")
-        val sb = b.groupBy("source", "bucket")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("s_cum", sum("n").over(wc))
-          .withColumn("s_tot", sum("n").over(wt))
-        val wg = Window.orderBy(col("g_bucket").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val gb = b.groupBy(col("bucket").as("g_bucket"))
-          .agg(count(lit(1)).as("gn"))
-          .withColumn("g_cum", sum("gn").over(wg))
-        val gt = b.agg(count(lit(1)).as("g_tot"))
-        sb.crossJoin(broadcast(gt))
-          .join(broadcast(gb),
-            col("g_cum") * col("s_tot") >= col("s_cum") * col("g_tot"))
-          .groupBy("source", "bucket")
-          .agg(any_value(col("n")).as("n"),
-            any_value(col("s_cum")).as("s_cum"),
-            min("g_bucket").as("mapped_bucket"))
-      },
-      Some("""WITH b AS (SELECT source,
-            least(CAST(floor(n_chars / 50) AS BIGINT), 100) AS bucket
-          FROM documents),
-        sb AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),
-        sc AS (SELECT source, bucket, n,
-            CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS s_cum,
-            CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS s_tot
-          FROM sb),
-        gb AS (SELECT bucket AS g_bucket, count(*) AS gn
-          FROM b GROUP BY 1),
-        gc AS (SELECT g_bucket,
-            CAST(sum(gn) OVER (ORDER BY g_bucket ROWS BETWEEN UNBOUNDED
-              PRECEDING AND CURRENT ROW) AS BIGINT) AS g_cum
-          FROM gb),
-        gt AS (SELECT count(*) AS g_tot FROM b)
-        SELECT source, bucket, any_value(n) AS n,
-          any_value(s_cum) AS s_cum,
-          CAST(min(g_bucket) AS BIGINT) AS mapped_bucket
-        FROM sc, gt JOIN gc ON g_cum * s_tot >= s_cum * g_tot
-        GROUP BY 1, 2""")),
-
-    ("q_text_lenpct",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang")
-          .orderBy(col("n_chars").asc, col("doc_id").asc)
-        val ranked = t(s, d, "documents").select(
-            col("lang"), col("n_chars"), col("doc_id"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-        // one pass: a filtered-then-join formulation would reference the
-        // ranked subtree twice and Spark evaluates each reference
-        def hit(p: Double) = col("rn") === ceil(col("cnt") * lit(p))
-        ranked.filter(hit(0.5) || hit(0.9))
-          .groupBy("lang").agg(
-            min(when(hit(0.5), col("n_chars"))).as("p50_chars"),
-            min(when(hit(0.9), col("n_chars"))).as("p90_chars"))
-      },
-      Some("""WITH ranked AS (SELECT lang, n_chars,
-          row_number() OVER (PARTITION BY lang
-            ORDER BY n_chars, doc_id) AS rn,
-          count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
-        SELECT a.lang, a.n_chars AS p50_chars, b.n_chars AS p90_chars
-        FROM ranked a JOIN ranked b ON a.lang = b.lang
-        WHERE a.rn = CAST(ceil(a.cnt * 0.5) AS BIGINT)
-          AND b.rn = CAST(ceil(b.cnt * 0.9) AS BIGINT)""")),
-
-    // Corpus vocabulary statistics: top-50 words by occurrence with document
-    // frequency — the token-distribution audit a tokenizer-training or
-    // quality pipeline runs first. High-cardinality groupBy with map-side
-    // partial aggregation; fully deterministic order (count desc, word asc).
-    ("q_text_vocab",
-      (s: SparkSession, d: String) => t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(graft.ops.TextOps.tokens(col("text"))).as("word"))
-        .groupBy("word")
-        .agg(count(lit(1)).as("n_occurrences"),
-          count_distinct(col("doc_id")).as("n_docs"))
-        .orderBy(col("n_occurrences").desc, col("word").asc)
-        .limit(50),
-      Some(s"""WITH toks AS (SELECT doc_id, t
-          FROM documents, UNNEST(${tokensSql()}) AS u(t))
-        SELECT t AS word, count(*) AS n_occurrences,
-          count(DISTINCT doc_id) AS n_docs
-        FROM toks GROUP BY 1
-        ORDER BY n_occurrences DESC, word ASC LIMIT 50""")),
-
-    // Zipf-slope corpus diagnostic: regress whole-bit log2(freq) on
-    // whole-bit log2(rank) over the vocabulary — a healthy natural-text
-    // corpus slopes near -1; word-soup or boilerplate-heavy corpora
-    // flatten. All moments are exact BIGINTs (bit-lengths, not floating
-    // logs — cross-engine bit-stable); the ONLY window ranks the
-    // VOCABULARY table (sublinear in the corpus — the same domain-bounded
-    // class as the quantile cell tables), and the result is one row.
-    ("q_text_zipf",
-      (s: SparkSession, d: String) => {
-        val f = t(s, d, "documents")
-          .select(explode(graft.ops.TextOps.tokens(col("text"))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("freq"))
-        val ranked = f.withColumn("rank", row_number().over(
-          Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
-        val b = ranked.select(
-          graft.plans.GraftExpressions.bit_length_long(col("rank")).as("x"),
-          graft.plans.GraftExpressions.bit_length_long(col("freq")).as("y"))
-        b.agg(count(lit(1)).as("n_terms"),
-            sum("x").as("sx"), sum("y").as("sy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"))
-          .withColumn("slope_bits",
-            floor(lit(1e6) *
-              (col("n_terms") * col("sxy") - col("sx") * col("sy"))
-                .cast("double") /
-              (col("n_terms") * col("sxx") - col("sx") * col("sx"))
-                .cast("double")) / lit(1e6))
-      },
-      Some(s"""WITH terms AS (SELECT t AS term
-            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-          f AS (SELECT term, count(*) AS freq FROM terms GROUP BY 1),
-          r AS (SELECT freq, row_number() OVER (
-              ORDER BY freq DESC, term ASC) AS rank FROM f),
-          b AS (SELECT CAST(length(bin(rank)) AS BIGINT) AS x,
-              CAST(length(bin(freq)) AS BIGINT) AS y FROM r),
-          m AS (SELECT count(*) AS n_terms,
-              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-              CAST(sum(x * x) AS BIGINT) AS sxx,
-              CAST(sum(x * y) AS BIGINT) AS sxy FROM b)
-        SELECT n_terms, sx, sy, sxx, sxy,
-          floor(1e6 * CAST(n_terms * sxy - sx * sy AS DOUBLE) /
-            CAST(n_terms * sxx - sx * sx AS DOUBLE)) / 1e6 AS slope_bits
-        FROM m""")),
-
-    // LM-coverage quality gate: the fraction of a document's bigrams that
-    // are corpus-frequent — the integer-stable stand-in for perplexity
-    // scoring (log-prob sums are not cross-engine bit-stable; a coverage
-    // ratio of exact counts is). Frequent-bigram set broadcast; per-doc
-    // work is one combine-enabled aggregate.
-    ("q_text_bigram_coverage",
-      (s: SparkSession, d: String) => {
-        val docBi = t(s, d, "documents")
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-          .select(col("doc_id"), explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-        val frequent = docBi.groupBy("bigram")
-          .agg(count(lit(1)).as("n")).filter(col("n") >= 20)
-          .select(col("bigram"), lit(1L).as("known"))
-        docBi.join(broadcast(frequent), Seq("bigram"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(coalesce(col("known"), lit(0L))).as("n_known"))
-          .withColumn("coverage",
-            floor(col("n_known").cast("double") /
-              col("n_bigrams").cast("double") * 1e6) / 1e6)
-      },
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        bi AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bigram
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        freq AS (SELECT bigram, CAST(1 AS BIGINT) AS known FROM
-          (SELECT bigram, count(*) AS n FROM bi GROUP BY 1) WHERE n >= 20)
-        SELECT doc_id, count(*) AS n_bigrams,
-          CAST(sum(coalesce(known, 0)) AS BIGINT) AS n_known,
-          floor(CAST(sum(coalesce(known, 0)) AS DOUBLE) /
-            CAST(count(*) AS DOUBLE) * 1e6) / 1e6 AS coverage
-        FROM bi LEFT JOIN freq USING (bigram) GROUP BY 1""")),
-
-    // Document chunking (RAG / pretraining window prep): overlapping
-    // 64-token windows at stride 48, all from codegen'd sequence/slice
-    // expressions — the explode fan-out is ceil(n_tokens/stride) rows per
-    // doc, bounded and predictable; chunks emit as md5 so row width stays
-    // constant regardless of window size
-    ("q_text_chunks",
-      (s: SparkSession, d: String) => t(s, d, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) > 0)
-        .select(col("doc_id"),
-          explode(sequence(lit(0L),
-            floor((size(col("ts")) - 1) / 48.0).cast("long"))).as("k"),
-          col("ts"))
-        .select(col("doc_id"), col("k").as("chunk_id"),
-          slice(col("ts"), (col("k") * 48 + 1).cast("int"), lit(64))
-            .as("chunk"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("chunk")).cast("long").as("n_chunk_tokens"),
-          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5")),
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        ch AS (SELECT doc_id, k,
-            ts[CAST(48 * k + 1 AS BIGINT):CAST(least(48 * k + 64, len(ts))
-              AS BIGINT)] AS chunk
-          FROM docs, UNNEST(range(0,
-            CAST(floor((len(ts) - 1) / 48.0) AS BIGINT) + 1)) AS u(k)
-          WHERE len(ts) > 0)
-        SELECT doc_id, k AS chunk_id,
-          CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-          md5(array_to_string(chunk, ' ')) AS chunk_md5
-        FROM ch""")),
-
-    // TF-IDF top terms per document, with an INTEGER-quantized idf
-    // (floor(1000*N/df) — transcendental log idf is not cross-engine
-    // bit-stable; the integer variant ranks identically for retrieval):
-    // two combine-enabled aggregates + a broadcast df join + a rank window
-    // BM25 per-doc top terms — tf-idf's production successor: tf saturates
-    // (k1) and document length normalizes (b), so a term-stuffed or merely
-    // long document stops winning. The idf is in whole bits
-    // (bits(N+1) - bits(df) — exact integers, the surprisal discipline);
-    // the saturation rational is a FIXED-ORDER IEEE chain whose constants
-    // (k1, k1+1, 1-b) are computed once in Scala and injected into the
-    // oracle as round-tripping literals, so both engines run the same ops
-    // on the same doubles. Same shuffle shape as tfidf: two combine-enabled
-    // aggregates + a broadcast df join + per-doc WindowGroupLimit.
-    ("q_text_bm25",
-      ((s: SparkSession, d: String) => {
-        val k1 = Bm25K1; val b = Bm25B
-        val k1p1 = Bm25K1p1; val oneMb = Bm25OneMb
-        val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          TextOps.tokens(col("text")).as("ts"))
-        val withLen = toks.select(col("doc_id"), col("ts"),
-          size(col("ts")).cast("long").as("len"))
-        val terms = withLen.select(col("doc_id"), col("len"),
-          explode(col("ts")).as("term"))
-        val tf = terms.groupBy("doc_id", "term", "len")
-          .agg(count(lit(1)).as("tf"))
-        val df_ = terms.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = withLen.agg(sum(col("len")).as("sl"),
-          count(lit(1)).as("nd"))
-        val avg = col("sl").cast("double") / col("nd")
-        val idfBits = graft.plans.GraftExpressions.bit_length_long(
-          col("nd") + 1) -
-          graft.plans.GraftExpressions.bit_length_long(col("df"))
-        val denom = lit(k1) * (lit(oneMb) +
-          lit(b) * (col("len").cast("double") / avg)) + col("tf")
-        val score = floor(idfBits.cast("double") * (col("tf") * lit(k1p1)) /
-          denom * lit(1e6)) / 1e6
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term").asc)
-        tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(stats))
-          .withColumn("idf_bits", idfBits)
-          .withColumn("score", score)
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("doc_id"), col("term"), col("tf"), col("idf_bits"),
-            col("score"), col("rnk"))
-      }): Q,
-      Some(s"""WITH toks AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        wl AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS len FROM toks),
-        terms AS (SELECT doc_id, len, t AS term
-          FROM wl, UNNEST(ts) AS u(t)),
-        tf AS (SELECT doc_id, term, len, count(*) AS tf
-          FROM terms GROUP BY 1, 2, 3),
-        idf AS (SELECT term, count(DISTINCT doc_id) AS df
-          FROM terms GROUP BY 1),
-        st AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd
-          FROM wl),
-        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-            CAST(length(bin(nd + 1)) - length(bin(df)) AS BIGINT)
-              AS idf_bits,
-            floor(CAST(length(bin(nd + 1)) - length(bin(df)) AS DOUBLE)
-              * (tf * $Bm25K1p1)
-              / ($Bm25K1 * ($Bm25OneMb +
-                  $Bm25B * (len / (CAST(sl AS DOUBLE) / nd))) + tf)
-              * 1e6) / 1e6 AS score
-          FROM tf JOIN idf USING (term) CROSS JOIN st)
-        SELECT doc_id, term, tf, idf_bits, score, rnk FROM (
-          SELECT *, row_number() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, term ASC) AS rnk
-          FROM sc) WHERE rnk <= 5""")),
-
-    // BPE merge training (Bpe.train), oracle-checked: 3 learned merges
-    // with the deterministic (total DESC, a, b) argmax. The only corpus
-    // pass is the word count; every round runs on the vocabulary, so the
-    // iteration cost is corpus-size-independent. The oracle unrolls the
-    // rounds and replays the greedy merge as a list fold — the hash-match
-    // pins pair counting, tie-breaks, and merge application end to end.
-    ("q_text_bpe_train",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        // minPairCount = 1: the oracle unrolls exactly 3 rounds, so the
-        // engine must not early-stop on a sparse corpus (this corpus has
-        // thousands of shared words; the no-pairs-at-all case cannot
-        // occur with a non-empty tokenized fixture)
-        graft.ops.Bpe.train(t(s, d, "documents"), "text", numMerges = 3,
-            minPairCount = 1L)
-          .zipWithIndex
-          .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
-          .toDF("round", "a", "b")
-      },
-      Some(bpeOracleSql(3))),
-
-    // BPE ENCODING under the learned vocabulary (Bpe.tokenCount): train 3
-    // merges, then count each document's subword tokens — the budget
-    // currency of every token-count / packing / mixture step downstream.
-    // The corpus pass applies merges via a per-partition word cache
-    // (Zipf: a few thousand distinct words cover nearly all tokens), so
-    // the scan does hash lookups, not re-encodes; the oracle replays the
-    // train chain word-identically and joins symbol counts back onto the
-    // token stream with multiplicity.
-    ("q_text_bpe_encode",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 3,
-          minPairCount = 1L)
-        graft.ops.Bpe.tokenCount(docs, "doc_id", "text", merges)
-      },
-      Some(bpeEncodeOracleSql(3))),
-
-    // Tokenizer fertility by language: BPE tokens per whitespace word —
-    // the number that prices a multilingual corpus in MODEL tokens
-    // rather than words (fertility >> 1 for scripts the merge table
-    // under-serves; the standard input to per-language token budgeting,
-    // cf. q_sample_tokenbudget). Same trained merge table and encode
-    // pass as q_text_bpe_encode, aggregated to the language dimension —
-    // one extra combine-enabled groupBy, nothing corpus-sized beyond
-    // the encode itself.
-    ("q_text_fertility",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 3,
-          minPairCount = 1L)
-        val per = graft.ops.Bpe.tokenCount(docs, "doc_id", "text", merges)
-        docs.select(col("doc_id"), col("lang"),
-            size(TextOps.tokens(col("text"))).cast("long").as("n_words"))
-          .join(per, Seq("doc_id"), "left")
-          .groupBy("lang")
-          .agg(sum("n_words").as("n_words"),
-            sum(coalesce(col("n_bpe_tokens"), lit(0L)))
-              .as("n_bpe_tokens"))
-          .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
-            floor(col("n_bpe_tokens").cast("double") * lit(1e3) /
-              greatest(col("n_words"), lit(1L)).cast("double"))
-              .cast("long").as("fertility_milli"))
-      },
-      Some(bpeFertilityOracleSql(3))),
-
-    // Query-time BM25 retrieval — the step q_text_bm25 (weights) and
-    // q_text_index (postings) build toward: a fixed 3-term query prunes
-    // the term stream BEFORE tf aggregation (the filter rides the explode
-    // in the scan stage; df/length stats still come from the full corpus,
-    // as BM25 requires), per-(doc,term) micro-scores stay BIGINT so the
-    // per-doc sum is exact, and the global top-10 is a TakeOrdered — no
-    // corpus window anywhere.
-    // First-occurrence 3-gram novelty (TextOps.noveltyProfile): each doc's
-    // marginal-content price under id-ordered ingestion — boilerplate
-    // scores ~0, fresh text ~1. The per-document complement of the pair
-    // -finding dedup families. One explode + min-per-gram (map-side
-    // combined) + a fan-out-1 posting join — linear in postings.
-    ("q_text_novelty",
-      (s: SparkSession, d: String) => TextOps.noveltyProfile(
-        t(s, d, "documents"), "doc_id", "text", n = 3),
-      Some(s"""WITH ${shingleSql(3)},
-          fst AS (SELECT sg, min(doc_id) AS first_doc FROM sh GROUP BY 1),
-          j AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-              CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel
-            FROM sh JOIN fst USING (sg) GROUP BY 1)
-          SELECT doc_id, n_grams, n_novel,
-            CAST(floor(1e6 * CAST(n_novel AS DOUBLE) /
-              CAST(n_grams AS DOUBLE)) AS BIGINT) AS novelty_micro
-          FROM j""")),
-
-    ("q_text_search", {
-      ((s: SparkSession, d: String) => {
-        val k1 = Bm25K1; val b = Bm25B
-        val k1p1 = Bm25K1p1; val oneMb = Bm25OneMb
-        val qterms = Seq("spark", "merge", "window")
-        val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          TextOps.tokens(col("text")).as("ts"))
-        val withLen = toks.select(col("doc_id"), col("ts"),
-          size(col("ts")).cast("long").as("len"))
-        val terms = withLen.select(col("doc_id"), col("len"),
-          explode(col("ts")).as("term"))
-        val tf = terms.filter(col("term").isin(qterms: _*))
-          .groupBy("doc_id", "term", "len").agg(count(lit(1)).as("tf"))
-        // df of a query term depends only on docs containing it — filter
-        // BEFORE the distinct so the df shuffle carries 3 terms' postings,
-        // not the whole vocabulary stream
-        val df_ = terms.filter(col("term").isin(qterms: _*))
-          .select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = withLen.agg(sum(col("len")).as("sl"),
-          count(lit(1)).as("nd"))
-        val avg = col("sl").cast("double") / col("nd")
-        val idfBits = graft.plans.GraftExpressions.bit_length_long(
-          col("nd") + 1) -
-          graft.plans.GraftExpressions.bit_length_long(col("df"))
-        val denom = lit(k1) * (lit(oneMb) +
-          lit(b) * (col("len").cast("double") / avg)) + col("tf")
-        val scoreMicro = floor(idfBits.cast("double") *
-          (col("tf") * lit(k1p1)) / denom * lit(1e6)).cast("long")
-        tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(stats))
-          .withColumn("score_micro", scoreMicro)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"),
-            sum("score_micro").as("total_micro"))
-          .orderBy(col("total_micro").desc, col("doc_id").asc)
-          .limit(10)
-      }): Q
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        wl AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS len FROM toks),
-        terms AS (SELECT doc_id, len, t AS term
-          FROM wl, UNNEST(ts) AS u(t)),
-        tf AS (SELECT doc_id, term, len, count(*) AS tf FROM terms
-          WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2, 3),
-        idf AS (SELECT term, count(DISTINCT doc_id) AS df
-          FROM terms GROUP BY 1),
-        st AS (SELECT CAST(sum(len) AS BIGINT) AS sl, count(*) AS nd
-          FROM wl),
-        sc AS (SELECT tf.doc_id,
-            CAST(floor(CAST(length(bin(nd + 1)) - length(bin(df))
-                AS DOUBLE) * (tf * $Bm25K1p1)
-              / ($Bm25K1 * ($Bm25OneMb +
-                  $Bm25B * (len / (CAST(sl AS DOUBLE) / nd))) + tf)
-              * 1e6) AS BIGINT) AS score_micro
-          FROM tf JOIN idf USING (term) CROSS JOIN st)
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-          CAST(sum(score_micro) AS BIGINT) AS total_micro
-        FROM sc GROUP BY doc_id
-        ORDER BY total_micro DESC, doc_id ASC LIMIT 10""")),
-
-    // Retrieval-quality eval, self-retrieval protocol over PHRASES:
-    // every 100th doc is a probe whose query is its own 3-gram shingle
-    // set; the eval asks at which rank idf-weighted phrase retrieval
-    // returns the SOURCE doc. Rank 1 is health; a near-dup outranking
-    // its source on tie-break is exactly the interference this metric
-    // exists to surface. (Bag-of-WORDS self-retrieval was measured
-    // first and is structurally uninformative on this corpus — iid
-    // vocabulary means any 5 tokens hit thousands of docs at identical
-    // tf, burying the source mid-pack; phrases discriminate.) NO
-    // corpus-sized sort anywhere: rank = 1 + count(docs strictly
-    // ahead), one conditional aggregate per probe against broadcast
-    // source scores; the shingle stream is pre-filtered to the probes'
-    // bounded query vocabulary before any shuffle.
-    ("q_text_retrieval_eval",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val sh = Dedup.shingleTable(docs, "doc_id", "text", n = 3)
-        val pterms = sh.filter(col("doc_id") % 100 === 0)
-          .select(col("doc_id").as("probe_id"), col("shingle"))
-        val vocab = pterms.select("shingle").distinct()
-        val postings = sh.join(broadcast(vocab), Seq("shingle"))
-        val df_ = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val nDocs = docs.count()
-        val scored = postings.join(broadcast(df_), Seq("shingle"))
-          .withColumn("w",
-            floor(lit(1000.0) * lit(nDocs) / col("df").cast("double"))
-              .cast("long"))
-          .join(broadcast(pterms), Seq("shingle"))
-          .groupBy("probe_id", "doc_id").agg(sum("w").as("score"))
-        val src = scored.filter(col("doc_id") === col("probe_id"))
-          .select(col("probe_id"), col("score").as("s_src"))
-        scored.join(broadcast(src), Seq("probe_id"))
-          .groupBy("probe_id")
-          .agg(count(lit(1)).as("n_candidates"),
-            (sum(when(col("score") > col("s_src") ||
-              (col("score") === col("s_src") &&
-                col("doc_id") < col("probe_id")), 1L)
-              .otherwise(0L)) + 1).as("rank"))
-          .select(col("probe_id"), col("n_candidates"), col("rank"),
-            expr("1000000L div rank").as("rr_micro"))
-      },
-      Some(s"""WITH ${shingleSql(3)},
-        pterms AS (SELECT doc_id AS probe_id, sg FROM sh
-          WHERE doc_id % 100 = 0),
-        vocab AS (SELECT DISTINCT sg FROM pterms),
-        postings AS (SELECT doc_id, sg FROM sh
-          WHERE sg IN (SELECT sg FROM vocab)),
-        idf AS (SELECT sg, count(*) AS df FROM postings GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
-        sc AS (SELECT probe_id, postings.doc_id,
-            CAST(sum(CAST(floor(1000.0 * n.n / df) AS BIGINT))
-              AS BIGINT) AS score
-          FROM postings JOIN idf USING (sg) JOIN pterms USING (sg)
-          CROSS JOIN n GROUP BY 1, 2),
-        src AS (SELECT probe_id, score AS s_src FROM sc
-          WHERE doc_id = probe_id)
-        SELECT sc.probe_id, count(*) AS n_candidates,
-          CAST(sum(CASE WHEN score > s_src OR (score = s_src AND
-              doc_id < sc.probe_id) THEN 1 ELSE 0 END) + 1 AS BIGINT)
-            AS rank,
-          1000000 // CAST(sum(CASE WHEN score > s_src OR (score = s_src
-              AND doc_id < sc.probe_id) THEN 1 ELSE 0 END) + 1 AS BIGINT)
-            AS rr_micro
-        FROM sc JOIN src ON sc.probe_id = src.probe_id
-        GROUP BY 1""")),
-
-    ("q_text_tfidf",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val nDocs = docs.count()
-        val toks = docs.select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df_ = toks.select("doc_id", "term").distinct()
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term").asc)
-        tf.join(broadcast(df_), Seq("term"))
-          .withColumn("score", col("tf") *
-            floor(lit(1000.0) * lit(nDocs) / col("df").cast("double"))
-              .cast("long"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("doc_id"), col("term"), col("tf"), col("score"),
-            col("rnk"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, t AS term
-            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM
-          (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
-        n AS (SELECT count(*) AS n FROM documents),
-        sc AS (SELECT tf.doc_id, tf.term, tf.tf,
-            tf.tf * CAST(floor(1000.0 * n.n / df) AS BIGINT) AS score
-          FROM tf JOIN idf USING (term) CROSS JOIN n)
-        SELECT doc_id, term, tf, score, rnk FROM (
-          SELECT *, row_number() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, term ASC) AS rnk
-          FROM sc) WHERE rnk <= 5""")),
-
-    // Hashing-trick featurization (Weinberger et al. 2009): token ->
-    // md5-hashed dimension in a fixed 256-wide space, the hash's next bit
-    // as the ± sign (the collision-debiasing trick), weight = signed
-    // occurrence count. The vocabulary-free vectorizer a classifier-based
-    // quality filter runs at corpus scale — no vocab build, no driver
-    // state, ONE explode + ONE combine-enabled aggregate, output bounded
-    // by docs × 256. Deterministic via the catalog's md5 convention, so
-    // the oracle replays every collision.
-    ("q_text_hashfeat",
-      (s: SparkSession, d: String) => {
-        t(s, d, "documents").filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id"),
-            explode(TextOps.tokens(col("text"))).as("term"))
-          .withColumn("h",
-            graft.plans.GraftExpressions.md5_prefix60(col("term")))
-          .select(col("doc_id"), pmod(col("h"), lit(256L)).as("dim"),
-            when(pmod(expr("h DIV 256"), lit(2L)) === 0, 1L)
-              .otherwise(-1L).as("sgn"))
-          .groupBy("doc_id", "dim").agg(sum("sgn").as("weight"))
-      },
-      Some(s"""WITH toks AS (SELECT doc_id, t AS term
-            FROM documents, UNNEST(${tokensSql()}) AS u(t)
-            WHERE doc_id % 20 = 0),
-        h AS (SELECT doc_id,
-            CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
-          FROM toks)
-        SELECT doc_id, h % 256 AS dim,
-          CAST(sum(CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
-            AS BIGINT) AS weight
-        FROM h GROUP BY 1, 2""")),
-
-    // Inverted-index construction (the search/RAG-retrieval build step):
-    // rare terms (bounded df) -> their sorted document posting lists.
-    // One explode + one combine-enabled groupBy; common terms are gated out
-    // by df AFTER aggregation, so the posting-list cell stays bounded the
-    // same way jaccardPairs bounds hot shingles.
-    ("q_text_index", {
-      // df gate RELATIVE to corpus size (<= 80% of docs) so the query does
-      // the same work at every SF — an absolute cap goes empty as N grows
-      ((s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val maxDf = math.floor(docs.count() * 0.8).toLong
-        docs.select(col("doc_id"),
-            explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
-          .groupBy("term")
-          .agg(count(lit(1)).as("df"),
-            array_join(transform(array_sort(collect_list(col("doc_id"))),
-              _.cast("string")), ",").as("postings"))
-          .filter(col("df").between(2, maxDf))
-      }): Q
-      },
-      Some(s"""WITH toks AS (SELECT DISTINCT doc_id, t
-          FROM documents, UNNEST(${tokensSql()}) AS u(t))
-        SELECT t AS term, count(*) AS df,
-          string_agg(doc_id, ',' ORDER BY doc_id) AS postings
-        FROM toks GROUP BY 1 HAVING count(*) BETWEEN 2 AND
-          floor((SELECT count(*) FROM documents) * 0.8)""")),
-
-    // Bigram language-model counts: conditional probability per bigram,
-    // floor-quantized from exact integer counts (the n-gram-LM statistics
-    // step; also the base table for perplexity-style quality scoring)
-    // Collocation mining by pointwise mutual information, in the same
-    // transcendental-free whole-bit form as q_text_surprisal:
-    // pmi_bits = bits(n_ab·N) − bits(n_a·n_b) (integer bit lengths — the
-    // native codegen'd expression vs DuckDB's bin()), so the association
-    // ranking is exact cross-engine. Marginals derive from the DISTINCT
-    // bigram table, not the raw stream — one corpus-sized combine-enabled
-    // groupBy, then vocabulary-sized joins; N rides as a 1-row broadcast.
-    // RAKE keyphrase extraction (TextOps.rakeKeyphrases): stopword-
-    // delimited candidate runs, word score deg·1e6 div freq, top phrase
-    // per document. Oracle replays tokenization, the gaps-and-islands
-    // run grouping, and the integer scoring.
-    ("q_text_keyphrase",
-      (s: SparkSession, d: String) => TextOps.rakeKeyphrases(
-        t(s, d, "documents"), "doc_id", "text"),
-      Some("""WITH toks AS (SELECT doc_id,
-            unnest(string_split(regexp_replace(lower(text), '[^a-z]+',
-              ' ', 'g'), ' ')) AS word,
-            generate_subscripts(string_split(regexp_replace(lower(text),
-              '[^a-z]+', ' ', 'g'), ' '), 1) AS pos
-          FROM documents),
-        ns AS (SELECT doc_id, pos, word FROM toks WHERE word <> ''
-          AND word NOT IN ('the', 'a', 'an', 'of', 'and', 'to', 'in',
-            'is', 'it', 'that')),
-        ph AS (SELECT doc_id, pos, word,
-            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-              AS grp
-          FROM ns),
-        pl AS (SELECT doc_id, grp, count(*) AS plen FROM ph GROUP BY 1, 2),
-        occ AS (SELECT ph.doc_id, ph.grp, ph.pos, ph.word, pl.plen
-          FROM ph JOIN pl USING (doc_id, grp)),
-        ws AS (SELECT doc_id, word,
-            CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS wscore
-          FROM occ GROUP BY 1, 2),
-        sc AS (SELECT occ.doc_id, occ.grp,
-            string_agg(occ.word, ' ' ORDER BY occ.pos) AS phrase,
-            CAST(count(*) AS BIGINT) AS n_words,
-            CAST(sum(ws.wscore) AS BIGINT) AS score_micro
-          FROM occ JOIN ws ON ws.doc_id = occ.doc_id
-            AND ws.word = occ.word
-          GROUP BY 1, 2)
-        SELECT doc_id, phrase, n_words, score_micro FROM (
-          SELECT *, row_number() OVER (PARTITION BY doc_id
-            ORDER BY score_micro DESC, phrase ASC) AS b FROM sc)
-        WHERE b = 1""")),
-
-    ("q_text_pmi",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(
-          TextOps.tokens(col("text")).as("ts"))
-        val bi = toks.select(explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-        val bc = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
-          .withColumn("w1", substring_index(col("bigram"), " ", 1))
-          .withColumn("w2", substring_index(col("bigram"), " ", -1))
-        val na = bc.groupBy("w1").agg(sum("n_ab").as("n_a"))
-        val nb = bc.groupBy("w2").agg(sum("n_ab").as("n_b"))
-        val tot = bc.agg(sum("n_ab").as("nn"))
-        val bl = graft.plans.GraftExpressions.bit_length_long _
-        bc.join(na, "w1").join(nb, "w2").crossJoin(broadcast(tot))
-          .filter(col("n_ab") >= 15)
-          .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-            (bl(col("n_ab") * col("nn")) - bl(col("n_a") * col("n_b")))
-              .cast("long").as("pmi_bits"))
-      },
-      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
-        bi AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram,
-            ts[i] AS w1, ts[i + 1] AS w2
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        bc AS (SELECT bigram, w1, w2, count(*) AS n_ab FROM bi
-          GROUP BY 1, 2, 3),
-        na AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM bc
-          GROUP BY 1),
-        nb AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM bc
-          GROUP BY 1),
-        tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS nn FROM bc)
-        SELECT bigram, n_ab, n_a, n_b,
-          CAST(length(bin(n_ab * nn)) - length(bin(n_a * n_b)) AS BIGINT)
-            AS pmi_bits
-        FROM bc JOIN na USING (w1) JOIN nb USING (w2), tot
-        WHERE n_ab >= 15""")),
-
-    // Vocabulary-richness profile per source: type-token ratio and the
-    // hapax-legomenon share (words seen exactly once in that source) —
-    // the lexical-diversity fingerprint that separates template/boiler-
-    // plate feeds (low TTR, few hapax) from organic text, next to
-    // q_text_source_divergence's "which vocabulary" signal. One
-    // exploded-token aggregate to the (source x word) table, one
-    // source-level rollup.
-    ("q_text_hapax",
-      (s: SparkSession, d: String) => {
-        val sw = t(s, d, "documents").select(col("source"),
-            explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
-        sw.groupBy("source")
-          .agg(sum("n_sw").as("n_tokens"),
-            count(lit(1)).as("vocab_size"),
-            sum(when(col("n_sw") === 1, 1L).otherwise(0L)).as("n_hapax"))
-          .select(col("source"), col("n_tokens"), col("vocab_size"),
-            col("n_hapax"),
-            floor(col("vocab_size").cast("double") * lit(1e3) /
-              col("n_tokens").cast("double")).cast("long")
-              .as("ttr_milli"),
-            floor(col("n_hapax").cast("double") * lit(1e3) /
-              col("vocab_size").cast("double")).cast("long")
-              .as("hapax_milli"))
-      },
-      Some(s"""WITH sw AS (SELECT source, t AS w, count(*) AS n_sw
-          FROM (SELECT source, ${tokensSql()} AS ts FROM documents),
-            UNNEST(ts) AS u(t)
-          GROUP BY 1, 2),
-        a AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_tokens,
-            count(*) AS vocab_size,
-            CAST(sum(CASE WHEN n_sw = 1 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_hapax
-          FROM sw GROUP BY 1)
-        SELECT source, n_tokens, vocab_size, n_hapax,
-          CAST(floor(CAST(vocab_size AS DOUBLE) * 1e3
-            / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS ttr_milli,
-          CAST(floor(CAST(n_hapax AS DOUBLE) * 1e3
-            / CAST(vocab_size AS DOUBLE)) AS BIGINT) AS hapax_milli
-        FROM a""")),
-
-    // Bigram language-model scoring with backoff, whole-bit form: the LM
-    // trains on the even-doc_id half (bigram + unigram counts) and
-    // scores EVERY document — bits(w2|w1) = bitlen(n_w1) - bitlen(n_w1w2)
-    // when the bigram was seen, else backoff to the unigram tail
-    // bitlen(N) - bitlen(n_w2 + 1) plus a 4-bit penalty. The
-    // train/score split is what makes this the real LM-quality gate
-    // (scoring a corpus against ITS OWN counts can never see an unseen
-    // bigram); held-out docs exercise the backoff path. All BIGINT —
-    // counts, bit lengths, per-doc sums; one exploded-bigram scan
-    // joined against the two vocabulary-bounded count tables.
-    ("q_text_lm_score",
-      (s: SparkSession, d: String) => {
-        val bl = graft.plans.GraftExpressions.bit_length_long _
-        val docs = t(s, d, "documents")
-        def bigrams(df: DataFrame) = df.select(col("doc_id"),
-            TextOps.tokens(col("text")).as("ts"))
-          .select(col("doc_id"), explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull,
-              struct(a.as("w1"), b.as("w2"))))).as("s"))
-          .filter(col("s").isNotNull)
-          .select(col("doc_id"), col("s.w1").as("w1"),
-            col("s.w2").as("w2"))
-        val ref = docs.filter(col("doc_id") % 2 === 0)
-        val bc = bigrams(ref).groupBy("w1", "w2")
-          .agg(count(lit(1)).as("n12"))
-        val uc = ref.select(explode(TextOps.tokens(col("text"))).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("n1"))
-        val nTot = uc.agg(sum("n1").as("nn"))
-        val scoredRows = bigrams(docs)
-          .join(bc, Seq("w1", "w2"), "left")
-          .join(uc.select(col("w").as("w1"), col("n1").as("n_a")),
-            Seq("w1"), "left")
-          .join(uc.select(col("w").as("w2"), col("n1").as("n_b")),
-            Seq("w2"), "left")
-          .crossJoin(broadcast(nTot))
-          .select(col("doc_id"),
-            when(coalesce(col("n12"), lit(0L)) > 0,
-              bl(col("n_a")) - bl(col("n12")))
-              .otherwise(bl(col("nn")) -
-                bl(coalesce(col("n_b"), lit(0L)) + 1) + 4)
-              .cast("long").as("bits"))
-        val per = scoredRows.groupBy("doc_id")
-          .agg(sum("bits").as("bits_total"),
-            count(lit(1)).as("n_bigrams"))
-        docs.select("doc_id").join(per, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-            coalesce(col("bits_total"), lit(0L)).as("bits_total"))
-          .withColumn("bits_per_bigram_milli",
-            expr("bits_total * 1000L div greatest(n_bigrams, 1L)"))
-      },
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        bi AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        refbi AS (SELECT w1, w2, count(*) AS n12 FROM bi
-          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-        refuni AS (SELECT t AS w, count(*) AS n1
-          FROM docs, UNNEST(ts) AS u(t) WHERE doc_id % 2 = 0 GROUP BY 1),
-        tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn FROM refuni),
-        rows_ AS (SELECT bi.doc_id,
-            CASE WHEN COALESCE(n12, 0) > 0
-              THEN CAST(length(bin(a.n1)) - length(bin(n12)) AS BIGINT)
-              ELSE CAST(length(bin(nn)) -
-                length(bin(COALESCE(b.n1, 0) + 1)) + 4 AS BIGINT)
-            END AS bits
-          FROM bi
-          LEFT JOIN refbi ON bi.w1 = refbi.w1 AND bi.w2 = refbi.w2
-          LEFT JOIN refuni a ON bi.w1 = a.w
-          LEFT JOIN refuni b ON bi.w2 = b.w, tot),
-        per AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS bits_total,
-            count(*) AS n_bigrams FROM rows_ GROUP BY 1)
-        SELECT d.doc_id,
-          COALESCE(per.n_bigrams, 0) AS n_bigrams,
-          COALESCE(per.bits_total, 0) AS bits_total,
-          COALESCE(per.bits_total, 0) * 1000
-            // greatest(COALESCE(per.n_bigrams, 0), 1)
-            AS bits_per_bigram_milli
-        FROM documents d LEFT JOIN per USING (doc_id)""")),
-
-    // Per-source vocabulary divergence, whole-bit form (the
-    // transcendental-free discipline of q_text_pmi / q_profile_mi): for
-    // every (source, word) cell, pointwise information in whole bits =
-    // bitlen(n_sw·N) - bitlen(n_s·n_w); a source's divergence is its
-    // token-weighted bit total, normalized per kilotoken. The corpus
-    // audit that flags WHICH ingest feed drifted off-vocabulary — all
-    // BIGINT (counts, bit lengths, floor division), one exploded-token
-    // aggregate plus three vocabulary/source-bounded joins.
-    ("q_text_source_divergence",
-      (s: SparkSession, d: String) => {
-        val bl = graft.plans.GraftExpressions.bit_length_long _
-        val tok = t(s, d, "documents").select(col("source"),
-          explode(TextOps.tokens(col("text"))).as("w"))
-        val sw = tok.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
-        val wt = sw.groupBy("w").agg(sum("n_sw").as("n_w"))
-        val st = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
-        val tot = sw.agg(sum("n_sw").as("nn"))
-        sw.join(wt, "w").join(broadcast(st), "source")
-          .crossJoin(broadcast(tot))
-          .select(col("source"), col("n_s"), col("n_sw"),
-            ((bl(col("n_sw") * col("nn")) -
-              bl(col("n_s") * col("n_w"))).cast("long") * col("n_sw"))
-              .as("wbits"))
-          .groupBy("source")
-          .agg(first(col("n_s")).as("n_tokens"),
-            sum("wbits").as("bits_total"))
-          .select(col("source"), col("n_tokens"), col("bits_total"),
-            // double floor, not integer div: bits_total may be negative
-            // and trunc-vs-floor semantics would diverge across engines
-            floor(col("bits_total").cast("double") * lit(1e3) /
-              col("n_tokens").cast("double")).cast("long")
-              .as("bits_per_kilotoken"))
-      },
-      Some(s"""WITH tok AS (SELECT source, t AS w
-          FROM (SELECT source, ${tokensSql()} AS ts FROM documents),
-            UNNEST(ts) AS u(t)),
-        sw AS (SELECT source, w, count(*) AS n_sw FROM tok GROUP BY 1, 2),
-        wt AS (SELECT w, CAST(sum(n_sw) AS BIGINT) AS n_w
-          FROM sw GROUP BY 1),
-        st AS (SELECT source, CAST(sum(n_sw) AS BIGINT) AS n_s
-          FROM sw GROUP BY 1),
-        tot AS (SELECT CAST(sum(n_sw) AS BIGINT) AS nn FROM sw),
-        cells AS (SELECT sw.source, n_s,
-            CAST(length(bin(n_sw * nn)) - length(bin(n_s * n_w))
-              AS BIGINT) * n_sw AS wbits
-          FROM sw JOIN wt USING (w) JOIN st USING (source), tot)
-        SELECT source, any_value(n_s) AS n_tokens,
-          CAST(sum(wbits) AS BIGINT) AS bits_total,
-          CAST(floor(CAST(CAST(sum(wbits) AS BIGINT) AS DOUBLE) * 1e3
-            / CAST(any_value(n_s) AS DOUBLE)) AS BIGINT)
-            AS bits_per_kilotoken
-        FROM cells GROUP BY 1""")),
-
-    // Skip-gram (center, context) pair extraction, window = 2, both
-    // directions — the training-pair generator for word/embedding models
-    // (word2vec's data layer) as a corpus operator. Pure scan-stage
-    // array work: per document, zip the token array against its k-shifted
-    // tails (k = 1, 2) and their mirrors, explode, and let ONE
-    // combine-enabled groupBy count pairs — only distinct pairs reach
-    // the shuffle, so the 4x-per-token fan-out never leaves the map side.
-    ("q_text_skipgram",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(
-          TextOps.tokens(col("text")).as("ts"))
-        def sh(k: Int) =
-          slice(col("ts"), lit(k + 1), size(col("ts")))
-        def fwd(k: Int) = zip_with(col("ts"), sh(k),
-          (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))
-        def rev(k: Int) = zip_with(col("ts"), sh(k),
-          (a, b) => when(b.isNotNull, concat_ws(" ", b, a)))
-        toks.select(explode(concat(fwd(1), fwd(2), rev(1), rev(2)))
-            .as("pair"))
-          .filter(col("pair").isNotNull)
-          .groupBy("pair").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 25)
-          .select(substring_index(col("pair"), " ", 1).as("center"),
-            substring_index(col("pair"), " ", -1).as("context"),
-            col("n"))
-      },
-      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
-        f AS (SELECT ts[i] AS c, ts[i + k] AS x
-          FROM docs,
-            UNNEST(range(1, len(ts) + 1)) AS u(i),
-            UNNEST([1, 2]) AS o(k)
-          WHERE i + k <= len(ts)),
-        b AS (SELECT c, x FROM f UNION ALL SELECT x, c FROM f)
-        SELECT c AS center, x AS context, count(*) AS n
-        FROM b GROUP BY 1, 2 HAVING count(*) >= 25""")),
-
-    ("q_text_bigrams",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(
-          TextOps.tokens(col("text")).as("ts"))
-        // zip with the tail; the final (last, null) pair maps to null and
-        // is filtered — the HOF lambda runs interpreted, acceptable here
-        // because the exploded bigrams hit a combine-enabled groupBy
-        // immediately (only distinct bigrams reach the shuffle)
-        val bi = toks.select(explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-          .groupBy("bigram").agg(count(lit(1)).as("n"))
-        val uni = toks.select(explode(col("ts")).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("n_first"))
-        bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
-          .join(uni, col("w1") === col("w"))
-          .filter(col("n") >= 20)
-          .select(col("bigram"), col("n"),
-            (floor(col("n").cast("double") / col("n_first").cast("double")
-              * 1e6) / 1e6).as("p_cond"))
-      },
-      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
-        bi AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram, ts[i] AS w1
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        bc AS (SELECT bigram, w1, count(*) AS n FROM bi GROUP BY 1, 2),
-        uni AS (SELECT t AS w, count(*) AS n_first
-          FROM docs, UNNEST(ts) AS u(t) GROUP BY 1)
-        SELECT bigram, n,
-          floor(CAST(n AS DOUBLE) / CAST(n_first AS DOUBLE) * 1e6) / 1e6
-            AS p_cond
-        FROM bc JOIN uni ON w1 = uni.w WHERE n >= 20""")),
-
-    // C4/RefinedWeb-style boilerplate removal: 4-token tiles shared by >= 2
-    // document-positions are cut corpus-wide, docs reassembled in order
-    // (TextOps.removeRepeatedSpans).
-    ("q_text_spandedup",
-      (s: SparkSession, d: String) => TextOps.removeRepeatedSpans(
-        t(s, d, "documents"), "doc_id", "text", n = 4, minDf = 2),
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql("coalesce(text,'')")}
-            AS toks FROM documents),
-        tiles AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
-            array_to_string(toks[i:i+3], ' ') AS tile
-          FROM docs, UNNEST(CASE WHEN len(toks) = 0 THEN [CAST(1 AS BIGINT)]
-            ELSE range(1, len(toks) + 1, 4) END) AS u(i)),
-        hot AS (SELECT tile FROM tiles GROUP BY 1 HAVING count(*) >= 2),
-        kept AS (SELECT * FROM tiles
-          WHERE tile NOT IN (SELECT tile FROM hot)),
-        totals AS (SELECT doc_id, count(*) AS n_tiles FROM tiles GROUP BY 1),
-        ka AS (SELECT doc_id, count(*) AS n_kept,
-            string_agg(tile, ' ' ORDER BY idx) AS clean_text
-          FROM kept GROUP BY 1)
-        SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
-          t.n_tiles, t.n_tiles - coalesce(ka.n_kept, 0) AS n_removed
-        FROM totals t LEFT JOIN ka USING (doc_id)""")),
-
-    // Winnowing fingerprint selection (Schleimer et al. SIGMOD'03): the
-    // guaranteed-density local fingerprint set — min 4-gram hash per
-    // 4-window, rightmost on ties. One doc-bounded window pass; the
-    // per-doc distinct reuses its partitioning (PlanShapeSpec pins the
-    // single exchange). Oracle replays windows as a pos-range join.
-    ("q_text_winnow",
-      (s: SparkSession, d: String) => TextOps.winnow(
-        t(s, d, "documents"), "doc_id", "text", k = 4, w = 4),
-      Some(s"""WITH ${winnowCtes()}
-        SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel""")),
-
-    // Per-source boilerplate removal (RefinedWeb's repeated-span gate
-    // scoped to the document's source/domain): an 8-token tile in >=
-    // max(2, 25% of the source's docs) distinct docs OF THAT SOURCE is
-    // cut everywhere in the source. TextOps.boilerplateClean.
-    ("q_text_boilerplate",
-      (s: SparkSession, d: String) => TextOps.boilerplateClean(
-        t(s, d, "documents"), "doc_id", "source", "text",
-        n = 8, minFrac = 0.25, minDf = 2),
-      Some(s"""WITH base AS (SELECT doc_id, source,
-            ${tokensSql("coalesce(text, '')")} AS tk FROM documents),
-        tl AS MATERIALIZED (SELECT doc_id, source, CAST(i AS INT) AS idx,
-            CASE WHEN len(tk) = 0 THEN ''
-                 ELSE array_to_string(tk[i*8+1:i*8+8], ' ') END AS tile
-          FROM base, UNNEST(range(0,
-            greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1))) AS u(i)),
-        nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        bo AS (SELECT source, tile FROM (
-            SELECT source, tile, count(DISTINCT doc_id) AS df
-            FROM tl GROUP BY 1, 2) f JOIN nd USING (source)
-          WHERE df >= greatest(2, CAST(ceil(0.25 * n_docs) AS BIGINT))),
-        mk AS (SELECT tl.doc_id, any_value(tl.source) AS source,
-            count(*) AS n_tiles,
-            count(bo.tile) AS n_removed,
-            coalesce(string_agg(CASE WHEN bo.tile IS NULL THEN tl.tile END,
-              ' ' ORDER BY tl.idx), '') AS clean_text
-          FROM tl LEFT JOIN bo ON tl.source = bo.source AND tl.tile = bo.tile
-          GROUP BY 1)
-        SELECT doc_id, source, clean_text, n_tiles, n_removed FROM mk""")),
-
-    // EXACT heavy hitters without the full-vocabulary shuffle: one
-    // Misra-Gries pass (bounded k-entry state, map-side combined) yields a
-    // guaranteed candidate superset; a broadcast-semi-join second pass
-    // re-counts only candidates and filters on the exact integer support
-    // threshold. k=799 < the bigram vocabulary (~920), so the summary runs
-    // under real decrement pressure — and the final answer is still
-    // bit-equal to the naive GROUP BY HAVING the oracle runs, because the
-    // MG error bound N/(k+1) < N/support. See TextOps.heavyHitters.
-    ("q_text_heavyhitters",
-      (s: SparkSession, d: String) => {
-        val toks = t(s, d, "documents").select(
-          TextOps.tokens(col("text")).as("ts"))
-        val bg = toks.select(explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-        TextOps.heavyHitters(bg, "bigram", k = 799, support = 800)
-      },
-      Some(s"""WITH docs AS (SELECT ${tokensSql()} AS ts FROM documents),
-        bg AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        tot AS (SELECT count(*) AS n FROM bg)
-        SELECT bigram, CAST(count(*) AS BIGINT) AS n_exact
-        FROM bg, tot GROUP BY bigram, tot.n
-        HAVING count(*) * 800 > tot.n""")),
-
-    // Per-group exact heavy hitters (per-language hot bigrams): the MG
-    // summary and support test scoped per lang — pass-1 state <= k entries
-    // per (lang, partition), candidates re-counted through a (lang, item)
-    // equi-join. k=699 < each lang's bigram vocabulary, so every group's
-    // summary runs under decrement pressure; answers still exactly equal
-    // the per-group GROUP BY HAVING.
-    ("q_text_heavyhitters_by",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents").select(col("lang"),
-          TextOps.tokens(col("text")).as("ts"))
-        val bg = docs.select(col("lang"), explode(zip_with(col("ts"),
-            slice(col("ts"), lit(2), size(col("ts"))),
-            (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
-          .filter(col("bigram").isNotNull)
-        TextOps.heavyHittersBy(bg, "lang", "bigram", k = 699, support = 700)
-      },
-      Some(s"""WITH docs AS (SELECT lang, ${tokensSql()} AS ts
-            FROM documents),
-        bg AS (SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram
-          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
-        tot AS (SELECT lang, count(*) AS n FROM bg GROUP BY 1)
-        SELECT bg.lang, bigram, CAST(count(*) AS BIGINT) AS n_exact
-        FROM bg JOIN tot ON bg.lang = tot.lang
-        GROUP BY bg.lang, bigram, tot.n
-        HAVING count(*) * 700 > tot.n""")),
-
-    // Model-based quality filtering (CCNet / GPT-3 curation): linear
-    // classifier over hashed bag-of-words features as a pure scan-stage
-    // fold — no shuffle, no UDF, margin in exact BIGINT (md5-derived
-    // stand-in weights; production broadcasts a trained vector keyed by
-    // the same 60-bit hash). See TextOps.classifierColumns.
-    ("q_text_classifier",
-      (s: SparkSession, d: String) => {
-        val cols = TextOps.classifierColumns(col("text"))
-        t(s, d, "documents").select(
-          col("doc_id") +:
-          cols.map { case (n, c) =>
-            (if (n == "keep") c.cast("long") else c).as(n) }: _*)
-      },
-      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
-            FROM documents),
-        m AS (SELECT doc_id,
-            CAST(coalesce(list_sum(list_transform(ts,
-              t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
-                % 2001 - 1000)), 0) AS BIGINT) AS margin,
-            CAST(len(ts) AS BIGINT) AS n_toks
-          FROM docs)
-        SELECT doc_id, margin, n_toks,
-          CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-        FROM m""")),
-
-    // Content-defined chunking (LBFS/FastCDC on tokens): boundaries where
-    // the 4-gram hash ≡ 0 mod 16, so chunk hashes survive insertions —
-    // the incremental / offset-invariant dedup property fixed-stride tiles
-    // lack. One scan-stage projection+explode builds the chunk table; the
-    // cross-doc df groupBy+join shares the chunk_hash partitioning. Oracle
-    // replays the full list pipeline (cuts, bounds, reassembly, md5).
-    ("q_text_cdc",
-      (s: SparkSession, d: String) => {
-        val ch = TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
-          w = 4, divisor = 16)
-        val dfc = ch.groupBy("chunk_hash")
-          .agg(countDistinct(col("doc_id")).as("df"))
-        ch.join(dfc, Seq("chunk_hash"))
-          .select(col("doc_id"), col("chunk_idx"), col("n_toks_chunk"),
-            col("chunk_hash"), col("df"))
-      },
-      Some(s"""WITH ${cdcChiCtes()},
-        dfc AS (SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT)
-            AS df FROM chi GROUP BY 1)
-        SELECT doc_id, chunk_idx, n_toks_chunk, chunk_hash, df
-        FROM chi JOIN dfc USING (chunk_hash)""")),
-
-    // Chunk-level storage dedup (the dedup-filesystem accounting view of
-    // cdcChunks): every chunk CONTENT is stored once, owned by its
-    // globally-first occurrence (min (doc_id, chunk_idx) — a total order,
-    // deterministic under ties); per document, how many of its tokens it
-    // actually stores vs references. One chunk_hash groupBy (combinable
-    // min-struct) + one join back — no windows over the corpus stream.
-    ("q_text_chunk_dedup",
-      (s: SparkSession, d: String) => {
-        val ch = TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
-            w = 4, divisor = 16)
-          .select("doc_id", "chunk_idx", "n_toks_chunk", "chunk_hash")
-        val owner = ch.groupBy("chunk_hash")
-          .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
-          .select(col("chunk_hash"), col("own.doc_id").as("o_doc"),
-            col("own.chunk_idx").as("o_idx"))
-        ch.join(owner, Seq("chunk_hash"))
-          .withColumn("stored_toks",
-            when(col("doc_id") === col("o_doc") &&
-              col("chunk_idx") === col("o_idx"), col("n_toks_chunk"))
-              .otherwise(0L))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum("n_toks_chunk").as("n_toks"),
-            sum("stored_toks").as("n_toks_stored"))
-          .withColumn("stored_frac",
-            floor(lit(1e6) * col("n_toks_stored").cast("double") /
-              col("n_toks").cast("double")) / lit(1e6))
-      },
-      Some(s"""WITH ${cdcChiCtes()},
-        o1 AS (SELECT chunk_hash, min(doc_id) AS o_doc
-          FROM chi GROUP BY 1),
-        own AS (SELECT chi.chunk_hash, o_doc, min(chunk_idx) AS o_idx
-          FROM chi JOIN o1 ON chi.chunk_hash = o1.chunk_hash
-            AND chi.doc_id = o1.o_doc
-          GROUP BY 1, 2)
-        SELECT chi.doc_id, count(*) AS n_chunks,
-          CAST(sum(n_toks_chunk) AS BIGINT) AS n_toks,
-          CAST(sum(CASE WHEN chi.doc_id = o_doc AND chunk_idx = o_idx
-            THEN n_toks_chunk ELSE 0 END) AS BIGINT) AS n_toks_stored,
-          floor(1e6 * CAST(sum(CASE WHEN chi.doc_id = o_doc
-              AND chunk_idx = o_idx THEN n_toks_chunk ELSE 0 END)
-              AS DOUBLE) /
-            CAST(sum(n_toks_chunk) AS DOUBLE)) / 1e6 AS stored_frac
-        FROM chi JOIN own USING (chunk_hash) GROUP BY 1""")))
-
-  private def langIdOracleSql: String = {
-    val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
-      case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(${tokensSql()}, t -> list_contains($list, t))) AS c_$lang"
-    }
-    val langs = TextOps.LangMarkers.filter(_._2.nonEmpty).map(_._1)
-    val cases = langs.zipWithIndex.map { case (lang, i) =>
-      val earlier = langs.take(i).map(l => s"c_$lang > c_$l")
-      val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l")
-      val conds = (earlier ++ later :+ s"c_$lang > 0").mkString(" AND ")
-      s"WHEN $conds THEN '$lang'"
-    }
-    s"""WITH m AS (SELECT doc_id, text, ${counts.mkString(",\n  ")} FROM documents)
-       SELECT doc_id,
-         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-              ${cases.mkString("\n              ")}
-              ELSE 'und' END AS lang_pred
-       FROM m"""
-  }
-
-  // =============================================================== dedup
-
-  /** Shared SQL: distinct (doc_id, shingle) posting list, n-word shingles.
-    * `where` filters the source rows; CTE names are parameterized so two
-    * posting lists (corpus + benchmark) can coexist in one oracle. */
-  // MATERIALIZED: the shingle set is referenced by several downstream CTEs
-  // (signatures, sizes, intersections) — an inlining planner re-tokenizes
-  // the whole corpus per reference, which is the multi-GB / tens-of-seconds
-  // pattern that starved the round-3 oracle runner (see kmeansCtes note).
-  private def shingleSqlFor(n: Int, where: String, docsCte: String,
-      shCte: String): String = {
-    val joinExpr = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
-    s"""$docsCte AS MATERIALIZED (SELECT doc_id, ${tokensSql()} AS toks
-        FROM documents $where),
-      $shCte AS MATERIALIZED (SELECT DISTINCT doc_id, sg FROM $docsCte, UNNEST(
-        CASE WHEN len(toks) >= $n
-             THEN list_transform(range(1, len(toks) - ${n - 2}),
-                    i -> $joinExpr)
-             ELSE [array_to_string(toks, ' ')] END) AS u(sg))"""
-  }
-
-  private def shingleSql(n: Int): String = shingleSqlFor(n, "", "docs", "sh")
-
-  /** CDC chunk-hash CTEs (w=4, divisor=16 — must match the catalog's
-    * cdcChunks calls), ending in `${p}ch` (doc_id, chunk_hash with
-    * multiplicity). Prefix-parameterized so corpus and increment chunkings
-    * coexist in one oracle. */
-  private def cdcHashCtes(where: String, p: String): String =
-    s"""${p}docs AS (SELECT doc_id, ${tokensSql()} AS tk
-          FROM documents $where),
-      ${p}c AS (SELECT doc_id, tk, len(tk) AS n,
-          CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
-            i -> (CAST(concat('0x', substr(md5(
-              array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
-              % 16) = 0)
-          ELSE [] END AS cuts
-        FROM ${p}docs),
-      ${p}b AS (SELECT doc_id, tk, list_concat(list_concat(
-          [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
-        FROM ${p}c),
-      ${p}ch AS (SELECT doc_id,
-          md5(array_to_string(tk[bounds[j]+1:bounds[j+1]], ' '))
-            AS chunk_hash
-        FROM ${p}b, UNNEST(range(1, len(bounds))) AS u(j)
-        WHERE bounds[j+1] > bounds[j])"""
-
-  /** CDC chunk CTEs ending in `chi` (doc_id, chunk_idx, n_toks_chunk,
-    * chunk_hash) — the full replay of [[graft.ops.TextOps.cdcChunks]]
-    * (w=4, divisor=16 — must match the catalog's calls), shared by
-    * q_text_cdc and q_text_chunk_dedup. */
-  private def cdcChiCtes(): String =
-    s"""docs AS (SELECT doc_id, ${tokensSql()} AS tk
-            FROM documents),
-        c AS (SELECT doc_id, tk, len(tk) AS n,
-            CASE WHEN len(tk) >= 4 THEN list_filter(range(4, len(tk) + 1),
-              i -> (CAST(concat('0x', substr(md5(
-                array_to_string(tk[i-3:i], ' ')), 1, 15)) AS BIGINT)
-                % 16) = 0)
-            ELSE [] END AS cuts
-          FROM docs),
-        b AS (SELECT doc_id, tk, list_concat(list_concat(
-            [CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS bounds
-          FROM c),
-        ch AS (SELECT doc_id, j,
-            array_to_string(tk[bounds[j]+1:bounds[j+1]], ' ') AS chunk,
-            bounds[j+1] - bounds[j] AS n_toks_chunk
-          FROM b, UNNEST(range(1, len(bounds))) AS u(j)
-          WHERE bounds[j+1] > bounds[j]),
-        chi AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
-              ORDER BY j) - 1 AS INT) AS chunk_idx,
-            CAST(n_toks_chunk AS BIGINT) AS n_toks_chunk,
-            md5(chunk) AS chunk_hash
-          FROM ch)"""
-
-  private val dedupQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    ("q_dedup_exact",
-      (s: SparkSession, d: String) =>
-        Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text"),
-      Some("""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-          'g'))) AS fingerprint,
-        min(doc_id) AS canonical_id, count(*) AS n_docs
-        FROM documents GROUP BY 1""")),
-
-    ("q_dedup_jaccard",
-      (s: SparkSession, d: String) => Dedup.jaccardPairs(
-        t(s, d, "documents"), "doc_id", "text", n = 5,
-        threshold = 0.7, maxDf = 10),
-      Some(s"""WITH ${shingleSql(5)},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        rare AS (SELECT sg FROM sh GROUP BY sg
-                 HAVING count(*) BETWEEN 2 AND 10),
-        rs AS (SELECT sh.doc_id, sh.sg FROM sh JOIN rare USING (sg)),
-        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-                 FROM rs a JOIN rs b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-        inter AS (SELECT doc1, doc2, count(*) AS intersection
-                  FROM cand JOIN sh sa ON sa.doc_id = doc1
-                            JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
-                  GROUP BY 1, 2)
-        SELECT doc1, doc2, intersection,
-          z1.n_sh AS n1, z2.n_sh AS n2,
-          CAST(intersection AS DOUBLE) /
-            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
-        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
-                   JOIN sizes z2 ON doc2 = z2.doc_id
-        WHERE CAST(intersection AS DOUBLE) /
-              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7""")),
-
-    // the CAPPED path — the 100 TB configuration: per-doc shingle sets are
-    // bottom-32 minwise sketches (bounded row cells, bounded pair work), so
-    // jaccard is the standard sketch estimate. The oracle replays the same
-    // 60-bit hash order and cap, so even the estimate matches bit-for-bit.
-    ("q_dedup_jaccard_capped",
-      (s: SparkSession, d: String) => Dedup.jaccardPairs(
-        t(s, d, "documents"), "doc_id", "text", n = 5,
-        threshold = 0.5, maxDf = 10, maxShingles = 32),
-      Some(s"""WITH ${shingleSql(5)},
-        hs AS MATERIALIZED (SELECT doc_id,
-            CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h
-          FROM sh),
-        capped AS MATERIALIZED (SELECT doc_id, h FROM (
-            SELECT doc_id, h,
-              row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-            FROM hs) WHERE rn <= 32),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
-        rare AS (SELECT sg FROM sh GROUP BY sg
-                 HAVING count(*) BETWEEN 2 AND 10),
-        rs AS (SELECT sh.doc_id, sh.sg FROM sh JOIN rare USING (sg)),
-        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-                 FROM rs a JOIN rs b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-        inter AS (SELECT doc1, doc2, count(*) AS intersection
-                  FROM cand JOIN capped ca ON ca.doc_id = doc1
-                            JOIN capped cb ON cb.doc_id = doc2
-                              AND ca.h = cb.h
-                  GROUP BY 1, 2)
-        SELECT doc1, doc2, intersection,
-          z1.n_sh AS n1, z2.n_sh AS n2,
-          CAST(intersection AS DOUBLE) /
-            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
-        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
-                   JOIN sizes z2 ON doc2 = z2.doc_id
-        WHERE CAST(intersection AS DOUBLE) /
-              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.5""")),
-
-    // EXACT similarity join (PPJoin prefix filter): the oracle is the
-    // UNCAPPED all-shared-shingle ground truth — the hash-match proves the
-    // prefix filter is lossless, not merely close, which is precisely what
-    // separates it from the maxDf heuristic in q_dedup_jaccard above.
-    ("q_dedup_ppjoin",
-      (s: SparkSession, d: String) => Dedup.ppjoinPairs(
-        t(s, d, "documents"), "doc_id", "text", n = 5, threshold = 0.7),
-      Some(s"""WITH ${shingleSql(5)},
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-                 FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-        inter AS (SELECT doc1, doc2, count(*) AS intersection
-                  FROM cand JOIN sh sa ON sa.doc_id = doc1
-                            JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
-                  GROUP BY 1, 2)
-        SELECT doc1, doc2, intersection,
-          z1.n_sh AS n1, z2.n_sh AS n2,
-          CAST(intersection AS DOUBLE) /
-            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
-        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
-                   JOIN sizes z2 ON doc2 = z2.doc_id
-        WHERE CAST(intersection AS DOUBLE) /
-              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7""")),
-
-    ("q_dedup_minhash",
-      (s: SparkSession, d: String) => Dedup.minhashNearDups(
-        t(s, d, "documents"), "doc_id", "text",
-        n = 5, k = 12, bands = 4, threshold = 0.7),
-      Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
-
-    // Edit-distance verification of LSH candidates: the second stage a
-    // production near-dup pipeline runs when shingle Jaccard is too
-    // coarse (it is blind to reorderings and char-level noise) — MinHash
-    // bands propose, character-level Levenshtein on a bounded prefix
-    // disposes. The distance is O(len²) per pair, so it runs on a
-    // 300-char prefix (the cost cap that makes the verify affordable at
-    // any scale) and only on the k-bounded candidate set, broadcast into
-    // the two text lookups — the corpus is never pair-joined.
-    ("q_dedup_edit_verify",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
-        val bk = Dedup.minhashBands(sigs, 12, 4)
-        val cand = bk.join(bk.select(col("doc_id").as("doc2"),
-              col("band"), col("band_key")), Seq("band", "band_key"))
-          .filter(col("doc_id") < col("doc2"))
-          .select(col("doc_id").as("doc1"), col("doc2")).distinct()
-        val txt = docs.select(col("doc_id"),
-          substring(col("text"), 1, 300).as("tx"))
-        val mx = greatest(greatest(col("la"), col("lb")), lit(1))
-        broadcast(cand)
-          .join(txt.select(col("doc_id").as("doc1"), col("tx").as("ta")),
-            Seq("doc1"))
-          .join(txt.select(col("doc_id").as("doc2"), col("tx").as("tb")),
-            Seq("doc2"))
-          .select(col("doc1"), col("doc2"),
-            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
-            length(col("ta")).as("la"), length(col("tb")).as("lb"))
-          .select(col("doc1"), col("doc2"), col("lev"),
-            floor((mx - col("lev")).cast("double") * lit(1e6) /
-              mx.cast("double")).cast("long").as("edit_sim_ppm"))
-      },
-      Some(s"""WITH ${minhashCandCtes(n = 5, k = 12, bands = 4)},
-        txt AS (SELECT doc_id, substr(text, 1, 300) AS tx FROM documents),
-        l AS (SELECT doc1, doc2,
-            CAST(levenshtein(a.tx, b.tx) AS BIGINT) AS lev,
-            greatest(greatest(length(a.tx), length(b.tx)), 1) AS mx
-          FROM cand JOIN txt a ON doc1 = a.doc_id
-          JOIN txt b ON doc2 = b.doc_id)
-        SELECT doc1, doc2, lev,
-          CAST(floor(CAST(mx - lev AS DOUBLE) * 1e6 / CAST(mx AS DOUBLE))
-            AS BIGINT) AS edit_sim_ppm
-        FROM l""")),
-
-    // LSH parameter sweep — the measurement loop that tunes (bands, rows)
-    // BEFORE a dedup index ships: for each banding of the same k=12
-    // signature, candidate-set size, how many true pairs (>= 0.7 Jaccard,
-    // ground truth = the LOSSLESS prefix-filter join) the banding caught,
-    // and floor-quantized recall/precision. The sweep is the text-dedup
-    // analog of q_sim_recall: banded probability of catching a pair is
-    // 1-(1-j^r)^b, so more bands (shorter rows) buys recall with more
-    // candidates — this query MEASURES that curve instead of trusting it.
-    // Signature table evaluated once (localCheckpoint) and read by every
-    // config; each config is one equi-join on its band keys. (This
-    // fixture's near-dup pairs are all >= 0.9 Jaccard, so every config
-    // scores 100% here — the sweep differentiates on a corpus with
-    // mid-similarity pairs; what the oracle certifies is the measurement
-    // machinery itself.)
-    ("q_dedup_lsh_tuning",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val truth = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5,
-            threshold = 0.7)
-          .select(col("doc1"), col("doc2"), lit(1L).as("is_true"))
-          .localCheckpoint()
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
-          .localCheckpoint()
-        val stats = Seq(2, 4, 6).map { b =>
-          val bk = Dedup.minhashBands(sigs, 12, b)
-          val cand = bk.join(bk.select(col("doc_id").as("doc2"),
-                col("band"), col("band_key")), Seq("band", "band_key"))
-            .filter(col("doc_id") < col("doc2"))
-            .select(col("doc_id").as("doc1"), col("doc2")).distinct()
-          cand.join(truth, Seq("doc1", "doc2"), "left")
-            .agg(count(lit(1)).as("n_candidates"),
-              coalesce(sum(col("is_true")), lit(0L)).as("n_found"))
-            .select(lit(b.toLong).as("bands"),
-              lit((12 / b).toLong).as("rows_per_band"),
-              col("n_candidates"), col("n_found"))
-        }.reduce(_ unionByName _)
-        stats.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-          .select(col("bands"), col("rows_per_band"), col("n_candidates"),
-            col("n_found"), col("n_true"),
-            when(col("n_true") === 0, lit(0L)).otherwise(
-              floor(col("n_found").cast("double") * 1e6 /
-                col("n_true").cast("double"))).cast("long")
-              .as("recall_ppm"),
-            when(col("n_candidates") === 0, lit(0L)).otherwise(
-              floor(col("n_found").cast("double") * 1e6 /
-                col("n_candidates").cast("double"))).cast("long")
-              .as("precision_ppm"))
-      },
-      Some(lshTuningOracleSql)),
-
-    // Cross-source contamination matrix: near-dup pair counts aggregated
-    // to (source, source) cells — WHICH feeds copy from which (mirror
-    // detection, license-laundering audits, the decontamination targeting
-    // report). The k-bounded pair table joins two tiny source dims
-    // (AQE broadcasts); pairs keyed least/greatest so each unordered
-    // source pair lands in one cell.
-    // Cross-modal agreement audit: for every TEXT near-dup pair, does the
-    // EMBEDDING space agree (quantized cosine >= 0.8)? Disagreements are
-    // the drift signal that the embedding model no longer reflects
-    // textual similarity — the health check run before trusting SemDeDup
-    // over a new encoder. Pair list is small (LSH output), so both
-    // embedding joins broadcast IT, never the embedding table.
-    ("q_dedup_cross_modal",
-      (s: SparkSession, d: String) => {
-        val pairs = Dedup.minhashNearDups(t(s, d, "documents"), "doc_id",
-            "text", n = 5, k = 12, bands = 4, threshold = 0.7)
-          .select("doc1", "doc2")
-        val q = t(s, d, "embeddings")
-          .select(col("vec_id"), Similarity.quantize(col("embedding"))
-            .as("v"))
-        broadcast(pairs)
-          .join(q.select(col("vec_id").as("doc1"), col("v").as("va")),
-            Seq("doc1"))
-          .join(q.select(col("vec_id").as("doc2"), col("v").as("vb")),
-            Seq("doc2"))
-          .withColumn("cosine", Similarity.qcosine(col("va"), col("vb")))
-          .select(col("doc1"), col("doc2"), col("cosine"),
-            (col("cosine") >= 0.8).as("agree"))
-      },
-      Some(s"""WITH ${minhashPairsCtes(n = 5, k = 12, bands = 4,
-          threshold = 0.7)},
-        qv AS (SELECT vec_id, $quantSql AS v FROM embeddings)
-        SELECT doc1, doc2,
-          ${cosineSql("a.v", "b.v")} AS cosine,
-          ${cosineSql("a.v", "b.v")} >= 0.8 AS agree
-        FROM mh_pairs JOIN qv a ON doc1 = a.vec_id
-                      JOIN qv b ON doc2 = b.vec_id""")),
-
-    ("q_dedup_source_matrix",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-          n = 5, k = 12, bands = 4, threshold = 0.7)
-        val src = docs.select(col("doc_id"), col("source"))
-        pairs
-          .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")),
-            "doc1")
-          .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")),
-            "doc2")
-          .select(least(col("s1"), col("s2")).as("src_a"),
-            greatest(col("s1"), col("s2")).as("src_b"))
-          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
-      },
-      Some(s"""WITH ${minhashPairsCtes(n = 5, k = 12, bands = 4,
-          threshold = 0.7)}
-        SELECT least(a.source, b.source) AS src_a,
-          greatest(a.source, b.source) AS src_b, count(*) AS n_pairs
-        FROM mh_pairs JOIN documents a ON doc1 = a.doc_id
-          JOIN documents b ON doc2 = b.doc_id
-        GROUP BY 1, 2""")),
-
-    // INCREMENTAL dedup: docs with doc_id % 10 = 0 arrive as today's batch
-    // against the persisted index of the rest — emits exactly the corpus-
-    // wide pairs that touch the batch (new-vs-corpus + new-vs-new), which
-    // is what the oracle replays: full-corpus minhash pairs filtered to a
-    // new side. Daily cost is O(increment x collisions), never O(corpus^2).
-    ("q_dedup_incremental",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        // incrementalNearDups reads the corpus index twice (band keys +
-        // shingle sets — two column-pruned scans of the STORED index in
-        // production); computed inline here, persist stands in for the
-        // parquet table so the index isn't re-shingled per reference
-        val corpusIdx = Dedup.minhashIndex(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-          n = 5, k = 12)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val newIdx = Dedup.minhashIndex(
-          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
-          n = 5, k = 12)
-        Dedup.incrementalNearDups(corpusIdx, newIdx,
-          k = 12, bands = 4, threshold = 0.7)
-      },
-      Some(s"""WITH ${minhashPairsCtes(5, 12, 4, 0.7)}
-        SELECT doc1, doc2, jaccard FROM mh_pairs
-        WHERE doc1 % 10 = 0 OR doc2 % 10 = 0""")),
-
-    // Chunk-level containment of an increment against the corpus (the
-    // re-crawl gate CDC chunking exists for): dup_frac ~ 1 flags a page
-    // whose whole-doc hash changed but whose content is already held.
-    // Corpus side reduces to DISTINCT chunk hashes; probe = one equi-join
-    // + doc-keyed count. Same 1-in-10 split as q_dedup_incremental.
-    ("q_dedup_cdc_containment",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        TextOps.cdcContainment(
-          docs.filter(col("doc_id") % 10 === 0),
-          docs.filter(col("doc_id") % 10 =!= 0),
-          "doc_id", "text", w = 4, divisor = 16)
-      },
-      Some(s"""WITH ${cdcHashCtes("WHERE doc_id % 10 <> 0", "c_")},
-        ${cdcHashCtes("WHERE doc_id % 10 = 0", "n_")},
-        cs AS (SELECT DISTINCT chunk_hash FROM c_ch),
-        j AS (SELECT n_ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-            CAST(count(cs.chunk_hash) AS BIGINT) AS n_dup
-          FROM n_ch LEFT JOIN cs USING (chunk_hash) GROUP BY 1)
-        SELECT doc_id, n_chunks, n_dup,
-          floor(n_dup * 1e6 / n_chunks) / 1e6 AS dup_frac FROM j""")),
-
-    ("q_dedup_clusters",
-      (s: SparkSession, d: String) => Dedup.components(
-        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-          n = 5, k = 12, bands = 4, threshold = 0.7)),
-      Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
-
-    // same component semantics via large-star/small-star contraction (the
-    // long-chain-safe algorithm) — must match the identical recursive oracle
-    ("q_dedup_clusters_star",
-      (s: SparkSession, d: String) => Dedup.componentsStar(
-        Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-          n = 5, k = 12, bands = 4, threshold = 0.7)),
-      Some(clustersOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
-
-    // B-cubed cluster-quality audit — scores the minhash near-dup
-    // CLUSTERING against the exact-fingerprint truth (Bagga & Baldwin
-    // '98; the standard extrinsic clustering metric): per document,
-    // precision = |cluster ∩ class|/|cluster| and recall = .../|class|,
-    // macro-averaged. Both sums reduce to Σ_{c,k} n_ck²/n_c (resp /n_k)
-    // over the (cluster, class) contingency cells — each term is
-    // floor-quantized to ppm BEFORE the integer sum, so the reduction is
-    // order-free and bit-identical across engines (the no-float-SUM
-    // discipline). Unclustered docs are singletons; exact dups that
-    // minhash splits show up as recall < 1, over-merged neighbors as
-    // precision < 1. One contingency groupBy + two marginal joins.
-    ("q_dedup_b3",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val comp = Dedup.components(Dedup.minhashNearDups(docs, "doc_id",
-          "text", n = 5, k = 12, bands = 4, threshold = 0.7))
-        val a = docs.select(col("doc_id"),
-            graft.ops.TextOps.fingerprintMd5(col("text")).as("cls"))
-          .join(comp.select(col("doc_id"),
-            col("component_id").as("c")), Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), col("cls"),
-            coalesce(col("c"), col("doc_id")).as("cluster"))
-        val nck = a.groupBy("cluster", "cls").agg(count(lit(1)).as("nck"))
-        val nc = a.groupBy("cluster").agg(count(lit(1)).as("ncl"))
-        val nk = a.groupBy("cls").agg(count(lit(1)).as("nkl"))
-        nck.join(nc, Seq("cluster")).join(nk, Seq("cls"))
-          .select(
-            floor((col("nck") * col("nck")).cast("double") * lit(1e6) /
-              col("ncl").cast("double")).cast("long").as("pt"),
-            floor((col("nck") * col("nck")).cast("double") * lit(1e6) /
-              col("nkl").cast("double")).cast("long").as("rt"),
-            col("nck"))
-          .agg(sum("nck").as("n_docs"), sum("pt").as("psum"),
-            sum("rt").as("rsum"))
-          .select(col("n_docs"),
-            floor(col("psum").cast("double") /
-              col("n_docs").cast("double")).cast("long").as("b3_p_ppm"),
-            floor(col("rsum").cast("double") /
-              col("n_docs").cast("double")).cast("long").as("b3_r_ppm"))
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
-        asg AS (SELECT d.doc_id,
-            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-              AS cls,
-            COALESCE(comps.c, d.doc_id) AS cluster
-          FROM documents d LEFT JOIN comps ON d.doc_id = comps.id),
-        nck AS (SELECT cluster, cls, count(*) AS nck
-          FROM asg GROUP BY 1, 2),
-        nc AS (SELECT cluster, count(*) AS ncl FROM asg GROUP BY 1),
-        nk AS (SELECT cls, count(*) AS nkl FROM asg GROUP BY 1),
-        terms AS (SELECT nck.nck,
-            CAST(floor(CAST(nck.nck * nck.nck AS DOUBLE) * 1e6 /
-              CAST(ncl AS DOUBLE)) AS BIGINT) AS pt,
-            CAST(floor(CAST(nck.nck * nck.nck AS DOUBLE) * 1e6 /
-              CAST(nkl AS DOUBLE)) AS BIGINT) AS rt
-          FROM nck JOIN nc USING (cluster) JOIN nk USING (cls)),
-        tot AS (SELECT CAST(sum(nck) AS BIGINT) AS n_docs,
-            CAST(sum(pt) AS BIGINT) AS psum,
-            CAST(sum(rt) AS BIGINT) AS rsum FROM terms)
-        SELECT n_docs,
-          CAST(floor(CAST(psum AS DOUBLE) / CAST(n_docs AS DOUBLE))
-            AS BIGINT) AS b3_p_ppm,
-          CAST(floor(CAST(rsum AS DOUBLE) / CAST(n_docs AS DOUBLE))
-            AS BIGINT) AS b3_r_ppm
-        FROM tot""")),
-
-    ("q_dedup_canonical",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        Dedup.componentDedup(docs, "doc_id",
-          Dedup.minhashNearDups(docs, "doc_id", "text",
-            n = 5, k = 12, bands = 4, threshold = 0.7))
-          .select("doc_id", "lang", "source")
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1)
-        SELECT doc_id, lang, source FROM documents
-        WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> c)""")),
-
-    // quality-aware canonicalization: per near-dup cluster keep the row
-    // maximizing n_chars (keep-the-longest-copy curation policy), ties to
-    // the smallest id — arg-max as ONE combinable max(struct) aggregate,
-    // no per-component window. Oracle picks keepers with a row_number.
-    ("q_dedup_canonical_best",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        Dedup.componentDedupBy(docs, "doc_id", "n_chars",
-          Dedup.minhashNearDups(docs, "doc_id", "text",
-            n = 5, k = 12, bands = 4, threshold = 0.7))
-          .select("doc_id", "lang", "source", "n_chars")
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
-        scored AS (SELECT comps.c, comps.id, d.n_chars
-          FROM comps JOIN documents d ON d.doc_id = comps.id),
-        keep AS (SELECT c, id FROM (SELECT c, id, row_number() OVER (
-            PARTITION BY c ORDER BY n_chars DESC, id ASC) AS rn
-          FROM scored) WHERE rn = 1)
-        SELECT doc_id, lang, source, n_chars FROM documents
-        WHERE doc_id NOT IN (SELECT s.id FROM scored s
-          JOIN keep k ON s.c = k.c AND s.id <> k.id)""")),
-
-    ("q_dedup_simhash",
-      (s: SparkSession, d: String) =>
-        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
-      Some(simhashOracleSql)),
-
-    ("q_dedup_simhash_pairs",
-      // Manku multi-table blocked search has EXACT recall at maxHamming <
-      // blocks, so it must equal the oracle's brute-force all-pairs hamming
-      // join (feasible at fixture scale: 500 x 500)
-      (s: SparkSession, d: String) =>
-        Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
-          maxHamming = 3),
-      Some(s"""WITH sig AS ($simhashOracleSql)
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
-
-    // Winnow-fingerprint near-dup pairs (the MOSS/plagiarism join): docs
-    // sharing >= 2 distinct selected fingerprints, hot fingerprints
-    // (df > 8) dropped before the self-join so candidate classes stay
-    // bounded — same banding discipline as jaccard/simhash, over the
-    // 2/(w+1)-density winnow set instead of the full gram set
-    ("q_dedup_winnow_pairs",
-      (s: SparkSession, d: String) => TextOps.winnowPairs(
-        t(s, d, "documents"), "doc_id", "text",
-        k = 4, w = 4, minShared = 2, maxDf = 8),
-      Some(s"""WITH ${winnowCtes()},
-        fp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel),
-        rare AS (SELECT fp.doc_id, fp.h FROM fp JOIN (
-            SELECT h FROM fp GROUP BY h HAVING count(*) <= 8) fr
-          USING (h))
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-          count(*) AS n_shared
-        FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2""")),
-
-    // Fuzzy dedup: LSH candidates reranked by integer levenshtein on the
-    // normalized 256-char prefix — block-then-verify; the DP cost is
-    // bounded per pair by the truncation, and the distance is an integer,
-    // identical in every engine (Dedup.fuzzyNearDups)
-    // Record linkage (Fellegi–Sunter-style weighted agreement) — entity
-    // resolution ACROSS registries, where dedup is within one: a
-    // perturbed copy of the customer registry (every 3rd name typo'd,
-    // every 5th segment re-coded) is matched back through blocking on
-    // (nation, id-bucket) — candidate fan-out bounded by block size, no
-    // all-pairs — then each candidate pair scores weighted field
-    // agreements (exact name 40, near name via levenshtein<=2 25,
-    // segment 10) and classifies match/possible/non-match. The report
-    // aggregates per class with how many candidates were the true same
-    // entity — the linkage-quality readout. Levenshtein is the same
-    // well-defined metric in both engines. (The readout itself teaches
-    // the classic lesson on this fixture: serial-number-like names are
-    // ALL within edit distance 2 of block-mates, so the possible class
-    // floods with false candidates — 7k true of 48k at sf0.1 — exactly
-    // the precision signal that tells a linker to drop edit distance on
-    // ID-shaped fields.)
-    ("q_er_linkage",
-      (s: SparkSession, d: String) => {
-        val a = t(s, d, "customer").select(col("c_custkey").as("id_a"),
-          col("c_name").as("name_a"), col("c_nationkey").as("nat"),
-          col("c_mktsegment").as("seg_a"),
-          (col("c_custkey") % 100).as("blk"))
-        val b = a.select(col("id_a").as("id_b"),
-          when(col("id_a") % 3 === 0, concat(col("name_a"), lit("x")))
-            .otherwise(col("name_a")).as("name_b"),
-          col("nat"), col("blk"),
-          when(col("id_a") % 5 === 0, lit("ALTERED"))
-            .otherwise(col("seg_a")).as("seg_b"))
-        val score =
-          when(col("name_a") === col("name_b"), 40)
-            .when(levenshtein(col("name_a"), col("name_b")) <= 2, 25)
-            .otherwise(0) +
-          when(col("seg_a") === col("seg_b"), 10).otherwise(0)
-        a.join(b, Seq("nat", "blk"))
-          .select(col("id_a"), col("id_b"), score.as("score"))
-          .select(col("id_a"), col("id_b"),
-            when(col("score") >= 50, "match")
-              .when(col("score") >= 25, "possible")
-              .otherwise("non_match").as("class"))
-          .groupBy("class")
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
-              .as("n_same_entity"))
-      },
-      Some("""WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
-            c_nationkey AS nat, c_mktsegment AS seg_a,
-            c_custkey % 100 AS blk FROM customer),
-        b AS (SELECT id_a AS id_b,
-            CASE WHEN id_a % 3 = 0 THEN name_a || 'x' ELSE name_a END
-              AS name_b,
-            nat, blk,
-            CASE WHEN id_a % 5 = 0 THEN 'ALTERED' ELSE seg_a END AS seg_b
-          FROM a),
-        scored AS (SELECT id_a, id_b,
-            (CASE WHEN name_a = name_b THEN 40
-              WHEN levenshtein(name_a, name_b) <= 2 THEN 25
-              ELSE 0 END) +
-            (CASE WHEN seg_a = seg_b THEN 10 ELSE 0 END) AS score
-          FROM a JOIN b USING (nat, blk))
-        SELECT CASE WHEN score >= 50 THEN 'match'
-            WHEN score >= 25 THEN 'possible'
-            ELSE 'non_match' END AS class,
-          count(*) AS n_pairs,
-          CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_same_entity
-        FROM scored GROUP BY 1""")),
-
-    // Golden-record survivorship — the MDM step AFTER er_linkage says
-    // which rows co-refer: fuse each entity's variant rows into one
-    // master record with a DIFFERENT rule per field (the real-world mix):
-    // name by MAJORITY vote (ties → lexicographic min), phone by SOURCE
-    // PRIORITY (lowest source id with a non-null), balance by MAX,
-    // address by LONGEST non-null (ties → lexicographic min). Three
-    // deterministic source variants per customer (altered names, nulled
-    // phones, truncated addresses) make every rule decide something.
-    // Shape: every rule is an arg-min/arg-max STRUCT aggregate — two
-    // combine-enabled groupBys total (one for the vote's (key, name)
-    // counts, one for everything else), no windows, no skew (3 rows per
-    // key by construction). The oracle replays each rule with per-field
-    // row_number CTEs over the same 3-row partitions.
-    ("q_er_golden",
-      (s: SparkSession, d: String) => {
-        val base = t(s, d, "customer").select(col("c_custkey").as("key"),
-          col("c_name").as("name"), col("c_mktsegment").as("seg"),
-          concat(col("c_name"), lit(" #"), col("c_custkey"))
-            .as("display"),
-          cents(col("c_acctbal")).as("bal"))
-        val v0 = base.withColumn("src", lit(0L))
-        val v1 = base.select(col("key"),
-          when(col("key") % 3 === 0, concat(col("name"), lit("x")))
-            .otherwise(col("name")).as("name"),
-          when(col("key") % 4 === 0, lit(null).cast("string"))
-            .otherwise(col("seg")).as("seg"),
-          substring(col("display"), 1, 10).as("display"),
-          (col("bal") - 500L).as("bal"), lit(1L).as("src"))
-        val v2 = base.select(col("key"),
-          when(col("key") % 9 === 0, concat(col("name"), lit("y")))
-            .otherwise(col("name")).as("name"),
-          when(col("key") % 2 === 0, lit(null).cast("string"))
-            .otherwise(col("seg")).as("seg"),
-          col("display"), (col("bal") + 250L).as("bal"),
-          lit(2L).as("src"))
-        val variants = v0.unionAll(v1).unionAll(v2)
-        val nameVote = variants.groupBy("key", "name")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("key")
-          .agg(min(struct((-col("c")).as("nc"), col("name"))).as("m"))
-          .select(col("key"), col("m.name").as("name"))
-        val rest = variants.groupBy("key").agg(
-          min(when(col("seg").isNotNull,
-            struct(col("src"), col("seg")))).as("p"),
-          max(col("bal")).as("bal"),
-          min(struct((-length(col("display"))).as("nl"),
-            col("display"))).as("a"),
-          count(lit(1)).as("n_variants"),
-          sum(when(col("seg").isNotNull, 1L).otherwise(0L))
-            .as("n_seg"))
-        nameVote.join(rest, Seq("key"))
-          .select(col("key"), col("name"), col("p.seg").as("seg"),
-            col("bal"), col("a.display").as("display"),
-            col("n_variants"), col("n_seg"))
-      },
-      Some("""WITH base AS (SELECT c_custkey AS key, c_name AS name,
-            c_mktsegment AS seg,
-            name || ' #' || CAST(c_custkey AS VARCHAR) AS display,
-            CAST(floor(c_acctbal * 100) AS BIGINT) AS bal
-          FROM customer),
-        variants AS (
-          SELECT key, name, seg, display, bal, 0 AS src FROM base
-          UNION ALL
-          SELECT key,
-            CASE WHEN key % 3 = 0 THEN name || 'x' ELSE name END,
-            CASE WHEN key % 4 = 0 THEN NULL ELSE seg END,
-            substr(display, 1, 10), bal - 500, 1 FROM base
-          UNION ALL
-          SELECT key,
-            CASE WHEN key % 9 = 0 THEN name || 'y' ELSE name END,
-            CASE WHEN key % 2 = 0 THEN NULL ELSE seg END,
-            display, bal + 250, 2 FROM base),
-        vote AS (SELECT key, name FROM (
-          SELECT key, name, row_number() OVER (PARTITION BY key
-              ORDER BY count(*) DESC, name ASC) AS rn
-          FROM variants GROUP BY key, name) WHERE rn = 1),
-        ph AS (SELECT key, seg FROM (
-          SELECT key, seg, row_number() OVER (PARTITION BY key
-              ORDER BY src ASC) AS rn
-          FROM variants WHERE seg IS NOT NULL) WHERE rn = 1),
-        ad AS (SELECT key, display FROM (
-          SELECT key, display, row_number() OVER (PARTITION BY key
-              ORDER BY length(display) DESC, display ASC) AS rn
-          FROM variants) WHERE rn = 1),
-        agg AS (SELECT key, max(bal) AS bal, count(*) AS n_variants,
-            CAST(sum(CASE WHEN seg IS NOT NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_seg
-          FROM variants GROUP BY 1)
-        SELECT key, vote.name, ph.seg, agg.bal, ad.display,
-          agg.n_variants, agg.n_seg
-        FROM vote JOIN agg USING (key)
-          LEFT JOIN ph USING (key) JOIN ad USING (key)""")),
-
-    // Blocking-quality audit for entity resolution: block part names on
-    // their first-2-sorted-words signature, generate candidates only
-    // within uncapped blocks (> 100 rows skips pairwise — the maxBucket
-    // guard again), score candidates by word-set overlap (>= 4 of 5), and
-    // report the numbers a linker designs by: block count/size, capped
-    // blocks, candidate count vs the n² it avoided (reduction ratio), and
-    // match yield. ONE summary row from three 1-row aggregates; the
-    // pairwise scan is quadratic only within a block.
-    ("q_er_blocking",
-      (s: SparkSession, d: String) => {
-        val p = t(s, d, "part").select(col("p_partkey").as("id"),
-            array_distinct(sort_array(split(col("p_name"), " "))).as("w"))
-          .withColumn("key", array_join(slice(col("w"), 1, 2), " "))
-        val sizes = p.groupBy("key").agg(count(lit(1)).as("bn"))
-        val ok = sizes.filter(col("bn") <= 100).select("key")
-        val pok = p.join(ok, Seq("key"), "left_semi")
-        val cand = pok.as("x").join(pok.as("y"),
-            col("x.key") === col("y.key") && col("x.id") < col("y.id"))
-          .select(when(size(array_intersect(col("x.w"), col("y.w"))) >= 4,
-            1L).otherwise(0L).as("m"))
-        val nrec = p.agg(count(lit(1)).as("n_records"))
-        val blk = sizes.agg(count(lit(1)).as("n_blocks"),
-          sum(when(col("bn") > 100, 1L).otherwise(0L))
-            .as("n_capped_blocks"),
-          max("bn").as("max_block"))
-        val cd = cand.agg(count(lit(1)).as("n_candidates"),
-          coalesce(sum(col("m")), lit(0L)).as("n_matches"))
-        nrec.crossJoin(blk).crossJoin(cd)
-          .select(col("n_records"), col("n_blocks"), col("n_capped_blocks"),
-            col("max_block"), col("n_candidates"), col("n_matches"),
-            floor(col("n_candidates").cast("double") * 1e6 /
-              (col("n_records").cast("double") *
-                (col("n_records") - 1).cast("double") / 2))
-              .cast("long").as("reduction_micro"))
-      },
-      Some("""WITH p AS (SELECT p_partkey AS id,
-            list_sort(list_distinct(string_split(p_name, ' '))) AS w
-          FROM part),
-        pk AS (SELECT id, w, array_to_string(w[1:2], ' ') AS key FROM p),
-        sizes AS (SELECT key, CAST(count(*) AS BIGINT) AS bn
-          FROM pk GROUP BY 1),
-        ok AS (SELECT key FROM sizes WHERE bn <= 100),
-        cand AS (SELECT
-            CASE WHEN len(list_filter(x.w,
-              z -> list_contains(y.w, z))) >= 4 THEN 1 ELSE 0 END AS m
-          FROM pk x JOIN pk y ON x.key = y.key AND x.id < y.id
-          JOIN ok ON x.key = ok.key),
-        nrec AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM pk),
-        blk AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
-            CAST(sum(CASE WHEN bn > 100 THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_capped_blocks,
-            CAST(max(bn) AS BIGINT) AS max_block FROM sizes),
-        cd AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
-            CAST(coalesce(sum(m), 0) AS BIGINT) AS n_matches FROM cand)
-        SELECT n_records, n_blocks, n_capped_blocks, max_block,
-          n_candidates, n_matches,
-          CAST(floor(CAST(n_candidates AS DOUBLE) * 1e6 /
-            (CAST(n_records AS DOUBLE) * CAST(n_records - 1 AS DOUBLE)
-             / 2)) AS BIGINT) AS reduction_micro
-        FROM nrec, blk, cd""")),
-
-    ("q_dedup_fuzzy",
-      (s: SparkSession, d: String) => Dedup.fuzzyNearDups(
-        t(s, d, "documents"), "doc_id", "text",
-        n = 5, k = 12, bands = 4, maxDist = 40, prefixLen = 256),
-      Some(s"""WITH ${minhashCandCtes(n = 5, k = 12, bands = 4)},
-        norm AS MATERIALIZED (SELECT doc_id,
-            substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
-              1, 256) AS nt
-          FROM documents)
-        SELECT cand.doc1, cand.doc2,
-          CAST(levenshtein(p1.nt, p2.nt) AS BIGINT) AS dist
-        FROM cand JOIN norm p1 ON cand.doc1 = p1.doc_id
-                  JOIN norm p2 ON cand.doc2 = p2.doc_id
-        WHERE levenshtein(p1.nt, p2.nt) <= 40""")),
-
-    // corpus-wide embedding near-dup through LSH buckets — the scale path
-    // (bucket self-join, quadratic only within a bucket). Approximate recall
-    // but fully deterministic, so the oracle replays buckets + rerank exactly.
-    ("q_emb_ann_pairs",
-      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.40, tables = 8, planes = 6, dims = 64),
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        scored AS (
-          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2)
-        SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")),
-
-    // Local Outlier Factor over the LSH candidate graph
-    // (Similarity.lofOutliers): density-based embedding outliers — the
-    // curation signal SemDeDup/ANN can't give (those find CLOSE pairs;
-    // LOF finds points whose neighborhood is anomalously SPARSE relative
-    // to their neighbors'). Exact integer distances on quantized
-    // vectors, bounded-state kNN (earliest_k, never a hot-bucket
-    // window), lrd/LOF as two deterministic IEEE divisions with a
-    // neighbor-sorted fold — the oracle replays all of it.
-    ("q_emb_lof",
-      (s: SparkSession, d: String) => Similarity.lofOutliers(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        k = 5, tables = 8, planes = 6, dims = 64),
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        dd AS MATERIALIZED (SELECT id1, id2,
-            CAST(${dotSql("a.v", "a.v")} - 2 * ${dotSql("a.v", "b.v")}
-              + ${dotSql("b.v", "b.v")} AS BIGINT) AS d2
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2),
-        sym AS (SELECT id1 AS a, id2 AS b, d2 FROM dd
-          UNION ALL SELECT id2, id1, d2 FROM dd),
-        nn AS MATERIALIZED (SELECT a, b, d2 FROM (
-            SELECT a, b, d2, row_number() OVER (PARTITION BY a
-              ORDER BY d2 ASC, b ASC) AS rn FROM sym)
-          WHERE rn <= 5),
-        kd AS (SELECT a, CAST(max(d2) AS BIGINT) AS kdist,
-            count(*) AS cnt FROM nn GROUP BY 1),
-        rd AS (SELECT nn.a, nn.b, greatest(nn.d2, kb.kdist) AS rd
-          FROM nn JOIN kd kb ON nn.b = kb.a),
-        lrd AS (SELECT a, CAST(count(*) AS DOUBLE) /
-            CAST(greatest(CAST(sum(rd) AS BIGINT), 1) AS DOUBLE) AS lrd
-          FROM rd GROUP BY 1),
-        sl AS (SELECT rd.a, list_reduce(
-            list_prepend(CAST(0.0 AS DOUBLE), list(lb.lrd ORDER BY rd.b)),
-            (x, y) -> x + y) AS slrd
-          FROM rd JOIN lrd lb ON rd.b = lb.a GROUP BY 1)
-        SELECT kd.a AS vec_id, kd.cnt AS n_neighbors, kd.kdist,
-          CAST(floor(1e6 * (slrd / (CAST(kd.cnt AS DOUBLE) * l.lrd)))
-            AS BIGINT) AS lof_micro
-        FROM kd JOIN lrd l ON kd.a = l.a JOIN sl ON kd.a = sl.a""")),
-
-    // Mutual-kNN density clustering (Similarity.mutualKnnPairs +
-    // Dedup.components): an edge survives only if EACH endpoint is among
-    // the other's k nearest candidates — mutuality cuts hub bridges, so
-    // connected components are tight semantic groups with NO cluster
-    // count to tune (the k-free alternative to q_emb_kmeans, the
-    // graph-sparse alternative to q_emb_semdedup's threshold). k = 2:
-    // on this fixture's unclustered bulk, mutuality then fragments the
-    // graph into hundreds of tight groups (k = 4 percolates into one
-    // giant component — measured, and the expected behavior on data
-    // with no macro-cluster structure). Same LSH candidate substrate
-    // and bounded-state kNN as q_emb_lof; the oracle
-    // replays the graph and takes TRUE components (recursive CTE) — the
-    // hash-match proves the fixed-round star contraction converged.
-    ("q_emb_mutual_knn",
-      (s: SparkSession, d: String) => Dedup.components(
-        Similarity.mutualKnnPairs(t(s, d, "embeddings"), "vec_id",
-          "embedding", k = 2, tables = 8, planes = 6, dims = 64),
-        "doc1", "doc2"),
-      Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        dd AS MATERIALIZED (SELECT id1, id2,
-            CAST(${dotSql("a.v", "a.v")} - 2 * ${dotSql("a.v", "b.v")}
-              + ${dotSql("b.v", "b.v")} AS BIGINT) AS d2
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2),
-        sym AS (SELECT id1 AS a, id2 AS b, d2 FROM dd
-          UNION ALL SELECT id2, id1, d2 FROM dd),
-        nn AS MATERIALIZED (SELECT a, b FROM (
-            SELECT a, b, row_number() OVER (PARTITION BY a
-              ORDER BY d2 ASC, b ASC) AS rn FROM sym)
-          WHERE rn <= 2),
-        mutual AS MATERIALIZED (SELECT x.a, x.b FROM nn x
-          JOIN nn m ON m.a = x.b AND m.b = x.a WHERE x.a < x.b),
-        edges AS MATERIALIZED (SELECT a, b FROM mutual
-          UNION SELECT b, a FROM mutual),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-        SELECT id AS doc_id, min(r) AS component_id
-        FROM reach GROUP BY 1""")),
-
-    // Candidate-cosine calibration histogram: the similarity
-    // DISTRIBUTION over the LSH candidate set, in 0.05 buckets — the
-    // evidence a SemDeDup/near-dup threshold is set FROM (a planted
-    // near-dup population shows up as a high-cosine spike over the
-    // random-pair bulk; the valley between them is the threshold).
-    // Reuses the exact annNearDupPairs plan with threshold = -1 (every
-    // candidate kept) and collapses to a bucket-bounded count table.
-    ("q_emb_sim_hist",
-      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
-          t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = -1.0, tables = 8, planes = 6, dims = 64)
-        .select(floor(col("cosine") * 20).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_pairs")),
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        scored AS (SELECT ${cosineSql("a.v", "b.v")} AS cosine
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2)
-        SELECT CAST(floor(cosine * 20) AS BIGINT) AS bucket,
-          count(*) AS n_pairs
-        FROM scored GROUP BY 1""")),
-
-    // INCREMENTAL embedding dedup: vec_id % 10 = 0 arrives as today's
-    // batch against the persisted bucket index of the rest — the
-    // embedding-side twin of q_dedup_incremental (same invariant: the
-    // oracle is the full-corpus bucket replay filtered to a new side)
-    ("q_emb_incremental",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        val corpusIdx = Similarity.annIndex(
-          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
-        val newIdx = Similarity.annIndex(
-          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
-        Similarity.incrementalAnnPairs(corpusIdx, newIdx, threshold = 0.40)
-      },
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        scored AS (
-          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2)
-        SELECT id1, id2, cosine FROM scored
-        WHERE cosine >= 0.40 AND (id1 % 10 = 0 OR id2 % 10 = 0)""")),
-
-    // SEMANTIC decontamination: the embedding-space analog of
-    // q_text_decontam/q_text_bloom_decontam — every 50th vector stands
-    // in for a benchmark set, and any remaining corpus vector with
-    // cosine >= 0.40 to ANY benchmark vector is flagged (with hit count
-    // and max similarity — the actionable drop list). Paraphrased
-    // contamination survives n-gram gates; this is the gate that
-    // catches it. Reuses the persisted-index incremental-ANN path
-    // (benchmark-side index joins the corpus index — a 100 TB corpus is
-    // bucketed once, not per benchmark).
-    ("q_emb_decontam",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        val corpusIdx = Similarity.annIndex(
-          e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
-        val benchIdx = Similarity.annIndex(
-          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
-        Similarity.incrementalAnnPairs(corpusIdx, benchIdx,
-            threshold = 0.40)
-          .filter((col("id1") % 50 === 0) =!= (col("id2") % 50 === 0))
-          .select(when(col("id1") % 50 === 0, col("id2"))
-            .otherwise(col("id1")).as("corpus_id"), col("cosine"))
-          .groupBy("corpus_id")
-          .agg(count(lit(1)).as("n_bench_hits"),
-            max("cosine").as("max_cosine"))
-      },
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        scored AS (
-          SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
-          FROM cand JOIN c a ON a.vec_id = cand.id1
-                    JOIN c b ON b.vec_id = cand.id2),
-        hits AS (SELECT CASE WHEN id1 % 50 = 0 THEN id2 ELSE id1 END
-              AS corpus_id, cosine
-          FROM scored
-          WHERE cosine >= 0.40 AND ((id1 % 50 = 0) <> (id2 % 50 = 0)))
-        SELECT corpus_id, count(*) AS n_bench_hits,
-          max(cosine) AS max_cosine
-        FROM hits GROUP BY 1""")),
-
-    // end-to-end embedding dedup: ANN bucket pairs -> connected components
-    // -> per-vector canonical component id (the embedding-space analog of
-    // q_dedup_clusters; same recursive-CTE oracle over the replayed pairs)
-    ("q_emb_clusters",
-      (s: SparkSession, d: String) => Dedup.components(
-        Similarity.annNearDupPairs(t(s, d, "embeddings"),
-          "vec_id", "embedding", threshold = 0.40,
-          tables = 8, planes = 6, dims = 64),
-        aCol = "id1", bCol = "id2"),
-      Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
-        c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS MATERIALIZED (
-          SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-          FROM buckets x JOIN buckets y
-            ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
-        pairs AS MATERIALIZED (SELECT id1, id2 FROM (
-            SELECT cand.id1, cand.id2, ${cosineSql("a.v", "b.v")} AS cosine
-            FROM cand JOIN c a ON a.vec_id = cand.id1
-                      JOIN c b ON b.vec_id = cand.id2)
-          WHERE cosine >= 0.40),
-        -- edges feeds every recursion round: MATERIALIZED or the whole LSH
-        -- replay above re-runs per round (34 s / 3 GB at sf0.01 inlined)
-        edges AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
-                  UNION SELECT id2, id1 FROM pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-        SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""")),
-
-    // Embedding-table integrity gate: per-label vector counts, dimension
-    // consistency, zero-vector detection and exact quantized-norm² stats —
-    // the validation profile a similarity pipeline runs BEFORE building any
-    // index (a zero vector poisons cosine; a ragged dimension breaks every
-    // dot product). One combine-enabled aggregate over a scan-stage
-    // projection; all stats are exact BIGINTs on the quantized grid.
-    // Johnson-Lindenstrauss dimensionality reduction with a Rademacher
-    // (±1) matrix derived from md5 parities — EXACT integer arithmetic on
-    // the quantized grid (no float matmul, no cross-engine rounding), so
-    // the 64→8 projection is a pure codegen'd scan-stage expression: the
-    // cheap pre-filter tier in front of exact ANN scoring at corpus scale.
-    // The sign matrix is built on the driver (512 md5s) and compiled into
-    // the projection expression as literals.
-    // Top principal direction (Similarity.pcaPower): 3 rounds of integer
-    // power iteration — per round one codegen'd dot pass + the VecSumAgg
-    // combine-enabled d-vector aggregate, L∞-renormalized on the driver
-    // with mathematical floor division. Exact BIGINTs end to end; the
-    // oracle replays every round, so the hash-match pins the full
-    // recursion including the renormalization's floor residues.
-    ("q_emb_pca",
-      (s: SparkSession, d: String) => Similarity.pcaPower(
-        t(s, d, "embeddings"), "embedding", rounds = 3),
-      Some(pcaOracleSql(rounds = 3, dims = 64, scale = 1024L))),
-
-    ("q_emb_project",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), Similarity.quantize(col("embedding"))
-            .as("q"))
-        val projCols = jlProjTerms(col("q")).zipWithIndex
-          .map { case (c, j) => c.as(s"p${j + 1}") }
-        e.select(col("vec_id") +: projCols: _*)
-      },
-      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        e AS (SELECT vec_id, i, v[i] AS x
-          FROM q, UNNEST(range(1, 65)) AS u(i)),
-        s AS $jlSignsSql,
-        p AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
-          FROM e JOIN s USING (i) GROUP BY 1, 2)
-        SELECT vec_id,
-          max(CASE WHEN j = 1 THEN pj END) AS p1,
-          max(CASE WHEN j = 2 THEN pj END) AS p2,
-          max(CASE WHEN j = 3 THEN pj END) AS p3,
-          max(CASE WHEN j = 4 THEN pj END) AS p4,
-          max(CASE WHEN j = 5 THEN pj END) AS p5,
-          max(CASE WHEN j = 6 THEN pj END) AS p6,
-          max(CASE WHEN j = 7 THEN pj END) AS p7,
-          max(CASE WHEN j = 8 THEN pj END) AS p8
-        FROM p GROUP BY 1""")),
-
-    // Embedding index coverage audit: which documents have NO vector in
-    // the (simulated partial) index — the ops QA gate run before serving
-    // retrieval over a corpus. One left-anti join (the index id set
-    // broadcasts) + per-(source, lang) census with a floor-quantized
-    // coverage ratio.
-    ("q_emb_coverage",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("source"))
-        val idx = t(s, d, "embeddings").select(col("vec_id"))
-          .filter(col("vec_id") % 7 =!= 0)
-        val missing = docs
-          .join(idx, col("doc_id") === col("vec_id"), "left_anti")
-          .groupBy("source", "lang").agg(count(lit(1)).as("n_missing"))
-        docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
-          .join(missing, Seq("source", "lang"), "left_outer")
-          .select(col("source"), col("lang"), col("n_docs"),
-            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
-            floor((col("n_docs") - coalesce(col("n_missing"), lit(0L)))
-              .cast("double") * 1e6 / col("n_docs").cast("double"))
-              .cast("long").as("coverage_ppm"))
-      },
-      Some("""SELECT source, lang, count(*) AS n_docs,
-          CAST(sum(CASE WHEN doc_id % 7 = 0
-              OR doc_id NOT IN (SELECT vec_id FROM embeddings)
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-          CAST(floor(CAST(count(*) -
-              sum(CASE WHEN doc_id % 7 = 0
-                OR doc_id NOT IN (SELECT vec_id FROM embeddings)
-              THEN 1 ELSE 0 END) AS DOUBLE) * 1e6 /
-            CAST(count(*) AS DOUBLE)) AS BIGINT) AS coverage_ppm
-        FROM documents GROUP BY 1, 2""")),
-
-    // Embedding drift monitor: did a re-encode move the space? Per-label
-    // centroid cosine between two generations (gen B = every third
-    // vector's first dimension shifted — a deterministic stand-in for a
-    // model upgrade). Centroids are EXACT integer sum-vectors (VecSumAgg,
-    // map-side combining, one row per label), so the only float work is
-    // the final cosine of two 64-long arrays — small enough that every
-    // intermediate is integer-exact in a double, hence replayable. The
-    // health check run before trusting a new encoder's neighbors.
-    ("q_emb_drift",
-      (s: SparkSession, d: String) => {
-        val E = graft.plans.GraftExpressions
-        val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
-          Similarity.quantize(col("embedding")).as("q"))
-        val drifted = e.select(col("label"),
-          transform(col("q"), (x, i) => x +
-            when(col("vec_id") % 3 === 0 && i === 0, 100L)
-              .otherwise(0L)).as("q"))
-        val a = e.groupBy("label").agg(E.vec_sum(col("q")).as("ca"),
-          count(lit(1)).as("n_vectors"))
-        val b = drifted.groupBy("label").agg(E.vec_sum(col("q")).as("cb"))
-        a.join(b, "label")
-          .select(col("label"), col("n_vectors"),
-            (floor(Similarity.qdot(col("ca"), col("cb")).cast("double") /
-              (sqrt(Similarity.qdot(col("ca"), col("ca")).cast("double")) *
-               sqrt(Similarity.qdot(col("cb"), col("cb")).cast("double"))) *
-              1e6) / 1e6).as("centroid_cosine"))
-      },
-      Some(s"""WITH q0 AS (SELECT vec_id, label, $quantSql AS v
-            FROM embeddings),
-          ex AS (SELECT label, i, v[i] AS x, vec_id FROM q0,
-            UNNEST(range(1, ${JlDims + 1})) AS u(i)),
-          sa AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s,
-              CAST(sum(CASE WHEN i = 1 AND vec_id % 3 = 0 THEN 100
-                ELSE 0 END) AS BIGINT) AS shift
-            FROM ex GROUP BY 1, 2),
-          va AS (SELECT label, list(s ORDER BY i) AS ca,
-              list(s + shift ORDER BY i) AS cb FROM sa GROUP BY 1),
-          n AS (SELECT label, count(*) AS n_vectors FROM q0 GROUP BY 1)
-        SELECT label, n_vectors, ${cosineSql("ca", "cb")}
-          AS centroid_cosine
-        FROM va JOIN n USING (label)""")),
-
-    // Language-separation audit: are the corpus languages actually
-    // separable in embedding space? Per unordered language pair, exact
-    // centroid-to-centroid squared distance and a separation ratio
-    // against the two within-language spreads (Davies-Bouldin's
-    // inverse) — the go/no-go check before using embeddings for
-    // language-aware dedup/mixing. Centroids are EXACT integer
-    // sum-vectors (VecSumAgg); every double enters in a FIXED per-index
-    // fold order, so both engines produce bit-identical sums. One
-    // corpus aggregate; everything after is the 5-row language table.
-    ("q_emb_lang_separation",
-      (s: SparkSession, d: String) => {
-        val E = graft.plans.GraftExpressions
-        val e = t(s, d, "embeddings")
-          .join(t(s, d, "documents").select(col("doc_id").as("vec_id"),
-            col("lang")), "vec_id")
-          .select(col("lang"), Similarity.quantize(col("embedding"))
-            .as("q"))
-        val a = e.groupBy("lang").agg(E.vec_sum(col("q")).as("cs"),
-          count(lit(1)).as("n"),
-          sum(Similarity.qdot(col("q"), col("q"))).as("ssq"))
-        def cn2(cs: org.apache.spark.sql.Column,
-            n: org.apache.spark.sql.Column) =
-          aggregate(cs, lit(0.0), (acc, x) => acc +
-            (x.cast("double") / n.cast("double")) *
-            (x.cast("double") / n.cast("double")))
-        val withW = a.withColumn("within",
-          col("ssq").cast("double") / col("n").cast("double") -
-            cn2(col("cs"), col("n")))
-        val x = withW.select(col("lang").as("lang_a"), col("cs").as("csa"),
-          col("n").as("na"), col("within").as("wa"))
-        val y = withW.select(col("lang").as("lang_b"), col("cs").as("csb"),
-          col("n").as("nb"), col("within").as("wb"))
-        x.join(y, col("lang_a") < col("lang_b"))
-          .withColumn("dist2", aggregate(
-            zip_with(col("csa"), col("csb"), (p, q) =>
-              p.cast("double") / col("na").cast("double") -
-                q.cast("double") / col("nb").cast("double")),
-            lit(0.0), (acc, dv) => acc + dv * dv))
-          .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
-            floor(col("dist2")).cast("long").as("dist2_floor"),
-            floor(lit(1e6) * (col("dist2") / (col("wa") + col("wb"))))
-              .cast("long").as("sep_micro"))
-      },
-      Some(s"""WITH q0 AS (SELECT d.lang, ${quantSql.replace("embedding",
-          "e.embedding")} AS v
-          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
-        ex AS (SELECT lang, i, v[i] AS x FROM q0,
-          UNNEST(range(1, ${JlDims + 1})) AS u(i)),
-        sa AS (SELECT lang, i, CAST(sum(x) AS BIGINT) AS sv
-          FROM ex GROUP BY 1, 2),
-        nq AS (SELECT lang, count(*) AS n,
-            CAST(sum(${dotSql("v", "v")}) AS BIGINT) AS ssq
-          FROM q0 GROUP BY 1),
-        w AS (SELECT sa.lang, n, list_reduce(
-              list_prepend(CAST(0.0 AS DOUBLE), list(
-                (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) ORDER BY i)),
-              (p, q) -> p + q) AS cn2,
-            any_value(CAST(ssq AS DOUBLE)) AS ssqd
-          FROM sa JOIN nq ON sa.lang = nq.lang GROUP BY 1, 2),
-        ww AS (SELECT lang, n, ssqd / CAST(n AS DOUBLE) - cn2 AS within
-          FROM w),
-        pp AS (SELECT xa.lang AS lang_a, xb.lang AS lang_b,
-            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(
-              (CAST(xa.sv AS DOUBLE) / CAST(na.n AS DOUBLE)
-                - CAST(xb.sv AS DOUBLE) / CAST(nb.n AS DOUBLE))
-              * (CAST(xa.sv AS DOUBLE) / CAST(na.n AS DOUBLE)
-                - CAST(xb.sv AS DOUBLE) / CAST(nb.n AS DOUBLE))
-              ORDER BY xa.i)), (p, q) -> p + q) AS dist2
-          FROM sa xa JOIN sa xb ON xa.i = xb.i AND xa.lang < xb.lang
-          JOIN nq na ON na.lang = xa.lang
-          JOIN nq nb ON nb.lang = xb.lang
-          GROUP BY 1, 2)
-        SELECT lang_a, lang_b, na.n AS na, nb.n AS nb,
-          CAST(floor(dist2) AS BIGINT) AS dist2_floor,
-          CAST(floor(1e6 * (dist2 / (wa.within + wb.within))) AS BIGINT)
-            AS sep_micro
-        FROM pp JOIN nq na ON na.lang = pp.lang_a
-        JOIN nq nb ON nb.lang = pp.lang_b
-        JOIN ww wa ON wa.lang = pp.lang_a
-        JOIN ww wb ON wb.lang = pp.lang_b""")),
-
-    ("q_emb_validate",
-      (s: SparkSession, d: String) => t(s, d, "embeddings")
-        .select(col("label"), size(col("embedding")).cast("long").as("dims"),
-          Similarity.qdot(Similarity.quantize(col("embedding")),
-            Similarity.quantize(col("embedding"))).as("n2"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"),
-          min(col("dims")).as("dims_min"), max(col("dims")).as("dims_max"),
-          sum((col("n2") === 0).cast("long")).as("n_zero"),
-          min(col("n2")).as("n2_min"), max(col("n2")).as("n2_max"),
-          sum(col("n2")).as("n2_sum")),
-      Some(s"""WITH v AS (SELECT label,
-            CAST(len(embedding) AS BIGINT) AS dims,
-            CAST(${dotSql(quantSql, quantSql)} AS BIGINT) AS n2
-          FROM embeddings)
-        SELECT label, count(*) AS n_vecs,
-          min(dims) AS dims_min, max(dims) AS dims_max,
-          CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
-          min(n2) AS n2_min, max(n2) AS n2_max,
-          CAST(sum(n2) AS BIGINT) AS n2_sum
-        FROM v GROUP BY 1""")),
-
-    // Per-dimension embedding moment audit — the anisotropy check run
-    // BEFORE trusting any cosine-based dedup/ANN: embeddings whose
-    // variance concentrates in a few dimensions (rogue dims, collapsed
-    // encoder) make cosine thresholds meaningless, and the per-dim mean
-    // exposes an uncentered space. One posexplode + one combine-enabled
-    // aggregate (64·#partitions partial rows), then a 64-row broadcast
-    // total — output bounded by dims, never by corpus. Moments are exact
-    // BIGINT on the quantized grid (at 1e9+ vectors promote ss to
-    // decimal(38,0) — the 2^63 wrap point); only the presentation share
-    // is one IEEE division.
-    ("q_emb_dims",
-      (s: SparkSession, d: String) => {
-        val per = t(s, d, "embeddings")
-          .select(posexplode(Similarity.quantize(col("embedding")))
-            .as(Seq("p", "x")))
-          .groupBy(col("p").cast("long").as("dim"))
-          .agg(count(lit(1)).as("n"), sum("x").as("s"),
-            sum(col("x") * col("x")).as("ss"))
-          .withColumn("var_num",
-            col("n") * col("ss") - col("s") * col("s"))
-        val tot = per.agg(sum("var_num").as("tot"))
-        per.crossJoin(broadcast(tot))
-          .select(col("dim"), col("n"), col("s"), col("ss"), col("var_num"),
-            floor(lit(1e6) * col("var_num").cast("double") /
-              col("tot").cast("double")).cast("long").as("var_share_micro"))
-      },
-      Some(s"""WITH q AS (SELECT $quantSql AS v FROM embeddings),
-          ex AS (SELECT i - 1 AS dim, v[i] AS x FROM q,
-            UNNEST(range(1, ${JlDims + 1})) AS u(i)),
-          per AS (SELECT CAST(dim AS BIGINT) AS dim,
-              CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
-              CAST(sum(x * x) AS BIGINT) AS ss FROM ex GROUP BY 1),
-          v2 AS (SELECT dim, n, s, ss, n * ss - s * s AS var_num FROM per),
-          tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tot FROM v2)
-        SELECT dim, n, s, ss, CAST(var_num AS BIGINT) AS var_num,
-          CAST(floor(1e6 * CAST(var_num AS DOUBLE) / CAST(tot AS DOUBLE))
-            AS BIGINT) AS var_share_micro
-        FROM v2 CROSS JOIN tot""")),
-
-    ("q_emb_neardup",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.nearDupPairs(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 200), 0.40)
-      },
-      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v
-          FROM embeddings WHERE vec_id < 200),
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        scored AS (SELECT q.vec_id AS id1, c.vec_id AS id2,
-            ${cosineSql("q.v", "c.v")} AS cosine
-          FROM q JOIN c ON q.vec_id < c.vec_id)
-        SELECT id1, id2, cosine FROM scored WHERE cosine >= 0.40""")))
-
-  /** CTE chain ending in `mh_pairs(doc1, doc2, jaccard)` — the MinHash+LSH
-    * near-dup pairs. Shared by the pairs query and the components query. */
-  /** CTE chain ending in `cand(doc1, doc2)` — the MinHash-LSH banded
-    * candidate pairs, shared by the Jaccard-verified pairs and the
-    * edit-distance rerank oracle. */
-  private def minhashCandCtes(n: Int, k: Int, bands: Int): String = {
-    val r = k / bands
-    val sigExprs = (0 until k).map(i =>
-      s"min((a + $i * b) % ${Dedup.MinhashPrime}) AS sig_$i").mkString(",\n  ")
-    val bandRows = (0 until bands).map { b =>
-      val key = (0 until r).map(i => s"CAST(sig_${b * r + i} AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, md5($key) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
-    s"""${shingleSql(n)},
-      seeds AS MATERIALIZED (SELECT doc_id, sg,
-          CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
-          CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
-        FROM sh),
-      sigs AS MATERIALIZED (SELECT doc_id, $sigExprs FROM seeds GROUP BY doc_id),
-      bandkeys AS MATERIALIZED ($bandRows),
-      cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-               FROM bandkeys x JOIN bandkeys y
-                 ON x.band = y.band AND x.band_key = y.band_key
-                AND x.doc_id < y.doc_id)"""
-  }
-
-  private def minhashPairsCtes(n: Int, k: Int, bands: Int,
-      threshold: Double): String = {
-    s"""${minhashCandCtes(n, k, bands)},
-      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      inter AS MATERIALIZED (SELECT doc1, doc2, count(*) AS intersection
-                FROM cand JOIN sh sa ON sa.doc_id = doc1
-                          JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
-                GROUP BY 1, 2),
-      mh_pairs AS MATERIALIZED (
-        SELECT doc1, doc2,
-          CAST(intersection AS DOUBLE) /
-            CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) AS jaccard
-        FROM inter JOIN sizes z1 ON doc1 = z1.doc_id
-                   JOIN sizes z2 ON doc2 = z2.doc_id
-        WHERE CAST(intersection AS DOUBLE) /
-              CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= $threshold)"""
-  }
-
-  private def minhashOracleSql(n: Int, k: Int, bands: Int,
-      threshold: Double): String =
-    s"""WITH ${minhashPairsCtes(n, k, bands, threshold)}
-      SELECT doc1, doc2, jaccard FROM mh_pairs"""
-
-  /** HLL oracle: replay bucket/rank extraction from the md5-60 hash, the
-    * exact-integer register sum, and the single shared-constant division.
-    * The rank ladder is generated (like the simhash oracle's 60 bit sums)
-    * because the oracle engine has no integer bit-length function. */
-  private def hllOracleSql: String = {
-    val p = 9
-    val m = 1 << p
-    val remBits = 60 - p
-    val rhoMax = remBits + 1
-    val mask = (1L << remBits) - 1
-    val ladder = (remBits to 1 by -1)
-      .map(b => s"WHEN rem >= ${1L << (b - 1)} THEN $b").mkString("\n      ")
-    val alpha = graft.ops.Stats.hllAlphaConst(p)
-    s"""WITH hsh AS (SELECT CAST(concat('0x',
-          substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM lineitem),
-      br AS (SELECT h >> $remBits AS bucket, h & $mask AS rem FROM hsh),
-      rr AS (SELECT bucket,
-          $rhoMax - (CASE $ladder ELSE 0 END) AS rho FROM br),
-      regs AS (SELECT bucket, max(rho) AS rho FROM rr GROUP BY 1),
-      agg AS (SELECT count(*) AS n_filled,
-          CAST(sum(CAST(1 AS BIGINT) << ($rhoMax - rho)) AS BIGINT)
-            AS s_filled
-        FROM regs),
-      fin AS (SELECT CAST($m - n_filled AS BIGINT) AS v_empty,
-          s_filled + CAST($m - n_filled AS BIGINT) *
-            (CAST(1 AS BIGINT) << $rhoMax) AS s_units FROM agg),
-      ex AS (SELECT count(DISTINCT CAST(l_orderkey AS VARCHAR)) AS n_exact
-        FROM lineitem)
-      SELECT n_exact, v_empty, s_units,
-        CAST(floor($alpha / CAST(s_units AS DOUBLE)) AS BIGINT) AS hll_raw,
-        CAST(floor(CAST(abs(CAST(floor($alpha / CAST(s_units AS DOUBLE))
-            AS BIGINT) - n_exact) AS DOUBLE) * 1e6 /
-          CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
-      FROM fin CROSS JOIN ex"""
-  }
-
-  /** LSH tuning sweep oracle: exact ground truth (full shingle equi-join,
-    * the ppjoin oracle's truth) + per-config banding candidates, one stat
-    * row per (bands, rows) config. */
-  private def lshTuningOracleSql: String = {
-    val k = 12
-    val sigExprs = (0 until k).map(i =>
-      s"min((a + $i * b) % ${Dedup.MinhashPrime}) AS sig_$i")
-      .mkString(",\n  ")
-    def bandCtes(b: Int): String = {
-      val r = k / b
-      val bandRows = (0 until b).map { bi =>
-        val key = (0 until r).map(i => s"CAST(sig_${bi * r + i} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $bi AS band, md5($key) AS band_key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""bk$b AS MATERIALIZED ($bandRows),
-        cand$b AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc1,
-            y.doc_id AS doc2
-          FROM bk$b x JOIN bk$b y ON x.band = y.band
-            AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-        stat$b AS (SELECT CAST($b AS BIGINT) AS bands,
-            CAST($r AS BIGINT) AS rows_per_band,
-            count(*) AS n_candidates,
-            CAST(coalesce(sum(CASE WHEN t.doc1 IS NOT NULL THEN 1 END), 0)
-              AS BIGINT) AS n_found
-          FROM cand$b c LEFT JOIN truth t
-            ON c.doc1 = t.doc1 AND c.doc2 = t.doc2)"""
-    }
-    s"""WITH ${shingleSql(5)},
-      sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh
-        FROM sh GROUP BY 1),
-      ecand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc1,
-          b.doc_id AS doc2
-        FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-      einter AS MATERIALIZED (SELECT doc1, doc2, count(*) AS intersection
-        FROM ecand JOIN sh sa ON sa.doc_id = doc1
-                  JOIN sh sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
-        GROUP BY 1, 2),
-      truth AS MATERIALIZED (SELECT doc1, doc2 FROM einter
-        JOIN sizes z1 ON doc1 = z1.doc_id JOIN sizes z2 ON doc2 = z2.doc_id
-        WHERE CAST(intersection AS DOUBLE) /
-          CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= 0.7),
-      tcount AS (SELECT count(*) AS n_true FROM truth),
-      seeds AS MATERIALIZED (SELECT doc_id, sg,
-          CAST(concat('0x', substr(md5(sg), 1, 8)) AS BIGINT) AS a,
-          CAST(concat('0x', substr(md5(sg), 9, 8)) AS BIGINT) AS b
-        FROM sh),
-      sigs AS MATERIALIZED (SELECT doc_id, $sigExprs
-        FROM seeds GROUP BY doc_id),
-      ${bandCtes(2)},
-      ${bandCtes(4)},
-      ${bandCtes(6)}
-      SELECT bands, rows_per_band, n_candidates, n_found, n_true,
-        CASE WHEN n_true = 0 THEN CAST(0 AS BIGINT) ELSE
-          CAST(floor(CAST(n_found AS DOUBLE) * 1e6 /
-            CAST(n_true AS DOUBLE)) AS BIGINT) END AS recall_ppm,
-        CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) ELSE
-          CAST(floor(CAST(n_found AS DOUBLE) * 1e6 /
-            CAST(n_candidates AS DOUBLE)) AS BIGINT) END AS precision_ppm
-      FROM (SELECT * FROM stat2 UNION ALL SELECT * FROM stat4
-            UNION ALL SELECT * FROM stat6)
-      CROSS JOIN tcount"""
-  }
-
-  /** Connected components of the near-dup graph by reachability:
-    * component_id = min doc id reachable from each doc (recursive CTE). */
-  private def clustersOracleSql(n: Int, k: Int, bands: Int,
-      threshold: Double): String =
-    s"""WITH RECURSIVE ${minhashPairsCtes(n, k, bands, threshold)},
-      edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                UNION SELECT doc2, doc1 FROM mh_pairs),
-      reach(id, r) AS (
-        SELECT DISTINCT a, a FROM edges
-        UNION
-        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-      SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1"""
-
-  private def simhashOracleSql: String = {
-    val bitSums = (0 until Dedup.SimhashBits).map(j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
-      .mkString(",\n  ")
-    val value = (0 until Dedup.SimhashBits).map(j =>
-      s"CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS (SELECT DISTINCT doc_id, tok
-        FROM (SELECT doc_id, unnest(${tokensSql()}) AS tok FROM documents)),
-      hashed AS (SELECT doc_id,
-          CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-        FROM toks),
-      sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
-      SELECT doc_id, $value AS simhash FROM sums"""
-  }
-
-  // ========================================================== similarity
-
-  /** Rademacher sign for the JL projection: parity of the 60-bit md5 of
-    * "i:j" — engine-reproducible (the oracles regenerate the matrix from
-    * the same strings). Shared by q_emb_project and q_sim_tiered. */
-  // final vals with literal initializers are COMPILE-TIME constants —
-  // inlined at use sites, immune to the object-init-order trap that bites
-  // runtime vals referenced from earlier-initializing query vals
-  private final val JlDims = 64
-  private final val JlOutDims = 8
-  private def jlSgn(i: Int, j: Int): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
-  }
-
-  /** The 8 projected coordinates of a quantized vector column — the ONE
-    * construction site both q_emb_project and q_sim_tiered compile their
-    * literal sign matrix from (two copies would silently desynchronize
-    * the prefilter from the projection it claims to share). */
-  private def jlProjTerms(q: org.apache.spark.sql.Column)
-      : Seq[org.apache.spark.sql.Column] =
-    (1 to JlOutDims).map { j =>
-      (1 to JlDims).map(i => element_at(q, i) * lit(jlSgn(i, j)))
-        .reduce(_ + _)
-    }
-
-  /** The JL signs CTE (i, j, sgn) matching [[jlSgn]]. */
-  private def jlSignsSql: String =
-    s"""(SELECT a.i AS i, b.j AS j,
-        CASE WHEN CAST(concat('0x', substr(md5(concat(
-            CAST(a.i AS VARCHAR), ':', CAST(b.j AS VARCHAR))), 1, 15))
-            AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
-      FROM UNNEST(range(1, ${JlDims + 1})) AS a(i),
-           UNNEST(range(1, ${JlOutDims + 1})) AS b(j))"""
-
-  // NB: referenced from earlier-initializing vals — must be a def
-  private def quantSql: String =
-    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-
-  private def dotSql(a: String, b: String): String =
-    s"list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)), " +
-      s"list_transform($b, x -> CAST(x AS DOUBLE)))"
-
-  private def cosineSql(a: String, b: String): String =
-    s"floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) " +
-      "* 1e6) / 1e6"
-
-  /** Micro-quantized cosine as an exact BIGINT (the MMR scoring unit) —
-    * same IEEE ops as [[cosineSql]] without the final /1e6. */
-  private def simMicroSql(a: String, b: String): String =
-    s"CAST(floor(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * " +
-      s"sqrt(${dotSql(b, b)})) * 1e6) AS BIGINT)"
-
-  /** CTE chain ending in `buckets(vec_id, t, b)` — the LSH bucket signature
-    * of every embedding, replaying plans/Expressions.scala LshBucket exactly:
-    * md5-derived weights (first 4 md5 bytes as uint32, /2^31 - 1) and an
-    * ascending-dim left fold (list(ORDER BY d) + list_reduce matches the
-    * expression's accumulation order bit-for-bit). Shared by the ANN top-k
-    * and ANN near-dup oracles. */
-  private def lshBucketsCtes(tables: Int, planes: Int, dims: Int = 64): String =
-    s"""w AS MATERIALIZED (
-          SELECT t.t, p.p, d.d,
-            CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
-                ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
-              1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
-          FROM range(0, $tables) t(t), range(0, $planes) p(p),
-               range(0, $dims) d(d)),
-        prods AS MATERIALIZED (
-          SELECT v.vec_id, w.t, w.p, w.d,
-            CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
-          FROM embeddings v CROSS JOIN w),
-        sigacc AS MATERIALIZED (
-          SELECT vec_id, t, p,
-            list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
-          FROM prods GROUP BY vec_id, t, p),
-        buckets AS MATERIALIZED (
-          SELECT vec_id, t,
-            CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
-                     ELSE 0 END) AS BIGINT) AS b
-          FROM sigacc GROUP BY vec_id, t)"""
-
-  /** Replays Similarity.kmeans round for round: assignment is the same
-    * floor-quantized cosine argmax (ties to the smaller centroid id) as the
-    * IVF oracle; the centroid update is the element-wise exact-integer
-    * floor(sum/count). `a_i` assigns against `c_{i-1}`; `c_i` coalesces
-    * empty clusters back to their previous centroid; the final SELECT is
-    * the post-update assignment. */
-  /** WITH-chain ending in `asg(vec_id, v, cid)` — the post-update
-    * assignment of `iters` Lloyd rounds (see kmeans scaladoc in the
-    * catalog entries below).
-    *
-    * Every CTE is `MATERIALIZED`: each round's `c_i` is referenced twice
-    * (by `a_{i+1}` and by `c_{i+1}`'s fallback join), so an inlining
-    * planner re-expands the whole chain per reference — exponential in
-    * `iters` — and the judge's round-3 replay OOM'd on exactly that.
-    * Forcing materialization keeps the plan linear in `iters` on every
-    * DuckDB version (>= 0.9 parses the keyword). */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val sb = new StringBuilder(
-      s"""WITH q AS MATERIALIZED (
-          SELECT vec_id, $quantSql AS v FROM embeddings),
-        c0 AS MATERIALIZED (
-          SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
-    for (i <- 1 to iters) {
-      val prev = s"c${i - 1}"
-      sb ++= s""",
-        a$i AS MATERIALIZED (SELECT vec_id, v, cid FROM (
-          SELECT q.vec_id, q.v, $prev.cid,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", s"$prev.cv")} DESC, $prev.cid ASC)
-              AS r
-          FROM q CROSS JOIN $prev) WHERE r = 1),
-        m$i AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM (
-          SELECT cid, pos,
-            CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
-          FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-                FROM a$i)
-          GROUP BY cid, pos) GROUP BY cid),
-        c$i AS MATERIALIZED (SELECT $prev.cid, coalesce(m$i.cv, $prev.cv) AS cv
-          FROM $prev LEFT JOIN m$i ON m$i.cid = $prev.cid)"""
-    }
-    sb ++= s""",
-        asg AS MATERIALIZED (SELECT vec_id, v, cid FROM (
-          SELECT q.vec_id, q.v, c$iters.cid,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", s"c$iters.cv")} DESC,
-                c$iters.cid ASC) AS r
-          FROM q CROSS JOIN c$iters) WHERE r = 1)"""
-    sb.toString
-  }
-
-  private val simQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // Deterministic spherical k-means over the embedding corpus — the
-    // cluster-then-curate entry point (per-cluster sampling, SemDeDup).
-    // 2 Lloyd rounds from the k smallest-id seeds; the oracle replays the
-    // exact integer math of every round.
-    ("q_emb_kmeans",
-      (s: SparkSession, d: String) => Similarity.kmeans(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
-      Some(s"""${kmeansCtes(k = 8, iters = 2)}
-        SELECT vec_id, cid AS cluster FROM asg""")),
-
-    // Simplified-silhouette audit of the same k-means model (score against
-    // CENTROIDS, O(n·k) — the only silhouette shape that exists at corpus
-    // scale): per cluster, cohesion (own-centroid cosine mass) vs
-    // separation (best other-centroid mass) and the count of vectors
-    // sitting on the wrong side of a boundary. Exact micro-cosines; the
-    // oracle replays training AND audit bit-for-bit.
-    ("q_emb_silhouette",
-      (s: SparkSession, d: String) => Similarity.silhouetteAudit(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
-      Some(s"""${kmeansCtes(k = 8, iters = 2)},
-        sims AS (SELECT a.vec_id, a.cid, c.cid AS ccid,
-            ${simMicroSql("a.v", "c.cv")} AS sim
-          FROM asg a CROSS JOIN c2 c),
-        per AS (SELECT vec_id, cid,
-            max(CASE WHEN ccid = cid THEN sim END) AS own,
-            max(CASE WHEN ccid <> cid THEN sim END) AS oth
-          FROM sims GROUP BY 1, 2)
-        SELECT cid AS cluster, count(*) AS n_vecs,
-          CAST(sum(own) AS BIGINT) AS own_sum,
-          CAST(sum(oth) AS BIGINT) AS other_sum,
-          CAST(sum(CASE WHEN oth > own THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_misassigned
-        FROM per GROUP BY 1""")),
-
-    // SemDeDup: within each k-means cluster, drop every vector with a
-    // smaller-id near-duplicate (cosine >= 0.35); pairwise work is bounded
-    // by cluster size, never corpus size. Keeps 416/500 on the fixture.
-    ("q_emb_semdedup",
-      (s: SparkSession, d: String) => Similarity.semanticDedup(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,
-        threshold = 0.35),
-      Some(s"""${kmeansCtes(k = 8, iters = 1)},
-        pairs AS (SELECT b.vec_id AS id2
-          FROM asg a JOIN asg b
-            ON a.cid = b.cid AND a.vec_id < b.vec_id
-          WHERE ${cosineSql("a.v", "b.v")} >= 0.35)
-        SELECT vec_id, cid AS cluster FROM asg
-        WHERE vec_id NOT IN (SELECT id2 FROM pairs)""")),
-
-    // the mega-cluster guard: clusters over `maxCluster` rows skip pairwise
-    // dedup entirely (all kept) — bounded worst stage at the cost of recall.
-    // At this fixture (sizes 53..71, cap 60) three clusters still dedup and
-    // five are capped, so the oracle discriminates both code paths.
-    ("q_emb_semdedup_capped",
-      (s: SparkSession, d: String) => Similarity.semanticDedup(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,
-        threshold = 0.35, maxCluster = 60),
-      Some(s"""${kmeansCtes(k = 8, iters = 1)},
-        small AS MATERIALIZED (SELECT cid FROM asg
-          GROUP BY cid HAVING count(*) <= 60),
-        pairs AS (SELECT b.vec_id AS id2
-          FROM asg a JOIN asg b
-            ON a.cid = b.cid AND a.vec_id < b.vec_id
-          WHERE a.cid IN (SELECT cid FROM small)
-            AND ${cosineSql("a.v", "b.v")} >= 0.35)
-        SELECT vec_id, cid AS cluster FROM asg
-        WHERE vec_id NOT IN (SELECT id2 FROM pairs)""")),
-
-    ("q_sim_topk",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.cosineTopK(e, "vec_id", "embedding",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v
-          FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            ${cosineSql("q.v", "c.v")} AS cosine
-          FROM q JOIN c ON c.vec_id <> q.vec_id)
-        SELECT query_id, neighbor_id, cosine, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")),
-
-    // Tiered retrieval: score EVERY candidate with the cheap 8-dim JL
-    // projection (integer dot, scan-stage), rank-limit to the top-64
-    // shortlist per probe, then rerank only the shortlist with the exact
-    // 64-dim dot — the two-tier pattern that makes exact scoring
-    // affordable at corpus scale (the expensive dot touches 64 rows per
-    // probe, not the corpus). Both tiers are integer-exact, so the oracle
-    // replays shortlist AND rerank bit-for-bit — including which
-    // neighbors the prefilter admits.
-    // MMR diversified selection (Similarity.mmrSelect): 3 picks per probe
-    // from a 16-candidate shortlist at lambda = 7/10 — relevance traded
-    // against redundancy so the picks SPAN the neighborhood instead of
-    // restating the nearest result. Integer micro-cosines + rational
-    // lambda make every round's argmax exact; the oracle unrolls the
-    // greedy trace round by round (s1/s2/s3 CTEs) and must match the
-    // whole (sim, penalty, score, pick) tuple.
-    ("q_sim_mmr", {
-      ((s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.mmrSelect(e, "vec_id", "embedding",
-          e.filter(col("vec_id") < 4), "vec_id", "embedding",
-          shortlist = 16, k = 3)
-      }): Q
-      },
-      Some(s"""WITH q0 AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-          p AS (SELECT vec_id AS query_id, v AS qv FROM q0
-            WHERE vec_id < 4),
-          scored0 AS (SELECT p.query_id, c.vec_id AS cand_id, c.v AS cv,
-              ${simMicroSql("c.v", "p.qv")} AS sim
-            FROM q0 c JOIN p ON c.vec_id <> p.query_id),
-          cand AS (SELECT query_id, cand_id, cv, sim FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, cand_id) AS rk FROM scored0)
-            WHERE rk <= 16),
-          pr AS (SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
-              ${simMicroSql("x.cv", "y.cv")} AS psim
-            FROM cand x JOIN cand y ON x.query_id = y.query_id
-              AND x.cand_id <> y.cand_id),
-          s1 AS (SELECT query_id, cand_id, sim,
-              CAST(0 AS BIGINT) AS penalty, 7 * sim AS score, 1 AS pick
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY sim DESC, cand_id) AS rk FROM cand)
-            WHERE rk = 1),
-          pen2 AS (SELECT pr.query_id, pr.a AS cand_id,
-              max(pr.psim) AS penalty
-            FROM pr JOIN s1 ON pr.query_id = s1.query_id
-              AND pr.b = s1.cand_id
-            GROUP BY 1, 2),
-          sc2 AS (SELECT c.query_id, c.cand_id, c.sim,
-              coalesce(p2.penalty, CAST(0 AS BIGINT)) AS penalty,
-              7 * c.sim - 3 * coalesce(p2.penalty, CAST(0 AS BIGINT))
-                AS score
-            FROM cand c LEFT JOIN pen2 p2
-              ON c.query_id = p2.query_id AND c.cand_id = p2.cand_id
-            WHERE NOT EXISTS (SELECT 1 FROM s1
-              WHERE s1.query_id = c.query_id AND s1.cand_id = c.cand_id)),
-          s2 AS (SELECT query_id, cand_id, sim, penalty, score, 2 AS pick
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, cand_id) AS rk FROM sc2)
-            WHERE rk = 1),
-          sel2 AS (SELECT query_id, cand_id FROM s1
-            UNION ALL SELECT query_id, cand_id FROM s2),
-          pen3 AS (SELECT pr.query_id, pr.a AS cand_id,
-              max(pr.psim) AS penalty
-            FROM pr JOIN sel2 ON pr.query_id = sel2.query_id
-              AND pr.b = sel2.cand_id
-            GROUP BY 1, 2),
-          sc3 AS (SELECT c.query_id, c.cand_id, c.sim,
-              coalesce(p3.penalty, CAST(0 AS BIGINT)) AS penalty,
-              7 * c.sim - 3 * coalesce(p3.penalty, CAST(0 AS BIGINT))
-                AS score
-            FROM cand c LEFT JOIN pen3 p3
-              ON c.query_id = p3.query_id AND c.cand_id = p3.cand_id
-            WHERE NOT EXISTS (SELECT 1 FROM sel2
-              WHERE sel2.query_id = c.query_id
-                AND sel2.cand_id = c.cand_id)),
-          s3 AS (SELECT query_id, cand_id, sim, penalty, score, 3 AS pick
-            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY score DESC, cand_id) AS rk FROM sc3)
-            WHERE rk = 1)
-        SELECT query_id, cand_id, sim, penalty, score, pick FROM s1
-        UNION ALL SELECT query_id, cand_id, sim, penalty, score, pick
-          FROM s2
-        UNION ALL SELECT query_id, cand_id, sim, penalty, score, pick
-          FROM s3""")),
-
-    ("q_sim_tiered",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), Similarity.quantize(col("embedding"))
-            .as("q"))
-        val proj = array(jlProjTerms(col("q")): _*)
-        val corpus = e.select(col("vec_id"), col("q"), proj.as("p"))
-        val probes = corpus.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("query_id"), col("q").as("qq"),
-            col("p").as("qp"))
-        // PROBE-SIDE CONTRACT, enforced: the shortlist tier scans
-        // corpus x probes, so the probe set must be broadcast-sized
-        // ("few queries, exact answer"). A large probe set belongs on the
-        // IVF-PQ path (q_sim_ivfpq) — fail fast instead of running a slow
-        // quadratic plan. limit(1025) bounds the guard's own scan.
-        val nProbes = probes.limit(1025).count()
-        require(nProbes <= 1024,
-          s"tiered retrieval probe set exceeds 1024 rows; the " +
-          "corpus x probes shortlist tier is for broadcast-sized probe " +
-          "sets — route large probe sets through IVF-PQ")
-        val w1 = Window.partitionBy("query_id")
-          .orderBy(col("pscore").desc, col("vec_id").asc)
-        val w2 = Window.partitionBy("query_id")
-          .orderBy(col("dot").desc, col("vec_id").asc)
-        corpus.crossJoin(broadcast(probes))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("pscore", Similarity.qdot(col("p"), col("qp")))
-          .withColumn("prnk", row_number().over(w1))
-          .filter(col("prnk") <= 64)
-          .withColumn("dot", Similarity.qdot(col("q"), col("qq")))
-          .withColumn("rnk", row_number().over(w2).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            col("dot"), col("rnk"))
-      },
-      Some(s"""WITH q0 AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        s AS $jlSignsSql,
-        ex AS (SELECT vec_id, i, v[i] AS x
-          FROM q0, UNNEST(range(1, ${JlDims + 1})) AS u(i)),
-        pr AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS pj
-          FROM ex JOIN s USING (i) GROUP BY 1, 2),
-        pv AS (SELECT vec_id, list(pj ORDER BY j) AS p FROM pr GROUP BY 1),
-        t1 AS (SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id,
-            CAST(${dotSql("pc.p", "pq.p")} AS BIGINT) AS pscore
-          FROM pv pq JOIN pv pc ON pc.vec_id <> pq.vec_id
-          WHERE pq.vec_id < 4),
-        short AS (SELECT query_id, neighbor_id FROM
-            (SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY pscore DESC, neighbor_id ASC) AS prnk FROM t1)
-          WHERE prnk <= 64),
-        t2 AS (SELECT query_id, neighbor_id,
-            CAST(${dotSql("cq.v", "cc.v")} AS BIGINT) AS dot
-          FROM short JOIN q0 cq ON cq.vec_id = query_id
-                     JOIN q0 cc ON cc.vec_id = neighbor_id)
-        SELECT query_id, neighbor_id, dot, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM t2)
-        WHERE rnk <= 5""")),
-
-    // Hard-negative mining (Similarity.hardNegatives): nearest different-
-    // label corpus vectors per probe — the contrastive-training negative
-    // sampler. Probe broadcast + WindowGroupLimit top-k, ranked on the
-    // exact quantized cosine.
-    ("q_sim_hard_negatives",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.hardNegatives(e, "vec_id", "embedding", "label",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
-            k = 5)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH q AS (SELECT vec_id, label, $quantSql AS v
-          FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id, label, $quantSql AS v FROM embeddings),
-        scored AS (SELECT q.vec_id AS query_id, q.label AS query_label,
-            c.vec_id AS neighbor_id, c.label AS neighbor_label,
-            ${cosineSql("q.v", "c.v")} AS cosine
-          FROM q JOIN c ON c.label <> q.label)
-        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
-          rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")),
-
-    // ANN via random-hyperplane LSH. Approximate vs brute force, but fully
-    // DETERMINISTIC: hyperplane weights are md5-derived
-    // (plans/Expressions.scala LshBucket.planeWeight — first 4 md5 bytes as
-    // uint32, /2^31 - 1), bucket accumulation is an ascending-dim left fold,
-    // and the rerank is the quantized cosine — so DuckDB replays the whole
-    // pipeline exactly: weights from md5, ordered fold via
-    // list(x ORDER BY d) + list_reduce, same bucket equi-join, same rerank.
-    // Index-quality evaluation: recall@5 of the LSH ANN against the exact
-    // brute-force top-5 per probe — the measurement loop that tunes
-    // (tables, planes) before an index ships. Left join exact->ann on
-    // k-bounded sides; the recall ratio is one floor-quantized division
-    // from exact integer hit counts.
-    ("q_sim_recall",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        val probes = e.filter(col("vec_id") < 8)
-        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
-          probes, "vec_id", "embedding", k = 5)
-          .select(col("query_id"), col("neighbor_id"))
-        val ann = Similarity.annLsh(e, "vec_id", "embedding",
-          probes, "vec_id", "embedding", k = 5, tables = 4, planes = 10,
-          dims = 64).select(col("query_id"), col("neighbor_id"))
-        exact.join(ann.withColumn("hit", lit(1L)),
-            Seq("query_id", "neighbor_id"), "left_outer")
-          .groupBy("query_id")
-          .agg(count(lit(1)).as("n_exact"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .select(col("query_id"), col("n_exact"), col("n_hit"),
-            (floor(col("n_hit").cast("double") * 1e6 /
-              col("n_exact").cast("double")) / 1e6).as("recall"))
-      },
-      Some(s"""WITH ${lshBucketsCtes(tables = 4, planes = 10)},
-        q AS (SELECT vec_id, $quantSql AS v FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        ex AS (SELECT query_id, neighbor_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rnk
-          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 5),
-        cand AS (
-          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
-          WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
-        ann AS (SELECT query_id, neighbor_id FROM (
-          SELECT sc.query_id, sc.neighbor_id,
-            row_number() OVER (PARTITION BY sc.query_id
-              ORDER BY sc.cosine DESC, sc.neighbor_id ASC) AS rnk FROM (
-            SELECT cand.query_id, cand.neighbor_id,
-              ${cosineSql("q.v", "c.v")} AS cosine
-            FROM cand JOIN q ON q.vec_id = cand.query_id
-                      JOIN c ON c.vec_id = cand.neighbor_id) sc)
-          WHERE rnk <= 5)
-        SELECT ex.query_id, count(*) AS n_exact,
-          CAST(sum(CASE WHEN ann.neighbor_id IS NULL THEN 0 ELSE 1 END)
-            AS BIGINT) AS n_hit,
-          floor(CAST(sum(CASE WHEN ann.neighbor_id IS NULL THEN 0 ELSE 1
-              END) AS DOUBLE) * 1e6 / CAST(count(*) AS DOUBLE)) / 1e6
-            AS recall
-        FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
-          AND ex.neighbor_id = ann.neighbor_id
-        GROUP BY 1""")),
-
-    // SQ8 scalar-quantization recall audit (Similarity.sq8Recall): codes
-    // = floor(q*127/amax_dim) signed bytes, inner-product top-10 on codes
-    // vs on exact vectors, recall per probe. The 64-row scale table and
-    // the double-floor chain (never integer div — negative components)
-    // replay exactly; one corpus pass scores both rankings side by side.
-    ("q_emb_sq8",
-      (s: SparkSession, d: String) => Similarity.sq8Recall(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vec_id") % 50 === 0, k = 10),
-      Some(s"""WITH q AS MATERIALIZED (
-          SELECT vec_id, $quantSql AS v FROM embeddings),
-        ex AS MATERIALIZED (SELECT vec_id, unnest(v) AS x,
-          generate_subscripts(v, 1) AS pos FROM q),
-        sc AS MATERIALIZED (SELECT pos, greatest(max(abs(x)), 1) AS amax
-          FROM ex GROUP BY 1),
-        cd AS MATERIALIZED (SELECT vec_id, ex.pos, x,
-            CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(amax AS DOUBLE))
-              AS BIGINT) AS c8
-          FROM ex JOIN sc ON sc.pos = ex.pos),
-        pairs AS MATERIALIZED (SELECT p.vec_id AS query_id,
-            c.vec_id AS neighbor_id,
-            CAST(sum(p.x * c.x) AS BIGINT) AS dot_exact,
-            CAST(sum(p.c8 * c.c8) AS BIGINT) AS dot8
-          FROM cd p JOIN cd c ON p.pos = c.pos AND c.vec_id <> p.vec_id
-          WHERE p.vec_id % 50 = 0
-          GROUP BY 1, 2),
-        r AS (SELECT query_id, neighbor_id,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY dot_exact DESC, neighbor_id ASC) AS re,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY dot8 DESC, neighbor_id ASC) AS r8
-          FROM pairs)
-        SELECT query_id, count(*) AS n_exact,
-          CAST(sum(CASE WHEN r8 <= 10 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_hit,
-          floor(CAST(sum(CASE WHEN r8 <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
-            * 1e6 / CAST(count(*) AS DOUBLE)) / 1e6 AS recall
-        FROM r WHERE re <= 10 GROUP BY 1""")),
-
-    // Margin-criterion bitext mining (Similarity.bitextMarginMine):
-    // cos(x,y) scored relative to both sides' top-4 neighborhood averages
-    // — the hub-vector correction LASER/CCMatrix mining uses. Best-margin
-    // candidate per probe across the opposite-label corpus.
-    ("q_emb_bitext_margin",
-      (s: SparkSession, d: String) => Similarity.bitextMarginMine(
-        t(s, d, "embeddings"), "vec_id", "embedding", "label",
-        col("vec_id") % 50 === 0, kNeigh = 4),
-      Some(s"""WITH q AS MATERIALIZED (
-          SELECT vec_id, label, $quantSql AS v FROM embeddings),
-        pr AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
-          FROM q WHERE vec_id % 50 = 0),
-        scored AS MATERIALIZED (SELECT query_id, q.vec_id AS cand_id,
-            ${simMicroSql("qv", "q.v")} AS cos_micro
-          FROM pr JOIN q ON q.label <> pr.qlab),
-        ranked AS MATERIALIZED (SELECT *,
-            row_number() OVER (PARTITION BY query_id
-              ORDER BY cos_micro DESC, cand_id ASC) AS rq,
-            row_number() OVER (PARTITION BY cand_id
-              ORDER BY cos_micro DESC, query_id ASC) AS rc
-          FROM scored),
-        aq AS (SELECT query_id, CAST(floor(CAST(sum(cos_micro) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_q_micro
-          FROM ranked WHERE rq <= 4 GROUP BY 1),
-        ac AS (SELECT cand_id, CAST(floor(CAST(sum(cos_micro) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS avg_c_micro
-          FROM ranked WHERE rc <= 4 GROUP BY 1),
-        mg AS (SELECT s.query_id, s.cand_id, s.cos_micro, aq.avg_q_micro,
-            ac.avg_c_micro,
-            CAST(floor(CAST(s.cos_micro AS DOUBLE) * 2e6 /
-              CAST(greatest(aq.avg_q_micro + ac.avg_c_micro, 1) AS DOUBLE))
-              AS BIGINT) AS margin_ppm
-          FROM scored s JOIN aq USING (query_id) JOIN ac USING (cand_id))
-        SELECT query_id, cand_id, cos_micro, avg_q_micro, avg_c_micro,
-          margin_ppm
-        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY margin_ppm DESC, cand_id ASC) AS best FROM mg)
-        WHERE best = 1""")),
-
-    ("q_sim_ann_lsh",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.annLsh(e, "vec_id", "embedding",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding",
-            k = 5, tables = 4, planes = 10, dims = 64)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH ${lshBucketsCtes(tables = 4, planes = 10)},
-        q AS (SELECT vec_id, $quantSql AS v FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cand AS (
-          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
-          WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
-        scored AS (
-          SELECT cand.query_id, cand.neighbor_id,
-            ${cosineSql("q.v", "c.v")} AS cosine
-          FROM cand JOIN q ON q.vec_id = cand.query_id
-                    JOIN c ON c.vec_id = cand.neighbor_id)
-        SELECT query_id, neighbor_id, cosine, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")),
-
-    // IVF-Flat ANN: md5-picked deterministic centroids, map-side list
-    // assignment, probes search nprobe lists (Similarity.annIvf). The
-    // oracle replays centroid pick, assignment (same quantized cosine +
-    // tie-break) and the rerank exactly.
-    ("q_sim_ann_ivf",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.annIvf(e, "vec_id", "embedding",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 4)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
-        cents AS (SELECT vec_id AS cid, v AS cv FROM c
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        asg AS (SELECT vec_id, v, cid FROM (
-          SELECT c.vec_id, c.v, cents.cid,
-            row_number() OVER (PARTITION BY c.vec_id
-              ORDER BY ${cosineSql("c.v", "cents.cv")} DESC, cents.cid ASC)
-              AS arnk
-          FROM c CROSS JOIN cents) WHERE arnk = 1),
-        pc AS (SELECT query_id, qv, cid FROM (
-          SELECT q.vec_id AS query_id, q.v AS qv, cents.cid,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", "cents.cv")} DESC, cents.cid ASC)
-              AS prnk
-          FROM c q CROSS JOIN cents WHERE q.vec_id < 8) WHERE prnk <= 4),
-        scored AS (SELECT pc.query_id, asg.vec_id AS neighbor_id,
-            ${cosineSql("pc.qv", "asg.v")} AS cosine
-          FROM pc JOIN asg ON asg.cid = pc.cid
-            AND asg.vec_id <> pc.query_id)
-        SELECT query_id, neighbor_id, cosine, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")),
-
-    // Reciprocal-rank fusion of the exact brute-force top-10 and the
-    // IVF top-10 (Similarity.rrfFuse): the retrieval-ensemble step.
-    // Both term divisions and their sum are fixed-order IEEE ops, so the
-    // oracle fuses its own two ranking CTEs bit-identically.
-    ("q_sim_rrf",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        val probes = e.filter(col("vec_id") < 8)
-        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
-          probes, "vec_id", "embedding", k = 10)
-        val ivf = Similarity.annIvf(e, "vec_id", "embedding",
-          probes, "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
-        Similarity.rrfFuse(exact, ivf, k = 5)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH c AS MATERIALIZED (SELECT vec_id, $quantSql AS v
-          FROM embeddings),
-        q AS (SELECT vec_id, v FROM c WHERE vec_id < 8),
-        ex AS (SELECT query_id, neighbor_id, rnk FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id ASC) AS rnk
-          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 10),
-        cents AS (SELECT vec_id AS cid, v AS cv FROM c
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-        asg AS (SELECT vec_id, v, cid FROM (
-          SELECT c.vec_id, c.v, cents.cid,
-            row_number() OVER (PARTITION BY c.vec_id
-              ORDER BY ${cosineSql("c.v", "cents.cv")} DESC, cents.cid ASC)
-              AS arnk
-          FROM c CROSS JOIN cents) WHERE arnk = 1),
-        pc AS (SELECT query_id, qv, cid FROM (
-          SELECT q.vec_id AS query_id, q.v AS qv, cents.cid,
-            row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${cosineSql("q.v", "cents.cv")} DESC, cents.cid ASC)
-              AS prnk
-          FROM q CROSS JOIN cents) WHERE prnk <= 4),
-        iv AS (SELECT query_id, neighbor_id, rnk FROM (
-          SELECT sc.query_id, sc.neighbor_id,
-            row_number() OVER (PARTITION BY sc.query_id
-              ORDER BY sc.cosine DESC, sc.neighbor_id ASC) AS rnk FROM (
-            SELECT pc.query_id, asg.vec_id AS neighbor_id,
-              ${cosineSql("pc.qv", "asg.v")} AS cosine
-            FROM pc JOIN asg ON asg.cid = pc.cid
-              AND asg.vec_id <> pc.query_id) sc) WHERE rnk <= 10),
-        fused AS (SELECT query_id, neighbor_id,
-            coalesce(CAST(1 AS DOUBLE) / (60 + ex.rnk), 0) +
-            coalesce(CAST(1 AS DOUBLE) / (60 + iv.rnk), 0) AS rrf
-          FROM ex FULL OUTER JOIN iv USING (query_id, neighbor_id))
-        SELECT query_id, neighbor_id, rrf, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY rrf DESC, neighbor_id ASC) AS rnk FROM fused)
-        WHERE rnk <= 5""")),
-
-    // IVF-PQ (the FAISS IVFxx,PQyy composition): coarse md5-sampled IVF
-    // lists + PQ codes of the per-list RESIDUALS; probes search nprobe
-    // lists with one ADC table per probed list. The oracle replays coarse
-    // assignment, residuals, PQ training, encoding and ADC — all integer
-    // math after the floor-quantized coarse cosine.
-    ("q_sim_ivfpq",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.ivfPqTopK(e, "vec_id", "embedding",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding",
-            k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 8, iters = 1,
-            dims = 64)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""WITH cq AS MATERIALIZED (
-          SELECT vec_id, $quantSql AS v FROM embeddings),
-        cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM cq
-          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-        asg AS MATERIALIZED (SELECT vec_id, v, cid FROM (
-          SELECT cq.vec_id, cq.v, cents.cid,
-            row_number() OVER (PARTITION BY cq.vec_id
-              ORDER BY ${cosineSql("cq.v", "cents.cv")} DESC, cents.cid ASC)
-              AS arnk
-          FROM cq CROSS JOIN cents) WHERE arnk = 1),
-        r AS MATERIALIZED (SELECT a.vec_id,
-            list_transform(range(1, 65), j -> a.v[j] - ct.cv[j]) AS rv, a.cid
-          FROM asg a JOIN cents ct ON ct.cid = a.cid),
-        ${pqTrainCtes(m = 8, ksub = 8, iters = 1, subDim = 8,
-        src = "r", vec = "rv")},
-        p AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM cq
-          WHERE vec_id < 8),
-        pc AS MATERIALIZED (SELECT query_id, qv, cid FROM (
-          SELECT p.query_id, p.qv, cents.cid,
-            row_number() OVER (PARTITION BY p.query_id
-              ORDER BY ${cosineSql("p.qv", "cents.cv")} DESC, cents.cid ASC)
-              AS prnk
-          FROM p CROSS JOIN cents) WHERE prnk <= 3),
-        pr AS MATERIALIZED (SELECT pc.query_id, pc.cid,
-            list_transform(range(1, 65), j -> pc.qv[j] - ct.cv[j]) AS rv
-          FROM pc JOIN cents ct ON ct.cid = pc.cid),
-        scored AS MATERIALIZED (
-          SELECT pr.query_id, e.vec_id AS neighbor_id,
-            CAST(sum(${pqL2Sql("list_slice(pr.rv, e.s * 8 + 1, (e.s + 1) * 8)",
-        "cb.cv", 8)}) AS BIGINT) AS adc_dist
-          FROM pr JOIN r rr ON rr.cid = pr.cid
-               JOIN enc e ON e.vec_id = rr.vec_id
-               JOIN c1 cb ON cb.s = e.s AND cb.ord = e.code
-          WHERE e.vec_id <> pr.query_id
-          GROUP BY pr.query_id, e.vec_id)
-        SELECT query_id, neighbor_id, adc_dist, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")),
-
-    // Product-quantization ANN (Jégou et al. 2011): Lloyd-trained per-
-    // subspace codebooks, m-byte codes, ADC table scoring. The oracle
-    // replays TRAINING (every round's exact-integer assignment + update),
-    // the encoding, and the ADC sums bit-for-bit — all integer math.
-    ("q_sim_pq_topk",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-        Similarity.pqTopK(e, "vec_id", "embedding",
-            e.filter(col("vec_id") < 8), "vec_id", "embedding",
-            k = 5, m = 8, ksub = 16, iters = 2, dims = 64)
-          .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
-      },
-      Some(s"""${pqCtes(m = 8, ksub = 16, iters = 2, subDim = 8)},
-        p AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM q
-          WHERE vec_id < 8),
-        scored AS MATERIALIZED (
-          SELECT p.query_id, e.vec_id AS neighbor_id,
-            CAST(sum(${pqL2Sql("list_slice(p.qv, e.s * 8 + 1, (e.s + 1) * 8)",
-        "c.cv", 8)}) AS BIGINT) AS adc_dist
-          FROM p CROSS JOIN enc e JOIN c2 c ON c.s = e.s AND c.ord = e.code
-          WHERE e.vec_id <> p.query_id
-          GROUP BY p.query_id, e.vec_id)
-        SELECT query_id, neighbor_id, adc_dist, rnk FROM
-          (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk FROM scored)
-        WHERE rnk <= 5""")))
-
-  /** Exact integer squared-L2 between two BIGINT lists of length `n`. */
-  private def pqL2Sql(a: String, b: String, n: Int): String =
-    s"list_sum(list_transform(range(1, ${n + 1}), " +
-      s"j -> (($a)[j] - ($b)[j]) * (($a)[j] - ($b)[j])))"
-
-  /** WITH-chain replaying Similarity.pqTopK's codebook training: seeds are
-    * the sub-slices of the `ksub` smallest-id vectors (ordinal = seed rank),
-    * each round assigns every (vector, subspace) to its min-squared-L2
-    * codeword (ties to the smaller ordinal) and recenters codewords with the
-    * exact-integer floor(sum/count) mean (empty codewords keep their
-    * previous value). Ends in `enc(vec_id, s, code)` — the post-training
-    * encoding — with the final codebooks in `c$iters(s, ord, cv)`.
-    * MATERIALIZED throughout: each c_i is referenced by a_{i+1} AND
-    * c_{i+1}'s fallback join (the kmeansCtes inlining lesson). */
-  private def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String =
-    s"""WITH q AS MATERIALIZED (
-          SELECT vec_id, $quantSql AS v FROM embeddings),
-        ${pqTrainCtes(m, ksub, iters, subDim, src = "q", vec = "v")}"""
-
-  /** The training/encode WITH-chain over an existing `$src(vec_id, $vec)`
-    * CTE (no leading WITH) — shared by plain PQ (src = quantized corpus)
-    * and IVF-PQ (src = per-list residuals). */
-  private def pqTrainCtes(m: Int, ksub: Int, iters: Int, subDim: Int,
-      src: String, vec: String): String = {
-    def sliceOf(v: String, s: String): String =
-      s"list_slice($v, $s * $subDim + 1, ($s + 1) * $subDim)"
-    def assignCte(name: String, books: String): String =
-      s"""$name AS MATERIALIZED (SELECT vec_id, s, ord FROM (
-          SELECT $src.vec_id, c.s, c.ord,
-            row_number() OVER (PARTITION BY $src.vec_id, c.s
-              ORDER BY ${pqL2Sql(sliceOf(s"$src.$vec", "c.s"), "c.cv", subDim)}
-                ASC, c.ord ASC) AS r
-          FROM $src CROSS JOIN $books c) WHERE r = 1)"""
-    val sb = new StringBuilder(
-      s"""sd AS MATERIALIZED (SELECT vec_id, $vec,
-            row_number() OVER (ORDER BY vec_id) - 1 AS ord
-          FROM (SELECT vec_id, $vec FROM $src ORDER BY vec_id LIMIT $ksub)),
-        c0 AS MATERIALIZED (SELECT gs.s, sd.ord,
-            ${sliceOf(s"sd.$vec", "gs.s")} AS cv
-          FROM sd CROSS JOIN range(0, $m) gs(s))""")
-    for (i <- 1 to iters) {
-      val prev = s"c${i - 1}"
-      sb ++= s""",
-        ${assignCte(s"a$i", prev)},
-        m$i AS MATERIALIZED (SELECT s, ord, list(mm ORDER BY pos) AS cv FROM (
-          SELECT s, ord, pos,
-            CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS mm
-          FROM (SELECT a.s, a.ord,
-                  unnest(${sliceOf(s"$src.$vec", "a.s")}) AS x,
-                  generate_subscripts(${sliceOf(s"$src.$vec", "a.s")}, 1) AS pos
-                FROM a$i a JOIN $src USING (vec_id))
-          GROUP BY s, ord, pos) GROUP BY s, ord),
-        c$i AS MATERIALIZED (SELECT p.s, p.ord, coalesce(u.cv, p.cv) AS cv
-          FROM $prev p LEFT JOIN m$i u ON u.s = p.s AND u.ord = p.ord)"""
-    }
-    sb ++= s""",
-        ${assignCte("enc", s"c$iters").replace("vec_id, s, ord FROM",
-      "vec_id, s, ord AS code FROM")}"""
-    sb.toString
-  }
-
-  // ========================================================== multimodal
-
-  /** Replays [[graft.ops.Multimodal.imageAHash]] over
-    * [[graft.ops.Multimodal.syntheticPngFamily]](id, 32, 24) images from
-    * first principles: the decoded pixel at 8x8-grid cell (x, y) is the
-    * generated pixel at (sx, sy) = (x*32//8, y*24//8) (PNG is lossless and
-    * the resample mapping is the same integer division), luma is the exact
-    * integer rec601 weighting, and the bit rule is the strict majority
-    * `l*64 > total`. The sign bit rides through HUGEINT and wraps to the
-    * signed BIGINT Spark produces. */
-  /** Replays [[graft.ops.Multimodal.imageTileHash]] (2x2 tiles, 4x4 grid)
-    * over the synthetic 32x24 PNG family from first principles — same
-    * pixel generator as [[mmAhashSigSql]], sampled at
-    * sx = tx*16 + cx*4, sy = ty*12 + cy*3. Ends in `acc`
-    * (doc_id, tile, thash). */
-  private def mmTileSigSql: String =
-    """WITH g4 AS (SELECT unnest(range(0, 4)) AS i),
-      t2 AS (SELECT unnest(range(0, 2)) AS i),
-      cell AS (SELECT d.doc_id, ty.i * 2 + tx.i AS tile,
-          cy.i * 4 + cx.i AS bit,
-          tx.i * 16 + cx.i * 4 AS sx, ty.i * 12 + cy.i * 3 AS sy
-        FROM documents d CROSS JOIN t2 tx CROSS JOIN t2 ty
-             CROSS JOIN g4 cx CROSS JOIN g4 cy),
-      lum AS (SELECT doc_id, tile, bit,
-          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
-           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
-           (CASE WHEN sy = doc_id % 24
-                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
-                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
-            // 1000 AS l
-        FROM cell),
-      tot AS (SELECT doc_id, tile, sum(l) AS t FROM lum GROUP BY 1, 2),
-      acc AS (SELECT lum.doc_id, lum.tile,
-          CAST(sum(CASE WHEN lum.l * 16 > tot.t THEN 1::BIGINT << lum.bit
-                   ELSE 0 END) AS BIGINT) AS thash
-        FROM lum JOIN tot USING (doc_id, tile) GROUP BY 1, 2)"""
-
-  /** Replays [[graft.ops.Multimodal.imagePHash]] from first principles:
-    * same synthetic-pixel luma as [[mmAhashSigSql]], then the exact
-    * integer 2D DCT-II with [[graft.ops.Multimodal.DctBasis]] interpolated
-    * as literals (the cosine table never recomputes cross-engine), the
-    * 32nd-smallest-of-63 AC median as a pure order statistic, and the
-    * HUGEINT sign fold for bit 63. */
-  private def mmPhashSigSql: String = {
-    val basis = graft.ops.Multimodal.DctBasis
-    val rows = (for (u <- 0 until 8; x <- 0 until 8)
-      yield s"($u, $x, ${basis(u)(x)})").mkString(", ")
-    s"""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
-      dct(u, x, c) AS (SELECT * FROM (VALUES $rows) AS t(u, x, c)),
-      cell AS (SELECT d.doc_id, cx.i AS x, cy.i AS y,
-          cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
-        FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
-      lum AS (SELECT doc_id, x, y,
-          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
-           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
-           (CASE WHEN sy = doc_id % 24
-                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
-                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
-            // 1000 AS l
-        FROM cell),
-      f AS (SELECT lum.doc_id, cu.u AS u, cv.u AS v,
-          CAST(sum(cu.c * cv.c * lum.l) AS BIGINT) AS fv
-        FROM lum JOIN dct cu ON cu.x = lum.x JOIN dct cv ON cv.x = lum.y
-        GROUP BY 1, 2, 3),
-      ac AS (SELECT doc_id, u * 8 + v AS bit, fv FROM f
-        WHERE NOT (u = 0 AND v = 0)),
-      med AS (SELECT doc_id, fv AS med FROM (
-          SELECT doc_id, fv,
-            row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn
-          FROM ac) WHERE rn = 32),
-      pacc AS (SELECT ac.doc_id,
-          sum(CASE WHEN ac.fv > med.med THEN 1::HUGEINT << ac.bit
-                   ELSE 0::HUGEINT END) AS h
-        FROM ac JOIN med USING (doc_id) GROUP BY 1),
-      psig AS (SELECT doc_id AS media_id,
-          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
-                    ELSE h END AS BIGINT) AS phash
-        FROM pacc)"""
-  }
-
-  private def mmAhashSigSql: String =
-    """WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
-      cell AS (SELECT d.doc_id, cy.i * 8 + cx.i AS bit,
-          cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
-        FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
-      lum AS (SELECT doc_id, bit,
-          (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
-           ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
-           (CASE WHEN sy = doc_id % 24
-                 THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
-                 ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
-            // 1000 AS l
-        FROM cell),
-      tot AS (SELECT doc_id, sum(l) AS t FROM lum GROUP BY 1),
-      acc AS (SELECT lum.doc_id,
-          sum(CASE WHEN lum.l * 64 > tot.t THEN 1::HUGEINT << lum.bit
-                   ELSE 0::HUGEINT END) AS h
-        FROM lum JOIN tot USING (doc_id) GROUP BY 1),
-      sig AS (SELECT doc_id AS media_id,
-          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
-                    ELSE h END AS BIGINT) AS ahash
-        FROM acc)"""
-
-  /** Replays [[graft.ops.Multimodal.audioEnergyHash]] over
-    * [[graft.ops.Multimodal.syntheticWavFamily]] clips from first
-    * principles: WAV PCM is lossless, so the decoded sample i is the
-    * generated triangle value at phase-shifted index `i + fam % 97`
-    * (zeroed inside the id's 64-sample cut); frame f = i // 32 over the
-    * fixed 2080-sample clip, energy = exact |sample| sum, bit rule
-    * strict `e(f) > e(f+1)`. Sign bit through HUGEINT, as in
-    * [[mmAhashSigSql]]. */
-  private def mmAudioSigSql: String =
-    """WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
-      p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
-          32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
-          (doc_id % 61) * 32 AS cut0
-        FROM documents),
-      smp AS (SELECT p.doc_id, r.i,
-          CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
-               ELSE (CASE WHEN (r.i + phase) % per < per // 2
-                          THEN (r.i + phase) % per
-                          ELSE per - (r.i + phase) % per END) * 2 * amp // per
-                    * (CASE WHEN ((r.i + phase) // per) % 2 = 0
-                            THEN 1 ELSE -1 END)
-          END AS s
-        FROM p CROSS JOIN r2080 r),
-      frm AS (SELECT doc_id, i // 32 AS f, sum(abs(s)) AS e
-        FROM smp GROUP BY 1, 2),
-      eacc AS (SELECT a.doc_id,
-          sum(CASE WHEN a.e > b.e THEN 1::HUGEINT << a.f
-                   ELSE 0::HUGEINT END) AS h
-        FROM frm a JOIN frm b ON a.doc_id = b.doc_id AND b.f = a.f + 1
-        WHERE a.f < 64 GROUP BY 1),
-      asig AS (SELECT doc_id AS media_id,
-          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
-                    ELSE h END AS BIGINT) AS ehash
-        FROM eacc)"""
-
-  /** Replays [[graft.ops.Multimodal.audioSpectralHash]] from first
-    * principles: the [[mmAudioSigSql]] sample formula, the fixed-point
-    * DFT basis interpolated as literals, per-frame 4-bin powers, dominant
-    * bin by (power DESC, k ASC), 2-bit symbols packed through HUGEINT. */
-  private def mmSpectralSigSql: String = {
-    val cosT = graft.ops.Multimodal.DftCos
-    val sinT = graft.ops.Multimodal.DftSin
-    val rows = (for (k <- 0 until 4; t <- 0 until 32)
-      yield s"($k, $t, ${cosT(k)(t)}, ${sinT(k)(t)})").mkString(", ")
-    s"""WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
-      p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
-          32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
-          (doc_id % 61) * 32 AS cut0
-        FROM documents),
-      smp AS (SELECT p.doc_id, r.i,
-          CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
-               ELSE (CASE WHEN (r.i + phase) % per < per // 2
-                          THEN (r.i + phase) % per
-                          ELSE per - (r.i + phase) % per END) * 2 * amp // per
-                    * (CASE WHEN ((r.i + phase) // per) % 2 = 0
-                            THEN 1 ELSE -1 END)
-          END AS s
-        FROM p CROSS JOIN r2080 r),
-      basis(k, t, cb, sb) AS (SELECT * FROM (VALUES $rows)
-        AS b(k, t, cb, sb)),
-      fr AS (SELECT doc_id, i // 32 AS f, i % 32 AS t, s AS x FROM smp
-        WHERE i < 1024),
-      pw AS (SELECT fr.doc_id, fr.f, b.k,
-          CAST(sum(x * cb) AS BIGINT) AS re,
-          CAST(sum(x * sb) AS BIGINT) AS im
-        FROM fr JOIN basis b ON b.t = fr.t GROUP BY 1, 2, 3),
-      dom AS (SELECT doc_id, f, k AS sym FROM (
-          SELECT doc_id, f, k, row_number() OVER (PARTITION BY doc_id, f
-            ORDER BY re * re + im * im DESC, k ASC) AS rn
-          FROM pw) WHERE rn = 1),
-      sacc AS (SELECT doc_id,
-          sum(CAST(sym AS HUGEINT) << (2 * f)) AS h
-        FROM dom GROUP BY 1),
-      ssig AS (SELECT doc_id AS media_id,
-          CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
-                    ELSE h END AS BIGINT) AS shash
-        FROM sacc)"""
-  }
-
-  private val mmQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // Spectral acoustic fingerprint (Multimodal.audioSpectralHash) over
-    // REAL decoded WAV bytes: per 32-sample frame an exact-integer 4-bin
-    // DFT power, dominant bin -> 2-bit symbol, 32 frames packed into one
-    // BIGINT — the frequency-domain complement of the energy hash
-    // (amplitude-invariant by argmax). Oracle replays samples AND the
-    // full transform from the shared fixed-point basis.
-    ("q_mm_audio_spectral",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
-        Multimodal.audioSpectralHash(wavs).toDF()
-          .select(col("media_id"), col("shash"))
-      },
-      Some(mmSpectralSigSql + "\nSELECT media_id, shash FROM ssig")),
-
-    // Acoustic fingerprinting over REAL decoded WAV bytes, full oracle —
-    // the audio twin of q_mm_ahash: Spark writes and codec-decodes every
-    // clip; DuckDB replays the samples from the integer formula
-    ("q_mm_audio_hash",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
-        Multimodal.audioEnergyHash(wavs).toDF()
-          .select(col("media_id"), col("ehash"))
-      },
-      Some(mmAudioSigSql + "\nSELECT media_id, ehash FROM asig")),
-
-    // corpus-wide acoustic near-dup pairs through the shared Manku blocked
-    // search — must equal the oracle's brute-force hamming join
-    ("q_mm_audio_pairs",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
-        Dedup.hammingNearDups(
-          Multimodal.audioEnergyHash(wavs).toDF()
-            .select(col("media_id").as("doc_id"), col("ehash").as("simhash")),
-          bits = 64, maxHamming = 3, blocks = 6, maxBucket = 0)
-      },
-      Some(s"""$mmAudioSigSql
-        SELECT a.media_id AS doc1, b.media_id AS doc2,
-          CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
-        FROM asig a JOIN asig b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.ehash, b.ehash)) <= 3""")),
-
-    // Energy-threshold VAD segmentation (Multimodal.audioActivity) over
-    // REAL decoded WAV bytes: active = frame energy strictly above the
-    // clip mean (amplitude-invariant), segments = maximal active runs,
-    // run-length scan inside the per-clip map (no shuffle). Oracle
-    // replays samples, the 65-frame energies, and the gaps-and-islands
-    // run arithmetic from the integer formula.
-    ("q_mm_audio_vad",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
-        Multimodal.audioActivity(wavs).toDF()
-      },
-      Some("""WITH r2080 AS (SELECT unnest(range(0, 2080)) AS i),
-        p AS (SELECT doc_id, 6000 + (doc_id // 10 % 50) * 50 AS amp,
-            32 + (doc_id // 10 % 5) * 16 AS per, doc_id // 10 % 97 AS phase,
-            (doc_id % 61) * 32 AS cut0
-          FROM documents),
-        smp AS (SELECT p.doc_id, r.i,
-            CASE WHEN r.i >= cut0 AND r.i < cut0 + 64 THEN 0
-                 ELSE (CASE WHEN (r.i + phase) % per < per // 2
-                            THEN (r.i + phase) % per
-                            ELSE per - (r.i + phase) % per END) * 2 * amp
-                      // per
-                      * (CASE WHEN ((r.i + phase) // per) % 2 = 0
-                              THEN 1 ELSE -1 END)
-            END AS s
-          FROM p CROSS JOIN r2080 r),
-        frm AS (SELECT doc_id, i // 32 AS f, sum(abs(s)) AS e
-          FROM smp GROUP BY 1, 2),
-        tote AS (SELECT doc_id, sum(e) AS tot FROM frm GROUP BY 1),
-        act AS (SELECT frm.doc_id, f, e,
-            CASE WHEN e * 65 > tot THEN 1 ELSE 0 END AS a
-          FROM frm JOIN tote USING (doc_id)),
-        isl AS (SELECT doc_id, f, a,
-            f - row_number() OVER (PARTITION BY doc_id, a ORDER BY f)
-              AS grp
-          FROM act),
-        runs AS (SELECT doc_id, count(*) AS len FROM isl WHERE a = 1
-          GROUP BY doc_id, grp),
-        seg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-            CAST(max(len) AS BIGINT) AS longest_run FROM runs GROUP BY 1)
-        SELECT tote.doc_id AS media_id, CAST(65 AS BIGINT) AS n_frames,
-          na.n_active, coalesce(seg.n_segments, 0) AS n_segments,
-          coalesce(seg.longest_run, 0) AS longest_run,
-          CAST(tote.tot AS BIGINT) AS total_energy
-        FROM tote
-        JOIN (SELECT doc_id, CAST(sum(a) AS BIGINT) AS n_active FROM act
-          GROUP BY 1) na USING (doc_id)
-        LEFT JOIN seg USING (doc_id)""")),
-
-    // Shot-boundary detection (Multimodal.sceneCuts): every 'video' doc
-    // gets 12 REAL-codec frames (4-frame shots — the frame pattern seed
-    // advances every 4 frames), aHash per frame in the scan stage, cut =
-    // consecutive hamming strictly > 16 bits. Oracle replays the frame
-    // pixels (seed fid = (doc_id*4 + k/4)*10), the hash, and the lag
-    // arithmetic with no codec.
-    ("q_mm_scene_cuts",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val frames = t(s, d, "documents").select(col("doc_id"))
-          .where(col("doc_id") % 3 === 2)
-          .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("k"))
-          .as[(Long, Int)]
-          .map { case (id, k) =>
-            (id, k,
-              Multimodal.syntheticPngFamily((id * 4 + k / 4) * 10, 32, 24)) }
-        Multimodal.sceneCuts(frames, threshold = 16)
-      },
-      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
-        fr AS (SELECT doc_id AS media_id, unnest(range(0, 12)) AS k
-          FROM documents WHERE doc_id % 3 = 2),
-        fid AS (SELECT media_id, k, (media_id * 4 + k // 4) * 10 AS fv
-          FROM fr),
-        cell AS (SELECT media_id, k, fv, cy.i * 8 + cx.i AS bit,
-            cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
-          FROM fid CROSS JOIN g8 cx CROSS JOIN g8 cy),
-        lum AS (SELECT media_id, k, bit,
-            (((sx * 255 // 31 + (fv // 10 % 7) * 36) % 256) * 299 +
-             ((sy * 255 // 23 + (fv // 10 % 11) * 23) % 256) * 587 +
-             (CASE WHEN sy = fv % 24
-                   THEN 255 - ((sx + sy + fv // 10) % 8) * 32
-                   ELSE ((sx + sy + fv // 10) % 8) * 32 END) * 114)
-              // 1000 AS l
-          FROM cell),
-        tot AS (SELECT media_id, k, sum(l) AS t FROM lum GROUP BY 1, 2),
-        acc AS (SELECT lum.media_id, lum.k,
-            sum(CASE WHEN lum.l * 64 > tot.t THEN 1::HUGEINT << lum.bit
-                     ELSE 0::HUGEINT END) AS h
-          FROM lum JOIN tot USING (media_id, k) GROUP BY 1, 2),
-        sig AS (SELECT media_id, k,
-            CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
-                      ELSE h END AS BIGINT) AS ahash
-          FROM acc),
-        stp AS (SELECT media_id, k,
-            bit_count(xor(ahash, lag(ahash) OVER (PARTITION BY media_id
-              ORDER BY k))) AS ham
-          FROM sig)
-        SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
-          CAST(sum(CASE WHEN ham > 16 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_cuts,
-          CAST(coalesce(sum(CASE WHEN ham > 16 THEN ham END), 0) AS BIGINT)
-            AS sum_cut_hamming,
-          CAST(coalesce(max(ham), 0) AS BIGINT) AS max_hamming
-        FROM stp GROUP BY 1""")),
-
-    // REAL codec round trip (rows-only: DuckDB cannot decode PNG): build
-    // deterministic compressed PNGs in the executors, resize 32x24 -> 8x6
-    // nearest-neighbor, decode with javax.imageio, emit exact pixel sums.
-    // doc_id drives the pattern so the distributed build is reproducible
-    // Perceptual image hashing over REAL decoded PNG bytes — with a FULL
-    // oracle: the family-pattern pixels are pure integer arithmetic of
-    // (x, y, id) and PNG is lossless, so DuckDB replays the decoded 8x8
-    // luma grid (sx = x*32//8, sy = y*24//8) and the strict-majority bit
-    // rule from the formula, no codec needed. Spark actually encodes and
-    // decodes every image (javax.imageio) — the codec path is exercised,
-    // the values are engine-checkable. Sign bit via HUGEINT wrap.
-    ("q_mm_ahash",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Multimodal.imageAHash(pngs).toDF()
-          .select(col("media_id"), col("ahash"))
-      },
-      Some(mmAhashSigSql + "\nSELECT media_id, ahash FROM sig")),
-
-    // corpus-wide perceptual near-dup pairs: the 64-bit aHash through the
-    // same Manku blocked search as text simhash (exact recall at
-    // maxHamming < blocks) — must equal the oracle's brute-force hamming
-    // join over the replayed signatures
-    ("q_mm_ahash_pairs",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Dedup.hammingNearDups(
-          Multimodal.imageAHash(pngs).toDF()
-            .select(col("media_id").as("doc_id"), col("ahash").as("simhash")),
-          bits = 64, maxHamming = 3, blocks = 6, maxBucket = 0)
-      },
-      Some(s"""$mmAhashSigSql
-        SELECT a.media_id AS doc1, b.media_id AS doc2,
-          CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
-        FROM sig a JOIN sig b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""")),
-
-    // Whole-bit luminance entropy (Multimodal.imageEntropy) — the
-    // flat-image / screenshot quality gate: Σ c·(bits(64) − bits(c)) over
-    // the 8x8 luma sample, exact integers (the image-space twin of the
-    // surprisal trick). Oracle replays pixels + the bit arithmetic.
-    ("q_mm_entropy",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Multimodal.imageEntropy(pngs).toDF()
-      },
-      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
-        cell AS (SELECT d.doc_id, cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
-          FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
-        lum AS (SELECT doc_id,
-            (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
-             ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
-             (CASE WHEN sy = doc_id % 24
-                   THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
-                   ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
-              // 1000 AS l
-          FROM cell),
-        cnt AS (SELECT doc_id, l, count(*) AS c FROM lum GROUP BY 1, 2)
-        SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_levels,
-          CAST(sum(c * (length(bin(64)) - length(bin(c)))) AS BIGINT)
-            AS entropy_bits_x64
-        FROM cnt GROUP BY doc_id""")),
-
-    // Laplacian blur gate (Multimodal.imageSharpness): exact-integer
-    // 4-neighbour Laplacian over the 8x8 decoded-luma grid, interior sum
-    // + max. Oracle rebuilds the pixels and the stencil via four
-    // grid-shifted self-joins.
-    ("q_mm_sharpness",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Multimodal.imageSharpness(pngs).toDF()
-      },
-      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
-        cell AS (SELECT d.doc_id, cx.i AS gx, cy.i AS gy,
-            cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
-          FROM documents d CROSS JOIN g8 cx CROSS JOIN g8 cy),
-        lum AS (SELECT doc_id, gx, gy,
-            (((sx * 255 // 31 + (doc_id // 10 % 7) * 36) % 256) * 299 +
-             ((sy * 255 // 23 + (doc_id // 10 % 11) * 23) % 256) * 587 +
-             (CASE WHEN sy = doc_id % 24
-                   THEN 255 - ((sx + sy + doc_id // 10) % 8) * 32
-                   ELSE ((sx + sy + doc_id // 10) % 8) * 32 END) * 114)
-              // 1000 AS l
-          FROM cell),
-        lap AS (SELECT c.doc_id,
-            abs(4 * c.l - lw.l - le.l - ln.l - ls.l) AS v
-          FROM lum c
-          JOIN lum lw ON lw.doc_id = c.doc_id AND lw.gx = c.gx - 1
-            AND lw.gy = c.gy
-          JOIN lum le ON le.doc_id = c.doc_id AND le.gx = c.gx + 1
-            AND le.gy = c.gy
-          JOIN lum ln ON ln.doc_id = c.doc_id AND ln.gx = c.gx
-            AND ln.gy = c.gy - 1
-          JOIN lum ls ON ls.doc_id = c.doc_id AND ls.gx = c.gx
-            AND ls.gy = c.gy + 1
-          WHERE c.gx BETWEEN 1 AND 6 AND c.gy BETWEEN 1 AND 6)
-        SELECT doc_id AS media_id, CAST(sum(v) AS BIGINT) AS sharpness,
-          CAST(max(v) AS BIGINT) AS lap_max
-        FROM lap GROUP BY 1""")),
-
-    // DCT perceptual hash (Multimodal.imagePHash) over the REAL decoded
-    // PNGs: exact-integer 8x8 DCT-II (fixed-point basis shared with the
-    // oracle as literals), bits = AC coefficient vs the 32nd-smallest-
-    // of-63 order-statistic median. Spectral-shape dedup where aHash is
-    // luminance-threshold dedup — catches brightness/contrast-shifted
-    // duplicates. Oracle rebuilds pixels from first principles and
-    // replays the full transform.
-    ("q_mm_phash",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Multimodal.imagePHash(pngs).toDF()
-          .select(col("media_id"), col("phash"))
-      },
-      Some(mmPhashSigSql + "\nSELECT media_id, phash FROM psig")),
-
-    // Per-tile perceptual signatures (2x2 tiles, 16-bit hashes) over the
-    // REAL decoded PNGs — the partial-overlap index; oracle rebuilds the
-    // pixels from first principles
-    ("q_mm_tiles",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        Multimodal.imageTileHash(pngs).toDF()
-      },
-      Some(s"""$mmTileSigSql
-        SELECT doc_id AS media_id, CAST(tile AS INTEGER) AS tile, thash
-        FROM acc""")),
-
-    // Partial-overlap pairs: images sharing >= 2 RARE tile hashes (tile
-    // document frequency <= 8 — flat/boilerplate tiles are the image-
-    // space hot shingles and are excluded exactly like text dedup's hot
-    // grams). Catches collage/crop reuse that whole-image hamming misses.
-    ("q_mm_tile_pairs",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
-        // persisted: rare-filter, posting join and self-join all reference
-        // this subtree, and each re-execution would re-encode + re-decode
-        // every PNG (codec CPU dominates — the opposite tradeoff from
-        // ppjoin's cheap codegen'd prefix subtree, where a persist LOST)
-        val th = Multimodal.imageTileHash(pngs).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rare = th.groupBy("tile", "thash")
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 8)
-          .select("tile", "thash")
-        val ra = th.join(rare, Seq("tile", "thash"))
-        ra.as("a").join(ra.as("b"),
-            col("a.tile") === col("b.tile") &&
-              col("a.thash") === col("b.thash") &&
-              col("a.media_id") < col("b.media_id"))
-          .groupBy(col("a.media_id").as("doc1"),
-            col("b.media_id").as("doc2"))
-          .agg(count(lit(1)).as("n_shared_tiles"))
-          .filter(col("n_shared_tiles") >= 2)
-      },
-      Some(s"""$mmTileSigSql,
-        rare AS (SELECT tile, thash FROM acc GROUP BY 1, 2
-                 HAVING count(*) BETWEEN 2 AND 8),
-        ra AS (SELECT acc.* FROM acc JOIN rare USING (tile, thash))
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-          count(*) AS n_shared_tiles
-        FROM ra a JOIN ra b ON a.tile = b.tile AND a.thash = b.thash
-          AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2""")),
-
-    ("q_mm_decode",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticPng(id, 32, 24)))
-        Multimodal.decodeImages(Multimodal.resizeImages(pngs, 8, 6))
-          .toDF().select(col("media_id"), col("width"), col("height"),
-            col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
-      },
-      None),
-
-    // REAL audio codec (rows-only): deterministic PCM triangle waves built
-    // and WAV-decoded in the executors; exact peak/sum statistics out
-    ("q_mm_wav",
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
-          .map(id => (id, Multimodal.syntheticWav(id, 16000,
-            320 + (id % 7).toInt * 64)))
-        Multimodal.decodeWav(wavs).toDF()
-      },
-      None),
-
-    ("q_mm_meta",
-      (s: SparkSession, d: String) => Multimodal.metadataSummary(
-          Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
-        .select(col("kind"), col("format"), col("n"),
-          col("total_ms").cast("bigint").as("total_ms")),
-      Some("""SELECT
-          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-               WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
-          count(*) AS n,
-          CAST(sum(CAST(n_chars * 10 AS INTEGER)) AS BIGINT) AS total_ms
-        FROM documents GROUP BY 1, 2""")),
-
-    ("q_mm_features",
-      (s: SparkSession, d: String) => {
-        val feats = Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
-        feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
-          size(col("feature")).as("feature_dim"))
-      },
-      Some("""SELECT doc_id AS media_id,
-          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-          16 AS feature_dim
-        FROM documents""")))
-
-  // ===================================================== sources & sinks
-
-  private val sourceQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // S4 + K1/K2 — csv.gz write with header, schema-less read back, casts
-    // re-applied (the reference's raw-zone round trip)
-    ("q_src_csv_roundtrip",
-      (s: SparkSession, d: String) => {
-        val out = scratch("csv") + "/raw"
-        val src = t(s, d, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"))
-        graft.sources.RawZone.writeRawCsv(src, out, overwrite = true)
-        graft.sources.RawZone.readRawCsv(s, out).select(
-          col("l_orderkey").cast("bigint").as("l_orderkey"),
-          col("l_linenumber").cast("int").as("l_linenumber"),
-          col("l_returnflag"), col("ship"))
-      },
-      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
-        strftime(l_shipdate, '%Y-%m-%d') AS ship FROM lineitem""")),
-
-    // Federated multi-format union: the same region dim served from
-    // parquet, CSV and ORC, unified under one schema and aggregated —
-    // the lake reality where history lives in one format and fresh loads
-    // in another. Schema alignment is explicit casts at the source reads
-    // (unionByName after normalization); each branch keeps its own
-    // format-native scan. Oracle: each region appears once per format.
-    ("q_src_federated",
-      (s: SparkSession, d: String) => {
-        val base = t(s, d, "region")
-          .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
-            col("r_name"))
-        val tmp = scratch("fed")
-        graft.sources.RawZone.writeRawCsv(base, s"$tmp/csv",
-          overwrite = true)
-        base.write.mode("overwrite").orc(s"$tmp/orc")
-        val fromCsv = graft.sources.RawZone.readRawCsv(s, s"$tmp/csv")
-          .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
-            col("r_name"))
-        val fromOrc = s.read.orc(s"$tmp/orc")
-        base.withColumn("fmt", lit("parquet"))
-          .unionByName(fromCsv.withColumn("fmt", lit("csv")))
-          .unionByName(fromOrc.withColumn("fmt", lit("orc")))
-          .groupBy("r_regionkey", "r_name")
-          .agg(count(lit(1)).as("n_copies"),
-            count_distinct(col("fmt")).as("n_formats"))
-      },
-      Some("""SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
-          CAST(3 AS BIGINT) AS n_copies, CAST(3 AS BIGINT) AS n_formats
-        FROM region""")),
-
-    // ORC round trip: the second columnar format a lake interoperates
-    // with — typed write + read-back, verified lossless against the
-    // parquet-sourced oracle
-    ("q_src_orc",
-      (s: SparkSession, d: String) => {
-        val out = scratch("orc") + "/docs"
-        t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
-          .write.mode("overwrite").orc(out)
-        s.read.orc(out)
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
-            col("lang"), col("n_chars"))
-      },
-      Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
-        FROM documents""")),
-
-    // Schema evolution on READ: two partition directories with different
-    // schemas (a column added mid-stream) merged by mergeSchema + partition
-    // discovery — the old partition reads the new column as NULL, no
-    // rewrite of old data. The oracle recomputes both generations from the
-    // source table
-    ("q_src_evolved",
-      (s: SparkSession, d: String) => {
-        val out = scratch("evo") + "/orders"
-        val o = t(s, d, "orders")
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_custkey")
-          .write.mode("overwrite").parquet(out + "/gen=old")
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("overwrite").parquet(out + "/gen=new")
-        s.read.option("mergeSchema", "true").parquet(out)
-          .select("o_orderkey", "o_custkey", "o_totalprice", "gen")
-      },
-      Some("""SELECT o_orderkey, o_custkey,
-          CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice,
-          CASE WHEN o_orderkey % 2 = 1 THEN 'new' ELSE 'old' END AS gen
-        FROM orders""")),
-
-    // Snapshot-committed table round trip: two commits + a vacuum, read
-    // through the pointer — the commit protocol (atomic pointer flip,
-    // immutable versions, retention) exercised end-to-end; the oracle is
-    // the second commit's content
-    ("q_snapshot_roundtrip",
-      (s: SparkSession, d: String) => {
-        val root = scratch("snap") + "/orders"
-        val src = t(s, d, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_custkey")
-        graft.write.SnapshotStore.commit(
-          src.filter(col("o_orderkey") % 2 === 0), root)
-        graft.write.SnapshotStore.commit(src, root,
-          partitionCols = Seq("o_orderstatus"))
-        graft.write.SnapshotStore.vacuum(root, keep = 1)
-        graft.write.SnapshotStore.read(s, root)
-          .select("o_orderkey", "o_orderstatus", "o_custkey")
-      },
-      Some("SELECT o_orderkey, o_orderstatus, o_custkey FROM orders")),
-
-    // Change-data feed between two snapshot versions (Delta CDF's
-    // table_changes, re-derived from immutable snapshots): v0 = even
-    // orderkeys, v1 = keys not divisible by 3 with o_custkey bumped on
-    // multiples of 4 -> odd non-3-multiples are inserts, even 3-multiples
-    // deletes, 4-multiples (not div 3) updates; the oracle recomputes the
-    // classification from the same predicates over the source table
-    ("q_snapshot_changes",
-      (s: SparkSession, d: String) => {
-        val root = scratch("cdc") + "/orders"
-        val src = t(s, d, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_custkey")
-        graft.write.SnapshotStore.commit(
-          src.filter(col("o_orderkey") % 2 === 0), root)
-        graft.write.SnapshotStore.commit(
-          src.filter(col("o_orderkey") % 3 =!= 0)
-            .withColumn("o_custkey", when(col("o_orderkey") % 4 === 0,
-              col("o_custkey") + 1).otherwise(col("o_custkey"))), root)
-        graft.write.SnapshotStore.changesBetween(s, root, 0L, 1L,
-          Seq("o_orderkey"))
-      },
-      Some("""WITH src AS (SELECT o_orderkey, o_orderstatus, o_custkey
-            FROM orders)
-        SELECT o_orderkey, 'insert' AS change_op, o_orderstatus, o_custkey
-          FROM src WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 <> 0
-        UNION ALL
-        SELECT o_orderkey, 'delete', o_orderstatus, o_custkey
-          FROM src WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
-        UNION ALL
-        SELECT o_orderkey, 'update', o_orderstatus, o_custkey + 1
-          FROM src WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0""")),
-
-    // JSONL round trip (write -> declared-schema read): lossless through
-    // JSON string escaping — verified via md5 over the full text body
-    ("q_src_jsonl",
-      (s: SparkSession, d: String) => {
-        val out = scratch("jsonl") + "/docs"
-        graft.sources.RawZone.writeJsonl(
-          t(s, d, "documents").select("doc_id", "text", "lang", "n_chars"),
-          out, overwrite = true)
-        graft.sources.RawZone.readJsonl(s, out,
-            "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT")
-          .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
-            col("lang"), col("n_chars"))
-      },
-      Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
-        FROM documents""")),
-
-    // Malformed-record tolerance: a JSONL feed with broken lines must load
-    // the good rows and COUNT the bad ones (PERMISSIVE parse, corrupt
-    // lines land in a rescue column) — silently dropping them is how a
-    // 100 TB ingest loses data without anyone noticing. Three known-bad
-    // lines are injected among the real export; the oracle states the
-    // expected census directly.
-    ("q_src_jsonl_bad",
-      (s: SparkSession, d: String) => {
-        val dir = scratch("jsonl_bad") + "/docs"
-        graft.sources.RawZone.writeJsonl(
-          t(s, d, "documents").select("doc_id", "lang"),
-          dir, overwrite = true)
-        // corrupt lines: truncated JSON, non-JSON garbage, wrong bracket
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, "bad.json"),
-          "{\"doc_id\": 1, \"lang\"\nnot json at all\n[3, 4]\n"
-            .getBytes("UTF-8"))
-        s.read.schema("doc_id BIGINT, lang STRING, _corrupt_record STRING")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(dir)
-          .agg(count(lit(1)).as("n_lines"),
-            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
-              .as("n_bad"),
-            count_distinct(col("lang")).as("n_langs"))
-      },
-      Some("""SELECT count(*) + 3 AS n_lines, CAST(3 AS BIGINT) AS n_bad,
-          count(DISTINCT lang) AS n_langs
-        FROM documents""")),
-
-    // S1/S3 ORACLE-CHECKED — the reference's flagship JDBC extraction
-    // executed against a LIVE embedded database inside the query: a
-    // bounded deterministic subset of `orders` is loaded into in-memory
-    // Derby (driver-side JDBC batch — harness setup bounded by the key
-    // filter literal, not a data-path collect), then extracted back
-    // through the SAME generated SQL production uses (P4/P6 projection +
-    // key alias, P3 window predicate) via the Spark-partitioned bounded
-    // read (S3: executors issue the per-range queries; bounds control the
-    // stride, the window predicate lives in the pushed subquery). The
-    // oracle recomputes the window from the original parquet — a JDBC
-    // round-trip fidelity proof, not just a spec.
-    ("q_src_jdbc",
-      (s: SparkSession, d: String) => {
-        val url = "jdbc:derby:memory:graftq;create=true"
-        val drv = "org.apache.derby.jdbc.EmbeddedDriver"
-        Class.forName(drv)
-        val rows = t(s, d, "orders")
-          .filter(col("o_orderkey") <= 20000)
-          .select(col("o_orderkey").cast("long"),
-            col("o_custkey").cast("long"), col("o_orderstatus"),
-            cents(col("o_totalprice")),
-            date_format(col("o_orderdate"), "yyyy-MM-dd"))
-          .collect()
-        val c = java.sql.DriverManager.getConnection(url)
-        try {
-          val st = c.createStatement()
-          // Derby has no IF EXISTS: idempotent re-create for repeated
-          // invocations (bench warm-up runs every query twice)
-          try st.executeUpdate("DROP TABLE GRAFT.ORDERS_SRC")
-          catch { case _: java.sql.SQLException => () }
-          try st.executeUpdate("CREATE SCHEMA GRAFT")
-          catch { case _: java.sql.SQLException => () }
-          st.executeUpdate("""CREATE TABLE GRAFT.ORDERS_SRC(
-            O_ORDERKEY BIGINT NOT NULL PRIMARY KEY, O_CUSTKEY BIGINT,
-            O_ORDERSTATUS VARCHAR(1), CENTS BIGINT, O_DATE VARCHAR(10))""")
-          val ps = c.prepareStatement(
-            "INSERT INTO GRAFT.ORDERS_SRC VALUES (?,?,?,?,?)")
-          rows.foreach { r =>
-            ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
-            ps.setString(3, r.getString(2)); ps.setLong(4, r.getLong(3))
-            ps.setString(5, r.getString(4)); ps.addBatch()
-          }
-          ps.executeBatch()
-          st.close(); ps.close()
-        } finally c.close()
-        val baseQ = Incremental.fullQuery("GRAFT", "ORDERS_SRC",
-          "o_custkey,o_orderstatus,cents,o_date", idColumn = "o_orderkey")
-        val pred = Incremental.windowPredicateSql("o_orderkey",
-          "4000", "16000")
-        // the projection aliased the key to `id` (P6) — Spark's partition
-        // column must name the SUBQUERY's output column
-        graft.sources.JdbcSource.readPartitioned(s, url, drv,
-            s"($baseQ where $pred) AS src", "id", "4000", "16000",
-            numPartitions = 4)
-          .select(col("id").cast("bigint").as("o_orderkey"),
-            col("o_custkey").cast("bigint").as("o_custkey"),
-            col("o_orderstatus"), col("cents").cast("bigint").as("cents"),
-            col("o_date"))
-      },
-      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
-          ${centsSql("o_totalprice")} AS cents,
-          strftime(o_orderdate, '%Y-%m-%d') AS o_date
-        FROM orders
-        WHERE o_orderkey <= 20000 AND o_orderkey BETWEEN 4000 AND 16000""")),
-
-    // S5 — every TimestampType column shifted UTC -> Lima (-5h)
-    ("q_src_tz_shift",
-      (s: SparkSession, d: String) =>
-        graft.sources.RawZone.shiftTimestamps(t(s, d, "events"))
-          .select(col("event_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_lima")),
-      Some("""SELECT event_id,
-        strftime(ts - INTERVAL 5 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS ts_lima
-        FROM events""")),
-
-    // D1 — full-row distinct (load_with_query.py:169)
-    ("q_distinct_full",
-      (s: SparkSession, d: String) => t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus")).dropDuplicates(),
-      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
-
-    // D2 — keyed distinct (dropDuplicates(ids) pre-merge,
-    // aje-stage-dms-load.py:483-485); keys-only output for determinism
-    ("q_distinct_keyed",
-      (s: SparkSession, d: String) => t(s, d, "events")
-        .dropDuplicates(Seq("user_id", "event_type"))
-        .select(col("user_id"), col("event_type")),
-      Some("SELECT DISTINCT user_id, event_type FROM events")),
-
-    // J1 + P6 — free-text JOIN_EXPR lifted to a Spark join + projection-list
-    // with key alias (SELECT {ID_COLUMN} as id, ...)
-    ("q_join_lifted",
-      (s: SparkSession, d: String) => t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation")),
-          expr("c_nationkey = n_nationkey AND n_regionkey <= 2"))
-        .selectExpr("c_custkey as id", "c_name", "n_name"),
-      Some("""SELECT c_custkey AS id, c_name, n_name FROM customer
-        JOIN nation ON c_nationkey = n_nationkey AND n_regionkey <= 2""")),
-
-    // A1 — count action gating empty-input handling
-    ("q_agg_count",
-      (s: SparkSession, d: String) =>
-        t(s, d, "lineitem").agg(count(lit(1)).as("n_rows")),
-      Some("SELECT count(*) AS n_rows FROM lineitem")),
-
-    // §4 nicety — DSL registered in the FunctionRegistry: full-DSL literal
-    // form, expression-positional form, and the native rolling_hash
-    // Expression, all inside ONE spark.sql statement
-    ("q_dsl_sql_registry",
-      (s: SparkSession, d: String) => {
-        graft.functions.Registry.registerAll(s)
-        graft.plans.GraftExpressions.register(s)
-        t(s, d, "customer").createOrReplaceTempView("customer_sqlreg")
-        s.sql("""SELECT c_custkey,
-          fn_transform(
-            'fn_transform_Case_with_default(c_mktsegment,BUILDING|AUTOMOBILE->ba,$oo)',
-            'string') AS seg,
-          fn_transform_concatenate(c_name, c_mktsegment) AS ck,
-          graft_rolling_hash(lower(c_name)) AS rh
-        FROM customer_sqlreg""")
-      },
-      Some("""WITH n AS (SELECT *, lower(c_name) AS lname FROM customer)
-        SELECT c_custkey,
-          CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'ba'
-               ELSE 'oo' END AS seg,
-          concat_ws('|', c_name, c_mktsegment) AS ck,
-          list_reduce(
-            list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(lname) + 1),
-                i -> CAST(unicode(lname[i]) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % 1000000000000000) AS rh
-        FROM n""")),
-
-    // the sketch surface through SQL: graft_kmv_distinct over the native
-    // graft_md5_prefix60 hash, grouped — `expr()`/spark.sql users get the
-    // same bounded-state distinct estimation the Scala API ships, and the
-    // oracle replays each group's sketch (row_number over ordered 60-bit
-    // hashes) bit-for-bit
-    ("q_dsl_sql_sketch",
-      (s: SparkSession, d: String) => {
-        graft.plans.GraftExpressions.register(s)
-        t(s, d, "documents").createOrReplaceTempView("documents_sqlsk")
-        s.sql("""SELECT lang, count(*) AS n_docs,
-            graft_kmv_distinct(
-              graft_md5_prefix60(CAST(doc_id AS STRING)), 64) AS nd_doc_est
-          FROM documents_sqlsk GROUP BY lang""")
-      },
-      Some("""WITH h AS MATERIALIZED (SELECT lang,
-              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT) AS h
-            FROM (SELECT DISTINCT lang, doc_id FROM documents)),
-          r AS (SELECT lang, h,
-              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
-              count(*) OVER (PARTITION BY lang) AS cnt
-            FROM (SELECT DISTINCT lang, h FROM h)),
-          est AS (SELECT lang,
-              CASE WHEN any_value(cnt) < 64 THEN CAST(any_value(cnt) AS DOUBLE)
-                   ELSE 63.0 * 1152921504606846976.0 /
-                     CAST(max(CASE WHEN rn <= 64 THEN h END) AS DOUBLE)
-              END AS nd_doc_est FROM r GROUP BY lang),
-          n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
-        SELECT n.lang, n.n_docs, est.nd_doc_est
-        FROM n JOIN est USING (lang)""")),
-
-    // multimodal frame sampling: one row per sampled frame index per video
-    ("q_mm_frames",
-      (s: SparkSession, d: String) => Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(s, t(s, d, "documents")), everyMs = 5000),
-      Some("""SELECT doc_id AS media_id,
-          unnest(generate_series(0, CAST(n_chars * 10 AS INTEGER), 5000))
-            AS frame_ms
-        FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2""")),
-
-    // multimodal resize (metadata-only stub) through the typed Dataset path
-    ("q_mm_resize",
-      (s: SparkSession, d: String) => Multimodal.resize(
-          Multimodal.mediaFromDocuments(s, t(s, d, "documents")), 64, 48)
-        .toDF().select(col("media_id"), col("kind"), col("width"), col("height")),
-      Some("""SELECT doc_id AS media_id,
-          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-          64 AS width, 48 AS height
-        FROM documents""")),
-
-    // skew-mitigated shuffle join: row-identical to the plain join, hot keys
-    // spread over nSalts reducers
-    // Join-key skew audit (Skew.keyAudit): rows / distinct keys / hottest
-    // key share / ceil(max/avg) salt recommendation per candidate join
-    // key — the measurement that picks plain vs salted vs AQE-split joins
-    // BEFORE the slow shuffle happens. One combine-enabled aggregate per
-    // key; all-integer report.
-    ("q_profile_skew",
-      (s: SparkSession, d: String) => graft.ops.Skew.keyAudit(Seq(
-        (t(s, d, "lineitem"), "l_orderkey", "lineitem.l_orderkey"),
-        (t(s, d, "lineitem"), "l_partkey", "lineitem.l_partkey"),
-        (t(s, d, "lineitem"), "l_suppkey", "lineitem.l_suppkey"),
-        (t(s, d, "orders"), "o_custkey", "orders.o_custkey"))),
-      Some(Seq(("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
-          ("lineitem", "l_suppkey"), ("orders", "o_custkey"))
-        .map { case (tbl, k) =>
-          s"""SELECT '$tbl.$k' AS key_name,
-            CAST(sum(c) AS BIGINT) AS n_rows,
-            count(*) AS n_keys,
-            CAST(max(c) AS BIGINT) AS max_rows,
-            CAST(floor(CAST(max(c) AS DOUBLE) * 1e6 /
-              CAST(sum(c) AS DOUBLE)) AS BIGINT) AS top1_share_ppm,
-            CAST(ceil(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
-              / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS salt_factor
-          FROM (SELECT count(*) AS c FROM $tbl GROUP BY $k)"""
-        }.mkString("\nUNION ALL\n"))),
-
-    ("q_skew_salted_join",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        val o = t(s, d, "orders")
-          .selectExpr("o_orderkey as l_orderkey", "o_orderstatus")
-        graft.ops.Skew.saltedJoin(li, o, Seq("l_orderkey"), nSalts = 8)
-          .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"),
-            (sum(cents(col("l_extendedprice")) *
-              (lit(100L) - cents(col("l_discount")))) / lit(10000.0))
-              .as("revenue"))
-      },
-      Some(s"""SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(${centsSql("l_extendedprice")} *
-                 (100 - ${centsSql("l_discount")})) AS BIGINT) / 10000.0
-          AS revenue
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderstatus""")),
-
-    // catalog registration (crawlers_job analog): write a partitioned stage
-    // Column-level lineage extracted FROM THE PLAN of a join+aggregate
-    // pipeline (Lineage.columnLineage — pure driver-side plan walk, no
-    // data pass, no job): each output column maps to the source-relation
-    // columns whose values reach it. The oracle is the literal expected
-    // edge set — plan-derived metadata is deterministic and SF-invariant.
-    ("q_meta_lineage",
-      (s: SparkSession, d: String) => {
-        val q = t(s, d, "lineitem")
-          .join(t(s, d, "orders"),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("o_orderpriority").as("prio"))
-          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue"))
-        graft.meta.Lineage.columnLineage(q)
-      },
-      Some("""SELECT * FROM (VALUES
-          ('prio', 'orders.parquet', 'o_orderpriority'),
-          ('revenue', 'lineitem.parquet', 'l_discount'),
-          ('revenue', 'lineitem.parquet', 'l_extendedprice'))
-        AS t(out_col, source, src_col)""")),
-
-    // table, register it, and read it back BY NAME through the catalog —
-    // content must equal a plain scan of the same source rows
-    ("q_catalog_register",
-      (s: SparkSession, d: String) => {
-        // Deterministic path per source dir + a fresh registration each run:
-        // re-invocations (Bench warmup then timed pass, possibly different
-        // SF dirs) must re-point LOCATION at THIS run's data, not reuse a
-        // stale first-registration temp dir, and must not leak a dir per run.
-        val path = sys.props("java.io.tmpdir") + "/graft_catreg_" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
-        val src = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"))
-        MergeWriter.writeSwap(src, path, partitionCols = Seq("o_orderstatus"))
-        val db = graft.write.CatalogRegistry
-          .stageDatabaseName("graft", "mssql", "ep_bench")
-        s.sql(s"DROP TABLE IF EXISTS `$db`.`orders_stage`")
-        graft.write.CatalogRegistry.registerStage(s, db, "orders_stage", path,
-          Seq("o_orderstatus"))
-        s.table(s"$db.orders_stage")
-          .select(col("o_orderkey"), col("o_orderstatus"))
-      },
-      Some("SELECT o_orderkey, o_orderstatus FROM orders")),
-
-    // A4 — BIGINT-epoch watermark conversion round trip
-    ("q_incr_epoch",
-      (s: SparkSession, d: String) => {
-        import graft.incr.Incremental
-        t(s, d, "events").select(col("event_id"),
-          Incremental.timestampToEpoch(col("ts")).as("epoch_s"),
-          date_format(Incremental.epochToTimestamp(
-              Incremental.timestampToEpoch(col("ts"))),
-            "yyyy-MM-dd HH:mm:ss").as("ts_rt"))
-      },
-      Some("""SELECT event_id,
-          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
-          strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_rt
-        FROM events""")),
-
-    // K7 — small-file compaction round trip: content identical after rewrite
-    // Partition pruning round trip: write partitioned by status, read
-    // with a partition predicate — the scan must touch ONLY the matching
-    // directory (PlanShapeSpec pins PartitionFilters on the scan node;
-    // this query pins the content). At 100 TB, pruning is the difference
-    // between scanning a status's slice and scanning the lake.
-    // Zone-map skippability audit: the same rows under two layouts —
-    // hash-bucketed by orderkey vs value-clustered by price — and, per
-    // layout, how many zones (and rows) a `price > $300k` scan could
-    // SKIP from min/max zone stats alone. The number that justifies
-    // clustering/Z-order spend: hash zones all straddle the predicate
-    // (skip ~0), value zones are disjoint (skip ~everything below the
-    // cut). One pass: a 2x scan-stage fan-out (layout tag), one
-    // combine-enabled zone-stats aggregate, one layout-level rollup.
-    ("q_maint_zonemap",
-      (s: SparkSession, d: String) => {
-        val cut = 30000000L // cents: $300k
-        val o = t(s, d, "orders").select(col("o_orderkey"),
-          cents(col("o_totalprice")).as("pc"))
-        val tagged = o.select(col("pc"), explode(array(
-          struct(lit("hash64").as("layout"),
-            pmod(col("o_orderkey"), lit(64L)).as("zone")),
-          struct(lit("value_clustered").as("layout"),
-            expr("pc div 2000000L").as("zone")))).as("s"))
-          .select(col("s.layout").as("layout"), col("s.zone").as("zone"),
-            col("pc"))
-        val zones = tagged.groupBy("layout", "zone")
-          .agg(count(lit(1)).as("n_rows"), max("pc").as("max_pc"))
-        zones.groupBy("layout")
-          .agg(count(lit(1)).as("n_zones"),
-            sum(when(col("max_pc") <= cut, 1L).otherwise(0L))
-              .as("n_skippable"),
-            sum("n_rows").as("rows_total"),
-            sum(when(col("max_pc") <= cut, col("n_rows")).otherwise(0L))
-              .as("rows_skipped"))
-          .select(col("layout"), col("n_zones"), col("n_skippable"),
-            col("rows_total"), col("rows_skipped"),
-            floor(col("rows_skipped").cast("double") * lit(1e6) /
-              col("rows_total").cast("double")).cast("long")
-              .as("skip_ppm"))
-      },
-      Some(s"""WITH o AS (SELECT o_orderkey,
-            ${centsSql("o_totalprice")} AS pc FROM orders),
-        tagged AS (
-          SELECT 'hash64' AS layout, o_orderkey % 64 AS zone, pc FROM o
-          UNION ALL
-          SELECT 'value_clustered', pc // 2000000, pc FROM o),
-        z AS (SELECT layout, zone, count(*) AS n_rows,
-            CAST(max(pc) AS BIGINT) AS max_pc
-          FROM tagged GROUP BY 1, 2),
-        a AS (SELECT layout, count(*) AS n_zones,
-            CAST(sum(CASE WHEN max_pc <= 30000000 THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_skippable,
-            CAST(sum(n_rows) AS BIGINT) AS rows_total,
-            CAST(sum(CASE WHEN max_pc <= 30000000 THEN n_rows ELSE 0 END)
-              AS BIGINT) AS rows_skipped
-          FROM z GROUP BY 1)
-        SELECT layout, n_zones, n_skippable, rows_total, rows_skipped,
-          CAST(floor(CAST(rows_skipped AS DOUBLE) * 1e6
-            / CAST(rows_total AS DOUBLE)) AS BIGINT) AS skip_ppm
-        FROM a""")),
-
-    ("q_maint_prune",
-      (s: SparkSession, d: String) => {
-        val out = scratch("prune") + "/orders"
-        t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-        s.read.parquet(out).filter(col("o_orderstatus") === "F")
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"))
-      },
-      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-        WHERE o_orderstatus = 'F'""")),
-
-    ("q_maint_compact",
-      (s: SparkSession, d: String) => {
-        val out = scratch("compact") + "/t"
-        val src = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderstatus"))
-        src.repartition(16).write.mode("overwrite").parquet(out) // many files
-        MergeWriter.compact(s, out, target = 1)
-        assert(new java.io.File(out).listFiles()
-          .count(_.getName.endsWith(".parquet")) == 1)
-        s.read.parquet(out)
-      },
-      Some("SELECT o_orderkey, o_orderstatus FROM orders")),
-
-    // Data-skipping layout maintenance: range-clustered sorted rewrite
-    // (Bucketing.writeClustered); content must round-trip unchanged while
-    // every file covers a disjoint o_orderkey range
-    ("q_maint_cluster",
-      (s: SparkSession, d: String) => {
-        // deterministic per source dir — re-runs overwrite, nothing leaks
-        val out = sys.props("java.io.tmpdir") + "/graft_cluster_" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
-        val src = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
-        graft.write.Bucketing.writeClustered(src, out, Seq("o_orderkey"), 8)
-        s.read.parquet(out)
-      },
-      Some("SELECT o_orderkey, o_totalprice FROM orders")),
-
-    // Z-order rewrite: multi-column Morton clustering (files become compact
-    // key-space rectangles -> min/max skipping on EITHER column); the
-    // driver-verified contract is content preservation
-    ("q_maint_zorder",
-      (s: SparkSession, d: String) => {
-        val out = sys.props("java.io.tmpdir") + "/graft_zorder_" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_") + "/t"
-        val src = t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        graft.write.Bucketing.writeZOrdered(src, out,
-          Seq("o_orderkey", "o_custkey"), 8)
-        s.read.parquet(out)
-      },
-      Some("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")),
-
-    // ANALYZE-style column profile: one aggregation pass emitting the
-    // statistics a CBO / drift monitor keeps per column. String-typed
-    // columns only get string min/max; doubles and timestamps are excluded
-    // from the catalog variant (engine string renderings differ)
-    ("q_profile_stats",
-      (s: SparkSession, d: String) => graft.ops.Stats.profileColumns(
-        t(s, d, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")),
-      Some {
-        def rowFor(c: String) =
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-              count(*) - count($c) AS n_null,
-              count(DISTINCT $c) AS n_distinct,
-              CAST(min($c) AS VARCHAR) AS min_val,
-              CAST(max($c) AS VARCHAR) AS max_val FROM lineitem"""
-        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
-          .map(rowFor).mkString("\n UNION ALL\n ")
-      }),
-
-    // The 100 TB profile: ONE global pass, KMV-sketch distinct estimates
-    // (no Expand — nothing is replicated into the shuffle), exact
-    // everything else. The oracle replays each column's sketch
-    // (row_number over ordered 60-bit md5 hashes) bit-for-bit
-    ("q_profile_approx",
-      (s: SparkSession, d: String) => graft.ops.Stats.profileColumnsApprox(
-        t(s, d, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"),
-        sketchK = 256),
-      Some {
-        def rowFor(c: String) =
-          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-              count(*) - count($c) AS n_null,
-              (WITH h AS (SELECT DISTINCT CAST(concat('0x',
-                    substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                  FROM lineitem WHERE $c IS NOT NULL),
-                r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
-                    count(*) OVER () AS cnt FROM h)
-                SELECT CASE WHEN any_value(cnt) < 256
-                    THEN CAST(any_value(cnt) AS DOUBLE)
-                    ELSE 255.0 * 1152921504606846976.0 /
-                      CAST(max(CASE WHEN rn <= 256 THEN h END) AS DOUBLE)
-                  END FROM r) AS n_distinct_est,
-              CAST(min($c) AS VARCHAR) AS min_val,
-              CAST(max($c) AS VARCHAR) AS max_val FROM lineitem"""
-        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag")
-          .map(rowFor).mkString("\n UNION ALL\n ")
-      }),
-
-    // Exact grouped discrete quantiles: order statistics over the
-    // aggregated (group, value) CELL table — map-side combine collapses
-    // the corpus before the only window, which runs over cells (the
-    // countAnomalies pattern). Selection is pure integer arithmetic; the
-    // oracle replays the identical cumulative formulation
-    ("q_profile_quantiles",
-      (s: SparkSession, d: String) => graft.ops.Stats.quantilesDisc(
-        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity",
-        Seq(0.25, 0.5, 0.75, 0.95)),
-      Some("""WITH cells AS (SELECT l_returnflag, l_quantity AS v,
-              count(*) AS cnt
-            FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
-          cum AS (SELECT l_returnflag, v, cnt,
-              sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
-                ROWS UNBOUNDED PRECEDING) AS cum,
-              sum(cnt) OVER (PARTITION BY l_returnflag) AS n_rows
-            FROM cells),
-          qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q)
-        SELECT l_returnflag, CAST(q AS DOUBLE) AS q, v AS value,
-          greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
-            AS rank,
-          CAST(n_rows AS BIGINT) AS n_rows
-        FROM cum CROSS JOIN qs
-        WHERE cum - cnt <
-            greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
-          AND greatest(CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
-            <= cum""")),
-
-    // Candidate-key discovery: distinct ratio per declared column combo —
-    // is_key fires when every row is unique (the profiling step that
-    // finds join keys and catches PK violations before a merge). One
-    // groupBy per combo over pre-projected strings; combos chosen are the
-    // plausible identities of the events table.
-    ("q_profile_uniqueness",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "events")
-        def probe(name: String, key: org.apache.spark.sql.Column) =
-          e.agg(lit(name).as("combo"), count(lit(1)).as("n"),
-            count_distinct(key).as("n_distinct"))
-        probe("event_id", col("event_id"))
-          .unionByName(probe("user_id", col("user_id")))
-          .unionByName(probe("user_id|ts",
-            concat_ws("|", col("user_id"),
-              unix_micros(col("ts")).cast("string"))))
-          .withColumn("is_key", col("n_distinct") === col("n"))
-      },
-      Some("""SELECT 'event_id' AS combo, count(*) AS n,
-          count(DISTINCT event_id) AS n_distinct,
-          count(DISTINCT event_id) = count(*) AS is_key FROM events
-        UNION ALL
-        SELECT 'user_id', count(*), count(DISTINCT user_id),
-          count(DISTINCT user_id) = count(*) FROM events
-        UNION ALL
-        SELECT 'user_id|ts', count(*),
-          count(DISTINCT concat(CAST(user_id AS VARCHAR), '|',
-            CAST(epoch_us(ts) AS VARCHAR))),
-          count(DISTINCT concat(CAST(user_id AS VARCHAR), '|',
-            CAST(epoch_us(ts) AS VARCHAR))) = count(*) FROM events""")),
-
-    // Benford leading-digit audit: observed first-digit distribution of
-    // order totals against Benford expectation — the classic fabricated-
-    // numbers screen. Digits extracted by integer string ops (exact);
-    // expected shares are injected as round-tripping double literals so
-    // both engines compare the same constants; one combine-enabled
-    // aggregate.
-    ("q_profile_benford", {
-      // P(d) = log10(1 + 1/d), pre-rounded to 6 dp so the literal
-      // round-trips identically through Scala and SQL text
-      val exp = (1 to 9).map(dd =>
-        dd -> (math.floor(math.log10(1.0 + 1.0 / dd) * 1e6) / 1e6))
-      ((s: SparkSession, d: String) => {
-        val tot = t(s, d, "orders").agg(count(lit(1)).as("n_total"))
-        t(s, d, "orders")
-          .select(substring(floor(col("o_totalprice")).cast("long")
-            .cast("string"), 1, 1).cast("int").as("digit"))
-          .groupBy("digit").agg(count(lit(1)).as("n"))
-          .crossJoin(broadcast(tot))
-          .withColumn("observed",
-            floor(lit(1e6) * col("n").cast("double") /
-              col("n_total").cast("double")) / lit(1e6))
-          .withColumn("expected",
-            element_at(map(exp.flatMap { case (k, v) =>
-              Seq(lit(k), lit(v)) }: _*), col("digit")))
-      }): Q
-      },
-      Some {
-        val expCase = (1 to 9).map { dd =>
-          val v = math.floor(math.log10(1.0 + 1.0 / dd) * 1e6) / 1e6
-          s"WHEN $dd THEN $v"
-        }.mkString(" ")
-        s"""WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
-              AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-            FROM orders),
-          tot AS (SELECT count(*) AS n_total FROM dg)
-          SELECT digit, count(*) AS n, n_total,
-            floor(1e6 * CAST(count(*) AS DOUBLE) /
-              CAST(n_total AS DOUBLE)) / 1e6 AS observed,
-            CASE digit $expCase END AS expected
-          FROM dg, tot GROUP BY digit, n_total"""
-      }),
-
-    // Column-entropy profile in whole bits: Shannon entropy with
-    // floor-log2 (bit-length) term weights — H ≈ log2(n) − Σc·log2(c)/n,
-    // every moment an exact BIGINT (the information-content screen that
-    // flags constant-ish columns and near-unique keys in one scan). All
-    // three columns melt through ONE explode, so the fact table is read
-    // once; presentation is a single double division.
-    // Pairwise mutual-information screen (Stats.mutualInfoBits) in the
-    // entropy query's floor-log2 bit units — the dependence / leakage
-    // audit over categorical column pairs (a leaked label or denormalized
-    // copy scores high; independent pairs ~0). Null categories fold to a
-    // '-' sentinel so no cell drops at the marginal joins.
-    ("q_profile_mi",
-      (s: SparkSession, d: String) => {
-        val ev = t(s, d, "events")
-        val dow = date_format(col("ts"), "EEEE")
-        val hour = date_format(col("ts"), "HH")
-        val vbin = coalesce(
-          least(floor(cents(col("value")).cast("double") / lit(5000.0)),
-            lit(9.0)).cast("long").cast("string"), lit("-"))
-        val pairs = ev.select(explode(array(
-            struct(lit("event_type|dow").as("pair"),
-              col("event_type").as("x"), dow.as("y")),
-            struct(lit("event_type|value_bin").as("pair"),
-              col("event_type").as("x"), vbin.as("y")),
-            struct(lit("dow|hour").as("pair"), dow.as("x"),
-              hour.as("y")))).as("p"))
-          .select(col("p.pair").as("pair"), col("p.x").as("x"),
-            col("p.y").as("y"))
-        graft.ops.Stats.mutualInfoBits(pairs, "pair", "x", "y")
-      },
-      Some("""WITH m AS (
-          SELECT 'event_type|dow' AS pair, event_type AS x,
-            strftime(ts, '%A') AS y FROM events
-          UNION ALL
-          SELECT 'event_type|value_bin', event_type,
-            coalesce(CAST(CAST(least(floor(
-              CAST(CAST(floor("value" * 100) AS BIGINT) AS DOUBLE)
-                / 5000.0), 9.0) AS BIGINT) AS VARCHAR), '-')
-          FROM events
-          UNION ALL
-          SELECT 'dow|hour', strftime(ts, '%A'), strftime(ts, '%H')
-          FROM events),
-        cells AS (SELECT pair, x, y, count(*) AS c FROM m GROUP BY 1, 2, 3),
-        mx AS (SELECT pair, x, CAST(sum(c) AS BIGINT) AS cx
-          FROM cells GROUP BY 1, 2),
-        my AS (SELECT pair, y, CAST(sum(c) AS BIGINT) AS cy
-          FROM cells GROUP BY 1, 2),
-        nn AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n
-          FROM cells GROUP BY 1),
-        ag AS (SELECT pair, count(*) AS n_cells, max(n) AS n,
-            CAST(sum(c * ((length(bin(c)) - 1) + (length(bin(n)) - 1)
-              - (length(bin(cx)) - 1) - (length(bin(cy)) - 1)))
-              AS BIGINT) AS s_bits
-          FROM cells JOIN mx USING (pair, x) JOIN my USING (pair, y)
-            JOIN nn USING (pair) GROUP BY 1)
-        SELECT pair, n_cells, n, s_bits,
-          CAST(floor(1e6 * CAST(s_bits AS DOUBLE) / CAST(n AS DOUBLE))
-            AS BIGINT) AS mi_microbits
-        FROM ag""")),
-
-    ("q_profile_entropy",
-      (s: SparkSession, d: String) => {
-        val bl = (c: org.apache.spark.sql.Column) =>
-          graft.plans.GraftExpressions.bit_length_long(c) - lit(1L)
-        t(s, d, "events")
-          .select(explode(array(
-            struct(lit("event_type").as("c"),
-              col("event_type").cast("string").as("v")),
-            struct(lit("user_id").as("c"),
-              col("user_id").cast("string").as("v")),
-            struct(lit("day").as("c"),
-              date_format(col("ts"), "yyyy-MM-dd").as("v")))).as("x"))
-          .select(col("x.c").as("column_name"), col("x.v").as("v"))
-          .groupBy("column_name", "v").agg(count(lit(1)).as("cnt"))
-          .groupBy("column_name")
-          .agg(count(lit(1)).as("n_distinct"),
-            sum("cnt").as("n"),
-            sum(col("cnt") * bl(col("cnt"))).as("s_bits"))
-          .withColumn("h_microbits",
-            floor(lit(1e6) *
-              (bl(col("n")) * col("n") - col("s_bits")).cast("double") /
-              col("n").cast("double")).cast("long"))
-      },
-      Some("""WITH m AS (
-          SELECT 'event_type' AS column_name, event_type AS v FROM events
-          UNION ALL
-          SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
-          UNION ALL
-          SELECT 'day', strftime(ts, '%Y-%m-%d') FROM events),
-        cts AS (SELECT column_name, v, count(*) AS cnt
-          FROM m GROUP BY 1, 2),
-        agg AS (SELECT column_name, count(*) AS n_distinct,
-            CAST(sum(cnt) AS BIGINT) AS n,
-            CAST(sum(cnt * (length(bin(cnt)) - 1)) AS BIGINT) AS s_bits
-          FROM cts GROUP BY 1)
-        SELECT column_name, n_distinct, n, s_bits,
-          CAST(floor(1e6 * CAST((length(bin(n)) - 1) * n - s_bits
-              AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS h_microbits
-        FROM agg""")),
-
-    // Robust (MAD-based) outlier profile — see Stats.madOutliers: median
-    // and MAD are exact discrete quantiles broadcast onto the fact scan;
-    // the |v-med| > 3·MAD gate cannot be dragged by the outliers it hunts
-    ("q_profile_mad",
-      (s: SparkSession, d: String) => graft.ops.Stats.madOutliers(
-        t(s, d, "events")
-          .select(col("event_type"), cents(col("value")).as("v")),
-        Seq("event_type"), "v", k = 3),
-      Some("""WITH e AS (SELECT event_type,
-              CAST(floor("value" * 100) AS BIGINT) AS v
-            FROM events WHERE "value" IS NOT NULL),
-          c1 AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY 1, 2),
-          u1 AS (SELECT event_type, v, cnt,
-              sum(cnt) OVER (PARTITION BY event_type ORDER BY v
-                ROWS UNBOUNDED PRECEDING) AS cum,
-              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
-            FROM c1),
-          med AS (SELECT event_type, v AS med FROM u1
-            WHERE cum - cnt < greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1)
-              AND greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1) <= cum),
-          d AS (SELECT e.event_type, v, abs(v - med) AS dev
-            FROM e JOIN med USING (event_type)),
-          c2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
-          u2 AS (SELECT event_type, dev, cnt,
-              sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
-                ROWS UNBOUNDED PRECEDING) AS cum,
-              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
-            FROM c2),
-          mad AS (SELECT event_type, dev AS mad FROM u2
-            WHERE cum - cnt < greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1)
-              AND greatest(CAST(ceil(0.5 * n_rows) AS BIGINT), 1) <= cum)
-        SELECT d.event_type, count(*) AS n_rows, med, mad,
-          CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_out
-        FROM d JOIN mad USING (event_type) JOIN med USING (event_type)
-        GROUP BY 1, med, mad""")),
-
-    // Per-type winsorized value profile: clamp at the exact p05/p95
-    // discrete quantiles (cents-quantized, so the clamped sum is exact
-    // BIGINT), bounds broadcast onto the fact scan — see Stats.winsorize
-    ("q_profile_winsorize",
-      (s: SparkSession, d: String) => graft.ops.Stats.winsorize(
-        t(s, d, "events")
-          .select(col("event_type"), cents(col("value")).as("v")),
-        Seq("event_type"), "v", lo = 0.05, hi = 0.95),
-      Some("""WITH e AS (SELECT event_type,
-              CAST(floor("value" * 100) AS BIGINT) AS v
-            FROM events WHERE "value" IS NOT NULL),
-          cells AS (SELECT event_type, v, count(*) AS cnt
-            FROM e GROUP BY 1, 2),
-          cum AS (SELECT event_type, v, cnt,
-              sum(cnt) OVER (PARTITION BY event_type ORDER BY v
-                ROWS UNBOUNDED PRECEDING) AS cum,
-              sum(cnt) OVER (PARTITION BY event_type) AS n_rows
-            FROM cells),
-          qs AS (SELECT unnest([0.05, 0.95]) AS q),
-          qv AS (SELECT event_type, CAST(q AS DOUBLE) AS q, v
-            FROM cum CROSS JOIN qs
-            WHERE cum - cnt < greatest(
-                CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1)
-              AND greatest(
-                CAST(ceil(CAST(q AS DOUBLE) * n_rows) AS BIGINT), 1) <= cum),
-          b AS (SELECT event_type,
-              min(CASE WHEN q = 0.05 THEN v END) AS lo_v,
-              min(CASE WHEN q = 0.95 THEN v END) AS hi_v
-            FROM qv GROUP BY 1)
-        SELECT e.event_type, count(*) AS n_rows,
-          CAST(sum(CASE WHEN v < lo_v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-          CAST(sum(CASE WHEN v > hi_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-          lo_v, hi_v,
-          CAST(sum(least(greatest(v, lo_v), hi_v)) AS BIGINT) AS sum_w
-        FROM e JOIN b USING (event_type)
-        GROUP BY e.event_type, lo_v, hi_v""")),
-
-    // The PRODUCTION sketch profile: same one-pass KMV plan as
-    // q_profile_approx but hashing with Spark's codegen'd xxhash64 instead
-    // of a cryptographic digest — the variant a real 100 TB deployment
-    // runs. xxhash64's layout is Spark-specific, so no external engine can
-    // replay it: the driver records a rows-only check here, and value
-    // correctness is spec-pinned against the EXACT profile (OpsSpec)
-    ("q_profile_sketch",
-      (s: SparkSession, d: String) => graft.ops.Stats.profileColumnsSketch(
-        t(s, d, "lineitem"),
-        Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"),
-        sketchK = 256),
-      None),
-
-    // KMV sketch MERGEABILITY proof: per-(lang, source) bottom-k states
-    // re-aggregated to the lang level must estimate EXACTLY what a direct
-    // lang-level sketch estimates (bottom-k of a union == bottom-k of the
-    // union of bottom-ks) — the algebraic property that lets a 100 TB
-    // profile keep per-partition sketches and combine them without a
-    // second data pass. The oracle computes the direct estimate once and
-    // asserts it for BOTH columns.
-    ("q_profile_sketch_merge",
-      (s: SparkSession, d: String) => {
-        val h = t(s, d, "documents")
-          .select(col("lang"), col("source"),
-            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
-          .withColumn("h",
-            graft.plans.GraftExpressions.md5_prefix60(col("w")))
-        val est = (sk: org.apache.spark.sql.Column) =>
-          when(size(sk) < 16, size(sk).cast("double"))
-            .otherwise(lit(15.0 * 1152921504606846976.0) /
-              element_at(sk, 16).cast("double"))
-        val parts = h.groupBy("lang", "source")
-          .agg(graft.plans.GraftExpressions.bottomk_distinct(col("h"), 16)
-            .as("sk"))
-        val merged = parts
-          .select(col("lang"), explode(col("sk")).as("h"))
-          .groupBy("lang")
-          .agg(graft.plans.GraftExpressions.bottomk_distinct(col("h"), 16)
-            .as("sk"))
-          .select(col("lang"), est(col("sk")).as("est_merged"))
-        val direct = h.groupBy("lang")
-          .agg(graft.plans.GraftExpressions.kmv_distinct(col("h"), 16)
-            .as("est_direct"))
-        merged.join(direct, Seq("lang"))
-      },
-      Some(s"""WITH toks AS (SELECT lang, t
-            FROM documents, UNNEST(${tokensSql()}) AS u(t)),
-          h AS (SELECT DISTINCT lang,
-              CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
-            FROM toks),
-          r AS (SELECT lang, h,
-              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
-              count(*) OVER (PARTITION BY lang) AS cnt FROM h),
-          kth AS (SELECT lang, max(CASE WHEN rn <= 16 THEN h END) AS h_k,
-              any_value(cnt) AS cnt FROM r GROUP BY 1),
-          e AS (SELECT lang,
-              CASE WHEN cnt < 16 THEN CAST(cnt AS DOUBLE)
-                   ELSE 15.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
-              END AS est FROM kth)
-        SELECT lang, est AS est_merged, est AS est_direct FROM e""")),
-
-    // Deterministic HyperLogLog (Stats.hllSummary): the CONSTANT-state
-    // distinct counter — 512 registers whatever the cardinality, merged
-    // by max (map-side combining), vs the KMV sketch whose state is k
-    // hashes. The whole estimate is exact-integer until ONE final IEEE
-    // division by a shared literal constant, so DuckDB replays the sketch
-    // bit-for-bit (including the floored estimate and its ppm error
-    // against the exact count) — which Spark's builtin
-    // approx_count_distinct can never offer.
-    ("q_profile_hll",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").cast("string").as("v"))
-        val sk = graft.ops.Stats.hllSummary(li, "v", p = 9)
-        val ex = li.agg(count_distinct(col("v")).as("n_exact"))
-        sk.crossJoin(broadcast(ex))
-          .select(col("n_exact"), col("v_empty"), col("s_units"),
-            col("hll_raw"),
-            floor(abs(col("hll_raw") - col("n_exact")).cast("double") * 1e6 /
-              col("n_exact").cast("double")).cast("long").as("err_ppm"))
-      },
-      Some(hllOracleSql)),
-
-    // Per-group z-score standardization — the vanilla feature scaler
-    // (companion to winsorize/MAD): z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²),
-    // algebraically identical to (x−mean)/sd_pop but with every
-    // intermediate an EXACT integer, so the single sqrt+divide (both
-    // IEEE-defined) replays bit-identically. Moments are one
-    // combine-enabled aggregate broadcast back onto the scan.
-    ("q_profile_zscore",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-        val m = docs.groupBy("lang").agg(count(lit(1)).as("n"),
-          sum("n_chars").as("sx"),
-          sum(col("n_chars") * col("n_chars")).as("sxx"))
-        docs.join(broadcast(m), "lang")
-          .select(col("doc_id"), col("lang"),
-            when(col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
-              .otherwise(floor(
-                (col("n_chars") * col("n") - col("sx")).cast("double") * 1e6
-                / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                  .cast("double"))).cast("long")).as("z_micro"))
-      },
-      Some("""WITH m AS (SELECT lang, count(*) AS n,
-            CAST(sum(n_chars) AS BIGINT) AS sx,
-            CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
-          FROM documents GROUP BY 1)
-        SELECT doc_id, d.lang,
-          CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(floor(CAST(n_chars * n - sx AS DOUBLE) * 1e6 /
-              sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) AS BIGINT)
-          END AS z_micro
-        FROM documents d JOIN m ON d.lang = m.lang""")),
-
-    // Functional-dependency audit (Stats.fdViolations): does o_custkey
-    // really determine c_nationkey after the join (it must — join
-    // fidelity), how badly does it NOT determine o_orderkey (a customer
-    // has many orders), and is nation -> segment even close to
-    // functional? One two-level combine-enabled aggregate per declared
-    // FD — the lookup-key sanity check an ingest runs before
-    // denormalizing.
-    ("q_profile_fd",
-      (s: SparkSession, d: String) => {
-        val oc = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-          .join(t(s, d, "customer").select(col("c_custkey"),
-            col("c_nationkey"), col("c_mktsegment")),
-            col("o_custkey") === col("c_custkey"))
-        graft.ops.Stats.fdViolations(oc, Seq(
-          (Seq("o_custkey"), "c_nationkey"),
-          (Seq("o_custkey"), "o_orderkey"),
-          (Seq("c_nationkey"), "c_mktsegment")))
-      },
-      Some("""WITH oc AS (SELECT o_orderkey, o_custkey, c_nationkey,
-            c_mktsegment
-          FROM orders JOIN customer ON o_custkey = c_custkey),
-        f1 AS (SELECT o_custkey AS dk,
-            count(DISTINCT coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>'))
-              AS card,
-            count(*) AS nr FROM oc GROUP BY 1),
-        f2 AS (SELECT o_custkey AS dk,
-            count(DISTINCT coalesce(CAST(o_orderkey AS VARCHAR), '<NULL>'))
-              AS card,
-            count(*) AS nr FROM oc GROUP BY 1),
-        f3 AS (SELECT c_nationkey AS dk,
-            count(DISTINCT coalesce(CAST(c_mktsegment AS VARCHAR), '<NULL>'))
-              AS card,
-            count(*) AS nr FROM oc GROUP BY 1)
-        SELECT 'o_custkey->c_nationkey' AS fd, count(*) AS n_groups,
-          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_violating_groups,
-          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT)
-            AS n_violating_rows,
-          max(card) AS max_dep_cardinality FROM f1
-        UNION ALL
-        SELECT 'o_custkey->o_orderkey', count(*),
-          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
-          max(card) FROM f2
-        UNION ALL
-        SELECT 'c_nationkey->c_mktsegment', count(*),
-          CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT),
-          CAST(sum(CASE WHEN card > 1 THEN nr ELSE 0 END) AS BIGINT),
-          max(card) FROM f3""")),
-
-    // k-anonymity / l-diversity audit — the privacy gate a dataset passes
-    // before release: rows grouped by their quasi-identifier tuple
-    // (status, order month, price band), classes smaller than k=5 are
-    // re-identifiable, classes whose sensitive column (priority) is
-    // homogeneous leak it outright. Two combine-enabled aggregates,
-    // corpus -> |classes| -> 1 row; the price band is one IEEE division
-    // by a literal, identical in any engine.
-    // Local-DP randomized response release — the other privacy gate next
-    // to q_profile_kanon's suppression: each document reports its TRUE
-    // lang with probability 3/4, else a uniform pick from the (sorted,
-    // dense-ranked) lang domain — Warner's randomized response, the
-    // mechanism local-DP telemetry (RAPPOR-family) builds on. The release
-    // then DEBIASES: E[n_rep] = n·3/4 + N/20, so n_est =
-    // (20·n_rep − N)/15, reported in milli units (can dip below 0 for
-    // rare classes — that IS the mechanism's noise floor, shown, not
-    // clamped). The coin is md5-prefix60(doc_id): deterministic, so both
-    // engines replay the exact same "randomness" — the mechanism's
-    // arithmetic is pinned bit-for-bit (a production run swaps in a real
-    // RNG; nothing else changes). The uniform branch uses bit-shift
-    // (u >> 2), NOT u/4 — a 60-bit hash through a double loses the low
-    // bits above 2^53. Shape: one 5-row broadcast domain table, one
-    // corpus scan, two combine-enabled counts.
-    ("q_text_rr_release",
-      (s: SparkSession, d: String) => {
-        val E = graft.plans.GraftExpressions
-        val docs = t(s, d, "documents")
-        val wl = Window.orderBy(col("lang").asc)
-        val langs = docs.select("lang").distinct()
-          .withColumn("idx", row_number().over(wl).cast("long") - 1L)
-        val nl = langs.agg(count(lit(1)).as("n_langs"))
-        val r = docs.select(col("lang"),
-            E.md5_prefix60(col("doc_id").cast("string")).as("u"))
-          .crossJoin(broadcast(nl))
-          .withColumn("pick", shiftright(col("u"), 2) % col("n_langs"))
-          .join(broadcast(langs.select(col("idx"),
-            col("lang").as("picked"))), col("pick") === col("idx"))
-          .select(col("lang"),
-            when(col("u") % 4 < 3, col("lang")).otherwise(col("picked"))
-              .as("reported"))
-        val rep = r.groupBy(col("reported").as("lang"))
-          .agg(count(lit(1)).as("n_reported"))
-        val truth = r.groupBy("lang").agg(count(lit(1)).as("n_true"))
-        val tot = r.agg(count(lit(1)).as("n_total"))
-        rep.join(truth, Seq("lang")).crossJoin(broadcast(tot))
-          .select(col("lang"), col("n_reported"), col("n_true"),
-            floor((col("n_reported") * 20L - col("n_total"))
-                .cast("double") * lit(1000.0) / lit(15.0))
-              .cast("long").as("est_milli"))
-      },
-      Some("""WITH langs AS (SELECT lang,
-            row_number() OVER (ORDER BY lang) - 1 AS idx
-          FROM (SELECT DISTINCT lang FROM documents)),
-        nl AS (SELECT count(*) AS n_langs FROM langs),
-        r AS (SELECT d.lang,
-            CASE WHEN u % 4 < 3 THEN d.lang ELSE p.lang END AS reported
-          FROM (SELECT lang,
-              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
-                1, 15)) AS BIGINT) AS u
-            FROM documents) d, nl
-          JOIN langs p ON (u >> 2) % n_langs = p.idx),
-        rep AS (SELECT reported AS lang, count(*) AS n_reported
-          FROM r GROUP BY 1),
-        truth AS (SELECT lang, count(*) AS n_true FROM r GROUP BY 1),
-        tot AS (SELECT count(*) AS n_total FROM r)
-        SELECT lang, n_reported, n_true,
-          CAST(floor(CAST(n_reported * 20 - n_total AS DOUBLE) * 1000.0
-            / 15.0) AS BIGINT) AS est_milli
-        FROM rep JOIN truth USING (lang), tot""")),
-
-    ("q_profile_kanon",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          col("o_orderstatus").as("qi1"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("qi2"),
-          floor(col("o_totalprice") / 50000.0).cast("long").as("qi3"),
-          col("o_orderpriority").as("sens"))
-        o.groupBy("qi1", "qi2", "qi3")
-          .agg(count(lit(1)).as("sz"),
-            count_distinct(col("sens")).as("ldiv"))
-          .agg(count(lit(1)).as("n_classes"),
-            sum(when(col("sz") < 5, 1L).otherwise(0L))
-              .as("n_small_classes"),
-            sum(when(col("sz") < 5, col("sz")).otherwise(0L))
-              .as("n_rows_at_risk"),
-            min("sz").as("min_class_size"),
-            sum(when(col("ldiv") < 2, 1L).otherwise(0L))
-              .as("n_homogeneous_classes"))
-      },
-      Some("""WITH q AS (SELECT o_orderstatus AS qi1,
-            strftime(o_orderdate, '%Y-%m') AS qi2,
-            CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS qi3,
-            o_orderpriority AS sens
-          FROM orders),
-        cls AS (SELECT qi1, qi2, qi3, count(*) AS sz,
-            count(DISTINCT sens) AS ldiv
-          FROM q GROUP BY 1, 2, 3)
-        SELECT count(*) AS n_classes,
-          CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_small_classes,
-          CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
-            AS n_rows_at_risk,
-          CAST(min(sz) AS BIGINT) AS min_class_size,
-          CAST(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END) AS BIGINT)
-            AS n_homogeneous_classes
-        FROM cls""")),
-
-    // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
-    // declared child->parent edge of the star schema — the pre-merge key
-    // sanity gate. Per edge: a combine-enabled key-count aggregate (corpus
-    // -> |keys|) then LEFT ANTI against the parent key column (broadcast
-    // for dimension parents, shuffled for orders-sized ones — AQE picks).
-    ("q_profile_ri",
-      (s: SparkSession, d: String) => graft.ops.Stats.riAudit(
-        riEdges.map { case (child, fk, parent, pk) =>
-          (t(s, d, child), fk, t(s, d, parent), pk,
-            s"$child.$fk->$parent.$pk")
-        }),
-      Some(riEdges.map((riRelSql _).tupled).mkString("\nUNION ALL\n"))),
-
-    // Equi-width histogram (bounds pass -> bounded bucketing groupBy);
-    // bucket expression evaluated in one fixed IEEE op order on both
-    // engines, bounds floor-quantized to 6 dp
-    ("q_profile_hist",
-      (s: SparkSession, d: String) => graft.ops.Stats.histogram(
-        t(s, d, "lineitem"), "l_quantity", buckets = 10),
-      Some("""WITH b AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS mn,
-              CAST(max(l_quantity) AS DOUBLE) AS mx FROM lineitem),
-          h AS (SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - mn)
-                / (mx - mn) * 10), 9) AS BIGINT) AS bucket,
-              count(*) AS n
-            FROM lineitem, b WHERE l_quantity IS NOT NULL GROUP BY 1)
-        SELECT bucket,
-          floor((mn + bucket * (mx - mn) / 10) * 1e6) / 1e6 AS lo,
-          floor((mn + (bucket + 1) * (mx - mn) / 10) * 1e6) / 1e6 AS hi, n
-        FROM h, b""")),
-
-    // Post-load integrity gate: FK orphan counts, PK surplus rows and
-    // null-rate cells for the star schema, one labeled row per check —
-    // the validation suite an ingest runs before publishing a batch
-    // (generalizes the reference's count-action bookkeeping, §2.7). Each
-    // check is one anti-join or combine-enabled aggregate; the union is a
-    // single plan, no driver-side loop.
-    ("q_profile_validate",
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        val o = t(s, d, "orders")
-        val c = t(s, d, "customer")
-        def row(label: String, bad: DataFrame, total: Long): DataFrame =
-          bad.select(lit(label).as("check"),
-            coalesce(col("n_bad"), lit(0L)).as("n_bad"),
-            lit(total).as("n_total"))
-        val fkLiO = li.join(o.select(col("o_orderkey").as("l_orderkey")),
-            Seq("l_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("n_bad"))
-        val fkOC = o.join(c.select(col("c_custkey").as("o_custkey")),
-            Seq("o_custkey"), "left_anti")
-          .agg(count(lit(1)).as("n_bad"))
-        val pkO = o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
-          .agg(sum(col("cnt") - 1).as("n_bad"))
-        val pkLi = li.groupBy("l_orderkey", "l_linenumber")
-          .agg(count(lit(1)).as("cnt"))
-          .agg(sum(col("cnt") - 1).as("n_bad"))
-        val nullP = o.agg(count(when(col("o_totalprice").isNull, 1))
-          .as("n_bad"))
-        row("fk_lineitem_orders", fkLiO, li.count())
-          .union(row("fk_orders_customer", fkOC, o.count()))
-          .union(row("pk_orders_surplus", pkO, o.count()))
-          .union(row("pk_lineitem_surplus", pkLi, li.count()))
-          .union(row("null_o_totalprice", nullP, o.count()))
-      },
-      Some("""SELECT 'fk_lineitem_orders' AS check, CAST((
-            SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-              (SELECT o_orderkey FROM orders)) AS BIGINT) AS n_bad,
-          (SELECT count(*) FROM lineitem) AS n_total
-        UNION ALL SELECT 'fk_orders_customer', CAST((
-            SELECT count(*) FROM orders WHERE o_custkey NOT IN
-              (SELECT c_custkey FROM customer)) AS BIGINT),
-          (SELECT count(*) FROM orders)
-        UNION ALL SELECT 'pk_orders_surplus', CAST(coalesce((
-            SELECT sum(cnt - 1) FROM (SELECT count(*) AS cnt FROM orders
-              GROUP BY o_orderkey)), 0) AS BIGINT),
-          (SELECT count(*) FROM orders)
-        UNION ALL SELECT 'pk_lineitem_surplus', CAST(coalesce((
-            SELECT sum(cnt - 1) FROM (SELECT count(*) AS cnt FROM lineitem
-              GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT),
-          (SELECT count(*) FROM lineitem)
-        UNION ALL SELECT 'null_o_totalprice', CAST((
-            SELECT count(*) FROM orders WHERE o_totalprice IS NULL)
-            AS BIGINT),
-          (SELECT count(*) FROM orders)""")),
-
-    // Categorical drift monitor: Laplace-smoothed per-category chi-square
-    // contributions between two corpus halves (Stats.chiSquareDrift) —
-    // exact BIGINT terms, one quantized double division per category
-    // Daily drift trend (Stats.driftTrend): chi-square event-mix shift
-    // between each day and its predecessor, contributions floor-quantized
-    // to micro-units and summed as BIGINTs (order-independent). The lag
-    // window runs over the distinct-day table only.
-    ("q_profile_drift_trend",
-      (s: SparkSession, d: String) => graft.ops.Stats.driftTrend(
-          t(s, d, "events"), date_trunc("day", col("ts")), "event_type")
-        .select(date_format(col("cell"), "yyyy-MM-dd").as("day"),
-          col("n_cats"), col("chi2_micros"), col("chi2")),
-      Some("""WITH wc AS (SELECT date_trunc('day', ts) AS cell,
-            event_type AS category, count(*) AS n FROM events GROUP BY 1, 2),
-          paired AS (SELECT cell, prev FROM (
-            SELECT cell, lag(cell) OVER (ORDER BY cell) AS prev
-            FROM (SELECT DISTINCT cell FROM wc)) WHERE prev IS NOT NULL),
-          cats AS (
-            SELECT DISTINCT p.cell, p.prev, w.category
-            FROM paired p JOIN wc w ON w.cell = p.cell
-            UNION
-            SELECT DISTINCT p.cell, p.prev, w.category
-            FROM paired p JOIN wc w ON w.cell = p.prev),
-          f AS (SELECT c.cell, c.category,
-              coalesce(cu.n, 0) AS nc, coalesce(rf.n, 0) AS nr
-            FROM cats c
-            LEFT JOIN wc cu ON cu.cell = c.cell AND cu.category = c.category
-            LEFT JOIN wc rf ON rf.cell = c.prev AND rf.category = c.category),
-          tot AS (SELECT cell, CAST(sum(nc) + count(*) AS BIGINT) AS curT,
-              CAST(sum(nr) + count(*) AS BIGINT) AS refT FROM f GROUP BY 1),
-          contrib AS (SELECT f.cell,
-              CAST(floor(
-                CAST((f.nc + 1) * t.refT - (f.nr + 1) * t.curT AS DOUBLE)
-                * CAST((f.nc + 1) * t.refT - (f.nr + 1) * t.curT AS DOUBLE)
-                / CAST((f.nr + 1) * t.curT * t.refT AS DOUBLE) * 1e6)
-                AS BIGINT) AS chi2_micros
-            FROM f JOIN tot t USING (cell))
-        SELECT strftime(cell, '%Y-%m-%d') AS day, count(*) AS n_cats,
-          CAST(sum(chi2_micros) AS BIGINT) AS chi2_micros,
-          CAST(CAST(sum(chi2_micros) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
-        FROM contrib GROUP BY 1""")),
-
-    ("q_profile_drift",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        graft.ops.Stats.chiSquareDrift(
-          docs.filter(col("doc_id") % 2 === 0),
-          docs.filter(col("doc_id") % 2 =!= 0), "lang")
-      },
-      Some("""WITH o AS (SELECT lang AS category, count(*) AS n_cur
-            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-          r AS (SELECT lang AS category, count(*) AS n_ref
-            FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
-          cells AS (SELECT category, coalesce(n_cur, 0) AS n_cur,
-              coalesce(n_ref, 0) AS n_ref
-            FROM o FULL OUTER JOIN r USING (category)),
-          t AS (SELECT CAST(sum(n_cur) + count(*) AS BIGINT) AS curT,
-              CAST(sum(n_ref) + count(*) AS BIGINT) AS refT FROM cells)
-        SELECT category, n_cur, n_ref,
-          floor(CAST(((n_cur + 1) * refT - (n_ref + 1) * curT)
-              * ((n_cur + 1) * refT - (n_ref + 1) * curT) AS DOUBLE)
-            / CAST((n_ref + 1) * curT * refT AS DOUBLE) * 1e6) / 1e6 AS chi2
-        FROM cells, t""")),
-
-    // Join-cardinality (fan-out) profile: the distribution of child rows
-    // per parent key across the orders->lineitem FK — the number a join
-    // planner needs BEFORE choosing broadcast vs shuffle vs salt (a
-    // fan-out histogram with a heavy tail is the skew warning). Parents
-    // with zero children included via one left join; two combine-enabled
-    // aggregates.
-    // Join-size estimation by CORRELATED key sampling (Vengerov et al.,
-    // VLDB'15) — the cardinality-estimation primitive a cost-based
-    // planner runs BEFORE choosing broadcast vs shuffle vs skew-salt:
-    // |A ⋈ B| = Σ_k fA(k)·fB(k), estimated from the 1/16 of KEYS whose
-    // md5-prefix60 hash ≡ 0 (mod 16). Sampling KEYS (not rows) with the
-    // SAME hash on both sides is the trick — every sampled key carries
-    // its full fA·fB product, so the estimator is unbiased with variance
-    // driven by the key-frequency skew, where independent row sampling
-    // loses the matching rows. Audited on two joins: the orders⋈lineitem
-    // PK-FK join and the lineitem self-join on partkey (= Σ f², the
-    // skew-radar number). Per join: one map-side-combinable key count
-    // per side, the sampled estimate and the TRUE size from the same
-    // count tables (never the expanded join), exact BIGINT throughout.
-    // At 100 TB only the hash-filtered 1/16 count tables are computed —
-    // the truth column here is the audit, not the production path.
-    ("q_profile_join_size",
-      (s: SparkSession, d: String) => {
-        val E = graft.plans.GraftExpressions
-        def counts(df: DataFrame, key: org.apache.spark.sql.Column)
-            : DataFrame =
-          df.groupBy(key.as("key")).agg(count(lit(1)).as("f"))
-            .withColumn("in_sample",
-              (E.md5_prefix60(col("key").cast("string")) % 16 === 0)
-                .cast("long"))
-        def audit(name: String, a: DataFrame, b: DataFrame): DataFrame =
-          a.join(b.select(col("key"), col("f").as("fb")), Seq("key"))
-            .agg(sum(col("f") * col("fb")).as("true_size"),
-              (sum(col("in_sample") * col("f") * col("fb")) * 16L)
-                .as("est_size"))
-            .select(lit(name).as("join_name"), col("true_size"),
-              col("est_size"),
-              floor(abs(col("est_size") - col("true_size"))
-                  .cast("double") * lit(1e6) /
-                col("true_size").cast("double")).cast("long")
-                .as("err_ppm"))
-        val lo = counts(t(s, d, "lineitem"), col("l_orderkey"))
-        val oo = counts(t(s, d, "orders"), col("o_orderkey"))
-        val lp = counts(t(s, d, "lineitem"), col("l_partkey"))
-        // fresh subtree for the self-join's right side (avoids Spark's
-        // ambiguous-self-join attribute collision)
-        val lp2 = counts(t(s, d, "lineitem"), col("l_partkey"))
-        audit("orders_lineitem", oo, lo)
-          .unionAll(audit("lineitem_self_partkey", lp, lp2))
-      },
-      Some("""WITH lo AS (SELECT l_orderkey AS key, count(*) AS f,
-            CASE WHEN CAST(concat('0x', substr(md5(
-                CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
-              THEN 1 ELSE 0 END AS in_sample
-          FROM lineitem GROUP BY 1),
-        oo AS (SELECT o_orderkey AS key, count(*) AS f,
-            CASE WHEN CAST(concat('0x', substr(md5(
-                CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
-              THEN 1 ELSE 0 END AS in_sample
-          FROM orders GROUP BY 1),
-        lp AS (SELECT l_partkey AS key, count(*) AS f,
-            CASE WHEN CAST(concat('0x', substr(md5(
-                CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 16 = 0
-              THEN 1 ELSE 0 END AS in_sample
-          FROM lineitem GROUP BY 1),
-        j1 AS (SELECT CAST(sum(a.f * b.f) AS BIGINT) AS true_size,
-            CAST(sum(a.in_sample * a.f * b.f) * 16 AS BIGINT) AS est_size
-          FROM oo a JOIN lo b ON a.key = b.key),
-        j2 AS (SELECT CAST(sum(a.f * b.f) AS BIGINT) AS true_size,
-            CAST(sum(a.in_sample * a.f * b.f) * 16 AS BIGINT) AS est_size
-          FROM lp a JOIN lp b ON a.key = b.key)
-        SELECT 'orders_lineitem' AS join_name, true_size, est_size,
-          CAST(floor(CAST(abs(est_size - true_size) AS DOUBLE) * 1e6 /
-            CAST(true_size AS DOUBLE)) AS BIGINT) AS err_ppm
-        FROM j1
-        UNION ALL
-        SELECT 'lineitem_self_partkey', true_size, est_size,
-          CAST(floor(CAST(abs(est_size - true_size) AS DOUBLE) * 1e6 /
-            CAST(true_size AS DOUBLE)) AS BIGINT) AS err_ppm
-        FROM j2""")),
-
-    ("q_profile_fanout",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"))
-        val per = t(s, d, "lineitem")
-          .groupBy(col("l_orderkey").as("ok"))
-          .agg(count(lit(1)).as("fanout"))
-        o.join(per, Seq("ok"), "left_outer")
-          .select(coalesce(col("fanout"), lit(0L)).as("fanout"))
-          .groupBy("fanout").agg(count(lit(1)).as("n_orders"))
-      },
-      Some("""WITH per AS (SELECT l_orderkey AS ok, count(*) AS fanout
-            FROM lineitem GROUP BY 1)
-          SELECT coalesce(per.fanout, 0) AS fanout, count(*) AS n_orders
-          FROM orders LEFT JOIN per ON o_orderkey = per.ok
-          GROUP BY 1""")),
-
-    // Power-of-two-bucket quantile BOUNDS (Stats.quantileBounds): the
-    // 100 TB quantile path — 64 buckets max per group regardless of
-    // cardinality (bit-length bucketing, one combine-enabled aggregate,
-    // 64-row windows), each quantile reported as the [lo, hi] octave
-    // range that provably contains the exact discrete quantile.
-    ("q_profile_quantile_bounds",
-      (s: SparkSession, d: String) => graft.ops.Stats.quantileBounds(
-        t(s, d, "lineitem"), Seq("l_returnflag"),
-        floor(col("l_extendedprice")), Seq(0.25, 0.5, 0.75, 0.9, 0.99)),
-      Some("""WITH v AS (SELECT l_returnflag,
-            CAST(floor(l_extendedprice) AS BIGINT) AS v FROM lineitem
-            WHERE l_extendedprice IS NOT NULL AND floor(l_extendedprice) >= 0),
-          cells AS (SELECT l_returnflag,
-              CAST(length(bin(v + 1)) AS BIGINT) AS bucket,
-              count(*) AS cnt FROM v GROUP BY 1, 2),
-          tot AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_rows
-            FROM cells GROUP BY 1),
-          cum AS (SELECT cells.*, CAST(sum(cnt) OVER (
-              PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum
-            FROM cells),
-          x AS (SELECT cum.l_returnflag, bucket, cnt, cum, n_rows, q,
-              greatest(CAST(ceil(q * n_rows) AS BIGINT), 1) AS rank
-            FROM cum JOIN tot USING (l_returnflag),
-              UNNEST([0.25, 0.5, 0.75, 0.9, 0.99]) AS u(q))
-        SELECT l_returnflag, q, rank, n_rows, bucket,
-          (CAST(1 AS BIGINT) << (CAST(bucket AS INT) - 1)) - 1 AS lo,
-          (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 2 AS hi,
-          cnt AS n_in_bucket
-        FROM x WHERE cum - cnt < rank AND rank <= cum""")),
-
-    // Equi-depth decile binning of extendedprice whole dollars
-    // (Stats.equiDepthBins): exact type-III quantile boundaries over the
-    // distinct-value cell table (domain-bounded state), compiled into a
-    // scan-stage comparison chain; ties fall to the lower bin. The
-    // feature-discretization profile.
-    ("q_profile_bins",
-      (s: SparkSession, d: String) => graft.ops.Stats.equiDepthBins(
-        t(s, d, "lineitem"), floor(col("l_extendedprice")), bins = 10),
-      Some("""WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
-            FROM lineitem WHERE l_extendedprice IS NOT NULL),
-          n AS (SELECT count(*) AS n FROM v),
-          cells AS (SELECT v, count(*) AS cnt FROM v GROUP BY 1),
-          cum AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS cum
-            FROM cells),
-          b AS (SELECT DISTINCT bv FROM (
-            SELECT q, min(v) AS bv FROM cum, n,
-              UNNEST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS u(q)
-            WHERE cum >= greatest(CAST(ceil(q * n) AS BIGINT), 1)
-            GROUP BY 1)),
-          assigned AS (SELECT c.v, c.cnt,
-              (SELECT count(*) FROM b WHERE b.bv < c.v) AS bin
-            FROM cells c)
-          SELECT bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
-            min(v) AS min_v, max(v) AS max_v
-          FROM assigned GROUP BY 1""")),
-
-    // Per-group Pearson correlation on integer-quantized measures
-    // (Stats.pearson): quantity cents vs extendedprice whole dollars by
-    // return flag — the feature-redundancy profile. Five exact BIGINT
-    // moment sums in ONE combine-enabled aggregate; the final formula runs
-    // in decimal(38,0) (HUGEINT in the oracle) because n*Σxy outgrows
-    // BIGINT, then three IEEE ops, floor-quantized.
-    ("q_profile_corr",
-      (s: SparkSession, d: String) => graft.ops.Stats.pearson(
-        t(s, d, "lineitem"), Seq("l_returnflag"),
-        floor(col("l_quantity") * 100), floor(col("l_extendedprice"))),
-      Some("""WITH q AS (SELECT l_returnflag,
-            CAST(floor(l_quantity * 100) AS BIGINT) AS x,
-            CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem),
-          m AS (SELECT l_returnflag, count(*) AS n,
-            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-            CAST(sum(x * y) AS BIGINT) AS sxy,
-            CAST(sum(x * x) AS BIGINT) AS sxx,
-            CAST(sum(y * y) AS BIGINT) AS syy FROM q GROUP BY 1)
-        SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
-          CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
-                AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
-          THEN floor(
-            CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
-              AS DOUBLE)
-            / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
-              AS DOUBLE))
-            / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
-              AS DOUBLE))
-            * 1e6) / 1e6
-          ELSE NULL END AS corr
-        FROM m""")))
-
-  // ============================================================ sampling
-
-  /** Same uniform-in-[0,1) md5 score as `Sampling.hashScore`; division by
-    * 2^32 is exact in binary floating point, so the comparison is
-    * bit-identical across engines. */
-  private def hashScoreSql(id: String): String =
-    s"CAST(CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 8)) " +
-      s"AS BIGINT) AS DOUBLE) / 4294967296.0"
-
-  private val samplingQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    ("q_sample_hash",
-      (s: SparkSession, d: String) => Sampling.hashSample(
-        t(s, d, "documents"), "doc_id", fraction = 0.1)
-        .select("doc_id", "lang", "source"),
-      Some(s"""SELECT doc_id, lang, source FROM documents
-        WHERE ${hashScoreSql("doc_id")} < 0.1""")),
-
-    ("q_sample_stratified",
-      (s: SparkSession, d: String) => Sampling.stratifiedSample(
-        t(s, d, "documents"), "lang", "doc_id", quota = 40)
-        .select("doc_id", "lang"),
-      Some(s"""SELECT doc_id, lang FROM documents
-        QUALIFY row_number() OVER (PARTITION BY lang
-          ORDER BY ${hashScoreSql("doc_id")} ASC, doc_id ASC) <= 40""")),
-
-    // Data mixing: per-source Bernoulli rates (upsample src0, keep src1,
-    // drop the rest to 10%) — the mixture-weights knob of corpus assembly,
-    // still a stateless scan-stage filter (Sampling.mixtureSample)
-    ("q_sample_mixture",
-      (s: SparkSession, d: String) => Sampling.mixtureSample(
-        t(s, d, "documents"), "doc_id", "source",
-        Map("src0" -> 0.9, "src1" -> 0.5), defaultRate = 0.1)
-        .select("doc_id", "source"),
-      Some(s"""SELECT doc_id, source FROM documents
-        WHERE ${hashScoreSql("doc_id")} <
-          CASE WHEN source = 'src1' THEN 0.5
-               WHEN source = 'src0' THEN 0.9 ELSE 0.1 END""")),
-
-    // Temperature-scaled mixture weights (T = 2): per-source sampling
-    // weight ∝ sqrt(share) — the up-weighting of rare sources every
-    // multilingual/multi-domain training mix applies. sqrt is correctly
-    // rounded IEEE on both engines, and the cross-source normalizer sums
-    // in ONE FIXED ORDER (sorted array fold ↔ list_reduce ORDER BY) so
-    // the double total is bit-identical despite partial-agg order.
-    ("q_sample_temperature",
-      (s: SparkSession, d: String) => {
-        val counts = t(s, d, "documents").groupBy("source")
-          .agg(count(lit(1)).as("n_docs"))
-        val tot = counts.agg(sum("n_docs").as("n_total"),
-          aggregate(
-            transform(array_sort(collect_list(struct(col("source"),
-              col("n_docs")))), x => sqrt(x("n_docs").cast("double"))),
-            lit(0.0), (acc, x) => acc + x).as("sum_sqrt"))
-        counts.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_docs"),
-            (floor(lit(1e6) * col("n_docs").cast("double") /
-              col("n_total").cast("double")) / lit(1e6)).as("share"),
-            (floor(lit(1e6) * sqrt(col("n_docs").cast("double")) /
-              col("sum_sqrt")) / lit(1e6)).as("w_temp"))
-      },
-      Some("""WITH c AS (SELECT source, count(*) AS n_docs
-            FROM documents GROUP BY 1),
-          t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
-            list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
-              (a, x) -> a + x) AS sum_sqrt FROM c)
-        SELECT source, n_docs,
-          floor(1e6 * CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
-            / 1e6 AS share,
-          floor(1e6 * sqrt(CAST(n_docs AS DOUBLE)) / sum_sqrt) / 1e6
-            AS w_temp
-        FROM c, t""")),
-
-    // TOKEN-budgeted mixture: per-source token budgets walked in hash
-    // order (the "N tokens of web, M of code" knob — mixtureSample can only
-    // hit an EXPECTED share). Running totals via the grouped two-pass
-    // prefix scan, not a per-group window; budgets truncate src0 midway,
-    // keep src1 whole, cut the remaining 18 sources early.
-    ("q_sample_tokenbudget",
-      (s: SparkSession, d: String) => {
-        val tc = t(s, d, "documents").select(col("doc_id"), col("source"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        Sampling.tokenBudgetSample(tc, "doc_id", "source", "n_tokens",
-          Map("src0" -> 800L, "src1" -> 10000L), defaultBudget = 300L)
-      },
-      Some(s"""WITH tc AS (SELECT doc_id, source,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
-            ${hashScoreSql("doc_id")} AS h FROM documents),
-        o AS (SELECT doc_id, source, n_tokens,
-            COALESCE(sum(n_tokens) OVER (PARTITION BY source
-              ORDER BY h, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-          FROM tc)
-        SELECT doc_id, source, n_tokens FROM o
-        WHERE off < CASE WHEN source = 'src0' THEN 800
-                         WHEN source = 'src1' THEN 10000 ELSE 300 END""")),
-
-    // Curriculum binning: global short->long decile of every document by
-    // token count — the "sort by difficulty, schedule in bins" step. The
-    // ordinal comes from the two-pass range-partitioned prefix scan, not a
-    // single-reducer global window; the oracle replays it as row_number.
-    ("q_sample_curriculum",
-      (s: SparkSession, d: String) => Sampling.curriculumBins(
-        t(s, d, "documents").select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
-        orderCols = Seq("n_tokens", "doc_id"), bins = 10),
-      Some(s"""WITH m AS MATERIALIZED (SELECT doc_id,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM documents),
-        cnt AS (SELECT count(*) AS n FROM m)
-        SELECT doc_id, n_tokens,
-          CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / n) AS BIGINT) AS bin
-        FROM (SELECT doc_id, n_tokens,
-                row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
-              FROM m), cnt""")),
-
-    // DSIR-style importance resampling (Xie et al. 2023): top-150 docs by
-    // hashed-unigram likeness to the src0 subset vs the whole corpus.
-    // Linear floor-quantized ratio weights instead of log + Gumbel — see
-    // Sampling.dsirResample for why (cross-engine ln/RNG divergence).
-    ("q_sample_dsir",
-      (s: SparkSession, d: String) => Sampling.dsirResample(
-        t(s, d, "documents"), "doc_id", "text",
-        isTarget = col("source") === "src0", buckets = 1024, topK = 150),
-      Some(s"""WITH tok AS MATERIALIZED (
-          SELECT doc_id, source = 'src0' AS t,
-            CAST(concat('0x', substr(md5(u.tok), 1, 4)) AS BIGINT) % 1024 AS bk
-          FROM (SELECT doc_id, source, ${tokensSql()} AS tks FROM documents),
-               UNNEST(tks) AS u(tok)),
-        w AS MATERIALIZED (
-          SELECT bk, CAST(floor(1e6 * (count(*) FILTER (WHERE t) + 1.0) /
-            (count(*) + 1.0)) AS BIGINT) AS w
-          FROM tok GROUP BY bk),
-        sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
-          FROM tok JOIN w USING (bk) GROUP BY doc_id)
-        SELECT doc_id, score FROM sc
-        QUALIFY row_number() OVER (ORDER BY score DESC, doc_id ASC) <= 150""")),
-
-    // Priority sampling (Duffield-Lund-Thorup JACM'07): weight-aware k=12
-    // per language, with the unbiased max(w, tau) adjusted weight. Hash-RNG
-    // priorities, WindowGroupLimit top-k (pinned) — see
-    // Sampling.prioritySample.
-    // Deterministic random-negative pairing for contrastive training: the
-    // uniform companion to q_sim_hard_negatives. Every vector is paired
-    // with the one HALF THE CORPUS away in md5 order — uniform with
-    // respect to content, self-pair-free by construction, reproducible
-    // across runs and engines. The global rank comes from the
-    // range-partitioned prefix scan (Prefix.runningOffsets), NOT a
-    // single-partition row_number window — the 100 TB-safe form of
-    // "shuffle and zip".
-    // Neyman-optimal stratified allocation: a 100-row sample budget split
-    // across segments ∝ n_h·σ_h (the allocation that minimizes the
-    // estimator's variance), with largest-remainder rounding so the
-    // parts sum to exactly 100. n·σ = sqrt(n·Σx² − (Σx)²) of exact
-    // integer moments (whole currency units — cents² would overflow the
-    // n·Σx² fold at population scale); the normalizer is a FIXED-ORDER
-    // fold over the segment-sorted weight array, so the only doubles are
-    // bit-identical cross-engine. All post-aggregate tables are
-    // |segments|-sized.
-    ("q_sample_neyman",
-      (s: SparkSession, d: String) => {
-        val c = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
-          floor(col("c_acctbal")).cast("long").as("x"))
-        val m = c.groupBy("seg").agg(count(lit(1)).as("nh"),
-          sum("x").as("s1"), sum(col("x") * col("x")).as("s2"))
-        val mw = m.withColumn("w",
-          sqrt((col("nh") * col("s2") - col("s1") * col("s1"))
-            .cast("double")))
-        val tot = mw.agg(
-          aggregate(array_sort(collect_list(struct(col("seg"), col("w")))),
-            lit(0.0), (acc, x) => acc + x.getField("w")).as("tw"))
-        val raw = lit(100.0) * col("w") / col("tw")
-        val based = mw.crossJoin(broadcast(tot))
-          .withColumn("base", floor(raw).cast("long"))
-          .withColumn("rem", raw - floor(raw))
-        val give = based.agg((lit(100L) - sum("base")).as("give"))
-        val wr = Window.orderBy(col("rem").desc, col("seg").asc)
-        based.crossJoin(broadcast(give))
-          .withColumn("rk", row_number().over(wr))
-          .select(col("seg"), col("nh"), col("base"),
-            (col("base") + when(col("rk") <= col("give"), 1L)
-              .otherwise(0L)).as("alloc"))
-      },
-      Some("""WITH c AS (SELECT c_mktsegment AS seg,
-            CAST(floor(c_acctbal) AS BIGINT) AS x FROM customer),
-        m AS (SELECT seg, count(*) AS nh, CAST(sum(x) AS BIGINT) AS s1,
-            CAST(sum(x * x) AS BIGINT) AS s2
-          FROM c GROUP BY 1),
-        mw AS (SELECT seg, nh, sqrt(CAST(nh * s2 - s1 * s1 AS DOUBLE))
-            AS w FROM m),
-        tot AS (SELECT list_reduce(
-            list_prepend(CAST(0 AS DOUBLE), list(w ORDER BY seg)),
-            (acc, x) -> acc + x) AS tw FROM mw),
-        b AS (SELECT seg, nh, w, 100.0 * w / tw AS raw,
-            CAST(floor(100.0 * w / tw) AS BIGINT) AS base,
-            100.0 * w / tw - floor(100.0 * w / tw) AS rem
-          FROM mw, tot),
-        g AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS give FROM b),
-        r AS (SELECT seg, nh, base, rem,
-            row_number() OVER (ORDER BY rem DESC, seg ASC) AS rk
-          FROM b)
-        SELECT seg, CAST(nh AS BIGINT) AS nh, base,
-          base + CASE WHEN rk <= give THEN 1 ELSE 0 END AS alloc
-        FROM r, g""")),
-
-    // Greedy k-center coreset (Similarity.kcenterSelect): k corpus-parallel
-    // rounds, each scoring every remaining point's exact integer squared
-    // distance to its nearest chosen center and reducing to the global
-    // argmax; driver state is the k centers only. The oracle unrolls the
-    // identical rounds as CTEs, so the hash-match pins seed choice,
-    // distance arithmetic, and tie-breaks end to end.
-    ("q_sample_kcenter",
-      (s: SparkSession, d: String) => Similarity.kcenterSelect(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 4),
-      Some(kcenterOracleSql(4))),
-
-    ("q_sample_negatives",
-      (s: SparkSession, d: String) => {
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id").cast("long").as("vec_id"), col("label"))
-          .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
-          .withColumn("one", lit(1L))
-        val ranked = graft.ops.Prefix.runningOffsets(e, "h", "one")
-          .select(col("vec_id"), col("label"), col("offset"))
-        val n = ranked.agg(count(lit(1)).as("n_total"))
-        ranked.crossJoin(broadcast(n))
-          .withColumn("partner",
-            (col("offset") + expr("n_total DIV 2")) % col("n_total"))
-          .join(ranked.select(col("offset").as("p_off"),
-              col("vec_id").as("negative_id"),
-              col("label").as("neg_label")),
-            col("partner") === col("p_off"))
-          .select(col("vec_id").as("query_id"),
-            col("label").as("query_label"),
-            col("negative_id"), col("neg_label"))
-      },
-      Some("""WITH r AS (SELECT vec_id, label,
-            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-              - 1 AS off,
-            count(*) OVER () AS n
-          FROM embeddings)
-        SELECT a.vec_id AS query_id, a.label AS query_label,
-          b.vec_id AS negative_id, b.label AS neg_label
-        FROM r a JOIN r b
-          ON b.off = (a.off + CAST(floor(a.n / 2) AS BIGINT)) % a.n""")),
-
-    ("q_sample_priority",
-      (s: SparkSession, d: String) => Sampling.prioritySample(
-        t(s, d, "documents"), "lang", "doc_id", "n_chars", k = 12),
-      Some(s"""WITH pr AS (SELECT lang AS grp, doc_id AS id,
-            CAST(n_chars AS BIGINT) AS w,
-            CAST(n_chars AS DOUBLE) * 1152921504606846976.0 /
-              CAST(CAST(concat('0x',
-                substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT) + 1 AS DOUBLE) AS q
-          FROM documents),
-        rk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY grp
-            ORDER BY q DESC, id ASC) AS rnk FROM pr) WHERE rnk <= 13),
-        tau AS (SELECT grp, max(CASE WHEN rnk = 13 THEN q END) AS tau
-          FROM rk GROUP BY 1)
-        SELECT rk.grp, rk.id, rk.w, CAST(rk.rnk AS BIGINT) AS rnk,
-          floor(greatest(CAST(rk.w AS DOUBLE), coalesce(tau.tau, 0.0)) * 1e6)
-            / 1e6 AS est_w
-        FROM rk LEFT JOIN tau USING (grp) WHERE rk.rnk <= 12""")),
-
-    // Training-shard manifest: deterministic hash sharding (16 shards) +
-    // per-shard doc count and char mass — the "write N shards, prove
-    // they're balanced" close of corpus assembly (Sampling.shardManifest;
-    // one scan-stage hash + one combine-enabled aggregate)
-    // Dedup funnel report: the curation story in one table — corpus size,
-    // survivors after exact dedup (normalized-text fingerprint, min-id
-    // keeper), survivors after near-dup canonicalization (minhash
-    // clusters, min-root keeper). Each stage is the operator the catalog
-    // already verifies individually; the report's value is the exact
-    // stage-over-stage attrition in one pass per stage.
-    ("q_dedup_funnel",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val n0 = docs.agg(count(lit(1)).as("n"))
-          .select(lit(0L).as("stage"), lit("corpus").as("name"), col("n"))
-        val exact = Dedup.exactDedup(docs, "doc_id", "text")
-        val n1 = exact.agg(count(lit(1)).as("n"))
-          .select(lit(1L).as("stage"), lit("exact").as("name"), col("n"))
-        val n2 = Dedup.componentDedup(docs, "doc_id",
-            Dedup.minhashNearDups(docs, "doc_id", "text",
-              n = 5, k = 12, bands = 4, threshold = 0.7))
-          .agg(count(lit(1)).as("n"))
-          .select(lit(2L).as("stage"), lit("near_dup").as("name"), col("n"))
-        n0.unionByName(n1).unionByName(n2)
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
-        fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text),
-            '[^a-z0-9]+', ' ', 'g'))) AS f FROM documents),
-        keep1 AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1)
-        SELECT CAST(0 AS BIGINT) AS stage, 'corpus' AS name,
-          count(*) AS n FROM documents
-        UNION ALL
-        SELECT 1, 'exact', count(*) FROM keep1
-        UNION ALL
-        SELECT 2, 'near_dup', count(*) FROM documents
-        WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> c)""")),
-
-    // SOFT dedup: downweight near-duplicates instead of dropping them —
-    // every document keeps weight 1/cluster_size (micro fixed-point), so
-    // a cluster contributes one document-equivalent of training mass
-    // regardless of copy count, preserving in-cluster diversity that hard
-    // canonicalization throws away. Effective corpus size = Σ weights,
-    // reported per source.
-    ("q_sample_soft_dedup",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val comp = Dedup.componentsStar(
-          Dedup.minhashNearDups(docs, "doc_id", "text",
-            n = 5, k = 12, bands = 4, threshold = 0.7))
-        val withRoot = docs.select(col("doc_id"), col("source"))
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("root", coalesce(col("component_id"), col("doc_id")))
-        val sizes = withRoot.groupBy("root")
-          .agg(count(lit(1)).as("csize"))
-        withRoot.join(sizes, Seq("root"))
-          .withColumn("w_micro",
-            (lit(1000000L) / col("csize")).cast("long"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            count_distinct(col("root")).as("n_clusters"),
-            sum("w_micro").as("effective_micro"))
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
-        wr AS (SELECT doc_id, source, coalesce(c.c, doc_id) AS root
-          FROM documents LEFT JOIN comps c ON doc_id = c.id),
-        sz AS (SELECT root, count(*) AS csize FROM wr GROUP BY 1)
-        SELECT source, count(*) AS n_docs,
-          count(DISTINCT wr.root) AS n_clusters,
-          CAST(sum(1000000 // csize) AS BIGINT) AS effective_micro
-        FROM wr JOIN sz ON wr.root = sz.root GROUP BY 1""")),
-
-    // Leakage-free train/val/test split: the split key is the NEAR-DUP
-    // CLUSTER root, not the document — two near-duplicates can never
-    // straddle splits (the eval-contamination mode that inflates every
-    // benchmark). Assignment is a deterministic md5 bucket of the root;
-    // the n_leaked column is the machine-checked gate (0 by construction,
-    // and the oracle recomputes it independently). Components via the
-    // star contraction; the pair list is persisted because both the
-    // contraction and the leakage audit consume it.
-    ("q_sample_cluster_split",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-            n = 5, k = 12, bands = 4, threshold = 0.7)
-          .select("doc1", "doc2")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val comp = Dedup.componentsStar(pairs)
-        val asg = docs.select(col("doc_id"))
-          .join(comp, Seq("doc_id"), "left")
-          .withColumn("root", coalesce(col("component_id"), col("doc_id")))
-          .withColumn("bucket", pmod(graft.plans.GraftExpressions
-            .md5_prefix60(col("root").cast("string")), lit(10L)))
-          .withColumn("split", when(col("bucket") < 8, "train")
-            .when(col("bucket") === 8, "val").otherwise("test"))
-        val leaked = pairs
-          .join(asg.select(col("doc_id").as("doc1"),
-            col("split").as("s1")), Seq("doc1"))
-          .join(asg.select(col("doc_id").as("doc2"),
-            col("split").as("s2")), Seq("doc2"))
-          .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L)
-            .otherwise(0L)), lit(0L)).as("n_leaked"))
-        asg.groupBy("split")
-          .agg(count(lit(1)).as("n_docs"),
-            count_distinct(col("root")).as("n_clusters"))
-          .crossJoin(broadcast(leaked))
-      },
-      Some(s"""WITH RECURSIVE ${minhashPairsCtes(5, 12, 4, 0.7)},
-        edges AS MATERIALIZED (SELECT doc1 AS a, doc2 AS b FROM mh_pairs
-                  UNION SELECT doc2, doc1 FROM mh_pairs),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comps AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
-        asg AS (SELECT doc_id, root,
-            CASE WHEN bucket < 8 THEN 'train'
-                 WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
-          FROM (SELECT doc_id, root,
-              CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 15))
-                AS BIGINT) % 10 AS bucket
-            FROM (SELECT doc_id, coalesce(c.c, doc_id) AS root
-              FROM documents LEFT JOIN comps c ON doc_id = c.id))),
-        lk AS (SELECT coalesce(sum(CASE WHEN a.split <> b.split
-              THEN 1 ELSE 0 END), 0) AS n_leaked
-          FROM mh_pairs p JOIN asg a ON p.doc1 = a.doc_id
-                          JOIN asg b ON p.doc2 = b.doc_id)
-        SELECT split, count(*) AS n_docs,
-          count(DISTINCT root) AS n_clusters,
-          CAST(n_leaked AS BIGINT) AS n_leaked
-        FROM asg, lk GROUP BY 1, n_leaked""")),
-
-    ("q_sample_shards",
-      (s: SparkSession, d: String) => Sampling.shardManifest(
-        t(s, d, "documents"), "doc_id", "n_chars", shards = 16),
-      Some("""SELECT CAST(concat('0x',
-            substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16
-            AS shard,
-          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS w_sum
-        FROM documents GROUP BY 1""")),
-
-    // Water-filling quota allocation (Sampling.waterfillAlloc): a total
-    // budget of 400 documents split across languages so no language
-    // dominates — small groups keep everything, large ones are clipped to
-    // one common integer waterline. The corpus is touched once (a
-    // combine-enabled count); the waterline search is a window over the
-    // GROUP table (cardinality = #languages, bounded by contract). The
-    // language distribution is skewed (en ~44%), so at smoke/oracle scale
-    // the minor languages sit fully under the waterline while en is
-    // clipped — both sides of the cap exercise.
-    ("q_sample_waterfill",
-      (s: SparkSession, d: String) => Sampling.waterfillAlloc(
-        t(s, d, "documents"), "lang", budget = 400L),
-      Some("""WITH c AS (SELECT lang AS grp,
-            count(*) AS n_rows FROM documents GROUP BY 1),
-          k AS (SELECT count(*) AS k FROM c),
-          p AS (SELECT grp, n_rows,
-              row_number() OVER (ORDER BY n_rows ASC, grp ASC) AS idx,
-              CAST(COALESCE(sum(n_rows) OVER (ORDER BY n_rows ASC, grp ASC
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                AS BIGINT) AS prefix
-            FROM c),
-          cand AS (SELECT idx, n_rows,
-              CAST((400 - prefix) // (k - idx + 1) AS BIGINT) AS cand
-            FROM p, k),
-          cap AS (SELECT CAST(min_by(cand, idx) AS BIGINT) AS cap FROM cand
-            WHERE cand < n_rows)
-          SELECT grp, n_rows,
-            least(n_rows, COALESCE(cap, n_rows)) AS alloc, cap
-          FROM c, cap""")),
-
-    // Rendezvous (highest-random-weight) sharding stability audit: when a
-    // 16-shard corpus grows to 17 shards, how many documents move? Under
-    // rendezvous hashing (each key goes to the shard with the max
-    // h(key|shard)) only keys whose argmax IS the new shard move
-    // (~1/17); under mod-N hashing (Sampling.shardOf) almost everything
-    // moves (~16/17). This audit MEASURES both — the number that decides
-    // whether an incremental re-shard is a copy of 6% or 94% of a
-    // 100 TB corpus. Pure scan-stage array work per key (17 hashes,
-    // argmax by struct ordering) + one global aggregate; no shuffle of
-    // the corpus at all.
-    ("q_sample_rendezvous",
-      (s: SparkSession, d: String) => {
-        val hs = transform(sequence(lit(0), lit(16)), sh => struct(
-          graft.plans.GraftExpressions.md5_prefix(
-            concat(col("doc_id").cast("string"), lit("#"),
-              sh.cast("string")), 8).as("h"),
-          sh.cast("long").as("s")))
-        val h60 = graft.plans.GraftExpressions.md5_prefix60(
-          col("doc_id").cast("string"))
-        t(s, d, "documents")
-          .select(col("doc_id"),
-            array_max(slice(hs, 1, 16)).getField("s").as("old_rv"),
-            array_max(hs).getField("s").as("new_rv"),
-            pmod(h60, lit(16L)).as("old_mod"),
-            pmod(h60, lit(17L)).as("new_mod"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("old_rv") =!= col("new_rv"), 1L).otherwise(0L))
-              .as("moved_rendezvous"),
-            sum(when(col("old_mod") =!= col("new_mod"), 1L).otherwise(0L))
-              .as("moved_mod"))
-      },
-      Some("""WITH h AS (SELECT doc_id, s,
-            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
-              CAST(s AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-          FROM documents, UNNEST(range(0, 17)) AS u(s)),
-        rv AS (SELECT doc_id,
-            max_by(s, hv * 32 + s) FILTER (WHERE s < 16) AS old_rv,
-            max_by(s, hv * 32 + s) AS new_rv
-          FROM h GROUP BY 1),
-        md AS (SELECT doc_id,
-            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-              AS BIGINT) AS h60
-          FROM documents)
-        SELECT count(*) AS n_docs,
-          CAST(sum(CASE WHEN old_rv <> new_rv THEN 1 ELSE 0 END)
-            AS BIGINT) AS moved_rendezvous,
-          CAST(sum(CASE WHEN h60 % 16 <> h60 % 17 THEN 1 ELSE 0 END)
-            AS BIGINT) AS moved_mod
-        FROM rv JOIN md USING (doc_id)""")),
-
-    // Inverse-propensity-weighted estimation audit: downsample per
-    // stratum at known rates (en 10%, zh 50%, rest kept), then estimate
-    // corpus totals from the SAMPLE with 1/rate weights and report the
-    // error against ground truth — the proof a sampled-telemetry /
-    // sampled-corpus pipeline must ship before anyone trusts its
-    // aggregates. Rates chosen with exact integer inverses (10, 2, 1),
-    // so estimates are exact BIGINT arithmetic; the sample membership is
-    // the replayable md5 score. One scan computes truth and estimate
-    // together (conditional aggregates) — the audit costs one pass.
-    ("q_sample_ipw",
-      (s: SparkSession, d: String) => {
-        val w = when(col("lang") === "en", 10L)
-          .when(col("lang") === "zh", 2L).otherwise(1L)
-        val r = when(col("lang") === "en", 0.1)
-          .when(col("lang") === "zh", 0.5).otherwise(1.0)
-        val docs = t(s, d, "documents").select(col("lang"),
-          col("n_chars").cast("long").as("nc"),
-          (Sampling.hashScore(col("doc_id")) < r).as("in_sample"), w.as("w"))
-        docs.groupBy("lang")
-          .agg(count(lit(1)).as("n_true"),
-            sum("nc").as("chars_true"),
-            sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"),
-            sum(when(col("in_sample"), col("w")).otherwise(0L))
-              .as("n_est"),
-            sum(when(col("in_sample"), col("w") * col("nc")).otherwise(0L))
-              .as("chars_est"))
-          .select(col("lang"), col("n_true"), col("n_sampled"),
-            col("n_est"), col("chars_true"), col("chars_est"),
-            floor(abs(col("n_est") - col("n_true")).cast("double") *
-              lit(1e6) / col("n_true").cast("double")).cast("long")
-              .as("n_err_ppm"),
-            floor(abs(col("chars_est") - col("chars_true")).cast("double") *
-              lit(1e6) / col("chars_true").cast("double")).cast("long")
-              .as("chars_err_ppm"))
-      },
-      Some(s"""WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS nc,
-            ${hashScoreSql("doc_id")} <
-              CASE WHEN lang = 'en' THEN 0.1
-                   WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END AS in_sample,
-            CASE WHEN lang = 'en' THEN 10
-                 WHEN lang = 'zh' THEN 2 ELSE 1 END AS w
-          FROM documents),
-        a AS (SELECT lang, count(*) AS n_true,
-            CAST(sum(nc) AS BIGINT) AS chars_true,
-            CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_sampled,
-            CAST(sum(CASE WHEN in_sample THEN w ELSE 0 END) AS BIGINT)
-              AS n_est,
-            CAST(sum(CASE WHEN in_sample THEN w * nc ELSE 0 END)
-              AS BIGINT) AS chars_est
-          FROM d GROUP BY 1)
-        SELECT lang, n_true, n_sampled, n_est, chars_true, chars_est,
-          CAST(floor(CAST(abs(n_est - n_true) AS DOUBLE) * 1e6
-            / CAST(n_true AS DOUBLE)) AS BIGINT) AS n_err_ppm,
-          CAST(floor(CAST(abs(chars_est - chars_true) AS DOUBLE) * 1e6
-            / CAST(chars_true AS DOUBLE)) AS BIGINT) AS chars_err_ppm
-        FROM a""")))
-
-  // ================================================================ graph
-
-  /** Unrolled DuckDB replay of [[Graph.pageRankInt]] over the
-    * part<->supplier graph: one CTE per round, integer `//` division —
-    * bit-identical to the Spark fixed-point iteration. `sum(BIGINT)` is
-    * HUGEINT in DuckDB, so intermediate ranks widen losslessly and the
-    * final projection casts back. */
-  private def pageRankOracleSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT n.node,
-           150000000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
-         FROM nodes n LEFT JOIN (
-           SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
-           FROM r${i - 1} r JOIN d ON r.node = d.src JOIN e ON e.src = d.src
-           GROUP BY 1) s USING (node))"""
-    }.mkString(",\n        ")
-    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-          l_suppkey * 2 + 1 AS dst FROM lineitem),
-        e AS (SELECT src, dst FROM fwd
-          UNION ALL SELECT dst, src FROM fwd),
-        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        nodes AS (SELECT DISTINCT src AS node FROM e
-          UNION SELECT DISTINCT dst FROM e),
-        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
-        $rounds
-        SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.pprInt]] over the part<->supplier
-    * graph with the part-id<5 seed set: the pageRank CTE chain with the
-    * teleport term gated on seed membership. */
-  private def pprOracleSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT f.node,
-           f.iss * 150000000000 + (85 * coalesce(s.s, 0)) // 100 AS rank
-         FROM f LEFT JOIN (
-           SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s
-           FROM r${i - 1} r JOIN d ON r.node = d.src JOIN e ON e.src = d.src
-           GROUP BY 1) s USING (node))"""
-    }.mkString(",\n        ")
-    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-          l_suppkey * 2 + 1 AS dst FROM lineitem),
-        e AS (SELECT src, dst FROM fwd
-          UNION ALL SELECT dst, src FROM fwd),
-        d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
-        nodes AS (SELECT DISTINCT src AS node FROM e
-          UNION SELECT DISTINCT dst FROM e),
-        sd AS (SELECT DISTINCT l_partkey * 2 AS node FROM lineitem
-          WHERE l_partkey < 5),
-        f AS (SELECT n.node,
-            CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS iss
-          FROM nodes n LEFT JOIN sd s USING (node)),
-        r0 AS (SELECT node, CAST(iss AS BIGINT) * 1000000000000 AS rank
-          FROM f),
-        $rounds
-        SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.ssspInt]] over the weighted
-    * part<->supplier graph (edge weight = min line price in cents for the
-    * pairing) from the part-id<5 seed set: one (relax-union, min-group)
-    * CTE pair per round — the Bellman-Ford "cheapest within r hops"
-    * invariant, bit-exact in BIGINT min/plus. */
-  private def ssspOracleSql(rounds: Int): String = {
-    val steps = (1 to rounds).map { r =>
-      s""",
-        u$r AS (SELECT node, dist FROM d${r - 1}
-          UNION ALL SELECT e.dst, d.dist + e.w
-          FROM d${r - 1} d JOIN e ON e.src = d.node),
-        d$r AS (SELECT node, min(dist) AS dist FROM u$r GROUP BY 1)"""
-    }.mkString
-    s"""WITH fwd AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-          min(${centsSql("l_extendedprice")}) AS w
-        FROM lineitem GROUP BY 1, 2),
-        e AS (SELECT src, dst, w FROM fwd
-          UNION ALL SELECT dst, src, w FROM fwd),
-        d0 AS (SELECT DISTINCT l_partkey * 2 AS node,
-            CAST(0 AS BIGINT) AS dist
-          FROM lineitem WHERE l_partkey < 5)$steps
-        SELECT node, dist FROM d$rounds"""
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.hitsInt]] over the DIRECTED
-    * part->supplier graph: one (auth-pass, hub-pass) CTE quad per round,
-    * max-normalized with integer `//` — bit-identical to the Spark
-    * fixed-point iteration (sums widen to HUGEINT losslessly; the final
-    * projection casts back). */
-  private def hitsOracleSql(iters: Int, scale: Long): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""ar$i AS (SELECT n.node, coalesce(s.s, 0) AS araw
-           FROM nodes n LEFT JOIN (
-             SELECT e.dst AS node, sum(h.hub) AS s
-             FROM fwd e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) s
-           USING (node)),
-         a$i AS (SELECT node, (araw * $scale)
-             // greatest((SELECT max(araw) FROM ar$i), 1) AS auth
-           FROM ar$i),
-         hr$i AS (SELECT n.node, coalesce(s.s, 0) AS hraw
-           FROM nodes n LEFT JOIN (
-             SELECT e.src AS node, sum(a.auth) AS s
-             FROM fwd e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
-           USING (node)),
-         h$i AS (SELECT node, (hraw * $scale)
-             // greatest((SELECT max(hraw) FROM hr$i), 1) AS hub
-           FROM hr$i)"""
-    }.mkString(",\n        ")
-    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-          l_suppkey * 2 + 1 AS dst FROM lineitem),
-        nodes AS (SELECT DISTINCT src AS node FROM fwd
-          UNION SELECT DISTINCT dst FROM fwd),
-        h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
-        $rounds
-        SELECT a.node, CAST(a.auth AS BIGINT) AS auth,
-          CAST(h.hub AS BIGINT) AS hub
-        FROM a$iters a JOIN h$iters h ON a.node = h.node"""
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.kCore]] over the sampled co-order
-    * parts graph: one (degree-filter + two-join) CTE pair per peel round —
-    * bit-identical to the Spark fixed-round loop (pure integer counts). */
-  /** Unrolled fixed-round label-propagation replay over the sampled
-    * co-order graph (must mirror q_graph_communities' construction). */
-  /** The label-propagation CTE chain (shared by the communities and
-    * modularity oracles): `canon(a, b)`, `edges(src, dst)`, and the final
-    * labels in `l{rounds}(node, label)`. */
-  private def lpaCtes(rounds: Int): String = {
-    val base = """lp AS (SELECT DISTINCT l_orderkey AS ok,
-          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
-      canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-      edges AS (SELECT a AS src, b AS dst FROM canon
-        UNION SELECT b, a FROM canon),
-      l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
-    val iters = (1 to rounds).map { i =>
-      s""",
-      r$i AS (SELECT e.src AS node, l.label, count(*) AS c
-        FROM edges e JOIN l${i - 1} l ON e.dst = l.node GROUP BY 1, 2),
-      l$i AS (SELECT node, label FROM (SELECT node, label,
-          row_number() OVER (PARTITION BY node
-            ORDER BY c DESC, label ASC) AS rn
-        FROM r$i) WHERE rn = 1)"""
-    }.mkString
-    base + iters
-  }
-
-  private def lpaOracleSql(rounds: Int): String =
-    s"WITH ${lpaCtes(rounds)}\n      SELECT node, label FROM l$rounds"
-
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
-    val steps = (1 to rounds).map { i =>
-      s"""a$i AS (SELECT src FROM (
-           SELECT src, count(*) AS c FROM e${i - 1} GROUP BY 1)
-           WHERE c >= $k),
-         e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
-           JOIN a$i s ON e.src = s.src JOIN a$i t ON e.dst = t.src)"""
-    }.mkString(",\n        ")
-    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-          FROM lineitem WHERE l_orderkey % 5 = 0),
-        canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-        e0 AS (SELECT a AS src, b AS dst FROM canon
-          UNION ALL SELECT b, a FROM canon),
-        $steps
-        SELECT src AS node, count(*) AS degree FROM e$rounds GROUP BY 1"""
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.bfsLevels]] over the part<->supplier
-    * bipartite graph ([[partSupplierEdges]] construction mirrored): one
-    * (frontier-join + NOT IN) CTE pair per hop, so the hash-match pins the
-    * frontier-expansion admission rule (a node enters at its minimum hop,
-    * exactly once). */
-  private def bfsOracleSql(rounds: Int): String = {
-    val base = """WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-          l_suppkey * 2 + 1 AS dst FROM lineitem),
-      e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
-      l0 AS (SELECT DISTINCT l_partkey * 2 AS node,
-          CAST(0 AS BIGINT) AS level
-        FROM lineitem WHERE l_partkey < 5)"""
-    val hops = (1 to rounds).map { r =>
-      s""",
-      f$r AS (SELECT DISTINCT e.dst AS node
-        FROM e JOIN ${if (r == 1) "l0" else s"f${r - 1}"} f
-          ON e.src = f.node
-        WHERE e.dst NOT IN (SELECT node FROM l${r - 1})),
-      l$r AS (SELECT node, level FROM l${r - 1}
-        UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)"""
-    }.mkString
-    base + hops + s"\n      SELECT node, level FROM l$rounds"
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.randomWalks]] over the CAPPED
-    * (maxDegree = 8) symmetrized co-order parts graph: the q_graph_capped
-    * cap CTEs, a per-node dst-ordered neighbor index, and one join-CTE
-    * per step whose neighbor pick replays the md5-prefix hash decision
-    * `1 + (h(walk|step) mod deg)`. */
-  private def walksOracleSql(steps: Int): String = {
-    val base = """WITH lp AS (SELECT DISTINCT l_orderkey AS ok,
-          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
-      canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-      inc AS (SELECT a AS node, a, b,
-          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-        FROM canon0
-        UNION ALL
-        SELECT b AS node, a, b,
-          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-        FROM canon0),
-      ranked AS (SELECT node, a, b,
-          row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
-        FROM inc),
-      canon AS (SELECT a, b FROM ranked WHERE rk <= 8
-        GROUP BY a, b HAVING count(*) = 2),
-      sym AS (SELECT a AS src, b AS dst FROM canon
-        UNION ALL SELECT b, a FROM canon),
-      idx AS (SELECT src, dst, CAST(row_number() OVER (PARTITION BY src
-          ORDER BY dst) AS BIGINT) AS nidx FROM sym),
-      deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
-      s0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM sym
-        WHERE src % 20 = 0)"""
-    val hops = (1 to steps).map { t =>
-      s""",
-      s$t AS (SELECT w.walk_id, i.dst AS node
-        FROM s${t - 1} w JOIN deg d ON w.node = d.node
-        JOIN idx i ON i.src = w.node
-          AND i.nidx = 1 + (CAST(concat('0x',
-            substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t'), 1, 8))
-            AS BIGINT) % d.deg))"""
-    }.mkString
-    val arms = (0 to steps).map(t =>
-      s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM s$t")
-      .mkString("\n      UNION ALL ")
-    s"$base$hops\n      $arms"
-  }
-
-  /** Unrolled DuckDB replay of [[Graph.cascade]] over the CAPPED
-    * symmetrized co-order graph (same cap CTEs as [[walksOracleSql]]):
-    * one (count-gate + anti-join) CTE pair per round. */
-  /** DuckDB replay of the CAPPED (maxDegree = 8) symmetrized co-order
-    * parts graph — the shared base of the cascade / ANF oracles (the
-    * q_graph_capped cap CTEs verbatim: md5-ranked bottom-8 incident edges,
-    * kept-at-both-endpoints). Yields `sym(src, dst)`. */
-  private def cappedSymCtes(): String =
-    """lp AS (SELECT DISTINCT l_orderkey AS ok,
-          l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
-      canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-      inc AS (SELECT a AS node, a, b,
-          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-        FROM canon0
-        UNION ALL
-        SELECT b AS node, a, b,
-          md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-        FROM canon0),
-      ranked AS (SELECT node, a, b,
-          row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
-        FROM inc),
-      canon AS (SELECT a, b FROM ranked WHERE rk <= 8
-        GROUP BY a, b HAVING count(*) = 2),
-      sym AS (SELECT a AS src, b AS dst FROM canon
-        UNION ALL SELECT b, a FROM canon)"""
-
-  /** Unrolled replay of [[Graph.anfReach]] over the capped graph: exact
-    * r-hop reach sets hop by hop, then the bottom-k sketch REBUILT from
-    * the exact set (legal because bottom-k union is idempotent — the
-    * propagated sketch equals the sketch of the true reach set), same
-    * md5-prefix60 hash, same KMV estimator chain. */
-  private def anfOracleSql(k: Int, rounds: Int): String = {
-    val hops = (1 to rounds).map { r =>
-      s""",
-      r$r AS (SELECT DISTINCT root, reach FROM (
-          SELECT r.root, e.dst AS reach
-          FROM r${r - 1} r JOIN sym e ON e.src = r.reach
-          UNION ALL SELECT root, reach FROM r${r - 1}))"""
-    }.mkString
-    s"""WITH ${cappedSymCtes()},
-      nodes AS (SELECT DISTINCT src AS node FROM sym),
-      r0 AS (SELECT node AS root, node AS reach FROM nodes)$hops,
-      h AS (SELECT DISTINCT root, CAST(concat('0x',
-            substr(md5(CAST(reach AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        FROM r$rounds),
-      rk AS (SELECT root, h,
-          row_number() OVER (PARTITION BY root ORDER BY h) AS rn,
-          count(*) OVER (PARTITION BY root) AS cnt FROM h),
-      kth AS (SELECT root, max(CASE WHEN rn <= $k THEN h END) AS h_k,
-          any_value(cnt) AS cnt FROM rk GROUP BY 1)
-      SELECT root AS node, LEAST(cnt, $k) AS n_sketch,
-        CASE WHEN cnt < $k THEN CAST(cnt AS DOUBLE)
-             ELSE ${k - 1}.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
-        END AS reach_est
-      FROM kth"""
-  }
-
-  /** DuckDB replay of [[Graph.boruvkaForest]] (2 Borůvka rounds): per-
-    * component cheapest-edge picks via row_number over the (w, a, b)
-    * total order, then the round-1 merge labels by `labelRounds` UNROLLED
-    * min-label propagation steps over the round-1 forest — the SAME fixed
-    * rounds the Spark side runs, so the two engines agree even if the
-    * labels were under-converged (the forest is star-like: measured
-    * convergence is 5-6 steps at both fixture scales; 8 has margin). A
-    * recursive-CTE reach enumeration would be Σ|comp|² rows — measured
-    * 10x slower and quadratic in component size. Every lb CTE is
-    * MATERIALIZED: each references its predecessor twice, and DuckDB
-    * would otherwise inline the chain exponentially. */
-  private def mstOracleSql(labelRounds: Int): String = {
-    val labels = (1 to labelRounds).map { i =>
-      s""",
-        lb$i AS MATERIALIZED (SELECT l.id,
-            least(l.lbl, COALESCE(m.m, l.lbl)) AS lbl
-          FROM lb${i - 1} l LEFT JOIN (SELECT e.b AS id, min(x.lbl) AS m
-            FROM e1 e JOIN lb${i - 1} x ON e.a = x.id GROUP BY 1) m
-            ON l.id = m.id)"""
-    }.mkString
-    s"""WITH canon AS MATERIALIZED (
-          SELECT least(l_partkey * 2, l_suppkey * 2 + 1) AS a,
-            greatest(l_partkey * 2, l_suppkey * 2 + 1) AS b,
-            min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS w
-          FROM lineitem GROUP BY 1, 2),
-        nodes AS (SELECT a AS node FROM canon
-          UNION SELECT b FROM canon),
-        g1 AS (SELECT a AS g, w, a, b FROM canon
-          UNION ALL SELECT b, w, a, b FROM canon),
-        sel1 AS (SELECT a, b, w FROM (SELECT g, w, a, b,
-            row_number() OVER (PARTITION BY g ORDER BY w, a, b) AS rn
-          FROM g1) WHERE rn = 1),
-        f1 AS MATERIALIZED (SELECT DISTINCT a, b, w FROM sel1),
-        e1 AS MATERIALIZED (SELECT a, b FROM f1
-          UNION SELECT b, a FROM f1),
-        lb0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl
-          FROM e1)$labels,
-        comp1 AS MATERIALIZED (SELECT n.node,
-            COALESCE(c.lbl, n.node) AS comp
-          FROM nodes n LEFT JOIN lb$labelRounds c ON n.node = c.id),
-        cand2 AS (SELECT canon.a, canon.b, canon.w,
-            x.comp AS ca, y.comp AS cb
-          FROM canon JOIN comp1 x ON canon.a = x.node
-            JOIN comp1 y ON canon.b = y.node
-          WHERE x.comp <> y.comp),
-        g2 AS (SELECT ca AS g, w, a, b FROM cand2
-          UNION ALL SELECT cb, w, a, b FROM cand2),
-        sel2 AS (SELECT a, b, w FROM (SELECT g, w, a, b,
-            row_number() OVER (PARTITION BY g ORDER BY w, a, b) AS rn
-          FROM g2) WHERE rn = 1),
-        f2 AS (SELECT DISTINCT a, b, w FROM (
-          SELECT a, b, w FROM f1 UNION ALL SELECT a, b, w FROM sel2))
-        SELECT a, b, w FROM f2"""
-  }
-
-  private def cascadeOracleSql(threshold: Int, rounds: Int): String = {
-    val base = s"""WITH ${cappedSymCtes()},
-      a0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS round
-        FROM sym WHERE src % 20 = 0)"""
-    val hops = (1 to rounds).map { r =>
-      s""",
-      n$r AS (SELECT e.dst AS node, count(*) AS c
-        FROM sym e JOIN a${r - 1} a ON e.src = a.node GROUP BY 1),
-      a$r AS (SELECT node, round FROM a${r - 1}
-        UNION ALL
-        SELECT node, CAST($r AS BIGINT) FROM n$r
-        WHERE c >= $threshold AND node NOT IN
-          (SELECT node FROM a${r - 1}))"""
-    }.mkString
-    base + hops + s"\n      SELECT node, round FROM a$rounds"
-  }
-
-  /** The part<->supplier co-occurrence graph from lineitem: parts on even
-    * node ids, suppliers on odd (one BIGINT key space, bipartite so the
-    * two directions never collide), an edge per distinct (part, supplier)
-    * pairing, both directions. The stand-in for the similarity / hyperlink
-    * graphs a curation pipeline ranks before sampling. */
-  private def partSupplierEdges(s: SparkSession, d: String): DataFrame = {
-    val fwd = t(s, d, "lineitem")
-      .select((col("l_partkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-  }
-
-  private val graphQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // Fixed-point integer PageRank, 5 rounds — graph centrality as a
-    // first-class curation operator (rank nodes of the similarity graph /
-    // host graph before sampling). Deterministic across engines: every
-    // round is BIGINT arithmetic (see Graph.pageRankInt).
-    ("q_graph_pagerank",
-      (s: SparkSession, d: String) => Graph.pageRankInt(
-        partSupplierEdges(s, d), "src", "dst", iters = 5),
-      Some(pageRankOracleSql(5))),
-
-    // Degree profile of the same graph — the sanity check run before any
-    // iterative graph op (skew detection: a node whose degree is
-    // corpus-proportional is the hot key every shuffle strategy must know
-    // about). One union + one combine-enabled aggregate.
-    ("q_graph_degree",
-      (s: SparkSession, d: String) => Graph.degrees(
-        partSupplierEdges(s, d), "src", "dst"),
-      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-            l_suppkey * 2 + 1 AS dst FROM lineitem),
-          e AS (SELECT src, dst FROM fwd
-            UNION ALL SELECT dst, src FROM fwd),
-          b AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
-            UNION ALL SELECT dst, 0, 1 FROM e)
-          SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
-            CAST(sum(i) AS BIGINT) AS in_deg,
-            count(*) AS degree
-          FROM b GROUP BY 1""")),
-
-    // Degree assortativity (Newman 2002) of the same graph — one number
-    // saying whether hubs link to hubs (>0) or to leaves (<0), i.e. which
-    // side of a downstream graph join carries the hot keys. The bipartite
-    // part<->supplier graph is structurally disassortative, so the audit
-    // has signal here. Exact BIGINT moments; the correlation itself is one
-    // fixed IEEE chain (the moment products would wrap 2^63 at exactly the
-    // graph sizes this audit targets).
-    ("q_graph_assortativity",
-      (s: SparkSession, d: String) => Graph.assortativity(
-        partSupplierEdges(s, d), "src", "dst"),
-      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-            l_suppkey * 2 + 1 AS dst FROM lineitem),
-          e AS (SELECT src, dst FROM fwd
-            UNION ALL SELECT dst, src FROM fwd),
-          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
-          p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM e
-            JOIN deg dx ON e.src = dx.node
-            JOIN deg dy ON e.dst = dy.node),
-          m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
-              CAST(sum(dx) AS BIGINT) AS sx,
-              CAST(sum(dx * dy) AS BIGINT) AS sxy,
-              CAST(sum(dx * dx) AS BIGINT) AS sxx FROM p)
-          SELECT n_edges, sx, sxy, sxx,
-            CAST(floor(1e6 * (CAST(n_edges AS DOUBLE) * sxy
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              / (CAST(n_edges AS DOUBLE) * sxx
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
-              AS r_micro
-          FROM m""")),
-
-    // Fixed-round k-core peel (Graph.kCore) over the sampled co-order
-    // graph — density filtering of the similarity graph. k=16 sits below
-    // the graph's scale-stable median degree (~23 at every SF), so
-    // the peel is non-trivial at smoke, oracle and bench scales alike.
-    // Community detection via fixed-round synchronous label propagation
-    // (Graph.labelPropagation) over the sampled co-order graph — the
-    // DENSE-region structure, where q_dedup_clusters* find mere
-    // connectivity. 4 rounds + total tie order = deterministic; the
-    // oracle unrolls the rounds as mode-per-node CTEs.
-    ("q_graph_communities", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
-        val e = canon.select(col("a").as("src"), col("b").as("dst"))
-          .union(canon.select(col("b").as("src"), col("a").as("dst")))
-        Graph.labelPropagation(e, "src", "dst", rounds = 4)
-      }): Q
-      },
-      Some(lpaOracleSql(4))),
-
-    // Newman modularity of the label-propagation partition — the number
-    // that says whether q_graph_communities found STRUCTURE or noise
-    // (Q = Σ_c e_c/m − (d_c/2m)², positive when intra-community edge mass
-    // beats the degree-preserving random expectation). The
-    // clustering-quality gate a pipeline checks before trusting
-    // community-based sampling/dedup decisions. Per-community rows (size,
-    // degree mass, intra edges, contribution) so the audit says WHICH
-    // communities carry the structure. Shape: the LP rounds, then one
-    // degree aggregate, one canonical-edge double label join, a
-    // label-keyed groupBy — all combine-enabled, the global m a 1-row
-    // broadcast. Contribution is one fixed IEEE chain over exact BIGINTs.
-    ("q_graph_modularity", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
-        val e = canon.select(col("a").as("src"), col("b").as("dst"))
-          .union(canon.select(col("b").as("src"), col("a").as("dst")))
-        val labels = Graph.labelPropagation(e, "src", "dst", rounds = 4)
-          .localCheckpoint()
-        val deg = e.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("deg"))
-        val dc = labels.join(deg, Seq("node"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_c"))
-        val ec = canon
-          .join(labels.select(col("node").as("a"), col("label").as("la")),
-            Seq("a"))
-          .join(labels.select(col("node").as("b"), col("label").as("lb")),
-            Seq("b"))
-          .filter(col("la") === col("lb"))
-          .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
-        val m = canon.agg(count(lit(1)).as("m"))
-        dc.join(ec, Seq("label"), "left_outer")
-          .crossJoin(broadcast(m))
-          .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
-          .withColumn("t_",
-            col("d_c").cast("double") /
-              (lit(2.0) * col("m").cast("double")))
-          .select(col("label"), col("n_nodes"), col("d_c"), col("e_c"),
-            floor(lit(1e6) *
-              (col("e_c").cast("double") / col("m").cast("double") -
-                col("t_") * col("t_"))).cast("long").as("q_micro"))
-      }): Q
-      },
-      Some(s"""WITH ${lpaCtes(4)},
-        deg AS (SELECT src AS node, count(*) AS deg
-          FROM edges GROUP BY 1),
-        dc AS (SELECT label, count(*) AS n_nodes,
-            CAST(sum(deg) AS BIGINT) AS d_c
-          FROM l4 JOIN deg USING (node) GROUP BY 1),
-        ec AS (SELECT la.label AS label, count(*) AS e_c
-          FROM canon c
-          JOIN l4 la ON c.a = la.node
-          JOIN l4 lb ON c.b = lb.node
-          WHERE la.label = lb.label GROUP BY 1),
-        mm AS (SELECT count(*) AS m FROM canon)
-        SELECT dc.label, dc.n_nodes, dc.d_c,
-          COALESCE(ec.e_c, 0) AS e_c,
-          CAST(floor(1e6 * (CAST(COALESCE(ec.e_c, 0) AS DOUBLE) /
-              CAST(m AS DOUBLE) -
-            (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) *
-            (CAST(d_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))))
-            AS BIGINT) AS q_micro
-        FROM dc LEFT JOIN ec ON dc.label = ec.label, mm""")),
-
-    ("q_graph_kcore", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("a"), col("pk2").as("b")).distinct()
-        val e = canon.select(col("a").as("src"), col("b").as("dst"))
-          .union(canon.select(col("b").as("src"), col("a").as("dst")))
-        Graph.kCore(e, "src", "dst", k = 16, rounds = 4)
-      }): Q
-      },
-      Some(kCoreOracleSql(k = 16, rounds = 4))),
-
-    // Per-node triangle counts + clustering coefficient by degree-ordered
-    // orientation (Graph.triangleCounts) over the parts-co-ordered-together
-    // graph — the bipartite part<->supplier graph has no odd cycles, so the
-    // triangle query runs on its one-mode projection (parts sharing an
-    // order), whose per-order fan-out is bounded by order size by
-    // construction. Orientation bounds the wedge join at O(|E|^1.5) — the
-    // 100 TB-safe shape (a hub never owns its whole neighborhood).
-    ("q_graph_triangles", {
-      ((s: SparkSession, d: String) => {
-        // every fifth order: the co-order projection densifies
-        // quadratically with corpus size (a part's degree grows with its
-        // order count), so the BENCH graph is a deterministic order sample
-        // — the plan shape (and the oriented-wedge bound) is what scales,
-        // not the constant
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        Graph.triangleCounts(e, "src", "dst")
-      }): Q
-      },
-      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem WHERE l_orderkey % 5 = 0),
-          canon AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-          deg AS (SELECT node, count(*) AS deg FROM (
-              SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
-            GROUP BY 1),
-          o AS (SELECT
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN c.a ELSE c.b END AS lo,
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN c.b ELSE c.a END AS hi,
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN db.deg ELSE da.deg END AS dhi
-            FROM canon c JOIN deg da ON c.a = da.node
-            JOIN deg db ON c.b = db.node),
-          wed AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
-            FROM o w1 JOIN o w2 ON w1.lo = w2.lo
-            WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
-          tri AS (SELECT p, x, y
-            FROM wed JOIN o ON wed.x = o.lo AND wed.y = o.hi),
-          pn AS (SELECT node, count(*) AS t FROM (
-              SELECT p AS node FROM tri UNION ALL SELECT x FROM tri
-              UNION ALL SELECT y FROM tri) GROUP BY 1)
-          SELECT d.node, d.deg AS degree,
-            coalesce(pn.t, CAST(0 AS BIGINT)) AS triangles,
-            CASE WHEN d.deg >= 2 THEN
-              floor(CAST(coalesce(pn.t, CAST(0 AS BIGINT)) AS DOUBLE) * 2e6
-                / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 1e6
-            ELSE 0.0 END AS clustering
-          FROM deg d LEFT JOIN pn ON d.node = pn.node""")),
-
-    // The STRUCTURAL hub guard, oracle-verified: the same co-order graph
-    // as q_graph_triangles but degree-capped with Graph.capDegree
-    // (maxDegree=8) before counting — per-node deterministic bottom-k by
-    // md5("src|dst") rank, an edge surviving only at both endpoints. The
-    // oracle replays the sampling exactly (row_number over the md5 order,
-    // keep rank<=8, count(*)=2), then the full oriented-wedge pipeline on
-    // the capped subgraph — proving the capped result is EXACT on the
-    // sampled subgraph, not merely "bounded". maxDegree is what makes a
-    // hub-degenerate derived graph safe at corpus scale (wedge fan-out
-    // <= cap, no quadratic key).
-    // Deterministic random walks (Graph.randomWalks) over the CAPPED
-    // symmetrized co-order graph — the DeepWalk/node2vec corpus
-    // generator: 4-step walks from every 20th part, every step a
-    // replayable md5-hash neighbor pick (no RNG, so the walk corpus is
-    // retry-stable and auditable). The degree cap bounds the per-node
-    // neighbor-index window by construction (the structural guard the
-    // graph family uses everywhere); each step is two frontier-sized
-    // equi-joins against checkpointed index/degree tables.
-    ("q_graph_walks", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
-        val sym = capped.union(
-          capped.select(col("dst").as("src"), col("src").as("dst")))
-        val seeds = sym.select(col("src")).distinct()
-          .filter(col("src") % 20 === 0)
-          .select(col("src").as("wid"), col("src").as("nd"))
-        Graph.randomWalks(sym, "src", "dst", seeds, "wid", "nd", steps = 4)
-      }): Q
-      },
-      Some(walksOracleSql(4))),
-
-    // Threshold cascade (Graph.cascade) from the walks' seed set over
-    // the same capped graph: "2 active neighbors activate you", 3
-    // rounds — influence spread / taint propagation with a count gate
-    // (where q_graph_bfs spreads on ANY contact). Per round one
-    // frontier equi-join + combine-enabled count + anti-join.
-    ("q_graph_cascade", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
-        val sym = capped.union(
-          capped.select(col("dst").as("src"), col("src").as("dst")))
-        val seeds = sym.select(col("src")).distinct()
-          .filter(col("src") % 20 === 0)
-        Graph.cascade(sym, "src", "dst", seeds, "src",
-          threshold = 2, rounds = 3)
-      }): Q
-      },
-      Some(cascadeOracleSql(threshold = 2, rounds = 3))),
-
-    ("q_graph_capped", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        Graph.triangleCounts(e, "src", "dst", maxDegree = 8)
-      }): Q
-      },
-      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem WHERE l_orderkey % 5 = 0),
-          canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-          inc AS (SELECT a AS node, a, b,
-              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-            FROM canon0
-            UNION ALL
-            SELECT b AS node, a, b,
-              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-            FROM canon0),
-          ranked AS (SELECT node, a, b,
-              row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
-            FROM inc),
-          canon AS (SELECT a, b FROM ranked WHERE rk <= 8
-            GROUP BY a, b HAVING count(*) = 2),
-          deg AS (SELECT node, count(*) AS deg FROM (
-              SELECT a AS node FROM canon UNION ALL SELECT b FROM canon)
-            GROUP BY 1),
-          o AS (SELECT
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN c.a ELSE c.b END AS lo,
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN c.b ELSE c.a END AS hi,
-              CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
-                THEN db.deg ELSE da.deg END AS dhi
-            FROM canon c JOIN deg da ON c.a = da.node
-            JOIN deg db ON c.b = db.node),
-          wed AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
-            FROM o w1 JOIN o w2 ON w1.lo = w2.lo
-            WHERE w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
-          tri AS (SELECT p, x, y
-            FROM wed JOIN o ON wed.x = o.lo AND wed.y = o.hi),
-          pn AS (SELECT node, count(*) AS t FROM (
-              SELECT p AS node FROM tri UNION ALL SELECT x FROM tri
-              UNION ALL SELECT y FROM tri) GROUP BY 1)
-          SELECT d.node, d.deg AS degree,
-            coalesce(pn.t, CAST(0 AS BIGINT)) AS triangles,
-            CASE WHEN d.deg >= 2 THEN
-              floor(CAST(coalesce(pn.t, CAST(0 AS BIGINT)) AS DOUBLE) * 2e6
-                / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 1e6
-            ELSE 0.0 END AS clustering
-          FROM deg d LEFT JOIN pn ON d.node = pn.node""")),
-
-    // Fixed-round BFS levels (Graph.bfsLevels) from a small seed set over
-    // the part<->supplier bipartite graph — hop-bounded reachability, the
-    // "how far does contamination / influence spread" primitive the
-    // centrality family lacks. Each hop is one frontier equi-join + LEFT
-    // ANTI against the accumulated levels; the unrolled oracle pins the
-    // enters-at-its-minimum-hop admission rule.
-    // Link prediction by common-neighbor Jaccard: wedge join over the
-    // DEGREE-CAPPED co-order graph (the same structural hub guard as
-    // q_graph_capped — wedge fan-out is quadratic in degree), existing
-    // edges anti-joined away, similarity = cn/(da+db−cn) floor-quantized.
-    // The candidate-generation primitive of graph-based retrieval and
-    // "people also bought" — edge-level, where triangles are node-level.
-    ("q_graph_linkpred", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e0 = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst")).distinct()
-        val capped = Graph.capDegree(e0, "src", "dst", maxDegree = 8)
-          .localCheckpoint() // adj, wedge, anti and degrees all rescan it
-        val adj = capped.select(col("src").as("n"), col("dst").as("v"))
-          .union(capped.select(col("dst").as("n"), col("src").as("v")))
-        val wedge = adj.as("x")
-          .join(adj.as("y"), col("x.v") === col("y.v") &&
-            col("x.n") < col("y.n"))
-          .groupBy(col("x.n").as("a"), col("y.n").as("b"))
-          .agg(count(lit(1)).as("cn"))
-          .filter(col("cn") >= 2)
-        val deg = adj.groupBy("n").agg(count(lit(1)).as("dg"))
-        wedge.join(capped, col("a") === col("src") &&
-            col("b") === col("dst"), "left_anti")
-          .join(deg.select(col("n").as("a"), col("dg").as("deg_a")), "a")
-          .join(deg.select(col("n").as("b"), col("dg").as("deg_b")), "b")
-          .select(col("a"), col("b"), col("cn"), col("deg_a"),
-            col("deg_b"),
-            floor(col("cn").cast("double") * 1e6 /
-              (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
-              .cast("long").as("jaccard_micro"))
-      }): Q
-      },
-      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem WHERE l_orderkey % 5 = 0),
-          canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-            FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-          inc AS (SELECT a AS node, a, b,
-              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-            FROM canon0
-            UNION ALL
-            SELECT b AS node, a, b,
-              md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
-            FROM canon0),
-          ranked AS (SELECT node, a, b,
-              row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
-            FROM inc),
-          canon AS (SELECT a, b FROM ranked WHERE rk <= 8
-            GROUP BY a, b HAVING count(*) = 2),
-          adj AS (SELECT a AS n, b AS v FROM canon
-            UNION ALL SELECT b, a FROM canon),
-          w AS (SELECT x.n AS a, y.n AS b, count(*) AS cn
-            FROM adj x JOIN adj y ON x.v = y.v AND x.n < y.n
-            GROUP BY 1, 2 HAVING count(*) >= 2),
-          deg AS (SELECT n, count(*) AS dg FROM adj GROUP BY 1),
-          cand AS (SELECT w.a, w.b, cn FROM w
-            WHERE NOT EXISTS (SELECT 1 FROM canon c
-              WHERE c.a = w.a AND c.b = w.b))
-          SELECT cand.a, cand.b, CAST(cn AS BIGINT) AS cn,
-            CAST(da.dg AS BIGINT) AS deg_a, CAST(db.dg AS BIGINT) AS deg_b,
-            CAST(floor(CAST(cn AS DOUBLE) * 1e6 /
-              CAST(da.dg + db.dg - cn AS DOUBLE)) AS BIGINT)
-              AS jaccard_micro
-          FROM cand JOIN deg da ON cand.a = da.n
-            JOIN deg db ON cand.b = db.n""")),
-
-    ("q_graph_bfs", {
-      ((s: SparkSession, d: String) => {
-        val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
-          .select((col("l_partkey") * 2).as("seed"))
-        Graph.bfsLevels(partSupplierEdges(s, d), "src", "dst",
-          seeds, "seed", rounds = 3)
-      }): Q
-      },
-      Some(bfsOracleSql(3))),
-
-    // HITS hub/authority (Graph.hitsInt) on the DIRECTED part->supplier
-    // graph — parts are pure hubs, suppliers pure authorities (bipartite),
-    // the "rank pointers separately from content" side of link analysis
-    // that q_graph_pagerank's undirected rank cannot express. 3 rounds of
-    // max-normalized integer fixed point; the oracle unrolls them.
-    ("q_graph_hits", {
-      ((s: SparkSession, d: String) => {
-        val fwd = t(s, d, "lineitem")
-          .select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-        Graph.hitsInt(fwd, "src", "dst", iters = 3)
-      }): Q
-      },
-      Some(hitsOracleSql(3, 1000000L))),
-
-    // Personalized PageRank from the part-id<5 seed set (Graph.pprInt) —
-    // "expand the trusted core": teleport mass lands only on seeds, so
-    // rank decays with graph distance from them. The crawl-frontier /
-    // related-document prioritization primitive; 4 rounds, bit-exact
-    // integer recurrence, unrolled oracle.
-    ("q_graph_ppr", {
-      ((s: SparkSession, d: String) => {
-        val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
-          .select((col("l_partkey") * 2).as("seed"))
-        Graph.pprInt(partSupplierEdges(s, d), "src", "dst",
-          seeds, "seed", iters = 4)
-      }): Q
-      },
-      Some(pprOracleSql(4))),
-
-    // Weighted shortest paths (Graph.ssspInt), 4 Bellman-Ford rounds from
-    // the part-id<5 seed set over the part<->supplier graph weighted by
-    // the pairing's min line price in cents — "cheapest route within r
-    // legs", exact by the Bellman-Ford invariant, BIGINT min/plus so the
-    // unrolled oracle replays it bit-identically.
-    ("q_graph_sssp", {
-      ((s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        val fwd = li.groupBy((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .agg(min(cents(col("l_extendedprice"))).as("w"))
-        val edges = fwd.union(
-          fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        val seeds = li.filter(col("l_partkey") < 5)
-          .select((col("l_partkey") * 2).as("seed"))
-        Graph.ssspInt(edges, "src", "dst", "w", seeds, "seed", rounds = 4)
-      }): Q
-      },
-      Some(ssspOracleSql(4))),
-
-    // Approximate neighborhood function (Graph.anfReach): per-node 2-hop
-    // reach estimated by bottom-16 KMV sketch propagation over the capped
-    // co-order graph — the "how big is each node's neighborhood" question
-    // (ball-of-radius-r size distribution, effective-diameter input) that
-    // exact reach sets answer only quadratically. The oracle computes the
-    // TRUE 2-hop reach set per node and rebuilds the sketch from it —
-    // legal because bottom-k union is idempotent, so the propagated sketch
-    // provably equals the sketch of the exact reach set; the hash-match is
-    // therefore a proof of the propagation identity, not just of the
-    // arithmetic.
-    ("q_graph_anf", {
-      ((s: SparkSession, d: String) => {
-        val lp = t(s, d, "lineitem")
-          .filter(col("l_orderkey") % 5 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
-        val sym = capped.union(
-          capped.select(col("dst").as("src"), col("src").as("dst")))
-        Graph.anfReach(sym, "src", "dst", k = 16, rounds = 2)
-      }): Q
-      },
-      Some(anfOracleSql(k = 16, rounds = 2))),
-
-    // Borůvka minimum-spanning-forest, 2 rounds, on the part<->supplier
-    // graph weighted by the pairing's cheapest line price — the
-    // single-linkage dendrogram backbone (cut the forest at ANY weight t
-    // and the pieces are exactly the <= t components; a similarity-graph
-    // curation run sweeps dedup thresholds on this one artifact instead
-    // of re-clustering per threshold). Every selected edge is a
-    // cut-minimum under the total order (w, a, b), so the oracle's
-    // round-by-round replay (per-component row_number pick + recursive
-    // reach components) matches bit-for-bit.
-    ("q_graph_mst", {
-      ((s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-        Graph.boruvkaForest(
-          li.select((col("l_partkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"),
-            cents(col("l_extendedprice")).as("w")),
-          "src", "dst", "w", rounds = 2)
-      }): Q
-      },
-      Some(mstOracleSql(labelRounds = 8))))
-
-  // ================================================== composed cleaning
-
-  /** C4-style cleaning as ONE declarative plan: language gate -> quality
-    * gates -> exact dedup -> deterministic sample. Catalyst fuses the scalar
-    * scoring into the scan stage; the only shuffles are the dedup groupBy
-    * and its semi-join back. */
-  // ============================================================ features
-
-  private val featureQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // Leave-one-out target encoding with additive smoothing (m = 20
-    // pseudo-observations of the global prior): the standard
-    // high-cardinality-categorical feature for downstream quality /
-    // ranking models, built WITHOUT label leakage — each row's own label
-    // is subtracted from its category's sum before the ratio. Shape: two
-    // combine-enabled aggregates over the corpus, then a broadcast of
-    // the category-cardinality-bounded encoding table; within a
-    // category the encoding takes only two values (label 0 / label 1),
-    // so the output is the (category x label) table itself — applying
-    // it to rows is a broadcast map-join. The ratio is one fixed IEEE
-    // chain over exact BIGINT counts.
-    ("q_feature_target_enc",
-      (s: SparkSession, d: String) => {
-        val o = t(s, d, "orders").select(
-          col("o_orderpriority").as("cat"),
-          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-        val a = o.groupBy("cat")
-          .agg(count(lit(1)).as("n_cat"), sum("y").as("sum_y"))
-        val g = o.agg(sum("y").as("gs"), count(lit(1)).as("gn"))
-        val prior = col("gs").cast("double") / col("gn").cast("double")
-        val num = (col("sum_y") - col("y")).cast("double") +
-          lit(20.0) * prior
-        val den = (col("n_cat") - 1 + 20).cast("double")
-        o.distinct()
-          .join(a, Seq("cat")).crossJoin(broadcast(g))
-          .select(col("cat"), col("y"), col("n_cat"), col("sum_y"),
-            floor(num * lit(1e6) / den).cast("long").as("enc_ppm"))
-      },
-      Some("""WITH o AS (SELECT o_orderpriority AS cat,
-            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-          FROM orders),
-        a AS (SELECT cat, count(*) AS n_cat,
-            CAST(sum(y) AS BIGINT) AS sum_y FROM o GROUP BY 1),
-        g AS (SELECT CAST(sum(y) AS BIGINT) AS gs, count(*) AS gn FROM o),
-        b AS (SELECT DISTINCT cat, CAST(y AS BIGINT) AS y FROM o)
-        SELECT cat, y, n_cat, sum_y,
-          CAST(floor((CAST(sum_y - y AS DOUBLE)
-              + 20.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE))) * 1e6
-            / CAST(n_cat - 1 + 20 AS DOUBLE)) AS BIGINT) AS enc_ppm
-        FROM b JOIN a USING (cat), g""")))
-
-  private val cleanQueries: Seq[(String, Q, Option[String])] = Seq(
-
-    // The full curation chain as ONE declarative plan: exact dedup ->
-    // benchmark decontamination -> mixture sampling -> token counting ->
-    // global sequence-packing offsets. Every stage is an operator verified
-    // on its own elsewhere in the catalog; this query pins their
-    // COMPOSITION (the thing a real corpus build runs nightly). Catalyst
-    // sees one tree: the dedup window, the broadcast anti-join, the
-    // mixture filter and the token count all pipeline without
-    // materialization; only the prefix-sum pass adds its two scans.
-    // Dataset card: the one-row corpus summary a release ships with —
-    // volume (docs/tokens/chars), diversity (languages, sources), and the
-    // exact-duplicate rate from canonical fingerprints. ONE combine-
-    // enabled aggregate over a scan-stage projection.
-    ("q_curate_card",
-      (s: SparkSession, d: String) => t(s, d, "documents")
-        .select(TextOps.tokenCount(col("text")).cast("long").as("tk"),
-          col("n_chars"), col("lang"), col("source"),
-          TextOps.fingerprintMd5(col("text")).as("fp"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tk")).as("total_tokens"),
-          sum(col("n_chars")).as("total_chars"),
-          count_distinct(col("lang")).as("n_langs"),
-          count_distinct(col("source")).as("n_sources"),
-          count_distinct(col("fp")).as("n_unique"))
-        .select(col("n_docs"), col("total_tokens"), col("total_chars"),
-          col("n_langs"), col("n_sources"),
-          (col("n_docs") - col("n_unique")).as("n_exact_dups"),
-          (floor(col("total_tokens").cast("double") * 1e6 /
-            col("n_docs").cast("double")) / 1e6).as("mean_tokens")),
-      Some(s"""WITH m AS (SELECT
-            CAST(len(${tokensSql()}) AS BIGINT) AS tk, n_chars, lang,
-            source,
-            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
-              AS fp
-          FROM documents)
-        SELECT count(*) AS n_docs,
-          CAST(sum(tk) AS BIGINT) AS total_tokens,
-          CAST(sum(n_chars) AS BIGINT) AS total_chars,
-          count(DISTINCT lang) AS n_langs,
-          count(DISTINCT source) AS n_sources,
-          count(*) - count(DISTINCT fp) AS n_exact_dups,
-          floor(CAST(sum(tk) AS DOUBLE) * 1e6 /
-            CAST(count(*) AS DOUBLE)) / 1e6 AS mean_tokens
-        FROM m""")),
-
-    ("q_curate_pack",
-      (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
-        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
-        val bench = docs.filter(col("doc_id") % 20 === 0)
-        val canon = Dedup.exactDedup(corpus, "doc_id", "text")
-        val contaminated = Dedup.contaminationPairs(canon, "doc_id", "text",
-            bench, "doc_id", "text", n = 8, minShared = 2)
-          .select(col("doc_id")).distinct()
-        val decont = canon.join(contaminated, Seq("doc_id"), "left_anti")
-        val mixed = Sampling.mixtureSample(decont, "doc_id", "source",
-          Map("src0" -> 0.9, "src1" -> 0.5), defaultRate = 0.1)
-        val tc = mixed.select(col("doc_id"), col("source"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-        graft.ops.Prefix.runningOffsets(tc, "doc_id", "n_tokens")
-          .select(col("doc_id"), col("source"), col("n_tokens"),
-            col("offset").as("tok_offset"),
-            floor(col("offset") / 512.0).cast("long").as("seq_start"))
-      },
-      Some(s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents
-            WHERE doc_id % 20 <> 0
-            GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
-              'g')))),
-        ${shingleSqlFor(8, "WHERE doc_id IN (SELECT doc_id FROM canon)",
-          "cdocs", "csh")},
-        ${shingleSqlFor(8, "WHERE doc_id % 20 = 0", "bdocs", "bsh")},
-        contaminated AS (SELECT DISTINCT doc_id FROM (
-          SELECT c.doc_id FROM csh c JOIN bsh b ON c.sg = b.sg
-          GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)),
-        mixed AS (SELECT doc_id, source, text FROM documents
-          WHERE doc_id IN (SELECT doc_id FROM canon)
-            AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-            AND ${hashScoreSql("doc_id")} <
-              CASE WHEN source = 'src1' THEN 0.5
-                   WHEN source = 'src0' THEN 0.9 ELSE 0.1 END),
-        tc AS (SELECT doc_id, source,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens FROM mixed),
-        o AS (SELECT doc_id, source, n_tokens,
-            COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-          FROM tc)
-        SELECT doc_id, source, n_tokens, CAST(off AS BIGINT) AS tok_offset,
-          CAST(floor(off / 512.0) AS BIGINT) AS seq_start
-        FROM o""")),
-
-    ("q_clean_pipeline",
-      (s: SparkSession, d: String) => {
-        val scored = TextOps.withQuality(t(s, d, "documents"), "text")
-          .withColumn("lang_pred", TextOps.langId(col("text")))
-        val filtered = scored.filter(col("lang_pred") === "en" &&
-          col("n_tokens").between(10, 5000) &&
-          col("stop_ratio") >= 0.05 && col("punct_ratio") <= 0.30)
-        val deduped = Dedup.exactDedup(filtered, "doc_id", "text")
-        Sampling.hashSample(deduped, "doc_id", fraction = 0.5)
-          .select("doc_id", "lang_pred", "n_tokens")
-      },
-      Some {
-        val langCounts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
-          case (lang, words) =>
-            val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-            s"len(list_filter(${tokensSql()}, t -> list_contains($list, t)))" +
-              s" AS c_$lang"
-        }
-        val langs = TextOps.LangMarkers.filter(_._2.nonEmpty).map(_._1)
-        val langCase = langs.zipWithIndex.map { case (lang, i) =>
-          val earlier = langs.take(i).map(l => s"c_$lang > c_$l")
-          val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l")
-          s"WHEN ${(earlier ++ later :+ s"c_$lang > 0").mkString(" AND ")} " +
-            s"THEN '$lang'"
-        }
-        s"""WITH m AS (SELECT doc_id, text,
-            CAST(len(${tokensSql()}) AS BIGINT) AS n_tokens,
-            CAST(len(list_filter(${tokensSql()},
-              t -> list_contains($stopListSql, t))) AS BIGINT) AS n_stop,
-            CAST(length(text) AS BIGINT) AS n_chars,
-            CAST(length(text) - length(regexp_replace(text,
-              '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
-            ${langCounts.mkString(",\n            ")}
-          FROM documents),
-          scored AS (SELECT doc_id, text, n_tokens,
-            floor((CAST(n_punct AS DOUBLE) /
-                   CAST(greatest(n_chars, 1) AS DOUBLE)) * 1e6) / 1e6
-              AS punct_ratio,
-            floor((CAST(n_stop AS DOUBLE) /
-                   CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1e6) / 1e6
-              AS stop_ratio,
-            CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-                 ${langCase.mkString("\n                 ")}
-                 ELSE 'und' END AS lang_pred
-          FROM m),
-          filtered AS (SELECT * FROM scored WHERE lang_pred = 'en'
-            AND n_tokens BETWEEN 10 AND 5000
-            AND stop_ratio >= 0.05 AND punct_ratio <= 0.30),
-          canon AS (SELECT min(doc_id) AS id FROM filtered
-            GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+',
-              ' ', 'g'))))
-          SELECT doc_id, lang_pred, n_tokens
-          FROM filtered JOIN canon ON doc_id = canon.id
-          WHERE ${hashScoreSql("doc_id")} < 0.5"""
-      }))
-
-  // ============================================================ assembly
-
-  val all: Seq[(String, Q, Option[String])] =
-    dslQueries ++ pipelineQueries ++ relationalQueries ++ textQueries ++
-      dedupQueries ++ simQueries ++ mmQueries ++ sourceQueries ++
-      samplingQueries ++ graphQueries ++ featureQueries ++ cleanQueries
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap
 

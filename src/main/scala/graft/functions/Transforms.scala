@@ -12,6 +12,14 @@ import graft.dsl.Parser.{Call, Node, Raw}
  * dispatcher (reference: artifacts/stage/jobs/aje-stage-dms-load.py:139-325;
  * older Salesforce variant artifacts/stage/salesforce/jobs/transform_light.py:146-280).
  * Where the two variants differ, the stage-job semantics are canonical.
+ * The variants even APPLY a nested chain differently: split_function lists
+ * the innermost call first, the stage job iterates forward (inner-first
+ * via a $sub_column intermediate, aje-stage-dms-load.py:420-424 — proper
+ * composition f∘g), while transform_light iterates in reverse
+ * (transform_light.py:351-352) so the outer call runs before its
+ * intermediate exists and the innermost result overwrites the output
+ * column — degrading f(g(c)) to g(c). This compiler's recursive AST
+ * descent IS the stage order; TransformsSpec pins the divergence.
  *
  * Everything compiles to built-in `org.apache.spark.sql.functions` —
  * codegen-friendly, no UDFs — so the whole per-column pipeline stays inside

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
  * decode for REAL with the JDK's own codecs (`javax.imageio`,
  * `javax.sound.sampled` — see the "REAL in-JVM codec path" section below):
  * actual pixels and samples from actual compressed bytes, exact-integer
- * statistics out. Only formats the JVM has no codec for (video) keep the
- * deterministic STUB fake. Both tiers share the plumbing that must survive
+ * statistics out. Video CONTAINERS demux for real too — the RIFF-AVI
+ * chunk walk ([[demuxAviFrames]]) splits container bytes into per-frame
+ * payloads (MJPEG/PNG frames then ride the imageio path); only codecs the
+ * JVM cannot decode (H.264 frame payloads) stay out of scope, with
+ * [[sampleFrames]] as the metadata-level planner. Both tiers share the
+ * plumbing that must survive
  * a 100 TB corpus: decode runs via `mapPartitions` so each task amortizes
  * codec setup over a whole batch of rows, the exact shape a Pandas
  * UDF / native codec would plug into, and content stays one opaque binary
@@ -73,8 +77,11 @@ object Multimodal {
     media.map(m => m.copy(width = w, height = h))
   }
 
-  /** STUB frame sampling for video: emits one metadata row per sampled frame
-    * index (a real impl would decode frames from content). */
+  /** METADATA-ONLY frame sampling: emits one row per sampled frame index
+    * from duration metadata without touching content bytes. For containers
+    * the JVM can actually split, use [[demuxFrames]] (real RIFF-AVI chunk
+    * walk -> frame payload table); this remains the planning-level sampler
+    * for formats with no in-JVM payload path (H.264 et al.). */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Int): DataFrame = {
     val df = media.toDF()
     df.filter(col("kind") === "video")
@@ -811,5 +818,145 @@ object Multimodal {
         new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  // ==================== RIFF-AVI container path ====================
+  // Video CONTAINER handling for real: AVI is a public RIFF format
+  // (fourcc-tagged, little-endian-sized chunks), so a demuxer is pure
+  // byte parsing — no codec needed to split a clip into per-frame
+  // payloads. The JVM cannot decode H.264, but an MJPEG or PNG-payload
+  // AVI demuxes into frames javax.imageio CAN decode, closing the last
+  // stub: container bytes -> frame table -> the real-codec ops above
+  // ([[sceneCuts]], [[imageAHash]], [[imagePHash]]).
+
+  /** Build a minimal structurally-valid AVI: RIFF('AVI ') with an hdrl
+    * LIST (avih + one strl with strh/strf), a movi LIST holding one
+    * '00dc' chunk per frame payload (word-aligned, as RIFF requires),
+    * and an idx1 index. `fourcc` is the stream codec tag ('MJPG' for
+    * JPEG payloads; this builder does not transcode — payloads are
+    * written as given). Deterministic: output is a pure function of the
+    * inputs. */
+  def syntheticAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fourcc: String = "MJPG", usPerFrame: Int = 200000): Array[Byte] = {
+    require(frames.nonEmpty, "syntheticAvi needs at least one frame")
+    require(fourcc.length == 4, s"fourcc must be 4 bytes, got '$fourcc'")
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1 // RIFF: chunks are word-aligned
+      val b = java.nio.ByteBuffer.allocate(8 + body.length + pad).order(bo)
+      b.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + body.length).order(bo)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    val maxBytes = frames.map(_.length).max
+    val avih = { // MainAVIHeader: 14 little-endian u32 fields
+      val b = java.nio.ByteBuffer.allocate(56).order(bo)
+      b.putInt(usPerFrame).putInt(maxBytes).putInt(0)
+        .putInt(0x10) // AVIF_HASINDEX
+        .putInt(frames.size).putInt(0).putInt(1).putInt(maxBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = { // AVIStreamHeader: 'vids' + codec fourcc + rate 1e6/us
+      val b = java.nio.ByteBuffer.allocate(56).order(bo)
+      b.put("vids".getBytes("US-ASCII")).put(fourcc.getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(usPerFrame).putInt(1000000) // scale/rate
+        .putInt(0).putInt(frames.size).putInt(maxBytes).putInt(-1).putInt(0)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER with the codec fourcc as biCompression
+      val b = java.nio.ByteBuffer.allocate(40).order(bo)
+      b.putInt(40).putInt(w).putInt(h).putShort(1.toShort)
+        .putShort(24.toShort).put(fourcc.getBytes("US-ASCII"))
+        .putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val moviBody = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviBody.flatten.toArray)
+    val idx1 = { // AVIINDEXENTRY per frame: ckid, KEYFRAME, offset, size
+      val b = java.nio.ByteBuffer.allocate(16 * frames.size).order(bo)
+      var off = 4 // offsets are relative to the 'movi' fourcc
+      frames.indices.foreach { i =>
+        b.put("00dc".getBytes("US-ASCII")).putInt(0x10)
+          .putInt(off).putInt(frames(i).length)
+        off += moviBody(i).length
+      }
+      chunk("idx1", b.array())
+    }
+    val body = hdrl ++ movi ++ idx1
+    val out = java.nio.ByteBuffer.allocate(12 + body.length).order(bo)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    out.array()
+  }
+
+  /** RIFF chunk-walk demuxer: AVI container bytes -> per-frame payloads,
+    * in stream order. Walks the top-level RIFF('AVI ') chunks to the
+    * 'movi' LIST and collects every video-data chunk ('##dc'/'##db',
+    * recursing into 'rec ' grouping LISTs as the format allows). Pure
+    * byte parsing, no codec. Fails loudly on non-RIFF bytes or a missing
+    * movi LIST — a silent empty frame table would poison a corpus. */
+  def demuxAviFrames(avi: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = java.nio.ByteBuffer.wrap(avi)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(avi, off, 4, "US-ASCII")
+    require(avi.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      s"not a RIFF AVI container (${avi.length} bytes)")
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def isVideoData(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    // walk the chunk sequence in [off, end); descend into movi/rec LISTs
+    def walk(off0: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = fourcc(off)
+        val size = bb.getInt(off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"corrupt RIFF chunk '$id' at $off: size $size exceeds $end")
+        if (id == "LIST") {
+          val kind = fourcc(off + 8)
+          if (kind == "movi" || (inMovi && kind == "rec "))
+            walk(off + 12, off + 8 + size, inMovi = true)
+        } else if (inMovi && isVideoData(id)) {
+          frames += java.util.Arrays.copyOfRange(avi, off + 8, off + 8 + size)
+        }
+        off += 8 + size + (size & 1) // skip the word-alignment pad
+      }
+    }
+    walk(12, avi.length, inMovi = false)
+    require(frames.nonEmpty, "RIFF AVI container has no movi video chunks")
+    frames.toSeq
+  }
+
+  /** Dataset-level demux: (media_id, avi_bytes) -> one row per frame
+    * (media_id, frame_idx, frame_bytes) — the frame table [[sceneCuts]] /
+    * [[imageAHash]] consume. mapPartitions flatMap: container parsing is
+    * per-row byte work in the scan stage; a clip's frames land in the
+    * same partition as its container row (no shuffle introduced), and
+    * downstream per-clip windows repartition by media_id as they already
+    * do. This retires the video-container stub: [[sampleFrames]] remains
+    * only for metadata-level sampling of formats with no in-JVM payload
+    * path. */
+  def demuxFrames(media: Dataset[(Long, Array[Byte])])
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { case (id, avi) =>
+        demuxAviFrames(avi).iterator.zipWithIndex
+          .map { case (f, i) => (id, i, f) }
+      }
+    }
   }
 }

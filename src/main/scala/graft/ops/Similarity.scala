@@ -615,10 +615,25 @@ object Similarity {
     * (id1, id2, d2), both directions — the neighborhood substrate shared
     * by [[lofOutliers]] and [[mutualKnnPairs]]. Same bucket generation,
     * hot-bucket cap, and single-evaluation materialization as
-    * [[annNearDupPairs]]. */
+    * [[annNearDupPairs]].
+    *
+    * `bucketSample > 0` is the STRUCTURAL scale guard the sf1 scaling run
+    * exposed the need for (q_emb_lof grew 57x on 10x data): a fixed-planes
+    * bucket's occupancy grows linearly with the corpus, so the within-
+    * bucket self-join grows QUADRATICALLY. Capping the join's RIGHT side
+    * to the `bucketSample` members with the smallest md5(id) rank bounds
+    * per-bucket work at occupancy x sample — linear in the corpus — while
+    * every point still probes (left side uncapped), so nobody loses their
+    * neighborhood, only sees it through at most `bucketSample` deterministic
+    * representatives per table. When occupancy <= bucketSample the sample
+    * is the whole bucket and the result is EXACTLY the uncapped one (the
+    * oracle replays the rank rule either way). The principled alternative
+    * — sizing `planes` ~ log2(corpus/occupancy) — remains the caller-level
+    * knob; the sample is the in-operator guarantee that a mis-sized planes
+    * constant degrades recall, not complexity. */
   private def lshSymPairs(corpus: DataFrame, idCol: String,
       vecCol: String, tables: Int, planes: Int, dims: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, bucketSample: Int = 0): DataFrame = {
     val buckets = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dims).as("b")))
     val keyed = corpus.select(col(idCol).as("id"),
@@ -631,14 +646,34 @@ object Similarity {
       keyed.join(small, Seq("bucket"))
     }
     val pruned = Dedup.materialized(prunedPlan)
-    val pairs = pruned.as("x").join(pruned.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        (col("x.n2") - lit(2L) * qdot(col("x.v"), col("y.v")) +
-          col("y.n2")).as("d2"))
-      .distinct()
-    pairs.union(pairs.select(col("id2").as("id1"),
-      col("id1").as("id2"), col("d2")))
+    if (bucketSample <= 0) {
+      val pairs = pruned.as("x").join(pruned.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id1"), col("y.id").as("id2"),
+          (col("x.n2") - lit(2L) * qdot(col("x.v"), col("y.v")) +
+            col("y.n2")).as("d2"))
+        .distinct()
+      pairs.union(pairs.select(col("id2").as("id1"),
+        col("id1").as("id2"), col("d2")))
+    } else {
+      // deterministic md5 bottom-k representatives per (table, bucket);
+      // map-side-combining EarliestK — a hot bucket costs O(sample) state
+      val reps = pruned.groupBy("bucket")
+        .agg(graft.plans.GraftExpressions.earliest_k(struct(
+          md5(col("id").cast("string").cast("binary")).as("h"),
+          col("id"), col("v"), col("n2")), bucketSample).as("keep"))
+        .select(col("bucket"), explode(col("keep")).as("y"))
+        .select(col("bucket"), col("y.id").as("rid"),
+          col("y.v").as("rv"), col("y.n2").as("rn2"))
+      // every point probes the representatives of its buckets; directed
+      // (a -> rep) rows are exactly what the per-point kNN consumes
+      pruned.join(reps, Seq("bucket"))
+        .filter(col("id") =!= col("rid"))
+        .select(col("id").as("id1"), col("rid").as("id2"),
+          (col("n2") - lit(2L) * qdot(col("v"), col("rv")) +
+            col("rn2")).as("d2"))
+        .distinct()
+    }
   }
 
   /** Bounded-state per-point kNN over the candidate pairs: the k smallest
@@ -659,10 +694,10 @@ object Similarity {
     * approximation contract and determinism as [[lofOutliers]]. */
   def mutualKnnPairs(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, bucketSample: Int = 0): DataFrame = {
     require(k >= 1 && k <= 64, s"mutualKnnPairs needs 1 <= k <= 64, got $k")
     val nn = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
-      tables, planes, dims, maxBucket), k).select("a", "b")
+      tables, planes, dims, maxBucket, bucketSample), k).select("a", "b")
     nn.join(nn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
       .filter(col("a") < col("b"))
       .select(col("a").as("doc1"), col("b").as("doc2"))
@@ -670,10 +705,10 @@ object Similarity {
 
   def lofOutliers(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, bucketSample: Int = 0): DataFrame = {
     require(k >= 1 && k <= 64, s"lofOutliers needs 1 <= k <= 64, got $k")
     val nbrs = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
-      tables, planes, dims, maxBucket), k)
+      tables, planes, dims, maxBucket, bucketSample), k)
     val kd = nbrs.groupBy("a")
       .agg(max("d2").as("kdist"), count(lit(1)).as("cnt"))
     val rd = nbrs.join(kd.select(col("a").as("b"),

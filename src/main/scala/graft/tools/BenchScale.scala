@@ -15,6 +15,17 @@ import org.apache.spark.sql.SparkSession
   * enough; AQE chooses different joins/coalescing at 10x, so the compiled
   * code differs). Timings drive the noop sink so projection-only queries
   * can't be pruned to a bare scan.
+  *
+  * Isolation matters more than it looks: `localCheckpoint` blocks from a
+  * finished run stay pinned until the driver's ContextCleaner processes
+  * the unreferenced RDDs, which only happens on a driver GC — with a 96 GB
+  * heap that can be never, so blocks accumulate across runs and the GC
+  * storms they eventually trigger landed INSIDE later timed runs (first
+  * measured pass: identical capDegree work swung 1.2 s -> 36 s). Hence
+  * the settle protocol between runs (double GC + drain pause) and the
+  * recommended one-JVM-per-query driver: `for q in ...; do BenchScale $q;
+  * done` — with args the per-query line goes to stdout and BENCH_SF1.json
+  * is left to the merging driver.
   */
 object BenchScale {
   /** Top-25 most expensive queries of BENCH_FULL r8, the prescribed set. */
@@ -44,6 +55,13 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // settle: unpin cached blocks, force the ContextCleaner's reference
+    // processing (double GC with a drain pause), so a prior run's
+    // localCheckpoint blocks are gone BEFORE the next timing starts
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(1500); System.gc(); Thread.sleep(500)
+    }
     def timed(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
@@ -52,9 +70,9 @@ object BenchScale {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm: codegen+JIT for this scale's AQE plan shape
-      spark.catalog.clearCache(); System.gc()
+      settle()
       val t = once()
-      spark.catalog.clearCache(); System.gc()
+      settle()
       t
     }
 
@@ -67,8 +85,11 @@ object BenchScale {
     }
     val json =
       s"""{"data_scale":10,"small":"$smallDir","big":"$bigDir","queries":${rows.mkString("{", ",", "}")}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // full runs own the artifact; filtered (per-query-JVM) runs print only
+    // and the merging driver assembles BENCH_SF1.json
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+        (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

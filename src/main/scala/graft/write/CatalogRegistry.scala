@@ -75,6 +75,32 @@ object CatalogRegistry {
       spark.sql(s"MSCK REPAIR TABLE $full SYNC PARTITIONS")
   }
 
+  /**
+   * Statistics feed for the optimizer — run after [[registerStage]] (the
+   * crawler analog computes stats in the same pass). `ANALYZE TABLE`
+   * stores rowCount/sizeInBytes in the catalog, and `FOR COLUMNS` adds
+   * per-column NDV/min/max/null counts, so at 100 TB the PLANNER decides
+   * broadcast joins and CBO join order from catalog statistics — before
+   * a single task runs — instead of relying on AQE's runtime re-plan
+   * (which only helps after the first shuffle is already materialized).
+   * Without stats, an external parquet table defaults to
+   * `spark.sql.defaultSizeInBytes` (Long.Max): every join against it
+   * plans sort-merge even when the table is a 2 KB dimension.
+   * PlanShapeSpec pins the flip: same join, AQE off, sort-merge before
+   * ANALYZE, broadcast-hash after. Column choice: pass the join/filter
+   * keys (the columns [[graft.ops.Stats.profileColumns]] profiles — the
+   * profiler identifies which columns matter, ANALYZE persists their
+   * stats where Catalyst reads them).
+   */
+  def analyzeStage(spark: SparkSession, db: String, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    val full = s"`$db`.`$table`"
+    spark.sql(s"ANALYZE TABLE $full COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $full COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
+  }
+
   /** Any data file under `path`, recursively — a partitioned table whose
     * partitions were all emptied still has a root _SUCCESS, so the
     * MergeWriter top-level check is not a data-presence check. */

@@ -2030,4 +2030,62 @@ class OpsSpec extends SparkSpec {
         math.max(aq + ac, 1L).toDouble).toLong, s"probe $q margin")
     }
   }
+
+  test("AVI demux: container round-trip preserves payload bytes and order") {
+    // raw payloads with ODD lengths exercise RIFF word-alignment padding —
+    // a demuxer that forgets the pad byte desyncs on the next chunk
+    val payloads = Seq(
+      Array[Byte](1, 2, 3), Array[Byte](4, 5), Array[Byte](6),
+      Array.tabulate(257)(i => (i % 251).toByte))
+    val avi = Multimodal.syntheticAvi(payloads, 32, 24, fourcc = "MJPG")
+    val got = Multimodal.demuxAviFrames(avi)
+    assert(got.size == payloads.size)
+    got.zip(payloads).foreach { case (g, p) => assert(g.sameElements(p)) }
+    // structural sanity of the container itself
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+  }
+
+  test("AVI demux: real MJPEG payloads decode via the imageio path") {
+    // actual JPEG bytes inside an actual AVI: encode 3 frames with the
+    // JDK's JPEG codec, pack, demux, decode — lossy pixels can't be
+    // integer-pinned, but dims, frame count and within-JVM determinism can
+    def jpegFrame(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, ((x * 8 + seed * 40) << 16) | (y * 10 << 8) | seed)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (0 until 3).map(jpegFrame)
+    val clip = Seq((7L, Multimodal.syntheticAvi(frames, 32, 24, "MJPG"))).toDS()
+    val table = Multimodal.demuxFrames(clip).collect().sortBy(_._2)
+    assert(table.map(t => (t._1, t._2)).toSeq ==
+      Seq((7L, 0), (7L, 1), (7L, 2)))
+    val decoded = Multimodal.decodeImages(
+      Multimodal.demuxFrames(clip).map(t => (t._1 * 10 + t._2, t._3)))
+      .collect().sortBy(_.media_id)
+    assert(decoded.length == 3)
+    decoded.foreach(d => assert(d.width == 32 && d.height == 24))
+    // same JVM, same codec, same bytes -> bit-identical stats on re-run
+    val again = Multimodal.decodeImages(
+      Multimodal.demuxFrames(clip).map(t => (t._1 * 10 + t._2, t._3)))
+      .collect().sortBy(_.media_id)
+    assert(decoded.zip(again).forall { case (a, b) =>
+      a.sum_r == b.sum_r && a.luma_hist == b.luma_hist })
+  }
+
+  test("AVI demux: non-RIFF and truncated containers fail loudly") {
+    val ex1 = intercept[IllegalArgumentException](
+      Multimodal.demuxAviFrames("not a container at all".getBytes))
+    assert(ex1.getMessage.contains("not a RIFF"))
+    val good = Multimodal.syntheticAvi(
+      Seq(Array[Byte](1, 2, 3, 4)), 32, 24, "MJPG")
+    val ex2 = intercept[IllegalArgumentException](
+      Multimodal.demuxAviFrames(good.dropRight(9)))
+    assert(ex2.getMessage.contains("corrupt") ||
+      ex2.getMessage.contains("no movi"))
+  }
 }

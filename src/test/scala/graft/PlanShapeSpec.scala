@@ -549,4 +549,47 @@ class PlanShapeSpec extends SparkSpec {
     val pz = plan("q_maint_zonemap")
     assert(!pz.contains("Window [") && !pz.contains("Join"), pz)
   }
+
+  test("catalog stats alone flip a filtered-dim join to broadcast (AQE off)") {
+    // At 100 TB the PLANNER must know a FILTERED dimension is
+    // broadcast-able before any task runs. Raw file size alone cannot: a
+    // dim whose parquet exceeds the broadcast threshold plans sort-merge
+    // even when a selective filter leaves one row. With
+    // CatalogRegistry.analyzeStage column stats + CBO, filter-selectivity
+    // estimation (rowCount / NDV) shrinks the post-filter size estimate
+    // and the SAME join — AQE disabled, so no runtime re-plan can rescue
+    // it — compiles straight to BroadcastHashJoin. This is the
+    // statistics-driven planning AQE cannot provide (AQE only re-plans
+    // after the first shuffle has already been materialized).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    (1L to 50000L).map(i => (i, f"dim_name_$i%08d_padpadpad"))
+      .toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    (1L to 200000L).map(i => (i, i % 50000 + 1)).toDF("id", "k")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    graft.write.CatalogRegistry.registerStage(spark, "cbo_db", "dim",
+      s"$dir/dim")
+    graft.write.CatalogRegistry.registerStage(spark, "cbo_db", "fact",
+      s"$dir/fact")
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      def joined = spark.table("cbo_db.fact")
+        .join(spark.table("cbo_db.dim")
+          .filter($"name" === "dim_name_00000007_padpadpad"), "k")
+        .queryExecution.executedPlan.toString
+      val before = joined
+      assert(before.contains("SortMergeJoin") &&
+        !before.contains("BroadcastHashJoin"), before)
+      graft.write.CatalogRegistry.analyzeStage(spark, "cbo_db", "dim",
+        columns = Seq("k", "name"))
+      val after = joined
+      assert(after.contains("BroadcastHashJoin"), after)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -116,6 +116,25 @@ class TransformsSpec extends SparkSpec {
       Transforms.column("fn_transform_Concatenate_ws(x,y,-)", "string"))) == "a-b")
   }
 
+  test("nested chain applies inner-first (stage order), not the sf reverse") {
+    // The reference has TWO application orders for a nested chain
+    // f(g(c)): split_function appends on each ')' so functions[0] is the
+    // INNERMOST call; the stage job iterates forward, evaluating g first
+    // into a $sub_column intermediate and f last
+    // (aje-stage-dms-load.py:420-424) — proper composition — while the
+    // Salesforce variant iterates in REVERSE (transform_light.py:351-352),
+    // so f runs before its intermediate exists and g finally OVERWRITES
+    // the output column: the sf order degrades f(g(c)) to just g(c).
+    // The canonical compiler (recursive AST descent) must produce the
+    // stage-order composition, observably different from the sf clobber.
+    val df = Seq(("  a  ", "b")).toDF("pad", "tail")
+    val got = one[String](df.select(Transforms.column(
+      "fn_transform_Concatenate(fn_transform_ClearString(pad),tail)",
+      "string")))
+    assert(got == "a|b")     // composed: clear_string THEN concatenate
+    assert(got != "a")       // NOT the sf-order result (innermost only)
+  }
+
   test("unknown function raises CompileError (quarantined upstream)") {
     assertThrows[Transforms.CompileError](
       Transforms.column("fn_transform_Bogus(a)", "string"))
