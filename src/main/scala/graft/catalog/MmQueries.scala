@@ -175,7 +175,7 @@ private[graft] object MmQueries {
           CAST(coalesce(max(ham), 0) AS BIGINT) AS max_hamming
         FROM stp GROUP BY 1""")),
 
-    // Video CONTAINER demux end-to-end (Multimodal.demuxAviFrames): every
+    // Video CONTAINER demux end-to-end (Multimodal.demuxFrames): every
     // 'video' doc is packed into a REAL RIFF-AVI container (hdrl/movi/idx1,
     // word-aligned '00dc' chunks) holding the same 12 real-codec frames as
     // q_mm_scene_cuts; the RIFF chunk walker demuxes container bytes back

@@ -4594,6 +4594,144 @@ private[graft] object RelationalQueries {
           CAST(floor(off / 2048.0) AS BIGINT) AS batch_idx
         FROM o""")),
 
+    // Offline policy evaluation — the counterfactual value of a target
+    // policy from logged interaction data: IPS (Horvitz–Thompson),
+    // self-normalized IPS (Swaminathan & Joachims NeurIPS'15), the direct
+    // method, and doubly robust (Dudík, Langford & Li ICML'11), side by
+    // side over the event log with context = hour-of-day, action =
+    // event_type, reward = exact micro value. Even-user events fit ALL
+    // the models — the reward model q̂(x,a), the target policy π(x) =
+    // argmax_a q̂ (argmax via a 24-partition ≤5-row window, q̂ desc then
+    // action name — fully deterministic), AND the logging-propensity
+    // estimate p̂(a|x) = n_tr(x,a)/n_tr(x); odd-user events are the
+    // held-out logging data being reweighed. Propensities MUST come from
+    // the train half: estimated on the eval half itself they telescope
+    // (Σ over the n(x,a) matched events of n(x)/n(x,a) = n(x) exactly),
+    // collapsing IPS = SNIPS = DR to the same number. Scale shape: TWO
+    // combine-enabled corpus groupBys (train cells, eval cells — ≤120
+    // rows each); everything downstream is broadcast-sized. Cross-engine
+    // identity: per-context estimator terms floor-quantize to BIGINT
+    // micros BEFORE the final sum (≤24 bounded terms — order-free integer
+    // adds; the inner double products are identical IEEE ops on identical
+    // exact integer inputs).
+    ("q_agg_ope",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(
+          col("user_id"), date_format(col("ts"), "HH").as("x"),
+          col("event_type").as("a"),
+          floor(col("value") * lit(1e6)).cast("long").as("r"))
+        val qhat = ev.filter(col("user_id") % 2 === 0)
+          .groupBy("x", "a")
+          .agg(sum("r").as("s_tr"), count(lit(1)).as("n_tr"))
+          .withColumn("q_micro",
+            floor(col("s_tr").cast("double") / col("n_tr").cast("double"))
+              .cast("long"))
+        val trainNx = qhat.groupBy("x").agg(sum("n_tr").as("n_tr_x"))
+        // π(x) plus everything the estimators need about it: q̂(x,π) and
+        // the train propensity denominator n_tr(x,π) (≥ 1 by argmax
+        // construction — π only ranges over cells train has seen)
+        val pol = qhat.withColumn("rk", row_number().over(
+            Window.partitionBy("x")
+              .orderBy(col("q_micro").desc, col("a").asc)))
+          .filter(col("rk") === 1)
+          .join(trainNx, "x")
+          .select(col("x"), col("a").as("pi"), col("q_micro").as("q_pi"),
+            col("n_tr").as("n_tr_pi"), col("n_tr_x"))
+        val cells = ev.filter(col("user_id") % 2 =!= 0)
+          .groupBy("x", "a")
+          .agg(sum("r").as("s"), count(lit(1)).as("n_xa"))
+        val nx = cells.groupBy("x").agg(sum("n_xa").as("n_x"))
+        val terms = cells.join(broadcast(pol), "x")
+          .withColumn("m", (col("a") === col("pi")).cast("long"))
+          // w = 1/p̂(π|x) = n_tr_x / n_tr_pi for every matched event
+          .withColumn("ips_t", when(col("m") === 1L,
+            floor(col("s").cast("double") * col("n_tr_x").cast("double") /
+              col("n_tr_pi").cast("double")).cast("long")).otherwise(0L))
+          // Σw in micro-units (quantized per context, ≤24 terms)
+          .withColumn("w_t", when(col("m") === 1L,
+            floor(lit(1e6) * (col("n_xa") * col("n_tr_x")).cast("double") /
+              col("n_tr_pi").cast("double")).cast("long")).otherwise(0L))
+          .withColumn("dr_t", when(col("m") === 1L,
+            floor((col("s") - col("n_xa") * col("q_pi")).cast("double") *
+              col("n_tr_x").cast("double") / col("n_tr_pi").cast("double"))
+              .cast("long")).otherwise(0L))
+          .agg(sum("n_xa").as("n_eval"),
+            sum(when(col("m") === 1L, col("n_xa")).otherwise(0L))
+              .as("n_matched"),
+            sum("w_t").as("w_sum_micro"),
+            sum("ips_t").as("ips_sum"), sum("dr_t").as("dr_sum"))
+        val dm = nx.join(broadcast(pol), "x")
+          .agg(sum(col("n_x") * col("q_pi")).as("dm_sum"))
+        terms.crossJoin(dm).select(
+          col("n_eval"), col("n_matched"),
+          floor(lit(1e6) * col("n_matched").cast("double") /
+            col("n_eval").cast("double")).cast("long").as("match_ppm"),
+          floor(col("ips_sum").cast("double") /
+            col("n_eval").cast("double")).cast("long").as("ips_micro"),
+          floor(lit(1e6) * col("ips_sum").cast("double") /
+            nullif(col("w_sum_micro"), lit(0L)).cast("double")).cast("long")
+            .as("snips_micro"),
+          floor(col("dm_sum").cast("double") /
+            col("n_eval").cast("double")).cast("long").as("dm_micro"),
+          floor((col("dm_sum") + col("dr_sum")).cast("double") /
+            col("n_eval").cast("double")).cast("long").as("dr_micro"))
+      },
+      Some("""WITH ev AS (SELECT user_id, strftime(ts, '%H') AS x,
+            event_type AS a,
+            CAST(floor("value" * 1e6) AS BIGINT) AS r FROM events),
+        qh AS (SELECT x, a, CAST(sum(r) AS BIGINT) AS s_tr,
+            CAST(count(*) AS BIGINT) AS n_tr
+          FROM ev WHERE user_id % 2 = 0 GROUP BY 1, 2),
+        qm AS (SELECT x, a, n_tr, CAST(floor(CAST(s_tr AS DOUBLE) /
+            CAST(n_tr AS DOUBLE)) AS BIGINT) AS q_micro FROM qh),
+        tnx AS (SELECT x, CAST(sum(n_tr) AS BIGINT) AS n_tr_x
+          FROM qh GROUP BY 1),
+        pol AS (SELECT x, a AS pi, q_micro AS q_pi, n_tr AS n_tr_pi,
+            n_tr_x
+          FROM (SELECT *, row_number() OVER (PARTITION BY x
+              ORDER BY q_micro DESC, a ASC) AS rk FROM qm)
+            JOIN tnx USING (x)
+          WHERE rk = 1),
+        cells AS (SELECT x, a, CAST(sum(r) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n_xa
+          FROM ev WHERE user_id % 2 <> 0 GROUP BY 1, 2),
+        nx AS (SELECT x, CAST(sum(n_xa) AS BIGINT) AS n_x
+          FROM cells GROUP BY 1),
+        terms AS (SELECT c.x, c.a, c.s, c.n_xa, pi, q_pi, n_tr_pi, n_tr_x,
+            CASE WHEN c.a = pi THEN 1 ELSE 0 END AS m,
+            CASE WHEN c.a = pi THEN CAST(floor(CAST(s AS DOUBLE) *
+              CAST(n_tr_x AS DOUBLE) / CAST(n_tr_pi AS DOUBLE)) AS BIGINT)
+              ELSE 0 END AS ips_t,
+            CASE WHEN c.a = pi THEN CAST(floor(1e6 *
+              CAST(n_xa * n_tr_x AS DOUBLE) / CAST(n_tr_pi AS DOUBLE))
+              AS BIGINT) ELSE 0 END AS w_t,
+            CASE WHEN c.a = pi THEN CAST(floor(
+              CAST(s - n_xa * q_pi AS DOUBLE) * CAST(n_tr_x AS DOUBLE) /
+              CAST(n_tr_pi AS DOUBLE)) AS BIGINT) ELSE 0 END AS dr_t
+          FROM cells c JOIN pol USING (x)),
+        a1 AS (SELECT CAST(sum(n_xa) AS BIGINT) AS n_eval,
+            CAST(sum(CASE WHEN m = 1 THEN n_xa ELSE 0 END) AS BIGINT)
+              AS n_matched,
+            CAST(sum(w_t) AS BIGINT) AS w_sum_micro,
+            CAST(sum(ips_t) AS BIGINT) AS ips_sum,
+            CAST(sum(dr_t) AS BIGINT) AS dr_sum
+          FROM terms),
+        a2 AS (SELECT CAST(sum(n_x * q_pi) AS BIGINT) AS dm_sum
+          FROM nx JOIN pol USING (x))
+        SELECT n_eval, n_matched,
+          CAST(floor(1e6 * CAST(n_matched AS DOUBLE) /
+            CAST(n_eval AS DOUBLE)) AS BIGINT) AS match_ppm,
+          CAST(floor(CAST(ips_sum AS DOUBLE) / CAST(n_eval AS DOUBLE))
+            AS BIGINT) AS ips_micro,
+          CAST(floor(1e6 * CAST(ips_sum AS DOUBLE) /
+            CAST(nullif(w_sum_micro, 0) AS DOUBLE)) AS BIGINT)
+            AS snips_micro,
+          CAST(floor(CAST(dm_sum AS DOUBLE) / CAST(n_eval AS DOUBLE))
+            AS BIGINT) AS dm_micro,
+          CAST(floor(CAST(dm_sum + dr_sum AS DOUBLE) /
+            CAST(n_eval AS DOUBLE)) AS BIGINT) AS dr_micro
+        FROM a1, a2""")),
+
     ("q_seq_pack",
       (s: SparkSession, d: String) => {
         val tc = t(s, d, "documents").select(col("doc_id"),

@@ -1236,6 +1236,83 @@ private[graft] object SourceQueries {
             AS n_homogeneous_classes
         FROM cls""")),
 
+    // Per-class l-diversity and t-closeness audit (Machanavajjhala et
+    // al. TKDD'07; Li, Li & Venkatasubramanian ICDE'07 — t measured as
+    // total-variation distance over the categorical sensitive domain,
+    // the EMD instantiation for unordered categories): extends
+    // q_profile_kanon's corpus summary to the per-equivalence-class
+    // detail a release decision needs. Entropy l-diversity uses the
+    // catalog's integer floor-log2 (bit-length) form — no libm anywhere,
+    // exact cross-engine. The TV numerator is the exact BIGINT
+    // cross-multiplication Σ|cnt·N − g·sz| over PRESENT cells plus
+    // (N − Σg_present)·sz for the absent sensitive values (≤ 2·sz·N
+    // ≈ 1e12 at sf0.1; promote the products to DECIMAL(38,0) past
+    // ~sf100); the single closing division is one IEEE op. Scale shape:
+    // ONE combine-enabled corpus groupBy to (class, sens) cells, then a
+    // 5-row broadcast global distribution and class-bounded aggregates.
+    ("q_profile_ldiv",
+      (s: SparkSession, d: String) => {
+        val bl = (c: org.apache.spark.sql.Column) =>
+          graft.plans.GraftExpressions.bit_length_long(c) - lit(1L)
+        val q = t(s, d, "orders").select(
+          col("o_orderstatus").as("qi1"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("qi2"),
+          floor(col("o_totalprice") / 50000.0).cast("long").as("qi3"),
+          col("o_orderpriority").as("sens"))
+        val cells = q.groupBy("qi1", "qi2", "qi3", "sens")
+          .agg(count(lit(1)).as("cnt"))
+        val cls = cells.groupBy("qi1", "qi2", "qi3")
+          .agg(sum("cnt").as("sz"), count(lit(1)).as("l_distinct"),
+            sum(col("cnt") * bl(col("cnt"))).as("s_bits"))
+        val glob = cells.groupBy("sens").agg(sum("cnt").as("g"))
+          .crossJoin(cells.agg(sum("cnt").as("nn")))
+        cells.join(broadcast(glob), "sens")
+          .join(cls, Seq("qi1", "qi2", "qi3"))
+          .groupBy("qi1", "qi2", "qi3")
+          .agg(max("sz").as("sz"), max("l_distinct").as("l_distinct"),
+            max("s_bits").as("s_bits"), max("nn").as("nn"),
+            sum(abs(col("cnt") * col("nn") - col("g") * col("sz")))
+              .as("tv_present"),
+            sum("g").as("g_present"))
+          .withColumn("tv_num", col("tv_present") +
+            (col("nn") - col("g_present")) * col("sz"))
+          .select(col("qi1"), col("qi2"), col("qi3"), col("sz"),
+            col("l_distinct"),
+            floor(lit(1e6) *
+              (bl(col("sz")) * col("sz") - col("s_bits")).cast("double") /
+              col("sz").cast("double")).cast("long").as("h_microbits"),
+            floor(lit(1e6) * col("tv_num").cast("double") /
+              (col("sz") * col("nn") * lit(2L)).cast("double"))
+              .cast("long").as("t_tv_ppm"))
+      },
+      Some("""WITH q AS (SELECT o_orderstatus AS qi1,
+            strftime(o_orderdate, '%Y-%m') AS qi2,
+            CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS qi3,
+            o_orderpriority AS sens
+          FROM orders),
+        cells AS (SELECT qi1, qi2, qi3, sens,
+            CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1, 2, 3, 4),
+        cls AS (SELECT qi1, qi2, qi3, CAST(sum(cnt) AS BIGINT) AS sz,
+            CAST(count(*) AS BIGINT) AS l_distinct,
+            CAST(sum(cnt * (length(bin(cnt)) - 1)) AS BIGINT) AS s_bits
+          FROM cells GROUP BY 1, 2, 3),
+        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM cells),
+        gd AS (SELECT sens, CAST(sum(cnt) AS BIGINT) AS g
+          FROM cells GROUP BY 1),
+        jn AS (SELECT c.qi1, c.qi2, c.qi3, sz, l_distinct, s_bits, nn,
+            CAST(sum(abs(cnt * nn - g * sz)) AS BIGINT) AS tv_present,
+            CAST(sum(g) AS BIGINT) AS g_present
+          FROM cells c JOIN gd USING (sens)
+            JOIN cls USING (qi1, qi2, qi3), nn
+          GROUP BY 1, 2, 3, 4, 5, 6, 7)
+        SELECT qi1, qi2, qi3, sz, l_distinct,
+          CAST(floor(1e6 * CAST((length(bin(sz)) - 1) * sz - s_bits
+            AS DOUBLE) / CAST(sz AS DOUBLE)) AS BIGINT) AS h_microbits,
+          CAST(floor(1e6 * CAST(tv_present + (nn - g_present) * sz
+            AS DOUBLE) / CAST(sz * nn * 2 AS DOUBLE)) AS BIGINT)
+            AS t_tv_ppm
+        FROM jn""")),
+
     // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
     // declared child->parent edge of the star schema — the pre-merge key
     // sanity gate. Per edge: a combine-enabled key-count aggregate (corpus

@@ -399,12 +399,21 @@ object Graph {
       (col("isseed") * scale).as("rank"))
     for (i <- 1 to iters) {
       val rhs = ranks
+      // the zero arm (one row per node) carries the node's seed flag, and
+      // max() over the group recovers it — contrib rows carry 0. This
+      // keeps the round at ONE join + ONE combine-enabled aggregate (the
+      // pageRankInt shape): the earlier re-join of `nodes` to re-attach
+      // isseed broadcast fine at small |V| but became a per-round
+      // sort-merge of the whole node table at 10x (sf1 scaling run
+      // measured 16.8x for 10x data; this form restores ~linear)
       val contrib = eo.join(rhs, eo("src") === rhs("node"))
-        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"))
+        .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"),
+          lit(0L).as("seedflag"))
       ranks = contrib
-        .union(nodes.select(col("node"), lit(0L).as("c")))
-        .groupBy("node").agg(sum(col("c")).as("s"))
-        .join(nodes, "node")
+        .union(nodes.select(col("node"), lit(0L).as("c"),
+          col("isseed").as("seedflag")))
+        .groupBy("node").agg(sum(col("c")).as("s"),
+          max(col("seedflag")).as("isseed"))
         .select(col("node"),
           (col("isseed") * (15L * scale / 100L) +
             expr("(85 * s) DIV 100")).as("rank"))

@@ -39,11 +39,23 @@ object BenchScale {
     "q_sample_soft_dedup", "q_emb_lof", "q_mm_scene_cuts",
     "q_agg_price_index", "q_graph_capped")
 
+  /** Tier 2: one representative per family the top-25 misses — the
+    * pair-join (dedup/text/similarity/multimodal) and sampling shapes
+    * whose scale risks (hot LSH buckets, candidate blow-ups) differ in
+    * kind from the iterative-graph ones tier 1 covers. */
+  val tier2: Seq[String] = Seq(
+    "q_dedup_minhash", "q_dedup_ppjoin", "q_dedup_fuzzy",
+    "q_dedup_winnow_pairs", "q_text_exact_spans", "q_text_bm25",
+    "q_text_bpe_train", "q_text_decontam", "q_emb_ann_pairs",
+    "q_sim_ivfpq", "q_emb_semdedup", "q_mm_tile_pairs",
+    "q_sample_tokenbudget", "q_text_gopher", "q_skew_salted_join",
+    "q_text_tfidf")
+
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.1")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/repo/testdata_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val names = if (args.nonEmpty) args.toSeq else top25
+    val names = if (args.nonEmpty) args.toSeq else top25 ++ tier2
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
