@@ -634,12 +634,16 @@ private[graft] object SamplingQueries {
     * CTE pair per round — the Bellman-Ford "cheapest within r hops"
     * invariant, bit-exact in BIGINT min/plus. */
   private[graft] def ssspOracleSql(rounds: Int): String = {
+    // d$r is MATERIALIZED: u$r references d${r-1} twice (carry + relax),
+    // and DuckDB inlines plain CTEs — 2^rounds base-scan copies otherwise
+    // (the q_graph_hits sf0.1 timeout lesson, same pattern)
     val steps = (1 to rounds).map { r =>
       s""",
         u$r AS (SELECT node, dist FROM d${r - 1}
           UNION ALL SELECT e.dst, d.dist + e.w
           FROM d${r - 1} d JOIN e ON e.src = d.node),
-        d$r AS (SELECT node, min(dist) AS dist FROM u$r GROUP BY 1)"""
+        d$r AS MATERIALIZED (SELECT node, min(dist) AS dist
+          FROM u$r GROUP BY 1)"""
     }.mkString
     s"""WITH fwd AS (SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
           min(${centsSql("l_extendedprice")}) AS w
@@ -658,27 +662,32 @@ private[graft] object SamplingQueries {
     * fixed-point iteration (sums widen to HUGEINT losslessly; the final
     * projection casts back). */
   private[graft] def hitsOracleSql(iters: Int, scale: Long): String = {
+    // every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references its predecessor TWICE (the value column and
+    // the scalar max-normalizer), so the un-hinted plan doubles per
+    // round-half — 2^(4·iters) copies of the base scan. Fast enough to
+    // pass unnoticed at sf0.01; a 600 s timeout at sf0.1.
     val rounds = (1 to iters).map { i =>
-      s"""ar$i AS (SELECT n.node, coalesce(s.s, 0) AS araw
+      s"""ar$i AS MATERIALIZED (SELECT n.node, coalesce(s.s, 0) AS araw
            FROM nodes n LEFT JOIN (
              SELECT e.dst AS node, sum(h.hub) AS s
              FROM fwd e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) s
            USING (node)),
-         a$i AS (SELECT node, (araw * $scale)
+         a$i AS MATERIALIZED (SELECT node, (araw * $scale)
              // greatest((SELECT max(araw) FROM ar$i), 1) AS auth
            FROM ar$i),
-         hr$i AS (SELECT n.node, coalesce(s.s, 0) AS hraw
+         hr$i AS MATERIALIZED (SELECT n.node, coalesce(s.s, 0) AS hraw
            FROM nodes n LEFT JOIN (
              SELECT e.src AS node, sum(a.auth) AS s
              FROM fwd e JOIN a$i a ON e.dst = a.node GROUP BY 1) s
            USING (node)),
-         h$i AS (SELECT node, (hraw * $scale)
+         h$i AS MATERIALIZED (SELECT node, (hraw * $scale)
              // greatest((SELECT max(hraw) FROM hr$i), 1) AS hub
            FROM hr$i)"""
     }.mkString(",\n        ")
-    s"""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+    s"""WITH fwd AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS src,
           l_suppkey * 2 + 1 AS dst FROM lineitem),
-        nodes AS (SELECT DISTINCT src AS node FROM fwd
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM fwd
           UNION SELECT DISTINCT dst FROM fwd),
         h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM nodes),
         $rounds
@@ -719,11 +728,14 @@ private[graft] object SamplingQueries {
     s"WITH ${lpaCtes(rounds)}\n      SELECT node, label FROM l$rounds"
 
   private[graft] def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // e$i is MATERIALIZED: each round references e${i-1} three times
+    // (degree pass + both endpoint filters) — 3^rounds inlined copies of
+    // the canon self-join otherwise (same class as the hits timeout)
     val steps = (1 to rounds).map { i =>
       s"""a$i AS (SELECT src FROM (
            SELECT src, count(*) AS c FROM e${i - 1} GROUP BY 1)
            WHERE c >= $k),
-         e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
            JOIN a$i s ON e.src = s.src JOIN a$i t ON e.dst = t.src)"""
     }.mkString(",\n        ")
     s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
