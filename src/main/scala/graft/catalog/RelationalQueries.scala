@@ -2018,13 +2018,16 @@ private[graft] object RelationalQueries {
           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
         FROM x GROUP BY nn, nr, nc""")),
 
-    // Two-proportion A/B test (chi-squared form), exact-integer end to
-    // end: users hash-split by id parity, per-user conversion flag, and
-    // z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(n−c)) with both sides of
-    // the ratio exact BIGINTs and ONE floor-quantized IEEE division at
-    // presentation. The 3.841459 cutoff is chi²(1, 0.05). Promote the
-    // numerator to decimal(38) before 1e9-user populations (cents()
-    // scaladoc precedent). Two combine-enabled aggregates, no window.
+    // Two-proportion A/B test (chi-squared form): users hash-split by id
+    // parity, per-user-day conversion flag, z² = (c1·n2 − c2·n1)²·(n1+n2)
+    // / (n1·n2·c·(n−c)). The DIFFERENCE c1·n2 − c2·n1 stays an exact
+    // BIGINT (each c·n product wraps only past ~9e18 — ~sf1e5); its
+    // SQUARE and the 4-factor denominator do NOT fit 64 bits at sf1 (the
+    // 10× fixture caught the raw form throwing ARITHMETIC_OVERFLOW under
+    // ANSI), so both are staged through PAIRED double products —
+    // ((diff·diff)·nn)·1e6 / ((n1·n2)·(c·(n−c))) in one fixed IEEE op
+    // order, each BIGINT factor pair exact before its cast. The 3.841459
+    // cutoff is chi²(1, 0.05). Two combine-enabled aggregates, no window.
     ("q_agg_abtest",
       (s: SparkSession, d: String) => {
         // unit = user-DAY (a user converts on a day they purchase) —
@@ -2039,15 +2042,18 @@ private[graft] object RelationalQueries {
           sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("c1"),
           sum(when(col("v") === 1, 1L).otherwise(0L)).as("n2"),
           sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("c2"))
-        val num = (col("c1") * col("n2") - col("c2") * col("n1")) *
-          (col("c1") * col("n2") - col("c2") * col("n1")) *
-          (col("n1") + col("n2"))
-        val den = col("n1") * col("n2") * (col("c1") + col("c2")) *
-          (col("n1") + col("n2") - col("c1") - col("c2"))
+        val diff = (col("c1") * col("n2") - col("c2") * col("n1"))
+          .cast("double")
+        val num = diff * diff * (col("n1") + col("n2")).cast("double")
+        val den = (col("n1") * col("n2")).cast("double") *
+          ((col("c1") + col("c2")) *
+            (col("n1") + col("n2") - col("c1") - col("c2"))).cast("double")
         a.withColumn("z2_micro",
-            when(den === 0, lit(null).cast("long")).otherwise(
-              floor(num.cast("double") * 1e6 / den.cast("double"))
-                .cast("long")))
+            when(col("n1") * col("n2") === 0 ||
+                (col("c1") + col("c2")) *
+                  (col("n1") + col("n2") - col("c1") - col("c2")) === 0,
+              lit(null).cast("long"))
+              .otherwise(floor(num * 1e6 / den).cast("long")))
           .withColumn("significant",
             when(col("z2_micro") > 3841459L, 1L).otherwise(0L))
       },
@@ -2065,10 +2071,14 @@ private[graft] object RelationalQueries {
               AS c2
           FROM g),
         z AS (SELECT n1, c1, n2, c2,
-            CASE WHEN n1 * n2 * (c1+c2) * (n1+n2-c1-c2) = 0 THEN NULL
-              ELSE CAST(floor(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1)
-                  * (n1+n2) AS DOUBLE) * 1e6 /
-                CAST(n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS DOUBLE))
+            CASE WHEN n1 * n2 = 0
+                OR (c1+c2) * (n1+n2-c1-c2) = 0 THEN NULL
+              ELSE CAST(floor(
+                CAST(c1*n2 - c2*n1 AS DOUBLE)
+                  * CAST(c1*n2 - c2*n1 AS DOUBLE)
+                  * CAST(n1+n2 AS DOUBLE) * 1e6 /
+                (CAST(n1 * n2 AS DOUBLE)
+                  * CAST((c1+c2) * (n1+n2-c1-c2) AS DOUBLE)))
                 AS BIGINT) END AS z2_micro
           FROM a)
         SELECT n1, c1, n2, c2, z2_micro,
