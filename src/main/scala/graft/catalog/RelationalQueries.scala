@@ -2261,10 +2261,14 @@ private[graft] object RelationalQueries {
     // Per-segment OLS fit (price-on-quantity by return flag) as EXACT
     // RATIONALS: slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²) and intercept =
     // (Sy·Sxx − Sx·Sxy)/same — numerator/denominator shipped as exact
-    // BIGINTs (one combine-enabled moment aggregate, products widened
-    // through DECIMAL(18,0)² = (37,0) so no 64-bit intermediate wraps;
-    // the quantized point estimates are one floor(double) of those exact
-    // integers). The regression analog of q_agg_welch's moment discipline.
+    // integer STRINGS (one combine-enabled moment aggregate, products
+    // widened through DECIMAL(18,0)² = (37,0) here, HUGEINT in the
+    // oracle; the digit strings match at any scale, where BIGINT output
+    // columns overflowed loudly at sf1 — n·Sxy passes 2^63 there, the
+    // 10× fixture caught the cast). The quantized point estimates are one
+    // floor(double) of those exact integers (decimal→double and
+    // HUGEINT→double are both correctly rounded — identical). The
+    // regression analog of q_agg_welch's moment discipline.
     ("q_agg_ols",
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
@@ -2275,14 +2279,16 @@ private[graft] object RelationalQueries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
-        val numS = (d18(col("n")) * d18(col("sxy")) -
-          d18(col("sx")) * d18(col("sy"))).cast("long")
-        val denS = (d18(col("n")) * d18(col("sxx")) -
-          d18(col("sx")) * d18(col("sx"))).cast("long")
-        val numI = (d18(col("sy")) * d18(col("sxx")) -
-          d18(col("sx")) * d18(col("sxy"))).cast("long")
+        val numS = d18(col("n")) * d18(col("sxy")) -
+          d18(col("sx")) * d18(col("sy"))
+        val denS = d18(col("n")) * d18(col("sxx")) -
+          d18(col("sx")) * d18(col("sx"))
+        val numI = d18(col("sy")) * d18(col("sxx")) -
+          d18(col("sx")) * d18(col("sxy"))
         m.select(col("flag"), col("n"),
-          numS.as("slope_num"), denS.as("den"), numI.as("intercept_num"),
+          numS.cast("string").as("slope_num"),
+          denS.cast("string").as("den"),
+          numI.cast("string").as("intercept_num"),
           floor(numS.cast("double") * 1e6 / denS.cast("double"))
             .cast("long").as("slope_micro"),
           floor(numI.cast("double") * 1e3 / denS.cast("double"))
@@ -2297,14 +2303,16 @@ private[graft] object RelationalQueries {
             CAST(sum(x * x) AS BIGINT) AS sxx
           FROM li GROUP BY 1),
         r AS (SELECT flag, n,
-            CAST(CAST(n AS HUGEINT) * sxy
-              - CAST(sx AS HUGEINT) * sy AS BIGINT) AS slope_num,
-            CAST(CAST(n AS HUGEINT) * sxx
-              - CAST(sx AS HUGEINT) * sx AS BIGINT) AS den,
-            CAST(CAST(sy AS HUGEINT) * sxx
-              - CAST(sx AS HUGEINT) * sxy AS BIGINT) AS intercept_num
+            CAST(n AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS slope_num,
+            CAST(n AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sx AS den,
+            CAST(sy AS HUGEINT) * sxx
+              - CAST(sx AS HUGEINT) * sxy AS intercept_num
           FROM m)
-        SELECT flag, n, slope_num, den, intercept_num,
+        SELECT flag, n, CAST(slope_num AS VARCHAR) AS slope_num,
+          CAST(den AS VARCHAR) AS den,
+          CAST(intercept_num AS VARCHAR) AS intercept_num,
           CAST(floor(CAST(slope_num AS DOUBLE) * 1e6
             / CAST(den AS DOUBLE)) AS BIGINT) AS slope_micro,
           CAST(floor(CAST(intercept_num AS DOUBLE) * 1e3
