@@ -551,7 +551,85 @@ private[graft] object GraphQueries {
           "src", "dst", "w", rounds = 2)
       }): Q
       },
-      Some(mstOracleSql(labelRounds = 8))))
+      Some(mstOracleSql(labelRounds = 8))),
+
+    // k-truss decomposition (Graph.ktruss, Cohen 2008) over the sampled
+    // co-order graph: keep edges closing >= k-2 triangles with other
+    // SURVIVING edges — the cohesion filter one notch stronger than
+    // q_graph_kcore (mutual neighbors, not just neighbors; a template/
+    // near-dup community is trussy, a crawl hub is not). Each peel round
+    // is the q_graph_triangles oriented-wedge pipeline attributed to
+    // edges (O(|E|^1.5), no hub task) + one filter; the peel is monotone,
+    // so fixed rounds replay exactly (extra rounds are no-ops past the
+    // fixpoint — GraphSpec pins convergence on this fixture). The oracle
+    // unrolls every round: degrees, orientation, wedge join, 3-edge
+    // attribution, support filter — MATERIALIZED per round (each CTE is
+    // referenced by the next round three times; the q_graph_hits lesson).
+    ("q_graph_ktruss", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        Graph.ktruss(e, "src", "dst", k = 4, rounds = 3)
+      }): Q
+      },
+      Some(ktrussOracleSql(k = 4, rounds = 3))))
+
+  /** One round of the [[graft.ops.Graph.ktruss]] per-edge support pipeline
+    * in DuckDB: degree pass, (deg, id)-oriented edges, wedge self-join,
+    * 3-edges-per-triangle attribution, combine-style support count. The
+    * orientation/wedge CTEs replay [[graft.ops.Graph.triangleCounts]]'s
+    * oracle exactly; MATERIALIZED on the oriented set because the wedge
+    * join references it three times per round. */
+  private def ktrussSupportSql(i: String, prev: String): String =
+    s"""deg$i AS (SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+        GROUP BY 1),
+      o$i AS MATERIALIZED (SELECT
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+            THEN c.a ELSE c.b END AS lo,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+            THEN c.b ELSE c.a END AS hi,
+          CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.a < c.b)
+            THEN db.deg ELSE da.deg END AS dhi
+        FROM $prev c JOIN deg$i da ON c.a = da.node
+        JOIN deg$i db ON c.b = db.node),
+      tri$i AS (SELECT w1.lo AS p, w1.hi AS x, w2.hi AS y
+        FROM o$i w1 JOIN o$i w2 ON w1.lo = w2.lo
+          AND (w1.dhi < w2.dhi OR (w1.dhi = w2.dhi AND w1.hi < w2.hi))
+        JOIN o$i o3 ON w1.hi = o3.lo AND w2.hi = o3.hi),
+      te$i AS (SELECT least(p, x) AS a, greatest(p, x) AS b FROM tri$i
+        UNION ALL SELECT least(p, y), greatest(p, y) FROM tri$i
+        UNION ALL SELECT least(x, y), greatest(x, y) FROM tri$i),
+      sup$i AS (SELECT a, b, count(*) AS support FROM te$i GROUP BY 1, 2)"""
+
+  /** Round-unrolled DuckDB replay of [[graft.ops.Graph.ktruss]] over the
+    * q_graph_triangles co-order sample: per round one support block + one
+    * MATERIALIZED filtered edge set, then a FINAL support pass on the
+    * survivors (supports are re-measured on the surviving subgraph, 0 when
+    * unconverged — matching the engine's left join + coalesce). */
+  private[graft] def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      ktrussSupportSql(i.toString, s"e${i - 1}") + s""",
+      e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+        JOIN sup$i s ON e.a = s.a AND e.b = s.b
+        WHERE s.support >= ${k - 2})"""
+    }.mkString(",\n      ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_orderkey % 5 = 0),
+        e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+          FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2),
+        $steps,
+        ${ktrussSupportSql("F", s"e$rounds")}
+        SELECT e.a, e.b,
+          coalesce(s.support, CAST(0 AS BIGINT)) AS support
+        FROM e$rounds e LEFT JOIN supF s ON e.a = s.a AND e.b = s.b"""
+  }
 
   // ================================================== composed cleaning
 

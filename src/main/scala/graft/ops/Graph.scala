@@ -360,6 +360,98 @@ object Graph {
   }
 
   /**
+   * k-truss decomposition (Cohen 2008): the maximal subgraph in which every
+   * surviving edge closes at least k-2 triangles WITH OTHER SURVIVING
+   * edges. Where k-core keeps nodes with enough neighbors, k-truss keeps
+   * edges with enough MUTUAL neighbors — the standard cohesion filter one
+   * notch stronger than core number: a near-dup/template community in a
+   * similarity graph is trussy, a crawl hub is not.
+   *
+   * Shape per peel round: per-edge support via the SAME degree-ordered
+   * oriented wedge join as [[triangleCounts]] (each triangle lands on its
+   * three canonical edges through one 3-way explode + combine-enabled
+   * count — O(|E|^1.5) wedge work, no hub task), then one filter
+   * `support >= k-2`. The peel is MONOTONE (the edge set only shrinks and
+   * support only falls), so like [[kCore]] a fixed `rounds` bounds work
+   * instead of chasing a fixpoint with per-round driver actions: extra
+   * rounds past convergence are exact no-ops, and under-iteration yields a
+   * deterministic SUPERSET (round r of the peel), which the unrolled
+   * oracle replays round for round. The spec pins fixpoint on the fixture
+   * by comparing rounds r and r+1; production callers do the same
+   * count-compare when they need the certified truss.
+   *
+   * Output: surviving canonical edges (a < b) with their support measured
+   * on the surviving subgraph (the final support pass runs AFTER the last
+   * peel, so reported supports are consistent with the reported edge set).
+   */
+  def ktruss(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"ktruss needs k >= 3 (k-2 triangles per edge), got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"ktruss needs 1 <= rounds <= 16, got $rounds")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = edgeSupport(e).filter(col("support") >= k - 2)
+        .select("a", "b")
+        // each round re-derives degrees/orientation from the shrunken set;
+        // cut lineage so round r+1 plans against materialized edges, not a
+        // growing wedge-join chain
+        .localCheckpoint()
+    }
+    edgeSupport(e)
+  }
+
+  /** Per-edge triangle support on a canonical (a < b, distinct) edge set —
+    * the [[triangleCounts]] oriented-wedge pipeline, attributed to edges
+    * instead of nodes. One degree aggregate, one wedge self-join bounded by
+    * the (deg, id) orientation, one 3-edges-per-triangle explode, one
+    * combine-enabled count. */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db = deg.select(col("node").as("b"), col("deg").as("db"))
+    val oriented = canon.join(da, "a").join(db, "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"),
+            col("db").as("dhi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi"),
+            col("da").as("dhi"))).as("o"))
+      .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
+        col("o.dhi").as("dhi"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("lo").as("p"), col("hi").as("x"),
+      col("dhi").as("dx"))
+    val w2 = oriented.select(col("lo").as("p"), col("hi").as("y"),
+      col("dhi").as("dy"))
+    val wedges = w1.join(w2, Seq("p"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y")).select("p", "x", "y")
+    val triEdges = tris.select(explode(array(
+        struct(least(col("p"), col("x")).as("a"),
+          greatest(col("p"), col("x")).as("b")),
+        struct(least(col("p"), col("y")).as("a"),
+          greatest(col("p"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val sup = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
+    canon.join(sup, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /**
    * Personalized PageRank (the topic-sensitive variant of Haveliwala 2002):
    * identical integer recurrence to [[pageRankInt]], except the teleport
    * term lands ONLY on the seed set —

@@ -130,6 +130,40 @@ class GraphSpec extends SparkSpec {
       .count() == 10L)
   }
 
+  test("ktruss: K5 is a 4-truss; pendant triangles and bridges peel away") {
+    // K5 on 1..5: every edge closes 3 triangles (support 3) — survives
+    // k=4 (needs >= 2) and k=5 (needs 3), not k=6. A triangle 5-6-7
+    // hanging off K5 has support-1 edges — peeled at k=4. A chordless
+    // square 8-9-10-11 has support-0 edges — peeled immediately.
+    val k5 = for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)
+    val g = k5 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L),
+      (8L, 9L), (9L, 10L), (10L, 11L), (8L, 11L))
+    val got = Graph.ktruss(g.toDF("src", "dst"), "src", "dst", k = 4,
+      rounds = 3).as[(Long, Long, Long)].collect().toSet
+    assert(got == k5.map { case (a, b) => (a, b, 3L) }.toSet)
+    // k=5 also keeps exactly K5; k=6 empties the graph
+    assert(Graph.ktruss(g.toDF("src", "dst"), "src", "dst", 5, 3)
+      .count() == 10L)
+    assert(Graph.ktruss(g.toDF("src", "dst"), "src", "dst", 6, 3)
+      .count() == 0L)
+    // monotone peel converged: extra rounds are exact no-ops
+    val more = Graph.ktruss(g.toDF("src", "dst"), "src", "dst", 4, 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(more == got)
+  }
+
+  test("ktruss: peeling cascades (a 2-round chain the 1-round result misses)") {
+    // Two triangles sharing edge (1,2): each outer edge has support 1,
+    // the shared edge support 2. k=4 peels the outer edges in round 1,
+    // which leaves the shared edge with support 0 — round 2 removes it.
+    // A single round would keep (1,2) with a stale support.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(Graph.ktruss(g.toDF("src", "dst"), "src", "dst", 4, 1)
+      .count() == 1L) // after one round the shared edge is still there
+    assert(Graph.ktruss(g.toDF("src", "dst"), "src", "dst", 4, 2)
+      .count() == 0L) // the cascade clears it
+  }
+
   test("triangleCounts: random graphs match brute force (seeded)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 12) {
