@@ -1850,7 +1850,58 @@ private[graft] object TextQueries {
               AND chunk_idx = o_idx THEN n_toks_chunk ELSE 0 END)
               AS DOUBLE) /
             CAST(sum(n_toks_chunk) AS DOUBLE)) / 1e6 AS stored_frac
-        FROM chi JOIN own USING (chunk_hash) GROUP BY 1""")))
+        FROM chi JOIN own USING (chunk_hash) GROUP BY 1""")),
+
+    // Categorized blocklist gate (TextOps.blocklistAudit) — the wordlist
+    // filter every web-corpus build runs (C4's banned-word page drop,
+    // category-tagged production lists). The list rides a BROADCAST join
+    // against the scan-stage token explode (never an or-chain expression:
+    // right for 10 terms, unviable for 10^6), hits aggregate per
+    // (doc, category) then per doc — both combine-enabled, doc-bounded
+    // fan-out; blocked = exact integer cross-multiplication of the
+    // hits-per-million-tokens threshold. Dominant category deterministic
+    // via min(-hits, category). Oracle replays the join + both rollups
+    // (window form for the arg-min) over the same VALUES list.
+    ("q_text_blocklist",
+      (s: SparkSession, d: String) => TextOps.blocklistAudit(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", BlocklistFixture, maxHitsPerMTokens = 200000L),
+      Some(s"""WITH base AS (SELECT doc_id, ${tokensSql()} AS tk
+            FROM documents WHERE text IS NOT NULL),
+          bl(term, category) AS (VALUES ${blocklistValuesSql}),
+          h AS (SELECT doc_id, category, count(*) AS hits
+            FROM base, UNNEST(tk) AS u(term)
+            JOIN bl ON u.term = bl.term
+            GROUP BY 1, 2),
+          p1 AS (SELECT doc_id, category, hits,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY hits DESC, category) AS rn,
+              sum(hits) OVER (PARTITION BY doc_id) AS n_hits,
+              count(*) OVER (PARTITION BY doc_id) AS n_categories
+            FROM h),
+          p AS (SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+              CAST(n_categories AS BIGINT) AS n_categories,
+              category AS top_category
+            FROM p1 WHERE rn = 1)
+          SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+            coalesce(p.n_hits, 0) AS n_hits,
+            coalesce(p.n_categories, 0) AS n_categories,
+            coalesce(p.top_category, '') AS top_category,
+            CAST(coalesce(p.n_hits, 0) * 1000000 >
+              200000 * len(b.tk) AS BIGINT) AS blocked
+          FROM base b LEFT JOIN p USING (doc_id)""")))
+
+  /** Fixture blocklist over the synthetic documents' vocabulary —
+    * categorized like a production wordlist; terms chosen so some docs
+    * cross the 20%-of-tokens (median) threshold and most don't. NB: def, not val —
+    * referenced from the earlier-initializing `entries` (see the
+    * object-init-order note on [[Shared.quantSql]]). */
+  private[graft] def BlocklistFixture: Seq[(String, String)] = Seq(
+    "spark" -> "brand", "hash" -> "crypto", "merge" -> "ops",
+    "scan" -> "ops", "window" -> "ui", "batch" -> "ops")
+
+  private[graft] def blocklistValuesSql: String =
+    BlocklistFixture.map { case (tm, c) => s"('$tm', '$c')" }.mkString(", ")
 
   private[graft] def langIdOracleSql: String = {
     val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {

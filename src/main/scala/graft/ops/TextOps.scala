@@ -77,6 +77,62 @@ object TextOps {
       acc.withColumn(name, c)
     }
 
+  /**
+   * Categorized blocklist/keyword gate — the wordlist filter every web
+   * corpus pipeline runs (C4 dropped pages containing "List-of-Dirty-...
+   * -Words" terms; production lists carry thousands of terms across
+   * categories like adult/violence/spam). Per document: hits with
+   * multiplicity per category, the dominant category, and a blocked flag
+   * when hits exceed `maxHitsPerMTokens` per million tokens (an exact
+   * integer cross-multiplication — no division, no floats).
+   *
+   * Scale shape: the token explode rides the scan stage; the blocklist is
+   * a BROADCAST join build side (a million-term list is ~tens of MB — never
+   * shuffle the corpus for it); both groupBys are combine-enabled with
+   * doc-bounded fan-out; the final census is one equi-join on the id. A
+   * per-category or-chain expression would inline the list into codegen —
+   * right for tens of terms, unviable for production lists, so the join
+   * form is the canonical one.
+   *
+   * Determinism: dominant category = most hits, ties to the
+   * lexicographically smallest category (min over (-hits, category) — a
+   * total order). Null texts are the caller's filter (size(null) is -1 in
+   * Spark but NULL in SQL engines — an audit row for no text is noise).
+   *
+   * Output: (doc_id, n_tokens, n_hits, n_categories, top_category
+   * ('' when clean), blocked 0/1).
+   */
+  def blocklistAudit(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[(String, String)],
+      maxHitsPerMTokens: Long): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistAudit needs a non-empty blocklist")
+    require(maxHitsPerMTokens >= 0,
+      s"maxHitsPerMTokens must be >= 0, got $maxHitsPerMTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = blocklist.toDF("term", "category")
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+    val hits = base
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "category").agg(count(lit(1)).as("hits"))
+    val perDoc = hits.groupBy("doc_id").agg(
+      sum("hits").as("n_hits"),
+      count(lit(1)).as("n_categories"),
+      min(struct((-col("hits")).as("neg"), col("category").as("cat")))
+        .as("w"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_categories"), lit(0L)).as("n_categories"),
+        coalesce(col("w.cat"), lit("")).as("top_category"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(1000000L) >
+          lit(maxHitsPerMTokens) * col("n_tokens")).cast("long")
+          .as("blocked"))
+  }
+
   /** Within-document repetition (the Gopher/C4-style duplicate-n-gram gate):
     * per doc, `dup_ratio = 1 - distinct_ngrams / total_ngrams` over word
     * n-grams — boilerplate and looped generations score high, natural prose
