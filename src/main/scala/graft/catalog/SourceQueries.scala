@@ -1313,6 +1313,44 @@ private[graft] object SourceQueries {
             AS t_tv_ppm
         FROM jn""")),
 
+    // Differentially-private histogram release (Stats.dpHistogram — the
+    // GRS'09 geometric mechanism at α = 1/2 with the two production
+    // companions: per-user contribution bounding at cap=8 distinct cells,
+    // ranked by a deterministic per-user hash; and noisy-threshold
+    // partition selection at the median count 8). Noise = difference of two Geometric(1/2)
+    // draws realized as trailing-ones counts of cell-keyed md5 bits —
+    // whole-bit integer ops, so the oracle replays the release exactly.
+    // The md5 seed is the replayable TESTING twin of the secret production
+    // seed (same distribution, same (cap·ln2)-DP analysis — see the
+    // operator scaladoc). Shape: one distinct shuffle, one user-bounded
+    // rank, one combine-enabled cell count, scan-stage noise.
+    ("q_profile_dp_release",
+      (s: SparkSession, d: String) => graft.ops.Stats.dpHistogram(
+        events(s, d).select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day")),
+        "user_id", Seq("event_type", "day"), cap = 8, threshold = 8L),
+      Some("""WITH ev AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u,
+            concat(event_type, '|', strftime(ts, '%Y-%m-%d')) AS cell
+          FROM events),
+        rk AS (SELECT u, cell, row_number() OVER (PARTITION BY u
+            ORDER BY md5(concat(u, '|', cell)), cell) AS rk FROM ev),
+        c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+          FROM rk WHERE rk <= 8 GROUP BY 1),
+        g AS (SELECT cell, n,
+            CAST(concat('0x', substr(md5(concat('dp1|', cell)), 1, 10))
+              AS BIGINT) AS x1,
+            CAST(concat('0x', substr(md5(concat('dp2|', cell)), 1, 10))
+              AS BIGINT) AS x2
+          FROM c),
+        nz AS (SELECT cell, n,
+            least(length(bin((~x1) & (x1 + 1))) - 1, 40) AS g1,
+            least(length(bin((~x2) & (x2 + 1))) - 1, 40) AS g2
+          FROM g)
+        SELECT cell,
+          greatest(CAST(0 AS BIGINT), n + g1 - g2) AS released
+        FROM nz
+        WHERE greatest(CAST(0 AS BIGINT), n + g1 - g2) >= 8""")),
+
     // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
     // declared child->parent edge of the star schema — the pre-merge key
     // sanity gate. Per edge: a combine-enabled key-count aggregate (corpus

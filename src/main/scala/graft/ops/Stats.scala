@@ -276,6 +276,73 @@ object Stats {
    * beyond that, cast the moment columns to DecimalType(38,0) before the
    * comparison — same algebra, 128-bit exactness.
    */
+  /**
+   * Differentially-private histogram release (the geometric mechanism of
+   * Ghosh–Roughgarden–Sundararajan 2009 with α = 1/2, plus the two
+   * steps every production DP release pairs it with):
+   *
+   *  1. CONTRIBUTION BOUNDING — each user's distinct cells are ranked by a
+   *     deterministic per-user hash order and capped at `cap`, so one user
+   *     can change at most `cap` cell counts by 1 each (L0 sensitivity =
+   *     cap, L∞ = 1). Without this step a histogram over user events has
+   *     unbounded sensitivity and NO ε holds.
+   *  2. NOISE — each cell's count gets two-sided-geometric (discrete
+   *     Laplace) noise: G1 − G2 with Gi ~ Geometric(1/2), realized as the
+   *     trailing-ones count of a cell-keyed hash (P(k ones) = 2^-(k+1),
+   *     exactly geometric). At α = 1/2 a one-unit count change shifts the
+   *     noise distribution by ln 2 of privacy loss, so the release is
+   *     (cap · ln 2)-DP per user over the whole histogram (parallel
+   *     composition across cells, sequential across one user's ≤ cap
+   *     cells). Tighter ε ⇒ lower cap.
+   *  3. PARTITION SELECTION — only cells whose NOISY count clears
+   *     `threshold` are released (the stability-based suppression that
+   *     keeps rare cells — e.g. one-user cells — out of the release).
+   *
+   * DETERMINISM CAVEAT (deliberate): the noise is keyed by md5(cell), which
+   * makes the release replayable by the DuckDB oracle and stable across
+   * re-runs — the testing twin of the real mechanism. A PRODUCTION release
+   * swaps `seed` for a secret one-time value; the distribution (and thus
+   * the utility/ε analysis) is identical, the replayability disappears.
+   *
+   * Scale shape: distinct (user, cell) is one shuffle; the per-user cap is
+   * a user-partitioned rank (fan-out bounded by a user's distinct cells);
+   * cell counts are ONE combine-enabled aggregate; noise + suppression are
+   * scan-stage expressions on the (small) cell table. No corpus-sized
+   * window, nothing driver-side.
+   *
+   * Output: (cell, released) — surviving cells with their noisy counts.
+   * True counts are never emitted.
+   */
+  def dpHistogram(df: DataFrame, userCol: String, cellCols: Seq[String],
+      cap: Int, threshold: Long, seed: String = "dp"): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1 (it is the L0 sensitivity)")
+    require(threshold >= 0, s"threshold=$threshold must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+    val cell = concat_ws("|", cellCols.map(c => col(c).cast("string")): _*)
+    val contrib = df
+      .select(col(userCol).cast("string").as("u"), cell.as("cell"))
+      .distinct()
+    val ranked = contrib
+      .withColumn("rk", row_number().over(w.partitionBy("u")
+        .orderBy(md5(concat_ws("|", col("u"), col("cell"))), col("cell"))))
+      .filter(col("rk") <= cap)
+    val counts = ranked.groupBy("cell").agg(count(lit(1)).as("n"))
+    // Geometric(1/2) = trailing-ones count of 40 cell-keyed hash bits:
+    // ~x & (x+1) isolates the lowest zero bit as 2^k, bin-length recovers
+    // k — whole-bit integer ops only, so DuckDB replays bit-for-bit.
+    def geo(tag: String): Column = {
+      val x = conv(substring(md5(concat(lit(s"$seed$tag|"), col("cell"))),
+        1, 10), 16, 10).cast("long")
+      least(length(bin(bitwise_not(x).bitwiseAND(x + lit(1L)))) - lit(1),
+        lit(40)).cast("long")
+    }
+    counts
+      .withColumn("released",
+        greatest(lit(0L), col("n") + geo("1") - geo("2")))
+      .filter(col("released") >= threshold)
+      .select(col("cell"), col("released"))
+  }
+
   def countAnomalies(df: DataFrame, groupCols: Seq[String], cellCol: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")

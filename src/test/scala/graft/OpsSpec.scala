@@ -1067,6 +1067,39 @@ class OpsSpec extends SparkSpec {
       Seq("grp"), col("cell"), k = 3).isEmpty)
   }
 
+  test("dpHistogram: contribution bounding caps a heavy user; noise bounded") {
+    import graft.ops.Stats
+    // user "hog" touches 20 cells, 30 normal users touch 1 cell each
+    // (cell "c0", giving it a solid true count). With cap=4 the hog adds
+    // AT MOST 4 to the released histogram: total released mass (threshold
+    // 0, so nothing suppressed) is bounded by 34 + noise, where noise per
+    // cell is in [-40, 40] by the trailing-ones construction.
+    val rows = (1 to 20).map(i => ("hog", s"c$i")) ++
+      (1 to 30).map(i => (s"u$i", "c0"))
+    val out = Stats.dpHistogram(rows.toDF("user", "cell"), "user",
+      Seq("cell"), cap = 4, threshold = 0L)
+      .as[(String, Long)].collect().toMap
+    // capped contributions: at most 4 hog cells have count 1 (+noise);
+    // every released count is >= 0 and within noise range of its truth
+    // a rank-capped cell has NO count row at all (noise moves counts,
+    // never invents cells), so at most `cap` hog cells can appear
+    val hogCells = out.keys.count(_ != "c0")
+    assert(hogCells <= 4)
+    assert(out.getOrElse("c0", 0L) >= 30L - 80L && out("c0") <= 30L + 80L)
+    assert(out.values.forall(_ >= 0L))
+    // determinism: the release replays bit-for-bit
+    val again = Stats.dpHistogram(rows.toDF("user", "cell"), "user",
+      Seq("cell"), cap = 4, threshold = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(again == out)
+    // a higher threshold only shrinks the release (suppression monotone)
+    val sup = Stats.dpHistogram(rows.toDF("user", "cell"), "user",
+      Seq("cell"), cap = 4, threshold = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(sup.keySet.subsetOf(out.keySet))
+    assert(sup.values.forall(_ >= 5L))
+  }
+
   test("cohort retention: first-day cohorts, offsets, exact ratios") {
     import graft.ops.Funnel
     val ev = Seq(
