@@ -2319,6 +2319,71 @@ private[graft] object RelationalQueries {
             / CAST(den AS DOUBLE)) AS BIGINT) AS intercept_milli
         FROM r""")),
 
+    // Cohen's kappa (1960) — chance-corrected agreement between two
+    // labelings of the same corpus, the standard inter-annotator /
+    // classifier-vs-gold QC number for labeled training data. Raters:
+    // the n-gram langId heuristic vs the fixture's gold lang column.
+    // Exact rationals, the q_agg_ols discipline: kappa = (N·agree −
+    // Σ_k a_k·b_k) / (N² − Σ_k a_k·b_k) with marginal products staged
+    // through DECIMAL(38,0)/HUGEINT (N² passes 2^63 long before 100 TB),
+    // shipped as digit strings + one floor(double) quantized estimate;
+    // the chance term joins the two marginal tables on the label (a
+    // broadcast-sized join — the label space is the rater alphabet).
+    // Degenerate single-label corpora null out via nullif(den, 0) on
+    // both sides (the q_agg_cuped lesson).
+    ("q_agg_kappa",
+      (s: SparkSession, d: String) => {
+        val lab = t(s, d, "documents").filter(col("text").isNotNull)
+          .select(TextOps.langId(col("text")).as("a"), col("lang").as("b"))
+        def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+        val tot = lab.agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+        val am = lab.groupBy("a").agg(count(lit(1)).as("ca"))
+        val bm = lab.groupBy("b").agg(count(lit(1)).as("cb"))
+        val ab = am.join(bm, col("a") === col("b"))
+          .agg(coalesce(sum(d18(col("ca")) * d18(col("cb"))),
+            lit(0).cast("decimal(37,0)")).as("sab"))
+        val knum = d18(col("n")) * d18(col("n_agree")) - col("sab")
+        val kden = d18(col("n")) * d18(col("n")) - col("sab")
+        tot.crossJoin(ab).select(
+          col("n"), col("n_agree"),
+          floor(col("n_agree").cast("double") * 1e6 /
+            col("n").cast("double")).cast("long").as("po_micro"),
+          floor(knum.cast("double") * 1e6 /
+            nullif(kden, lit(0)).cast("double")).cast("long")
+            .as("kappa_micro"),
+          knum.cast("string").as("kappa_num"),
+          kden.cast("string").as("kappa_den"))
+      },
+      Some(s"""WITH pred AS (SELECT doc_id, lang_pred
+          FROM ($langIdOracleSql)),
+        lab AS (SELECT p.lang_pred AS a, d.lang AS b
+          FROM pred p JOIN documents d USING (doc_id)
+          WHERE d.text IS NOT NULL),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_agree
+          FROM lab),
+        am AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM lab
+          GROUP BY 1),
+        bm AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM lab
+          GROUP BY 1),
+        ab AS (SELECT coalesce(sum(CAST(ca AS HUGEINT) * cb),
+            CAST(0 AS HUGEINT)) AS sab
+          FROM am JOIN bm ON am.a = bm.b),
+        r AS (SELECT n, n_agree,
+            CAST(n AS HUGEINT) * n_agree - sab AS knum,
+            CAST(n AS HUGEINT) * n - sab AS kden
+          FROM tot, ab)
+        SELECT n, n_agree,
+          CAST(floor(CAST(n_agree AS DOUBLE) * 1e6
+            / CAST(n AS DOUBLE)) AS BIGINT) AS po_micro,
+          CAST(floor(CAST(knum AS DOUBLE) * 1e6
+            / CAST(nullif(kden, 0) AS DOUBLE)) AS BIGINT) AS kappa_micro,
+          CAST(knum AS VARCHAR) AS kappa_num,
+          CAST(kden AS VARCHAR) AS kappa_den
+        FROM r""")),
+
     // Autocorrelation of the daily order-count series at lags 1..7 — the
     // seasonality detector run before any forecasting/backtest op. EXACT:
     // with integer counts, Σ(n·x_t − S)(n·x_{t+k} − S) clears the rational

@@ -111,6 +111,56 @@ private[graft] object SamplingQueries {
         WHERE off < CASE WHEN source = 'src0' THEN 800
                          WHEN source = 'src1' THEN 10000 ELSE 300 END""")),
 
+    // Per-domain contribution cap + share audit (the RefinedWeb/Dolma
+    // "no domain dominates the corpus" rule): cap each source at N DOCS
+    // by deterministic hash rank — tokenBudgetSample at weight 1, so the
+    // cap runs through the grouped two-pass range scan, never a hot-group
+    // window — then report per-source kept/total and before/after corpus
+    // shares in exact ppm. The mixed budget map (one source uncapped, one
+    // throttled, a default for the rest) exercises both arms of the
+    // budget fold; the 1-row totals are broadcast anchors.
+    ("q_sample_domain_cap",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        val kept = Sampling.tokenBudgetSample(
+          docs.withColumn("__one", lit(1L)), "doc_id", "source", "__one",
+          Map("src0" -> 1000000L, "src1" -> 5L), defaultBudget = 15L)
+        val before = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val after = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+        val totB = before.agg(sum("n_docs").as("tb"))
+        val totA = after.agg(sum("n_kept").as("ta"))
+        before.join(after, Seq("source"), "left_outer")
+          .crossJoin(broadcast(totB)).crossJoin(broadcast(totA))
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            floor(col("n_docs").cast("double") * 1e6 /
+              col("tb").cast("double")).cast("long").as("share_before_ppm"),
+            floor(coalesce(col("n_kept"), lit(0L)).cast("double") * 1e6 /
+              col("ta").cast("double")).cast("long").as("share_after_ppm"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source,
+            ${hashScoreSql("doc_id")} AS h FROM documents),
+        o AS (SELECT doc_id, source,
+            COALESCE(sum(1) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM docs),
+        kept AS (SELECT doc_id, source FROM o
+          WHERE off < CASE WHEN source = 'src0' THEN 1000000
+                           WHEN source = 'src1' THEN 5 ELSE 15 END),
+        b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM docs GROUP BY 1),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY 1),
+        tb AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tb FROM b),
+        ta AS (SELECT CAST(sum(n_kept) AS BIGINT) AS ta FROM a)
+        SELECT b.source, b.n_docs,
+          coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          CAST(floor(CAST(b.n_docs AS DOUBLE) * 1e6
+            / CAST(tb AS DOUBLE)) AS BIGINT) AS share_before_ppm,
+          CAST(floor(CAST(coalesce(a.n_kept, CAST(0 AS BIGINT)) AS DOUBLE)
+            * 1e6 / CAST(ta AS DOUBLE)) AS BIGINT) AS share_after_ppm
+        FROM b LEFT JOIN a USING (source), tb, ta""")),
+
     // Curriculum binning: global short->long decile of every document by
     // token count — the "sort by difficulty, schedule in bins" step. The
     // ordinal comes from the two-pass range-partitioned prefix scan, not a

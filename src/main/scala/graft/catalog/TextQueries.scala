@@ -1903,26 +1903,6 @@ private[graft] object TextQueries {
   private[graft] def blocklistValuesSql: String =
     BlocklistFixture.map { case (tm, c) => s"('$tm', '$c')" }.mkString(", ")
 
-  private[graft] def langIdOracleSql: String = {
-    val counts = TextOps.LangMarkers.filter(_._2.nonEmpty).map {
-      case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(${tokensSql()}, t -> list_contains($list, t))) AS c_$lang"
-    }
-    val langs = TextOps.LangMarkers.filter(_._2.nonEmpty).map(_._1)
-    val cases = langs.zipWithIndex.map { case (lang, i) =>
-      val earlier = langs.take(i).map(l => s"c_$lang > c_$l")
-      val later = langs.drop(i + 1).map(l => s"c_$lang >= c_$l")
-      val conds = (earlier ++ later :+ s"c_$lang > 0").mkString(" AND ")
-      s"WHEN $conds THEN '$lang'"
-    }
-    s"""WITH m AS (SELECT doc_id, text, ${counts.mkString(",\n  ")} FROM documents)
-       SELECT doc_id,
-         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-              ${cases.mkString("\n              ")}
-              ELSE 'und' END AS lang_pred
-       FROM m"""
-  }
 
   // =============================================================== dedup
 
