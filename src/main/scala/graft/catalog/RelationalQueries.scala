@@ -2384,6 +2384,97 @@ private[graft] object RelationalQueries {
           CAST(kden AS VARCHAR) AS kappa_den
         FROM r""")),
 
+    // Robust trend on the weekly order-count series: Theil–Sen slope
+    // (median of all pairwise slopes — 29.4% breakdown point where OLS
+    // has 0) + the Mann–Kendall S test with tie-corrected variance — the
+    // nonparametric pair to q_agg_ols/q_agg_holt. The pair set is
+    // CALENDAR²-bounded (the order-date domain is fixed — it does not
+    // grow with SF), so the pairwise cross join is the documented
+    // grid-sized benign class, and the single-task median window runs on
+    // ≤ weeks² rows. Determinism: pairwise slopes are exact rationals;
+    // the sort key num/den is ONE correctly-rounded double division of
+    // integers (distinct rationals stay distinct: they differ by
+    // ≥ 1/den², far above double error at any count magnitude), ties
+    // broken by (ti, tj); the median is the ceil(n/2) discrete rank, its
+    // exact rational shipped alongside the quantized estimate. z uses
+    // IEEE sqrt (correctly rounded by the standard on both engines) in
+    // one fixed chain.
+    ("q_agg_trend",
+      (s: SparkSession, d: String) => {
+        val wk = t(s, d, "orders")
+          .select(floor(datediff(col("o_orderdate"),
+            lit("1970-01-01").cast("date")) / lit(7.0)).cast("long")
+            .as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val pi = wk.select(col("t").as("ti"), col("c").as("ci"))
+        val pj = wk.select(col("t").as("tj"), col("c").as("cj"))
+        val p = pi.crossJoin(pj).filter(col("ti") < col("tj"))
+          .select(col("ti"), col("tj"),
+            (col("cj") - col("ci")).as("num"),
+            (col("tj") - col("ti")).as("den"))
+          .withColumn("slope",
+            col("num").cast("double") / col("den").cast("double"))
+        val stats = p.agg(count(lit(1)).as("n_pairs"),
+          sum(signum(col("num").cast("double")).cast("long")).as("s"))
+        val nW = wk.agg(count(lit(1)).as("nw"))
+        val ties = wk.groupBy("c").agg(count(lit(1)).as("tc"))
+          .agg(coalesce(sum(col("tc") * (col("tc") - 1) *
+            (lit(2L) * col("tc") + 5)), lit(0L)).as("tieterm"))
+        val ranked = p.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("slope"), col("ti"), col("tj"))))
+        val med = ranked.crossJoin(broadcast(stats))
+          // Column./ is DOUBLE division — cast back to the integer rank
+          // ((n+1)/2.0 is an exact half, truncation == floor for n >= 0)
+          .filter(col("rn") ===
+            ((col("n_pairs") + 1) / 2).cast("long"))
+          .select(col("num").as("slope_num"), col("den").as("slope_den"))
+        stats.crossJoin(broadcast(nW)).crossJoin(broadcast(ties))
+          .crossJoin(broadcast(med))
+          .withColumn("var18",
+            col("nw") * (col("nw") - 1) * (lit(2L) * col("nw") + 5) -
+              col("tieterm"))
+          .select(col("nw").as("n_weeks"), col("n_pairs"), col("s"),
+            col("var18"),
+            col("slope_num"), col("slope_den"),
+            floor(col("slope_num").cast("double") * 1e6 /
+              col("slope_den").cast("double")).cast("long")
+              .as("slope_micro"),
+            floor(lit(1e3) *
+              (col("s").cast("double") -
+                signum(col("s").cast("double"))) /
+              sqrt(col("var18").cast("double") / 18.0)).cast("long")
+              .as("z_milli"))
+      },
+      Some("""WITH wk AS (SELECT CAST(floor(date_diff('day',
+              DATE '1970-01-01', CAST(o_orderdate AS DATE)) / 7.0)
+              AS BIGINT) AS t,
+            CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        p AS (SELECT i.t AS ti, j.t AS tj,
+            j.c - i.c AS num, j.t - i.t AS den,
+            CAST(j.c - i.c AS DOUBLE) / CAST(j.t - i.t AS DOUBLE) AS slope
+          FROM wk i JOIN wk j ON i.t < j.t),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(sum(sign(CAST(num AS DOUBLE))) AS BIGINT) AS s FROM p),
+        nw AS (SELECT CAST(count(*) AS BIGINT) AS nw FROM wk),
+        tt AS (SELECT coalesce(CAST(sum(tc * (tc - 1) * (2 * tc + 5))
+              AS BIGINT), CAST(0 AS BIGINT)) AS tieterm
+          FROM (SELECT CAST(count(*) AS BIGINT) AS tc FROM wk GROUP BY c)),
+        md AS (SELECT num AS slope_num, den AS slope_den
+          FROM (SELECT num, den, row_number()
+              OVER (ORDER BY slope, ti, tj) AS rn FROM p), st
+          WHERE rn = (n_pairs + 1) // 2)
+        SELECT nw AS n_weeks, n_pairs, s,
+          nw * (nw - 1) * (2 * nw + 5) - tieterm AS var18,
+          slope_num, slope_den,
+          CAST(floor(CAST(slope_num AS DOUBLE) * 1e6
+            / CAST(slope_den AS DOUBLE)) AS BIGINT) AS slope_micro,
+          CAST(floor(1e3 * (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+            / sqrt(CAST(nw * (nw - 1) * (2 * nw + 5) - tieterm AS DOUBLE)
+              / 18.0)) AS BIGINT) AS z_milli
+        FROM st, nw, tt, md""")),
+
     // Autocorrelation of the daily order-count series at lags 1..7 — the
     // seasonality detector run before any forecasting/backtest op. EXACT:
     // with integer counts, Σ(n·x_t − S)(n·x_{t+k} − S) clears the rational

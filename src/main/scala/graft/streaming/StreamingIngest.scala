@@ -347,6 +347,65 @@ object StreamingIngest {
         })
   }
 
+  final case class MgState(items: Array[String], counts: Array[Long],
+    n: Long)
+  final case class MgOut(key: String, n: Long, item: String, lb: Long)
+
+  /**
+   * Streaming Misra–Gries heavy-hitter summary — the streaming face of the
+   * batch `misra_gries` aggregate ([[graft.plans.MisraGriesAgg]]): per key
+   * the state is ≤ k (item, count) entries plus the stream length n; an
+   * arriving item increments its entry, opens one if there is room, and
+   * otherwise decrements EVERY entry (dropping zeros) — the identical
+   * update rule, so a drained single-partition in-order stream reproduces
+   * the batch one-partition fold exactly (spec-pinned, like the KMV and
+   * CUSUM states). Each micro-batch emits the key's current candidate set
+   * with its lower-bound counts and n: every item with true frequency
+   * > n/(k+1) is guaranteed present, and each lb undershoots by at most
+   * n/(k+1) — the same candidates-then-exact-recount contract as the
+   * batch operator ([[graft.ops.TextOps.heavyHitters]] is the second
+   * pass). O(k) state per key, O(1) amortized per row.
+   */
+  def heavyHitterStream(rows: Dataset[(String, String)], k: Int = 8)
+      : Dataset[MgOut] = {
+    import rows.sparkSession.implicits._
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[(String, String)],
+            state: GroupState[MgState]) => {
+          val buf = scala.collection.mutable.LinkedHashMap
+            .empty[String, Long]
+          var n = 0L
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.items.length) {
+              buf.put(s.items(i), s.counts(i)); i += 1
+            }
+            n = s.n
+          }
+          it.foreach { case (_, item) =>
+            n += 1L
+            buf.get(item) match {
+              case Some(c) => buf.update(item, c + 1L)
+              case None if buf.size < k => buf.put(item, 1L)
+              case None =>
+                // decrement-all cancels k+1 arrivals; new item not kept
+                val dead = scala.collection.mutable.ArrayBuffer
+                  .empty[String]
+                buf.keysIterator.foreach { kk =>
+                  val c = buf(kk) - 1L
+                  if (c == 0L) dead += kk else buf.update(kk, c)
+                }
+                dead.foreach(buf.remove)
+            }
+          }
+          state.update(MgState(buf.keys.toArray, buf.values.toArray, n))
+          buf.toSeq.sortBy { case (item, lb) => (-lb, item) }
+            .iterator.map { case (item, lb) => MgOut(key, n, item, lb) }
+        })
+  }
+
   final case class QBoundOut(key: String, n: Long, bucket: Int,
     lo: Long, hi: Long)
 

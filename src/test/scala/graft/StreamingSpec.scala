@@ -556,6 +556,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch("small") == 5.0) // under-k keys report exact counts
   }
 
+  test("streaming Misra-Gries drains to the reference fold; bound holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.MgOut
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed stream: 'hot' dominates, mid-frequency items, a noise tail
+    // wide enough to trigger the decrement-all path repeatedly
+    val items = (1 to 60).map(_ => "hot") ++
+      (1 to 25).flatMap(i => Seq(s"mid${i % 3}")) ++
+      (1 to 55).map(i => s"noise$i")
+    val rows = items.map(("t", _))
+    // independent single-pass MG fold (no Spark, no shared code)
+    def refMg(xs: Seq[String], k: Int): Map[String, Long] = {
+      val buf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      xs.foreach { x =>
+        if (buf.contains(x)) buf(x) += 1
+        else if (buf.size < k) buf(x) = 1
+        else buf.keys.toList.foreach { kk =>
+          buf(kk) -= 1; if (buf(kk) == 0) buf.remove(kk)
+        }
+      }
+      buf.toMap
+    }
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingIngest.heavyHitterStream(mem.toDS(), k = 4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("mg_stream").start()
+    try {
+      rows.grouped(35).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val all = spark.table("mg_stream").as[MgOut].collect()
+    val lastN = all.map(_.n).max
+    val got = all.filter(_.n == lastN).map(o => o.item -> o.lb).toMap
+    val ref = refMg(items, k = 4)
+    assert(got == ref)
+    assert(lastN == items.size.toLong)
+    // MG guarantees: the dominant item is present, with lb within
+    // n/(k+1) of its true count
+    assert(got.contains("hot"))
+    assert(got("hot") >= 60L - items.size / 5)
+    assert(got("hot") <= 60L)
+  }
+
   test("streaming quantile bound drains to the batch bucket operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.QBoundOut
