@@ -338,6 +338,82 @@ private[graft] object SimQueries {
           AND ex.neighbor_id = ann.neighbor_id
         GROUP BY 1""")),
 
+    // nDCG@5 of the LSH ANN ranking vs the exact ranking — the
+    // position-aware retrieval-quality metric recall@k can't see (putting
+    // the true #1 at position 5 and at position 1 are the same recall,
+    // very different nDCG). Graded relevance rel = 6 − exact_rank; the
+    // 1/log2(i+1) position discounts are micro-quantized LITERALS
+    // injected into both engines (the BM25 constant convention — no
+    // transcendentals at eval time), so DCG is an exact BIGINT sum; the
+    // ideal DCG at 5 full-relevance grades is the constant 10271920.
+    // Same bucket substrate and rerank as q_sim_recall — one broadcast
+    // probe join, corpus never re-shuffled.
+    ("q_sim_ndcg",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val probes = e.filter(col("vec_id") < 8)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"),
+            (lit(6L) - col("rank")).as("rel"))
+        val ann = Similarity.annLsh(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 5, tables = 8, planes = 6,
+          dims = 64)
+          .select(col("query_id"), col("neighbor_id"),
+            col("rank").as("pos"))
+        val wExpr = ndcgDiscountsMicro.zipWithIndex
+          .foldLeft(lit(0L)) { case (alt, (w, i)) =>
+            when(col("pos") === i + 1, lit(w)).otherwise(alt)
+          }
+        // group from the EXACT side: every probe always has its 5 ideal
+        // rows, so a probe whose ANN list misses entirely still emits
+        // (ndcg 0) instead of vanishing; ANN items outside the ideal set
+        // carry rel 0 and cannot contribute — the two join directions sum
+        // identically, only the row universe differs
+        exact.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("query_id")
+          .agg(sum(when(col("pos").isNotNull, col("rel") * wExpr)
+            .otherwise(lit(0L))).as("dcg_micro"))
+          .select(col("query_id"), col("dcg_micro"),
+            floor(col("dcg_micro").cast("double") * 1e6 /
+              lit(ndcgIdealMicro).cast("double")).cast("long")
+              .as("ndcg_ppm"))
+      },
+      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+        q AS (SELECT vec_id, $quantSql AS v FROM embeddings
+          WHERE vec_id < 8),
+        c AS (SELECT vec_id, $quantSql AS v FROM embeddings),
+        ex AS (SELECT query_id, neighbor_id, 6 - rnk AS rel FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v", "c.v")} DESC, c.vec_id ASC)
+              AS rnk
+          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 5),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+          FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
+          WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id),
+        ann AS (SELECT query_id, neighbor_id, rnk AS pos FROM (
+          SELECT sc.query_id, sc.neighbor_id,
+            row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY sc.cosine DESC, sc.neighbor_id ASC) AS rnk FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+              ${cosineSql("q.v", "c.v")} AS cosine
+            FROM cand JOIN q ON q.vec_id = cand.query_id
+                      JOIN c ON c.vec_id = cand.neighbor_id) sc)
+          WHERE rnk <= 5)
+        SELECT ex.query_id,
+          CAST(sum(CASE WHEN ann.pos IS NULL THEN 0
+              ELSE ex.rel * ${ndcgDiscountCaseSql("ann.pos")} END)
+            AS BIGINT) AS dcg_micro,
+          CAST(floor(CAST(sum(CASE WHEN ann.pos IS NULL THEN 0
+              ELSE ex.rel * ${ndcgDiscountCaseSql("ann.pos")} END)
+              AS DOUBLE) * 1e6
+            / $ndcgIdealMicro.0) AS BIGINT) AS ndcg_ppm
+        FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+          AND ex.neighbor_id = ann.neighbor_id
+        GROUP BY 1""")),
+
     // SQ8 scalar-quantization recall audit (Similarity.sq8Recall): codes
     // = floor(q*127/amax_dim) signed bytes, inner-product top-10 on codes
     // vs on exact vectors, recall per probe. The 64-row scale table and
@@ -854,5 +930,22 @@ private[graft] object SimQueries {
                     ELSE h END AS BIGINT) AS shash
         FROM sacc)"""
   }
+
+  /** nDCG position discounts floor(1e6 / log2(i+1)) for i = 1..5 — values
+    * precomputed once and injected as round-tripping literals into BOTH
+    * engines (the q_text_bm25 constant convention: no transcendental is
+    * ever evaluated at query time, so there is nothing to diverge). */
+  private[graft] def ndcgDiscountsMicro: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+
+  /** Ideal DCG@5 in micro units: grades 5..1 at positions 1..5. */
+  private[graft] def ndcgIdealMicro: Long =
+    ndcgDiscountsMicro.zip(Seq(5L, 4L, 3L, 2L, 1L))
+      .map { case (w, g) => w * g }.sum
+
+  private[graft] def ndcgDiscountCaseSql(pos: String): String =
+    ndcgDiscountsMicro.zipWithIndex.map { case (w, i) =>
+      s"WHEN $pos = ${i + 1} THEN $w"
+    }.mkString("CASE ", " ", " ELSE 0 END")
 
 }
