@@ -2475,6 +2475,151 @@ private[graft] object RelationalQueries {
               / 18.0)) AS BIGINT) AS z_milli
         FROM st, nw, tt, md""")),
 
+    // Difference-in-differences (the panel-causal workhorse; Card &
+    // Krueger 1994 form): hash-assigned treatment × fixed pre/post cut,
+    // DiD = (m̄11 − m̄10) − (m̄01 − m̄00) over exact integer cell moments.
+    // ONE conditional-aggregation pass (8 combine-enabled sums, no join,
+    // no pivot scan); each cell mean is one correctly-rounded double
+    // division of exact BIGINTs and the estimate is one fixed
+    // parenthesized IEEE chain, floor-quantized — the q_agg_cuped
+    // discipline, with the same nullif guard on possibly-empty cells.
+    // Completes the causal family: abtest (randomized), cuped (variance
+    // reduction), ope (off-policy), did (parallel-trends panel).
+    ("q_agg_did",
+      (s: SparkSession, d: String) => {
+        val ev = events(s, d).select(
+          when(col("user_id") % 2 === 1, 1).otherwise(0).as("tr"),
+          when(col("ts") >=
+            lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+            .otherwise(0).as("post"),
+          cents(col("value")).as("v"))
+        def cell(tr: Int, post: Int, c: org.apache.spark.sql.Column) =
+          sum(when(col("tr") === tr && col("post") === post, c)
+            .otherwise(lit(0L)))
+        val m = ev.agg(
+          cell(1, 1, lit(1L)).as("n11"), cell(1, 1, col("v")).as("s11"),
+          cell(1, 0, lit(1L)).as("n10"), cell(1, 0, col("v")).as("s10"),
+          cell(0, 1, lit(1L)).as("n01"), cell(0, 1, col("v")).as("s01"),
+          cell(0, 0, lit(1L)).as("n00"), cell(0, 0, col("v")).as("s00"))
+        def mean(sc: String, nc: String) =
+          col(sc).cast("double") /
+            nullif(col(nc), lit(0L)).cast("double")
+        m.select(col("n11"), col("s11"), col("n10"), col("s10"),
+          col("n01"), col("s01"), col("n00"), col("s00"),
+          floor(lit(1e3) *
+            ((mean("s11", "n11") - mean("s10", "n10")) -
+              (mean("s01", "n01") - mean("s00", "n00"))))
+            .cast("long").as("did_millicents"))
+      },
+      Some(s"""WITH ev AS (SELECT
+            CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS tr,
+            CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS post,
+            ${centsSql("value")} AS v
+          FROM events),
+        m AS (SELECT
+            CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN v ELSE 0 END)
+              AS BIGINT) AS s11,
+            CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n10,
+            CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN v ELSE 0 END)
+              AS BIGINT) AS s10,
+            CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n01,
+            CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN v ELSE 0 END)
+              AS BIGINT) AS s01,
+            CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n00,
+            CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN v ELSE 0 END)
+              AS BIGINT) AS s00
+          FROM ev)
+        SELECT n11, s11, n10, s10, n01, s01, n00, s00,
+          CAST(floor(1e3 * (
+            (CAST(s11 AS DOUBLE) / CAST(nullif(n11, 0) AS DOUBLE)
+              - CAST(s10 AS DOUBLE) / CAST(nullif(n10, 0) AS DOUBLE))
+            - (CAST(s01 AS DOUBLE) / CAST(nullif(n01, 0) AS DOUBLE)
+              - CAST(s00 AS DOUBLE) / CAST(nullif(n00, 0) AS DOUBLE))))
+            AS BIGINT) AS did_millicents
+        FROM m""")),
+
+    // Kaplan–Meier survival curve (1958 product-limit estimator) over
+    // user lifetimes — the churn/retention curve with RIGHT-CENSORING
+    // done correctly (users still active in the final week are censored,
+    // not counted as churned — naive retention curves conflate the two).
+    // Lifetime = days between a user's first and last event; the event
+    // table is CALENDAR-BOUNDED (≤ observation-window days), so the
+    // at-risk window and the collect are bounded regardless of user
+    // count; the corpus-sized work is ONE per-user min/max aggregate.
+    // S(t) = Π (1 − dᵢ/nᵢ) as a left-associative ordered product of
+    // correctly-rounded double factors — the q_agg_holt ordered-fold
+    // convention: Spark folds slice(fs, 1, i+1), DuckDB list_reduce's
+    // first-element init gives the identical ((f1·f2)·f3)… chain.
+    ("q_seq_survival",
+      (s: SparkSession, d: String) => {
+        val ud = events(s, d)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("dd"))
+          .groupBy("user_id").agg(min("dd").as("f"), max("dd").as("l"))
+        val gm = ud.agg(max("l").as("gm"))
+        val lt = ud.crossJoin(broadcast(gm))
+          .select((col("l") - col("f")).as("t"),
+            when(col("l") < col("gm") - 7, 1L).otherwise(0L).as("churn"))
+        val cells = lt.groupBy("t")
+          .agg(sum("churn").as("d"), count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val curve = cells
+          .crossJoin(broadcast(cells.agg(sum("c").as("tot"))))
+          .withColumn("n_risk",
+            col("tot") - coalesce(sum(col("c")).over(w), lit(0L)))
+        val arr = curve.agg(array_sort(collect_list(
+          struct(col("t"), col("d"), col("n_risk")))).as("xs"))
+        arr
+          .withColumn("fs", transform(col("xs"),
+            x => lit(1.0) - x.getField("d").cast("double") /
+              x.getField("n_risk").cast("double")))
+          .select(col("fs"), posexplode(col("xs")).as(Seq("i", "x")))
+          .select(col("x.t").as("t"), col("x.n_risk").as("n_risk"),
+            col("x.d").as("d"),
+            floor(lit(1e6) * aggregate(
+              slice(col("fs"), lit(1), col("i") + 1), lit(1.0),
+              (a, b) => a * b)).cast("long").as("s_micro"))
+      },
+      Some("""WITH ud AS (SELECT user_id,
+            min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              AS f,
+            max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+              AS l
+          FROM events GROUP BY 1),
+        gm AS (SELECT max(l) AS gm FROM ud),
+        lt AS (SELECT l - f AS t,
+            CASE WHEN l < gm - 7 THEN 1 ELSE 0 END AS churn
+          FROM ud, gm),
+        cells AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lt GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cells),
+        curve AS (SELECT t, d,
+            tot - coalesce(sum(c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS n_risk
+          FROM cells, tot),
+        arr AS (SELECT
+            list(CAST(t AS BIGINT) ORDER BY t) AS ts,
+            list(d ORDER BY t) AS ds,
+            list(n_risk ORDER BY t) AS ns,
+            list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              ORDER BY t) AS fs
+          FROM curve)
+        SELECT ts[i] AS t, ns[i] AS n_risk, ds[i] AS d,
+          CAST(floor(1e6 * list_reduce(fs[1:i], (a, b) -> a * b))
+            AS BIGINT) AS s_micro
+        FROM arr, UNNEST(range(1, len(ts) + 1)) AS u(i)""")),
+
     // Autocorrelation of the daily order-count series at lags 1..7 — the
     // seasonality detector run before any forecasting/backtest op. EXACT:
     // with integer counts, Σ(n·x_t − S)(n·x_{t+k} − S) clears the rational
