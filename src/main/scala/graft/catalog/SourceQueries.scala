@@ -85,6 +85,31 @@ private[graft] object SourceQueries {
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
         FROM documents""")),
 
+    // XML interchange round trip — Spark 4's NATIVE xml source (the
+    // spark-xml package merged into core), the format B2B/legacy feeds
+    // still arrive in. Declared read schema + explicit rowTag (schema
+    // inference over 100 TB of XML is a full extra scan); values survive
+    // the text round trip because every emitted column is integer or
+    // md5-hashed text — the q_src_orc/jsonl losslessness convention. The
+    // oracle reads the PARQUET source: a hash match proves the XML
+    // write→read is lossless, not merely self-consistent.
+    ("q_src_xml",
+      (s: SparkSession, d: String) => {
+        val out = scratch("xml") + "/docs"
+        t(s, d, "documents").select("doc_id", "text", "lang", "n_chars")
+          .write.mode("overwrite")
+          .option("rowTag", "doc").option("rootTag", "docs")
+          .format("xml").save(out)
+        s.read
+          .schema("doc_id LONG, text STRING, lang STRING, n_chars LONG")
+          .option("rowTag", "doc").format("xml").load(out)
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("lang"), col("n_chars"))
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
+        FROM documents""")),
+
     // Schema evolution on READ: two partition directories with different
     // schemas (a column added mid-stream) merged by mergeSchema + partition
     // discovery — the old partition reads the new column as NULL, no
