@@ -175,6 +175,86 @@ private[graft] object MmQueries {
           CAST(coalesce(max(ham), 0) AS BIGINT) AS max_hamming
         FROM stp GROUP BY 1""")),
 
+    // Keyframe selection (Multimodal.keyframes): the caption-one-frame-
+    // per-shot preprocessing — scenes segmented at aHash steps (> 16
+    // bits, the q_mm_scene_cuts rule), each scene represented by its
+    // SHARPEST frame (argmax interior-Laplacian energy, ties to the
+    // earliest index). ONE real-codec decode per frame feeds both the
+    // hash and the stencil. The oracle composes the scene-cut replay
+    // (pixels → hash → lag/cuts → running scene id) with the sharpness
+    // replay (4 grid-shifted self-joins) and the deterministic pick.
+    ("q_mm_keyframes",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val frames = t(s, d, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("k"))
+          .as[(Long, Int)]
+          .map { case (id, k) =>
+            (id, k,
+              Multimodal.syntheticPngFamily((id * 4 + k / 4) * 10, 32, 24)) }
+        Multimodal.keyframes(frames, threshold = 16)
+      },
+      Some("""WITH g8 AS (SELECT unnest(range(0, 8)) AS i),
+        fr AS (SELECT doc_id AS media_id, unnest(range(0, 12)) AS k
+          FROM documents WHERE doc_id % 3 = 2),
+        fid AS (SELECT media_id, k, (media_id * 4 + k // 4) * 10 AS fv
+          FROM fr),
+        cell AS (SELECT media_id, k, fv, cx.i AS gx, cy.i AS gy,
+            cy.i * 8 + cx.i AS bit,
+            cx.i * 32 // 8 AS sx, cy.i * 24 // 8 AS sy
+          FROM fid CROSS JOIN g8 cx CROSS JOIN g8 cy),
+        lum AS (SELECT media_id, k, gx, gy, bit,
+            (((sx * 255 // 31 + (fv // 10 % 7) * 36) % 256) * 299 +
+             ((sy * 255 // 23 + (fv // 10 % 11) * 23) % 256) * 587 +
+             (CASE WHEN sy = fv % 24
+                   THEN 255 - ((sx + sy + fv // 10) % 8) * 32
+                   ELSE ((sx + sy + fv // 10) % 8) * 32 END) * 114)
+              // 1000 AS l
+          FROM cell),
+        tot AS (SELECT media_id, k, sum(l) AS t FROM lum GROUP BY 1, 2),
+        acc AS (SELECT lum.media_id, lum.k,
+            sum(CASE WHEN lum.l * 64 > tot.t THEN 1::HUGEINT << lum.bit
+                     ELSE 0::HUGEINT END) AS h
+          FROM lum JOIN tot USING (media_id, k) GROUP BY 1, 2),
+        sig AS (SELECT media_id, k,
+            CAST(CASE WHEN h >= 1::HUGEINT << 63 THEN h - (1::HUGEINT << 64)
+                      ELSE h END AS BIGINT) AS ahash
+          FROM acc),
+        shp AS (SELECT c.media_id, c.k,
+            CAST(sum(abs(4 * c.l - lw.l - le.l - ln.l - ls.l)) AS BIGINT)
+              AS sharp
+          FROM lum c
+          JOIN lum lw ON lw.media_id = c.media_id AND lw.k = c.k
+            AND lw.gx = c.gx - 1 AND lw.gy = c.gy
+          JOIN lum le ON le.media_id = c.media_id AND le.k = c.k
+            AND le.gx = c.gx + 1 AND le.gy = c.gy
+          JOIN lum ln ON ln.media_id = c.media_id AND ln.k = c.k
+            AND ln.gx = c.gx AND ln.gy = c.gy - 1
+          JOIN lum ls ON ls.media_id = c.media_id AND ls.k = c.k
+            AND ls.gx = c.gx AND ls.gy = c.gy + 1
+          WHERE c.gx BETWEEN 1 AND 6 AND c.gy BETWEEN 1 AND 6
+          GROUP BY 1, 2),
+        stp AS (SELECT media_id, k,
+            CASE WHEN bit_count(xor(ahash,
+                lag(ahash) OVER (PARTITION BY media_id ORDER BY k))) > 16
+              THEN 1 ELSE 0 END AS cut
+          FROM sig),
+        scn AS (SELECT media_id, k,
+            sum(cut) OVER (PARTITION BY media_id ORDER BY k) AS scene_id
+          FROM stp),
+        jn AS (SELECT scn.media_id, CAST(scn.scene_id AS BIGINT)
+              AS scene_id, scn.k, shp.sharp,
+            row_number() OVER (PARTITION BY scn.media_id, scn.scene_id
+              ORDER BY shp.sharp DESC, scn.k ASC) AS rn,
+            count(*) OVER (PARTITION BY scn.media_id, scn.scene_id)
+              AS n_frames
+          FROM scn JOIN shp ON scn.media_id = shp.media_id
+            AND scn.k = shp.k)
+        SELECT media_id, scene_id, CAST(n_frames AS BIGINT) AS n_frames,
+          CAST(k AS BIGINT) AS keyframe_idx, sharp AS sharpness
+        FROM jn WHERE rn = 1""")),
+
     // Video CONTAINER demux end-to-end (Multimodal.demuxFrames): every
     // 'video' doc is packed into a REAL RIFF-AVI container (hdrl/movi/idx1,
     // word-aligned '00dc' chunks) holding the same 12 real-codec frames as

@@ -365,6 +365,83 @@ object Multimodal {
         coalesce(max(col("ham")), lit(0L)).as("max_hamming"))
   }
 
+  /**
+   * Keyframe selection — the video-summarization step after shot
+   * detection: segment each clip into scenes at aHash steps (the
+   * [[sceneCuts]] rule, strictly > `threshold` hamming bits) and pick the
+   * SHARPEST frame of each scene as its representative (argmax Laplacian
+   * energy, ties to the earliest frame — the standard "caption one frame
+   * per shot" preprocessing for video-text training data; blurred
+   * motion/transition frames lose to crisp ones).
+   *
+   * Scale shape: ONE decode per frame computes both the 8×8 aHash and
+   * the interior Laplacian sum off the same luma grid (decode dominates
+   * — never decode twice); the scene assignment is a per-clip lag +
+   * running-sum window (state bounded by clip length); the argmax is one
+   * combine-enabled min(struct) aggregate. All integers; the oracle
+   * replays pixels, hash, stencil, cuts and the pick.
+   */
+  def keyframes(frames: Dataset[(Long, Int, Array[Byte])],
+      threshold: Int): DataFrame = {
+    import frames.sparkSession.implicits._
+    val scored = frames.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { case (id, idx, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"media $id: no JDK codec for these bytes")
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val l = Array.ofDim[Long](8, 8)
+        var tot = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val p = img.getRGB(gx * sw / 8, gy * sh / 8)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            l(gy)(gx) = (r * 299L + g * 587L + b * 114L) / 1000L
+            tot += l(gy)(gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        var hsh = 0L
+        var i = 0
+        while (i < 64) {
+          if (l(i >> 3)(i & 7) * 64 > tot) hsh |= (1L << i)
+          i += 1
+        }
+        var sharp = 0L
+        gy = 1
+        while (gy < 7) {
+          var gx = 1
+          while (gx < 7) {
+            sharp += math.abs(4 * l(gy)(gx) - l(gy)(gx - 1) -
+              l(gy)(gx + 1) - l(gy - 1)(gx) - l(gy + 1)(gx))
+            gx += 1
+          }
+          gy += 1
+        }
+        (id, idx, hsh, sharp)
+      }
+    }.toDF("media_id", "frame_idx", "ahash", "sharp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy(col("frame_idx").asc)
+    scored
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("cut",
+        when(expr("bit_count(ahash ^ prev)").cast("long") > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(w))
+      .groupBy("media_id", "scene_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(struct((-col("sharp")).as("ns"),
+          col("frame_idx").cast("long").as("ki"))).as("p"))
+      .select(col("media_id"), col("scene_id"), col("n_frames"),
+        col("p.ki").as("keyframe_idx"), (-col("p.ns")).as("sharpness"))
+  }
+
   final case class ImageSharpness(media_id: Long, sharpness: Long,
     lap_max: Long)
 
