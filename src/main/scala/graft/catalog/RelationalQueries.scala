@@ -4046,6 +4046,67 @@ private[graft] object RelationalQueries {
     // lineitem aggregate is map-side combinable and its survivors are few,
     // so the enrichment join broadcasts the AGGREGATE, not the fact table;
     // order dates render as strings for cross-engine byte equality.
+    // "Blocking supplier" analysis — the TPC-H Q21 shape, the hardest
+    // classic correlated form (EXISTS + NOT EXISTS both on fact-fact
+    // self-joins): suppliers whose late lines (shipped > 30 days after
+    // the order date) were the ONLY late ones in a multi-supplier
+    // finished order. The ENGINE runs the scalable aggregate rewrite —
+    // ONE order-level combine-enabled aggregate (distinct supps, distinct
+    // late supps) re-joined to the late lines, so the corpus is scanned
+    // twice and shuffled on the order key instead of walking two
+    // correlated self-joins; the ORACLE runs the textbook doubly-
+    // correlated EXISTS/NOT-EXISTS form, so the hash match PROVES the
+    // rewrite equivalent, not merely self-consistent. late_supps = 1
+    // together with l1 late forces "the late supplier is me" with no
+    // third join. Dimension joins (supplier, nation gate) broadcast.
+    ("q_join_waiting",
+      (s: SparkSession, d: String) => {
+        val lo = t(s, d, "lineitem")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") >
+              date_add(col("o_orderdate").cast("date"), 30))
+              .cast("long").as("late"))
+        val stats = lo.groupBy("ok").agg(
+          countDistinct(col("sk")).as("n_supps"),
+          countDistinct(when(col("late") === 1L, col("sk")))
+            .as("late_supps"))
+        val waiting = lo.filter(col("late") === 1L)
+          .join(stats.filter(col("n_supps") >= 2 &&
+            col("late_supps") === 1), Seq("ok"))
+        waiting.groupBy("sk").agg(count(lit(1)).as("numwait"))
+          .join(broadcast(t(s, d, "supplier")
+            .join(t(s, d, "nation"),
+              col("s_nationkey") === col("n_nationkey"))
+            .filter(col("n_name").isin("NATION_0", "NATION_1",
+              "NATION_2"))
+            .select(col("s_suppkey"), col("s_name"))),
+            col("sk") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate
+          FROM lineitem),
+        o AS (SELECT o_orderkey, o_orderdate FROM orders
+          WHERE o_orderstatus = 'F')
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM l l1
+        JOIN o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+          AND l1.l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM l l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3 JOIN o o3
+              ON o3.o_orderkey = l3.l_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > CAST(o3.o_orderdate AS DATE) + INTERVAL 30 DAY)
+        GROUP BY 1""")),
+
     ("q_join_bigorders",
       (s: SparkSession, d: String) => {
         val big = t(s, d, "lineitem")
