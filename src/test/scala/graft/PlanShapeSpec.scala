@@ -592,4 +592,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(after.contains("BroadcastHashJoin"), after)
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("round-9 additions: blocklist broadcasts its list, domain cap and " +
+      "waiting stay window-free, ktruss never goes nested-loop") {
+    // blocklist: the term list must reach the token stream as a
+    // BROADCAST build side (shuffling the corpus against a wordlist is
+    // the pathology the operator exists to avoid), and nothing may
+    // window — both rollups are combine-enabled aggregates
+    val pb = plan("q_text_blocklist")
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("WindowExec"), pb)
+    // domain cap: the per-source rank comes from the grouped two-pass
+    // range scan, NEVER a hot-group window over `source` (20 groups own
+    // the whole corpus)
+    val pc = plan("q_sample_domain_cap")
+    assert(!pc.contains("WindowExec"), pc)
+    // Q21 rewrite: the order-level stats join on the fact stays an equi
+    // hash join; the textbook correlated form would surface as a
+    // nested-loop here
+    val pw = plan("q_join_waiting")
+    assert(!pw.contains("BroadcastNestedLoopJoin"), pw)
+    assert(!pw.contains("CartesianProduct"), pw)
+    assert(!pw.contains("WindowExec"), pw)
+    // ktruss: every wedge/support join is an equi join on the oriented
+    // edge set — no cartesian, no nested loop, no window
+    val pk = plan("q_graph_ktruss")
+    assert(!pk.contains("BroadcastNestedLoopJoin"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+    assert(!pk.contains("WindowExec"), pk)
+    // dp release: one distinct shuffle + one user-bounded rank window is
+    // the design; the CELL-keyed noise must be scan-stage (no join to a
+    // noise table)
+    val pd = plan("q_profile_dp_release")
+    assert(!pd.contains("CartesianProduct"), pd)
+  }
 }
