@@ -1224,6 +1224,46 @@ private[graft] object RelationalQueries {
     // counts. The lead() window is USER-bounded (same state bound as
     // sessionize); the corpus-sized work is one combine-enabled groupBy
     // over (from, to) pairs.
+    // Sequential pattern mining (the PrefixSpan/GSP family, bounded):
+    // support of every WITH-GAPS ordered 3-subsequence over each user's
+    // first 8 events — "view … cart … purchase counts even with browsing
+    // in between", which q_seq_transitions' contiguous bigrams cannot
+    // see. The per-user event cap bounds the triple fan-out at C(8,3) =
+    // 56 rows/user (the structural guard — unbounded sequences make this
+    // family quadratic-plus); the triple generation is two user-keyed
+    // equi self-joins with rank inequalities INSIDE one partitioning;
+    // support = distinct users, combine-enabled. Patterns ranked by
+    // support with a deterministic tie order.
+    ("q_seq_patterns",
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ev = t(s, d, "events")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 8)
+          .select(col("user_id").as("u"), col("rk"),
+            col("event_type").as("e"))
+        val a = ev.select(col("u"), col("rk").as("r1"), col("e").as("e1"))
+        val b = ev.select(col("u"), col("rk").as("r2"), col("e").as("e2"))
+        val c = ev.select(col("u"), col("rk").as("r3"), col("e").as("e3"))
+        a.join(b, Seq("u")).filter(col("r1") < col("r2"))
+          .join(c, Seq("u")).filter(col("r2") < col("r3"))
+          .groupBy("e1", "e2", "e3")
+          .agg(countDistinct(col("u")).as("support"),
+            count(lit(1)).as("n_occurrences"))
+      },
+      Some("""WITH r AS (SELECT user_id AS u, event_type AS e,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS rk
+          FROM events),
+        ev AS (SELECT u, rk, e FROM r WHERE rk <= 8)
+        SELECT a.e AS e1, b.e AS e2, c.e AS e3,
+          CAST(count(DISTINCT a.u) AS BIGINT) AS support,
+          CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM ev a JOIN ev b ON a.u = b.u AND a.rk < b.rk
+        JOIN ev c ON b.u = c.u AND b.rk < c.rk
+        GROUP BY 1, 2, 3""")),
+
     ("q_seq_transitions",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
