@@ -21,7 +21,7 @@ import graft.catalog.MmQueries._
 /** source/sink, incremental-planning and profiling queries — split from the single-object catalog;
   * content unchanged. Assembled by [[graft.QueryCatalog]]. */
 private[graft] object SourceQueries {
-  val entries: Seq[(String, Q, Option[String])] = Seq(
+  val entries: Seq[(String, Q, Option[String])] = spearmanEntry +: Seq(
 
     // S4 + K1/K2 — csv.gz write with header, schema-less read back, casts
     // re-applied (the reference's raw-zone round trip)
@@ -1709,6 +1709,93 @@ private[graft] object SourceQueries {
             * 1e6) / 1e6
           ELSE NULL END AS corr
         FROM m""")))
+
+  // Spearman rank correlation per order-priority segment — the ROBUST
+  // companion to q_profile_corr (monotone association, immune to the
+  // heavy-tailed magnitudes that drag Pearson around): price rank vs
+  // item-count rank. Ranks are TIE-AVERAGED and exact: rank2 = 2·avg
+  // rank = 2·(count below) + count(=v) + 1, an integer, with the
+  // count-below coming from the GROUPED two-pass range scan
+  // (Prefix.runningOffsetsBy over the distinct-value table — never a
+  // corpus-wide rank window; the 5-value priority domain satisfies its
+  // low-cardinality contract). Moments are staged through
+  // DECIMAL(18)²→(38) / HUGEINT (rank products reach 4n³ — past 2^63
+  // long before 100 TB; the q_agg_ols lesson applied up front), and ρ is
+  // the Pearson form on rank2 with the same guarded sqrt emission as
+  // q_profile_corr. Bound: n⁴ ≤ 1e38 keeps the decimal staging exact to
+  // ~3e9 rows per segment; shard beyond that.
+  // NB: def, not val — referenced from the earlier-initializing `entries`
+  // (the [[Shared.quantSql]] object-init-order rule)
+  private[graft] def spearmanEntry: (String, Q, Option[String]) =
+    ("q_profile_spearman",
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("y"))
+        val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_orderpriority").as("priority"),
+          cents(col("o_totalprice")).as("x"))
+        val base = o.join(li, Seq("ok")).select("priority", "x", "y")
+        def rank2(cn: String): DataFrame = {
+          val vt = base.groupBy(col("priority"), col(cn).as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          graft.ops.Prefix.runningOffsetsBy(vt, "priority", Seq("v"), "cnt")
+            .select(col("priority"), col("v").as(cn),
+              (col("offset") * 2 + col("cnt") + 1).as(s"${cn}_r2"))
+        }
+        val wr = base.join(rank2("x"), Seq("priority", "x"))
+          .join(rank2("y"), Seq("priority", "y"))
+        def d18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,0)")
+        val m = wr.groupBy("priority").agg(count(lit(1)).as("n"),
+          sum(d18(col("x_r2"))).as("sx"), sum(d18(col("y_r2"))).as("sy"),
+          sum(d18(col("x_r2")) * d18(col("y_r2"))).as("sxy"),
+          sum(d18(col("x_r2")) * d18(col("x_r2"))).as("sxx"),
+          sum(d18(col("y_r2")) * d18(col("y_r2"))).as("syy"))
+        val vx = d18(col("n")) * col("sxx") - col("sx") * col("sx")
+        val vy = d18(col("n")) * col("syy") - col("sy") * col("sy")
+        val cov = d18(col("n")) * col("sxy") - col("sx") * col("sy")
+        m.select(col("priority"), col("n"),
+          when(vx > 0 && vy > 0,
+            floor(cov.cast("double") / sqrt(vx.cast("double")) /
+              sqrt(vy.cast("double")) * 1e6) / 1e6)
+            .otherwise(lit(null)).as("rho"))
+      },
+      Some(s"""WITH li AS (SELECT l_orderkey AS ok,
+            CAST(count(*) AS BIGINT) AS y
+          FROM lineitem GROUP BY 1),
+        o AS (SELECT o_orderkey AS ok, o_orderpriority AS priority,
+            ${centsSql("o_totalprice")} AS x
+          FROM orders),
+        base AS (SELECT priority, x, y FROM o JOIN li USING (ok)),
+        vx AS (SELECT priority, x AS v, CAST(count(*) AS BIGINT) AS cnt,
+            coalesce(sum(count(*)) OVER (PARTITION BY priority ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM base GROUP BY priority, x),
+        rx AS (SELECT priority, v AS x, 2 * off + cnt + 1 AS x_r2 FROM vx),
+        vy AS (SELECT priority, y AS v, CAST(count(*) AS BIGINT) AS cnt,
+            coalesce(sum(count(*)) OVER (PARTITION BY priority ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM base GROUP BY priority, y),
+        ry AS (SELECT priority, v AS y, 2 * off + cnt + 1 AS y_r2 FROM vy),
+        wr AS (SELECT b.priority, x_r2, y_r2 FROM base b
+          JOIN rx ON b.priority = rx.priority AND b.x = rx.x
+          JOIN ry ON b.priority = ry.priority AND b.y = ry.y),
+        m AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(x_r2 AS HUGEINT)) AS sx,
+            sum(CAST(y_r2 AS HUGEINT)) AS sy,
+            sum(CAST(x_r2 AS HUGEINT) * y_r2) AS sxy,
+            sum(CAST(x_r2 AS HUGEINT) * x_r2) AS sxx,
+            sum(CAST(y_r2 AS HUGEINT) * y_r2) AS syy
+          FROM wr GROUP BY 1)
+        SELECT priority, n,
+          CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+                AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+          THEN floor(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+            / sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+            * 1e6) / 1e6
+          ELSE NULL END AS rho
+        FROM m"""))
 
   // ============================================================ sampling
 
