@@ -110,6 +110,45 @@ private[graft] object PipelineQueries {
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
         UNION ALL SELECT * FROM batch""")),
 
+    // PARTIAL-update upsert (MergeWriter.upsertPartial): a batch NULL
+    // keeps the target's value instead of erasing it — the sparse-CDC /
+    // column-patch merge. The batch carries a status patch with price
+    // NULLed on every other key, so the oracle must reproduce BOTH the
+    // coalesce-kept old prices and the overwritten ones, plus pure
+    // inserts where the batch key is new. One full-outer join, never a
+    // per-column re-join.
+    ("q_merge_partial",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val target = o.filter(col("o_orderkey") % 7 < 5).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("price"))
+        val batch = o.filter(col("o_orderkey") % 7 >= 3).select(
+          col("o_orderkey"), lit("U").as("o_orderstatus"),
+          when(col("o_orderkey") % 2 === 0,
+            cents(col("o_totalprice")) + lit(100000L)).as("price"))
+        MergeWriter.upsertPartial(target, batch, Seq("o_orderkey"))
+      },
+      Some(s"""WITH target AS (
+          SELECT o_orderkey, o_orderstatus,
+                 ${centsSql("o_totalprice")} AS price
+          FROM orders WHERE o_orderkey % 7 < 5),
+        batch AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+                 CASE WHEN o_orderkey % 2 = 0
+                   THEN ${centsSql("o_totalprice")} + 100000 END AS price
+          FROM orders WHERE o_orderkey % 7 >= 3)
+        SELECT coalesce(t.o_orderkey, b.o_orderkey) AS o_orderkey,
+          CASE WHEN t.o_orderkey IS NULL THEN b.o_orderstatus
+               WHEN b.o_orderkey IS NULL THEN t.o_orderstatus
+               ELSE coalesce(b.o_orderstatus, t.o_orderstatus) END
+            AS o_orderstatus,
+          CASE WHEN t.o_orderkey IS NULL THEN b.price
+               WHEN b.o_orderkey IS NULL THEN t.price
+               ELSE coalesce(b.price, t.price) END AS price
+        FROM target t FULL OUTER JOIN batch b
+          ON t.o_orderkey = b.o_orderkey""")),
+
     // Exactly-once replay semantics, demonstrated not asserted: the SAME
     // batch upserts twice and the result must equal the single apply —
     // the retry-safety a checkpointed ingest leans on when a write

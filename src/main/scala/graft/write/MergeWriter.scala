@@ -97,6 +97,52 @@ object MergeWriter {
       .union(b)
   }
 
+  /**
+   * PARTIAL-update upsert — the merge variant where a batch NULL means
+   * "keep the target's value" instead of "overwrite with NULL" (Delta's
+   * `whenMatchedUpdate(set = coalesce(src.c, tgt.c))` pattern; what CDC
+   * feeds with sparse column images and enrichment pipelines that patch
+   * one column need — [[upsert]]'s update-ALL would erase every column
+   * the batch didn't carry).
+   *
+   * Shape: ONE full-outer join on the ids (the scd2Merge discipline —
+   * never an anti-join + re-join per column); per data column the output
+   * is target-only → old value, batch-only → batch value, matched →
+   * coalesce(batch, old). Batch keys are deterministically deduplicated
+   * first (recency order, else max over data columns — same rule as
+   * [[upsert]]), so a replayed batch merges to the identical table:
+   * matched coalesce is idempotent because the second pass coalesces the
+   * already-patched values with an equal batch image.
+   *
+   * Null-KEYED rows never match a full-outer using-join: both sides'
+   * null-key rows pass through as inserts/keeps — same keep-don't-delete
+   * stance as [[upsert]], documented rather than silent. Schema evolves
+   * like [[upsert]] (new batch columns join the output, nulls backfill).
+   */
+  def upsertPartial(target: DataFrame, batch: DataFrame, ids: Seq[String],
+      recency: Seq[String] = Nil): DataFrame = {
+    require(ids.nonEmpty, "merge requires at least one id column")
+    val cleanBatch =
+      if (recency.nonEmpty)
+        graft.pipeline.StageTransform.dedupLatest(batch, ids, recency, ids)
+      else batch.dropDuplicates(ids)
+    val schema = unionSchemaOf(target, cleanBatch)
+    val t = alignTo(target, schema)
+    val b = alignTo(cleanBatch, schema)
+    val dataCols = schema.map(_._1).filterNot(ids.contains)
+    val bren = b.select(
+      ids.map(col) ++ dataCols.map(c => col(c).as(s"__b_$c")) :+
+        lit(1).as("__b"): _*)
+    t.withColumn("__t", lit(1))
+      .join(bren, ids, "full_outer")
+      .select(schema.map { case (n, _) =>
+        if (ids.contains(n)) col(n)
+        else when(col("__t").isNull, col(s"__b_$n"))
+          .when(col("__b").isNull, col(n))
+          .otherwise(coalesce(col(s"__b_$n"), col(n))).as(n)
+      }: _*)
+  }
+
   /** SCD-2 history merge (beyond the reference's SCD-0/1 upsert): versioned
     * rows carry (valid_from, valid_to, is_current). For each batch key, a
     * differing current row is CLOSED (valid_to = `versionTs`, not current)

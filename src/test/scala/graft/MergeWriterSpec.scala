@@ -20,6 +20,26 @@ class MergeWriterSpec extends SparkSpec {
     assert(got == Seq((1, "a"), (2, "B2"), (3, "c"), (4, "d")))
   }
 
+  test("upsertPartial: batch nulls keep old values, inserts stay sparse") {
+    val target = Seq((1, Some("a"), Some(10)), (2, Some("b"), Some(20)))
+      .toDF("id", "v", "n")
+    val batch = Seq((1, None: Option[String], Some(11)), // patch n only
+      (2, Some("B"), None: Option[Int]), // patch v only
+      (3, Some("c"), None: Option[Int])) // insert, n stays null
+      .toDF("id", "v", "n")
+    val got = MergeWriter.upsertPartial(target, batch, Seq("id"))
+      .orderBy("id").as[(Int, Option[String], Option[Int])]
+      .collect().toSeq
+    assert(got == Seq((1, Some("a"), Some(11)), (2, Some("B"), Some(20)),
+      (3, Some("c"), None)))
+    // replay idempotence: patching again with the same batch is a no-op
+    val again = MergeWriter.upsertPartial(
+      MergeWriter.upsertPartial(target, batch, Seq("id")), batch, Seq("id"))
+      .orderBy("id").as[(Int, Option[String], Option[Int])]
+      .collect().toSeq
+    assert(again == got)
+  }
+
   test("upsert: schema evolution fills nulls on the old side") {
     val target = Seq((1, "a")).toDF("id", "v")
     val batch = Seq((2, "b", 9)).toDF("id", "v", "extra")
