@@ -4116,6 +4116,9 @@ private[graft] object RelationalQueries {
         val waiting = lo.filter(col("late") === 1L)
           .join(stats.filter(col("n_supps") >= 2 &&
             col("late_supps") === 1), Seq("ok"))
+        // group by the KEY, not the name: supplier names repeat across
+        // the sf1 fixture's key-offset copies (and real-world names
+        // collide too) — the name is a label, the key is the identity
         waiting.groupBy("sk").agg(count(lit(1)).as("numwait"))
           .join(broadcast(t(s, d, "supplier")
             .join(t(s, d, "nation"),
@@ -4124,13 +4127,13 @@ private[graft] object RelationalQueries {
               "NATION_2"))
             .select(col("s_suppkey"), col("s_name"))),
             col("sk") === col("s_suppkey"))
-          .select(col("s_name"), col("numwait"))
+          .select(col("s_suppkey"), col("s_name"), col("numwait"))
       },
       Some("""WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate
           FROM lineitem),
         o AS (SELECT o_orderkey, o_orderdate FROM orders
           WHERE o_orderstatus = 'F')
-        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
         FROM l l1
         JOIN o ON o.o_orderkey = l1.l_orderkey
         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
@@ -4145,7 +4148,7 @@ private[graft] object RelationalQueries {
             WHERE l3.l_orderkey = l1.l_orderkey
               AND l3.l_suppkey <> l1.l_suppkey
               AND l3.l_shipdate > CAST(o3.o_orderdate AS DATE) + INTERVAL 30 DAY)
-        GROUP BY 1""")),
+        GROUP BY 1, 2""")),
 
     ("q_join_bigorders",
       (s: SparkSession, d: String) => {
