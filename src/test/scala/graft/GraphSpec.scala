@@ -110,6 +110,21 @@ class GraphSpec extends SparkSpec {
     assert(one.map(_._3).sum % 3 == 0) // every triangle counted at 3 corners
   }
 
+  test("ktruss: partitioning-independent and direction-insensitive") {
+    val edges = (for (a <- 1L to 10L; b <- a + 1 to 10L if (a * b) % 4 != 1)
+      yield (a, b)).toSeq
+    val one = Graph.ktruss(edges.toDF("src", "dst"), "src", "dst", 4, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val re = Graph.ktruss(edges.toDF("src", "dst").repartition(7),
+      "src", "dst", 4, 4).as[(Long, Long, Long)].collect().toSet
+    assert(one == re)
+    // reversed/duplicated input directions canonicalize to the same truss
+    val both = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val rev = Graph.ktruss(both.toDF("src", "dst"), "src", "dst", 4, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rev == one)
+  }
+
   test("kCore: K5 survives a 3-core peel, tails and bridges cascade away") {
     // K5 on 1..5 (deg 4) + a path 5-6-7 (deg <= 2) + a triangle 8-9-10
     // (deg 2): for k=3 only K5 survives, and removing the path must
