@@ -170,6 +170,49 @@ private[graft] object CleanQueries {
           SELECT doc_id, lang_pred, n_tokens
           FROM filtered JOIN canon ON doc_id = canon.id
           WHERE ${hashScoreSql("doc_id")} < 0.5"""
-      }))
+      }),
+
+    // Guarded nightly curation — the round-9 gates composed into ONE
+    // declarative plan (the safety-ordered corpus build): blocklist gate
+    // (broadcast wordlist, cheap — runs first), exact dedup (md5
+    // canonical survivor), per-domain cap (grouped prefix scan), then a
+    // per-source census of what survives. Catalyst fuses the gate into
+    // the scan; the only shuffles are the per-doc hit rollup, the dedup
+    // window key, the cap's range scan and the final census.
+    ("q_curate_guarded",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        val gate = TextOps.blocklistAudit(docs, "doc_id", "text",
+          BlocklistFixture, maxHitsPerMTokens = 200000L)
+          .filter(col("blocked") === 0L).select("doc_id")
+        val kept = docs.join(gate, Seq("doc_id"), "left_semi")
+        val ded = Dedup.exactDedup(kept, "doc_id", "text")
+        val capped = Sampling.tokenBudgetSample(
+          ded.withColumn("__one", lit(1L)), "doc_id", "source", "__one",
+          Map.empty, defaultBudget = 12L)
+        capped.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, text,
+            ${tokensSql()} AS tk
+          FROM documents WHERE text IS NOT NULL),
+        bl(term, category) AS (VALUES $blocklistValuesSql),
+        h AS (SELECT doc_id, count(*) AS hits
+          FROM base, UNNEST(tk) AS u(term)
+          JOIN bl ON u.term = bl.term GROUP BY 1),
+        kept AS (SELECT b.doc_id, b.source, b.text, b.tk
+          FROM base b LEFT JOIN h USING (doc_id)
+          WHERE NOT (coalesce(h.hits, 0) * 1000000 > 200000 * len(b.tk))),
+        ded AS (SELECT doc_id, source, tk FROM (
+            SELECT k.*, row_number() OVER (PARTITION BY md5(text)
+              ORDER BY doc_id) AS rn FROM kept k) WHERE rn = 1),
+        cap AS (SELECT source, tk FROM (
+            SELECT d.*, coalesce(sum(1) OVER (PARTITION BY source
+              ORDER BY ${hashScoreSql("doc_id")}, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM ded d) WHERE off < 12)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+        FROM cap GROUP BY 1""")))
 
 }
