@@ -532,6 +532,31 @@ private[graft] object GraphQueries {
       },
       Some(anfOracleSql(k = 16, rounds = 2))),
 
+    // Harmonic centrality from the SAME sketch propagation (Boldi–Vigna
+    // HyperBall with the deterministic KMV sketch): H(v) = Σ over radii
+    // of (ball-size delta)·(1/r), 1/r as integer micro literals, the
+    // weighted sum one left-associative chain — truncated at radius 3
+    // (the HyperBall cut; farther nodes contribute 0, documented). The
+    // oracle rebuilds every round's sketch from the TRUE reach set (the
+    // idempotent-union identity), so the hash-match again proves the
+    // propagation, not just arithmetic.
+    ("q_graph_harmonic", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+        val sym = capped.union(
+          capped.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.anfHarmonic(sym, "src", "dst", k = 16, rounds = 3)
+      }): Q
+      },
+      Some(anfHarmonicOracleSql(k = 16, rounds = 3))),
+
     // Borůvka minimum-spanning-forest, 2 rounds, on the part<->supplier
     // graph weighted by the pairing's cheapest line price — the
     // single-linkage dendrogram backbone (cut the forest at ANY weight t

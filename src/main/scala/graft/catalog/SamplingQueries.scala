@@ -924,6 +924,50 @@ private[graft] object SamplingQueries {
       FROM kth"""
   }
 
+  /** DuckDB replay of [[graft.ops.Graph.anfHarmonic]]: per round the TRUE
+    * reach set is enumerated and its bottom-k sketch rebuilt (legal by the
+    * same idempotent-union identity the q_graph_anf oracle rests on), the
+    * per-round estimates join on the root, and the harmonic chain uses
+    * the SAME left-associative order and integer 1e6/r weight literals as
+    * the engine. */
+  private[graft] def anfHarmonicOracleSql(k: Int, rounds: Int): String = {
+    val hops = (1 to rounds).map { r =>
+      s""",
+      r$r AS (SELECT DISTINCT root, reach FROM (
+          SELECT r.root, e.dst AS reach
+          FROM r${r - 1} r JOIN sym e ON e.src = r.reach
+          UNION ALL SELECT root, reach FROM r${r - 1}))"""
+    }.mkString
+    val ests = (1 to rounds).map { r =>
+      s""",
+      h$r AS (SELECT DISTINCT root, CAST(concat('0x',
+            substr(md5(CAST(reach AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM r$r),
+      rk$r AS (SELECT root, h,
+          row_number() OVER (PARTITION BY root ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY root) AS cnt FROM h$r),
+      e$r AS (SELECT root,
+          CASE WHEN any_value(cnt) < $k THEN CAST(any_value(cnt) AS DOUBLE)
+               ELSE ${k - 1}.0 * 1152921504606846976.0 /
+                 CAST(max(CASE WHEN rn <= $k THEN h END) AS DOUBLE)
+          END AS n$r
+        FROM rk$r GROUP BY 1)"""
+    }.mkString
+    val chain = (1 to rounds).map { r =>
+      val prev = if (r == 1) "1.0" else s"e${r - 1}.n${r - 1}"
+      s"(e$r.n$r - $prev) * ${1000000L / r}"
+    }.mkString(" + ")
+    val joins = (2 to rounds)
+      .map(r => s"JOIN e$r ON e1.root = e$r.root").mkString(" ")
+    s"""WITH ${cappedSymCtes()},
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      r0 AS (SELECT node AS root, node AS reach FROM nodes)$hops$ests
+      SELECT e1.root AS node,
+        ${(1 to rounds).map(r => s"e$r.n$r").mkString(", ")},
+        CAST(floor($chain) AS BIGINT) AS harmonic_micro
+      FROM e1 $joins"""
+  }
+
   /** DuckDB replay of [[Graph.boruvkaForest]] (2 Borůvka rounds): per-
     * component cheapest-edge picks via row_number over the (w, a, b)
     * total order, then the round-1 merge labels by `labelRounds` UNROLLED

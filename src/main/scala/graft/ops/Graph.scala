@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -891,6 +891,63 @@ object Graph {
       when(size(col("sk")) < k, size(col("sk")).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
           array_max(col("sk")).cast("double")).as("reach_est"))
+  }
+
+  /**
+   * Harmonic centrality estimated from the SAME bottom-k sketch
+   * propagation as [[anfReach]] (Boldi–Vigna's HyperBall idea, 2013, with
+   * the KMV sketch standing in for HyperLogLog so the estimate is
+   * deterministic and oracle-replayable): H(v) = Σ_{u≠v} 1/d(v,u)
+   * rewritten over radii as Σ_r (N_r(v) − N_{r-1}(v))·(1/r), with N_r the
+   * estimated ball-of-radius-r size. The per-radius 1/r weights are
+   * micro-quantized LITERALS (floor(1e6/r) — the BM25/nDCG constant
+   * convention), and the weighted sum is one fixed left-to-right chain of
+   * the per-round estimates, so both engines compute the identical
+   * double before the single final floor.
+   *
+   * Why sketches: exact harmonic centrality is an all-pairs BFS —
+   * quadratic. Sketch propagation is `rounds` message-passing joins with
+   * O(k) state per node: the only harmonic shape that exists at corpus
+   * scale. Truncation at `rounds` is the standard HyperBall cut — nodes
+   * farther than `rounds` contribute 0 (documented, not silent).
+   *
+   * Output: (node, harmonic_micro, plus each round's n_r estimate for
+   * auditability).
+   */
+  def anfHarmonic(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 2 && k <= 4096, s"anfHarmonic needs 2 <= k <= 4096, got $k")
+    require(rounds >= 1 && rounds <= 8,
+      s"anfHarmonic needs 1 <= rounds <= 8, got $rounds")
+    val E = graft.plans.GraftExpressions
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    def est(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+          array_max(sk).cast("double"))
+    var cur = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .select(col("node"),
+        array(E.md5_prefix60(col("node").cast("string"))).as("sk"))
+    var acc = cur.select(col("node"))
+    for (r <- 1 to rounds) {
+      cur = e.join(cur.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("sk"))
+        .union(cur)
+        .select(col("node"), explode(col("sk")).as("h"))
+        .groupBy("node")
+        .agg(E.bottomk_distinct(col("h"), k).as("sk"))
+        .localCheckpoint()
+      acc = acc.join(cur.select(col("node"), est(col("sk")).as(s"n$r")),
+        Seq("node"))
+    }
+    val harmonic = (1 to rounds).map { r =>
+      val prev = if (r == 1) lit(1.0) else col(s"n${r - 1}")
+      (col(s"n$r") - prev) * lit(1000000L / r)
+    }.reduce(_ + _)
+    acc.select(col("node") +: (1 to rounds).map(r => col(s"n$r")) :+
+      floor(harmonic).cast("long").as("harmonic_micro"): _*)
   }
 
   /**
