@@ -657,6 +657,62 @@ private[graft] object SourceQueries {
           .map(rowFor).mkString("\n UNION ALL\n ")
       }),
 
+    // Data-contract check — the declared-expectations gate an ingest
+    // runs before publishing a table (the Great-Expectations/dbt-test
+    // shape): a literal contract (per column: max null ppm, min distinct
+    // count, required lower bound on the min value) joined against ONE
+    // profiling pass, emitting per-column pass/violation flags. The
+    // contract rides as a broadcast literal table; the corpus is scanned
+    // once (the profileColumns aggregate). Exact integers: null ppm is a
+    // cross-multiplication, never a stored ratio. CAVEAT (deliberate,
+    // matching the profile's string-typed min/max): the min-bound check
+    // compares LEXICOGRAPHICALLY — right for status codes and dates,
+    // wrong for multi-digit numerics ("10" < "2"); numeric range
+    // contracts belong on q_profile_hist's typed bounds instead.
+    ("q_profile_contract",
+      (s: SparkSession, d: String) => {
+        val prof = graft.ops.Stats.profileColumns(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+        val contract = s.createDataFrame(Seq(
+          ("o_orderkey", 0L, 1000L, "1"),
+          ("o_custkey", 0L, 10000000L, "1"),
+          ("o_totalprice", 0L, 500L, "0"),
+          ("o_orderstatus", 0L, 2L, "G")))
+          .toDF("col_name", "max_null_ppm", "min_distinct", "min_at_least")
+        prof.join(broadcast(contract), Seq("col_name"))
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"),
+            (col("n_null") * lit(1000000L) >
+              col("max_null_ppm") * col("n_rows")).cast("long")
+              .as("null_violation"),
+            (col("n_distinct") < col("min_distinct")).cast("long")
+              .as("distinct_violation"),
+            (col("min_val") < col("min_at_least")).cast("long")
+              .as("min_violation"))
+      },
+      Some {
+        def rowFor(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_val FROM orders"""
+        val prof = Seq("o_orderkey", "o_custkey", "o_totalprice",
+          "o_orderstatus").map(rowFor).mkString("\n UNION ALL\n ")
+        s"""WITH prof AS ($prof),
+          contract(col_name, max_null_ppm, min_distinct, min_at_least) AS
+            (VALUES ('o_orderkey', 0, 1000, '1'),
+                    ('o_custkey', 0, 10000000, '1'),
+                    ('o_totalprice', 0, 500, '0'),
+                    ('o_orderstatus', 0, 2, 'G'))
+          SELECT p.col_name, p.n_rows, p.n_null, p.n_distinct,
+            CAST(p.n_null * 1000000 > c.max_null_ppm * p.n_rows AS BIGINT)
+              AS null_violation,
+            CAST(p.n_distinct < c.min_distinct AS BIGINT)
+              AS distinct_violation,
+            CAST(p.min_val < c.min_at_least AS BIGINT) AS min_violation
+          FROM prof p JOIN contract c USING (col_name)"""
+      }),
+
     // The 100 TB profile: ONE global pass, KMV-sketch distinct estimates
     // (no Expand — nothing is replicated into the shuffle), exact
     // everything else. The oracle replays each column's sketch
