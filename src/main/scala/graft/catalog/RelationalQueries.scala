@@ -1224,6 +1224,59 @@ private[graft] object RelationalQueries {
     // counts. The lead() window is USER-bounded (same state bound as
     // sessionize); the corpus-sized work is one combine-enabled groupBy
     // over (from, to) pairs.
+    // RFM segmentation — the classic customer-value cube: per customer
+    // Recency (days since last order), Frequency (order count), Monetary
+    // (lifetime cents), each binned into global QUINTILES, then the
+    // 5×5×5 segment census with per-segment value totals. Quintile bins
+    // come from Sampling.curriculumBins' rule (floor(rank·5/n), rank via
+    // the two-pass range scan — never a corpus ntile window); recency
+    // ranks by ascending last-active day, so most-recent = highest bin.
+    // One customer-level aggregate is the only corpus-sized shuffle; the
+    // three rank passes run over the already-aggregated customer table.
+    ("q_seq_rfm",
+      (s: SparkSession, d: String) => {
+        val cust = t(s, d, "orders")
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(max(datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long")).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(cents(col("o_totalprice"))).as("money"))
+        def bin(src: DataFrame, metric: org.apache.spark.sql.Column,
+            name: String): DataFrame =
+          Sampling.curriculumBins(
+            src.select(col("ck"), metric.as(s"m_$name")),
+            orderCols = Seq(s"m_$name", "ck"), bins = 5, binCol = name)
+            .select(col("ck"), col(name))
+        val r = bin(cust, col("last_day"), "r_bin")
+        val f = bin(cust, col("freq"), "f_bin")
+        val m = bin(cust, col("money"), "m_bin")
+        cust.join(r, "ck").join(f, "ck").join(m, "ck")
+          .groupBy("r_bin", "f_bin", "m_bin")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("money")).as("segment_cents"))
+      },
+      Some(s"""WITH cust AS (SELECT o_custkey AS ck,
+            max(date_diff('day', DATE '1970-01-01',
+              CAST(o_orderdate AS DATE))) AS last_day,
+            CAST(count(*) AS BIGINT) AS freq,
+            CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS money,
+            count(*) OVER () AS n
+          FROM orders GROUP BY 1),
+        r AS (SELECT ck, CAST(floor(CAST((row_number() OVER (
+              ORDER BY last_day, ck) - 1) * 5 AS DOUBLE) / n) AS BIGINT)
+            AS r_bin FROM cust),
+        f AS (SELECT ck, CAST(floor(CAST((row_number() OVER (
+              ORDER BY freq, ck) - 1) * 5 AS DOUBLE) / n) AS BIGINT)
+            AS f_bin FROM cust),
+        m AS (SELECT ck, CAST(floor(CAST((row_number() OVER (
+              ORDER BY money, ck) - 1) * 5 AS DOUBLE) / n) AS BIGINT)
+            AS m_bin FROM cust)
+        SELECT r_bin, f_bin, m_bin,
+          CAST(count(*) AS BIGINT) AS n_customers,
+          CAST(sum(money) AS BIGINT) AS segment_cents
+        FROM cust JOIN r USING (ck) JOIN f USING (ck) JOIN m USING (ck)
+        GROUP BY 1, 2, 3""")),
+
     // Sequential pattern mining (the PrefixSpan/GSP family, bounded):
     // support of every WITH-GAPS ordered 3-subsequence over each user's
     // first 8 events — "view … cart … purchase counts even with browsing
