@@ -490,6 +490,41 @@ object StreamingIngest {
       .start()
 
   /**
+   * Sparse-CDC stream into a snapshot-committed table: each micro-batch
+   * applies [[graft.write.MergeWriter.upsertPartial]] — a NULL in the
+   * change image KEEPS the table's value (the Debezium/partial-image
+   * feed shape) where [[snapshotMergeSink]]'s update-ALL would erase
+   * every column the event didn't carry. Commits ride
+   * `SnapshotStore.commitMerge` (readers always see a complete version);
+   * replay converges because the deterministic batch dedup + coalesce
+   * patch are idempotent against an already-patched table — same
+   * at-least-once argument as [[mergeSink]]/[[scd2Sink]].
+   */
+  def partialMergeSink(stream: DataFrame, root: String, ids: Seq[String],
+      checkpoint: String, recency: Seq[String] = Nil,
+      vacuumEvery: Int = 10, keep: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.write.SnapshotStore.commitMerge(batch.sparkSession, root,
+            {
+              case Some(cur) =>
+                graft.write.MergeWriter.upsertPartial(cur, batch, ids,
+                  recency)
+              case None =>
+                graft.write.MergeWriter.dedupDeterministic(batch, ids,
+                  recency)
+            })
+          if (vacuumEvery > 0 && batchId % vacuumEvery == vacuumEvery - 1)
+            graft.write.SnapshotStore.vacuum(root, keep)
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Watermarked STREAM-STREAM inner join: left rows match right rows with
    * the same `key` whose event time falls in `[leftTs - before,
    * leftTs + after]`. The two things that keep join state BOUNDED on an

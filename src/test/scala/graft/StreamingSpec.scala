@@ -302,6 +302,31 @@ class StreamingSpec extends SparkSpec {
       Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("partial merge sink: change-image nulls keep table values") {
+    import graft.write.SnapshotStore
+    val src = Files.createTempDirectory("graft_pmsrc").toString
+    val root = Files.createTempDirectory("graft_pmstage").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft_pmckpt").toString
+    Seq((1L, Some("a"), Some(10L)), (2L, Some("b"), Some(20L)))
+      .toDF("id", "v", "n").write.mode("append").parquet(src)
+    val stream = spark.readStream.schema("id LONG, v STRING, n LONG")
+      .parquet(src)
+    val q = StreamingIngest.partialMergeSink(stream, root, Seq("id"), ckpt)
+    try {
+      q.processAllAvailable()
+      // sparse change images: patch one column, null means keep
+      Seq((1L, None: Option[String], Some(11L)), // n patched, v kept
+        (2L, Some("B"), None: Option[Long]), // v patched, n kept
+        (3L, Some("c"), None: Option[Long])) // sparse insert
+        .toDF("id", "v", "n").write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(SnapshotStore.read(spark, root).select("id", "v", "n")
+      .as[(Long, Option[String], Option[Long])].collect().toSet ===
+      Set((1L, Some("a"), Some(11L)), (2L, Some("B"), Some(20L)),
+        (3L, Some("c"), None)))
+  }
+
   test("scd2 sink: micro-batches build version history") {
     val src = Files.createTempDirectory("graft_s2src").toString
     val stage = Files.createTempDirectory("graft_s2stage").toString + "/t"
