@@ -557,6 +557,48 @@ private[graft] object GraphQueries {
       },
       Some(anfHarmonicOracleSql(k = 16, rounds = 3))),
 
+    // Effective diameter (the "90% of reachable pairs within r hops"
+    // scalar; Palmer et al. 2002's ANF headline statistic) from the SAME
+    // per-round sketch estimates as q_graph_harmonic: per-node estimates
+    // are floor-quantized to micro BIGINTs BEFORE the corpus sum (a raw
+    // double sum over nodes is partition-order-dependent — the quantize-
+    // then-sum rule every money column here follows), then the smallest
+    // radius with 10·T_r ≥ 9·T_R wins by exact integer comparison.
+    ("q_graph_diameter", {
+      ((s: SparkSession, d: String) => {
+        val lp = t(s, d, "lineitem")
+          .filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
+          .filter(col("pk") < col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+        val sym = capped.union(
+          capped.select(col("dst").as("src"), col("src").as("dst")))
+        val h = Graph.anfHarmonic(sym, "src", "dst", k = 16, rounds = 3)
+        val tot = h.agg(count(lit(1)).as("n_nodes"),
+          sum(floor(col("n1") * 1e6).cast("long")).as("t1"),
+          sum(floor(col("n2") * 1e6).cast("long")).as("t2"),
+          sum(floor(col("n3") * 1e6).cast("long")).as("t3"))
+        tot.select(col("n_nodes"), col("t1"), col("t2"), col("t3"),
+          when(col("t1") * 10 >= col("t3") * 9, 1L)
+            .when(col("t2") * 10 >= col("t3") * 9, 2L)
+            .otherwise(3L).as("eff_diameter"))
+      }): Q
+      },
+      Some(s"""WITH hh AS (${anfHarmonicOracleSql(k = 16, rounds = 3)}),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(sum(CAST(floor(n1 * 1e6) AS BIGINT)) AS BIGINT) AS t1,
+            CAST(sum(CAST(floor(n2 * 1e6) AS BIGINT)) AS BIGINT) AS t2,
+            CAST(sum(CAST(floor(n3 * 1e6) AS BIGINT)) AS BIGINT) AS t3
+          FROM hh)
+        SELECT n_nodes, t1, t2, t3,
+          CAST(CASE WHEN t1 * 10 >= t3 * 9 THEN 1
+               WHEN t2 * 10 >= t3 * 9 THEN 2
+               ELSE 3 END AS BIGINT) AS eff_diameter
+        FROM tot""")),
+
     // Borůvka minimum-spanning-forest, 2 rounds, on the part<->supplier
     // graph weighted by the pairing's cheapest line price — the
     // single-linkage dendrogram backbone (cut the forest at ANY weight t
