@@ -414,6 +414,50 @@ private[graft] object SimQueries {
           AND ex.neighbor_id = ann.neighbor_id
         GROUP BY 1""")),
 
+    // Pairwise-distance distribution audit — the embedding-collapse /
+    // anisotropy check (a healthy space shows a wide distance spread; a
+    // collapsed encoder pins all mass in one octave): exact integer
+    // squared L2 over DETERMINISTIC LINEAR pair sampling — every vector
+    // pairs with its 4 successors in the md5-rank order (4n pairs, an
+    // unbiased-by-construction shuffle of pairs; never a quadratic
+    // within-bucket self-join), rank from the two-pass range scan.
+    // Distances land in power-of-two octave buckets (the quantileBounds
+    // rule) — constant-size output at any corpus.
+    ("q_emb_dist_hist",
+      (s: SparkSession, d: String) => {
+        val q = t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.quantize(col("embedding"))
+            .as("v"))
+          .withColumn("h", md5(col("vec_id").cast("string")))
+        val ranked = graft.ops.Prefix.runningOffsetsOrdered(
+          q.withColumn("__one", lit(1L)), Seq("h", "vec_id"), "__one")
+          .select(col("offset").as("rk"), col("v"))
+        val probe = ranked.select(
+          explode(array((1 to 4).map(lit(_)): _*)).as("delta"),
+          col("rk").as("rk_hi"), col("v").as("v2"))
+          .select((col("rk_hi") - col("delta")).as("rk"), col("v2"))
+        val d2 = Similarity.qdot(col("v"), col("v")) -
+          lit(2L) * Similarity.qdot(col("v"), col("v2")) +
+          Similarity.qdot(col("v2"), col("v2"))
+        ranked.join(probe, Seq("rk"))
+          .select((length(bin(d2 + lit(1L))) - 1).cast("long").as("octave"))
+          .groupBy("octave").agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, $quantSql AS v,
+            md5(CAST(vec_id AS VARCHAR)) AS h
+          FROM embeddings),
+        rk AS (SELECT v, row_number() OVER (ORDER BY h, vec_id) - 1
+            AS rk FROM q),
+        pr AS (SELECT a.v AS v, b.v AS v2
+          FROM rk a JOIN rk b
+            ON b.rk BETWEEN a.rk + 1 AND a.rk + 4),
+        d2 AS (SELECT CAST(${dotSql("v", "v")}
+            - 2 * ${dotSql("v", "v2")}
+            + ${dotSql("v2", "v2")} AS BIGINT) AS d2 FROM pr)
+        SELECT CAST(length(bin(d2 + 1)) - 1 AS BIGINT) AS octave,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM d2 GROUP BY 1""")),
+
     // SQ8 scalar-quantization recall audit (Similarity.sq8Recall): codes
     // = floor(q*127/amax_dim) signed bytes, inner-product top-10 on codes
     // vs on exact vectors, recall per probe. The 64-row scale table and
