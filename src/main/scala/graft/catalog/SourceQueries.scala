@@ -1432,6 +1432,55 @@ private[graft] object SourceQueries {
         FROM nz
         WHERE greatest(CAST(0 AS BIGINT), n + g1 - g2) >= 8""")),
 
+    // Differentially-private per-group MEAN release (Stats.dpMeans) —
+    // the bounded-sum companion to q_profile_dp_release: values clipped
+    // to [0, 200000] cents (above the per-user totals the fixture
+    // produces, so clipping is a bound, not a flattener), one clipped row per (user, type) so L∞ = clip
+    // and L0 = 1, noisy sum (noise × clip) over noisy count, groups
+    // under 20 noisy users suppressed. Same replayable Geometric(1/2)
+    // construction; the oracle rebuilds clip, per-user totals, both
+    // noise draws and the quantized ratio.
+    ("q_profile_dp_means",
+      (s: SparkSession, d: String) => graft.ops.Stats.dpMeans(
+        events(s, d), "user_id", "event_type",
+        floor(col("value") * 100).cast("long"), clip = 200000L,
+        threshold = 20L),
+      Some("""WITH rows_ AS (SELECT CAST(user_id AS VARCHAR) AS u,
+            event_type AS g,
+            greatest(CAST(0 AS BIGINT),
+              least(CAST(floor(value * 100) AS BIGINT), 200000)) AS v
+          FROM events),
+        pu AS (SELECT u, g,
+            least(CAST(sum(v) AS BIGINT), 200000) AS uv
+          FROM rows_ GROUP BY 1, 2),
+        gg AS (SELECT g, CAST(sum(uv) AS BIGINT) AS s,
+            CAST(count(*) AS BIGINT) AS n
+          FROM pu GROUP BY 1),
+        nz AS (SELECT g, s, n,
+            least(length(bin((~x1) & (x1 + 1))) - 1, 40) AS gn1,
+            least(length(bin((~x2) & (x2 + 1))) - 1, 40) AS gn2,
+            least(length(bin((~x3) & (x3 + 1))) - 1, 40) AS gs1,
+            least(length(bin((~x4) & (x4 + 1))) - 1, 40) AS gs2
+          FROM (SELECT g, s, n,
+            CAST(concat('0x', substr(md5(concat('dpmn1|', g)), 1, 10))
+              AS BIGINT) AS x1,
+            CAST(concat('0x', substr(md5(concat('dpmn2|', g)), 1, 10))
+              AS BIGINT) AS x2,
+            CAST(concat('0x', substr(md5(concat('dpms1|', g)), 1, 10))
+              AS BIGINT) AS x3,
+            CAST(concat('0x', substr(md5(concat('dpms2|', g)), 1, 10))
+              AS BIGINT) AS x4
+          FROM gg)),
+        rel AS (SELECT g,
+            greatest(CAST(0 AS BIGINT), n + gn1 - gn2) AS released_n,
+            greatest(CAST(0 AS BIGINT), s + 200000 * (gs1 - gs2))
+              AS released_sum
+          FROM nz)
+        SELECT g, released_n, released_sum,
+          CAST(floor(CAST(released_sum AS DOUBLE) * 1e3
+            / CAST(released_n AS DOUBLE)) AS BIGINT) AS mean_milli
+        FROM rel WHERE released_n >= 20""")),
+
     // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per
     // declared child->parent edge of the star schema — the pre-merge key
     // sanity gate. Per edge: a combine-enabled key-count aggregate (corpus

@@ -327,20 +327,66 @@ object Stats {
         .orderBy(md5(concat_ws("|", col("u"), col("cell"))), col("cell"))))
       .filter(col("rk") <= cap)
     val counts = ranked.groupBy("cell").agg(count(lit(1)).as("n"))
-    // Geometric(1/2) = trailing-ones count of 40 cell-keyed hash bits:
-    // ~x & (x+1) isolates the lowest zero bit as 2^k, bin-length recovers
-    // k — whole-bit integer ops only, so DuckDB replays bit-for-bit.
-    def geo(tag: String): Column = {
-      val x = conv(substring(md5(concat(lit(s"$seed$tag|"), col("cell"))),
-        1, 10), 16, 10).cast("long")
-      least(length(bin(bitwise_not(x).bitwiseAND(x + lit(1L)))) - lit(1),
-        lit(40)).cast("long")
-    }
     counts
       .withColumn("released",
-        greatest(lit(0L), col("n") + geo("1") - geo("2")))
+        greatest(lit(0L), col("n") + dpGeo(s"${seed}1|", col("cell")) -
+          dpGeo(s"${seed}2|", col("cell"))))
       .filter(col("released") >= threshold)
       .select(col("cell"), col("released"))
+  }
+
+  /** Geometric(1/2) draw = trailing-ones count of 40 key-derived hash
+    * bits: ~x & (x+1) isolates the lowest zero bit as 2^k, bin-length
+    * recovers k — whole-bit integer ops only, so DuckDB replays
+    * bit-for-bit. Shared by [[dpHistogram]] and [[dpMeans]]. */
+  private def dpGeo(prefix: String, key: Column): Column = {
+    val x = conv(substring(md5(concat(lit(prefix), key)), 1, 10), 16, 10)
+      .cast("long")
+    least(length(bin(bitwise_not(x).bitwiseAND(x + lit(1L)))) - lit(1),
+      lit(40)).cast("long")
+  }
+
+  /**
+   * Differentially-private per-group MEAN release — the bounded-sum
+   * mechanism that completes [[dpHistogram]]'s count release: each
+   * user's values are first CLIPPED to [0, clip] (the sensitivity bound
+   * — without it a sum release has no ε), each user contributes at most
+   * ONE row per group (their clipped per-group total, itself re-clipped:
+   * L0 = 1 group here, L∞ = clip), then both the noisy SUM (noise scaled
+   * by clip: value sensitivity) and the noisy COUNT (unit noise) are
+   * released and the mean is their ratio, floor-quantized. Same
+   * two-sided Geometric(1/2) noise and replayable-seed caveat as
+   * [[dpHistogram]]; groups below `threshold` noisy users are
+   * suppressed.
+   *
+   * Shape: one (user, group) aggregate + one group aggregate, noise
+   * scan-stage on the (small) group table.
+   */
+  def dpMeans(df: DataFrame, userCol: String, groupCol: String,
+      valueCol: Column, clip: Long, threshold: Long,
+      seed: String = "dpm"): DataFrame = {
+    require(clip >= 1, s"clip=$clip must be >= 1 (the L∞ sensitivity)")
+    require(threshold >= 0, s"threshold=$threshold must be >= 0")
+    val perUser = df
+      .select(col(userCol).cast("string").as("u"),
+        col(groupCol).cast("string").as("g"),
+        greatest(lit(0L), least(valueCol.cast("long"), lit(clip)))
+          .as("v"))
+      .groupBy("u", "g")
+      .agg(least(sum(col("v")), lit(clip)).as("uv"))
+    val g = perUser.groupBy("g")
+      .agg(sum(col("uv")).as("s"), count(lit(1)).as("n"))
+    val noisyN = greatest(lit(0L),
+      col("n") + dpGeo(s"${seed}n1|", col("g")) -
+        dpGeo(s"${seed}n2|", col("g")))
+    val noisyS = greatest(lit(0L),
+      col("s") + lit(clip) * (dpGeo(s"${seed}s1|", col("g")) -
+        dpGeo(s"${seed}s2|", col("g"))))
+    g.select(col("g"), noisyN.as("released_n"), noisyS.as("released_sum"))
+      .filter(col("released_n") >= threshold)
+      .withColumn("mean_milli",
+        floor(col("released_sum").cast("double") * 1e3 /
+          col("released_n").cast("double")).cast("long"))
   }
 
   def countAnomalies(df: DataFrame, groupCols: Seq[String], cellCol: Column,
