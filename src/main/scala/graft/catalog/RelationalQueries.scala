@@ -2533,11 +2533,11 @@ private[graft] object RelationalQueries {
             floor(col("slope_num").cast("double") * 1e6 /
               col("slope_den").cast("double")).cast("long")
               .as("slope_micro"),
-            floor(lit(1e3) *
+            when(col("var18") > 0, floor(lit(1e3) *
               (col("s").cast("double") -
                 signum(col("s").cast("double"))) /
-              sqrt(col("var18").cast("double") / 18.0)).cast("long")
-              .as("z_milli"))
+              sqrt(col("var18").cast("double") / 18.0)).cast("long"))
+              .otherwise(lit(null)).as("z_milli"))
       },
       Some("""WITH wk AS (SELECT CAST(floor(date_diff('day',
               DATE '1970-01-01', CAST(o_orderdate AS DATE)) / 7.0)
@@ -2563,9 +2563,12 @@ private[graft] object RelationalQueries {
           slope_num, slope_den,
           CAST(floor(CAST(slope_num AS DOUBLE) * 1e6
             / CAST(slope_den AS DOUBLE)) AS BIGINT) AS slope_micro,
-          CAST(floor(1e3 * (CAST(s AS DOUBLE) - sign(CAST(s AS DOUBLE)))
+          CASE WHEN nw * (nw - 1) * (2 * nw + 5) - tieterm > 0
+          THEN CAST(floor(1e3 * (CAST(s AS DOUBLE)
+              - sign(CAST(s AS DOUBLE)))
             / sqrt(CAST(nw * (nw - 1) * (2 * nw + 5) - tieterm AS DOUBLE)
-              / 18.0)) AS BIGINT) AS z_milli
+              / 18.0)) AS BIGINT)
+          ELSE NULL END AS z_milli
         FROM st, nw, tt, md""")),
 
     // Difference-in-differences (the panel-causal workhorse; Card &

@@ -1478,7 +1478,8 @@ private[graft] object SourceQueries {
           FROM nz)
         SELECT g, released_n, released_sum,
           CAST(floor(CAST(released_sum AS DOUBLE) * 1e3
-            / CAST(released_n AS DOUBLE)) AS BIGINT) AS mean_milli
+            / CAST(nullif(released_n, 0) AS DOUBLE)) AS BIGINT)
+            AS mean_milli
         FROM rel WHERE released_n >= 20""")),
 
     // Referential-integrity audit (Stats.riAudit): orphan FK rows/keys per

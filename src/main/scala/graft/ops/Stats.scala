@@ -384,9 +384,12 @@ object Stats {
         dpGeo(s"${seed}s2|", col("g"))))
     g.select(col("g"), noisyN.as("released_n"), noisyS.as("released_sum"))
       .filter(col("released_n") >= threshold)
+      // nullif: at threshold 0 a fully-suppressed-to-zero group would
+      // otherwise divide 0/0 (Spark NaN->cast vs DuckDB error — the
+      // q_agg_cuped asymmetric-failure lesson)
       .withColumn("mean_milli",
         floor(col("released_sum").cast("double") * 1e3 /
-          col("released_n").cast("double")).cast("long"))
+          nullif(col("released_n"), lit(0L)).cast("double")).cast("long"))
   }
 
   def countAnomalies(df: DataFrame, groupCols: Seq[String], cellCol: Column,
