@@ -1432,6 +1432,41 @@ private[graft] object SourceQueries {
         FROM nz
         WHERE greatest(CAST(0 AS BIGINT), n + g1 - g2) >= 8""")),
 
+    // Keyed pseudonymization + collision audit — the reversible-with-
+    // salt cousin of q_text_pii's redaction (analytics keeps joinable
+    // identities, the raw key leaves the table): token = 16 hex chars of
+    // md5(salt|value), applied in the scan stage, then the audit every
+    // tokenization run must ship — distinct values vs distinct tokens
+    // per column (a collision silently MERGES two users downstream; at
+    // 64 bits the corpus has to be ~2^32 distinct before that's even
+    // likely, and the audit turns "likely not" into a checked fact).
+    ("q_text_pseudonym",
+      (s: SparkSession, d: String) => {
+        val salt = "graft-fixture-salt"
+        val ev = events(s, d).select(
+          col("user_id").cast("string").as("user_id"),
+          col("event_type"))
+        def tok(c: org.apache.spark.sql.Column) =
+          substring(md5(concat(lit(salt + "|"), c)), 1, 16)
+        ev.select(col("event_type"), col("user_id"),
+          tok(col("user_id")).as("user_tok"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_values"),
+            countDistinct(col("user_tok")).as("n_tokens"))
+          .withColumn("n_collisions", col("n_values") - col("n_tokens"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+            AS n_values,
+          CAST(count(DISTINCT substr(md5(concat('graft-fixture-salt|',
+            CAST(user_id AS VARCHAR))), 1, 16)) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT CAST(user_id AS VARCHAR))
+            - count(DISTINCT substr(md5(concat('graft-fixture-salt|',
+              CAST(user_id AS VARCHAR))), 1, 16)) AS BIGINT)
+            AS n_collisions
+        FROM events GROUP BY 1""")),
+
     // Differentially-private per-group MEAN release (Stats.dpMeans) —
     // the bounded-sum companion to q_profile_dp_release: values clipped
     // to [0, 200000] cents (above the per-user totals the fixture
