@@ -8,6 +8,7 @@ import graft.incr.Incremental
 import graft.meta.ColumnSpec
 import graft.ops.{Dedup, Graph, Multimodal, Recon, Sampling, Similarity, TextOps}
 import graft.pipeline.StageTransform
+import graft.sources
 import graft.write.MergeWriter
 import graft.catalog.Shared._
 import graft.catalog.DslQueries._
@@ -84,6 +85,40 @@ private[graft] object SourceQueries {
       },
       Some("""SELECT doc_id, md5(text) AS text_md5, lang, n_chars
         FROM documents""")),
+
+    // Fixed-width interchange round trip (RawZone.writeFixedWidth /
+    // readFixedWidth) — the COBOL-copybook/settlement-file layout legacy
+    // feeds still arrive in: right-padded fields at declared offsets, no
+    // delimiter; overflow throws loudly (silent truncation is a
+    // corrupted feed), the reader is one substring per field in the scan
+    // stage, and the format stays line-splittable at any size. The
+    // oracle reads the PARQUET source, so the hash match proves the
+    // offsets/padding round trip lossless. Supplier names carry no
+    // trailing spaces in the fixture (rtrim would eat them — the
+    // documented fixed-width ambiguity), and acctbal rides as exact
+    // cents digits.
+    ("q_src_fixedwidth",
+      (s: SparkSession, d: String) => {
+        val out = scratch("fixw") + "/supp"
+        val widths = Seq("s_suppkey" -> 10, "s_name" -> 24,
+          "s_nationkey" -> 4, "bal_cents" -> 14)
+        sources.RawZone.writeFixedWidth(
+          t(s, d, "supplier").select(
+            col("s_suppkey").cast("string").as("s_suppkey"),
+            col("s_name"),
+            col("s_nationkey").cast("string").as("s_nationkey"),
+            cents(col("s_acctbal")).cast("string").as("bal_cents")),
+          out, widths, overwrite = true)
+        sources.RawZone.readFixedWidth(s, out, widths)
+          .select(col("s_suppkey").cast("long").as("s_suppkey"),
+            col("s_name"), col("s_nationkey").cast("long")
+              .as("s_nationkey"),
+            col("bal_cents").cast("long").as("bal_cents"))
+      },
+      Some(s"""SELECT s_suppkey, s_name,
+          CAST(s_nationkey AS BIGINT) AS s_nationkey,
+          ${centsSql("s_acctbal")} AS bal_cents
+        FROM supplier""")),
 
     // XML interchange round trip — Spark 4's NATIVE xml source (the
     // spark-xml package merged into core), the format B2B/legacy feeds

@@ -96,4 +96,37 @@ object RawZone {
     * parsed (Jackson skips them token-wise). */
   def readJsonl(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
+
+  /** FIXED-WIDTH text write — the mainframe/legacy-feed layout (COBOL
+    * copybook exports, bank settlement files): each column right-padded to
+    * its declared width with spaces, one record per line, no delimiter.
+    * Values longer than their field throw loudly (a silent truncation is a
+    * corrupted feed). Strings-in/strings-out: callers render types first —
+    * a fixed-width layout has no type system, only offsets. */
+  def writeFixedWidth(df: DataFrame, path: String,
+      widths: Seq[(String, Int)], overwrite: Boolean = false): Unit = {
+    require(widths.nonEmpty, "fixed-width layout needs at least one field")
+    val line = concat(widths.map { case (c, w) =>
+      val s = col(c).cast("string")
+      when(length(s) > w, raise_error(concat(lit(
+        s"fixed-width overflow in '$c' (width $w): "), s)))
+        .otherwise(rpad(s, w, " "))
+    }: _*)
+    df.select(line.as("value")).write
+      .mode(if (overwrite) "overwrite" else "append").text(path)
+  }
+
+  /** Fixed-width scan: one `substring` per declared field off the line —
+    * scan-stage projections, no regex, no tokenizer; trailing pad spaces
+    * trimmed. The format is line-splittable, so a 100 TB feed parallelizes
+    * like any text source. */
+  def readFixedWidth(spark: SparkSession, path: String,
+      widths: Seq[(String, Int)]): DataFrame = {
+    require(widths.nonEmpty, "fixed-width layout needs at least one field")
+    val offsets = widths.scanLeft(1) { case (o, (_, w)) => o + w }
+    val cols = widths.zip(offsets).map { case ((c, w), off) =>
+      rtrim(substring(col("value"), off, w)).as(c)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
 }
