@@ -1224,6 +1224,54 @@ private[graft] object RelationalQueries {
     // counts. The lead() window is USER-bounded (same state bound as
     // sessionize); the corpus-sized work is one combine-enabled groupBy
     // over (from, to) pairs.
+    // Settlement-date assignment (next business day) — the finance-
+    // warehouse date op: each order settles on the first weekday after
+    // its order date that is not a holiday (fixture holiday list
+    // injected as literals). Scale shape: the date→settlement MAPPING is
+    // computed once on the CALENDAR-BOUNDED distinct-date × business-day
+    // grid (the documented grid-sized benign class) and then broadcast
+    // onto the fact scan — the corpus never enters a range join. Output:
+    // settlement-lag histogram with exact cents (weekend orders settle
+    // Monday → lag 2-3; Friday + holiday-Monday → lag 4).
+    ("q_agg_settlement",
+      (s: SparkSession, d: String) => {
+        val holidays = Seq("1995-05-01", "1996-07-04", "1997-12-25")
+        val o = t(s, d, "orders").select(
+          col("o_orderdate").cast("date").as("od"),
+          cents(col("o_totalprice")).as("v"))
+        val dates = o.select(col("od").as("dt")).distinct()
+        val span = dates.agg(min("dt").as("mn"), max("dt").as("mx"))
+        val cal = span.select(explode(sequence(col("mn"),
+            date_add(col("mx"), 10))).as("day"))
+          .filter(dayofweek(col("day")).isin(2, 3, 4, 5, 6) &&
+            !col("day").cast("string").isin(holidays: _*))
+        val mapping = dates.join(cal, col("day") > col("dt"))
+          .groupBy("dt").agg(min(col("day")).as("settle"))
+        o.join(broadcast(mapping), col("od") === col("dt"))
+          .select(datediff(col("settle"), col("od")).cast("long")
+            .as("lag_days"), col("v"))
+          .groupBy("lag_days")
+          .agg(count(lit(1)).as("n_orders"), sum(col("v")).as("cents"))
+      },
+      Some(s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od,
+            ${centsSql("o_totalprice")} AS v FROM orders),
+        span AS (SELECT min(od) AS mn, max(od) AS mx FROM o),
+        cal AS (SELECT CAST(unnest(range(CAST(mn AS TIMESTAMP),
+              CAST(mx + 11 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+            AS day
+          FROM span),
+        bd AS (SELECT day FROM cal WHERE isodow(day) BETWEEN 1 AND 5
+          AND CAST(day AS VARCHAR) NOT IN
+            ('1995-05-01', '1996-07-04', '1997-12-25')),
+        dates AS (SELECT DISTINCT od AS dt FROM o),
+        mapping AS (SELECT dt, min(day) AS settle
+          FROM dates JOIN bd ON day > dt GROUP BY 1)
+        SELECT CAST(date_diff('day', od, settle) AS BIGINT) AS lag_days,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(sum(v) AS BIGINT) AS cents
+        FROM o JOIN mapping ON od = dt
+        GROUP BY 1""")),
+
     // RFM segmentation — the classic customer-value cube: per customer
     // Recency (days since last order), Frequency (order count), Monetary
     // (lifetime cents), each binned into global QUINTILES, then the
