@@ -5259,6 +5259,137 @@ private[graft] object RelationalQueries {
             CAST(n_eval AS DOUBLE)) AS BIGINT) AS dr_micro
         FROM a1, a2""")),
 
+    // Bag-semantics set algebra (INTERSECT ALL / EXCEPT ALL) WITHOUT row
+    // explosion: SQL's ALL variants materialize every duplicate row and
+    // shuffle them all; over multiplicity-heavy signatures the count-
+    // arithmetic form — per-key counts on each side, then least/greatest
+    // on the two BIGINTs — is the same answer from ONE groupBy per side
+    // and a key-equi join of two already-tiny count tables. At 100 TB the
+    // shuffle carries one row per DISTINCT signature, not one per
+    // duplicate. Signatures here: (event_type, value-kilocent bucket) of
+    // the first half of January vs the second, the drift framing of
+    // "which behaviours appeared/disappeared/persisted, with counts".
+    ("q_set_bag",
+      (s: SparkSession, d: String) => {
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        val sig = t(s, d, "events").select(col("event_type"),
+          floor(cents(col("value")).cast("double") / lit(1000.0))
+            .cast("long").as("bucket"),
+          when(col("ts") < cut, 1L).otherwise(0L).as("h1"))
+        sig.groupBy("event_type", "bucket")
+          .agg(sum("h1").as("m1"), sum(lit(1L) - col("h1")).as("m2"))
+          .select(col("event_type"), col("bucket"), col("m1"), col("m2"),
+            least(col("m1"), col("m2")).as("intersect_all"),
+            greatest(col("m1") - col("m2"), lit(0L)).as("except_12"),
+            greatest(col("m2") - col("m1"), lit(0L)).as("except_21"))
+      },
+      Some(s"""WITH sig AS (SELECT event_type,
+            CAST(floor(CAST(${centsSql(""""value"""")} AS DOUBLE) / 1000.0)
+              AS BIGINT) AS bucket,
+            CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS h1
+          FROM events)
+        SELECT event_type, bucket,
+          CAST(sum(h1) AS BIGINT) AS m1,
+          CAST(sum(1 - h1) AS BIGINT) AS m2,
+          CAST(least(sum(h1), sum(1 - h1)) AS BIGINT) AS intersect_all,
+          CAST(greatest(sum(h1) - sum(1 - h1), 0) AS BIGINT) AS except_12,
+          CAST(greatest(sum(1 - h1) - sum(h1), 0) AS BIGINT) AS except_21
+        FROM sig GROUP BY 1, 2""")),
+
+    // FIFO lot allocation — the classic "match consumption to supply in
+    // arrival order" problem (inventory cost basis, credit burn-down,
+    // capacity accounting). The scalable formulation is NOT a loop: give
+    // every supply lot the half-open interval [cum_before, cum_after) of
+    // its user's cumulative supplied cents, every demand the same over
+    // consumed cents, and the FIFO allocation between lot L and demand D
+    // is exactly the overlap of the two intervals. Per-user windows (a
+    // user's events are bounded — hundreds, not corpus-sized) build the
+    // prefix sums; the allocation join is user-equi with an interval
+    // post-filter, so it shuffles once on user_id and never fans out past
+    // lots×demands of ONE user. Purchases supply, clicks consume.
+    ("q_agg_fifo",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        def side(tp: String, pfx: String) = ev
+          .filter(col("event_type") === tp)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            cents(col("value")).as("amt"))
+          .withColumn(s"${pfx}_hi", sum("amt").over(w))
+          .withColumn(s"${pfx}_lo", col(s"${pfx}_hi") - col("amt"))
+        val lots = side("purchase", "l")
+          .select(col("user_id"), col("l_lo"), col("l_hi"))
+        val dem = side("click", "c")
+          .select(col("user_id").as("d_user"), col("c_lo"), col("c_hi"))
+        val matched = lots.join(dem,
+            col("user_id") === col("d_user") &&
+            col("l_lo") < col("c_hi") && col("c_lo") < col("l_hi"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_allocs"),
+            sum(least(col("l_hi"), col("c_hi")) -
+              greatest(col("l_lo"), col("c_lo"))).as("matched_cents"))
+        val totals = ev
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_lots"),
+            sum(when(col("event_type") === "purchase", cents(col("value")))
+              .otherwise(0L)).as("supply_cents"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("n_demands"),
+            sum(when(col("event_type") === "click", cents(col("value")))
+              .otherwise(0L)).as("demand_cents"))
+        totals.join(matched, Seq("user_id"), "left")
+          .select(col("user_id"), col("n_lots"), col("n_demands"),
+            col("supply_cents"), col("demand_cents"),
+            coalesce(col("n_allocs"), lit(0L)).as("n_allocs"),
+            coalesce(col("matched_cents"), lit(0L)).as("matched_cents"),
+            (col("demand_cents") -
+              coalesce(col("matched_cents"), lit(0L))).as("unfilled_cents"),
+            (col("supply_cents") -
+              coalesce(col("matched_cents"), lit(0L))).as("leftover_cents"))
+      },
+      Some(s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+            ${centsSql(""""value"""")} AS amt
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        lots AS (SELECT user_id,
+            sum(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) - amt AS l_lo,
+            sum(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS l_hi
+          FROM ev WHERE event_type = 'purchase'),
+        dem AS (SELECT user_id,
+            sum(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) - amt AS c_lo,
+            sum(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS c_hi
+          FROM ev WHERE event_type = 'click'),
+        m AS (SELECT l.user_id, count(*) AS n_allocs,
+            CAST(sum(least(l.l_hi, d.c_hi) - greatest(l.l_lo, d.c_lo))
+              AS BIGINT) AS matched_cents
+          FROM lots l JOIN dem d ON l.user_id = d.user_id
+            AND l.l_lo < d.c_hi AND d.c_lo < l.l_hi
+          GROUP BY 1),
+        tot AS (SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lots,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN amt ELSE 0 END)
+              AS BIGINT) AS supply_cents,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_demands,
+            CAST(sum(CASE WHEN event_type = 'click' THEN amt ELSE 0 END)
+              AS BIGINT) AS demand_cents
+          FROM ev GROUP BY 1)
+        SELECT t.user_id, n_lots, n_demands, supply_cents, demand_cents,
+          CAST(coalesce(m.n_allocs, 0) AS BIGINT) AS n_allocs,
+          coalesce(m.matched_cents, 0) AS matched_cents,
+          demand_cents - coalesce(m.matched_cents, 0) AS unfilled_cents,
+          supply_cents - coalesce(m.matched_cents, 0) AS leftover_cents
+        FROM tot t LEFT JOIN m ON t.user_id = m.user_id""")),
+
     ("q_seq_pack",
       (s: SparkSession, d: String) => {
         val tc = t(s, d, "documents").select(col("doc_id"),

@@ -1429,6 +1429,100 @@ private[graft] object SourceQueries {
             AS t_tv_ppm
         FROM jn""")),
 
+    // Ordered t-closeness (Li-Li-Venkatasubramanian 2007 §5.2): for a
+    // NUMERIC sensitive attribute the right group-vs-global distance is
+    // the Earth Mover's Distance over the ordered bins — for one-dim
+    // ordered data, EMD = Σ|cumP_i − cumQ_i| / (B−1) — not the total-
+    // variation distance q_profile_ldiv's t_tv_ppm uses for categorical
+    // ones (TV treats $1 and $400 as equally "different" from $2; EMD
+    // does not). Integer-exact: per-(group, bin) counts against a
+    // domain-bounded 10-bin grid (groups × 10 rows — the per-group
+    // cumsum window is over 10 rows, never data-sized), and the cum
+    // difference |cum_c·N − cum_C·n_g| goes through DECIMAL so a 100 TB
+    // N never wraps the cross product. One fact scan, one groupBy.
+    ("q_profile_tclose",
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val grouped = ev.select(col("event_type"),
+            date_format(col("ts"), "EEEE").as("dow"),
+            least(floor(cents(col("value")).cast("double") / lit(5000.0)),
+              lit(9.0)).cast("long").as("bin"))
+          .groupBy("event_type", "dow", "bin")
+          .agg(count(lit(1)).as("c"))
+        val groups = grouped.groupBy("event_type", "dow")
+          .agg(sum("c").as("n_g"))
+        val globalBins = grouped.groupBy("bin").agg(sum("c").as("cg"))
+        val nn = grouped.agg(sum("c").as("nn"))
+        val grid = groups
+          .select(col("event_type"), col("dow"), col("n_g"),
+            explode(sequence(lit(0L), lit(9L))).as("bin"))
+          .join(grouped, Seq("event_type", "dow", "bin"), "left")
+          .join(broadcast(globalBins), Seq("bin"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("event_type"), col("dow"), col("bin"), col("n_g"),
+            coalesce(col("c"), lit(0L)).as("c"),
+            coalesce(col("cg"), lit(0L)).as("cg"), col("nn"))
+        val w = Window.partitionBy("event_type", "dow").orderBy("bin")
+        grid
+          .withColumn("cum_c", sum("c").over(w))
+          .withColumn("cum_g", sum("cg").over(w))
+          .filter(col("bin") < 9)
+          .withColumn("term", abs(
+            col("cum_c").cast("decimal(20,0)") *
+              col("nn").cast("decimal(18,0)") -
+            col("cum_g").cast("decimal(20,0)") *
+              col("n_g").cast("decimal(18,0)")))
+          .groupBy("event_type", "dow")
+          .agg(max("n_g").as("n_g"), max("nn").as("nn"),
+            sum("term").as("t_num"))
+          .select(col("event_type"), col("dow"), col("n_g"),
+            floor(lit(1e6) * col("t_num").cast("double") /
+              (col("n_g").cast("decimal(20,0)") *
+                col("nn").cast("decimal(18,0)") *
+                lit(9).cast("decimal(2,0)")).cast("double"))
+              .cast("long").as("emd_ppm"))
+          .withColumn("t_violation",
+            when(col("emd_ppm") > 200000L, 1L).otherwise(0L))
+      },
+      Some(s"""WITH e AS (SELECT event_type, strftime(ts, '%A') AS dow,
+            CAST(least(floor(CAST(${centsSql(""""value"""")} AS DOUBLE)
+              / 5000.0), 9.0) AS BIGINT) AS bin
+          FROM events),
+        cells AS (SELECT event_type, dow, bin,
+            CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2, 3),
+        grp AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS n_g
+          FROM cells GROUP BY 1, 2),
+        gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cg
+          FROM cells GROUP BY 1),
+        nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cells),
+        grid AS (SELECT g.event_type, g.dow, CAST(b AS BIGINT) AS bin,
+            g.n_g, coalesce(c.c, 0) AS c, coalesce(gb.cg, 0) AS cg, nn.nn
+          FROM grp g CROSS JOIN UNNEST(range(0, 10)) AS u(b)
+          LEFT JOIN cells c ON c.event_type = g.event_type
+            AND c.dow = g.dow AND c.bin = b
+          LEFT JOIN gb ON gb.bin = b, nn),
+        cum AS (SELECT event_type, dow, bin, n_g, nn,
+            sum(c) OVER (PARTITION BY event_type, dow ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cum_c,
+            sum(cg) OVER (PARTITION BY event_type, dow ORDER BY bin
+              ROWS UNBOUNDED PRECEDING) AS cum_g
+          FROM grid),
+        agg AS (SELECT event_type, dow, max(n_g) AS n_g, max(nn) AS nn,
+            sum(abs(CAST(cum_c AS DECIMAL(20,0)) * CAST(nn AS DECIMAL(18,0))
+              - CAST(cum_g AS DECIMAL(20,0)) * CAST(n_g AS DECIMAL(18,0))))
+              AS t_num
+          FROM cum WHERE bin < 9 GROUP BY 1, 2)
+        SELECT event_type, dow, n_g,
+          CAST(floor(1e6 * CAST(t_num AS DOUBLE) /
+            CAST(CAST(n_g AS DECIMAL(20,0)) * CAST(nn AS DECIMAL(18,0))
+              * CAST(9 AS DECIMAL(2,0)) AS DOUBLE)) AS BIGINT) AS emd_ppm,
+          CASE WHEN CAST(floor(1e6 * CAST(t_num AS DOUBLE) /
+            CAST(CAST(n_g AS DECIMAL(20,0)) * CAST(nn AS DECIMAL(18,0))
+              * CAST(9 AS DECIMAL(2,0)) AS DOUBLE)) AS BIGINT) > 200000
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS t_violation
+        FROM agg""")),
+
     // Differentially-private histogram release (Stats.dpHistogram — the
     // GRS'09 geometric mechanism at α = 1/2 with the two production
     // companions: per-user contribution bounding at cap=8 distinct cells,
