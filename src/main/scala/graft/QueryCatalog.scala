@@ -39,7 +39,8 @@ object QueryCatalog {
       RelationalQueries.entries ++ TextQueries.entries ++
       DedupQueries.entries ++ SimQueries.entries ++ MmQueries.entries ++
       SourceQueries.entries ++ SamplingQueries.entries ++
-      GraphQueries.entries ++ FeatureQueries.entries ++ CleanQueries.entries
+      GraphQueries.entries ++ FeatureQueries.entries ++
+      CleanQueries.entries ++ MlQueries.entries
   }
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -1,0 +1,246 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.catalog.Shared._
+import graft.ops.ML
+
+/** In-engine model-training family (graft.ops.ML): distributed batch-GD
+  * logistic regression with the hard-sigmoid surrogate, a probability-
+  * calibration / ECE audit, and an information-gain decision stump — the
+  * "train the curation model where the data lives" queries. Oracles
+  * replay every GD round (the Lloyd-rounds pattern q_emb_kmeans pins):
+  * weights are CTE scalars derived from the same integer gradient
+  * aggregates, so the fitted model, not just the fit's output shape, is
+  * cross-engine-verified. */
+private[graft] object MlQueries {
+
+  /** Per-user feature CTE shared by the ML oracles: two activity counts,
+    * a kilocent spend feature, and the >$3200-of-purchases label. */
+  private def featSql: String =
+    s"""u AS MATERIALIZED (SELECT user_id,
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        AS BIGINT) AS x1,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        AS BIGINT) AS x2,
+      CAST(floor(CAST(sum(CASE WHEN event_type = 'click'
+          THEN ${centsSql(""""value"""")} ELSE 0 END) AS DOUBLE)
+        / 10000.0) AS BIGINT) AS x3,
+      CASE WHEN sum(CASE WHEN event_type = 'purchase'
+          THEN ${centsSql(""""value"""")} ELSE 0 END) > 320000
+        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+    FROM events GROUP BY 1)"""
+
+  /** The same per-user features on the Spark side. */
+  private def feats(s: SparkSession, d: String) =
+    t(s, d, "events").groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x2"),
+        floor(sum(when(col("event_type") === "click", cents(col("value")))
+          .otherwise(0L)).cast("double") / lit(10000.0)).cast("long")
+          .as("x3"),
+        when(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)) > 320000L, 1L)
+          .otherwise(0L).as("y"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // Logistic regression by 3 rounds of bulk-synchronous gradient
+    // descent (ML.logisticGd): each round is ONE map-side-combined
+    // aggregate producing 4 BIGINT gradient moments; weights are O(k)
+    // driver state. The oracle unrolls all 3 rounds as CTEs — the
+    // fitted weights themselves hash-match, not just the final score.
+    ("q_ml_logreg",
+      (s: SparkSession, d: String) => {
+        val u = feats(s, d).cache()
+        val fit = ML.logisticGd(u, Seq("x1", "x2", "x3"), "y",
+          rounds = 3, lr = 0.01)
+        val w = fit.history.last
+        val out = fit.scored.agg(
+          count(lit(1)).as("n_users"),
+          sum(when((col("p_ppm") >= 500000L) === (col("y") === 1L), 1L)
+            .otherwise(0L)).as("n_correct"),
+          sum((col("p_ppm") - col("y") * lit(1000000L)) *
+            (col("p_ppm") - col("y") * lit(1000000L))).as("ssq"))
+          .select(
+            lit(w(0)).as("w0_micro"), lit(w(1)).as("w1_micro"),
+            lit(w(2)).as("w2_micro"), lit(w(3)).as("w3_micro"),
+            col("n_users"),
+            floor(lit(1e6) * col("n_correct").cast("double") /
+              col("n_users").cast("double")).cast("long").as("acc_ppm"),
+            floor(col("ssq").cast("double") / col("n_users") / lit(1e6))
+              .cast("long").as("brier_ppm"))
+        u.unpersist()
+        out
+      },
+      Some {
+        def pCte(p: String, w: String): String =
+          s"""$p AS (SELECT u.*, least(greatest(CAST(floor(CAST(
+              w0 + w1*x1 + w2*x2 + w3*x3 AS DOUBLE) / 4.0) AS BIGINT)
+              + 500000, 0), 1000000) AS p
+            FROM u, $w)"""
+        def gCte(g: String, p: String): String =
+          s"""$g AS (SELECT
+              CAST(sum(p - y*1000000) AS BIGINT) AS g0,
+              CAST(sum((p - y*1000000) * x1) AS BIGINT) AS g1,
+              CAST(sum((p - y*1000000) * x2) AS BIGINT) AS g2,
+              CAST(sum((p - y*1000000) * x3) AS BIGINT) AS g3
+            FROM $p)"""
+        def wCte(wNew: String, wOld: String, g: String): String =
+          s"""$wNew AS (SELECT
+              w0 - CAST(floor(CAST(g0 AS DOUBLE) / n * 0.01) AS BIGINT)
+                AS w0,
+              w1 - CAST(floor(CAST(g1 AS DOUBLE) / n * 0.01) AS BIGINT)
+                AS w1,
+              w2 - CAST(floor(CAST(g2 AS DOUBLE) / n * 0.01) AS BIGINT)
+                AS w2,
+              w3 - CAST(floor(CAST(g3 AS DOUBLE) / n * 0.01) AS BIGINT)
+                AS w3
+            FROM $wOld, $g, nn)"""
+        s"""WITH $featSql,
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+          w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+            CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+          ${pCte("p1", "w0t")}, ${gCte("g1", "p1")},
+          ${wCte("w1t", "w0t", "g1")},
+          ${pCte("p2", "w1t")}, ${gCte("g2", "p2")},
+          ${wCte("w2t", "w1t", "g2")},
+          ${pCte("p3", "w2t")}, ${gCte("g3", "p3")},
+          ${wCte("w3t", "w2t", "g3")},
+          ${pCte("pf", "w3t")},
+          m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0
+                END) AS BIGINT) AS n_correct,
+              CAST(sum((p - y*1000000) * (p - y*1000000)) AS BIGINT)
+                AS ssq
+            FROM pf)
+          SELECT w0 AS w0_micro, w1 AS w1_micro, w2 AS w2_micro,
+            w3 AS w3_micro, n_users,
+            CAST(floor(1e6 * CAST(n_correct AS DOUBLE) /
+              CAST(n_users AS DOUBLE)) AS BIGINT) AS acc_ppm,
+            CAST(floor(CAST(ssq AS DOUBLE) / n_users / 1e6) AS BIGINT)
+              AS brier_ppm
+          FROM w3t, m"""
+      }),
+
+    // Probability calibration audit (reliability diagram + expected
+    // calibration error): a Laplace-smoothed click-share heuristic is
+    // the "model score"; decile score bins compare mean predicted ppm
+    // with observed label rate, and ECE weights the per-bin gap by bin
+    // mass. The ECE window runs over <= 10 domain-bounded bin rows.
+    ("q_ml_calibration",
+      (s: SparkSession, d: String) => {
+        val scored = feats(s, d)
+          .withColumn("p_hat_ppm",
+            floor(lit(1e6) * (col("x1") + lit(1L)).cast("double") /
+              (col("x1") + col("x2") + lit(2L)).cast("double"))
+              .cast("long"))
+          .withColumn("bin",
+            least(floor(col("p_hat_ppm").cast("double") / lit(100000.0))
+              .cast("long"), lit(9L)))
+        val bins = scored.groupBy("bin")
+          .agg(count(lit(1)).as("n_b"), sum("p_hat_ppm").as("sp"),
+            sum("y").as("pos"))
+          .select(col("bin"), col("n_b"),
+            floor(col("sp").cast("double") / col("n_b").cast("double"))
+              .cast("long").as("mean_pred_ppm"),
+            floor(lit(1e6) * col("pos").cast("double") /
+              col("n_b").cast("double")).cast("long").as("obs_ppm"))
+        val all = Window.partitionBy()
+        bins
+          .withColumn("ece_ppm",
+            floor(sum(col("n_b") *
+                abs(col("mean_pred_ppm") - col("obs_ppm"))).over(all)
+              .cast("double") / sum(col("n_b")).over(all).cast("double"))
+              .cast("long"))
+      },
+      Some(s"""WITH $featSql,
+          sc AS (SELECT u.*,
+              CAST(floor(1e6 * CAST(x1 + 1 AS DOUBLE) /
+                CAST(x1 + x2 + 2 AS DOUBLE)) AS BIGINT) AS p_hat_ppm
+            FROM u),
+          sb AS (SELECT least(CAST(floor(CAST(p_hat_ppm AS DOUBLE)
+                / 100000.0) AS BIGINT), 9) AS bin, p_hat_ppm, y
+            FROM sc),
+          bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+              CAST(floor(CAST(sum(p_hat_ppm) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_pred_ppm,
+              CAST(floor(1e6 * CAST(sum(y) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE)) AS BIGINT) AS obs_ppm
+            FROM sb GROUP BY 1)
+          SELECT bin, n_b, mean_pred_ppm, obs_ppm,
+            CAST(floor(CAST(sum(n_b * abs(mean_pred_ppm - obs_ppm))
+                OVER () AS DOUBLE) /
+              CAST(sum(n_b) OVER () AS DOUBLE)) AS BIGINT) AS ece_ppm
+          FROM bins""")),
+
+    // Gini-gain decision stump (ML.bestStump) over three small-domain
+    // binned event features, label = is-purchase. Gini, not entropy:
+    // the impurity is an exact integer numerator over one division, so
+    // the gain is a fixed IEEE chain both engines replay bit-for-bit
+    // (floor-log2 entropy collapses most splits to the same whole-bit
+    // gain). Threshold windows run over each feature's observed bin
+    // domain (<= 24 rows), never the data.
+    ("q_ml_stump",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "events").select(
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"),
+          least(floor(cents(col("value")).cast("double") / lit(5000.0))
+            .cast("long"), lit(9L)).as("f_vbin"),
+          date_format(col("ts"), "HH").cast("long").as("f_hour"),
+          floor((dayofmonth(col("ts")) - lit(1)).cast("double") /
+            lit(7.0)).cast("long").as("f_day"))
+        ML.bestStump(e, Seq("f_day", "f_hour", "f_vbin"), "y")
+      },
+      Some {
+        def gini(n: String, pos: String): String =
+          s"""(CAST($n * $n - $pos * $pos
+            - ($n - $pos) * ($n - $pos) AS DOUBLE) / CAST($n AS DOUBLE))"""
+        s"""WITH e AS (SELECT
+            CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS y,
+            least(CAST(floor(CAST(${centsSql(""""value"""")} AS DOUBLE)
+              / 5000.0) AS BIGINT), 9) AS f_vbin,
+            CAST(strftime(ts, '%H') AS BIGINT) AS f_hour,
+            CAST(floor(CAST(CAST(strftime(ts, '%d') AS BIGINT) - 1
+              AS DOUBLE) / 7.0) AS BIGINT) AS f_day
+          FROM events),
+        m AS (SELECT 'f_vbin' AS feature, f_vbin AS bin, y FROM e
+          UNION ALL SELECT 'f_hour', f_hour, y FROM e
+          UNION ALL SELECT 'f_day', f_day, y FROM e),
+        cells AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS c,
+            CAST(sum(y) AS BIGINT) AS pos
+          FROM m GROUP BY 1, 2),
+        sp AS (SELECT feature, bin,
+            CAST(sum(c) OVER wl AS BIGINT) AS n_left,
+            CAST(sum(pos) OVER wl AS BIGINT) AS pos_left,
+            CAST(sum(c) OVER wt AS BIGINT) AS n,
+            CAST(sum(pos) OVER wt AS BIGINT) AS pos_tot,
+            row_number() OVER wo AS rk, count(*) OVER wt AS nb
+          FROM cells
+          WINDOW wl AS (PARTITION BY feature ORDER BY bin
+              ROWS UNBOUNDED PRECEDING),
+            wo AS (PARTITION BY feature ORDER BY bin),
+            wt AS (PARTITION BY feature)),
+        g AS (SELECT feature, bin, n, n_left, pos_left,
+            ${gini("n", "pos_tot")} - ${gini("n_left", "pos_left")}
+              - ${gini("(n - n_left)", "(pos_tot - pos_left)")}
+              AS gain_num
+          FROM sp WHERE rk < nb),
+        b AS (SELECT *, row_number() OVER (PARTITION BY feature
+            ORDER BY gain_num DESC, bin) AS pick FROM g),
+        f AS (SELECT * FROM b WHERE pick = 1)
+        SELECT feature, bin AS thr, n, n_left, pos_left,
+          CAST(floor(1e6 * gain_num / CAST(n AS DOUBLE)) AS BIGINT)
+            AS gain_ppm,
+          CASE WHEN row_number() OVER (ORDER BY gain_num DESC, feature,
+            bin) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS is_best
+        FROM f"""
+      }))
+}

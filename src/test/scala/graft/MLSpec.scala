@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ML
+
+class MLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hardSigmoidPpm: linear region, clamps, exact floorDiv at negatives") {
+    val got = Seq(-5000000L, -3L, 0L, 1L, 2000000L, 5000000L).toDF("z")
+      .select(ML.hardSigmoidPpm($"z").as("p")).as[Long].collect().toSeq
+    // -3/4 floors to -1 (floorDiv, not trunc); clamps at 0 and 1e6
+    assert(got == Seq(0L, 499999L, 500000L, 500000L, 1000000L, 1000000L))
+  }
+
+  test("logisticGd: separable data fits a separating rule, history exact") {
+    // y = 1 iff x1 >= 5; single feature, perfectly separable
+    val feats = (0L to 9L).map(x => (x, if (x >= 5) 1L else 0L))
+      .toDF("x1", "y")
+    val fit = ML.logisticGd(feats, Seq("x1"), "y", rounds = 20, lr = 0.5)
+    assert(fit.history.length == 21)
+    assert(fit.history.head.toSeq == Seq(0L, 0L))
+    // round 1 is hand-checkable: p = 500000 everywhere, so
+    // g0 = sum(500000 - y*1e6) = 10*5e5 - 5*1e6 = 0
+    // g1 = sum((500000 - y*1e6)*x1) = 5e5*(0+..+4) - 5e5*(5+..+9) = -12.5e6
+    assert(fit.history(1).toSeq ==
+      Seq(0L, -math.floor(-12500000.0 / 10 * 0.5).toLong))
+    assert(fit.history(1)(1) == 625000L)
+    // 20 rounds at lr=0.5 reach w = (-1517341, 342184) (hand-replayed)
+    assert(fit.history.last.toSeq == Seq(-1517341L, 342184L))
+    // the fitted rule classifies the training set perfectly
+    val acc = fit.scored
+      .select(sum(when(($"p_ppm" >= 500000L) === ($"y" === 1L), 1L)
+        .otherwise(0L)).as("c")).as[Long].head()
+    assert(acc == 10L)
+  }
+
+  test("logisticGd: round = one aggregate, weights are O(k) driver state") {
+    val feats = Seq((1L, 2L, 0L), (3L, 1L, 1L), (2L, 2L, 1L))
+      .toDF("a", "b", "y")
+    val fit = ML.logisticGd(feats, Seq("a", "b"), "y", rounds = 2)
+    assert(fit.history.forall(_.length == 3))
+    assert(fit.scored.columns.contains("p_ppm"))
+  }
+
+  test("bestStump: picks the perfectly separating feature and threshold") {
+    // f_good separates at bin <= 1; f_noise is independent of y
+    val rows = Seq(
+      (0L, 3L, 0L), (1L, 7L, 0L), (0L, 9L, 0L), (1L, 2L, 0L),
+      (2L, 3L, 1L), (3L, 7L, 1L), (2L, 9L, 1L), (3L, 2L, 1L))
+    val df = rows.toDF("f_good", "f_noise", "y")
+    val got = ML.bestStump(df, Seq("f_good", "f_noise"), "y")
+      .orderBy("feature").collect()
+    val good = got.find(_.getString(0) == "f_good").get
+    assert(good.getLong(1) == 1L)       // thr: bin <= 1 goes left
+    assert(good.getLong(3) == 4L)       // n_left
+    assert(good.getLong(4) == 0L)       // pos_left: pure left child
+    assert(good.getLong(6) == 1L)       // is_best
+    // perfect split: parent gini = 8*(1-0.5) = 4, children 0 ->
+    // gain_ppm = 1e6 * 4/8 = 500000
+    assert(good.getLong(5) == 500000L)
+    val noise = got.find(_.getString(0) == "f_noise").get
+    assert(noise.getLong(6) == 0L)
+    assert(noise.getLong(5) < 500000L)
+  }
+
+  test("bestStump: last bin is never a threshold (no empty right child)") {
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).toDF("f", "y")
+    val got = ML.bestStump(df, Seq("f"), "y").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L)
+  }
+}
