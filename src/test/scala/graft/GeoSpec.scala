@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Geo
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d2(a: (Long, Long), b: (Long, Long)): Long = {
+    val dlat = a._1 - b._1
+    val dl = math.abs(a._2 - b._2)
+    val dlon = math.min(dl, Geo.LonSpanMicro - dl)
+    dlat * dlat + dlon * dlon
+  }
+
+  test("withinRadiusPairs: matches brute force, each pair exactly once") {
+    // deterministic scatter incl. cell-boundary and near-pole points
+    val pts = (1L to 60L).map { i =>
+      (i, (i * 7919L) % 180000000L - 90000000L,
+        (i * 104729L) % 360000000L - 180000000L)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+    val r = 5000000L
+    val got = Geo.withinRadiusPairs(df, "id", "lat", "lon", r)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      dd = d2((a._2, a._3), (b._2, b._3)) if dd <= r * r
+    } yield (a._1, b._1, dd)).sorted.toSeq
+    assert(got == want)
+    assert(got.size == got.distinct.size)
+  }
+
+  test("withinRadiusPairs: antimeridian wraparound pair is found") {
+    val df = Seq(
+      (1L, 0L, -179500000L), // 0.5 deg west of the antimeridian
+      (2L, 0L, 179500000L),  // 0.5 deg east -> 1 deg apart across it
+      (3L, 0L, 0L)
+    ).toDF("id", "lat", "lon")
+    val got = Geo.withinRadiusPairs(df, "id", "lat", "lon", 2000000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1000000L * 1000000L)))
+  }
+
+  test("withinRadiusPairs: rejects a radius that does not divide 360 deg") {
+    val df = Seq((1L, 0L, 0L)).toDF("id", "lat", "lon")
+    intercept[IllegalArgumentException] {
+      Geo.withinRadiusPairs(df, "id", "lat", "lon", 7000000L)
+    }
+  }
+
+  test("knnWithinRadius: ranks by distance then id, caps at k") {
+    val df = Seq(
+      (1L, 0L, 0L), (2L, 0L, 1000000L), (3L, 0L, 2000000L),
+      (4L, 1000000L, 0L), (5L, 3000000L, 3000000L) // 5 is isolated
+    ).toDF("id", "lat", "lon")
+    val got = Geo.knnWithinRadius(df, "id", "lat", "lon", 2000000L, 2)
+      .select("id", "rank", "neighbor").as[(Long, Long, Long)]
+      .collect().toSet
+    // point 1: nearest are 2 and 4 at equal distance -> id tiebreak
+    assert(got.contains((1L, 1L, 2L)) && got.contains((1L, 2L, 4L)))
+    assert(!got.exists(_._1 == 5L)) // isolated point absent
+    assert(got.count(_._1 == 2L) == 2) // capped at k=2
+  }
+
+  test("assignFences: half-open bounds, multi-assign on overlap") {
+    val fences = Seq(
+      ("a", 0L, 10L, 0L, 10L),
+      ("b", 5L, 15L, 5L, 15L))
+      .toDF("fence_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+    val pts = Seq((1L, 0L, 0L), (2L, 7L, 7L), (3L, 10L, 10L), (4L, 20L, 20L))
+      .toDF("id", "lat", "lon")
+    val got = Geo.assignFences(pts, "id", "lat", "lon", fences)
+      .select("id", "fence_id").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")))
+  }
+}
