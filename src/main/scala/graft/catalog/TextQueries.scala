@@ -1862,6 +1862,108 @@ private[graft] object TextQueries {
     // hits-per-million-tokens threshold. Dominant category deterministic
     // via min(-hits, category). Oracle replays the join + both rollups
     // (window form for the arg-min) over the same VALUES list.
+    // Kneser-Ney smoothed bigram LM (Kneser & Ney 1995; the Chen-Goodman
+    // 1999 standard), EXACT-RATIONAL form: with discount D = 3/4 every
+    // probability is an integer ratio after scaling counts by 4 —
+    //   P_KN(w2|w1) = [max(4·c12−3, 0)·Nbb + 3·N1(w1•)·N1(•w2)]
+    //                 / (4·c(w1)·Nbb)
+    // where N1 are the continuation-type counts and Nbb the distinct
+    // bigram types. Unlike q_text_lm_score's whole-bit backoff, the KN
+    // score is fine-grained ppm; same train/score discipline (train on
+    // even doc_ids, score everything, so held-out docs exercise the
+    // continuation backoff and the unseen-context floor). All count
+    // tables are vocabulary-bounded; one exploded-bigram scan. The
+    // 1e6·num product stays under 2^53 at catalog scales — stage
+    // through DECIMAL past ~1e9 bigram types (the CUPED rule).
+    ("q_text_kneser_ney",
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        def bigrams(df: DataFrame) = df.select(col("doc_id"),
+            TextOps.tokens(col("text")).as("ts"))
+          .select(col("doc_id"), explode(zip_with(col("ts"),
+            slice(col("ts"), lit(2), size(col("ts"))),
+            (a, b) => when(b.isNotNull,
+              struct(a.as("w1"), b.as("w2"))))).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("doc_id"), col("s.w1").as("w1"),
+            col("s.w2").as("w2"))
+        val bc = bigrams(docs.filter(col("doc_id") % 2 === 0))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        val ctx = bc.groupBy("w1")
+          .agg(sum("n12").as("c1"), count(lit(1)).as("n1fw"))
+        val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+        val nbb = bc.agg(count(lit(1)).as("nbb"))
+        val scored = bigrams(docs)
+          .join(bc, Seq("w1", "w2"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .crossJoin(broadcast(nbb))
+          .select(col("doc_id"),
+            when(col("c1").isNotNull, floor(lit(1e6) *
+              (greatest(lit(4L) * coalesce(col("n12"), lit(0L)) -
+                  lit(3L), lit(0L)) * col("nbb") +
+                lit(3L) * col("n1fw") * coalesce(col("n1bw"), lit(0L)))
+                .cast("double") /
+              (lit(4L) * col("c1") * col("nbb")).cast("double")))
+              .otherwise(floor(lit(1e6) *
+                coalesce(col("n1bw"), lit(0L)).cast("double") /
+                col("nbb").cast("double")))
+              .cast("long").as("p_ppm"),
+            when(coalesce(col("n12"), lit(0L)) > 0, 1L).otherwise(0L)
+              .as("seen"),
+            when(col("c1").isNull, 1L).otherwise(0L).as("no_ctx"))
+        val per = scored.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("seen").as("n_seen"),
+            sum("no_ctx").as("n_unseen_ctx"), sum("p_ppm").as("sum_p_ppm"))
+        docs.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+            coalesce(col("n_unseen_ctx"), lit(0L)).as("n_unseen_ctx"),
+            coalesce(col("sum_p_ppm"), lit(0L)).as("sum_p_ppm"))
+          .withColumn("avg_p_ppm",
+            expr("sum_p_ppm div greatest(n_bigrams, 1L)"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, ${tokensSql()} AS ts
+            FROM documents),
+        bi AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(ts))) AS u(i)),
+        bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bi
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS c1,
+            CAST(count(*) AS BIGINT) AS n1fw FROM bc GROUP BY 1),
+        cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw
+          FROM bc GROUP BY 1),
+        nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM bc),
+        sc AS (SELECT bi.doc_id,
+            CASE WHEN ctx.c1 IS NOT NULL
+              THEN CAST(floor(1e6 * CAST(
+                greatest(4 * COALESCE(bc.n12, 0) - 3, 0) * nbb +
+                  3 * ctx.n1fw * COALESCE(cont.n1bw, 0) AS DOUBLE) /
+                CAST(4 * ctx.c1 * nbb AS DOUBLE)) AS BIGINT)
+              ELSE CAST(floor(1e6 * CAST(COALESCE(cont.n1bw, 0)
+                AS DOUBLE) / CAST(nbb AS DOUBLE)) AS BIGINT)
+            END AS p_ppm,
+            CASE WHEN COALESCE(bc.n12, 0) > 0 THEN 1 ELSE 0 END AS seen,
+            CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS no_ctx
+          FROM bi
+          LEFT JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+          LEFT JOIN ctx ON bi.w1 = ctx.w1
+          LEFT JOIN cont ON bi.w2 = cont.w2, nbb),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(sum(seen) AS BIGINT) AS n_seen,
+            CAST(sum(no_ctx) AS BIGINT) AS n_unseen_ctx,
+            CAST(sum(p_ppm) AS BIGINT) AS sum_p_ppm
+          FROM sc GROUP BY 1)
+        SELECT d.doc_id,
+          COALESCE(per.n_bigrams, 0) AS n_bigrams,
+          COALESCE(per.n_seen, 0) AS n_seen,
+          COALESCE(per.n_unseen_ctx, 0) AS n_unseen_ctx,
+          COALESCE(per.sum_p_ppm, 0) AS sum_p_ppm,
+          COALESCE(per.sum_p_ppm, 0)
+            // greatest(COALESCE(per.n_bigrams, 0), 1) AS avg_p_ppm
+        FROM documents d LEFT JOIN per USING (doc_id)""")),
+
     ("q_text_blocklist",
       (s: SparkSession, d: String) => TextOps.blocklistAudit(
         t(s, d, "documents").filter(col("text").isNotNull),
