@@ -2227,6 +2227,117 @@ private[graft] object RelationalQueries {
                ELSE CAST(0 AS BIGINT) END AS significant
         FROM z""")),
 
+    // Group-sequential A/B monitoring (Pocock 1977; O'Brien-Fleming
+    // 1979) — the "peek 5 times without inflating alpha" discipline of
+    // production experimentation, in q_agg_abtest's sqrt-free z² form:
+    // five 6-day interims accumulate arm counts via a window over the 5
+    // interim rows (domain-bounded, never data-sized), the z² statistic
+    // is the exact-integer-moments ratio, and the spending boundaries
+    // are published constants (K=5, two-sided alpha=0.05: Pocock
+    // z=2.413 -> z² 5.822569; OBF z_k = 2.04*sqrt(5/k) -> z² 4.1616*5/k
+    // in micro literals). first_cross columns show why OBF exists: it
+    // spends almost nothing early and nearly the fixed-sample bound at
+    // the end. One fact scan.
+    ("q_agg_groupseq",
+      (s: SparkSession, d: String) => {
+        val u = t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("v", pmod(col("user_id"), lit(2L)))
+          // interim k = which 6-day block the user-day falls in (1..5)
+          .withColumn("k",
+            floor((dayofmonth(col("day")) - lit(1)).cast("double") /
+              lit(6.0)).cast("long") + lit(1L))
+        val per = u.groupBy("k").agg(
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("dn1"),
+          sum(when(col("v") === 0, col("conv")).otherwise(0L)).as("dc1"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("dn2"),
+          sum(when(col("v") === 1, col("conv")).otherwise(0L)).as("dc2"))
+        val w = Window.orderBy("k") // 5 interim rows
+        val cum = per
+          .withColumn("n1", sum("dn1").over(w))
+          .withColumn("c1", sum("dc1").over(w))
+          .withColumn("n2", sum("dn2").over(w))
+          .withColumn("c2", sum("dc2").over(w))
+        val diff = (col("c1") * col("n2") - col("c2") * col("n1"))
+          .cast("double")
+        val pooled = (col("c1") + col("c2")) *
+          (col("n1") + col("n2") - col("c1") - col("c2"))
+        val obfBound = // 4.1616 * 5/k in micro, exact integer literals
+          when(col("k") === 1, 20808000L).when(col("k") === 2, 10404000L)
+            .when(col("k") === 3, 6936000L).when(col("k") === 4, 5202000L)
+            .otherwise(4161600L)
+        val z = cum.withColumn("z2_micro",
+            when(col("n1") * col("n2") === 0 || pooled === 0,
+              lit(null).cast("long"))
+              .otherwise(floor(diff * diff *
+                (col("n1") + col("n2")).cast("double") * lit(1e6) /
+                ((col("n1") * col("n2")).cast("double") *
+                  pooled.cast("double"))).cast("long")))
+          .withColumn("pocock_sig",
+            when(col("z2_micro") > 5822569L, 1L).otherwise(0L))
+          .withColumn("obf_sig",
+            when(col("z2_micro") > obfBound, 1L).otherwise(0L))
+        val all = Window.partitionBy()
+        z.withColumn("pocock_first_k",
+            min(when(col("pocock_sig") === 1, col("k"))).over(all))
+          .withColumn("obf_first_k",
+            min(when(col("obf_sig") === 1, col("k"))).over(all))
+          .select("k", "n1", "c1", "n2", "c2", "z2_micro",
+            "pocock_sig", "obf_sig", "pocock_first_k", "obf_first_k")
+      },
+      Some("""WITH u AS (SELECT user_id, day,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS conv
+          FROM (SELECT user_id, event_type, CAST(ts AS DATE) AS day
+            FROM events) GROUP BY 1, 2),
+        g AS (SELECT user_id % 2 AS v, conv,
+            CAST(floor(CAST(CAST(strftime(day, '%d') AS BIGINT) - 1
+              AS DOUBLE) / 6.0) AS BIGINT) + 1 AS k
+          FROM u),
+        per AS (SELECT k,
+            CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dn1,
+            CAST(sum(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT)
+              AS dc1,
+            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS dn2,
+            CAST(sum(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT)
+              AS dc2
+          FROM g GROUP BY 1),
+        cum AS (SELECT k,
+            CAST(sum(dn1) OVER wk AS BIGINT) AS n1,
+            CAST(sum(dc1) OVER wk AS BIGINT) AS c1,
+            CAST(sum(dn2) OVER wk AS BIGINT) AS n2,
+            CAST(sum(dc2) OVER wk AS BIGINT) AS c2
+          FROM per WINDOW wk AS (ORDER BY k ROWS UNBOUNDED PRECEDING)),
+        z AS (SELECT k, n1, c1, n2, c2,
+            CASE WHEN n1 * n2 = 0
+                OR (c1+c2) * (n1+n2-c1-c2) = 0 THEN NULL
+              ELSE CAST(floor(
+                CAST(c1*n2 - c2*n1 AS DOUBLE)
+                  * CAST(c1*n2 - c2*n1 AS DOUBLE)
+                  * CAST(n1+n2 AS DOUBLE) * 1e6 /
+                (CAST(n1 * n2 AS DOUBLE)
+                  * CAST((c1+c2) * (n1+n2-c1-c2) AS DOUBLE)))
+                AS BIGINT) END AS z2_micro
+          FROM cum),
+        sig AS (SELECT *,
+            CASE WHEN z2_micro > 5822569 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS pocock_sig,
+            CASE WHEN z2_micro > (CASE k WHEN 1 THEN 20808000
+                WHEN 2 THEN 10404000 WHEN 3 THEN 6936000
+                WHEN 4 THEN 5202000 ELSE 4161600 END)
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+              AS obf_sig
+          FROM z)
+        SELECT k, n1, c1, n2, c2, z2_micro, pocock_sig, obf_sig,
+          min(CASE WHEN pocock_sig = 1 THEN k END) OVER ()
+            AS pocock_first_k,
+          min(CASE WHEN obf_sig = 1 THEN k END) OVER () AS obf_first_k
+        FROM sig""")),
+
     // Kolmogorov–Smirnov two-sample statistic, EXACT: D = max over
     // values of |F1 − F2| evaluates as max|cum1·n2 − cum2·n1| / (n1·n2)
     // with the per-group cumulative counts from ONE range-partitioned
