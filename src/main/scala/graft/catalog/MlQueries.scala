@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Shared._
+import graft.catalog.DedupQueries.cosineSql
 import graft.ops.ML
 
 /** In-engine model-training family (graft.ops.ML): distributed batch-GD
@@ -177,6 +178,68 @@ private[graft] object MlQueries {
                 OVER () AS DOUBLE) /
               CAST(sum(n_b) OVER () AS DOUBLE)) AS BIGINT) AS ece_ppm
           FROM bins""")),
+
+    // Leave-one-out kNN classifier evaluation over the labeled
+    // embeddings: exact integer-quantized cosine 5-NN (the q_sim_topk
+    // substrate — self excluded by construction), majority vote with a
+    // (votes desc, label asc) tiebreak, per-true-label recall. This is
+    // the "is the embedding space label-separable" audit run before
+    // trusting embedding-based curation. Exact brute-force scoring is
+    // the contract of an EVAL (the eval set is bounded — here the
+    // fixture corpus; at 100 TB you evaluate on a sample and the
+    // production path stays the LSH/IVF substrate).
+    ("q_ml_knn_eval",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val knn = graft.ops.Similarity.cosineTopK(
+          e, "vec_id", "embedding", e, "vec_id", "embedding", k = 5)
+        val lbl = e.select(col("vec_id"), col("label").cast("long")
+          .as("lab"))
+        val votes = knn
+          .join(lbl.select(col("vec_id").as("neighbor_id"),
+            col("lab").as("nlabel")), Seq("neighbor_id"))
+          .groupBy("query_id", "nlabel")
+          .agg(count(lit(1)).as("votes"))
+        val pred = votes.withColumn("rk", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("votes").desc, col("nlabel"))))
+          .filter(col("rk") === 1)
+          .select(col("query_id"), col("nlabel").as("pred"))
+        pred.join(lbl.select(col("vec_id").as("query_id"),
+            col("lab").as("true_label")), Seq("query_id"))
+          .groupBy("true_label")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("pred") === col("true_label"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .withColumn("recall_ppm",
+            floor(lit(1e6) * col("n_correct").cast("double") /
+              col("n_eval").cast("double")).cast("long"))
+      },
+      Some(s"""WITH c AS MATERIALIZED (SELECT vec_id, $quantSql AS v,
+            CAST(label AS BIGINT) AS lab
+          FROM embeddings),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            c.lab AS nlabel, ${cosineSql("q.v", "c.v")} AS cosine
+          FROM c q JOIN c ON c.vec_id <> q.vec_id),
+        knn AS (SELECT query_id, nlabel FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+          WHERE rnk <= 5),
+        votes AS (SELECT query_id, nlabel,
+            CAST(count(*) AS BIGINT) AS votes
+          FROM knn GROUP BY 1, 2),
+        pred AS (SELECT query_id, nlabel AS pred FROM
+            (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY votes DESC, nlabel) AS rk FROM votes)
+          WHERE rk = 1)
+        SELECT c.lab AS true_label, CAST(count(*) AS BIGINT) AS n_eval,
+          CAST(sum(CASE WHEN p.pred = c.lab THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          CAST(floor(1e6 * CAST(sum(CASE WHEN p.pred = c.lab THEN 1
+              ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+            AS BIGINT) AS recall_ppm
+        FROM pred p JOIN c ON c.vec_id = p.query_id
+        GROUP BY 1""")),
 
     // Gini-gain decision stump (ML.bestStump) over three small-domain
     // binned event features, label = is-purchase. Gini, not entropy:
