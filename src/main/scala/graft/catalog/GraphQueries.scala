@@ -454,6 +454,23 @@ private[graft] object GraphQueries {
       },
       Some(bfsOracleSql(3))),
 
+    // Sampled bounded-distance betweenness (Graph.betweennessSampled —
+    // Brandes 2001 via Brandes-Pich 2007 pivot sampling + a 3-hop
+    // bound): which nodes BROKER shortest paths, the complement of
+    // PageRank's "which nodes absorb mass". Five part pivots; forward
+    // path counting and micro-quantized backward dependency
+    // accumulation are exact integer recurrences, so the oracle unrolls
+    // both phases and the centrality itself hash-matches.
+    ("q_graph_betweenness", {
+      ((s: SparkSession, d: String) => {
+        val seeds = t(s, d, "lineitem").filter(col("l_partkey") < 5)
+          .select((col("l_partkey") * 2).as("seed"))
+        Graph.betweennessSampled(partSupplierEdges(s, d), "src", "dst",
+          seeds, "seed", rounds = 3)
+      }): Q
+      },
+      Some(betweennessOracleSql(3))),
+
     // HITS hub/authority (Graph.hitsInt) on the DIRECTED part->supplier
     // graph — parts are pure hubs, suppliers pure authorities (bipartite),
     // the "rank pointers separately from content" side of link analysis

@@ -822,6 +822,62 @@ private[graft] object SamplingQueries {
     base + hops + s"\n      SELECT node, level FROM l$rounds"
   }
 
+  /** Unrolled DuckDB replay of [[Graph.betweennessSampled]] over the
+    * part<->supplier graph with the l_partkey < 5 pivot set: forward
+    * CTEs f1..fR count shortest paths per (source, node) exactly as the
+    * engine's frontier rounds do (NOT EXISTS = the anti-join), backward
+    * CTEs dR-1..d1 replay the micro-quantized dependency accumulation
+    * (positive-operand `//` = Spark `div`), and the final aggregate
+    * keeps nodes with positive centrality. */
+  private[graft] def betweennessOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+          l_suppkey * 2 + 1 AS dst FROM lineitem),
+      e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      l0 AS (SELECT DISTINCT l_partkey * 2 AS s, l_partkey * 2 AS node,
+          CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS sigma
+        FROM lineitem WHERE l_partkey < 5)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      f$r AS (SELECT f.s, e.dst AS node, CAST(sum(f.sigma) AS BIGINT)
+          AS sigma
+        FROM ${if (r == 1) "l0" else s"f${r - 1}"} f
+        JOIN e ON e.src = f.node
+        WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} x
+          WHERE x.s = f.s AND x.node = e.dst)
+        GROUP BY 1, 2),
+      l$r AS (SELECT s, node, level, sigma FROM l${r - 1}
+        UNION ALL SELECT s, node, CAST($r AS BIGINT), sigma FROM f$r)"""
+    }
+    sb ++= s""",
+      d$rounds AS (SELECT s, node, CAST(0 AS BIGINT) AS delta
+        FROM l$rounds WHERE level = $rounds)"""
+    for (l <- (rounds - 1) to 1 by -1) {
+      sb ++= s""",
+      w${l + 1} AS (SELECT x.s, x.node, x.sigma,
+          COALESCE(d.delta, 0) AS delta
+        FROM (SELECT s, node, sigma FROM l$rounds
+          WHERE level = ${l + 1}) x
+        LEFT JOIN d${l + 1} d ON d.s = x.s AND d.node = x.node),
+      d$l AS (SELECT v.s, v.node,
+          CAST(sum(v.sigma * (1000000 + w.delta) // w.sigma) AS BIGINT)
+            AS delta
+        FROM (SELECT s, node, sigma FROM l$rounds WHERE level = $l) v
+        JOIN e ON e.src = v.node
+        JOIN w${l + 1} w ON w.s = v.s AND w.node = e.dst
+        GROUP BY 1, 2)"""
+    }
+    val accArms = (1 to rounds)
+      .map(l => s"SELECT s, node, delta FROM d$l")
+      .mkString("\n        UNION ALL ")
+    sb ++= s""",
+      acc AS ($accArms)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+        CAST(sum(delta) AS BIGINT) AS bc_micro
+      FROM acc GROUP BY 1 HAVING sum(delta) > 0"""
+    sb.toString
+  }
+
   /** Unrolled DuckDB replay of [[Graph.randomWalks]] over the CAPPED
     * (maxDegree = 8) symmetrized co-order parts graph: the q_graph_capped
     * cap CTEs, a per-node dst-ordered neighbor index, and one join-CTE

@@ -632,6 +632,93 @@ object Graph {
   }
 
   /**
+   * Sampled bounded-distance betweenness centrality — Brandes 2001's
+   * dependency accumulation, restricted the two ways every production
+   * deployment restricts it: PIVOT SAMPLING (Brandes & Pich 2007 — a
+   * seed set of sources, not all n) and a HOP BOUND (k-bounded
+   * betweenness — shortest paths longer than `rounds` hops contribute
+   * nothing). Forward phase: per-source BFS with path counting,
+   *
+   *   sigma_0(s, s) = 1
+   *   sigma_r(s, v) = sum over edges (u, v) of sigma_{r-1}(s, u)
+   *                   for v first reached at round r,
+   *
+   * each round ONE frontier equi-join + sum-aggregate + anti-join
+   * against the reached set ([[bfsLevels]]' eager-frontier policy — the
+   * anti-join references all earlier rounds). Backward phase, level
+   * l = rounds-1 down to 1:
+   *
+   *   delta(s, v) = sum over edges (v, w), level(s, w) = level(s, v)+1
+   *                 of (sigma(s,v) * (SCALE + delta(s, w))) div sigma(s,w)
+   *
+   * — Brandes' pair dependency in micro units, each term an exact
+   * integer floor division (operands positive, so Spark `div` and
+   * DuckDB `//` agree), each level ONE equi-join + sum. bc(v) =
+   * sum over sources of delta(s, v); level-0 rows (the source itself)
+   * are excluded per Brandes. Deepest-level nodes have delta = 0.
+   *
+   * Scale shape: state is (sources × reached nodes), cost per round is
+   * |seeds| independent frontier expansions sharing one shuffle each —
+   * linear in touched edges, never all-pairs; `maxDegree > 0` applies
+   * the [[capDegree]] structural hub guard first (same contract as
+   * [[labelPropagation]]). sigma grows at most degree^rounds per
+   * source — cap × small rounds keeps it far from 2^63.
+   */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      maxDegree: Int = 0): DataFrame = {
+    require(rounds >= 2 && rounds <= 8,
+      s"betweennessSampled needs 2 <= rounds <= 8, got $rounds — deeper " +
+      "traversals multiply per-source state; raise sources, not depth")
+    val scale = 1000000L
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = (if (maxDegree <= 0) e0
+      else capDegree(e0, "src", "dst", maxDegree)).localCheckpoint()
+    // forward: per-source levels + path counts, eager per round
+    var lvl = seeds.select(col(seedCol).cast("long").as("s")).distinct()
+      .select(col("s"), col("s").as("node"), lit(0L).as("level"),
+        lit(1L).as("sigma")).localCheckpoint()
+    var frontier = lvl.select("s", "node", "sigma")
+    for (r <- 1 to rounds) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(lvl.select("s", "node"), Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(r.toLong).as("level"),
+          col("sigma"))
+        .localCheckpoint()
+      lvl = lvl.union(next)
+      frontier = next.select("s", "node", "sigma")
+    }
+    // backward: dependency accumulation, one level at a time
+    var delta = lvl.filter(col("level") === rounds)
+      .select(col("s"), col("node"), lit(0L).as("delta"))
+      .localCheckpoint()
+    var acc = delta // all (s, node, delta) rows of levels l+1..rounds
+    for (l <- (rounds - 1) to 1 by -1) {
+      val wSide = lvl.filter(col("level") === (l + 1))
+        .join(delta, Seq("s", "node"), "left")
+        .select(col("s"), col("node").as("dst"),
+          col("sigma").as("sigma_w"),
+          coalesce(col("delta"), lit(0L)).as("delta_w"))
+      val dl = lvl.filter(col("level") === l)
+        .withColumnRenamed("node", "src")
+        .join(e, Seq("src"))
+        .join(wSide, Seq("s", "dst"))
+        .groupBy(col("s"), col("src").as("node"))
+        .agg(sum(expr(s"sigma * ($scale + delta_w) div sigma_w"))
+          .as("delta"))
+        .localCheckpoint()
+      delta = dl
+      acc = acc.union(dl)
+    }
+    acc.groupBy("node")
+      .agg(count(lit(1)).as("n_sources"), sum("delta").as("bc_micro"))
+      .filter(col("bc_micro") > 0)
+  }
+
+  /**
    * Weighted single-source (single-SET) shortest paths: fixed-round
    * Bellman-Ford relaxation with BIGINT edge weights —
    *

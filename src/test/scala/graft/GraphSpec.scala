@@ -698,4 +698,36 @@ class GraphSpec extends SparkSpec {
     assert(Graph.labelPropagation(sym, "src", "dst", rounds = 2)
       .columns.toSeq == Seq("node", "label"))
   }
+
+  test("betweennessSampled: exact Brandes values on a path graph") {
+    // path 1-2-3-4-5, all nodes as pivots, depth covers the diameter:
+    // sigma = 1 on every pair, so bc_micro = 1e6 x (ordered source/target
+    // pairs brokered): node 3 carries {1,2}x{4,5} both ways = 8, nodes
+    // 2/4 carry 6; endpoints broker nothing and must be absent
+    val fwd = (1L to 4L).map(i => (i, i + 1))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = (1L to 5L).toDF("seed")
+    val got = Graph.betweennessSampled(sym, "src", "dst", seeds, "seed",
+        rounds = 4)
+      .select("node", "n_sources", "bc_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      2L -> ((4L, 6000000L)),
+      3L -> ((4L, 8000000L)),
+      4L -> ((4L, 6000000L))))
+  }
+
+  test("betweennessSampled: star center brokers every leaf pair") {
+    // star: center 0, leaves 1..4; every leaf pair's only path crosses 0.
+    // Pivot at every node: each leaf source contributes (SCALE + 0) per
+    // of the 3 other leaves -> bc(0) = 4 sources x 3e6 = 12e6
+    val fwd = (1L to 4L).map(i => (0L, i))
+    val sym = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val seeds = (0L to 4L).toDF("seed")
+    val got = Graph.betweennessSampled(sym, "src", "dst", seeds, "seed",
+        rounds = 2)
+      .select("node", "bc_micro").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 12000000L))
+  }
 }
