@@ -128,6 +128,115 @@ private[graft] object MlQueries {
           FROM w3t, m"""
       }),
 
+    // 2-fold cross-validated logistic regression — the generalization
+    // audit on top of q_ml_logreg: train on each user-parity fold (2 GD
+    // rounds), score BOTH folds with the frozen weights (scoring is a
+    // pure scan-stage expression — ML.scoreHardSigmoid), and report the
+    // train/test accuracy gap that flags overfitting before a curation
+    // model ships. The oracle replays both folds' full GD chains.
+    ("q_ml_cv",
+      (s: SparkSession, d: String) => {
+        val u = feats(s, d).cache()
+        val xs = Seq("x1", "x2", "x3")
+        def accCols(df: org.apache.spark.sql.DataFrame, w: Array[Long]) =
+          graft.ops.ML.scoreHardSigmoid(df, xs, w)
+            .agg(count(lit(1)).as("n"),
+              sum(when((col("p_ppm") >= 500000L) === (col("y") === 1L),
+                1L).otherwise(0L)).as("c"))
+        val out = Seq(0L, 1L).map { f =>
+          val tr = u.filter(pmod(col("user_id"), lit(2L)) === f)
+          val te = u.filter(pmod(col("user_id"), lit(2L)) =!= f)
+          val w = graft.ops.ML.logisticGd(tr, xs, "y",
+            rounds = 2, lr = 0.01).history.last
+          accCols(tr, w).select(col("n").as("n_train"),
+              col("c").as("c_train"))
+            .crossJoin(accCols(te, w).select(col("n").as("n_test"),
+              col("c").as("c_test")))
+            .select(lit(f).as("fold"),
+              lit(w(0)).as("w0_micro"), lit(w(1)).as("w1_micro"),
+              lit(w(2)).as("w2_micro"), lit(w(3)).as("w3_micro"),
+              col("n_train"), col("n_test"),
+              floor(lit(1e6) * col("c_train").cast("double") /
+                col("n_train").cast("double")).cast("long")
+                .as("train_acc_ppm"),
+              floor(lit(1e6) * col("c_test").cast("double") /
+                col("n_test").cast("double")).cast("long")
+                .as("test_acc_ppm"))
+            .withColumn("gap_ppm",
+              col("train_acc_ppm") - col("test_acc_ppm"))
+        }
+        u.unpersist()
+        out.reduce(_ unionAll _)
+      },
+      Some {
+        def pCte(p: String, src: String, w: String): String =
+          s"""$p AS (SELECT $src.*, least(greatest(CAST(floor(CAST(
+              w0 + w1*x1 + w2*x2 + w3*x3 AS DOUBLE) / 4.0) AS BIGINT)
+              + 500000, 0), 1000000) AS p
+            FROM $src, $w)"""
+        def foldChain(f: Int): String = {
+          def gCte(g: String, p: String): String =
+            s"""$g AS (SELECT
+                CAST(sum(p - y*1000000) AS BIGINT) AS g0,
+                CAST(sum((p - y*1000000) * x1) AS BIGINT) AS g1,
+                CAST(sum((p - y*1000000) * x2) AS BIGINT) AS g2,
+                CAST(sum((p - y*1000000) * x3) AS BIGINT) AS g3
+              FROM $p)"""
+          def wCte(wNew: String, wOld: String, g: String): String =
+            s"""$wNew AS (SELECT
+                w0 - CAST(floor(CAST(g0 AS DOUBLE) / n * 0.01) AS BIGINT)
+                  AS w0,
+                w1 - CAST(floor(CAST(g1 AS DOUBLE) / n * 0.01) AS BIGINT)
+                  AS w1,
+                w2 - CAST(floor(CAST(g2 AS DOUBLE) / n * 0.01) AS BIGINT)
+                  AS w2,
+                w3 - CAST(floor(CAST(g3 AS DOUBLE) / n * 0.01) AS BIGINT)
+                  AS w3
+              FROM $wOld, $g, nn$f)"""
+          s"""tr$f AS (SELECT * FROM u WHERE user_id % 2 = $f),
+            te$f AS (SELECT * FROM u WHERE user_id % 2 <> $f),
+            nn$f AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr$f),
+            w0t$f AS (SELECT CAST(0 AS BIGINT) AS w0,
+              CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+              CAST(0 AS BIGINT) AS w3),
+            ${pCte(s"p1$f", s"tr$f", s"w0t$f")},
+            ${gCte(s"g1$f", s"p1$f")},
+            ${wCte(s"w1t$f", s"w0t$f", s"g1$f")},
+            ${pCte(s"p2$f", s"tr$f", s"w1t$f")},
+            ${gCte(s"g2$f", s"p2$f")},
+            ${wCte(s"w2t$f", s"w1t$f", s"g2$f")},
+            ${pCte(s"ptr$f", s"tr$f", s"w2t$f")},
+            ${pCte(s"pte$f", s"te$f", s"w2t$f")},
+            mtr$f AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+                CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1
+                  ELSE 0 END) AS BIGINT) AS c_train
+              FROM ptr$f),
+            mte$f AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1
+                  ELSE 0 END) AS BIGINT) AS c_test
+              FROM pte$f)"""
+        }
+        def foldRow(f: Int): String =
+          s"""SELECT CAST($f AS BIGINT) AS fold, w0 AS w0_micro,
+            w1 AS w1_micro, w2 AS w2_micro, w3 AS w3_micro,
+            n_train, n_test,
+            CAST(floor(1e6 * CAST(c_train AS DOUBLE) /
+              CAST(n_train AS DOUBLE)) AS BIGINT) AS train_acc_ppm,
+            CAST(floor(1e6 * CAST(c_test AS DOUBLE) /
+              CAST(n_test AS DOUBLE)) AS BIGINT) AS test_acc_ppm,
+            CAST(floor(1e6 * CAST(c_train AS DOUBLE) /
+                CAST(n_train AS DOUBLE)) AS BIGINT)
+              - CAST(floor(1e6 * CAST(c_test AS DOUBLE) /
+                CAST(n_test AS DOUBLE)) AS BIGINT) AS gap_ppm
+          FROM w2t$f, mtr$f, mte$f"""
+        s"""WITH $featSql,
+          ${foldChain(0)},
+          ${foldChain(1)}
+          ${foldRow(0)}
+          UNION ALL
+          ${foldRow(1)}"""
+      }),
+
     // Probability calibration audit (reliability diagram + expected
     // calibration error): a Laplace-smoothed click-share heuristic is
     // the "model score"; decile score bins compare mean predicted ppm
