@@ -259,6 +259,68 @@ object StreamingIngest {
         })
   }
 
+  final case class GeoPing(ping_id: Long, device_id: Long,
+    ts: java.sql.Timestamp, lat: Long, lon: Long)
+  final case class FenceTransition(device_id: Long, ping_id: Long,
+    from_fence: String, to_fence: String, kind: String)
+
+  /**
+   * Streaming geofence transition detection — the streaming face of
+   * `q_geo_fence` (graft.ops.Geo.assignFences): per device, emit a row
+   * whenever the containing fence CHANGES (`enter` from outside,
+   * `exit` to outside, `switch` fence-to-fence); steady pings inside
+   * one fence emit nothing. Fences are a driver-side literal list
+   * (first containing rectangle wins, half-open micro bounds — the
+   * same contract as the batch op), so containment is a constant
+   * per-ping probe; state per device is ONE fence name. Micro-batch
+   * rows fold in (event-time, ping_id) order — in-order streams
+   * reproduce the reference fold exactly (spec-pinned); out-of-order
+   * arrivals fold at arrival position, the documented price of O(1)
+   * state.
+   */
+  def geofenceTransitions(pings: Dataset[GeoPing],
+      fences: Seq[(String, Long, Long, Long, Long)])
+      : Dataset[FenceTransition] = {
+    import pings.sparkSession.implicits._
+    require(fences.nonEmpty, "geofenceTransitions needs >= 1 fence")
+    def fenceOf(lat: Long, lon: Long): String =
+      fences.collectFirst {
+        case (id, latLo, latHi, lonLo, lonHi)
+          if lat >= latLo && lat < latHi &&
+             lon >= lonLo && lon < lonHi => id
+      }.orNull
+    pings.groupByKey(_.device_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (dev: Long, rows: Iterator[GeoPing],
+            state: GroupState[String]) => {
+          // "" = known-outside; state absent = never seen
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer[FenceTransition]()
+          rows.toSeq.sortBy(p => (tsMicros(p.ts), p.ping_id)).foreach { p =>
+            val f = fenceOf(p.lat, p.lon)
+            val fKey = if (f == null) "" else f
+            if (cur == null) {
+              // first ping ever: entering a fence is a transition,
+              // starting outside is not
+              if (fKey.nonEmpty)
+                out += FenceTransition(dev, p.ping_id, null, f, "enter")
+              cur = fKey
+            } else if (fKey != cur) {
+              val kind =
+                if (cur.isEmpty) "enter"
+                else if (fKey.isEmpty) "exit"
+                else "switch"
+              out += FenceTransition(dev, p.ping_id,
+                if (cur.isEmpty) null else cur,
+                if (fKey.isEmpty) null else f, kind)
+              cur = fKey
+            }
+          }
+          state.update(cur)
+          out.iterator
+        })
+  }
+
   final case class CusumState(n: Long, sum: Long, mean: Long,
     sPos: Long, sNeg: Long)
   final case class CusumAlarm(event_type: String, event_id: Long,

@@ -548,6 +548,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming geofence transitions: enter/exit/switch, O(1) state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{GeoPing, FenceTransition}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fences = Seq(
+      ("a", 0L, 10L, 0L, 10L),
+      ("b", 20L, 30L, 20L, 30L),
+      // overlaps a: first containing fence must win
+      ("shadow", 0L, 10L, 5L, 15L))
+    def ping(id: Long, dev: Long, t: Long, lat: Long, lon: Long) =
+      GeoPing(id, dev, new java.sql.Timestamp(t), lat, lon)
+    val pings = Seq(
+      ping(1, 1, 1000, 50, 50),  // outside: first sighting, no row
+      ping(2, 1, 2000, 5, 5),    // enter a
+      ping(3, 1, 3000, 6, 6),    // still a: no row
+      ping(4, 1, 4000, 5, 12),   // only shadow contains -> switch
+      ping(5, 1, 5000, 25, 25),  // switch to b
+      ping(6, 1, 6000, 50, 50),  // exit
+      ping(7, 2, 1000, 5, 5),    // device 2: first sighting INSIDE -> enter
+      ping(8, 2, 2000, 5, 7))    // a and shadow both contain -> a wins, no row
+    val expected = Set(
+      FenceTransition(1L, 2L, null, "a", "enter"),
+      FenceTransition(1L, 4L, "a", "shadow", "switch"),
+      FenceTransition(1L, 5L, "shadow", "b", "switch"),
+      FenceTransition(1L, 6L, "b", null, "exit"),
+      FenceTransition(2L, 7L, null, "a", "enter"))
+    val mem = MemoryStream[GeoPing]
+    val q = StreamingIngest.geofenceTransitions(mem.toDS(), fences)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("geofence_stream").start()
+    try {
+      // split mid-journey so the fence state crosses a micro-batch
+      pings.grouped(4).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("geofence_stream").as[FenceTransition]
+      .collect().toSet
+    assert(got == expected)
+  }
+
   test("streaming KMV sketch drains to the batch kmv_distinct estimate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
