@@ -85,6 +85,59 @@ private[graft] object GeoQueries {
         SELECT id, neighbor, d2_micro, CAST(rank AS BIGINT) AS rank
         FROM rk WHERE rank <= 3""")),
 
+    // Getis-Ord Gi* hotspot audit (Geo.hotspotGiStar) on the 1-degree
+    // grid: per occupied cell, the z-score of its wrapped 3x3
+    // neighborhood count against the full-grid moments (N = 64800 is a
+    // literal; empty cells are exact zeros in the moments). sqrt is
+    // IEEE-correctly-rounded, so the one fixed double chain is
+    // cross-engine safe where exp/log would not be. Cost: occupied
+    // cells only — one groupBy, one 9x cell-key join, one broadcast
+    // moment row.
+    ("q_geo_hotspot",
+      (s: SparkSession, d: String) =>
+        graft.ops.Geo.hotspotGiStar(points(s, d), "lat", "lon", 1000000L),
+      Some(s"""WITH $coordSql,
+        cells AS (SELECT
+            (CAST(floor(CAST(lon AS DOUBLE) / 1000000.0) AS BIGINT)
+              + 360) % 360 AS cx,
+            CAST(floor(CAST(lat AS DOUBLE) / 1000000.0) AS BIGINT) AS cy,
+            CAST(count(*) AS BIGINT) AS x
+          FROM pts GROUP BY 1, 2),
+        m AS (SELECT CAST(sum(x) AS BIGINT) AS t,
+            CAST(sum(x * x) AS BIGINT) AS sumsq FROM cells),
+        nk AS (SELECT cx AS cx0, cy AS cy0,
+            (cx + dx + 360) % 360 AS cx, cy + dy AS cy
+          FROM cells, UNNEST(range(-1, 2)) AS ux(dx),
+            UNNEST(range(-1, 2)) AS uy(dy)
+          WHERE cy + dy >= -90 AND cy + dy <= 89),
+        ns AS (SELECT nk.cx0 AS cx, nk.cy0 AS cy,
+            CAST(sum(c.x) AS BIGINT) AS nsum
+          FROM nk JOIN cells c ON c.cx = nk.cx AND c.cy = nk.cy
+          GROUP BY 1, 2),
+        j AS (SELECT cells.cx, cells.cy, cells.x, ns.nsum, t, sumsq,
+            CAST(3 * (3 - (CASE WHEN cells.cy = -90 THEN 1 ELSE 0 END)
+              - (CASE WHEN cells.cy = 89 THEN 1 ELSE 0 END)) AS BIGINT)
+              AS w
+          FROM cells JOIN ns ON ns.cx = cells.cx AND ns.cy = cells.cy,
+            m),
+        gi AS (SELECT cx, cy, x, nsum, w,
+            CASE WHEN sumsq * 64800 = t * t THEN NULL
+              ELSE CAST(floor(1e6 *
+                (CAST(nsum AS DOUBLE) - CAST(t AS DOUBLE) / 64800.0
+                  * CAST(w AS DOUBLE)) /
+                (sqrt(CAST(sumsq AS DOUBLE) / 64800.0
+                    - (CAST(t AS DOUBLE) / 64800.0)
+                      * (CAST(t AS DOUBLE) / 64800.0))
+                  * sqrt((64800.0 * CAST(w AS DOUBLE)
+                      - CAST(w AS DOUBLE) * CAST(w AS DOUBLE))
+                    / 64799.0))) AS BIGINT) END AS gi_micro
+          FROM j)
+        SELECT cx, cy, x, nsum, w, gi_micro,
+          CASE WHEN gi_micro > 2576000 THEN CAST(1 AS BIGINT)
+            WHEN gi_micro < -2576000 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS hotspot
+        FROM gi""")),
+
     // Broadcast geofence rollup: five literal rectangles; the fence
     // table broadcasts, so containment is a scan-stage predicate chain
     // (no shuffle at any scale) and only the per-fence aggregate moves.

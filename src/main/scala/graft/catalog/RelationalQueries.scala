@@ -3662,6 +3662,73 @@ private[graft] object RelationalQueries {
             AS discovered
         FROM marked""")),
 
+    // Paired t-test in the sqrt-free t² form (the within-subject design
+    // the two-sample family lacks: abtest/welch compare groups, this
+    // compares each user WITH THEMSELVES pre vs post the Jan-16 cut, so
+    // between-user variance cancels): d = post − pre spend per (type,
+    // user); t² = (Σd)²·(n−1) / (n·Σd² − (Σd)²) is an exact integer
+    // rational — squares staged through DECIMAL (the CUPED rule), one
+    // double division at presentation. Compare t2_micro with the
+    // χ²₁ 95% bound (3.841459) exactly as q_agg_abtest does.
+    ("q_agg_paired",
+      (s: SparkSession, d: String) => {
+        val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+        val u = t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg((sum(when(col("ts") >= cut, cents(col("value")))
+              .otherwise(0L)) -
+            sum(when(col("ts") < cut, cents(col("value")))
+              .otherwise(0L))).as("dd"))
+        u.groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum("dd").as("sum_d"),
+            sum(expr("cast(dd as decimal(19,0)) * " +
+              "cast(dd as decimal(19,0))")).as("sum_d2"))
+          .withColumn("num", expr("cast(sum_d as decimal(20,0)) * " +
+            "cast(sum_d as decimal(20,0)) * " +
+            "cast(n_users - 1 as decimal(12,0))"))
+          .withColumn("den", expr("cast(n_users as decimal(12,0)) * " +
+            "cast(sum_d2 as decimal(24,0)) - " +
+            "cast(sum_d as decimal(20,0)) * cast(sum_d as decimal(20,0))"))
+          .select(col("event_type"), col("n_users"), col("sum_d"),
+            floor(lit(1000) * col("sum_d").cast("double") /
+              col("n_users").cast("double")).cast("long")
+              .as("mean_d_milli"),
+            floor(lit(1e6) * col("num").cast("double") /
+              expr("cast(nullif(den, 0) as double)")).cast("long")
+              .as("t2_micro"))
+          .withColumn("significant",
+            when(col("t2_micro") > 3841459L, 1L).otherwise(0L))
+      },
+      Some(s"""WITH u AS (SELECT event_type, user_id,
+            CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT) -
+            CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN ${centsSql(""""value"""")} ELSE 0 END) AS BIGINT)
+              AS dd
+          FROM events GROUP BY 1, 2),
+        a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+            CAST(sum(dd) AS BIGINT) AS sum_d,
+            sum(CAST(dd AS DECIMAL(19,0)) * CAST(dd AS DECIMAL(19,0)))
+              AS sum_d2
+          FROM u GROUP BY 1),
+        b AS (SELECT *,
+            CAST(sum_d AS DECIMAL(20,0)) * CAST(sum_d AS DECIMAL(20,0))
+              * CAST(n_users - 1 AS DECIMAL(12,0)) AS num,
+            CAST(n_users AS DECIMAL(12,0)) * CAST(sum_d2 AS DECIMAL(24,0))
+              - CAST(sum_d AS DECIMAL(20,0))
+                * CAST(sum_d AS DECIMAL(20,0)) AS den
+          FROM a)
+        SELECT event_type, n_users, sum_d,
+          CAST(floor(1000 * CAST(sum_d AS DOUBLE) /
+            CAST(n_users AS DOUBLE)) AS BIGINT) AS mean_d_milli,
+          CAST(floor(1e6 * CAST(num AS DOUBLE) /
+            CAST(nullif(den, 0) AS DOUBLE)) AS BIGINT) AS t2_micro,
+          CASE WHEN CAST(floor(1e6 * CAST(num AS DOUBLE) /
+              CAST(nullif(den, 0) AS DOUBLE)) AS BIGINT) > 3841459
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS significant
+        FROM b""")),
+
     // CUPED variance reduction (Deng et al., WSDM 2013 — the standard
     // experimentation trick): per event type, each user's PRE-period
     // spend (before Jan 16) is the covariate for the POST-period metric;

@@ -99,6 +99,79 @@ object Geo {
       .filter(col("rank") <= k)
   }
 
+  /** Spatial hotspot detection — Getis-Ord Gi* (Getis & Ord 1992) on
+    * the planar microdegree grid: for every OCCUPIED cell, the z-score
+    * of its 3×3 neighborhood point count (center included — the "*"
+    * variant) against the global per-cell mean/variance over the full
+    * N = (360°/cell)·(180°/cell) grid (empty cells are zeros in the
+    * moments by construction: they contribute nothing to Σx and Σx²).
+    * |gi| > 2.576 (the 99% normal bound) marks a hotspot/coldspot.
+    *
+    * Determinism: the only non-integers are one fixed IEEE chain over
+    * exact BIGINT moments (count sums, squares, the N literal) — and
+    * sqrt is CORRECTLY ROUNDED by IEEE 754, so unlike exp/log it is
+    * safe in the cross-engine gate. Longitude neighbors wrap; latitude
+    * rows clip at the poles, so the neighborhood weight W is 6 or 9 —
+    * computed arithmetically, not by probing.
+    *
+    * Scale shape: one groupBy to cells (combine-enabled), a constant
+    * 9× cell-key explode joined against the occupied-cell table, one
+    * broadcast of the 1-row global moments. Cost is occupied cells,
+    * never the grid or the corpus. */
+  def hotspotGiStar(points: DataFrame, latCol: String, lonCol: String,
+      cellMicro: Long): DataFrame = {
+    require(cellMicro > 0 && LonSpanMicro % cellMicro == 0 &&
+      180000000L % cellMicro == 0,
+      s"cellMicro must divide both spans, got $cellMicro")
+    val nx = LonSpanMicro / cellMicro
+    val ny = 180000000L / cellMicro
+    val nCells = nx * ny
+    val cyMin = -(ny / 2)
+    val cyMax = ny / 2 - 1
+    def cellY(c: Column): Column =
+      floor(c.cast("double") / lit(cellMicro.toDouble)).cast("long")
+    def cellX(c: Column): Column = (cellY(c) + lit(nx)) % lit(nx)
+    val cells = points.select(cellX(col(lonCol)).as("cx"),
+        cellY(col(latCol)).as("cy"))
+      .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+    val m = cells.agg(sum("x").as("t"), sum(col("x") * col("x"))
+      .as("sumsq"))
+    val nbrKeys = cells
+      .select(col("cx").as("cx0"), col("cy").as("cy0"),
+        explode(sequence(lit(-1), lit(1))).as("dx"))
+      .select(col("cx0"), col("cy0"),
+        explode(sequence(lit(-1), lit(1))).as("dy"), col("dx"))
+      .select(col("cx0"), col("cy0"),
+        ((col("cx0") + col("dx") + lit(nx)) % lit(nx)).as("cx"),
+        (col("cy0") + col("dy")).as("cy"))
+      .filter(col("cy") >= cyMin && col("cy") <= cyMax)
+    val nsum = nbrKeys.join(cells, Seq("cx", "cy"))
+      .groupBy(col("cx0").as("cx"), col("cy0").as("cy"))
+      .agg(sum("x").as("nsum"))
+    // valid-neighbor weight: 3 lon columns x (3 - clipped lat rows)
+    val w = (lit(3L) * (lit(3L) -
+      when(col("cy") === cyMin, 1L).otherwise(0L) -
+      when(col("cy") === cyMax, 1L).otherwise(0L))).cast("double")
+    val mean = col("t").cast("double") / lit(nCells.toDouble)
+    val s2 = col("sumsq").cast("double") / lit(nCells.toDouble) -
+      mean * mean
+    val gi = (col("nsum").cast("double") - mean * w) /
+      (sqrt(s2) * sqrt((lit(nCells.toDouble) * w - w * w) /
+        lit((nCells - 1).toDouble)))
+    cells.join(nsum, Seq("cx", "cy"))
+      .crossJoin(broadcast(m))
+      .select(col("cx"), col("cy"), col("x"), col("nsum"),
+        (lit(3L) * (lit(3L) -
+          when(col("cy") === cyMin, 1L).otherwise(0L) -
+          when(col("cy") === cyMax, 1L).otherwise(0L))).as("w"),
+        when(col("sumsq") * lit(nCells) === col("t") * col("t"),
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1e6) * gi).cast("long")).as("gi_micro"))
+      .withColumn("hotspot",
+        when(col("gi_micro") > 2576000L, 1L)
+          .when(col("gi_micro") < -2576000L, -1L).otherwise(0L))
+  }
+
   /** Assign points to axis-aligned rectangular geofences (the broadcast
     * small-dimension form of point-in-polygon): fences must carry
     * `(fence_id, lat_lo, lat_hi, lon_lo, lon_hi)` half-open micro

@@ -63,6 +63,24 @@ class GeoSpec extends SparkSpec {
     assert(got.count(_._1 == 2L) == 2) // capped at k=2
   }
 
+  test("hotspotGiStar: clustered cell flags hot, pole rows clip W") {
+    // 6 points stacked in one interior cell, 1 isolated far away,
+    // 1 at the south-pole row (cy = -90 -> W = 6, not 9)
+    val pts = (1L to 6L).map(i => (i, 500000L + i, 500000L + i)) ++
+      Seq((7L, 80000000L, 80000000L), (8L, -89500000L, 0L))
+    val df = pts.toDF("id", "lat", "lon")
+    val got = graft.ops.Geo.hotspotGiStar(df, "lat", "lon", 1000000L)
+      .select("cy", "x", "w", "hotspot", "gi_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val cluster = got.find(_._2 == 6L).get
+    assert(cluster._4 == 1L, s"stacked cell must be hot, got $cluster")
+    // against a near-empty world ANY occupied cell is statistically
+    // dense (that is Gi* doing its job) — the ordering is the check
+    assert(got.filter(_._2 == 1L).forall(_._5 < cluster._5))
+    assert(got.find(_._1 == -90L).get._3 == 6L) // clipped pole weight
+    assert(got.filter(_._1 != -90L).forall(_._3 == 9L))
+  }
+
   test("assignFences: half-open bounds, multi-assign on overlap") {
     val fences = Seq(
       ("a", 0L, 10L, 0L, 10L),
