@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Shared._
 import graft.ops.Geo
@@ -137,6 +138,230 @@ private[graft] object GeoQueries {
             WHEN gi_micro < -2576000 THEN CAST(-1 AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS hotspot
         FROM gi""")),
+
+    // Grid-DBSCAN (density clustering the scalable way — GriT/grid-
+    // based DBSCAN family): cells with >= 2 points are dense; dense
+    // cells that are 8-adjacent (lon wraps) merge into clusters via
+    // the SAME min-label components machinery the dedup suite uses
+    // (Dedup.components — the oracle is the true transitive closure,
+    // WITH RECURSIVE). Sub-dense cells are noise. Cost: one cell
+    // groupBy + a constant 8x neighbor join over DENSE CELLS only —
+    // point count never enters a pairwise join, which is what makes
+    // this DBSCAN shape viable at 100 TB where point-level epsilon
+    // joins are not.
+    ("q_geo_dbscan",
+      (s: SparkSession, d: String) => {
+        def cellY(c: org.apache.spark.sql.Column) =
+          floor(c.cast("double") / lit(1000000.0)).cast("long")
+        def cellX(c: org.apache.spark.sql.Column) =
+          (cellY(c) + lit(360L)) % lit(360L)
+        val cells = points(s, d)
+          .select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
+          .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+        val dense = cells.filter(col("x") >= 2)
+          .withColumn("key", (col("cy") + lit(90L)) * lit(360L) +
+            col("cx"))
+        val nbr = dense
+          .select(col("key").as("a"), col("cx"), col("cy"),
+            explode(sequence(lit(-1), lit(1))).as("dx"))
+          .select(col("a"), col("cx"), col("cy"), col("dx"),
+            explode(sequence(lit(-1), lit(1))).as("dy"))
+          .filter(!(col("dx") === 0 && col("dy") === 0))
+          .select(col("a"),
+            ((col("cy") + col("dy") + lit(90L)) * lit(360L) +
+              (col("cx") + col("dx") + lit(360L)) % lit(360L)).as("b"))
+        val edges = nbr.join(dense.select(col("key").as("b")), Seq("b"))
+        val comp = graft.ops.Dedup.components(edges, "a", "b")
+        val lab = dense
+          .join(comp.select(col("doc_id").as("key"),
+            col("component_id")), Seq("key"), "left")
+          .select(col("cx"), col("cy"), col("x"),
+            coalesce(col("component_id"), col("key")).as("cluster_id"))
+        val cl = lab.groupBy("cluster_id")
+          .agg(count(lit(1)).as("cluster_cells"),
+            sum("x").as("cluster_points"))
+        lab.join(cl, Seq("cluster_id"))
+          .select("cx", "cy", "x", "cluster_id", "cluster_cells",
+            "cluster_points")
+      },
+      Some(s"""WITH RECURSIVE $coordSql,
+        cells AS (SELECT
+            (CAST(floor(CAST(lon AS DOUBLE) / 1000000.0) AS BIGINT)
+              + 360) % 360 AS cx,
+            CAST(floor(CAST(lat AS DOUBLE) / 1000000.0) AS BIGINT) AS cy,
+            CAST(count(*) AS BIGINT) AS x
+          FROM pts GROUP BY 1, 2),
+        dense AS MATERIALIZED (SELECT (cy + 90) * 360 + cx AS key,
+            cx, cy, x
+          FROM cells WHERE x >= 2),
+        nb AS (SELECT d.key AS a,
+            (cy + dy + 90) * 360 + (cx + dx + 360) % 360 AS b
+          FROM dense d, UNNEST(range(-1, 2)) AS ux(dx),
+            UNNEST(range(-1, 2)) AS uy(dy)
+          WHERE NOT (dx = 0 AND dy = 0)),
+        edges AS MATERIALIZED (SELECT a, b FROM nb
+          WHERE b IN (SELECT key FROM dense)),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        comp AS (SELECT id, min(r) AS component_id FROM reach
+          GROUP BY 1),
+        lab AS (SELECT d.cx, d.cy, d.x,
+            coalesce(c.component_id, d.key) AS cluster_id
+          FROM dense d LEFT JOIN comp c ON c.id = d.key),
+        cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+              AS cluster_cells,
+            CAST(sum(x) AS BIGINT) AS cluster_points
+          FROM lab GROUP BY 1)
+        SELECT cx, cy, x, cluster_id, cluster_cells, cluster_points
+        FROM lab JOIN cl USING (cluster_id)""")),
+
+    // Exact point-in-polygon census by integer ray casting: two
+    // literal polygons (one convex pentagon, one CONCAVE chevron — the
+    // case rectangles cannot express), each edge a VALUES row; a point
+    // is inside iff its +x ray crosses an odd number of edges. The
+    // crossing test is the half-open [y1, y2) rule with the division
+    // CROSS-MULTIPLIED away (sign-corrected by the edge direction), so
+    // every comparison is exact BIGINT — no floats anywhere. The edge
+    // table broadcasts: per point the test is a constant k-edge
+    // predicate fan-out in the scan stage, the polygon analog of the
+    // rectangle geofence.
+    ("q_geo_polygon",
+      (s: SparkSession, d: String) => {
+        val edges = s.createDataFrame(Seq(
+          // pentagon (convex), micro-degree (x=lon, y=lat), closed ring
+          ("pentagon", -60000000L, -40000000L, 0L, -60000000L),
+          ("pentagon", 0L, -60000000L, 60000000L, -40000000L),
+          ("pentagon", 60000000L, -40000000L, 40000000L, 30000000L),
+          ("pentagon", 40000000L, 30000000L, -40000000L, 30000000L),
+          ("pentagon", -40000000L, 30000000L, -60000000L, -40000000L),
+          // chevron (concave): notch cut into the top edge
+          ("chevron", -80000000L, 40000000L, 0L, 80000000L),
+          ("chevron", 0L, 80000000L, 80000000L, 40000000L),
+          ("chevron", 80000000L, 40000000L, 80000000L, 60000000L),
+          ("chevron", 80000000L, 60000000L, 0L, 89000000L),
+          ("chevron", 0L, 89000000L, -80000000L, 60000000L),
+          ("chevron", -80000000L, 60000000L, -80000000L, 40000000L)))
+          .toDF("polygon_id", "x1", "y1", "x2", "y2")
+        val pts = points(s, d)
+          .join(t(s, d, "customer").select(col("c_custkey").as("id"),
+            cents(col("c_acctbal")).as("bal")), Seq("id"))
+        val lhs = (col("lon") - col("x1")) * (col("y2") - col("y1")) -
+          (col("lat") - col("y1")) * (col("x2") - col("x1"))
+        val crossing = ((col("y1") > col("lat")) =!=
+          (col("y2") > col("lat"))) &&
+          when(col("y2") > col("y1"), lhs < 0).otherwise(lhs > 0)
+        pts.crossJoin(broadcast(edges))
+          .groupBy("polygon_id", "id", "bal")
+          .agg(sum(when(crossing, 1L).otherwise(0L)).as("crossings"))
+          .filter(col("crossings") % 2 === 1)
+          .groupBy("polygon_id")
+          .agg(count(lit(1)).as("n_inside"),
+            sum("bal").as("bal_cents_inside"),
+            min("id").as("min_id"), max("id").as("max_id"))
+      },
+      Some(s"""WITH $coordSql,
+        eg(polygon_id, x1, y1, x2, y2) AS (VALUES
+          ('pentagon', -60000000, -40000000, 0, -60000000),
+          ('pentagon', 0, -60000000, 60000000, -40000000),
+          ('pentagon', 60000000, -40000000, 40000000, 30000000),
+          ('pentagon', 40000000, 30000000, -40000000, 30000000),
+          ('pentagon', -40000000, 30000000, -60000000, -40000000),
+          ('chevron', -80000000, 40000000, 0, 80000000),
+          ('chevron', 0, 80000000, 80000000, 40000000),
+          ('chevron', 80000000, 40000000, 80000000, 60000000),
+          ('chevron', 80000000, 60000000, 0, 89000000),
+          ('chevron', 0, 89000000, -80000000, 60000000),
+          ('chevron', -80000000, 60000000, -80000000, 40000000)),
+        pb AS (SELECT p.id, p.lat, p.lon, ${centsSql("c.c_acctbal")}
+              AS bal
+          FROM pts p JOIN customer c ON c.c_custkey = p.id),
+        cr AS (SELECT polygon_id, id, bal,
+            CAST(sum(CASE WHEN ((y1 > lat) <> (y2 > lat)) AND
+              (CASE WHEN y2 > y1
+                THEN (lon - x1) * (y2 - y1) - (lat - y1) * (x2 - x1) < 0
+                ELSE (lon - x1) * (y2 - y1) - (lat - y1) * (x2 - x1) > 0
+              END) THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+          FROM pb CROSS JOIN eg GROUP BY 1, 2, 3)
+        SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_inside,
+          CAST(sum(bal) AS BIGINT) AS bal_cents_inside,
+          min(id) AS min_id, max(id) AS max_id
+        FROM cr WHERE crossings % 2 = 1 GROUP BY 1""")),
+
+    // Trajectory statistics per device: events become pings (coords
+    // keyed off the event id — same replayable-hash convention as the
+    // point fixture), ordered per user by (ts, event_id); path length
+    // = sum of floor(sqrt(segment d2)) — sqrt is correctly rounded and
+    // floor makes each segment an exact BIGINT, so the per-user SUM is
+    // order-free (no IEEE fold needed, unlike a raw double path).
+    // Straightness = displacement/path exposes ping-ponging devices
+    // (bot/spoof detection). One per-user lag window (bounded), one
+    // aggregate.
+    ("q_geo_trajectory",
+      (s: SparkSession, d: String) => {
+        def h(salt: String) = graft.plans.GraftExpressions.md5_prefix(
+          concat(lit(salt), col("event_id").cast("string")), 12)
+        val pings = t(s, d, "events").select(
+          col("user_id").as("device_id"), col("ts"), col("event_id"),
+          (h("plat|") % lit(180000000L) - lit(90000000L)).as("lat"),
+          (h("plon|") % lit(360000000L) - lit(180000000L)).as("lon"))
+        val w = Window.partitionBy("device_id")
+          .orderBy(col("ts"), col("event_id"))
+        val seg = pings
+          .withColumn("plat", lag("lat", 1).over(w))
+          .withColumn("plon", lag("lon", 1).over(w))
+          .withColumn("step", when(col("plat").isNotNull,
+            floor(sqrt(((col("lat") - col("plat")) *
+              (col("lat") - col("plat")) +
+              (col("lon") - col("plon")) * (col("lon") - col("plon")))
+              .cast("double"))).cast("long")).otherwise(0L))
+          .withColumn("rk", row_number().over(w))
+        val ends = seg.groupBy("device_id")
+          .agg(count(lit(1)).as("n_pings"), sum("step").as("path_micro"),
+            min(struct(col("rk"), col("lat"), col("lon"))).as("first"),
+            max(struct(col("rk"), col("lat"), col("lon"))).as("last"))
+        ends.select(col("device_id"), col("n_pings"), col("path_micro"),
+            floor(sqrt(((col("last.lat") - col("first.lat")) *
+              (col("last.lat") - col("first.lat")) +
+              (col("last.lon") - col("first.lon")) *
+              (col("last.lon") - col("first.lon"))).cast("double")))
+              .cast("long").as("disp_micro"))
+          .withColumn("straightness_ppm",
+            expr("disp_micro * 1000000L div greatest(path_micro, 1L)"))
+      },
+      Some("""WITH p AS (SELECT user_id AS device_id, ts, event_id,
+            CAST(concat('0x', substr(md5('plat|' ||
+              CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              % 180000000 - 90000000 AS lat,
+            CAST(concat('0x', substr(md5('plon|' ||
+              CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              % 360000000 - 180000000 AS lon
+          FROM events),
+        seg AS (SELECT device_id, lat, lon,
+            lag(lat) OVER wd AS plat, lag(lon) OVER wd AS plon,
+            row_number() OVER wd AS rk
+          FROM p WINDOW wd AS (PARTITION BY device_id
+            ORDER BY ts, event_id)),
+        st AS (SELECT device_id,
+            CASE WHEN plat IS NOT NULL THEN CAST(floor(sqrt(CAST(
+              (lat - plat) * (lat - plat) + (lon - plon) * (lon - plon)
+              AS DOUBLE))) AS BIGINT) ELSE 0 END AS step,
+            rk, lat, lon
+          FROM seg),
+        e AS (SELECT device_id, CAST(count(*) AS BIGINT) AS n_pings,
+            CAST(sum(step) AS BIGINT) AS path_micro,
+            min_by(lat, rk) AS flat, min_by(lon, rk) AS flon,
+            max_by(lat, rk) AS llat, max_by(lon, rk) AS llon
+          FROM st GROUP BY 1)
+        SELECT device_id, n_pings, path_micro,
+          CAST(floor(sqrt(CAST((llat - flat) * (llat - flat)
+            + (llon - flon) * (llon - flon) AS DOUBLE))) AS BIGINT)
+            AS disp_micro,
+          CAST(floor(sqrt(CAST((llat - flat) * (llat - flat)
+            + (llon - flon) * (llon - flon) AS DOUBLE))) AS BIGINT)
+            * 1000000 // greatest(path_micro, 1) AS straightness_ppm
+        FROM e""")),
 
     // Broadcast geofence rollup: five literal rectangles; the fence
     // table broadcasts, so containment is a scan-stage predicate chain
