@@ -354,6 +354,132 @@ private[graft] object MlQueries {
         FROM pred p JOIN c ON c.vec_id = p.query_id
         GROUP BY 1""")),
 
+    // Bagged stump ensemble (a 3-tree random forest at depth 1 —
+    // Breiman 2001's two ingredients, bootstrap bags and voting, with
+    // the deterministic twist the gate needs: bags are md5-keyed 50%
+    // subsamples, not RNG draws). Per bag: ONE Gini-stump fit (the
+    // q_ml_stump machinery) collected as O(1) driver rule state; each
+    // rule's leaf predictions are its leaf majorities; the ensemble
+    // scores every event by 2-of-3 vote as a pure scan-stage CASE
+    // chain. The oracle replays all three bag fits AND the vote, so
+    // the learned ensemble itself hash-matches.
+    ("q_ml_forest",
+      (s: SparkSession, d: String) => {
+        val feats3 = Seq("f_day", "f_hour", "f_vbin")
+        val e = t(s, d, "events").select(col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"),
+          least(floor(cents(col("value")).cast("double") / lit(5000.0))
+            .cast("long"), lit(9L)).as("f_vbin"),
+          date_format(col("ts"), "HH").cast("long").as("f_hour"),
+          floor((dayofmonth(col("ts")) - lit(1)).cast("double") /
+            lit(7.0)).cast("long").as("f_day")).cache()
+        val rules = (0 to 2).map { b =>
+          val bag = e.filter(graft.plans.GraftExpressions.md5_prefix(
+            concat(lit(s"bag$b|"), col("event_id").cast("string")), 8)
+            % 2 === 0)
+          val best = ML.bestStump(bag, feats3, "y")
+            .filter(col("is_best") === 1).head()
+          val pos = bag.agg(sum("y")).head().getLong(0)
+          val (feature, thr, n, nl, pl) = (best.getString(0),
+            best.getLong(1), best.getLong(2), best.getLong(3),
+            best.getLong(4))
+          (b.toLong, feature, thr, nl, pl,
+            if (2 * pl > nl) 1L else 0L,
+            if (2 * (pos - pl) > (n - nl)) 1L else 0L)
+        }
+        def predOf(r: (Long, String, Long, Long, Long, Long, Long)) =
+          when(col(r._2) <= lit(r._3), lit(r._6)).otherwise(lit(r._7))
+        val votes = rules.map(predOf).reduce(_ + _)
+        val m = e.agg(count(lit(1)).as("ens_n"),
+          sum(when((votes >= 2L) === (col("y") === 1L), 1L)
+            .otherwise(0L)).as("ens_correct"))
+        val ruleDf = s.createDataFrame(rules)
+          .toDF("bag", "feature", "thr", "n_left", "pos_left",
+            "left_pred", "right_pred")
+        val out = ruleDf.crossJoin(broadcast(m))
+          .withColumn("ens_acc_ppm",
+            floor(lit(1e6) * col("ens_correct").cast("double") /
+              col("ens_n").cast("double")).cast("long"))
+        e.unpersist()
+        out
+      },
+      Some {
+        def bagChain(b: Int): String = {
+          def gini(n: String, pos: String): String =
+            s"""(CAST($n * $n - $pos * $pos
+              - ($n - $pos) * ($n - $pos) AS DOUBLE)
+              / CAST($n AS DOUBLE))"""
+          s"""bag$b AS (SELECT * FROM e WHERE
+              CAST(concat('0x', substr(md5('bag$b|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0),
+            m$b AS (SELECT 'f_vbin' AS feature, f_vbin AS bin, y
+                FROM bag$b
+              UNION ALL SELECT 'f_hour', f_hour, y FROM bag$b
+              UNION ALL SELECT 'f_day', f_day, y FROM bag$b),
+            cells$b AS (SELECT feature, bin,
+                CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(y) AS BIGINT) AS pos
+              FROM m$b GROUP BY 1, 2),
+            sp$b AS (SELECT feature, bin,
+                CAST(sum(c) OVER wl AS BIGINT) AS n_left,
+                CAST(sum(pos) OVER wl AS BIGINT) AS pos_left,
+                CAST(sum(c) OVER wt AS BIGINT) AS n,
+                CAST(sum(pos) OVER wt AS BIGINT) AS pos_tot,
+                row_number() OVER wo AS rk, count(*) OVER wt AS nb
+              FROM cells$b
+              WINDOW wl AS (PARTITION BY feature ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING),
+                wo AS (PARTITION BY feature ORDER BY bin),
+                wt AS (PARTITION BY feature)),
+            g$b AS (SELECT feature, bin, n, n_left, pos_left, pos_tot,
+                ${gini("n", "pos_tot")} - ${gini("n_left", "pos_left")}
+                  - ${gini("(n - n_left)", "(pos_tot - pos_left)")}
+                  AS gain_num
+              FROM sp$b WHERE rk < nb),
+            rule$b AS (SELECT CAST($b AS BIGINT) AS bag, feature,
+                bin AS thr, n_left, pos_left,
+                CASE WHEN 2 * pos_left > n_left THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS left_pred,
+                CASE WHEN 2 * (pos_tot - pos_left) > (n - n_left)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                  AS right_pred
+              FROM g$b
+              ORDER BY gain_num DESC, feature, bin LIMIT 1)"""
+        }
+        def voteArm(b: Int): String =
+          s"""(SELECT CASE WHEN (CASE feature
+              WHEN 'f_vbin' THEN e.f_vbin
+              WHEN 'f_hour' THEN e.f_hour
+              ELSE e.f_day END) <= thr THEN left_pred ELSE right_pred
+            END FROM rule$b)"""
+        s"""WITH e AS MATERIALIZED (SELECT event_id,
+            CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS y,
+            least(CAST(floor(CAST(${centsSql(""""value"""")} AS DOUBLE)
+              / 5000.0) AS BIGINT), 9) AS f_vbin,
+            CAST(strftime(ts, '%H') AS BIGINT) AS f_hour,
+            CAST(floor(CAST(CAST(strftime(ts, '%d') AS BIGINT) - 1
+              AS DOUBLE) / 7.0) AS BIGINT) AS f_day
+          FROM events),
+        ${bagChain(0)},
+        ${bagChain(1)},
+        ${bagChain(2)},
+        scored AS (SELECT y,
+            ${voteArm(0)} + ${voteArm(1)} + ${voteArm(2)} AS votes
+          FROM e),
+        em AS (SELECT CAST(count(*) AS BIGINT) AS ens_n,
+            CAST(sum(CASE WHEN (votes >= 2) = (y = 1) THEN 1 ELSE 0
+              END) AS BIGINT) AS ens_correct
+          FROM scored)
+        SELECT bag, feature, thr, n_left, pos_left, left_pred,
+          right_pred, ens_n, ens_correct,
+          CAST(floor(1e6 * CAST(ens_correct AS DOUBLE) /
+            CAST(ens_n AS DOUBLE)) AS BIGINT) AS ens_acc_ppm
+        FROM (SELECT * FROM rule0 UNION ALL SELECT * FROM rule1
+          UNION ALL SELECT * FROM rule2), em"""
+      }),
+
     // Gini-gain decision stump (ML.bestStump) over three small-domain
     // binned event features, label = is-purchase. Gini, not entropy:
     // the impurity is an exact integer numerator over one division, so

@@ -1904,10 +1904,10 @@ private[graft] object TextQueries {
                   lit(3L), lit(0L)) * col("nbb") +
                 lit(3L) * col("n1fw") * coalesce(col("n1bw"), lit(0L)))
                 .cast("double") /
-              (lit(4L) * col("c1") * col("nbb")).cast("double")))
+              expr("cast(nullif(4 * c1 * nbb, 0) as double)")))
               .otherwise(floor(lit(1e6) *
                 coalesce(col("n1bw"), lit(0L)).cast("double") /
-                col("nbb").cast("double")))
+                expr("cast(nullif(nbb, 0) as double)")))
               .cast("long").as("p_ppm"),
             when(coalesce(col("n12"), lit(0L)) > 0, 1L).otherwise(0L)
               .as("seen"),
@@ -1940,9 +1940,9 @@ private[graft] object TextQueries {
               THEN CAST(floor(1e6 * CAST(
                 greatest(4 * COALESCE(bc.n12, 0) - 3, 0) * nbb +
                   3 * ctx.n1fw * COALESCE(cont.n1bw, 0) AS DOUBLE) /
-                CAST(4 * ctx.c1 * nbb AS DOUBLE)) AS BIGINT)
+                CAST(nullif(4 * ctx.c1 * nbb, 0) AS DOUBLE)) AS BIGINT)
               ELSE CAST(floor(1e6 * CAST(COALESCE(cont.n1bw, 0)
-                AS DOUBLE) / CAST(nbb AS DOUBLE)) AS BIGINT)
+                AS DOUBLE) / CAST(nullif(nbb, 0) AS DOUBLE)) AS BIGINT)
             END AS p_ppm,
             CASE WHEN COALESCE(bc.n12, 0) > 0 THEN 1 ELSE 0 END AS seen,
             CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END AS no_ctx
