@@ -321,6 +321,47 @@ object StreamingIngest {
         })
   }
 
+  final case class TrajState(lat: Long, lon: Long, path: Long, n: Long)
+  final case class TrajUpdate(device_id: Long, ping_id: Long,
+    n_pings: Long, step_micro: Long, path_micro: Long)
+
+  /**
+   * Streaming trajectory accumulation — the streaming face of
+   * `q_geo_trajectory`: per device, each ping advances the running
+   * path length by `floor(sqrt(segment d2))` in exact micro units
+   * (correctly-rounded sqrt + floor — the SAME segment quantization
+   * the batch query sums, so an in-order stream's final `path_micro`
+   * equals the batch answer exactly; spec-pinned). State per device is
+   * four longs. Emits one update row per ping (the live-odometer
+   * shape); out-of-order arrivals fold at arrival position — the
+   * documented O(1)-state price, the event-time-exact answer is the
+   * batch query.
+   */
+  def trajectoryStream(pings: Dataset[GeoPing]): Dataset[TrajUpdate] = {
+    import pings.sparkSession.implicits._
+    pings.groupByKey(_.device_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (dev: Long, rows: Iterator[GeoPing],
+            state: GroupState[TrajState]) => {
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer[TrajUpdate]()
+          rows.toSeq.sortBy(p => (tsMicros(p.ts), p.ping_id)).foreach { p =>
+            val step = if (s == null) 0L else {
+              val dlat = p.lat - s.lat
+              val dlon = p.lon - s.lon
+              math.floor(math.sqrt(
+                (dlat * dlat + dlon * dlon).toDouble)).toLong
+            }
+            s = TrajState(p.lat, p.lon,
+              (if (s == null) 0L else s.path) + step,
+              (if (s == null) 0L else s.n) + 1L)
+            out += TrajUpdate(dev, p.ping_id, s.n, step, s.path)
+          }
+          if (s != null) state.update(s)
+          out.iterator
+        })
+  }
+
   final case class CusumState(n: Long, sum: Long, mean: Long,
     sPos: Long, sNeg: Long)
   final case class CusumAlarm(event_type: String, event_id: Long,

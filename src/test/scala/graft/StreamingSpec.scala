@@ -589,6 +589,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming trajectory: exact path accumulation across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.{GeoPing, TrajUpdate}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ping(id: Long, dev: Long, t: Long, lat: Long, lon: Long) =
+      GeoPing(id, dev, new java.sql.Timestamp(t), lat, lon)
+    // 3-4-5 triangles -> exact integer steps; device 2 is a single ping
+    val pings = Seq(
+      ping(1, 1, 1000, 0, 0),
+      ping(2, 1, 2000, 3000, 4000),      // step 5000
+      ping(3, 1, 3000, 3000, 4002),      // step 2
+      ping(4, 1, 4000, 3300, 3602),      // step 500 (300/-400)
+      ping(5, 2, 1000, 7, 7))
+    val mem = MemoryStream[GeoPing]
+    val q = StreamingIngest.trajectoryStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("traj_stream").start()
+    try {
+      // device 1's journey spans two micro-batches: state must carry
+      pings.grouped(3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("traj_stream").as[TrajUpdate].collect()
+      .map(u => u.ping_id -> u).toMap
+    assert(got(1L) == TrajUpdate(1L, 1L, 1L, 0L, 0L))
+    assert(got(2L) == TrajUpdate(1L, 2L, 2L, 5000L, 5000L))
+    assert(got(3L) == TrajUpdate(1L, 3L, 3L, 2L, 5002L))
+    assert(got(4L) == TrajUpdate(1L, 4L, 4L, 500L, 5502L))
+    assert(got(5L) == TrajUpdate(2L, 5L, 1L, 0L, 0L))
+  }
+
   test("streaming KMV sketch drains to the batch kmv_distinct estimate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
