@@ -626,4 +626,36 @@ class PlanShapeSpec extends SparkSpec {
     val pd = plan("q_profile_dp_release")
     assert(!pd.contains("CartesianProduct"), pd)
   }
+
+  test("geo family: equi cell joins, broadcast fences, no cartesian") {
+    // spatial radius join: candidates come from the wrapped-cell
+    // EQUI-join — a nested-loop/cartesian here means the grid bucketing
+    // silently degraded to all-pairs
+    val pp = plan("q_geo_pairs")
+    assert(!pp.contains("BroadcastNestedLoopJoin"), pp)
+    assert(!pp.contains("CartesianProduct"), pp)
+    // geofence containment is a broadcast non-equi join against the
+    // 5-row fence table — it MUST be the broadcast nested-loop form
+    // (constant small side), never a shuffle join of the points
+    val pf = plan("q_geo_fence")
+    assert(pf.contains("BroadcastNestedLoopJoin"), pf)
+    assert(!pf.contains("SortMergeJoin"), pf)
+    // hotspot: occupied-cell tables only; the 1-row moments broadcast
+    val ph = plan("q_geo_hotspot")
+    assert(!ph.contains("CartesianProduct"), ph)
+  }
+
+  test("ML training rounds are pure aggregates; kNN eval broadcasts probes") {
+    // logistic GD: no window, no join anywhere — each round is one
+    // combine-enabled aggregate over the feature table
+    val pl = plan("q_ml_logreg")
+    assert(!pl.contains("WindowExec"), pl)
+    assert(!pl.contains("SortMergeJoin") &&
+      !pl.contains("BroadcastHashJoin"), pl)
+    // kNN eval: the bounded probe slice must be the BROADCAST side of
+    // the non-equi self-pair join (corpus streams, probes broadcast)
+    val pk2 = plan("q_ml_knn_eval")
+    assert(pk2.contains("BroadcastNestedLoopJoin"), pk2)
+    assert(!pk2.contains("CartesianProduct"), pk2)
+  }
 }
