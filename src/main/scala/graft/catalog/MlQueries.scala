@@ -128,6 +128,63 @@ private[graft] object MlQueries {
           FROM w3t, m"""
       }),
 
+    // Grouped k-fold split assignment + leakage audit: folds must be a
+    // function of the GROUP key (md5(user) % 5 — scan-stage, no
+    // shuffle to assign), because hashing the row key instead scatters
+    // one user's rows across folds and the model sees its own test
+    // users in training (group leakage — the classic CV mistake). The
+    // audit makes that concrete: `naive_spanning_users` counts users
+    // whose EVENT-hashed folds disagree — every one of them would leak
+    // under the row-keyed split. Per-fold census shows balance.
+    ("q_ml_group_kfold",
+      (s: SparkSession, d: String) => {
+        def h(salt: String, c: org.apache.spark.sql.Column) =
+          graft.plans.GraftExpressions.md5_prefix(
+            concat(lit(salt), c.cast("string")), 8)
+        val ev = t(s, d, "events")
+        val naive = ev
+          .select(col("user_id"),
+            (h("fold|", col("event_id")) % 5).as("efold"))
+          .groupBy("user_id")
+          .agg(count_distinct(col("efold")).as("nf"))
+          .agg(sum(when(col("nf") > 1, 1L).otherwise(0L))
+            .as("naive_spanning_users"))
+        val u = ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"))
+          .withColumn("fold", h("fold|", col("user_id")) % 5)
+        u.groupBy("fold")
+          .agg(count(lit(1)).as("n_users"), sum("n_ev").as("n_events"),
+            sum("y").as("pos_users"))
+          .withColumn("label_rate_ppm",
+            floor(lit(1e6) * col("pos_users").cast("double") /
+              col("n_users").cast("double")).cast("long"))
+          .crossJoin(broadcast(naive))
+      },
+      Some("""WITH naive AS (SELECT
+            CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS naive_spanning_users
+          FROM (SELECT user_id, count(DISTINCT
+              CAST(concat('0x', substr(md5('fold|' ||
+                CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5)
+              AS nf
+            FROM events GROUP BY 1)),
+        u0 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+            CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+              END) AS BIGINT) AS y
+          FROM events GROUP BY 1),
+        u AS (SELECT *, CAST(concat('0x', substr(md5('fold|' ||
+              CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+          FROM u0)
+        SELECT fold, CAST(count(*) AS BIGINT) AS n_users,
+          CAST(sum(n_ev) AS BIGINT) AS n_events,
+          CAST(sum(y) AS BIGINT) AS pos_users,
+          CAST(floor(1e6 * CAST(sum(y) AS DOUBLE) /
+            CAST(count(*) AS DOUBLE)) AS BIGINT) AS label_rate_ppm,
+          naive_spanning_users
+        FROM u, naive GROUP BY fold, naive_spanning_users""")),
+
     // 2-fold cross-validated logistic regression — the generalization
     // audit on top of q_ml_logreg: train on each user-parity fold (2 GD
     // rounds), score BOTH folds with the frozen weights (scoring is a
