@@ -86,6 +86,59 @@ private[graft] object GeoQueries {
         SELECT id, neighbor, d2_micro, CAST(rank AS BIGINT) AS rank
         FROM rk WHERE rank <= 3""")),
 
+    // Quadrat test for complete spatial randomness (the classic CSR
+    // chi-square over a coarse grid — Diggle's spatial-stats workhorse,
+    // and the global sibling of the per-cell Gi* audit): with K = 648
+    // ten-degree cells, chi2 = sum over ALL cells of (o - N/K)^2/(N/K)
+    // collapses to the EXACT integer rational (K*sum(o^2) - N^2)/N —
+    // empty cells need no rows, the whole test is one occupied-cell
+    // aggregate. Threshold: chi2(0.05, df=647) ~ 706.8 (Wilson-
+    // Hilferty), as a micro literal.
+    ("q_geo_quadrat",
+      (s: SparkSession, d: String) => {
+        def cellY(c: org.apache.spark.sql.Column) =
+          floor(c.cast("double") / lit(10000000.0)).cast("long")
+        val cells = points(s, d)
+          .select(((cellY(col("lon")) + lit(36L)) % lit(36L)).as("cx"),
+            cellY(col("lat")).as("cy"))
+          .groupBy("cx", "cy").agg(count(lit(1)).as("o"))
+        cells.agg(sum("o").as("n_points"),
+            count(lit(1)).as("n_occupied"),
+            sum(col("o") * col("o")).as("sum_sq"))
+          .select(col("n_points"), lit(648L).as("n_cells"),
+            col("n_occupied"), col("sum_sq"),
+            floor(lit(1e6) *
+              (lit(648L) * col("sum_sq") -
+                col("n_points") * col("n_points")).cast("double") /
+              col("n_points").cast("double")).cast("long")
+              .as("chi2_micro"))
+          .withColumn("csr_rejected",
+            when(col("chi2_micro") > 706800000L, 1L).otherwise(0L))
+      },
+      Some(s"""WITH $coordSql,
+        cells AS (SELECT
+            (CAST(floor(CAST(lon AS DOUBLE) / 10000000.0) AS BIGINT)
+              + 36) % 36 AS cx,
+            CAST(floor(CAST(lat AS DOUBLE) / 10000000.0) AS BIGINT)
+              AS cy,
+            CAST(count(*) AS BIGINT) AS o
+          FROM pts GROUP BY 1, 2),
+        a AS (SELECT CAST(sum(o) AS BIGINT) AS n_points,
+            CAST(count(*) AS BIGINT) AS n_occupied,
+            CAST(sum(o * o) AS BIGINT) AS sum_sq
+          FROM cells)
+        SELECT n_points, CAST(648 AS BIGINT) AS n_cells, n_occupied,
+          sum_sq,
+          CAST(floor(1e6 * CAST(648 * sum_sq - n_points * n_points
+            AS DOUBLE) / CAST(n_points AS DOUBLE)) AS BIGINT)
+            AS chi2_micro,
+          CASE WHEN CAST(floor(1e6 * CAST(648 * sum_sq
+              - n_points * n_points AS DOUBLE) /
+              CAST(n_points AS DOUBLE)) AS BIGINT) > 706800000
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS csr_rejected
+        FROM a""")),
+
     // Getis-Ord Gi* hotspot audit (Geo.hotspotGiStar) on the 1-degree
     // grid: per occupied cell, the z-score of its wrapped 3x3
     // neighborhood count against the full-grid moments (N = 64800 is a

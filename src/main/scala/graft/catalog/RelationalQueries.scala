@@ -5006,6 +5006,72 @@ private[graft] object RelationalQueries {
           CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents
         FROM r GROUP BY 1""")),
 
+    // Bollinger bands — the rolling mean ± 2σ envelope (the volatility-
+    // normalized anomaly gate on a level series): per event type, daily
+    // cent totals, a 7-row trailing window carrying BOTH exact integer
+    // moments (Σx, Σx²), band edges from ONE fixed IEEE chain (mean,
+    // population σ via correctly-rounded sqrt), and a breakout flag.
+    // Sums stage through the BIGINT daily totals (≤ ~2^40 at catalog
+    // scales; DECIMAL past that — the CUPED rule). The window is
+    // calendar-bounded (~30 rows per type), never the event stream.
+    ("q_window_bollinger",
+      (s: SparkSession, d: String) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(sum(cents(col("value"))).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        val mean = sum("x").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")
+        val s2 = greatest(
+          sum(col("x") * col("x")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double") - mean * mean,
+          lit(0.0))
+        daily
+          .withColumn("n_win", count(lit(1)).over(w))
+          .withColumn("mean_milli",
+            floor(lit(1000) * mean).cast("long"))
+          .withColumn("sigma_milli",
+            floor(lit(1000) * sqrt(s2)).cast("long"))
+          .withColumn("breakout",
+            when(col("x").cast("double") > mean + lit(2.0) * sqrt(s2),
+              1L).when(col("x").cast("double") <
+                mean - lit(2.0) * sqrt(s2), -1L).otherwise(0L))
+          .select("event_type", "day", "x", "n_win", "mean_milli",
+            "sigma_milli", "breakout")
+      },
+      Some(s"""WITH daily AS (SELECT event_type,
+            strftime(ts, '%Y-%m-%d') AS day,
+            CAST(sum(${centsSql(""""value"""")}) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, day, x,
+            CAST(count(*) OVER wb AS BIGINT) AS n_win,
+            CAST(sum(x) OVER wb AS BIGINT) AS sx,
+            CAST(sum(x * x) OVER wb AS BIGINT) AS sxx
+          FROM daily WINDOW wb AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, x, n_win,
+          CAST(floor(1000 * (CAST(sx AS DOUBLE) / CAST(n_win AS DOUBLE)))
+            AS BIGINT) AS mean_milli,
+          CAST(floor(1000 * sqrt(greatest(CAST(sxx AS DOUBLE) /
+            CAST(n_win AS DOUBLE) - (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)) * (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)), 0.0))) AS BIGINT) AS sigma_milli,
+          CASE WHEN CAST(x AS DOUBLE) > CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE) + 2.0 * sqrt(greatest(CAST(sxx AS DOUBLE) /
+              CAST(n_win AS DOUBLE) - (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)) * (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)), 0.0)) THEN CAST(1 AS BIGINT)
+            WHEN CAST(x AS DOUBLE) < CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE) - 2.0 * sqrt(greatest(CAST(sxx AS DOUBLE) /
+              CAST(n_win AS DOUBLE) - (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)) * (CAST(sx AS DOUBLE) /
+              CAST(n_win AS DOUBLE)), 0.0))
+            THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS breakout
+        FROM m""")),
+
     ("q_window_moving",
       (s: SparkSession, d: String) => {
         val w = Window.partitionBy("user_id")
