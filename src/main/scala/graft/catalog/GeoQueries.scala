@@ -416,6 +416,92 @@ private[graft] object GeoQueries {
             * 1000000 // greatest(path_micro, 1) AS straightness_ppm
         FROM e""")),
 
+    // Movement-bearing octant histogram — the direction profile of the
+    // trajectory family (a bot/spoof signal: organic movement spreads
+    // over octants, replayed or gridded movement doesn't), computed
+    // WITHOUT trigonometry: the octant of each segment is a pure
+    // integer function of (sign(dlat), sign(dlon), |dlat| vs |dlon|) —
+    // 0 = E, counting counter-clockwise. Uniformity is the same exact
+    // chi-square rational as q_geo_quadrat over K = 8 bins:
+    // (8·Σo² − N²)/N, df = 7 (critical 14.067 as a micro literal).
+    ("q_geo_bearing",
+      (s: SparkSession, d: String) => {
+        def h(salt: String) = graft.plans.GraftExpressions.md5_prefix(
+          concat(lit(salt), col("event_id").cast("string")), 12)
+        val pings = t(s, d, "events").select(
+          col("user_id").as("device_id"), col("ts"), col("event_id"),
+          (h("plat|") % lit(180000000L) - lit(90000000L)).as("lat"),
+          (h("plon|") % lit(360000000L) - lit(180000000L)).as("lon"))
+        val w = Window.partitionBy("device_id")
+          .orderBy(col("ts"), col("event_id"))
+        val seg = pings
+          .withColumn("dlat", col("lat") - lag("lat", 1).over(w))
+          .withColumn("dlon", col("lon") - lag("lon", 1).over(w))
+          .filter(col("dlat").isNotNull &&
+            !(col("dlat") === 0 && col("dlon") === 0))
+        val oct = when(abs(col("dlon")) >= abs(col("dlat")),
+            when(col("dlon") >= 0,
+              when(col("dlat") >= 0, 0L).otherwise(7L))
+            .otherwise(when(col("dlat") >= 0, 3L).otherwise(4L)))
+          .otherwise(
+            when(col("dlat") >= 0,
+              when(col("dlon") >= 0, 1L).otherwise(2L))
+            .otherwise(when(col("dlon") >= 0, 6L).otherwise(5L)))
+        val hist = seg.select(oct.as("octant"))
+          .groupBy("octant").agg(count(lit(1)).as("o"))
+        val m = hist.agg(sum("o").as("n_segments"),
+          sum(col("o") * col("o")).as("sum_sq"))
+        hist.crossJoin(broadcast(m))
+          .select(col("octant"), col("o"), col("n_segments"),
+            floor(lit(1e6) *
+              (lit(8L) * col("sum_sq") -
+                col("n_segments") * col("n_segments")).cast("double") /
+              col("n_segments").cast("double")).cast("long")
+              .as("chi2_micro"))
+          .withColumn("uniform_rejected",
+            when(col("chi2_micro") > 14067000L, 1L).otherwise(0L))
+      },
+      Some("""WITH p AS (SELECT user_id AS device_id, ts, event_id,
+            CAST(concat('0x', substr(md5('plat|' ||
+              CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              % 180000000 - 90000000 AS lat,
+            CAST(concat('0x', substr(md5('plon|' ||
+              CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+              % 360000000 - 180000000 AS lon
+          FROM events),
+        seg AS (SELECT lat - lag(lat) OVER wd AS dlat,
+            lon - lag(lon) OVER wd AS dlon
+          FROM p WINDOW wd AS (PARTITION BY device_id
+            ORDER BY ts, event_id)),
+        sg AS (SELECT * FROM seg WHERE dlat IS NOT NULL
+          AND NOT (dlat = 0 AND dlon = 0)),
+        oc AS (SELECT CASE WHEN abs(dlon) >= abs(dlat) THEN
+              CASE WHEN dlon >= 0 THEN
+                CASE WHEN dlat >= 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(7 AS BIGINT) END
+              ELSE CASE WHEN dlat >= 0 THEN CAST(3 AS BIGINT)
+                ELSE CAST(4 AS BIGINT) END END
+            ELSE CASE WHEN dlat >= 0 THEN
+                CASE WHEN dlon >= 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(2 AS BIGINT) END
+              ELSE CASE WHEN dlon >= 0 THEN CAST(6 AS BIGINT)
+                ELSE CAST(5 AS BIGINT) END END END AS octant
+          FROM sg),
+        hist AS (SELECT octant, CAST(count(*) AS BIGINT) AS o
+          FROM oc GROUP BY 1),
+        m AS (SELECT CAST(sum(o) AS BIGINT) AS n_segments,
+            CAST(sum(o * o) AS BIGINT) AS sum_sq FROM hist)
+        SELECT octant, o, n_segments,
+          CAST(floor(1e6 * CAST(8 * sum_sq - n_segments * n_segments
+            AS DOUBLE) / CAST(n_segments AS DOUBLE)) AS BIGINT)
+            AS chi2_micro,
+          CASE WHEN CAST(floor(1e6 * CAST(8 * sum_sq
+              - n_segments * n_segments AS DOUBLE) /
+              CAST(n_segments AS DOUBLE)) AS BIGINT) > 14067000
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS uniform_rejected
+        FROM hist, m""")),
+
     // Broadcast geofence rollup: five literal rectangles; the fence
     // table broadcasts, so containment is a scan-stage predicate chain
     // (no shuffle at any scale) and only the per-fence aggregate moves.
