@@ -23,6 +23,7 @@ import graft.catalog.SourceQueries._
   * content unchanged. Assembled by [[graft.QueryCatalog]]. */
 private[graft] object SamplingQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    systematicEntry,
 
     ("q_sample_hash",
       (s: SparkSession, d: String) => Sampling.hashSample(
@@ -821,6 +822,43 @@ private[graft] object SamplingQueries {
     }.mkString
     base + hops + s"\n      SELECT node, level FROM l$rounds"
   }
+
+  /** Systematic sampling (the survey-statistics every-k-th design —
+    * Madow 1944): rank every document in doc_id order via the grouped
+    * two-pass range scan (graft.ops.Prefix — never a corpus-wide
+    * single-task window) and keep ranks ≡ start (mod k). Unlike the
+    * Bernoulli hash sample, systematic sampling guarantees EXACTLY
+    * floor((n - start - 1)/k) + 1 rows and even coverage of the sort
+    * order — the property stratified-by-position pipelines (eval
+    * shards, spot-check audits) actually want. The census columns make
+    * the exact-count guarantee checkable. */
+  private[graft] def systematicEntry: (String, Q, Option[String]) =
+    ("q_sample_systematic",
+      (s: SparkSession, d: String) => {
+        val ranked = graft.ops.Prefix.runningOffsets(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+            lit(1L).as("one")),
+          "doc_id", "one")
+        val kept = ranked.filter(col("offset") % 50 === 7)
+        kept.agg(count(lit(1)).as("n_sampled"),
+            sum("n_chars").as("chars_sampled"),
+            min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+          .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_total"))))
+          .withColumn("expected",
+            expr("(n_total - 7 - 1) div 50L + 1L"))
+      },
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+            row_number() OVER (ORDER BY doc_id) - 1 AS off
+          FROM documents),
+        k AS (SELECT * FROM r WHERE off % 50 = 7),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+            CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+            min(doc_id) AS first_id, max(doc_id) AS last_id
+          FROM k),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
+        SELECT n_sampled, chars_sampled, first_id, last_id, n_total,
+          (n_total - 7 - 1) // 50 + 1 AS expected
+        FROM a, tt"""))
 
   /** Unrolled DuckDB replay of [[Graph.betweennessSampled]] over the
     * part<->supplier graph with the l_partkey < 5 pivot set: forward
