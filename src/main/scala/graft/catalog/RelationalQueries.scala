@@ -5006,6 +5006,51 @@ private[graft] object RelationalQueries {
           CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents
         FROM r GROUP BY 1""")),
 
+    // Per-group MODE — the aggregate ANSI SQL forgot (most frequent
+    // value, deterministic tiebreak on the value itself): two
+    // combine-enabled groupBys sharing one partitioning + a
+    // group-keyed rank window over the group's DISTINCT values (value
+    // cardinality, never row count). max_by/arg-max alone can't give
+    // the (count desc, value asc) tie rule portably — the rank makes
+    // the tiebreak explicit and oracle-checkable. Frequency share in
+    // exact ppm.
+    ("q_agg_mode",
+      (s: SparkSession, d: String) => {
+        val cells = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_orderpriority").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("month")
+          .orderBy(col("c").desc, col("v"))
+        cells
+          .withColumn("n_rows", sum("c").over(Window.partitionBy("month")))
+          .withColumn("n_distinct",
+            count(lit(1)).over(Window.partitionBy("month")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("month"), col("v").as("mode_value"),
+            col("c").as("mode_count"), col("n_rows"), col("n_distinct"),
+            floor(lit(1e6) * col("c").cast("double") /
+              col("n_rows").cast("double")).cast("long")
+              .as("share_ppm"))
+      },
+      Some("""WITH cells AS (SELECT strftime(o_orderdate, '%Y-%m')
+              AS month, o_orderpriority AS v,
+            CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT *,
+            CAST(sum(c) OVER (PARTITION BY month) AS BIGINT) AS n_rows,
+            CAST(count(*) OVER (PARTITION BY month) AS BIGINT)
+              AS n_distinct,
+            row_number() OVER (PARTITION BY month
+              ORDER BY c DESC, v) AS rk
+          FROM cells)
+        SELECT month, v AS mode_value, c AS mode_count, n_rows,
+          n_distinct,
+          CAST(floor(1e6 * CAST(c AS DOUBLE) / CAST(n_rows AS DOUBLE))
+            AS BIGINT) AS share_ppm
+        FROM r WHERE rk = 1""")),
+
     // Bollinger bands — the rolling mean ± 2σ envelope (the volatility-
     // normalized anomaly gate on a level series): per event type, daily
     // cent totals, a 7-row trailing window carrying BOTH exact integer
