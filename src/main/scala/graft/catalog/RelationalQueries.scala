@@ -5006,6 +5006,50 @@ private[graft] object RelationalQueries {
           CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents
         FROM r GROUP BY 1""")),
 
+    // Exact WEIGHTED median per group — the order statistic where each
+    // value counts `weight` times (here: price weighted by shipped
+    // quantity — "the price at which half the VOLUME moved", not half
+    // the line items): per (flag, price) weight cells, then the
+    // grouped two-pass range scan (Prefix.runningOffsetsBy — 3 flag
+    // groups, enforced low-cardinality contract; NEVER a corpus-sized
+    // per-group window) gives each cell its cumulative weight, and the
+    // lower weighted median is the unique cell whose cumulative
+    // interval covers ceil(W/2). All exact BIGINTs.
+    ("q_agg_weighted_median",
+      (s: SparkSession, d: String) => {
+        val cells = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"),
+            cents(col("l_extendedprice")).as("price_cents"))
+          .agg(sum(col("l_quantity").cast("long")).as("w"))
+        val off = graft.ops.Prefix.runningOffsetsBy(
+          cells, "flag", Seq("price_cents"), "w")
+        val tot = cells.groupBy("flag")
+          .agg(sum("w").as("total_w"), count(lit(1)).as("n_values"))
+        off.join(broadcast(tot), Seq("flag"))
+          .withColumn("h", expr("(total_w + 1L) div 2L"))
+          .filter(col("offset") < col("h") &&
+            col("h") <= col("offset") + col("w"))
+          .select(col("flag"), col("total_w"), col("n_values"),
+            col("price_cents").as("wmedian_cents"),
+            col("w").as("weight_at_median"))
+      },
+      Some(s"""WITH cells AS (SELECT l_returnflag AS flag,
+            ${centsSql("l_extendedprice")} AS price_cents,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        o AS (SELECT *,
+            CAST(coalesce(sum(w) OVER (PARTITION BY flag
+              ORDER BY price_cents ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS off,
+            CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS total_w,
+            CAST(count(*) OVER (PARTITION BY flag) AS BIGINT)
+              AS n_values
+          FROM cells)
+        SELECT flag, total_w, n_values, price_cents AS wmedian_cents,
+          w AS weight_at_median
+        FROM o WHERE off < (total_w + 1) // 2
+          AND (total_w + 1) // 2 <= off + w""")),
+
     // Per-group MODE — the aggregate ANSI SQL forgot (most frequent
     // value, deterministic tiebreak on the value itself): two
     // combine-enabled groupBys sharing one partitioning + a
