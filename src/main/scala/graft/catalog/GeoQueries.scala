@@ -224,7 +224,12 @@ private[graft] object GeoQueries {
             ((col("cy") + col("dy") + lit(90L)) * lit(360L) +
               (col("cx") + col("dx") + lit(360L)) % lit(360L)).as("b"))
         val edges = nbr.join(dense.select(col("key").as("b")), Seq("b"))
-        val comp = graft.ops.Dedup.components(edges, "a", "b")
+        // componentsStar, not components: a dense-cell corridor can have
+        // graph diameter > label-propagation's maxIter (spatial adjacency
+        // chains, unlike near-dup cliques), and the oracle is the TRUE
+        // transitive closure — star contraction converges in O(log^2 n)
+        // rounds regardless of diameter.
+        val comp = graft.ops.Dedup.componentsStar(edges, "a", "b")
         val lab = dense
           .join(comp.select(col("doc_id").as("key"),
             col("component_id")), Seq("key"), "left")

@@ -844,8 +844,11 @@ private[graft] object SamplingQueries {
             sum("n_chars").as("chars_sampled"),
             min("doc_id").as("first_id"), max("doc_id").as("last_id"))
           .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_total"))))
-          .withColumn("expected",
-            expr("(n_total - 7 - 1) div 50L + 1L"))
+          // (n_total + 42) div 50 == floor((n_total - 8)/50) + 1 for
+          // n_total >= 8 and 0 below — and the operand is nonnegative
+          // for every n_total, so Spark `div` (truncate) and DuckDB `//`
+          // (floor) agree even on tiny/empty tables.
+          .withColumn("expected", expr("(n_total + 42L) div 50L"))
       },
       Some("""WITH r AS (SELECT doc_id, n_chars,
             row_number() OVER (ORDER BY doc_id) - 1 AS off
@@ -857,7 +860,7 @@ private[graft] object SamplingQueries {
           FROM k),
         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
         SELECT n_sampled, chars_sampled, first_id, last_id, n_total,
-          (n_total - 7 - 1) // 50 + 1 AS expected
+          (n_total + 42) // 50 AS expected
         FROM a, tt"""))
 
   /** Unrolled DuckDB replay of [[Graph.betweennessSampled]] over the

@@ -43,9 +43,11 @@ object Geo {
     */
   def withinRadiusPairs(points: DataFrame, idCol: String, latCol: String,
       lonCol: String, radiusMicro: Long): DataFrame = {
-    require(radiusMicro > 0 && LonSpanMicro % radiusMicro == 0,
-      s"radiusMicro must divide $LonSpanMicro for exact wraparound, " +
-        s"got $radiusMicro")
+    require(radiusMicro > 0 && LonSpanMicro % radiusMicro == 0 &&
+      LonSpanMicro / radiusMicro >= 3,
+      s"radiusMicro must divide $LonSpanMicro with at least 3 lon " +
+        s"cells (nx<3 makes the 3 wrapped dx neighbors collide mod nx " +
+        s"and emit pairs more than once), got $radiusMicro")
     val nx = LonSpanMicro / radiusMicro
     def cellY(c: Column): Column =
       floor(c.cast("double") / lit(radiusMicro.toDouble)).cast("long")
@@ -120,14 +122,17 @@ object Geo {
     * never the grid or the corpus. */
   def hotspotGiStar(points: DataFrame, latCol: String, lonCol: String,
       cellMicro: Long): DataFrame = {
-    require(cellMicro > 0 && LonSpanMicro % cellMicro == 0 &&
-      180000000L % cellMicro == 0,
-      s"cellMicro must divide both spans, got $cellMicro")
+    require(cellMicro > 0 && LonSpanMicro % cellMicro == 0,
+      s"cellMicro must divide the lon span, got $cellMicro")
     val nx = LonSpanMicro / cellMicro
-    val ny = 180000000L / cellMicro
-    val nCells = nx * ny
-    val cyMin = -(ny / 2)
-    val cyMax = ny / 2 - 1
+    // latitude rows from the TRUE floor span of lat in [-90e6, 90e6):
+    // -(ny/2)..ny/2-1 is only right when 180e6/cellMicro is even (e.g.
+    // cellMicro=4e6 gives ny=45 but cy actually spans [-23,22]); the
+    // floor form is exact for every divisor, partial polar cells
+    // included, so neighborhoods never silently drop polar cells.
+    val cyMin = Math.floorDiv(-90000000L, cellMicro)
+    val cyMax = Math.floorDiv(90000000L - 1L, cellMicro)
+    val nCells = nx * (cyMax - cyMin + 1)
     def cellY(c: Column): Column =
       floor(c.cast("double") / lit(cellMicro.toDouble)).cast("long")
     def cellX(c: Column): Column = (cellY(c) + lit(nx)) % lit(nx)

@@ -45,6 +45,23 @@ object ML {
       floor(zMicro.cast("double") / lit(4.0)).cast("long") + lit(500000L),
       lit(0L)), lit(1000000L))
 
+  /** Micro-unit logit for a fixed weight vector (bias at index 0). */
+  def logitMicro(xCols: Seq[String], wMicro: Array[Long]): Column = {
+    require(wMicro.length == xCols.size + 1,
+      s"need ${xCols.size + 1} weights (bias first), got ${wMicro.length}")
+    xCols.zipWithIndex.map { case (c, j) =>
+      col(c).cast("long") * lit(wMicro(j + 1))
+    }.foldLeft(lit(wMicro(0)).cast("long"): Column)(_ + _)
+  }
+
+  /** Score a feature table with a FIXED weight vector: adds `p_ppm`.
+    * The inference half of [[logisticGd]] — apply a trained model to a
+    * held-out or production table (weights are literals, so scoring is
+    * a pure scan-stage expression, no shuffle). */
+  def scoreHardSigmoid(df: DataFrame, xCols: Seq[String],
+      wMicro: Array[Long]): DataFrame =
+    df.withColumn("p_ppm", hardSigmoidPpm(logitMicro(xCols, wMicro)))
+
   /**
    * Batch gradient descent for L2-less logistic regression with the
    * hard-sigmoid surrogate: `rounds` bulk-synchronous passes, each ONE
@@ -63,23 +80,6 @@ object ML {
    * @param lr       learning rate applied as `floor(grad/n * lr)` — a
    *                 double LITERAL so both engines parse the same value
    */
-  /** Micro-unit logit for a fixed weight vector (bias at index 0). */
-  def logitMicro(xCols: Seq[String], wMicro: Array[Long]): Column = {
-    require(wMicro.length == xCols.size + 1,
-      s"need ${xCols.size + 1} weights (bias first), got ${wMicro.length}")
-    xCols.zipWithIndex.map { case (c, j) =>
-      col(c).cast("long") * lit(wMicro(j + 1))
-    }.foldLeft(lit(wMicro(0)).cast("long"): Column)(_ + _)
-  }
-
-  /** Score a feature table with a FIXED weight vector: adds `p_ppm`.
-    * The inference half of [[logisticGd]] — apply a trained model to a
-    * held-out or production table (weights are literals, so scoring is
-    * a pure scan-stage expression, no shuffle). */
-  def scoreHardSigmoid(df: DataFrame, xCols: Seq[String],
-      wMicro: Array[Long]): DataFrame =
-    df.withColumn("p_ppm", hardSigmoidPpm(logitMicro(xCols, wMicro)))
-
   def logisticGd(features: DataFrame, xCols: Seq[String], yCol: String,
       rounds: Int = 3, lr: Double = 0.01): LogisticFit = {
     require(xCols.nonEmpty && rounds >= 1, "need features and >= 1 round")

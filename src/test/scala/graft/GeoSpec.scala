@@ -81,6 +81,28 @@ class GeoSpec extends SparkSpec {
     assert(got.filter(_._1 != -90L).forall(_._3 == 9L))
   }
 
+  test("hotspotGiStar: odd latitude cell count keeps polar cells in play") {
+    // cellMicro = 4e6 -> 180e6/cell = 45 (odd): cy truly spans [-23, 22]
+    // (floor form), where the old -(ny/2)..ny/2-1 = [-22, 21] dropped the
+    // polar rows from every neighborhood. Pin: the south-pole cell is
+    // present, participates in its own neighborhood (nsum >= own count),
+    // and its clipped weight is 6.
+    val pts = (1L to 5L).map(i => (i, -89900000L + i, i)) ++ // cy = -23
+      Seq((6L, -86100000L, 0L)) ++                           // cy = -22
+      (7L to 9L).map(i => (i, 10000000L + i, 10000000L + i)) // interior
+    val df = pts.toDF("id", "lat", "lon")
+    val got = graft.ops.Geo.hotspotGiStar(df, "lat", "lon", 4000000L)
+      .select("cy", "x", "nsum", "w").as[(Long, Long, Long, Long)]
+      .collect()
+    val pole = got.find(_._1 == -23L)
+    assert(pole.isDefined, s"polar cell missing from ${got.toSeq}")
+    assert(pole.get._3 == 6L, // own 5 + the cy=-22 neighbor
+      s"polar neighborhood must include itself and cy=-22: ${pole.get}")
+    assert(pole.get._4 == 6L) // clipped bottom-row weight
+    val nearPole = got.find(_._1 == -22L).get
+    assert(nearPole._3 == 6L) // sees the 5 polar points + itself
+  }
+
   test("assignFences: half-open bounds, multi-assign on overlap") {
     val fences = Seq(
       ("a", 0L, 10L, 0L, 10L),
