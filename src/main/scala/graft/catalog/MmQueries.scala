@@ -501,10 +501,26 @@ private[graft] object MmQueries {
           .toDF().select(col("media_id"), col("width"), col("height"),
             col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
       },
-      None),
+      // FULL oracle, no codec needed: syntheticPng pixels are pure integer
+      // arithmetic of (x, y, id), PNG is lossless, and the resize is the
+      // documented nearest-neighbor map sx = x*32/8 = 4x, sy = y*24/6 = 4y
+      // — so DuckDB replays the DECODED statistics from the formula. This
+      // pins the whole JVM chain (PNG encode -> decode -> resize ->
+      // re-encode -> decode) against an engine that never runs a codec.
+      Some("""WITH px AS (
+          SELECT d.doc_id, ux.x, uy.y
+          FROM documents d, UNNEST(range(0, 8)) ux(x),
+            UNNEST(range(0, 6)) uy(y))
+        SELECT doc_id AS media_id,
+          CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+          CAST(48 AS BIGINT) AS n_pixels,
+          CAST(sum((4 * x * 255) // 31) AS BIGINT) AS sum_r,
+          CAST(sum((4 * y * 255) // 23) AS BIGINT) AS sum_g,
+          CAST(sum(((4 * x + 4 * y + doc_id) % 8) * 32) AS BIGINT) AS sum_b
+        FROM px GROUP BY 1""")),
 
-    // REAL audio codec (rows-only): deterministic PCM triangle waves built
-    // and WAV-decoded in the executors; exact peak/sum statistics out
+    // REAL audio codec: deterministic PCM triangle waves built and
+    // WAV-decoded in the executors; exact peak/sum statistics out
     ("q_mm_wav",
       (s: SparkSession, d: String) => {
         import s.implicits._
@@ -513,7 +529,25 @@ private[graft] object MmQueries {
             320 + (id % 7).toInt * 64)))
         Multimodal.decodeWav(wavs).toDF()
       },
-      None),
+      // FULL oracle from the triangle-wave formula: every sample is
+      // (tri*2*amp)//64 with nonnegative operands (Scala `/` = DuckDB
+      // `//`), n_frames = 320 + (id%7)*64 is a whole number of 64-sample
+      // periods, so sum_abs folds to (n/64) x one-period sum and peak_abs
+      // = amp exactly (tri = 32 at phase 32). Pins the WAV encode ->
+      // decode roundtrip without the oracle engine touching audio.
+      Some("""WITH f AS (SELECT doc_id,
+            8000 + (doc_id % 100) * 10 AS amp,
+            320 + (doc_id % 7) * 64 AS n
+          FROM documents),
+        pp AS (SELECT doc_id, CAST(sum(
+              ((CASE WHEN u.ph < 32 THEN u.ph ELSE 64 - u.ph END)
+                * 2 * amp) // 64) AS BIGINT) AS per_period
+          FROM f, UNNEST(range(0, 64)) u(ph) GROUP BY 1)
+        SELECT f.doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+          CAST(1 AS INTEGER) AS channels, CAST(f.n AS BIGINT) AS n_frames,
+          CAST(f.amp AS INTEGER) AS peak_abs,
+          CAST((f.n // 64) * pp.per_period AS BIGINT) AS sum_abs
+        FROM f JOIN pp USING (doc_id)""")),
 
     ("q_mm_meta",
       (s: SparkSession, d: String) => Multimodal.metadataSummary(

@@ -242,9 +242,15 @@ private[graft] object TextQueries {
           CAST(len(tk) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
         FROM dp LEFT JOIN kept k ON k.doc_id = dp.doc_id""")),
 
-    // Deflate compression-ratio quality gate (rows-only: no deflate in
-    // the oracle engine; the full result is pinned by a committed golden
-    // hash in OpsSpec, like the codec queries)
+    // Deflate compression-ratio quality gate. DuckDB has no deflate, but
+    // CPython's zlib IS an independent implementation of the same codec
+    // (verified byte-size-identical to java.util.zip.Deflater level 6 on
+    // this corpus), so the oracle joins a committed Python-generated
+    // golden (tools/make_golden.py -> golden/text_compression.parquet,
+    // keyed by md5(text) because texts differ per scale) and replays
+    // raw_len/ratio natively — a true cross-implementation oracle for
+    // the one codec SQL cannot express. Regenerate the golden whenever
+    // the driver regenerates testdata.
     ("q_text_compression",
       (s: SparkSession, d: String) => {
         import s.implicits._
@@ -252,7 +258,16 @@ private[graft] object TextQueries {
           t(s, d, "documents").select(col("doc_id"), col("text"))
             .as[(Long, String)]).toDF()
       },
-      None),
+      Some("""WITH raw AS (SELECT doc_id, text,
+            CAST(octet_length(encode(text)) AS BIGINT) AS raw_len
+          FROM documents)
+        SELECT r.doc_id, r.raw_len, g.comp_len,
+          CASE WHEN r.raw_len = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(g.comp_len * 1000000 // r.raw_len AS BIGINT)
+          END AS ratio_micro
+        FROM raw r
+        JOIN read_parquet('/root/repo/golden/text_compression.parquet') g
+          ON md5(r.text) = g.text_md5""")),
 
     ("q_text_quality",
       (s: SparkSession, d: String) =>
