@@ -46,10 +46,22 @@ final class IngestOrchestrator(
         s"$stageRoot/${t.stageTableName}", LoadMode.of(t), ids, partitions,
         cutoff, partitionStable = t.partitionStable)
       // the reference re-runs its catalog crawler after stage loads
-      // (crawlers_job.py); here: registration + partition recovery per table
-      registerIn.foreach(db => graft.write.CatalogRegistry.registerStage(
-        spark, db, t.stageTableName, s"$stageRoot/${t.stageTableName}",
-        partitions))
+      // (crawlers_job.py); here: registration + partition recovery per
+      // table, then the statistics feed — the crawler analog computes
+      // stats in the same pass, so every registered stage table carries
+      // rowCount/size plus NDV/min/max on its merge keys and the PLANNER
+      // (CBO broadcast decisions, join reorder) sees them without any
+      // caller having to remember a separate ANALYZE step.
+      registerIn.foreach { db =>
+        graft.write.CatalogRegistry.registerStage(
+          spark, db, t.stageTableName, s"$stageRoot/${t.stageTableName}",
+          partitions)
+        // only ids that survived the transform: a quarantined id column
+        // is a WARNING, and a failed ANALYZE must not escalate it
+        graft.write.CatalogRegistry.analyzeStage(
+          spark, db, t.stageTableName,
+          ids.filter(result.df.columns.contains))
+      }
       (result, stats)
     } match {
       case Success((result, stats)) =>

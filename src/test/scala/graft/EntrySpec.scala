@@ -169,5 +169,22 @@ class EntrySpec extends SparkSpec {
     // stage tables also registered in the catalog (crawler re-run analog)
     assert(spark.table("graft_orch_stage.cust_stage").count() == 150)
     assert(spark.table("graft_orch_stage.warn_stage").count() == 150)
+    // ...and the orchestrator left PLANNER-visible statistics on every
+    // registered table (the crawler analog computes stats in the same
+    // pass): rowCount in the catalog, plus column stats on the id key
+    for (tbl <- Seq("cust_stage", "warn_stage")) {
+      // table-level stats live in the catalog (plan-level rowCount only
+      // surfaces with CBO on, which the shared session leaves off)
+      val tblStats = spark.sql(s"DESCRIBE EXTENDED graft_orch_stage.$tbl")
+        .collect().find(_.getString(0) == "Statistics")
+        .map(_.getString(1)).getOrElse("")
+      assert(tblStats.contains("150 rows"),
+        s"$tbl missing catalog rowCount: '$tblStats'")
+      val colStats = spark.sql(
+        s"DESCRIBE EXTENDED graft_orch_stage.$tbl id").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(colStats.get("distinct_count").exists(_ != "NULL"),
+        s"$tbl.id missing NDV column stats: $colStats")
+    }
   }
 }

@@ -593,6 +593,59 @@ class PlanShapeSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("catalog stats drive CBO join REORDER: selective dim joins first (AQE off)") {
+    // Join ORDER, not just broadcast choice, must come from catalog
+    // statistics: a syntactic fact-joins-big-dim-first plan carries the
+    // full fact cardinality into the second join, where joining the
+    // SELECTIVE dim first (100 of 1000 fact keys match -> 10% of rows
+    // survive) shrinks the intermediate 10x. CBO's join reorder needs
+    // rowCount + column NDV on every input — exactly what the
+    // orchestrator's analyzeStage pass leaves behind — and AQE cannot do
+    // this at all (it re-plans exchanges, never join order).
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val dir = java.nio.file.Files.createTempDirectory("graft_reorder")
+      .toString
+    (1L to 200000L).map(i => (i, i % 50000 + 1, i % 1000 + 1))
+      .toDF("id", "k1", "k2")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (1L to 50000L).map(i => (i, f"big_$i%08d")).toDF("k1", "nb")
+      .write.mode("overwrite").parquet(s"$dir/dimbig")
+    (1L to 100L).map(i => (i, f"small_$i%08d")).toDF("k2", "ns")
+      .write.mode("overwrite").parquet(s"$dir/dimsmall")
+    for (t <- Seq("fact", "dimbig", "dimsmall"))
+      graft.write.CatalogRegistry.registerStage(spark, "reorder_db", t,
+        s"$dir/$t")
+    val saved = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // innermost Join of the optimized left-deep tree = last in pre-order
+      def innermostTables: Set[String] = {
+        val plan = spark.table("reorder_db.fact")
+          .join(spark.table("reorder_db.dimbig"), "k1")
+          .join(spark.table("reorder_db.dimsmall"), "k2")
+          .select("id", "nb", "ns")
+          .queryExecution.optimizedPlan
+        val inner = plan.collect { case j: Join => j }.last
+        "reorder_db.(\\w+)".r.findAllMatchIn(inner.toString)
+          .map(_.group(1)).toSet
+      }
+      val before = innermostTables
+      assert(before == Set("fact", "dimbig"),
+        s"without stats the join order must stay syntactic: $before")
+      for (t <- Seq("fact", "dimbig", "dimsmall"))
+        graft.write.CatalogRegistry.analyzeStage(spark, "reorder_db", t,
+          columns = Seq("k1", "k2").filter(c =>
+            spark.table(s"reorder_db.$t").columns.contains(c)))
+      val after = innermostTables
+      assert(after == Set("fact", "dimsmall"),
+        s"with stats CBO must join the selective dim first: $after")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("round-9 additions: blocklist broadcasts its list, domain cap and " +
       "waiting stay window-free, ktruss never goes nested-loop") {
     // blocklist: the term list must reach the token stream as a
