@@ -498,9 +498,19 @@ object Graph {
       // isseed broadcast fine at small |V| but became a per-round
       // sort-merge of the whole node table at 10x (sf1 scaling run
       // measured 16.8x for 10x data; this form restores ~linear)
-      val contrib = eo.join(rhs, eo("src") === rhs("node"))
+      // SPARSE frontier: only nodes with mass can contribute (rank = 0
+      // gives c = 0 DIV d = 0 — dropping the row is exact), and a
+      // contribution the integer division floors to 0 adds nothing to the
+      // sum (the zero arm below keeps every node's group alive). Unlike
+      // global PageRank, PPR mass lives on the seed BALL — round r joins
+      // |ball_r| rows, not |V|, and ships only nonzero messages; measured
+      // 15.25x for 10x data before, because every round shuffled the full
+      // zero-rank node table through the join and the aggregate.
+      val contrib = eo.join(rhs.filter(col("rank") =!= 0L),
+          eo("src") === rhs("node"))
         .select(col("dst").as("node"), expr("rank DIV outdeg").as("c"),
           lit(0L).as("seedflag"))
+        .filter(col("c") =!= 0L)
       ranks = contrib
         .union(nodes.select(col("node"), lit(0L).as("c"),
           col("isseed").as("seedflag")))
