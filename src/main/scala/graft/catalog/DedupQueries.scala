@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Transforms
@@ -665,6 +665,58 @@ private[graft] object DedupQueries {
     // blocks, candidate count vs the n² it avoided (reduction ratio), and
     // match yield. ONE summary row from three 1-row aggregates; the
     // pairwise scan is quadratic only within a block.
+    // Fellegi–Sunter linkage-parameter LEARNING (Fellegi & Sunter 1969;
+    // EM per Winkler 1988) — where q_er_linkage applies hand-set weights,
+    // this ESTIMATES them from the candidate pairs alone (unsupervised):
+    // 3 binary agreement fields (exact name, segment, id-checksum) fold
+    // each pair into one of 8 patterns, one corpus groupBy counts them,
+    // and 3 quantized-ppm EM rounds (ML.fsEm — the logisticGd driver-
+    // replay contract, EM-shaped) fit prevalence p and per-field m/u
+    // probabilities. Output: each observed pattern with its fitted match
+    // posterior + the fitted params; the oracle unrolls all 3 E/M rounds
+    // as CTEs over its own 8-row pattern table, so the LEARNED model
+    // hash-matches cross-engine, not just the pattern census. Scale
+    // shape: the EM state is 7 numbers, the E/M work is 8 rows — corpus
+    // cost is exactly one blocking join + one groupBy, identical at 100 TB.
+    ("q_er_fs_em",
+      (s: SparkSession, d: String) => {
+        val a = t(s, d, "customer").select(col("c_custkey").as("id_a"),
+          col("c_name").as("name_a"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg_a"),
+          (col("c_custkey") % 100).as("blk"))
+        val b = a.select(col("id_a").as("id_b"),
+          when(col("id_a") % 3 === 0, concat(col("name_a"), lit("x")))
+            .otherwise(col("name_a")).as("name_b"),
+          col("nat"), col("blk"),
+          when(col("id_a") % 5 === 0, lit("ALTERED"))
+            .otherwise(col("seg_a")).as("seg_b"))
+        val pat = a.join(b, Seq("nat", "blk"))
+          .select(
+            when(col("name_a") === col("name_b"), 1L).otherwise(0L)
+              .as("g1"),
+            when(col("seg_a") === col("seg_b"), 1L).otherwise(0L)
+              .as("g2"),
+            when(col("id_a") % 11 === col("id_b") % 11, 1L).otherwise(0L)
+              .as("g3"))
+          .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n_pairs"))
+        val pats = pat.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+        val fit = graft.ops.ML.fsEm(pats, rounds = 3)
+        val postCol = fit.posterior.foldLeft(lit(0L): Column) {
+          case (acc, ((g1, g2, g3), w)) =>
+            when(col("g1") === g1 && col("g2") === g2 && col("g3") === g3,
+              lit(w)).otherwise(acc)
+        }
+        pat.select(col("g1"), col("g2"), col("g3"), col("n_pairs"),
+          postCol.as("posterior_ppm"),
+          lit(fit.pPpm).as("p_ppm"),
+          lit(fit.mPpm(0)).as("m1_ppm"), lit(fit.mPpm(1)).as("m2_ppm"),
+          lit(fit.mPpm(2)).as("m3_ppm"),
+          lit(fit.uPpm(0)).as("u1_ppm"), lit(fit.uPpm(1)).as("u2_ppm"),
+          lit(fit.uPpm(2)).as("u3_ppm"))
+      },
+      Some(fsEmOracleSql(3))),
+
     ("q_er_blocking",
       (s: SparkSession, d: String) => {
         val p = t(s, d, "part").select(col("p_partkey").as("id"),
@@ -1307,6 +1359,81 @@ private[graft] object DedupQueries {
                    JOIN sizes z2 ON doc2 = z2.doc_id
         WHERE CAST(intersection AS DOUBLE) /
               CAST(z1.n_sh + z2.n_sh - intersection AS DOUBLE) >= $threshold)"""
+  }
+
+  /** Unrolled DuckDB replay of [[graft.ops.ML.fsEm]]: the blocking join +
+    * 8-row pattern census, then `rounds` E/M CTE pairs with the exact
+    * quantized recurrence (per-factor `// 1000000` folds, the two
+    * floor'd double divisions of the M-step, the [1000, 999000] clamps),
+    * then one final E-step under the fitted params. All operands are
+    * nonnegative, so DuckDB `//` = the engine's truncating Long division
+    * at every quantization point. */
+  private[graft] def fsEmOracleSql(rounds: Int): String = {
+    // x/y product fold: one (CASE ? param : 1e6-param) factor per field,
+    // quantized by // 1000000 after EACH multiply — parenthesized fully
+    // so associativity is the written one
+    def fold(init: String, ps: Seq[String]): String =
+      ps.zipWithIndex.foldLeft(init) { case (acc, (pj, j)) =>
+        s"((($acc) * (CASE WHEN g${j + 1} = 1 THEN $pj " +
+          s"ELSE 1000000 - $pj END)) // 1000000)"
+      }
+    def clamp(x: String): String =
+      s"least(greatest($x, 1000), 999000)"
+    def mStep(massExpr: String, gj: String): String =
+      clamp(s"CAST(floor(1e6 * CAST(sum($massExpr * $gj) AS DOUBLE) / " +
+        s"CAST(sum($massExpr) AS DOUBLE)) AS BIGINT)")
+    val sb = new StringBuilder
+    sb ++= """WITH a AS (SELECT c_custkey AS id_a, c_name AS name_a,
+          c_nationkey AS nat, c_mktsegment AS seg_a,
+          c_custkey % 100 AS blk FROM customer),
+      b AS (SELECT id_a AS id_b,
+          CASE WHEN id_a % 3 = 0 THEN name_a || 'x' ELSE name_a END
+            AS name_b,
+          nat, blk,
+          CASE WHEN id_a % 5 = 0 THEN 'ALTERED' ELSE seg_a END AS seg_b
+        FROM a),
+      pat AS (SELECT
+          CAST(CASE WHEN name_a = name_b THEN 1 ELSE 0 END AS BIGINT)
+            AS g1,
+          CAST(CASE WHEN seg_a = seg_b THEN 1 ELSE 0 END AS BIGINT)
+            AS g2,
+          CAST(CASE WHEN id_a % 11 = id_b % 11 THEN 1 ELSE 0 END
+            AS BIGINT) AS g3,
+          CAST(count(*) AS BIGINT) AS n
+        FROM a JOIN b USING (nat, blk) GROUP BY 1, 2, 3),
+      s0 AS (SELECT CAST(100000 AS BIGINT) AS p,
+        CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+        CAST(900000 AS BIGINT) AS m3,
+        CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2,
+        CAST(100000 AS BIGINT) AS u3)"""
+    def eCte(e: String, st: String): String =
+      s"""$e AS (SELECT pat.*, s.*,
+          ${fold("p", Seq("m1", "m2", "m3"))} AS x,
+          ${fold("1000000 - p", Seq("u1", "u2", "u3"))} AS y
+        FROM pat, $st s),
+      ${e}w AS (SELECT *, CASE WHEN x + y = 0 THEN CAST(0 AS BIGINT)
+          ELSE (x * 1000000) // (x + y) END AS w FROM $e)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      ${eCte(s"e$r", s"s${r - 1}")},
+      s$r AS (SELECT
+          ${clamp(s"CAST(sum(n * w) AS BIGINT) // CAST(sum(n) AS BIGINT)")}
+            AS p,
+          ${mStep("n * w", "g1")} AS m1,
+          ${mStep("n * w", "g2")} AS m2,
+          ${mStep("n * w", "g3")} AS m3,
+          ${mStep("n * (1000000 - w)", "g1")} AS u1,
+          ${mStep("n * (1000000 - w)", "g2")} AS u2,
+          ${mStep("n * (1000000 - w)", "g3")} AS u3
+        FROM e${r}w)"""
+    }
+    sb ++= s""",
+      ${eCte("ef", s"s$rounds")}
+      SELECT g1, g2, g3, n AS n_pairs, w AS posterior_ppm,
+        p AS p_ppm, m1 AS m1_ppm, m2 AS m2_ppm, m3 AS m3_ppm,
+        u1 AS u1_ppm, u2 AS u2_ppm, u3 AS u3_ppm
+      FROM efw"""
+    sb.toString
   }
 
   private[graft] def minhashOracleSql(n: Int, k: Int, bands: Int,

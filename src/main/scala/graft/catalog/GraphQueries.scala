@@ -507,6 +507,34 @@ private[graft] object GraphQueries {
     // the pairing's min line price in cents — "cheapest route within r
     // legs", exact by the Bellman-Ford invariant, BIGINT min/plus so the
     // unrolled oracle replays it bit-identically.
+    // Earliest-arrival TEMPORAL reachability (Graph.temporalReach — Wu
+    // et al. VLDB'14): supplier<->customer contact edges timestamped by
+    // order date, traversable only at t >= arrival(u) — the propagation
+    // routes static reachability overcounts (backward-in-time paths).
+    // Seeds = suppliers 0..2 at time 0; 3 hop rounds; arrival = days
+    // since epoch (exact integers both engines). Frontier-sparse like
+    // the fixed PPR: per-round state is the reached ball, never |V|.
+    ("q_graph_temporal", {
+      ((s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
+          (col("l_suppkey") * 2 + 1).as("sn"))
+        val ord = t(s, d, "orders").select(col("o_orderkey").as("ok"),
+          (col("o_custkey") * 2).as("cn"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+            .as("tt"))
+        val fwd = li.join(ord, "ok")
+          .select(col("sn").as("src"), col("cn").as("dst"), col("tt"))
+          .distinct()
+        val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
+          col("src").as("dst"), col("tt")))
+        val seeds = t(s, d, "supplier").filter(col("s_suppkey") < 3)
+          .select((col("s_suppkey") * 2 + 1).as("seed"))
+        graft.ops.Graph.temporalReach(edges, "src", "dst", "tt",
+          seeds, "seed", rounds = 3)
+      }): Q
+      },
+      Some(temporalOracleSql(3))),
+
     ("q_graph_sssp", {
       ((s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.catalog.Shared._
@@ -32,6 +32,48 @@ private[graft] object MlQueries {
           THEN ${centsSql(""""value"""")} ELSE 0 END) > 320000
         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
     FROM events GROUP BY 1)"""
+
+  /** Unrolled GD-round CTEs shared by the logreg-family oracles: scoring
+    * (`pCte`), gradient moments (`gCte`), and the weight step (`wCte`) —
+    * the exact integer/floor recurrence ML.logisticGd runs. `gdRoundsSql`
+    * composes `rounds` of them from the all-zero init, leaving `pf` (the
+    * final scored table) and `w{rounds}t` (the fitted weights) in scope.
+    * Requires `u` (features) and `nn` (count) CTEs upstream. */
+  private def pCte(p: String, w: String): String =
+    s"""$p AS (SELECT u.*, least(greatest(CAST(floor(CAST(
+        w0 + w1*x1 + w2*x2 + w3*x3 AS DOUBLE) / 4.0) AS BIGINT)
+        + 500000, 0), 1000000) AS p
+      FROM u, $w)"""
+  private def gCte(g: String, p: String): String =
+    s"""$g AS (SELECT
+        CAST(sum(p - y*1000000) AS BIGINT) AS g0,
+        CAST(sum((p - y*1000000) * x1) AS BIGINT) AS g1,
+        CAST(sum((p - y*1000000) * x2) AS BIGINT) AS g2,
+        CAST(sum((p - y*1000000) * x3) AS BIGINT) AS g3
+      FROM $p)"""
+  private def wCte(wNew: String, wOld: String, g: String): String =
+    s"""$wNew AS (SELECT
+        w0 - CAST(floor(CAST(g0 AS DOUBLE) / n * 0.01) AS BIGINT)
+          AS w0,
+        w1 - CAST(floor(CAST(g1 AS DOUBLE) / n * 0.01) AS BIGINT)
+          AS w1,
+        w2 - CAST(floor(CAST(g2 AS DOUBLE) / n * 0.01) AS BIGINT)
+          AS w2,
+        w3 - CAST(floor(CAST(g3 AS DOUBLE) / n * 0.01) AS BIGINT)
+          AS w3
+      FROM $wOld, $g, nn)"""
+  private def gdRoundsSql(rounds: Int): String = {
+    val cte = new StringBuilder(
+      """w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""")
+    for (r <- 1 to rounds)
+      cte ++= s""",
+        ${pCte(s"p$r", s"w${r - 1}t")}, ${gCte(s"g$r", s"p$r")},
+        ${wCte(s"w${r}t", s"w${r - 1}t", s"g$r")}"""
+    cte ++= s""",
+        ${pCte("pf", s"w${rounds}t")}"""
+    cte.toString
+  }
 
   /** The same per-user features on the Spark side. */
   private def feats(s: SparkSession, d: String) =
@@ -79,40 +121,9 @@ private[graft] object MlQueries {
         out
       },
       Some {
-        def pCte(p: String, w: String): String =
-          s"""$p AS (SELECT u.*, least(greatest(CAST(floor(CAST(
-              w0 + w1*x1 + w2*x2 + w3*x3 AS DOUBLE) / 4.0) AS BIGINT)
-              + 500000, 0), 1000000) AS p
-            FROM u, $w)"""
-        def gCte(g: String, p: String): String =
-          s"""$g AS (SELECT
-              CAST(sum(p - y*1000000) AS BIGINT) AS g0,
-              CAST(sum((p - y*1000000) * x1) AS BIGINT) AS g1,
-              CAST(sum((p - y*1000000) * x2) AS BIGINT) AS g2,
-              CAST(sum((p - y*1000000) * x3) AS BIGINT) AS g3
-            FROM $p)"""
-        def wCte(wNew: String, wOld: String, g: String): String =
-          s"""$wNew AS (SELECT
-              w0 - CAST(floor(CAST(g0 AS DOUBLE) / n * 0.01) AS BIGINT)
-                AS w0,
-              w1 - CAST(floor(CAST(g1 AS DOUBLE) / n * 0.01) AS BIGINT)
-                AS w1,
-              w2 - CAST(floor(CAST(g2 AS DOUBLE) / n * 0.01) AS BIGINT)
-                AS w2,
-              w3 - CAST(floor(CAST(g3 AS DOUBLE) / n * 0.01) AS BIGINT)
-                AS w3
-            FROM $wOld, $g, nn)"""
         s"""WITH $featSql,
           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
-          w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-            CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-          ${pCte("p1", "w0t")}, ${gCte("g1", "p1")},
-          ${wCte("w1t", "w0t", "g1")},
-          ${pCte("p2", "w1t")}, ${gCte("g2", "p2")},
-          ${wCte("w2t", "w1t", "g2")},
-          ${pCte("p3", "w2t")}, ${gCte("g3", "p3")},
-          ${wCte("w3t", "w2t", "g3")},
-          ${pCte("pf", "w3t")},
+          ${gdRoundsSql(3)},
           m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
               CAST(sum(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0
                 END) AS BIGINT) AS n_correct,
@@ -127,6 +138,108 @@ private[graft] object MlQueries {
               AS brier_ppm
           FROM w3t, m"""
       }),
+
+    // Exact ROC AUC of the fitted logreg scores by the Mann-Whitney U
+    // identity with MIDRANKS for ties (AUC = P(score_pos > score_neg) +
+    // P(=)/2 — the standard tie treatment): group by score (ppm domain,
+    // bounded), one global cumulative over the AGGREGATE (the invariant
+    // spec's allowed shape — never a corpus-row window), then
+    //   2·Σ_pos midrank = Σ_s npos(s)·(2·below(s) + cnt(s) + 1)
+    //   2U = that − 2·n_pos(n_pos+1)/2,  auc = 2U / (2·n_pos·n_neg)
+    // — all integer until ONE final floor division, so the fitted
+    // model's ranking quality hash-matches cross-engine exactly. The
+    // weight rounds replay via the shared gdRoundsSql CTEs.
+    ("q_ml_auc",
+      (s: SparkSession, d: String) => {
+        val u = feats(s, d).cache()
+        val fit = ML.logisticGd(u, Seq("x1", "x2", "x3"), "y",
+          rounds = 3, lr = 0.01)
+        val out = ML.aucPpm(fit.scored, "p_ppm", "y")
+        u.unpersist()
+        out
+      },
+      Some(s"""WITH $featSql,
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        ${gdRoundsSql(3)},
+        bys AS (SELECT p AS sc, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(y) AS BIGINT) AS npos
+          FROM pf GROUP BY 1),
+        cum AS (SELECT sc, cnt, npos,
+            CAST(coalesce(sum(cnt) OVER (ORDER BY sc
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+          FROM bys),
+        a AS (SELECT
+            CAST(sum(npos * (2*below + cnt + 1)) AS BIGINT) AS tspr,
+            CAST(sum(npos) AS BIGINT) AS n_pos,
+            CAST(sum(cnt - npos) AS BIGINT) AS n_neg
+          FROM cum)
+        SELECT n_pos, n_neg,
+          tspr - n_pos * (n_pos + 1) AS two_u,
+          CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST(floor(1e6 * CAST(tspr - n_pos * (n_pos + 1)
+              AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+                * CAST(n_neg AS DOUBLE))) AS BIGINT) END AS auc_ppm
+        FROM a""")),
+
+    // Precision / recall / F1 of the fitted logreg at a fixed threshold
+    // grid — the operating-point readout next to q_ml_auc's ranking
+    // readout. One corpus pass with a constant 3-row broadcast fan-out
+    // (the checkpoint-table pattern); F1 comes from the COUNTS
+    // (2tp/(2tp+fp+fn)), never from re-divided ppm values, so each cell
+    // is one exact floor division.
+    ("q_ml_pr_curve",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val u = feats(s, d).cache()
+        val fit = ML.logisticGd(u, Seq("x1", "x2", "x3"), "y",
+          rounds = 3, lr = 0.01)
+        val thr = Seq(250000L, 500000L, 750000L).toDF("thr")
+        def ppm(num: Column, den: Column): Column =
+          when(den === 0L, lit(null).cast("long"))
+            .otherwise(floor(lit(1e6) * num.cast("double") /
+              den.cast("double")).cast("long"))
+        val out = fit.scored.crossJoin(broadcast(thr))
+          .groupBy("thr")
+          .agg(
+            sum(when(col("y") === 1L && col("p_ppm") >= col("thr"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0L && col("p_ppm") >= col("thr"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("y") === 1L && col("p_ppm") < col("thr"), 1L)
+              .otherwise(0L)).as("fn"))
+          .select(col("thr"), col("tp"), col("fp"), col("fn"),
+            ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+            ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"),
+            ppm(lit(2L) * col("tp"),
+              lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
+        u.unpersist()
+        out
+      },
+      Some(s"""WITH $featSql,
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        ${gdRoundsSql(3)},
+        thr AS (SELECT CAST(u.t AS BIGINT) AS thr
+          FROM UNNEST([250000, 500000, 750000]) u(t)),
+        c AS (SELECT thr,
+            CAST(sum(CASE WHEN y = 1 AND p >= thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN y = 0 AND p >= thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN y = 1 AND p < thr THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+          FROM pf, thr GROUP BY 1)
+        SELECT thr, tp, fp, fn,
+          CASE WHEN tp + fp = 0 THEN NULL
+            ELSE CAST(floor(1e6 * CAST(tp AS DOUBLE) /
+              CAST(tp + fp AS DOUBLE)) AS BIGINT) END AS precision_ppm,
+          CASE WHEN tp + fn = 0 THEN NULL
+            ELSE CAST(floor(1e6 * CAST(tp AS DOUBLE) /
+              CAST(tp + fn AS DOUBLE)) AS BIGINT) END AS recall_ppm,
+          CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+            ELSE CAST(floor(1e6 * CAST(2*tp AS DOUBLE) /
+              CAST(2*tp + fp + fn AS DOUBLE)) AS BIGINT) END AS f1_ppm
+        FROM c""")),
 
     // Grouped k-fold split assignment + leakage audit: folds must be a
     // function of the GROUP key (md5(user) % 5 — scan-stage, no

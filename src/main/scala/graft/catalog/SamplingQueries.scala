@@ -679,6 +679,33 @@ private[graft] object SamplingQueries {
         SELECT node, CAST(rank AS BIGINT) AS rank FROM r$iters"""
   }
 
+  /** Unrolled DuckDB replay of [[Graph.temporalReach]] over the
+    * order-date-stamped supplier<->customer contact graph from the
+    * supplier-id<3 seed set: one (time-gated relax-union, min-group)
+    * CTE pair per round — arrival(v) = min t over time-respecting
+    * paths, bit-exact in BIGINT day counts. */
+  private[graft] def temporalOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""",
+        u$r AS (SELECT node, arr FROM a${r - 1}
+          UNION ALL SELECT e.dst, e.t
+          FROM a${r - 1} a JOIN e ON e.src = a.node WHERE e.t >= a.arr),
+        a$r AS MATERIALIZED (SELECT node, CAST(min(arr) AS BIGINT) AS arr
+          FROM u$r GROUP BY 1)"""
+    }.mkString
+    s"""WITH fwd AS (SELECT DISTINCT l_suppkey * 2 + 1 AS src,
+          o_custkey * 2 AS dst,
+          CAST(date_diff('day', DATE '1970-01-01',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      e AS (SELECT src, dst, t FROM fwd
+        UNION ALL SELECT dst, src, t FROM fwd),
+      a0 AS (SELECT DISTINCT s_suppkey * 2 + 1 AS node,
+          CAST(0 AS BIGINT) AS arr
+        FROM supplier WHERE s_suppkey < 3)$steps
+      SELECT node, arr FROM a$rounds"""
+  }
+
   /** Unrolled DuckDB replay of [[Graph.ssspInt]] over the weighted
     * part<->supplier graph (edge weight = min line price in cents for the
     * pairing) from the part-id<5 seed set: one (relax-union, min-group)

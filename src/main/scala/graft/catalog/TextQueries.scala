@@ -840,6 +840,55 @@ private[graft] object TextQueries {
     // logs — cross-engine bit-stable); the ONLY window ranks the
     // VOCABULARY table (sublinear in the corpus — the same domain-bounded
     // class as the quantile cell tables), and the result is one row.
+    // Heaps'-law vocabulary-growth curve (Heaps 1978): distinct-type
+    // count and type-token ratio at fixed doc-order checkpoints. The
+    // distributed trick: the cumulative vocabulary at checkpoint c is
+    // NOT a running distinct (a corpus-order scan) — it is the count of
+    // tokens whose FIRST-occurrence doc (one min-aggregate per type) is
+    // below c, so the whole curve is one groupBy + a constant 6-row
+    // broadcast fan-out. No logs (banned cross-engine): the curve points
+    // and the declining ttr_ppm ARE the Heaps readout; fit beta offline.
+    ("q_text_heaps",
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val cps = Seq(50L, 200L, 800L, 3200L, 12800L, 51200L)
+        val cpDf = cps.toDF("c")
+        val dp = t(s, d, "documents").select(col("doc_id"),
+          graft.ops.TextOps.tokens(col("text")).as("ts"))
+        val firstDoc = dp.select(col("doc_id"), explode(col("ts")).as("w"))
+          .groupBy("w").agg(min("doc_id").as("first_doc"))
+        val vocab = firstDoc
+          .join(broadcast(cpDf), col("first_doc") < col("c"))
+          .groupBy("c").agg(count(lit(1)).as("vocab"))
+        val toks = dp
+          .select(col("doc_id"), size(col("ts")).cast("long").as("nt"))
+          .join(broadcast(cpDf), col("doc_id") < col("c"))
+          .groupBy("c").agg(count(lit(1)).as("n_docs"),
+            sum("nt").as("n_tokens"))
+        toks.join(vocab, Seq("c"))
+          .select(col("c"), col("n_docs"), col("n_tokens"), col("vocab"),
+            when(col("n_tokens") === 0L, lit(null).cast("long"))
+              .otherwise(floor(lit(1e6) * col("vocab").cast("double") /
+                col("n_tokens").cast("double")).cast("long"))
+              .as("ttr_ppm"))
+      },
+      Some(s"""WITH cp AS (SELECT CAST(u.c AS BIGINT) AS c
+          FROM UNNEST([50, 200, 800, 3200, 12800, 51200]) u(c)),
+        dp AS (SELECT doc_id, ${tokensSql()} AS tk FROM documents),
+        tok AS (SELECT doc_id, tk[u.i] AS w
+          FROM dp, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        fd AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        voc AS (SELECT c, CAST(count(*) AS BIGINT) AS vocab
+          FROM fd JOIN cp ON fd.first_doc < cp.c GROUP BY 1),
+        tks AS (SELECT c, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+          FROM dp JOIN cp ON dp.doc_id < cp.c GROUP BY 1)
+        SELECT tks.c, n_docs, n_tokens, vocab,
+          CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST(floor(1e6 * CAST(vocab AS DOUBLE) /
+              CAST(n_tokens AS DOUBLE)) AS BIGINT) END AS ttr_ppm
+        FROM tks JOIN voc ON voc.c = tks.c""")),
+
     ("q_text_zipf",
       (s: SparkSession, d: String) => {
         val f = t(s, d, "documents")

@@ -1157,4 +1157,46 @@ object Graph {
     }
     forest.select("a", "b", "w")
   }
+
+  /**
+   * Earliest-arrival reachability on a TEMPORAL graph (Wu et al., VLDB
+   * 2014, "Path Problems in Temporal Graphs"): an edge (u, v, t) is
+   * traversable only at time t ≥ arrival(u), and arrival(v) is the
+   * minimum such t over any time-respecting path of ≤ `rounds` hops —
+   * the contact-tracing / provenance primitive static reachability gets
+   * WRONG (a static path through edges whose timestamps run backwards
+   * is not a real propagation route).
+   *
+   * Recurrence (Bellman-Ford-shaped, exact by induction on hops):
+   *   arr_0 = seeds at `seedTime`
+   *   arr_r(v) = min(arr_{r-1}(v), min{ t : (u,v,t) ∈ E, t ≥ arr_{r-1}(u) })
+   *
+   * Distributed shape: per round ONE equi-join on src (the t ≥ arr gate
+   * is a post-join filter, never a join condition — the join stays hash)
+   * + ONE combine-enabled min aggregate; state is (node, arr) for
+   * REACHED nodes only, so like the sparse-PPR frontier the round cost
+   * is the reached ball, not |V|. All-integer timestamps → bit-exact.
+   *
+   * Output: (node, arr) for every node reached within `rounds` hops
+   * (seeds included at `seedTime`).
+   */
+  def temporalReach(edges: DataFrame, srcCol: String, dstCol: String,
+      timeCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
+      seedTime: Long = 0L): DataFrame = {
+    require(rounds >= 0, s"temporalReach needs rounds >= 0, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(timeCol).cast("long").as("t")).localCheckpoint()
+    var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("arr", lit(seedTime))
+    for (_ <- 1 to rounds) {
+      val prev = arr
+      val cand = e.join(prev, e("src") === prev("node"))
+        .filter(col("t") >= col("arr"))
+        .select(col("dst").as("node"), col("t").as("arr"))
+      arr = prev.unionAll(cand)
+        .groupBy("node").agg(min("arr").as("arr"))
+    }
+    arr
+  }
 }

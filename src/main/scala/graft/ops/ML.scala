@@ -173,4 +173,105 @@ object ML {
           .cast("long").as("gain_ppm"),
         col("is_best"))
   }
+
+  /**
+   * Exact ROC AUC by the Mann–Whitney U identity with MIDRANKS for ties
+   * (AUC = P(s_pos > s_neg) + P(s_pos = s_neg)/2): group rows by score
+   * (one combine-enabled aggregate over the corpus), take one global
+   * cumulative over the AGGREGATE (score-domain-bounded — never a
+   * corpus-row window), and fold
+   *
+   *   2·Σ_pos midrank = Σ_s npos(s)·(2·below(s) + cnt(s) + 1)
+   *   2U              = that − n_pos·(n_pos + 1)
+   *   auc_ppm         = floor(1e6 · 2U / (2·n_pos·n_neg))
+   *
+   * — integer end to end until the single final floor division, so the
+   * value replays bit-identically in any engine. NULL when one class is
+   * empty. Output: 1 row (n_pos, n_neg, two_u, auc_ppm).
+   */
+  def aucPpm(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored.groupBy(col(scoreCol).as("sc"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("npos"))
+    val below = coalesce(sum(col("cnt")).over(
+      Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    byScore.withColumn("below", below)
+      .agg(
+        sum(col("npos") * (lit(2L) * col("below") + col("cnt") + lit(1L)))
+          .as("tspr"),
+        sum("npos").as("n_pos"),
+        sum(col("cnt") - col("npos")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("tspr") - col("n_pos") * (col("n_pos") + 1L)).as("two_u"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1e6) * col("two_u").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).cast("long")))
+  }
+
+  /** Result of [[fsEm]]: fitted params (ppm) and the per-pattern match
+    * posterior (ppm) under them. */
+  final case class FsEmFit(pPpm: Long, mPpm: Array[Long], uPpm: Array[Long],
+      posterior: Map[(Long, Long, Long), Long])
+
+  /**
+   * Fellegi–Sunter record-linkage parameter estimation (Fellegi & Sunter
+   * 1969; EM formulation Winkler 1988) over 3 binary agreement fields,
+   * in quantized ppm arithmetic so an external engine replays every
+   * round bit-identically (the [[logisticGd]] contract, EM-shaped):
+   *
+   *   E: w_γ = x_γ·1e6 DIV (x_γ + y_γ), where x_γ folds p through
+   *      (g_j ? m_j : 1e6−m_j) with a DIV 1e6 after EACH factor (fixed
+   *      quantization points), y_γ the same with (1e6−p) and u_j;
+   *   M: p' = (Σ n·w) DIV (Σ n);  m_j' = floor(1e6·Σ(n·w·g_j)/Σ(n·w));
+   *      u_j' the same over the (1e6−w) mass — the two divisions are
+   *      single IEEE double chains (operands < 2^53, floor'd), and every
+   *      new param clamps to [1000, 999000] (degenerate 0/1e6 params
+   *      would zero the E-step products permanently).
+   *
+   * Simultaneous update from one E-step table per round. Driver-side on
+   * COLLECTED pattern counts (≤ 8 rows — the corpus-scale work is the
+   * one groupBy that produced them), exactly like the GD weight steps.
+   */
+  def fsEm(patterns: Seq[(Long, Long, Long, Long)], rounds: Int)
+      : FsEmFit = {
+    require(rounds >= 1 && patterns.nonEmpty, "fsEm needs rounds + data")
+    var p = 100000L
+    val m = Array(900000L, 900000L, 900000L)
+    val u = Array(100000L, 100000L, 100000L)
+    def estep(g: Seq[Long]): Long = {
+      var x = p
+      var y = 1000000L - p
+      for (j <- 0 until 3) {
+        x = x * (if (g(j) == 1L) m(j) else 1000000L - m(j)) / 1000000L
+        y = y * (if (g(j) == 1L) u(j) else 1000000L - u(j)) / 1000000L
+      }
+      if (x + y == 0L) 0L else x * 1000000L / (x + y)
+    }
+    def clamp(v: Long): Long = math.min(999000L, math.max(1000L, v))
+    for (_ <- 1 to rounds) {
+      val ws = patterns.map { case (g1, g2, g3, n) =>
+        (Seq(g1, g2, g3), n, estep(Seq(g1, g2, g3)))
+      }
+      val nTot = ws.map(_._2).sum
+      val s = ws.map { case (_, n, w) => n * w }.sum
+      val t = ws.map { case (_, n, w) => n * (1000000L - w) }.sum
+      p = clamp(s / nTot)
+      for (j <- 0 until 3) {
+        val bj = ws.collect { case (g, n, w) if g(j) == 1L => n * w }.sum
+        val cj = ws.collect { case (g, n, w) if g(j) == 1L =>
+          n * (1000000L - w) }.sum
+        m(j) = clamp(math.floor(1e6 * bj.toDouble / s.toDouble).toLong)
+        u(j) = clamp(math.floor(1e6 * cj.toDouble / t.toDouble).toLong)
+      }
+    }
+    FsEmFit(p, m.clone(), u.clone(),
+      patterns.map { case (g1, g2, g3, _) =>
+        ((g1, g2, g3), estep(Seq(g1, g2, g3))) }.toMap)
+  }
 }

@@ -730,4 +730,23 @@ class GraphSpec extends SparkSpec {
       .select("node", "bc_micro").as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 12000000L))
   }
+
+  test("temporalReach: blocks backward-in-time paths, takes earliest arrival") {
+    import spark.implicits._
+    // a->b @5, b->c @3 (backwards: statically reachable, temporally NOT),
+    // b->d @7 (legal continuation)
+    val e1 = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L))
+      .toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.temporalReach(e1, "src", "dst", "t", seeds, "seed",
+      rounds = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 4L -> 7L), got.toString)
+    // a parallel earlier edge a->b @2 unblocks b->c @3, and arrival(b)
+    // takes the MIN over incoming legal edges
+    val e2 = e1.unionAll(Seq((1L, 2L, 2L)).toDF("src", "dst", "t"))
+    val got2 = Graph.temporalReach(e2, "src", "dst", "t", seeds, "seed",
+      rounds = 2).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 7L),
+      got2.toString)
+  }
 }

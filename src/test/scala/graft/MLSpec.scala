@@ -69,4 +69,48 @@ class MLSpec extends SparkSpec {
     val got = ML.bestStump(df, Seq("f"), "y").collect()
     assert(got.length == 1 && got.head.getLong(1) == 0L)
   }
+
+  test("aucPpm: matches the brute-force pair count, midranks for ties") {
+    // scores with ties across classes: brute-force AUC =
+    // (#(pos>neg) + 0.5*#(pos==neg)) / (n_pos*n_neg)
+    val rows = Seq((10L, 0L), (20L, 0L), (20L, 1L), (30L, 0L), (30L, 1L),
+      (40L, 1L), (40L, 1L), (5L, 0L))
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum // in half-units x2
+    val want = math.floor(1e6 * wins.toDouble /
+      (2.0 * pos.size * neg.size)).toLong
+    val got = ML.aucPpm(rows.toDF("s", "y"), "s", "y")
+      .select("n_pos", "n_neg", "auc_ppm")
+      .as[(Long, Long, Long)].head()
+    assert(got == ((pos.size.toLong, neg.size.toLong, want)), got)
+    // perfect separation -> exactly 1e6; one class empty -> NULL
+    val perfect = ML.aucPpm(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("s", "y"), "s", "y").select("auc_ppm").as[Long].head()
+    assert(perfect == 1000000L)
+    val nullRow = ML.aucPpm(Seq((1L, 1L), (2L, 1L)).toDF("s", "y"),
+      "s", "y").select("auc_ppm").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("fsEm: separable patterns learn m >> u and a sane posterior split") {
+    // 90 all-agree "true matches", 900 all-disagree, 60 noise patterns
+    val pats = Seq(
+      (1L, 1L, 1L, 90L), (0L, 0L, 0L, 900L),
+      (1L, 0L, 0L, 20L), (0L, 1L, 0L, 20L), (0L, 0L, 1L, 20L))
+    val fit = ML.fsEm(pats, rounds = 3)
+    for (j <- 0 until 3) {
+      assert(fit.mPpm(j) > fit.uPpm(j),
+        s"field $j: m=${fit.mPpm(j)} must exceed u=${fit.uPpm(j)}")
+      assert(fit.mPpm(j) >= 1000L && fit.mPpm(j) <= 999000L)
+      assert(fit.uPpm(j) >= 1000L && fit.uPpm(j) <= 999000L)
+    }
+    val wMatch = fit.posterior((1L, 1L, 1L))
+    val wNon = fit.posterior((0L, 0L, 0L))
+    assert(wMatch > 900000L, s"all-agree posterior low: $wMatch")
+    assert(wNon < 100000L, s"all-disagree posterior high: $wNon")
+    // determinism: the quantized recurrence is a pure function
+    assert(ML.fsEm(pats, rounds = 3).posterior == fit.posterior)
+  }
 }
