@@ -91,6 +91,37 @@ private[graft] object GraphQueries {
     // DENSE-region structure, where q_dedup_clusters* find mere
     // connectivity. 4 rounds + total tie order = deterministic; the
     // oracle unrolls the rounds as mode-per-node CTEs.
+    // One synchronous Louvain phase (Graph.louvainOnePass) on the
+    // part<->supplier graph: every node's best modularity-gain move from
+    // singleton communities, gain in the exact integer form 2m - k_i*k_j
+    // (scaled by 2m^2 — argmax-invariant, transcendental-free). The
+    // modularity-OBJECTIVE counterpart to q_graph_communities' frequency
+    // heuristic; the emitted gain says how decisively each node merged.
+    // Shape: one degree aggregate + two edge-partitioned joins + a 1-row
+    // broadcast + a combine-enabled struct-max — O(|E|), no per-community
+    // state, no windows.
+    ("q_graph_louvain",
+      (s: SparkSession, d: String) => Graph.louvainOnePass(
+        partSupplierEdges(s, d), "src", "dst"),
+      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+            l_suppkey * 2 + 1 AS dst FROM lineitem),
+          e AS (SELECT src, dst FROM fwd
+            UNION ALL SELECT dst, src FROM fwd),
+          deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e GROUP BY 1),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+          cand AS (SELECT e.src AS node, e.dst AS nbr,
+              m2 - di.deg * dj.deg AS gain
+            FROM e JOIN deg di ON e.src = di.node
+            JOIN deg dj ON e.dst = dj.node, m),
+          best AS (SELECT node, nbr, gain, row_number()
+              OVER (PARTITION BY node ORDER BY gain DESC, nbr ASC) AS rn
+            FROM cand)
+          SELECT node,
+            CASE WHEN gain > 0 THEN nbr ELSE node END AS community,
+            CAST(gain AS BIGINT) AS gain_scaled
+          FROM best WHERE rn = 1""")),
+
     ("q_graph_communities", {
       ((s: SparkSession, d: String) => {
         val lp = t(s, d, "lineitem")

@@ -714,5 +714,71 @@ private[graft] object MlQueries {
             bin) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
             AS is_best
         FROM f"""
-      }))
+      }),
+
+    // Multinomial naive Bayes language classifier, trained AND scored
+    // in-engine (ML.naiveBayesConfusion): md5 hash split (20% held out),
+    // df>=5 vocabulary, whole-bit surprisal weights (NO transcendentals
+    // — the q_text_lm_score discipline), add-one smoothing. Scoring is
+    // ONE broadcast model join; the per-label grid materializes at doc
+    // granularity only (score = prior + w_unseen*n_d + sum of seen-term
+    // deltas). Output: held-out confusion matrix — the measured quality
+    // of the cheapest corpus labeler a curation pipeline deploys.
+    ("q_ml_naive_bayes",
+      (s: SparkSession, d: String) => ML.naiveBayesConfusion(
+        t(s, d, "documents"), "doc_id", "text", "lang")
+        .withColumnRenamed("label", "lang")
+        .withColumnRenamed("label_pred", "lang_pred"),
+      Some(s"""WITH base AS (SELECT doc_id AS id, lang AS label,
+            ${tokensSql()} AS ts,
+            (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 = 0) AS is_test
+          FROM documents),
+        toks AS (SELECT id, label, is_test, t AS term
+          FROM base, UNNEST(ts) AS u(t)),
+        vocab AS (SELECT term FROM
+          (SELECT term, count(DISTINCT id) AS df FROM toks
+           WHERE NOT is_test GROUP BY 1) WHERE df >= 5),
+        cnt AS (SELECT label, term, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks JOIN vocab USING (term)
+          WHERE NOT is_test GROUP BY 1, 2),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot
+          FROM cnt GROUP BY 1),
+        ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+          FROM base WHERE NOT is_test),
+        pri AS (SELECT nl.label AS cand,
+            CAST(length(bin(n_train)) - length(bin(n_lab)) AS BIGINT)
+              AS prior_bits,
+            CAST(length(bin(coalesce(tot, 0) + v)) - 1 AS BIGINT)
+              AS w_unseen
+          FROM (SELECT label, CAST(count(*) AS BIGINT) AS n_lab
+              FROM base WHERE NOT is_test GROUP BY 1) nl
+          LEFT JOIN tot ON tot.label = nl.label, ntr, v),
+        w AS (SELECT c.label AS cand, c.term,
+            CAST(length(bin(tot + v)) - length(bin(cnt + 1)) AS BIGINT)
+              AS w
+          FROM cnt c JOIN tot ON tot.label = c.label, v),
+        tt AS (SELECT id, term FROM toks
+          WHERE is_test AND term IN (SELECT term FROM vocab)),
+        nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_d
+          FROM tt GROUP BY 1),
+        adj AS (SELECT tt.id, w.cand,
+            CAST(sum(w.w - p.w_unseen) AS BIGINT) AS adj
+          FROM tt JOIN w USING (term) JOIN pri p ON p.cand = w.cand
+          GROUP BY 1, 2),
+        grid AS (SELECT b.id, b.label, p.cand,
+            p.prior_bits + p.w_unseen * coalesce(nd.n_d, 0)
+              + coalesce(adj.adj, 0) AS score
+          FROM base b CROSS JOIN pri p
+          LEFT JOIN nd ON nd.id = b.id
+          LEFT JOIN adj ON adj.id = b.id AND adj.cand = p.cand
+          WHERE b.is_test),
+        pred AS (SELECT id, label, cand, row_number()
+            OVER (PARTITION BY id ORDER BY score ASC, cand ASC) AS rn
+          FROM grid)
+        SELECT label AS lang, cand AS lang_pred,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred WHERE rn = 1 GROUP BY 1, 2"""))
+  )
 }

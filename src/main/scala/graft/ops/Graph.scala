@@ -271,6 +271,56 @@ object Graph {
   }
 
   /**
+   * One synchronous Louvain phase (Blondel et al. 2008, "Fast unfolding
+   * of communities in large networks") from singleton communities over an
+   * UNDIRECTED graph given as a SYMMETRIC distinct edge list: every node
+   * evaluates the modularity gain of joining each neighbor's (still
+   * singleton) community and adopts the best strictly-positive move.
+   * Complements [[labelPropagation]] (frequency-based) with the
+   * modularity-gain objective the Louvain family optimizes.
+   *
+   * Determinism: classic Louvain is sequential (each move sees earlier
+   * moves); the distributed variant is the standard SYNCHRONOUS relaxation
+   * — all nodes decide against the same singleton state, ties broken by
+   * the smallest neighbor id — so the result is a pure function of the
+   * edge set and the oracle can replay it exactly. With unit weights and
+   * singleton communities the gain of moving i into {j}, scaled by the
+   * positive constant 2m^2 (argmax-invariant), is the exact integer
+   * `2m - k_i * k_j` (e_{i,C_j} = 1, Sigma_tot(C_j) = k_j), so the whole
+   * pass is BIGINT arithmetic — no transcendentals, no IEEE ordering.
+   *
+   * Scale shape: one combine-enabled degree aggregate, two shuffle joins
+   * of the edge list against the (node, degree) table (edge-partitioned —
+   * a hub's candidate rows split across partitions), one 1-row broadcast
+   * of 2m, one combine-enabled per-node struct-max. Cost is O(|E|), never
+   * per-community state.
+   *
+   * Output: (node, community, gain_scaled) — community = best neighbor if
+   * its gain is > 0 else the node itself; gain_scaled = the best
+   * candidate's `2m - k_i*k_j` (emitted even when the node stays, as the
+   * audit signal of how far from a merge it was).
+   */
+  def louvainOnePass(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val m2 = e.agg(count(lit(1)).as("m2")) // = 2m on a symmetric list
+    e.join(deg, Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("deg_j")),
+        Seq("dst"))
+      .crossJoin(broadcast(m2))
+      .select(col("src").as("node"), col("dst").as("nbr"),
+        (col("m2") - col("deg") * col("deg_j")).as("gain"))
+      .groupBy("node")
+      .agg(max(struct(col("gain"), (-col("nbr")).as("nn"))).as("b"))
+      .select(col("node"),
+        when(col("b.gain") > 0, -col("b.nn")).otherwise(col("node"))
+          .as("community"),
+        col("b.gain").as("gain_scaled"))
+  }
+
+  /**
    * Per-node triangle counts + local clustering coefficient over an
    * UNDIRECTED graph, by degree-ordered edge orientation (Schank &
    * Wagner 2005; the MapReduce shape of Suri & Vassilvitskii WWW'11).

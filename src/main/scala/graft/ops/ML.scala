@@ -274,4 +274,89 @@ object ML {
       patterns.map { case (g1, g2, g3, _) =>
         ((g1, g2, g3), estep(Seq(g1, g2, g3))) }.toMap)
   }
+
+  /**
+   * Multinomial naive Bayes text classifier, trained AND scored
+   * in-engine (the workhorse of fastText-era corpus labeling: language
+   * ID, quality tiers, topic routing). Returns the held-out confusion
+   * matrix (label, label_pred, n_docs).
+   *
+   * Split: deterministic md5 hash of the id — doc `i` is held out iff
+   * `md5(i) % testMod == 0`, the same portable split every q_sample_*
+   * query uses, so train/test membership is identical across engines.
+   *
+   * Model, in the catalog's whole-bit surprisal discipline (NO
+   * transcendentals — `ln` is 1-ulp engine-dependent, bit lengths are
+   * exact): with V = |vocab| and add-one smoothing, the per-occurrence
+   * cost of term t under label L is
+   *   w(L,t) = bits(tot_L + V) − bits(cnt_{L,t} + 1)   ≈ −log2 p(t|L)
+   * (bits(x) = floor(log2 x)+1, one intrinsic), the unseen-term cost is
+   * `bits(tot_L + V) − 1`, and the prior cost is
+   * `bits(n_train) − bits(n_L)`. Vocabulary is df >= minDf over TRAIN
+   * docs — the standard rare-term prune that keeps the model
+   * broadcast-sized (Heaps-law tail cut); out-of-vocab test tokens are
+   * ignored, as with any fixed-vocabulary classifier.
+   *
+   * Scale shape: training is two combine-enabled aggregates over the
+   * token stream ((label, term) counts and df counts). Scoring never
+   * fans the token stream out by |labels|: seen (term -> label) weights
+   * arrive by ONE broadcast join of the model onto test tokens, and each
+   * doc's score decomposes as
+   *   score(d, L) = prior_L + w_unseen_L * n_d + Σ_seen (w − w_unseen_L)
+   * so the label grid materializes only at per-DOC granularity (docs ×
+   * |labels| rows), not per token. All-integer throughout; argmin with
+   * the (score, label) struct-min tiebreak.
+   */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, testMod: Int = 5, minDf: Long = 5): DataFrame = {
+    require(testMod >= 2 && minDf >= 1, "naiveBayes needs testMod>=2, minDf>=1")
+    import graft.plans.GraftExpressions.bit_length_long
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        col(labelCol).as("label"),
+        TextOps.tokens(col(textCol)).as("ts"))
+      .withColumn("is_test",
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % testMod === 0)
+    val toks = base.select(col("id"), col("label"), col("is_test"),
+      explode(col("ts")).as("term"))
+    val trainToks = toks.filter(!col("is_test"))
+    val vocab = trainToks.select("term", "id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("term")
+    val cnt = trainToks.join(vocab, Seq("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("cnt"))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val tot = cnt.groupBy("label").agg(sum("cnt").as("tot"))
+    val w = cnt.join(tot, Seq("label")).crossJoin(broadcast(vSize))
+      .select(col("label").as("cand"), col("term"),
+        (bit_length_long(col("tot") + col("v")) -
+          bit_length_long(col("cnt") + lit(1L))).as("w"))
+    val nTrain = base.filter(!col("is_test")).agg(count(lit(1)).as("n_train"))
+    val pri = base.filter(!col("is_test"))
+      .groupBy("label").agg(count(lit(1)).as("n_lab"))
+      .join(tot, Seq("label"), "left")
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(nTrain))
+      .select(col("label").as("cand"),
+        (bit_length_long(col("n_train")) - bit_length_long(col("n_lab")))
+          .as("prior_bits"),
+        (bit_length_long(coalesce(col("tot"), lit(0L)) + col("v")) -
+          lit(1L)).as("w_unseen"))
+    val tt = toks.filter(col("is_test")).join(vocab, Seq("term"), "left_semi")
+    val nd = tt.groupBy("id").agg(count(lit(1)).as("n_d"))
+    val adj = tt.join(broadcast(w), Seq("term"))
+      .join(broadcast(pri), Seq("cand"))
+      .groupBy("id", "cand")
+      .agg(sum(col("w") - col("w_unseen")).as("adj"))
+    val grid = base.filter(col("is_test")).select("id", "label")
+      .crossJoin(broadcast(pri))
+      .join(nd, Seq("id"), "left")
+      .join(adj, Seq("id", "cand"), "left")
+      .select(col("id"), col("label"), col("cand"),
+        (col("prior_bits") + col("w_unseen") * coalesce(col("n_d"), lit(0L))
+          + coalesce(col("adj"), lit(0L))).as("score"))
+    grid.groupBy("id", "label")
+      .agg(min(struct(col("score"), col("cand"))).as("b"))
+      .groupBy(col("label"), col("b.cand").as("label_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -217,6 +217,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("louvainOnePass: double star — hand-computed gains, hub-hub move rejected") {
+    // h1=10 with leaves 1,2,3; h2=20 with leaves 21,22,23; bridge 10-20.
+    // m=7, 2m=14; deg(h)=4, deg(leaf)=1. Leaf -> its hub: 14-4=10. Hub ->
+    // leaf: 14-4=10 (tie -> min leaf); hub -> hub: 14-16=-2, correctly
+    // NOT chosen even though the hubs are each other's "biggest" nbr.
+    val canon = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (21L, 20L), (22L, 20L), (23L, 20L), (10L, 20L))
+    val sym = (canon ++ canon.map(_.swap)).toDF("src", "dst")
+    val got = Graph.louvainOnePass(sym, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 10L, 10L), (2L, 10L, 10L), (3L, 10L, 10L),
+      (21L, 20L, 10L), (22L, 20L, 10L), (23L, 20L, 10L),
+      (10L, 1L, 10L), (20L, 21L, 10L))
+    assert(got == want)
+  }
+
+  test("louvainOnePass: on a simple graph every node has a positive move") {
+    // Σ_{j∈N(i)} k_j <= 2m - k_i < k_i * (2m/k_i), so at least one nbr
+    // has k_i*k_j < 2m — the stay branch is a guard, not a code path,
+    // on simple unweighted graphs. Random-graph check.
+    val rnd = new scala.util.Random(7)
+    val n = 20
+    val directed = (1 to 60).map(_ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val sym = (directed ++ directed.map(_.swap)).distinct
+    val got = Graph.louvainOnePass(sym.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (node, comm, gain) =>
+      assert(gain > 0 && comm != node, s"node $node")
+    }
+  }
+
   test("labelPropagation: random graphs match an independent sync fold (seeded)") {
     // plain-Scala synchronous mode-label recurrence, replicated without
     // Spark: each round every node takes its neighbors' most frequent

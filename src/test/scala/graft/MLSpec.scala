@@ -113,4 +113,49 @@ class MLSpec extends SparkSpec {
     // determinism: the quantized recurrence is a pure function
     assert(ML.fsEm(pats, rounds = 3).posterior == fit.posterior)
   }
+
+  test("naiveBayesConfusion: separable corpus classifies held-out docs " +
+      "perfectly; totals match the md5 split") {
+    // 60 docs, two labels with distinctive marker words (each in ~24
+    // train docs, comfortably over minDf=5) plus a shared token.
+    val docs = (1L to 60L).map { id =>
+      val lab = if (id % 2 == 0) "ca" else "cb"
+      val word = if (id % 2 == 0) "alpha" else "bravo"
+      (id, s"$word $word $word common", lab)
+    }.toDF("doc_id", "text", "label")
+    val got = ML.naiveBayesConfusion(docs, "doc_id", "text", "label")
+      .as[(String, String, Long)].collect().toSeq.sortBy(_._1)
+    // only diagonal rows: every held-out doc carries its marker 3x
+    got.foreach { case (l, p, _) => assert(l == p, s"misrouted $l -> $p") }
+    // the total equals the md5-split held-out count, computed the same way
+    val nTest = docs.select(col("doc_id")).filter(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 5 === 0).count()
+    assert(got.map(_._3).sum == nTest && nTest > 0)
+  }
+
+  test("naiveBayesConfusion: all-OOV held-out doc falls back to the prior") {
+    // Find a held-out id, give it text made of tokens that appear nowhere
+    // else (df=1 < minDf -> pruned from the vocabulary); the filler corpus
+    // makes "cb" the strict majority class, so the OOV doc must route to
+    // the prior argmin = cb regardless of its own (unusable) content.
+    val ids = (1L to 40L)
+    val testId = ids.find { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 5 == 0
+    }.get
+    val docs = ids.map { id =>
+      if (id == testId) (id, "zzqx wwvr", "ca")
+      else if (id % 4 == 0) (id, "alpha alpha", "ca")
+      else (id, "bravo bravo", "cb")
+    }.toDF("doc_id", "text", "label")
+    val got = ML.naiveBayesConfusion(docs, "doc_id", "text", "label")
+      .as[(String, String, Long)].collect()
+      .filter(_._1 == "ca").toSeq
+    // the OOV ca doc predicts cb (majority prior) — present as ca->cb
+    assert(got.exists { case (_, p, n) => p == "cb" && n >= 1L },
+      s"expected a ca->cb prior-fallback row, got ${got.mkString(", ")}")
+  }
 }
