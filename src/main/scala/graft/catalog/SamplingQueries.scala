@@ -25,6 +25,53 @@ private[graft] object SamplingQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     systematicEntry,
 
+    // Systematic PPS sampling (Madow 1949: probability proportional to
+    // size): lay every document's n_chars out on a cumulative length
+    // line (graft.ops.Prefix two-pass range scan — never a corpus-wide
+    // single-task window), then take every step-th point of that line
+    // (step = W div 100, i.e. a ~100-point design), so a document's
+    // inclusion count is EXACTLY proportional to its length — the
+    // token-weighted sampling design a training-data mix actually wants
+    // (q_sample_hash picks documents uniformly; a 100-char doc and a
+    // 100k-char doc are NOT the same amount of training signal). Docs
+    // longer than the step can be hit more than once (n_hits = their
+    // with-replacement multiplicity, the standard Madow semantics). All
+    // integer: the two floor-divisions use the +step shift so every
+    // operand is nonnegative and Spark `div` (trunc) == DuckDB `//`
+    // (floor) on every input, the q_sample_systematic lesson.
+    ("q_sample_pps",
+      (s: SparkSession, d: String) => {
+        val ranked = graft.ops.Prefix.runningOffsets(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars")
+          .withColumnRenamed("offset", "cum_before")
+        val tot = t(s, d, "documents")
+          .agg(sum("n_chars").as("w_total"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("step", greatest(expr("w_total div 100L"), lit(1L)))
+          .withColumn("strt", lit(7L) % col("step"))
+          .withColumn("n_hits",
+            expr("(cum_before + n_chars + step - strt - 1) div step" +
+              " - (cum_before + step - strt - 1) div step"))
+          .filter(col("n_hits") > 0)
+          .select(col("doc_id"), col("n_chars"), col("cum_before"),
+            col("n_hits"))
+      },
+      Some("""WITH r AS (SELECT doc_id, n_chars,
+            CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+          FROM documents),
+        p AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT) // 100, 1)
+            AS step FROM documents),
+        q AS (SELECT step, 7 % step AS strt FROM p)
+        SELECT doc_id, n_chars, cum_before,
+          (cum_before + n_chars + step - strt - 1) // step
+            - (cum_before + step - strt - 1) // step AS n_hits
+        FROM r, q
+        WHERE (cum_before + n_chars + step - strt - 1) // step
+          - (cum_before + step - strt - 1) // step > 0""")),
+
     ("q_sample_hash",
       (s: SparkSession, d: String) => Sampling.hashSample(
         t(s, d, "documents"), "doc_id", fraction = 0.1)

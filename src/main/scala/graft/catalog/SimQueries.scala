@@ -497,6 +497,74 @@ private[graft] object SimQueries {
             * 1e6 / CAST(count(*) AS DOUBLE)) / 1e6 AS recall
         FROM r WHERE re <= 10 GROUP BY 1""")),
 
+    // Matryoshka prefix-dimension recall (Kusupati et al. 2022, MRL):
+    // recall@10 of the top-10 by the FIRST d dims (d = 8/16/32) against
+    // the full-64-dim truth — the audit that decides how far an MRL
+    // embedding column can be truncated before retrieval degrades (a 4x
+    // dim cut is a 4x index-size/IO cut at 100 TB). Quantize-then-slice
+    // == slice-then-quantize (elementwise), so both engines rank the
+    // same integer grids; ties break on neighbor id as everywhere.
+    // Shape: 4 broadcast-probe corpus scans (truth + 3 prefixes), per-
+    // query WindowGroupLimit top-10s, one hit-join — corpus is never
+    // shuffled pairwise.
+    ("q_emb_matryoshka",
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        val probes = e.filter(col("vec_id") < 8)
+        val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
+          probes, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val byDim = Seq(8, 16, 32).map { dm =>
+          val et = e.select(col("vec_id"),
+            slice(col("embedding"), 1, dm).as("emb"))
+          val pt = probes.select(col("vec_id"),
+            slice(col("embedding"), 1, dm).as("emb"))
+          Similarity.cosineTopK(et, "vec_id", "emb", pt, "vec_id", "emb",
+              k = 10)
+            .select(lit(dm.toLong).as("dims"), col("query_id"),
+              col("neighbor_id"))
+        }.reduce(_ union _)
+        byDim.join(exact.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .groupBy("dims", "query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("dims"), col("query_id"), col("n_hit"),
+            (floor(col("n_hit").cast("double") * 1e6 / lit(10.0)) / 1e6)
+              .as("recall"))
+      },
+      Some {
+        def qs(dm: Int): String =
+          s"list_transform(embedding[1:$dm], x -> " +
+            "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+        val arms = Seq(8, 16, 32).map { dm =>
+          s"""SELECT CAST($dm AS BIGINT) AS dims, query_id, neighbor_id
+            FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosineSql(s"q.v$dm", s"c.v$dm")} DESC,
+                  c.vec_id ASC) AS rnk
+            FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 10"""
+        }.mkString("\n          UNION ALL ")
+        s"""WITH c AS MATERIALIZED (SELECT vec_id, $quantSql AS v64,
+            ${qs(8)} AS v8, ${qs(16)} AS v16, ${qs(32)} AS v32
+          FROM embeddings),
+        q AS (SELECT * FROM c WHERE vec_id < 8),
+        ex AS (SELECT query_id, neighbor_id
+          FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosineSql("q.v64", "c.v64")} DESC,
+                c.vec_id ASC) AS rnk
+          FROM q JOIN c ON c.vec_id <> q.vec_id) WHERE rnk <= 10),
+        tr AS ($arms)
+        SELECT tr.dims, tr.query_id,
+          CAST(sum(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_hit,
+          floor(CAST(sum(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1
+            END) AS DOUBLE) * 1e6 / 10.0) / 1e6 AS recall
+        FROM tr LEFT JOIN ex ON ex.query_id = tr.query_id
+          AND ex.neighbor_id = tr.neighbor_id
+        GROUP BY 1, 2"""
+      }),
+
     // Margin-criterion bitext mining (Similarity.bitextMarginMine):
     // cos(x,y) scored relative to both sides' top-4 neighborhood averages
     // — the hub-vector correction LASER/CCMatrix mining uses. Best-margin

@@ -1435,6 +1435,41 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("pps sampling: exact grid-count total, long docs always included") {
+    val rows = SparkEntry.queries("q_sample_pps")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, _, h) => assert(h >= 1L, s"doc $id") }
+    // independent replay of the design constants from the raw table
+    val w = docs.agg(sum("n_chars")).as[Long].head()
+    val step = math.max(w / 100L, 1L)
+    val strt = 7L % step
+    // Madow invariant: total multiplicity == number of grid points
+    // strt, strt+step, ... below W
+    assert(rows.map(_._4).sum == (w - strt - 1) / step + 1)
+    // a doc spanning >= step chars covers at least one grid point
+    val sampled = rows.map(_._1).toSet
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect()
+      .filter(_._2 >= step)
+      .foreach { case (id, n) => assert(sampled(id), s"long doc $id ($n)") }
+  }
+
+  test("matryoshka recall: full grid of (dims x probes), recall exact n/10") {
+    val rows = SparkEntry.queries("q_emb_matryoshka")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet == Set(8L, 16L, 32L))
+    val nProbes = emb.filter(col("vec_id") < 8).count()
+    assert(rows.length == 3 * nProbes)
+    rows.foreach { case (dm, q, h, r) =>
+      assert(h >= 0L && h <= 10L, s"$dm/$q")
+      assert(r == math.floor(h.toDouble * 1e6 / 10.0) / 1e6, s"$dm/$q")
+    }
+    // more prefix dims never hurt AGGREGATE recall on the fixed fixture
+    val byDim = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byDim(32L) >= byDim(8L),
+      s"32-dim total hits ${byDim(32L)} < 8-dim ${byDim(8L)}")
+  }
+
   test("transitions: per-state probabilities sum to one (quantization aside)") {
     val rows = SparkEntry.queries("q_seq_transitions")(spark, sf)
       .as[(String, String, Long, Double)].collect()
