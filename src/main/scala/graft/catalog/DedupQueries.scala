@@ -118,6 +118,92 @@ private[graft] object DedupQueries {
         n = 5, k = 12, bands = 4, threshold = 0.7),
       Some(minhashOracleSql(n = 5, k = 12, bands = 4, threshold = 0.7))),
 
+    // b-bit minhash (Li & König 2010, b=1): keep only the LOW BIT of each
+    // of k=24 minhashes — a 64x sketch-size cut vs 64-bit signatures, THE
+    // storage lever for similarity sketches at 100 TB. Estimator per LSH
+    // candidate pair: A = #agreeing bits; since P(bit agree) = (1+J)/2
+    // for 1-bit hashes (dense regime), J_hat = max(2A/k - 1, 0) — here
+    // as exact nonnegative-integer ppm ((2A-k clamped)*1e6 div k, so
+    // trunc-div == floor-div). Emitted next to the TRUE shingle Jaccard
+    // of the same pair, so the query IS the estimator-quality audit.
+    // Shape: one signature aggregate, band equi-join candidates, two
+    // broadcast joins of the packed-bits table, and an intersection count
+    // restricted to candidate docs (semi-join first) — never all-pairs.
+    ("q_dedup_bbit",
+      (s: SparkSession, d: String) => {
+        val k = 24
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, k)
+        val packed = sigs.select(col("doc_id"),
+          (0 until k).map(i => (col(s"sig_$i") % 2) * lit(1L << i))
+            .reduce(_ + _).as("bits"))
+        val bk = Dedup.minhashBands(sigs, k, bands = 6)
+        val cand = bk.join(bk.select(col("doc_id").as("doc2"),
+              col("band"), col("band_key")), Seq("band", "band_key"))
+          .filter(col("doc_id") < col("doc2"))
+          .select(col("doc_id").as("doc1"), col("doc2")).distinct()
+        val sh = Dedup.shingleTable(docs, "doc_id", "text", 5)
+        val candDocs = cand.select(col("doc1").as("doc_id"))
+          .union(cand.select(col("doc2"))).distinct()
+        val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = broadcast(cand)
+          .join(shc.select(col("doc_id").as("doc1"), col("shingle")),
+            Seq("doc1"))
+          .join(shc.select(col("doc_id").as("doc2"), col("shingle")),
+            Seq("doc2", "shingle"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("i"))
+        val agree = lit(k.toLong) -
+          bit_count(col("b1").bitwiseXOR(col("b2"))).cast("long")
+        broadcast(cand)
+          .join(packed.select(col("doc_id").as("doc1"),
+            col("bits").as("b1")), Seq("doc1"))
+          .join(packed.select(col("doc_id").as("doc2"),
+            col("bits").as("b2")), Seq("doc2"))
+          .join(inter, Seq("doc1", "doc2"), "left_outer")
+          .join(sizes.select(col("doc_id").as("doc1"),
+            col("n_sh").as("n1")), Seq("doc1"))
+          .join(sizes.select(col("doc_id").as("doc2"),
+            col("n_sh").as("n2")), Seq("doc2"))
+          .select(col("doc1"), col("doc2"), agree.as("agree_bits"),
+            expr(s"greatest(2 * (${k}L - cast(bit_count(b1 ^ b2) as " +
+              s"bigint)) - ${k}L, 0L) * 1000000L div ${k}L")
+              .as("j_hat_ppm"),
+            (coalesce(col("i"), lit(0L)).cast("double") /
+              (col("n1") + col("n2") - coalesce(col("i"), lit(0L)))
+                .cast("double")).as("jaccard"))
+      },
+      Some {
+        val k = 24
+        val pack = (0 until k).map(i => s"(sig_$i % 2) * ${1L << i}")
+          .mkString(" + ")
+        s"""WITH ${minhashCandCtes(n = 5, k = k, bands = 6)},
+          bits AS (SELECT doc_id, CAST($pack AS BIGINT) AS bits FROM sigs),
+          shc AS (SELECT sh.doc_id, sg FROM sh
+            WHERE sh.doc_id IN (SELECT doc1 FROM cand
+              UNION SELECT doc2 FROM cand)),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM shc GROUP BY 1),
+          inter AS (SELECT doc1, doc2, CAST(count(*) AS BIGINT) AS i
+            FROM cand JOIN shc sa ON sa.doc_id = doc1
+                      JOIN shc sb ON sb.doc_id = doc2 AND sa.sg = sb.sg
+            GROUP BY 1, 2)
+          SELECT c.doc1, c.doc2,
+            CAST($k - bit_count(xor(b1.bits, b2.bits)) AS BIGINT)
+              AS agree_bits,
+            greatest(2 * ($k - CAST(bit_count(xor(b1.bits, b2.bits))
+              AS BIGINT)) - $k, 0) * 1000000 // $k AS j_hat_ppm,
+            CAST(coalesce(i.i, 0) AS DOUBLE) /
+              CAST(z1.n_sh + z2.n_sh - coalesce(i.i, 0) AS DOUBLE)
+              AS jaccard
+          FROM cand c
+          JOIN bits b1 ON b1.doc_id = c.doc1
+          JOIN bits b2 ON b2.doc_id = c.doc2
+          LEFT JOIN inter i ON i.doc1 = c.doc1 AND i.doc2 = c.doc2
+          JOIN sizes z1 ON z1.doc_id = c.doc1
+          JOIN sizes z2 ON z2.doc_id = c.doc2"""
+      }),
+
     // Edit-distance verification of LSH candidates: the second stage a
     // production near-dup pipeline runs when shingle Jaccard is too
     // coarse (it is blind to reorderings and char-level noise) — MinHash

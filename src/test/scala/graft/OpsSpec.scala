@@ -1435,6 +1435,20 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("bbit minhash: identical docs agree on all 24 bits, estimate 1e6") {
+    val rows = SparkEntry.queries("q_dedup_bbit")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d1, d2, a, jh, j) =>
+      assert(a >= 0L && a <= 24L, s"$d1/$d2")
+      // the clamped-integer estimator replay
+      assert(jh == math.max(2 * a - 24, 0) * 1000000L / 24, s"$d1/$d2")
+      assert(j >= 0.0 && j <= 1.0, s"$d1/$d2")
+      // exact duplicates (jaccard 1) must agree on every bit
+      if (j == 1.0) assert(a == 24L && jh == 1000000L, s"$d1/$d2")
+    }
+  }
+
   test("pps sampling: exact grid-count total, long docs always included") {
     val rows = SparkEntry.queries("q_sample_pps")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
