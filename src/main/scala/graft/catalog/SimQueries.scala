@@ -31,6 +31,39 @@ private[graft] object SimQueries {
       Some(s"""${kmeansCtes(k = 8, iters = 2)}
         SELECT vec_id, cid AS cluster FROM asg""")),
 
+    // Rocchio nearest-centroid classification (Similarity.rocchioConfusion)
+    // — one integer centroid per label over the md5 train split, held-out
+    // vectors assigned by the IvfAssign codegen expression (max 6dp-floored
+    // cosine, min-label tiebreak; no join, one reference-object table).
+    // The embedding-side sibling of q_ml_naive_bayes: together they pin
+    // the two cheapest supervised corpus labelers. The oracle replays
+    // training (Lloyd-mean floor(sum/n) per dim) AND scoring.
+    ("q_emb_rocchio",
+      (s: SparkSession, d: String) => Similarity.rocchioConfusion(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label"),
+      Some(s"""WITH q AS MATERIALIZED (SELECT vec_id,
+            CAST(label AS BIGINT) AS label, $quantSql AS v,
+            (CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 = 0) AS is_test
+          FROM embeddings),
+        comp AS (SELECT label, pos,
+            CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM (SELECT label, unnest(v) AS x,
+              generate_subscripts(v, 1) AS pos
+            FROM q WHERE NOT is_test)
+          GROUP BY 1, 2),
+        c AS (SELECT label AS clab, list(m ORDER BY pos) AS cv
+          FROM comp GROUP BY 1),
+        sc AS (SELECT q.vec_id, q.label, c.clab,
+            ${cosineSql("q.v", "c.cv")} AS cos
+          FROM q CROSS JOIN c WHERE q.is_test),
+        pr AS (SELECT vec_id, label, clab, row_number()
+            OVER (PARTITION BY vec_id ORDER BY cos DESC, clab ASC) AS rn
+          FROM sc)
+        SELECT label, clab AS label_pred, CAST(count(*) AS BIGINT)
+          AS n_vecs
+        FROM pr WHERE rn = 1 GROUP BY 1, 2""")),
+
     // Simplified-silhouette audit of the same k-means model (score against
     // CENTROIDS, O(n·k) — the only silhouette shape that exists at corpus
     // scale): per cluster, cohesion (own-centroid cosine mass) vs

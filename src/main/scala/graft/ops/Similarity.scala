@@ -828,6 +828,58 @@ object Similarity {
     kmeansAssign(corpus, idCol, vecCol, k, iters)
       .select(col("vec_id"), col("cluster"))
 
+  /**
+   * Rocchio / nearest-centroid classification (Rocchio 1971; the
+   * embedding-side sibling of [[graft.ops.ML.naiveBayesConfusion]]):
+   * train one integer centroid per label over an md5-hash train split
+   * (`vec_id` held out iff md5 % testMod == 0), then assign each held-out
+   * vector to its max-cosine centroid and return the confusion matrix
+   * (label, label_pred, n_vecs). The cheapest supervised labeler an
+   * embedding column supports — one centroid per class, classify-by-ANN.
+   *
+   * Determinism: quantized integer vectors; per-dim centroid =
+   * floor(sum/n) (the Lloyd-mean form the k-means oracle replays);
+   * assignment is the same 6dp-floored cosine + min-label tiebreak as
+   * [[graft.plans.IvfAssign]] — which is also the scoring engine here, so
+   * the per-row work is ONE codegen'd expression over a
+   * reference-object centroid table (no join at all).
+   *
+   * Scale shape: training = one combine-enabled vec_sum aggregate
+   * (shuffle = labels x partitions array rows, driver holds labels x
+   * dims longs — the k-means contract); scoring = one scan. Label count
+   * must be model-sized (it is the k of this op), corpus can be
+   * anything.
+   */
+  def rocchioConfusion(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, testMod: Int = 5): DataFrame = {
+    require(testMod >= 2, "rocchioConfusion needs testMod >= 2")
+    val q = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).cast("long").as("label"),
+        quantize(col(vecCol)).as("v"))
+      .withColumn("is_test",
+        conv(substring(md5(col("vec_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") % testMod === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = q.filter(!col("is_test")).groupBy("label")
+      .agg(graft.plans.GraftExpressions.vec_sum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      .collect() // one row per LABEL — model-sized by contract
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Long](1)
+          .map(x => math.floor(x.toDouble / r.getLong(2)).toLong)
+      }.sortBy(_._1)
+    val centIds = cents.map(_._1).toSeq
+    val centVecs = cents.map(_._2.toSeq).toSeq
+    val out = q.filter(col("is_test"))
+      .withColumn("label_pred", graft.plans.GraftExpressions.ivf_assign(
+        col("v"), centIds, centVecs,
+        centVecs.map(cv => cv.map(x => x * x).sum)))
+      .groupBy("label", "label_pred")
+      .agg(count(lit(1)).as("n_vecs"))
+    q.unpersist(blocking = false)
+    out
+  }
+
   /** [[kmeans]] keeping the quantized vector alongside the assignment —
     * (vec_id, v, cluster) — for downstream per-cluster work. */
   private[ops] def kmeansAssign(corpus: DataFrame, idCol: String,

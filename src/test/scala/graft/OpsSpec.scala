@@ -1435,6 +1435,31 @@ class OpsSpec extends SparkSpec {
     assert(re.sortBy(r => (r._1, r._2)).toSeq == got.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("rocchio: separable synthetic labels classify held-out vectors " +
+      "perfectly") {
+    // label 0 lives on +e1 (with small e2 jitter), label 1 on +e2: the
+    // centroids are axis-aligned and every vector is nearer its own.
+    val rows = (1L to 40L).map { id =>
+      val lab = (id % 2).toInt
+      val j = (id % 5).toFloat / 100f
+      val v = if (lab == 0) Array(1f, j, 0f, 0f) else Array(j, 1f, 0f, 0f)
+      (id, v, lab)
+    }.toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity
+      .rocchioConfusion(rows, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (l, p, _) => assert(l == p, s"misrouted $l -> $p") }
+    // total = the md5 held-out count, replayed independently
+    val nTest = (1L to 40L).count { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 5 == 0
+    }
+    assert(got.map(_._3).sum == nTest && nTest > 0)
+  }
+
   test("bbit minhash: identical docs agree on all 24 bits, estimate 1e6") {
     val rows = SparkEntry.queries("q_dedup_bbit")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect()
