@@ -958,8 +958,15 @@ private[graft] object DedupQueries {
     // and bounded-state kNN as q_emb_lof; the oracle
     // replays the graph and takes TRUE components (recursive CTE) — the
     // hash-match proves the fixed-round star contraction converged.
+    // componentsStar, NOT components: a k=2 mutual-kNN graph is near-
+    // chain-shaped (each node keeps at most 2 mutual edges), so component
+    // diameter GROWS with corpus size — at sf1 it passes 20 hops and
+    // bounded min-label propagation splits components while the oracle's
+    // true recursive closure doesn't (caught by the full sf1 gate, round
+    // 10). Large-star/small-star converges in O(log^2 n) rounds on any
+    // diameter.
     ("q_emb_mutual_knn",
-      (s: SparkSession, d: String) => Dedup.components(
+      (s: SparkSession, d: String) => Dedup.componentsStar(
         Similarity.mutualKnnPairs(t(s, d, "embeddings"), "vec_id",
           "embedding", k = 2, tables = 8, planes = 6, dims = 64),
         "doc1", "doc2"),

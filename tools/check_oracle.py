@@ -25,6 +25,13 @@ def norm(df):
 def connect(sf_dir):
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+    # Per-process spill dir: an in-memory duckdb spills to the cwd-relative
+    # ".tmp/duckdb_temp_storage-*.tmp", so N parallel workers (the sf1 gate)
+    # otherwise share files and die in each other's cleanup
+    # ("Could not remove file .tmp/duckdb_temp_storage-1.tmp").
+    tmp = f"/tmp/duckdb_oracle_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table = directory of parts

@@ -9,13 +9,26 @@ CORRECTNESS-style JSON artifact out. Usage:
 
 Worker count x ORACLE_MEMORY_LIMIT must fit the box alongside anything
 else running (default 4 x 8GB).
+
+Processes are managed by hand rather than mp.Pool: a duckdb worker that
+hard-crashes (abort() inside libduckdb) leaves a Pool.imap_unordered
+waiting forever — observed on the sf1 gate before per-process spill dirs.
+Here a dead or 30-min-overdue worker is recorded as a FAIL and its slot
+reused; the artifact always gets written.
 """
 import json
 import multiprocessing as mp
 import sys
+import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 from check_oracle import check_one  # noqa: E402
+
+TIMEOUT_S = 1800
+
+
+def _child(q, task):
+    q.put(check_one(task))
 
 
 def main():
@@ -23,16 +36,53 @@ def main():
     workers = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     only = set(sys.argv[5:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    tasks = [(sf_dir, out_dir, name, sql)
-             for name, sql in sorted(oracles.items())
-             if not only or name in only]
+    pending = [(sf_dir, out_dir, name, sql)
+               for name, sql in sorted(oracles.items(), reverse=True)
+               if not only or name in only]
     results = {}
-    # maxtasksperchild=1 = the fresh-process-per-query contract
-    with mp.get_context("spawn").Pool(workers, maxtasksperchild=1) as pool:
-        for name, ok, msg in pool.imap_unordered(check_one, tasks):
-            results[name] = {"hash_match": ok,
-                             "detail": msg if not ok else msg.strip()}
-            print(("PASS " if ok else "FAIL ") + name, flush=True)
+    active = {}  # Process -> (queue, task, deadline)
+    ctx = mp.get_context("spawn")
+
+    def record(name, ok, msg):
+        results[name] = {"hash_match": ok,
+                         "detail": msg if not ok else msg.strip()}
+        print(("PASS " if ok else "FAIL ") + name, flush=True)
+
+    while pending or active:
+        while pending and len(active) < workers:
+            task = pending.pop()
+            q = ctx.Queue()
+            p = ctx.Process(target=_child, args=(q, task))
+            p.start()
+            active[p] = (q, task, time.time() + TIMEOUT_S)
+        time.sleep(0.2)
+        for p in list(active):
+            q, task, deadline = active[p]
+            name = task[2]
+            res = None
+            try:
+                res = q.get_nowait()
+            except Exception:
+                pass
+            if res is None and not p.is_alive():
+                # finished between polls? drain with a grace period
+                try:
+                    res = q.get(timeout=5)
+                except Exception:
+                    record(name, False, f"worker died rc={p.exitcode}")
+                    del active[p]
+                    continue
+            if res is not None:
+                record(*res)
+                p.join(5)
+                if p.is_alive():
+                    p.kill()
+                del active[p]
+            elif time.time() > deadline:
+                p.kill()
+                record(name, False, f"timeout after {TIMEOUT_S}s")
+                del active[p]
+
     n_fail = sum(1 for r in results.values() if not r["hash_match"])
     artifact = {"sf_dir": sf_dir, "checked": len(results),
                 "pass": len(results) - n_fail, "fail": n_fail,
