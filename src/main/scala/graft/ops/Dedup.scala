@@ -762,6 +762,15 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    // LOUD on non-convergence, never silently-split components: a label
+    // still moving after maxIter rounds means the graph has a chain longer
+    // than maxIter (the q_emb_mutual_knn sf1 lesson — k-NN graphs chain,
+    // and a split component is a WRONG answer that hashes plausibly).
+    // boruvkaForest set the precedent: throw and name the escalation.
+    if (changed > 0) throw new IllegalStateException(
+      s"components: $changed labels still moving after $maxIter rounds — " +
+        "graph diameter exceeds maxIter; use componentsStar (O(log^2 n) " +
+        "rounds on any diameter) or raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
   }
 

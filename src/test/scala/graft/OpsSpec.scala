@@ -494,6 +494,20 @@ class OpsSpec extends SparkSpec {
     exact.foreach { case (id, n) => assert(tiny(id) >= n) }
   }
 
+  test("components throws loudly when the chain outruns maxIter") {
+    // a 6-link path needs ~6 min-propagation rounds; maxIter=2 must THROW
+    // (silently split components hash plausibly — the q_emb_mutual_knn
+    // sf1 lesson), and componentsStar must still solve it
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.components(path, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("componentsStar"))
+    val star = graft.ops.Dedup.componentsStar(path)
+      .as[(Long, Long)].collect().toMap
+    assert(star.values.toSet == Set(1L) && star.keySet == (1L to 7L).toSet)
+  }
+
   test("components evaluates its pair input exactly once") {
     // the r5 regression: the undirected-edge union referenced the pairs
     // plan twice, re-running the entire upstream LSH pipeline per
