@@ -103,14 +103,15 @@ private[graft] object GraphQueries {
     ("q_graph_louvain",
       (s: SparkSession, d: String) => Graph.louvainOnePass(
         partSupplierEdges(s, d), "src", "dst"),
-      Some("""WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
-            l_suppkey * 2 + 1 AS dst FROM lineitem),
-          e AS (SELECT src, dst FROM fwd
+      Some("""WITH fwd AS MATERIALIZED (SELECT DISTINCT l_partkey * 2
+              AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+          e AS MATERIALIZED (SELECT src, dst FROM fwd
             UNION ALL SELECT dst, src FROM fwd),
-          deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          deg AS MATERIALIZED (SELECT src AS node,
+              CAST(count(*) AS BIGINT) AS deg
             FROM e GROUP BY 1),
           m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
-          cand AS (SELECT e.src AS node, e.dst AS nbr,
+          cand AS MATERIALIZED (SELECT e.src AS node, e.dst AS nbr,
               m2 - di.deg * dj.deg AS gain
             FROM e JOIN deg di ON e.src = di.node
             JOIN deg dj ON e.dst = dj.node, m),
