@@ -946,35 +946,35 @@ private[graft] object SamplingQueries {
     * keeps nodes with positive centrality. */
   private[graft] def betweennessOracleSql(rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH fwd AS (SELECT DISTINCT l_partkey * 2 AS src,
+    sb ++= """WITH fwd AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS src,
           l_suppkey * 2 + 1 AS dst FROM lineitem),
-      e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
-      l0 AS (SELECT DISTINCT l_partkey * 2 AS s, l_partkey * 2 AS node,
+      e AS MATERIALIZED (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      l0 AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS s, l_partkey * 2 AS node,
           CAST(0 AS BIGINT) AS level, CAST(1 AS BIGINT) AS sigma
         FROM lineitem WHERE l_partkey < 5)"""
     for (r <- 1 to rounds) {
       sb ++= s""",
-      f$r AS (SELECT f.s, e.dst AS node, CAST(sum(f.sigma) AS BIGINT)
+      f$r AS MATERIALIZED (SELECT f.s, e.dst AS node, CAST(sum(f.sigma) AS BIGINT)
           AS sigma
         FROM ${if (r == 1) "l0" else s"f${r - 1}"} f
         JOIN e ON e.src = f.node
         WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} x
           WHERE x.s = f.s AND x.node = e.dst)
         GROUP BY 1, 2),
-      l$r AS (SELECT s, node, level, sigma FROM l${r - 1}
+      l$r AS MATERIALIZED (SELECT s, node, level, sigma FROM l${r - 1}
         UNION ALL SELECT s, node, CAST($r AS BIGINT), sigma FROM f$r)"""
     }
     sb ++= s""",
-      d$rounds AS (SELECT s, node, CAST(0 AS BIGINT) AS delta
+      d$rounds AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS delta
         FROM l$rounds WHERE level = $rounds)"""
     for (l <- (rounds - 1) to 1 by -1) {
       sb ++= s""",
-      w${l + 1} AS (SELECT x.s, x.node, x.sigma,
+      w${l + 1} AS MATERIALIZED (SELECT x.s, x.node, x.sigma,
           COALESCE(d.delta, 0) AS delta
         FROM (SELECT s, node, sigma FROM l$rounds
           WHERE level = ${l + 1}) x
         LEFT JOIN d${l + 1} d ON d.s = x.s AND d.node = x.node),
-      d$l AS (SELECT v.s, v.node,
+      d$l AS MATERIALIZED (SELECT v.s, v.node,
           CAST(sum(v.sigma * (1000000 + w.delta) // w.sigma) AS BIGINT)
             AS delta
         FROM (SELECT s, node, sigma FROM l$rounds WHERE level = $l) v
