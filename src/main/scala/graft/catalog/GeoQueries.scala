@@ -55,6 +55,85 @@ private[graft] object GeoQueries {
       WHERE id_a < b.id),
     sel AS (SELECT * FROM pairs WHERE d2_micro <= 4000000000000)"""
 
+  /** DuckDB replay of the q_geo_dbscan cluster labeling WITHOUT a
+    * recursive transitive closure. The old `WITH RECURSIVE reach`
+    * oracle materialized every (node, reachable-root) pair —
+    * O(Σ|component|²) rows, which at sf1 (where nearly all 64800 grid
+    * cells are dense and one component spans the globe) is ~4·10⁹ rows
+    * and blows the 1800 s gate budget. This replay instead mirrors the
+    * engine's own fixed-point structure: R unrolled rounds of
+    * (min-label propagation over edges) + (pointer jump L := L[L]),
+    * every round a MATERIALIZED CTE over at most |dense| ≤ 64800 rows
+    * (the grid is 360×180 regardless of scale factor, so the per-round
+    * cost is bounded by the GRID, not the data). Reach at least
+    * doubles per round (the jump composes label chains), so R = 24
+    * covers any component: 2²⁴ ≫ 64800, and the worst-case dense-cell
+    * graph is a 64800-cell serpentine. Correctness is guarded, not
+    * assumed: one extra propagation round after lab_R must be a fixed
+    * point or the final WHERE empties the result — a LOUD row-count
+    * mismatch instead of a silently split component (the
+    * q_emb_mutual_knn sf1 lesson). At a propagation fixed point the
+    * label is constant on every component and the component minimum
+    * labels itself, so converged ⇒ exact min-id components — the same
+    * contract as Dedup.componentsStar. */
+  private def dbscanOracleSql: String = {
+    val rounds = 24
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"lab${i - 1}"
+      // Both CTEs of every round are consumed twice (the propagation
+      // reads prev as l and n; the jump reads p as p and j) — DuckDB
+      // inlines plain CTEs into EACH consumer, so without MATERIALIZED
+      // the plan doubles per round: 2^24 subtrees. The heavy-oracle
+      // lint (OracleLintSpec) enforces this shape.
+      s"""p$i AS MATERIALIZED (SELECT l.id,
+          least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+        FROM $prev l
+        LEFT JOIN edges e ON e.a = l.id
+        LEFT JOIN $prev n ON n.id = e.b
+        GROUP BY l.id, l.lbl),
+      lab$i AS MATERIALIZED (SELECT p.id, j.lbl
+        FROM p$i p JOIN p$i j ON j.id = p.lbl)"""
+    }.mkString(",\n        ")
+    s"""WITH $coordSql,
+      cells AS (SELECT
+          (CAST(floor(CAST(lon AS DOUBLE) / 1000000.0) AS BIGINT)
+            + 360) % 360 AS cx,
+          CAST(floor(CAST(lat AS DOUBLE) / 1000000.0) AS BIGINT) AS cy,
+          CAST(count(*) AS BIGINT) AS x
+        FROM pts GROUP BY 1, 2),
+      dense AS MATERIALIZED (SELECT (cy + 90) * 360 + cx AS key,
+          cx, cy, x
+        FROM cells WHERE x >= 2),
+      nb AS (SELECT d.key AS a,
+          (cy + dy + 90) * 360 + (cx + dx + 360) % 360 AS b
+        FROM dense d, UNNEST(range(-1, 2)) AS ux(dx),
+          UNNEST(range(-1, 2)) AS uy(dy)
+        WHERE NOT (dx = 0 AND dy = 0)),
+      edges AS MATERIALIZED (SELECT a, b FROM nb
+        WHERE b IN (SELECT key FROM dense)),
+      lab0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl
+        FROM edges),
+      $roundCtes,
+      chk AS (SELECT l.id,
+          least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+        FROM lab$rounds l
+        LEFT JOIN edges e ON e.a = l.id
+        LEFT JOIN lab$rounds n ON n.id = e.b
+        GROUP BY l.id, l.lbl),
+      bad AS (SELECT count(*) AS n FROM chk c
+        JOIN lab$rounds f ON f.id = c.id AND f.lbl <> c.lbl),
+      lab AS MATERIALIZED (SELECT d.cx, d.cy, d.x,
+          coalesce(f.lbl, d.key) AS cluster_id
+        FROM dense d LEFT JOIN lab$rounds f ON f.id = d.key),
+      cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
+            AS cluster_cells,
+          CAST(sum(x) AS BIGINT) AS cluster_points
+        FROM lab GROUP BY 1)
+      SELECT cx, cy, x, cluster_id, cluster_cells, cluster_points
+      FROM lab JOIN cl USING (cluster_id)
+      WHERE (SELECT n FROM bad) = 0"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // Radius self-join: every customer pair within 2 planar degrees.
@@ -242,38 +321,7 @@ private[graft] object GeoQueries {
           .select("cx", "cy", "x", "cluster_id", "cluster_cells",
             "cluster_points")
       },
-      Some(s"""WITH RECURSIVE $coordSql,
-        cells AS (SELECT
-            (CAST(floor(CAST(lon AS DOUBLE) / 1000000.0) AS BIGINT)
-              + 360) % 360 AS cx,
-            CAST(floor(CAST(lat AS DOUBLE) / 1000000.0) AS BIGINT) AS cy,
-            CAST(count(*) AS BIGINT) AS x
-          FROM pts GROUP BY 1, 2),
-        dense AS MATERIALIZED (SELECT (cy + 90) * 360 + cx AS key,
-            cx, cy, x
-          FROM cells WHERE x >= 2),
-        nb AS (SELECT d.key AS a,
-            (cy + dy + 90) * 360 + (cx + dx + 360) % 360 AS b
-          FROM dense d, UNNEST(range(-1, 2)) AS ux(dx),
-            UNNEST(range(-1, 2)) AS uy(dy)
-          WHERE NOT (dx = 0 AND dy = 0)),
-        edges AS MATERIALIZED (SELECT a, b FROM nb
-          WHERE b IN (SELECT key FROM dense)),
-        reach(id, r) AS (
-          SELECT DISTINCT a, a FROM edges
-          UNION
-          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-        comp AS (SELECT id, min(r) AS component_id FROM reach
-          GROUP BY 1),
-        lab AS (SELECT d.cx, d.cy, d.x,
-            coalesce(c.component_id, d.key) AS cluster_id
-          FROM dense d LEFT JOIN comp c ON c.id = d.key),
-        cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT)
-              AS cluster_cells,
-            CAST(sum(x) AS BIGINT) AS cluster_points
-          FROM lab GROUP BY 1)
-        SELECT cx, cy, x, cluster_id, cluster_cells, cluster_points
-        FROM lab JOIN cl USING (cluster_id)""")),
+      Some(dbscanOracleSql)),
 
     // Exact point-in-polygon census by integer ray casting: two
     // literal polygons (one convex pentagon, one CONCAVE chevron — the
