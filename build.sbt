@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver tail-captures `sbt "runMain graft.Bench"` and tries to
+// parse the final stdout line as JSON. Default forked-output handling logs
+// every line through sbt's logger with an `[info] `/`[error] ` prefix and
+// appends a `[success] Total time: ...` epilogue — so the bench JSON line
+// is never bare and never last (BENCH_r01..r10 all came back
+// `parsed: null`). StdoutOutput passes the forked process's stdout/stderr
+// through verbatim; showSuccess drops the epilogue.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint (verified working: runMain output ends at the
+// bench JSON line with no [success] epilogue).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

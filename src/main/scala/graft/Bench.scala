@@ -181,12 +181,15 @@ object Bench {
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
+    // Failure detail goes out BEFORE the JSON line: the driver parses the
+    // LAST stdout line as JSON, so nothing may print after it (build.sbt's
+    // StdoutOutput + showSuccess=false keep sbt from prefixing it or
+    // appending a [success] epilogue).
+    errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
+    System.err.flush()
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"failed":${errors.size}$anchorJson$runsJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
-    if (errors.nonEmpty) {
-      errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
-      spark.stop()
-      sys.exit(1)
-    }
+    System.out.flush()
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -747,7 +747,7 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    def round(): Unit = {
       val msgs = edges.join(labels, col("a") === col("id"))
         .select(col("b").as("id"), col("comp"), lit(false).as("own"))
       // fold the previous label into the SAME aggregation (min over own
@@ -762,13 +762,21 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       i += 1
     }
+    while (changed > 0 && i < maxIter) round()
+    // A changed label in round maxIter is not yet evidence of
+    // non-convergence — the fixed point is only OBSERVABLE one round later
+    // (a diameter-exactly-maxIter graph converges on its last allowed round
+    // and must not raise). One confirmation round settles it either way.
+    if (changed > 0) round()
     // LOUD on non-convergence, never silently-split components: a label
-    // still moving after maxIter rounds means the graph has a chain longer
-    // than maxIter (the q_emb_mutual_knn sf1 lesson — k-NN graphs chain,
-    // and a split component is a WRONG answer that hashes plausibly).
-    // boruvkaForest set the precedent: throw and name the escalation.
+    // still moving after maxIter+1 rounds means the graph has a chain
+    // longer than maxIter (the q_emb_mutual_knn sf1 lesson — k-NN graphs
+    // chain, and a split component is a WRONG answer that hashes
+    // plausibly). boruvkaForest set the precedent: throw and name the
+    // escalation.
     if (changed > 0) throw new IllegalStateException(
-      s"components: $changed labels still moving after $maxIter rounds — " +
+      s"components: $changed labels still moving after $maxIter rounds " +
+        "(+1 confirmation round) — " +
         "graph diameter exceeds maxIter; use componentsStar (O(log^2 n) " +
         "rounds on any diameter) or raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))

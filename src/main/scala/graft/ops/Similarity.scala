@@ -870,12 +870,19 @@ object Similarity {
       }.sortBy(_._1)
     val centIds = cents.map(_._1).toSeq
     val centVecs = cents.map(_._2.toSeq).toSeq
+    // Materialize the (labels²-row) confusion matrix BEFORE releasing the
+    // cache: unpersisting while `out` is still lazy would make the held-out
+    // scoring scan recompute quantize+md5 from source, leaving the persist
+    // serving only the centroid collect(). localCheckpoint both executes
+    // the scoring pass against the cache and cuts the plan, so the caller
+    // gets a self-contained frame with no dangling persisted lineage.
     val out = q.filter(col("is_test"))
       .withColumn("label_pred", graft.plans.GraftExpressions.ivf_assign(
         col("v"), centIds, centVecs,
         centVecs.map(cv => cv.map(x => x * x).sum)))
       .groupBy("label", "label_pred")
       .agg(count(lit(1)).as("n_vecs"))
+      .localCheckpoint()
     q.unpersist(blocking = false)
     out
   }

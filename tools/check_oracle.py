@@ -4,7 +4,7 @@ DuckDB over the sf parquet tables, load the Verify.scala parquet output, sort
 columns by name + rows by value, and compare. Usage:
     python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, os, json, glob
+import sys, os, json, glob, shutil
 import multiprocessing as mp
 import duckdb
 
@@ -62,6 +62,15 @@ def check_one(task):
         got, want = run_query(sf_dir, pdir, sql)
     except Exception as e:
         return (name, False, str(e))
+    finally:
+        # The per-process spill dir (see connect) is keyed by THIS pid and
+        # this process runs exactly one query — remove it here or a
+        # 407-query sweep leaves 407 dirs (some with multi-GB orphaned
+        # spill files after an OOM-killed replay) in /tmp. The kill-on-
+        # timeout path can't reach this finally; check_oracle_par cleans
+        # those by the child's pid.
+        shutil.rmtree(f"/tmp/duckdb_oracle_{os.getpid()}",
+                      ignore_errors=True)
     if list(got.columns) != list(want.columns):
         return (name, False,
                 f"columns {list(got.columns)} vs {list(want.columns)}")

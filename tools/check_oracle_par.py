@@ -18,6 +18,7 @@ reused; the artifact always gets written.
 """
 import json
 import multiprocessing as mp
+import shutil
 import sys
 import time
 
@@ -70,6 +71,10 @@ def main():
                     res = q.get(timeout=5)
                 except Exception:
                     record(name, False, f"worker died rc={p.exitcode}")
+                    # a hard-crashed (abort inside libduckdb) child skips
+                    # check_one's finally — clean its spill dir here
+                    shutil.rmtree(f"/tmp/duckdb_oracle_{p.pid}",
+                                  ignore_errors=True)
                     del active[p]
                     continue
             if res is not None:
@@ -77,9 +82,17 @@ def main():
                 p.join(5)
                 if p.is_alive():
                     p.kill()
+                    p.join(5)  # reap: a killed-but-unjoined child is a
+                    # zombie for the rest of a long sf1 sweep
                 del active[p]
             elif time.time() > deadline:
                 p.kill()
+                p.join(5)
+                # a killed child never reaches check_one's spill-dir
+                # cleanup — and a timed-out replay is exactly the one that
+                # spilled multi-GB temp files
+                shutil.rmtree(f"/tmp/duckdb_oracle_{p.pid}",
+                              ignore_errors=True)
                 record(name, False, f"timeout after {TIMEOUT_S}s")
                 del active[p]
 
