@@ -82,6 +82,59 @@ private[graft] object PipelineQueries {
         trim(c_name) AS name_c,
         ${centsSql("c_acctbal")} AS bal FROM customer""")),
 
+    // Quarantine / WARNING degradation end-to-end UNDER THE ORACLE
+    // (reference fidelity: aje-stage-dms-load.py:536-542 — a failed column
+    // degrades the run to WARNING with a "can not create the columns:"
+    // reason, never a job failure). Two tables run through the REAL
+    // orchestrator (IngestOrchestrator.runAll -> StageTransform.run ->
+    // MergeWriter.write): one with 2 failing specs (an unresolvable
+    // column reference and an unknown fn_transform_*), one clean. The
+    // output IS the RunStatus table; the oracle replays it as VALUES with
+    // rows_written tied to the live table counts, so a silently-dropped
+    // quarantine, a wrong reason string, or a short write all
+    // hash-mismatch.
+    ("q_pipeline_quarantine",
+      (s: SparkSession, d: String) => {
+        import graft.meta.TableConfig
+        import graft.pipeline.IngestOrchestrator
+        val stageRoot = scratch("quarantine")
+        def specsFor(tc: TableConfig): Seq[ColumnSpec] =
+          tc.targetTableName match {
+            case "cust_bad" => Seq(
+              ColumnSpec("cust_bad", "cust_id", 1, "bigint", "c_custkey",
+                isId = true),
+              ColumnSpec("cust_bad", "seg", 2, "string", "c_mktsegment"),
+              // unresolvable column reference -> analysis failure
+              ColumnSpec("cust_bad", "broken_ref", 3, "string",
+                "no_such_column"),
+              // unknown DSL function -> CompileError
+              ColumnSpec("cust_bad", "broken_fn", 4, "string",
+                "fn_transform_Nope(c_name,$x)"))
+            case _ => Seq(
+              ColumnSpec("nat_ok", "nat_id", 1, "bigint", "n_nationkey",
+                isId = true),
+              ColumnSpec("nat_ok", "nat_name", 2, "string", "n_name"))
+          }
+        val orch = new IngestOrchestrator(s, stageRoot,
+          readRaw = tc => t(s, d, tc.sourceTable),
+          specsFor = specsFor, parallelism = 2)
+        val statuses = orch.runAll(Seq(
+          TableConfig("cust_bad", "pe1", "src", "customer", "stg_cust_bad"),
+          TableConfig("nat_ok", "pe1", "src", "nation", "stg_nat_ok")))
+        import s.implicits._
+        statuses.map(r => (r.targetTableName, r.status, r.failReason,
+            r.rowsWritten, r.quarantinedColumns.mkString(",")))
+          .toDF("table_name", "status", "fail_reason", "rows_written",
+            "quarantined_cols")
+      },
+      Some("""SELECT 'cust_bad' AS table_name, 'WARNING' AS status,
+          'can not create the columns: broken_ref,broken_fn' AS fail_reason,
+          (SELECT count(*) FROM customer) AS rows_written,
+          'broken_ref,broken_fn' AS quarantined_cols
+        UNION ALL
+        SELECT 'nat_ok', 'SUCCEEDED', '',
+          (SELECT count(*) FROM nation), ''""")),
+
     // K4 — native merge upsert with schema evolution (autoMerge equivalent)
     ("q_merge_upsert",
       (s: SparkSession, d: String) => {

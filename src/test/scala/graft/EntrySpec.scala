@@ -187,4 +187,81 @@ class EntrySpec extends SparkSpec {
         s"$tbl.id missing NDV column stats: $colStats")
     }
   }
+
+  test("orchestrator: 50-table fan-out — bounded pool, isolated statuses") {
+    // The reference's MAX_TABLES_AT_A_TIME_GLUE=5 fan-out semantics
+    // (datalake_ingestion_stack.py:907-1014) at a realistic config size:
+    // 50 tables, mixed SUCCEEDED / WARNING (quarantined column) / FAILED
+    // (source read throws). One table's failure must never leak into
+    // another's status, and the driver-side pool must stay at its
+    // configured width.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_orch50").toString
+    val n = 50
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    def kind(name: String): Int = name.stripPrefix("T").toInt % 10
+    val readRaw: TableConfig => org.apache.spark.sql.DataFrame = { tc =>
+      val a = active.incrementAndGet()
+      maxActive.getAndUpdate(m => math.max(m, a))
+      try {
+        Thread.sleep(30) // hold the slot long enough to observe overlap
+        val i = tc.targetTableName.stripPrefix("T").toInt
+        if (kind(tc.targetTableName) == 7)
+          throw new RuntimeException(s"source unreachable for T$i")
+        (1 to (i % 3 + 1)).map(j => (j.toLong, s"t$i"))
+          .toDF("id", "v")
+      } finally active.decrementAndGet()
+    }
+    val specsFor: TableConfig => Seq[ColumnSpec] = { tc =>
+      val base = Seq(
+        ColumnSpec(tc.targetTableName, "id", 1, "bigint", "id", isId = true),
+        ColumnSpec(tc.targetTableName, "v", 2, "string", "v"))
+      if (kind(tc.targetTableName) == 3)
+        base :+ ColumnSpec(tc.targetTableName, "broken", 3, "string",
+          "no_such_column")
+      else base
+    }
+    val orch = new IngestOrchestrator(spark, root, readRaw = readRaw,
+      specsFor = specsFor, parallelism = 5)
+    val tables = (1 to n).map(i =>
+      TableConfig(s"T$i", "EP", "s", s"src_$i", s"stage_$i"))
+    val t0 = System.nanoTime()
+    val statuses = orch.runAll(tables)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // order and completeness: one status per table, input order preserved
+    assert(statuses.map(_.targetTableName) == tables.map(_.targetTableName))
+    // per-table isolation: status determined ONLY by the table's own kind
+    statuses.foreach { st =>
+      val i = st.targetTableName.stripPrefix("T").toInt
+      kind(st.targetTableName) match {
+        case 7 =>
+          assert(st.status == "FAILED" &&
+            st.failReason.contains(s"unreachable for T$i"), st)
+        case 3 =>
+          assert(st.status == "WARNING" &&
+            st.quarantinedColumns == Seq("broken") &&
+            st.rowsWritten == (i % 3 + 1), st)
+        case _ =>
+          assert(st.status == "SUCCEEDED" &&
+            st.rowsWritten == (i % 3 + 1), st)
+      }
+    }
+    assert(statuses.count(_.status == "FAILED") == 5)
+    assert(statuses.count(_.status == "WARNING") == 5)
+    assert(statuses.count(_.status == "SUCCEEDED") == 40)
+    // each non-failed table's stage dir holds ITS rows (spot-check one of
+    // each kind; a failed table writes nothing)
+    assert(spark.read.parquet(s"$root/stage_11").select("v")
+      .as[String].collect().forall(_ == "t11"))
+    assert(spark.read.parquet(s"$root/stage_13").columns.toSet ==
+      Set("id", "v")) // quarantined column excluded from output
+    assert(!new java.io.File(s"$root/stage_17").exists())
+    // pool stayed at its configured width and actually fanned out
+    assert(maxActive.get() <= 5, s"pool exceeded width: ${maxActive.get()}")
+    assert(maxActive.get() >= 2, "no overlap observed — fan-out broken")
+    // wall-clock sanity: 50 tiny tables through a 5-wide pool is seconds,
+    // not minutes (a serialization bug would show up as ~50x one table)
+    assert(elapsedSec < 300, f"50-table run took $elapsedSec%.1f s")
+  }
 }
