@@ -54,6 +54,9 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.1")
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/repo/testdata_sf1")
+    // decade probes beyond sf1 (e.g. sf1 -> sf10) write their own artifact
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_SCALE_ARTIFACT",
+      "BENCH_SF1.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val names = if (args.nonEmpty) args.toSeq else top25 ++ tier2
     val spark = SparkSession.builder()
@@ -100,7 +103,7 @@ object BenchScale {
     // full runs own the artifact; filtered (per-query-JVM) runs print only
     // and the merging driver assembles BENCH_SF1.json
     if (args.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SF1.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
         (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

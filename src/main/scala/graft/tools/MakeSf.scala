@@ -36,9 +36,33 @@ object MakeSf {
   final val KeyOffset = 10000000L
   final val Copies = 10
 
+  /**
+   * args: [srcDir] [outDir] [level]. Level 1 (default) is the sf0.1 -> sf1
+   * replication documented above. Level 2 replicates an ALREADY-LEVEL-1
+   * fixture another 10x (sf1 -> sf10) with collision-free perturbations:
+   *
+   *   - key offset 10*KeyOffset (level-1 keys reach 9*KeyOffset + max, so
+   *     reusing KeyOffset would collide copies);
+   *   - document token suffixes from a DISJOINT alphabet ('A'..'I' vs
+   *     level 1's 'a'..'i'): a level-2 suffix on a base token can never
+   *     equal a level-1 suffixed token, so all 100 combined copies keep
+   *     disjoint shingle sets and pair counts stay linear;
+   *   - embeddings get a per-copy SIGN MASK instead of a rotation (the
+   *     64-dim vectors admit only 64 distinct rotations, so composed
+   *     rotations would collide mod 64 and same-rotation copy pairs would
+   *     multiply LSH/IVF bucket sizes). Flipping a fixed dim subset on
+   *     both sides of a pair preserves every within-copy dot product
+   *     exactly (sum of mask_d^2 * a_d * b_d = a.b) while cross-copy dots
+   *     decorrelate — the same "10 independent copies" contract as
+   *     level 1.
+   */
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/root/repo/testdata_sf1"
+    val level = if (args.length > 2) args(2).toInt else 1
+    require(level == 1 || level == 2, s"level must be 1 or 2, got $level")
+    val offset = if (level == 1) KeyOffset else 10L * KeyOffset
+    val partsScale = if (level == 1) 1 else 4
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,12 +82,12 @@ object MakeSf {
         perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until Copies).map { i =>
         val shifted = keyCols.foldLeft(df)((d, k) =>
-          d.withColumn(k, col(k) + lit(i * KeyOffset)))
+          d.withColumn(k, col(k) + lit(i * offset)))
         perturb(shifted, i)
       }.reduce(_ unionAll _)
 
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      df.repartition(parts)
+      df.repartition(parts * partsScale)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // Dimension constants: copy through unchanged.
@@ -79,20 +103,28 @@ object MakeSf {
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
     write(replicate(src("events"), Seq("event_id", "user_id")), "events", 16)
 
+    val suffixBase = if (level == 1) 'a' else 'A'
     write(replicate(src("documents"), Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + i - 1).toChar))
+        regexp_replace(col("text"), "(\\S+)",
+          "$1" + (suffixBase + i - 1).toChar))
     ), "documents", 8)
 
     write(replicate(src("embeddings"), Seq("vec_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding", expr(
+      else if (level == 1) d.withColumn("embedding", expr(
         s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
         s"slice(embedding, 1, $i))"))
+      else d.withColumn("embedding", expr(
+        // deterministic per-copy sign mask (see scaladoc): dim d flips
+        // iff murmur3(d, copy) is odd — ~half the dims, different set
+        // per copy
+        s"transform(embedding, (x, d) -> " +
+        s"CASE WHEN pmod(hash(d, $i), 2) = 0 THEN x ELSE -x END)"))
     ), "embeddings", 4)
 
-    println(s"""{"made":"$outDir","copies":$Copies}""")
+    println(s"""{"made":"$outDir","copies":$Copies,"level":$level}""")
     spark.stop()
   }
 }
