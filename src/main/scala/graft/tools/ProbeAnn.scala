@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
 object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
-    val planes = args(1).toInt
-    val bucketSample = if (args.length > 2) args(2).toInt else 0
+    // second arg doubles as the scaled knob: planes for mode=mknn
+    // (default), k for mode=semdedup (third arg selects)
+    val knob = args(1).toInt
+    val mode = if (args.length > 2) args(2) else "mknn"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,14 +32,21 @@ object ProbeAnn {
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val t0 = System.nanoTime()
-    val comp = graft.ops.Dedup.componentsStar(
-      graft.ops.Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
-        k = 2, tables = 8, planes = planes, dims = 64,
-        bucketSample = bucketSample),
-      "doc1", "doc2")
-    val n = comp.count()
+    val out = mode match {
+      case "semdedup" =>
+        // q_emb_semdedup's pipeline with k scaled to hold cluster size
+        // (pairs-per-cluster) constant instead of the catalog's pinned 8
+        graft.ops.Similarity.semanticDedup(emb, "vec_id", "embedding",
+          k = knob, iters = 1, threshold = 0.35)
+      case _ =>
+        graft.ops.Dedup.componentsStar(
+          graft.ops.Similarity.mutualKnnPairs(emb, "vec_id", "embedding",
+            k = 2, tables = 8, planes = knob, dims = 64),
+          "doc1", "doc2")
+    }
+    val n = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"dir":"$dir","planes":$planes,"bucketSample":$bucketSample,"rows":$n,"sec":$sec%.1f}""")
+    println(f"""{"dir":"$dir","mode":"$mode","knob":$knob,"rows":$n,"sec":$sec%.1f}""")
     spark.stop()
   }
 }
