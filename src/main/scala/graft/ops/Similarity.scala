@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /**
+   * Scale-correct LSH hyperplane count for a corpus of `n` vectors:
+   * enough planes that the expected bucket depth stays near
+   * `targetBucket`, i.e. ceil(log2(n / targetBucket)), clamped to
+   * [4, 30]. LSH candidate pairs grow as n² / 2^planes per table, so a
+   * PINNED plane count makes candidates quadratic in corpus size — the
+   * sf10 probe measured exactly that (q_emb_mutual_knn at planes=6
+   * exceeded the box's disk at 200k vectors, while planes=10 ran the
+   * same pipeline at 2.65× for 10× data; BENCH_SF10.json followups).
+   * The catalog pins planes so its DuckDB oracles replay bit-for-bit;
+   * production callers should derive it from corpus size with this.
+   */
+  def planesFor(n: Long, targetBucket: Int = 32): Int = {
+    require(n > 0 && targetBucket > 0)
+    val raw = math.ceil(math.log(n.toDouble / targetBucket) /
+      math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
+  /**
+   * Scale-correct k-means cluster count for SemDeDup-style
+   * cluster-then-pair work: k = ceil(n / targetClusterSize), min 1.
+   * Within-cluster pair work is Σ|cluster|²/2 ≈ n·targetClusterSize/2 —
+   * LINEAR in n when k scales, quadratic when k is pinned (measured:
+   * q_emb_semdedup at pinned k=8 is 39.5× for 10× data at sf10; with
+   * k = n/2500 the same pipeline is 1.85× — BENCH_SF10.json followups).
+   */
+  def kFor(n: Long, targetClusterSize: Int = 2500): Int = {
+    require(n > 0 && targetClusterSize > 0)
+    math.max(1, math.ceil(n.toDouble / targetClusterSize).toInt)
+  }
+
   /** Integer-quantized copy of a float vector: round(x * 1000) as longs —
     * native expression (graft.plans.QuantizeVec); the `transform` HOF form
     * ran its lambda interpreted per element on every corpus row. */

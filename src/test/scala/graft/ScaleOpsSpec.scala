@@ -67,3 +67,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(row.getString(1) == "2024-03-01 10:20:30")
   }
 }
+
+/** Scale-knob derivation rules measured by the sf10 probe
+  * (BENCH_SF10.json followups). */
+class ScaleKnobsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.ops.Similarity.{kFor, planesFor}
+
+  test("planesFor holds expected bucket depth across decades") {
+    // 2k vectors (sf0.1) -> 6 planes = the catalog's pinned value;
+    // every 10x decade adds ~3.3 planes, so candidates stay linear
+    assert(planesFor(2000) == 6)
+    assert(planesFor(20000) == 10 || planesFor(20000) == 9)
+    assert(planesFor(200000) == 13)
+    // bucket depth n / 2^planes stays within ~2x of the target
+    for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L)) {
+      val depth = n.toDouble / math.pow(2, planesFor(n))
+      assert(depth <= 32.0 && depth > 8.0, s"n=$n depth=$depth")
+    }
+    // clamps: tiny corpora never go below 4, planet-scale stays <= 30
+    assert(planesFor(10) == 4 && planesFor(Long.MaxValue / 2) == 30)
+  }
+
+  test("kFor keeps within-cluster pair work linear in n") {
+    assert(kFor(2000) == 1)       // small corpus: one cluster is fine
+    assert(kFor(200000) == 80)    // the measured sf10 counterfactual
+    // pair work n * target / 2 per unit: ratio between decades ~ 10x
+    def pairWork(n: Long) = n.toDouble / kFor(n) * n / 2
+    val r = pairWork(2000000) / pairWork(200000)
+    assert(r < 12.0, s"pair work grew $r x per decade")
+  }
+}
