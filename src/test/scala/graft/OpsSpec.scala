@@ -508,6 +508,18 @@ class OpsSpec extends SparkSpec {
     assert(star.values.toSet == Set(1L) && star.keySet == (1L to 7L).toSet)
   }
 
+  test("components: exact-boundary convergence does not throw (r11 fix)") {
+    // A 7-node path's min label reaches the far end in round 6 — the
+    // LAST allowed round at maxIter=6, where `changed` is still > 0.
+    // Convergence is only observable one round later, so the guard runs
+    // one confirmation round instead of raising (the round-10 form threw
+    // spuriously here — ADVICE r10). The result must still be exact.
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val comps = graft.ops.Dedup.components(path, maxIter = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.values.toSet == Set(1L) && comps.keySet == (1L to 7L).toSet)
+  }
+
   test("components evaluates its pair input exactly once") {
     // the r5 regression: the undirected-edge union referenced the pairs
     // plan twice, re-running the entire upstream LSH pipeline per
