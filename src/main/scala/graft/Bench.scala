@@ -121,6 +121,19 @@ object Bench {
         k -> obs((obs.size - 1) / 2)
       }
     val total = results.map(_._2).sum
+    // Per-family subtotals (family = the q_<family>_* name segment): the
+    // round-over-round drift attribution the r11 verdict asked for — a
+    // +8% total is box noise if every family moved together, a regression
+    // if one family absorbed it. Bounded size (~20 families), so it fits
+    // both the disk artifact and the driver's 2000-char stdout window.
+    def familyOf(k: String): String =
+      k.split("_").drop(1).headOption.getOrElse("other")
+    val families = results.groupBy { case (k, _) => familyOf(k) }
+      .map { case (f, qs) => f -> qs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
+    val famJson = families
+      .map { case (f, v) => "\"" + f + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     // Two outputs (the driver's tail capture is a fixed 2000-char window, so
     // a full 100+-entry map on one line is unparseable by construction —
     // BENCH_r01..r03 all came back `parsed: null`):
@@ -159,7 +172,7 @@ object Bench {
       s""","repeat":$repeat,"runs":$per"""
     }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"failed":${errors.size}$anchorJson$runsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"families":$famJson,"errors":$errJson,"failed":${errors.size}$anchorJson$runsJson,"sf":"$sfDir"}"""
     // Ad-hoc filtered runs must not clobber the round artifact:
     // BENCH_FULL.json is reserved for full-suite runs (with or without
     // --repeat); --anchor gets its own artifact (the drift-probe record).
@@ -176,7 +189,7 @@ object Bench {
     // WITH slack for trailing WARN noise, or the per-query map is cut
     // mid-line and unrecoverable (r01-r03). 1000 chars of entries ≈ the
     // 35 slowest queries — everything above measurement noise.
-    val budget = 1000
+    val budget = 700 // shrunk from 1000 to make room for the families map
     val kept = bySlowest
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
@@ -187,7 +200,7 @@ object Bench {
     // appending a [success] epilogue).
     errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
     System.err.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"timed":${results.size},"failed":${errors.size}$anchorJson$runsJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$famJson,"timed":${results.size},"failed":${errors.size}$anchorJson$runsJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

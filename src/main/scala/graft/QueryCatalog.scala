@@ -40,7 +40,8 @@ object QueryCatalog {
       DedupQueries.entries ++ SimQueries.entries ++ MmQueries.entries ++
       SourceQueries.entries ++ SamplingQueries.entries ++
       GraphQueries.entries ++ FeatureQueries.entries ++
-      CleanQueries.entries ++ MlQueries.entries ++ GeoQueries.entries
+      CleanQueries.entries ++ MlQueries.entries ++ GeoQueries.entries ++
+      StreamQueries.entries
   }
 
   def queries: Map[String, Q] = all.map { case (n, q, _) => n -> q }.toMap

@@ -874,11 +874,18 @@ private[graft] object DedupQueries {
     // corpus-wide embedding near-dup through LSH buckets — the scale path
     // (bucket self-join, quadratic only within a bucket). Approximate recall
     // but fully deterministic, so the oracle replays buckets + rerank exactly.
+    // planes DERIVED from count(*) via Similarity.planesFor (round 12):
+    // pinned planes made candidates quadratic in corpus size (5.66x per
+    // decade measured at sf10); derived planes hold bucket depth constant,
+    // and the oracle replays the derivation itself (planesCtx).
     ("q_emb_ann_pairs",
-      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.40, tables = 8, planes = 6, dims = 64),
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.annNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.40, tables = 8,
+          planes = Similarity.planesFor(e.count()), dims = 64)
+      },
+      Some(s"""WITH ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -905,7 +912,11 @@ private[graft] object DedupQueries {
     // buckets <= 64 members (all of sf0.01) the sample is the whole
     // bucket and the result is the exact uncapped LOF. The oracle
     // replays the rank rule itself, so the hash-match holds at ANY
-    // occupancy, not just below the cap.
+    // occupancy, not just below the cap. planes=6 PINNED DELIBERATELY:
+    // bucketSample already bounds candidate work to occupancy x 64
+    // (linear at any plane count), so LOF doesn't need the derived-planes
+    // rule the uncapped bucket joins do — and a pinned neighborhood
+    // radius is the semantically right density estimator.
     ("q_emb_lof",
       (s: SparkSession, d: String) => Similarity.lofOutliers(
         t(s, d, "embeddings"), "vec_id", "embedding",
@@ -965,12 +976,20 @@ private[graft] object DedupQueries {
     // true recursive closure doesn't (caught by the full sf1 gate, round
     // 10). Large-star/small-star converges in O(log^2 n) rounds on any
     // diameter.
+    // planes DERIVED from count(*) (round 12): at pinned planes=6 the
+    // candidate join was measured INFEASIBLE at sf10 (>77 GB spill,
+    // BENCH_SF10.json) while planesFor scaling ran 2.65x per decade —
+    // this row now gates the production configuration at every sf.
     ("q_emb_mutual_knn",
-      (s: SparkSession, d: String) => Dedup.componentsStar(
-        Similarity.mutualKnnPairs(t(s, d, "embeddings"), "vec_id",
-          "embedding", k = 2, tables = 8, planes = 6, dims = 64),
-        "doc1", "doc2"),
-      Some(s"""WITH RECURSIVE ${lshBucketsCtes(tables = 8, planes = 6)},
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Dedup.componentsStar(
+          Similarity.mutualKnnPairs(e, "vec_id", "embedding", k = 2,
+            tables = 8, planes = Similarity.planesFor(e.count()),
+            dims = 64),
+          "doc1", "doc2")
+      },
+      Some(s"""WITH RECURSIVE ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -1005,13 +1024,21 @@ private[graft] object DedupQueries {
     // random-pair bulk; the valley between them is the threshold).
     // Reuses the exact annNearDupPairs plan with threshold = -1 (every
     // candidate kept) and collapses to a bucket-bounded count table.
+    // planes DERIVED from count(*) (round 12): threshold=-1 keeps EVERY
+    // candidate, so with pinned planes the histogram's input was
+    // quadratic (14.9x at sf1, candidates x98.9); derived planes make
+    // the candidate sample ~n·targetBucket — linear — while the bucketed
+    // output stays constant-size.
     ("q_emb_sim_hist",
-      (s: SparkSession, d: String) => Similarity.annNearDupPairs(
-          t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = -1.0, tables = 8, planes = 6, dims = 64)
-        .select(floor(col("cosine") * 20).cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_pairs")),
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.annNearDupPairs(e, "vec_id", "embedding",
+            threshold = -1.0, tables = 8,
+            planes = Similarity.planesFor(e.count()), dims = 64)
+          .select(floor(col("cosine") * 20).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""WITH ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -1028,18 +1055,22 @@ private[graft] object DedupQueries {
     // batch against the persisted bucket index of the rest — the
     // embedding-side twin of q_dedup_incremental (same invariant: the
     // oracle is the full-corpus bucket replay filtered to a new side)
+    // planes DERIVED from the FULL corpus count (round 12) — both index
+    // sides must share the LSH geometry, and the full count is what the
+    // persisted index was built at, so increments replay the same rule.
     ("q_emb_incremental",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
+        val planes = Similarity.planesFor(e.count())
         val corpusIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
+          tables = 8, planes = planes, dims = 64)
         val newIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
+          tables = 8, planes = planes, dims = 64)
         Similarity.incrementalAnnPairs(corpusIdx, newIdx, threshold = 0.40)
       },
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+      Some(s"""WITH ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -1061,15 +1092,18 @@ private[graft] object DedupQueries {
     // catches it. Reuses the persisted-index incremental-ANN path
     // (benchmark-side index joins the corpus index — a 100 TB corpus is
     // bucketed once, not per benchmark).
+    // planes DERIVED from the full corpus count (round 12) — same
+    // shared-geometry rule as q_emb_incremental.
     ("q_emb_decontam",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
+        val planes = Similarity.planesFor(e.count())
         val corpusIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
+          tables = 8, planes = planes, dims = 64)
         val benchIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
-          tables = 8, planes = 6, dims = 64)
+          tables = 8, planes = planes, dims = 64)
         Similarity.incrementalAnnPairs(corpusIdx, benchIdx,
             threshold = 0.40)
           .filter((col("id1") % 50 === 0) =!= (col("id2") % 50 === 0))
@@ -1079,7 +1113,7 @@ private[graft] object DedupQueries {
           .agg(count(lit(1)).as("n_bench_hits"),
             max("cosine").as("max_cosine"))
       },
-      Some(s"""WITH ${lshBucketsCtes(tables = 8, planes = 6)},
+      Some(s"""WITH ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
         cand AS MATERIALIZED (
           SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
@@ -1717,13 +1751,40 @@ private[graft] object DedupQueries {
     * expression's accumulation order bit-for-bit). Shared by the ANN top-k
     * and ANN near-dup oracles. */
   private[graft] def lshBucketsCtes(tables: Int, planes: Int, dims: Int = 64): String =
+    lshBucketsBody(tables, dims, planeSrc = s"range(0, $planes) p(p)",
+      planeFilter = "")
+
+  /** Scalar CTE `nctx(planes)` replaying [[graft.ops.Similarity.planesFor]]
+    * over the LIVE corpus count: the smallest p in [0, 30] with
+    * (targetBucket << p) >= count(*), clamped to >= 4 — exact integer
+    * arithmetic in both engines (deliberately NOT ceil(log2(n/target)),
+    * whose float rounding could disagree at power-of-two boundaries). */
+  private[graft] def planesCtx(table: String = "embeddings",
+      targetBucket: Int = 32): String =
+    s"""nctx AS MATERIALIZED (SELECT greatest(4, coalesce(
+          (SELECT min(r.p) FROM range(0, 31) r(p)
+           WHERE (CAST($targetBucket AS BIGINT) << r.p) >=
+             (SELECT count(*) FROM $table)), 30)) AS planes)"""
+
+  /** [[lshBucketsCtes]] with the plane count DERIVED from the corpus
+    * count via [[planesCtx]] instead of pinned — the scale-safe LSH
+    * configuration (pinned planes make candidate pairs quadratic in
+    * corpus size; derived planes hold expected bucket depth constant).
+    * Used by every corpus×corpus bucket-join oracle since round 12. */
+  private[graft] def lshBucketsCtesDyn(tables: Int, dims: Int = 64): String =
+    s"""${planesCtx()},
+        ${lshBucketsBody(tables, dims, planeSrc = "range(0, 30) p(p)",
+      planeFilter = "\n          WHERE p.p < (SELECT planes FROM nctx)")}"""
+
+  private def lshBucketsBody(tables: Int, dims: Int, planeSrc: String,
+      planeFilter: String): String =
     s"""w AS MATERIALIZED (
           SELECT t.t, p.p, d.d,
             CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
                 ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
               1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
-          FROM range(0, $tables) t(t), range(0, $planes) p(p),
-               range(0, $dims) d(d)),
+          FROM range(0, $tables) t(t), $planeSrc,
+               range(0, $dims) d(d)$planeFilter),
         prods AS MATERIALIZED (
           SELECT v.vec_id, w.t, w.p, w.d,
             CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
@@ -1754,12 +1815,34 @@ private[graft] object DedupQueries {
     * `iters` — and the judge's round-3 replay OOM'd on exactly that.
     * Forcing materialization keeps the plan linear in `iters` on every
     * DuckDB version (>= 0.9 parses the keyword). */
-  private[graft] def kmeansCtes(k: Int, iters: Int): String = {
+  private[graft] def kmeansCtes(k: Int, iters: Int): String =
+    kmeansChain(
+      s"""c0 AS MATERIALIZED (
+          SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""",
+      iters)
+
+  /** [[kmeansCtes]] with k DERIVED from the corpus count via the exact
+    * integer ceil-div replay of [[graft.ops.Similarity.kFor]] — the
+    * scale-safe SemDeDup configuration (pinned k makes within-cluster
+    * pair work quadratic in corpus size; k ∝ n holds it linear). The
+    * Lloyd rounds themselves are k-independent, so only c0 changes. */
+  private[graft] def kmeansCtesDyn(iters: Int,
+      targetClusterSize: Int = 2500): String =
+    kmeansChain(
+      s"""kctx AS MATERIALIZED (SELECT greatest(1,
+            (count(*) + ${targetClusterSize - 1}) // $targetClusterSize)
+            AS k FROM q),
+        c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM q)
+          WHERE rn <= (SELECT k FROM kctx))""",
+      iters)
+
+  private def kmeansChain(c0: String, iters: Int): String = {
     val sb = new StringBuilder(
       s"""WITH q AS MATERIALIZED (
           SELECT vec_id, $quantSql AS v FROM embeddings),
-        c0 AS MATERIALIZED (
-          SELECT vec_id AS cid, v AS cv FROM q ORDER BY vec_id LIMIT $k)""")
+        $c0""")
     for (i <- 1 to iters) {
       val prev = s"c${i - 1}"
       sb ++= s""",

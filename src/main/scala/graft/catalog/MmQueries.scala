@@ -52,7 +52,13 @@ private[graft] object MmQueries {
       Some(mmAudioSigSql + "\nSELECT media_id, ehash FROM asig")),
 
     // corpus-wide acoustic near-dup pairs through the shared Manku blocked
-    // search — must equal the oracle's brute-force hamming join
+    // search — must equal the oracle's brute-force hamming join.
+    // maxBucket=0 (uncapped) PINNED DELIBERATELY (oracle-exactness pin):
+    // the row proves the blocked search equals the brute-force join, which
+    // needs every pair kept (output grew x99.6 at sf1 while wall/pair fell
+    // to 0.26x — output-driven, not algorithmic). The production path at
+    // scale is the SAME call with maxBucket > 0 (deterministic md5-rank
+    // bucket cap), exercised by the capped dedup rows.
     ("q_mm_audio_pairs",
       (s: SparkSession, d: String) => {
         import s.implicits._

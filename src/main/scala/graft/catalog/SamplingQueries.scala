@@ -1044,24 +1044,29 @@ private[graft] object SamplingQueries {
     * parts graph — the shared base of the cascade / ANF oracles (the
     * q_graph_capped cap CTEs verbatim: md5-ranked bottom-8 incident edges,
     * kept-at-both-endpoints). Yields `sym(src, dst)`. */
+  /** Every CTE MATERIALIZED: `sym` is consumed once per unrolled round by
+    * the cascade/ANF pyramids downstream, so an inlining planner would
+    * re-expand this whole lineitem-scanning chain per round — exactly the
+    * multiplicative shape the heavy-oracle protocol (tools/README.md)
+    * and OracleLintSpec forbid. */
   private[graft] def cappedSymCtes(): String =
-    """lp AS (SELECT DISTINCT l_orderkey AS ok,
+    """lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
           l_partkey AS pk FROM lineitem WHERE l_orderkey % 5 = 0),
-      canon0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+      canon0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
         FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
-      inc AS (SELECT a AS node, a, b,
+      inc AS MATERIALIZED (SELECT a AS node, a, b,
           md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
         FROM canon0
         UNION ALL
         SELECT b AS node, a, b,
           md5(CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)) AS h
         FROM canon0),
-      ranked AS (SELECT node, a, b,
+      ranked AS MATERIALIZED (SELECT node, a, b,
           row_number() OVER (PARTITION BY node ORDER BY h, a, b) AS rk
         FROM inc),
-      canon AS (SELECT a, b FROM ranked WHERE rk <= 8
+      canon AS MATERIALIZED (SELECT a, b FROM ranked WHERE rk <= 8
         GROUP BY a, b HAVING count(*) = 2),
-      sym AS (SELECT a AS src, b AS dst FROM canon
+      sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM canon
         UNION ALL SELECT b, a FROM canon)"""
 
   /** Unrolled replay of [[Graph.anfReach]] over the capped graph: exact

@@ -24,7 +24,11 @@ private[graft] object SimQueries {
     // Deterministic spherical k-means over the embedding corpus — the
     // cluster-then-curate entry point (per-cluster sampling, SemDeDup).
     // 2 Lloyd rounds from the k smallest-id seeds; the oracle replays the
-    // exact integer math of every round.
+    // exact integer math of every round. k=8 PINNED DELIBERATELY: k is a
+    // USER model parameter here (how many clusters the curator wants),
+    // not a scale knob — cost is n·k·iters, linear in n at any pinned k.
+    // (SemDeDup-style pair work is the place k must scale; see
+    // q_emb_semdedup's derived k.)
     ("q_emb_kmeans",
       (s: SparkSession, d: String) => Similarity.kmeans(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
@@ -90,12 +94,18 @@ private[graft] object SimQueries {
 
     // SemDeDup: within each k-means cluster, drop every vector with a
     // smaller-id near-duplicate (cosine >= 0.35); pairwise work is bounded
-    // by cluster size, never corpus size. Keeps 416/500 on the fixture.
+    // by cluster size, never corpus size. k DERIVED from count(*) via
+    // Similarity.kFor (round 12): pinned k=8 made within-cluster pair
+    // work quadratic (39.5x per decade measured at sf10); k ∝ n holds it
+    // linear (1.85x measured), and the oracle replays the ceil-div
+    // derivation itself (kmeansCtesDyn's kctx).
     ("q_emb_semdedup",
-      (s: SparkSession, d: String) => Similarity.semanticDedup(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,
-        threshold = 0.35),
-      Some(s"""${kmeansCtes(k = 8, iters = 1)},
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        Similarity.semanticDedup(e, "vec_id", "embedding",
+          k = Similarity.kFor(e.count()), iters = 1, threshold = 0.35)
+      },
+      Some(s"""${kmeansCtesDyn(iters = 1)},
         pairs AS (SELECT b.vec_id AS id2
           FROM asg a JOIN asg b
             ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -107,6 +117,10 @@ private[graft] object SimQueries {
     // dedup entirely (all kept) — bounded worst stage at the cost of recall.
     // At this fixture (sizes 53..71, cap 60) three clusters still dedup and
     // five are capped, so the oracle discriminates both code paths.
+    // k=8/cap=60 PINNED DELIBERATELY (oracle-exactness pin): this row
+    // exists to discriminate the cap guard at gate scale, which needs
+    // cluster sizes that straddle the cap; the scale-safe derived-k
+    // configuration is gated by q_emb_semdedup above.
     ("q_emb_semdedup_capped",
       (s: SparkSession, d: String) => Similarity.semanticDedup(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 1,

@@ -32,14 +32,20 @@ object Similarity {
    * sf10 probe measured exactly that (q_emb_mutual_knn at planes=6
    * exceeded the box's disk at 200k vectors, while planes=10 ran the
    * same pipeline at 2.65× for 10× data; BENCH_SF10.json followups).
-   * The catalog pins planes so its DuckDB oracles replay bit-for-bit;
-   * production callers should derive it from corpus size with this.
+   * Since round 12 the corpus-scale catalog entries (q_emb_mutual_knn,
+   * q_emb_ann_pairs, q_emb_sim_hist, q_emb_incremental, q_emb_decontam)
+   * derive planes from the live `count(*)` with this rule — and their
+   * DuckDB oracles replay the derivation itself — so the gate exercises
+   * the scale-safe configuration at every scale factor. Exact integer
+   * form (smallest p with targetBucket·2^p >= n, clamped to [4, 30]):
+   * NOT ceil(log2(n/target)), whose float rounding could disagree
+   * between engines exactly at power-of-two boundaries.
    */
   def planesFor(n: Long, targetBucket: Int = 32): Int = {
     require(n > 0 && targetBucket > 0)
-    val raw = math.ceil(math.log(n.toDouble / targetBucket) /
-      math.log(2.0)).toInt
-    math.min(30, math.max(4, raw))
+    var p = 0
+    while (p < 30 && (targetBucket.toLong << p) < n) p += 1
+    math.max(4, p)
   }
 
   /**
@@ -52,7 +58,10 @@ object Similarity {
    */
   def kFor(n: Long, targetClusterSize: Int = 2500): Int = {
     require(n > 0 && targetClusterSize > 0)
-    math.max(1, math.ceil(n.toDouble / targetClusterSize).toInt)
+    // exact integer ceil-div — replayable bit-for-bit by the oracle's
+    // (count(*) + t - 1) // t, no float boundary at multiples of t
+    val k = (n + targetClusterSize - 1) / targetClusterSize
+    math.max(1L, math.min(Int.MaxValue.toLong, k)).toInt
   }
 
   /** Integer-quantized copy of a float vector: round(x * 1000) as longs —

@@ -25,7 +25,11 @@ final class IngestOrchestrator(
     readRaw: TableConfig => DataFrame,
     specsFor: TableConfig => Seq[ColumnSpec],
     parallelism: Int = 5,
-    registerIn: Option[String] = None) {
+    registerIn: Option[String] = None,
+    // I5 backoff schedule (aje-stage-dms-load.py:467-503: 3 attempts,
+    // linear backoff); injectable so tests and fast-retry deployments
+    // don't sleep 60 s per attempt
+    retrySleepMs: Int => Long = _ * 60000L) {
 
   /** Active-set predicate (P8, StartWorkFlow.py:62-100). */
   def activeTables(all: Seq[TableConfig], processId: String = "",
@@ -44,7 +48,8 @@ final class IngestOrchestrator(
       val cutoff = currentCutoff(t)
       val stats = MergeWriter.write(spark, result.df,
         s"$stageRoot/${t.stageTableName}", LoadMode.of(t), ids, partitions,
-        cutoff, partitionStable = t.partitionStable)
+        cutoff, retrySleepMs = retrySleepMs,
+        partitionStable = t.partitionStable)
       // the reference re-runs its catalog crawler after stage loads
       // (crawlers_job.py); here: registration + partition recovery per
       // table, then the statistics feed — the crawler analog computes

@@ -25,10 +25,17 @@ import org.apache.spark.sql.types.StructType
 object StreamingIngest {
 
   /** Stream a raw directory of parquet drops (the raw-zone pattern, S4) with
-    * an event-time watermark replacing the batch DELAY_INCREMENTAL_INI. */
+    * an event-time watermark replacing the batch DELAY_INCREMENTAL_INI.
+    * The ts column goes through [[graft.sources.EventLog.normalizeTs]]
+    * BEFORE the watermark: raw-zone producers re-encode timestamps across
+    * generations (nanos-as-long / NTZ / micros / ISO string — the drift
+    * EventLog documents), and a watermark bound to one hard-assumed
+    * encoding breaks on the next regeneration. The normalization is a
+    * pure column rewrite, so it composes with the streaming source. */
   def incrementalStream(spark: SparkSession, path: String, schema: StructType,
       tsCol: String, delay: String = "1 hour"): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+    graft.sources.EventLog.normalizeTs(
+      spark.readStream.schema(schema).parquet(path), tsCol)
       .withWatermark(tsCol, delay)
 
   /** Windowed event counts + value sums per type (append-mode capable). */
@@ -996,6 +1003,31 @@ object StreamingIngest {
 
   /** Drive a streaming frame through a memory sink synchronously (test /
     * local verification harness). */
+  /** Drive a streaming frame to completion under `Trigger.AvailableNow`
+    * into a fresh parquet FILE sink (append mode — the only mode a file
+    * sink supports) and hand back the landed rows as a batch frame. This
+    * is the replay harness the oracle-checked q_stream_* catalog rows run
+    * on: AvailableNow processes everything currently in the source
+    * directory, then runs the no-data flush batch, so append-mode output
+    * is exactly the watermark-finalized result — deterministic for a
+    * fixed fixture, replayable by a batch engine. Checkpoint and sink are
+    * per-invocation temp dirs (a reused checkpoint would resume instead
+    * of replay). */
+  def runAvailableNowToParquet(df: DataFrame): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_run").toString
+    val out = s"$base/out"
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(out)
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).start()

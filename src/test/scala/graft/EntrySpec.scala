@@ -264,4 +264,85 @@ class EntrySpec extends SparkSpec {
     // not minutes (a serialization bug would show up as ~50x one table)
     assert(elapsedSec < 300, f"50-table run took $elapsedSec%.1f s")
   }
+
+  test("orchestrator: transient write failures retry exactly-once (I5)") {
+    // The reference's retry contract (aje-stage-dms-load.py:467-503:
+    // 3 attempts, linear backoff) under the 5-wide pool: a storage fault
+    // that fires MID-MERGE on the first attempt must be retried, and the
+    // retry must not double-write — the failed attempt's partial work
+    // must be invisible (writeSwap's write-then-rename makes the target
+    // all-or-nothing per attempt).
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_orchRetry").toString
+    val n = 12
+    def failing(name: String): Boolean = name.stripPrefix("R").toInt % 2 == 0
+    val tables = (1 to n).map(i => TableConfig(s"R$i", "EP", "s",
+      s"src_$i", s"rstage_$i", loadType = "incremental"))
+    val specsFor: TableConfig => Seq[ColumnSpec] = { tc =>
+      Seq(
+        ColumnSpec(tc.targetTableName, "id", 1, "bigint", "id", isId = true),
+        ColumnSpec(tc.targetTableName, "v", 2, "string", "v"))
+    }
+    // Phase 1: seed every stage table with ids 1..4 (no faults) — the
+    // retried phase must then MERGE, the path where a double-write would
+    // actually corrupt data (duplicate keys), not just duplicate files.
+    def mkBatch(tc: TableConfig, ids: Range, chaos: Boolean) = {
+      val i = tc.targetTableName.stripPrefix("R").toInt
+      val base = ids.map(j => (j.toLong, s"t${i}_$j")).toDF("id", "v")
+      if (chaos)
+        base.withColumn("v",
+          EntrySpec.chaosOnce(lit(tc.targetTableName), col("v")))
+      else base
+    }
+    val seed = new IngestOrchestrator(spark, root,
+      readRaw = tc => mkBatch(tc, 1 to 4, chaos = false),
+      specsFor = specsFor, parallelism = 5, retrySleepMs = _ => 1L)
+    assert(seed.runAll(tables).forall(_.status == "SUCCEEDED"))
+    // Phase 2: upsert ids 3..6; even-numbered tables hit a transient
+    // fault the first time the batch is materialized (inside withRetry —
+    // the empty-bootstrap probe is short-circuited by the non-empty
+    // target, and its zero-column projection prunes the deterministic
+    // UDF anyway). The fault fires once per table, then heals.
+    EntrySpec.chaosFired.clear()
+    val orch = new IngestOrchestrator(spark, root,
+      readRaw = tc => mkBatch(tc, 3 to 6,
+        chaos = failing(tc.targetTableName)),
+      specsFor = specsFor, parallelism = 5, retrySleepMs = _ => 1L)
+    val statuses = orch.runAll(tables)
+    // every table recovered — a transient fault is NOT a FAILED status
+    statuses.foreach(st => assert(st.status == "SUCCEEDED", st))
+    // the faults actually fired (one per even table), i.e. the pass went
+    // through the retry path rather than never hitting the fault
+    assert(EntrySpec.chaosFired.size == n / 2,
+      s"expected ${n / 2} injected faults, saw ${EntrySpec.chaosFired.size}")
+    // exactly-once per table: merged keyspace 1..6, each id ONCE, and the
+    // upserted rows carry phase-2 values (a double-write would duplicate
+    // ids; a lost retry would leave phase-1 values on 3..4 or miss 5..6)
+    tables.foreach { tc =>
+      val i = tc.targetTableName.stripPrefix("R").toInt
+      val rows = spark.read.parquet(s"$root/rstage_$i")
+        .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == (1L to 6L),
+        s"R$i keyspace corrupted: ${rows.mkString(",")}")
+      assert(rows.toMap.forall { case (id, v) => v == s"t${i}_$id" },
+        s"R$i values corrupted: ${rows.mkString(",")}")
+    }
+  }
+}
+
+/** Driver-JVM singletons for the retry fault injection: the UDF closure
+  * must reference STATIC state (an object field), not a captured map — a
+  * captured map is serialized per task and each attempt would see a fresh
+  * copy, making the fault fire on every retry instead of once. */
+object EntrySpec {
+  val chaosFired =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Deterministic (prunable) UDF that throws the FIRST time any row of a
+    * given table's batch is evaluated, then passes values through. */
+  val chaosOnce: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tbl: String, v: String) =>
+      if (chaosFired.putIfAbsent(tbl, java.lang.Boolean.TRUE) == null)
+        throw new RuntimeException(s"transient storage fault for $tbl")
+      v
+    }
 }

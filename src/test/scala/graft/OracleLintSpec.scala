@@ -43,12 +43,21 @@ class OracleLintSpec extends AnyFunSuite {
   private val CteHeader =
     """(?is)\b(\w+)\s*(\([\w\s,]*\))?\s+AS\s+(MATERIALIZED\s+)?\(""".r
 
-  /** FROM/JOIN references of `name` (consumption sites; a bare alias or
-    * projection mention is not an evaluation of the CTE). */
+  /** Consumption sites of `name`: `FROM name`, `JOIN name`, or a
+    * non-first member of a comma-style FROM list (`FROM x, name`). The
+    * comma arm deliberately over-matches (a projection list `SELECT a,
+    * name` also hits) — over-counting only makes the lint STRICTER,
+    * while the previous FROM/JOIN-only form let a comma-joined CTE
+    * evade the pyramid check entirely. A bare alias mention still does
+    * not count. */
   private def refSites(sql: String, name: String): Seq[Int] =
-    s"""(?is)\\b(?:FROM|JOIN)\\s+${java.util.regex.Pattern.quote(name)}\\b"""
+    s"""(?is)(?:\\b(?:FROM|JOIN)\\s+|,\\s*)${
+      java.util.regex.Pattern.quote(name)}\\b"""
       .r.findAllMatchIn(sql).map(_.start).toSeq
 
+  /** Body spans via paren balancing that SKIPS single-quoted SQL string
+    * literals ('' is the escape) — a paren inside a literal (e.g. a
+    * regexp pattern) must not shift the computed span. */
   private def parseCtes(sql: String): Seq[Cte] =
     CteHeader.findAllMatchIn(sql).map { m =>
       val open = sql.indexOf('(', m.end - 1)
@@ -58,6 +67,9 @@ class OracleLintSpec extends AnyFunSuite {
       var done = false
       while (i < sql.length && !done) {
         sql(i) match {
+          case '\'' =>
+            i += 1
+            while (i < sql.length && sql(i) != '\'') i += 1
           case '(' => depth += 1
           case ')' =>
             depth -= 1

@@ -77,7 +77,7 @@ class ScaleKnobsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // 2k vectors (sf0.1) -> 6 planes = the catalog's pinned value;
     // every 10x decade adds ~3.3 planes, so candidates stay linear
     assert(planesFor(2000) == 6)
-    assert(planesFor(20000) == 10 || planesFor(20000) == 9)
+    assert(planesFor(20000) == 10)
     assert(planesFor(200000) == 13)
     // bucket depth n / 2^planes stays within ~2x of the target
     for (n <- Seq(1000L, 10000L, 100000L, 10000000L, 1000000000L)) {

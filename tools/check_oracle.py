@@ -116,9 +116,16 @@ def main():
         # deadlocks; and q.empty() right after join can race false-negative.
         try:
             name, ok, msg = q.get(timeout=600)
+            p.join()
         except Exception:
+            # Timeout/queue failure: the child may be wedged inside a
+            # duckdb call that never returns — an untimed join would block
+            # forever and its per-pid spill dir would leak (the in-child
+            # finally never runs on SIGKILL), so kill + reap + sweep here.
             name, ok, msg = task[2], False, "subprocess produced no result"
-        p.join()
+            p.kill()
+            p.join(5)
+            shutil.rmtree(f"/tmp/duckdb_oracle_{p.pid}", ignore_errors=True)
         if p.exitcode != 0 and ok is False and msg.startswith("subprocess"):
             msg = f"subprocess died rc={p.exitcode}"
         if ok:
