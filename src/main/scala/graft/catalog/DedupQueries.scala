@@ -1776,28 +1776,33 @@ private[graft] object DedupQueries {
         ${lshBucketsBody(tables, dims, planeSrc = "range(0, 30) p(p)",
       planeFilter = "\n          WHERE p.p < (SELECT planes FROM nctx)")}"""
 
+  /** Weight rows are (t, p, 64-element list) — NOT per-dim rows. The
+    * previous per-dim formulation materialized n·tables·planes·dims rows
+    * (1.3B at sf10/planes=13) and OOM'd DuckDB at sf1 under 24 GB; this
+    * one materializes tables·planes weight rows plus one n·tables·planes
+    * fold. Bit-identical accumulation: list_transform builds the products
+    * in ascending-dim order and list_reduce left-folds them — the same
+    * per-element IEEE multiply then ordered adds as before (verified
+    * equal on the sf0.01 corpus before the swap). */
   private def lshBucketsBody(tables: Int, dims: Int, planeSrc: String,
       planeFilter: String): String =
     s"""w AS MATERIALIZED (
-          SELECT t.t, p.p, d.d,
-            CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR) ||
-                ':' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)),
-              1, 8)) AS BIGINT) / 2147483648.0 - 1.0 AS wt
-          FROM range(0, $tables) t(t), $planeSrc,
-               range(0, $dims) d(d)$planeFilter),
-        prods AS MATERIALIZED (
-          SELECT v.vec_id, w.t, w.p, w.d,
-            CAST(v.embedding[w.d + 1] AS DOUBLE) * w.wt AS pr
-          FROM embeddings v CROSS JOIN w),
-        sigacc AS MATERIALIZED (
-          SELECT vec_id, t, p,
-            list_reduce(list(pr ORDER BY d), (a, b) -> a + b) AS acc
-          FROM prods GROUP BY vec_id, t, p),
+          SELECT t.t, p.p,
+            list_transform(range(0, $dims), d ->
+              CAST(concat('0x', substr(md5('graft:' || CAST(t.t AS VARCHAR)
+                  || ':' || CAST(p.p AS VARCHAR) ||
+                  ':' || CAST(d AS VARCHAR)),
+                1, 8)) AS BIGINT) / 2147483648.0 - 1.0) AS wl
+          FROM range(0, $tables) t(t), $planeSrc$planeFilter),
         buckets AS MATERIALIZED (
-          SELECT vec_id, t,
-            CAST(sum(CASE WHEN acc >= 0 THEN CAST(1 AS BIGINT) << p
-                     ELSE 0 END) AS BIGINT) AS b
-          FROM sigacc GROUP BY vec_id, t)"""
+          SELECT v.vec_id, w.t,
+            CAST(sum(CASE WHEN list_reduce(
+                list_transform(range(0, $dims), d ->
+                  CAST(v.embedding[d + 1] AS DOUBLE) * w.wl[d + 1]),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << w.p ELSE 0 END) AS BIGINT) AS b
+          FROM embeddings v CROSS JOIN w
+          GROUP BY v.vec_id, w.t)"""
 
   /** Replays Similarity.kmeans round for round: assignment is the same
     * floor-quantized cosine argmax (ties to the smaller centroid id) as the
