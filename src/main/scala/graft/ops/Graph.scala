@@ -461,7 +461,7 @@ object Graph {
     * instead of nodes. One degree aggregate, one wedge self-join bounded by
     * the (deg, id) orientation, one 3-edges-per-triangle explode, one
     * combine-enabled count. */
-  private def edgeSupport(canon: DataFrame): DataFrame = {
+  private[graft] def edgeSupport(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -18,6 +18,7 @@ reused; the artifact always gets written.
 """
 import json
 import multiprocessing as mp
+import os
 import shutil
 import sys
 import time
@@ -25,7 +26,10 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 from check_oracle import check_one  # noqa: E402
 
-TIMEOUT_S = 1800
+# Per-oracle wall budget. Overridable for deliberate above-gate runs
+# (e.g. the sf10 spot-gate, where a linear 10x of a 275 s sf1 replay
+# legitimately passes 1800 s).
+TIMEOUT_S = int(os.environ.get("ORACLE_TIMEOUT_S", "1800"))
 
 
 def _child(q, task):
