@@ -445,23 +445,50 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
-      e = edgeSupport(e).filter(col("support") >= k - 2)
+    // the eager checkpoint already materialized the set; counting it is a
+    // cache scan, and the count powers an EXACT early exit below
+    var prevCount = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      // peel rounds only need edges with support >= k-2 >= 1, and every
+      // supported edge IS a canonical edge (each triangle's three edges
+      // come from the oriented set), so the zero-support left-outer
+      // re-join of the full edge set is skipped: one join + one shuffle
+      // less per round, identical survivor set (r12 measurement)
+      e = edgeSupport(e, withZeros = false)
+        .filter(col("support") >= k - 2)
         .select("a", "b")
         // each round re-derives degrees/orientation from the shrunken set;
         // cut lineage so round r+1 plans against materialized edges, not a
         // growing wedge-join chain
         .localCheckpoint()
+      // monotone peel: e_r is a SUBSET of e_{r-1}, so equal counts mean the
+      // edge set is unchanged — every later round recomputes the identical
+      // support table and filters nothing, an exact no-op. Skipping the
+      // remaining rounds changes no output at any scale.
+      val c = e.count()
+      if (c == prevCount) converged = true else prevCount = c
     }
     edgeSupport(e)
   }
 
   /** Per-edge triangle support on a canonical (a < b, distinct) edge set —
     * the [[triangleCounts]] oriented-wedge pipeline, attributed to edges
-    * instead of nodes. One degree aggregate, one wedge self-join bounded by
+    * instead of pairs. One degree aggregate, one wedge self-join bounded by
     * the (deg, id) orientation, one 3-edges-per-triangle explode, one
-    * combine-enabled count. */
-  private[graft] def edgeSupport(canon: DataFrame): DataFrame = {
+    * combine-enabled count.
+    *
+    * `withZeros = true` (the reporting form) left-joins the counts back
+    * onto the full edge set so unsupported edges appear with support 0.
+    * `withZeros = false` emits only edges that close >= 1 triangle — the
+    * peel form: [[ktruss]]'s per-round filter keeps support >= k-2 >= 1,
+    * so the zero rows (and the join that manufactures them) are dead
+    * weight there. Every emitted (a, b) is a canonical input edge (each
+    * triangle's three edges are drawn from the oriented edge set), and
+    * the groupBy makes the pairs distinct, so the peel invariant holds
+    * without the re-join. */
+  private[graft] def edgeSupport(canon: DataFrame,
+      withZeros: Boolean = true): DataFrame = {
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -496,7 +523,8 @@ object Graph {
           greatest(col("x"), col("y")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
     val sup = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
-    canon.join(sup, Seq("a", "b"), "left_outer")
+    if (!withZeros) sup
+    else canon.join(sup, Seq("a", "b"), "left_outer")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
   }
