@@ -779,23 +779,37 @@ object Graph {
       lvl = lvl.union(next)
       frontier = next.select("s", "node", "sigma")
     }
-    // backward: dependency accumulation, one level at a time
+    // backward: dependency accumulation, one level at a time. The
+    // level-(l, l+1) DAG edges are built ONCE — [levels 1..rounds-1] ⋈ E ⋈
+    // [levels 2..rounds], keeping both endpoints' sigma — instead of
+    // re-joining the full edge list at every backward level: each level's
+    // step is then a filter over the checkpointed DAG plus one small
+    // delta join (r12 measurement: the per-level e-join was the hottest
+    // phase of the query). Same row multiset per level as the old
+    // (lvl_l ⋈ e ⋈ wSide) chain, so the integer sums are identical.
+    val dag = lvl.filter(col("level").between(1, rounds - 1))
+      .withColumnRenamed("node", "src")
+      .join(e, Seq("src"))
+      // lw is a JOIN KEY (level+1 precomputed on the left), not a
+      // post-join filter: only consecutive-level pairs ever materialize
+      .withColumn("lw", col("level") + 1)
+      .join(lvl.select(col("s"), col("node").as("dst"),
+          col("level").as("lw"), col("sigma").as("sigma_w")),
+        Seq("s", "dst", "lw"))
+      .select(col("s"), col("src"), col("dst"), col("level"),
+        col("sigma"), col("sigma_w"))
+      .localCheckpoint()
     var delta = lvl.filter(col("level") === rounds)
       .select(col("s"), col("node"), lit(0L).as("delta"))
       .localCheckpoint()
     var acc = delta // all (s, node, delta) rows of levels l+1..rounds
     for (l <- (rounds - 1) to 1 by -1) {
-      val wSide = lvl.filter(col("level") === (l + 1))
-        .join(delta, Seq("s", "node"), "left")
-        .select(col("s"), col("node").as("dst"),
-          col("sigma").as("sigma_w"),
-          coalesce(col("delta"), lit(0L)).as("delta_w"))
-      val dl = lvl.filter(col("level") === l)
-        .withColumnRenamed("node", "src")
-        .join(e, Seq("src"))
-        .join(wSide, Seq("s", "dst"))
+      val dl = dag.filter(col("level") === l)
+        .join(delta.select(col("s"), col("node").as("dst"),
+          col("delta").as("delta_w")), Seq("s", "dst"), "left")
         .groupBy(col("s"), col("src").as("node"))
-        .agg(sum(expr(s"sigma * ($scale + delta_w) div sigma_w"))
+        .agg(sum(expr(
+          s"sigma * ($scale + coalesce(delta_w, 0L)) div sigma_w"))
           .as("delta"))
         .localCheckpoint()
       delta = dl
