@@ -883,7 +883,7 @@ private[graft] object DedupQueries {
         val e = t(s, d, "embeddings")
         Similarity.annNearDupPairs(e, "vec_id", "embedding",
           threshold = 0.40, tables = 8,
-          planes = Similarity.planesFor(e.count()), dims = 64)
+          planes = Similarity.planesFor(tCount(s, d, "embeddings")), dims = 64)
       },
       Some(s"""WITH ${lshBucketsCtesDyn(tables = 8)},
         c AS MATERIALIZED (SELECT vec_id, $quantSql AS v FROM embeddings),
@@ -985,7 +985,7 @@ private[graft] object DedupQueries {
         val e = t(s, d, "embeddings")
         Dedup.componentsStar(
           Similarity.mutualKnnPairs(e, "vec_id", "embedding", k = 2,
-            tables = 8, planes = Similarity.planesFor(e.count()),
+            tables = 8, planes = Similarity.planesFor(tCount(s, d, "embeddings")),
             dims = 64),
           "doc1", "doc2")
       },
@@ -1034,7 +1034,7 @@ private[graft] object DedupQueries {
         val e = t(s, d, "embeddings")
         Similarity.annNearDupPairs(e, "vec_id", "embedding",
             threshold = -1.0, tables = 8,
-            planes = Similarity.planesFor(e.count()), dims = 64)
+            planes = Similarity.planesFor(tCount(s, d, "embeddings")), dims = 64)
           .select(floor(col("cosine") * 20).cast("long").as("bucket"))
           .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       },
@@ -1061,7 +1061,7 @@ private[graft] object DedupQueries {
     ("q_emb_incremental",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
-        val planes = Similarity.planesFor(e.count())
+        val planes = Similarity.planesFor(tCount(s, d, "embeddings"))
         val corpusIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
           tables = 8, planes = planes, dims = 64)
@@ -1097,7 +1097,7 @@ private[graft] object DedupQueries {
     ("q_emb_decontam",
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
-        val planes = Similarity.planesFor(e.count())
+        val planes = Similarity.planesFor(tCount(s, d, "embeddings"))
         val corpusIdx = Similarity.annIndex(
           e.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
           tables = 8, planes = planes, dims = 64)

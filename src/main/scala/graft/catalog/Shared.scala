@@ -232,9 +232,47 @@ private[graft] object Shared {
     ("orders", "o_custkey", "customer", "c_custkey"),
     ("customer", "c_nationkey", "nation", "n_nationkey"))
 
+  /** Scan-parallelism floor (optimization guide §2.5 "input skew" / §6
+    * split sizing): the fixtures are single-file, SINGLE-ROW-GROUP parquet,
+    * and a parquet byte-range split can never cut inside a row group — so
+    * every fixture scan resolves to ONE task and all scan-stage work
+    * (tokenize/shingle/decode expressions, filters, map-side partial
+    * aggregation) serializes onto one core no matter the session's core
+    * count. When the resolved scan has fewer partitions than the default
+    * parallelism, spread it round-robin once (deterministic under retry:
+    * sortBeforeRepartition is on by default, and every catalog query is
+    * row-order-insensitive by construction). At production scale a corpus
+    * scan has thousands of splits, the branch is false, and NO exchange is
+    * added — the floor is a local-pathology guard, not a tuned constant.
+    * Measured (r12, sf0.1/32): the exact-kNN scan stage 5.4s -> 0.9s.
+    */
+  private[graft] def scanFloor(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** The two corpora whose scans feed heavy per-row pipelines (shingle
+    * md5s, 64-dim dot products, codec decodes) get the floor; the
+    * relational tables do NOT — their queries shuffle by key immediately,
+    * so a round-robin exchange would be a pure extra pass (measured r12:
+    * -70% on the floored heavy queries, +0.3-1.2s on light relational
+    * ones when floored blanket-wide). */
+  private val FlooredTables = Set("documents")
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+    else {
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      if (FlooredTables(name)) scanFloor(df) else df
+    }
+
+  /** Row count of a fixture table from the BARE scan — the parquet
+    * metadata-count fast path. Knob derivations (planesFor/kFor) must use
+    * this instead of counting a [[scanFloor]]ed frame, which would pay a
+    * full scan + round-robin shuffle for a number the footer already
+    * holds. Same value by construction. */
+  private[graft] def tCount(s: SparkSession, dir: String, name: String): Long =
+    s.read.parquet(s"$dir/$name.parquet").count()
 
   /** Per-JVM scratch root for queries that materialize intermediate files
     * (format round-trips, snapshot stores, compaction). One FIXED subdir

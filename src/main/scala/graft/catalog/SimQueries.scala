@@ -103,7 +103,8 @@ private[graft] object SimQueries {
       (s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
         Similarity.semanticDedup(e, "vec_id", "embedding",
-          k = Similarity.kFor(e.count()), iters = 1, threshold = 0.35)
+          k = Similarity.kFor(tCount(s, d, "embeddings")), iters = 1,
+          threshold = 0.35)
       },
       Some(s"""${kmeansCtesDyn(iters = 1)},
         pairs AS (SELECT b.vec_id AS id2

@@ -95,10 +95,27 @@ object Similarity {
    * `probes` must be broadcast-small (it is hinted). Ties break on neighbor
    * id — fully deterministic output: (query_id, neighbor_id, cosine, rank).
    */
+  /** Scan-parallelism floor for the exact-scan substrates (optimization
+    * guide §2.5 input skew): the corpus side of a broadcast-probe exact
+    * scan does |probes| dot products PER CORPUS ROW inside the scan
+    * stage, and the bench fixtures are single-row-group parquet — an
+    * unsplittable scan that would run the whole O(probes × corpus) stage
+    * in ONE task. Spread it round-robin once when (and only when) the
+    * resolved scan has fewer partitions than the session parallelism; at
+    * production scale corpus scans have thousands of splits and this is
+    * an exact no-op. Measured r12 (sf0.1/32): q_ml_knn_eval 5.9s → 1.1s.
+    * NOT applied inside the LSH pipelines — their heavy work happens
+    * after a materialize + bucket shuffle, and the extra exchange
+    * measured as a net loss there (q_emb_lof +50%). */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       probes: DataFrame, probeIdCol: String, probeVecCol: String,
       k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = spread(corpus).select(col(idCol).as("neighbor_id"),
         quantize(col(vecCol)).as("cvec"))
       .withColumn("cn2", qdot(col("cvec"), col("cvec")))
     val p = probes.select(col(probeIdCol).as("query_id"),
