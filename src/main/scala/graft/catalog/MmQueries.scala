@@ -31,7 +31,7 @@ private[graft] object MmQueries {
     ("q_mm_audio_spectral",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+        val wavs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
         Multimodal.audioSpectralHash(wavs).toDF()
           .select(col("media_id"), col("shash"))
@@ -44,7 +44,7 @@ private[graft] object MmQueries {
     ("q_mm_audio_hash",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+        val wavs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
         Multimodal.audioEnergyHash(wavs).toDF()
           .select(col("media_id"), col("ehash"))
@@ -62,7 +62,7 @@ private[graft] object MmQueries {
     ("q_mm_audio_pairs",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+        val wavs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
         Dedup.hammingNearDups(
           Multimodal.audioEnergyHash(wavs).toDF()
@@ -84,7 +84,7 @@ private[graft] object MmQueries {
     ("q_mm_audio_vad",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+        val wavs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticWavFamily(id, 16000)))
         Multimodal.audioActivity(wavs).toDF()
       },
@@ -135,7 +135,7 @@ private[graft] object MmQueries {
     ("q_mm_scene_cuts",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val frames = t(s, d, "documents").select(col("doc_id"))
+        val frames = scanFloor(t(s, d, "documents").select(col("doc_id")))
           .where(col("doc_id") % 3 === 2)
           .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("k"))
           .as[(Long, Int)]
@@ -192,7 +192,7 @@ private[graft] object MmQueries {
     ("q_mm_keyframes",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val frames = t(s, d, "documents").select(col("doc_id"))
+        val frames = scanFloor(t(s, d, "documents").select(col("doc_id")))
           .where(col("doc_id") % 3 === 2)
           .select(col("doc_id"), explode(expr("sequence(0, 11)")).as("k"))
           .as[(Long, Int)]
@@ -273,7 +273,7 @@ private[graft] object MmQueries {
     ("q_mm_demux",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val clips = t(s, d, "documents").select(col("doc_id"))
+        val clips = scanFloor(t(s, d, "documents").select(col("doc_id")))
           .where(col("doc_id") % 3 === 2)
           .as[Long]
           .map { id =>
@@ -334,7 +334,7 @@ private[graft] object MmQueries {
     ("q_mm_ahash",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Multimodal.imageAHash(pngs).toDF()
           .select(col("media_id"), col("ahash"))
@@ -348,7 +348,7 @@ private[graft] object MmQueries {
     ("q_mm_ahash_pairs",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Dedup.hammingNearDups(
           Multimodal.imageAHash(pngs).toDF()
@@ -368,7 +368,7 @@ private[graft] object MmQueries {
     ("q_mm_entropy",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Multimodal.imageEntropy(pngs).toDF()
       },
@@ -396,7 +396,7 @@ private[graft] object MmQueries {
     ("q_mm_sharpness",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Multimodal.imageSharpness(pngs).toDF()
       },
@@ -438,7 +438,7 @@ private[graft] object MmQueries {
     ("q_mm_phash",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Multimodal.imagePHash(pngs).toDF()
           .select(col("media_id"), col("phash"))
@@ -451,7 +451,7 @@ private[graft] object MmQueries {
     ("q_mm_tiles",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         Multimodal.imageTileHash(pngs).toDF()
       },
@@ -466,7 +466,7 @@ private[graft] object MmQueries {
     ("q_mm_tile_pairs",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPngFamily(id, 32, 24)))
         // persisted: rare-filter, posting join and self-join all reference
         // this subtree, and each re-execution would re-encode + re-decode
@@ -501,7 +501,7 @@ private[graft] object MmQueries {
     ("q_mm_decode",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val pngs = t(s, d, "documents").select("doc_id").as[Long]
+        val pngs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticPng(id, 32, 24)))
         Multimodal.decodeImages(Multimodal.resizeImages(pngs, 8, 6))
           .toDF().select(col("media_id"), col("width"), col("height"),
@@ -530,7 +530,7 @@ private[graft] object MmQueries {
     ("q_mm_wav",
       (s: SparkSession, d: String) => {
         import s.implicits._
-        val wavs = t(s, d, "documents").select("doc_id").as[Long]
+        val wavs = scanFloor(t(s, d, "documents").select("doc_id")).as[Long]
           .map(id => (id, Multimodal.syntheticWav(id, 16000,
             320 + (id % 7).toInt * 64)))
         Multimodal.decodeWav(wavs).toDF()
@@ -572,7 +572,8 @@ private[graft] object MmQueries {
     ("q_mm_features",
       (s: SparkSession, d: String) => {
         val feats = Multimodal.extractFeatures(
-          Multimodal.mediaFromDocuments(s, t(s, d, "documents")))
+          Multimodal.mediaFromDocuments(s,
+            scanFloor(t(s, d, "documents"))))
         feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"),
           size(col("feature")).as("feature_dim"))
       },

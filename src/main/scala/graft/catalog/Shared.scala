@@ -251,20 +251,15 @@ private[graft] object Shared {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** The two corpora whose scans feed heavy per-row pipelines (shingle
-    * md5s, 64-dim dot products, codec decodes) get the floor; the
-    * relational tables do NOT — their queries shuffle by key immediately,
-    * so a round-robin exchange would be a pure extra pass (measured r12:
-    * -70% on the floored heavy queries, +0.3-1.2s on light relational
-    * ones when floored blanket-wide). */
-  private val FlooredTables = Set("documents")
-
+  // NB: the floor is applied PER CALL SITE (mm id projections, the
+  // shingle kernels in Dedup, cosineTopK's corpus side, gopher), never
+  // blanket at the reader: for queries that shuffle by key immediately —
+  // or whose scan-stage work is light next to moving the text payload —
+  // the extra round-robin exchange measured as a net LOSS (token-groupBy
+  // text set +17%, light relational queries +0.3-1.2s each).
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir)
-    else {
-      val df = s.read.parquet(s"$dir/$name.parquet")
-      if (FlooredTables(name)) scanFloor(df) else df
-    }
+    else s.read.parquet(s"$dir/$name.parquet")
 
   /** Row count of a fixture table from the BARE scan — the parquet
     * metadata-count fast path. Knob derivations (planesFor/kFor) must use

@@ -136,7 +136,8 @@ private[graft] object TextQueries {
                 ceil(size(tk).cast("double") / 8.0).cast("int") - 1),
               i => array_join(slice(tk, i * 8 + 1, lit(8)), " ")))
         }
-        TextOps.gopherRepetition(t(s, d, "documents"), "doc_id", "text",
+        TextOps.gopherRepetition(scanFloor(t(s, d, "documents")),
+          "doc_id", "text",
           linesOf, topN = 2, dupN = 3)
       },
       Some {

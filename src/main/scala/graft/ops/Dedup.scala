@@ -54,8 +54,8 @@ object Dedup {
     val outSchema = StructType(Seq(
       StructField("doc_id", idField.dataType, idField.nullable),
       StructField("shingle", StringType)))
-    val rows = df
-      .select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    val rows = Similarity.spread(df
+      .select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text")))
       .flatMap { r =>
         val id = r.get(0)
         if (r.isNullAt(1)) Iterator.single(Row(id, null))
@@ -93,7 +93,8 @@ object Dedup {
       StructField("doc_id", idField.dataType, idField.nullable),
       StructField("n", org.apache.spark.sql.types.IntegerType, false),
       StructField("shingle", StringType)))
-    df.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    Similarity.spread(df.select(col(idCol).as("doc_id"),
+        col(textCol).cast("string").as("text")))
       .flatMap { r =>
         val id = r.get(0)
         if (r.isNullAt(1)) ns.iterator.map(n => Row(id, n, null))
