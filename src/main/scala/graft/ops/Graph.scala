@@ -252,7 +252,7 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var prev: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       prev = labels
       val msgs = e.join(labels, e("dst") === labels("node"))
         .select(e("src").as("node"), col("label"))
@@ -260,7 +260,13 @@ object Graph {
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+      // each round references its predecessor exactly once (the mode
+      // update has no keep-own-label union arm), so the fixed rounds can
+      // pipeline as ONE lazy DAG — the pageRankInt policy. Materialize
+      // only what is consumed twice: the final round when the audit
+      // variant reads both it and its predecessor (r12; the former
+      // unconditional per-round checkpoint bought nothing here).
+      if (audit && r >= rounds - 1) labels = labels.localCheckpoint()
     }
     if (!audit) labels
     else labels.join(prev.withColumnRenamed("label", "prev_label"),
