@@ -202,7 +202,10 @@ object Graph {
       e = e.join(alive, Seq("src"), "left_semi")
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
-      if (i % 4 == 0 && i < rounds) e = e.localCheckpoint()
+      // e is consumed THREE times per round (degree aggregate + both
+      // semi-join probes), so each round materializes — a lazy chain
+      // compounds 3^r subtree evaluations between cuts (r12)
+      if (i < rounds) e = e.localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
