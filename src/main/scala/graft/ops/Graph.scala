@@ -910,7 +910,6 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(wCol).cast("long").as("w")).localCheckpoint()
-    val CheckpointEvery = 8
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("dist", lit(0L))
     for (r <- 1 to rounds) {
@@ -918,7 +917,10 @@ object Graph {
       val relaxed = e.join(prev.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = prev.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
-      if (r % CheckpointEvery == 0 && r < rounds) dist = dist.localCheckpoint()
+      // prev is consumed TWICE per round (the relax join and the
+      // keep-current union arm); a lazy chain compounds 2^r subtree
+      // evaluations, so each round cuts (r12 — the kCore lesson)
+      if (r < rounds) dist = dist.localCheckpoint()
     }
     dist
   }
@@ -1028,6 +1030,10 @@ object Graph {
         .withColumn("pick", pick)
         .join(idx, Seq("node")).filter(col("pick") === col("nidx"))
         .select(col("walk_id"), col("dst").as("node"))
+        // the frontier is consumed twice (output union + next step);
+        // it is walk-set-sized, so the per-step cut is cheap and stops
+        // the 2^steps lazy compounding (r12)
+        .localCheckpoint()
       out = out.union(cur.withColumn("step", lit(t.toLong)))
     }
     out.select("walk_id", "step", "node")
@@ -1290,13 +1296,16 @@ object Graph {
       col(timeCol).cast("long").as("t")).localCheckpoint()
     var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("arr", lit(seedTime))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val prev = arr
       val cand = e.join(prev, e("src") === prev("node"))
         .filter(col("t") >= col("arr"))
         .select(col("dst").as("node"), col("t").as("arr"))
       arr = prev.unionAll(cand)
         .groupBy("node").agg(min("arr").as("arr"))
+      // prev consumed twice per round (gate join + keep-current arm):
+      // cut each round or the lazy chain compounds 2^r (r12)
+      if (r < rounds) arr = arr.localCheckpoint()
     }
     arr
   }
