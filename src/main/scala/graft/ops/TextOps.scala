@@ -1120,29 +1120,84 @@ object TextOps {
    */
   def rakeKeyphrases(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(split(regexp_replace(lower(col(textCol)), "[^a-z]+",
-          " "), " ")).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
-    val nonstop = toks.filter(!col("word").isin(EnglishStopwords: _*))
-    val wRn = Window.partitionBy("doc_id").orderBy(col("pos").asc)
-    val ph = nonstop.withColumn("rn", row_number().over(wRn))
-      .withColumn("grp", col("pos") - col("rn"))
-    val phLen = ph.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
-    val occ = ph.join(phLen, Seq("doc_id", "grp"))
-    val wordScore = occ.groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
-      .withColumn("wscore", expr("deg * 1000000L div freq"))
-    val scored = occ.join(wordScore, Seq("doc_id", "word"))
-      .groupBy("doc_id", "grp")
-      .agg(expr("array_join(transform(array_sort(collect_list(" +
-        "struct(pos, word))), s -> s.word), ' ')").as("phrase"),
-        count(lit(1)).as("n_words"), sum("wscore").as("score_micro"))
-    val wBest = Window.partitionBy("doc_id")
-      .orderBy(col("score_micro").desc, col("phrase").asc)
-    scored.withColumn("b", row_number().over(wBest)).filter(col("b") === 1)
-      .select(col("doc_id"), col("phrase"), col("n_words"),
-        col("score_micro"))
+    // RAKE is doc-local end to end — candidate phrases, word
+    // degree/frequency scores and the best-phrase pick all partition by
+    // doc_id — so the former 3-shuffle + 2-window plan (explode, ONE
+    // corpus-wide row_number window, two grp joins, a second window for
+    // the argmax) reduced per-document facts the scan task already had
+    // (the r6 gopher lesson; r12 measurement: 2.1 s → scan-stage cost).
+    // This compiled flatMap replays the expression semantics exactly:
+    // UTF8String.toLowerCase (Spark's `lower`), the same regex replace,
+    // `split(" ", -1)` keeping empties so token POSITIONS match
+    // posexplode over the split array, run-grouping equivalent to the
+    // pos − row_number trick, wscore = deg·1e6 div freq on positive
+    // longs (floor div both ways), phrase tie-break = smallest phrase
+    // at max score (row_number over score desc, phrase asc).
+    val stop = EnglishStopwords.toSet
+    val idField = df.schema(df.schema.fieldIndex(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idField.dataType,
+        idField.nullable),
+      org.apache.spark.sql.types.StructField("phrase",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_words",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score_micro",
+        org.apache.spark.sql.types.LongType)))
+    Similarity.spread(df.select(col(idCol).as("doc_id"),
+        col(textCol).cast("string").as("text")))
+      .flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val lowered = org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(1)).toLowerCase.toString
+          val words = lowered.replaceAll("[^a-z]+", " ").split(" ", -1)
+          // kept (word, pos) pairs; phrases = maximal runs of
+          // consecutive positions (== the pos - row_number grouping)
+          val kept = new scala.collection.mutable.ArrayBuffer[(String, Int)]
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            if (w.nonEmpty && !stop(w)) kept += ((w, i))
+            i += 1
+          }
+          if (kept.isEmpty) Iterator.empty
+          else {
+            val phrases =
+              new scala.collection.mutable.ArrayBuffer[Array[(String, Int)]]
+            var s0 = 0
+            var j = 1
+            while (j <= kept.length) {
+              if (j == kept.length || kept(j)._2 != kept(j - 1)._2 + 1) {
+                phrases += kept.slice(s0, j).toArray
+                s0 = j
+              }
+              j += 1
+            }
+            val freq = scala.collection.mutable.HashMap
+              .empty[String, Long].withDefaultValue(0L)
+            val deg = scala.collection.mutable.HashMap
+              .empty[String, Long].withDefaultValue(0L)
+            phrases.foreach { p =>
+              val plen = p.length.toLong
+              p.foreach { case (w, _) => freq(w) += 1L; deg(w) += plen }
+            }
+            var bestPhrase: String = null
+            var bestN = 0L
+            var bestScore = Long.MinValue
+            phrases.foreach { p =>
+              var sc = 0L
+              p.foreach { case (w, _) => sc += deg(w) * 1000000L / freq(w) }
+              val ph = p.iterator.map(_._1).mkString(" ")
+              if (sc > bestScore ||
+                  (sc == bestScore && ph < bestPhrase)) {
+                bestPhrase = ph; bestN = p.length.toLong; bestScore = sc
+              }
+            }
+            Iterator.single(org.apache.spark.sql.Row(
+              r.get(0), bestPhrase, bestN, bestScore))
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }

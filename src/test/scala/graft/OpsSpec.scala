@@ -2254,4 +2254,56 @@ class OpsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("corrupt") ||
       ex2.getMessage.contains("no movi"))
   }
+
+  test("rakeKeyphrases: doc-local flatMap equals the declarative RAKE") {
+    // r12 rewrote RAKE as a scan-stage flatMap; this pins it against the
+    // original explode/window/join formulation on an adversarial corpus:
+    // punctuation-split positions, stopword phrase breaks, repeated
+    // words (freq > 1), score ties broken by smallest phrase, leading
+    // non-letters (empty first split token), digits (stripped by the
+    // [^a-z] regex), null and empty docs (no row).
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Red widget! red widget, blue gizmo the red widget."),
+      (2L, "  42 leading,noise alpha beta; gamma-of delta"),
+      (3L, "tie aa of tie aa"), // two identical-score phrases
+      (4L, "the of and to"), // all stopwords -> no row
+      (5L, ""), // empty -> no row
+      (6L, null.asInstanceOf[String]),
+      (7L, "solo")
+    ).toDF("doc_id", "text")
+    val fast = TextOps.rakeKeyphrases(docs, "doc_id", "text")
+    // the pre-r12 formulation, verbatim
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(regexp_replace(lower(col("text")), "[^a-z]+",
+          " "), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val nonstop = toks.filter(!col("word").isin(TextOps.EnglishStopwords: _*))
+    val wRn = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+    val ph = nonstop.withColumn("rn", row_number().over(wRn))
+      .withColumn("grp", col("pos") - col("rn"))
+    val phLen = ph.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
+    val occ = ph.join(phLen, Seq("doc_id", "grp"))
+    val wordScore = occ.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore", expr("deg * 1000000L div freq"))
+    val scored = occ.join(wordScore, Seq("doc_id", "word"))
+      .groupBy("doc_id", "grp")
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(pos, word))), s -> s.word), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"), sum("wscore").as("score_micro"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("phrase").asc)
+    val slow = scored.withColumn("b", row_number().over(wBest))
+      .filter(col("b") === 1)
+      .select(col("doc_id"), col("phrase"), col("n_words"),
+        col("score_micro"))
+    val f = fast.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val sl = slow.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(f.toSeq == sl.toSeq)
+    assert(!f.exists(t => t._1 == 4L || t._1 == 5L || t._1 == 6L))
+  }
 }
