@@ -133,7 +133,15 @@ private[graft] object DedupQueries {
       (s: SparkSession, d: String) => {
         val k = 24
         val docs = t(s, d, "documents")
-        val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, k)
+        // ONE materialized shingle pass feeds both the signature
+        // aggregate and the exact-Jaccard verify: the former shape ran
+        // the shingling flatMap once per plan reference (sigs is
+        // consumed by packed AND the bands; the bare verify table by
+        // sizes AND both intersection arms) — ~5 corpus shingle passes
+        // for one query (r12 measurement)
+        val sh = Dedup.materialized(
+          Dedup.shingleTable(docs, "doc_id", "text", 5))
+        val sigs = Dedup.materialized(Dedup.signaturesFromShingles(sh, k))
         val packed = sigs.select(col("doc_id"),
           (0 until k).map(i => (col(s"sig_$i") % 2) * lit(1L << i))
             .reduce(_ + _).as("bits"))
@@ -142,7 +150,6 @@ private[graft] object DedupQueries {
               col("band"), col("band_key")), Seq("band", "band_key"))
           .filter(col("doc_id") < col("doc2"))
           .select(col("doc_id").as("doc1"), col("doc2")).distinct()
-        val sh = Dedup.shingleTable(docs, "doc_id", "text", 5)
         val candDocs = cand.select(col("doc1").as("doc_id"))
           .union(cand.select(col("doc2"))).distinct()
         val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")

@@ -186,7 +186,7 @@ object Dedup {
     * calling pair-generation repeatedly must do the same (or unpersist via
     * `spark.sharedState.cacheManager`) or the MEMORY_AND_DISK blocks
     * accumulate for the session's lifetime. */
-  private[ops] def materialized(df: DataFrame): DataFrame =
+  private[graft] def materialized(df: DataFrame): DataFrame =
     df.persist(StorageLevel.MEMORY_AND_DISK)
 
   // ---------------------------------------------------------------- exact
@@ -435,7 +435,7 @@ object Dedup {
       n: Int, k: Int): DataFrame =
     signaturesFromShingles(shingleTable(df, idCol, textCol, n), k)
 
-  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
+  private[graft] def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame = {
     val (a, b) = md5Seeds(col("shingle"))
     val aggs = (0 until k).map(i =>
       min((a + lit(i.toLong) * b) % MinhashPrime).as(s"sig_$i"))
