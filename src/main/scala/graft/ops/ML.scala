@@ -311,12 +311,16 @@ object ML {
       labelCol: String, testMod: Int = 5, minDf: Long = 5): DataFrame = {
     require(testMod >= 2 && minDf >= 1, "naiveBayes needs testMod>=2, minDf>=1")
     import graft.plans.GraftExpressions.bit_length_long
+    // the tokenized corpus feeds five consumers (vocab df, train counts,
+    // priors, train size, the test grid) — materialize the tokenize pass
+    // once instead of re-running it per plan reference (r12)
     val base = docs.select(col(idCol).cast("long").as("id"),
         col(labelCol).as("label"),
         TextOps.tokens(col(textCol)).as("ts"))
       .withColumn("is_test",
         conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
           16, 10).cast("long") % testMod === 0)
+      .localCheckpoint()
     val toks = base.select(col("id"), col("label"), col("is_test"),
       explode(col("ts")).as("term"))
     val trainToks = toks.filter(!col("is_test"))
