@@ -134,6 +134,14 @@ object Bench {
     val famJson = families
       .map { case (f, v) => "\"" + f + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // stdout gets only the top-8 families (the cost attribution signal);
+    // the full map lives in the disk artifact — per-query visibility is
+    // what the driver grades round-over-round, so the stdout budget goes
+    // to query entries (r12 shrank it to 700 for the full families map
+    // and hid 17 queries — all of them that round's wins — from PERF)
+    val famStdout = families.take(8)
+      .map { case (f, v) => "\"" + f + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     // Two outputs (the driver's tail capture is a fixed 2000-char window, so
     // a full 100+-entry map on one line is unparseable by construction —
     // BENCH_r01..r03 all came back `parsed: null`):
@@ -189,7 +197,7 @@ object Bench {
     // WITH slack for trailing WARN noise, or the per-query map is cut
     // mid-line and unrecoverable (r01-r03). 1000 chars of entries ≈ the
     // 35 slowest queries — everything above measurement noise.
-    val budget = 700 // shrunk from 1000 to make room for the families map
+    val budget = 1000 // restored from r12's 700 (families trimmed instead)
     val kept = bySlowest
       .scanLeft(0)((acc, e) => acc + e.length + 1).tail
       .zip(bySlowest).takeWhile(_._1 <= budget).map(_._2)
@@ -200,7 +208,7 @@ object Bench {
     // appending a [success] epilogue).
     errors.foreach { case (k, v) => System.err.println(s"BENCH FAIL $k: $v") }
     System.err.flush()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$famJson,"timed":${results.size},"failed":${errors.size}$anchorJson$runsJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$famStdout,"timed":${results.size},"failed":${errors.size}$anchorJson$runsJson,"shown":${kept.size},"full":"$outName","sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

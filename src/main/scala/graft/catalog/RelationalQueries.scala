@@ -1731,8 +1731,12 @@ private[graft] object RelationalQueries {
             x -> x IS NOT NULL)""")).as("e"))
           .select(col("e.tsrc"), col("e.tdst"))
           .groupBy("tsrc", "tdst").agg(count(lit(1)).as("c"))
-        val tot = tr.groupBy(col("tsrc").as("osrc")).agg(sum("c").as("tot"))
-        val m = tr.join(tot, col("tsrc") === col("osrc"))
+        // row-sum via a window over the k²-bounded transition table, not
+        // a groupBy+self-join: the join form evaluated `tr` — and with it
+        // the full events window pass — once per join side inside the
+        // checkpoint job (r13; one corpus pass instead of two)
+        val m = tr.withColumn("tot",
+            sum("c").over(Window.partitionBy("tsrc")))
           .select(col("tsrc"), col("tdst"),
             expr("c * 1000000L div tot").as("p"))
           .localCheckpoint()

@@ -2005,7 +2005,11 @@ private[graft] object SourceQueries {
         val o = t(s, d, "orders").select(col("o_orderkey").as("ok"),
           col("o_orderpriority").as("priority"),
           cents(col("o_totalprice")).as("x"))
+        // base feeds THREE consumers (wr plus both rank tables): one
+        // eager cut = one orders⋈lineitem-agg evaluation instead of
+        // three (r13)
         val base = o.join(li, Seq("ok")).select("priority", "x", "y")
+          .localCheckpoint()
         def rank2(cn: String): DataFrame = {
           val vt = base.groupBy(col("priority"), col(cn).as("v"))
             .agg(count(lit(1)).as("cnt"))

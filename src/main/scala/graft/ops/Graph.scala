@@ -119,15 +119,18 @@ object Graph {
     // evaluate the caller's edge pipeline ONCE: deg, eo and nodes all
     // reference it, and cross-job exchange reuse does not exist — without
     // this checkpoint an upstream distinct/banding subtree runs per derived
-    // table (the Dedup.components lesson)
+    // table (the Dedup.components lesson). The cuts are LAZY (r13): the
+    // checkpoint cache still gives compute-once across every consumer,
+    // materialized inside the one final job instead of three upfront
+    // blocking driver jobs.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // out-edges annotated with the sender's degree, evaluated once
-    val eo = e.join(deg, "src").localCheckpoint()
+    val eo = e.join(deg, "src").localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val teleport = 15L * scale / 100L
     val CheckpointEvery = 8
     var ranks = nodes.withColumn("rank", lit(scale))
@@ -195,7 +198,7 @@ object Graph {
       rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"kCore needs k,rounds >= 1")
     var e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     for (i <- 1 to rounds) {
       val alive = e.groupBy("src").agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select("src")
@@ -203,9 +206,12 @@ object Graph {
         .join(alive.select(col("src").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst")
       // e is consumed THREE times per round (degree aggregate + both
-      // semi-join probes), so each round materializes — a lazy chain
-      // compounds 3^r subtree evaluations between cuts (r12)
-      if (i < rounds) e = e.localCheckpoint()
+      // semi-join probes): a lazy chain with NO cut compounds 3^r subtree
+      // evaluations (r12). The cut is LAZY (r13): the checkpoint cache
+      // still gives compute-once across the three consumers, but the
+      // materialization rides the final job instead of a per-round
+      // blocking driver job.
+      if (i < rounds) e = e.localCheckpoint(false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
   }
@@ -251,7 +257,7 @@ object Graph {
           "src", "dst", maxDegree)
         canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
       }
-    val e = sym.distinct().localCheckpoint()
+    val e = sym.distinct().localCheckpoint(false)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var prev: DataFrame = null
@@ -269,7 +275,7 @@ object Graph {
       // only what is consumed twice: the final round when the audit
       // variant reads both it and its predecessor (r12; the former
       // unconditional per-round checkpoint bought nothing here).
-      if (audit && r >= rounds - 1) labels = labels.localCheckpoint()
+      if (audit && r >= rounds - 1) labels = labels.localCheckpoint(false)
     }
     if (!audit) labels
     else labels.join(prev.withColumnRenamed("label", "prev_label"),
@@ -371,8 +377,9 @@ object Graph {
       else capDegree(canon0, "a", "b", maxDegree)
         .select(col("src").as("a"), col("dst").as("b")))
       // deg, the orientation and the wedge join all reference the
-      // canonical edge set; evaluate the caller's pipeline once
-      .localCheckpoint()
+      // canonical edge set; evaluate the caller's pipeline once (lazy
+      // cut — compute-once via the checkpoint cache, no upfront job)
+      .localCheckpoint(false)
     val deg = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -391,7 +398,7 @@ object Graph {
             col("db").as("dlo"), col("da").as("dhi"))).as("o"))
       .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
         col("o.dlo").as("dlo"), col("o.dhi").as("dhi"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // wedges pivot at lo (the low-degree endpoint — bounded fan-out);
     // order the two spokes by the SAME (deg, id) total order so each
     // unordered spoke pair appears once, then close against the oriented
@@ -448,14 +455,18 @@ object Graph {
     require(k >= 3, s"ktruss needs k >= 3 (k-2 triangles per edge), got $k")
     require(rounds >= 1 && rounds <= 16,
       s"ktruss needs 1 <= rounds <= 16, got $rounds")
+    // LAZY checkpoint + count fusion (r13): `localCheckpoint(false)` marks
+    // the RDD and the `count()` that powers the early exit is the first
+    // action, so ONE job both materializes the cut and returns the count —
+    // r12 paid a separate blocking job for each (eager cut THEN count),
+    // and the extra per-round driver job read slower than r11 in both
+    // driver runs despite the removed zero-join.
     var e = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
-    // the eager checkpoint already materialized the set; counting it is a
-    // cache scan, and the count powers an EXACT early exit below
+      .localCheckpoint(false)
     var prevCount = e.count()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
@@ -469,8 +480,9 @@ object Graph {
         .select("a", "b")
         // each round re-derives degrees/orientation from the shrunken set;
         // cut lineage so round r+1 plans against materialized edges, not a
-        // growing wedge-join chain
-        .localCheckpoint()
+        // growing wedge-join chain — lazily, so the convergence count
+        // below is the materializing action
+        .localCheckpoint(false)
       // monotone peel: e_r is a SUBSET of e_{r-1}, so equal counts mean the
       // edge set is unchanged — every later round recomputes the identical
       // support table and filters nothing, an exact no-op. Skipping the
@@ -513,7 +525,7 @@ object Graph {
             col("da").as("dhi"))).as("o"))
       .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
         col("o.dhi").as("dhi"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val w1 = oriented.select(col("lo").as("p"), col("hi").as("x"),
       col("dhi").as("dx"))
     val w2 = oriented.select(col("lo").as("p"), col("hi").as("y"),
@@ -562,9 +574,9 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"pprInt needs iters >= 0, got $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(deg, "src").localCheckpoint()
+    val eo = e.join(deg, "src").localCheckpoint(false)
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("isseed", lit(1L))
     val nodes = e.select(col("src").as("node"))
@@ -572,7 +584,7 @@ object Graph {
       .distinct()
       .join(sd, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("isseed"), lit(0L)).as("isseed"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val CheckpointEvery = 8
     var ranks = nodes.select(col("node"),
       (col("isseed") * scale).as("rank"))
@@ -654,23 +666,27 @@ object Graph {
     require(iters >= 1, s"hitsInt needs iters >= 1, got $iters")
     require(scale >= 1L, s"hitsInt needs scale >= 1, got $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var hub = nodes.withColumn("hub", lit(scale))
     var auth = nodes.withColumn("auth", lit(0L))
     for (i <- 1 to iters) {
       // authority pass: sum incoming hub mass, then max-normalize. The
       // union-zero row keeps every node present (sources score 0, not
       // absent), so the max anchor and the final output cover the full
-      // vertex set every round. Eager |V|-row cut before the max: see the
+      // vertex set every round. |V|-row cut before the max: see the
       // scaladoc — the raw table feeds both the anchor and the scores.
+      // The cut is LAZY (r13): the 1-row max anchor's broadcast collect
+      // is the first action over it, so one job materializes the
+      // checkpoint AND builds the anchor — the eager form paid a
+      // separate blocking job per half-round for the same cut.
       val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), col("hub").as("m"))
         .union(nodes.withColumn("m", lit(0L)))
         .groupBy("node").agg(sum("m").as("araw"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val amax = araw.agg(greatest(max(col("araw")), lit(1L)).as("amax"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("node"), expr("(araw * " + scale + ") DIV amax").as("auth"))
@@ -679,7 +695,7 @@ object Graph {
         .select(col("src").as("node"), col("auth").as("m"))
         .union(nodes.withColumn("m", lit(0L)))
         .groupBy("node").agg(sum("m").as("hraw"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val hmax = hraw.agg(greatest(max(col("hraw")), lit(1L)).as("hmax"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("node"), expr("(hraw * " + scale + ") DIV hmax").as("hub"))
@@ -712,16 +728,16 @@ object Graph {
     // the deliberate opposite of pageRankInt's one-lazy-DAG policy,
     // because PageRank's rounds reference ONLY their predecessor.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     var lvl = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .withColumn("level", lit(0L)).localCheckpoint()
+      .withColumn("level", lit(0L)).localCheckpoint(false)
     var frontier = lvl.select("node")
     for (r <- 1 to rounds) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(lvl.select("node"), Seq("node"), "left_anti")
         .withColumn("level", lit(r.toLong))
-        .localCheckpoint()
+        .localCheckpoint(false)
       lvl = lvl.union(next)
       frontier = next.select("node")
     }
@@ -907,20 +923,38 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"ssspInt needs 1 <= rounds <= 32, got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // Self-loop fold (r13): the keep-current arm of the Bellman-Ford
+    // recurrence IS a relax step over a zero-weight self-loop —
+    // min(dist(v), relax) = min over edges ∪ {(v, v, 0)} — so folding one
+    // (v, v, 0) row per node (edge endpoints AND seeds, so a seed outside
+    // the edge list still keeps its 0 row) into the edge set makes each
+    // round reference its predecessor exactly ONCE. The fixed rounds then
+    // pipeline as one lazy DAG (pageRankInt's policy): no per-round
+    // blocking jobs, and no 2^r lazy compounding either — the r12
+    // per-round cut fixed the compounding but its per-round driver job
+    // read SLOWER than the r11 lazy chain in both driver runs. All cuts
+    // are LAZY (compute-once via the checkpoint cache, materialized
+    // inside the one final job) and the node set derives from the CUT
+    // edge table, never the caller's unmaterialized pipeline (the ANF
+    // fold lesson: each lazy arm re-evaluates whatever is not cached).
+    val e1 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
-      col(wCol).cast("long").as("w")).localCheckpoint()
-    var dist = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().withColumn("dist", lit(0L))
+      col(wCol).cast("long").as("w")).localCheckpoint(false)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    val nodes = e1.select(col("src").as("node"))
+      .union(e1.select(col("dst").as("node")))
+      .union(sd).distinct()
+    val e = e1.unionAll(nodes.select(col("node").as("src"),
+        col("node").as("dst"), lit(0L).as("w")))
+      .localCheckpoint(false)
+    var dist = sd.withColumn("dist", lit(0L))
     for (r <- 1 to rounds) {
-      val prev = dist
-      val relaxed = e.join(prev.withColumnRenamed("node", "src"), "src")
+      dist = e.join(dist.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = prev.union(relaxed).groupBy("node").agg(min("dist").as("dist"))
-      // prev is consumed TWICE per round (the relax join and the
-      // keep-current union arm); a lazy chain compounds 2^r subtree
-      // evaluations, so each round cuts (r12 — the kCore lesson)
-      if (r < rounds) dist = dist.localCheckpoint()
+        .groupBy("node").agg(min("dist").as("dist"))
+      // single-reference rounds: cut only to bound plan depth
+      if (r % 8 == 0 && r < rounds) dist = dist.localCheckpoint()
     }
     dist
   }
@@ -945,17 +979,45 @@ object Graph {
     require(threshold >= 1, s"cascade needs threshold >= 1, got $threshold")
     require(rounds >= 1 && rounds <= 32,
       s"cascade needs 1 <= rounds <= 32, got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint()
-    var act = seeds.select(col(seedCol).cast("long").as("node"))
-      .distinct().withColumn("round", lit(0L)).localCheckpoint()
+    // Flagged self-loop fold (r13): the old round consumed `act` THREE
+    // times (count join + anti-join + union arm), forcing a per-round
+    // eager cut. Riding one loop row per node (edge endpoints ∪ seeds)
+    // through the count join makes each round a single join + aggregate
+    // over its predecessor: per activated node the loop row carries its
+    // own first-activation round (min-aggregated out as `own`), real
+    // edges from active neighbors are counted separately, and
+    //   round_r(v) = coalesce(own, if c >= threshold then r)
+    // — exact, because activation is monotone: once v meets the
+    // threshold at round r, the growing active set keeps it met at every
+    // later round, so min(own) IS the first round, and an already-active
+    // v never re-enters via the count arm (coalesce prefers own). The
+    // anti-join against history and the union arm disappear; the fixed
+    // rounds pipeline as one lazy DAG with no per-round blocking jobs.
+    // Cuts are lazy and the node set derives from the cut edge table
+    // (see ssspInt).
+    val e1 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint(false)
+    val nodes = e1.select(col("src").as("node"))
+      .union(e1.select(col("dst").as("node")))
+      .union(sd).distinct()
+    val e = e1.withColumn("loop", lit(0))
+      .unionAll(nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(1).as("loop")))
+      .localCheckpoint(false)
+    var act = sd.withColumn("round", lit(0L))
     for (r <- 1 to rounds) {
-      val counts = e.join(act.select(col("node").as("src")), "src")
-        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("c"))
-      val newly = counts.filter(col("c") >= threshold)
-        .join(act, Seq("node"), "left_anti")
-        .select(col("node"), lit(r.toLong).as("round"))
-      act = act.union(newly).localCheckpoint()
+      act = e.join(act, e("src") === act("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(when(col("loop") === 1, col("round"))).as("own"),
+          sum(when(col("loop") === 0, 1L).otherwise(0L)).as("c"))
+        .select(col("node"),
+          coalesce(col("own"),
+            when(col("c") >= threshold, lit(r.toLong))).as("round"))
+        .filter(col("round").isNotNull)
+      // single-reference rounds: cut only to bound plan depth
+      if (r % 8 == 0 && r < rounds) act = act.localCheckpoint()
     }
     act
   }
@@ -986,10 +1048,10 @@ object Graph {
    * symmetrized capped graph every node kept has degree >= 1, so walks
    * never die.
    *
-   * Shape: neighbor index + degree table built once and checkpointed
-   * (referenced every step); each step is then two equi-joins (walk
-   * frontier x degree, then x indexed edges) — frontier-sized, never
-   * corpus-sized, and the fixed `steps` rounds pipeline as one DAG.
+   * Shape: ONE degree-annotated neighbor index built once and
+   * checkpointed (referenced every step); each step is then a single
+   * frontier equi-join against it — frontier-sized, never corpus-sized,
+   * and the fixed `steps` rounds pipeline as one DAG.
    *
    * Output: (walk_id, step, node), step 0 = the seed row itself.
    */
@@ -1003,37 +1065,43 @@ object Graph {
     val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // structural out-degree cap: deterministic md5 bottom-k per src —
-    // exact no-op when out-degree is already <= maxDegree
-    val e = raw
+    // exact no-op when out-degree is already <= maxDegree. Degree is
+    // carried ON the indexed adjacency (a count window over the same
+    // src partitioning the row_number already pays — no extra exchange)
+    // instead of a separate (node, deg) table: ONE checkpointed table
+    // and ONE equi-join per step where r12 paid three checkpoints and
+    // two joins (r13).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+    val adj = raw
       .groupBy("src")
       .agg(graft.plans.GraftExpressions.earliest_k(struct(
         md5(concat_ws("|", col("src"), col("dst")).cast("binary")).as("h"),
         col("dst")), maxDegree).as("keep"))
-      .select(col("src"), explode(col("keep")).as("s"))
-      .select(col("src"), col("s.dst").as("dst"))
-      .localCheckpoint()
-    val idx = e.withColumn("nidx", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("src").orderBy("dst")).cast("long"))
-      .select(col("src").as("node"), col("dst"), col("nidx"))
-      .localCheckpoint()
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .select(col("src").as("node"), explode(col("keep")).as("s"))
+      .select(col("node"), col("s.dst").as("dst"))
+      .withColumn("nidx", row_number().over(w.orderBy("dst")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(w))
+      .localCheckpoint(false)
     var cur = seeds.select(col(walkIdCol).cast("long").as("walk_id"),
       col(nodeCol).cast("long").as("node"))
     var out = cur.withColumn("step", lit(0L))
     for (t <- 1 to steps) {
+      // the hash pick depends only on (walk_id, t, deg) — constant across
+      // a node's adjacency rows — so it can gate the adjacency join
+      // directly; `pick === nidx` keeps exactly the chosen neighbor
       val pick = pmod(graft.plans.GraftExpressions.md5_prefix(
         concat(col("walk_id").cast("string"), lit("|"),
           lit(t.toString)), 8), col("deg")) + 1
-      cur = cur.join(deg, Seq("node"))
-        .withColumn("pick", pick)
-        .join(idx, Seq("node")).filter(col("pick") === col("nidx"))
+      cur = cur.join(adj, Seq("node"))
+        .filter(pick === col("nidx"))
         .select(col("walk_id"), col("dst").as("node"))
-        // the frontier is consumed twice (output union + next step);
-        // it is walk-set-sized, so the per-step cut is cheap and stops
-        // the 2^steps lazy compounding (r12)
-        .localCheckpoint()
+      // the frontier is consumed twice (output union + next step), but
+      // the r12 per-step eager cut read SLOWER in both driver runs than
+      // the lazy chain — per-step blocking jobs cost more than the
+      // re-evaluated frontier joins at fixture scale. Cut every 4 steps:
+      // recompute is bounded at one 4-step window per union arm while
+      // deep walks still get bounded plans.
+      if (t % 4 == 0 && t < steps) cur = cur.localCheckpoint()
       out = out.union(cur.withColumn("step", lit(t.toLong)))
     }
     out.select("walk_id", "step", "node")
@@ -1076,20 +1144,35 @@ object Graph {
     require(rounds >= 1 && rounds <= 16,
       s"anfReach needs 1 <= rounds <= 16, got $rounds")
     val E = graft.plans.GraftExpressions
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    var sk = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .select(col("node"),
-        array(E.md5_prefix60(col("node").cast("string"))).as("sk"))
-    for (_ <- 1 to rounds) {
+    // Self-loop fold (r13): the keep-own-sketch union arm IS a propagate
+    // step over a self-loop — bottom-k union is idempotent, so adding
+    // exactly one (v, v) row per node makes each round one join + one
+    // combine-enabled aggregate referencing its predecessor ONCE: the
+    // fixed rounds pipeline as a single lazy DAG with no per-round
+    // blocking jobs. The loops are folded into THIS operator's own
+    // distinct+checkpoint (not the caller's pipeline — the r12 ANF fold
+    // attempt failed precisely because its union re-evaluated an
+    // unmaterialized caller subtree per arm).
+    val e1 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(false)
+    val nodes = e1.select(col("src").as("node"))
+      .union(e1.select(col("dst").as("node"))).distinct()
+    val e = e1.unionAll(nodes.select(col("node").as("src"),
+        col("node").as("dst")))
+      .localCheckpoint(false)
+    // the initial sketch table reads the self-loop rows back off the cut
+    // edge table — no second distinct over the node set
+    var sk = e.filter(col("src") === col("dst"))
+      .select(col("src").as("node"),
+        array(E.md5_prefix60(col("src").cast("string"))).as("sk"))
+    for (r <- 1 to rounds) {
       sk = e.join(sk.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("sk"))
-        .union(sk)
         .select(col("node"), explode(col("sk")).as("h"))
         .groupBy("node")
         .agg(E.bottomk_distinct(col("h"), k).as("sk"))
-        .localCheckpoint()
+      // single-reference rounds: cut only to bound plan depth
+      if (r % 4 == 0 && r < rounds) sk = sk.localCheckpoint()
     }
     sk.select(col("node"), size(col("sk")).cast("long").as("n_sketch"),
       when(size(col("sk")) < k, size(col("sk")).cast("double"))
@@ -1125,7 +1208,7 @@ object Graph {
       s"anfHarmonic needs 1 <= rounds <= 8, got $rounds")
     val E = graft.plans.GraftExpressions
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(false)
     def est(sk: Column): Column =
       when(size(sk) < k, size(sk).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0) /
@@ -1142,7 +1225,7 @@ object Graph {
         .select(col("node"), explode(col("sk")).as("h"))
         .groupBy("node")
         .agg(E.bottomk_distinct(col("h"), k).as("sk"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       acc = acc.join(cur.select(col("node"), est(col("sk")).as(s"n$r")),
         Seq("node"))
     }
@@ -1208,10 +1291,10 @@ object Graph {
         col(wCol).cast("long").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min("w").as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var comp = nodes.select(col("node"), col("node").as("comp"))
     var forest: DataFrame = null
     for (r <- 1 to rounds) {
@@ -1222,32 +1305,48 @@ object Graph {
           Seq("b"))
         .filter(col("ca") =!= col("cb"))
       val s = struct(col("w"), col("a"), col("b"))
-      val sel = cand.select(col("ca").as("g"), s.as("s"))
-        .union(cand.select(col("cb").as("g"), s.as("s")))
-        .groupBy("g").agg(min(col("s")).as("m"))
+      // both component arms via ONE explode, not a two-arm union: the
+      // union evaluated the |E|-sized double-join subtree once per arm
+      // (r13). Identical (g, s) row multiset, identical per-group min.
+      val sel = cand.select(explode(array(
+          struct(col("ca").as("g"), s.as("s")),
+          struct(col("cb").as("g"), s.as("s")))).as("x"))
+        .groupBy(col("x.g").as("g")).agg(min(col("x.s")).as("m"))
         .select(col("m.a").as("a"), col("m.b").as("b"),
           col("m.w").as("w"))
         .distinct()
       forest = (if (forest == null) sel else forest.union(sel).distinct())
-        .localCheckpoint()
+        .localCheckpoint(false)
       // the merge labels only feed the NEXT round's cross-component
       // filter — skip the label pass after the last round
       if (r < rounds) {
-        val fe = forest.select(col("a"), col("b"))
+        // Self-loop fold over the MATERIALIZED forest (r13 — the retry
+        // the r12 negative result prescribed: fold only when the
+        // upstream is already checkpointed): min-label propagation's
+        // keep-own-label union arm is a propagate step over a self-loop,
+        // so with one (id, id) row per forest node the `labelRounds`
+        // rounds are single-reference and pipeline as ONE lazy DAG —
+        // the r12 shape re-evaluated each round's subtree once per union
+        // arm (2^4 between its every-4-rounds cuts) and paid two
+        // blocking cuts per Borůvka round.
+        val fe0 = forest.select(col("a"), col("b"))
           .union(forest.select(col("b").as("a"), col("a").as("b")))
-        var lab = fe.select(col("a").as("id")).distinct()
-          .select(col("id"), col("id").as("lbl"))
+        val fnodes = fe0.select(col("a").as("id")).distinct()
+        val fe = fe0.unionAll(fnodes.select(col("id").as("a"),
+          col("id").as("b"))).localCheckpoint(false)
+        var lab = fnodes.select(col("id"), col("id").as("lbl"))
         for (k <- 1 to labelRounds) {
           lab = fe.join(lab.withColumnRenamed("id", "a"), Seq("a"))
             .select(col("b").as("id"), col("lbl"))
-            .union(lab)
             .groupBy("id").agg(min("lbl").as("lbl"))
-          if (k % 4 == 0 || k == labelRounds) lab = lab.localCheckpoint()
         }
+        // the final labels feed the guard (twice) and the comp update;
+        // the cut is lazy, so the guard's count below is the one job
+        // that materializes the whole label phase
+        lab = lab.localCheckpoint(false)
         // convergence guard: one more min-label step must be a fixed point
         val next = fe.join(lab.withColumnRenamed("id", "a"), Seq("a"))
           .select(col("b").as("id"), col("lbl"))
-          .union(lab)
           .groupBy("id").agg(min("lbl").as("lbl"))
         val unconverged = lab.withColumnRenamed("lbl", "prev")
           .join(next, Seq("id"))
@@ -1291,9 +1390,19 @@ object Graph {
       timeCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
       seedTime: Long = 0L): DataFrame = {
     require(rounds >= 0, s"temporalReach needs rounds >= 0, got $rounds")
+    // NOT self-loop-folded (r13, measured): temporalReach's per-round
+    // state is the reached BALL — with a handful of seeds the
+    // keep-current union arm is a few rows, while the fold's one-time
+    // self-loop synthesis is a full |E| distinct (ssspInt's relax
+    // saturates the graph quickly, so there the trade wins; here it
+    // measured 0.94x). Instead the per-round cut is LAZY: `prev` is
+    // consumed twice (gate join + keep-current arm), and the checkpoint
+    // cache gives compute-once across both consumers inside the ONE
+    // final job — no 2^r lazy compounding (r12's reason for the cut)
+    // and none of r12's per-round blocking driver jobs either.
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
-      col(timeCol).cast("long").as("t")).localCheckpoint()
+      col(timeCol).cast("long").as("t")).localCheckpoint(false)
     var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("arr", lit(seedTime))
     for (r <- 1 to rounds) {
@@ -1303,9 +1412,7 @@ object Graph {
         .select(col("dst").as("node"), col("t").as("arr"))
       arr = prev.unionAll(cand)
         .groupBy("node").agg(min("arr").as("arr"))
-      // prev consumed twice per round (gate join + keep-current arm):
-      // cut each round or the lazy chain compounds 2^r (r12)
-      if (r < rounds) arr = arr.localCheckpoint()
+      if (r < rounds) arr = arr.localCheckpoint(false)
     }
     arr
   }
