@@ -42,6 +42,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-optimize (and coalesce) the materialization of persisted
+      // plans: the default false pins a cached plan's output partitioning,
+      // so every persist-based pipeline (the dedup signature/shingle
+      // chains) materialized with un-coalesced shuffle.partitions-sized
+      // shuffles — guide §2.2; scale-adaptive, not a local constant (AQE
+      // only coalesces below the advisory partition size)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

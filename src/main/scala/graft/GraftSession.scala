@@ -37,6 +37,15 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-optimize (and coalesce) the materialization of
+      // persisted plans: the default false pins a cached plan's output
+      // partitioning, so persist-based pipelines (dedup shingle/signature
+      // chains) materialized with un-coalesced shuffle.partitions-sized
+      // shuffles (guide §2.2; measured −32% on q_dedup_bbit, flat
+      // elsewhere). Scale-adaptive: AQE only coalesces below the
+      // advisory partition size.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
   }
 
   /** Build the session and register the SQL surface (fn_transform_*,

@@ -787,11 +787,13 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val e = (if (maxDegree <= 0) e0
-      else capDegree(e0, "src", "dst", maxDegree)).localCheckpoint()
-    // forward: per-source levels + path counts, eager per round
+      else capDegree(e0, "src", "dst", maxDegree)).localCheckpoint(false)
+    // forward: per-source levels + path counts, cut per round (lazily —
+    // all consumers funnel into the single final aggregate job, so the
+    // checkpoint cache gives compute-once with no blocking driver jobs)
     var lvl = seeds.select(col(seedCol).cast("long").as("s")).distinct()
       .select(col("s"), col("s").as("node"), lit(0L).as("level"),
-        lit(1L).as("sigma")).localCheckpoint()
+        lit(1L).as("sigma")).localCheckpoint(false)
     var frontier = lvl.select("s", "node", "sigma")
     for (r <- 1 to rounds) {
       val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
@@ -800,7 +802,7 @@ object Graph {
         .join(lvl.select("s", "node"), Seq("s", "node"), "left_anti")
         .select(col("s"), col("node"), lit(r.toLong).as("level"),
           col("sigma"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       lvl = lvl.union(next)
       frontier = next.select("s", "node", "sigma")
     }
@@ -823,10 +825,10 @@ object Graph {
         Seq("s", "dst", "lw"))
       .select(col("s"), col("src"), col("dst"), col("level"),
         col("sigma"), col("sigma_w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var delta = lvl.filter(col("level") === rounds)
       .select(col("s"), col("node"), lit(0L).as("delta"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var acc = delta // all (s, node, delta) rows of levels l+1..rounds
     for (l <- (rounds - 1) to 1 by -1) {
       val dl = dag.filter(col("level") === l)
@@ -836,7 +838,7 @@ object Graph {
         .agg(sum(expr(
           s"sigma * ($scale + coalesce(delta_w, 0L)) div sigma_w"))
           .as("delta"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       delta = dl
       acc = acc.union(dl)
     }
