@@ -246,10 +246,8 @@ private[graft] object Shared {
     * added — the floor is a local-pathology guard, not a tuned constant.
     * Measured (r12, sf0.1/32): the exact-kNN scan stage 5.4s -> 0.9s.
     */
-  private[graft] def scanFloor(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private[graft] def scanFloor(df: DataFrame): DataFrame =
+    graft.ops.Similarity.spread(df)
 
   // NB: the floor is applied PER CALL SITE (mm id projections, the
   // shingle kernels in Dedup, cosineTopK's corpus side, gopher), never

@@ -107,7 +107,11 @@ object Similarity {
     * NOT applied inside the LSH pipelines — their heavy work happens
     * after a materialize + bucket shuffle, and the extra exchange
     * measured as a net loss there (q_emb_lof +50%). */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  // the ONE implementation of the scan-parallelism floor; the catalog's
+  // Shared.scanFloor delegates here (r13 — the two copies had drifted
+  // into review-burden duplicates). PlanShapeSpec pins the no-op-at-scale
+  // property: a multi-split input must NOT gain the exchange.
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -42,6 +42,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("scan floor is a no-op on multi-split input, one spread on single-split") {
+    // the r12 scan-parallelism floor (Shared.scanFloor == Similarity.spread,
+    // one implementation since r13) exists to repair the LOCAL fixture
+    // pathology of one-row-group parquet files; at production scale a scan
+    // resolves to >= cores splits and the floor must add NOTHING. Pin both
+    // branches: a fixture rewritten to more splits than the session's
+    // parallelism gains NO exchange through spread; the single-file
+    // fixture gains exactly ONE round-robin spread.
+    import org.apache.spark.sql.functions.col
+    val p = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_floor").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(p * 2).write.mode("overwrite").parquet(dir)
+    val multi = spark.read.parquet(dir).select(col("doc_id"), col("text"))
+    assert(multi.rdd.getNumPartitions >= p, "fixture rewrite too small")
+    val floored = graft.ops.Similarity.spread(multi)
+    val planMulti = floored.queryExecution.executedPlan.toString
+    assert(!planMulti.contains("RoundRobinPartitioning"),
+      s"floor must be a no-op on multi-split input:\n$planMulti")
+    val single = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planSingle = graft.ops.Similarity.spread(single)
+      .queryExecution.executedPlan.toString
+    val spreads = "RoundRobinPartitioning".r.findAllIn(planSingle).size
+    assert(spreads == 1,
+      s"single-split input must gain exactly one spread, got $spreads")
+  }
+
   test("windows and aggregations share one exchange where designed") {
     // sessionize: two windows + groupBy, one hash exchange total
     val p = plan("q_agg_sessionize")

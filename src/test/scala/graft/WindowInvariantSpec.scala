@@ -50,5 +50,23 @@ class WindowInvariantSpec extends SparkSpec {
     assert(violations.isEmpty,
       s"corpus-sized GLOBAL window (single-task at scale) in: " +
         violations.mkString(", "))
+    // Explicit SITE registry (r13): the bounded() proof above is
+    // structural, but a silent newcomer should still be a conscious
+    // decision — a new unpartitioned-window query must be reviewed for
+    // its row bound and added here by name, and a removal must clean up
+    // here too (the list doubles as the audit trail the r12 verdict
+    // asked for: every WindowExec-No-Partition warning in the Verify log
+    // maps to one of these domain-bounded frames).
+    val registered = Set(
+      "q_agg_fdr", "q_agg_groupseq", "q_agg_reach", "q_agg_skyline",
+      "q_agg_stl", "q_agg_trend", "q_incr_backfill", "q_ml_auc",
+      "q_ml_calibration", "q_ml_stump", "q_profile_drift_trend",
+      "q_sample_neyman", "q_sample_waterfill", "q_seq_survival",
+      "q_text_quantile_norm", "q_text_rr_release", "q_text_zipf")
+    assert(globalWindowQueries.toSet == registered,
+      "global-window site registry drifted — new: " +
+        (globalWindowQueries.toSet -- registered).mkString(", ") +
+        "; removed: " +
+        (registered -- globalWindowQueries.toSet).mkString(", "))
   }
 }
