@@ -758,8 +758,12 @@ object Similarity {
       k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
       maxBucket: Int = 0, bucketSample: Int = 0): DataFrame = {
     require(k >= 1 && k <= 64, s"mutualKnnPairs needs 1 <= k <= 64, got $k")
+    // lazy cut: the mutuality self-join consumes the kNN table twice, and
+    // each lazy arm would re-run the whole candidate join + kNN aggregate
+    // (r13; compute-once via the checkpoint cache, no blocking job)
     val nn = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
       tables, planes, dims, maxBucket, bucketSample), k).select("a", "b")
+      .localCheckpoint(false)
     nn.join(nn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
       .filter(col("a") < col("b"))
       .select(col("a").as("doc1"), col("b").as("doc2"))
@@ -769,18 +773,27 @@ object Similarity {
       k: Int, tables: Int = 8, planes: Int = 6, dims: Int = 64,
       maxBucket: Int = 0, bucketSample: Int = 0): DataFrame = {
     require(k >= 1 && k <= 64, s"lofOutliers needs 1 <= k <= 64, got $k")
+    // lazy cuts on every multiply-consumed stage (r13): nbrs feeds kd AND
+    // rd, rd feeds lrd AND slrd, kd/lrd are re-read by the final join —
+    // left lazy without cuts, the candidate join + kNN aggregate subtree
+    // re-evaluated once per arm (~8 evaluations). The checkpoint cache
+    // gives compute-once; all materialize inside the one final job.
     val nbrs = knnOverCandidates(lshSymPairs(corpus, idCol, vecCol,
       tables, planes, dims, maxBucket, bucketSample), k)
+      .localCheckpoint(false)
     val kd = nbrs.groupBy("a")
       .agg(max("d2").as("kdist"), count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val rd = nbrs.join(kd.select(col("a").as("b"),
         col("kdist").as("kdist_b")), Seq("b"))
       .select(col("a"), col("b"), greatest(col("d2"), col("kdist_b"))
         .as("rd"))
+      .localCheckpoint(false)
     val lrd = rd.groupBy("a").agg(sum("rd").as("sum_rd"),
         count(lit(1)).as("n"))
       .select(col("a"), (col("n").cast("double") /
         greatest(col("sum_rd"), lit(1L)).cast("double")).as("lrd"))
+      .localCheckpoint(false)
     // neighbor lrd sum in a FIXED (neighbor-id-sorted) fold order, so the
     // double total is bit-identical despite aggregation-order freedom
     val slrd = rd.select("a", "b")
