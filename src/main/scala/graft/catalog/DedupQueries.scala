@@ -272,12 +272,14 @@ private[graft] object DedupQueries {
     ("q_dedup_lsh_tuning",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        // lazy cuts (r13): same compute-once, no upfront blocking jobs —
+        // truth feeds 3 band joins + the n_true anchor, sigs 3 bandings
         val truth = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5,
             threshold = 0.7)
           .select(col("doc1"), col("doc2"), lit(1L).as("is_true"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
-          .localCheckpoint()
+          .localCheckpoint(false)
         val stats = Seq(2, 4, 6).map { b =>
           val bk = Dedup.minhashBands(sigs, 12, b)
           val cand = bk.join(bk.select(col("doc_id").as("doc2"),

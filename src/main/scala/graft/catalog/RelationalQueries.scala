@@ -1412,8 +1412,12 @@ private[graft] object RelationalQueries {
           .filter(col("next").isNotNull)
           .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
           .agg(count(lit(1)).as("c"))
+          // lazy cut (r13): tr is read by both state arms, tot and the
+          // matrix join — one corpus window pass instead of ~6
+          .localCheckpoint(false)
         val states = tr.select(col("tsrc").as("st"))
           .union(tr.select(col("tdst").as("st"))).distinct()
+          .localCheckpoint(false)
         val kdf = states.agg(count(lit(1)).as("k"))
         val tot = tr.groupBy(col("tsrc").as("osrc"))
           .agg(sum("c").as("tot"))
@@ -1426,9 +1430,9 @@ private[graft] object RelationalQueries {
           .select(col("msrc"), col("mdst"),
             expr("(coalesce(c, 0L) + 1) * 1000000L div " +
               "(coalesce(tot, 0L) + k)").as("p"))
-          // the k²-row matrix is referenced every round: materialize it
-          // once, or each round re-runs the corpus-wide transition scan
-          .localCheckpoint()
+          // the k²-row matrix is referenced every round: cut it once
+          // (lazily — compute-once via the checkpoint cache)
+          .localCheckpoint(false)
         var v = states.crossJoin(broadcast(kdf))
           .select(col("st"), expr("1000000000000L div k").as("v"))
         for (_ <- 1 to 3) {
@@ -1495,6 +1499,9 @@ private[graft] object RelationalQueries {
           .filter(col("next").isNotNull)
           .select(col("user_id"), coalesce(col("prev"), lit("^")).as("p2"),
             col("event_type").as("p1"), col("next").as("nx"))
+          // lazy cut (r13): tr feeds both predictor builds and the
+          // held-out side — one double-window corpus pass instead of 4
+          .localCheckpoint(false)
         val train = tr.filter(col("user_id") % 2 === 0)
         val pred1 = train.groupBy("p1", "nx")
           .agg(count(lit(1)).as("c"))
@@ -1514,6 +1521,8 @@ private[graft] object RelationalQueries {
           .join(broadcast(pred1), Seq("p1"), "left")
           .join(broadcast(pred2), Seq("p2", "p1"), "left")
           .withColumn("pr2b", coalesce(col("pr2"), col("pr1")))
+          // lazy cut: both union arms score off this one table
+          .localCheckpoint(false)
         eval_.select(lit(1L).as("model_order"),
             col("n"),
             when(col("nx") === col("pr1"), col("n")).otherwise(0L)
@@ -1629,8 +1638,12 @@ private[graft] object RelationalQueries {
           .filter(col("next").isNotNull)
           .groupBy(col("event_type").as("tsrc"), col("next").as("tdst"))
           .agg(count(lit(1)).as("c"))
+          // lazy cut (r13): tr is read by both state arms, tot and the
+          // matrix join — one corpus window pass instead of ~6
+          .localCheckpoint(false)
         val states = tr.select(col("tsrc").as("st"))
           .union(tr.select(col("tdst").as("st"))).distinct()
+          .localCheckpoint(false)
         val kdf = states.agg(count(lit(1)).as("k"))
         val tot = tr.groupBy(col("tsrc").as("osrc"))
           .agg(sum("c").as("tot"))
@@ -1643,9 +1656,9 @@ private[graft] object RelationalQueries {
           .select(col("msrc"), col("mdst"),
             expr("(coalesce(c, 0L) + 1) * 1000000L div " +
               "(coalesce(tot, 0L) + k)").as("p"))
-          // the k²-row matrix is referenced every round: materialize it
-          // once, or each round re-runs the corpus-wide transition scan
-          .localCheckpoint()
+          // the k²-row matrix is referenced every round: cut it once
+          // (lazily — compute-once via the checkpoint cache)
+          .localCheckpoint(false)
         var v = states.select(col("st"),
           when(col("st") === "purchase", 1000000L).otherwise(0L).as("v"))
         for (_ <- 1 to 4) {
@@ -3215,10 +3228,15 @@ private[graft] object RelationalQueries {
         val pred = o.filter(col("is_cal")).groupBy("prio")
           .agg(sum("pc").as("sp"), count(lit(1)).as("np"))
           .select(col("prio"), expr("sp div np").as("predc"))
+        // lazy cuts (r13): scored feeds the calibration histogram AND the
+        // final coverage aggregate; byVal feeds the rank walk AND n_cal —
+        // uncut, each lazy arm re-ran the orders scan + broadcast join
         val scored = o.join(broadcast(pred), Seq("prio"))
           .select(col("is_cal"), abs(col("pc") - col("predc")).as("sc"))
+          .localCheckpoint(false)
         val byVal = scored.filter(col("is_cal"))
           .groupBy("sc").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
         val ranked = graft.ops.Prefix.runningOffsetsOrdered(
           byVal, Seq("sc"), "c")
         val ncal = byVal.agg(sum("c").as("n_cal"))
@@ -4470,8 +4488,11 @@ private[graft] object RelationalQueries {
     // engines compute identically.
     ("q_basket_lift",
       (s: SparkSession, d: String) => {
+        // lazy cut (r13): items feeds both self-join sides, the totals
+        // aggregate and the order count — one distinct pass, not four
         val items = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(false)
         val pairs = items.as("a").join(items.as("b"),
             col("a.l_orderkey") === col("b.l_orderkey") &&
               col("a.l_partkey") < col("b.l_partkey"))
@@ -5021,10 +5042,13 @@ private[graft] object RelationalQueries {
     // interval covers ceil(W/2). All exact BIGINTs.
     ("q_agg_weighted_median",
       (s: SparkSession, d: String) => {
+        // lazy cut (r13): cells feeds the rank walk AND the per-flag
+        // totals — one lineitem aggregate pass instead of two
         val cells = t(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("flag"),
             cents(col("l_extendedprice")).as("price_cents"))
           .agg(sum(col("l_quantity").cast("long")).as("w"))
+          .localCheckpoint(false)
         val off = graft.ops.Prefix.runningOffsetsBy(
           cells, "flag", Seq("price_cents"), "w")
         val tot = cells.groupBy("flag")

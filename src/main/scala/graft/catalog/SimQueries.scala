@@ -246,7 +246,11 @@ private[graft] object SimQueries {
           .select(col("vec_id"), Similarity.quantize(col("embedding"))
             .as("q"))
         val proj = array(jlProjTerms(col("q")): _*)
+        // lazy cut (r13): corpus feeds the probe guard count, the probe
+        // broadcast AND the shortlist scan — one quantize+JL pass, not 3
+        // (the guard count is the materializing action)
         val corpus = e.select(col("vec_id"), col("q"), proj.as("p"))
+          .localCheckpoint(false)
         val probes = corpus.filter(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("q").as("qq"),
             col("p").as("qp"))

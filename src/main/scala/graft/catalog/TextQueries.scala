@@ -1880,9 +1880,12 @@ private[graft] object TextQueries {
     // min-struct) + one join back — no windows over the corpus stream.
     ("q_text_chunk_dedup",
       (s: SparkSession, d: String) => {
+        // lazy cut (r13): the CDC chunk table feeds the owner argmin AND
+        // the ownership join — one chunking flatMap pass instead of two
         val ch = TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
             w = 4, divisor = 16)
           .select("doc_id", "chunk_idx", "n_toks_chunk", "chunk_hash")
+          .localCheckpoint(false)
         val owner = ch.groupBy("chunk_hash")
           .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
           .select(col("chunk_hash"), col("own.doc_id").as("o_doc"),
