@@ -129,9 +129,11 @@ private[graft] object GraphQueries {
           .filter(col("l_orderkey") % 5 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // lazy cut (r13): both symmetrize arms read canon
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("a"), col("pk2").as("b")).distinct()
+          .localCheckpoint(false)
         val e = canon.select(col("a").as("src"), col("b").as("dst"))
           .union(canon.select(col("b").as("src"), col("a").as("dst")))
         Graph.labelPropagation(e, "src", "dst", rounds = 4)
@@ -156,13 +158,16 @@ private[graft] object GraphQueries {
           .filter(col("l_orderkey") % 5 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // lazy cut (r13): canon feeds both symmetrize arms, the
+        // intra-community join and the m anchor — one self-join pass
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("a"), col("pk2").as("b")).distinct()
+          .localCheckpoint(false)
         val e = canon.select(col("a").as("src"), col("b").as("dst"))
           .union(canon.select(col("b").as("src"), col("a").as("dst")))
         val labels = Graph.labelPropagation(e, "src", "dst", rounds = 4)
-          .localCheckpoint()
+          .localCheckpoint(false)
         val deg = e.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("deg"))
         val dc = labels.join(deg, Seq("node"))
@@ -308,7 +313,10 @@ private[graft] object GraphQueries {
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
+        // lazy cut (r13): both symmetrize arms read the capped graph —
+        // compute the cap pipeline once via the checkpoint cache
         val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+          .localCheckpoint(false)
         val sym = capped.union(
           capped.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = sym.select(col("src")).distinct()
@@ -333,7 +341,10 @@ private[graft] object GraphQueries {
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
+        // lazy cut (r13): both symmetrize arms read the capped graph —
+        // compute the cap pipeline once via the checkpoint cache
         val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+          .localCheckpoint(false)
         val sym = capped.union(
           capped.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = sym.select(col("src")).distinct()
@@ -422,7 +433,9 @@ private[graft] object GraphQueries {
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst")).distinct()
         val capped = Graph.capDegree(e0, "src", "dst", maxDegree = 8)
-          .localCheckpoint() // adj, wedge, anti and degrees all rescan it
+          // adj, wedge, anti and degrees all rescan it — lazy cut (r13):
+          // same compute-once via the checkpoint cache, no blocking job
+          .localCheckpoint(false)
         val adj = capped.select(col("src").as("n"), col("dst").as("v"))
           .union(capped.select(col("dst").as("n"), col("src").as("v")))
         val wedge = adj.as("x")
@@ -554,9 +567,11 @@ private[graft] object GraphQueries {
           (col("o_custkey") * 2).as("cn"),
           datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
             .as("tt"))
+        // lazy cut (r13): both symmetrize arms read fwd
         val fwd = li.join(ord, "ok")
           .select(col("sn").as("src"), col("cn").as("dst"), col("tt"))
           .distinct()
+          .localCheckpoint(false)
         val edges = fwd.unionAll(fwd.select(col("dst").as("src"),
           col("src").as("dst"), col("tt")))
         val seeds = t(s, d, "supplier").filter(col("s_suppkey") < 3)
@@ -570,9 +585,11 @@ private[graft] object GraphQueries {
     ("q_graph_sssp", {
       ((s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
+        // lazy cut (r13): both symmetrize arms read fwd
         val fwd = li.groupBy((col("l_partkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .agg(min(cents(col("l_extendedprice"))).as("w"))
+          .localCheckpoint(false)
         val edges = fwd.union(
           fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
         val seeds = li.filter(col("l_partkey") < 5)
@@ -601,7 +618,10 @@ private[graft] object GraphQueries {
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
+        // lazy cut (r13): both symmetrize arms read the capped graph —
+        // compute the cap pipeline once via the checkpoint cache
         val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+          .localCheckpoint(false)
         val sym = capped.union(
           capped.select(col("dst").as("src"), col("src").as("dst")))
         Graph.anfReach(sym, "src", "dst", k = 16, rounds = 2)
@@ -626,7 +646,10 @@ private[graft] object GraphQueries {
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
+        // lazy cut (r13): both symmetrize arms read the capped graph —
+        // compute the cap pipeline once via the checkpoint cache
         val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+          .localCheckpoint(false)
         val sym = capped.union(
           capped.select(col("dst").as("src"), col("src").as("dst")))
         Graph.anfHarmonic(sym, "src", "dst", k = 16, rounds = 3)
@@ -650,7 +673,10 @@ private[graft] object GraphQueries {
         val canon = lp.join(lp.select(col("ok"), col("pk").as("pk2")), "ok")
           .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
+        // lazy cut (r13): both symmetrize arms read the capped graph —
+        // compute the cap pipeline once via the checkpoint cache
         val capped = Graph.capDegree(canon, "src", "dst", maxDegree = 8)
+          .localCheckpoint(false)
         val sym = capped.union(
           capped.select(col("dst").as("src"), col("src").as("dst")))
         val h = Graph.anfHarmonic(sym, "src", "dst", k = 16, rounds = 3)

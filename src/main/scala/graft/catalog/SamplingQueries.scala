@@ -1222,10 +1222,13 @@ private[graft] object SamplingQueries {
     * pairing, both directions. The stand-in for the similarity / hyperlink
     * graphs a curation pipeline ranks before sampling. */
   private[graft] def partSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    // lazy cut (r13): both symmetrize arms read fwd — one lineitem
+    // distinct pass instead of two, via the checkpoint cache
     val fwd = t(s, d, "lineitem")
       .select((col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+      .localCheckpoint(false)
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 

@@ -49,8 +49,10 @@ object Graph {
   def capDegree(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxDegree: Int = 1000): DataFrame = {
     require(maxDegree >= 1, s"capDegree needs maxDegree >= 1, got $maxDegree")
+    // lazy cut (r13): both incident union arms read e — uncut, the
+    // caller's pipeline + distinct evaluated twice per cap
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(false)
     val s = struct(
       md5(concat_ws("|", col("src"), col("dst")).cast("binary")).as("h"),
       col("src"), col("dst"))
@@ -165,8 +167,9 @@ object Graph {
     * contract. One combine-enabled aggregate, no joins. */
   def degrees(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // lazy cut (r13): both union arms read e
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     e.select(col("src").as("node"), lit(1L).as("o"), lit(0L).as("i"))
       .union(e.select(col("dst").as("node"), lit(0L).as("o"), lit(1L).as("i")))
       .groupBy("node")
@@ -317,9 +320,13 @@ object Graph {
    */
   def louvainOnePass(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // lazy cuts (r13): e feeds the degree aggregate, the 2m anchor and
+    // the candidate join (3 lazy arms re-ran the caller's distinct
+    // pipeline); deg feeds both join sides
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint(false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val m2 = e.agg(count(lit(1)).as("m2")) // = 2m on a symmetric list
     e.join(deg, Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("deg_j")),
@@ -897,10 +904,14 @@ object Graph {
    */
   def assortativity(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // lazy cuts (r13): e feeds the degree aggregate and the pair join,
+    // deg feeds both endpoint joins — compute each once via the
+    // checkpoint cache instead of once per lazy arm
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint(false)
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val pairs = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")

@@ -693,7 +693,7 @@ object Similarity {
     * — sizing `planes` ~ log2(corpus/occupancy) — remains the caller-level
     * knob; the sample is the in-operator guarantee that a mis-sized planes
     * constant degrades recall, not complexity. */
-  private def lshSymPairs(corpus: DataFrame, idCol: String,
+  private[graft] def lshSymPairs(corpus: DataFrame, idCol: String,
       vecCol: String, tables: Int, planes: Int, dims: Int,
       maxBucket: Int, bucketSample: Int = 0): DataFrame = {
     val buckets = (0 until tables).map(t =>
@@ -741,7 +741,7 @@ object Similarity {
   /** Bounded-state per-point kNN over the candidate pairs: the k smallest
     * (d2, neighbor) per point via `earliest_k` — never a window over a
     * hot bucket's fan-out. Returns (a, d2, b). */
-  private def knnOverCandidates(sym: DataFrame, k: Int): DataFrame =
+  private[graft] def knnOverCandidates(sym: DataFrame, k: Int): DataFrame =
     sym.groupBy(col("id1").as("a"))
       .agg(graft.plans.GraftExpressions.earliest_k(
         struct(col("d2"), col("id2")), k).as("nn"))

@@ -551,11 +551,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(pc.contains("BroadcastExchange"), pc)
     // LOF: candidate self-join is equi on the bucket key; kNN is the
     // bounded-state earliest_k aggregate, never a window over a bucket's
-    // fan-out
+    // fan-out. The final plan now ends at the lazy checkpoint cuts
+    // (r13), so the earliest_k pin moves to the kNN substrate's own plan
     val pl = plan("q_emb_lof")
     assert(!pl.contains("Window [") && !pl.contains("CartesianProduct"), pl)
-    assert(pl.toLowerCase.contains("earliestk") ||
-      pl.contains("earliest_k"), pl)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pknn = graft.ops.Similarity.knnOverCandidates(
+      graft.ops.Similarity.lshSymPairs(emb, "vec_id", "embedding",
+        tables = 2, planes = 4, dims = 64, maxBucket = 0,
+        bucketSample = 8), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(pknn.toLowerCase.contains("earliestk") ||
+      pknn.contains("earliest_k"), pknn)
+    assert(!pknn.contains("Window ["), pknn)
     // LM score: two vocabulary-bounded count joins + a broadcast total —
     // no window anywhere (the bigram fan-out is scan-stage array work)
     val plm = plan("q_text_lm_score")
