@@ -3974,6 +3974,9 @@ private[graft] object RelationalQueries {
           .crossJoin(broadcast(anchor))
           .withColumn("r", datediff(col("mx"), col("last")).cast("long"))
           .select("o_custkey", "r", "f", "m")
+          // lazy cut (r13): the count below materializes it, so the score
+          // chain reads the cache instead of re-running the orders rollup
+          .localCheckpoint(false)
         val n = cust.count() // one scalar driver action, like q_text_index
         def score(df: DataFrame, metric: String, out: String,
             invert: Boolean): DataFrame = {
@@ -4356,9 +4359,11 @@ private[graft] object RelationalQueries {
     // integer cents.
     ("q_join_mincost",
       (s: SparkSession, d: String) => {
+        // lazy cut (r13): off feeds the per-part min AND the offer join
         val off = t(s, d, "lineitem")
           .groupBy(col("l_partkey"), col("l_suppkey"))
           .agg(min(cents(col("l_extendedprice"))).as("offer_cents"))
+          .localCheckpoint(false)
         val mo = off.groupBy("l_partkey")
           .agg(min("offer_cents").as("min_cents"))
         off.join(mo, Seq("l_partkey"))
@@ -4848,6 +4853,9 @@ private[graft] object RelationalQueries {
             floor(col("ext").cast("double") / col("qty").cast("double"))
               .cast("long").as("p"),
             col("qty"))
+          // lazy cut (r13): py feeds the base-year anchor, the base-year
+          // rows and the index join — one lineitem⋈orders rollup, not 3
+          .localCheckpoint(false)
         val y0 = py.agg(min("yr").as("y0"))
         val base = py.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
           .select(col("pk"), col("p").as("p0"), col("qty").as("q0"))

@@ -484,6 +484,9 @@ private[graft] object SamplingQueries {
             .md5_prefix60(col("root").cast("string")), lit(10L)))
           .withColumn("split", when(col("bucket") < 8, "train")
             .when(col("bucket") === 8, "val").otherwise("test"))
+          // lazy cut (r13): asg feeds both leak-join arms and the final
+          // rollup — one docs-to-component join instead of three
+          .localCheckpoint(false)
         val leaked = pairs
           .join(asg.select(col("doc_id").as("doc1"),
             col("split").as("s1")), Seq("doc1"))

@@ -1238,11 +1238,18 @@ private[graft] object TextQueries {
     ("q_text_retrieval_eval",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        // lazy cuts (r13): sh feeds the probe projection and the postings
+        // join (the shingling flatMap re-ran ~5x uncut); pterms feeds the
+        // vocab distinct and the scoring broadcast; scored feeds the
+        // source-score anchor and the final rank join
         val sh = Dedup.shingleTable(docs, "doc_id", "text", n = 3)
+          .localCheckpoint(false)
         val pterms = sh.filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("probe_id"), col("shingle"))
+          .localCheckpoint(false)
         val vocab = pterms.select("shingle").distinct()
         val postings = sh.join(broadcast(vocab), Seq("shingle"))
+          .localCheckpoint(false)
         val df_ = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
         val nDocs = docs.count()
         val scored = postings.join(broadcast(df_), Seq("shingle"))
@@ -1251,6 +1258,7 @@ private[graft] object TextQueries {
               .cast("long"))
           .join(broadcast(pterms), Seq("shingle"))
           .groupBy("probe_id", "doc_id").agg(sum("w").as("score"))
+          .localCheckpoint(false)
         val src = scored.filter(col("doc_id") === col("probe_id"))
           .select(col("probe_id"), col("score").as("s_src"))
         scored.join(broadcast(src), Seq("probe_id"))
@@ -1955,8 +1963,11 @@ private[graft] object TextQueries {
           .filter(col("s").isNotNull)
           .select(col("doc_id"), col("s.w1").as("w1"),
             col("s.w2").as("w2"))
+        // lazy cut (r13): bc feeds ctx, cont, the nbb anchor and the
+        // scoring join — one train bigram pass instead of four
         val bc = bigrams(docs.filter(col("doc_id") % 2 === 0))
           .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+          .localCheckpoint(false)
         val ctx = bc.groupBy("w1")
           .agg(sum("n12").as("c1"), count(lit(1)).as("n1fw"))
         val cont = bc.groupBy("w2").agg(count(lit(1)).as("n1bw"))

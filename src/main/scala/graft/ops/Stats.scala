@@ -206,11 +206,15 @@ object Stats {
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 3): DataFrame = {
     val gcols = groupCols.map(col)
-    val facts = df.filter(col(valueCol).isNotNull)
+    // lazy cuts (r13): facts feeds the median walk and the deviation
+    // join; dev feeds the MAD walk and the final outlier aggregate —
+    // compute each once via the checkpoint cache
+    val facts = df.filter(col(valueCol).isNotNull).localCheckpoint(false)
     val med = quantilesDisc(facts, groupCols, valueCol, Seq(0.5))
       .groupBy(gcols: _*).agg(min("value").as("med"))
     val dev = facts.join(broadcast(med), groupCols)
       .withColumn("dev", abs(col(valueCol) - col("med")))
+      .localCheckpoint(false)
     val mad = quantilesDisc(dev, groupCols, "dev", Seq(0.5))
       .groupBy(gcols: _*).agg(min("value").as("mad"))
     dev.join(broadcast(mad), groupCols)
