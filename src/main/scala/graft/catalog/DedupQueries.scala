@@ -222,7 +222,10 @@ private[graft] object DedupQueries {
     ("q_dedup_edit_verify",
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
+        // lazy cut (r13): both band-join arms read the signature table —
+        // one shingle+signature pass instead of two
         val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 5, 12)
+          .localCheckpoint(false)
         val bk = Dedup.minhashBands(sigs, 12, 4)
         val cand = bk.join(bk.select(col("doc_id").as("doc2"),
               col("band"), col("band_key")), Seq("band", "band_key"))
@@ -452,6 +455,9 @@ private[graft] object DedupQueries {
             col("component_id").as("c")), Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("cls"),
             coalesce(col("c"), col("doc_id")).as("cluster"))
+          // lazy cut (r13): a feeds the nck/nc/nk rollups — one
+          // fingerprint+component join instead of three
+          .localCheckpoint(false)
         val nck = a.groupBy("cluster", "cls").agg(count(lit(1)).as("nck"))
         val nc = a.groupBy("cluster").agg(count(lit(1)).as("ncl"))
         val nk = a.groupBy("cls").agg(count(lit(1)).as("nkl"))

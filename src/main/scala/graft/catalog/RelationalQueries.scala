@@ -3105,7 +3105,9 @@ private[graft] object RelationalQueries {
             expr("datediff(o_orderdate, DATE '1992-01-01') div 7")
               .as("wk"),
             cents(col("o_totalprice")).as("pc"))
+        // lazy cut (r13): the weekly rollup feeds both self-join sides
         val w = o.groupBy("rk", "wk").agg(sum("pc").as("yc"))
+          .localCheckpoint(false)
         val p = w.as("a").join(w.as("b"),
             col("a.rk") === col("b.rk") && col("a.wk") < col("b.wk"))
           .select(col("a.rk").as("rk"),
@@ -4557,6 +4559,9 @@ private[graft] object RelationalQueries {
           .select(col("c_custkey"), col("c_mktsegment").as("seg"))
           .join(rev, col("c_custkey") === col("o_custkey"))
           .select(col("seg"), col("c_custkey"), col("rev"))
+          // lazy cut (r13): c feeds the rank walk AND the totals; the
+          // walk's internal checkpoint is the materializing action
+          .localCheckpoint(false)
         val ranked = graft.ops.Prefix.runningOffsetsBy(
           c.withColumn("negrev", -col("rev")),
           "seg", Seq("negrev", "c_custkey"), "rev")

@@ -432,9 +432,12 @@ private[graft] object SamplingQueries {
         val comp = Dedup.componentsStar(
           Dedup.minhashNearDups(docs, "doc_id", "text",
             n = 5, k = 12, bands = 4, threshold = 0.7))
+        // lazy cut (r13): withRoot feeds the size rollup AND the weight
+        // join — one docs-to-component join instead of two
         val withRoot = docs.select(col("doc_id"), col("source"))
           .join(comp, Seq("doc_id"), "left")
           .withColumn("root", coalesce(col("component_id"), col("doc_id")))
+          .localCheckpoint(false)
         val sizes = withRoot.groupBy("root")
           .agg(count(lit(1)).as("csize"))
         withRoot.join(sizes, Seq("root"))

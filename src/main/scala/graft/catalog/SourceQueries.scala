@@ -1375,8 +1375,11 @@ private[graft] object SourceQueries {
           date_format(col("o_orderdate"), "yyyy-MM").as("qi2"),
           floor(col("o_totalprice") / 50000.0).cast("long").as("qi3"),
           col("o_orderpriority").as("sens"))
+        // lazy cut (r13): cells feeds the class rollup, both global
+        // anchors and the final join — one orders aggregate instead of 4
         val cells = q.groupBy("qi1", "qi2", "qi3", "sens")
           .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(false)
         val cls = cells.groupBy("qi1", "qi2", "qi3")
           .agg(sum("cnt").as("sz"), count(lit(1)).as("l_distinct"),
             sum(col("cnt") * bl(col("cnt"))).as("s_bits"))

@@ -1015,8 +1015,12 @@ private[graft] object TextQueries {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           TextOps.tokens(col("text")).as("ts"))
+        // lazy cut (r13): the tokenized corpus feeds the term explode
+        // (read by tf AND df) and the length stats — tokenize once,
+        // explode off the cache
         val withLen = toks.select(col("doc_id"), col("ts"),
           size(col("ts")).cast("long").as("len"))
+          .localCheckpoint(false)
         val terms = withLen.select(col("doc_id"), col("len"),
           explode(col("ts")).as("term"))
         val tf = terms.groupBy("doc_id", "term", "len")
@@ -1168,8 +1172,12 @@ private[graft] object TextQueries {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"),
           TextOps.tokens(col("text")).as("ts"))
+        // lazy cut (r13): the tokenized corpus feeds the term explode
+        // (read by tf AND df) and the length stats — tokenize once,
+        // explode off the cache
         val withLen = toks.select(col("doc_id"), col("ts"),
           size(col("ts")).cast("long").as("len"))
+          .localCheckpoint(false)
         val terms = withLen.select(col("doc_id"), col("len"),
           explode(col("ts")).as("term"))
         val tf = terms.filter(col("term").isin(qterms: _*))
@@ -1300,8 +1308,11 @@ private[graft] object TextQueries {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val nDocs = docs.count()
-        val toks = docs.select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("term"))
+        // lazy cut (r13): tokenize once; tf and df explode off the cache
+        val tokArr = docs.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ts")).localCheckpoint(false)
+        val toks = tokArr.select(col("doc_id"),
+          explode(col("ts")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val df_ = toks.select("doc_id", "term").distinct()
           .groupBy("term").agg(count(lit(1)).as("df"))
@@ -1444,9 +1455,12 @@ private[graft] object TextQueries {
             slice(col("ts"), lit(2), size(col("ts"))),
             (a, b) => when(b.isNotNull, concat_ws(" ", a, b)))).as("bigram"))
           .filter(col("bigram").isNotNull)
+        // lazy cut (r13): bc feeds na, nb, the total anchor and the final
+        // join — one bigram explode+count pass instead of four
         val bc = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
           .withColumn("w1", substring_index(col("bigram"), " ", 1))
           .withColumn("w2", substring_index(col("bigram"), " ", -1))
+          .localCheckpoint(false)
         val na = bc.groupBy("w1").agg(sum("n_ab").as("n_a"))
         val nb = bc.groupBy("w2").agg(sum("n_ab").as("n_b"))
         val tot = bc.agg(sum("n_ab").as("nn"))
@@ -1541,8 +1555,11 @@ private[graft] object TextQueries {
         val ref = docs.filter(col("doc_id") % 2 === 0)
         val bc = bigrams(ref).groupBy("w1", "w2")
           .agg(count(lit(1)).as("n12"))
+        // lazy cut (r13): uc feeds the total anchor and both unigram join
+        // arms — one train tokenize+count pass instead of three
         val uc = ref.select(explode(TextOps.tokens(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("n1"))
+          .localCheckpoint(false)
         val nTot = uc.agg(sum("n1").as("nn"))
         val scoredRows = bigrams(docs)
           .join(bc, Seq("w1", "w2"), "left")

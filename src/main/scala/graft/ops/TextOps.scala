@@ -605,13 +605,16 @@ object TextOps {
     // one pass: candidates and the stream length from the same aggregate;
     // n_total rides each candidate row so the summary subtree appears in
     // the plan ONCE (a separate scalar crossJoin would re-evaluate it —
-    // i.e. re-scan the corpus — per reference)
-    val cand = df.agg(
+    // i.e. re-scan the corpus — per reference). The input stream itself
+    // is consumed twice (MG summary + exact re-count): lazy cut so the
+    // caller's tokenize/explode runs once via the checkpoint cache (r13)
+    val in = df.localCheckpoint(false)
+    val cand = in.agg(
         graft.plans.GraftExpressions.misra_gries(col(valueCol), k).as("mg"),
         count(col(valueCol)).as("n_total"))
       .select(explode(col("mg")).as("c"), col("n_total"))
       .select(col("c.item").as("cand_item"), col("n_total")) // ≤ k rows
-    df.join(broadcast(cand), col(valueCol) === col("cand_item"))
+    in.join(broadcast(cand), col(valueCol) === col("cand_item"))
       .groupBy(col(valueCol), col("n_total"))
       .agg(count(lit(1)).as("n_exact"))
       .filter(col("n_exact") * lit(support) > col("n_total"))
@@ -641,14 +644,16 @@ object TextOps {
     require(support >= 2, s"support=$support must be >= 2")
     require(k + 1 >= support,
       s"k=$k too small for support=$support (MG bound is N/(k+1))")
-    val cand = df.groupBy(col(groupCol))
+    // lazy cut: the stream feeds the per-group MG pass and the re-count
+    val in = df.localCheckpoint(false)
+    val cand = in.groupBy(col(groupCol))
       .agg(graft.plans.GraftExpressions.misra_gries(col(valueCol), k).as("mg"),
         count(col(valueCol)).as("n_total"))
       .select(col(groupCol).as("_cand_group"), explode(col("mg")).as("c"),
         col("n_total"))
       .select(col("_cand_group"), col("c.item").as("cand_item"),
         col("n_total"))
-    df.join(cand, col(groupCol) === col("_cand_group") &&
+    in.join(cand, col(groupCol) === col("_cand_group") &&
         col(valueCol) === col("cand_item"))
       .groupBy(col(groupCol), col(valueCol), col("n_total"))
       .agg(count(lit(1)).as("n_exact"))
