@@ -290,9 +290,12 @@ private[graft] object GeoQueries {
         val cells = points(s, d)
           .select(cellX(col("lon")).as("cx"), cellY(col("lat")).as("cy"))
           .groupBy("cx", "cy").agg(count(lit(1)).as("x"))
+        // lazy cut (r13): dense feeds the neighbor explode, the edge
+        // semi-join and the labeling — one points aggregate instead of 3
         val dense = cells.filter(col("x") >= 2)
           .withColumn("key", (col("cy") + lit(90L)) * lit(360L) +
             col("cx"))
+          .localCheckpoint(false)
         val nbr = dense
           .select(col("key").as("a"), col("cx"), col("cy"),
             explode(sequence(lit(-1), lit(1))).as("dx"))
@@ -314,6 +317,8 @@ private[graft] object GeoQueries {
             col("component_id")), Seq("key"), "left")
           .select(col("cx"), col("cy"), col("x"),
             coalesce(col("component_id"), col("key")).as("cluster_id"))
+          // lazy cut: lab feeds the cluster rollup AND the final join
+          .localCheckpoint(false)
         val cl = lab.groupBy("cluster_id")
           .agg(count(lit(1)).as("cluster_cells"),
             sum("x").as("cluster_points"))

@@ -250,7 +250,9 @@ object Dedup {
     val gramDf = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf) // prune hot shingles
       .select("h")
-    val rareSh = sh.join(gramDf, Seq("h"))
+    // lazy cut (r13): both candidate self-join arms read the pruned
+    // posting list — run the df-prune join once via the checkpoint cache
+    val rareSh = sh.join(gramDf, Seq("h")).localCheckpoint(false)
 
     val candidates = rareSh.as("a").join(rareSh.as("b"),
         col("a.h") === col("b.h") &&
